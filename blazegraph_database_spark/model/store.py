@@ -1,0 +1,79 @@
+"""Triple/quad store over a DataFrame.
+
+Reference analog: com.bigdata.rdf.store.AbstractTripleStore + the SPO/POS/OSP
+B+Tree indices (bigdata-core/bigdata-rdf/src/java/com/bigdata/rdf/spo/).
+Spark-first: one columnar table ``(s, p, o_lex, o_dt[, g])``. The POS index's
+role (fast lookup by predicate) is played by disk partitioning on ``p`` plus
+Catalyst partition pruning; per-predicate stats drive BGP join ordering the
+way the reference's B+Tree range counts drive its static join optimizer
+(reference: bigdata-core/bigdata-rdf/.../sparql/ast/optimizers/ASTStaticJoinOptimizer.java).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TRIPLE_COLS = ["s", "p", "o_lex", "o_dt"]
+
+
+@dataclass
+class PredStat:
+    count: int
+    n_distinct_s: int
+    n_distinct_o: int
+
+
+@dataclass
+class TripleStore:
+    """An immutable triple set. ``df`` has columns s,p,o_lex,o_dt[,g]."""
+
+    df: DataFrame
+    _stats: dict[str, PredStat] | None = field(default=None, repr=False)
+
+    @property
+    def spark(self) -> SparkSession:
+        return self.df.sparkSession
+
+    @property
+    def has_graphs(self) -> bool:
+        return "g" in self.df.columns
+
+    def stats(self) -> dict[str, PredStat]:
+        """Per-predicate (count, distinct-s, distinct-o) for join ordering.
+
+        Computed once per store and cached; the predicate set is small (one
+        per schema attribute) so the collected dict is tiny. At 100 TB these
+        stats would be persisted next to the parquet at load time — see
+        sources/parquet_store.py which does exactly that.
+        """
+        if self._stats is None:
+            rows = (
+                self.df.groupBy("p")
+                .agg(
+                    F.count(F.lit(1)).alias("c"),
+                    F.approx_count_distinct("s").alias("ds"),
+                    F.approx_count_distinct("o_lex").alias("do"),
+                )
+                .collect()
+            )
+            self._stats = {r["p"]: PredStat(r["c"], max(r["ds"], 1), max(r["do"], 1)) for r in rows}
+        return self._stats
+
+    def total(self) -> int:
+        return sum(s.count for s in self.stats().values())
+
+    def cache(self) -> "TripleStore":
+        self.df = self.df.cache()
+        return self
+
+    def union(self, other: "TripleStore") -> "TripleStore":
+        return TripleStore(self.df.unionByName(other.df, allowMissingColumns=True))
+
+    def graph(self, g: str) -> "TripleStore":
+        """Named-graph scoping (reference: DatasetNode / GRAPH keyword)."""
+        if not self.has_graphs:
+            raise ValueError("store has no graph column")
+        return TripleStore(self.df.filter(F.col("g") == g).drop("g"))

@@ -1,0 +1,70 @@
+"""RDF term model.
+
+The reference encodes terms as a hierarchy of "internal values" (IVs) with
+inline representations for numerics/dates and a dictionary for the rest
+(reference: bigdata-core/bigdata-rdf/src/java/com/bigdata/rdf/internal/IV.java).
+Spark-first we keep terms as two columns: ``o_lex`` (lexical form, string) and
+``o_dt`` (datatype tag) — typed comparison casts at the use site and stays
+inside whole-stage codegen; the dictionary encoding lives in
+:mod:`blazegraph_database_spark.model.dictionary`.
+
+Datatype tags: ``iri``, ``bnode``, ``string``, ``long``, ``double``,
+``boolean``, ``timestamp`` (covers xsd:integer/long, xsd:double/decimal,
+xsd:boolean, xsd:dateTime; language-tagged literals carry ``string@<lang>``).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+DT_IRI = "iri"
+DT_BNODE = "bnode"
+DT_STRING = "string"
+DT_LONG = "long"
+DT_DOUBLE = "double"
+DT_BOOLEAN = "boolean"
+DT_TIMESTAMP = "timestamp"
+
+
+@dataclass(frozen=True)
+class Var:
+    """A SPARQL variable; compiles to a DataFrame column of the same name."""
+
+    name: str
+
+
+@dataclass(frozen=True)
+class IRI:
+    value: str
+
+
+@dataclass(frozen=True)
+class Lit:
+    lex: str
+    dt: str = DT_STRING
+
+    @classmethod
+    def long(cls, v: int) -> "Lit":
+        return cls(str(int(v)), DT_LONG)
+
+    @classmethod
+    def double(cls, v: float) -> "Lit":
+        return cls(repr(float(v)), DT_DOUBLE)
+
+
+Term = IRI | Lit
+
+
+def is_const(x) -> bool:
+    return isinstance(x, (IRI, Lit, str))
+
+
+def const_lex(x) -> str:
+    """Lexical form of a constant pattern position (str means IRI)."""
+    if isinstance(x, str):
+        return x
+    if isinstance(x, IRI):
+        return x.value
+    if isinstance(x, Lit):
+        return x.lex
+    raise TypeError(f"not a constant term: {x!r}")

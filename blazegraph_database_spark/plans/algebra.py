@@ -1,0 +1,208 @@
+"""SPARQL algebra nodes (logical plan).
+
+Reference analog: the AST node hierarchy under
+bigdata-core/bigdata-rdf/src/java/com/bigdata/rdf/sparql/ast/ —
+StatementPatternNode, JoinGroupNode, UnionNode, FilterNode, AssignmentNode
+(BIND), BindingsClause (VALUES), ExistsNode, GroupByNode/HavingNode,
+OrderByNode, SliceNode, ArbitraryLengthPathNode, SubqueryRoot, ConstructNode.
+
+These are pure data; :mod:`blazegraph_database_spark.plans.compiler` lowers
+them to DataFrame plans (the reference's AST2BOpUtility analog — except most
+of the reference's ~60 optimizer passes are subsumed by Catalyst).
+
+Filter/Bind expressions are unresolved pyspark ``Column`` objects built with
+``F.col("<var>")`` (see functions/sparql_funcs.py helpers), so the whole
+expression language stays JVM-side in whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Union
+
+from pyspark.sql import Column
+
+from blazegraph_database_spark.model.terms import Var
+
+Pos = Union[Var, str, Any]  # pattern position: Var | IRI/str | Lit
+
+
+@dataclass(frozen=True)
+class SP:
+    """Statement (triple) pattern. Ref: StatementPatternNode."""
+
+    s: Pos
+    p: Pos
+    o: Pos
+    g: Pos | None = None
+
+
+# -- property path expressions (ref: PathNode / ArbitraryLengthPathNode) -----
+@dataclass(frozen=True)
+class Link:
+    iri: str
+
+
+@dataclass(frozen=True)
+class Inv:
+    path: Any
+
+
+@dataclass(frozen=True)
+class Seq:
+    left: Any
+    right: Any
+
+
+@dataclass(frozen=True)
+class Alt:
+    left: Any
+    right: Any
+
+
+@dataclass(frozen=True)
+class Star:
+    path: Any  # zero or more
+
+
+@dataclass(frozen=True)
+class Plus:
+    path: Any  # one or more
+
+
+@dataclass(frozen=True)
+class ZeroOrOne:
+    path: Any
+
+
+@dataclass(frozen=True)
+class PathPattern:
+    """s/o joined through a property path. Ref: ArbitraryLengthPathNode."""
+
+    s: Pos
+    path: Any
+    o: Pos
+
+
+@dataclass(frozen=True)
+class BGP:
+    """Basic graph pattern: selectivity-ordered multi-join of patterns."""
+
+    patterns: tuple
+    def __init__(self, patterns):
+        object.__setattr__(self, "patterns", tuple(patterns))
+
+
+@dataclass(frozen=True)
+class Join:
+    left: Any
+    right: Any
+
+
+@dataclass(frozen=True)
+class LeftJoin:
+    """OPTIONAL (with optional embedded FILTER as join condition)."""
+
+    left: Any
+    right: Any
+    condition: Column | None = None
+
+
+@dataclass(frozen=True)
+class Union2:
+    left: Any
+    right: Any
+
+
+@dataclass(frozen=True)
+class Minus:
+    left: Any
+    right: Any
+
+
+@dataclass(frozen=True)
+class Filter:
+    condition: Column
+    child: Any
+
+
+@dataclass(frozen=True)
+class Extend:
+    """BIND(expr AS ?var). Ref: AssignmentNode."""
+
+    child: Any
+    var: str
+    expr: Column
+
+
+@dataclass(frozen=True)
+class Values:
+    """Inline solution sequence. Ref: BindingsClause."""
+
+    rows: tuple
+    child: Any | None = None
+    def __init__(self, rows, child=None):
+        object.__setattr__(self, "rows", tuple(rows))
+        object.__setattr__(self, "child", child)
+
+
+@dataclass(frozen=True)
+class Exists:
+    """FILTER [NOT] EXISTS — semi/anti join. Ref: ExistsNode."""
+
+    child: Any
+    pattern: Any
+    negate: bool = False
+
+
+@dataclass(frozen=True)
+class Project:
+    child: Any
+    vars: tuple
+    def __init__(self, child, vars):
+        object.__setattr__(self, "child", child)
+        object.__setattr__(self, "vars", tuple(vars))
+
+
+@dataclass(frozen=True)
+class Distinct:
+    child: Any
+
+
+@dataclass(frozen=True)
+class OrderBy:
+    child: Any
+    keys: tuple  # of (Column|varname, ascending)
+    def __init__(self, child, keys):
+        object.__setattr__(self, "child", child)
+        object.__setattr__(self, "keys", tuple(keys))
+
+
+@dataclass(frozen=True)
+class Slice:
+    child: Any
+    limit: int | None = None
+    offset: int = 0
+
+
+@dataclass(frozen=True)
+class Group:
+    """GROUP BY + aggregates (+ HAVING). Ref: GroupByNode/HavingNode."""
+
+    child: Any
+    keys: tuple
+    aggs: tuple  # of (out_name, Column aggregate expr)
+    having: Column | None = None
+    def __init__(self, child, keys, aggs, having=None):
+        object.__setattr__(self, "child", child)
+        object.__setattr__(self, "keys", tuple(keys))
+        object.__setattr__(self, "aggs", tuple(aggs))
+        object.__setattr__(self, "having", having)
+
+
+@dataclass(frozen=True)
+class GraphScope:
+    """GRAPH <g> { child } over a quad store. Ref: DatasetNode."""
+
+    g: Pos
+    child: Any
