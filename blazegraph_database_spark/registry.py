@@ -1,0 +1,20 @@
+"""Central query registry: merges every catalog module's QUERIES dict."""
+
+from __future__ import annotations
+
+import importlib
+
+_CATALOG_MODULES = [
+    "blazegraph_database_spark.queries_core",
+]
+
+
+def all_queries() -> dict[str, dict]:
+    out: dict[str, dict] = {}
+    for mod_name in _CATALOG_MODULES:
+        mod = importlib.import_module(mod_name)
+        for name, spec in mod.QUERIES.items():
+            if name in out:
+                raise ValueError(f"duplicate query name: {name}")
+            out[name] = spec
+    return out

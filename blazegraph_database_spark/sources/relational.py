@@ -44,13 +44,13 @@ TPCH_SCHEMA: dict[str, tuple[str, dict[str, str]]] = {
     "documents": ("doc_id", {}),
     "embeddings": ("vec_id", {}),
 }
-# lineitem's key is composite:
-LINEITEM_KEY = ["l_orderkey", "l_linenumber"]
-
-
 def subject_col(table: str, df: DataFrame, key: str | None) -> F.Column:
-    if key is None and table == "lineitem":
-        return F.concat_ws(":", F.lit(table), *[F.col(c).cast("string") for c in LINEITEM_KEY])
+    if key is None:
+        # No declared key (harness lineitem has non-unique (orderkey,linenumber)
+        # but unique full rows): deterministic row-identity = hash of all
+        # columns. Stateless, distributed, reproducible across store rebuilds.
+        cols = [F.col(c).cast("string") for c in df.columns]
+        return F.concat(F.lit(table + ":"), F.lower(F.hex(F.xxhash64(*cols))))
     return F.concat(F.lit(table + ":"), F.col(key).cast("string"))
 
 
@@ -91,9 +91,21 @@ def table_to_triples(df: DataFrame, table: str, key: str | None, fks: dict[str, 
     return melted.filter(F.col("o_lex").isNotNull())
 
 
+# Harness parquet stores these as TIMESTAMP(NANOS); Spark reads them as long
+# (spark.sql.legacy.parquet.nanosAsLong=true) and we restore timestamp type.
+NANO_TS_COLS = {"o_orderdate", "l_shipdate", "ts"}
+
+
+def _fix_nano_ts(df: DataFrame) -> DataFrame:
+    for f in df.schema.fields:
+        if f.name in NANO_TS_COLS and isinstance(f.dataType, T.LongType):
+            df = df.withColumn(f.name, F.timestamp_micros((F.col(f.name) / 1000).cast("long")))
+    return df
+
+
 def load_tables(spark: SparkSession, sf_dir: str, tables: list[str] | None = None) -> dict[str, DataFrame]:
     tables = tables or list(TPCH_SCHEMA)
-    return {t: spark.read.parquet(f"{sf_dir}/{t}.parquet") for t in tables}
+    return {t: _fix_nano_ts(spark.read.parquet(f"{sf_dir}/{t}.parquet")) for t in tables}
 
 
 def store_from_sf_dir(spark: SparkSession, sf_dir: str, tables: list[str] | None = None) -> TripleStore:
