@@ -1,0 +1,151 @@
+"""GAS graph-analytics query catalog (ref: bigdata-gas analytics suite).
+
+Edge sets are derived deterministically from the harness tables:
+- customer binary tree: parent(k) = k // 2 for k >= 2 (dense custkeys) —
+  exercised via the engine's CONSTRUCT + triple store, then GAS.
+- part↔supplier bipartite graph from high-quantity lineitems.
+Oracles are DuckDB recursive CTEs (BFS/SSSP/CC/PATHS); PageRank is rows-only
+(validated against hand-computed fixtures in tests/test_gas.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from blazegraph_database_spark.model.store import TripleStore
+from blazegraph_database_spark.model.terms import Var as V
+from blazegraph_database_spark.operators import gas
+from blazegraph_database_spark.plans import algebra as A
+from blazegraph_database_spark.plans.compiler import construct, evaluate
+from blazegraph_database_spark.sources.relational import cached_store
+
+QUERIES: dict[str, dict] = {}
+
+
+def register(name: str, sql: str | None):
+    def deco(f):
+        QUERIES[name] = {"fn": f, "sql": sql}
+        return f
+
+    return deco
+
+
+def edges_from_predicate(store: TripleStore, pred: str) -> DataFrame:
+    """Extract an edge DataFrame from a triple predicate (GAS-over-store
+    integration point; ref: IGraphAccessor over the SPO index)."""
+    df = evaluate(store, A.SP(V("src"), pred, V("dst")))
+    return df.select("src", "dst")
+
+
+def _tree_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """parent→child edges of the custkey binary tree, via CONSTRUCT."""
+    from blazegraph_database_spark.functions.sparql_funcs import lng
+
+    st = cached_store(spark, sf_dir)
+    base = A.Filter(lng("ck") >= 2, A.SP(V("c"), "customer#c_custkey", V("ck")))
+    with_parent = A.Extend(base, "pk", (lng("ck") / 2).cast("long").cast("string"))
+    with_parent = A.Extend(with_parent, "cks", lng("ck").cast("string"))
+    edges = construct(TripleStore(st.df), with_parent, [(V("pk"), "childOf_inv", V("cks"))])
+    return TripleStore(edges).df.select(F.col("s").alias("src"), F.col("o_lex").alias("dst"))
+
+
+@register(
+    "gas_bfs_tree",
+    """
+    WITH RECURSIVE b AS (
+        SELECT CAST(1 AS BIGINT) AS node_id, 0 AS depth, CAST(NULL AS BIGINT) AS pred
+        UNION ALL
+        SELECT c_custkey, b.depth + 1, b.node_id
+        FROM customer JOIN b ON c_custkey // 2 = b.node_id WHERE c_custkey >= 2
+    )
+    SELECT node_id, depth, pred FROM b
+    """,
+)
+def gas_bfs_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BFS levels + predecessors from the tree root (ref: BFS.java)."""
+    edges = _tree_edges(spark, sf_dir)
+    out = gas.bfs(edges, ["1"])
+    return out.select(
+        F.col("node").cast("long").alias("node_id"),
+        F.col("depth").cast("int").alias("depth"),
+        F.col("pred").cast("long").alias("pred"),
+    )
+
+
+@register(
+    "gas_sssp_tree",
+    """
+    WITH RECURSIVE d AS (
+        SELECT CAST(1 AS BIGINT) AS node_id, CAST(0 AS DOUBLE) AS dist
+        UNION ALL
+        SELECT c_custkey, d.dist + 1 + (c_custkey % 3)
+        FROM customer JOIN d ON c_custkey // 2 = d.node_id WHERE c_custkey >= 2
+    )
+    SELECT node_id, ROUND(dist, 1) AS dist FROM d
+    """,
+)
+def gas_sssp_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted SSSP over the tree, weight(edge→k) = 1 + k%3 (ref: SSSP.java)."""
+    edges = _tree_edges(spark, sf_dir).withColumn(
+        "weight", (F.lit(1) + F.col("dst").cast("long") % 3).cast("double")
+    )
+    out = gas.sssp(edges, ["1"])
+    return out.select(F.col("node").cast("long").alias("node_id"), F.round("dist", 1).alias("dist"))
+
+
+@register(
+    "gas_cc_bipartite",
+    """
+    WITH RECURSIVE e1 AS (
+        SELECT DISTINCT 'p:' || l_partkey AS a, 's:' || l_suppkey AS b
+        FROM lineitem WHERE l_quantity > 49
+    ),
+    edges AS (SELECT a, b FROM e1 UNION SELECT b, a FROM e1),
+    reach AS (
+        SELECT a AS node, a AS r FROM edges
+        UNION
+        SELECT reach.node, edges.b FROM reach JOIN edges ON reach.r = edges.a
+    )
+    SELECT node, MIN(r) AS comp FROM reach GROUP BY node
+    """,
+)
+def gas_cc_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components on the part↔supplier co-occurrence graph (ref: CC.java)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    edges = (
+        li.filter(F.col("l_quantity") > 49)
+        .select(
+            F.concat(F.lit("p:"), F.col("l_partkey")).alias("src"),
+            F.concat(F.lit("s:"), F.col("l_suppkey")).alias("dst"),
+        )
+        .distinct()
+    )
+    return gas.connected_components(edges).select("node", "comp")
+
+
+@register("gas_pagerank", None)  # rows-only: float fixpoint, validated in tests/test_gas.py
+def gas_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the tree graph (ref: PR.java). Deterministic: fixed 10
+    iterations, ranks rounded."""
+    edges = _tree_edges(spark, sf_dir)
+    out = gas.pagerank(edges, damping=0.85, iters=10)
+    return out.select(F.col("node").cast("long").alias("node_id"), F.round("rank", 8).alias("rank"))
+
+
+@register(
+    "gas_paths",
+    """
+    WITH RECURSIVE up AS (
+        SELECT CAST(100 AS BIGINT) AS node, CAST('100' AS VARCHAR) AS path, 0 AS hops
+        UNION ALL
+        SELECT node // 2, CAST(node // 2 AS VARCHAR) || '->' || path, hops + 1
+        FROM up WHERE node >= 2
+    )
+    SELECT path, hops FROM up WHERE node = 1
+    """,
+)
+def gas_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded path enumeration 1→100 in the tree (ref: impl/bd/PATHS.java)."""
+    edges = _tree_edges(spark, sf_dir)
+    return gas.paths(edges, "1", "100", max_length=8).select("path", F.col("hops").cast("int"))

@@ -1,0 +1,64 @@
+"""GAS analytics tests on hand graphs with known results (modeled on the
+reference's TestBFS/TestSSSP/TestCC/TestPR in bigdata-gas/src/test)."""
+
+from __future__ import annotations
+
+import pytest
+
+from blazegraph_database_spark.operators import gas
+
+
+@pytest.fixture(scope="module")
+def diamond(spark):
+    # a -> b, a -> c, b -> d, c -> d, isolated pair e -> f
+    return spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("b", "d"), ("c", "d"), ("e", "f")], "src string, dst string"
+    )
+
+
+def test_bfs_depths_and_pred(diamond):
+    out = {r["node"]: (r["depth"], r["pred"]) for r in gas.bfs(diamond, ["a"]).collect()}
+    assert out == {"a": (0, None), "b": (1, "a"), "c": (1, "a"), "d": (2, "b")}
+
+
+def test_sssp_weighted(spark):
+    edges = spark.createDataFrame(
+        [("a", "b", 1.0), ("b", "c", 1.0), ("a", "c", 5.0), ("c", "d", 1.0)],
+        "src string, dst string, weight double",
+    )
+    out = {r["node"]: r["dist"] for r in gas.sssp(edges, ["a"]).collect()}
+    assert out == {"a": 0.0, "b": 1.0, "c": 2.0, "d": 3.0}
+
+
+def test_cc_two_components(diamond):
+    out = {r["node"]: r["comp"] for r in gas.connected_components(diamond).collect()}
+    assert out == {"a": "a", "b": "a", "c": "a", "d": "a", "e": "e", "f": "e"}
+
+
+def test_pagerank_sums_to_one_and_ranks_sink_highest(diamond):
+    ranks = {r["node"]: r["rank"] for r in gas.pagerank(diamond, iters=15).collect()}
+    assert abs(sum(ranks.values()) - 1.0) < 1e-6
+    assert ranks["d"] == max(ranks[n] for n in "abcd")
+
+
+def test_pagerank_two_node_cycle(spark):
+    edges = spark.createDataFrame([("a", "b"), ("b", "a")], "src string, dst string")
+    ranks = {r["node"]: r["rank"] for r in gas.pagerank(edges, iters=30).collect()}
+    assert abs(ranks["a"] - 0.5) < 1e-9 and abs(ranks["b"] - 0.5) < 1e-9
+
+
+def test_paths_enumeration(diamond):
+    rows = {(r["path"], r["hops"]) for r in gas.paths(diamond, "a", "d").collect()}
+    assert rows == {("a->b->d", 2), ("a->c->d", 2)}
+
+
+def test_paths_cycle_safe(spark):
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "a"), ("b", "c")], "src string, dst string"
+    )
+    rows = {r["path"] for r in gas.paths(edges, "a", "c", max_length=5).collect()}
+    assert rows == {"a->b->c"}
+
+
+def test_reachable(diamond):
+    assert sorted(r["node"] for r in gas.reachable(diamond, ["b"]).collect()) == ["b", "d"]
