@@ -1,0 +1,241 @@
+"""Deduplication operators for training-data pipelines (SURVEY.md §2.11):
+exact, MinHash+LSH, SimHash, and brute-force n-gram Jaccard.
+
+Scale design (100 TB corpus):
+- Exact dedup is one hash-groupBy shuffle on a 64-bit key (xxhash64 of the
+  normalized text) — minimal shuffle width, map-side partial agg.
+- MinHash: shingling + per-permutation min is one explode + one groupBy;
+  signatures are NUM_PERM longs per doc (fixed small state). LSH banding
+  turns the quadratic all-pairs problem into equi-joins on (band, key) —
+  only colliding docs meet. Hot buckets (boilerplate shingles) are the skew
+  risk: AQE skew-join is on, and `max_bucket` caps pathological buckets.
+- Verification joins candidate pairs back to exact shingle sets
+  (array_intersect/union) — only candidate pairs pay this cost.
+- SimHash is one explode + 64 conditional-sum aggregates (single shuffle),
+  then banded blocking for hamming search, same LSH shape.
+
+All expression-only (codegen); no Python UDFs anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from blazegraph_database_spark.operators.text import word_shingles
+
+NUM_PERM = 64
+LSH_BANDS = 32  # 32 bands x 2 rows: P[miss | jaccard .8] = (1-.8^2)^32 ~ 6e-15
+MERSENNE = (1 << 31) - 1
+
+# Fixed LCG-generated permutation constants (odd a, arbitrary b), deterministic
+# across runs so signatures are reproducible.
+def _perm_constants(n: int = NUM_PERM) -> list[tuple[int, int]]:
+    state, out = 88172645463325252, []
+    for _ in range(n):
+        state = (6364136223846793005 * state + 1442695040888963407) % (1 << 63)
+        a = (state % (MERSENNE - 2)) | 1
+        state = (6364136223846793005 * state + 1442695040888963407) % (1 << 63)
+        b = state % MERSENNE
+        out.append((a, b))
+    return out
+
+
+PERMS = _perm_constants()
+
+
+def normalize_text(text: Column) -> Column:
+    """Canonical form for exact dedup: lowercase, trim, collapse whitespace."""
+    return F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
+
+
+def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Group by normalized-text hash; keep min-id representative per group.
+
+    Returns (rep_id, n_copies). At scale the groupBy key is the 64-bit
+    xxhash64, not the text itself — narrow shuffle rows.
+    """
+    key = F.xxhash64(normalize_text(F.col(text_col)))
+    return (
+        df.groupBy(key.alias("k"))
+        .agg(F.min(id_col).alias("rep_id"), F.count(F.lit(1)).alias("n_copies"))
+        .drop("k")
+    )
+
+
+def shingle_sets(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3) -> DataFrame:
+    """(id, shingles: array<string> distinct word n-grams) per document."""
+    return df.select(
+        F.col(id_col).alias("id"), F.array_distinct(word_shingles(F.col(text_col), n)).alias("shingles")
+    )
+
+
+def minhash_signatures(sets_df: DataFrame) -> DataFrame:
+    """(id, sig: array<long>[NUM_PERM]) via (a*h+b) mod 2^31-1 permutations
+    of the xxhash64 shingle hash (folded to 31 bits to keep a*h in int64)."""
+    exploded = sets_df.select("id", F.explode("shingles").alias("sh"))
+    h = F.pmod(F.xxhash64("sh"), F.lit(MERSENNE)).alias("h")
+    exploded = exploded.select("id", h)
+    aggs = [
+        F.min((F.col("h") * F.lit(a) + F.lit(b)) % F.lit(MERSENNE)).alias(f"m{i}")
+        for i, (a, b) in enumerate(PERMS)
+    ]
+    sigs = exploded.groupBy("id").agg(*aggs)
+    return sigs.select("id", F.array(*[f"m{i}" for i in range(NUM_PERM)]).alias("sig"))
+
+
+def lsh_candidate_pairs(sigs: DataFrame, bands: int = LSH_BANDS, max_bucket: int = 10_000) -> DataFrame:
+    """Band the signature, bucket-join, emit candidate (a, b) pairs (a < b).
+
+    max_bucket drops degenerate buckets (near-universal boilerplate) that
+    would blow up quadratically — standard LSH practice; dropped buckets are
+    by construction near-duplicates of *many* docs and are caught by the
+    other bands or exact dedup.
+    """
+    rows = NUM_PERM // bands
+    banded = sigs.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.xxhash64(*[F.element_at("sig", bi * rows + j + 1) for j in range(rows)]).alias("key"),
+                    )
+                    for bi in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("id", "bk.band", "bk.key")
+    sized = banded.join(
+        banded.groupBy("band", "key").agg(F.count(F.lit(1)).alias("bn")).filter(F.col("bn") <= max_bucket),
+        on=["band", "key"],
+    )
+    left = sized.select("band", "key", F.col("id").alias("a"))
+    right = sized.select("band", "key", F.col("id").alias("b"))
+    return (
+        left.join(right, on=["band", "key"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+
+
+def verify_pairs_jaccard(pairs: DataFrame, sets_df: DataFrame) -> DataFrame:
+    """Exact Jaccard on candidate pairs: (a, b, jac)."""
+    sa = sets_df.select(F.col("id").alias("a"), F.col("shingles").alias("sh_a"))
+    sb = sets_df.select(F.col("id").alias("b"), F.col("shingles").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return (
+        pairs.join(sa, on="a")
+        .join(sb, on="b")
+        .select("a", "b", F.round(inter / union, 4).alias("jac"))
+    )
+
+
+def minhash_lsh_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Near-duplicate pairs (a, b, jac >= threshold) via MinHash banding +
+    exact verification. With 32x2 banding, recall at jaccard>=0.8 is
+    1-(1-j^2)^32 > 1-1e-14 — effectively exhaustive above threshold."""
+    sets_df = shingle_sets(df, id_col, text_col, n).filter(F.size("shingles") > 0)
+    cands = lsh_candidate_pairs(minhash_signatures(sets_df))
+    return verify_pairs_jaccard(cands, sets_df).filter(F.col("jac") >= threshold)
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact all-pairs n-gram Jaccard >= threshold via shingle equi-join
+    (explode-join-count). Quadratic in docs *sharing a shingle* — the
+    baseline the LSH path approximates; useful directly for small corpora
+    or post-LSH verification."""
+    sets_df = shingle_sets(df, id_col, text_col, n).filter(F.size("shingles") > 0)
+    ex = sets_df.select("id", F.explode("shingles").alias("sh"))
+    pairs = (
+        ex.alias("x")
+        .join(ex.alias("y"), on="sh")
+        .filter(F.col("x.id") < F.col("y.id"))
+        .groupBy(F.col("x.id").alias("a"), F.col("y.id").alias("b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sizes = sets_df.select("id", F.size("shingles").alias("n_sh"))
+    jac = F.round(
+        F.col("inter").cast("double") / (F.col("na") + F.col("nb") - F.col("inter")), 4
+    )
+    return (
+        pairs.join(sizes.select(F.col("id").alias("a"), F.col("n_sh").alias("na")), on="a")
+        .join(sizes.select(F.col("id").alias("b"), F.col("n_sh").alias("nb")), on="b")
+        .select("a", "b", jac.alias("jac"))
+        .filter(F.col("jac") >= threshold)
+    )
+
+
+def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """64-bit SimHash over words (term-frequency weighted bit votes).
+
+    One explode + one groupBy with 64 conditional sums; the signature is a
+    single long — constant per-doc state at any corpus size.
+    """
+    ws = df.select(
+        F.col(id_col).alias("id"), F.explode(word_shingles(F.col(text_col), 1)).alias("w")
+    )
+    tf = ws.groupBy("id", "w").agg(F.count(F.lit(1)).alias("tf"))
+    h = F.xxhash64("w")
+    votes = [
+        F.sum(
+            F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, F.col("tf")).otherwise(-F.col("tf"))
+        ).alias(f"v{i}")
+        for i in range(64)
+    ]
+    voted = tf.groupBy("id").agg(*votes)
+    sig = None
+    for i in range(64):
+        bit = F.when(F.col(f"v{i}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = F.shiftleft(bit, i)
+        sig = term if sig is None else sig.bitwiseXOR(term)  # disjoint bits: xor == or
+    return voted.select("id", sig.alias("simhash"))
+
+
+def simhash_near_pairs(sig_df: DataFrame, max_hamming: int = 3, bands: int = 4) -> DataFrame:
+    """(a, b, hamming <= max_hamming) pairs via banded blocking: split the 64
+    bits into `bands` chunks; any pair within hamming<=bands-1 shares at
+    least one exact chunk (pigeonhole), so exact-match on chunks is a
+    complete blocker for max_hamming < bands."""
+    width = 64 // bands
+    mask = (1 << width) - 1
+    chunks = sig_df.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.shiftright("simhash", bi * width).bitwiseAND(F.lit(mask)).alias("key"),
+                    )
+                    for bi in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("id", "simhash", "bk.band", "bk.key")
+    left = chunks.select("band", "key", F.col("id").alias("a"), F.col("simhash").alias("sig_a"))
+    right = chunks.select("band", "key", F.col("id").alias("b"), F.col("simhash").alias("sig_b"))
+    ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return (
+        left.join(right, on=["band", "key"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", ham.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

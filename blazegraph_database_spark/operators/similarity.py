@@ -1,0 +1,151 @@
+"""Similarity search over embedding columns (SURVEY.md §2.11): brute-force
+cosine top-k as the exact baseline, random-hyperplane LSH bucketing as the
+scale path.
+
+Scale design (100 TB / billions of vectors):
+- Brute force: the query set is broadcast (crossJoin with a broadcast side —
+  no shuffle of the corpus); per-(query) top-k is a window over q. Exact,
+  O(Q*N) compute but a single corpus scan.
+- LSH ANN: each vector gets a b-bit signature from fixed pseudo-random
+  hyperplanes (literal arrays — evaluated in codegen, broadcast by value);
+  bucket equi-join means each query only scores its bucket. Recall tunes
+  with bits/probes; the brute path is the recall oracle in tests.
+- Dot products are F.zip_with + F.aggregate on array<double> — JVM
+  vectorized, no Python.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, v: s + v)
+
+
+def l2norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def as_double(a: Column) -> Column:
+    return F.transform(a, lambda x: x.cast("double"))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2norm(a) * l2norm(b))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k neighbors per query: (q, neighbor, cos), self
+    excluded, ties broken by neighbor id. Queries are broadcast."""
+    from pyspark.sql.window import Window
+
+    c = corpus.select(F.col(id_col).alias("neighbor"), as_double(F.col(vec_col)).alias("cv"))
+    q = queries.select(F.col(id_col).alias("q"), as_double(F.col(vec_col)).alias("qv"))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("q") != F.col("neighbor"))
+        .select("q", "neighbor", F.round(cosine(F.col("qv"), F.col("cv")), 4).alias("cos"))
+    )
+    w = Window.partitionBy("q").orderBy(F.col("cos").desc(), F.col("neighbor").asc())
+    return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k).drop("rk")
+
+
+def _hyperplanes(dim: int, bits: int, seed: int = 1234567) -> list[list[float]]:
+    """Deterministic pseudo-random unit-ish hyperplanes (LCG + Box-Muller)."""
+    state = seed
+    def nxt() -> float:
+        nonlocal state
+        state = (6364136223846793005 * state + 1442695040888963407) % (1 << 63)
+        return state / float(1 << 63)
+    planes = []
+    for _ in range(bits):
+        comps = []
+        for _ in range(dim):
+            u1, u2 = max(nxt(), 1e-12), nxt()
+            comps.append(math.sqrt(-2.0 * math.log(u1)) * math.cos(2.0 * math.pi * u2))
+        planes.append(comps)
+    return planes
+
+
+def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
+    """Signature long: bit i = sign(plane_i . vec)."""
+    sig = F.lit(0).cast("long")
+    for i, plane in enumerate(planes):
+        d = dot(vec, F.array(*[F.lit(p) for p in plane]))
+        sig = sig.bitwiseXOR(F.shiftleft(F.when(d > 0, F.lit(1)).otherwise(F.lit(0)).cast("long"), i))
+    return sig
+
+
+def _table_buckets(vec: Column, all_planes: list[list[list[float]]]) -> Column:
+    """array<struct<table, bucket>> — one bucket id per hash table."""
+    return F.array(
+        *[
+            F.struct(F.lit(t).alias("table"), lsh_bucket(vec, planes).alias("bucket"))
+            for t, planes in enumerate(all_planes)
+        ]
+    )
+
+
+def lsh_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    bits: int = 4,
+    tables: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
+    """Approximate top-k via multi-table random-hyperplane LSH: a candidate
+    is scored iff it shares a bucket with the query in >=1 of `tables`
+    independent hash tables. (q, neighbor, cos). Recall tunes with
+    bits (bucket purity) x tables (probes); tested against the brute-force
+    baseline. Per-table bucket join = equi-join, so the corpus is scanned
+    once and shuffled once on (table, bucket) — no all-pairs blowup."""
+    from pyspark.sql.window import Window
+
+    if dim is None:
+        dim = len(corpus.select(vec_col).first()[0])
+    all_planes = [_hyperplanes(dim, bits, seed=1234567 + 7919 * t) for t in range(tables)]
+    c = corpus.select(F.col(id_col).alias("neighbor"), as_double(F.col(vec_col)).alias("cv"))
+    c = c.select("neighbor", "cv", F.explode(_table_buckets(F.col("cv"), all_planes)).alias("tb"))
+    q = queries.select(F.col(id_col).alias("q"), as_double(F.col(vec_col)).alias("qv"))
+    q = q.select("q", "qv", F.explode(_table_buckets(F.col("qv"), all_planes)).alias("tb"))
+    cands = (
+        c.join(F.broadcast(q), on=["tb"])
+        .filter(F.col("q") != F.col("neighbor"))
+        .select("q", "qv", "neighbor", "cv")
+        .dropDuplicates(["q", "neighbor"])
+    )
+    scored = cands.select("q", "neighbor", F.round(cosine(F.col("qv"), F.col("cv")), 4).alias("cos"))
+    w = Window.partitionBy("q").orderBy(F.col("cos").desc(), F.col("neighbor").asc())
+    return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k).drop("rk")
+
+
+def embedding_near_dup_pairs(
+    corpus: DataFrame,
+    min_cos: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All pairs (a, b, cos >= min_cos) — embedding-cosine near-duplicate
+    detection. Exact all-pairs here; at scale, run lsh_ann_topk per shard
+    and keep pairs above threshold instead."""
+    c = corpus.select(F.col(id_col).alias("a"), as_double(F.col(vec_col)).alias("va"))
+    d = corpus.select(F.col(id_col).alias("b"), as_double(F.col(vec_col)).alias("vb"))
+    return (
+        c.crossJoin(d)
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", F.round(cosine(F.col("va"), F.col("vb")), 4).alias("cos"))
+        .filter(F.col("cos") >= min_cos)
+    )

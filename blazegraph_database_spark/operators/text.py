@@ -1,0 +1,140 @@
+"""Text-analysis operators for training-data pipelines (spec-mandated
+additions; SURVEY.md §2.11): token counting, quality scoring, language-ID,
+document fingerprinting.
+
+Everything is built-in Column expressions (split/transform/aggregate/filter)
+— whole-stage codegen, zero Python UDFs, embarrassingly parallel (per-row,
+no shuffle), so throughput scales linearly with input splits at 100 TB.
+
+Hash parity note: the rolling hash used for fingerprinting is a polynomial
+char-code hash (h*31+ascii mod 1e9+7) chosen because DuckDB can evaluate the
+identical arithmetic (list_reduce), giving the driver an exact SQL oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# BPE-ish tokenization: letter runs, digit runs, single punctuation marks.
+TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+STOPWORDS_EN = ["the", "a", "an", "of", "and", "to", "in", "is", "it", "on", "for"]
+STOPWORDS_FR = ["le", "la", "les", "de", "et", "un", "une", "est", "dans", "pour"]
+STOPWORDS_DE = ["der", "die", "das", "und", "ist", "ein", "eine", "zu", "im", "mit"]
+
+ROLL_MOD = 1_000_000_007
+ROLL_MULT = 31
+
+
+def words(text: Column) -> Column:
+    """Whitespace word array of trimmed text (empty text → empty array)."""
+    t = F.trim(text)
+    return F.when(t == "", F.array().cast("array<string>")).otherwise(F.split(t, r"\s+"))
+
+
+def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Add ws_tokens (whitespace) and re_tokens (BPE-ish regex) counts."""
+    c = F.col(text_col)
+    return df.withColumn("ws_tokens", F.size(words(c))).withColumn(
+        "re_tokens", F.regexp_count(c, F.lit(TOKEN_RE))
+    )
+
+
+def _count_in(ws: Column, vocab: list[str]) -> Column:
+    return F.size(F.filter(ws, lambda w: F.lower(w).isin(*vocab)))
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic quality features + composite score.
+
+    Features (all ratios in [0,1], rounded at the call site if needed):
+    n_chars, n_words, punct_ratio (punct chars / chars), stop_ratio
+    (stopwords / words), uniq_ratio (distinct words / words). Composite
+    score rewards mid-length prose with stopwords and lexical variety —
+    the usual pretraining-quality shape (C4/Gopher-style rules).
+    """
+    c = F.col(text_col)
+    ws = words(c)
+    n_chars = F.length(c)
+    n_words = F.size(ws)
+    punct = F.length(F.regexp_replace(c, r"[A-Za-z0-9\s]", ""))
+    stop = _count_in(ws, STOPWORDS_EN)
+    uniq = F.size(F.array_distinct(F.transform(ws, F.lower)))
+    nz = F.greatest(n_words, F.lit(1))
+    return (
+        df.withColumn("n_chars", n_chars)
+        .withColumn("n_words", n_words)
+        .withColumn("punct_ratio", F.round(punct / F.greatest(n_chars, F.lit(1)), 6))
+        .withColumn("stop_ratio", F.round(stop / nz, 6))
+        .withColumn("uniq_ratio", F.round(uniq / nz, 6))
+        .withColumn(
+            "quality",
+            F.round(
+                F.least(n_words / F.lit(100.0), F.lit(1.0)) * 0.4
+                + F.least(stop / nz * 5.0, F.lit(1.0)) * 0.3
+                + (uniq / nz) * 0.3,
+                6,
+            ),
+        )
+    )
+
+
+LANG_PROFILES: dict[str, list[str]] = {"en": STOPWORDS_EN, "fr": STOPWORDS_FR, "de": STOPWORDS_DE}
+
+
+def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """N-gram/stopword-profile language ID: count profile hits per language,
+    argmax with fixed preference order (en, fr, de), 'und' when all zero."""
+    ws = words(F.col(text_col))
+    out = df
+    for lang, vocab in LANG_PROFILES.items():
+        out = out.withColumn(f"{lang}_hits", _count_in(ws, vocab))
+    en, fr, de = (F.col(f"{lang}_hits") for lang in ["en", "fr", "de"])
+    pred = (
+        F.when((en > 0) & (en >= fr) & (en >= de), F.lit("en"))
+        .when((fr > 0) & (fr >= de), F.lit("fr"))
+        .when(de > 0, F.lit("de"))
+        .otherwise(F.lit("und"))
+    )
+    return out.withColumn("pred_lang", pred)
+
+
+def rolling_hash(token: Column) -> Column:
+    """Polynomial char-code hash with DuckDB-expressible arithmetic."""
+    chars = F.transform(F.split(token, ""), lambda ch: F.ascii(ch).cast("long"))
+    return F.aggregate(
+        chars, F.lit(0).cast("long"), lambda h, code: (h * ROLL_MULT + code) % ROLL_MOD
+    )
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Array of word n-gram strings ('w1 w2 w3'); empty if < n words."""
+    ws = words(text)
+    idx = F.sequence(F.lit(0), F.greatest(F.size(ws) - n, F.lit(-1)))
+    return F.when(F.size(ws) < n, F.array().cast("array<string>")).otherwise(
+        F.transform(idx, lambda i: F.concat_ws(" ", *[F.element_at(ws, i + j + 1) for j in range(n)]))
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str = "text", k: int = 3, window: int = 4) -> DataFrame:
+    """Winnowing document fingerprint (Schleimer et al. 2003 'local
+    algorithms for document fingerprinting'): rolling-hash each word k-gram,
+    slide a window of `window` hashes, keep each window's min, dedupe.
+
+    Adds: fp_set (sorted distinct selected hashes), n_fp, fp_min.
+    """
+    hashes = F.transform(word_shingles(F.col(text_col), k), rolling_hash)
+    nwin = F.size(hashes) - window + 1
+    mins = F.when(F.size(hashes) < window, hashes).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(nwin, F.lit(1))),
+            lambda i: F.array_min(F.slice(hashes, i, window)),
+        )
+    )
+    fp = F.array_sort(F.array_distinct(mins))
+    return (
+        df.withColumn("fp_set", fp)
+        .withColumn("n_fp", F.size(F.col("fp_set")))
+        .withColumn("fp_min", F.try_element_at(F.col("fp_set"), F.lit(1)))  # null for docs with < k words
+    )

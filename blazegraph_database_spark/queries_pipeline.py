@@ -1,0 +1,277 @@
+"""LLM-training-data-pipeline query catalog (SURVEY.md §2.11): dedup,
+similarity search, text analysis, multimodal plumbing — over the harness
+`documents` / `embeddings` tables, each with an exact DuckDB oracle where the
+computation is SQL-expressible (hash-seeded LSH internals are not, but their
+*outputs* are, because verification recomputes exact Jaccard — see below).
+
+Oracle-parity rules used throughout:
+- jaccard/ratios: integer counts on both sides, same double arithmetic, same
+  ROUND at the same digit.
+- rolling hash: (h*31+ascii)%1e9+7 — list_reduce in DuckDB, F.aggregate here.
+- LSH near-dup: banding at 32x2 makes recall@j>=0.8 = 1-(1-j^2)^32 ~ 1-6e-15,
+  so the LSH output provably equals the brute-force pair set the oracle
+  computes (checked every round by the driver at sf0.01).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from blazegraph_database_spark.operators import dedup, multimodal, similarity, text
+
+QUERIES: dict[str, dict] = {}
+
+
+def register(name: str, sql: str | None):
+    def deco(f):
+        QUERIES[name] = {"fn": f, "sql": sql}
+        return f
+
+    return deco
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+# Shared DuckDB CTE: distinct word-3-gram shingles + per-doc sizes + exact
+# pairwise jaccard (the brute-force truth the LSH path must reproduce).
+_JACCARD_CTE = """
+    WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws FROM documents),
+    s AS (
+        SELECT DISTINCT doc_id,
+               unnest(list_transform(generate_series(1, GREATEST(len(ws) - 2, 0)),
+                                     i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS g
+        FROM w
+    ),
+    pairs AS (
+        SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS inter
+        FROM s x JOIN s y ON x.g = y.g AND x.doc_id < y.doc_id GROUP BY 1, 2
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM s GROUP BY doc_id),
+    jac AS (
+        SELECT a, b, ROUND(inter * 1.0 / (sx.n + sy.n - inter), 4) AS jac
+        FROM pairs JOIN sizes sx ON a = sx.doc_id JOIN sizes sy ON b = sy.doc_id
+    )
+"""
+
+
+@register(
+    "dedup_exact",
+    """
+    SELECT MIN(doc_id) AS rep_id, COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via normalized-text hash groupBy."""
+    return dedup.exact_dedup(_docs(spark, sf_dir))
+
+
+@register("dedup_minhash_lsh", _JACCARD_CTE + "SELECT a, b, jac FROM jac WHERE jac >= 0.8")
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs, exact-verified at jaccard>=0.8. The oracle
+    is brute-force all-pairs jaccard — LSH banding recall makes them equal."""
+    return dedup.minhash_lsh_dedup(_docs(spark, sf_dir), threshold=0.8)
+
+
+@register("dedup_ngram_jaccard", _JACCARD_CTE + "SELECT a, b, jac FROM jac WHERE jac >= 0.5")
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard pair similarity (explode-join-count baseline)."""
+    return dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.5)
+
+
+@register("dedup_simhash", None)  # xxhash64 signatures: not SQL-expressible; fixture-tested
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs at hamming<=3 (banded blocking)."""
+    docs = _docs(spark, sf_dir)
+    return dedup.simhash_near_pairs(dedup.simhash(docs), max_hamming=3)
+
+
+@register(
+    "ann_cosine_topk",
+    """
+    WITH q AS (SELECT vec_id AS q, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 5),
+    c AS (SELECT vec_id AS neighbor, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+    scored AS (
+        SELECT q, neighbor, ROUND(list_cosine_similarity(qv, cv), 4) AS cos
+        FROM q CROSS JOIN c WHERE q != neighbor
+    ),
+    rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY q ORDER BY cos DESC, neighbor ASC) AS r FROM scored)
+    SELECT q, neighbor, cos FROM rk WHERE r <= 3
+    """,
+)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-3 for query vectors vec_id<5 (exact baseline)."""
+    embs = _embs(spark, sf_dir)
+    return similarity.brute_force_topk(embs, embs.filter(F.col("vec_id") < 5), k=3)
+
+
+@register("ann_lsh", None)  # approximate by design; recall vs brute tested in tests/
+def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-3 for the same query set."""
+    embs = _embs(spark, sf_dir)
+    return similarity.lsh_ann_topk(embs, embs.filter(F.col("vec_id") < 5), k=3, bits=4, tables=8)
+
+
+@register(
+    "emb_near_dup",
+    """
+    SELECT a.vec_id AS a, b.vec_id AS b,
+           ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 4) AS cos
+    FROM embeddings a CROSS JOIN embeddings b
+    WHERE a.vec_id < b.vec_id
+      AND ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 4) >= 0.45
+    """,
+)
+def emb_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (cos >= 0.45)."""
+    return similarity.embedding_near_dup_pairs(_embs(spark, sf_dir), min_cos=0.45)
+
+
+@register(
+    "text_tokens",
+    r"""
+    SELECT doc_id,
+           len(string_split_regex(trim(text), '\s+')) AS ws_tokens,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS re_tokens
+    FROM documents
+    """,
+)
+def text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace + BPE-ish regex token counts."""
+    return text.token_counts(_docs(spark, sf_dir)).select("doc_id", "ws_tokens", "re_tokens")
+
+
+_STOP_SQL = "(" + ",".join(f"'{w}'" for w in text.STOPWORDS_EN) + ")"
+
+
+@register(
+    "text_quality",
+    f"""
+    WITH f AS (
+        SELECT doc_id, strlen(text) AS n_chars,
+               string_split_regex(trim(text), '\\s+') AS ws,
+               strlen(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS punct
+        FROM documents
+    ), g AS (
+        SELECT doc_id, n_chars, len(ws) AS n_words, punct,
+               len(list_filter(ws, w -> lower(w) IN {_STOP_SQL})) AS stop,
+               len(list_distinct(list_transform(ws, w -> lower(w)))) AS uniq,
+               GREATEST(len(ws), 1) AS nz
+        FROM f
+    )
+    SELECT doc_id, n_chars, n_words,
+           ROUND(punct * 1.0 / GREATEST(n_chars, 1), 6) AS punct_ratio,
+           ROUND(stop * 1.0 / nz, 6) AS stop_ratio,
+           ROUND(uniq * 1.0 / nz, 6) AS uniq_ratio,
+           ROUND(LEAST(n_words / 100.0, 1.0) * 0.4
+                 + LEAST(stop * 1.0 / nz * 5.0, 1.0) * 0.3
+                 + (uniq * 1.0 / nz) * 0.3, 6) AS quality
+    FROM g
+    """,
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality features + composite score."""
+    return text.quality_score(_docs(spark, sf_dir)).select(
+        "doc_id", "n_chars", "n_words", "punct_ratio", "stop_ratio", "uniq_ratio", "quality"
+    )
+
+
+def _hits_sql(vocab: list[str]) -> str:
+    return (
+        "len(list_filter(string_split_regex(trim(text), '\\s+'), w -> lower(w) IN ("
+        + ",".join(f"'{w}'" for w in vocab)
+        + ")))"
+    )
+
+
+@register(
+    "text_langid",
+    f"""
+    WITH h AS (
+        SELECT doc_id, {_hits_sql(text.STOPWORDS_EN)} AS en_hits,
+               {_hits_sql(text.STOPWORDS_FR)} AS fr_hits,
+               {_hits_sql(text.STOPWORDS_DE)} AS de_hits
+        FROM documents
+    )
+    SELECT doc_id, en_hits, fr_hits, de_hits,
+           CASE WHEN en_hits > 0 AND en_hits >= fr_hits AND en_hits >= de_hits THEN 'en'
+                WHEN fr_hits > 0 AND fr_hits >= de_hits THEN 'fr'
+                WHEN de_hits > 0 THEN 'de'
+                ELSE 'und' END AS pred_lang
+    FROM h
+    """,
+)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-profile language ID."""
+    return text.lang_id(_docs(spark, sf_dir)).select(
+        "doc_id", "en_hits", "fr_hits", "de_hits", "pred_lang"
+    )
+
+
+@register(
+    "text_fingerprint",
+    """
+    WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws FROM documents),
+    g AS (
+        SELECT doc_id,
+               list_transform(
+                   list_transform(generate_series(1, GREATEST(len(ws) - 2, 0)),
+                                  i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]),
+                   t -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+                                                 list_transform(string_split_regex(t, ''), c -> CAST(ascii(c) AS BIGINT))),
+                                    (h, c) -> (h * 31 + c) % 1000000007)) AS hashes
+        FROM w
+    ),
+    m AS (
+        SELECT doc_id,
+               CASE WHEN len(hashes) < 4 THEN hashes
+                    ELSE list_transform(generate_series(1, len(hashes) - 3),
+                                        i -> list_aggregate(list_slice(hashes, i, i + 3), 'min'))
+               END AS mins
+        FROM g
+    )
+    SELECT doc_id, len(list_distinct(mins)) AS n_fp, list_aggregate(mins, 'min') AS fp_min FROM m
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint: count of selected hashes + min hash per doc."""
+    return text.fingerprint(_docs(spark, sf_dir)).select("doc_id", "n_fp", "fp_min")
+
+
+@register(
+    "multimodal_meta",
+    """
+    SELECT 'image' AS modality, COUNT(*) AS n_items, SUM(strlen(text)) AS total_bytes,
+           ROUND(AVG(strlen(text)), 4) AS avg_bytes
+    FROM documents
+    """,
+)
+def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only aggregate over the media table (payload never scanned)."""
+    return multimodal.media_metadata_stats(multimodal.attach_media(_docs(spark, sf_dir)))
+
+
+@register(
+    "multimodal_decode",
+    """
+    SELECT doc_id AS media_id,
+           CAST(strlen(text) % 640 + 1 AS INT) AS width,
+           CAST((strlen(text) // 7) % 480 + 1 AS INT) AS height,
+           CAST(strlen(text) % 30 + 1 AS INT) AS n_frames,
+           (list_sum(list_transform(string_split_regex(substr(text, 1, 64), ''),
+                                    c -> ascii(c))) % 1000) / 10.0 AS feature_norm
+    FROM documents
+    """,
+)
+def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInPandas decode stage (stub decoder — deterministic features)."""
+    media = multimodal.attach_media(_docs(spark, sf_dir))
+    return multimodal.decode_media(media, partitions=8)

@@ -7,6 +7,7 @@ import importlib
 _CATALOG_MODULES = [
     "blazegraph_database_spark.queries_core",
     "blazegraph_database_spark.queries_gas",
+    "blazegraph_database_spark.queries_pipeline",
 ]
 
 

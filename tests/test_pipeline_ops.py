@@ -1,0 +1,130 @@
+"""LLM-pipeline operator tests (dedup / similarity / text / multimodal) on
+hand fixtures with known answers, plus recall checks for the approximate
+paths against their exact baselines."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from blazegraph_database_spark.operators import dedup, multimodal, similarity, text
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "THE  Quick Brown Fox jumps over the lazy dog"),  # exact dup of 1 after normalize
+        (3, "the quick brown fox jumps over the lazy cat"),  # near dup of 1
+        (4, "completely different words entirely here and everywhere now"),
+        (5, "le chat est dans la maison et le chien aussi"),
+        (6, "der hund ist im haus und die katze auch"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup_groups(docs):
+    out = {r["rep_id"]: r["n_copies"] for r in dedup.exact_dedup(docs).collect()}
+    assert out[1] == 2  # docs 1+2 collapse
+    assert out[3] == 1 and out[4] == 1
+
+
+def test_ngram_jaccard_finds_near_dup(docs):
+    pairs = {(r["a"], r["b"]): r["jac"] for r in dedup.ngram_jaccard_pairs(docs, threshold=0.2).collect()}
+    assert (1, 3) in pairs and 0.5 < pairs[(1, 3)] < 1.0  # one word changed
+    assert (1, 2) in pairs and pairs[(1, 2)] < 0.5  # shingles are case-sensitive
+    assert (1, 4) not in pairs
+
+
+def test_minhash_lsh_matches_bruteforce(docs):
+    brute = {(r["a"], r["b"]) for r in dedup.ngram_jaccard_pairs(docs, threshold=0.6).collect()}
+    lsh = {(r["a"], r["b"]) for r in dedup.minhash_lsh_dedup(docs, threshold=0.6).collect()}
+    assert lsh == brute
+
+
+def test_simhash_near_pairs(docs):
+    sig = dedup.simhash(docs)
+    assert sig.count() == 6
+    near = {(r["a"], r["b"]) for r in dedup.simhash_near_pairs(sig, max_hamming=10).collect()}
+    assert (1, 3) in near  # one-word change = few bit flips
+    ident = {(r["a"], r["b"]) for r in dedup.simhash_near_pairs(sig, max_hamming=0).collect()}
+    assert (1, 3) not in ident
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0]),   # close to 0
+        (2, [0.0, 1.0, 0.0]),
+        (3, [0.0, 0.95, 0.05]), # close to 2
+        (4, [-1.0, 0.0, 0.0]),  # opposite of 0
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_brute_force_topk(vectors):
+    out = similarity.brute_force_topk(vectors, vectors.filter(F.col("vec_id") == 0), k=2)
+    got = [(r["neighbor"], r["cos"]) for r in out.orderBy(F.desc("cos")).collect()]
+    assert got[0][0] == 1 and got[0][1] > 0.99
+    assert len(got) == 2 and all(c >= 0 for _, c in got)  # 3rd-best (vec 4) is cos=-1, excluded
+
+
+def test_emb_near_dup_pairs(vectors):
+    pairs = {(r["a"], r["b"]) for r in similarity.embedding_near_dup_pairs(vectors, min_cos=0.9).collect()}
+    assert pairs == {(0, 1), (2, 3)}
+
+
+def test_lsh_ann_recall_on_real_embeddings(spark):
+    embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qs = embs.filter(F.col("vec_id") < 10)
+    brute = {(r["q"], r["neighbor"]) for r in similarity.brute_force_topk(embs, qs, k=3).collect()}
+    approx = {(r["q"], r["neighbor"]) for r in similarity.lsh_ann_topk(embs, qs, k=3, bits=4, tables=8).collect()}
+    recall = len(brute & approx) / len(brute)
+    assert recall >= 0.5  # 8 tables x 4 bits on 64-dim data
+    assert all(pair[0] != pair[1] for pair in approx)
+
+
+def test_token_counts(spark):
+    df = spark.createDataFrame([(1, "Hello, world! 42 times")], "doc_id long, text string")
+    r = text.token_counts(df).first()
+    assert r["ws_tokens"] == 4
+    assert r["re_tokens"] == 6  # Hello , world ! 42 times
+
+
+def test_quality_and_langid(docs):
+    q = {r["doc_id"]: r for r in text.quality_score(docs).collect()}
+    assert q[1]["stop_ratio"] > 0  # 'the' twice
+    assert q[4]["stop_ratio"] > 0  # 'and'
+    assert 0 < q[1]["uniq_ratio"] <= 1.0
+    langs = {r["doc_id"]: r["pred_lang"] for r in text.lang_id(docs).collect()}
+    assert langs[1] == "en" and langs[5] == "fr" and langs[6] == "de"
+
+
+def test_fingerprint_properties(docs):
+    fp = {r["doc_id"]: r for r in text.fingerprint(docs).collect()}
+    assert all(r["n_fp"] >= 1 for r in fp.values())
+    # near-dup docs share fingerprints
+    s1, s3 = set(fp[1]["fp_set"]), set(fp[3]["fp_set"])
+    assert len(s1 & s3) >= 1
+
+
+def test_multimodal_plumbing(docs):
+    media = multimodal.attach_media(docs)
+    row = media.first()
+    assert isinstance(row["payload"], bytearray | bytes)
+    assert row["meta"]["n_bytes"] == len(row["payload"])
+    feats = multimodal.decode_media(media, partitions=2)
+    got = {r["media_id"]: r for r in feats.collect()}
+    assert set(got) == {1, 2, 3, 4, 5, 6}
+    n = len("the quick brown fox jumps over the lazy dog")
+    assert got[1]["width"] == n % 640 + 1 and got[1]["n_frames"] == n % 30 + 1
+    import pytest as _pt
+
+    with _pt.raises(Exception, match="NotImplementedError|media decoding"):
+        multimodal.decode_media_real(media).collect()
+
+
+def test_media_metadata_stats(docs):
+    stats = multimodal.media_metadata_stats(multimodal.attach_media(docs)).collect()
+    assert len(stats) == 1 and stats[0]["modality"] == "image" and stats[0]["n_items"] == 6
