@@ -1,0 +1,118 @@
+"""Full-text search (SURVEY.md §2.6): distributed inverted index + ranked
+keyword search, the Spark-first re-expression of the reference's
+FullTextIndex / bds:search service (ref: bigdata-core/bigdata-rdf/src/java/
+com/bigdata/rdf/store/.../search/FullTextIndex.java, Hit.java relevance,
+and the bds: vocabulary options minRelevance/maxRank/prefixMatch/matchAll).
+
+Index layout: (term, id, tf) + per-doc token length — the DataFrame analog
+of the reference's term-ordered B+Tree; on disk it would be written
+partitioned/bucketed by term so a keyword lookup prunes to its term's
+partitions (POS-index analog for text).
+
+Relevance: tf x idf as integer ppm — each matched (term, doc) contributes
+round(tf * 1e6 * N / (doc_len * df)); the per-doc score is the SUM of those
+integers. Integer summation makes the score independent of aggregation
+order (bit-exact under any shuffle/partial-agg schedule) and lets DuckDB
+reproduce it exactly — the float-sum alternative is schedule-dependent in
+the last ulp. BM25 ranking (log-based, float) is offered as an option and
+is fixture-tested rather than oracle-checked.
+
+Everything is expression-only; the only driver-side values are the query
+terms themselves.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+TOKEN_SPLIT_RE = "[^a-z0-9]+"
+
+
+def tokenize(text: Column) -> Column:
+    """Lowercase alnum tokens."""
+    return F.filter(F.split(F.lower(text), TOKEN_SPLIT_RE), lambda t: t != "")
+
+
+def inverted_index(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(term, id, tf, dl): posting list rows with per-doc token length."""
+    toks = df.select(F.col(id_col).alias("id"), F.explode(tokenize(F.col(text_col))).alias("term"))
+    tf = toks.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dl = toks.groupBy("id").agg(F.count(F.lit(1)).alias("dl"))
+    return tf.join(dl, on="id").select("term", "id", "tf", "dl")
+
+
+def search(
+    index: DataFrame,
+    patterns: list[tuple[str, bool]],
+    match_all: bool = False,
+    min_relevance_ppm: int = 0,
+    max_rank: int = 20,
+) -> DataFrame:
+    """Ranked keyword search over an inverted index.
+
+    patterns: [(token, is_prefix)] — is_prefix matches term LIKE 'tok%'
+    (ref: bds:prefixMatch). match_all = every pattern must match the doc
+    (ref: bds:matchAllTerms); else any. min_relevance_ppm / max_rank mirror
+    bds:minRelevance / bds:maxRank.
+
+    Returns (id, score_ppm, rank), rank 1..max_rank by (score desc, id).
+    The pattern set is tiny and broadcast; only matching posting rows leave
+    the scan, so cost is O(postings of matched terms), not corpus size.
+    """
+    spark = index.sparkSession
+    pats = spark.createDataFrame(patterns, "pat string, is_prefix boolean")
+    n_docs = index.agg(F.count_distinct("id").alias("n"))
+
+    cond = F.when(F.col("is_prefix"), F.col("term").startswith(F.col("pat"))).otherwise(
+        F.col("term") == F.col("pat")
+    )
+    matched = index.join(F.broadcast(pats), on=cond).select("pat", "term", "id", "tf", "dl")
+    dfreq = (
+        index.join(F.broadcast(matched.select("term").distinct()), on="term")
+        .groupBy("term")
+        .agg(F.count_distinct("id").alias("df"))
+    )
+    contrib = F.round(
+        F.col("tf") * F.lit(1_000_000.0) * F.col("n") / (F.col("dl") * F.col("df"))
+    ).cast("long")
+    scored = (
+        matched.join(F.broadcast(dfreq), on="term")
+        .crossJoin(F.broadcast(n_docs))
+        .groupBy("id")
+        .agg(F.sum(contrib).alias("score_ppm"), F.count_distinct("pat").alias("npat"))
+    )
+    if match_all:
+        scored = scored.filter(F.col("npat") == len(patterns))
+    scored = scored.filter(F.col("score_ppm") >= min_relevance_ppm).drop("npat")
+    # TakeOrderedAndProject: orderBy+limit never materializes a global sort
+    top = scored.orderBy(F.col("score_ppm").desc(), F.col("id").asc()).limit(max_rank)
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy(F.col("score_ppm").desc(), F.col("id").asc())  # <= max_rank rows
+    return top.withColumn("rank", F.row_number().over(w))
+
+
+def bm25_search(
+    index: DataFrame,
+    terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    max_rank: int = 20,
+) -> DataFrame:
+    """BM25 ranking option (beyond the reference's tf/cosine relevance).
+    Float log-based scores — fixture-tested, not oracle-matched."""
+    stats = index.agg(
+        F.count_distinct("id").alias("n"), (F.sum("tf") / F.count_distinct("id")).alias("avgdl")
+    )
+    matched = index.filter(F.col("term").isin(terms))
+    dfreq = matched.groupBy("term").agg(F.count_distinct("id").alias("df"))
+    idf = F.log((F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+    tf_part = (F.col("tf") * (k1 + 1)) / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl")))
+    scored = (
+        matched.join(F.broadcast(dfreq), on="term")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("id")
+        .agg(F.round(F.sum(idf * tf_part), 6).alias("bm25"))
+    )
+    return scored.orderBy(F.col("bm25").desc(), F.col("id").asc()).limit(max_rank)

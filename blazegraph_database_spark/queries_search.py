@@ -1,0 +1,87 @@
+"""Search query catalog: full-text (SURVEY.md §2.6) and geospatial (§2.7)
+over the harness tables, with exact DuckDB oracles.
+
+Fulltext scoring is integer-ppm tf-idf (see operators/fulltext.py for why
+integers: bit-exact under any aggregation order, SQL-reproducible).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from blazegraph_database_spark.operators import fulltext
+
+QUERIES: dict[str, dict] = {}
+
+
+def register(name: str, sql: str | None):
+    def deco(f):
+        QUERIES[name] = {"fn": f, "sql": sql}
+        return f
+
+    return deco
+
+
+_FT_CTE = """
+    WITH toks AS (
+        SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t != '')) AS term
+        FROM documents
+    ),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1),
+    n AS (SELECT COUNT(DISTINCT doc_id) AS n FROM toks),
+    pats(pat, is_prefix) AS (VALUES {pats}),
+    matched AS (
+        SELECT p.pat, f.term, f.doc_id, f.tf FROM tf f JOIN pats p
+        ON CASE WHEN p.is_prefix THEN starts_with(f.term, p.pat) ELSE f.term = p.pat END
+    ),
+    dfreq AS (
+        SELECT term, COUNT(DISTINCT doc_id) AS df FROM tf
+        WHERE term IN (SELECT DISTINCT term FROM matched) GROUP BY 1
+    ),
+    scored AS (
+        SELECT m.doc_id AS id,
+               SUM(CAST(ROUND(m.tf * 1000000.0 * n.n / (d2.dl * d.df)) AS BIGINT)) AS score_ppm,
+               COUNT(DISTINCT m.pat) AS npat
+        FROM matched m JOIN dl d2 ON m.doc_id = d2.doc_id
+             JOIN dfreq d ON m.term = d.term CROSS JOIN n
+        GROUP BY 1
+    )
+    SELECT id, score_ppm, CAST(ROW_NUMBER() OVER (ORDER BY score_ppm DESC, id) AS INT) AS rank
+    FROM scored WHERE {where} QUALIFY rank <= {max_rank}
+"""
+
+
+def _docs_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return fulltext.inverted_index(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
+@register(
+    "fulltext_search",
+    _FT_CTE.format(
+        pats="('spark', false), ('window', false)",
+        where="score_ppm >= 20000",
+        max_rank=15,
+    ),
+)
+def fulltext_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword OR search w/ tf-idf ranking, minRelevance, maxRank
+    (ref: bds:search + bds:minRelevance + bds:maxRank)."""
+    idx = _docs_index(spark, sf_dir)
+    return fulltext.search(
+        idx, [("spark", False), ("window", False)], min_relevance_ppm=20000, max_rank=15
+    )
+
+
+@register(
+    "fulltext_all_prefix",
+    _FT_CTE.format(
+        pats="('quer', true), ('tabl', true)",
+        where="npat = 2",
+        max_rank=10,
+    ),
+)
+def fulltext_all_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix match + matchAllTerms (ref: bds:prefixMatch + bds:matchAllTerms)."""
+    idx = _docs_index(spark, sf_dir)
+    return fulltext.search(idx, [("quer", True), ("tabl", True)], match_all=True, max_rank=10)

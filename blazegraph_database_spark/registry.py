@@ -8,6 +8,7 @@ _CATALOG_MODULES = [
     "blazegraph_database_spark.queries_core",
     "blazegraph_database_spark.queries_gas",
     "blazegraph_database_spark.queries_pipeline",
+    "blazegraph_database_spark.queries_search",
 ]
 
 

@@ -1,0 +1,64 @@
+"""Full-text search tests on a hand corpus with hand-checkable relevance
+(modeled on the reference's TestFullTextIndex / TestSearch suites)."""
+
+from __future__ import annotations
+
+import pytest
+
+from blazegraph_database_spark.operators import fulltext
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [
+        (1, "spark spark spark engine"),          # tf(spark)=3, dl=4
+        (2, "spark engine for queries"),          # tf(spark)=1, dl=4
+        (3, "duckdb is a query engine too"),      # no 'spark'
+        (4, "nothing relevant here at all"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+@pytest.fixture(scope="module")
+def index(corpus):
+    return fulltext.inverted_index(corpus).cache()
+
+
+def test_index_shape(index):
+    rows = {(r["term"], r["id"]): (r["tf"], r["dl"]) for r in index.collect()}
+    assert rows[("spark", 1)] == (3, 4)
+    assert rows[("spark", 2)] == (1, 4)
+    assert ("spark", 3) not in rows
+
+
+def test_search_ranking_and_relevance(index):
+    out = fulltext.search(index, [("spark", False)]).collect()
+    assert [r["id"] for r in out] == [1, 2]
+    assert [r["rank"] for r in out] == [1, 2]
+    # contribution = round(tf * 1e6 * N / (dl * df)); N=4, df(spark)=2
+    assert out[0]["score_ppm"] == round(3 * 1e6 * 4 / (4 * 2))
+    assert out[1]["score_ppm"] == round(1 * 1e6 * 4 / (4 * 2))
+
+
+def test_search_min_relevance_and_max_rank(index):
+    hi = fulltext.search(index, [("spark", False)], min_relevance_ppm=1_000_000)
+    assert [r["id"] for r in hi.collect()] == [1]
+    top1 = fulltext.search(index, [("spark", False)], max_rank=1)
+    assert [r["id"] for r in top1.collect()] == [1]
+
+
+def test_search_match_all_and_prefix(index):
+    both = fulltext.search(index, [("spark", False), ("engine", False)], match_all=True)
+    assert sorted(r["id"] for r in both.collect()) == [1, 2]
+    pre = fulltext.search(index, [("quer", True)])
+    assert sorted(r["id"] for r in pre.collect()) == [2, 3]  # queries, query
+    none = fulltext.search(index, [("zzz", False)])
+    assert none.count() == 0
+
+
+def test_bm25_orders_by_rarity(index):
+    out = fulltext.bm25_search(index, ["spark", "query"])
+    scores = {r["id"]: r["bm25"] for r in out.collect()}
+    assert scores[1] > scores[2]  # higher tf of 'spark'
+    assert 3 in scores  # matches rarer 'query'
+    assert all(s > 0 for s in scores.values())
