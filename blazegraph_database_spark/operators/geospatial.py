@@ -1,0 +1,126 @@
+"""Geospatial search (SURVEY.md §2.7) — Spark-first analog of the
+reference's geospatial service (ref: bigdata-core/.../service/geospatial/
+GeoSpatialQuery.java and its Z-order ("zOrder") index encoding).
+
+The reference keys a B+Tree on a Z-order (Morton) interleave of quantized
+(lat, lon) so range scans prune both dimensions. The Spark analog:
+- `zorder_key` builds the same Morton code as a pure expression — used as
+  the *write-time sort key* so parquet row-group min/max stats prune both
+  dims on read (the B+Tree-range analog).
+- `grid_cell` is a coarse (lat, lon) cell id used as the *partition key*;
+  rectangle/circle queries enumerate candidate cells driver-side (a tiny
+  list) and prune partitions with isin before the exact predicate.
+- Exact predicates: rectangle compare, Haversine distance (expression-only
+  trig, JVM codegen).
+
+Search results carry distance_km for circle queries (ref:
+GeoSpatial.DISTANCE_FIELD).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+EARTH_RADIUS_KM = 6371.0
+
+
+def quantize(value: Column, lo: float, hi: float, bits: int) -> Column:
+    """Map [lo, hi] to [0, 2^bits) as long."""
+    steps = (1 << bits) - 1
+    frac = (value - F.lit(lo)) / F.lit(hi - lo)
+    return F.least(F.greatest(F.round(frac * steps).cast("long"), F.lit(0)), F.lit(steps))
+
+
+def zorder_key(lat: Column, lon: Column, bits: int = 16) -> Column:
+    """Morton interleave of quantized lat/lon (lat bits even, lon odd)."""
+    qlat, qlon = quantize(lat, -90.0, 90.0, bits), quantize(lon, -180.0, 180.0, bits)
+    key = F.lit(0).cast("long")
+    for i in range(bits):
+        lat_bit = F.shiftright(qlat, i).bitwiseAND(F.lit(1))
+        lon_bit = F.shiftright(qlon, i).bitwiseAND(F.lit(1))
+        key = key.bitwiseXOR(F.shiftleft(lat_bit, 2 * i)).bitwiseXOR(
+            F.shiftleft(lon_bit, 2 * i + 1)
+        )
+    return key
+
+
+def grid_cell(lat: Column, lon: Column, cell_deg: float = 10.0) -> Column:
+    """Coarse partition cell id: floor-grid over degrees."""
+    la = F.floor(lat / cell_deg).cast("long")
+    lo = F.floor(lon / cell_deg).cast("long")
+    return la * 360 + lo
+
+
+def candidate_cells(lat0: float, lat1: float, lon0: float, lon1: float, cell_deg: float = 10.0) -> list[int]:
+    """Driver-side cell enumeration for a bounding box (tiny list)."""
+    cells = []
+    la = math.floor(lat0 / cell_deg)
+    while la <= math.floor(lat1 / cell_deg):
+        lo = math.floor(lon0 / cell_deg)
+        while lo <= math.floor(lon1 / cell_deg):
+            cells.append(int(la * 360 + lo))
+            lo += 1
+        la += 1
+    return cells
+
+
+def in_rectangle(
+    df: DataFrame,
+    lat0: float,
+    lat1: float,
+    lon0: float,
+    lon1: float,
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    cell_deg: float = 10.0,
+) -> DataFrame:
+    """Rows inside [lat0,lat1]x[lon0,lon1]. Cell prefilter prunes partitions
+    (on a cell-partitioned store); the exact compare runs on survivors."""
+    lat, lon = F.col(lat_col), F.col(lon_col)
+    cells = candidate_cells(lat0, lat1, lon0, lon1, cell_deg)
+    return df.filter(grid_cell(lat, lon, cell_deg).isin(cells)).filter(
+        (lat >= lat0) & (lat <= lat1) & (lon >= lon0) & (lon <= lon1)
+    )
+
+
+def haversine_km(lat1: Column, lon1: Column, lat2: Column, lon2: Column) -> Column:
+    rl1, rl2 = F.radians(lat1), F.radians(lat2)
+    dlat = F.radians(lat2 - lat1) / 2
+    dlon = F.radians(lon2 - lon1) / 2
+    a = F.sin(dlat) ** 2 + F.cos(rl1) * F.cos(rl2) * F.sin(dlon) ** 2
+    return F.lit(2.0 * EARTH_RADIUS_KM) * F.asin(F.sqrt(a))
+
+
+def in_circle(
+    df: DataFrame,
+    center_lat: float,
+    center_lon: float,
+    radius_km: float,
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    cell_deg: float = 10.0,
+) -> DataFrame:
+    """Rows within radius_km of the center, with distance_km attached.
+    Bounding-box cell prefilter first; exact Haversine on survivors."""
+    # 10% margin: the flat-earth box underestimates the circle's lon extent
+    # at its extreme latitudes; the box only prefilters, the Haversine
+    # predicate decides, so over-covering is safe and under-covering is not.
+    dlat = math.degrees(radius_km / EARTH_RADIUS_KM) * 1.1
+    dlon = dlat / max(math.cos(math.radians(center_lat)), 1e-9)
+    boxed = in_rectangle(
+        df,
+        center_lat - dlat,
+        center_lat + dlat,
+        center_lon - dlon,
+        center_lon + dlon,
+        lat_col,
+        lon_col,
+        cell_deg,
+    )
+    dist = haversine_km(F.lit(center_lat), F.lit(center_lon), F.col(lat_col), F.col(lon_col))
+    return boxed.withColumn("distance_km", F.round(dist, 1)).filter(
+        F.col("distance_km") <= radius_km
+    )

@@ -9,7 +9,9 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from blazegraph_database_spark.operators import fulltext
+from pyspark.sql import functions as F
+
+from blazegraph_database_spark.operators import fulltext, geospatial
 
 QUERIES: dict[str, dict] = {}
 
@@ -85,3 +87,55 @@ def fulltext_all_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Prefix match + matchAllTerms (ref: bds:prefixMatch + bds:matchAllTerms)."""
     idx = _docs_index(spark, sf_dir)
     return fulltext.search(idx, [("quer", True), ("tabl", True)], match_all=True, max_rank=10)
+
+
+# The harness has no native lat/lon, so coordinates are derived
+# deterministically from event ids (same integer arithmetic in the oracle).
+def _events_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ev.select(
+        "event_id",
+        ((F.col("event_id") * 37 % 18000) / 100.0 - 90.0).alias("lat"),
+        ((F.col("event_id") * 73 % 36000) / 100.0 - 180.0).alias("lon"),
+    )
+
+
+_GEO_CTE = """
+    WITH pts AS (
+        SELECT event_id,
+               (event_id * 37 % 18000) / 100.0 - 90.0 AS lat,
+               (event_id * 73 % 36000) / 100.0 - 180.0 AS lon
+        FROM events
+    )
+"""
+
+
+@register(
+    "geo_rect",
+    _GEO_CTE
+    + "SELECT event_id, lat, lon FROM pts WHERE lat >= 0 AND lat <= 30 AND lon >= 0 AND lon <= 40",
+)
+def geo_rect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-rectangle search with grid-cell pruning (ref: GeoSpatialQuery
+    inRectangle)."""
+    return geospatial.in_rectangle(_events_geo(spark, sf_dir), 0.0, 30.0, 0.0, 40.0)
+
+
+@register(
+    "geo_radius",
+    _GEO_CTE
+    + """
+    SELECT event_id, distance_km FROM (
+        SELECT event_id,
+               ROUND(2 * 6371.0 * asin(sqrt(
+                   sin(radians(lat - 10.0) / 2) ^ 2
+                   + cos(radians(10.0)) * cos(radians(lat)) * sin(radians(lon - 20.0) / 2) ^ 2)), 1) AS distance_km
+        FROM pts
+    ) d WHERE distance_km <= 1500
+    """,
+)
+def geo_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-circle search with Haversine distance (ref: GeoSpatialQuery
+    inCircle + distance field)."""
+    out = geospatial.in_circle(_events_geo(spark, sf_dir), 10.0, 20.0, 1500.0)
+    return out.select("event_id", "distance_km")

@@ -1,0 +1,69 @@
+"""Geospatial operator tests: known distances, pruning-vs-brute equivalence,
+Z-order key properties (modeled on the reference's geospatial test suite)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from blazegraph_database_spark.operators import geospatial as G
+
+
+@pytest.fixture(scope="module")
+def points(spark):
+    rows = [
+        (1, 0.0, 0.0),
+        (2, 0.0, 1.0),      # ~111.2 km east of 1
+        (3, 52.5, 13.4),    # Berlin-ish
+        (4, 48.9, 2.4),     # Paris-ish (~880 km from Berlin)
+        (5, -33.9, 151.2),  # Sydney-ish
+        (6, 89.9, 0.0),     # near north pole
+    ]
+    return spark.createDataFrame(rows, "id long, lat double, lon double")
+
+
+def test_haversine_known_distances(spark):
+    df = spark.range(1).select(
+        F.round(G.haversine_km(F.lit(0.0), F.lit(0.0), F.lit(0.0), F.lit(1.0)), 1).alias("deg1"),
+        F.round(G.haversine_km(F.lit(52.5), F.lit(13.4), F.lit(48.9), F.lit(2.4)), 0).alias("bp"),
+    )
+    r = df.first()
+    assert abs(r["deg1"] - 111.2) < 0.1
+    assert 850 <= r["bp"] <= 910
+
+
+def test_in_rectangle_matches_brute(points):
+    pruned = G.in_rectangle(points, -40.0, 55.0, -10.0, 20.0)
+    brute = points.filter(
+        (F.col("lat") >= -40) & (F.col("lat") <= 55) & (F.col("lon") >= -10) & (F.col("lon") <= 20)
+    )
+    assert sorted(r["id"] for r in pruned.collect()) == sorted(r["id"] for r in brute.collect()) == [1, 2, 3, 4]
+
+
+def test_in_circle(points):
+    out = {r["id"]: r["distance_km"] for r in G.in_circle(points, 0.0, 0.0, 200.0).collect()}
+    assert set(out) == {1, 2}
+    assert out[1] == 0.0 and abs(out[2] - 111.2) < 0.1
+
+
+def test_in_circle_crosses_cells(points):
+    # radius spanning multiple 10-degree cells still finds everything
+    out = {r["id"] for r in G.in_circle(points, 50.0, 8.0, 1000.0).collect()}
+    assert out == {3, 4}
+
+
+def test_zorder_key_deterministic_and_local(spark):
+    df = spark.createDataFrame(
+        [(0.0, 0.0), (0.01, 0.01), (80.0, 170.0)], "lat double, lon double"
+    ).select("lat", "lon", G.zorder_key(F.col("lat"), F.col("lon")).alias("z"))
+    rows = df.collect()
+    zs = [r["z"] for r in rows]
+    assert len(set(zs)) >= 2  # far point differs
+    assert all(0 <= z < (1 << 32) for z in zs)
+    # neighbors' keys are closer than the far point's key
+    assert abs(zs[0] - zs[1]) < abs(zs[0] - zs[2])
+
+
+def test_candidate_cells_cover_box():
+    cells = G.candidate_cells(-5.0, 5.0, -5.0, 5.0)
+    assert len(cells) == 4  # 2x2 cells at 10-degree grid
