@@ -1,0 +1,182 @@
+"""RDFS(+) forward-chaining inference (SURVEY.md §2.8).
+
+Reference analog: com.bigdata.rdf.rules.RuleFastClosure* / InferenceEngine
+(the "fast closure" program over rdfs2/3/5/7/9/11 plus the owl:sameAs /
+owl:inverseOf / owl:TransitiveProperty subset). The reference runs rules as
+B+Tree joins to fixpoint with truth maintenance; Spark-first this becomes
+iterative DataFrame joins with localCheckpoint lineage truncation.
+
+Scale notes:
+- Schema triples (subClassOf/subPropertyOf/domain/range/inverseOf) are tiny
+  relative to data — they are broadcast in every rule join, so each pass is
+  one scan of the data with map-side joins; no data shuffle at all except
+  the final distinct.
+- Transitive closures (rdfs5/11 on the schema, TransitiveProperty on data)
+  use semi-naive delta iteration: only the delta joins per round.
+- The outer loop reaches fixpoint in <= 3 passes for standard RDFS rule
+  interaction (type triples produced by rdfs2/3/9 only feed rdfs9 again);
+  at 100 TB one would run delta-driven maintenance instead (see
+  update.update.maintain_closure).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from blazegraph_database_spark.model.store import TripleStore
+
+RDF_TYPE = "rdf:type"
+RDFS_SUBCLASS = "rdfs:subClassOf"
+RDFS_SUBPROP = "rdfs:subPropertyOf"
+RDFS_DOMAIN = "rdfs:domain"
+RDFS_RANGE = "rdfs:range"
+OWL_SAMEAS = "owl:sameAs"
+OWL_INVERSE = "owl:inverseOf"
+OWL_TRANSITIVE = "owl:TransitiveProperty"
+
+MAX_ITERS = 32
+
+
+def _chk(df: DataFrame) -> DataFrame:
+    return df.localCheckpoint(eager=True)
+
+
+def transitive_closure(edges: DataFrame, max_iters: int = MAX_ITERS) -> DataFrame:
+    """Semi-naive transitive closure of (src, dst): only the newest paths
+    join per round (delta ⋈ base), so work is proportional to new facts."""
+    base = _chk(edges.select("src", "dst").distinct())
+    all_e, delta = base, base
+    for _ in range(max_iters):
+        grown = (
+            delta.alias("d")
+            .join(base.alias("e"), F.col("d.dst") == F.col("e.src"))
+            .select(F.col("d.src").alias("src"), F.col("e.dst").alias("dst"))
+            .distinct()
+        )
+        new = _chk(grown.join(all_e, on=["src", "dst"], how="left_anti"))
+        if new.isEmpty():
+            break
+        all_e = _chk(all_e.unionByName(new))
+        delta = new
+    return all_e
+
+
+def _edges(df: DataFrame, pred: str) -> DataFrame:
+    return df.filter(F.col("p") == pred).select(F.col("s").alias("src"), F.col("o_lex").alias("dst"))
+
+
+def _as_triples(edges: DataFrame, pred: str) -> DataFrame:
+    return edges.select(
+        F.col("src").alias("s"), F.lit(pred).alias("p"), F.col("dst").alias("o_lex"), F.lit("iri").alias("o_dt")
+    )
+
+
+def rdfs_closure_pass(df: DataFrame) -> DataFrame:
+    """One full rule pass; returns df ∪ newly inferred triples (distinct)."""
+    # rdfs5: subPropertyOf is transitive (schema-only, tiny)
+    subprop = transitive_closure(_edges(df, RDFS_SUBPROP))
+    # rdfs7: (s p o) + (p subPropertyOf q) => (s q o)
+    inf7 = (
+        df.join(F.broadcast(subprop), df["p"] == subprop["src"])
+        .select("s", F.col("dst").alias("p"), "o_lex", "o_dt")
+    )
+    data = df.unionByName(inf7)
+    # rdfs2: (p domain c) + (s p o) => (s rdf:type c)
+    dom = _edges(df, RDFS_DOMAIN)
+    inf2 = (
+        data.join(F.broadcast(dom), data["p"] == dom["src"])
+        .select("s", F.lit(RDF_TYPE).alias("p"), F.col("dst").alias("o_lex"), F.lit("iri").alias("o_dt"))
+    )
+    # rdfs3: (p range c) + (s p o) => (o rdf:type c) — IRI objects only
+    rng = _edges(df, RDFS_RANGE)
+    inf3 = (
+        data.filter(F.col("o_dt") == "iri")
+        .join(F.broadcast(rng), data["p"] == rng["src"])
+        .select(
+            F.col("o_lex").alias("s"), F.lit(RDF_TYPE).alias("p"), F.col("dst").alias("o_lex"), F.lit("iri").alias("o_dt")
+        )
+    )
+    # rdfs11: subClassOf transitive (schema-only)
+    subclass = transitive_closure(_edges(df, RDFS_SUBCLASS))
+    inf11 = _as_triples(subclass, RDFS_SUBCLASS)
+    # rdfs9: (x rdf:type c) + (c subClassOf d) => (x rdf:type d)
+    types = data.filter(F.col("p") == RDF_TYPE).unionByName(inf2).unionByName(inf3)
+    inf9 = (
+        types.join(F.broadcast(subclass), types["o_lex"] == subclass["src"])
+        .select("s", F.lit(RDF_TYPE).alias("p"), F.col("dst").alias("o_lex"), F.lit("iri").alias("o_dt"))
+    )
+    inf5 = _as_triples(subprop, RDFS_SUBPROP)
+    return (
+        data.unionByName(inf2)
+        .unionByName(inf3)
+        .unionByName(inf5)
+        .unionByName(inf11)
+        .unionByName(inf9)
+        .distinct()
+    )
+
+
+def rdfs_closure(store: TripleStore, max_passes: int = 4) -> TripleStore:
+    """Full-materialization forward closure to fixpoint."""
+    df = _chk(store.df.select("s", "p", "o_lex", "o_dt").distinct())
+    n = df.count()
+    for _ in range(max_passes):
+        df = _chk(rdfs_closure_pass(df))
+        n2 = df.count()
+        if n2 == n:
+            break
+        n = n2
+    return TripleStore(df)
+
+
+def inverse_of_closure(df: DataFrame) -> DataFrame:
+    """owl:inverseOf: (p inverseOf q) + (s p o) => (o q s); declaration is
+    symmetric."""
+    inv = _edges(df, OWL_INVERSE)
+    inv = inv.unionByName(inv.select(F.col("dst").alias("src"), F.col("src").alias("dst"))).distinct()
+    inferred = (
+        df.filter(F.col("o_dt") == "iri")
+        .join(F.broadcast(inv), df["p"] == inv["src"])
+        .select(
+            F.col("o_lex").alias("s"), F.col("dst").alias("p"), F.col("s").alias("o_lex"), F.lit("iri").alias("o_dt")
+        )
+    )
+    return df.unionByName(inferred).distinct()
+
+
+def transitive_property_closure(df: DataFrame) -> DataFrame:
+    """owl:TransitiveProperty: close every declared-transitive predicate."""
+    preds = [
+        r["s"] for r in df.filter((F.col("p") == RDF_TYPE) & (F.col("o_lex") == OWL_TRANSITIVE)).select("s").distinct().collect()
+    ]
+    out = df
+    for p in preds:  # declared-transitive predicate list is small (schema)
+        closed = transitive_closure(_edges(df, p))
+        out = out.unionByName(_as_triples(closed, p))
+    return out.distinct()
+
+
+def same_as_components(df: DataFrame) -> DataFrame:
+    """(node, canon): owl:sameAs equivalence classes via min-label connected
+    components (reuses the GAS CC kernel)."""
+    from blazegraph_database_spark.operators import gas
+
+    edges = _edges(df, OWL_SAMEAS)
+    return gas.connected_components(edges).select(F.col("node"), F.col("comp").alias("canon"))
+
+
+def apply_same_as(df: DataFrame) -> DataFrame:
+    """Rewrite subjects and IRI objects to their sameAs-canonical id (the
+    reference instead expands at query time; materialized canonicalization
+    is the batch-friendly equivalent)."""
+    comp = same_as_components(df)
+    with_s = (
+        df.join(F.broadcast(comp), df["s"] == comp["node"], "left")
+        .select(F.coalesce("canon", "s").alias("s"), "p", "o_lex", "o_dt")
+    )
+    with_o = (
+        with_s.join(F.broadcast(comp), (with_s["o_lex"] == comp["node"]) & (with_s["o_dt"] == "iri"), "left")
+        .select("s", "p", F.coalesce("canon", "o_lex").alias("o_lex"), "o_dt")
+    )
+    return with_o.filter(F.col("p") != OWL_SAMEAS).distinct()

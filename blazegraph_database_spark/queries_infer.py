@@ -1,0 +1,132 @@
+"""Inference + UPDATE query catalog (SURVEY.md §2.8/§2.9) with DuckDB
+oracles: deterministic ontologies derived from the harness tables (custkey
+binary tree as a deep class hierarchy; orders as property instances)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from blazegraph_database_spark.inference import rdfs
+from blazegraph_database_spark.model.store import TripleStore
+from blazegraph_database_spark.model.terms import Lit, Var as V
+from blazegraph_database_spark.plans import algebra as A
+from blazegraph_database_spark.update.update import UpdatableStore
+
+QUERIES: dict[str, dict] = {}
+
+
+def register(name: str, sql: str | None):
+    def deco(f):
+        QUERIES[name] = {"fn": f, "sql": sql}
+        return f
+
+    return deco
+
+
+@register(
+    "rdfs_closure_types",
+    """
+    WITH RECURSIVE anc AS (
+        SELECT c_custkey AS k, c_custkey AS t FROM customer
+        UNION
+        SELECT k, t // 2 FROM anc WHERE t >= 2
+    )
+    SELECT k AS inst_id, COUNT(*) AS n_types FROM anc GROUP BY k
+    """,
+)
+def rdfs_closure_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rdfs9/11 over a log-depth class hierarchy (Class:k ⊑ Class:k//2):
+    inferred type count per instance = self + all ancestors
+    (ref: RuleRdfs09/RuleRdfs11 in the fast-closure program)."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    cls = F.concat(F.lit("Class:"), F.col("c_custkey"))
+    instances = cust.select(
+        F.concat(F.lit("customer:"), F.col("c_custkey")).alias("s"),
+        F.lit(rdfs.RDF_TYPE).alias("p"),
+        cls.alias("o_lex"),
+        F.lit("iri").alias("o_dt"),
+    )
+    schema = cust.filter(F.col("c_custkey") >= 2).select(
+        cls.alias("s"),
+        F.lit(rdfs.RDFS_SUBCLASS).alias("p"),
+        F.concat(F.lit("Class:"), (F.col("c_custkey") / 2).cast("long")).alias("o_lex"),
+        F.lit("iri").alias("o_dt"),
+    )
+    closed = rdfs.rdfs_closure(TripleStore(instances.unionByName(schema)))
+    return (
+        closed.df.filter(F.col("p") == rdfs.RDF_TYPE)
+        .groupBy("s")
+        .agg(F.count(F.lit(1)).alias("n_types"))
+        .select(F.split(F.col("s"), ":")[1].cast("long").alias("inst_id"), "n_types")
+    )
+
+
+@register(
+    "rdfs_domain_range",
+    """
+    SELECT 'type_Order' AS metric, COUNT(DISTINCT o_orderkey) AS n FROM orders
+    UNION ALL
+    SELECT 'type_Customer' AS metric, COUNT(DISTINCT o_custkey) AS n FROM orders
+    UNION ALL
+    SELECT 'relatedTo' AS metric, COUNT(*) AS n
+    FROM (SELECT DISTINCT o_orderkey, o_custkey FROM orders) t
+    """,
+)
+def rdfs_domain_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rdfs2/3/5/7: domain/range typing + subPropertyOf lift over order
+    edges (ref: RuleRdfs02/03/07)."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    data = orders.select(
+        F.concat(F.lit("order:"), F.col("o_orderkey")).alias("s"),
+        F.lit("orderedBy").alias("p"),
+        F.concat(F.lit("customer:"), F.col("o_custkey")).alias("o_lex"),
+        F.lit("iri").alias("o_dt"),
+    )
+    schema = spark.createDataFrame(
+        [
+            ("orderedBy", rdfs.RDFS_SUBPROP, "relatedTo", "iri"),
+            ("orderedBy", rdfs.RDFS_DOMAIN, "Class:Order", "iri"),
+            ("orderedBy", rdfs.RDFS_RANGE, "Class:Customer", "iri"),
+        ],
+        "s string, p string, o_lex string, o_dt string",
+    )
+    closed = rdfs.rdfs_closure(TripleStore(data.unionByName(schema))).df
+    order_t = closed.filter((F.col("p") == rdfs.RDF_TYPE) & (F.col("o_lex") == "Class:Order"))
+    cust_t = closed.filter((F.col("p") == rdfs.RDF_TYPE) & (F.col("o_lex") == "Class:Customer"))
+    rel = closed.filter(F.col("p") == "relatedTo")
+    return (
+        order_t.agg(F.lit("type_Order").alias("metric"), F.count(F.lit(1)).alias("n"))
+        .unionByName(cust_t.agg(F.lit("type_Customer").alias("metric"), F.count(F.lit(1)).alias("n")))
+        .unionByName(rel.agg(F.lit("relatedTo").alias("metric"), F.count(F.lit(1)).alias("n")))
+    )
+
+
+@register(
+    "update_delete_insert",
+    """
+    SELECT CASE WHEN c_mktsegment = 'BUILDING' THEN 'REZONED' ELSE c_mktsegment END AS segment,
+           COUNT(*) AS n
+    FROM customer GROUP BY 1
+    """,
+)
+def update_delete_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELETE+INSERT WHERE: rewrite every BUILDING segment triple to REZONED,
+    then aggregate the post-update store (ref: DeleteInsertGraph)."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    triples = cust.select(
+        F.concat(F.lit("customer:"), F.col("c_custkey")).alias("s"),
+        F.lit("customer#c_mktsegment").alias("p"),
+        F.col("c_mktsegment").alias("o_lex"),
+        F.lit("string").alias("o_dt"),
+    )
+    st = UpdatableStore.from_store(TripleStore(triples))
+    st.delete_insert_where(
+        A.SP(V("c"), "customer#c_mktsegment", Lit("BUILDING")),
+        delete_template=[(V("c"), "customer#c_mktsegment", Lit("BUILDING"))],
+        insert_template=[(V("c"), "customer#c_mktsegment", Lit("REZONED"))],
+    )
+    return (
+        st.current.df.groupBy(F.col("o_lex").alias("segment"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

@@ -9,6 +9,7 @@ _CATALOG_MODULES = [
     "blazegraph_database_spark.queries_gas",
     "blazegraph_database_spark.queries_pipeline",
     "blazegraph_database_spark.queries_search",
+    "blazegraph_database_spark.queries_infer",
 ]
 
 

@@ -1,0 +1,194 @@
+"""RDF serialization readers/writers (SURVEY.md §2.2).
+
+Reference analog: the RIO parser integration (bigdata-core's use of
+org.openrdf.rio N-Triples/Turtle parsers via DataLoader.java).
+
+Spark-first: N-Triples/N-Quads are line-oriented, so parsing is a
+`spark.read.text` scan + JVM-side regexp extraction — fully distributed,
+no Python in the loop, linear in input splits (this is the 100 TB bulk-load
+path). The Turtle subset needs prefix state, which is collected once from
+the (tiny) @prefix header and applied distributed via mapInPandas.
+
+Lang-tagged literals carry o_dt = 'lang:<tag>'; typed literals map xsd types
+onto the engine's dt tags (long/double/boolean/timestamp/string).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# term = IRI | bnode ; object additionally literal with optional @lang / ^^type
+_SUBJ = r"(<[^>]*>|_:\S+)"
+_PRED = r"(<[^>]*>)"
+_OBJ = r"(<[^>]*>|_:\S+|\"(?:[^\"\\]|\\.)*\"(?:@[A-Za-z0-9-]+|\^\^<[^>]*>)?)"
+NT_LINE = rf"^\s*{_SUBJ}\s+{_PRED}\s+{_OBJ}\s*\.\s*$"
+NQ_LINE = rf"^\s*{_SUBJ}\s+{_PRED}\s+{_OBJ}\s+(<[^>]*>|_:\S+)\s*\.\s*$"
+
+_XSD_DT = {
+    "http://www.w3.org/2001/XMLSchema#integer": "long",
+    "http://www.w3.org/2001/XMLSchema#int": "long",
+    "http://www.w3.org/2001/XMLSchema#long": "long",
+    "http://www.w3.org/2001/XMLSchema#double": "double",
+    "http://www.w3.org/2001/XMLSchema#decimal": "double",
+    "http://www.w3.org/2001/XMLSchema#float": "double",
+    "http://www.w3.org/2001/XMLSchema#boolean": "boolean",
+    "http://www.w3.org/2001/XMLSchema#dateTime": "timestamp",
+    "http://www.w3.org/2001/XMLSchema#string": "string",
+}
+
+
+def _term_cols(raw_obj):
+    """(o_lex, o_dt) from a raw object token."""
+    is_iri = raw_obj.startswith("<")
+    is_bnode = raw_obj.startswith("_:")
+    lex = F.regexp_extract(raw_obj, r'^"((?:[^"\\]|\\.)*)"', 1)
+    lex = F.regexp_replace(lex, r'\\(["\\])', r"$1")
+    lex = F.regexp_replace(lex, r"\\n", "\n")
+    lex = F.regexp_replace(lex, r"\\t", "\t")
+    lang = F.regexp_extract(raw_obj, r'"@([A-Za-z0-9-]+)$', 1)
+    dtype_iri = F.regexp_extract(raw_obj, r'\^\^<([^>]*)>$', 1)
+    dt_mapped = F.lit("string")
+    for iri, tag in _XSD_DT.items():
+        dt_mapped = F.when(dtype_iri == iri, F.lit(tag)).otherwise(dt_mapped)
+    o_lex = (
+        F.when(is_iri, F.expr("substring(_raw_o, 2, length(_raw_o) - 2)"))
+        .when(is_bnode, raw_obj)
+        .otherwise(lex)
+    )
+    o_dt = (
+        F.when(is_iri, F.lit("iri"))
+        .when(is_bnode, F.lit("iri"))
+        .when(lang != "", F.concat(F.lit("lang:"), lang))
+        .when(dtype_iri != "", dt_mapped)
+        .otherwise(F.lit("string"))
+    )
+    return o_lex, o_dt
+
+
+def _parse(lines: DataFrame, pattern: str, quads: bool) -> DataFrame:
+    v = F.col("value")
+    df = lines.filter((F.trim(v) != "") & ~F.trim(v).startswith("#"))
+    df = df.select(
+        F.regexp_extract(v, pattern, 1).alias("_raw_s"),
+        F.regexp_extract(v, pattern, 2).alias("_raw_p"),
+        F.regexp_extract(v, pattern, 3).alias("_raw_o"),
+        *([F.regexp_extract(v, pattern, 4).alias("_raw_g")] if quads else []),
+    ).filter(F.col("_raw_s") != "")  # non-matching lines dropped (ref parser: error; we skip+count)
+    s = F.when(
+        F.col("_raw_s").startswith("<"), F.expr("substring(_raw_s, 2, length(_raw_s) - 2)")
+    ).otherwise(F.col("_raw_s"))
+    p = F.expr("substring(_raw_p, 2, length(_raw_p) - 2)")
+    o_lex, o_dt = _term_cols(F.col("_raw_o"))
+    cols = [s.alias("s"), p.alias("p"), o_lex.alias("o_lex"), o_dt.alias("o_dt")]
+    if quads:
+        g = F.when(
+            F.col("_raw_g").startswith("<"), F.expr("substring(_raw_g, 2, length(_raw_g) - 2)")
+        ).otherwise(F.col("_raw_g"))
+        cols.append(g.alias("g"))
+    return df.select(*cols)
+
+
+def read_ntriples(spark: SparkSession, path: str) -> DataFrame:
+    """Distributed N-Triples parse → (s, p, o_lex, o_dt)."""
+    return _parse(spark.read.text(path), NT_LINE, quads=False)
+
+
+def read_nquads(spark: SparkSession, path: str) -> DataFrame:
+    """Distributed N-Quads parse → (s, p, o_lex, o_dt, g)."""
+    return _parse(spark.read.text(path), NQ_LINE, quads=True)
+
+
+def write_ntriples(df: DataFrame, path: str) -> None:
+    """Serialize (s,p,o_lex,o_dt) → N-Triples text files."""
+    esc = F.regexp_replace(F.regexp_replace(F.col("o_lex"), r"\\", r"\\\\"), '"', '\\\\"')
+    _TAG_XSD = {
+        "long": "http://www.w3.org/2001/XMLSchema#integer",
+        "double": "http://www.w3.org/2001/XMLSchema#double",
+        "boolean": "http://www.w3.org/2001/XMLSchema#boolean",
+        "timestamp": "http://www.w3.org/2001/XMLSchema#dateTime",
+    }
+    obj = F.concat(F.lit('"'), esc, F.lit('"'))
+    for tag, iri in _TAG_XSD.items():
+        obj = F.when(
+            F.col("o_dt") == tag, F.concat(F.lit('"'), esc, F.lit('"^^<'), F.lit(iri), F.lit(">"))
+        ).otherwise(obj)
+    obj = (
+        F.when(F.col("o_dt") == "iri", F.concat(F.lit("<"), F.col("o_lex"), F.lit(">")))
+        .when(
+            F.col("o_dt").startswith("lang:"),
+            F.concat(F.lit('"'), esc, F.lit('"@'), F.substring(F.col("o_dt"), 6, 100)),
+        )
+        .otherwise(obj)
+    )
+    line = F.concat(F.lit("<"), F.col("s"), F.lit("> <"), F.col("p"), F.lit("> "), obj, F.lit(" ."))
+    df.select(line.alias("value")).write.mode("overwrite").text(path)
+
+
+def read_turtle_subset(spark: SparkSession, path: str) -> DataFrame:
+    """Turtle subset: @prefix declarations + simple `s p o .` statements
+    (plus the `a` keyword). Prefixes are a tiny header — collected once,
+    closed over by an Arrow-batched mapInPandas parser for the body."""
+    lines = spark.read.text(path)
+    prefix_rows = (
+        lines.filter(F.trim(F.col("value")).startswith("@prefix"))
+        .select(
+            F.regexp_extract("value", r"@prefix\s+([A-Za-z0-9_-]*):\s*<([^>]*)>", 1).alias("pfx"),
+            F.regexp_extract("value", r"@prefix\s+([A-Za-z0-9_-]*):\s*<([^>]*)>", 2).alias("iri"),
+        )
+        .collect()
+    )
+    prefixes = {r["pfx"]: r["iri"] for r in prefix_rows}
+
+    import re
+
+    term_re = re.compile(
+        r'(<[^>]*>|_:\S+|"(?:[^"\\]|\\.)*"(?:@[A-Za-z0-9-]+|\^\^\S+)?|[A-Za-z0-9_-]*:[A-Za-z0-9_.-]+|a)'
+    )
+
+    def expand(tok: str) -> tuple[str, str]:
+        if tok == "a":
+            return "http://www.w3.org/1999/02/22-rdf-syntax-ns#type", "iri"
+        if tok.startswith("<"):
+            return tok[1:-1], "iri"
+        if tok.startswith("_:"):
+            return tok, "iri"
+        if tok.startswith('"'):
+            m = re.match(r'"((?:[^"\\]|\\.)*)"(?:@([A-Za-z0-9-]+)|\^\^(\S+))?', tok)
+            lex = m.group(1).replace('\\"', '"').replace("\\n", "\n").replace("\\t", "\t")
+            if m.group(2):
+                return lex, f"lang:{m.group(2)}"
+            if m.group(3):
+                dt_iri = m.group(3)
+                if dt_iri.startswith("<"):
+                    dt_iri = dt_iri[1:-1]
+                elif ":" in dt_iri:
+                    pfx, local = dt_iri.split(":", 1)
+                    dt_iri = prefixes.get(pfx, pfx + ":") + local
+                return lex, _XSD_DT.get(dt_iri, "string")
+            return lex, "string"
+        pfx, local = tok.split(":", 1)
+        return prefixes.get(pfx, pfx + ":") + local, "iri"
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"s": [], "p": [], "o_lex": [], "o_dt": []}
+            for line in pdf["value"]:
+                t = line.strip()
+                if not t or t.startswith("#") or t.startswith("@prefix") or not t.endswith("."):
+                    continue
+                toks = term_re.findall(t[:-1].strip())
+                if len(toks) != 3:
+                    continue
+                (s, _), (p, _), (o, odt) = expand(toks[0]), expand(toks[1]), expand(toks[2])
+                out["s"].append(s)
+                out["p"].append(p)
+                out["o_lex"].append(o)
+                out["o_dt"].append(odt)
+            yield pd.DataFrame(out)
+
+    return lines.mapInPandas(parse, "s string, p string, o_lex string, o_dt string")

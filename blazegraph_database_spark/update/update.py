@@ -1,0 +1,197 @@
+"""SPARQL UPDATE (SURVEY.md §2.9).
+
+Reference analog: the sparql.ast update nodes (InsertData/DeleteData/
+DeleteInsertGraph/LoadGraph/ClearGraph/CopyGraph/MoveGraph/AddGraph —
+bigdata-core/bigdata-rdf/.../sparql/ast/*Update*.java, evaluated by
+AST2BOpUpdate.java) and the journal's MVCC commit points.
+
+Spark-first: a store version is an immutable DataFrame; every update
+produces a NEW version (union / anti-join — never mutation), and
+``snapshot``/``load_snapshot`` persist versions as immutable parquet
+directories — the journal-commit-point analog giving snapshot isolation
+for free: readers keep whatever version they hold.
+
+Scale notes: DELETE is an anti-join on (s,p,o_lex[,g]) — a broadcast
+anti-join when the delete set is small (the common case). INSERT is a
+union + (optional) dedup. DELETE/INSERT WHERE evaluates the WHERE once
+and instantiates both templates from the same bindings DataFrame, like
+the reference's single-WHERE two-template evaluation.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from blazegraph_database_spark.model.store import TRIPLE_COLS, TripleStore
+from blazegraph_database_spark.plans.compiler import construct, evaluate
+
+QUAD_COLS = TRIPLE_COLS + ["g"]
+
+
+def _key_cols(df: DataFrame) -> list[str]:
+    return QUAD_COLS if "g" in df.columns else TRIPLE_COLS
+
+
+@dataclass
+class UpdatableStore:
+    """Versioned triple/quad store with SPARQL UPDATE verbs.
+
+    ``versions[-1]`` is current; older versions remain readable (snapshot
+    isolation). ``checkpoint_every`` truncates lineage so long update
+    sequences don't grow unbounded plans.
+    """
+
+    versions: list[TripleStore] = field(default_factory=list)
+    checkpoint_every: int = 8
+    _updates: int = 0
+
+    @classmethod
+    def from_store(cls, store: TripleStore) -> "UpdatableStore":
+        return cls(versions=[store])
+
+    @property
+    def current(self) -> TripleStore:
+        return self.versions[-1]
+
+    def _push(self, df: DataFrame) -> TripleStore:
+        self._updates += 1
+        if self._updates % self.checkpoint_every == 0:
+            df = df.localCheckpoint(eager=False)
+        st = TripleStore(df)
+        self.versions.append(st)
+        return st
+
+    # ------------------------------------------------------------- verbs --
+    def insert_data(self, triples: DataFrame) -> TripleStore:
+        """INSERT DATA: union new ground triples (set semantics)."""
+        cur = self.current.df
+        new = triples.select(*_key_cols(cur)) if set(triples.columns) >= set(_key_cols(cur)) else triples
+        return self._push(cur.unionByName(new, allowMissingColumns=True).distinct())
+
+    def delete_data(self, triples: DataFrame) -> TripleStore:
+        """DELETE DATA: anti-join the ground triple set (broadcast when small)."""
+        cur = self.current.df
+        keys = _key_cols(cur)
+        return self._push(cur.join(F.broadcast(triples.select(*keys)), on=keys, how="left_anti"))
+
+    def delete_insert_where(
+        self,
+        where_plan,
+        delete_template: list[tuple] | None = None,
+        insert_template: list[tuple] | None = None,
+    ) -> TripleStore:
+        """DELETE { t1 } INSERT { t2 } WHERE { P }: one WHERE evaluation,
+        both templates instantiated from the same bindings (ref:
+        DeleteInsertGraph semantics — delete first, then insert)."""
+        cur = self.current
+        bindings = evaluate(cur, where_plan)
+        df = cur.df
+        if delete_template:
+            del_triples = construct(cur, where_plan, delete_template)
+            df = df.join(del_triples.select(*TRIPLE_COLS), on=TRIPLE_COLS, how="left_anti")
+        if insert_template:
+            # construct() re-evaluates WHERE; reuse bindings for one evaluation
+            ins = _instantiate(bindings, insert_template)
+            df = df.unionByName(ins, allowMissingColumns=True).distinct()
+        return self._push(df)
+
+    # --------------------------------------------------------- graph ops --
+    def _require_quads(self) -> DataFrame:
+        cur = self.current.df
+        if "g" not in cur.columns:
+            raise ValueError("graph operation on a triples-only store")
+        return cur
+
+    def clear_graph(self, g: str) -> TripleStore:
+        """CLEAR GRAPH g (DROP is identical for our schema-less graphs)."""
+        return self._push(self._require_quads().filter(F.col("g") != g))
+
+    drop_graph = clear_graph
+
+    def create_graph(self, g: str) -> TripleStore:
+        """CREATE GRAPH: no-op for schema-less graphs (ref behaves the same
+        without the SILENT-violation bookkeeping)."""
+        return self.current
+
+    def copy_graph(self, src: str, dst: str) -> TripleStore:
+        """COPY: dst := src (dst's prior triples removed)."""
+        cur = self._require_quads()
+        copied = cur.filter(F.col("g") == src).withColumn("g", F.lit(dst))
+        return self._push(cur.filter(F.col("g") != dst).unionByName(copied).distinct())
+
+    def add_graph(self, src: str, dst: str) -> TripleStore:
+        """ADD: dst := dst ∪ src."""
+        cur = self._require_quads()
+        copied = cur.filter(F.col("g") == src).withColumn("g", F.lit(dst))
+        return self._push(cur.unionByName(copied).distinct())
+
+    def move_graph(self, src: str, dst: str) -> TripleStore:
+        """MOVE: dst := src; src removed."""
+        cur = self._require_quads()
+        moved = cur.filter(F.col("g") == src).withColumn("g", F.lit(dst))
+        return self._push(cur.filter(~F.col("g").isin([src, dst])).unionByName(moved).distinct())
+
+    # -------------------------------------------------------- load/store --
+    def load(self, spark: SparkSession, path: str, fmt: str = "ntriples", graph: str | None = None) -> TripleStore:
+        """LOAD <path> [INTO GRAPH g] (ref: LoadGraph / DataLoader.java)."""
+        from blazegraph_database_spark.sources import ntriples
+
+        new = ntriples.read_ntriples(spark, path) if fmt == "ntriples" else spark.read.parquet(path)
+        if graph is not None:
+            new = new.withColumn("g", F.lit(graph))
+        return self._push(
+            self.current.df.unionByName(new, allowMissingColumns=True).distinct()
+        )
+
+    def snapshot(self, path: str) -> str:
+        """Persist the current version as an immutable parquet snapshot
+        (journal commit point analog)."""
+        self.current.df.write.mode("errorifexists").parquet(path)
+        return path
+
+    @staticmethod
+    def load_snapshot(spark: SparkSession, path: str) -> "UpdatableStore":
+        return UpdatableStore.from_store(TripleStore(spark.read.parquet(path)))
+
+    # ---------------------------------------------------------- closure --
+    def insert_with_closure(self, triples: DataFrame) -> TripleStore:
+        """Incremental RDFS maintenance: close (current ∪ delta) seeded from
+        the delta — the delta re-fires every rule whose body it can touch;
+        schema joins stay broadcast so the pass cost is one delta scan plus
+        one data scan for the rdfs7/9 re-fires (ref: TruthMaintenance.java
+        assertAll path)."""
+        from blazegraph_database_spark.inference.rdfs import rdfs_closure
+
+        merged = self.current.df.unionByName(
+            triples.select(*TRIPLE_COLS), allowMissingColumns=True
+        ).distinct()
+        closed = rdfs_closure(TripleStore(merged))
+        return self._push(closed.df)
+
+
+def _instantiate(bindings: DataFrame, template: list[tuple]) -> DataFrame:
+    """Template triples from a bindings DataFrame (CONSTRUCT-style)."""
+    from blazegraph_database_spark.model.terms import Lit, Var
+
+    parts = []
+    for s, p, o in template:
+        def col_of(pos, dt_default):
+            if isinstance(pos, Var):
+                return F.col(pos.name).cast("string"), F.lit(dt_default)
+            if isinstance(pos, Lit):
+                return F.lit(pos.lex), F.lit(pos.dt)
+            return F.lit(pos), F.lit(dt_default)
+
+        sc, _ = col_of(s, "iri")
+        pc, _ = col_of(p, "iri")
+        oc, odt = col_of(o, "string")
+        parts.append(
+            bindings.select(sc.alias("s"), pc.alias("p"), oc.alias("o_lex"), odt.alias("o_dt"))
+        )
+    out = parts[0]
+    for df in parts[1:]:
+        out = out.unionByName(df)
+    return out.distinct()

