@@ -1,0 +1,70 @@
+"""Streaming query catalog (SURVEY.md §2.10): each entry EXECUTES a real
+Structured Streaming job (availableNow trigger → memory sink) whose result
+must equal the batch formulation DuckDB computes — streaming/batch parity
+is the correctness property under test."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from blazegraph_database_spark.streaming import stream as S
+
+QUERIES: dict[str, dict] = {}
+
+
+def register(name: str, sql: str | None):
+    def deco(f):
+        QUERIES[name] = {"fn": f, "sql": sql}
+        return f
+
+    return deco
+
+
+@register(
+    "stream_window_agg",
+    """
+    SELECT date_trunc('hour', ts) AS window_start, event_type,
+           COUNT(*) AS n, ROUND(SUM(value), 2) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def stream_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1h window x event_type over the event stream; complete-mode
+    memory sink after an availableNow pass. Must equal the batch date_trunc
+    aggregation."""
+    st = S.read_events_stream(spark, sf_dir)
+    return S.run_to_memory(S.windowed_agg(st), output_mode="complete")
+
+
+@register(
+    "stream_dedup",
+    "SELECT DISTINCT user_id, event_type FROM events",
+)
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful dropDuplicatesWithinWatermark on (user_id, event_type);
+    only the key columns are output so first-arrival nondeterminism can't
+    leak into results."""
+    st = S.read_events_stream(spark, sf_dir)
+    deduped = S.dedup_within_watermark(st, ["user_id", "event_type"])
+    return S.run_to_memory(deduped.select("user_id", "event_type"), output_mode="append")
+
+
+@register(
+    "stream_to_triples",
+    """
+    SELECT p, COUNT(*) AS n FROM (
+        SELECT 'events#event_type' AS p FROM events WHERE event_type IS NOT NULL
+        UNION ALL SELECT 'events#user_id' FROM events WHERE user_id IS NOT NULL
+        UNION ALL SELECT 'events#value' FROM events WHERE value IS NOT NULL
+        UNION ALL SELECT 'events#props' FROM events WHERE props IS NOT NULL
+    ) t GROUP BY p
+    """,
+)
+def stream_to_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming relational→RDF ingest: triple count per predicate after a
+    full availableNow pass."""
+    st = S.read_events_stream(spark, sf_dir)
+    triples = S.events_to_triples(st)
+    counted = triples.groupBy("p").agg(F.count(F.lit(1)).alias("n"))
+    return S.run_to_memory(counted, output_mode="complete")

@@ -1,0 +1,98 @@
+"""Structured Streaming ingestion + stateful operators (SURVEY.md §2.10).
+
+The reference has no streaming story; this is the Spark-native addition the
+spec mandates. Patterns:
+- file-source ``readStream`` over the events table → the same direct
+  relational→RDF mapping used in batch (expressions are mode-agnostic);
+- watermarked tumbling-window aggregation (late rows beyond the watermark
+  are dropped, state is bounded);
+- stateful stream dedup via ``dropDuplicatesWithinWatermark``.
+
+Every streaming computation here has a batch-equivalent formulation on the
+same input, which is what the DuckDB oracles check: the *streaming* run
+(availableNow trigger → memory sink) must produce exactly the batch answer.
+
+Scale notes: file-source streaming shards by file; the window aggregation
+state is keyed (window, event_type) — small; dedup state is bounded by the
+watermark horizon. On a real cluster the source would be Kafka with the
+same downstream plan.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def events_schema(spark: SparkSession, sf_dir: str) -> T.StructType:
+    return spark.read.parquet(f"{sf_dir}/events.parquet").schema
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events parquet (one file = one shard).
+    Harness parquet stores ts as TIMESTAMP(NANOS) which Spark surfaces as
+    long under nanosAsLong — normalize to a real timestamp either way."""
+    schema = events_schema(spark, sf_dir)
+    # the harness table is a single file; the file stream source wants a
+    # directory, so stream the dir with a glob pinned to the events table
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if isinstance(schema["ts"].dataType, T.LongType):
+        stream = stream.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    return stream
+
+
+def events_to_triples(stream: DataFrame) -> DataFrame:
+    """Streaming direct mapping: event rows → triples. The same expression
+    shape as sources/relational.py — works unchanged on a streaming plan."""
+    s = F.concat(F.lit("event:"), F.col("event_id"))
+    entries = [
+        F.struct(F.lit(f"events#{c}").alias("p"), F.col(c).cast("string").alias("o_lex"), F.lit(dt).alias("o_dt"))
+        for c, dt in [("event_type", "string"), ("user_id", "long"), ("value", "double"), ("props", "string")]
+    ]
+    return (
+        stream.select(s.alias("s"), F.explode(F.array(*entries)).alias("t"))
+        .select("s", "t.p", "t.o_lex", "t.o_dt")
+        .filter(F.col("o_lex").isNotNull())
+    )
+
+
+def windowed_agg(stream: DataFrame, window: str = "1 hour", watermark: str = "2 hours") -> DataFrame:
+    """Watermarked tumbling-window aggregation per event_type."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "sum_value")
+    )
+
+
+def dedup_within_watermark(stream: DataFrame, keys: list[str], watermark: str = "2 hours") -> DataFrame:
+    """Stateful stream dedup: first arrival per key wins within the
+    watermark horizon; state for keys older than the watermark is dropped."""
+    return stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
+
+
+def run_to_memory(stream_df: DataFrame, output_mode: str = "complete") -> DataFrame:
+    """Execute a streaming plan over all available input (availableNow) into
+    a memory sink and return the materialized result table."""
+    name = f"sink_{uuid.uuid4().hex[:12]}"
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    q.stop()
+    return stream_df.sparkSession.table(name)

@@ -1,0 +1,61 @@
+"""Structured Streaming tests: streaming/batch parity, late-data handling,
+stateful dedup (file source over tmp parquet fixtures)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from blazegraph_database_spark.streaming import stream as S
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_stream_is_streaming(spark):
+    st = S.read_events_stream(spark, SF)
+    assert st.isStreaming
+    assert S.events_to_triples(st).isStreaming
+
+
+def test_window_agg_matches_batch(spark):
+    st = S.read_events_stream(spark, SF)
+    got = S.run_to_memory(S.windowed_agg(st), "complete")
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    from pyspark.sql import types as T
+
+    if isinstance(ev.schema["ts"].dataType, T.LongType):
+        ev = ev.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    batch = (
+        ev.groupBy(F.date_trunc("hour", "ts").alias("window_start"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, batch.collect()))
+
+
+def test_dedup_within_watermark(spark, tmp_path):
+    rows = [
+        (1, "2024-01-01 00:00:00", "click"),
+        (2, "2024-01-01 00:10:00", "click"),   # dup key within watermark
+        (3, "2024-01-01 00:20:00", "view"),
+    ]
+    df = spark.createDataFrame(rows, "event_id long, ts_s string, kind string").select(
+        "event_id", F.col("ts_s").cast("timestamp").alias("ts"), "kind"
+    )
+    path = str(tmp_path / "ev")
+    df.write.parquet(path)
+    st = spark.readStream.schema(df.schema).parquet(path)
+    out = S.run_to_memory(
+        S.dedup_within_watermark(st, ["kind"], watermark="1 hour").select("kind"), "append"
+    )
+    assert sorted(r["kind"] for r in out.collect()) == ["click", "view"]
+
+
+def test_stream_to_triples_counts(spark):
+    st = S.read_events_stream(spark, SF)
+    out = S.run_to_memory(
+        S.events_to_triples(st).groupBy("p").agg(F.count(F.lit(1)).alias("n")), "complete"
+    )
+    n_events = spark.read.parquet(f"{SF}/events.parquet").count()
+    counts = {r["p"]: r["n"] for r in out.collect()}
+    assert counts["events#event_type"] == n_events
+    assert set(counts) == {"events#event_type", "events#user_id", "events#value", "events#props"}
