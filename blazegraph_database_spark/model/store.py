@@ -28,10 +28,30 @@ class PredStat:
 
 @dataclass
 class TripleStore:
-    """An immutable triple set. ``df`` has columns s,p,o_lex,o_dt[,g]."""
+    """An immutable triple set. ``df`` has columns s,p,o_lex,o_dt[,g].
+
+    ``pred_sources`` optionally maps a predicate to a factory producing that
+    predicate's triples directly from its base storage — the virtual-index
+    fast path. A constant-predicate BGP pattern then compiles to a narrow
+    column-pruned scan of the base parquet (predicate pushdown reaches the
+    reader) instead of a filter over the melted union — the true POS-index
+    analog, and the difference between scanning one column of one table and
+    scanning every triple at 100 TB. The melted ``df`` remains the general
+    path (variable predicates, CONSTRUCT output, closure results).
+    """
 
     df: DataFrame
     _stats: dict[str, PredStat] | None = field(default=None, repr=False)
+    pred_sources: dict | None = field(default=None, repr=False)
+    _src_cache: dict = field(default_factory=dict, repr=False)
+
+    def pattern_source(self, pred: str) -> DataFrame | None:
+        """Virtual-index DataFrame for a constant predicate, if registered."""
+        if not self.pred_sources or pred not in self.pred_sources:
+            return None
+        if pred not in self._src_cache:
+            self._src_cache[pred] = self.pred_sources[pred]()
+        return self._src_cache[pred]
 
     @property
     def spark(self) -> SparkSession:

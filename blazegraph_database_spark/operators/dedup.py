@@ -64,8 +64,13 @@ def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
 
 
 def shingle_sets(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3) -> DataFrame:
-    """(id, shingles: array<string> distinct word n-grams) per document."""
-    return df.select(
+    """(id, shingles: array<string> distinct word n-grams) per document.
+
+    Shingling is CPU-heavy per row; a single-file input arrives as one
+    partition, so spread rows across the cluster first (cheap: rows are
+    narrow before the shingle arrays are built)."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(par, F.col(id_col)).select(
         F.col(id_col).alias("id"), F.array_distinct(word_shingles(F.col(text_col), n)).alias("shingles")
     )
 
@@ -107,6 +112,7 @@ def lsh_candidate_pairs(sigs: DataFrame, bands: int = LSH_BANDS, max_bucket: int
             )
         ).alias("bk"),
     ).select("id", "bk.band", "bk.key")
+    banded = banded.localCheckpoint(eager=True)  # consumed twice (size filter + self-join)
     sized = banded.join(
         banded.groupBy("band", "key").agg(F.count(F.lit(1)).alias("bn")).filter(F.col("bn") <= max_bucket),
         on=["band", "key"],
@@ -144,8 +150,17 @@ def minhash_lsh_dedup(
     """Near-duplicate pairs (a, b, jac >= threshold) via MinHash banding +
     exact verification. With 32x2 banding, recall at jaccard>=0.8 is
     1-(1-j^2)^32 > 1-1e-14 — effectively exhaustive above threshold."""
-    sets_df = shingle_sets(df, id_col, text_col, n).filter(F.size("shingles") > 0)
-    cands = lsh_candidate_pairs(minhash_signatures(sets_df))
+    # the shingle sets feed signatures AND verification; the banded
+    # signature feeds the bucket self-join twice — materialize both once
+    # (at cluster scale: persist to memory/disk) instead of recomputing
+    # the explode per consumer
+    sets_df = (
+        shingle_sets(df, id_col, text_col, n)
+        .filter(F.size("shingles") > 0)
+        .localCheckpoint(eager=True)
+    )
+    sigs = minhash_signatures(sets_df).localCheckpoint(eager=True)
+    cands = lsh_candidate_pairs(sigs)
     return verify_pairs_jaccard(cands, sets_df).filter(F.col("jac") >= threshold)
 
 

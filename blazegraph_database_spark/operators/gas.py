@@ -43,7 +43,7 @@ def bfs(edges: DataFrame, sources: list[str], max_depth: int = MAX_ITERS) -> Dat
     Predecessor choice among equal-depth parents is min(), deterministic.
     """
     spark = edges.sparkSession
-    e = edges.select("src", "dst")
+    e = _chk(edges.select("src", "dst"))  # edges re-join every round: materialize once
     state = _chk(
         spark.createDataFrame([(s, 0, None) for s in sources], "node string, depth int, pred string")
     )
@@ -70,7 +70,7 @@ def sssp(edges: DataFrame, sources: list[str], max_iters: int = MAX_ITERS) -> Da
     vertices whose distance improved scatter in the next round.
     """
     spark = edges.sparkSession
-    e = edges.select("src", "dst", F.col("weight").cast("double").alias("weight"))
+    e = _chk(edges.select("src", "dst", F.col("weight").cast("double").alias("weight")))
     state = _chk(spark.createDataFrame([(s, 0.0) for s in sources], "node string, dist double"))
     frontier = state
     for _ in range(max_iters):
@@ -98,7 +98,7 @@ def connected_components(edges: DataFrame, max_iters: int = MAX_ITERS) -> DataFr
 
     Ref: analytics/CC.java (label = min vertex id, propagated to fixpoint).
     """
-    e = undirect(edges)
+    e = _chk(undirect(edges))
     state = _chk(
         e.select(F.col("src").alias("node")).distinct().select("node", F.col("node").alias("comp"))
     )
@@ -126,7 +126,7 @@ def pagerank(edges: DataFrame, damping: float = 0.85, iters: int = 20) -> DataFr
     keeps every round a pure join+agg; at scale, out-degree is precomputed
     once and the rank⋈edges join is the only shuffle per round.
     """
-    e = edges.select("src", "dst")
+    e = _chk(edges.select("src", "dst"))
     nodes = _chk(
         e.select(F.col("src").alias("node")).unionByName(e.select(F.col("dst").alias("node"))).distinct()
     )
@@ -161,7 +161,7 @@ def paths(edges: DataFrame, source: str, target: str, max_length: int = 8) -> Da
     an array column — no driver loops; each expansion is one join).
     """
     spark = edges.sparkSession
-    e = edges.select("src", "dst")
+    e = _chk(edges.select("src", "dst"))
     active = _chk(
         spark.createDataFrame([(source, [source])], "head string, nodes array<string>")
     )

@@ -109,12 +109,19 @@ def rolling_hash(token: Column) -> Column:
 
 
 def word_shingles(text: Column, n: int = 3) -> Column:
-    """Array of word n-gram strings ('w1 w2 w3'); empty if < n words."""
+    """Array of word n-gram strings ('w1 w2 w3'); empty if < n words.
+
+    Built from n shifted slices + arrays_zip, NOT element_at inside a
+    transform lambda: element_at(ws, i) re-evaluates the split() per array
+    element (O(words²) per doc) while the slice/zip form evaluates it n
+    times per row (O(words))."""
     ws = words(text)
-    idx = F.sequence(F.lit(0), F.greatest(F.size(ws) - n, F.lit(-1)))
-    return F.when(F.size(ws) < n, F.array().cast("array<string>")).otherwise(
-        F.transform(idx, lambda i: F.concat_ws(" ", *[F.element_at(ws, i + j + 1) for j in range(n)]))
-    )
+    cnt = F.greatest(F.size(ws) - (n - 1), F.lit(0))
+    if n == 1:
+        return ws
+    slices = [F.slice(ws, i + 1, cnt) for i in range(n)]
+    zipped = F.arrays_zip(*slices)
+    return F.transform(zipped, lambda st: F.concat_ws(" ", *[st[str(i)] for i in range(n)]))
 
 
 def fingerprint(df: DataFrame, text_col: str = "text", k: int = 3, window: int = 4) -> DataFrame:

@@ -33,7 +33,11 @@ def evaluate(store: TripleStore, node) -> DataFrame:
 
 # ---------------------------------------------------------------- patterns --
 def _pattern_df(sp: A.SP, store: TripleStore) -> DataFrame:
-    df = store.df
+    df = None
+    if sp.p is not None and is_const(sp.p) and sp.g is None:
+        df = store.pattern_source(const_lex(sp.p))  # virtual POS index
+    if df is None:
+        df = store.df
     conds = []
     for col, pos in (("s", sp.s), ("p", sp.p), ("o_lex", sp.o)):
         if pos is not None and is_const(pos):

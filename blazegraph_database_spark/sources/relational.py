@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from blazegraph_database_spark.model.store import TripleStore
+from blazegraph_database_spark.model.store import PredStat, TripleStore
 
 _DT_FOR_SPARK = {
     T.StringType: "string",
@@ -108,8 +108,71 @@ def load_tables(spark: SparkSession, sf_dir: str, tables: list[str] | None = Non
     return {t: _fix_nano_ts(spark.read.parquet(f"{sf_dir}/{t}.parquet")) for t in tables}
 
 
+def _pred_source_factories(
+    spark: SparkSession, sf_dir: str, tables: list[str]
+) -> dict[str, "callable"]:
+    """One lazy factory per predicate serving its triples straight from the
+    base table parquet — the virtual POS index. A constant-predicate BGP
+    pattern becomes `scan(table) → project(key, col)`: parquet column
+    pruning reads exactly two columns and constant filters push into the
+    scan. At 100 TB this is the difference between reading one column of
+    one table and reading the full melted triple union."""
+
+    def factory(table: str, fname: str, dt: str, ref: str | None):
+        def build() -> DataFrame:
+            df = _fix_nano_ts(spark.read.parquet(f"{sf_dir}/{table}.parquet"))
+            key, _ = TPCH_SCHEMA[table]
+            s = subject_col(table, df, key)
+            if ref is None:
+                o = F.col(fname).cast("string")
+                pred = f"{table}#{fname}"
+                o_dt = dt
+            else:
+                o = F.concat(F.lit(ref + ":"), F.col(fname).cast("string"))
+                pred = f"{table}#{fname}_ref"
+                o_dt = "iri"
+            return df.select(
+                s.alias("s"), F.lit(pred).alias("p"), o.alias("o_lex"), F.lit(o_dt).alias("o_dt")
+            ).filter(F.col("o_lex").isNotNull())
+
+        return build
+
+    out: dict = {}
+    for t in tables:
+        _, fks = TPCH_SCHEMA[t]
+        schema = spark.read.parquet(f"{sf_dir}/{t}.parquet").schema
+        for f in schema.fields:
+            if isinstance(f.dataType, T.ArrayType):
+                continue
+            out[f"{t}#{f.name}"] = factory(t, f.name, _dt_tag(f.dataType), None)
+            if f.name in fks:
+                out[f"{t}#{f.name}_ref"] = factory(t, f.name, "iri", fks[f.name])
+    return out
+
+
+def _metadata_stats(spark: SparkSession, sf_dir: str, tables: list[str]) -> dict[str, PredStat]:
+    """B+Tree-range-count-style stats without materializing any triples:
+    parquet row counts per table (metadata-only) sized per predicate."""
+    counts = {t: spark.read.parquet(f"{sf_dir}/{t}.parquet").count() for t in tables}
+    stats: dict[str, PredStat] = {}
+    for t in tables:
+        n = counts[t]
+        _, fks = TPCH_SCHEMA[t]
+        schema = spark.read.parquet(f"{sf_dir}/{t}.parquet").schema
+        for f in schema.fields:
+            if isinstance(f.dataType, T.ArrayType):
+                continue
+            stats[f"{t}#{f.name}"] = PredStat(n, max(n, 1), max(n, 1))
+            if f.name in fks:
+                ref_n = counts.get(fks[f.name]) or n
+                stats[f"{t}#{f.name}_ref"] = PredStat(n, max(n, 1), max(ref_n, 1))
+    return stats
+
+
 def store_from_sf_dir(spark: SparkSession, sf_dir: str, tables: list[str] | None = None) -> TripleStore:
-    """Map the harness parquet tables into one TripleStore."""
+    """Map the harness parquet tables into one TripleStore with virtual
+    per-predicate sources and metadata-derived stats (nothing materialized)."""
+    tables = tables or list(TPCH_SCHEMA)
     dfs = load_tables(spark, sf_dir, tables)
     parts = []
     for t, df in dfs.items():
@@ -118,7 +181,9 @@ def store_from_sf_dir(spark: SparkSession, sf_dir: str, tables: list[str] | None
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
-    return TripleStore(out)
+    store = TripleStore(out, pred_sources=_pred_source_factories(spark, sf_dir, tables))
+    store._stats = _metadata_stats(spark, sf_dir, tables)
+    return store
 
 
 _STORE_CACHE: dict[tuple[int, str, tuple], TripleStore] = {}
@@ -127,8 +192,5 @@ _STORE_CACHE: dict[tuple[int, str, tuple], TripleStore] = {}
 def cached_store(spark: SparkSession, sf_dir: str, tables: tuple[str, ...] | None = None) -> TripleStore:
     key = (id(spark), sf_dir, tables or ())
     if key not in _STORE_CACHE:
-        st = store_from_sf_dir(spark, sf_dir, list(tables) if tables else None)
-        st.df = st.df.persist()
-        st.stats()  # materialize + warm stats in one pass
-        _STORE_CACHE[key] = st
+        _STORE_CACHE[key] = store_from_sf_dir(spark, sf_dir, list(tables) if tables else None)
     return _STORE_CACHE[key]
