@@ -1,0 +1,651 @@
+"""SPARQL SELECT text parser → algebra nodes (SURVEY.md §2.12).
+
+Reference analog: the JavaCC grammar under sparql-grammar/ producing the AST
+in bigdata-core/bigdata-rdf/.../sparql/ast/; we parse the practical SELECT
+subset directly into :mod:`plans.algebra` nodes:
+
+  PREFIX decls, SELECT [DISTINCT] (vars | * | (expr AS ?v)), WHERE {
+    triple patterns (incl. property paths  ^ / | + * ?  and  ; , lists and
+    `a`), FILTER (expr | [NOT] EXISTS), OPTIONAL, UNION, MINUS, BIND,
+    VALUES }, GROUP BY / HAVING, ORDER BY [ASC|DESC], LIMIT / OFFSET.
+
+Expressions compile straight to pyspark Columns via functions/sparql_funcs
+(JVM codegen — the parser never introduces Python execution).
+
+Out of scope (documented): CONSTRUCT/ASK/DESCRIBE text forms (the algebra
+API covers them), federation (SERVICE), named-graph dataset clauses.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from blazegraph_database_spark.functions import sparql_funcs as fn
+from blazegraph_database_spark.model.terms import Lit, Var
+from blazegraph_database_spark.plans import algebra as A
+
+# ----------------------------------------------------------------- lexer --
+TOKEN_RE = re.compile(
+    r"""
+    (?P<WS>\s+)
+  | (?P<COMMENT>\#[^\n]*)
+  | (?P<IRI><[^>\s]*>)
+  | (?P<VAR>[?$][A-Za-z_][A-Za-z0-9_]*)
+  | (?P<STRING>"(?:[^"\\]|\\.)*")
+  | (?P<NUM>[+-]?\d+\.\d+|[+-]?\d+)
+  | (?P<PNAME>[A-Za-z_][A-Za-z0-9_-]*:[A-Za-z0-9_.-]*)
+  | (?P<KW>[A-Za-z_][A-Za-z0-9_]*)
+  | (?P<OP>\^\^|\|\||&&|!=|<=|>=|[{}().,;|/^*+?!<>=\-])
+    """,
+    re.VERBOSE,
+)
+
+KEYWORDS = {
+    "select", "distinct", "reduced", "where", "filter", "optional", "union",
+    "minus", "bind", "values", "as", "group", "by", "having", "order", "asc",
+    "desc", "limit", "offset", "prefix", "exists", "not", "in", "a", "undef",
+    "true", "false",
+}
+
+
+@dataclass
+class Tok:
+    kind: str
+    text: str
+
+
+def tokenize(src: str) -> list[Tok]:
+    out, i = [], 0
+    while i < len(src):
+        m = TOKEN_RE.match(src, i)
+        if not m:
+            raise SyntaxError(f"SPARQL lex error at: {src[i:i+30]!r}")
+        i = m.end()
+        kind = m.lastgroup
+        if kind in ("WS", "COMMENT"):
+            continue
+        out.append(Tok(kind, m.group()))
+    out.append(Tok("EOF", ""))
+    return out
+
+
+FUNCS_1 = {
+    "STR": fn.STR, "STRLEN": fn.STRLEN, "UCASE": fn.UCASE, "LCASE": fn.LCASE,
+    "ABS": fn.ABS, "CEIL": fn.CEIL, "FLOOR": fn.FLOOR, "ROUND": fn.ROUND,
+    "YEAR": fn.YEAR, "MONTH": fn.MONTH, "DAY": fn.DAY, "HOURS": fn.HOURS,
+    "MINUTES": fn.MINUTES, "SECONDS": fn.SECONDS, "MD5": fn.MD5,
+    "SHA1": fn.SHA1, "SHA256": fn.SHA256, "SHA384": fn.SHA384,
+    "SHA512": fn.SHA512, "BOUND": fn.BOUND, "ISNUMERIC": fn.ISNUMERIC,
+    "IRI": fn.IRI, "URI": fn.IRI, "ENCODE_FOR_URI": fn.ENCODE_FOR_URI,
+}
+FUNCS_2 = {
+    "STRSTARTS": fn.STRSTARTS, "STRENDS": fn.STRENDS, "CONTAINS": fn.CONTAINS,
+    "STRBEFORE": fn.STRBEFORE, "STRAFTER": fn.STRAFTER, "REGEX": fn.REGEX,
+    "SAMETERM": fn.SAMETERM,
+}
+FUNCS_N = {"CONCAT": fn.CONCAT, "COALESCE": fn.COALESCE}
+AGGS = {"COUNT": fn.COUNT, "SUM": fn.SUM, "AVG": fn.AVG, "MIN": fn.MIN, "MAX": fn.MAX,
+        "GROUP_CONCAT": fn.GROUP_CONCAT, "SAMPLE": fn.SAMPLE}
+
+
+class Parser:
+    def __init__(self, src: str):
+        self.toks = tokenize(src)
+        self.i = 0
+        self.prefixes: dict[str, str] = {}
+        self._agg_counter = 0
+
+    # ------------------------------------------------------- tok helpers --
+    def peek(self, k: int = 0) -> Tok:
+        return self.toks[min(self.i + k, len(self.toks) - 1)]
+
+    def next(self) -> Tok:
+        t = self.toks[self.i]
+        self.i += 1
+        return t
+
+    def at_kw(self, *kws: str) -> bool:
+        t = self.peek()
+        return t.kind == "KW" and t.text.lower() in kws
+
+    def eat_kw(self, kw: str) -> None:
+        if not self.at_kw(kw):
+            raise SyntaxError(f"expected {kw.upper()}, got {self.peek().text!r}")
+        self.next()
+
+    def eat_op(self, op: str) -> None:
+        t = self.next()
+        if t.text != op:
+            raise SyntaxError(f"expected {op!r}, got {t.text!r}")
+
+    def at_op(self, *ops: str) -> bool:
+        return self.peek().text in ops
+
+    # ------------------------------------------------------------ terms --
+    def expand_pname(self, pname: str) -> str:
+        pfx, local = pname.split(":", 1)
+        if pfx not in self.prefixes:
+            # unknown prefix: keep the compact form (our stores use compact
+            # predicate names like customer#c_custkey directly)
+            return pname
+        return self.prefixes[pfx] + local
+
+    def term(self):
+        t = self.next()
+        if t.kind == "VAR":
+            return Var(t.text[1:])
+        if t.kind == "IRI":
+            return t.text[1:-1]
+        if t.kind == "PNAME":
+            return self.expand_pname(t.text)
+        if t.kind == "STRING":
+            lex = t.text[1:-1].replace('\\"', '"').replace("\\n", "\n").replace("\\\\", "\\")
+            if self.peek().text == "^^":
+                self.next()
+                dt_tok = self.next()
+                dt_iri = dt_tok.text[1:-1] if dt_tok.kind == "IRI" else self.expand_pname(dt_tok.text)
+                tag = {
+                    "http://www.w3.org/2001/XMLSchema#integer": "long",
+                    "http://www.w3.org/2001/XMLSchema#long": "long",
+                    "http://www.w3.org/2001/XMLSchema#double": "double",
+                    "http://www.w3.org/2001/XMLSchema#decimal": "double",
+                    "http://www.w3.org/2001/XMLSchema#boolean": "boolean",
+                    "http://www.w3.org/2001/XMLSchema#dateTime": "timestamp",
+                }.get(dt_iri, "string")
+                return Lit(lex, tag)
+            return Lit(lex)
+        if t.kind == "NUM":
+            return Lit(t.text, "double" if "." in t.text else "long")
+        if t.kind == "KW" and t.text.lower() == "true":
+            return Lit("true", "boolean")
+        if t.kind == "KW" and t.text.lower() == "false":
+            return Lit("false", "boolean")
+        raise SyntaxError(f"bad term: {t.text!r}")
+
+    # ------------------------------------------------------------ paths --
+    def path(self):
+        return self.path_alt()
+
+    def path_alt(self):
+        left = self.path_seq()
+        while self.at_op("|"):
+            self.next()
+            left = A.Alt(left, self.path_seq())
+        return left
+
+    def path_seq(self):
+        left = self.path_elt()
+        while self.at_op("/"):
+            self.next()
+            left = A.Seq(left, self.path_elt())
+        return left
+
+    def path_elt(self):
+        inv = False
+        if self.at_op("^"):
+            self.next()
+            inv = True
+        if self.at_op("("):
+            self.next()
+            p = self.path()
+            self.eat_op(")")
+        else:
+            t = self.next()
+            if t.kind == "IRI":
+                p = t.text[1:-1]
+            elif t.kind == "PNAME":
+                p = self.expand_pname(t.text)
+            elif t.kind == "KW" and t.text.lower() == "a":
+                p = "rdf:type"
+            else:
+                raise SyntaxError(f"bad path element: {t.text!r}")
+        if self.at_op("+"):
+            self.next()
+            p = A.Plus(p)
+        elif self.at_op("*"):
+            self.next()
+            p = A.Star(p)
+        elif self.at_op("?"):
+            self.next()
+            p = A.ZeroOrOne(p)
+        if inv:
+            p = A.Inv(p)
+        return p
+
+    def _is_simple_pred(self, p) -> bool:
+        return isinstance(p, str)
+
+    # ------------------------------------------------------ expressions --
+    def expr(self) -> Column:
+        return self.expr_or()
+
+    def expr_or(self) -> Column:
+        left = self.expr_and()
+        while self.at_op("||"):
+            self.next()
+            left = left | self.expr_and()
+        return left
+
+    def expr_and(self) -> Column:
+        left = self.expr_not()
+        while self.at_op("&&"):
+            self.next()
+            left = left & self.expr_not()
+        return left
+
+    def expr_not(self) -> Column:
+        if self.at_op("!"):
+            self.next()
+            return ~self.expr_not()
+        return self.expr_cmp()
+
+    def expr_cmp(self) -> Column:
+        left = self.expr_add()
+        if self.at_op("=", "!=", "<", "<=", ">", ">="):
+            op = self.next().text
+            right = self.expr_add()
+            return {
+                "=": lambda a, b: a == b, "!=": lambda a, b: a != b,
+                "<": lambda a, b: a < b, "<=": lambda a, b: a <= b,
+                ">": lambda a, b: a > b, ">=": lambda a, b: a >= b,
+            }[op](left, right)
+        if self.at_kw("in") or (self.at_kw("not") and self.peek(1).text.lower() == "in"):
+            neg = self.at_kw("not")
+            if neg:
+                self.next()
+            self.next()
+            self.eat_op("(")
+            vals = [self.expr()]
+            while self.at_op(","):
+                self.next()
+                vals.append(self.expr())
+            self.eat_op(")")
+            res = left.isin(*vals)
+            return ~res if neg else res
+        return left
+
+    def expr_add(self) -> Column:
+        left = self.expr_mul()
+        while self.at_op("+", "-"):
+            op = self.next().text
+            right = self.expr_mul()
+            left = left + right if op == "+" else left - right
+        return left
+
+    def expr_mul(self) -> Column:
+        left = self.expr_unary()
+        while self.at_op("*", "/"):
+            op = self.next().text
+            right = self.expr_unary()
+            left = left * right if op == "*" else left / right
+        return left
+
+    def expr_unary(self) -> Column:
+        if self.at_op("-"):
+            self.next()
+            return -self.expr_unary()
+        return self.expr_primary()
+
+    def expr_primary(self) -> Column:
+        t = self.peek()
+        if t.text == "(":
+            self.next()
+            e = self.expr()
+            self.eat_op(")")
+            return e
+        if t.kind == "VAR":
+            self.next()
+            return F.col(t.text[1:])
+        if t.kind == "NUM":
+            self.next()
+            return F.lit(float(t.text) if "." in t.text else int(t.text))
+        if t.kind == "STRING":
+            # a literal term (maybe typed); compare by lexical form
+            term = self.term()
+            if term.dt == "long":
+                return F.lit(int(term.lex))
+            if term.dt == "double":
+                return F.lit(float(term.lex))
+            return F.lit(term.lex)
+        if t.kind == "IRI":
+            self.next()
+            return F.lit(t.text[1:-1])
+        if t.kind == "KW":
+            kw = t.text.upper()
+            low = t.text.lower()
+            if low == "true":
+                self.next()
+                return F.lit(True)
+            if low == "false":
+                self.next()
+                return F.lit(False)
+            if kw == "IF":
+                self.next()
+                self.eat_op("(")
+                c = self.expr()
+                self.eat_op(",")
+                a = self.expr()
+                self.eat_op(",")
+                b = self.expr()
+                self.eat_op(")")
+                return fn.IF(c, a, b)
+            if kw == "SUBSTR":
+                self.next()
+                self.eat_op("(")
+                x = self.expr()
+                self.eat_op(",")
+                s = self.next().text
+                ln = None
+                if self.at_op(","):
+                    self.next()
+                    ln = int(self.next().text)
+                self.eat_op(")")
+                return fn.SUBSTR(x, int(s), ln) if ln is not None else fn.SUBSTR(x, int(s))
+            if kw == "REPLACE":
+                self.next()
+                self.eat_op("(")
+                x = self.expr()
+                self.eat_op(",")
+                pat = self.term().lex
+                self.eat_op(",")
+                rep = self.term().lex
+                self.eat_op(")")
+                return fn.REPLACE(x, pat, rep)
+            if kw in AGGS:
+                return self._agg_call()[1]
+            for table, arity in ((FUNCS_1, 1), (FUNCS_2, 2)):
+                if kw in table:
+                    self.next()
+                    self.eat_op("(")
+                    args = [self.expr()]
+                    for _ in range(arity - 1):
+                        self.eat_op(",")
+                        # string-literal args pass through as python strings
+                        if self.peek().kind == "STRING":
+                            args.append(self.term().lex)
+                        else:
+                            args.append(self.expr())
+                    self.eat_op(")")
+                    return table[kw](*args)
+            if kw in FUNCS_N:
+                self.next()
+                self.eat_op("(")
+                args = [self.expr()]
+                while self.at_op(","):
+                    self.next()
+                    args.append(self.expr())
+                self.eat_op(")")
+                return FUNCS_N[kw](*args)
+        raise SyntaxError(f"bad expression at {t.text!r}")
+
+    def _agg_call(self) -> tuple[str, Column]:
+        name = self.next().text.upper()
+        self.eat_op("(")
+        distinct = False
+        if self.at_kw("distinct"):
+            self.next()
+            distinct = True
+        if self.peek().text == "*":
+            self.next()
+            arg = None
+        else:
+            arg = self.expr()
+        self.eat_op(")")
+        if name == "COUNT":
+            if arg is None:
+                col = F.count(F.lit(1))
+            else:
+                col = F.count_distinct(arg) if distinct else F.count(arg)
+        else:
+            col = AGGS[name](arg)
+        return name.lower(), col
+
+    # ---------------------------------------------------- group patterns --
+    def group_graph_pattern(self):
+        """{ ... } → algebra node."""
+        self.eat_op("{")
+        node = None
+        filters: list[Column] = []
+        exists: list[tuple] = []
+
+        def add(n):
+            nonlocal node
+            node = n if node is None else A.Join(node, n)
+
+        while not self.at_op("}"):
+            if self.at_kw("filter"):
+                self.next()
+                if self.at_kw("exists"):
+                    self.next()
+                    exists.append((False, self.group_graph_pattern()))
+                elif self.at_kw("not") and self.peek(1).text.lower() == "exists":
+                    self.next()
+                    self.next()
+                    exists.append((True, self.group_graph_pattern()))
+                else:
+                    self.eat_op("(")
+                    filters.append(self.expr())
+                    self.eat_op(")")
+            elif self.at_kw("optional"):
+                self.next()
+                right = self.group_graph_pattern()
+                if node is None:
+                    raise SyntaxError("OPTIONAL with no left-hand pattern")
+                node = A.LeftJoin(node, right)
+            elif self.at_kw("minus"):
+                self.next()
+                right = self.group_graph_pattern()
+                node = A.Minus(node, right)
+            elif self.at_kw("bind"):
+                self.next()
+                self.eat_op("(")
+                e = self.expr()
+                self.eat_kw("as")
+                v = self.next().text[1:]
+                self.eat_op(")")
+                base = node if node is not None else A.BGP([])
+                node = A.Extend(base, v, e) if node is not None else A.Extend(_EMPTY, v, e)
+            elif self.at_kw("values"):
+                self.next()
+                node_vals = self._values_clause()
+                if node is None:
+                    node = node_vals
+                else:
+                    node = A.Values(node_vals.rows, child=node)
+            elif self.at_op("{"):
+                sub = self.group_graph_pattern()
+                while self.at_kw("union"):
+                    self.next()
+                    sub = A.Union2(sub, self.group_graph_pattern())
+                add(sub)
+            else:
+                add(self._triples_block())
+            if self.at_op("."):
+                self.next()
+        self.eat_op("}")
+        out = node if node is not None else A.BGP([])
+        for neg, pat in exists:
+            out = A.Exists(out, pat, negate=neg)
+        for f in filters:
+            out = A.Filter(f, out)
+        return out
+
+    def _values_clause(self) -> A.Values:
+        if self.peek().kind == "VAR":
+            var = self.next().text[1:]
+            self.eat_op("{")
+            rows = []
+            while not self.at_op("}"):
+                t = self.term()
+                rows.append({var: t.lex if isinstance(t, Lit) else t})
+            self.eat_op("}")
+            return A.Values(rows)
+        self.eat_op("(")
+        vars_ = []
+        while self.peek().kind == "VAR":
+            vars_.append(self.next().text[1:])
+        self.eat_op(")")
+        self.eat_op("{")
+        rows = []
+        while self.at_op("("):
+            self.next()
+            row = {}
+            for v in vars_:
+                if self.at_kw("undef"):
+                    self.next()
+                    continue
+                t = self.term()
+                row[v] = t.lex if isinstance(t, Lit) else t
+            self.eat_op(")")
+            rows.append(row)
+        self.eat_op("}")
+        return A.Values(rows)
+
+    def _triples_block(self):
+        """subject (path|pred) object (, object)* (; pred obj...)* — returns
+        BGP (plain predicates) possibly joined with PathPatterns."""
+        subj = self.term()
+        sps: list[A.SP] = []
+        paths: list[A.PathPattern] = []
+        while True:
+            if self.at_kw("a"):
+                self.next()
+                pred = "rdf:type"
+            elif self.peek().kind == "VAR":
+                pred = Var(self.next().text[1:])
+            else:
+                pred = self.path()
+            while True:
+                obj = self.term()
+                if isinstance(pred, Var) or self._is_simple_pred(pred):
+                    sps.append(A.SP(subj, pred, obj))
+                else:
+                    paths.append(A.PathPattern(subj, pred, obj))
+                if self.at_op(","):
+                    self.next()
+                    continue
+                break
+            if self.at_op(";"):
+                self.next()
+                if self.at_op(".", "}"):  # dangling ;
+                    break
+                continue
+            break
+        node = A.BGP(sps) if sps else None
+        for pp in paths:
+            node = pp if node is None else A.Join(node, pp)
+        return node
+
+    # ------------------------------------------------------- query root --
+    def parse_select(self):
+        while self.at_kw("prefix"):
+            self.next()
+            pname = self.next().text  # 'pfx:'
+            iri = self.next().text[1:-1]
+            self.prefixes[pname[:-1]] = iri
+        self.eat_kw("select")
+        distinct = False
+        if self.at_kw("distinct") or self.at_kw("reduced"):
+            distinct = self.peek().text.lower() == "distinct"
+            self.next()
+        proj: list[str] | None = []
+        binds: list[tuple[str, Column]] = []
+        agg_sel: list[tuple[str, Column]] = []
+        if self.at_op("*"):
+            self.next()
+            proj = None
+        else:
+            while True:
+                if self.peek().kind == "VAR":
+                    proj.append(self.next().text[1:])
+                elif self.at_op("("):
+                    self.next()
+                    if self.peek().kind == "KW" and self.peek().text.upper() in AGGS:
+                        _, col = self._agg_call()
+                        self.eat_kw("as")
+                        v = self.next().text[1:]
+                        agg_sel.append((v, col))
+                    else:
+                        e = self.expr()
+                        self.eat_kw("as")
+                        v = self.next().text[1:]
+                        binds.append((v, e))
+                    self.eat_op(")")
+                    proj.append(v)
+                else:
+                    break
+        if self.at_kw("where"):
+            self.next()
+        node = self.group_graph_pattern()
+
+        group_keys: list[str] = []
+        having: Column | None = None
+        if self.at_kw("group"):
+            self.next()
+            self.eat_kw("by")
+            while self.peek().kind == "VAR":
+                group_keys.append(self.next().text[1:])
+        if self.at_kw("having"):
+            self.next()
+            self.eat_op("(")
+            having = self.expr()
+            self.eat_op(")")
+
+        order: list[tuple] = []
+        if self.at_kw("order"):
+            self.next()
+            self.eat_kw("by")
+            while True:
+                if self.at_kw("asc") or self.at_kw("desc"):
+                    asc = self.peek().text.lower() == "asc"
+                    self.next()
+                    self.eat_op("(")
+                    e = self.expr()
+                    self.eat_op(")")
+                    order.append((e, asc))
+                elif self.peek().kind == "VAR":
+                    order.append((F.col(self.next().text[1:]), True))
+                else:
+                    break
+        limit = offset = None
+        for _ in range(2):
+            if self.at_kw("limit"):
+                self.next()
+                limit = int(self.next().text)
+            elif self.at_kw("offset"):
+                self.next()
+                offset = int(self.next().text)
+
+        # assemble: binds → group/aggregates → having → order → project →
+        # distinct → slice (SPARQL algebra ordering)
+        for v, e in binds:
+            node = A.Extend(node, v, e)
+        if group_keys or agg_sel:
+            aggs = agg_sel or [("__count", fn.COUNT())]
+            node = A.Group(node, keys=tuple(group_keys), aggs=aggs, having=having)
+        if proj is not None and proj:
+            node = A.Project(node, proj)
+        if distinct:
+            node = A.Distinct(node)
+        # ORDER BY after DISTINCT so dedup's shuffle can't destroy the order;
+        # subset limitation: sort keys must be projected variables
+        if order:
+            node = A.OrderBy(node, order)
+        if limit is not None or offset is not None:
+            node = A.Slice(node, limit=limit, offset=offset or 0)
+        if self.peek().kind != "EOF":
+            raise SyntaxError(f"trailing tokens at {self.peek().text!r}")
+        return node
+
+
+_EMPTY = A.BGP([])
+
+
+def parse_sparql_select(src: str):
+    """Parse a SPARQL SELECT string into an algebra plan (evaluate with
+    plans.compiler.evaluate)."""
+    return Parser(src).parse_select()

@@ -381,3 +381,56 @@ def bind_datatype_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = A.Extend(p, "pri_code", fn.SUBSTR("pri", 1, 1))
     p = A.Extend(p, "status_hash", fn.MD5("stat"))
     return evaluate(st, A.Project(p, ["o_id", "yr", "mo", "pri_code", "status_hash"]))
+
+
+@register(
+    "sparql_text_join_agg",
+    """
+    SELECT n_name AS nname, COUNT(*) AS n_orders
+    FROM orders JOIN customer ON o_custkey = c_custkey JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def sparql_text_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end SPARQL *text* → parse → compile → evaluate (§2.12:
+    plans/sparql_parser.py); same shape as the flagship BGP query."""
+    from blazegraph_database_spark.plans.sparql_parser import parse_sparql_select
+
+    st = cached_store(spark, sf_dir)
+    plan = parse_sparql_select(
+        """
+        SELECT ?nname (COUNT(*) AS ?n_orders) WHERE {
+          ?o <orders#o_custkey_ref> ?c .
+          ?c <customer#c_nationkey_ref> ?n .
+          ?n <nation#n_name> ?nname .
+        } GROUP BY ?nname
+        """
+    )
+    return evaluate(st, plan)
+
+
+@register(
+    "sparql_text_filter_path",
+    """
+    SELECT CAST(o_orderkey AS VARCHAR) AS ok FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    WHERE o_totalprice > 450000.0 AND c_mktsegment = 'BUILDING'
+    """,
+)
+def sparql_text_filter_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL text with FILTER + a sequence property path."""
+    from blazegraph_database_spark.plans.sparql_parser import parse_sparql_select
+
+    st = cached_store(spark, sf_dir)
+    plan = parse_sparql_select(
+        """
+        SELECT ?ok WHERE {
+          ?o <orders#o_orderkey> ?ok ;
+             <orders#o_totalprice> ?tp ;
+             <orders#o_custkey_ref>/<customer#c_mktsegment> ?seg .
+          FILTER (?tp > 450000.0)
+          FILTER (?seg = "BUILDING")
+        }
+        """
+    )
+    return evaluate(st, plan)
