@@ -245,12 +245,33 @@ def _(node: A.Group, store: TripleStore) -> DataFrame:
     return out
 
 
+def _push_graph(node, g):
+    """Rewrite a pattern tree so every SP carries the GRAPH term (the SP
+    compiler handles constant/variable g positions natively)."""
+    if isinstance(node, A.SP):
+        return A.SP(node.s, node.p, node.o, g if node.g is None else node.g)
+    if isinstance(node, A.BGP):
+        return A.BGP([_push_graph(p, g) for p in node.patterns])
+    if isinstance(node, A.GraphScope):
+        return node  # inner GRAPH overrides
+    if isinstance(node, A.PathPattern):
+        raise NotImplementedError("property path inside GRAPH ?var")
+    for children in (("child",), ("left", "right")):
+        if all(hasattr(node, c) for c in children):
+            import dataclasses
+
+            return dataclasses.replace(
+                node, **{c: _push_graph(getattr(node, c), g) for c in children}
+            )
+    return node
+
+
 @_compile.register
 def _(node: A.GraphScope, store: TripleStore) -> DataFrame:
     if isinstance(node.g, Var):
-        # bind graph var: compile child per-graph is wasteful; instead push g
-        # into pattern compilation by treating quads directly
-        raise NotImplementedError("GRAPH ?var: pass g=Var into SP patterns instead")
+        if not store.has_graphs:
+            raise ValueError("GRAPH ?var over a triples-only store")
+        return _compile(_push_graph(node.child, node.g), store)
     return _compile(node.child, store.graph(const_lex(node.g)))
 
 

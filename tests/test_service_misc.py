@@ -1,0 +1,95 @@
+"""SERVICE registry, skew helpers, dictionary encoding, and named-graph
+(GRAPH) scoping tests — the remaining SURVEY §2 line items."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from blazegraph_database_spark.model.store import TripleStore
+from blazegraph_database_spark.model.terms import Var as V
+from blazegraph_database_spark.operators import service, skew
+from blazegraph_database_spark.plans import algebra as A
+from blazegraph_database_spark.plans.compiler import evaluate
+
+
+def test_service_bds_search(spark):
+    docs = spark.createDataFrame(
+        [(1, "spark spark engine"), (2, "other words here")], "doc_id long, text string"
+    )
+    out = service.call_service(spark, "bds:search", {"df": docs, "query": "spark"})
+    assert [r["id"] for r in out.collect()] == [1]
+    pre = service.call_service(spark, "bds:search", {"df": docs, "query": "spar*"})
+    assert [r["id"] for r in pre.collect()] == [1]
+
+
+def test_service_geo_and_unknown(spark):
+    pts = spark.createDataFrame([(1, 5.0, 5.0), (2, 50.0, 50.0)], "id long, lat double, lon double")
+    out = service.call_service(
+        spark, "geo:search", {"df": pts, "shape": "rect", "lat0": 0.0, "lat1": 10.0, "lon0": 0.0, "lon1": 10.0}
+    )
+    assert [r["id"] for r in out.collect()] == [1]
+    with pytest.raises(KeyError):
+        service.call_service(spark, "no:such", {})
+
+
+def test_remote_service_stubbed(spark):
+    fn = service.remote_sparql_service("http://example.org/sparql")
+    with pytest.raises(NotImplementedError, match="no network"):
+        fn(spark, {})
+
+
+def test_salted_groupby_matches_plain(spark):
+    df = spark.createDataFrame(
+        [("hot", float(i)) for i in range(100)] + [("cold", 1.0)], "k string, v double"
+    )
+    out = {
+        r["k"]: (r["n"], r["s"], r["mn"], r["mx"])
+        for r in skew.salted_groupby_agg(
+            df, "k", [("n", "count", "v"), ("s", "sum", "v"), ("mn", "min", "v"), ("mx", "max", "v")]
+        ).collect()
+    }
+    assert out["hot"] == (100, sum(float(i) for i in range(100)), 0.0, 99.0)
+    assert out["cold"] == (1, 1.0, 1.0, 1.0)
+
+
+def test_salted_join_matches_plain(spark):
+    big = spark.createDataFrame([("a", i) for i in range(50)] + [("b", 0)], "k string, v long")
+    small = spark.createDataFrame([("a", "x"), ("b", "y"), ("c", "z")], "k string, tag string")
+    plain = {(r["k"], r["v"], r["tag"]) for r in big.join(small, on="k").collect()}
+    salted = {(r["k"], r["v"], r["tag"]) for r in skew.salted_join(big, small, on="k", salts=4).collect()}
+    assert salted == plain
+
+
+def test_dictionary_roundtrip(spark):
+    from blazegraph_database_spark.model import dictionary
+
+    st = TripleStore(
+        spark.createDataFrame(
+            [("a", "knows", "b", "iri"), ("a", "age", "30", "long")],
+            "s string, p string, o_lex string, o_dt string",
+        )
+    )
+    enc = dictionary.encode(st)
+    assert set(enc.triples.columns) == {"s_id", "p_id", "o_id"}
+    dec = dictionary.decode(enc)
+    assert sorted(map(tuple, dec.df.select("s", "p", "o_lex", "o_dt").collect())) == sorted(
+        map(tuple, st.df.collect())
+    )
+
+
+def test_graph_scope_quads(spark):
+    quads = spark.createDataFrame(
+        [
+            ("a", "p", "1", "long", "g1"),
+            ("a", "p", "2", "long", "g2"),
+            ("b", "p", "3", "long", "g1"),
+        ],
+        "s string, p string, o_lex string, o_dt string, g string",
+    )
+    st = TripleStore(quads)
+    out = evaluate(st, A.GraphScope("g1", A.SP(V("x"), "p", V("v"))))
+    assert {(r["x"], r["v"]) for r in out.collect()} == {("a", "1"), ("b", "3")}
+    # variable graph binds the graph name
+    out2 = evaluate(st, A.GraphScope(V("g"), A.SP(V("x"), "p", V("v"))))
+    assert {(r["g"], r["x"]) for r in out2.collect()} == {("g1", "a"), ("g1", "b"), ("g2", "a")}
