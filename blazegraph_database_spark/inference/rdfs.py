@@ -43,22 +43,24 @@ def _chk(df: DataFrame) -> DataFrame:
 
 
 def transitive_closure(edges: DataFrame, max_iters: int = MAX_ITERS) -> DataFrame:
-    """Semi-naive transitive closure of (src, dst): only the newest paths
-    join per round (delta ⋈ base), so work is proportional to new facts."""
-    base = _chk(edges.select("src", "dst").distinct())
-    all_e, delta = base, base
+    """Transitive closure of (src, dst) by iterative doubling: each round
+    joins the closure-so-far with itself, doubling the reachable path
+    length, so a depth-d hierarchy closes in ceil(log2 d) rounds instead of
+    d. Round cost is the self-join of the current closure — the right trade
+    for schema hierarchies (deep, narrow); per-round fixed job cost
+    dominates at their size."""
+    all_e = _chk(edges.select("src", "dst").distinct())
     for _ in range(max_iters):
         grown = (
-            delta.alias("d")
-            .join(base.alias("e"), F.col("d.dst") == F.col("e.src"))
-            .select(F.col("d.src").alias("src"), F.col("e.dst").alias("dst"))
+            all_e.alias("a")
+            .join(all_e.alias("b"), F.col("a.dst") == F.col("b.src"))
+            .select(F.col("a.src").alias("src"), F.col("b.dst").alias("dst"))
             .distinct()
         )
         new = _chk(grown.join(all_e, on=["src", "dst"], how="left_anti"))
         if new.isEmpty():
             break
         all_e = _chk(all_e.unionByName(new))
-        delta = new
     return all_e
 
 
@@ -73,53 +75,72 @@ def _as_triples(edges: DataFrame, pred: str) -> DataFrame:
 
 
 def rdfs_closure_pass(df: DataFrame) -> DataFrame:
-    """One full rule pass; returns df ∪ newly inferred triples (distinct)."""
-    # rdfs5: subPropertyOf is transitive (schema-only, tiny)
-    subprop = transitive_closure(_edges(df, RDFS_SUBPROP))
-    # rdfs7: (s p o) + (p subPropertyOf q) => (s q o)
-    inf7 = (
-        df.join(F.broadcast(subprop), df["p"] == subprop["src"])
-        .select("s", F.col("dst").alias("p"), "o_lex", "o_dt")
-    )
-    data = df.unionByName(inf7)
-    # rdfs2: (p domain c) + (s p o) => (s rdf:type c)
-    dom = _edges(df, RDFS_DOMAIN)
-    inf2 = (
-        data.join(F.broadcast(dom), data["p"] == dom["src"])
-        .select("s", F.lit(RDF_TYPE).alias("p"), F.col("dst").alias("o_lex"), F.lit("iri").alias("o_dt"))
-    )
-    # rdfs3: (p range c) + (s p o) => (o rdf:type c) — IRI objects only
-    rng = _edges(df, RDFS_RANGE)
-    inf3 = (
-        data.filter(F.col("o_dt") == "iri")
-        .join(F.broadcast(rng), data["p"] == rng["src"])
-        .select(
-            F.col("o_lex").alias("s"), F.lit(RDF_TYPE).alias("p"), F.col("dst").alias("o_lex"), F.lit("iri").alias("o_dt")
+    """One stratified rule pass: rdfs5 → rdfs7 → rdfs2/3 → rdfs11 → rdfs9
+    (the reference's fast-closure rule order — each rule's outputs feed only
+    later strata, so the pass is complete for standard RDFS schemas in one
+    shot). Rules whose schema premise is empty are skipped entirely — the
+    common case pays only for the rules its ontology actually uses."""
+    subprop_e = _edges(df, RDFS_SUBPROP)
+    data = df
+    extra = []
+    if not subprop_e.isEmpty():
+        # rdfs5 closure; rdfs7: (s p o) + (p subPropertyOf q) => (s q o)
+        subprop = transitive_closure(subprop_e)
+        inf7 = (
+            df.join(F.broadcast(subprop), df["p"] == subprop["src"])
+            .select("s", F.col("dst").alias("p"), "o_lex", "o_dt")
         )
-    )
-    # rdfs11: subClassOf transitive (schema-only)
-    subclass = transitive_closure(_edges(df, RDFS_SUBCLASS))
-    inf11 = _as_triples(subclass, RDFS_SUBCLASS)
-    # rdfs9: (x rdf:type c) + (c subClassOf d) => (x rdf:type d)
-    types = data.filter(F.col("p") == RDF_TYPE).unionByName(inf2).unionByName(inf3)
-    inf9 = (
-        types.join(F.broadcast(subclass), types["o_lex"] == subclass["src"])
-        .select("s", F.lit(RDF_TYPE).alias("p"), F.col("dst").alias("o_lex"), F.lit("iri").alias("o_dt"))
-    )
-    inf5 = _as_triples(subprop, RDFS_SUBPROP)
-    return (
-        data.unionByName(inf2)
-        .unionByName(inf3)
-        .unionByName(inf5)
-        .unionByName(inf11)
-        .unionByName(inf9)
-        .distinct()
-    )
+        data = df.unionByName(inf7)
+        extra.append(_as_triples(subprop, RDFS_SUBPROP))
+    type_parts = [data.filter(F.col("p") == RDF_TYPE)]
+    dom = _edges(df, RDFS_DOMAIN)
+    if not dom.isEmpty():
+        # rdfs2: (p domain c) + (s p o) => (s rdf:type c)
+        inf2 = (
+            data.join(F.broadcast(dom), data["p"] == dom["src"])
+            .select("s", F.lit(RDF_TYPE).alias("p"), F.col("dst").alias("o_lex"), F.lit("iri").alias("o_dt"))
+        )
+        extra.append(inf2)
+        type_parts.append(inf2)
+    rng = _edges(df, RDFS_RANGE)
+    if not rng.isEmpty():
+        # rdfs3: (p range c) + (s p o) => (o rdf:type c) — IRI objects only
+        inf3 = (
+            data.filter(F.col("o_dt") == "iri")
+            .join(F.broadcast(rng), data["p"] == rng["src"])
+            .select(
+                F.col("o_lex").alias("s"), F.lit(RDF_TYPE).alias("p"), F.col("dst").alias("o_lex"), F.lit("iri").alias("o_dt")
+            )
+        )
+        extra.append(inf3)
+        type_parts.append(inf3)
+    subclass_e = _edges(df, RDFS_SUBCLASS)
+    if not subclass_e.isEmpty():
+        # rdfs11 closure; rdfs9: (x type c) + (c subClassOf d) => (x type d)
+        subclass = transitive_closure(subclass_e)
+        extra.append(_as_triples(subclass, RDFS_SUBCLASS))
+        types = type_parts[0]
+        for t in type_parts[1:]:
+            types = types.unionByName(t)
+        inf9 = (
+            types.join(F.broadcast(subclass), types["o_lex"] == subclass["src"])
+            .select("s", F.lit(RDF_TYPE).alias("p"), F.col("dst").alias("o_lex"), F.lit("iri").alias("o_dt"))
+        )
+        extra.append(inf9)
+    out = data
+    for e in extra:
+        out = out.unionByName(e)
+    return out.distinct()
 
 
-def rdfs_closure(store: TripleStore, max_passes: int = 4) -> TripleStore:
-    """Full-materialization forward closure to fixpoint."""
+def rdfs_closure(store: TripleStore, max_passes: int = 1) -> TripleStore:
+    """Forward closure. One stratified pass is complete for standard RDFS
+    rule interaction (see rdfs_closure_pass); pass max_passes>1 to iterate
+    to a counted fixpoint for exotic self-referential schemas
+    (e.g. subPropertyOf of rdf:type)."""
     df = _chk(store.df.select("s", "p", "o_lex", "o_dt").distinct())
+    if max_passes == 1:
+        return TripleStore(_chk(rdfs_closure_pass(df)))
     n = df.count()
     for _ in range(max_passes):
         df = _chk(rdfs_closure_pass(df))

@@ -109,8 +109,8 @@ def load_tables(spark: SparkSession, sf_dir: str, tables: list[str] | None = Non
 
 
 def _pred_source_factories(
-    spark: SparkSession, sf_dir: str, tables: list[str]
-) -> dict[str, "callable"]:
+    spark: SparkSession, sf_dir: str, tables: list[str], schemas: dict
+) -> tuple[dict, dict]:
     """One lazy factory per predicate serving its triples straight from the
     base table parquet — the virtual POS index. A constant-predicate BGP
     pattern becomes `scan(table) → project(key, col)`: parquet column
@@ -140,25 +140,24 @@ def _pred_source_factories(
     out: dict = {}
     for t in tables:
         _, fks = TPCH_SCHEMA[t]
-        schema = spark.read.parquet(f"{sf_dir}/{t}.parquet").schema
-        for f in schema.fields:
+        for f in schemas[t].fields:
             if isinstance(f.dataType, T.ArrayType):
                 continue
             out[f"{t}#{f.name}"] = factory(t, f.name, _dt_tag(f.dataType), None)
             if f.name in fks:
                 out[f"{t}#{f.name}_ref"] = factory(t, f.name, "iri", fks[f.name])
-    return out
+    return out, schemas
 
 
-def _metadata_stats(spark: SparkSession, sf_dir: str, tables: list[str]) -> dict[str, PredStat]:
-    """B+Tree-range-count-style stats without materializing any triples:
-    parquet row counts per table (metadata-only) sized per predicate."""
-    counts = {t: spark.read.parquet(f"{sf_dir}/{t}.parquet").count() for t in tables}
+def _metadata_stats(
+    schemas: dict[str, "T.StructType"], counts: dict[str, int]
+) -> dict[str, PredStat]:
+    """B+Tree-range-count-style stats without materializing any triples —
+    row counts come straight from parquet footers, zero Spark jobs."""
     stats: dict[str, PredStat] = {}
-    for t in tables:
+    for t, schema in schemas.items():
         n = counts[t]
         _, fks = TPCH_SCHEMA[t]
-        schema = spark.read.parquet(f"{sf_dir}/{t}.parquet").schema
         for f in schema.fields:
             if isinstance(f.dataType, T.ArrayType):
                 continue
@@ -167,6 +166,12 @@ def _metadata_stats(spark: SparkSession, sf_dir: str, tables: list[str]) -> dict
                 ref_n = counts.get(fks[f.name]) or n
                 stats[f"{t}#{f.name}_ref"] = PredStat(n, max(n, 1), max(ref_n, 1))
     return stats
+
+
+def _footer_count(path: str) -> int:
+    import pyarrow.parquet as pq
+
+    return pq.ParquetFile(path).metadata.num_rows
 
 
 def store_from_sf_dir(spark: SparkSession, sf_dir: str, tables: list[str] | None = None) -> TripleStore:
@@ -181,8 +186,11 @@ def store_from_sf_dir(spark: SparkSession, sf_dir: str, tables: list[str] | None
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
-    store = TripleStore(out, pred_sources=_pred_source_factories(spark, sf_dir, tables))
-    store._stats = _metadata_stats(spark, sf_dir, tables)
+    schemas = {t: df.schema for t, df in dfs.items()}  # one footer read per table
+    sources, _ = _pred_source_factories(spark, sf_dir, tables, schemas)
+    store = TripleStore(out, pred_sources=sources)
+    counts = {t: _footer_count(f"{sf_dir}/{t}.parquet") for t in tables}
+    store._stats = _metadata_stats(schemas, counts)
     return store
 
 
