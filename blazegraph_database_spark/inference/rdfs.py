@@ -60,7 +60,9 @@ def transitive_closure(edges: DataFrame, max_iters: int = MAX_ITERS) -> DataFram
         new = _chk(grown.join(all_e, on=["src", "dst"], how="left_anti"))
         if new.isEmpty():
             break
-        all_e = _chk(all_e.unionByName(new))
+        # new is checkpointed; the union stays a shallow wrapper over
+        # materialized pieces — no second job per round.
+        all_e = all_e.unionByName(new)
     return all_e
 
 

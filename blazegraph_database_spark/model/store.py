@@ -11,7 +11,7 @@ way the reference's B+Tree range counts drive its static join optimizer
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -26,7 +26,6 @@ class PredStat:
     n_distinct_o: int
 
 
-@dataclass
 class TripleStore:
     """An immutable triple set. ``df`` has columns s,p,o_lex,o_dt[,g].
 
@@ -37,13 +36,42 @@ class TripleStore:
     reader) instead of a filter over the melted union — the true POS-index
     analog, and the difference between scanning one column of one table and
     scanning every triple at 100 TB. The melted ``df`` remains the general
-    path (variable predicates, CONSTRUCT output, closure results).
+    path (variable predicates, CONSTRUCT output, closure results); when a
+    ``df_factory`` is given, that union view is built only on first access,
+    so stores whose queries stay on the virtual indices never pay for it.
     """
 
-    df: DataFrame
-    _stats: dict[str, PredStat] | None = field(default=None, repr=False)
-    pred_sources: dict | None = field(default=None, repr=False)
-    _src_cache: dict = field(default_factory=dict, repr=False)
+    def __init__(
+        self,
+        df: DataFrame | None = None,
+        _stats: dict[str, PredStat] | None = None,
+        pred_sources: dict | None = None,
+        df_factory=None,
+        star_factory=None,
+        pred_table: dict | None = None,
+    ):
+        if df is None and df_factory is None:
+            raise ValueError("TripleStore needs df or df_factory")
+        self._df = df
+        self._df_factory = df_factory
+        self._stats = _stats
+        self.pred_sources = pred_sources
+        # Star-fusion hooks (see plans/compiler._compile_bgp): pred_table maps
+        # predicate → base table; star_factory([preds]) returns one scan with
+        # columns ("s", <pred>, ...) when all preds live in that one table.
+        self.star_factory = star_factory
+        self.pred_table = pred_table
+        self._src_cache: dict = {}
+
+    @property
+    def df(self) -> DataFrame:
+        if self._df is None:
+            self._df = self._df_factory()
+        return self._df
+
+    @df.setter
+    def df(self, value: DataFrame) -> None:
+        self._df = value
 
     def pattern_source(self, pred: str) -> DataFrame | None:
         """Virtual-index DataFrame for a constant predicate, if registered."""
@@ -55,7 +83,11 @@ class TripleStore:
 
     @property
     def spark(self) -> SparkSession:
-        return self.df.sparkSession
+        if self._df is not None:
+            return self._df.sparkSession
+        # Don't force the lazy union view just to get a session handle.
+        active = SparkSession.getActiveSession()
+        return active if active is not None else self.df.sparkSession
 
     @property
     def has_graphs(self) -> bool:

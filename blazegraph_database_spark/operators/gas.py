@@ -41,33 +41,46 @@ def bfs(edges: DataFrame, sources: list[str], max_depth: int = MAX_ITERS) -> Dat
 
     Ref: analytics/BFS.java (depth + predecessor per visited vertex).
     Predecessor choice among equal-depth parents is min(), deterministic.
+
+    One materializing job per round: only the frontier delta is checkpointed;
+    the visited set stays a shallow union of already-checkpointed deltas, so
+    unioning it costs nothing extra and the anti-join reads materialized data.
     """
     spark = edges.sparkSession
     e = _chk(edges.select("src", "dst"))  # edges re-join every round: materialize once
-    state = _chk(
+    seed = _chk(
         spark.createDataFrame([(s, 0, None) for s in sources], "node string, depth int, pred string")
     )
-    frontier = state.select("node")
+    parts = [seed]
+    visited = seed.select("node")
+    frontier = visited
     for d in range(1, max_depth + 1):
         msgs = (
             frontier.join(e, frontier.node == e.src)
             .groupBy(F.col("dst").alias("node"))
             .agg(F.min("src").alias("pred"))
         )
-        new = msgs.join(state.select("node"), on="node", how="left_anti")
+        new = msgs.join(visited, on="node", how="left_anti")
         new = _chk(new.select("node", F.lit(d).alias("depth"), "pred"))
         if new.isEmpty():
             break
-        state = _chk(state.unionByName(new))
+        parts.append(new)
+        visited = visited.unionByName(new.select("node"))
         frontier = new.select("node")
-    return state
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def sssp(edges: DataFrame, sources: list[str], max_iters: int = MAX_ITERS) -> DataFrame:
     """Single-source shortest paths over weighted edges: (node, dist).
 
     Ref: analytics/SSSP.java. Bellman-Ford-style frontier relaxation: only
-    vertices whose distance improved scatter in the next round.
+    vertices whose distance improved scatter in the next round. One
+    materializing job per round — state and the improved-flag come out of
+    the same checkpointed plan, so convergence detection is a cheap filter
+    over materialized data, not a second job.
     """
     spark = edges.sparkSession
     e = _chk(edges.select("src", "dst", F.col("weight").cast("double").alias("weight")))
@@ -79,17 +92,17 @@ def sssp(edges: DataFrame, sources: list[str], max_iters: int = MAX_ITERS) -> Da
             .groupBy(F.col("dst").alias("node"))
             .agg(F.min(F.col("dist") + F.col("weight")).alias("cand"))
         )
-        joined = msgs.join(state, on="node", how="left")
-        improved = joined.filter(F.col("dist").isNull() | (F.col("cand") < F.col("dist"))).select(
-            "node", F.col("cand").alias("dist")
+        merged = _chk(
+            state.join(msgs, on="node", how="full").select(
+                "node",
+                F.least(F.col("dist"), F.col("cand")).alias("dist"),
+                (F.col("dist").isNull() | (F.col("cand") < F.col("dist"))).alias("improved"),
+            )
         )
-        improved = _chk(improved)
-        if improved.isEmpty():
+        frontier = merged.filter("improved").select("node", "dist")
+        if frontier.isEmpty():
             break
-        state = _chk(
-            state.join(improved.select("node"), on="node", how="left_anti").unionByName(improved)
-        )
-        frontier = improved
+        state = merged.select("node", "dist")
     return state
 
 
@@ -97,6 +110,8 @@ def connected_components(edges: DataFrame, max_iters: int = MAX_ITERS) -> DataFr
     """Undirected connected components: (node, component=min reachable id).
 
     Ref: analytics/CC.java (label = min vertex id, propagated to fixpoint).
+    One materializing job per round: the changed-flag rides along in the
+    checkpointed state so convergence is a filter, not a plan re-execution.
     """
     e = _chk(undirect(edges))
     state = _chk(
@@ -108,12 +123,15 @@ def connected_components(edges: DataFrame, max_iters: int = MAX_ITERS) -> DataFr
             .groupBy(F.col("dst").alias("node"))
             .agg(F.min("comp").alias("cand"))
         )
-        merged = state.join(msgs, on="node", how="left").select(
-            "node", F.least(F.col("comp"), F.col("cand")).alias("new_comp"), F.col("comp")
+        merged = _chk(
+            state.join(msgs, on="node", how="left").select(
+                "node",
+                F.least(F.col("comp"), F.col("cand")).alias("comp"),
+                (F.col("cand") < F.col("comp")).alias("changed"),
+            )
         )
-        changed = merged.filter(F.col("new_comp") < F.col("comp"))
-        state = _chk(merged.select("node", F.col("new_comp").alias("comp")))
-        if changed.isEmpty():
+        state = merged.select("node", "comp")
+        if merged.filter("changed").isEmpty():
             break
     return state
 
@@ -122,35 +140,46 @@ def pagerank(edges: DataFrame, damping: float = 0.85, iters: int = 20) -> DataFr
     """PageRank: (node, rank). Ref: analytics/PR.java (same damping default).
 
     Dangling mass is redistributed uniformly each round (matches the usual
-    formulation; the reference normalizes the same way). Fixed iteration count
-    keeps every round a pure join+agg; at scale, out-degree is precomputed
-    once and the rank⋈edges join is the only shuffle per round.
+    formulation; the reference normalizes the same way). Out-degree is
+    attached to the vertex state once, so each round is exactly one
+    materializing job: contribution join+agg, with the dangling-mass scalar
+    folded in as a one-row crossJoin instead of a driver-side collect.
     """
     e = _chk(edges.select("src", "dst"))
+    deg = e.groupBy(F.col("src").alias("node")).agg(F.count(F.lit(1)).alias("deg"))
     nodes = _chk(
-        e.select(F.col("src").alias("node")).unionByName(e.select(F.col("dst").alias("node"))).distinct()
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .join(deg, on="node", how="left")
+        .select("node", F.coalesce(F.col("deg"), F.lit(0)).alias("deg"))
     )
     n = nodes.count()
-    deg = e.groupBy(F.col("src").alias("node")).agg(F.count(F.lit(1)).alias("deg"))
-    state = _chk(nodes.select("node", F.lit(1.0 / n).alias("rank")))
+    state = _chk(nodes.select("node", "deg", F.lit(1.0 / n).alias("rank")))
     for _ in range(iters):
-        wd = state.join(deg, on="node", how="left")
-        dangling = wd.filter(F.col("deg").isNull()).agg(F.coalesce(F.sum("rank"), F.lit(0.0))).collect()[0][0]
+        dangling = state.filter(F.col("deg") == 0).agg(
+            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dmass")
+        )
         contribs = (
-            wd.filter(F.col("deg").isNotNull())
-            .join(e, wd.node == e.src)
+            state.filter(F.col("deg") > 0)
+            .join(e, state.node == e.src)
             .groupBy(F.col("dst").alias("node"))
             .agg(F.sum(F.col("rank") / F.col("deg")).alias("inflow"))
         )
-        state = nodes.join(contribs, on="node", how="left").select(
-            "node",
-            (
-                F.lit((1.0 - damping) / n)
-                + F.lit(damping) * (F.coalesce(F.col("inflow"), F.lit(0.0)) + F.lit(dangling / n))
-            ).alias("rank"),
+        state = _chk(
+            nodes.join(contribs, on="node", how="left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "node",
+                "deg",
+                (
+                    F.lit((1.0 - damping) / n)
+                    + F.lit(damping)
+                    * (F.coalesce(F.col("inflow"), F.lit(0.0)) + F.col("dmass") / F.lit(float(n)))
+                ).alias("rank"),
+            )
         )
-        state = _chk(state)
-    return state
+    return state.select("node", "rank")
 
 
 def paths(edges: DataFrame, source: str, target: str, max_length: int = 8) -> DataFrame:

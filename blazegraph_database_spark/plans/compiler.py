@@ -81,27 +81,80 @@ def _vars_of(sp: A.SP) -> set[str]:
     return {p.name for p in (sp.s, sp.p, sp.o, sp.g) if isinstance(p, Var)}
 
 
+def _star_fuse(patterns: list, store: TripleStore):
+    """Collapse same-subject-variable patterns whose constant predicates live
+    in one base table into a single column-pruned scan (subject star-join
+    fusion; the SPO-index analog of the reference's subject-ordered access
+    path). Returns (fused entries [(df, est, vars)], leftover pattern idxs).
+
+    Eligible: ?s <constP> ?o with distinct object vars, no graph term. At
+    100 TB this turns an N-pattern star over the fact table from N scans +
+    N-1 self-join shuffles into one scan of N+1 columns.
+    """
+    if not (store.star_factory and store.pred_table):
+        return [], list(range(len(patterns)))
+    groups: dict = {}
+    for i, sp in enumerate(patterns):
+        if (
+            isinstance(sp.s, Var)
+            and sp.p is not None
+            and is_const(sp.p)
+            and isinstance(sp.o, Var)
+            and sp.g is None
+            and sp.o.name != sp.s.name
+            and const_lex(sp.p) in store.pred_table
+        ):
+            key = (sp.s.name, store.pred_table[const_lex(sp.p)])
+            groups.setdefault(key, []).append(i)
+    fused, taken = [], set()
+    stats = store.stats()
+    for (svar, _table), idxs in groups.items():
+        uniq, seen_o = [], set()
+        for i in idxs:  # one pattern per object var; dupes stay join-based
+            if patterns[i].o.name not in seen_o:
+                seen_o.add(patterns[i].o.name)
+                uniq.append(i)
+        if len(uniq) < 2:
+            continue
+        preds = [const_lex(patterns[i].p) for i in uniq]
+        df = store.star_factory(preds)
+        if df is None:
+            continue
+        sel = [F.col("s").alias(svar)] + [
+            F.col(p).alias(patterns[i].o.name) for p, i in zip(preds, uniq)
+        ]
+        ests = [float(stats[p].count) for p in preds if p in stats]
+        est = max(ests) if ests else float("inf")
+        fused.append((df.select(*sel), est, {svar, *seen_o}))
+        taken.update(uniq)
+    return fused, [i for i in range(len(patterns)) if i not in taken]
+
+
 def _compile_bgp(node: A.BGP, store: TripleStore) -> DataFrame:
     """Greedy selectivity-ordered join, broadcast for small inputs.
 
     Mirrors the reference's static join optimizer: seed with the most
-    selective pattern, then repeatedly take the cheapest pattern that shares
-    a variable with the bound set (cartesian only as a last resort).
+    selective input, then repeatedly take the cheapest input that shares a
+    variable with the bound set (cartesian only as a last resort). Inputs
+    are star-fused scans (see _star_fuse) plus the remaining patterns.
     """
-    items = [(sp, _estimate(sp, store)) for sp in node.patterns]
-    if not items:
+    patterns = list(node.patterns)
+    if not patterns:
         raise ValueError("empty BGP")
-    items.sort(key=lambda x: x[1])
-    ordered = [items.pop(0)]
-    bound = _vars_of(ordered[0][0])
-    while items:
-        joinable = [i for i, (sp, _) in enumerate(items) if _vars_of(sp) & bound]
+    entries, leftover = _star_fuse(patterns, store)
+    for i in leftover:
+        sp = patterns[i]
+        entries.append((_pattern_df(sp, store), _estimate(sp, store), _vars_of(sp)))
+    entries.sort(key=lambda e: e[1])
+    ordered = [entries.pop(0)]
+    bound = set(ordered[0][2])
+    while entries:
+        joinable = [i for i, e in enumerate(entries) if e[2] & bound]
         idx = joinable[0] if joinable else 0
-        ordered.append(items.pop(idx))
-        bound |= _vars_of(ordered[-1][0])
+        ordered.append(entries.pop(idx))
+        bound |= ordered[-1][2]
     out = None
-    for sp, est in ordered:
-        df = _pattern_df(sp, store)
+    for df, est, _ in ordered:
         if est <= BROADCAST_MAX_ROWS and out is not None:
             df = F.broadcast(df)
         if out is None:

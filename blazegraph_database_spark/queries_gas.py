@@ -38,16 +38,30 @@ def edges_from_predicate(store: TripleStore, pred: str) -> DataFrame:
     return df.select("src", "dst")
 
 
+_TREE_EDGE_CACHE: dict = {}
+
+
 def _tree_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """parent→child edges of the custkey binary tree, via CONSTRUCT."""
+    """parent→child edges of the custkey binary tree, via CONSTRUCT.
+
+    Evaluated against the store's virtual per-predicate source, so the BGP
+    compiles to a column-pruned scan of customer.parquet alone. The
+    materialized edge set is memoized per (session, sf_dir) — the GAS suite
+    runs several algorithms over the same graph, and re-deriving the edge
+    index each time is the analog of rebuilding a B+Tree per query."""
+    key = (id(spark), sf_dir)
+    if key in _TREE_EDGE_CACHE:
+        return _TREE_EDGE_CACHE[key]
     from blazegraph_database_spark.functions.sparql_funcs import lng
 
     st = cached_store(spark, sf_dir)
     base = A.Filter(lng("ck") >= 2, A.SP(V("c"), "customer#c_custkey", V("ck")))
     with_parent = A.Extend(base, "pk", (lng("ck") / 2).cast("long").cast("string"))
     with_parent = A.Extend(with_parent, "cks", lng("ck").cast("string"))
-    edges = construct(TripleStore(st.df), with_parent, [(V("pk"), "childOf_inv", V("cks"))])
-    return TripleStore(edges).df.select(F.col("s").alias("src"), F.col("o_lex").alias("dst"))
+    edges = construct(st, with_parent, [(V("pk"), "childOf_inv", V("cks"))])
+    out = edges.select(F.col("s").alias("src"), F.col("o_lex").alias("dst")).localCheckpoint(eager=True)
+    _TREE_EDGE_CACHE[key] = out
+    return out
 
 
 @register(

@@ -109,14 +109,17 @@ def load_tables(spark: SparkSession, sf_dir: str, tables: list[str] | None = Non
 
 
 def _pred_source_factories(
-    spark: SparkSession, sf_dir: str, tables: list[str], schemas: dict
-) -> tuple[dict, dict]:
+    spark: SparkSession, sf_dir: str, tables: list[str], fields: dict
+) -> dict:
     """One lazy factory per predicate serving its triples straight from the
     base table parquet — the virtual POS index. A constant-predicate BGP
     pattern becomes `scan(table) → project(key, col)`: parquet column
     pruning reads exactly two columns and constant filters push into the
     scan. At 100 TB this is the difference between reading one column of
-    one table and reading the full melted triple union."""
+    one table and reading the full melted triple union.
+
+    ``fields``: {table: [(col_name, dt_tag | None-if-array), ...]} from
+    parquet footers (no Spark jobs, no JVM roundtrips)."""
 
     def factory(table: str, fname: str, dt: str, ref: str | None):
         def build() -> DataFrame:
@@ -140,57 +143,129 @@ def _pred_source_factories(
     out: dict = {}
     for t in tables:
         _, fks = TPCH_SCHEMA[t]
-        for f in schemas[t].fields:
-            if isinstance(f.dataType, T.ArrayType):
+        for name, tag in fields[t]:
+            if tag is None:  # array column
                 continue
-            out[f"{t}#{f.name}"] = factory(t, f.name, _dt_tag(f.dataType), None)
-            if f.name in fks:
-                out[f"{t}#{f.name}_ref"] = factory(t, f.name, "iri", fks[f.name])
-    return out, schemas
+            out[f"{t}#{name}"] = factory(t, name, tag, None)
+            if name in fks:
+                out[f"{t}#{name}_ref"] = factory(t, name, "iri", fks[name])
+    return out
+
+
+def _star_source_factory(spark: SparkSession, sf_dir: str, tables: list[str], fields: dict):
+    """Fused star scan: all constant predicates of one subject variable that
+    live in the same base table come back as ONE column-pruned parquet scan
+    (columns: s + one per predicate) instead of N scans + N-1 self-joins.
+    This is the star-join analog of the reference's subject-ordered SPO
+    index — at 100 TB it is the difference between reading the fact table
+    once and shuffling it against itself N times."""
+    meta: dict[str, tuple[str, str, str | None]] = {}
+    for t in tables:
+        _, fks = TPCH_SCHEMA[t]
+        for name, tag in fields[t]:
+            if tag is None:
+                continue
+            meta[f"{t}#{name}"] = (t, name, None)
+            if name in fks:
+                meta[f"{t}#{name}_ref"] = (t, name, fks[name])
+
+    def star(preds: list[str]) -> DataFrame | None:
+        info = [meta.get(p) for p in preds]
+        if any(i is None for i in info) or len({i[0] for i in info}) != 1:
+            return None
+        table = info[0][0]
+        df = _fix_nano_ts(spark.read.parquet(f"{sf_dir}/{table}.parquet"))
+        key, _ = TPCH_SCHEMA[table]
+        for _, col, _ in info:
+            df = df.filter(F.col(col).isNotNull())
+        sel = [subject_col(table, df, key).alias("s")]
+        for p, (_, col, ref) in zip(preds, info):
+            o = (
+                F.concat(F.lit(ref + ":"), F.col(col).cast("string"))
+                if ref
+                else F.col(col).cast("string")
+            )
+            sel.append(o.alias(p))
+        return df.select(*sel)
+
+    pred_table = {p: m[0] for p, m in meta.items()}
+    return star, pred_table
 
 
 def _metadata_stats(
-    schemas: dict[str, "T.StructType"], counts: dict[str, int]
+    fields: dict[str, list], counts: dict[str, int]
 ) -> dict[str, PredStat]:
     """B+Tree-range-count-style stats without materializing any triples —
     row counts come straight from parquet footers, zero Spark jobs."""
     stats: dict[str, PredStat] = {}
-    for t, schema in schemas.items():
+    for t, flds in fields.items():
         n = counts[t]
         _, fks = TPCH_SCHEMA[t]
-        for f in schema.fields:
-            if isinstance(f.dataType, T.ArrayType):
+        for name, tag in flds:
+            if tag is None:
                 continue
-            stats[f"{t}#{f.name}"] = PredStat(n, max(n, 1), max(n, 1))
-            if f.name in fks:
-                ref_n = counts.get(fks[f.name]) or n
-                stats[f"{t}#{f.name}_ref"] = PredStat(n, max(n, 1), max(ref_n, 1))
+            stats[f"{t}#{name}"] = PredStat(n, max(n, 1), max(n, 1))
+            if name in fks:
+                ref_n = counts.get(fks[name]) or n
+                stats[f"{t}#{name}_ref"] = PredStat(n, max(n, 1), max(ref_n, 1))
     return stats
 
 
-def _footer_count(path: str) -> int:
+def _footer_meta(path: str) -> tuple[list, int]:
+    """(field list [(name, dt_tag | None-if-array)], row count) straight
+    from the parquet footer — pure Python, no Spark jobs, no JVM roundtrips."""
+    import pyarrow as pa
     import pyarrow.parquet as pq
 
-    return pq.ParquetFile(path).metadata.num_rows
+    pf = pq.ParquetFile(path)
+    fields = []
+    for f in pf.schema_arrow:
+        if pa.types.is_list(f.type) or pa.types.is_large_list(f.type):
+            tag = None  # arrays (embeddings) stay relational
+        elif pa.types.is_timestamp(f.type):
+            tag = "timestamp"
+        elif pa.types.is_integer(f.type):
+            tag = "long"
+        elif pa.types.is_floating(f.type):
+            tag = "double"
+        elif pa.types.is_boolean(f.type):
+            tag = "boolean"
+        else:
+            tag = "string"
+        fields.append((f.name, tag))
+    return fields, pf.metadata.num_rows
 
 
 def store_from_sf_dir(spark: SparkSession, sf_dir: str, tables: list[str] | None = None) -> TripleStore:
     """Map the harness parquet tables into one TripleStore with virtual
-    per-predicate sources and metadata-derived stats (nothing materialized)."""
+    per-predicate sources and metadata-derived stats. Construction runs no
+    Spark job and touches the JVM zero times: schemas and row counts come
+    from parquet footers, and the melted union view (needed only for
+    variable-predicate patterns / DESCRIBE) is built lazily on first use."""
     tables = tables or list(TPCH_SCHEMA)
-    dfs = load_tables(spark, sf_dir, tables)
-    parts = []
-    for t, df in dfs.items():
-        key, fks = TPCH_SCHEMA[t]
-        parts.append(table_to_triples(df, t, key, fks))
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    schemas = {t: df.schema for t, df in dfs.items()}  # one footer read per table
-    sources, _ = _pred_source_factories(spark, sf_dir, tables, schemas)
-    store = TripleStore(out, pred_sources=sources)
-    counts = {t: _footer_count(f"{sf_dir}/{t}.parquet") for t in tables}
-    store._stats = _metadata_stats(schemas, counts)
+    meta = {t: _footer_meta(f"{sf_dir}/{t}.parquet") for t in tables}
+    fields = {t: m[0] for t, m in meta.items()}
+    counts = {t: m[1] for t, m in meta.items()}
+
+    def build_union() -> DataFrame:
+        dfs = load_tables(spark, sf_dir, tables)
+        parts = []
+        for t, df in dfs.items():
+            key, fks = TPCH_SCHEMA[t]
+            parts.append(table_to_triples(df, t, key, fks))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    star, pred_table = _star_source_factory(spark, sf_dir, tables, fields)
+    store = TripleStore(
+        df_factory=build_union,
+        pred_sources=_pred_source_factories(spark, sf_dir, tables, fields),
+        star_factory=star,
+        pred_table=pred_table,
+    )
+    store._stats = _metadata_stats(fields, counts)
     return store
 
 
