@@ -35,11 +35,18 @@ def tokenize(text: Column) -> Column:
 
 
 def inverted_index(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """(term, id, tf, dl): posting list rows with per-doc token length."""
+    """(term, id, tf, dl): posting list rows with per-doc token length.
+
+    One corpus scan: doc length is the window-sum of tf over the doc's
+    postings (dl = Σ tf), not a second explode+aggregate of the corpus.
+    """
+    from pyspark.sql.window import Window
+
     toks = df.select(F.col(id_col).alias("id"), F.explode(tokenize(F.col(text_col))).alias("term"))
     tf = toks.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    dl = toks.groupBy("id").agg(F.count(F.lit(1)).alias("dl"))
-    return tf.join(dl, on="id").select("term", "id", "tf", "dl")
+    return tf.withColumn("dl", F.sum("tf").over(Window.partitionBy("id"))).select(
+        "term", "id", "tf", "dl"
+    )
 
 
 def search(

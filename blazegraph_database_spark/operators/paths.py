@@ -31,21 +31,28 @@ def _link(store: TripleStore, iri: str) -> DataFrame:
 
 
 def transitive_closure(pairs: DataFrame, max_iters: int = MAX_ITERS) -> DataFrame:
-    """All (s, o) connected by 1+ hops of `pairs`. Semi-naive iteration."""
-    base = pairs.select("s", "o").distinct().localCheckpoint()
-    known = base
-    frontier = base
+    """All (s, o) connected by 1+ hops of `pairs`.
+
+    Iterative doubling: each round self-joins the closure-so-far, so a
+    diameter-d graph closes in ceil(log2 d) rounds instead of d — fewer
+    synchronization barriers, which is what dominates iterative plans on a
+    large cluster. Per-round work is |closure ⋈ closure| rather than
+    semi-naive's |delta ⋈ base|; `distinct` bounds every intermediate by
+    the final closure size, the right trade until diameter is tiny. Only
+    the per-round delta is checkpointed — the accumulated closure stays a
+    shallow union over materialized pieces."""
+    known = pairs.select("s", "o").distinct().localCheckpoint()
     for _ in range(max_iters):
         grown = (
-            frontier.alias("f")
-            .join(base.alias("b"), F.col("f.o") == F.col("b.s"))
-            .select(F.col("f.s").alias("s"), F.col("b.o").alias("o"))
+            known.alias("a")
+            .join(known.alias("b"), F.col("a.o") == F.col("b.s"))
+            .select(F.col("a.s").alias("s"), F.col("b.o").alias("o"))
             .distinct()
         )
-        frontier = grown.join(known, on=["s", "o"], how="left_anti").localCheckpoint()
-        if frontier.isEmpty():
+        new = grown.join(known, on=["s", "o"], how="left_anti").localCheckpoint()
+        if new.isEmpty():
             break
-        known = known.unionByName(frontier).localCheckpoint()
+        known = known.unionByName(new)
     return known
 
 

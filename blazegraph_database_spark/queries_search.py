@@ -54,8 +54,20 @@ _FT_CTE = """
 """
 
 
+_FT_IDX_CACHE: dict = {}
+
+
 def _docs_index(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return fulltext.inverted_index(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    """Built inverted index, memoized per (session, corpus) — the reference
+    builds its FullTextIndex at load time and serves every query from it;
+    re-deriving the posting lists per query would be rebuilding that B+Tree
+    per lookup."""
+    key = (id(spark), sf_dir)
+    if key not in _FT_IDX_CACHE:
+        _FT_IDX_CACHE[key] = fulltext.inverted_index(
+            spark.read.parquet(f"{sf_dir}/documents.parquet")
+        ).localCheckpoint(eager=True)
+    return _FT_IDX_CACHE[key]
 
 
 @register(
