@@ -1,0 +1,290 @@
+"""Extra operator-coverage catalog (SURVEY.md §2): query forms and
+inference/federation/encoding paths that previously had only unit tests —
+CONSTRUCT, ASK, DESCRIBE, GROUP_CONCAT, ORDER BY+OFFSET paging, GRAPH
+scoping over quads, owl:inverseOf / owl:sameAs closures, SERVICE
+(bds:search), and the dictionary-encoded (64-bit id) join path. Every
+entry has an exact DuckDB oracle."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from blazegraph_database_spark.functions import sparql_funcs as fn
+from blazegraph_database_spark.functions.sparql_funcs import lng, num
+from blazegraph_database_spark.inference import rdfs
+from blazegraph_database_spark.model.store import TripleStore
+from blazegraph_database_spark.model.terms import Lit, Var as V
+from blazegraph_database_spark.plans import algebra as A
+from blazegraph_database_spark.plans.compiler import ask, construct, describe, evaluate
+from blazegraph_database_spark.sources.relational import cached_store
+
+QUERIES: dict[str, dict] = {}
+
+
+def register(name: str, sql: str | None):
+    def deco(f):
+        QUERIES[name] = {"fn": f, "sql": sql}
+        return f
+
+    return deco
+
+
+@register(
+    "construct_pred_counts",
+    """
+    SELECT 'derived#segment' AS p, COUNT(*) AS n FROM customer WHERE c_acctbal > 9000
+    UNION ALL
+    SELECT 'derived#highValue' AS p, COUNT(*) AS n FROM customer WHERE c_acctbal > 9000
+    """,
+)
+def construct_pred_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONSTRUCT: instantiate two templates per solution, count the produced
+    triples per predicate (ref: ConstructNode)."""
+    st = cached_store(spark, sf_dir)
+    base = A.Filter(
+        num("bal") > 9000,
+        A.BGP(
+            [
+                A.SP(V("c"), "customer#c_acctbal", V("bal")),
+                A.SP(V("c"), "customer#c_mktsegment", V("seg")),
+            ]
+        ),
+    )
+    out = construct(
+        st, base, [(V("c"), "derived#segment", V("seg")), (V("c"), "derived#highValue", Lit("true"))]
+    )
+    return out.groupBy("p").agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
+    "ask_negative_balance",
+    "SELECT CAST(COUNT(*) > 0 AS INT) AS answer FROM supplier WHERE s_acctbal < -900",
+)
+def ask_negative_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASK (boolean query) lowered to a take(1) probe (ref: QueryType.ASK)."""
+    st = cached_store(spark, sf_dir)
+    b = ask(st, A.Filter(num("ab") < -900, A.SP(V("sup"), "supplier#s_acctbal", V("ab"))))
+    return spark.createDataFrame([(int(b),)], "answer int")
+
+
+@register(
+    "describe_customer",
+    """
+    SELECT 'customer:1' AS s, 'customer#c_custkey' AS p, CAST(c_custkey AS VARCHAR) AS o_lex, 'long' AS o_dt
+    FROM customer WHERE c_custkey = 1
+    UNION ALL SELECT 'customer:1', 'customer#c_name', c_name, 'string' FROM customer WHERE c_custkey = 1
+    UNION ALL SELECT 'customer:1', 'customer#c_nationkey', CAST(c_nationkey AS VARCHAR), 'long' FROM customer WHERE c_custkey = 1
+    UNION ALL SELECT 'customer:1', 'customer#c_nationkey_ref', 'nation:' || c_nationkey, 'iri' FROM customer WHERE c_custkey = 1
+    UNION ALL SELECT 'customer:1', 'customer#c_acctbal', CAST(c_acctbal AS VARCHAR), 'double' FROM customer WHERE c_custkey = 1
+    UNION ALL SELECT 'customer:1', 'customer#c_mktsegment', c_mktsegment, 'string' FROM customer WHERE c_custkey = 1
+    """,
+)
+def describe_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DESCRIBE via forward CBD over the full melted store (the general,
+    variable-predicate path — exercises the lazy union view; ref: eval/CBD.java)."""
+    st = cached_store(spark, sf_dir)
+    return describe(st, ["customer:1"])
+
+
+@register(
+    "group_concat_segments",
+    """
+    SELECT c_nationkey AS nk_id,
+           string_agg(DISTINCT c_mktsegment, ',' ORDER BY c_mktsegment) AS segs,
+           COUNT(*) AS n_cust
+    FROM customer GROUP BY 1
+    """,
+)
+def group_concat_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP_CONCAT (sorted-distinct for determinism) per group
+    (ref: GroupByNode + GROUP_CONCAT aggregate)."""
+    st = cached_store(spark, sf_dir)
+    plan = A.Group(
+        A.BGP(
+            [
+                A.SP(V("c"), "customer#c_mktsegment", V("seg")),
+                A.SP(V("c"), "customer#c_nationkey", V("nk")),
+            ]
+        ),
+        keys=("nk",),
+        aggs=[
+            ("segs", F.array_join(F.array_sort(F.collect_set("seg")), ",")),
+            ("n_cust", fn.COUNT()),
+        ],
+    )
+    plan = A.Project(A.Extend(plan, "nk_id", lng("nk")), ["nk_id", "segs", "n_cust"])
+    return evaluate(st, plan)
+
+
+@register(
+    "orderby_offset_page",
+    """
+    SELECT c_custkey AS c_id, c_acctbal AS bal FROM customer
+    ORDER BY c_acctbal DESC, c_custkey LIMIT 10 OFFSET 20
+    """,
+)
+def orderby_offset_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDER BY + OFFSET + LIMIT pagination (ref: OrderByNode + SliceNode)."""
+    st = cached_store(spark, sf_dir)
+    base = A.BGP(
+        [
+            A.SP(V("c"), "customer#c_custkey", V("ck")),
+            A.SP(V("c"), "customer#c_acctbal", V("ab")),
+        ]
+    )
+    plan = A.Extend(A.Extend(base, "bal", num("ab")), "c_id", lng("ck"))
+    plan = A.Slice(A.OrderBy(plan, [("bal", False), ("c_id", True)]), limit=10, offset=20)
+    return evaluate(st, A.Project(plan, ["c_id", "bal"]))
+
+
+@register(
+    "graph_scoped_count",
+    """
+    SELECT 'g:cust' AS g, COUNT(*) AS n FROM customer WHERE c_mktsegment IS NOT NULL
+    UNION ALL
+    SELECT 'g:ord' AS g, COUNT(*) AS n FROM orders WHERE o_orderstatus IS NOT NULL
+    """,
+)
+def graph_scoped_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GRAPH ?g scoping over a quad store: triples per named graph
+    (ref: DatasetNode / quads mode)."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        F.concat(F.lit("customer:"), F.col("c_custkey")).alias("s"),
+        F.lit("customer#c_mktsegment").alias("p"),
+        F.col("c_mktsegment").alias("o_lex"),
+        F.lit("string").alias("o_dt"),
+        F.lit("g:cust").alias("g"),
+    )
+    ords = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        F.concat(F.lit("order:"), F.col("o_orderkey")).alias("s"),
+        F.lit("orders#o_orderstatus").alias("p"),
+        F.col("o_orderstatus").alias("o_lex"),
+        F.lit("string").alias("o_dt"),
+        F.lit("g:ord").alias("g"),
+    )
+    qst = TripleStore(cust.unionByName(ords).filter(F.col("o_lex").isNotNull()))
+    plan = A.Group(
+        A.SP(V("s"), V("p"), V("o"), V("g")), keys=("g",), aggs=[("n", fn.COUNT())]
+    )
+    return evaluate(qst, plan)
+
+
+@register(
+    "owl_inverse_orders",
+    """
+    SELECT cnt AS n_orders, COUNT(*) AS n_cust
+    FROM (SELECT o_custkey, COUNT(*) AS cnt FROM orders GROUP BY 1) t GROUP BY 1
+    """,
+)
+def owl_inverse_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """owl:inverseOf: orderedBy⁻¹ = hasOrder; histogram of inferred hasOrder
+    fan-out per customer (ref: fast-closure owl:inverseOf step)."""
+    data = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        F.concat(F.lit("order:"), F.col("o_orderkey")).alias("s"),
+        F.lit("orderedBy").alias("p"),
+        F.concat(F.lit("customer:"), F.col("o_custkey")).alias("o_lex"),
+        F.lit("iri").alias("o_dt"),
+    )
+    schema = spark.createDataFrame(
+        [("orderedBy", rdfs.OWL_INVERSE, "hasOrder", "iri")],
+        "s string, p string, o_lex string, o_dt string",
+    )
+    closed = rdfs.inverse_of_closure(data.unionByName(schema))
+    per_cust = (
+        closed.filter(F.col("p") == "hasOrder")
+        .groupBy("s")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    return per_cust.groupBy("n_orders").agg(F.count(F.lit(1)).alias("n_cust"))
+
+
+@register(
+    "owl_sameas_merge",
+    """
+    SELECT COUNT(*) AS n FROM customer WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 5000
+    """,
+)
+def owl_sameas_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """owl:sameAs canonicalization: facts asserted under two different IRIs
+    for the same entity join after merge (ref: fast-closure sameAs steps)."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    seg_t = cust.select(
+        F.concat(F.lit("customer:"), F.col("c_custkey")).alias("s"),
+        F.lit("hasSeg").alias("p"),
+        F.col("c_mktsegment").alias("o_lex"),
+        F.lit("string").alias("o_dt"),
+    )
+    bal_t = cust.select(
+        F.concat(F.lit("alias:"), F.col("c_custkey")).alias("s"),
+        F.lit("hasBal").alias("p"),
+        F.col("c_acctbal").cast("string").alias("o_lex"),
+        F.lit("double").alias("o_dt"),
+    )
+    same = cust.select(
+        F.concat(F.lit("alias:"), F.col("c_custkey")).alias("s"),
+        F.lit(rdfs.OWL_SAMEAS).alias("p"),
+        F.concat(F.lit("customer:"), F.col("c_custkey")).alias("o_lex"),
+        F.lit("iri").alias("o_dt"),
+    )
+    merged = rdfs.apply_same_as(seg_t.unionByName(bal_t).unionByName(same))
+    seg = merged.filter((F.col("p") == "hasSeg") & (F.col("o_lex") == "BUILDING")).select("s")
+    bal = merged.filter(
+        (F.col("p") == "hasBal") & (F.col("o_lex").cast("double") > 5000)
+    ).select("s")
+    return seg.join(bal, on="s").agg(F.count(F.lit(1)).alias("n"))
+
+
+def _ft_oracle() -> str:
+    from blazegraph_database_spark.queries_search import _FT_CTE
+
+    return _FT_CTE.format(
+        pats="('stream', true), ('batch', false)", where="score_ppm >= 0", max_rank=12
+    )
+
+
+@register("service_bds_search", None)  # sql attached below (import-order)
+def service_bds_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SERVICE <bds:search>: federation dispatch through the service
+    registry to the built-in full-text service, prefix + exact terms
+    (ref: ServiceRegistry + bds:search)."""
+    from blazegraph_database_spark.operators.service import call_service
+    from blazegraph_database_spark.queries_search import _docs_index
+
+    idx = _docs_index(spark, sf_dir)
+    return call_service(spark, "bds:search", {"index": idx, "query": "stream* batch", "max_rank": 12})
+
+
+QUERIES["service_bds_search"]["sql"] = _ft_oracle()
+
+
+@register(
+    "dict_encoded_join",
+    """
+    SELECT n_name AS nname, COUNT(*) AS n_orders
+    FROM orders JOIN customer ON o_custkey = c_custkey JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def dict_encoded_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dictionary-encoded join path: term IRIs hashed to 64-bit ids
+    (xxhash64, stateless — ref: lexicon TERM2ID), chain join runs on longs
+    (half the shuffle width of lexical keys), literals decode-free."""
+    st = cached_store(spark, sf_dir)
+
+    def h(col: str):
+        return F.xxhash64(F.lit("iri"), F.col(col))
+
+    o2c = st.pattern_source("orders#o_custkey_ref").select(h("o_lex").alias("c_id"))
+    c2n = st.pattern_source("customer#c_nationkey_ref").select(
+        h("s").alias("c_id"), h("o_lex").alias("n_id")
+    )
+    n_name = st.pattern_source("nation#n_name").select(
+        h("s").alias("n_id"), F.col("o_lex").alias("nname")
+    )
+    return (
+        o2c.join(c2n, on="c_id")
+        .join(F.broadcast(n_name), on="n_id")
+        .groupBy("nname")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )

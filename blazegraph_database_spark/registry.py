@@ -10,6 +10,7 @@ _CATALOG_MODULES = [
     "blazegraph_database_spark.queries_pipeline",
     "blazegraph_database_spark.queries_search",
     "blazegraph_database_spark.queries_infer",
+    "blazegraph_database_spark.queries_extra",
     "blazegraph_database_spark.queries_stream",
 ]
 
