@@ -48,7 +48,7 @@ KEYWORDS = {
     "select", "distinct", "reduced", "where", "filter", "optional", "union",
     "minus", "bind", "values", "as", "group", "by", "having", "order", "asc",
     "desc", "limit", "offset", "prefix", "exists", "not", "in", "a", "undef",
-    "true", "false",
+    "true", "false", "ask", "construct", "describe",
 }
 
 
@@ -541,12 +541,78 @@ class Parser:
         return node
 
     # ------------------------------------------------------- query root --
-    def parse_select(self):
+    def _parse_prefixes(self):
         while self.at_kw("prefix"):
             self.next()
             pname = self.next().text  # 'pfx:'
             iri = self.next().text[1:-1]
             self.prefixes[pname[:-1]] = iri
+
+    def _pred_term(self):
+        """Template/pattern predicate: ?var | IRI | pname | `a`."""
+        t = self.peek()
+        if t.kind == "KW" and t.text.lower() == "a":
+            self.next()
+            return "rdf:type"
+        return self.term()
+
+    def parse_query(self):
+        """Any query form. Returns a tagged tuple:
+        ("select", plan) | ("ask", plan) |
+        ("construct", plan, template) | ("describe", [iris]).
+        Ref: QueryType in the AST (SELECT/ASK/CONSTRUCT/DESCRIBE roots)."""
+        self._parse_prefixes()
+        if self.at_kw("ask"):
+            self.next()
+            if self.at_kw("where"):
+                self.next()
+            node = self.group_graph_pattern()
+            if self.peek().kind != "EOF":
+                raise SyntaxError(f"trailing tokens at {self.peek().text!r}")
+            return ("ask", node)
+        if self.at_kw("construct"):
+            self.next()
+            self.eat_op("{")
+            tmpl = []
+            while not self.at_op("}"):
+                s = self.term()
+                while True:
+                    p = self._pred_term()
+                    while True:
+                        o = self.term()
+                        tmpl.append((s, p, o))
+                        if self.at_op(","):
+                            self.next()
+                            continue
+                        break
+                    if self.at_op(";"):
+                        self.next()
+                        if self.at_op(".", "}"):
+                            break
+                        continue
+                    break
+                if self.at_op("."):
+                    self.next()
+            self.eat_op("}")
+            if self.at_kw("where"):
+                self.next()
+            node = self.group_graph_pattern()
+            if self.peek().kind != "EOF":
+                raise SyntaxError(f"trailing tokens at {self.peek().text!r}")
+            return ("construct", node, tmpl)
+        if self.at_kw("describe"):
+            self.next()
+            iris = []
+            while self.peek().kind in ("IRI", "PNAME"):
+                t = self.next()
+                iris.append(t.text[1:-1] if t.kind == "IRI" else self.expand_pname(t.text))
+            if self.peek().kind != "EOF":
+                raise SyntaxError(f"trailing tokens at {self.peek().text!r}")
+            return ("describe", iris)
+        return ("select", self.parse_select())
+
+    def parse_select(self):
+        self._parse_prefixes()
         self.eat_kw("select")
         distinct = False
         if self.at_kw("distinct") or self.at_kw("reduced"):
@@ -649,3 +715,26 @@ def parse_sparql_select(src: str):
     """Parse a SPARQL SELECT string into an algebra plan (evaluate with
     plans.compiler.evaluate)."""
     return Parser(src).parse_select()
+
+
+def parse_sparql_query(src: str):
+    """Parse any query form; returns a tagged tuple (see Parser.parse_query)."""
+    return Parser(src).parse_query()
+
+
+def run_sparql(store, src: str):
+    """Parse + evaluate any query form against a store.
+
+    SELECT → bindings DataFrame; ASK → bool; CONSTRUCT → triples DataFrame;
+    DESCRIBE → triples DataFrame (forward CBD). The textual analog of the
+    reference's SailConnection query entry points."""
+    from blazegraph_database_spark.plans import compiler
+
+    parsed = parse_sparql_query(src)
+    if parsed[0] == "select":
+        return compiler.evaluate(store, parsed[1])
+    if parsed[0] == "ask":
+        return compiler.ask(store, parsed[1])
+    if parsed[0] == "construct":
+        return compiler.construct(store, parsed[1], parsed[2])
+    return compiler.describe(store, parsed[1])

@@ -110,3 +110,58 @@ def test_syntax_errors():
         parse_sparql_select("SELECT ?x WHERE { ?x <p> ?y } trailing")
     with pytest.raises(SyntaxError):
         parse_sparql_select("FOO ?x WHERE { }")
+
+
+# ------------------------------------------------- other query forms --
+def test_ask_form(tiny_store):
+    from blazegraph_database_spark.plans.sparql_parser import run_sparql
+
+    assert run_sparql(tiny_store, "ASK { ?x <knows> <b> }") is True
+    assert run_sparql(tiny_store, "ASK WHERE { ?x <knows> <nobody> }") is False
+
+
+def test_construct_form(tiny_store):
+    from blazegraph_database_spark.plans.sparql_parser import run_sparql
+
+    out = run_sparql(
+        tiny_store,
+        'CONSTRUCT { ?y <knownBy> ?x . ?x a <Knower> } WHERE { ?x <knows> ?y }',
+    )
+    rows = {(r["s"], r["p"], r["o_lex"]) for r in out.collect()}
+    assert ("b", "knownBy", "a") in rows
+    assert ("a", "rdf:type", "Knower") in rows
+    assert len([r for r in rows if r[1] == "knownBy"]) == 3
+
+
+def test_describe_form(tiny_store):
+    from blazegraph_database_spark.plans.sparql_parser import run_sparql
+
+    out = run_sparql(tiny_store, "DESCRIBE <a>")
+    rows = {(r["p"], r["o_lex"]) for r in out.collect()}
+    assert rows == {("knows", "b"), ("name", "Alice"), ("age", "30")}
+
+
+def test_star_fusion_matches_join_path(spark):
+    """Star-fused BGP result must equal the pure join-based evaluation
+    (fusion disabled by dropping the store's star hooks)."""
+    from blazegraph_database_spark.model.store import TripleStore
+    from blazegraph_database_spark.model.terms import Var as V
+    from blazegraph_database_spark.plans import algebra as A
+    from blazegraph_database_spark.plans.compiler import evaluate
+    from blazegraph_database_spark.sources.relational import cached_store
+
+    st = cached_store(spark, "/root/testdata/sf0.001")
+    bgp = A.BGP(
+        [
+            A.SP(V("c"), "customer#c_custkey", V("ck")),
+            A.SP(V("c"), "customer#c_acctbal", V("ab")),
+            A.SP(V("c"), "customer#c_mktsegment", V("seg")),
+        ]
+    )
+    fused = evaluate(st, bgp)
+    plain = TripleStore(st.df, _stats=st._stats, pred_sources=st.pred_sources)
+    unfused = evaluate(plain, bgp)
+    assert set(fused.columns) == set(unfused.columns)
+    a = {tuple(r) for r in fused.select("c", "ck", "ab", "seg").collect()}
+    b = {tuple(r) for r in unfused.select("c", "ck", "ab", "seg").collect()}
+    assert a == b
