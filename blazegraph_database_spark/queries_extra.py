@@ -17,7 +17,7 @@ from blazegraph_database_spark.model.store import TripleStore
 from blazegraph_database_spark.model.terms import Lit, Var as V
 from blazegraph_database_spark.plans import algebra as A
 from blazegraph_database_spark.plans.compiler import ask, construct, describe, evaluate
-from blazegraph_database_spark.sources.relational import cached_store
+from blazegraph_database_spark.sources.relational import cached_store, read_parquet
 
 QUERIES: dict[str, dict] = {}
 
@@ -149,14 +149,14 @@ def orderby_offset_page(spark: SparkSession, sf_dir: str) -> DataFrame:
 def graph_scoped_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GRAPH ?g scoping over a quad store: triples per named graph
     (ref: DatasetNode / quads mode)."""
-    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+    cust = read_parquet(spark, f"{sf_dir}/customer.parquet").select(
         F.concat(F.lit("customer:"), F.col("c_custkey")).alias("s"),
         F.lit("customer#c_mktsegment").alias("p"),
         F.col("c_mktsegment").alias("o_lex"),
         F.lit("string").alias("o_dt"),
         F.lit("g:cust").alias("g"),
     )
-    ords = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+    ords = read_parquet(spark, f"{sf_dir}/orders.parquet").select(
         F.concat(F.lit("order:"), F.col("o_orderkey")).alias("s"),
         F.lit("orders#o_orderstatus").alias("p"),
         F.col("o_orderstatus").alias("o_lex"),
@@ -180,7 +180,7 @@ def graph_scoped_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 def owl_inverse_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """owl:inverseOf: orderedBy⁻¹ = hasOrder; histogram of inferred hasOrder
     fan-out per customer (ref: fast-closure owl:inverseOf step)."""
-    data = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+    data = read_parquet(spark, f"{sf_dir}/orders.parquet").select(
         F.concat(F.lit("order:"), F.col("o_orderkey")).alias("s"),
         F.lit("orderedBy").alias("p"),
         F.concat(F.lit("customer:"), F.col("o_custkey")).alias("o_lex"),
@@ -208,7 +208,7 @@ def owl_inverse_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 def owl_sameas_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """owl:sameAs canonicalization: facts asserted under two different IRIs
     for the same entity join after merge (ref: fast-closure sameAs steps)."""
-    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    cust = read_parquet(spark, f"{sf_dir}/customer.parquet")
     seg_t = cust.select(
         F.concat(F.lit("customer:"), F.col("c_custkey")).alias("s"),
         F.lit("hasSeg").alias("p"),

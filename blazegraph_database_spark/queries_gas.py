@@ -18,7 +18,7 @@ from blazegraph_database_spark.model.terms import Var as V
 from blazegraph_database_spark.operators import gas
 from blazegraph_database_spark.plans import algebra as A
 from blazegraph_database_spark.plans.compiler import construct, evaluate
-from blazegraph_database_spark.sources.relational import cached_store
+from blazegraph_database_spark.sources.relational import cached_store, read_parquet
 
 QUERIES: dict[str, dict] = {}
 
@@ -126,7 +126,7 @@ def gas_sssp_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def gas_cc_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components on the part↔supplier co-occurrence graph (ref: CC.java)."""
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    li = read_parquet(spark, f"{sf_dir}/lineitem.parquet")
     edges = (
         li.filter(F.col("l_quantity") > 49)
         .select(

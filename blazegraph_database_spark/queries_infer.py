@@ -12,6 +12,7 @@ from blazegraph_database_spark.model.store import TripleStore
 from blazegraph_database_spark.model.terms import Lit, Var as V
 from blazegraph_database_spark.plans import algebra as A
 from blazegraph_database_spark.update.update import UpdatableStore
+from blazegraph_database_spark.sources.relational import read_parquet
 
 QUERIES: dict[str, dict] = {}
 
@@ -39,7 +40,7 @@ def rdfs_closure_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     """rdfs9/11 over a log-depth class hierarchy (Class:k ⊑ Class:k//2):
     inferred type count per instance = self + all ancestors
     (ref: RuleRdfs09/RuleRdfs11 in the fast-closure program)."""
-    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    cust = read_parquet(spark, f"{sf_dir}/customer.parquet")
     cls = F.concat(F.lit("Class:"), F.col("c_custkey"))
     instances = cust.select(
         F.concat(F.lit("customer:"), F.col("c_custkey")).alias("s"),
@@ -76,7 +77,7 @@ def rdfs_closure_types(spark: SparkSession, sf_dir: str) -> DataFrame:
 def rdfs_domain_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     """rdfs2/3/5/7: domain/range typing + subPropertyOf lift over order
     edges (ref: RuleRdfs02/03/07)."""
-    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    orders = read_parquet(spark, f"{sf_dir}/orders.parquet")
     data = orders.select(
         F.concat(F.lit("order:"), F.col("o_orderkey")).alias("s"),
         F.lit("orderedBy").alias("p"),
@@ -113,7 +114,7 @@ def rdfs_domain_range(spark: SparkSession, sf_dir: str) -> DataFrame:
 def update_delete_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DELETE+INSERT WHERE: rewrite every BUILDING segment triple to REZONED,
     then aggregate the post-update store (ref: DeleteInsertGraph)."""
-    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    cust = read_parquet(spark, f"{sf_dir}/customer.parquet")
     triples = cust.select(
         F.concat(F.lit("customer:"), F.col("c_custkey")).alias("s"),
         F.lit("customer#c_mktsegment").alias("p"),

@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from blazegraph_database_spark.operators import dedup, multimodal, similarity, text
+from blazegraph_database_spark.sources.relational import read_parquet
 
 QUERIES: dict[str, dict] = {}
 
@@ -32,11 +33,11 @@ def register(name: str, sql: str | None):
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return read_parquet(spark, f"{sf_dir}/documents.parquet")
 
 
 def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return read_parquet(spark, f"{sf_dir}/embeddings.parquet")
 
 
 # Shared DuckDB CTE: distinct word-3-gram shingles + per-doc sizes + exact

@@ -104,7 +104,9 @@ def fulltext_all_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
 # The harness has no native lat/lon, so coordinates are derived
 # deterministically from event ids (same integer arithmetic in the oracle).
 def _events_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    from blazegraph_database_spark.sources.relational import read_parquet
+
+    ev = read_parquet(spark, f"{sf_dir}/events.parquet")
     return ev.select(
         "event_id",
         ((F.col("event_id") * 37 % 18000) / 100.0 - 90.0).alias("lat"),

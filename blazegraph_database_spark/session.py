@@ -12,6 +12,22 @@ import os
 from pyspark.sql import SparkSession
 
 
+def ensure_session_confs(spark: SparkSession) -> SparkSession:
+    """Set the runtime confs every harness read depends on.
+
+    The driver's correctness harness builds its own SparkSession without our
+    builder confs, so anything we *require* must be settable at runtime and
+    applied inside the read path itself.  ``nanosAsLong`` is runtime-settable
+    (verified): without it any read of ``events.parquet`` (TIMESTAMP(NANOS))
+    throws PARQUET_TYPE_ILLEGAL.
+    """
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass  # conf locked down (never seen in practice) — reads of nano-ts tables will raise
+    return spark
+
+
 def get_spark(app: str = "blazegraph-spark", shuffle_partitions: int | None = None) -> SparkSession:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
     if shuffle_partitions is None:

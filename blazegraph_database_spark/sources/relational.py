@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from blazegraph_database_spark.model.store import PredStat, TripleStore
+from blazegraph_database_spark.session import ensure_session_confs
 
 _DT_FOR_SPARK = {
     T.StringType: "string",
@@ -103,9 +104,17 @@ def _fix_nano_ts(df: DataFrame) -> DataFrame:
     return df
 
 
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    """Session-independent harness parquet read: sets the required runtime
+    confs (the driver's session lacks our builder confs) and normalizes
+    nano-timestamp columns back to real timestamps."""
+    ensure_session_confs(spark)
+    return _fix_nano_ts(spark.read.parquet(path))
+
+
 def load_tables(spark: SparkSession, sf_dir: str, tables: list[str] | None = None) -> dict[str, DataFrame]:
     tables = tables or list(TPCH_SCHEMA)
-    return {t: _fix_nano_ts(spark.read.parquet(f"{sf_dir}/{t}.parquet")) for t in tables}
+    return {t: read_parquet(spark, f"{sf_dir}/{t}.parquet") for t in tables}
 
 
 def _pred_source_factories(
@@ -123,7 +132,7 @@ def _pred_source_factories(
 
     def factory(table: str, fname: str, dt: str, ref: str | None):
         def build() -> DataFrame:
-            df = _fix_nano_ts(spark.read.parquet(f"{sf_dir}/{table}.parquet"))
+            df = read_parquet(spark, f"{sf_dir}/{table}.parquet")
             key, _ = TPCH_SCHEMA[table]
             s = subject_col(table, df, key)
             if ref is None:
@@ -174,7 +183,7 @@ def _star_source_factory(spark: SparkSession, sf_dir: str, tables: list[str], fi
         if any(i is None for i in info) or len({i[0] for i in info}) != 1:
             return None
         table = info[0][0]
-        df = _fix_nano_ts(spark.read.parquet(f"{sf_dir}/{table}.parquet"))
+        df = read_parquet(spark, f"{sf_dir}/{table}.parquet")
         key, _ = TPCH_SCHEMA[table]
         for _, col, _ in info:
             df = df.filter(F.col(col).isNotNull())

@@ -28,6 +28,9 @@ from pyspark.sql import types as T
 
 
 def events_schema(spark: SparkSession, sf_dir: str) -> T.StructType:
+    from blazegraph_database_spark.session import ensure_session_confs
+
+    ensure_session_confs(spark)  # events.ts is TIMESTAMP(NANOS); driver session lacks the conf
     return spark.read.parquet(f"{sf_dir}/events.parquet").schema
 
 
