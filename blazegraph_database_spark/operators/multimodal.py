@@ -107,8 +107,15 @@ def decode_media_real(media: DataFrame) -> DataFrame:
 def media_metadata_stats(media: DataFrame) -> DataFrame:
     """Metadata-only aggregate — never reads the payload column (column
     pruning keeps the scan narrow)."""
+    # avg as exact integer micro-bytes (floor-div), not ROUND-of-double: double
+    # rounding is not bit-stable across engines, integer arithmetic is
     return media.groupBy("meta.modality").agg(
         F.count(F.lit(1)).alias("n_items"),
         F.sum("meta.n_bytes").alias("total_bytes"),
-        F.round(F.avg("meta.n_bytes"), 4).alias("avg_bytes"),
+        (F.sum("meta.n_bytes") * F.lit(1000000)).cast("long").alias("_tot_micro"),
+    ).select(
+        "modality",
+        "n_items",
+        "total_bytes",
+        F.expr("_tot_micro DIV n_items").alias("avg_bytes_micro"),
     )

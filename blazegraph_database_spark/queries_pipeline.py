@@ -250,8 +250,9 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "multimodal_meta",
     """
-    SELECT 'image' AS modality, COUNT(*) AS n_items, SUM(strlen(text)) AS total_bytes,
-           ROUND(AVG(strlen(text)), 4) AS avg_bytes
+    SELECT 'image' AS modality, COUNT(*) AS n_items,
+           CAST(SUM(strlen(text)) AS BIGINT) AS total_bytes,
+           CAST(SUM(strlen(text)) * 1000000 // COUNT(*) AS BIGINT) AS avg_bytes_micro
     FROM documents
     """,
 )

@@ -43,7 +43,9 @@ _FT_CTE = """
     ),
     scored AS (
         SELECT m.doc_id AS id,
-               SUM(CAST(ROUND(m.tf * 1000000.0 * n.n / (d2.dl * d.df)) AS BIGINT)) AS score_ppm,
+               -- DuckDB types SUM(BIGINT) as HUGEINT; cast back so the driver's
+               -- hash surface sees int64 on both sides
+               CAST(SUM(CAST(ROUND(m.tf * 1000000.0 * n.n / (d2.dl * d.df)) AS BIGINT)) AS BIGINT) AS score_ppm,
                COUNT(DISTINCT m.pat) AS npat
         FROM matched m JOIN dl d2 ON m.doc_id = d2.doc_id
              JOIN dfreq d ON m.term = d.term CROSS JOIN n

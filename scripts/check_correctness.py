@@ -38,6 +38,21 @@ def norm_rows(cols, rows):
     return sorted("|".join(norm_cell(r[i]) for i in order) for r in rows)
 
 
+def _spark_kind(dt) -> str:
+    """Map a Spark type to the pandas dtype kind the driver would see."""
+    from pyspark.sql import types as T
+
+    if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        return "i"
+    if isinstance(dt, (T.FloatType, T.DoubleType, T.DecimalType)):
+        return "f"
+    if isinstance(dt, T.BooleanType):
+        return "b"
+    if isinstance(dt, (T.TimestampType, T.DateType)):
+        return "M"
+    return "O"
+
+
 def main():
     import duckdb
 
@@ -68,7 +83,23 @@ def main():
         ok_cols = sorted(scols) == sorted(ocols)
         ok_count = len(srows) == len(orows)
         ok_vals = norm_rows(scols, srows) == norm_rows(ocols, orows)
-        status = "OK " if (ok_cols and ok_count and ok_vals) else "FAIL"
+        # Driver-hash simulation: the driver converts both sides to pandas
+        # before hashing, where DuckDB surfaces HUGEINT (e.g. SUM(BIGINT)) as
+        # float64 — an int64 Spark column then hash-mismatches even when every
+        # value is equal. Compare pandas dtype *kinds* to catch that locally.
+        ok_kinds = True
+        if ok_cols:
+            try:
+                opd = con.execute(oracles[name]).df()
+                skinds = {f.name: _spark_kind(f.dataType) for f in sdf.schema.fields}
+                for c in ocols:
+                    sk, okk = skinds.get(c), opd[c].dtype.kind
+                    if sk is not None and okk != "O" and sk != "O" and sk != okk:
+                        ok_kinds = False
+                        print(f"    dtype-kind mismatch on {c}: spark={sk} duck={okk}")
+            except Exception as e:  # pandas conversion quirks shouldn't kill the gate
+                print(f"    (kind check skipped: {e})")
+        status = "OK " if (ok_cols and ok_count and ok_vals and ok_kinds) else "FAIL"
         if status == "FAIL":
             failures += 1
         print(f"{name:28s} {status} rows={len(srows)}/{len(orows)} cols={'ok' if ok_cols else f'{scols} vs {ocols}'} vals={'ok' if ok_vals else 'MISMATCH'}  ({t1-t0:.1f}s)")
