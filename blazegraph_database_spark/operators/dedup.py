@@ -196,38 +196,55 @@ def ngram_jaccard_pairs(
     )
 
 
-def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """64-bit SimHash over words (term-frequency weighted bit votes).
+def md5_hash32(col: Column) -> Column:
+    """32-bit word hash from the md5 hex prefix. Slower than xxhash64 but
+    bit-identical to DuckDB's ``CAST('0x' || substr(md5(w),1,8) AS BIGINT)``,
+    which makes the whole SimHash pipeline SQL-recomputable by the oracle."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
 
-    One explode + one groupBy with 64 conditional sums; the signature is a
-    single long — constant per-doc state at any corpus size.
+
+def simhash(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 64,
+    hasher=None,
+) -> DataFrame:
+    """SimHash over words (term-frequency weighted bit votes).
+
+    One explode + one groupBy with `bits` conditional sums; the signature is a
+    single long — constant per-doc state at any corpus size. Default hasher is
+    xxhash64 (JVM, fastest); pass ``md5_hash32`` with bits=32 for the
+    cross-engine-deterministic variant the DuckDB oracle can recompute.
     """
     ws = df.select(
         F.col(id_col).alias("id"), F.explode(word_shingles(F.col(text_col), 1)).alias("w")
     )
     tf = ws.groupBy("id", "w").agg(F.count(F.lit(1)).alias("tf"))
-    h = F.xxhash64("w")
+    h = (hasher or F.xxhash64)(F.col("w"))
     votes = [
         F.sum(
             F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, F.col("tf")).otherwise(-F.col("tf"))
         ).alias(f"v{i}")
-        for i in range(64)
+        for i in range(bits)
     ]
     voted = tf.groupBy("id").agg(*votes)
     sig = None
-    for i in range(64):
+    for i in range(bits):
         bit = F.when(F.col(f"v{i}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
         term = F.shiftleft(bit, i)
         sig = term if sig is None else sig.bitwiseXOR(term)  # disjoint bits: xor == or
     return voted.select("id", sig.alias("simhash"))
 
 
-def simhash_near_pairs(sig_df: DataFrame, max_hamming: int = 3, bands: int = 4) -> DataFrame:
-    """(a, b, hamming <= max_hamming) pairs via banded blocking: split the 64
-    bits into `bands` chunks; any pair within hamming<=bands-1 shares at
-    least one exact chunk (pigeonhole), so exact-match on chunks is a
-    complete blocker for max_hamming < bands."""
-    width = 64 // bands
+def simhash_near_pairs(
+    sig_df: DataFrame, max_hamming: int = 3, bands: int = 4, bits: int = 64
+) -> DataFrame:
+    """(a, b, hamming <= max_hamming) pairs via banded blocking: split the
+    signature bits into `bands` chunks; any pair within hamming<=bands-1
+    shares at least one exact chunk (pigeonhole), so exact-match on chunks is
+    a complete blocker for max_hamming < bands."""
+    width = bits // bands
     mask = (1 << width) - 1
     chunks = sig_df.select(
         "id",

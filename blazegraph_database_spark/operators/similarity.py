@@ -132,6 +132,115 @@ def lsh_ann_topk(
     return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k).drop("rk")
 
 
+def int_hyperplanes(
+    dim: int, bits: int, tables: int, seed: int = 987654321
+) -> list[list[list[int]]]:
+    """Deterministic integer hyperplanes (components in {-2,-1,1,2}, LCG).
+
+    Integer weights + integer-quantized vectors make the bucket assignment
+    exact integer arithmetic — bit-identical in Spark and in the DuckDB
+    oracle, with no float sign-boundary risk. Sign-LSH with quantized
+    projections preserves the cosine-locality guarantee."""
+    state = seed
+    vals = [-2, -1, 1, 2]
+
+    def nxt() -> int:
+        nonlocal state
+        state = (6364136223846793005 * state + 1442695040888963407) % (1 << 63)
+        return state
+
+    return [
+        [[vals[nxt() % 4] for _ in range(dim)] for _ in range(bits)] for _ in range(tables)
+    ]
+
+
+def quantize(vec: Column, scale: int = 1000) -> Column:
+    """array<long>: round(x*scale) per component — the exact integer surface
+    both engines hash on."""
+    return F.transform(vec, lambda x: F.round(x * scale).cast("long"))
+
+
+def _int_dot(vq: Column, weights: list[int]) -> Column:
+    return F.aggregate(
+        F.zip_with(vq, F.array(*[F.lit(w).cast("long") for w in weights]), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda s, v: s + v,
+    )
+
+
+def _int_table_buckets(vq: Column, planes: list[list[list[int]]]) -> Column:
+    """array<struct<table, bucket>> from integer sign-LSH."""
+    out = []
+    for t, tbl in enumerate(planes):
+        bucket = F.lit(0).cast("long")
+        for b, weights in enumerate(tbl):
+            bit = F.when(_int_dot(vq, weights) > 0, F.lit(1).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+            bucket = bucket.bitwiseXOR(F.shiftleft(bit, b))  # disjoint bits
+        out.append(F.struct(F.lit(t).alias("table"), bucket.alias("bucket")))
+    return F.array(*out)
+
+
+def lsh_ann_topk_quantized(
+    corpus: DataFrame,
+    queries: DataFrame,
+    planes: list[list[list[int]]],
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """lsh_ann_topk with deterministic integer sign-LSH buckets: same
+    one-scan + bucket-equi-join shape, but the signature arithmetic is exact
+    integers, so a SQL oracle reproduces the candidate set bit-for-bit."""
+    from pyspark.sql.window import Window
+
+    c = corpus.select(F.col(id_col).alias("neighbor"), as_double(F.col(vec_col)).alias("cv"))
+    c = c.select(
+        "neighbor", "cv", F.explode(_int_table_buckets(quantize(F.col("cv")), planes)).alias("tb")
+    )
+    q = queries.select(F.col(id_col).alias("q"), as_double(F.col(vec_col)).alias("qv"))
+    q = q.select(
+        "q", "qv", F.explode(_int_table_buckets(quantize(F.col("qv")), planes)).alias("tb")
+    )
+    cands = (
+        c.join(F.broadcast(q), on=["tb"])
+        .filter(F.col("q") != F.col("neighbor"))
+        .select("q", "qv", "neighbor", "cv")
+        .dropDuplicates(["q", "neighbor"])
+    )
+    scored = cands.select("q", "neighbor", F.round(cosine(F.col("qv"), F.col("cv")), 4).alias("cos"))
+    w = Window.partitionBy("q").orderBy(F.col("cos").desc(), F.col("neighbor").asc())
+    return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k).drop("rk")
+
+
+def lsh_near_dup_pairs(
+    corpus: DataFrame,
+    planes: list[list[list[int]]],
+    min_cos: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding near-dup via LSH candidates + exact-cosine verify — the
+    scale path (bucket equi-join, no corpus×corpus cartesian). Output
+    (a, b, cos >= min_cos) over pairs sharing >=1 bucket."""
+    c = corpus.select(F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v"))
+    bucketed = c.select(
+        "id", "v", F.explode(_int_table_buckets(quantize(F.col("v")), planes)).alias("tb")
+    )
+    left = bucketed.select("tb", F.col("id").alias("a"), F.col("v").alias("va"))
+    right = bucketed.select("tb", F.col("id").alias("b"), F.col("v").alias("vb"))
+    cands = (
+        left.join(right, on=["tb"])
+        .filter(F.col("a") < F.col("b"))
+        .dropDuplicates(["a", "b"])
+    )
+    return (
+        cands.select("a", "b", F.round(cosine(F.col("va"), F.col("vb")), 4).alias("cos"))
+        .filter(F.col("cos") >= min_cos)
+    )
+
+
 def embedding_near_dup_pairs(
     corpus: DataFrame,
     min_cos: float = 0.9,

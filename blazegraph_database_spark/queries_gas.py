@@ -138,13 +138,43 @@ def gas_cc_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gas.connected_components(edges).select("node", "comp")
 
 
-@register("gas_pagerank", None)  # rows-only: float fixpoint, validated in tests/test_gas.py
+def _pagerank_oracle(iters: int = 10, damping: float = 0.85) -> str:
+    """Fixed-iteration PageRank unrolled as chained CTEs (DuckDB disallows
+    aggregates in recursive terms). Comparison surface is integer ppb ranks:
+    both engines do the same IEEE double arithmetic, summation-order drift is
+    ~1e-15 relative and vanishes at the ppb rounding."""
+    sql = """
+    WITH edges AS (SELECT c_custkey // 2 AS src, c_custkey AS dst FROM customer WHERE c_custkey >= 2),
+    nodes AS (SELECT DISTINCT node FROM (SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges)),
+    deg AS (SELECT n.node, COUNT(e.src) AS deg FROM nodes n LEFT JOIN edges e ON e.src = n.node GROUP BY 1),
+    nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+    r0 AS MATERIALIZED (SELECT d.node, d.deg, 1.0/nn.n AS rank FROM deg d CROSS JOIN nn)"""
+    for k in range(1, iters + 1):
+        sql += f""",
+    r{k} AS MATERIALIZED (
+      SELECT d.node, d.deg,
+             (1.0-{damping})/nn.n + {damping}*(COALESCE(inf.inflow,0) + dang.dmass/nn.n) AS rank
+      FROM deg d CROSS JOIN nn
+      CROSS JOIN (SELECT COALESCE(SUM(rank),0) AS dmass FROM r{k-1} WHERE deg = 0) dang
+      LEFT JOIN (SELECT e.dst AS node, SUM(r.rank/r.deg) AS inflow
+                 FROM r{k-1} r JOIN edges e ON r.node = e.src WHERE r.deg > 0 GROUP BY 1) inf
+        ON inf.node = d.node
+    )"""
+    sql += f"""
+    SELECT node AS node_id, CAST(ROUND(rank*1000000000) AS BIGINT) AS rank_ppb FROM r{iters}"""
+    return sql
+
+
+@register("gas_pagerank", _pagerank_oracle(iters=10, damping=0.85))
 def gas_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank over the tree graph (ref: PR.java). Deterministic: fixed 10
-    iterations, ranks rounded."""
+    iterations; integer-ppb ranks are the cross-engine comparison surface."""
     edges = _tree_edges(spark, sf_dir)
     out = gas.pagerank(edges, damping=0.85, iters=10)
-    return out.select(F.col("node").cast("long").alias("node_id"), F.round("rank", 8).alias("rank"))
+    return out.select(
+        F.col("node").cast("long").alias("node_id"),
+        F.round(F.col("rank") * F.lit(1000000000.0)).cast("long").alias("rank_ppb"),
+    )
 
 
 @register(

@@ -88,11 +88,43 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.5)
 
 
-@register("dedup_simhash", None)  # xxhash64 signatures: not SQL-expressible; fixture-tested
+_SIMHASH_ORACLE = r"""
+    WITH wd AS (
+        SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS w
+        FROM documents WHERE trim(text) != ''
+    ),
+    tf AS (
+        SELECT doc_id, w, COUNT(*) AS tf,
+               CAST(('0x' || substr(md5(w), 1, 8)) AS BIGINT) AS h
+        FROM wd GROUP BY 1, 2
+    ),
+    votes AS (
+        SELECT doc_id, b.bit,
+               SUM(CASE WHEN (h >> b.bit) & 1 = 1 THEN tf ELSE -tf END) AS v
+        FROM tf CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS bit) b
+        GROUP BY 1, 2
+    ),
+    sig AS (
+        SELECT doc_id,
+               CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS s
+        FROM votes GROUP BY 1
+    )
+    SELECT x.doc_id AS a, y.doc_id AS b, CAST(bit_count(xor(x.s, y.s)) AS INT) AS hamming
+    FROM sig x JOIN sig y ON x.doc_id < y.doc_id
+    WHERE bit_count(xor(x.s, y.s)) <= 3
+"""
+
+
+@register("dedup_simhash", _SIMHASH_ORACLE)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs at hamming<=3 (banded blocking)."""
+    """SimHash near-dup pairs at hamming<=3 via banded blocking (complete for
+    hamming < bands by pigeonhole, so it equals the oracle's brute force).
+    Uses the md5-based 32-bit hasher so DuckDB recomputes identical
+    signatures; the 64-bit xxhash64 default stays the scale path."""
     docs = _docs(spark, sf_dir)
-    return dedup.simhash_near_pairs(dedup.simhash(docs), max_hamming=3)
+    sig = dedup.simhash(docs, bits=32, hasher=dedup.md5_hash32)
+    pairs = dedup.simhash_near_pairs(sig, max_hamming=3, bands=4, bits=32)
+    return pairs.select("a", "b", F.col("hamming").cast("int").alias("hamming"))
 
 
 @register(
@@ -114,26 +146,91 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.brute_force_topk(embs, embs.filter(F.col("vec_id") < 5), k=3)
 
 
-@register("ann_lsh", None)  # approximate by design; recall vs brute tested in tests/
+# Deterministic integer sign-LSH planes shared by the Spark plan AND the
+# DuckDB oracle (embedded as literal VALUES rows): the candidate generation
+# is exact integer arithmetic, so the oracle reproduces the approximate
+# result bit-for-bit rather than settling for a rows-only check.
+_LSH_PLANES = similarity.int_hyperplanes(dim=64, bits=4, tables=8)
+
+
+def _planes_values() -> str:
+    return ",".join(
+        f"({t},{b},{i},{w})"
+        for t, tbl in enumerate(_LSH_PLANES)
+        for b, ws in enumerate(tbl)
+        for i, w in enumerate(ws)
+    )
+
+
+_LSH_SIG_CTE = """
+    WITH e AS (
+        SELECT vec_id,
+               CAST(embedding AS DOUBLE[]) AS v,
+               list_transform(CAST(embedding AS DOUBLE[]), x -> CAST(ROUND(x*1000) AS BIGINT)) AS vq
+        FROM embeddings
+    ),
+    planes(t, b, i, w) AS (VALUES {planes}),
+    dots AS (
+        SELECT e.vec_id, p.t, p.b, CAST(SUM(e.vq[p.i + 1] * p.w) AS BIGINT) AS d
+        FROM e CROSS JOIN planes p GROUP BY 1, 2, 3
+    ),
+    sigs AS (
+        SELECT vec_id, t,
+               CAST(SUM(CASE WHEN d > 0 THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS bucket
+        FROM dots GROUP BY 1, 2
+    )
+"""
+
+
+@register(
+    "ann_lsh",
+    _LSH_SIG_CTE.format(planes=_planes_values())
+    + """,
+    cands AS (
+        SELECT DISTINCT sq.vec_id AS q, sc.vec_id AS neighbor
+        FROM sigs sq JOIN sigs sc
+          ON sq.t = sc.t AND sq.bucket = sc.bucket AND sq.vec_id != sc.vec_id
+        WHERE sq.vec_id < 5
+    ),
+    scored AS (
+        SELECT c.q, c.neighbor, ROUND(list_cosine_similarity(eq.v, ec.v), 4) AS cos
+        FROM cands c JOIN e eq ON eq.vec_id = c.q JOIN e ec ON ec.vec_id = c.neighbor
+    ),
+    rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY q ORDER BY cos DESC, neighbor) AS r FROM scored)
+    SELECT q, neighbor, cos FROM rk WHERE r <= 3
+    """,
+)
 def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed approximate top-3 for the same query set."""
+    """LSH-bucketed approximate top-3 for the same query set (deterministic
+    integer sign-LSH; oracle recomputes the same buckets in SQL)."""
     embs = _embs(spark, sf_dir)
-    return similarity.lsh_ann_topk(embs, embs.filter(F.col("vec_id") < 5), k=3, bits=4, tables=8)
+    return similarity.lsh_ann_topk_quantized(
+        embs, embs.filter(F.col("vec_id") < 5), _LSH_PLANES, k=3
+    )
 
 
 @register(
     "emb_near_dup",
-    """
-    SELECT a.vec_id AS a, b.vec_id AS b,
-           ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 4) AS cos
-    FROM embeddings a CROSS JOIN embeddings b
-    WHERE a.vec_id < b.vec_id
-      AND ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 4) >= 0.45
+    _LSH_SIG_CTE.format(planes=_planes_values())
+    + """,
+    cpairs AS (
+        SELECT DISTINCT sa.vec_id AS a, sb.vec_id AS b
+        FROM sigs sa JOIN sigs sb
+          ON sa.t = sb.t AND sa.bucket = sb.bucket AND sa.vec_id < sb.vec_id
+    )
+    SELECT a, b, cos FROM (
+        SELECT c.a, c.b, ROUND(list_cosine_similarity(ea.v, eb.v), 4) AS cos
+        FROM cpairs c JOIN e ea ON ea.vec_id = c.a JOIN e eb ON eb.vec_id = c.b
+    ) s WHERE cos >= 0.45
     """,
 )
 def emb_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (cos >= 0.45)."""
-    return similarity.embedding_near_dup_pairs(_embs(spark, sf_dir), min_cos=0.45)
+    """Embedding-cosine near-duplicate pairs (cos >= 0.45) — the SCALE path:
+    LSH-bucketed candidates + exact-cosine verify, one bucket equi-join, no
+    corpus×corpus cartesian. The all-pairs exact formulation
+    (similarity.embedding_near_dup_pairs) stays as the recall baseline in
+    tests only."""
+    return similarity.lsh_near_dup_pairs(_embs(spark, sf_dir), _LSH_PLANES, min_cos=0.45)
 
 
 @register(
