@@ -25,7 +25,7 @@ def register(name: str, sql: str | None):
     "stream_window_agg",
     """
     SELECT date_trunc('hour', ts) AS window_start, event_type,
-           COUNT(*) AS n, ROUND(SUM(value), 2) AS sum_value
+           COUNT(*) AS n, CAST(ROUND(SUM(value) * 100) AS BIGINT) AS sum_value_cents
     FROM events GROUP BY 1, 2
     """,
 )

@@ -15,12 +15,25 @@ _CATALOG_MODULES = [
 ]
 
 
+# Scored first if the driver's correctness pass has a budget (round 1 cut off
+# at 50/54, leaving these four with no CORRECTNESS row at all). Everything
+# else keeps catalog-module order.
+_SCORE_FIRST = [
+    "stream_window_agg",
+    "stream_dedup",
+    "stream_to_triples",
+    "dict_encoded_join",
+]
+
+
 def all_queries() -> dict[str, dict]:
-    out: dict[str, dict] = {}
+    merged: dict[str, dict] = {}
     for mod_name in _CATALOG_MODULES:
         mod = importlib.import_module(mod_name)
         for name, spec in mod.QUERIES.items():
-            if name in out:
+            if name in merged:
                 raise ValueError(f"duplicate query name: {name}")
-            out[name] = spec
+            merged[name] = spec
+    out = {n: merged[n] for n in _SCORE_FIRST if n in merged}
+    out.update((n, s) for n, s in merged.items() if n not in out)
     return out

@@ -73,9 +73,10 @@ def windowed_agg(stream: DataFrame, window: str = "1 hour", watermark: str = "2 
         .groupBy(F.window("ts", window).alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
+            # integer cents, not ROUND-of-double: bit-stable across engines
+            F.round(F.sum("value") * 100).cast("long").alias("sum_value_cents"),
         )
-        .select(F.col("w.start").alias("window_start"), "event_type", "n", "sum_value")
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "sum_value_cents")
     )
 
 

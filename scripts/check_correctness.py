@@ -94,6 +94,8 @@ def main():
                 skinds = {f.name: _spark_kind(f.dataType) for f in sdf.schema.fields}
                 for c in ocols:
                     sk, okk = skinds.get(c), opd[c].dtype.kind
+                    if sk == "i" and okk == "f" and opd[c].isna().any():
+                        continue  # nullable int promoted to float64 by pandas — benign
                     if sk is not None and okk != "O" and sk != "O" and sk != okk:
                         ok_kinds = False
                         print(f"    dtype-kind mismatch on {c}: spark={sk} duck={okk}")

@@ -27,7 +27,10 @@ def test_window_agg_matches_batch(spark):
         ev = ev.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
     batch = (
         ev.groupBy(F.date_trunc("hour", "ts").alias("window_start"), "event_type")
-        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value") * 100).cast("long").alias("sum_value_cents"),
+        )
     )
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, batch.collect()))
 
