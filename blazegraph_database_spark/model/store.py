@@ -49,6 +49,7 @@ class TripleStore:
         df_factory=None,
         star_factory=None,
         pred_table: dict | None = None,
+        pred_dt: dict | None = None,
     ):
         if df is None and df_factory is None:
             raise ValueError("TripleStore needs df or df_factory")
@@ -61,7 +62,20 @@ class TripleStore:
         # columns ("s", <pred>, ...) when all preds live in that one table.
         self.star_factory = star_factory
         self.pred_table = pred_table
+        self.pred_dt = pred_dt  # predicate → o_dt tag (constant per predicate)
+        # When True, the compiler binds a companion `<var>__dt` column for
+        # object-position variables so CONSTRUCT/UPDATE preserve term type
+        # (ref keeps IV type through construct; see ADVICE round 1).
+        self.track_dt = False
         self._src_cache: dict = {}
+
+    def with_dt_tracking(self) -> "TripleStore":
+        """Shallow view of this store with datatype tracking on."""
+        import copy
+
+        out = copy.copy(self)
+        out.track_dt = True
+        return out
 
     @property
     def df(self) -> DataFrame:
@@ -128,4 +142,6 @@ class TripleStore:
         """Named-graph scoping (reference: DatasetNode / GRAPH keyword)."""
         if not self.has_graphs:
             raise ValueError("store has no graph column")
-        return TripleStore(self.df.filter(F.col("g") == g).drop("g"))
+        out = TripleStore(self.df.filter(F.col("g") == g).drop("g"))
+        out.track_dt = self.track_dt
+        return out

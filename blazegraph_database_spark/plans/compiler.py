@@ -42,8 +42,12 @@ def _pattern_df(sp: A.SP, store: TripleStore) -> DataFrame:
     for col, pos in (("s", sp.s), ("p", sp.p), ("o_lex", sp.o)):
         if pos is not None and is_const(pos):
             conds.append(F.col(col) == const_lex(pos))
-            if isinstance(pos, Lit):
-                conds.append(F.col("o_dt") == pos.dt)
+            if col == "o_lex":
+                # Term identity includes the type: a constant Lit matches only
+                # its datatype, a constant IRI (str/IRI per terms.py) matches
+                # only IRI terms — otherwise a string literal with the same
+                # lexical form conflates with the IRI (ADVICE round 1).
+                conds.append(F.col("o_dt") == (pos.dt if isinstance(pos, Lit) else "iri"))
     if sp.g is not None and is_const(sp.g):
         conds.append(F.col("g") == const_lex(sp.g))
     for c in conds:
@@ -56,6 +60,8 @@ def _pattern_df(sp: A.SP, store: TripleStore) -> DataFrame:
             else:
                 seen[pos.name] = col
                 sel.append(F.col(col).alias(pos.name))
+                if col == "o_lex" and store.track_dt:
+                    sel.append(F.col("o_dt").alias(f"{pos.name}__dt"))
     return df.select(*sel)
 
 
@@ -117,12 +123,19 @@ def _star_fuse(patterns: list, store: TripleStore):
         if len(uniq) < 2:
             continue
         preds = [const_lex(patterns[i].p) for i in uniq]
+        if store.track_dt and not (store.pred_dt and all(p in store.pred_dt for p in preds)):
+            continue  # need per-pred dt tags to bind companions; join path handles it
         df = store.star_factory(preds)
         if df is None:
             continue
         sel = [F.col("s").alias(svar)] + [
             F.col(p).alias(patterns[i].o.name) for p, i in zip(preds, uniq)
         ]
+        if store.track_dt:
+            sel += [
+                F.lit(store.pred_dt[p]).alias(f"{patterns[i].o.name}__dt")
+                for p, i in zip(preds, uniq)
+            ]
         ests = [float(stats[p].count) for p in preds if p in stats]
         est = max(ests) if ests else float("inf")
         fused.append((df.select(*sel), est, {svar, *seen_o}))
@@ -236,15 +249,41 @@ def _(node: A.Extend, store: TripleStore) -> DataFrame:
 
 @_compile.register
 def _(node: A.Values, store: TripleStore) -> DataFrame:
+    """VALUES / inline bindings. UNDEF (None) is compatible with ANY binding
+    per SPARQL, but a NULL in a Spark equi-join matches nothing — so rows are
+    grouped by their bound-column pattern and each group joins only on the
+    columns it actually binds (ADVICE round 1, medium)."""
+    from collections import defaultdict
+
     spark = store.spark
     cols = sorted({k for row in node.rows for k in row})
-    data = [tuple(row.get(c) for c in cols) for row in node.rows]
-    vdf = spark.createDataFrame(data, schema=", ".join(f"{c} string" for c in cols))
     if node.child is None:
-        return vdf
+        data = [tuple(row.get(c) for c in cols) for row in node.rows]
+        return spark.createDataFrame(data, schema=", ".join(f"{c} string" for c in cols))
     child = _compile(node.child, store)
-    shared = sorted(set(child.columns) & set(vdf.columns))
-    return child.join(F.broadcast(vdf), on=shared) if shared else child.crossJoin(F.broadcast(vdf))
+    groups: dict[tuple, list] = defaultdict(list)
+    for row in node.rows:
+        groups[tuple(c for c in cols if row.get(c) is not None)].append(row)
+    outs = []
+    for bound, rows_ in groups.items():
+        # keep bound columns (join keys / new bindings) and UNDEF columns the
+        # child doesn't bind (stay NULL = unbound); drop UNDEF columns the
+        # child binds — the child's value survives, as UNDEF is a wildcard
+        keep = [c for c in cols if c in bound or c not in child.columns]
+        if not keep:  # every VALUES var is UNDEF and child-bound: wildcard rows
+            outs.extend([child] * len(rows_))
+            continue
+        data = [tuple(r.get(c) for c in keep) for r in rows_]
+        vdf = spark.createDataFrame(data, schema=", ".join(f"{c} string" for c in keep))
+        join_cols = sorted(set(child.columns) & set(bound))
+        if join_cols:
+            outs.append(child.join(F.broadcast(vdf), on=join_cols))
+        else:
+            outs.append(child.crossJoin(F.broadcast(vdf)))
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o, allowMissingColumns=True)
+    return out
 
 
 @_compile.register
@@ -350,13 +389,27 @@ def ask(store: TripleStore, node) -> bool:
 
 
 def construct(store: TripleStore, node, template: list[tuple]) -> DataFrame:
-    """CONSTRUCT: instantiate (s,p,o) templates per solution. Ref: ConstructNode."""
-    sol = evaluate(store, node)
+    """CONSTRUCT: instantiate (s,p,o) templates per solution, preserving the
+    bound term's datatype via the compiler's `<var>__dt` companion columns
+    (the reference keeps IV type through ConstructNode). Ref: ConstructNode."""
+    sol = evaluate(store.with_dt_tracking(), node)
+    return instantiate_template(sol, template)
+
+
+def instantiate_template(sol: DataFrame, template: list[tuple]) -> DataFrame:
+    """(s,p,o) template instantiation over a bindings DataFrame. Object-var
+    datatypes come from `<var>__dt` companions when present; BIND-created
+    vars without one default to 'string'."""
     parts = []
     for s, p, o in template:
         def col_of(pos, dt_if_const):
             if isinstance(pos, Var):
-                return F.col(pos.name).cast("string"), F.lit("string")
+                dt = (
+                    F.coalesce(F.col(f"{pos.name}__dt"), F.lit("string"))
+                    if f"{pos.name}__dt" in sol.columns
+                    else F.lit("string")
+                )
+                return F.col(pos.name).cast("string"), dt
             return F.lit(const_lex(pos)), F.lit(dt_if_const)
         sc, _ = col_of(s, "iri")
         pc, _ = col_of(p, "iri")

@@ -98,6 +98,10 @@ class Parser:
         self.i = 0
         self.prefixes: dict[str, str] = {}
         self._agg_counter = 0
+        # Aggregate calls inside SELECT expressions / HAVING are hoisted here
+        # as (generated alias, agg Column); the expression keeps a column ref
+        # to the alias (ref: the AST's GroupByRewriter does the same hoist).
+        self._pending_aggs: list[tuple[str, Column]] = []
 
     # ------------------------------------------------------- tok helpers --
     def peek(self, k: int = 0) -> Tok:
@@ -356,7 +360,13 @@ class Parser:
                 self.eat_op(")")
                 return fn.REPLACE(x, pat, rep)
             if kw in AGGS:
-                return self._agg_call()[1]
+                # hoist: the aggregate is computed under a generated alias at
+                # the Group node; the surrounding expression sees the alias
+                _, col = self._agg_call()
+                alias = f"__agg{self._agg_counter}"
+                self._agg_counter += 1
+                self._pending_aggs.append((alias, col))
+                return F.col(alias)
             for table, arity in ((FUNCS_1, 1), (FUNCS_2, 2)):
                 if kw in table:
                     self.next()
@@ -619,8 +629,9 @@ class Parser:
             distinct = self.peek().text.lower() == "distinct"
             self.next()
         proj: list[str] | None = []
-        binds: list[tuple[str, Column]] = []
-        agg_sel: list[tuple[str, Column]] = []
+        binds: list[tuple[str, Column]] = []        # pre-Group extends
+        post_binds: list[tuple[str, Column]] = []   # extends over aggregates
+        hidden_aggs: list[tuple[str, Column]] = []  # hoisted (alias, agg col)
         if self.at_op("*"):
             self.next()
             proj = None
@@ -630,17 +641,20 @@ class Parser:
                     proj.append(self.next().text[1:])
                 elif self.at_op("("):
                     self.next()
-                    if self.peek().kind == "KW" and self.peek().text.upper() in AGGS:
-                        _, col = self._agg_call()
-                        self.eat_kw("as")
-                        v = self.next().text[1:]
-                        agg_sel.append((v, col))
-                    else:
-                        e = self.expr()
-                        self.eat_kw("as")
-                        v = self.next().text[1:]
-                        binds.append((v, e))
+                    self._pending_aggs = []
+                    e = self.expr()
+                    self.eat_kw("as")
+                    v = self.next().text[1:]
                     self.eat_op(")")
+                    if self._pending_aggs:
+                        # aggregate (or expression over aggregates, e.g.
+                        # SUM(?x)/COUNT(?x)): aggs compute under hidden
+                        # aliases at the Group; v binds after it
+                        hidden_aggs.extend(self._pending_aggs)
+                        post_binds.append((v, e))
+                    else:
+                        binds.append((v, e))
+                    self._pending_aggs = []
                     proj.append(v)
                 else:
                     break
@@ -658,7 +672,10 @@ class Parser:
         if self.at_kw("having"):
             self.next()
             self.eat_op("(")
-            having = self.expr()
+            self._pending_aggs = []
+            having = self.expr()  # HAVING(COUNT(*) > n) hoists the aggregate
+            hidden_aggs.extend(self._pending_aggs)
+            self._pending_aggs = []
             self.eat_op(")")
 
         order: list[tuple] = []
@@ -686,13 +703,19 @@ class Parser:
                 self.next()
                 offset = int(self.next().text)
 
-        # assemble: binds → group/aggregates → having → order → project →
-        # distinct → slice (SPARQL algebra ordering)
+        # assemble: binds → group/aggregates → post-binds → having → order →
+        # project → distinct → slice (SPARQL algebra ordering). HAVING is a
+        # plain Filter after the post-Group extends so it can reference both
+        # SELECT aliases (?avg) and hoisted aggregates (COUNT(*) > n).
         for v, e in binds:
             node = A.Extend(node, v, e)
-        if group_keys or agg_sel:
-            aggs = agg_sel or [("__count", fn.COUNT())]
-            node = A.Group(node, keys=tuple(group_keys), aggs=aggs, having=having)
+        if group_keys or hidden_aggs:
+            aggs = hidden_aggs or [("__count", fn.COUNT())]
+            node = A.Group(node, keys=tuple(group_keys), aggs=aggs)
+        for v, e in post_binds:
+            node = A.Extend(node, v, e)
+        if having is not None:
+            node = A.Filter(having, node)
         if proj is not None and proj:
             node = A.Project(node, proj)
         if distinct:

@@ -268,11 +268,21 @@ def store_from_sf_dir(spark: SparkSession, sf_dir: str, tables: list[str] | None
         return out
 
     star, pred_table = _star_source_factory(spark, sf_dir, tables, fields)
+    pred_dt: dict[str, str] = {}
+    for t in tables:
+        _, fks = TPCH_SCHEMA[t]
+        for name, tag in fields[t]:
+            if tag is None:
+                continue
+            pred_dt[f"{t}#{name}"] = tag
+            if name in fks:
+                pred_dt[f"{t}#{name}_ref"] = "iri"
     store = TripleStore(
         df_factory=build_union,
         pred_sources=_pred_source_factories(spark, sf_dir, tables, fields),
         star_factory=star,
         pred_table=pred_table,
+        pred_dt=pred_dt,
     )
     store._stats = _metadata_stats(fields, counts)
     return store

@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from blazegraph_database_spark.model.store import TRIPLE_COLS, TripleStore
-from blazegraph_database_spark.plans.compiler import construct, evaluate
+from blazegraph_database_spark.plans.compiler import construct, evaluate, instantiate_template
 
 QUAD_COLS = TRIPLE_COLS + ["g"]
 
@@ -87,14 +87,17 @@ class UpdatableStore:
         both templates instantiated from the same bindings (ref:
         DeleteInsertGraph semantics — delete first, then insert)."""
         cur = self.current
-        bindings = evaluate(cur, where_plan)
+        # dt-tracked bindings: object-var datatypes ride along as `<var>__dt`
+        # companions, so instantiated triples carry the bound term's true type
+        # and the delete anti-join on (s,p,o_lex,o_dt) matches IRIs and typed
+        # literals, not just plain strings (ADVICE round 1, high).
+        bindings = evaluate(cur.with_dt_tracking(), where_plan)
         df = cur.df
         if delete_template:
-            del_triples = construct(cur, where_plan, delete_template)
+            del_triples = instantiate_template(bindings, delete_template)
             df = df.join(del_triples.select(*TRIPLE_COLS), on=TRIPLE_COLS, how="left_anti")
         if insert_template:
-            # construct() re-evaluates WHERE; reuse bindings for one evaluation
-            ins = _instantiate(bindings, insert_template)
+            ins = instantiate_template(bindings, insert_template)
             df = df.unionByName(ins, allowMissingColumns=True).distinct()
         return self._push(df)
 
@@ -170,28 +173,3 @@ class UpdatableStore:
         ).distinct()
         closed = rdfs_closure(TripleStore(merged))
         return self._push(closed.df)
-
-
-def _instantiate(bindings: DataFrame, template: list[tuple]) -> DataFrame:
-    """Template triples from a bindings DataFrame (CONSTRUCT-style)."""
-    from blazegraph_database_spark.model.terms import Lit, Var
-
-    parts = []
-    for s, p, o in template:
-        def col_of(pos, dt_default):
-            if isinstance(pos, Var):
-                return F.col(pos.name).cast("string"), F.lit(dt_default)
-            if isinstance(pos, Lit):
-                return F.lit(pos.lex), F.lit(pos.dt)
-            return F.lit(pos), F.lit(dt_default)
-
-        sc, _ = col_of(s, "iri")
-        pc, _ = col_of(p, "iri")
-        oc, odt = col_of(o, "string")
-        parts.append(
-            bindings.select(sc.alias("s"), pc.alias("p"), oc.alias("o_lex"), odt.alias("o_dt"))
-        )
-    out = parts[0]
-    for df in parts[1:]:
-        out = out.unionByName(df)
-    return out.distinct()
