@@ -566,6 +566,33 @@ class Parser:
             return "rdf:type"
         return self.term()
 
+    def _triple_block(self) -> list[tuple]:
+        """{ s p o . ... } template/data body (with `;` `,` lists) up to the
+        closing brace, which is consumed. Shared by CONSTRUCT templates and
+        the UPDATE parser's INSERT/DELETE blocks."""
+        tmpl = []
+        while not self.at_op("}"):
+            s = self.term()
+            while True:
+                p = self._pred_term()
+                while True:
+                    o = self.term()
+                    tmpl.append((s, p, o))
+                    if self.at_op(","):
+                        self.next()
+                        continue
+                    break
+                if self.at_op(";"):
+                    self.next()
+                    if self.at_op(".", "}"):
+                        break
+                    continue
+                break
+            if self.at_op("."):
+                self.next()
+        self.eat_op("}")
+        return tmpl
+
     def parse_query(self):
         """Any query form. Returns a tagged tuple:
         ("select", plan) | ("ask", plan) |
@@ -583,27 +610,7 @@ class Parser:
         if self.at_kw("construct"):
             self.next()
             self.eat_op("{")
-            tmpl = []
-            while not self.at_op("}"):
-                s = self.term()
-                while True:
-                    p = self._pred_term()
-                    while True:
-                        o = self.term()
-                        tmpl.append((s, p, o))
-                        if self.at_op(","):
-                            self.next()
-                            continue
-                        break
-                    if self.at_op(";"):
-                        self.next()
-                        if self.at_op(".", "}"):
-                            break
-                        continue
-                    break
-                if self.at_op("."):
-                    self.next()
-            self.eat_op("}")
+            tmpl = self._triple_block()
             if self.at_kw("where"):
                 self.next()
             node = self.group_graph_pattern()

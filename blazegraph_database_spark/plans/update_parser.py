@@ -1,0 +1,235 @@
+"""SPARQL UPDATE text parser + executor (SURVEY.md §2.9/§2.12).
+
+Reference analog: UpdateExprBuilder.java (bigdata-core/bigdata-sails/src/java/
+com/bigdata/rdf/sail/sparql/UpdateExprBuilder.java) building the UpdateRoot
+AST (bigdata-core/bigdata-rdf/.../sparql/ast/UpdateRoot.java), evaluated by
+AST2BOpUpdate.java. Here each textual operation parses into a small op dict
+and executes against :class:`update.update.UpdatableStore` — the verbs are
+already DataFrame union/anti-join; this adds the text surface an endpoint
+user hits first.
+
+Supported: INSERT DATA / DELETE DATA (with optional GRAPH wrapper),
+DELETE/INSERT ... WHERE (either or both templates, optional WITH graph),
+DELETE WHERE shorthand, LOAD [SILENT] <uri> [INTO GRAPH <g>],
+CLEAR/DROP/CREATE [SILENT] GRAPH <g>, COPY/MOVE/ADD [SILENT] <g> TO <g>,
+and `;`-separated sequences.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from blazegraph_database_spark.model.terms import Lit, Var
+from blazegraph_database_spark.plans import algebra as A
+from blazegraph_database_spark.plans.sparql_parser import Parser
+from blazegraph_database_spark.update.update import UpdatableStore
+
+
+class UpdateParser(Parser):
+    """Parses a SPARQL UPDATE request (one or more `;`-separated ops)."""
+
+    def parse_update(self) -> list[dict]:
+        self._parse_prefixes()
+        ops = []
+        while self.peek().kind != "EOF":
+            ops.append(self._operation())
+            self._parse_prefixes()  # PREFIX may precede any operation
+            if self.at_op(";"):
+                self.next()
+        if self.peek().kind != "EOF":
+            raise SyntaxError(f"trailing tokens at {self.peek().text!r}")
+        return ops
+
+    # ---------------------------------------------------------------- ops --
+    def _operation(self) -> dict:
+        if self.at_kw("insert"):
+            self.next()
+            if self.at_kw("data"):
+                self.next()
+                return {"op": "insert_data", "quads": self._quad_data()}
+            return self._modify(delete_first=False)
+        if self.at_kw("delete"):
+            self.next()
+            if self.at_kw("data"):
+                self.next()
+                return {"op": "delete_data", "quads": self._quad_data()}
+            if self.at_kw("where"):  # DELETE WHERE { P }: pattern is template
+                self.next()
+                self.eat_op("{")
+                tmpl = self._triple_block()
+                return {
+                    "op": "modify",
+                    "delete": tmpl,
+                    "insert": None,
+                    "where": A.BGP([A.SP(s, p, o) for s, p, o in tmpl]),
+                }
+            return self._modify(delete_first=True)
+        if self.at_kw("with"):  # WITH <g> DELETE ... INSERT ... WHERE ...
+            self.next()
+            g = self._graph_ref()
+            if self.at_kw("delete"):
+                self.next()
+                return self._modify(delete_first=True, graph=g)
+            self.eat_kw("insert")
+            return self._modify(delete_first=False, graph=g)
+        if self.at_kw("load"):
+            self.next()
+            self._skip_silent()
+            uri = self._graph_ref()
+            graph = None
+            if self.at_kw("into"):
+                self.next()
+                self.eat_kw("graph")
+                graph = self._graph_ref()
+            return {"op": "load", "uri": uri, "graph": graph}
+        for verb in ("clear", "drop", "create"):
+            if self.at_kw(verb):
+                self.next()
+                self._skip_silent()
+                self.eat_kw("graph")
+                return {"op": verb, "graph": self._graph_ref()}
+        for verb in ("copy", "move", "add"):
+            if self.at_kw(verb):
+                self.next()
+                self._skip_silent()
+                src = self._graph_ref_or_default()
+                self.eat_kw("to")
+                dst = self._graph_ref_or_default()
+                return {"op": verb, "src": src, "dst": dst}
+        raise SyntaxError(f"bad UPDATE operation at {self.peek().text!r}")
+
+    def _modify(self, delete_first: bool, graph: str | None = None) -> dict:
+        """[DELETE { t }] [INSERT { t }] WHERE { P } (one template already
+        committed to by the caller via delete_first)."""
+        delete = insert = None
+        if delete_first:
+            self.eat_op("{")
+            delete = self._triple_block()
+            if self.at_kw("insert"):
+                self.next()
+                self.eat_op("{")
+                insert = self._triple_block()
+        else:
+            self.eat_op("{")
+            insert = self._triple_block()
+        self.eat_kw("where")
+        where = self.group_graph_pattern()
+        return {"op": "modify", "delete": delete, "insert": insert, "where": where, "graph": graph}
+
+    # ------------------------------------------------------------ helpers --
+    def _skip_silent(self) -> None:
+        if self.at_kw("silent"):
+            self.next()
+
+    def _graph_ref(self) -> str:
+        t = self.next()
+        if t.kind == "IRI":
+            return t.text[1:-1]
+        if t.kind == "PNAME":
+            return self.expand_pname(t.text)
+        raise SyntaxError(f"expected graph IRI, got {t.text!r}")
+
+    def _graph_ref_or_default(self) -> str:
+        if self.at_kw("default"):
+            self.next()
+            return "default"
+        if self.at_kw("graph"):
+            self.next()
+        return self._graph_ref()
+
+    def _quad_data(self) -> list[tuple]:
+        """Ground data block: { triples... } with optional GRAPH <g> { ... }
+        sub-blocks. Returns (s, p, o, g|None) tuples."""
+        self.eat_op("{")
+        quads: list[tuple] = []
+        while not self.at_op("}"):
+            if self.at_kw("graph"):
+                self.next()
+                g = self._graph_ref()
+                self.eat_op("{")
+                quads.extend((s, p, o, g) for s, p, o in self._triple_block())
+                if self.at_op("."):
+                    self.next()
+                continue
+            # parse a run of plain triples up to GRAPH / closing brace
+            s = self.term()
+            while True:
+                p = self._pred_term()
+                while True:
+                    o = self.term()
+                    quads.append((s, p, o, None))
+                    if self.at_op(","):
+                        self.next()
+                        continue
+                    break
+                if self.at_op(";"):
+                    self.next()
+                    if self.at_op(".", "}"):
+                        break
+                    continue
+                break
+            if self.at_op("."):
+                self.next()
+        self.eat_op("}")
+        for s, p, o, _ in quads:
+            if isinstance(s, Var) or isinstance(p, Var) or isinstance(o, Var):
+                raise SyntaxError("variables are not allowed in DATA blocks")
+        return quads
+
+
+def _ground_triples_df(spark: SparkSession, quads: list[tuple], with_graph: bool) -> DataFrame:
+    def lex_dt(term) -> tuple[str, str]:
+        if isinstance(term, Lit):
+            return term.lex, term.dt
+        return str(term), "iri"
+
+    rows = []
+    for s, p, o, g in quads:
+        sl, _ = lex_dt(s)
+        pl, _ = lex_dt(p)
+        ol, odt = lex_dt(o)
+        rows.append((sl, pl, ol, odt, g) if with_graph else (sl, pl, ol, odt))
+    schema = "s string, p string, o_lex string, o_dt string" + (", g string" if with_graph else "")
+    return spark.createDataFrame(rows, schema)
+
+
+def parse_update(src: str) -> list[dict]:
+    return UpdateParser(src).parse_update()
+
+
+def apply_update(store: UpdatableStore, src: str, spark: SparkSession | None = None) -> UpdatableStore:
+    """Parse and execute a SPARQL UPDATE request against an UpdatableStore.
+    Operations run in order (each sees the previous one's result), matching
+    the reference's sequential UpdateRoot evaluation."""
+    spark = spark or store.current.spark
+    for op in parse_update(src):
+        kind = op["op"]
+        if kind == "insert_data":
+            has_g = "g" in store.current.df.columns
+            store.insert_data(_ground_triples_df(spark, op["quads"], with_graph=has_g))
+        elif kind == "delete_data":
+            has_g = "g" in store.current.df.columns
+            store.delete_data(_ground_triples_df(spark, op["quads"], with_graph=has_g))
+        elif kind == "modify":
+            where = op["where"]
+            g = op.get("graph")
+            if g is not None:
+                where = A.GraphScope(g, where)
+            store.delete_insert_where(
+                where, delete_template=op["delete"], insert_template=op["insert"]
+            )
+        elif kind == "load":
+            store.load(spark, op["uri"], graph=op["graph"])
+        elif kind in ("clear", "drop"):
+            store.clear_graph(op["graph"])
+        elif kind == "create":
+            store.create_graph(op["graph"])
+        elif kind == "copy":
+            store.copy_graph(op["src"], op["dst"])
+        elif kind == "move":
+            store.move_graph(op["src"], op["dst"])
+        elif kind == "add":
+            store.add_graph(op["src"], op["dst"])
+        else:  # pragma: no cover
+            raise ValueError(f"unknown op {kind}")
+    return store

@@ -131,3 +131,38 @@ def update_delete_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
         st.current.df.groupBy(F.col("o_lex").alias("segment"))
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@register(
+    "sparql_update_text",
+    """
+    WITH t AS (
+        SELECT 'nation#n_nationkey' AS p FROM nation
+        UNION ALL SELECT 'nation#n_name' FROM nation WHERE n_regionkey != 0
+        UNION ALL SELECT 'renamed' FROM nation WHERE n_regionkey = 0
+        UNION ALL SELECT 'nation#n_regionkey' FROM nation
+        UNION ALL SELECT 'nation#n_regionkey_ref' FROM nation
+    )
+    SELECT p, CAST(COUNT(*) AS BIGINT) AS n FROM t GROUP BY p
+    """,
+)
+def sparql_update_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Textual DELETE/INSERT WHERE parsed by plans/update_parser (ref:
+    UpdateExprBuilder.java → AST2BOpUpdate.java): rename every region-0
+    nation's name predicate, then count surviving triples per predicate."""
+    from blazegraph_database_spark.plans.update_parser import apply_update
+    from blazegraph_database_spark.sources.relational import store_from_sf_dir
+
+    st = store_from_sf_dir(spark, sf_dir, ["nation"])
+    us = UpdatableStore.from_store(st)
+    apply_update(
+        us,
+        """
+        DELETE { ?n <nation#n_name> ?name }
+        INSERT { ?n <renamed> ?name }
+        WHERE  { ?n <nation#n_name> ?name . ?n <nation#n_regionkey> ?rk
+                 FILTER(?rk = "0") }
+        """,
+        spark=spark,
+    )
+    return us.current.df.groupBy("p").agg(F.count(F.lit(1)).alias("n"))

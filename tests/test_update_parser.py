@@ -1,0 +1,73 @@
+"""SPARQL UPDATE text parser tests (ref: UpdateExprBuilder.java /
+AST2BOpUpdate.java evaluation order)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from blazegraph_database_spark.model.store import TripleStore
+from blazegraph_database_spark.plans.update_parser import apply_update, parse_update
+from blazegraph_database_spark.update.update import UpdatableStore
+
+
+@pytest.fixture()
+def us(spark):
+    rows = [
+        ("a", "knows", "b", "iri", "g1"),
+        ("b", "name", "Bob", "string", "g1"),
+        ("c", "name", "Carol", "string", "g2"),
+    ]
+    return UpdatableStore.from_store(
+        TripleStore(spark.createDataFrame(rows, "s string, p string, o_lex string, o_dt string, g string"))
+    )
+
+
+def test_parse_ops_shapes():
+    ops = parse_update(
+        'INSERT DATA { <a> <p> "x" } ; DELETE WHERE { ?s <p> ?o } ; '
+        "CLEAR GRAPH <g1> ; COPY <g1> TO <g2> ; LOAD SILENT <file:///x> INTO GRAPH <g3>"
+    )
+    assert [o["op"] for o in ops] == ["insert_data", "modify", "clear", "copy", "load"]
+    assert ops[4] == {"op": "load", "uri": "file:///x", "graph": "g3"}
+
+
+def test_insert_data_graph_block(spark, us):
+    apply_update(us, 'INSERT DATA { GRAPH <g2> { <d> <name> "Dave" } }')
+    got = us.current.df.filter(F.col("g") == "g2").count()
+    assert got == 2
+
+
+def test_delete_data_typed_literal(spark, us):
+    apply_update(us, 'INSERT DATA { GRAPH <g1> { <b> <age> "25"^^<http://www.w3.org/2001/XMLSchema#integer> } }')
+    assert us.current.df.filter(F.col("p") == "age").count() == 1
+    # DELETE DATA must match the typed term exactly
+    apply_update(us, 'DELETE DATA { GRAPH <g1> { <b> <age> "25"^^<http://www.w3.org/2001/XMLSchema#integer> } }')
+    assert us.current.df.filter(F.col("p") == "age").count() == 0
+
+
+def test_clear_and_move_graph(spark, us):
+    apply_update(us, "CLEAR GRAPH <g2>")
+    assert us.current.df.filter(F.col("g") == "g2").count() == 0
+    apply_update(us, "MOVE <g1> TO <g3>")
+    assert us.current.df.filter(F.col("g") == "g1").count() == 0
+    assert us.current.df.filter(F.col("g") == "g3").count() == 2
+
+
+def test_data_block_rejects_variables():
+    with pytest.raises(SyntaxError):
+        parse_update("INSERT DATA { ?s <p> <o> }")
+
+
+def test_delete_insert_where_var_object_types(spark):
+    rows = [
+        ("a", "p", "b", "iri"),
+        ("a", "p", "42", "long"),
+        ("a", "p", "x", "string"),
+    ]
+    us2 = UpdatableStore.from_store(
+        TripleStore(spark.createDataFrame(rows, "s string, p string, o_lex string, o_dt string"))
+    )
+    # variable-object delete must remove IRI and typed-literal rows too
+    apply_update(us2, "DELETE { ?s <p> ?o } WHERE { ?s <p> ?o }")
+    assert us2.current.df.count() == 0
