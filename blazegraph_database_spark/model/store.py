@@ -67,6 +67,9 @@ class TripleStore:
         # object-position variables so CONSTRUCT/UPDATE preserve term type
         # (ref keeps IV type through construct; see ADVICE round 1).
         self.track_dt = False
+        # FROM / FROM NAMED scoping (None = no dataset declared)
+        self.dataset_default: tuple | None = None
+        self.dataset_named: tuple | None = None
         self._src_cache: dict = {}
 
     def with_dt_tracking(self) -> "TripleStore":
@@ -75,6 +78,15 @@ class TripleStore:
 
         out = copy.copy(self)
         out.track_dt = True
+        return out
+
+    def with_dataset(self, default: tuple = (), named: tuple = ()) -> "TripleStore":
+        """Shallow view scoped by FROM (default) / FROM NAMED (named)."""
+        import copy
+
+        out = copy.copy(self)
+        out.dataset_default = tuple(default) if default else None
+        out.dataset_named = tuple(named) if named else None
         return out
 
     @property

@@ -2,14 +2,14 @@
 
 Reference analog: ArbitraryLengthPathNode + ArbitraryLengthPathOp
 (bigdata-core/bigdata-rdf/src/java/com/bigdata/rdf/sparql/ast/
-ArbitraryLengthPathNode.java; eval in bigdata-core/bigdata-core/.../bop/paths/).
+ArbitraryLengthPathNode.java; eval in bigdata-core/bigdata-core/.../bop/paths/),
+negated property sets per PathNode + ASTPropertyPathOptimizer.java.
 
-Fixed-length constructs (/, |, ^, ?) compile to joins/unions; `+`/`*` run an
-iterative frontier expansion (semi-naive transitive closure): each round joins
-the frontier against the base pair set, anti-joins already-seen pairs, and
-localCheckpoints to truncate lineage — the Spark equivalent of the reference's
-iterative ALP operator. AQE re-sizes each round's shuffle from the actual
-frontier cardinality.
+Fixed-length constructs (/, |, ^, ?, !(...)) compile to joins/unions; `+`/`*`
+run an iterative frontier expansion with a strategy choice (see
+``transitive_closure``). All functions optionally carry a graph column so the
+same machinery evaluates paths inside GRAPH ?var — closure joins then include
+``g``, keeping each named graph's reachability separate.
 """
 
 from __future__ import annotations
@@ -22,74 +22,125 @@ from blazegraph_database_spark.plans import algebra as A
 
 MAX_ITERS = 64  # diameter guard; 100 TB graphs rarely exceed ~30 rounds
 
+# Above this many base pairs, `+`/`*` switch from iterative doubling to
+# semi-naive delta expansion: doubling's per-round |closure ⋈ closure| is the
+# right trade for small/deep schema graphs (log2(diameter) barriers), while
+# delta ⋈ base bounds per-round work on big fan-out data graphs — the
+# reference's ALP operator is semi-naive for the same reason.
+DOUBLING_MAX_PAIRS = 100_000
 
-def _link(store: TripleStore, iri: str) -> DataFrame:
-    return (
-        store.df.filter(F.col("p") == iri)
-        .select(F.col("s"), F.col("o_lex").alias("o"))
-    )
+
+def _gcols(with_graph: bool) -> list[str]:
+    return ["g"] if with_graph else []
 
 
-def transitive_closure(pairs: DataFrame, max_iters: int = MAX_ITERS) -> DataFrame:
-    """All (s, o) connected by 1+ hops of `pairs`.
+def _link(store: TripleStore, iri: str, with_graph: bool = False) -> DataFrame:
+    df = store.df.filter(F.col("p") == iri)
+    return df.select(*_gcols(with_graph), F.col("s"), F.col("o_lex").alias("o"))
 
-    Iterative doubling: each round self-joins the closure-so-far, so a
-    diameter-d graph closes in ceil(log2 d) rounds instead of d — fewer
-    synchronization barriers, which is what dominates iterative plans on a
-    large cluster. Per-round work is |closure ⋈ closure| rather than
-    semi-naive's |delta ⋈ base|; `distinct` bounds every intermediate by
-    the final closure size, the right trade until diameter is tiny. Only
-    the per-round delta is checkpointed — the accumulated closure stays a
-    shallow union over materialized pieces."""
-    known = pairs.select("s", "o").distinct().localCheckpoint()
-    for _ in range(max_iters):
-        grown = (
-            known.alias("a")
-            .join(known.alias("b"), F.col("a.o") == F.col("b.s"))
-            .select(F.col("a.s").alias("s"), F.col("b.o").alias("o"))
-            .distinct()
+
+def _negated(store: TripleStore, nps: A.NegatedPropertySet, with_graph: bool = False) -> DataFrame:
+    g = _gcols(with_graph)
+    parts = []
+    if nps.forward:
+        parts.append(
+            store.df.filter(~F.col("p").isin(list(nps.forward)))
+            .select(*g, "s", F.col("o_lex").alias("o"))
         )
-        new = grown.join(known, on=["s", "o"], how="left_anti").localCheckpoint()
-        if new.isEmpty():
+    if nps.inverse:
+        parts.append(
+            store.df.filter(~F.col("p").isin(list(nps.inverse)))
+            .select(*g, F.col("o_lex").alias("s"), F.col("s").alias("o"))
+        )
+    if not parts:
+        raise ValueError("empty negated property set")
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _join_through(l: DataFrame, r: DataFrame, keys: list[str]) -> DataFrame:
+    """(s→mid) ⋈ (mid→o) with graph keys carried through."""
+    l2 = l.select(*keys, "s", F.col("o").alias("__mid"))
+    r2 = r.select(*keys, F.col("s").alias("__mid"), "o")
+    return l2.join(r2, on=keys + ["__mid"]).select(*keys, "s", "o").distinct()
+
+
+def transitive_closure(
+    pairs: DataFrame, max_iters: int = MAX_ITERS, keys: list[str] | None = None
+) -> DataFrame:
+    """All (s, o) connected by 1+ hops of `pairs` (per graph key if given).
+
+    Strategy is chosen from the base-pair count (available for free from the
+    frontier materialization): iterative doubling closes a diameter-d graph
+    in ceil(log2 d) barrier rounds — the win when synchronization dominates —
+    but each round self-joins the whole closure; semi-naive expands only the
+    frontier (delta ⋈ base per round), which bounds per-round work on
+    high-fan-out data graphs where |closure|² would blow up. The reference's
+    ALP operator evaluates semi-naive; we keep doubling for the small/deep
+    inputs (schema hierarchies) where it measurably wins."""
+    keys = keys or []
+    known = pairs.select(*keys, "s", "o").distinct().localCheckpoint()
+    use_doubling = known.count() <= DOUBLING_MAX_PAIRS
+    if use_doubling:
+        for _ in range(max_iters):
+            grown = _join_through(known, known, keys)
+            new = grown.join(known, on=keys + ["s", "o"], how="left_anti").localCheckpoint()
+            if new.isEmpty():
+                break
+            known = known.unionByName(new)
+        return known
+    base = known
+    delta = known
+    for _ in range(max_iters):
+        grown = _join_through(delta, base, keys)
+        delta = grown.join(known, on=keys + ["s", "o"], how="left_anti").localCheckpoint()
+        if delta.isEmpty():
             break
-        known = known.unionByName(new)
+        known = known.unionByName(delta)
     return known
 
 
-def _identity_pairs(pairs: DataFrame) -> DataFrame:
-    nodes = pairs.select(F.col("s").alias("n")).unionByName(pairs.select(F.col("o").alias("n"))).distinct()
-    return nodes.select(F.col("n").alias("s"), F.col("n").alias("o"))
+def _identity_pairs(pairs: DataFrame, keys: list[str] | None = None) -> DataFrame:
+    keys = keys or []
+    nodes = (
+        pairs.select(*keys, F.col("s").alias("n"))
+        .unionByName(pairs.select(*keys, F.col("o").alias("n")))
+        .distinct()
+    )
+    return nodes.select(*keys, F.col("n").alias("s"), F.col("n").alias("o"))
 
 
-def compile_path(store: TripleStore, path) -> DataFrame:
-    """Compile a path expression to a distinct (s, o) pair DataFrame."""
+def compile_path(store: TripleStore, path, with_graph: bool = False) -> DataFrame:
+    """Compile a path expression to a distinct (s, o) pair DataFrame —
+    ([g,] s, o) when with_graph, evaluated per named graph."""
+    k = _gcols(with_graph)
     if isinstance(path, str):
         path = A.Link(path)
     if isinstance(path, A.Link):
-        return _link(store, path.iri)
+        return _link(store, path.iri, with_graph)
+    if isinstance(path, A.NegatedPropertySet):
+        return _negated(store, path, with_graph)
     if isinstance(path, A.Inv):
-        p = compile_path(store, path.path)
-        return p.select(F.col("o").alias("s"), F.col("s").alias("o"))
+        p = compile_path(store, path.path, with_graph)
+        return p.select(*k, F.col("o").alias("s"), F.col("s").alias("o"))
     if isinstance(path, A.Seq):
-        l = compile_path(store, path.left).alias("l")
-        r = compile_path(store, path.right).alias("r")
-        return (
-            l.join(r, F.col("l.o") == F.col("r.s"))
-            .select(F.col("l.s").alias("s"), F.col("r.o").alias("o"))
-            .distinct()
-        )
+        l = compile_path(store, path.left, with_graph)
+        r = compile_path(store, path.right, with_graph)
+        return _join_through(l, r, k)
     if isinstance(path, A.Alt):
-        l = compile_path(store, path.left)
-        r = compile_path(store, path.right)
+        l = compile_path(store, path.left, with_graph)
+        r = compile_path(store, path.right, with_graph)
         return l.unionByName(r).distinct()
     if isinstance(path, A.Plus):
-        return transitive_closure(compile_path(store, path.path))
+        return transitive_closure(compile_path(store, path.path, with_graph), keys=k)
     if isinstance(path, A.Star):
-        base = compile_path(store, path.path)
+        base = compile_path(store, path.path, with_graph)
         # Zero-length component restricted to the path's node domain (documented
         # deviation from binding every term in the graph; matches common engines).
-        return transitive_closure(base).unionByName(_identity_pairs(base)).distinct()
+        return transitive_closure(base, keys=k).unionByName(_identity_pairs(base, k)).distinct()
     if isinstance(path, A.ZeroOrOne):
-        base = compile_path(store, path.path)
-        return base.unionByName(_identity_pairs(base)).distinct()
+        base = compile_path(store, path.path, with_graph)
+        return base.unionByName(_identity_pairs(base, k)).distinct()
     raise TypeError(f"unknown path expression: {path!r}")

@@ -76,12 +76,28 @@ class ZeroOrOne:
 
 
 @dataclass(frozen=True)
+class NegatedPropertySet:
+    """!(:p1|...|^:q1|...) — forward edges whose predicate is outside
+    `forward` plus reversed edges whose predicate is outside `inverse`;
+    a direction with no members matches nothing in that direction (SPARQL
+    1.1 NPS semantics). Ref: PathNode + ASTPropertyPathOptimizer."""
+
+    forward: tuple = ()
+    inverse: tuple = ()
+    def __init__(self, forward=(), inverse=()):
+        object.__setattr__(self, "forward", tuple(forward))
+        object.__setattr__(self, "inverse", tuple(inverse))
+
+
+@dataclass(frozen=True)
 class PathPattern:
-    """s/o joined through a property path. Ref: ArbitraryLengthPathNode."""
+    """s/o joined through a property path; optional graph term so paths work
+    inside GRAPH ?g / GRAPH <g>. Ref: ArbitraryLengthPathNode."""
 
     s: Pos
     path: Any
     o: Pos
+    g: Pos | None = None
 
 
 @dataclass(frozen=True)
@@ -206,3 +222,18 @@ class GraphScope:
 
     g: Pos
     child: Any
+
+
+@dataclass(frozen=True)
+class Dataset:
+    """FROM / FROM NAMED dataset declaration wrapping a query plan: patterns
+    outside GRAPH match the union of `default` graphs; GRAPH terms are
+    restricted to `named`. Ref: DatasetNode dataset clauses."""
+
+    child: Any
+    default: tuple = ()
+    named: tuple = ()
+    def __init__(self, child, default=(), named=()):
+        object.__setattr__(self, "child", child)
+        object.__setattr__(self, "default", tuple(default))
+        object.__setattr__(self, "named", tuple(named))

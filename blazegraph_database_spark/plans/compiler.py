@@ -50,6 +50,12 @@ def _pattern_df(sp: A.SP, store: TripleStore) -> DataFrame:
                 conds.append(F.col("o_dt") == (pos.dt if isinstance(pos, Lit) else "iri"))
     if sp.g is not None and is_const(sp.g):
         conds.append(F.col("g") == const_lex(sp.g))
+    # FROM / FROM NAMED dataset scoping (ref: DatasetNode)
+    if "g" in df.columns:
+        if sp.g is None and getattr(store, "dataset_default", None) is not None:
+            conds.append(F.col("g").isin(list(store.dataset_default)))
+        if isinstance(sp.g, Var) and getattr(store, "dataset_named", None) is not None:
+            conds.append(F.col("g").isin(list(store.dataset_named)))
     for c in conds:
         df = df.filter(c)
     sel, seen = [], {}
@@ -347,7 +353,7 @@ def _push_graph(node, g):
     if isinstance(node, A.GraphScope):
         return node  # inner GRAPH overrides
     if isinstance(node, A.PathPattern):
-        raise NotImplementedError("property path inside GRAPH ?var")
+        return A.PathPattern(node.s, node.path, node.o, g if node.g is None else node.g)
     for children in (("child",), ("left", "right")):
         if all(hasattr(node, c) for c in children):
             import dataclasses
@@ -364,17 +370,39 @@ def _(node: A.GraphScope, store: TripleStore) -> DataFrame:
         if not store.has_graphs:
             raise ValueError("GRAPH ?var over a triples-only store")
         return _compile(_push_graph(node.child, node.g), store)
-    return _compile(node.child, store.graph(const_lex(node.g)))
+    g = const_lex(node.g)
+    named = getattr(store, "dataset_named", None)
+    if named is not None and g not in named:
+        # GRAPH <g> outside the FROM NAMED set matches nothing
+        return _compile(node.child, store.graph(g)).limit(0)
+    return _compile(node.child, store.graph(g))
+
+
+@_compile.register
+def _(node: A.Dataset, store: TripleStore) -> DataFrame:
+    return _compile(node.child, store.with_dataset(node.default, node.named))
 
 
 @_compile.register
 def _(node: A.PathPattern, store: TripleStore) -> DataFrame:
     from blazegraph_database_spark.operators.paths import compile_path
 
-    pairs = compile_path(store, node.path)  # DF(s, o)
+    if node.g is not None and is_const(node.g):
+        store = store.graph(const_lex(node.g))
+    with_graph = node.g is not None and isinstance(node.g, Var)
+    if with_graph:
+        if not store.has_graphs:
+            raise ValueError("path inside GRAPH ?var over a triples-only store")
+        named = getattr(store, "dataset_named", None)
+        if named is not None:
+            scoped = TripleStore(store.df.filter(F.col("g").isin(list(named))))
+            scoped.track_dt = store.track_dt
+            store = scoped
+    pairs = compile_path(store, node.path, with_graph=with_graph)  # DF([g,] s, o)
     df = pairs
     sel = []
-    for col, pos in (("s", node.s), ("o", node.o)):
+    positions = (("s", node.s), ("o", node.o)) + ((("g", node.g),) if with_graph else ())
+    for col, pos in positions:
         if is_const(pos):
             df = df.filter(F.col(col) == const_lex(pos))
         else:

@@ -188,7 +188,40 @@ class Parser:
             left = A.Seq(left, self.path_elt())
         return left
 
+    def _iri_only(self) -> str:
+        t = self.next()
+        if t.kind == "IRI":
+            return t.text[1:-1]
+        if t.kind == "PNAME":
+            return self.expand_pname(t.text)
+        if t.kind == "KW" and t.text.lower() == "a":
+            return "rdf:type"
+        raise SyntaxError(f"expected IRI, got {t.text!r}")
+
+    def _negated_property_set(self) -> A.NegatedPropertySet:
+        """!iri or !(iri|^iri|...) — ref: PathNegatedPropertySet."""
+        fwd, inv = [], []
+        def one():
+            if self.at_op("^"):
+                self.next()
+                inv.append(self._iri_only())
+            else:
+                fwd.append(self._iri_only())
+        if self.at_op("("):
+            self.next()
+            one()
+            while self.at_op("|"):
+                self.next()
+                one()
+            self.eat_op(")")
+        else:
+            one()
+        return A.NegatedPropertySet(fwd, inv)
+
     def path_elt(self):
+        if self.at_op("!"):
+            self.next()
+            return self._negated_property_set()
         inv = False
         if self.at_op("^"):
             self.next()
@@ -466,6 +499,11 @@ class Parser:
                     node = node_vals
                 else:
                     node = A.Values(node_vals.rows, child=node)
+            elif self.at_kw("graph"):
+                self.next()
+                t = self.peek()
+                gterm = Var(self.next().text[1:]) if t.kind == "VAR" else self._iri_only()
+                add(A.GraphScope(gterm, self.group_graph_pattern()))
             elif self.at_op("{"):
                 sub = self.group_graph_pattern()
                 while self.at_kw("union"):
@@ -601,9 +639,12 @@ class Parser:
         self._parse_prefixes()
         if self.at_kw("ask"):
             self.next()
+            ds_default, ds_named = self._dataset_clauses()
             if self.at_kw("where"):
                 self.next()
             node = self.group_graph_pattern()
+            if ds_default or ds_named:
+                node = A.Dataset(node, ds_default, ds_named)
             if self.peek().kind != "EOF":
                 raise SyntaxError(f"trailing tokens at {self.peek().text!r}")
             return ("ask", node)
@@ -665,6 +706,7 @@ class Parser:
                     proj.append(v)
                 else:
                     break
+        ds_default, ds_named = self._dataset_clauses()
         if self.at_kw("where"):
             self.next()
         node = self.group_graph_pattern()
@@ -733,9 +775,23 @@ class Parser:
             node = A.OrderBy(node, order)
         if limit is not None or offset is not None:
             node = A.Slice(node, limit=limit, offset=offset or 0)
+        if ds_default or ds_named:
+            node = A.Dataset(node, ds_default, ds_named)
         if self.peek().kind != "EOF":
             raise SyntaxError(f"trailing tokens at {self.peek().text!r}")
         return node
+
+    def _dataset_clauses(self) -> tuple[list[str], list[str]]:
+        """FROM <g> / FROM NAMED <g> declarations (ref: DatasetNode)."""
+        default, named = [], []
+        while self.at_kw("from"):
+            self.next()
+            if self.at_kw("named"):
+                self.next()
+                named.append(self._iri_only())
+            else:
+                default.append(self._iri_only())
+        return default, named
 
 
 _EMPTY = A.BGP([])

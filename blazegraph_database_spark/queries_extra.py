@@ -288,3 +288,114 @@ def dict_encoded_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("nname")
         .agg(F.count(F.lit(1)).alias("n_orders"))
     )
+
+
+@register(
+    "path_negated",
+    """
+    SELECT o_orderpriority AS o, CAST(COUNT(*) AS BIGINT) AS n
+    FROM orders GROUP BY 1
+    """,
+)
+def path_negated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Negated property set !(<orderedBy>) parsed from text (ref: PathNode +
+    ASTPropertyPathOptimizer): over a two-predicate store, the NPS leaves
+    exactly the hasPriority edges."""
+    from blazegraph_database_spark.plans.sparql_parser import run_sparql
+
+    orders = read_parquet(spark, f"{sf_dir}/orders.parquet")
+    triples = orders.select(
+        F.concat(F.lit("order:"), F.col("o_orderkey")).alias("s"),
+        F.lit("orderedBy").alias("p"),
+        F.concat(F.lit("customer:"), F.col("o_custkey")).alias("o_lex"),
+        F.lit("iri").alias("o_dt"),
+    ).unionByName(
+        orders.select(
+            F.concat(F.lit("order:"), F.col("o_orderkey")).alias("s"),
+            F.lit("hasPriority").alias("p"),
+            F.col("o_orderpriority").alias("o_lex"),
+            F.lit("string").alias("o_dt"),
+        )
+    )
+    st = TripleStore(triples)
+    return run_sparql(
+        st, "SELECT ?o (COUNT(*) AS ?n) WHERE { ?s !(<orderedBy>) ?o } GROUP BY ?o"
+    )
+
+
+@register(
+    "graph_var_path",
+    """
+    WITH RECURSIVE e AS (
+        SELECT 'g:' || (c_custkey % 2) AS g,
+               CAST(c_custkey AS VARCHAR) AS s, CAST(c_custkey // 2 AS VARCHAR) AS o
+        FROM customer WHERE c_custkey >= 2
+    ),
+    r AS (
+        SELECT g, s, o FROM e
+        UNION
+        SELECT r.g, r.s, e.o FROM r JOIN e ON r.g = e.g AND r.o = e.s
+    )
+    SELECT g, CAST(COUNT(*) AS BIGINT) AS n FROM r GROUP BY g
+    """,
+)
+def graph_var_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary-length path inside GRAPH ?var: per-graph transitive closure
+    (the closure join carries the graph key; ref: ArbitraryLengthPathNode
+    under DatasetNode scoping)."""
+    cust = read_parquet(spark, f"{sf_dir}/customer.parquet").filter(F.col("c_custkey") >= 2)
+    quads = cust.select(
+        F.col("c_custkey").cast("string").alias("s"),
+        F.lit("parent").alias("p"),
+        (F.col("c_custkey") / 2).cast("long").cast("string").alias("o_lex"),
+        F.lit("iri").alias("o_dt"),
+        F.concat(F.lit("g:"), (F.col("c_custkey") % 2).cast("string")).alias("g"),
+    )
+    qst = TripleStore(quads)
+    plan = A.Group(
+        A.GraphScope(V("g"), A.PathPattern(V("x"), A.Plus("parent"), V("a"))),
+        keys=("g",),
+        aggs=[("n", fn.COUNT())],
+    )
+    return evaluate(qst, plan)
+
+
+@register(
+    "dataset_from_named",
+    """
+    SELECT 'g:ord' AS g, CAST(COUNT(*) AS BIGINT) AS n
+    FROM orders WHERE o_orderstatus IS NOT NULL
+    UNION ALL
+    SELECT 'default' AS g, CAST(COUNT(*) AS BIGINT) AS n
+    FROM customer WHERE c_mktsegment IS NOT NULL
+    """,
+)
+def dataset_from_named(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FROM / FROM NAMED dataset clauses in the text parser (ref:
+    DatasetNode): default-graph patterns see only FROM graphs, GRAPH ?g is
+    restricted to FROM NAMED graphs."""
+    from blazegraph_database_spark.plans.sparql_parser import run_sparql
+
+    cust = read_parquet(spark, f"{sf_dir}/customer.parquet").select(
+        F.concat(F.lit("customer:"), F.col("c_custkey")).alias("s"),
+        F.lit("customer#c_mktsegment").alias("p"),
+        F.col("c_mktsegment").alias("o_lex"),
+        F.lit("string").alias("o_dt"),
+        F.lit("g:cust").alias("g"),
+    )
+    ords = read_parquet(spark, f"{sf_dir}/orders.parquet").select(
+        F.concat(F.lit("order:"), F.col("o_orderkey")).alias("s"),
+        F.lit("orders#o_orderstatus").alias("p"),
+        F.col("o_orderstatus").alias("o_lex"),
+        F.lit("string").alias("o_dt"),
+        F.lit("g:ord").alias("g"),
+    )
+    qst = TripleStore(cust.unionByName(ords).filter(F.col("o_lex").isNotNull()))
+    return run_sparql(
+        qst,
+        """
+        SELECT ?g (COUNT(*) AS ?n) FROM <g:cust> FROM NAMED <g:ord> WHERE {
+          { GRAPH ?g { ?s ?p ?o } } UNION { ?s ?p ?o BIND("default" AS ?g) }
+        } GROUP BY ?g
+        """,
+    )
