@@ -31,9 +31,20 @@ RDFS_SUBCLASS = "rdfs:subClassOf"
 RDFS_SUBPROP = "rdfs:subPropertyOf"
 RDFS_DOMAIN = "rdfs:domain"
 RDFS_RANGE = "rdfs:range"
+RDFS_RESOURCE = "rdfs:Resource"
+RDFS_LITERAL = "rdfs:Literal"
+RDFS_CMP = "rdfs:ContainerMembershipProperty"
+RDFS_MEMBER = "rdfs:member"
+RDFS_CLASS = "rdfs:Class"
+RDFS_DATATYPE = "rdfs:Datatype"
+RDF_PROPERTY = "rdf:Property"
 OWL_SAMEAS = "owl:sameAs"
 OWL_INVERSE = "owl:inverseOf"
 OWL_TRANSITIVE = "owl:TransitiveProperty"
+OWL_SYMMETRIC = "owl:SymmetricProperty"
+OWL_FUNCTIONAL = "owl:FunctionalProperty"
+OWL_EQCLASS = "owl:equivalentClass"
+OWL_EQPROP = "owl:equivalentProperty"
 
 MAX_ITERS = 32
 
@@ -76,13 +87,27 @@ def _as_triples(edges: DataFrame, pred: str) -> DataFrame:
     )
 
 
-def rdfs_closure_pass(df: DataFrame) -> DataFrame:
-    """One stratified rule pass: rdfs5 → rdfs7 → rdfs2/3 → rdfs11 → rdfs9
-    (the reference's fast-closure rule order — each rule's outputs feed only
-    later strata, so the pass is complete for standard RDFS schemas in one
-    shot). Rules whose schema premise is empty are skipped entirely — the
-    common case pays only for the rules its ontology actually uses."""
+def rdfs_closure_pass(df: DataFrame, trivial_axioms: bool = False) -> DataFrame:
+    """One stratified rule pass: eq-class/eq-prop fold → rdfs5 → rdfs7 →
+    rdfs2/3 → rdfs11 → rdfs9 (the reference's fast-closure rule order — each
+    rule's outputs feed only later strata, so the pass is complete for
+    standard RDFS schemas in one shot). Rules whose schema premise is empty
+    are skipped entirely — the common case pays only for the rules its
+    ontology actually uses.
+
+    owl:equivalentClass/Property fold into the subclass/subproperty closures
+    as mutual edges (ref fast-closure steps 4/6). ``trivial_axioms=True``
+    additionally fires rdfs4a/4b/6/8/10/12/13 (everything-is-a-Resource and
+    reflexive sub-axioms) — off by default, matching the reference's
+    InferenceEngine ``forwardChainRdfTypeRdfsResource=false`` default: these
+    flood the store with rows no real query asks for, which at 100 TB is
+    pure write amplification."""
     subprop_e = _edges(df, RDFS_SUBPROP)
+    eqp = _edges(df, OWL_EQPROP)
+    if not eqp.isEmpty():  # equivalentProperty => mutual subPropertyOf
+        subprop_e = subprop_e.unionByName(eqp).unionByName(
+            eqp.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
     data = df
     extra = []
     if not subprop_e.isEmpty():
@@ -117,6 +142,35 @@ def rdfs_closure_pass(df: DataFrame) -> DataFrame:
         extra.append(inf3)
         type_parts.append(inf3)
     subclass_e = _edges(df, RDFS_SUBCLASS)
+    eqc = _edges(df, OWL_EQCLASS)
+    if not eqc.isEmpty():  # equivalentClass => mutual subClassOf
+        subclass_e = subclass_e.unionByName(eqc).unionByName(
+            eqc.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+    if trivial_axioms:
+        # rdfs4a/4b: everything is an rdfs:Resource
+        extra.append(
+            df.select("s", F.lit(RDF_TYPE).alias("p"), F.lit(RDFS_RESOURCE).alias("o_lex"), F.lit("iri").alias("o_dt"))
+        )
+        extra.append(
+            df.filter(F.col("o_dt") == "iri").select(
+                F.col("o_lex").alias("s"), F.lit(RDF_TYPE).alias("p"),
+                F.lit(RDFS_RESOURCE).alias("o_lex"), F.lit("iri").alias("o_dt"),
+            )
+        )
+        # rdfs6: p rdf:type rdf:Property => p subPropertyOf p
+        props = df.filter((F.col("p") == RDF_TYPE) & (F.col("o_lex") == RDF_PROPERTY))
+        extra.append(props.select("s", F.lit(RDFS_SUBPROP).alias("p"), F.col("s").alias("o_lex"), F.lit("iri").alias("o_dt")))
+        # rdfs8/10: c rdf:type rdfs:Class => c subClassOf rdfs:Resource, c subClassOf c
+        classes = df.filter((F.col("p") == RDF_TYPE) & (F.col("o_lex") == RDFS_CLASS))
+        extra.append(classes.select("s", F.lit(RDFS_SUBCLASS).alias("p"), F.lit(RDFS_RESOURCE).alias("o_lex"), F.lit("iri").alias("o_dt")))
+        extra.append(classes.select("s", F.lit(RDFS_SUBCLASS).alias("p"), F.col("s").alias("o_lex"), F.lit("iri").alias("o_dt")))
+        # rdfs12: p rdf:type ContainerMembershipProperty => p subPropertyOf rdfs:member
+        cmp_ = df.filter((F.col("p") == RDF_TYPE) & (F.col("o_lex") == RDFS_CMP))
+        extra.append(cmp_.select("s", F.lit(RDFS_SUBPROP).alias("p"), F.lit(RDFS_MEMBER).alias("o_lex"), F.lit("iri").alias("o_dt")))
+        # rdfs13: d rdf:type rdfs:Datatype => d subClassOf rdfs:Literal
+        dts = df.filter((F.col("p") == RDF_TYPE) & (F.col("o_lex") == RDFS_DATATYPE))
+        extra.append(dts.select("s", F.lit(RDFS_SUBCLASS).alias("p"), F.lit(RDFS_LITERAL).alias("o_lex"), F.lit("iri").alias("o_dt")))
     if not subclass_e.isEmpty():
         # rdfs11 closure; rdfs9: (x type c) + (c subClassOf d) => (x type d)
         subclass = transitive_closure(subclass_e)
@@ -135,22 +189,57 @@ def rdfs_closure_pass(df: DataFrame) -> DataFrame:
     return out.distinct()
 
 
-def rdfs_closure(store: TripleStore, max_passes: int = 1) -> TripleStore:
+def rdfs_closure(store: TripleStore, max_passes: int = 1, trivial_axioms: bool = False) -> TripleStore:
     """Forward closure. One stratified pass is complete for standard RDFS
     rule interaction (see rdfs_closure_pass); pass max_passes>1 to iterate
     to a counted fixpoint for exotic self-referential schemas
     (e.g. subPropertyOf of rdf:type)."""
     df = _chk(store.df.select("s", "p", "o_lex", "o_dt").distinct())
     if max_passes == 1:
-        return TripleStore(_chk(rdfs_closure_pass(df)))
+        return TripleStore(_chk(rdfs_closure_pass(df, trivial_axioms)))
     n = df.count()
     for _ in range(max_passes):
-        df = _chk(rdfs_closure_pass(df))
+        df = _chk(rdfs_closure_pass(df, trivial_axioms))
         n2 = df.count()
         if n2 == n:
             break
         n = n2
     return TripleStore(df)
+
+
+def symmetric_property_closure(df: DataFrame) -> DataFrame:
+    """owl:SymmetricProperty: (p type Symmetric) + (s p o) => (o p s)."""
+    preds = df.filter((F.col("p") == RDF_TYPE) & (F.col("o_lex") == OWL_SYMMETRIC)).select(
+        F.col("s").alias("sym_p")
+    )
+    inferred = (
+        df.join(F.broadcast(preds), df["p"] == preds["sym_p"])
+        .select(F.col("o_lex").alias("s"), "p", F.col("s").alias("o_lex"), F.lit("iri").alias("o_dt"))
+    )
+    return df.unionByName(inferred).distinct()
+
+
+def functional_property_sameas(df: DataFrame) -> DataFrame:
+    """owl:FunctionalProperty: (p type Functional) + (s p o1) + (s p o2)
+    => (o1 sameAs o2). Emits the derived sameAs triples (min-object as
+    canonical per (s,p) to keep the output linear, not quadratic, in the
+    clique size — the sameAs CC kernel restores the full equivalence)."""
+    preds = df.filter((F.col("p") == RDF_TYPE) & (F.col("o_lex") == OWL_FUNCTIONAL)).select(
+        F.col("s").alias("fp")
+    )
+    vals = (
+        df.filter(F.col("o_dt") == "iri")
+        .join(F.broadcast(preds), df["p"] == preds["fp"])
+        .select("s", "p", "o_lex")
+    )
+    canon = vals.groupBy("s", "p").agg(F.min("o_lex").alias("canon"), F.count(F.lit(1)).alias("n"))
+    pairs = (
+        vals.join(canon, on=["s", "p"])
+        .filter((F.col("n") > 1) & (F.col("o_lex") != F.col("canon")))
+        .select(F.col("o_lex").alias("s"), F.lit(OWL_SAMEAS).alias("p"), F.col("canon").alias("o_lex"), F.lit("iri").alias("o_dt"))
+        .distinct()
+    )
+    return df.unionByName(pairs).distinct()
 
 
 def inverse_of_closure(df: DataFrame) -> DataFrame:

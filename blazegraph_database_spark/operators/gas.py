@@ -215,3 +215,91 @@ def paths(edges: DataFrame, source: str, target: str, max_length: int = 8) -> Da
 def reachable(edges: DataFrame, sources: list[str], max_iters: int = MAX_ITERS) -> DataFrame:
     """Set of nodes reachable from sources (BFS without depth bookkeeping)."""
     return bfs(edges, sources, max_iters).select("node")
+
+
+def bfs_from_df(edges: DataFrame, seeds: DataFrame, max_depth: int = MAX_ITERS) -> DataFrame:
+    """BFS seeded from a DataFrame of (node) rows — multi-source frontier
+    expansion giving each node its MIN depth from the seed set."""
+    e = _chk(edges.select("src", "dst"))
+    seed = _chk(seeds.select("node").distinct().select("node", F.lit(0).alias("depth")))
+    parts = [seed]
+    visited = seed.select("node")
+    frontier = visited
+    for d in range(1, max_depth + 1):
+        msgs = frontier.join(e, frontier.node == e.src).select(F.col("dst").alias("node")).distinct()
+        new = _chk(msgs.join(visited, on="node", how="left_anti").select("node", F.lit(d).alias("depth")))
+        if new.isEmpty():
+            break
+        parts.append(new)
+        visited = visited.unionByName(new.select("node"))
+        frontier = new.select("node")
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def fuzzy_sssp(
+    edges: DataFrame,
+    sources: list[str],
+    targets: list[str],
+    n_max: int,
+    max_depth: int = MAX_ITERS,
+) -> tuple[DataFrame, list[tuple]]:
+    """FuzzySSSP (ref: analytics/FuzzySSSP.java): the "interesting subgraph"
+    around the shortest paths between source and target sets.
+
+    1. One BFS per source (unit weights; the ref's SSSP step) recording each
+       target's depth, -1 if unreachable.
+    2. Shortest-path vertices collected by walking BFS predecessors back
+       from each reached target; merged and deduplicated.
+    3. A multi-source BFS from the merged path set, taking vertices in
+       (distance-from-path, node) order until n_max — the fuzzy expansion.
+
+    Returns (DataFrame(node, dist) of <= n_max vertices, [(source, target,
+    depth|-1), ...]). The per-(source,target) matrix is O(|S|*|T|) — output
+    sized, so the driver collect is bounded by the request itself.
+    """
+    path_parts = []
+    st_dists: list[tuple] = []
+    for src in sources:
+        t = bfs(edges, [src], max_depth=max_depth)
+        reached = {
+            r["node"]: r["depth"]
+            for r in t.filter(F.col("node").isin(targets)).select("node", "depth").collect()
+        }
+        for tgt in targets:
+            st_dists.append((src, tgt, reached.get(tgt, -1)))
+        hit = [x for x in targets if x in reached]
+        if not hit:
+            continue
+        # walk predecessors back to the source: <= path-length tiny joins
+        cur = _chk(t.filter(F.col("node").isin(hit)).select("node", "pred"))
+        path_parts.append(cur.select("node"))
+        for _ in range(max_depth):
+            nxt = (
+                cur.filter(F.col("pred").isNotNull())
+                .select(F.col("pred").alias("node"))
+                .distinct()
+                .join(t.select("node", "pred"), on="node", how="left")
+            )
+            nxt = _chk(nxt)
+            if nxt.isEmpty():
+                break
+            path_parts.append(nxt.select("node"))
+            cur = nxt
+    if not path_parts:
+        spark = edges.sparkSession
+        return spark.createDataFrame([], "node string, dist int"), st_dists
+    path_set = path_parts[0]
+    for p in path_parts[1:]:
+        path_set = path_set.unionByName(p)
+    expanded = bfs_from_df(edges, path_set.distinct(), max_depth=max_depth)
+    # orderBy+limit compiles to TakeOrderedAndProject — per-partition top-N
+    # then a single bounded merge, no global single-partition window
+    return (
+        expanded.orderBy(F.col("depth").asc(), F.col("node").asc())
+        .limit(n_max)
+        .select("node", F.col("depth").alias("dist")),
+        st_dists,
+    )

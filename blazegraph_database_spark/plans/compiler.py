@@ -451,8 +451,26 @@ def instantiate_template(sol: DataFrame, template: list[tuple]) -> DataFrame:
     return out.distinct()
 
 
-def describe(store: TripleStore, subjects: DataFrame | list[str]) -> DataFrame:
-    """DESCRIBE via forward CBD (outbound statements). Ref: eval/CBD.java."""
+def describe(store: TripleStore, subjects: DataFrame | list[str], max_depth: int = 8) -> DataFrame:
+    """DESCRIBE via Concise Bounded Description: outbound statements of the
+    resources, recursively expanded through blank-node objects — a bnode
+    value's own description is part of the CBD (ref: eval/CBD.java, which
+    iterates until no new bnodes appear). `max_depth` guards bnode cycles."""
     if isinstance(subjects, list):
         subjects = store.spark.createDataFrame([(s,) for s in subjects], "s string")
-    return store.df.join(F.broadcast(subjects.select("s").distinct()), on="s")
+    frontier = subjects.select("s").distinct()
+    seen = frontier.localCheckpoint()
+    out = store.df.join(F.broadcast(frontier), on="s")
+    for _ in range(max_depth):
+        bnodes = (
+            out.filter(F.col("o_dt") == "bnode")
+            .select(F.col("o_lex").alias("s"))
+            .distinct()
+            .join(seen, on="s", how="left_anti")
+            .localCheckpoint()
+        )
+        if bnodes.isEmpty():
+            break
+        seen = seen.unionByName(bnodes)
+        out = out.unionByName(store.df.join(F.broadcast(bnodes), on="s"))
+    return out

@@ -193,3 +193,41 @@ def gas_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bounded path enumeration 1→100 in the tree (ref: impl/bd/PATHS.java)."""
     edges = _tree_edges(spark, sf_dir)
     return gas.paths(edges, "1", "100", max_length=8).select("path", F.col("hops").cast("int"))
+
+
+@register(
+    "gas_fuzzy_sssp",
+    """
+    WITH RECURSIVE e AS (
+        SELECT c_custkey // 2 AS s, c_custkey AS o FROM customer WHERE c_custkey >= 2
+    ),
+    chains AS (  -- upward chain from each target with hop index
+        SELECT t.tgt, t.tgt AS node, 0 AS hop FROM (VALUES (100), (150)) t(tgt)
+        UNION ALL
+        SELECT tgt, node // 2, hop + 1 FROM chains WHERE node >= 2
+    ),
+    pathset AS (  -- segment target..source for (source,target) pairs where source is an ancestor
+        SELECT DISTINCT c.node
+        FROM (VALUES (2), (3)) s(src) JOIN chains hit ON hit.tgt IN (100, 150) AND hit.node = s.src
+        JOIN chains c ON c.tgt = hit.tgt AND c.hop <= hit.hop
+    ),
+    b AS (  -- multi-source BFS outward (descendants), min depth per node
+        SELECT node, 0 AS d FROM pathset
+        UNION
+        SELECT e.o, b.d + 1 FROM b JOIN e ON e.s = b.node
+    ),
+    md AS (SELECT node, MIN(d) AS dist FROM b GROUP BY node)
+    -- order by node AS TEXT: the engine's vertex ids are term lexicals
+    SELECT CAST(node AS BIGINT) AS node_id, CAST(dist AS INT) AS dist
+    FROM md ORDER BY dist, CAST(node AS VARCHAR) LIMIT 40
+    """,
+)
+def gas_fuzzy_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FuzzySSSP (ref: analytics/FuzzySSSP.java): vertices near the shortest
+    paths from sources {2,3} to targets {100,150} in the custkey tree,
+    expanded by BFS to at most 40 vertices."""
+    edges = _tree_edges(spark, sf_dir)
+    verts, _st = gas.fuzzy_sssp(edges, ["2", "3"], ["100", "150"], n_max=40)
+    return verts.select(
+        F.col("node").cast("long").alias("node_id"), F.col("dist").cast("int").alias("dist")
+    )

@@ -166,3 +166,132 @@ def sparql_update_text(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark=spark,
     )
     return us.current.df.groupBy("p").agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
+    "owl_rules_extended",
+    """
+    SELECT 'eqprop_inRegion' AS metric, CAST(COUNT(*) AS BIGINT) AS n FROM nation
+    UNION ALL
+    SELECT 'eqclass_Country', CAST(COUNT(*) AS BIGINT) FROM nation
+    UNION ALL
+    SELECT 'functional_sameas', CAST(COUNT(DISTINCT n_regionkey) AS BIGINT) FROM nation
+    UNION ALL
+    SELECT 'symmetric_borders', CAST(COUNT(*) AS BIGINT) * 2 FROM nation WHERE n_nationkey >= 1
+    """,
+)
+def owl_rules_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """owl:equivalentProperty/equivalentClass (folded into the sub-closures),
+    owl:FunctionalProperty => sameAs, owl:SymmetricProperty (ref fast-closure
+    steps + RuleOwlEquivalentClass/Property, RuleOwlFunctionalProperty)."""
+    nat = read_parquet(spark, f"{sf_dir}/nation.parquet")
+    data = (
+        nat.select(
+            F.concat(F.lit("nation:"), F.col("n_nationkey")).alias("s"),
+            F.lit("hasRegion").alias("p"),
+            F.concat(F.lit("region:"), F.col("n_regionkey")).alias("o_lex"),
+            F.lit("iri").alias("o_dt"),
+        )
+        .unionByName(nat.select(
+            F.concat(F.lit("nation:"), F.col("n_nationkey")).alias("s"),
+            F.lit(rdfs.RDF_TYPE).alias("p"),
+            F.lit("Class:Nation").alias("o_lex"),
+            F.lit("iri").alias("o_dt"),
+        ))
+        # two spellings of each region's id under a functional property
+        .unionByName(nat.select(
+            F.concat(F.lit("region:"), F.col("n_regionkey")).alias("s"),
+            F.lit("canonicalRegion").alias("p"),
+            F.concat(F.lit("reg:"), F.col("n_regionkey")).alias("o_lex"),
+            F.lit("iri").alias("o_dt"),
+        ).distinct())
+        .unionByName(nat.select(
+            F.concat(F.lit("region:"), F.col("n_regionkey")).alias("s"),
+            F.lit("canonicalRegion").alias("p"),
+            F.concat(F.lit("regAlias:"), F.col("n_regionkey")).alias("o_lex"),
+            F.lit("iri").alias("o_dt"),
+        ).distinct())
+        # borders edges nation:k -> nation:k-1 (k>=1), to be symmetrized
+        .unionByName(nat.filter(F.col("n_nationkey") >= 1).select(
+            F.concat(F.lit("nation:"), F.col("n_nationkey")).alias("s"),
+            F.lit("borders").alias("p"),
+            F.concat(F.lit("nation:"), F.col("n_nationkey") - 1).alias("o_lex"),
+            F.lit("iri").alias("o_dt"),
+        ))
+    )
+    schema = spark.createDataFrame(
+        [
+            ("hasRegion", rdfs.OWL_EQPROP, "inRegion", "iri"),
+            ("Class:Nation", rdfs.OWL_EQCLASS, "Class:Country", "iri"),
+            ("canonicalRegion", rdfs.RDF_TYPE, rdfs.OWL_FUNCTIONAL, "iri"),
+            ("borders", rdfs.RDF_TYPE, rdfs.OWL_SYMMETRIC, "iri"),
+        ],
+        "s string, p string, o_lex string, o_dt string",
+    )
+    df = data.unionByName(schema)
+    df = rdfs.symmetric_property_closure(df)
+    df = rdfs.functional_property_sameas(df)
+    closed = rdfs.rdfs_closure(TripleStore(df)).df
+    return (
+        closed.filter(F.col("p") == "inRegion")
+        .agg(F.lit("eqprop_inRegion").alias("metric"), F.count(F.lit(1)).alias("n"))
+        .unionByName(
+            closed.filter((F.col("p") == rdfs.RDF_TYPE) & (F.col("o_lex") == "Class:Country"))
+            .agg(F.lit("eqclass_Country").alias("metric"), F.count(F.lit(1)).alias("n"))
+        )
+        .unionByName(
+            closed.filter(F.col("p") == rdfs.OWL_SAMEAS)
+            .agg(F.lit("functional_sameas").alias("metric"), F.count(F.lit(1)).alias("n"))
+        )
+        .unionByName(
+            closed.filter(F.col("p") == "borders")
+            .agg(F.lit("symmetric_borders").alias("metric"), F.count(F.lit(1)).alias("n"))
+        )
+    )
+
+
+@register(
+    "tm_delete_closure",
+    """
+    SELECT 'type_Buyer' AS metric,
+           CAST(COUNT(CASE WHEN c_mktsegment != 'BUILDING' THEN 1 END) AS BIGINT) AS n
+    FROM customer
+    UNION ALL
+    SELECT 'type_Party',
+           CAST(COUNT(CASE WHEN c_mktsegment != 'BUILDING' THEN 1 END) AS BIGINT)
+    FROM customer
+    """,
+)
+def tm_delete_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truth maintenance on retraction (ref: TruthMaintenance.java): deleting
+    the explicit type assertions for BUILDING customers must also retract the
+    derived superclass types, while everything still derivable survives."""
+    cust = read_parquet(spark, f"{sf_dir}/customer.parquet")
+    types = cust.select(
+        F.concat(F.lit("customer:"), F.col("c_custkey")).alias("s"),
+        F.lit(rdfs.RDF_TYPE).alias("p"),
+        F.lit("Class:Buyer").alias("o_lex"),
+        F.lit("iri").alias("o_dt"),
+    )
+    schema = spark.createDataFrame(
+        [("Class:Buyer", rdfs.RDFS_SUBCLASS, "Class:Party", "iri")],
+        "s string, p string, o_lex string, o_dt string",
+    )
+    us = UpdatableStore.from_store(TripleStore(types.unionByName(schema)))
+    us.insert_with_closure(spark.createDataFrame([], "s string, p string, o_lex string, o_dt string"))
+    to_delete = cust.filter(F.col("c_mktsegment") == "BUILDING").select(
+        F.concat(F.lit("customer:"), F.col("c_custkey")).alias("s"),
+        F.lit(rdfs.RDF_TYPE).alias("p"),
+        F.lit("Class:Buyer").alias("o_lex"),
+        F.lit("iri").alias("o_dt"),
+    )
+    us.delete_with_closure(to_delete)
+    closed = us.current.df
+    return (
+        closed.filter((F.col("p") == rdfs.RDF_TYPE) & (F.col("o_lex") == "Class:Buyer"))
+        .agg(F.lit("type_Buyer").alias("metric"), F.count(F.lit(1)).alias("n"))
+        .unionByName(
+            closed.filter((F.col("p") == rdfs.RDF_TYPE) & (F.col("o_lex") == "Class:Party"))
+            .agg(F.lit("type_Party").alias("metric"), F.count(F.lit(1)).alias("n"))
+        )
+    )

@@ -47,6 +47,9 @@ class UpdatableStore:
     versions: list[TripleStore] = field(default_factory=list)
     checkpoint_every: int = 8
     _updates: int = 0
+    # explicit (asserted) triples for closure truth maintenance; None until
+    # the first *_with_closure call seeds it from the current store
+    _explicit: DataFrame | None = None
 
     @classmethod
     def from_store(cls, store: TripleStore) -> "UpdatableStore":
@@ -165,11 +168,34 @@ class UpdatableStore:
         the delta — the delta re-fires every rule whose body it can touch;
         schema joins stay broadcast so the pass cost is one delta scan plus
         one data scan for the rdfs7/9 re-fires (ref: TruthMaintenance.java
-        assertAll path)."""
+        assertAll path). Tracks the explicit (asserted) set so retraction
+        can recompute exactly."""
         from blazegraph_database_spark.inference.rdfs import rdfs_closure
 
-        merged = self.current.df.unionByName(
-            triples.select(*TRIPLE_COLS), allowMissingColumns=True
-        ).distinct()
-        closed = rdfs_closure(TripleStore(merged))
+        explicit = (
+            (self._explicit if self._explicit is not None else self.current.df)
+            .unionByName(triples.select(*TRIPLE_COLS), allowMissingColumns=True)
+            .distinct()
+            .localCheckpoint(eager=False)
+        )
+        self._explicit = explicit
+        closed = rdfs_closure(TripleStore(explicit))
+        return self._push(closed.df)
+
+    def delete_with_closure(self, triples: DataFrame) -> TripleStore:
+        """Truth maintenance on retraction (ref: TruthMaintenance.java
+        retractAll): remove the asserted triples from the EXPLICIT set and
+        recompute the closure — inferences no longer derivable disappear,
+        inferences still derivable from other support survive.
+        Recompute-from-explicit gives the exact DRed result in one batch
+        pass; at 100 TB one would keep per-triple support counts instead,
+        but the explicit set is the durable artifact either way."""
+        from blazegraph_database_spark.inference.rdfs import rdfs_closure
+
+        explicit = self._explicit if self._explicit is not None else self.current.df
+        explicit = explicit.join(
+            F.broadcast(triples.select(*TRIPLE_COLS)), on=TRIPLE_COLS, how="left_anti"
+        ).localCheckpoint(eager=False)
+        self._explicit = explicit
+        closed = rdfs_closure(TripleStore(explicit))
         return self._push(closed.df)
