@@ -76,20 +76,68 @@ def _geo_search(spark: SparkSession, params: dict) -> DataFrame:
     return geospatial.in_circle(df, params["lat"], params["lon"], params["radius_km"])
 
 
-def remote_sparql_service(endpoint: str) -> ServiceFn:
-    """Remote SPARQL endpoint service — STUB (no network in container).
+Transport = Callable[[str, str], list]  # (endpoint, sparql_text) -> rows as dicts
 
-    The real implementation would: serialize the inner group as a SELECT,
-    push the incoming bindings as a VALUES block (vectored, like the
-    reference's ServiceCallJoin), POST to `endpoint` with
-    application/sparql-results+json, and parse rows back into a DataFrame
-    partitioned by the driver's binding chunks.
+
+def _serialize_values(columns: list[str], rows: list) -> str:
+    """VALUES block for binding pushdown (vectored SERVICE join)."""
+    head = " ".join(f"?{c}" for c in columns)
+    body = " ".join(
+        "(" + " ".join(
+            "UNDEF" if row[c] is None else f'"{str(row[c]).replace(chr(34), chr(92) + chr(34))}"'
+            for c in columns
+        ) + ")"
+        for row in rows
+    )
+    return f"VALUES ({head}) {{ {body} }}"
+
+
+def remote_sparql_service(endpoint: str, transport: Transport | None = None) -> ServiceFn:
+    """Remote SPARQL endpoint service with an injectable transport.
+
+    Evaluation strategy (ref: the vectored ServiceCallJoin behind
+    ServiceRegistry.java): incoming bindings are chunked, each chunk is
+    serialized as a VALUES block spliced into the query's ``{values}`` hole,
+    the text is sent through ``transport(endpoint, text)``, and the returned
+    rows (list of var→value dicts) are reassembled into one bindings
+    DataFrame. Chunking bounds both request size and remote work per call —
+    the same reason the reference vectorizes.
+
+    ``transport=None`` (the default) raises at the exact point an HTTP POST
+    with application/sparql-results+json would happen — this container has
+    no network. Tests inject a local-store transport to exercise the whole
+    vectored join path.
     """
 
     def call(spark: SparkSession, params: dict) -> DataFrame:
-        raise NotImplementedError(
-            f"remote SERVICE <{endpoint}>: no network access in this "
-            "environment; see docstring for the evaluation strategy"
+        if transport is None:
+            raise NotImplementedError(
+                f"remote SERVICE <{endpoint}>: no network access in this "
+                "environment; inject a transport to evaluate"
+            )
+        query: str = params["query"]
+        bindings: DataFrame | None = params.get("bindings")
+        chunk = int(params.get("chunk_size", 512))
+        all_rows: list = []
+        if bindings is None:
+            all_rows = list(transport(endpoint, query.replace("{values}", "")))
+        else:
+            cols = bindings.columns
+            pushed = [r.asDict() for r in bindings.collect()]  # driver-vectored,
+            # bounded by the SERVICE call's own binding set (ref does the same)
+            for i in range(0, len(pushed), chunk):
+                block = _serialize_values(cols, pushed[i : i + chunk])
+                all_rows.extend(transport(endpoint, query.replace("{values}", block)))
+        if not all_rows:
+            return spark.createDataFrame([], "s string")
+        out_cols: list[str] = []
+        for r in all_rows:  # first-seen order: keeps the remote SELECT order
+            for k in r:
+                if k not in out_cols:
+                    out_cols.append(k)
+        data = [tuple(r.get(c) for c in out_cols) for r in all_rows]
+        return spark.createDataFrame(
+            data, ", ".join(f"{c} string" for c in out_cols)
         )
 
     return call

@@ -1,0 +1,80 @@
+"""TriG / JSON-LD / RDF-XML reader tests (ref: the RIO parser formats the
+reference accepts through bigdata-rdf/rio)."""
+
+from __future__ import annotations
+
+from blazegraph_database_spark.sources.rdf_formats import (
+    RDF_NS,
+    read_jsonld,
+    read_rdfxml,
+    read_trig,
+)
+
+
+def rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_read_trig(spark, tmp_path):
+    (tmp_path / "d.trig").write_text(
+        """
+@prefix ex: <http://ex.org/> .
+ex:defaultFact ex:p "outside" .
+GRAPH ex:g1 {
+  ex:a ex:knows ex:b .
+  ex:a ex:age "30"^^<http://www.w3.org/2001/XMLSchema#integer> .
+}
+ex:g2 {
+  ex:b ex:name "Bob"@en .
+}
+"""
+    )
+    got = rows(read_trig(spark, str(tmp_path / "d.trig")))
+    assert ("http://ex.org/a", "http://ex.org/knows", "http://ex.org/b", "iri", "http://ex.org/g1") in got
+    assert ("http://ex.org/a", "http://ex.org/age", "30", "long", "http://ex.org/g1") in got
+    assert ("http://ex.org/b", "http://ex.org/name", "Bob", "lang:en", "http://ex.org/g2") in got
+    assert ("http://ex.org/defaultFact", "http://ex.org/p", "outside", "string", "") in got
+
+
+def test_read_jsonld(spark, tmp_path):
+    (tmp_path / "d.jsonld").write_text(
+        """
+{
+  "@context": {"name": "http://ex.org/name", "knows": "http://ex.org/knows", "ex": "http://ex.org/"},
+  "@graph": [
+    {"@id": "http://ex.org/a", "@type": "ex:Person", "name": "Alice",
+     "knows": {"@id": "http://ex.org/b"},
+     "http://ex.org/age": {"@value": 30}},
+    {"@id": "http://ex.org/b", "name": [{"@value": "Bob", "@language": "en"}]}
+  ]
+}
+"""
+    )
+    got = rows(read_jsonld(spark, str(tmp_path / "d.jsonld")))
+    assert ("http://ex.org/a", RDF_NS + "type", "http://ex.org/Person", "iri") in got
+    assert ("http://ex.org/a", "http://ex.org/name", "Alice", "string") in got
+    assert ("http://ex.org/a", "http://ex.org/knows", "http://ex.org/b", "iri") in got
+    assert ("http://ex.org/a", "http://ex.org/age", "30", "long") in got
+    assert ("http://ex.org/b", "http://ex.org/name", "Bob", "lang:en") in got
+
+
+def test_read_rdfxml(spark, tmp_path):
+    (tmp_path / "d.rdf").write_text(
+        """<?xml version="1.0"?>
+<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+         xmlns:ex="http://ex.org/">
+  <rdf:Description rdf:about="http://ex.org/a">
+    <ex:knows rdf:resource="http://ex.org/b"/>
+    <ex:age rdf:datatype="http://www.w3.org/2001/XMLSchema#integer">30</ex:age>
+  </rdf:Description>
+  <ex:Person rdf:about="http://ex.org/b">
+    <ex:name xml:lang="en">Bob</ex:name>
+  </ex:Person>
+</rdf:RDF>
+"""
+    )
+    got = rows(read_rdfxml(spark, str(tmp_path / "d.rdf")))
+    assert ("http://ex.org/a", "http://ex.org/knows", "http://ex.org/b", "iri") in got
+    assert ("http://ex.org/a", "http://ex.org/age", "30", "long") in got
+    assert ("http://ex.org/b", RDF_NS + "type", "http://ex.org/Person", "iri") in got
+    assert ("http://ex.org/b", "http://ex.org/name", "Bob", "lang:en") in got

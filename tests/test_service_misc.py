@@ -93,3 +93,35 @@ def test_graph_scope_quads(spark):
     # variable graph binds the graph name
     out2 = evaluate(st, A.GraphScope(V("g"), A.SP(V("x"), "p", V("v"))))
     assert {(r["g"], r["x"]) for r in out2.collect()} == {("g1", "a"), ("g1", "b"), ("g2", "a")}
+
+
+def test_remote_service_vectored_values(spark):
+    """Injectable transport exercises the full vectored SERVICE join:
+    bindings chunked into VALUES blocks, remote rows reassembled."""
+    from blazegraph_database_spark.model.store import TripleStore
+    from blazegraph_database_spark.operators.service import remote_sparql_service
+    from blazegraph_database_spark.plans.sparql_parser import run_sparql
+
+    remote_rows = [
+        ("a", "name", "Alice", "string"), ("b", "name", "Bob", "string"),
+        ("c", "name", "Carol", "string"),
+    ]
+    remote_store = TripleStore(
+        spark.createDataFrame(remote_rows, "s string, p string, o_lex string, o_dt string")
+    )
+    calls = []
+
+    def transport(endpoint, text):
+        calls.append(text)
+        return [r.asDict() for r in run_sparql(remote_store, text).collect()]
+
+    svc = remote_sparql_service("http://remote.example/sparql", transport)
+    bindings = spark.createDataFrame([("a",), ("c",), ("zzz",)], "x string")
+    out = svc(spark, {
+        "query": "SELECT ?x ?n WHERE { {values} ?x <name> ?n }",
+        "bindings": bindings,
+        "chunk_size": 2,  # force 2 vectored calls
+    })
+    got = sorted(tuple(r) for r in out.collect())
+    assert got == [("a", "Alice"), ("c", "Carol")]
+    assert len(calls) == 2 and all("VALUES (?x)" in c for c in calls)
