@@ -102,15 +102,26 @@ def rdfs_closure_pass(df: DataFrame, trivial_axioms: bool = False) -> DataFrame:
     InferenceEngine ``forwardChainRdfTypeRdfsResource=false`` default: these
     flood the store with rows no real query asks for, which at 100 TB is
     pure write amplification."""
+    # One probe job for all schema-premise rules (vs one isEmpty() scan per
+    # rule): which schema predicates does this ontology actually use?
+    present = {
+        r["p"]
+        for r in df.filter(
+            F.col("p").isin(RDFS_SUBPROP, OWL_EQPROP, RDFS_DOMAIN, RDFS_RANGE, RDFS_SUBCLASS, OWL_EQCLASS)
+        )
+        .select("p")
+        .distinct()
+        .collect()
+    }
     subprop_e = _edges(df, RDFS_SUBPROP)
-    eqp = _edges(df, OWL_EQPROP)
-    if not eqp.isEmpty():  # equivalentProperty => mutual subPropertyOf
+    if OWL_EQPROP in present:  # equivalentProperty => mutual subPropertyOf
+        eqp = _edges(df, OWL_EQPROP)
         subprop_e = subprop_e.unionByName(eqp).unionByName(
             eqp.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
     data = df
     extra = []
-    if not subprop_e.isEmpty():
+    if RDFS_SUBPROP in present or OWL_EQPROP in present:
         # rdfs5 closure; rdfs7: (s p o) + (p subPropertyOf q) => (s q o)
         subprop = transitive_closure(subprop_e)
         inf7 = (
@@ -120,8 +131,8 @@ def rdfs_closure_pass(df: DataFrame, trivial_axioms: bool = False) -> DataFrame:
         data = df.unionByName(inf7)
         extra.append(_as_triples(subprop, RDFS_SUBPROP))
     type_parts = [data.filter(F.col("p") == RDF_TYPE)]
-    dom = _edges(df, RDFS_DOMAIN)
-    if not dom.isEmpty():
+    if RDFS_DOMAIN in present:
+        dom = _edges(df, RDFS_DOMAIN)
         # rdfs2: (p domain c) + (s p o) => (s rdf:type c)
         inf2 = (
             data.join(F.broadcast(dom), data["p"] == dom["src"])
@@ -129,8 +140,8 @@ def rdfs_closure_pass(df: DataFrame, trivial_axioms: bool = False) -> DataFrame:
         )
         extra.append(inf2)
         type_parts.append(inf2)
-    rng = _edges(df, RDFS_RANGE)
-    if not rng.isEmpty():
+    if RDFS_RANGE in present:
+        rng = _edges(df, RDFS_RANGE)
         # rdfs3: (p range c) + (s p o) => (o rdf:type c) — IRI objects only
         inf3 = (
             data.filter(F.col("o_dt") == "iri")
@@ -142,8 +153,8 @@ def rdfs_closure_pass(df: DataFrame, trivial_axioms: bool = False) -> DataFrame:
         extra.append(inf3)
         type_parts.append(inf3)
     subclass_e = _edges(df, RDFS_SUBCLASS)
-    eqc = _edges(df, OWL_EQCLASS)
-    if not eqc.isEmpty():  # equivalentClass => mutual subClassOf
+    if OWL_EQCLASS in present:  # equivalentClass => mutual subClassOf
+        eqc = _edges(df, OWL_EQCLASS)
         subclass_e = subclass_e.unionByName(eqc).unionByName(
             eqc.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
@@ -171,7 +182,7 @@ def rdfs_closure_pass(df: DataFrame, trivial_axioms: bool = False) -> DataFrame:
         # rdfs13: d rdf:type rdfs:Datatype => d subClassOf rdfs:Literal
         dts = df.filter((F.col("p") == RDF_TYPE) & (F.col("o_lex") == RDFS_DATATYPE))
         extra.append(dts.select("s", F.lit(RDFS_SUBCLASS).alias("p"), F.lit(RDFS_LITERAL).alias("o_lex"), F.lit("iri").alias("o_dt")))
-    if not subclass_e.isEmpty():
+    if RDFS_SUBCLASS in present or OWL_EQCLASS in present:
         # rdfs11 closure; rdfs9: (x type c) + (c subClassOf d) => (x type d)
         subclass = transitive_closure(subclass_e)
         extra.append(_as_triples(subclass, RDFS_SUBCLASS))

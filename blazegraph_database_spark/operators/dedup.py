@@ -70,7 +70,9 @@ def shingle_sets(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", 
     partition, so spread rows across the cluster first (cheap: rows are
     narrow before the shingle arrays are built)."""
     par = df.sparkSession.sparkContext.defaultParallelism
-    return df.repartition(par, F.col(id_col)).select(
+    if df.rdd.getNumPartitions() < par:  # already spread => skip the shuffle
+        df = df.repartition(par, F.col(id_col))
+    return df.select(
         F.col(id_col).alias("id"), F.array_distinct(word_shingles(F.col(text_col), n)).alias("shingles")
     )
 

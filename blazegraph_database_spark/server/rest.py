@@ -1,0 +1,293 @@
+"""SPARQL 1.1 Protocol REST endpoint (SURVEY.md §2.12).
+
+Reference analog: NanoSparqlServer / RESTServlet and its verb servlets
+(bigdata-core/bigdata-sails/src/java/com/bigdata/rdf/sail/webapp/
+NanoSparqlServer.java, RESTServlet.java, QueryServlet.java,
+InsertServlet.java, DeleteServlet.java) plus the multi-tenancy
+namespace API.
+
+Spark-first split: `SparqlEndpoint` is pure protocol logic — (method,
+path, params, body) → (status, content-type, bytes) — dispatching onto the
+engine's existing parse/evaluate/update entry points; the stdlib
+`ThreadingHTTPServer` wrapper underneath it is transport only. Queries
+stay lazy until serialization; result bodies are SPARQL JSON results
+(SELECT/ASK) or N-Triples (CONSTRUCT/DESCRIBE), matching the reference's
+default conneg. The Spark driver is the single writer, so update verbs
+serialize through one UpdatableStore per namespace (the reference's
+unisolated-connection discipline).
+"""
+
+from __future__ import annotations
+
+import json
+import shutil
+import tempfile
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, urlparse
+
+from pyspark.sql import DataFrame, SparkSession
+
+from blazegraph_database_spark.model.store import TripleStore
+from blazegraph_database_spark.plans import compiler
+from blazegraph_database_spark.plans.sparql_parser import parse_sparql_query
+from blazegraph_database_spark.plans.update_parser import apply_update
+from blazegraph_database_spark.sources import ntriples, rdf_formats
+from blazegraph_database_spark.update.update import UpdatableStore
+
+JSON = "application/json"
+SRJ = "application/sparql-results+json"
+NT = "application/n-triples"
+
+# request content-type → parser for RDF bodies (InsertServlet conneg)
+_RDF_READERS = {
+    "text/plain": ntriples.read_ntriples,
+    "application/n-triples": ntriples.read_ntriples,
+    "application/n-quads": ntriples.read_nquads,
+    "text/turtle": ntriples.read_turtle_subset,
+    "application/trig": rdf_formats.read_trig,
+    "application/ld+json": rdf_formats.read_jsonld,
+    "application/rdf+xml": rdf_formats.read_rdfxml,
+}
+
+
+def _select_json(df: DataFrame) -> bytes:
+    """Bindings DataFrame → SPARQL JSON results. `<var>__dt` companion
+    columns (when the plan tracked them) type each term; default literal."""
+    out_vars = [c for c in df.columns if not c.endswith("__dt")]
+    bindings = []
+    for row in df.collect():
+        d = row.asDict()
+        b = {}
+        for v in out_vars:
+            if d[v] is None:
+                continue
+            dt = d.get(f"{v}__dt", "string")
+            if dt == "iri":
+                b[v] = {"type": "uri", "value": str(d[v])}
+            elif isinstance(dt, str) and dt.startswith("lang:"):
+                b[v] = {"type": "literal", "value": str(d[v]), "xml:lang": dt[5:]}
+            else:
+                b[v] = {"type": "literal", "value": str(d[v])}
+        bindings.append(b)
+    doc = {"head": {"vars": out_vars}, "results": {"bindings": bindings}}
+    return json.dumps(doc).encode()
+
+
+def _triples_nt(df: DataFrame) -> bytes:
+    lines = [r["l"] for r in df.select(ntriples.nt_line(df).alias("l")).collect()]
+    return ("\n".join(lines) + ("\n" if lines else "")).encode()
+
+
+def _read_rdf_body(spark: SparkSession, ctype: str, body: bytes) -> DataFrame:
+    reader = _RDF_READERS.get(ctype.split(";")[0].strip())
+    if reader is None:
+        raise ValueError(f"unsupported RDF content type: {ctype}")
+    tmp = tempfile.mkdtemp(prefix="sparql_body_")
+    with open(f"{tmp}/body", "wb") as f:
+        f.write(body)
+    try:
+        # parsers are lazy over the file — materialize before the file goes away
+        return reader(spark, f"{tmp}/body").localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+class SparqlEndpoint:
+    """Protocol logic for the REST endpoint; one UpdatableStore per
+    namespace (multi-tenancy analog of the reference's /namespace API)."""
+
+    def __init__(self, spark: SparkSession, store: UpdatableStore, namespace: str = "kb"):
+        self.spark = spark
+        self.default_ns = namespace
+        self.namespaces: dict[str, UpdatableStore] = {namespace: store}
+        self._lock = threading.Lock()  # single-writer update discipline
+
+    # ------------------------------------------------------------ verbs --
+    def query(self, ns: str, text: str) -> tuple[int, str, bytes]:
+        store = self.namespaces[ns].current
+        parsed = parse_sparql_query(text)
+        form = parsed[0]
+        if form == "select":
+            return 200, SRJ, _select_json(compiler.evaluate(store, parsed[1]))
+        if form == "ask":
+            return 200, SRJ, json.dumps(
+                {"head": {}, "boolean": compiler.ask(store, parsed[1])}
+            ).encode()
+        if form == "construct":
+            return 200, NT, _triples_nt(compiler.construct(store, parsed[1], parsed[2]))
+        return 200, NT, _triples_nt(compiler.describe(store, parsed[1]))
+
+    def update(self, ns: str, text: str) -> tuple[int, str, bytes]:
+        with self._lock:
+            apply_update(self.namespaces[ns], text, self.spark)
+        return 200, JSON, json.dumps({"ok": True}).encode()
+
+    def insert_rdf(self, ns: str, ctype: str, body: bytes, replace: bool = False) -> tuple[int, str, bytes]:
+        new = _read_rdf_body(self.spark, ctype, body)
+        with self._lock:
+            us = self.namespaces[ns]
+            if replace:  # PUT: delete-all + load
+                us.versions.append(TripleStore(us.current.df.limit(0)))
+            us.insert_data(new.select("s", "p", "o_lex", "o_dt"))
+        n = new.count()
+        return 200, JSON, json.dumps({"inserted": n}).encode()
+
+    def delete_by_query(self, ns: str, text: str) -> tuple[int, str, bytes]:
+        """DeleteServlet: evaluate CONSTRUCT/DESCRIBE, remove its triples."""
+        with self._lock:
+            us = self.namespaces[ns]
+            parsed = parse_sparql_query(text)
+            if parsed[0] == "construct":
+                doomed = compiler.construct(us.current, parsed[1], parsed[2])
+            elif parsed[0] == "describe":
+                doomed = compiler.describe(us.current, parsed[1])
+            else:
+                return 400, JSON, b'{"error": "DELETE needs CONSTRUCT or DESCRIBE"}'
+            before = us.current.df.count()
+            us.delete_data(doomed.select("s", "p", "o_lex", "o_dt"))
+            removed = before - us.current.df.count()
+        return 200, JSON, json.dumps({"removed": removed}).encode()
+
+    def estcard(self, ns: str, params: dict) -> tuple[int, str, bytes]:
+        """ESTCARD fast range count: predicate-only asks hit the cached
+        per-predicate stats (parquet-footer analog) — no job."""
+        from pyspark.sql import functions as F
+
+        store = self.namespaces[ns].current
+        s, p, o = params.get("s"), params.get("p"), params.get("o")
+        if p is not None and s is None and o is None:
+            st = store.stats().get(p)
+            return 200, JSON, json.dumps({"rangeCount": st.count if st else 0}).encode()
+        df = store.df
+        for col, val in (("s", s), ("p", p), ("o_lex", o)):
+            if val is not None:
+                df = df.filter(F.col(col) == val)
+        return 200, JSON, json.dumps({"rangeCount": df.count()}).encode()
+
+    def status(self) -> tuple[int, str, bytes]:
+        doc = {
+            "namespaces": sorted(self.namespaces),
+            "versions": {ns: len(us.versions) for ns, us in self.namespaces.items()},
+        }
+        return 200, JSON, json.dumps(doc).encode()
+
+    def counters(self, ns: str) -> tuple[int, str, bytes]:
+        stats = self.namespaces[ns].current.stats()
+        doc = {p: {"count": st.count, "distinct_s": st.distinct_s, "distinct_o": st.distinct_o} for p, st in stats.items()}
+        return 200, JSON, json.dumps(doc).encode()
+
+    # --------------------------------------------------------- dispatch --
+    def dispatch(
+        self, method: str, path: str, params: dict, ctype: str, body: bytes
+    ) -> tuple[int, str, bytes]:
+        try:
+            return self._dispatch(method, path, params, ctype, body)
+        except KeyError as e:
+            return 404, JSON, json.dumps({"error": str(e)}).encode()
+        except Exception as e:  # parse errors etc. → 400, like the reference
+            return 400, JSON, json.dumps({"error": f"{type(e).__name__}: {e}"}).encode()
+
+    def _dispatch(self, method, path, params, ctype, body):
+        parts = [p for p in path.split("/") if p]
+        ns = self.default_ns
+        if parts and parts[0] == "namespace":
+            if len(parts) == 1:  # namespace collection resource
+                if method == "GET":
+                    return self.status()
+                if method == "POST":
+                    name = params["name"]
+                    empty = TripleStore(self.namespaces[self.default_ns].current.df.limit(0))
+                    self.namespaces[name] = UpdatableStore.from_store(empty)
+                    return 201, JSON, json.dumps({"created": name}).encode()
+                return 405, JSON, b'{"error": "method not allowed"}'
+            ns = parts[1]
+            if len(parts) == 2:  # the namespace resource itself
+                if method == "DELETE":
+                    del self.namespaces[ns]
+                    return 200, JSON, json.dumps({"dropped": ns}).encode()
+                raise KeyError(f"no such resource: {path}")
+            parts = parts[2:]
+        if parts == ["status"] and method == "GET":
+            return self.status()
+        if parts == ["counters"] and method == "GET":
+            return self.counters(ns)
+        if parts != ["sparql"]:
+            raise KeyError(f"no such resource: {path}")
+        if ns not in self.namespaces:
+            raise KeyError(f"no such namespace: {ns}")
+
+        if method == "GET":
+            if "ESTCARD" in params:
+                return self.estcard(ns, params)
+            return self.query(ns, params["query"])
+        if method == "POST":
+            base = ctype.split(";")[0].strip()
+            if base == "application/x-www-form-urlencoded":
+                form = {k: v[0] for k, v in parse_qs(body.decode()).items()}
+                params = {**params, **form}
+            elif base == "application/sparql-query":
+                params = {**params, "query": body.decode()}
+            elif base == "application/sparql-update":
+                params = {**params, "update": body.decode()}
+            elif base in _RDF_READERS:
+                return self.insert_rdf(ns, ctype, body)
+            if "update" in params:
+                return self.update(ns, params["update"])
+            if "query" in params:
+                return self.query(ns, params["query"])
+            raise ValueError("POST needs query=, update=, or an RDF body")
+        if method == "PUT":
+            return self.insert_rdf(ns, ctype, body, replace=True)
+        if method == "DELETE":
+            if "query" in params:
+                return self.delete_by_query(ns, params["query"])
+            # DELETE with no query: clear the namespace's data
+            with self._lock:
+                us = self.namespaces[ns]
+                us.versions.append(TripleStore(us.current.df.limit(0)))
+            return 200, JSON, b'{"cleared": true}'
+        return 405, JSON, b'{"error": "method not allowed"}'
+
+
+class _Handler(BaseHTTPRequestHandler):
+    endpoint: SparqlEndpoint  # set by start_background
+
+    def _serve(self, method: str) -> None:
+        url = urlparse(self.path)
+        params = {k: v[0] for k, v in parse_qs(url.query, keep_blank_values=True).items()}
+        n = int(self.headers.get("Content-Length") or 0)
+        body = self.rfile.read(n) if n else b""
+        status, ctype, payload = self.endpoint.dispatch(
+            method, url.path, params, self.headers.get("Content-Type", ""), body
+        )
+        self.send_response(status)
+        self.send_header("Content-Type", ctype)
+        self.send_header("Content-Length", str(len(payload)))
+        self.end_headers()
+        self.wfile.write(payload)
+
+    def do_GET(self):
+        self._serve("GET")
+
+    def do_POST(self):
+        self._serve("POST")
+
+    def do_PUT(self):
+        self._serve("PUT")
+
+    def do_DELETE(self):
+        self._serve("DELETE")
+
+    def log_message(self, *a):  # quiet test output
+        pass
+
+
+def start_background(endpoint: SparqlEndpoint, host: str = "127.0.0.1", port: int = 0):
+    """Serve the endpoint on a daemon thread; returns (server, actual_port).
+    port=0 picks a free ephemeral port (test-friendly)."""
+    handler = type("BoundHandler", (_Handler,), {"endpoint": endpoint})
+    server = ThreadingHTTPServer((host, port), handler)
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    return server, server.server_address[1]

@@ -103,8 +103,8 @@ def read_nquads(spark: SparkSession, path: str) -> DataFrame:
     return _parse(spark.read.text(path), NQ_LINE, quads=True)
 
 
-def write_ntriples(df: DataFrame, path: str) -> None:
-    """Serialize (s,p,o_lex,o_dt) → N-Triples text files."""
+def nt_line(df: DataFrame) -> F.Column:
+    """Column: one N-Triples line per (s,p,o_lex,o_dt) row."""
     esc = F.regexp_replace(F.regexp_replace(F.col("o_lex"), r"\\", r"\\\\"), '"', '\\\\"')
     _TAG_XSD = {
         "long": "http://www.w3.org/2001/XMLSchema#integer",
@@ -125,8 +125,12 @@ def write_ntriples(df: DataFrame, path: str) -> None:
         )
         .otherwise(obj)
     )
-    line = F.concat(F.lit("<"), F.col("s"), F.lit("> <"), F.col("p"), F.lit("> "), obj, F.lit(" ."))
-    df.select(line.alias("value")).write.mode("overwrite").text(path)
+    return F.concat(F.lit("<"), F.col("s"), F.lit("> <"), F.col("p"), F.lit("> "), obj, F.lit(" ."))
+
+
+def write_ntriples(df: DataFrame, path: str) -> None:
+    """Serialize (s,p,o_lex,o_dt) → N-Triples text files."""
+    df.select(nt_line(df).alias("value")).write.mode("overwrite").text(path)
 
 
 def read_turtle_subset(spark: SparkSession, path: str) -> DataFrame:

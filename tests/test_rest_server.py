@@ -1,0 +1,130 @@
+"""REST endpoint runtime tests (SURVEY.md §2.12; ref NanoSparqlServer /
+RESTServlet verb dispatch) — exercised over real localhost HTTP."""
+
+from __future__ import annotations
+
+import json
+import urllib.request
+import urllib.parse
+
+import pytest
+
+from blazegraph_database_spark.model.store import TripleStore
+from blazegraph_database_spark.server import SparqlEndpoint, start_background
+from blazegraph_database_spark.update.update import UpdatableStore
+
+
+@pytest.fixture(scope="module")
+def server(spark):
+    rows = [
+        ("a", "rdf:type", "Person", "iri"),
+        ("b", "rdf:type", "Person", "iri"),
+        ("a", "knows", "b", "iri"),
+        ("a", "age", "30", "long"),
+    ]
+    store = UpdatableStore.from_store(
+        TripleStore(spark.createDataFrame(rows, "s string, p string, o_lex string, o_dt string"))
+    )
+    ep = SparqlEndpoint(spark, store)
+    srv, port = start_background(ep)
+    yield f"http://127.0.0.1:{port}"
+    srv.shutdown()
+
+
+def _req(url, method="GET", body=None, ctype=None):
+    req = urllib.request.Request(url, data=body, method=method)
+    if ctype:
+        req.add_header("Content-Type", ctype)
+    with urllib.request.urlopen(req) as resp:
+        return resp.status, resp.headers.get("Content-Type"), resp.read()
+
+
+def test_get_select_json(server):
+    q = urllib.parse.quote("SELECT ?x WHERE { ?x <rdf:type> <Person> }")
+    status, ctype, body = _req(f"{server}/sparql?query={q}")
+    assert status == 200 and ctype == "application/sparql-results+json"
+    doc = json.loads(body)
+    assert doc["head"]["vars"] == ["x"]
+    got = sorted(b["x"]["value"] for b in doc["results"]["bindings"])
+    assert got == ["a", "b"]
+
+
+def test_get_ask(server):
+    q = urllib.parse.quote("ASK WHERE { <a> <knows> <b> }")
+    _, _, body = _req(f"{server}/sparql?query={q}")
+    assert json.loads(body) == {"head": {}, "boolean": True}
+
+
+def test_get_construct_ntriples(server):
+    q = urllib.parse.quote("CONSTRUCT { ?x <linked> ?y } WHERE { ?x <knows> ?y }")
+    status, ctype, body = _req(f"{server}/sparql?query={q}")
+    assert status == 200 and ctype == "application/n-triples"
+    assert body.decode().strip() == "<a> <linked> <b> ."
+
+
+def test_post_form_query_and_update(server):
+    form = urllib.parse.urlencode(
+        {"update": 'INSERT DATA { <c> <rdf:type> <Person> . <c> <age> "44"^^<http://www.w3.org/2001/XMLSchema#integer> }'}
+    ).encode()
+    status, _, _ = _req(f"{server}/sparql", "POST", form, "application/x-www-form-urlencoded")
+    assert status == 200
+    q = urllib.parse.urlencode({"query": "SELECT (COUNT(?x) AS ?n) WHERE { ?x <rdf:type> <Person> }"}).encode()
+    _, _, body = _req(f"{server}/sparql", "POST", q, "application/x-www-form-urlencoded")
+    assert json.loads(body)["results"]["bindings"][0]["n"]["value"] == "3"
+
+
+def test_post_rdf_body_insert_and_estcard(server):
+    nt = b"<d> <rdf:type> <Robot> .\n<e> <rdf:type> <Robot> .\n"
+    status, _, body = _req(f"{server}/sparql", "POST", nt, "application/n-triples")
+    assert status == 200 and json.loads(body)["inserted"] == 2
+    _, _, body = _req(f"{server}/sparql?ESTCARD&p=rdf:type")
+    assert json.loads(body)["rangeCount"] >= 4  # stats may be cached pre-insert
+    _, _, body = _req(f"{server}/sparql?ESTCARD&s=d&p=rdf:type")
+    assert json.loads(body)["rangeCount"] == 1
+
+
+def test_delete_by_query(server):
+    nt = b"<x1> <tmp> <x2> .\n"
+    _req(f"{server}/sparql", "POST", nt, "application/n-triples")
+    q = urllib.parse.quote("CONSTRUCT { ?a <tmp> ?b } WHERE { ?a <tmp> ?b }")
+    _, _, body = _req(f"{server}/sparql?query={q}", "DELETE")
+    assert json.loads(body)["removed"] == 1
+    ask = urllib.parse.quote("ASK WHERE { ?a <tmp> ?b }")
+    _, _, body = _req(f"{server}/sparql?query={ask}")
+    assert json.loads(body)["boolean"] is False
+
+
+def test_namespace_crud_and_status(server):
+    status, _, body = _req(f"{server}/namespace?name=scratch", "POST")
+    assert status == 201
+    nt = b"<n1> <in> <scratch> .\n"
+    _req(f"{server}/namespace/scratch/sparql", "POST", nt, "application/n-triples")
+    q = urllib.parse.quote("ASK WHERE { <n1> <in> <scratch> }")
+    _, _, body = _req(f"{server}/namespace/scratch/sparql?query={q}")
+    assert json.loads(body)["boolean"] is True
+    # isolated: default namespace doesn't see it
+    _, _, body = _req(f"{server}/sparql?query={q}")
+    assert json.loads(body)["boolean"] is False
+    _, _, body = _req(f"{server}/status")
+    assert "scratch" in json.loads(body)["namespaces"]
+    _req(f"{server}/namespace/scratch", "DELETE")
+    _, _, body = _req(f"{server}/status")
+    assert "scratch" not in json.loads(body)["namespaces"]
+
+
+def test_put_replaces(server):
+    _, _, body = _req(f"{server}/namespace?name=repl", "POST")
+    _req(f"{server}/namespace/repl/sparql", "POST", b"<o1> <p> <o2> .\n", "application/n-triples")
+    _req(f"{server}/namespace/repl/sparql", "PUT", b"<n1> <p> <n2> .\n", "application/n-triples")
+    q = urllib.parse.quote("SELECT ?s WHERE { ?s <p> ?o }")
+    _, _, body = _req(f"{server}/namespace/repl/sparql?query={q}")
+    vals = [b["s"]["value"] for b in json.loads(body)["results"]["bindings"]]
+    assert vals == ["n1"]
+
+
+def test_bad_query_is_400(server):
+    q = urllib.parse.quote("SELECT WHERE garbage {{{")
+    req = urllib.request.Request(f"{server}/sparql?query={q}")
+    with pytest.raises(urllib.error.HTTPError) as e:
+        urllib.request.urlopen(req)
+    assert e.value.code == 400
