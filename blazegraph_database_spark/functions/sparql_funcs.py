@@ -223,6 +223,31 @@ def STRUUID() -> Column:
     return F.uuid()
 
 
+# RDF-star / RDR statement-term accessors (ref: SidIV.java; SPARQL-star
+# TRIPLE/SUBJECT/PREDICATE/OBJECT/isTRIPLE over the `<<s|p|o_lex|o_dt>>`
+# sid encoding — see plans.compiler.sid_expr) --------------------------------
+def TRIPLE(s, p, o_lex, o_dt="string") -> Column:
+    return F.concat(
+        F.lit("<<"), _c(s), F.lit("|"), _c(p), F.lit("|"), _c(o_lex), F.lit("|"), _c(o_dt), F.lit(">>")
+    )
+
+
+def ISTRIPLE(x) -> Column:
+    return _c(x).rlike(r"^<<[^|]*\|[^|]*\|.*\|[^|]*>>$")
+
+
+def SUBJECT(x) -> Column:
+    return F.regexp_extract(_c(x), r"^<<([^|]*)\|", 1)
+
+
+def PREDICATE(x) -> Column:
+    return F.regexp_extract(_c(x), r"^<<[^|]*\|([^|]*)\|", 1)
+
+
+def OBJECT(x) -> Column:
+    return F.regexp_extract(_c(x), r"^<<[^|]*\|[^|]*\|(.*)\|[^|]*>>$", 1)
+
+
 # aggregates (ref: GroupByNode aggregate registry) ---------------------------
 def COUNT(x=None) -> Column:
     return F.count(F.lit(1)) if x is None else F.count(_c(x))

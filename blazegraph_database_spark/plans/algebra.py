@@ -37,6 +37,21 @@ class SP:
     g: Pos | None = None
 
 
+@dataclass(frozen=True)
+class Emb:
+    """Embedded statement term `<<s p o>>` (RDF-star / reference RDR mode).
+
+    Usable at SP.s or SP.o; positions are Var or constants. Compiles to a
+    join between the metadata pattern and the inner statement pattern via a
+    deterministic statement-id encoding (ref: the SidIV statement-identifier
+    IVs, bigdata-core/bigdata-rdf/.../internal/impl/bnode/SidIV.java, and the
+    RDR-enabled BigdataNTriplesParser)."""
+
+    s: Pos
+    p: Pos
+    o: Pos
+
+
 # -- property path expressions (ref: PathNode / ArbitraryLengthPathNode) -----
 @dataclass(frozen=True)
 class Link:

@@ -32,7 +32,62 @@ def evaluate(store: TripleStore, node) -> DataFrame:
 
 
 # ---------------------------------------------------------------- patterns --
+DT_SID = "sid"  # datatype tag of an embedded-statement term in object position
+
+
+def sid_expr() -> F.Column:
+    """Statement-id lexical for the current row's (s,p,o_lex,o_dt) — the
+    RDR/RDF-star statement identifier (ref: SidIV.java). Deterministic string
+    encoding so both Spark and a SQL oracle compute identical ids."""
+    return F.concat(
+        F.lit("<<"), F.col("s"), F.lit("|"), F.col("p"), F.lit("|"),
+        F.col("o_lex"), F.lit("|"), F.col("o_dt"), F.lit(">>"),
+    )
+
+
+def _sid_inner_df(emb: "A.Emb", store: TripleStore, alias: str) -> DataFrame:
+    """Compile the inner pattern of `<<s p o>>`: bindings for its vars plus
+    the statement-id column `alias` used to join with the metadata pattern."""
+    df = store.df
+    conds = []
+    for col, pos in (("s", emb.s), ("p", emb.p), ("o_lex", emb.o)):
+        if pos is not None and is_const(pos):
+            conds.append(F.col(col) == const_lex(pos))
+            if col == "o_lex":
+                conds.append(F.col("o_dt") == (pos.dt if isinstance(pos, Lit) else "iri"))
+    for c in conds:
+        df = df.filter(c)
+    sel, seen = [sid_expr().alias(alias)], {}
+    for col, pos in (("s", emb.s), ("p", emb.p), ("o_lex", emb.o)):
+        if isinstance(pos, Var):
+            if pos.name in seen:
+                df = df.filter(F.col(col) == F.col(seen[pos.name]))
+            else:
+                seen[pos.name] = col
+                sel.append(F.col(col).alias(pos.name))
+                if col == "o_lex" and store.track_dt:
+                    sel.append(F.col("o_dt").alias(f"{pos.name}__dt"))
+    return df.select(*sel)
+
+
+def _emb_pattern_df(sp: A.SP, store: TripleStore) -> DataFrame:
+    """Pattern with an embedded-statement term: compile the outer pattern
+    with the sid as a hidden var, then equi-join the inner statement scan on
+    the sid (plus any shared vars — SPARQL-star join semantics)."""
+    subj = Var("__sid_s") if isinstance(sp.s, A.Emb) else sp.s
+    obj = Var("__sid_o") if isinstance(sp.o, A.Emb) else sp.o
+    out = _pattern_df(A.SP(subj, sp.p, obj, sp.g), store)
+    for hidden, pos in (("__sid_s", sp.s), ("__sid_o", sp.o)):
+        if isinstance(pos, A.Emb):
+            inner = _sid_inner_df(pos, store, hidden)
+            on = sorted(set(out.columns) & set(inner.columns))
+            out = out.join(inner, on=on).drop(hidden, f"{hidden}__dt")
+    return out
+
+
 def _pattern_df(sp: A.SP, store: TripleStore) -> DataFrame:
+    if isinstance(sp.s, A.Emb) or isinstance(sp.o, A.Emb):
+        return _emb_pattern_df(sp, store)
     df = None
     if sp.p is not None and is_const(sp.p) and sp.g is None:
         df = store.pattern_source(const_lex(sp.p))  # virtual POS index
@@ -90,7 +145,13 @@ def _estimate(sp: A.SP, store: TripleStore) -> float:
 
 
 def _vars_of(sp: A.SP) -> set[str]:
-    return {p.name for p in (sp.s, sp.p, sp.o, sp.g) if isinstance(p, Var)}
+    out = set()
+    for p in (sp.s, sp.p, sp.o, sp.g):
+        if isinstance(p, Var):
+            out.add(p.name)
+        elif isinstance(p, A.Emb):  # vars inside <<s p o>> join like any other
+            out |= _vars_of(A.SP(p.s, p.p, p.o))
+    return out
 
 
 def _star_fuse(patterns: list, store: TripleStore):

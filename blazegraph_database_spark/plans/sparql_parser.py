@@ -33,6 +33,8 @@ TOKEN_RE = re.compile(
     r"""
     (?P<WS>\s+)
   | (?P<COMMENT>\#[^\n]*)
+  | (?P<DSTART><<)
+  | (?P<DEND>>>)
   | (?P<IRI><[^>\s]*>)
   | (?P<VAR>[?$][A-Za-z_][A-Za-z0-9_]*)
   | (?P<STRING>"(?:[^"\\]|\\.)*")
@@ -81,6 +83,8 @@ FUNCS_1 = {
     "SHA1": fn.SHA1, "SHA256": fn.SHA256, "SHA384": fn.SHA384,
     "SHA512": fn.SHA512, "BOUND": fn.BOUND, "ISNUMERIC": fn.ISNUMERIC,
     "IRI": fn.IRI, "URI": fn.IRI, "ENCODE_FOR_URI": fn.ENCODE_FOR_URI,
+    "ISTRIPLE": fn.ISTRIPLE, "SUBJECT": fn.SUBJECT, "PREDICATE": fn.PREDICATE,
+    "OBJECT": fn.OBJECT,
 }
 FUNCS_2 = {
     "STRSTARTS": fn.STRSTARTS, "STRENDS": fn.STRENDS, "CONTAINS": fn.CONTAINS,
@@ -140,6 +144,18 @@ class Parser:
 
     def term(self):
         t = self.next()
+        if t.kind == "DSTART":  # <<s p o>> embedded statement (RDF-star/RDR)
+            s = self.term()
+            if self.at_kw("a"):
+                self.next()
+                p = "rdf:type"
+            else:
+                p = self.term()
+            o = self.term()
+            if self.peek().kind != "DEND":
+                raise SyntaxError(f"expected >> after embedded triple, got {self.peek().text!r}")
+            self.next()
+            return A.Emb(s, p, o)
         if t.kind == "VAR":
             return Var(t.text[1:])
         if t.kind == "IRI":

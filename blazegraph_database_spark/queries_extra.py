@@ -399,3 +399,47 @@ def dataset_from_named(spark: SparkSession, sf_dir: str) -> DataFrame:
         } GROUP BY ?g
         """,
     )
+
+
+@register(
+    "rdr_provenance",
+    """
+    SELECT o_orderstatus AS st, COUNT(*) AS n_orders,
+           COUNT(DISTINCT o_orderpriority) AS n_prios
+    FROM orders WHERE o_totalprice > 200000
+    GROUP BY o_orderstatus ORDER BY st
+    """,
+)
+def rdr_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RDF-star / RDR: statement-level provenance. High-value order status
+    statements are annotated `<<order status st>> verifiedBy clerk`; the
+    SPARQL-star text query joins metadata back to the statements via the
+    deterministic sid encoding (ref: SidIV.java; RDR mode of
+    BigdataNTriplesParser). Exercises the `<<?s <p> ?o>>` parser syntax and
+    the compiler's sid equi-join — one shuffle on the sid key, no cartesian."""
+    from blazegraph_database_spark.plans.sparql_parser import run_sparql
+
+    ords = read_parquet(spark, f"{sf_dir}/orders.parquet")
+    base = ords.select(
+        F.concat(F.lit("order:"), F.col("o_orderkey")).alias("s"),
+        F.lit("status").alias("p"),
+        F.col("o_orderstatus").alias("o_lex"),
+        F.lit("string").alias("o_dt"),
+    )
+    sid = F.concat(
+        F.lit("<<order:"), F.col("o_orderkey"), F.lit("|status|"),
+        F.col("o_orderstatus"), F.lit("|string>>"),
+    )
+    meta = ords.filter(F.col("o_totalprice") > 200000).select(
+        sid.alias("s"), F.lit("verifiedBy").alias("p"),
+        F.col("o_orderpriority").alias("o_lex"), F.lit("string").alias("o_dt"),
+    )
+    st = TripleStore(base.unionByName(meta))
+    return run_sparql(
+        st,
+        """
+        SELECT ?st (COUNT(?s) AS ?n_orders) (COUNT(DISTINCT ?prio) AS ?n_prios)
+        WHERE { <<?s <status> ?st>> <verifiedBy> ?prio }
+        GROUP BY ?st ORDER BY ?st
+        """,
+    )

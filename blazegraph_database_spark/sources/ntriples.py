@@ -56,7 +56,7 @@ def _term_cols(raw_obj):
     for iri, tag in _XSD_DT.items():
         dt_mapped = F.when(dtype_iri == iri, F.lit(tag)).otherwise(dt_mapped)
     o_lex = (
-        F.when(is_iri, F.expr("substring(_raw_o, 2, length(_raw_o) - 2)"))
+        F.when(is_iri, raw_obj.substr(F.lit(2), F.length(raw_obj) - 2))
         .when(is_bnode, raw_obj)
         .otherwise(lex)
     )
@@ -96,6 +96,50 @@ def _parse(lines: DataFrame, pattern: str, quads: bool) -> DataFrame:
 def read_ntriples(spark: SparkSession, path: str) -> DataFrame:
     """Distributed N-Triples parse → (s, p, o_lex, o_dt)."""
     return _parse(spark.read.text(path), NT_LINE, quads=False)
+
+
+NT_STAR_LINE = rf"^\s*<<\s*{_SUBJ}\s+{_PRED}\s+{_OBJ}\s*>>\s+{_PRED}\s+{_OBJ}\s*\.\s*$"
+
+
+def read_ntriples_star(spark: SparkSession, path: str) -> DataFrame:
+    """N-Triples-star / RDR parse: `<<s p o>> p2 o2 .` statement-metadata
+    lines plus plain N-Triples lines (ref: BigdataNTriplesParser's RDR mode,
+    bigdata-core/bigdata-rdf/.../rio/ntriples/BigdataNTriplesParser.java).
+
+    Per RDR semantics the embedded statement is also asserted: each star line
+    yields TWO triples — the inner (s,p,o) and (sid, p2, o2) where sid is the
+    deterministic `<<s|p|o_lex|o_dt>>` statement-id the compiler's
+    SPARQL-star patterns join on. Same one-scan JVM-regexp shape as
+    read_ntriples; the star rewrite adds no extra pass over the data."""
+    v = F.col("value")
+    lines = spark.read.text(path).filter((F.trim(v) != "") & ~F.trim(v).startswith("#"))
+    star = lines.filter(v.rlike(NT_STAR_LINE))
+    plain = _parse(lines.filter(~v.rlike(NT_STAR_LINE)), NT_LINE, quads=False)
+
+    def grp(i: int) -> F.Column:
+        return F.regexp_extract(v, NT_STAR_LINE, i)
+
+    inner_s = F.when(
+        grp(1).startswith("<"), grp(1).substr(F.lit(2), F.length(grp(1)) - 2)
+    ).otherwise(grp(1))
+    inner_p = grp(2).substr(F.lit(2), F.length(grp(2)) - 2)
+    meta_p = grp(4).substr(F.lit(2), F.length(grp(4)) - 2)
+    inner_o_lex, inner_o_dt = _term_cols(grp(3))
+    meta_o_lex, meta_o_dt = _term_cols(grp(5))
+    inner = star.select(
+        inner_s.alias("s"), inner_p.alias("p"), inner_o_lex.alias("o_lex"), inner_o_dt.alias("o_dt")
+    )
+    sid = F.concat(
+        F.lit("<<"), F.col("s"), F.lit("|"), F.col("p"), F.lit("|"),
+        F.col("o_lex"), F.lit("|"), F.col("o_dt"), F.lit(">>"),
+    )
+    meta = star.select(
+        inner_s.alias("s"), inner_p.alias("p"), inner_o_lex.alias("o_lex"), inner_o_dt.alias("o_dt"),
+        meta_p.alias("_mp"), meta_o_lex.alias("_mo"), meta_o_dt.alias("_mdt"),
+    ).select(
+        sid.alias("s"), F.col("_mp").alias("p"), F.col("_mo").alias("o_lex"), F.col("_mdt").alias("o_dt")
+    )
+    return plain.unionByName(inner).unionByName(meta)
 
 
 def read_nquads(spark: SparkSession, path: str) -> DataFrame:
