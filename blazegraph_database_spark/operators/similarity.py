@@ -214,6 +214,93 @@ def lsh_ann_topk_quantized(
     return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k).drop("rk")
 
 
+def _int_dot_cols(a: Column, b: Column) -> Column:
+    """Exact integer dot product of two array<long> columns."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0).cast("long"), lambda s, v: s + v
+    )
+
+
+def ivf_cells(
+    corpus: DataFrame, n_cells: int, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """IVF centroid set: (cell, cq quantized centroid). Deterministic seed
+    rule — the n_cells lowest-id vectors — so a SQL oracle reproduces the
+    index exactly; at scale these seeds would be refined with a few Lloyd
+    iterations (each: assign via this same broadcast dot, re-average), which
+    keeps the same plan shape but makes the oracle data-dependent."""
+    return corpus.filter(F.col(id_col) < n_cells).select(
+        F.col(id_col).alias("cell"), quantize(as_double(F.col(vec_col))).alias("cq")
+    )
+
+
+def ivf_assign(
+    df: DataFrame,
+    cells: DataFrame,
+    n: int,
+    name: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-n cells per vector by exact integer dot product (ties → lower
+    cell id): (name, <name>_v double vector, cell). n=1 assigns corpus
+    vectors; n=n_probe picks query probe cells. The centroid side is tiny
+    and broadcast — one corpus scan, no shuffle until the bucket join."""
+    from pyspark.sql.window import Window
+
+    v = df.select(
+        F.col(id_col).alias(name),
+        as_double(F.col(vec_col)).alias(f"{name}_v"),
+        quantize(as_double(F.col(vec_col))).alias("_vq"),
+    )
+    scored = v.crossJoin(F.broadcast(cells)).select(
+        name, f"{name}_v", "cell", _int_dot_cols(F.col("_vq"), F.col("cq")).alias("_d")
+    )
+    w = Window.partitionBy(name).orderBy(F.col("_d").desc(), F.col("cell").asc())
+    return (
+        scored.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= n)
+        .select(name, f"{name}_v", "cell")
+    )
+
+
+def ivf_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: corpus vectors are bucketed
+    into their nearest centroid's cell; each query scans only its n_probe
+    nearest cells. (q, neighbor, cos).
+
+    The 100 TB shape: cell assignment is a broadcast-centroid map-side pass
+    (one corpus scan, no shuffle), the candidate join is a cell equi-join
+    (shuffle keyed on ~n_cells values — at scale use enough cells that
+    cells ≫ executors, and AQE skew-join splits hot cells), and exact
+    cosine runs only on probed candidates (~n_probe/n_cells of the corpus
+    per query). Integer-quantized assignment arithmetic makes the bucket
+    structure bit-identical in Spark and the DuckDB oracle."""
+    from pyspark.sql.window import Window
+
+    cells = ivf_cells(corpus, n_cells, id_col, vec_col)
+    c = ivf_assign(corpus, cells, 1, "neighbor", id_col, vec_col)
+    q = ivf_assign(queries, cells, n_probe, "q", id_col, vec_col)
+    cands = (
+        c.join(q, on="cell")
+        .filter(F.col("q") != F.col("neighbor"))
+        .dropDuplicates(["q", "neighbor"])
+    )
+    scored = cands.select(
+        "q", "neighbor", F.round(cosine(F.col("q_v"), F.col("neighbor_v")), 4).alias("cos")
+    )
+    w = Window.partitionBy("q").orderBy(F.col("cos").desc(), F.col("neighbor").asc())
+    return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k).drop("rk")
+
+
 def lsh_near_dup_pairs(
     corpus: DataFrame,
     planes: list[list[list[int]]],

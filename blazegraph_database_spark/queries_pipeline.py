@@ -374,3 +374,53 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """mapInPandas decode stage (stub decoder — deterministic features)."""
     media = multimodal.attach_media(_docs(spark, sf_dir))
     return multimodal.decode_media(media, partitions=8)
+
+
+@register(
+    "ann_ivf",
+    """
+    WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+               list_transform(CAST(embedding AS DOUBLE[]), x -> CAST(ROUND(x*1000) AS BIGINT)) AS vq
+        FROM embeddings
+    ),
+    cents AS (SELECT vec_id AS cell, vq AS cq FROM e WHERE vec_id < 16),
+    idx(i) AS (SELECT UNNEST(generate_series(1, 64))),
+    dots AS (
+        SELECT e.vec_id, c.cell, CAST(SUM(e.vq[idx.i] * c.cq[idx.i]) AS BIGINT) AS d
+        FROM e CROSS JOIN cents c CROSS JOIN idx GROUP BY 1, 2
+    ),
+    cassign AS (
+        SELECT vec_id AS neighbor, cell FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d DESC, cell ASC) AS r FROM dots
+        ) WHERE r = 1
+    ),
+    qprobe AS (
+        SELECT vec_id AS q, cell FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d DESC, cell ASC) AS r FROM dots
+            WHERE vec_id < 5
+        ) WHERE r <= 4
+    ),
+    cands AS (
+        SELECT DISTINCT qp.q, ca.neighbor FROM qprobe qp JOIN cassign ca ON qp.cell = ca.cell
+        WHERE qp.q != ca.neighbor
+    ),
+    scored AS (
+        SELECT c.q, c.neighbor, ROUND(list_cosine_similarity(eq.v, ec.v), 4) AS cos
+        FROM cands c JOIN e eq ON eq.vec_id = c.q JOIN e ec ON ec.vec_id = c.neighbor
+    ),
+    rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY q ORDER BY cos DESC, neighbor ASC) AS r FROM scored)
+    SELECT q, neighbor, cos FROM rk WHERE r <= 3
+    """,
+)
+def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (inverted-file) approximate top-3 for the same query set: corpus
+    bucketed by nearest centroid (deterministic lowest-id seeds, integer
+    assignment arithmetic), queries probe their 4 nearest of 16 cells, exact
+    cosine only on probed candidates. The third ANN strategy next to the
+    exact baseline (ann_cosine_topk) and sign-LSH (ann_lsh) — the same
+    centroid-bucket design IVF-Flat uses at billion-vector scale."""
+    embs = _embs(spark, sf_dir)
+    return similarity.ivf_ann_topk(
+        embs, embs.filter(F.col("vec_id") < 5), k=3, n_cells=16, n_probe=4
+    )

@@ -128,3 +128,21 @@ def test_multimodal_plumbing(docs):
 def test_media_metadata_stats(docs):
     stats = multimodal.media_metadata_stats(multimodal.attach_media(docs)).collect()
     assert len(stats) == 1 and stats[0]["modality"] == "image" and stats[0]["n_items"] == 6
+
+
+def test_ivf_ann_recall_vs_brute(spark):
+    """IVF with all cells probed == brute force; fewer probes stays a subset
+    of scored candidates with correct per-query ordering."""
+    from blazegraph_database_spark.operators import similarity
+
+    embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qs = embs.filter(F.col("vec_id") < 3)
+    exact = {
+        (r["q"], r["neighbor"]) for r in similarity.brute_force_topk(embs, qs, k=3).collect()
+    }
+    full = similarity.ivf_ann_topk(embs, qs, k=3, n_cells=8, n_probe=8)
+    assert {(r["q"], r["neighbor"]) for r in full.collect()} == exact
+    probed = similarity.ivf_ann_topk(embs, qs, k=3, n_cells=8, n_probe=2).collect()
+    assert len(probed) > 0
+    for r in probed:  # scores are exact cosines, never above the true best
+        assert r["cos"] <= max(x["cos"] for x in similarity.brute_force_topk(embs, qs, k=1).collect() if x["q"] == r["q"]) + 1e-9
