@@ -44,7 +44,7 @@ _RDF_READERS = {
     "text/plain": ntriples.read_ntriples,
     "application/n-triples": ntriples.read_ntriples,
     "application/n-quads": ntriples.read_nquads,
-    "text/turtle": ntriples.read_turtle_subset,
+    "text/turtle": rdf_formats.read_turtle,
     "application/trig": rdf_formats.read_trig,
     "application/ld+json": rdf_formats.read_jsonld,
     "application/rdf+xml": rdf_formats.read_rdfxml,

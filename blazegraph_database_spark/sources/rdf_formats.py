@@ -218,6 +218,175 @@ def _parse_rdfxml_doc(doc: str) -> list[tuple]:
     return out
 
 
+# ------------------------------------------------------------ full Turtle --
+_TTL_TOKEN = re.compile(
+    r"""
+    (?P<WS>\s+|\#[^\n]*)
+  | (?P<TRIPLEQ>\"\"\"(?:[^"\\]|\\.|"(?!""))*\"\"\")
+  | (?P<STRING>"(?:[^"\\\n]|\\.)*")
+  | (?P<IRI><[^>\s]*>)
+  | (?P<BNODE>_:[A-Za-z0-9_][A-Za-z0-9_.-]*)
+  | (?P<NUM>[+-]?(?:\d+\.\d+(?:[eE][+-]?\d+)?|\.\d+(?:[eE][+-]?\d+)?|\d+[eE][+-]?\d+|\d+))
+  | (?P<PNAME>[A-Za-z][A-Za-z0-9_-]*:[A-Za-z0-9_][A-Za-z0-9_.-]*|[A-Za-z][A-Za-z0-9_-]*:|:[A-Za-z0-9_][A-Za-z0-9_.-]*|:)
+  | (?P<KW>@?[A-Za-z][A-Za-z0-9_-]*)
+  | (?P<OP>\^\^|[;,.\[\]()])
+    """,
+    re.VERBOSE,
+)
+
+
+class _TurtleParser:
+    """Recursive-descent Turtle parser (document-scoped): @prefix/@base and
+    PREFIX/BASE directives, `;`/`,` predicate-object lists, `a`, anonymous
+    bnodes `[]` and bnode property lists `[ p o ; ... ]`, collections
+    `( e1 e2 )` as rdf:first/rest/nil chains, numeric/boolean literals,
+    long (triple-quoted) strings, @lang and ^^datatype (IRI or pname).
+    Ref: the full Turtle grammar the reference accepts through openrdf RIO
+    (bigdata-core/bigdata-rdf/.../rio/; Turtle spec sec. 6)."""
+
+    def __init__(self, doc: str):
+        self.toks: list[tuple[str, str]] = []
+        for m in _TTL_TOKEN.finditer(doc):
+            if m.lastgroup != "WS":
+                self.toks.append((m.lastgroup, m.group()))
+        self.i = 0
+        self.prefixes: dict[str, str] = {}
+        self.base = ""
+        self.out: list[tuple] = []
+        self.bn = 0
+
+    def peek(self):
+        return self.toks[self.i] if self.i < len(self.toks) else ("EOF", "")
+
+    def next(self):
+        t = self.peek()
+        self.i += 1
+        return t
+
+    def _new_bnode(self) -> str:
+        self.bn += 1
+        return f"_:ttl{self.bn}"
+
+    def parse(self) -> None:
+        while self.peek()[0] != "EOF":
+            kind, text = self.peek()
+            low = text.lower()
+            if kind == "KW" and low in ("@prefix", "prefix"):
+                self.next()
+                pname = self.next()[1]  # 'pfx:' (PNAME) — may be just ':'
+                iri = self.next()[1][1:-1]
+                self.prefixes[pname[:-1] if pname.endswith(":") else pname] = iri
+                if self.peek() == ("OP", "."):
+                    self.next()
+                continue
+            if kind == "KW" and low in ("@base", "base"):
+                self.next()
+                self.base = self.next()[1][1:-1]
+                if self.peek() == ("OP", "."):
+                    self.next()
+                continue
+            subj = self.term(as_subject=True)
+            self.predicate_object_list(subj[0])
+            if self.peek() == ("OP", "."):
+                self.next()
+
+    def predicate_object_list(self, s: str) -> None:
+        while True:
+            kind, text = self.peek()
+            if kind == "KW" and text == "a":
+                self.next()
+                p = RDF_NS + "type"
+            else:
+                p = self.term()[0]
+            while True:
+                o_lex, o_dt = self.term()
+                self.out.append((s, p, o_lex, o_dt))
+                if self.peek() == ("OP", ","):
+                    self.next()
+                    continue
+                break
+            if self.peek() == ("OP", ";"):
+                self.next()
+                if self.peek()[0] == "OP" and self.peek()[1] in (".", "]"):
+                    break
+                if self.peek()[0] == "EOF":
+                    break
+                continue
+            break
+
+    def term(self, as_subject: bool = False) -> tuple[str, str]:
+        kind, text = self.next()
+        if kind == "IRI":
+            iri = text[1:-1]
+            if self.base and "://" not in iri and not iri.startswith(("urn:", "mailto:")):
+                iri = self.base + iri
+            return iri, "iri"
+        if kind == "PNAME":
+            pfx, local = text.split(":", 1)
+            return self.prefixes.get(pfx, pfx + ":") + local, "iri"
+        if kind == "BNODE":
+            return text, "bnode"
+        if kind in ("STRING", "TRIPLEQ"):
+            lex = text[3:-3] if kind == "TRIPLEQ" else text[1:-1]
+            lex = (
+                lex.replace('\\"', '"').replace("\\n", "\n").replace("\\t", "\t").replace("\\\\", "\\")
+            )
+            nk, nt = self.peek()
+            if nk == "KW" and nt.startswith("@"):
+                self.next()
+                return lex, f"lang:{nt[1:]}"
+            if (nk, nt) == ("OP", "^^"):
+                self.next()
+                dt_iri = self.term()[0]
+                return lex, _XSD_DT.get(dt_iri, "string")
+            return lex, "string"
+        if kind == "NUM":
+            if "." in text or "e" in text.lower():
+                return text, "double"
+            return text, "long"
+        if kind == "KW" and text in ("true", "false"):
+            return text, "boolean"
+        if (kind, text) == ("OP", "["):
+            bn = self._new_bnode()
+            if self.peek() != ("OP", "]"):  # [ p o ; ... ]
+                self.predicate_object_list(bn)
+            if self.peek() == ("OP", "]"):
+                self.next()
+            return bn, "bnode"
+        if (kind, text) == ("OP", "("):  # collection → rdf:first/rest chain
+            items = []
+            while self.peek() != ("OP", ")") and self.peek()[0] != "EOF":
+                items.append(self.term())
+            self.next()  # ')'
+            if not items:
+                return RDF_NS + "nil", "iri"
+            head = self._new_bnode()
+            cur = head
+            for j, (lex, dt) in enumerate(items):
+                self.out.append((cur, RDF_NS + "first", lex, dt))
+                if j == len(items) - 1:
+                    self.out.append((cur, RDF_NS + "rest", RDF_NS + "nil", "iri"))
+                else:
+                    nxt = self._new_bnode()
+                    self.out.append((cur, RDF_NS + "rest", nxt, "bnode"))
+                    cur = nxt
+            return head, "bnode"
+        raise SyntaxError(f"turtle: unexpected token {text!r}")
+
+
+def _parse_turtle_doc(doc: str) -> list[tuple]:
+    p = _TurtleParser(doc)
+    p.parse()
+    return p.out
+
+
+def read_turtle(spark: SparkSession, path: str) -> DataFrame:
+    """Full-grammar Turtle → (s, p, o_lex, o_dt). Document-scoped (prefix
+    state), so parallelism is per file — shard exports for cluster loads;
+    N-Triples stays the splittable bulk path."""
+    return _map_docs(_whole_docs(spark, path), _parse_turtle_doc, _TRIPLES_SCHEMA)
+
+
 def _whole_docs(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.text(path, wholetext=True)
 

@@ -78,3 +78,51 @@ def test_read_rdfxml(spark, tmp_path):
     assert ("http://ex.org/a", "http://ex.org/age", "30", "long") in got
     assert ("http://ex.org/b", RDF_NS + "type", "http://ex.org/Person", "iri") in got
     assert ("http://ex.org/b", "http://ex.org/name", "Bob", "lang:en") in got
+
+
+TTL_FULL = """
+@prefix : <http://ex.org/> .
+@prefix foaf: <http://xmlns.com/foaf/0.1/> .
+@base <http://base.org/> .
+
+:bob a foaf:Person ;
+     foaf:name "Bob" ;
+     foaf:age 23 ;
+     foaf:height 1.82 ;
+     foaf:active true ;
+     foaf:nick "Bobby"@en ;
+     foaf:id "x9"^^<http://www.w3.org/2001/XMLSchema#string> ;
+     foaf:knows [ foaf:name "Anon" ; foaf:age 7 ] ;
+     foaf:list ( :a :b ) .
+
+<rel> foaf:note \"\"\"multi
+line\"\"\" .
+"""
+
+
+def test_read_turtle_full(spark, tmp_path):
+    f = tmp_path / "full.ttl"
+    f.write_text(TTL_FULL)
+    from blazegraph_database_spark.sources.rdf_formats import read_turtle
+
+    rows = {tuple(r) for r in read_turtle(spark, str(f)).collect()}
+    EX, FOAF, RDF = "http://ex.org/", "http://xmlns.com/foaf/0.1/", "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+    assert (EX + "bob", RDF + "type", FOAF + "Person", "iri") in rows
+    assert (EX + "bob", FOAF + "name", "Bob", "string") in rows
+    assert (EX + "bob", FOAF + "age", "23", "long") in rows
+    assert (EX + "bob", FOAF + "height", "1.82", "double") in rows
+    assert (EX + "bob", FOAF + "active", "true", "boolean") in rows
+    assert (EX + "bob", FOAF + "nick", "Bobby", "lang:en") in rows
+    assert (EX + "bob", FOAF + "id", "x9", "string") in rows
+    # bnode property list: bob knows someone named Anon
+    bn = [r[2] for r in rows if r[1] == FOAF + "knows"][0]
+    assert (bn, FOAF + "name", "Anon", "string") in rows
+    assert (bn, FOAF + "age", "7", "long") in rows
+    # collection chained via rdf:first/rest to rdf:nil
+    head = [r[2] for r in rows if r[1] == FOAF + "list"][0]
+    assert (head, RDF + "first", EX + "a", "iri") in rows
+    rest = [r[2] for r in rows if r[0] == head and r[1] == RDF + "rest"][0]
+    assert (rest, RDF + "first", EX + "b", "iri") in rows
+    assert (rest, RDF + "rest", RDF + "nil", "iri") in rows
+    # @base applied to relative IRIs; long string preserved
+    assert ("http://base.org/rel", FOAF + "note", "multi\nline", "string") in rows
