@@ -104,6 +104,61 @@ def decode_media_real(media: DataFrame) -> DataFrame:
     return media.select("media_id", "payload").mapInPandas(decode, FEATURE_SCHEMA)
 
 
+def resize_media(media: DataFrame, width: int = 32, height: int = 32) -> DataFrame:
+    """mapInPandas resize stage → (media_id, payload, width, height).
+
+    STUB transform: deterministic byte down-sampling to width*height bytes
+    (a real implementation calls PIL Image.resize in the same loop — the
+    Arrow batch shape, output schema, and payload-column handling are what
+    this stage actually tests). Output payloads are bounded (w*h bytes), so
+    downstream stages shuffle small rows even when inputs are huge."""
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        target = width * height
+        for pdf in batches:
+            out = []
+            for p in pdf["payload"]:
+                b = bytes(p)
+                step = max(len(b) // target, 1)
+                out.append(b[::step][:target])
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": out,
+                    "width": [width] * len(out),
+                    "height": [height] * len(out),
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        resize, "media_id long, payload binary, width int, height int"
+    )
+
+
+def sample_frames(media: DataFrame, every_n: int = 5) -> DataFrame:
+    """Video frame-sampling: one row per sampled frame → (media_id,
+    frame_idx, frame). Frame count is the stub decoder's deterministic
+    n_frames (len % 30 + 1); a real implementation decodes with pyav and
+    yields every_n-th frame in the same explode shape. Row count is
+    ceil(n_frames / every_n) per video — output-bounded, not payload-bounded."""
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(p)
+                n_frames = len(b) % 30 + 1
+                for i in range(0, n_frames, every_n):
+                    ids.append(mid)
+                    idxs.append(i)
+                    frames.append(b[i * 16 : i * 16 + 16])  # stub frame slice
+            yield pd.DataFrame({"media_id": ids, "frame_idx": idxs, "frame": frames})
+
+    return media.select("media_id", "payload").mapInPandas(
+        sample, "media_id long, frame_idx int, frame binary"
+    )
+
+
 def media_metadata_stats(media: DataFrame) -> DataFrame:
     """Metadata-only aggregate — never reads the payload column (column
     pruning keeps the scan narrow)."""

@@ -424,3 +424,32 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_ann_topk(
         embs, embs.filter(F.col("vec_id") < 5), k=3, n_cells=16, n_probe=4
     )
+
+
+@register(
+    "multimodal_frames",
+    """
+    WITH f AS (
+        SELECT doc_id,
+               (strlen(text) % 30 + 1 + 4) // 5 AS cnt
+        FROM documents
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_media,
+           CAST(SUM(cnt) AS BIGINT) AS n_sampled,
+           CAST(SUM(5 * (cnt * (cnt - 1) // 2)) AS BIGINT) AS sum_idx
+    FROM f
+    """,
+)
+def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plumbing: every-5th-frame explode via mapInPandas over
+    the media payloads, aggregated to (n_media, n_sampled, sum_idx). The
+    stub decoder's frame count is deterministic, so the sampled-frame
+    arithmetic is exactly SQL-recomputable while the Spark side exercises
+    the real Arrow-batched explode stage."""
+    media = multimodal.attach_media(_docs(spark, sf_dir))
+    frames = multimodal.sample_frames(media, every_n=5)
+    return frames.agg(
+        F.count_distinct("media_id").cast("long").alias("n_media"),
+        F.count(F.lit(1)).cast("long").alias("n_sampled"),
+        F.sum("frame_idx").cast("long").alias("sum_idx"),
+    )

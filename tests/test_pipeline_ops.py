@@ -146,3 +146,21 @@ def test_ivf_ann_recall_vs_brute(spark):
     assert len(probed) > 0
     for r in probed:  # scores are exact cosines, never above the true best
         assert r["cos"] <= max(x["cos"] for x in similarity.brute_force_topk(embs, qs, k=1).collect() if x["q"] == r["q"]) + 1e-9
+
+
+def test_resize_and_frames(spark):
+    from blazegraph_database_spark.operators import multimodal
+
+    docs = spark.createDataFrame(
+        [(1, "x" * 100), (2, "y" * 2500)], "doc_id long, text string"
+    )
+    media = multimodal.attach_media(docs)
+    resized = multimodal.resize_media(media, width=8, height=4).collect()
+    assert all(len(bytes(r["payload"])) <= 32 for r in resized)
+    assert {(r["width"], r["height"]) for r in resized} == {(8, 4)}
+    frames = multimodal.sample_frames(media, every_n=5).collect()
+    # doc1: 100 % 30 + 1 = 11 frames -> sampled idx 0,5,10
+    got1 = sorted(r["frame_idx"] for r in frames if r["media_id"] == 1)
+    assert got1 == [0, 5, 10]
+    # doc2: 2500 % 30 + 1 = 11 frames too
+    assert len([r for r in frames if r["media_id"] == 2]) == 3
