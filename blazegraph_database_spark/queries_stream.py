@@ -68,3 +68,25 @@ def stream_to_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     triples = S.events_to_triples(st)
     counted = triples.groupBy("p").agg(F.count(F.lit(1)).alias("n"))
     return S.run_to_memory(counted, output_mode="complete")
+
+
+@register(
+    "stream_sessionize",
+    """
+    WITH o AS (
+        SELECT user_id, epoch(ts) AS t,
+               LAG(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        FROM events
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(1 + SUM(CASE WHEN prev IS NOT NULL AND t - prev > 1800 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
+    FROM o GROUP BY user_id
+    """,
+)
+def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState): per-user
+    30-min-gap sessionization; running totals after a full availableNow pass
+    must equal the batch LAG-window formulation."""
+    st = S.read_events_stream(spark, sf_dir)
+    return S.run_to_memory(S.sessionize_stateful(st), output_mode="update")

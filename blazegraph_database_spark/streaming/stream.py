@@ -100,3 +100,49 @@ def run_to_memory(stream_df: DataFrame, output_mode: str = "complete") -> DataFr
     q.awaitTermination()
     q.stop()
     return stream_df.sparkSession.table(name)
+
+
+def sessionize_stateful(stream: DataFrame, gap_seconds: float = 1800.0) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: per-user session
+    counting with a gap timeout — a new session starts when the time since
+    the user's previous event exceeds ``gap_seconds``.
+
+    State per user = (n_events, n_sessions, last_ts); each micro-batch folds
+    its (ts-sorted) rows into the state and emits the running totals
+    (update mode). Only time DIFFERENCES cross the state boundary, so the
+    result is timezone-offset-invariant and exactly batch-recomputable with
+    a LAG window — which is what the oracle checks. State is one small row
+    per active user; at scale a ProcessingTimeTimeout would expire idle
+    users' state at the watermark horizon."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def fn(key, pdfs, state):
+        if state.exists:
+            n, sessions, last = state.get
+        else:
+            n, sessions, last = 0, 0, float("-inf")
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for t in pdf["ts"]:
+                tsec = t.timestamp() if hasattr(t, "timestamp") else float(t)
+                if tsec - last > gap_seconds:
+                    sessions += 1
+                n += 1
+                last = tsec
+        state.update((n, sessions, last))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "n_sessions": [sessions]}
+        )
+
+    return (
+        stream.select("user_id", "ts", "event_id")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            "user_id long, n_events long, n_sessions long",
+            "n long, sessions long, last_ts double",
+            "update",
+            GroupStateTimeout.NoTimeout,
+        )
+    )
