@@ -443,3 +443,41 @@ def rdr_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY ?st ORDER BY ?st
         """,
     )
+
+
+@register(
+    "update_graph_ops",
+    """
+    WITH hi AS (SELECT COUNT(*) AS n FROM customer WHERE c_acctbal > 5000),
+         lo AS (SELECT COUNT(*) AS n FROM customer WHERE c_acctbal <= 5000)
+    SELECT 'g:all' AS g, CAST(hi.n + lo.n AS BIGINT) AS n FROM hi, lo
+    UNION ALL SELECT 'g:low', CAST(n AS BIGINT) FROM lo
+    """,
+)
+def update_graph_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph-management verbs through the UPDATE text parser: COPY + ADD +
+    DROP on a quad store (ref: CopyGraph/AddGraph/MoveGraph in
+    AST2BOpUpdate.java). g:all = COPY g:high then ADD g:low; g:high dropped;
+    per-graph counts checked relationally."""
+    from blazegraph_database_spark.plans.update_parser import apply_update
+    from blazegraph_database_spark.update.update import UpdatableStore
+
+    cust = read_parquet(spark, f"{sf_dir}/customer.parquet")
+    quads = cust.select(
+        F.concat(F.lit("customer:"), F.col("c_custkey")).alias("s"),
+        F.lit("customer#c_acctbal").alias("p"),
+        F.col("c_acctbal").cast("string").alias("o_lex"),
+        F.lit("double").alias("o_dt"),
+        F.when(F.col("c_acctbal") > 5000, "g:high").otherwise("g:low").alias("g"),
+    )
+    us = UpdatableStore.from_store(TripleStore(quads))
+    apply_update(
+        us,
+        "COPY GRAPH <g:high> TO GRAPH <g:all> ; ADD GRAPH <g:low> TO GRAPH <g:all> ; DROP GRAPH <g:high>",
+        spark,
+    )
+    return (
+        us.current.df.groupBy("g")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy("g")
+    )

@@ -155,3 +155,38 @@ def geo_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
     inCircle + distance field)."""
     out = geospatial.in_circle(_events_geo(spark, sf_dir), 10.0, 20.0, 1500.0)
     return out.select("event_id", "distance_km")
+
+
+@register(
+    "geo_zorder",
+    _GEO_CTE
+    + """,
+    q AS (
+        SELECT event_id,
+               LEAST(GREATEST(CAST(ROUND(((lat + 90.0) / 180.0) * 255) AS BIGINT), 0), 255) AS qlat,
+               LEAST(GREATEST(CAST(ROUND(((lon + 180.0) / 360.0) * 255) AS BIGINT), 0), 255) AS qlon
+        FROM pts
+    ),
+    bits(i) AS (SELECT UNNEST(generate_series(0, 7))),
+    z AS (
+        SELECT event_id,
+               CAST(SUM((((qlat >> i) & 1) << (2 * i)) + (((qlon >> i) & 1) << (2 * i + 1))) AS BIGINT) AS zkey
+        FROM q CROSS JOIN bits GROUP BY event_id
+    ),
+    cells AS (SELECT zkey, CAST(COUNT(*) AS BIGINT) AS n FROM z GROUP BY zkey)
+    SELECT zkey, n FROM cells ORDER BY n DESC, zkey ASC LIMIT 10
+    """,
+)
+def geo_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) cell index: top-10 densest 8-bit z-cells. The same
+    interleave the reference's geospatial service sorts its index by (ref:
+    service/geospatial ZOrderIndexBigMinAdvancer); the oracle recomputes the
+    bit interleave in SQL, so the cell structure is checked exactly."""
+    pts = _events_geo(spark, sf_dir)
+    keyed = pts.select(geospatial.zorder_key(F.col("lat"), F.col("lon"), bits=8).alias("zkey"))
+    return (
+        keyed.groupBy("zkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("zkey").asc())
+        .limit(10)
+    )
