@@ -16,9 +16,24 @@ _CATALOG_MODULES = [
 
 
 # Scored first if the driver's correctness pass has a budget (round 1 cut off
-# at 50/54, leaving these four with no CORRECTNESS row at all). Everything
-# else keeps catalog-module order.
+# at 50/54). Entries with no CORRECTNESS row yet run first, cheapest first;
+# everything else keeps catalog-module order.
 _SCORE_FIRST = [
+    # round-2 additions, never driver-scored
+    "update_graph_ops",
+    "geo_zorder",
+    "path_negated",
+    "dataset_from_named",
+    "sparql_update_text",
+    "graph_var_path",
+    "multimodal_frames",
+    "rdr_provenance",
+    "tm_delete_closure",
+    "owl_rules_extended",
+    "ann_ivf",
+    "gas_fuzzy_sssp",
+    "stream_sessionize",
+    # unscored tail of round 1
     "stream_window_agg",
     "stream_dedup",
     "stream_to_triples",
