@@ -499,6 +499,16 @@ def instantiate_template(sol: DataFrame, template: list[tuple]) -> DataFrame:
                     else F.lit("string")
                 )
                 return F.col(pos.name).cast("string"), dt
+            if isinstance(pos, A.Emb):  # template emits the statement-id term
+                es, _ = col_of(pos.s, "iri")
+                ep, _ = col_of(pos.p, "iri")
+                eo, eodt = col_of(pos.o, "iri" if not isinstance(pos.o, Lit) else pos.o.dt)
+                if isinstance(pos.o, Lit):
+                    eodt = F.lit(pos.o.dt)
+                sid = F.concat(
+                    F.lit("<<"), es, F.lit("|"), ep, F.lit("|"), eo, F.lit("|"), eodt, F.lit(">>")
+                )
+                return sid, F.lit(DT_SID)
             return F.lit(const_lex(pos)), F.lit(dt_if_const)
         sc, _ = col_of(s, "iri")
         pc, _ = col_of(p, "iri")

@@ -181,6 +181,11 @@ def _ground_triples_df(spark: SparkSession, quads: list[tuple], with_graph: bool
     def lex_dt(term) -> tuple[str, str]:
         if isinstance(term, Lit):
             return term.lex, term.dt
+        if isinstance(term, A.Emb):  # ground <<s p o>> term → statement id
+            sl, _ = lex_dt(term.s)
+            pl, _ = lex_dt(term.p)
+            ol, odt = lex_dt(term.o)
+            return f"<<{sl}|{pl}|{ol}|{odt}>>", "sid"
         return str(term), "iri"
 
     rows = []

@@ -123,3 +123,30 @@ def test_read_ntriples_star(spark, tmp_path):
     assert ("bob", "age", "23", "long") in rows
     assert (sid("bob", "age", "23", "long"), "creator", "c1", "iri") in rows
     assert (sid("bob", "age", "23", "long"), "source", "home", "iri") in rows
+
+
+def test_construct_emb_template(spark):
+    """CONSTRUCT with an embedded-triple template emits sid metadata terms."""
+    st = _store(spark)
+    from blazegraph_database_spark.plans.compiler import construct
+
+    out = construct(
+        st,
+        A.BGP([A.SP(V("s"), "age", V("a"))]),
+        [(A.Emb(V("s"), "age", V("a")), "checkedBy", "auditor")],
+    )
+    rows = {tuple(r) for r in out.collect()}
+    assert (sid("bob", "age", "23", "long"), "checkedBy", "auditor", "iri") in rows
+    assert (sid("alice", "age", "30", "long"), "checkedBy", "auditor", "iri") in rows
+
+
+def test_update_insert_emb_data(spark):
+    """INSERT DATA with a ground <<s p o>> subject inserts a sid triple the
+    SPARQL-star pattern can then find."""
+    from blazegraph_database_spark.plans.update_parser import apply_update
+    from blazegraph_database_spark.update.update import UpdatableStore
+
+    us = UpdatableStore.from_store(_store(spark))
+    apply_update(us, 'INSERT DATA { <<<bob> <age> "23"^^<http://www.w3.org/2001/XMLSchema#integer>>> <flag> "checked" }', spark)
+    out = evaluate(us.current, A.BGP([A.SP(A.Emb(V("s"), "age", V("a")), "flag", V("f"))]))
+    assert {(r["s"], r["f"]) for r in out.collect()} == {("bob", "checked")}
