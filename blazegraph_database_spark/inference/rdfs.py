@@ -53,14 +53,50 @@ def _chk(df: DataFrame) -> DataFrame:
     return df.localCheckpoint(eager=True)
 
 
+# Inputs at most this many edges are closed on the driver in one collect —
+# the schema-hierarchy case (subClassOf/subPropertyOf are ≪ data by
+# definition; the reference likewise keeps its schema closure in memory).
+SMALL_CLOSURE_MAX_EDGES = 20_000
+# ...unless the resulting closure explodes (adversarially dense small input):
+SMALL_CLOSURE_MAX_PAIRS = 2_000_000
+
+
+def _closure_local(rows: list) -> list[tuple] | None:
+    """In-memory closure of collected (src, dst) edges; None if the pair set
+    blows past SMALL_CLOSURE_MAX_PAIRS (caller falls back to distributed)."""
+    adj: dict = {}
+    for r in rows:
+        adj.setdefault(r[0], set()).add(r[1])
+    out: list[tuple] = []
+    for start in adj:
+        seen, stack = set(), list(adj[start])
+        while stack:
+            n = stack.pop()
+            if n in seen:
+                continue
+            seen.add(n)
+            stack.extend(adj.get(n, ()))
+        out.extend((start, d) for d in seen)
+        if len(out) > SMALL_CLOSURE_MAX_PAIRS:
+            return None
+    return out
+
+
 def transitive_closure(edges: DataFrame, max_iters: int = MAX_ITERS) -> DataFrame:
-    """Transitive closure of (src, dst) by iterative doubling: each round
-    joins the closure-so-far with itself, doubling the reachable path
-    length, so a depth-d hierarchy closes in ceil(log2 d) rounds instead of
-    d. Round cost is the self-join of the current closure — the right trade
-    for schema hierarchies (deep, narrow); per-round fixed job cost
-    dominates at their size."""
+    """Transitive closure of (src, dst). Schema-sized inputs (≤
+    SMALL_CLOSURE_MAX_EDGES) close on the driver in ONE job — collect,
+    in-memory BFS, re-parallelize — because per-round job overhead dominates
+    at that size. Larger inputs use iterative doubling: each round joins the
+    closure-so-far with itself, so a depth-d graph closes in ceil(log2 d)
+    rounds; the right trade for deep/narrow hierarchies at data scale."""
     all_e = _chk(edges.select("src", "dst").distinct())
+    head = all_e.limit(SMALL_CLOSURE_MAX_EDGES + 1).collect()
+    if len(head) <= SMALL_CLOSURE_MAX_EDGES:
+        closed = _closure_local([(r["src"], r["dst"]) for r in head])
+        if closed is not None:
+            if not closed:
+                return all_e  # no edges → empty closure, keep schema
+            return edges.sparkSession.createDataFrame(closed, all_e.schema)
     for _ in range(max_iters):
         grown = (
             all_e.alias("a")
