@@ -82,7 +82,19 @@ def transitive_closure(
     inputs (schema hierarchies) where it measurably wins."""
     keys = keys or []
     known = pairs.select(*keys, "s", "o").distinct().localCheckpoint()
-    use_doubling = known.count() <= DOUBLING_MAX_PAIRS
+    n_pairs = known.count()
+    if not keys and n_pairs <= 20_000:
+        # schema-sized input: close on the driver in one collect (same
+        # size-tiered strategy as inference.rdfs.transitive_closure); falls
+        # through to distributed if the closure itself explodes
+        from blazegraph_database_spark.inference.rdfs import _closure_local
+
+        closed = _closure_local([(r["s"], r["o"]) for r in known.collect()])
+        if closed is not None:
+            if not closed:
+                return known
+            return pairs.sparkSession.createDataFrame(closed, known.schema)
+    use_doubling = n_pairs <= DOUBLING_MAX_PAIRS
     if use_doubling:
         for _ in range(max_iters):
             grown = _join_through(known, known, keys)
