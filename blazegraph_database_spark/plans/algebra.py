@@ -240,6 +240,20 @@ class GraphScope:
 
 
 @dataclass(frozen=True)
+class Service:
+    """SERVICE <iri> { pattern }. Ref: ServiceNode / ServiceRegistry.java.
+
+    ``pattern`` is the parsed inner group (used by built-in magic-predicate
+    services like bds:search); ``raw`` is the inner group's token text (used
+    to ship the sub-query to a remote endpoint's transport)."""
+
+    iri: str
+    pattern: Any
+    raw: str = ""
+    silent: bool = False
+
+
+@dataclass(frozen=True)
 class Dataset:
     """FROM / FROM NAMED dataset declaration wrapping a query plan: patterns
     outside GRAPH match the union of `default` graphs; GRAPH terms are

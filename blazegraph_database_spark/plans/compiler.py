@@ -444,6 +444,72 @@ def _(node: A.Dataset, store: TripleStore) -> DataFrame:
     return _compile(node.child, store.with_dataset(node.default, node.named))
 
 
+_STORE_FT_INDEX: dict = {}  # id(store) -> literal inverted index (memoized)
+
+
+def _store_literal_index(store: TripleStore) -> DataFrame:
+    """Full-text index over the store's string literals: doc = subject, text
+    = concatenated literal values (the reference's text index likewise
+    indexes the lexicon's literals; ref: search/FullTextIndex.java)."""
+    from blazegraph_database_spark.operators import fulltext
+
+    key = id(store)
+    if key not in _STORE_FT_INDEX:
+        docs = (
+            store.df.filter(F.col("o_dt") == "string")
+            .groupBy("s")
+            .agg(F.concat_ws(" ", F.collect_list("o_lex")).alias("text"))
+        )
+        _STORE_FT_INDEX[key] = fulltext.inverted_index(
+            docs, id_col="s", text_col="text"
+        ).localCheckpoint()
+    return _STORE_FT_INDEX[key]
+
+
+@_compile.register
+def _(node: A.Service, store: TripleStore) -> DataFrame:
+    """SERVICE <iri> { ... }: built-in magic-predicate services evaluate
+    against the store; anything else dispatches through the service registry
+    (remote endpoints need a transport-backed registration — no network
+    here). Ref: ServiceRegistry.java dispatch in AST2BOpUtility."""
+    from blazegraph_database_spark.operators import fulltext, service
+
+    def collect_sps(n):
+        if isinstance(n, A.BGP):
+            return list(n.patterns)
+        if isinstance(n, A.Join):
+            return collect_sps(n.left) + collect_sps(n.right)
+        return [n] if isinstance(n, A.SP) else []
+
+    if node.iri == "bds:search":
+        # magic predicates inside the block (ref: BDS.java search vocabulary)
+        pats = collect_sps(node.pattern)
+        subj, query, opts = None, None, {}
+        for sp in pats:
+            pred = const_lex(sp.p) if is_const(sp.p) else None
+            if pred == "bds:search":
+                subj, query = sp.s, const_lex(sp.o)
+            elif pred == "bds:matchAllTerms":
+                opts["match_all"] = const_lex(sp.o) == "true"
+            elif pred == "bds:minRelevance":
+                opts["min_relevance_ppm"] = int(float(const_lex(sp.o)) * 1_000_000)
+            elif pred == "bds:maxRank":
+                opts["max_rank"] = int(const_lex(sp.o))
+        if subj is None or not isinstance(subj, Var):
+            raise ValueError("SERVICE <bds:search> needs `?var bds:search \"query\"`")
+        patterns = [(t.rstrip("*"), t.endswith("*")) for t in query.split()]
+        hits = fulltext.search(_store_literal_index(store), patterns, **opts)
+        return hits.select(F.col("id").alias(subj.name))
+    try:
+        fn = service.lookup(node.iri)
+        out = fn(store.spark, {"query": f"SELECT * WHERE {{ {node.raw} }}", "pattern": node.pattern})
+    except Exception:
+        if node.silent:  # SERVICE SILENT failure → one empty solution (spec)
+            return store.spark.range(1).drop("id")
+        raise
+    return out
+
+
 @_compile.register
 def _(node: A.PathPattern, store: TripleStore) -> DataFrame:
     from blazegraph_database_spark.operators.paths import compile_path

@@ -520,6 +520,16 @@ class Parser:
                 t = self.peek()
                 gterm = Var(self.next().text[1:]) if t.kind == "VAR" else self._iri_only()
                 add(A.GraphScope(gterm, self.group_graph_pattern()))
+            elif self.at_kw("service"):
+                self.next()
+                silent = self.at_kw("silent")
+                if silent:
+                    self.next()
+                iri = self._iri_only()
+                start = self.i  # raw token text of the group, for remote transports
+                inner = self.group_graph_pattern()
+                raw = " ".join(t.text for t in self.toks[start + 1 : self.i - 1])
+                add(A.Service(iri, inner, raw=raw, silent=silent))
             elif self.at_op("{"):
                 sub = self.group_graph_pattern()
                 while self.at_kw("union"):
@@ -676,6 +686,14 @@ class Parser:
             return ("construct", node, tmpl)
         if self.at_kw("describe"):
             self.next()
+            if self.peek().kind == "VAR":  # DESCRIBE ?x WHERE { P }
+                var = self.next().text[1:]
+                if self.at_kw("where"):
+                    self.next()
+                node = self.group_graph_pattern()
+                if self.peek().kind != "EOF":
+                    raise SyntaxError(f"trailing tokens at {self.peek().text!r}")
+                return ("describe_where", var, node)
             iris = []
             while self.peek().kind in ("IRI", "PNAME"):
                 t = self.next()
@@ -839,4 +857,9 @@ def run_sparql(store, src: str):
         return compiler.ask(store, parsed[1])
     if parsed[0] == "construct":
         return compiler.construct(store, parsed[1], parsed[2])
+    if parsed[0] == "describe_where":  # DESCRIBE ?x WHERE { P }
+        subjects = (
+            compiler.evaluate(store, parsed[2]).select(F.col(parsed[1]).alias("s")).distinct()
+        )
+        return compiler.describe(store, subjects)
     return compiler.describe(store, parsed[1])

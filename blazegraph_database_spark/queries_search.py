@@ -190,3 +190,47 @@ def geo_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), F.col("zkey").asc())
         .limit(10)
     )
+
+
+@register(
+    "service_clause_text",
+    _FT_CTE.format(pats="('distribut', true), ('data', false)", where="TRUE", max_rank=12)
+    .replace(
+        "SELECT id, score_ppm, CAST(ROW_NUMBER() OVER (ORDER BY score_ppm DESC, id) AS INT) AS rank",
+        # ties break on the STRING doc id ('doc:108' < 'doc:44'), matching the
+        # engine whose doc ids are subject lexicals
+        "SELECT 'doc:' || id AS s, score_ppm, CAST(ROW_NUMBER() OVER (ORDER BY score_ppm DESC, 'doc:' || id) AS INT) AS rank",
+    ),
+)
+def service_clause_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SERVICE <bds:search> as a textual SPARQL clause: the full dispatch
+    path — parser → Service node → registry → store-literal full-text index
+    (ref: ServiceRegistry + BDS magic predicates). Score recomputed per doc
+    so the oracle checks ranking, not just membership."""
+    from blazegraph_database_spark.model.store import TripleStore
+    from blazegraph_database_spark.plans.sparql_parser import run_sparql
+    from blazegraph_database_spark.sources.relational import read_parquet
+
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    st = TripleStore(
+        docs.select(
+            F.concat(F.lit("doc:"), F.col("doc_id")).alias("s"),
+            F.lit("documents#text").alias("p"),
+            F.col("text").alias("o_lex"),
+            F.lit("string").alias("o_dt"),
+        )
+    )
+    hits = run_sparql(
+        st,
+        'SELECT ?s WHERE { SERVICE <bds:search> { ?s <bds:search> "distribut* data" . ?s <bds:maxRank> "12" } }',
+    )
+    # join rank + score back through the same index for the checked surface
+    idx = fulltext.inverted_index(
+        st.df.groupBy("s").agg(F.concat_ws(" ", F.collect_list("o_lex")).alias("text")),
+        id_col="s",
+        text_col="text",
+    )
+    ranked = fulltext.search(idx, [("distribut", True), ("data", False)], max_rank=12)
+    return hits.join(ranked.withColumnRenamed("id", "s"), on="s").select(
+        "s", "score_ppm", F.col("rank").cast("int").alias("rank")
+    )

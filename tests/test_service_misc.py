@@ -125,3 +125,95 @@ def test_remote_service_vectored_values(spark):
     got = sorted(tuple(r) for r in out.collect())
     assert got == [("a", "Alice"), ("c", "Carol")]
     assert len(calls) == 2 and all("VALUES (?x)" in c for c in calls)
+
+
+def test_service_clause_bds_search_text(spark):
+    """SERVICE <bds:search> { ?s bds:search "..." } in query text: matches
+    subjects whose string literals hit the query, joined with the rest."""
+    st = TripleStore(
+        spark.createDataFrame(
+            [
+                ("d1", "title", "spark engine internals", "string"),
+                ("d2", "title", "cooking with gas", "string"),
+                ("d1", "year", "2024", "long"),
+                ("d2", "year", "2020", "long"),
+            ],
+            "s string, p string, o_lex string, o_dt string",
+        )
+    )
+    from blazegraph_database_spark.plans.sparql_parser import run_sparql
+
+    out = run_sparql(
+        st,
+        """
+        SELECT ?s ?y WHERE {
+          SERVICE <bds:search> { ?s <bds:search> "spark engi*" . ?s <bds:matchAllTerms> "true" }
+          ?s <year> ?y
+        }
+        """,
+    )
+    assert [(r["s"], r["y"]) for r in out.collect()] == [("d1", "2024")]
+
+
+def test_service_clause_remote_transport(spark):
+    """SERVICE <http://...> dispatches the serialized block through a
+    transport-backed registration."""
+    from blazegraph_database_spark.model.store import TripleStore as TS
+    from blazegraph_database_spark.plans.sparql_parser import run_sparql
+    from blazegraph_database_spark.operators.service import (
+        register_service, remote_sparql_service,
+    )
+
+    remote = TS(
+        spark.createDataFrame(
+            [("a", "name", "Alice", "string")], "s string, p string, o_lex string, o_dt string"
+        )
+    )
+
+    def transport(endpoint, text):
+        return [r.asDict() for r in run_sparql(remote, text).collect()]
+
+    register_service("http://remote.example/sparql", remote_sparql_service("http://remote.example/sparql", transport))
+    local = TS(
+        spark.createDataFrame(
+            [("a", "age", "30", "long")], "s string, p string, o_lex string, o_dt string"
+        )
+    )
+    out = run_sparql(
+        local,
+        'SELECT ?x ?n ?a WHERE { SERVICE <http://remote.example/sparql> { ?x <name> ?n } ?x <age> ?a }',
+    )
+    assert [tuple(r) for r in out.select("x", "n", "a").collect()] == [("a", "Alice", "30")]
+
+
+def test_service_silent_failure(spark):
+    from blazegraph_database_spark.plans.sparql_parser import run_sparql
+
+    st = TripleStore(
+        spark.createDataFrame(
+            [("a", "age", "30", "long")], "s string, p string, o_lex string, o_dt string"
+        )
+    )
+    out = run_sparql(
+        st,
+        'SELECT ?s ?a WHERE { SERVICE SILENT <no:such> { ?s <p> ?o } ?s <age> ?a }',
+    )
+    assert [(r["s"], r["a"]) for r in out.collect()] == [("a", "30")]
+
+
+def test_describe_var_where(spark):
+    from blazegraph_database_spark.plans.sparql_parser import run_sparql
+
+    st = TripleStore(
+        spark.createDataFrame(
+            [
+                ("a", "age", "30", "long"),
+                ("a", "name", "Alice", "string"),
+                ("b", "age", "7", "long"),
+            ],
+            "s string, p string, o_lex string, o_dt string",
+        )
+    )
+    out = run_sparql(st, 'DESCRIBE ?x WHERE { ?x <age> "30"^^<http://www.w3.org/2001/XMLSchema#integer> }')
+    rows = {tuple(r) for r in out.select("s", "p", "o_lex", "o_dt").collect()}
+    assert rows == {("a", "age", "30", "long"), ("a", "name", "Alice", "string")}
