@@ -145,3 +145,32 @@ def fingerprint(df: DataFrame, text_col: str = "text", k: int = 3, window: int =
         .withColumn("n_fp", F.size(F.col("fp_set")))
         .withColumn("fp_min", F.try_element_at(F.col("fp_set"), F.lit(1)))  # null for docs with < k words
     )
+
+
+# PII patterns kept to a syntax both Spark (Java regex) and common SQL
+# engines execute identically — pretraining-pipeline scrub pass.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE = r"\+?[0-9][0-9()\- ]{7,}[0-9]"
+PII_IPV4 = r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b"
+
+
+def pii_scan(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document PII counts: n_emails, n_phones, n_ipv4. Expression-only
+    (JVM regexp_count under codegen) — embarrassingly parallel, the shape a
+    100 TB scrub pass needs (one scan, no shuffle)."""
+    t = F.col(text_col)
+    return df.withColumns(
+        {
+            "n_emails": F.regexp_count(t, F.lit(PII_EMAIL)),
+            "n_phones": F.regexp_count(t, F.lit(PII_PHONE)),
+            "n_ipv4": F.regexp_count(t, F.lit(PII_IPV4)),
+        }
+    )
+
+
+def pii_scrub(df: DataFrame, text_col: str = "text", token: str = "[PII]") -> DataFrame:
+    """Redact matched PII spans in place (same single-scan shape)."""
+    t = F.col(text_col)
+    for pat in (PII_EMAIL, PII_PHONE, PII_IPV4):
+        t = F.regexp_replace(t, pat, token)
+    return df.withColumn(text_col, t)

@@ -453,3 +453,21 @@ def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_sampled"),
         F.sum("frame_idx").cast("long").alias("sum_idx"),
     )
+
+
+@register(
+    "text_pii",
+    """
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS INT) AS n_emails,
+           CAST(len(regexp_extract_all(text, '\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b')) AS INT) AS n_ipv4
+    FROM documents
+    """,
+)
+def text_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scan over documents (emails + IPv4; phone pattern omitted from
+    the checked surface because greedy-match semantics differ across regex
+    engines — covered by unit tests instead)."""
+    from blazegraph_database_spark.operators import text as T
+
+    return T.pii_scan(_docs(spark, sf_dir)).select("doc_id", "n_emails", "n_ipv4")

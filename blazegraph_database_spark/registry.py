@@ -20,6 +20,7 @@ _CATALOG_MODULES = [
 # everything else keeps catalog-module order.
 _SCORE_FIRST = [
     # round-2 additions, never driver-scored
+    "text_pii",
     "service_clause_text",
     "update_graph_ops",
     "geo_zorder",

@@ -164,3 +164,20 @@ def test_resize_and_frames(spark):
     assert got1 == [0, 5, 10]
     # doc2: 2500 % 30 + 1 = 11 frames too
     assert len([r for r in frames if r["media_id"] == 2]) == 3
+
+
+def test_pii_scan_and_scrub(spark):
+    from blazegraph_database_spark.operators import text as T
+
+    docs = spark.createDataFrame(
+        [
+            (1, "contact bob@example.com or +1 (555) 123-4567 at 10.0.0.1"),
+            (2, "clean document with no identifiers"),
+        ],
+        "doc_id long, text string",
+    )
+    scanned = {r["doc_id"]: (r["n_emails"], r["n_phones"], r["n_ipv4"]) for r in T.pii_scan(docs).collect()}
+    assert scanned[1] == (1, 1, 1) and scanned[2] == (0, 0, 0)
+    scrubbed = T.pii_scrub(docs).collect()
+    t1 = [r["text"] for r in scrubbed if r["doc_id"] == 1][0]
+    assert "bob@example.com" not in t1 and "10.0.0.1" not in t1 and "[PII]" in t1
