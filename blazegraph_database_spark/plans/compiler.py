@@ -444,26 +444,26 @@ def _(node: A.Dataset, store: TripleStore) -> DataFrame:
     return _compile(node.child, store.with_dataset(node.default, node.named))
 
 
-_STORE_FT_INDEX: dict = {}  # id(store) -> literal inverted index (memoized)
-
-
 def _store_literal_index(store: TripleStore) -> DataFrame:
     """Full-text index over the store's string literals: doc = subject, text
     = concatenated literal values (the reference's text index likewise
-    indexes the lexicon's literals; ref: search/FullTextIndex.java)."""
+    indexes the lexicon's literals; ref: search/FullTextIndex.java).
+
+    Memoized ON the store instance (not a module dict keyed by id(store):
+    CPython reuses ids after GC, which could hand a stale checkpointed index
+    to an unrelated store, and the module dict never shrank — ADVICE r2)."""
     from blazegraph_database_spark.operators import fulltext
 
-    key = id(store)
-    if key not in _STORE_FT_INDEX:
+    cached = getattr(store, "_ft_literal_index", None)
+    if cached is None:
         docs = (
             store.df.filter(F.col("o_dt") == "string")
             .groupBy("s")
             .agg(F.concat_ws(" ", F.collect_list("o_lex")).alias("text"))
         )
-        _STORE_FT_INDEX[key] = fulltext.inverted_index(
-            docs, id_col="s", text_col="text"
-        ).localCheckpoint()
-    return _STORE_FT_INDEX[key]
+        cached = fulltext.inverted_index(docs, id_col="s", text_col="text").localCheckpoint()
+        store._ft_literal_index = cached
+    return cached
 
 
 @_compile.register

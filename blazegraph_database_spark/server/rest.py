@@ -116,7 +116,22 @@ class SparqlEndpoint:
             ).encode()
         if form == "construct":
             return 200, NT, _triples_nt(compiler.construct(store, parsed[1], parsed[2]))
-        return 200, NT, _triples_nt(compiler.describe(store, parsed[1]))
+        return 200, NT, _triples_nt(self._describe(store, parsed))
+
+    @staticmethod
+    def _describe(store: TripleStore, parsed) -> DataFrame:
+        """Both DESCRIBE forms: plain IRI list and DESCRIBE ?x WHERE {P}
+        (mirrors run_sparql; the WHERE form binds the var and CBDs it)."""
+        if parsed[0] == "describe_where":
+            from pyspark.sql import functions as F
+
+            subjects = (
+                compiler.evaluate(store, parsed[2])
+                .select(F.col(parsed[1]).alias("s"))
+                .distinct()
+            )
+            return compiler.describe(store, subjects)
+        return compiler.describe(store, parsed[1])
 
     def update(self, ns: str, text: str) -> tuple[int, str, bytes]:
         with self._lock:
@@ -140,8 +155,8 @@ class SparqlEndpoint:
             parsed = parse_sparql_query(text)
             if parsed[0] == "construct":
                 doomed = compiler.construct(us.current, parsed[1], parsed[2])
-            elif parsed[0] == "describe":
-                doomed = compiler.describe(us.current, parsed[1])
+            elif parsed[0] in ("describe", "describe_where"):
+                doomed = self._describe(us.current, parsed)
             else:
                 return 400, JSON, b'{"error": "DELETE needs CONSTRUCT or DESCRIBE"}'
             before = us.current.df.count()

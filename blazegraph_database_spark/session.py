@@ -18,11 +18,15 @@ def ensure_session_confs(spark: SparkSession) -> SparkSession:
     The driver's correctness harness builds its own SparkSession without our
     builder confs, so anything we *require* must be settable at runtime and
     applied inside the read path itself.  ``nanosAsLong`` is runtime-settable
-    (verified): without it any read of ``events.parquet`` (TIMESTAMP(NANOS))
-    throws PARQUET_TYPE_ILLEGAL.
+    (verified): without it a read of a TIMESTAMP(NANOS) parquet (older
+    harness generations of events.parquet) throws PARQUET_TYPE_ILLEGAL;
+    for plain timestamp[us] data it is a no-op.  Session timezone is pinned
+    to UTC so TIMESTAMP_NTZ ↔ TIMESTAMP casts are wall-time-identical and
+    deterministic regardless of the host machine's zone.
     """
     try:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
     except Exception:
         pass  # conf locked down (never seen in practice) — reads of nano-ts tables will raise
     return spark

@@ -31,77 +31,16 @@ RDF_NS = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
 _TRIPLES_SCHEMA = "s string, p string, o_lex string, o_dt string"
 _QUADS_SCHEMA = _TRIPLES_SCHEMA + ", g string"
 
-_TERM_RE = re.compile(
-    r'(<[^>]*>|_:\S+|"(?:[^"\\]|\\.)*"(?:@[A-Za-z0-9-]+|\^\^\S+)?|[A-Za-z0-9_-]*:[A-Za-z0-9_.-]+|a)'
-)
-_PREFIX_RE = re.compile(r"@prefix\s+([A-Za-z0-9_-]*):\s*<([^>]*)>")
-
-
-def _expand_term(tok: str, prefixes: dict) -> tuple[str, str]:
-    if tok == "a":
-        return RDF_NS + "type", "iri"
-    if tok.startswith("<"):
-        return tok[1:-1], "iri"
-    if tok.startswith("_:"):
-        return tok, "bnode"
-    if tok.startswith('"'):
-        m = re.match(r'"((?:[^"\\]|\\.)*)"(?:@([A-Za-z0-9-]+)|\^\^(\S+))?', tok)
-        lex = m.group(1).replace('\\"', '"').replace("\\n", "\n").replace("\\t", "\t")
-        if m.group(2):
-            return lex, f"lang:{m.group(2)}"
-        if m.group(3):
-            dt_iri = m.group(3)
-            if dt_iri.startswith("<"):
-                dt_iri = dt_iri[1:-1]
-            elif ":" in dt_iri:
-                pfx, local = dt_iri.split(":", 1)
-                dt_iri = prefixes.get(pfx, pfx + ":") + local
-            return lex, _XSD_DT.get(dt_iri, "string")
-        return lex, "string"
-    pfx, local = tok.split(":", 1)
-    return prefixes.get(pfx, pfx + ":") + local, "iri"
-
-
 def _parse_trig_doc(doc: str) -> list[tuple]:
-    """TriG subset: @prefix header, optional default-graph statements, and
-    `[GRAPH] <g> { s p o . ... }` blocks. Returns (s,p,o_lex,o_dt,g) with
-    g='' for the default graph."""
-    prefixes = dict(_PREFIX_RE.findall(doc))
-    out: list[tuple] = []
-    # strip prefix lines; then walk graph blocks
-    body = _PREFIX_RE.sub("", doc)
-    pos = 0
-    block_re = re.compile(
-        r"(?:GRAPH\s+)?(<[^>]*>|[A-Za-z0-9_-]*:[A-Za-z0-9_.-]+)\s*\{(.*?)\}",
-        re.DOTALL | re.IGNORECASE,
-    )
-
-    def statements(text: str, g: str):
-        # tokenize the whole block (dots appear inside IRIs, so splitting on
-        # "." is unsafe) and chunk tokens into s/p/o triples; statement
-        # terminators ride along as trailing dots on pname tokens — strip them
-        toks = []
-        for t in _TERM_RE.findall(text):
-            if not t.startswith('"') and not t.startswith("<"):
-                t = t.rstrip(".")
-            if t:
-                toks.append(t)
-        for i in range(0, len(toks) - 2, 3):
-            (s, _), (p, _), (o, odt) = (
-                _expand_term(toks[i], prefixes),
-                _expand_term(toks[i + 1], prefixes),
-                _expand_term(toks[i + 2], prefixes),
-            )
-            out.append((s, p, o, odt, g))
-
-    for m in block_re.finditer(body):
-        g, _ = _expand_term(m.group(1), prefixes)
-        statements(m.group(2), g)
-        pos = max(pos, m.end())
-    # default-graph statements = everything outside blocks
-    outside = block_re.sub("", body)
-    statements(outside, "")
-    return out
+    """TriG: full Turtle statements (`;`/`,` lists, `a`, bnode property
+    lists, collections, typed/lang literals) at top level and inside
+    `[GRAPH] <g> { ... }` / anonymous `{ ... }` blocks. Returns
+    (s,p,o_lex,o_dt,g) with g='' for the default graph. Statements reuse
+    the recursive-descent `_TurtleParser` (ADVICE r2: the old token-chunker
+    silently misparsed predicate-object lists inside blocks)."""
+    p = _TrigParser(doc)
+    p.parse()
+    return p.quads
 
 
 def _obj_term(v) -> tuple[str, str]:
@@ -229,7 +168,7 @@ _TTL_TOKEN = re.compile(
   | (?P<NUM>[+-]?(?:\d+\.\d+(?:[eE][+-]?\d+)?|\.\d+(?:[eE][+-]?\d+)?|\d+[eE][+-]?\d+|\d+))
   | (?P<PNAME>[A-Za-z][A-Za-z0-9_-]*:[A-Za-z0-9_][A-Za-z0-9_.-]*|[A-Za-z][A-Za-z0-9_-]*:|:[A-Za-z0-9_][A-Za-z0-9_.-]*|:)
   | (?P<KW>@?[A-Za-z][A-Za-z0-9_-]*)
-  | (?P<OP>\^\^|[;,.\[\]()])
+  | (?P<OP>\^\^|[;,.\[\](){}])
     """,
     re.VERBOSE,
 )
@@ -269,26 +208,34 @@ class _TurtleParser:
 
     def parse(self) -> None:
         while self.peek()[0] != "EOF":
-            kind, text = self.peek()
-            low = text.lower()
-            if kind == "KW" and low in ("@prefix", "prefix"):
-                self.next()
-                pname = self.next()[1]  # 'pfx:' (PNAME) — may be just ':'
-                iri = self.next()[1][1:-1]
-                self.prefixes[pname[:-1] if pname.endswith(":") else pname] = iri
-                if self.peek() == ("OP", "."):
-                    self.next()
+            if self._try_directive():
                 continue
-            if kind == "KW" and low in ("@base", "base"):
-                self.next()
-                self.base = self.next()[1][1:-1]
-                if self.peek() == ("OP", "."):
-                    self.next()
-                continue
-            subj = self.term(as_subject=True)
-            self.predicate_object_list(subj[0])
+            self._statement()
+
+    def _try_directive(self) -> bool:
+        kind, text = self.peek()
+        low = text.lower()
+        if kind == "KW" and low in ("@prefix", "prefix"):
+            self.next()
+            pname = self.next()[1]  # 'pfx:' (PNAME) — may be just ':'
+            iri = self.next()[1][1:-1]
+            self.prefixes[pname[:-1] if pname.endswith(":") else pname] = iri
             if self.peek() == ("OP", "."):
                 self.next()
+            return True
+        if kind == "KW" and low in ("@base", "base"):
+            self.next()
+            self.base = self.next()[1][1:-1]
+            if self.peek() == ("OP", "."):
+                self.next()
+            return True
+        return False
+
+    def _statement(self) -> None:
+        subj = self.term(as_subject=True)
+        self.predicate_object_list(subj[0])
+        if self.peek() == ("OP", "."):
+            self.next()
 
     def predicate_object_list(self, s: str) -> None:
         while True:
@@ -378,6 +325,60 @@ def _parse_turtle_doc(doc: str) -> list[tuple]:
     p = _TurtleParser(doc)
     p.parse()
     return p.out
+
+
+class _TrigParser(_TurtleParser):
+    """TriG = Turtle + graph blocks. Triples emitted by the inherited
+    statement parser are tagged with the enclosing block's graph label
+    ('' outside any block / in an anonymous `{ ... }` block)."""
+
+    def __init__(self, doc: str):
+        super().__init__(doc)
+        self.quads: list[tuple] = []
+
+    def _flush(self, g: str, mark: int) -> None:
+        self.quads.extend((s, p, o, dt, g) for s, p, o, dt in self.out[mark:])
+        del self.out[mark:]
+
+    def _at_block_label(self) -> bool:
+        return (
+            self.peek()[0] in ("IRI", "PNAME", "BNODE")
+            and self.i + 1 < len(self.toks)
+            and self.toks[self.i + 1] == ("OP", "{")
+        )
+
+    def _block(self, g: str) -> None:
+        if self.peek() != ("OP", "{"):
+            raise SyntaxError("trig: expected '{' to open a graph block")
+        self.next()
+        mark = len(self.out)
+        while self.peek() != ("OP", "}"):
+            if self.peek()[0] == "EOF":
+                raise SyntaxError("trig: unterminated graph block")
+            self._statement()
+        self.next()  # '}'
+        if self.peek() == ("OP", "."):  # optional block terminator
+            self.next()
+        self._flush(g, mark)
+
+    def parse(self) -> None:
+        while self.peek()[0] != "EOF":
+            if self._try_directive():
+                continue
+            kind, text = self.peek()
+            if kind == "KW" and text.lower() == "graph":
+                self.next()
+                self._block(self.term()[0])
+                continue
+            if self._at_block_label():
+                self._block(self.term()[0])
+                continue
+            if (kind, text) == ("OP", "{"):
+                self._block("")
+                continue
+            mark = len(self.out)
+            self._statement()
+            self._flush("", mark)
 
 
 def read_turtle(spark: SparkSession, path: str) -> DataFrame:

@@ -92,15 +92,23 @@ def table_to_triples(df: DataFrame, table: str, key: str | None, fks: dict[str, 
     return melted.filter(F.col("o_lex").isNotNull())
 
 
-# Harness parquet stores these as TIMESTAMP(NANOS); Spark reads them as long
-# (spark.sql.legacy.parquet.nanosAsLong=true) and we restore timestamp type.
+# Harness timestamp columns arrive in different physical types depending on
+# the generation: TIMESTAMP(NANOS) (read as long under nanosAsLong) or plain
+# timestamp[us] without UTC adjustment (read as TIMESTAMP_NTZ). Normalize
+# both to a plain TIMESTAMP so downstream plans and oracle hashes are
+# representation-independent (session tz is pinned UTC, so the NTZ cast is
+# wall-time-identical).
 NANO_TS_COLS = {"o_orderdate", "l_shipdate", "ts"}
 
 
 def _fix_nano_ts(df: DataFrame) -> DataFrame:
     for f in df.schema.fields:
-        if f.name in NANO_TS_COLS and isinstance(f.dataType, T.LongType):
+        if f.name not in NANO_TS_COLS:
+            continue
+        if isinstance(f.dataType, T.LongType):
             df = df.withColumn(f.name, F.timestamp_micros((F.col(f.name) / 1000).cast("long")))
+        elif isinstance(f.dataType, T.TimestampNTZType):
+            df = df.withColumn(f.name, F.col(f.name).cast("timestamp"))
     return df
 
 

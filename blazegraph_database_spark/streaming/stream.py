@@ -36,8 +36,10 @@ def events_schema(spark: SparkSession, sf_dir: str) -> T.StructType:
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events parquet (one file = one shard).
-    Harness parquet stores ts as TIMESTAMP(NANOS) which Spark surfaces as
-    long under nanosAsLong — normalize to a real timestamp either way."""
+    Harness parquet stores ts as TIMESTAMP(NANOS) (surfaced as long under
+    nanosAsLong) or timestamp[us] without UTC adjustment (surfaced as
+    TIMESTAMP_NTZ) — normalize to a real TIMESTAMP either way; watermarks
+    require it, and session tz is pinned UTC so the cast is exact."""
     schema = events_schema(spark, sf_dir)
     # the harness table is a single file; the file stream source wants a
     # directory, so stream the dir with a glob pinned to the events table
@@ -48,6 +50,8 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     if isinstance(schema["ts"].dataType, T.LongType):
         stream = stream.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    elif isinstance(schema["ts"].dataType, T.TimestampNTZType):
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     return stream
 
 
@@ -122,9 +126,14 @@ def sessionize_stateful(stream: DataFrame, gap_seconds: float = 1800.0) -> DataF
             n, sessions, last = state.get
         else:
             n, sessions, last = 0, 0, float("-inf")
-        for pdf in pdfs:
-            pdf = pdf.sort_values(["ts", "event_id"])
-            for t in pdf["ts"]:
+        # concatenate ALL of the group's chunks before sorting: a single
+        # user's micro-batch rows can span multiple Arrow chunks, and the
+        # chunks themselves arrive unordered — per-chunk sorting would fold
+        # timestamps out of order across chunk boundaries (ADVICE r2)
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            allrows = pd.concat(chunks, ignore_index=True).sort_values(["ts", "event_id"])
+            for t in allrows["ts"]:
                 tsec = t.timestamp() if hasattr(t, "timestamp") else float(t)
                 if tsec - last > gap_seconds:
                     sessions += 1

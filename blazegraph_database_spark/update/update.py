@@ -30,9 +30,24 @@ from blazegraph_database_spark.plans.compiler import construct, evaluate, instan
 
 QUAD_COLS = TRIPLE_COLS + ["g"]
 
+# graph-ref sentinel for the default graph (COPY/MOVE/ADD ... DEFAULT); the
+# default graph is stored as g=NULL, matching the reference's null context
+DEFAULT_GRAPH = "default"
+
 
 def _key_cols(df: DataFrame) -> list[str]:
     return QUAD_COLS if "g" in df.columns else TRIPLE_COLS
+
+
+def _g_is(g: str):
+    """Column condition: row belongs to graph ref `g` (NULL = default)."""
+    c = F.col("g")
+    return c.isNull() if g == DEFAULT_GRAPH else c.eqNullSafe(F.lit(g))
+
+
+def _g_lit(g: str):
+    """Literal g value for graph ref `g` (default → NULL)."""
+    return F.lit(None).cast("string") if g == DEFAULT_GRAPH else F.lit(g)
 
 
 @dataclass
@@ -75,10 +90,20 @@ class UpdatableStore:
         return self._push(cur.unionByName(new, allowMissingColumns=True).distinct())
 
     def delete_data(self, triples: DataFrame) -> TripleStore:
-        """DELETE DATA: anti-join the ground triple set (broadcast when small)."""
+        """DELETE DATA: anti-join the ground triple set (broadcast when small).
+        Quad stores join null-safely on g so default-graph triples (g=NULL)
+        actually delete (ADVICE round 2: NULL never equals NULL in a plain
+        equi-join, silently deleting nothing)."""
         cur = self.current.df
         keys = _key_cols(cur)
-        return self._push(cur.join(F.broadcast(triples.select(*keys)), on=keys, how="left_anti"))
+        doomed = F.broadcast(triples.select(*keys))
+        if "g" in keys:
+            cond = None
+            for k in keys:
+                c = cur[k].eqNullSafe(doomed[k])
+                cond = c if cond is None else cond & c
+            return self._push(cur.join(doomed, on=cond, how="left_anti"))
+        return self._push(cur.join(doomed, on=keys, how="left_anti"))
 
     def delete_insert_where(
         self,
@@ -112,8 +137,10 @@ class UpdatableStore:
         return cur
 
     def clear_graph(self, g: str) -> TripleStore:
-        """CLEAR GRAPH g (DROP is identical for our schema-less graphs)."""
-        return self._push(self._require_quads().filter(F.col("g") != g))
+        """CLEAR GRAPH g (DROP is identical for our schema-less graphs).
+        Null-preserving: default-graph rows (g=NULL) survive clearing a
+        named graph, and CLEAR DEFAULT removes exactly the NULL-g rows."""
+        return self._push(self._require_quads().filter(~_g_is(g)))
 
     drop_graph = clear_graph
 
@@ -123,22 +150,23 @@ class UpdatableStore:
         return self.current
 
     def copy_graph(self, src: str, dst: str) -> TripleStore:
-        """COPY: dst := src (dst's prior triples removed)."""
+        """COPY: dst := src (dst's prior triples removed); either side may
+        be DEFAULT (g=NULL)."""
         cur = self._require_quads()
-        copied = cur.filter(F.col("g") == src).withColumn("g", F.lit(dst))
-        return self._push(cur.filter(F.col("g") != dst).unionByName(copied).distinct())
+        copied = cur.filter(_g_is(src)).withColumn("g", _g_lit(dst))
+        return self._push(cur.filter(~_g_is(dst)).unionByName(copied).distinct())
 
     def add_graph(self, src: str, dst: str) -> TripleStore:
         """ADD: dst := dst ∪ src."""
         cur = self._require_quads()
-        copied = cur.filter(F.col("g") == src).withColumn("g", F.lit(dst))
+        copied = cur.filter(_g_is(src)).withColumn("g", _g_lit(dst))
         return self._push(cur.unionByName(copied).distinct())
 
     def move_graph(self, src: str, dst: str) -> TripleStore:
         """MOVE: dst := src; src removed."""
         cur = self._require_quads()
-        moved = cur.filter(F.col("g") == src).withColumn("g", F.lit(dst))
-        return self._push(cur.filter(~F.col("g").isin([src, dst])).unionByName(moved).distinct())
+        moved = cur.filter(_g_is(src)).withColumn("g", _g_lit(dst))
+        return self._push(cur.filter(~(_g_is(src) | _g_is(dst))).unionByName(moved).distinct())
 
     # -------------------------------------------------------- load/store --
     def load(self, spark: SparkSession, path: str, fmt: str = "ntriples", graph: str | None = None) -> TripleStore:

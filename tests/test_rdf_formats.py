@@ -36,6 +36,30 @@ ex:g2 {
     assert ("http://ex.org/defaultFact", "http://ex.org/p", "outside", "string", "") in got
 
 
+def test_read_trig_predicate_object_lists(spark, tmp_path):
+    # ';'/','-separated lists inside graph blocks (ADVICE r2: the old
+    # token-chunker yielded misaligned garbage triples for these)
+    (tmp_path / "lists.trig").write_text(
+        """
+@prefix ex: <http://ex.org/> .
+GRAPH ex:g {
+  ex:a ex:p ex:b ; ex:q ex:c , "lit" .
+  ex:d a ex:T .
+}
+ex:top ex:r ex:s ; ex:t "v" .
+"""
+    )
+    got = rows(read_trig(spark, str(tmp_path / "lists.trig")))
+    E = "http://ex.org/"
+    assert (E + "a", E + "p", E + "b", "iri", E + "g") in got
+    assert (E + "a", E + "q", E + "c", "iri", E + "g") in got
+    assert (E + "a", E + "q", "lit", "string", E + "g") in got
+    assert (E + "d", RDF_NS + "type", E + "T", "iri", E + "g") in got
+    assert (E + "top", E + "r", E + "s", "iri", "") in got
+    assert (E + "top", E + "t", "v", "string", "") in got
+    assert len(got) == 6
+
+
 def test_read_jsonld(spark, tmp_path):
     (tmp_path / "d.jsonld").write_text(
         """

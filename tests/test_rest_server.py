@@ -83,6 +83,25 @@ def test_post_rdf_body_insert_and_estcard(server):
     assert json.loads(body)["rangeCount"] == 1
 
 
+def test_get_describe_where(server):
+    # DESCRIBE ?x WHERE { P } over REST (ADVICE r2: this form previously 400'd)
+    q = urllib.parse.quote("DESCRIBE ?x WHERE { ?x <knows> <b> }")
+    status, ctype, body = _req(f"{server}/sparql?query={q}")
+    assert status == 200 and ctype == "application/n-triples"
+    lines = [ln for ln in body.decode().splitlines() if ln]
+    assert len(lines) >= 3  # a's CBD: rdf:type, knows, age
+    assert all(ln.startswith("<a> ") for ln in lines)
+    assert any("<knows> <b>" in ln for ln in lines)
+
+
+def test_delete_by_describe_where(server):
+    nt = b"<dw1> <dwp> <dw2> .\n"
+    _req(f"{server}/sparql", "POST", nt, "application/n-triples")
+    q = urllib.parse.quote("DESCRIBE ?s WHERE { ?s <dwp> <dw2> }")
+    _, _, body = _req(f"{server}/sparql?query={q}", "DELETE")
+    assert json.loads(body)["removed"] == 1
+
+
 def test_delete_by_query(server):
     nt = b"<x1> <tmp> <x2> .\n"
     _req(f"{server}/sparql", "POST", nt, "application/n-triples")

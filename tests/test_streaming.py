@@ -53,6 +53,33 @@ def test_dedup_within_watermark(spark, tmp_path):
     assert sorted(r["kind"] for r in out.collect()) == ["click", "view"]
 
 
+def test_sessionize_multichunk_order(spark, tmp_path):
+    # one user's rows spanning many unordered Arrow chunks must still fold
+    # in timestamp order (ADVICE r2: per-chunk sorting diverged on larger
+    # groups). 200 events 60s apart with a 100s gap = exactly 1 session;
+    # out-of-order folding would overcount sessions.
+    import random
+
+    random.seed(7)
+    rows = [(i, 1, 1_700_000_000 + i * 60) for i in range(200)]
+    random.shuffle(rows)
+    df = spark.createDataFrame(rows, "event_id long, user_id long, tsec long").select(
+        "event_id", "user_id", F.timestamp_seconds("tsec").alias("ts")
+    )
+    path = str(tmp_path / "sess")
+    df.repartition(8).write.parquet(path)
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "5")
+    try:
+        st = spark.readStream.schema(df.schema).parquet(path)
+        out = S.run_to_memory(S.sessionize_stateful(st, gap_seconds=100.0), "update")
+        r = out.orderBy(F.col("n_events").desc()).first()
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    assert r["n_events"] == 200
+    assert r["n_sessions"] == 1
+
+
 def test_stream_to_triples_counts(spark):
     st = S.read_events_stream(spark, SF)
     out = S.run_to_memory(

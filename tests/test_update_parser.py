@@ -54,6 +54,34 @@ def test_clear_and_move_graph(spark, us):
     assert us.current.df.filter(F.col("g") == "g3").count() == 2
 
 
+def test_default_graph_insert_then_delete(spark, us):
+    # non-GRAPH DATA triples on a quad store live in the default graph
+    # (g=NULL) and must be deletable (ADVICE r2: NULL != NULL in a plain
+    # anti-join silently deleted nothing)
+    apply_update(us, 'INSERT DATA { <x> <p> "v" }')
+    assert us.current.df.filter(F.col("g").isNull()).count() == 1
+    apply_update(us, 'DELETE DATA { <x> <p> "v" }')
+    assert us.current.df.filter(F.col("g").isNull()).count() == 0
+    assert us.current.df.count() == 3  # named-graph rows untouched
+
+
+def test_clear_named_graph_preserves_default(spark, us):
+    apply_update(us, 'INSERT DATA { <x> <p> "v" }')
+    apply_update(us, "CLEAR GRAPH <g1>")
+    assert us.current.df.filter(F.col("g").isNull()).count() == 1
+    assert us.current.df.filter(F.col("g") == "g2").count() == 1
+    assert us.current.df.filter(F.col("g") == "g1").count() == 0
+
+
+def test_copy_move_default_graph(spark, us):
+    apply_update(us, 'INSERT DATA { <x> <p> "v" }')
+    apply_update(us, "COPY DEFAULT TO <gd>")
+    assert us.current.df.filter(F.col("g") == "gd").count() == 1
+    apply_update(us, "MOVE <gd> TO DEFAULT")
+    assert us.current.df.filter(F.col("g") == "gd").count() == 0
+    assert us.current.df.filter(F.col("g").isNull()).count() == 1
+
+
 def test_data_block_rejects_variables():
     with pytest.raises(SyntaxError):
         parse_update("INSERT DATA { ?s <p> <o> }")
