@@ -114,10 +114,16 @@ def lsh_candidate_pairs(sigs: DataFrame, bands: int = LSH_BANDS, max_bucket: int
             )
         ).alias("bk"),
     ).select("id", "bk.band", "bk.key")
-    banded = banded.localCheckpoint(eager=True)  # consumed twice (size filter + self-join)
-    sized = banded.join(
-        banded.groupBy("band", "key").agg(F.count(F.lit(1)).alias("bn")).filter(F.col("bn") <= max_bucket),
-        on=["band", "key"],
+    from pyspark.sql.window import Window
+
+    # bucket-size cap as a window count over (band, key): ONE shuffle that
+    # also leaves the rows hash-partitioned on the self-join keys, vs the
+    # groupBy+join-back formulation's two extra shuffles
+    sized = (
+        banded.withColumn("bn", F.count(F.lit(1)).over(Window.partitionBy("band", "key")))
+        .filter(F.col("bn") <= max_bucket)
+        .drop("bn")
+        .localCheckpoint(eager=True)  # consumed twice by the self-join
     )
     left = sized.select("band", "key", F.col("id").alias("a"))
     right = sized.select("band", "key", F.col("id").alias("b"))

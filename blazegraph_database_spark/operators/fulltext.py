@@ -37,14 +37,16 @@ def tokenize(text: Column) -> Column:
 def inverted_index(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """(term, id, tf, dl): posting list rows with per-doc token length.
 
-    One corpus scan: doc length is the window-sum of tf over the doc's
-    postings (dl = Σ tf), not a second explode+aggregate of the corpus.
+    One corpus scan AND one shuffle: the per-doc token length dl is
+    computed in the scan (size of the token array, before the explode) and
+    rides the groupBy as a functionally-dependent key — the alternative
+    window-sum over postings re-shuffles the whole posting list a second
+    time just to recover a number already known at tokenize time.
     """
-    from pyspark.sql.window import Window
-
-    toks = df.select(F.col(id_col).alias("id"), F.explode(tokenize(F.col(text_col))).alias("term"))
-    tf = toks.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    return tf.withColumn("dl", F.sum("tf").over(Window.partitionBy("id"))).select(
+    toks = df.select(F.col(id_col).alias("id"), tokenize(F.col(text_col)).alias("toks")).select(
+        "id", F.size("toks").alias("dl"), F.explode("toks").alias("term")
+    )
+    return toks.groupBy("id", "dl", "term").agg(F.count(F.lit(1)).alias("tf")).select(
         "term", "id", "tf", "dl"
     )
 
