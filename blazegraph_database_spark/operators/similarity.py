@@ -234,6 +234,55 @@ def ivf_cells(
     )
 
 
+def ivf_cells_refined(
+    corpus: DataFrame,
+    n_cells: int,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Lloyd-refined IVF centroids (k-means on the quantized integer
+    surface): seed with the n_cells lowest-id vectors, then `iters` rounds
+    of assign-to-max-dot centroid + component-wise re-average.
+
+    All arithmetic is exact integers (quantized vectors, floor-division
+    averages), so the refined centroid set — and therefore the bucket
+    structure — is bit-identical in Spark and a SQL oracle. Each round is
+    one broadcast-centroid corpus pass (no shuffle) + one (cell, component)
+    aggregation; centroid state is n_cells rows, checkpointed per round.
+    Cells that lose all members drop out, as in IVF training. At 100 TB,
+    run the same loop on a sampled corpus fraction — the plan shape holds.
+    """
+    from pyspark.sql.window import Window
+
+    cells = ivf_cells(corpus, n_cells, id_col, vec_col)
+    vq = corpus.select(
+        F.col(id_col).alias("vid"), quantize(as_double(F.col(vec_col))).alias("vq")
+    )
+    for _ in range(iters):
+        scored = vq.crossJoin(F.broadcast(cells)).select(
+            "vid", "vq", "cell", _int_dot_cols(F.col("vq"), F.col("cq")).alias("_d")
+        )
+        w = Window.partitionBy("vid").orderBy(F.col("_d").desc(), F.col("cell").asc())
+        assigned = (
+            scored.withColumn("_r", F.row_number().over(w))
+            .filter(F.col("_r") == 1)
+            .select("vq", "cell")
+        )
+        comp = (
+            assigned.select("cell", F.posexplode("vq").alias("pos", "val"))
+            .groupBy("cell", "pos")
+            .agg(F.floor(F.sum("val") / F.count(F.lit(1))).cast("long").alias("c"))
+        )
+        cells = (
+            comp.groupBy("cell")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("pc"))
+            .select("cell", F.transform("pc", lambda s: s["c"]).alias("cq"))
+            .localCheckpoint(eager=True)
+        )
+    return cells
+
+
 def ivf_assign(
     df: DataFrame,
     cells: DataFrame,
@@ -272,10 +321,12 @@ def ivf_ann_topk(
     n_probe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    cells: DataFrame | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: corpus vectors are bucketed
     into their nearest centroid's cell; each query scans only its n_probe
-    nearest cells. (q, neighbor, cos).
+    nearest cells. (q, neighbor, cos). Pass `cells` to search over a
+    pre-built (e.g. Lloyd-refined) centroid set.
 
     The 100 TB shape: cell assignment is a broadcast-centroid map-side pass
     (one corpus scan, no shuffle), the candidate join is a cell equi-join
@@ -286,7 +337,8 @@ def ivf_ann_topk(
     structure bit-identical in Spark and the DuckDB oracle."""
     from pyspark.sql.window import Window
 
-    cells = ivf_cells(corpus, n_cells, id_col, vec_col)
+    if cells is None:
+        cells = ivf_cells(corpus, n_cells, id_col, vec_col)
     c = ivf_assign(corpus, cells, 1, "neighbor", id_col, vec_col)
     q = ivf_assign(queries, cells, n_probe, "q", id_col, vec_col)
     cands = (

@@ -427,6 +427,85 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ann_ivf_kmeans",
+    """
+    WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+               list_transform(CAST(embedding AS DOUBLE[]), x -> CAST(ROUND(x*1000) AS BIGINT)) AS vq
+        FROM embeddings
+    ),
+    idx(i) AS (SELECT UNNEST(generate_series(1, 64))),
+    cents0 AS (SELECT vec_id AS cell, vq AS cq FROM e WHERE vec_id < 16),
+    dots1 AS (
+        SELECT e.vec_id, c.cell, CAST(SUM(e.vq[idx.i] * c.cq[idx.i]) AS BIGINT) AS d
+        FROM e CROSS JOIN cents0 c CROSS JOIN idx GROUP BY 1, 2
+    ),
+    a1 AS (
+        SELECT vec_id, cell FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d DESC, cell ASC) AS r FROM dots1
+        ) WHERE r = 1
+    ),
+    comp1 AS (
+        SELECT a1.cell, idx.i, CAST(FLOOR(SUM(e.vq[idx.i]) * 1.0 / COUNT(*)) AS BIGINT) AS c
+        FROM a1 JOIN e ON e.vec_id = a1.vec_id CROSS JOIN idx GROUP BY 1, 2
+    ),
+    cents1 AS (SELECT cell, list(c ORDER BY i) AS cq FROM comp1 GROUP BY cell),
+    dots2 AS (
+        SELECT e.vec_id, c.cell, CAST(SUM(e.vq[idx.i] * c.cq[idx.i]) AS BIGINT) AS d
+        FROM e CROSS JOIN cents1 c CROSS JOIN idx GROUP BY 1, 2
+    ),
+    a2 AS (
+        SELECT vec_id, cell FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d DESC, cell ASC) AS r FROM dots2
+        ) WHERE r = 1
+    ),
+    comp2 AS (
+        SELECT a2.cell, idx.i, CAST(FLOOR(SUM(e.vq[idx.i]) * 1.0 / COUNT(*)) AS BIGINT) AS c
+        FROM a2 JOIN e ON e.vec_id = a2.vec_id CROSS JOIN idx GROUP BY 1, 2
+    ),
+    cents2 AS (SELECT cell, list(c ORDER BY i) AS cq FROM comp2 GROUP BY cell),
+    dots3 AS (
+        SELECT e.vec_id, c.cell, CAST(SUM(e.vq[idx.i] * c.cq[idx.i]) AS BIGINT) AS d
+        FROM e CROSS JOIN cents2 c CROSS JOIN idx GROUP BY 1, 2
+    ),
+    cassign AS (
+        SELECT vec_id AS neighbor, cell FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d DESC, cell ASC) AS r FROM dots3
+        ) WHERE r = 1
+    ),
+    qprobe AS (
+        SELECT vec_id AS q, cell FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d DESC, cell ASC) AS r FROM dots3
+            WHERE vec_id < 5
+        ) WHERE r <= 4
+    ),
+    cands AS (
+        SELECT DISTINCT qp.q, ca.neighbor FROM qprobe qp JOIN cassign ca ON qp.cell = ca.cell
+        WHERE qp.q != ca.neighbor
+    ),
+    scored AS (
+        SELECT c.q, c.neighbor, ROUND(list_cosine_similarity(eq.v, ec.v), 4) AS cos
+        FROM cands c JOIN e eq ON eq.vec_id = c.q JOIN e ec ON ec.vec_id = c.neighbor
+    ),
+    rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY q ORDER BY cos DESC, neighbor ASC) AS r FROM scored)
+    SELECT q, neighbor, cos FROM rk WHERE r <= 3
+    """,
+)
+def ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with Lloyd-refined centroids (2 k-means rounds on the quantized
+    integer surface, floor-division averages — exact integer arithmetic end
+    to end, so the oracle unrolls the same two refinement rounds in SQL and
+    reproduces the bucket structure bit-for-bit). Same probe/search shape
+    as ann_ivf; refined centroids tighten cells so probes recall more of
+    the true neighbors at equal n_probe."""
+    embs = _embs(spark, sf_dir)
+    cells = similarity.ivf_cells_refined(embs, n_cells=16, iters=2)
+    return similarity.ivf_ann_topk(
+        embs, embs.filter(F.col("vec_id") < 5), k=3, n_probe=4, cells=cells
+    )
+
+
+@register(
     "multimodal_frames",
     """
     WITH f AS (

@@ -117,10 +117,14 @@ def _parse_jsonld_doc(doc: str) -> list[tuple]:
 
 
 def _parse_rdfxml_doc(doc: str) -> list[tuple]:
-    """RDF/XML subset: rdf:Description (or typed-element) children of
-    rdf:RDF, properties as child elements with rdf:resource, rdf:datatype,
-    xml:lang, or text content. No rdf:parseType, no nested descriptions,
-    no rdf:li expansion."""
+    """RDF/XML: rdf:Description / typed node elements with rdf:about or
+    rdf:nodeID (or anonymous → fresh bnode), properties as child elements
+    with rdf:resource, rdf:nodeID, rdf:datatype, xml:lang, or text content,
+    NESTED node elements as property values (recursive),
+    rdf:parseType="Resource" blocks, and rdf:li expansion to rdf:_n inside
+    containers (Bag/Seq/Alt). Not covered: reification attributes,
+    parseType="Collection"/"Literal", property attributes.
+    Ref: rio/ RDF/XML handling in the reference's parser registry."""
     import xml.etree.ElementTree as ET
 
     def split_tag(tag: str) -> str:
@@ -131,19 +135,46 @@ def _parse_rdfxml_doc(doc: str) -> list[tuple]:
 
     root = ET.fromstring(doc)
     out: list[tuple] = []
-    for desc in root:
-        about = desc.get(f"{{{RDF_NS}}}about") or desc.get(f"{{{RDF_NS}}}nodeID")
-        if about is None:
-            continue
-        s = about if not desc.get(f"{{{RDF_NS}}}nodeID") else f"_:{about}"
-        tag = split_tag(desc.tag)
-        if tag != RDF_NS + "Description":  # typed node element
-            out.append((s, RDF_NS + "type", tag, "iri"))
-        for prop in desc:
+    bn = [0]
+
+    def new_bnode() -> str:
+        bn[0] += 1
+        return f"_:rx{bn[0]}"
+
+    def node_subject(el) -> str:
+        about = el.get(f"{{{RDF_NS}}}about")
+        if about is not None:
+            return about
+        nid = el.get(f"{{{RDF_NS}}}nodeID")
+        if nid is not None:
+            return f"_:{nid}"
+        return new_bnode()
+
+    def emit_props(s: str, el) -> None:
+        li = 0
+        for prop in el:
             p = split_tag(prop.tag)
+            if p == RDF_NS + "li":  # container member → rdf:_n
+                li += 1
+                p = f"{RDF_NS}_{li}"
             res = prop.get(f"{{{RDF_NS}}}resource")
             if res is not None:
                 out.append((s, p, res, "iri"))
+                continue
+            pnid = prop.get(f"{{{RDF_NS}}}nodeID")
+            if pnid is not None:
+                out.append((s, p, f"_:{pnid}", "bnode"))
+                continue
+            if prop.get(f"{{{RDF_NS}}}parseType") == "Resource":
+                # the property element body is itself an anonymous node
+                b = new_bnode()
+                out.append((s, p, b, "bnode"))
+                emit_props(b, prop)
+                continue
+            children = list(prop)
+            if children:  # nested node element value
+                o, odt = walk_node(children[0])
+                out.append((s, p, o, odt))
                 continue
             lex = (prop.text or "").strip()
             dt_iri = prop.get(f"{{{RDF_NS}}}datatype")
@@ -154,6 +185,17 @@ def _parse_rdfxml_doc(doc: str) -> list[tuple]:
                 out.append((s, p, lex, _XSD_DT.get(dt_iri, "string")))
             else:
                 out.append((s, p, lex, "string"))
+
+    def walk_node(el) -> tuple[str, str]:
+        s = node_subject(el)
+        tag = split_tag(el.tag)
+        if tag != RDF_NS + "Description":  # typed node element
+            out.append((s, RDF_NS + "type", tag, "iri"))
+        emit_props(s, el)
+        return s, ("bnode" if s.startswith("_:") else "iri")
+
+    for desc in root:
+        walk_node(desc)
     return out
 
 

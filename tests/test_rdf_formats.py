@@ -104,6 +104,46 @@ def test_read_rdfxml(spark, tmp_path):
     assert ("http://ex.org/b", "http://ex.org/name", "Bob", "lang:en") in got
 
 
+def test_read_rdfxml_nested(spark, tmp_path):
+    # nested node elements, parseType="Resource", rdf:li containers
+    (tmp_path / "n.rdf").write_text(
+        """<?xml version="1.0"?>
+<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+         xmlns:ex="http://ex.org/">
+  <rdf:Description rdf:about="http://ex.org/a">
+    <ex:knows>
+      <ex:Person rdf:about="http://ex.org/b">
+        <ex:name>Bob</ex:name>
+      </ex:Person>
+    </ex:knows>
+    <ex:address rdf:parseType="Resource">
+      <ex:city>Springfield</ex:city>
+      <ex:zip rdf:datatype="http://www.w3.org/2001/XMLSchema#integer">12345</ex:zip>
+    </ex:address>
+  </rdf:Description>
+  <rdf:Bag rdf:about="http://ex.org/bag">
+    <rdf:li rdf:resource="http://ex.org/x"/>
+    <rdf:li>plain</rdf:li>
+  </rdf:Bag>
+</rdf:RDF>
+"""
+    )
+    got = rows(read_rdfxml(spark, str(tmp_path / "n.rdf")))
+    E = "http://ex.org/"
+    assert (E + "a", E + "knows", E + "b", "iri") in got
+    assert (E + "b", RDF_NS + "type", E + "Person", "iri") in got
+    assert (E + "b", E + "name", "Bob", "string") in got
+    # parseType=Resource: a → bnode with nested props
+    addr = [r[2] for r in got if r[1] == E + "address"]
+    assert len(addr) == 1 and addr[0].startswith("_:")
+    assert (addr[0], E + "city", "Springfield", "string") in got
+    assert (addr[0], E + "zip", "12345", "long") in got
+    # containers: li expands to rdf:_1 / rdf:_2 in document order
+    assert (E + "bag", RDF_NS + "type", RDF_NS + "Bag", "iri") in got
+    assert (E + "bag", RDF_NS + "_1", E + "x", "iri") in got
+    assert (E + "bag", RDF_NS + "_2", "plain", "string") in got
+
+
 TTL_FULL = """
 @prefix : <http://ex.org/> .
 @prefix foaf: <http://xmlns.com/foaf/0.1/> .
