@@ -89,6 +89,16 @@ class TripleStore:
         out.dataset_named = tuple(named) if named else None
         return out
 
+    def with_named_sets(self, sets: dict) -> "TripleStore":
+        """Shallow view carrying named solution sets (Blazegraph named
+        subqueries: WITH {...} AS %set ... INCLUDE %set; ref:
+        NamedSubqueryRoot.java / NamedSubqueryInclude.java)."""
+        import copy
+
+        out = copy.copy(self)
+        out.named_sets = {**getattr(self, "named_sets", {}), **sets}
+        return out
+
     @property
     def df(self) -> DataFrame:
         if self._df is None:

@@ -147,6 +147,69 @@ def fingerprint(df: DataFrame, text_col: str = "text", k: int = 3, window: int =
     )
 
 
+def repetition_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition quality signals (Rae et al. 2021 §A1.1) as
+    integer micro-fractions (hash-stable across engines):
+
+    - dup_word_micro: 1e6 * (1 - distinct words / words) — duplicated-word
+      mass of the document;
+    - top2gram_micro: 1e6 * (occurrences of the most frequent word 2-gram /
+      total 2-grams) — boilerplate repetition.
+
+    Expression-only single scan. The per-row mode count is O(distinct·n)
+    in doc length — bounded per document (the same bound Gopher's filters
+    assume), embarrassingly parallel across the corpus.
+    """
+    ws = F.transform(words(F.col(text_col)), F.lower)
+    n_words = F.size(ws)
+    dup_micro = F.when(n_words <= 0, F.lit(0)).otherwise(
+        ((n_words - F.size(F.array_distinct(ws))) * F.lit(1_000_000) / n_words).cast("long")
+    )
+    grams = F.transform(
+        F.arrays_zip(F.slice(ws, 1, F.greatest(n_words - 1, F.lit(0))), F.slice(ws, 2, F.greatest(n_words - 1, F.lit(0)))),
+        lambda st: F.concat_ws(" ", st["0"], st["1"]),
+    )
+    top = F.array_max(
+        F.transform(F.array_distinct(grams), lambda g: F.size(F.filter(grams, lambda x: x == g)))
+    )
+    top_micro = F.when(F.size(grams) <= 0, F.lit(0)).otherwise(
+        (top * F.lit(1_000_000) / F.size(grams)).cast("long")
+    )
+    return df.withColumn("dup_word_micro", dup_micro).withColumn("top2gram_micro", top_micro)
+
+
+def contamination_flags(
+    df: DataFrame,
+    probe: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents sharing any word
+    n-gram with a probe (benchmark/eval) corpus — the standard n-gram
+    overlap test run before pretraining.
+
+    Shape at 100 TB: the probe side (an eval suite) is tiny relative to the
+    corpus — its distinct n-grams broadcast, so the check is one corpus
+    scan + a broadcast semi-join keyed on the gram string (hash the gram to
+    a long first at extreme scale). Returns (id, n_overlap) per document
+    with n_overlap ≥ 1 — downstream either drops or audits those docs.
+    """
+    d = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(word_shingles(F.lower(F.col(text_col)), n))).alias("g"),
+    )
+    p = (
+        probe.select(
+            F.explode(F.array_distinct(word_shingles(F.lower(F.col(text_col)), n))).alias("g")
+        )
+        .distinct()
+    )
+    return d.join(F.broadcast(p), on="g").groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_overlap")
+    )
+
+
 # PII patterns kept to a syntax both Spark (Java regex) and common SQL
 # engines execute identically — pretraining-pipeline scrub pass.
 PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"

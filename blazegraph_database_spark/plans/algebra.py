@@ -240,6 +240,33 @@ class GraphScope:
 
 
 @dataclass(frozen=True)
+class WithNamed:
+    """Named subqueries (Blazegraph extension): each entry of ``named``
+    evaluates ONCE into a materialized solution set, then ``child`` runs
+    with INCLUDE %name resolving to it. Ref: NamedSubqueryRoot.java —
+    the reference likewise evaluates the named subquery once into a
+    hash-indexed solution set shared by every INCLUDE."""
+
+    child: Any
+    named: Any  # dict name -> plan
+
+    def __init__(self, child, named):
+        object.__setattr__(self, "child", child)
+        object.__setattr__(self, "named", dict(named))
+
+    def __hash__(self):  # dict member; hash by child + names
+        return hash((self.child, tuple(sorted(self.named))))
+
+
+@dataclass(frozen=True)
+class NamedInclude:
+    """INCLUDE %name — join the named solution set at this point in the
+    group. Ref: NamedSubqueryInclude.java."""
+
+    name: str
+
+
+@dataclass(frozen=True)
 class Service:
     """SERVICE <iri> { pattern }. Ref: ServiceNode / ServiceRegistry.java.
 

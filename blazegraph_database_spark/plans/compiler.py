@@ -444,6 +444,28 @@ def _(node: A.Dataset, store: TripleStore) -> DataFrame:
     return _compile(node.child, store.with_dataset(node.default, node.named))
 
 
+@_compile.register
+def _(node: A.WithNamed, store: TripleStore) -> DataFrame:
+    """Named subqueries evaluate ONCE into materialized solution sets
+    (localCheckpoint = the reference's hash-indexed named solution set;
+    ref: NamedSubqueryRoot.java), then the main pattern runs with INCLUDEs
+    resolving against them. Multiple INCLUDEs of one set share the same
+    materialized data — no recomputation."""
+    sets = {
+        name: _compile(plan, store).localCheckpoint(eager=True)
+        for name, plan in node.named.items()
+    }
+    return _compile(node.child, store.with_named_sets(sets))
+
+
+@_compile.register
+def _(node: A.NamedInclude, store: TripleStore) -> DataFrame:
+    sets = getattr(store, "named_sets", None) or {}
+    if node.name not in sets:
+        raise ValueError(f"INCLUDE of undeclared named subquery %{node.name}")
+    return sets[node.name]
+
+
 def _store_literal_index(store: TripleStore) -> DataFrame:
     """Full-text index over the store's string literals: doc = subject, text
     = concatenated literal values (the reference's text index likewise

@@ -40,6 +40,7 @@ TOKEN_RE = re.compile(
   | (?P<STRING>"(?:[^"\\]|\\.)*")
   | (?P<NUM>[+-]?\d+\.\d+|[+-]?\d+)
   | (?P<PNAME>[A-Za-z_][A-Za-z0-9_-]*:[A-Za-z0-9_.-]*)
+  | (?P<NAMED>%[A-Za-z_][A-Za-z0-9_]*)
   | (?P<KW>[A-Za-z_][A-Za-z0-9_]*)
   | (?P<OP>\^\^|\|\||&&|!=|<=|>=|[{}().,;|/^*+?!<>=\-])
     """,
@@ -50,7 +51,7 @@ KEYWORDS = {
     "select", "distinct", "reduced", "where", "filter", "optional", "union",
     "minus", "bind", "values", "as", "group", "by", "having", "order", "asc",
     "desc", "limit", "offset", "prefix", "exists", "not", "in", "a", "undef",
-    "true", "false", "ask", "construct", "describe",
+    "true", "false", "ask", "construct", "describe", "with", "include",
 }
 
 
@@ -530,11 +531,17 @@ class Parser:
                 inner = self.group_graph_pattern()
                 raw = " ".join(t.text for t in self.toks[start + 1 : self.i - 1])
                 add(A.Service(iri, inner, raw=raw, silent=silent))
+            elif self.at_kw("include"):  # INCLUDE %set (Blazegraph ext.)
+                self.next()
+                t = self.next()
+                if t.kind != "NAMED":
+                    raise SyntaxError(f"expected %name after INCLUDE, got {t.text!r}")
+                add(A.NamedInclude(t.text[1:]))
             elif self.at_op("{"):
-                sub = self.group_graph_pattern()
+                sub = self._group_or_subselect()
                 while self.at_kw("union"):
                     self.next()
-                    sub = A.Union2(sub, self.group_graph_pattern())
+                    sub = A.Union2(sub, self._group_or_subselect())
                 add(sub)
             else:
                 add(self._triples_block())
@@ -547,6 +554,20 @@ class Parser:
         for f in filters:
             out = A.Filter(f, out)
         return out
+
+    def _group_or_subselect(self):
+        """A `{ ... }` group or a `{ SELECT ... }` subquery (either can be a
+        UNION arm; ref: SubqueryRoot inside GroupOrUnionGraphPattern)."""
+        if (
+            self.peek().text == "{"
+            and self.peek(1).kind == "KW"
+            and self.peek(1).text.lower() == "select"
+        ):
+            self.next()  # '{'
+            sub = self.parse_select(toplevel=False)
+            self.eat_op("}")
+            return sub
+        return self.group_graph_pattern()
 
     def _values_clause(self) -> A.Values:
         if self.peek().kind == "VAR":
@@ -703,7 +724,7 @@ class Parser:
             return ("describe", iris)
         return ("select", self.parse_select())
 
-    def parse_select(self):
+    def parse_select(self, toplevel: bool = True):
         self._parse_prefixes()
         self.eat_kw("select")
         distinct = False
@@ -741,9 +762,24 @@ class Parser:
                 else:
                     break
         ds_default, ds_named = self._dataset_clauses()
+        # named subqueries: WITH { SELECT ... } AS %set (Blazegraph ext.;
+        # ref: NamedSubqueryRoot.java) — each evaluates once, INCLUDEd below
+        named_subs: dict[str, object] = {}
+        while self.at_kw("with"):
+            self.next()
+            self.eat_op("{")
+            sub = self.parse_select(toplevel=False)
+            self.eat_op("}")
+            self.eat_kw("as")
+            t = self.next()
+            if t.kind != "NAMED":
+                raise SyntaxError(f"expected %name after AS, got {t.text!r}")
+            named_subs[t.text[1:]] = sub
         if self.at_kw("where"):
             self.next()
         node = self.group_graph_pattern()
+        if named_subs:
+            node = A.WithNamed(node, named_subs)
 
         group_keys: list[str] = []
         having: Column | None = None
@@ -811,7 +847,7 @@ class Parser:
             node = A.Slice(node, limit=limit, offset=offset or 0)
         if ds_default or ds_named:
             node = A.Dataset(node, ds_default, ds_named)
-        if self.peek().kind != "EOF":
+        if toplevel and self.peek().kind != "EOF":
             raise SyntaxError(f"trailing tokens at {self.peek().text!r}")
         return node
 

@@ -410,6 +410,36 @@ def sparql_text_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sparql_named_subquery",
+    """
+    SELECT n_name AS nname, COUNT(*) AS n_rich
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    WHERE c_acctbal > 5000.0
+    GROUP BY n_name
+    """,
+)
+def sparql_named_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blazegraph named subquery in query text: WITH { SELECT ... } AS %set
+    evaluates once into a materialized solution set, INCLUDE %set joins it
+    (ref: NamedSubqueryRoot.java / NamedSubqueryInclude.java)."""
+    from blazegraph_database_spark.plans.sparql_parser import parse_sparql_select
+
+    st = cached_store(spark, sf_dir)
+    plan = parse_sparql_select(
+        """
+        SELECT ?nname (COUNT(*) AS ?n_rich)
+        WITH { SELECT ?c WHERE { ?c <customer#c_acctbal> ?b . FILTER(?b > 5000.0) } } AS %rich
+        WHERE {
+          INCLUDE %rich .
+          ?c <customer#c_nationkey_ref> ?n .
+          ?n <nation#n_name> ?nname .
+        } GROUP BY ?nname
+        """
+    )
+    return evaluate(st, plan)
+
+
+@register(
     "sparql_text_filter_path",
     """
     SELECT CAST(o_orderkey AS VARCHAR) AS ok FROM orders

@@ -535,6 +535,71 @@ def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_repetition",
+    """
+    WITH w AS (
+        SELECT doc_id,
+               list_transform(string_split_regex(trim(text), '\\s+'), w -> lower(w)) AS ws
+        FROM documents
+    ),
+    g AS (
+        SELECT doc_id, ws,
+               list_transform(generate_series(1, GREATEST(len(ws) - 1, 0)),
+                              i -> ws[i] || ' ' || ws[i+1]) AS grams
+        FROM w
+    )
+    SELECT doc_id,
+           CASE WHEN len(ws) <= 0 THEN 0
+                ELSE (len(ws) - len(list_distinct(ws))) * 1000000 // len(ws) END AS dup_word_micro,
+           CASE WHEN len(grams) <= 0 THEN 0
+                ELSE list_max(list_transform(list_distinct(grams),
+                                             d -> len(list_filter(grams, x -> x = d)))) * 1000000 // len(grams)
+           END AS top2gram_micro
+    FROM g
+    """,
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals (duplicated-word mass, most-frequent
+    2-gram fraction) as integer micro-units per document."""
+    from blazegraph_database_spark.operators import text as T
+
+    return T.repetition_signals(_docs(spark, sf_dir)).select(
+        "doc_id", "dup_word_micro", "top2gram_micro"
+    )
+
+
+@register(
+    "text_decontaminate",
+    """
+    WITH grams AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   generate_series(1, GREATEST(len(ws) - 7, 0)),
+                   i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' ||
+                        ws[i+4] || ' ' || ws[i+5] || ' ' || ws[i+6] || ' ' || ws[i+7])) AS gs
+        FROM (SELECT doc_id,
+                     list_transform(string_split_regex(trim(text), '\\s+'), w -> lower(w)) AS ws
+              FROM documents)
+    ),
+    probe AS (SELECT DISTINCT UNNEST(gs) AS g FROM grams WHERE doc_id < 5),
+    corpus AS (SELECT doc_id, UNNEST(gs) AS g FROM grams)
+    SELECT c.doc_id AS id, CAST(COUNT(*) AS BIGINT) AS n_overlap
+    FROM corpus c JOIN probe p ON c.g = p.g
+    GROUP BY 1
+    """,
+)
+def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: 8-gram overlap of every corpus document
+    against a probe set (docs 0-4 standing in for an eval suite). Probe
+    grams broadcast; one corpus scan."""
+    from blazegraph_database_spark.operators import text as T
+
+    docs = _docs(spark, sf_dir)
+    hits = T.contamination_flags(docs, docs.filter(F.col("doc_id") < 5), n=8)
+    return hits.select("id", F.col("n_overlap").cast("long").alias("n_overlap"))
+
+
+@register(
     "text_pii",
     """
     SELECT CAST(doc_id AS BIGINT) AS doc_id,

@@ -133,6 +133,37 @@ def test_construct_form(tiny_store):
     assert len([r for r in rows if r[1] == "knownBy"]) == 3
 
 
+def test_named_subquery_include_twice(tiny_store):
+    # one WITH set, two INCLUDEs — both resolve to the same materialized set
+    q = """
+    SELECT ?x ?y
+    WITH { SELECT ?x WHERE { ?x <age> ?ag . FILTER(?ag > 20) } } AS %adults
+    WHERE {
+      { INCLUDE %adults . ?x <knows> ?y }
+      UNION
+      { INCLUDE %adults . ?y <knows> ?x }
+    }
+    """
+    got = sorted((r["x"], r["y"]) for r in run(tiny_store, q).collect())
+    assert got == [("a", "b"), ("b", "a"), ("b", "c")]
+
+
+def test_text_subselect_in_group(tiny_store):
+    q = """
+    SELECT ?x ?n WHERE {
+      { SELECT ?x (COUNT(?y) AS ?n) WHERE { ?x <knows> ?y } GROUP BY ?x }
+      ?x <age> ?age .
+    }
+    """
+    rows = {r["x"]: r["n"] for r in run(tiny_store, q).collect()}
+    assert rows == {"a": 1, "b": 1}
+
+
+def test_include_undeclared_raises(tiny_store):
+    with pytest.raises(ValueError):
+        run(tiny_store, "SELECT ?x WHERE { INCLUDE %missing }").collect()
+
+
 def test_describe_form(tiny_store):
     from blazegraph_database_spark.plans.sparql_parser import run_sparql
 
