@@ -117,11 +117,23 @@ class PathPattern:
 
 @dataclass(frozen=True)
 class BGP:
-    """Basic graph pattern: selectivity-ordered multi-join of patterns."""
+    """Basic graph pattern: selectivity-ordered multi-join of patterns.
+
+    ``hints`` (optional) carries Blazegraph query hints scoped to this
+    group (ref: QueryHints.java / ASTQueryHintOptimizer.java):
+    ``{"optimizer": "None", "run_first": frozenset(idx), "run_last":
+    frozenset(idx)}`` — indices into ``patterns``. They override the
+    compiler's selectivity ordering."""
 
     patterns: tuple
-    def __init__(self, patterns):
+    hints: Any = None
+
+    def __init__(self, patterns, hints=None):
         object.__setattr__(self, "patterns", tuple(patterns))
+        object.__setattr__(self, "hints", hints)
+
+    def __hash__(self):
+        return hash(self.patterns)
 
 
 @dataclass(frozen=True)

@@ -221,6 +221,9 @@ def _compile_bgp(node: A.BGP, store: TripleStore) -> DataFrame:
     patterns = list(node.patterns)
     if not patterns:
         raise ValueError("empty BGP")
+    hints = getattr(node, "hints", None)
+    if hints:
+        return _compile_bgp_hinted(patterns, hints, store)
     entries, leftover = _star_fuse(patterns, store)
     for i in leftover:
         sp = patterns[i]
@@ -242,6 +245,33 @@ def _compile_bgp(node: A.BGP, store: TripleStore) -> DataFrame:
         else:
             shared = sorted(set(out.columns) & set(df.columns))
             out = out.join(df, on=shared) if shared else out.crossJoin(df)
+    return out
+
+
+def _compile_bgp_hinted(patterns: list, hints: dict, store: TripleStore) -> DataFrame:
+    """Query-hint-directed BGP join (ref: ASTQueryHintOptimizer — hints
+    override the static optimizer): runFirst patterns lead, runLast
+    trail, everything else keeps written order (which is exactly
+    `hint:optimizer "None"` when no run hints are set). Broadcast of
+    small inputs still applies — that is a physical choice, not a join
+    order."""
+    rf = hints.get("run_first") or frozenset()
+    rl = hints.get("run_last") or frozenset()
+    order = sorted(
+        range(len(patterns)),
+        key=lambda i: (0 if i in rf else (2 if i in rl else 1), i),
+    )
+    out = None
+    for i in order:
+        sp = patterns[i]
+        df, est = _pattern_df(sp, store), _estimate(sp, store)
+        if out is None:
+            out = df
+            continue
+        if est <= BROADCAST_MAX_ROWS:
+            df = F.broadcast(df)
+        shared = sorted(set(out.columns) & set(df.columns))
+        out = out.join(df, on=shared) if shared else out.crossJoin(df)
     return out
 
 

@@ -466,17 +466,76 @@ class Parser:
 
     # ---------------------------------------------------- group patterns --
     def group_graph_pattern(self):
-        """{ ... } → algebra node."""
+        """{ ... } → algebra node.
+
+        Adjacent triple statements merge into ONE BGP (SPARQL semantics: a
+        basic graph pattern spans consecutive triple patterns), so the
+        compiler's selectivity ordering and star fusion see the whole
+        pattern set — not one BGP per `s p o .` statement. Blazegraph query
+        hints (`hint:Query hint:optimizer "None"`, `hint:Prior
+        hint:runFirst|runLast "true"`; ref: QueryHints.java /
+        ASTQueryHintOptimizer.java) parse as magic triples, are stripped
+        from the pattern set, and ride the BGP node."""
         self.eat_op("{")
         node = None
         filters: list[Column] = []
         exists: list[tuple] = []
+        pend_sps: list = []
+        pend_paths: list = []
+        hints = {"run_first": set(), "run_last": set(), "optimizer": None}
 
         def add(n):
             nonlocal node
             node = n if node is None else A.Join(node, n)
 
+        def flush():
+            nonlocal pend_sps, pend_paths
+            if pend_sps:
+                h = None
+                if hints["optimizer"] or hints["run_first"] or hints["run_last"]:
+                    h = {
+                        "optimizer": hints["optimizer"],
+                        "run_first": frozenset(hints["run_first"]),
+                        "run_last": frozenset(hints["run_last"]),
+                    }
+                add(A.BGP(pend_sps, hints=h))
+                pend_sps = []
+                hints["run_first"], hints["run_last"] = set(), set()
+            for pp in pend_paths:
+                add(pp)
+            pend_paths = []
+
+        def apply_hint(sp) -> None:
+            pred = sp.p if isinstance(sp.p, str) else None
+            val = sp.o.lex if isinstance(sp.o, Lit) else str(sp.o)
+            if pred == "hint:optimizer":
+                hints["optimizer"] = val
+            elif pred == "hint:runFirst" and val == "true" and pend_sps:
+                hints["run_first"].add(len(pend_sps) - 1)
+            elif pred == "hint:runLast" and val == "true" and pend_sps:
+                hints["run_last"].add(len(pend_sps) - 1)
+            # unrecognized hints are ignored (hints are advisory)
+
         while not self.at_op("}"):
+            if not self.at_op("}") and not (
+                self.at_kw(
+                    "filter", "optional", "minus", "bind", "values", "graph",
+                    "service", "include",
+                )
+                or self.at_op("{")
+            ):
+                # triple statement: accumulate into the pending BGP
+                sps, paths = self._triples_block()
+                for sp in sps:
+                    if isinstance(sp.s, str) and sp.s in ("hint:Query", "hint:Prior"):
+                        apply_hint(sp)
+                    else:
+                        pend_sps.append(sp)
+                pend_paths.extend(paths)
+                if self.at_op("."):
+                    self.next()
+                continue
+            flush()
             if self.at_kw("filter"):
                 self.next()
                 if self.at_kw("exists"):
@@ -543,10 +602,11 @@ class Parser:
                     self.next()
                     sub = A.Union2(sub, self._group_or_subselect())
                 add(sub)
-            else:
-                add(self._triples_block())
+            else:  # pragma: no cover — triple statements handled above
+                raise SyntaxError(f"unexpected token {self.peek().text!r} in group")
             if self.at_op("."):
                 self.next()
+        flush()
         self.eat_op("}")
         out = node if node is not None else A.BGP([])
         for neg, pat in exists:
@@ -602,7 +662,8 @@ class Parser:
 
     def _triples_block(self):
         """subject (path|pred) object (, object)* (; pred obj...)* — returns
-        BGP (plain predicates) possibly joined with PathPatterns."""
+        (sps, paths): plain statement patterns + property-path patterns.
+        The caller merges consecutive statements into one BGP."""
         subj = self.term()
         sps: list[A.SP] = []
         paths: list[A.PathPattern] = []
@@ -630,10 +691,7 @@ class Parser:
                     break
                 continue
             break
-        node = A.BGP(sps) if sps else None
-        for pp in paths:
-            node = pp if node is None else A.Join(node, pp)
-        return node
+        return sps, paths
 
     # ------------------------------------------------------- query root --
     def _parse_prefixes(self):

@@ -410,6 +410,39 @@ def sparql_text_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sparql_query_hints",
+    """
+    SELECT c_mktsegment AS seg, COUNT(*) AS n
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    WHERE o_totalprice > 100000.0
+    GROUP BY c_mktsegment
+    """,
+)
+def sparql_query_hints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blazegraph query hints in text (ref: QueryHints.java /
+    ASTQueryHintOptimizer.java): hint:Query hint:optimizer "None" pins the
+    written join order; hint:Prior hint:runFirst promotes its preceding
+    pattern. Hints steer the physical plan only — results are identical,
+    which is what the oracle checks."""
+    from blazegraph_database_spark.plans.sparql_parser import parse_sparql_select
+
+    st = cached_store(spark, sf_dir)
+    plan = parse_sparql_select(
+        """
+        SELECT ?seg (COUNT(*) AS ?n) WHERE {
+          hint:Query hint:optimizer "None" .
+          ?o <orders#o_totalprice> ?tp .
+          hint:Prior hint:runFirst "true" .
+          ?o <orders#o_custkey_ref> ?c .
+          ?c <customer#c_mktsegment> ?seg .
+          FILTER(?tp > 100000.0)
+        } GROUP BY ?seg
+        """
+    )
+    return evaluate(st, plan)
+
+
+@register(
     "sparql_named_subquery",
     """
     SELECT n_name AS nname, COUNT(*) AS n_rich

@@ -164,6 +164,41 @@ def test_include_undeclared_raises(tiny_store):
         run(tiny_store, "SELECT ?x WHERE { INCLUDE %missing }").collect()
 
 
+def test_adjacent_statements_merge_into_one_bgp():
+    from blazegraph_database_spark.plans import algebra as A
+    from blazegraph_database_spark.plans.sparql_parser import parse_sparql_select
+
+    plan = parse_sparql_select(
+        "SELECT ?a ?b WHERE { ?a <p> ?x . ?x <q> ?b . ?b <r> <z> }"
+    )
+    # Project(BGP) — one merged BGP of 3 patterns, not Join(Join(BGP,BGP),BGP)
+    assert isinstance(plan, A.Project)
+    assert isinstance(plan.child, A.BGP)
+    assert len(plan.child.patterns) == 3
+
+
+def test_query_hints_parse_and_apply(tiny_store):
+    from blazegraph_database_spark.plans import algebra as A
+    from blazegraph_database_spark.plans.sparql_parser import parse_sparql_select
+
+    q = """
+    SELECT ?x ?n WHERE {
+      hint:Query hint:optimizer "None" .
+      ?x <knows> ?y .
+      hint:Prior hint:runLast "true" .
+      ?x <name> ?n .
+    }
+    """
+    plan = parse_sparql_select(q)
+    bgp = plan.child
+    assert isinstance(bgp, A.BGP)
+    assert len(bgp.patterns) == 2  # hint triples stripped from the pattern set
+    assert bgp.hints["optimizer"] == "None"
+    assert bgp.hints["run_last"] == frozenset({0})  # the pattern before the hint
+    rows = {(r["x"], r["n"]) for r in run(tiny_store, q).collect()}
+    assert rows == {("a", "Alice"), ("b", "Bob"), ("c", "Carol")}
+
+
 def test_describe_form(tiny_store):
     from blazegraph_database_spark.plans.sparql_parser import run_sparql
 
