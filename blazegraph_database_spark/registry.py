@@ -19,7 +19,13 @@ _CATALOG_MODULES = [
 # at 50/54). Entries with no CORRECTNESS row yet run first, cheapest first;
 # everything else keeps catalog-module order.
 _SCORE_FIRST = [
-    # round-2 additions, never driver-scored
+    # round-3 additions, never driver-scored
+    "sparql_named_subquery",
+    "sparql_query_hints",
+    "text_repetition",
+    "text_decontaminate",
+    "ann_ivf_kmeans",
+    # round-2 additions
     "text_pii",
     "service_clause_text",
     "update_graph_ops",
