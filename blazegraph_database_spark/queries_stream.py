@@ -71,6 +71,31 @@ def stream_to_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_interval_join",
+    """
+    SELECT l.user_id, CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM events l JOIN events r
+      ON l.user_id = r.user_id
+     AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 30 MINUTE
+    WHERE l.event_type = 'click' AND r.event_type = 'purchase'
+    GROUP BY 1
+    """,
+)
+def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join (click → purchase within 30 min per
+    user): two watermarked branches of the event stream joined on key +
+    time range (bounded state), pairs materialized in append mode, then
+    counted per user. Must equal the batch self-join."""
+    st = S.read_events_stream(spark, sf_dir)
+    clicks = st.filter(F.col("event_type") == "click")
+    purchases = st.filter(F.col("event_type") == "purchase")
+    pairs = S.run_to_memory(
+        S.interval_join(clicks, purchases, within="30 minutes"), output_mode="append"
+    )
+    return pairs.groupBy("user_id").agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+
+
+@register(
     "stream_sessionize",
     """
     WITH o AS (

@@ -22,6 +22,7 @@ _SCORE_FIRST = [
     # round-3 additions, never driver-scored
     "sparql_named_subquery",
     "sparql_query_hints",
+    "stream_interval_join",
     "text_repetition",
     "text_decontaminate",
     "ann_ivf_kmeans",

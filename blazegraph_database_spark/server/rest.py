@@ -37,7 +37,11 @@ from blazegraph_database_spark.update.update import UpdatableStore
 
 JSON = "application/json"
 SRJ = "application/sparql-results+json"
+SRX = "application/sparql-results+xml"
+CSV = "text/csv"
+TSV = "text/tab-separated-values"
 NT = "application/n-triples"
+TTL = "text/turtle"
 
 # request content-type → parser for RDF bodies (InsertServlet conneg)
 _RDF_READERS = {
@@ -74,9 +78,76 @@ def _select_json(df: DataFrame) -> bytes:
     return json.dumps(doc).encode()
 
 
+def _select_csv(df: DataFrame, sep: str = ",") -> bytes:
+    """SPARQL 1.1 Query Results CSV/TSV (ref: the openrdf CSV/TSV writers
+    the reference serves through conneg)."""
+    out_vars = [c for c in df.columns if not c.endswith("__dt")]
+
+    def esc(v) -> str:
+        s = "" if v is None else str(v)
+        if sep == "," and any(ch in s for ch in (",", '"', "\n")):
+            return '"' + s.replace('"', '""') + '"'
+        return s
+
+    lines = [sep.join(out_vars)]
+    for row in df.collect():
+        d = row.asDict()
+        lines.append(sep.join(esc(d[v]) for v in out_vars))
+    return ("\n".join(lines) + "\n").encode()
+
+
+def _select_xml(df: DataFrame) -> bytes:
+    """SPARQL Query Results XML Format."""
+    from xml.sax.saxutils import escape
+
+    out_vars = [c for c in df.columns if not c.endswith("__dt")]
+    parts = [
+        '<?xml version="1.0"?>',
+        '<sparql xmlns="http://www.w3.org/2005/sparql-results#">',
+        "<head>" + "".join(f'<variable name="{v}"/>' for v in out_vars) + "</head>",
+        "<results>",
+    ]
+    for row in df.collect():
+        d = row.asDict()
+        cells = []
+        for v in out_vars:
+            if d[v] is None:
+                continue
+            dt = d.get(f"{v}__dt", "string")
+            val = escape(str(d[v]))
+            if dt == "iri":
+                cells.append(f'<binding name="{v}"><uri>{val}</uri></binding>')
+            elif isinstance(dt, str) and dt.startswith("lang:"):
+                cells.append(
+                    f'<binding name="{v}"><literal xml:lang="{dt[5:]}">{val}</literal></binding>'
+                )
+            else:
+                cells.append(f'<binding name="{v}"><literal>{val}</literal></binding>')
+        parts.append("<result>" + "".join(cells) + "</result>")
+    parts.append("</results></sparql>")
+    return "\n".join(parts).encode()
+
+
 def _triples_nt(df: DataFrame) -> bytes:
     lines = [r["l"] for r in df.select(ntriples.nt_line(df).alias("l")).collect()]
     return ("\n".join(lines) + ("\n" if lines else "")).encode()
+
+
+# Accept-header → (serializer, content-type) per result kind. N-Triples is
+# valid Turtle, so text/turtle serves the NT serialization under its own
+# content type (the reference's conneg equally defaults Turtle-family
+# output to the simplest member).
+_SELECT_FMTS = {SRJ: (_select_json, SRJ), CSV: (lambda df: _select_csv(df, ","), CSV),
+                TSV: (lambda df: _select_csv(df, "\t"), TSV), SRX: (_select_xml, SRX)}
+_GRAPH_FMTS = {NT: (_triples_nt, NT), TTL: (_triples_nt, TTL)}
+
+
+def _pick(accept: str, fmts: dict, default: str):
+    for part in (accept or "").split(","):
+        mt = part.split(";")[0].strip().lower()
+        if mt in fmts:
+            return fmts[mt]
+    return fmts[default]
 
 
 def _read_rdf_body(spark: SparkSession, ctype: str, body: bytes) -> DataFrame:
@@ -104,19 +175,36 @@ class SparqlEndpoint:
         self._lock = threading.Lock()  # single-writer update discipline
 
     # ------------------------------------------------------------ verbs --
-    def query(self, ns: str, text: str) -> tuple[int, str, bytes]:
+    def query(
+        self, ns: str, text: str, accept: str = "", explain: bool = False
+    ) -> tuple[int, str, bytes]:
         store = self.namespaces[ns].current
         parsed = parse_sparql_query(text)
         form = parsed[0]
+        if explain:
+            # ref: NanoSparqlServer's ?explain= page — here the analyzed +
+            # optimized + physical Spark plan for the compiled query
+            if form == "select":
+                df = compiler.evaluate(store, parsed[1])
+            elif form == "construct":
+                df = compiler.construct(store, parsed[1], parsed[2])
+            elif form in ("describe", "describe_where"):
+                df = self._describe(store, parsed)
+            else:  # ASK explains its underlying pattern
+                df = compiler.evaluate(store, parsed[1])
+            plan = df._jdf.queryExecution().toString()
+            return 200, "text/plain", plan.encode()
         if form == "select":
-            return 200, SRJ, _select_json(compiler.evaluate(store, parsed[1]))
+            ser, ctype = _pick(accept, _SELECT_FMTS, SRJ)
+            return 200, ctype, ser(compiler.evaluate(store, parsed[1]))
         if form == "ask":
             return 200, SRJ, json.dumps(
                 {"head": {}, "boolean": compiler.ask(store, parsed[1])}
             ).encode()
+        ser, ctype = _pick(accept, _GRAPH_FMTS, NT)
         if form == "construct":
-            return 200, NT, _triples_nt(compiler.construct(store, parsed[1], parsed[2]))
-        return 200, NT, _triples_nt(self._describe(store, parsed))
+            return 200, ctype, ser(compiler.construct(store, parsed[1], parsed[2]))
+        return 200, ctype, ser(self._describe(store, parsed))
 
     @staticmethod
     def _describe(store: TripleStore, parsed) -> DataFrame:
@@ -194,16 +282,17 @@ class SparqlEndpoint:
 
     # --------------------------------------------------------- dispatch --
     def dispatch(
-        self, method: str, path: str, params: dict, ctype: str, body: bytes
+        self, method: str, path: str, params: dict, ctype: str, body: bytes,
+        accept: str = "",
     ) -> tuple[int, str, bytes]:
         try:
-            return self._dispatch(method, path, params, ctype, body)
+            return self._dispatch(method, path, params, ctype, body, accept)
         except KeyError as e:
             return 404, JSON, json.dumps({"error": str(e)}).encode()
         except Exception as e:  # parse errors etc. → 400, like the reference
             return 400, JSON, json.dumps({"error": f"{type(e).__name__}: {e}"}).encode()
 
-    def _dispatch(self, method, path, params, ctype, body):
+    def _dispatch(self, method, path, params, ctype, body, accept=""):
         parts = [p for p in path.split("/") if p]
         ns = self.default_ns
         if parts and parts[0] == "namespace":
@@ -232,15 +321,17 @@ class SparqlEndpoint:
         if ns not in self.namespaces:
             raise KeyError(f"no such namespace: {ns}")
 
+        explain = str(params.get("explain", "")).lower() in ("", "true", "1", "details") and "explain" in params
         if method == "GET":
             if "ESTCARD" in params:
                 return self.estcard(ns, params)
-            return self.query(ns, params["query"])
+            return self.query(ns, params["query"], accept, explain)
         if method == "POST":
             base = ctype.split(";")[0].strip()
             if base == "application/x-www-form-urlencoded":
                 form = {k: v[0] for k, v in parse_qs(body.decode()).items()}
                 params = {**params, **form}
+                explain = explain or "explain" in form
             elif base == "application/sparql-query":
                 params = {**params, "query": body.decode()}
             elif base == "application/sparql-update":
@@ -250,7 +341,7 @@ class SparqlEndpoint:
             if "update" in params:
                 return self.update(ns, params["update"])
             if "query" in params:
-                return self.query(ns, params["query"])
+                return self.query(ns, params["query"], accept, explain)
             raise ValueError("POST needs query=, update=, or an RDF body")
         if method == "PUT":
             return self.insert_rdf(ns, ctype, body, replace=True)
@@ -274,7 +365,8 @@ class _Handler(BaseHTTPRequestHandler):
         n = int(self.headers.get("Content-Length") or 0)
         body = self.rfile.read(n) if n else b""
         status, ctype, payload = self.endpoint.dispatch(
-            method, url.path, params, self.headers.get("Content-Type", ""), body
+            method, url.path, params, self.headers.get("Content-Type", ""), body,
+            self.headers.get("Accept", ""),
         )
         self.send_response(status)
         self.send_header("Content-Type", ctype)

@@ -90,6 +90,36 @@ def dedup_within_watermark(stream: DataFrame, keys: list[str], watermark: str = 
     return stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
 
 
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    within: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked stream-stream interval join: (key, l_id, r_id) pairs
+    where the right event lands in [l_ts, l_ts + within] for the same key.
+
+    The canonical funnel/attribution join (click → purchase). Both sides
+    carry watermarks so the join state store evicts rows older than
+    watermark + interval — bounded state at any stream length; the
+    time-range predicate is what lets Spark bound buffering on BOTH sides
+    (an unconstrained stream-stream equi-join would buffer forever).
+    """
+    l = left.select(
+        F.col(key), F.col("ts").alias("l_ts"), F.col("event_id").alias("l_id")
+    ).withWatermark("l_ts", watermark)
+    r = right.select(
+        F.col(key).alias("__rkey"), F.col("ts").alias("r_ts"), F.col("event_id").alias("r_id")
+    ).withWatermark("r_ts", watermark)
+    cond = (
+        (F.col(key) == F.col("__rkey"))
+        & (F.col("r_ts") >= F.col("l_ts"))
+        & (F.col("r_ts") <= F.col("l_ts") + F.expr(f"interval {within}"))
+    )
+    return l.join(r, cond, "inner").select(key, "l_id", "r_id")
+
+
 def run_to_memory(stream_df: DataFrame, output_mode: str = "complete") -> DataFrame:
     """Execute a streaming plan over all available input (availableNow) into
     a memory sink and return the materialized result table."""

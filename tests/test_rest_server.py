@@ -31,10 +31,12 @@ def server(spark):
     srv.shutdown()
 
 
-def _req(url, method="GET", body=None, ctype=None):
+def _req(url, method="GET", body=None, ctype=None, accept=None):
     req = urllib.request.Request(url, data=body, method=method)
     if ctype:
         req.add_header("Content-Type", ctype)
+    if accept:
+        req.add_header("Accept", accept)
     with urllib.request.urlopen(req) as resp:
         return resp.status, resp.headers.get("Content-Type"), resp.read()
 
@@ -81,6 +83,40 @@ def test_post_rdf_body_insert_and_estcard(server):
     assert json.loads(body)["rangeCount"] >= 4  # stats may be cached pre-insert
     _, _, body = _req(f"{server}/sparql?ESTCARD&s=d&p=rdf:type")
     assert json.loads(body)["rangeCount"] == 1
+
+
+def test_select_result_conneg(server):
+    q = urllib.parse.quote("SELECT ?x WHERE { ?x <rdf:type> <Person> } ORDER BY ?x")
+    # CSV
+    status, ctype, body = _req(f"{server}/sparql?query={q}", accept="text/csv")
+    assert status == 200 and ctype == "text/csv"
+    lines = body.decode().strip().splitlines()
+    assert lines[0] == "x" and "a" in lines and "b" in lines
+    # TSV
+    _, ctype, body = _req(f"{server}/sparql?query={q}", accept="text/tab-separated-values")
+    assert ctype == "text/tab-separated-values"
+    # XML results
+    _, ctype, body = _req(f"{server}/sparql?query={q}", accept="application/sparql-results+xml")
+    assert ctype == "application/sparql-results+xml"
+    assert b'<variable name="x"/>' in body
+    assert b'<binding name="x"><literal>a</literal></binding>' in body
+    # unknown accept falls back to JSON
+    _, ctype, _ = _req(f"{server}/sparql?query={q}", accept="application/weird")
+    assert ctype == "application/sparql-results+json"
+
+
+def test_construct_turtle_conneg(server):
+    q = urllib.parse.quote("CONSTRUCT { ?x <linked> ?y } WHERE { ?x <knows> ?y }")
+    status, ctype, body = _req(f"{server}/sparql?query={q}", accept="text/turtle")
+    assert status == 200 and ctype == "text/turtle"
+    assert body.decode().strip() == "<a> <linked> <b> ."
+
+
+def test_explain_param(server):
+    q = urllib.parse.quote("SELECT ?x WHERE { ?x <rdf:type> <Person> }")
+    status, ctype, body = _req(f"{server}/sparql?query={q}&explain")
+    assert status == 200 and ctype == "text/plain"
+    assert b"Physical Plan" in body
 
 
 def test_get_describe_where(server):
