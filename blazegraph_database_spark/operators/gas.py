@@ -137,10 +137,51 @@ def bfs(edges: DataFrame, sources: list[str], max_depth: int = MAX_ITERS) -> Dat
     return out
 
 
+def _functional_sssp(e: DataFrame, sources: list[str], max_iters: int) -> DataFrame:
+    """SSSP on a functional (in-degree ≤ 1) graph by pointer doubling: the
+    unique upward chain means dist = SUM of weights along it — the same
+    ⌈log2 d⌉-round jump loop as _functional_bfs with (+, weight)
+    accumulation instead of hop counting."""
+    spark = e.sparkSession
+    ptr = _chk(
+        e.select(
+            F.col("dst").alias("node"),
+            F.col("src").alias("anc"),
+            F.col("weight").alias("d"),
+        )
+    )
+    rounds = max(1, (max_iters - 1).bit_length())
+    for _ in range(rounds):
+        jump = ptr.select(
+            F.col("node").alias("j_node"), F.col("anc").alias("j_anc"), F.col("d").alias("j_d")
+        )
+        can_jump = ~F.col("anc").isin(sources) & F.col("j_anc").isNotNull()
+        ptr2 = _chk(
+            ptr.join(jump, ptr.anc == F.col("j_node"), "left").select(
+                "node",
+                F.when(can_jump, F.col("j_anc")).otherwise(F.col("anc")).alias("anc"),
+                F.when(can_jump, F.col("d") + F.col("j_d")).otherwise(F.col("d")).alias("d"),
+                can_jump.alias("jumped"),
+            )
+        )
+        ptr = ptr2.select("node", "anc", "d")
+        if ptr2.filter("jumped").isEmpty():
+            break
+    seed = spark.createDataFrame([(s, 0.0) for s in sources], "node string, dist double")
+    reached = (
+        ptr.filter(F.col("anc").isin(sources))
+        .join(seed.select("node"), on="node", how="left_anti")
+        .select("node", F.col("d").alias("dist"))
+    )
+    return seed.unionByName(reached)
+
+
 def sssp(edges: DataFrame, sources: list[str], max_iters: int = MAX_ITERS) -> DataFrame:
     """Single-source shortest paths over weighted edges: (node, dist).
 
-    Ref: analytics/SSSP.java. Bellman-Ford-style frontier relaxation: only
+    Ref: analytics/SSSP.java. Functional graphs (unique parent — the path
+    is forced, so "shortest" is the only path) use pointer doubling like
+    BFS; general graphs use Bellman-Ford-style frontier relaxation: only
     vertices whose distance improved scatter in the next round. One
     materializing job per round — state and the improved-flag come out of
     the same checkpointed plan, so convergence detection is a cheap filter
@@ -148,6 +189,8 @@ def sssp(edges: DataFrame, sources: list[str], max_iters: int = MAX_ITERS) -> Da
     """
     spark = edges.sparkSession
     e = _chk(edges.select("src", "dst", F.col("weight").cast("double").alias("weight")))
+    if _is_functional(e):
+        return _functional_sssp(e, sources, max_iters)
     state = _chk(spark.createDataFrame([(s, 0.0) for s in sources], "node string, dist double"))
     frontier = state
     for _ in range(max_iters):

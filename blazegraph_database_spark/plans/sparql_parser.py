@@ -755,6 +755,17 @@ class Parser:
             return ("ask", node)
         if self.at_kw("construct"):
             self.next()
+            if self.at_kw("where"):
+                # CONSTRUCT WHERE { pattern }: template = the pattern itself
+                # (SPARQL 1.1 shorthand; ref: ConstructNode with implicit
+                # template). Pattern must be plain triples.
+                self.next()
+                self.eat_op("{")
+                tmpl = self._triple_block()
+                node = A.BGP([A.SP(s, p, o) for s, p, o in tmpl])
+                if self.peek().kind != "EOF":
+                    raise SyntaxError(f"trailing tokens at {self.peek().text!r}")
+                return ("construct", node, tmpl)
             self.eat_op("{")
             tmpl = self._triple_block()
             if self.at_kw("where"):
@@ -879,11 +890,18 @@ class Parser:
             elif self.at_kw("offset"):
                 self.next()
                 offset = int(self.next().text)
+        # trailing VALUES block (SPARQL 1.1 ValuesClause at query end)
+        trailing_values = None
+        if self.at_kw("values"):
+            self.next()
+            trailing_values = self._values_clause()
 
         # assemble: binds → group/aggregates → post-binds → having → order →
         # project → distinct → slice (SPARQL algebra ordering). HAVING is a
         # plain Filter after the post-Group extends so it can reference both
         # SELECT aliases (?avg) and hoisted aggregates (COUNT(*) > n).
+        if trailing_values is not None:
+            node = A.Values(trailing_values.rows, child=node)
         for v, e in binds:
             node = A.Extend(node, v, e)
         if group_keys or hidden_aggs:

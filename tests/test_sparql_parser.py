@@ -164,6 +164,22 @@ def test_include_undeclared_raises(tiny_store):
         run(tiny_store, "SELECT ?x WHERE { INCLUDE %missing }").collect()
 
 
+def test_construct_where_shorthand(tiny_store):
+    from blazegraph_database_spark.plans.sparql_parser import run_sparql
+
+    df = run_sparql(tiny_store, "CONSTRUCT WHERE { ?x <knows> ?y }")
+    got = sorted((r["s"], r["p"], r["o_lex"]) for r in df.collect())
+    assert got == [("a", "knows", "b"), ("b", "knows", "c"), ("c", "knows", "d")]
+
+
+def test_trailing_values_clause(tiny_store):
+    q = """
+    SELECT ?x ?n WHERE { ?x <name> ?n } VALUES ?x { <a> <b> }
+    """
+    rows = sorted((r["x"], r["n"]) for r in run(tiny_store, q).collect())
+    assert rows == [("a", "Alice"), ("b", "Bob")]
+
+
 def test_adjacent_statements_merge_into_one_bgp():
     from blazegraph_database_spark.plans import algebra as A
     from blazegraph_database_spark.plans.sparql_parser import parse_sparql_select
