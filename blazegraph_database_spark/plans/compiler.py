@@ -603,12 +603,21 @@ def construct(store: TripleStore, node, template: list[tuple]) -> DataFrame:
     return instantiate_template(sol, template)
 
 
-def instantiate_template(sol: DataFrame, template: list[tuple]) -> DataFrame:
-    """(s,p,o) template instantiation over a bindings DataFrame. Object-var
-    datatypes come from `<var>__dt` companions when present; BIND-created
-    vars without one default to 'string'."""
+def instantiate_template(
+    sol: DataFrame,
+    template: list[tuple],
+    emit_g: bool = False,
+    target_graph: str | None = None,
+) -> DataFrame:
+    """(s,p,o[,g]) template instantiation over a bindings DataFrame.
+    Object-var datatypes come from `<var>__dt` companions when present;
+    BIND-created vars without one default to 'string'. With ``emit_g`` a
+    `g` column is added: an entry's explicit GRAPH wrapper wins, else
+    ``target_graph`` (the UPDATE's WITH <g>), else NULL (default graph)."""
     parts = []
-    for s, p, o in template:
+    for t in template:
+        s, p, o = t[0], t[1], t[2]
+        g = t[3] if len(t) > 3 else target_graph
         def col_of(pos, dt_if_const):
             if isinstance(pos, Var):
                 dt = (
@@ -633,7 +642,10 @@ def instantiate_template(sol: DataFrame, template: list[tuple]) -> DataFrame:
         oc, odt = col_of(o, "iri" if not isinstance(o, Lit) else o.dt)
         if isinstance(o, Lit):
             odt = F.lit(o.dt)
-        parts.append(sol.select(sc.alias("s"), pc.alias("p"), oc.alias("o_lex"), odt.alias("o_dt")))
+        cols = [sc.alias("s"), pc.alias("p"), oc.alias("o_lex"), odt.alias("o_dt")]
+        if emit_g:
+            cols.append(F.lit(g).cast("string").alias("g"))
+        parts.append(sol.select(*cols))
     out = parts[0]
     for p_ in parts[1:]:
         out = out.unionByName(p_)
