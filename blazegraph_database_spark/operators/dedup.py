@@ -178,13 +178,33 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.5,
+    max_df: int | None = 10_000,
 ) -> DataFrame:
     """Exact all-pairs n-gram Jaccard >= threshold via shingle equi-join
     (explode-join-count). Quadratic in docs *sharing a shingle* — the
     baseline the LSH path approximates; useful directly for small corpora
-    or post-LSH verification."""
+    or post-LSH verification.
+
+    Shingles appearing in more than ``max_df`` documents (boilerplate — one
+    stop-shingle shared by 1M docs alone creates ~10^12 candidate rows) are
+    dropped before the self-join, mirroring ``lsh_candidate_pairs``'
+    ``max_bucket`` cap. Dropping a shingle can only lower the computed
+    intersection (union sizes stay exact), so ``jac`` is then a lower bound
+    for pairs whose overlap is dominated by boilerplate; pairs similar on
+    distinctive content are unaffected. ``max_df=None`` restores the exact
+    small-corpus baseline."""
     sets_df = shingle_sets(df, id_col, text_col, n).filter(F.size("shingles") > 0)
     ex = sets_df.select("id", F.explode("shingles").alias("sh"))
+    if max_df is not None:
+        # at most corpus_rows/max_df shingles can exceed the cap → tiny set,
+        # broadcast the anti-join
+        hot = (
+            ex.groupBy("sh")
+            .agg(F.count(F.lit(1)).alias("df_"))
+            .filter(F.col("df_") > max_df)
+            .select("sh")
+        )
+        ex = ex.join(F.broadcast(hot), on="sh", how="left_anti")
     pairs = (
         ex.alias("x")
         .join(ex.alias("y"), on="sh")

@@ -36,11 +36,26 @@ def undirect(edges: DataFrame) -> DataFrame:
     return edges.select("src", "dst").unionByName(rev).distinct()
 
 
+# Verdicts of the in-degree probe keyed by the edge plan's semanticHash, so
+# repeated traversals over the same edge set don't re-scan it (a full edge
+# aggregation per bfs/sssp call would be an extra corpus scan at 100 TB).
+_FUNCTIONAL_CACHE: dict[int, bool] = {}
+
+
 def _is_functional(e: DataFrame) -> bool:
     """True when every dst has exactly one incoming edge (unique parent) —
     the graph of parent pointers (trees, forests, linked chains)."""
+    try:
+        key = e.semanticHash()
+    except Exception:  # pragma: no cover - semanticHash is best-effort
+        key = None
+    if key is not None and key in _FUNCTIONAL_CACHE:
+        return _FUNCTIONAL_CACHE[key]
     row = e.groupBy("dst").agg(F.count(F.lit(1)).alias("c")).agg(F.max("c").alias("m")).first()
-    return row is not None and row["m"] == 1
+    verdict = row is not None and row["m"] == 1
+    if key is not None:
+        _FUNCTIONAL_CACHE[key] = verdict
+    return verdict
 
 
 def _functional_bfs(e: DataFrame, sources: list[str], max_depth: int) -> DataFrame:
@@ -94,7 +109,12 @@ def _functional_bfs(e: DataFrame, sources: list[str], max_depth: int) -> DataFra
     return seed.unionByName(reached)
 
 
-def bfs(edges: DataFrame, sources: list[str], max_depth: int = MAX_ITERS) -> DataFrame:
+def bfs(
+    edges: DataFrame,
+    sources: list[str],
+    max_depth: int = MAX_ITERS,
+    functional: bool | None = None,
+) -> DataFrame:
     """Breadth-first search: (node, depth, predecessor).
 
     Ref: analytics/BFS.java (depth + predecessor per visited vertex).
@@ -107,10 +127,17 @@ def bfs(edges: DataFrame, sources: list[str], max_depth: int = MAX_ITERS) -> Dat
     the frontier delta is checkpointed; the visited set stays a shallow
     union of already-checkpointed deltas, so unioning it costs nothing
     extra and the anti-join reads materialized data.
+
+    Pass ``functional=True/False`` to skip the probe entirely when the
+    caller knows the graph shape; otherwise the probe's verdict is cached
+    per edge plan so repeated traversals don't re-scan the edges.
     """
     spark = edges.sparkSession
-    e = _chk(edges.select("src", "dst"))  # edges re-join every round: materialize once
-    if _is_functional(e):
+    sel = edges.select("src", "dst")
+    if functional is None:
+        functional = _is_functional(sel)
+    e = _chk(sel)  # edges re-join every round: materialize once
+    if functional:
         return _functional_bfs(e, sources, max_depth)
     seed = _chk(
         spark.createDataFrame([(s, 0, None) for s in sources], "node string, depth int, pred string")
@@ -141,19 +168,25 @@ def _functional_sssp(e: DataFrame, sources: list[str], max_iters: int) -> DataFr
     """SSSP on a functional (in-degree ≤ 1) graph by pointer doubling: the
     unique upward chain means dist = SUM of weights along it — the same
     ⌈log2 d⌉-round jump loop as _functional_bfs with (+, weight)
-    accumulation instead of hop counting."""
+    accumulation alongside a hop counter, so the result honors the same
+    max_iters hop bound the general Bellman-Ford path enforces (a node
+    more than max_iters hops from its source is unreached in both)."""
     spark = e.sparkSession
     ptr = _chk(
         e.select(
             F.col("dst").alias("node"),
             F.col("src").alias("anc"),
             F.col("weight").alias("d"),
+            F.lit(1).alias("h"),
         )
     )
     rounds = max(1, (max_iters - 1).bit_length())
     for _ in range(rounds):
         jump = ptr.select(
-            F.col("node").alias("j_node"), F.col("anc").alias("j_anc"), F.col("d").alias("j_d")
+            F.col("node").alias("j_node"),
+            F.col("anc").alias("j_anc"),
+            F.col("d").alias("j_d"),
+            F.col("h").alias("j_h"),
         )
         can_jump = ~F.col("anc").isin(sources) & F.col("j_anc").isNotNull()
         ptr2 = _chk(
@@ -161,22 +194,28 @@ def _functional_sssp(e: DataFrame, sources: list[str], max_iters: int) -> DataFr
                 "node",
                 F.when(can_jump, F.col("j_anc")).otherwise(F.col("anc")).alias("anc"),
                 F.when(can_jump, F.col("d") + F.col("j_d")).otherwise(F.col("d")).alias("d"),
+                F.when(can_jump, F.col("h") + F.col("j_h")).otherwise(F.col("h")).alias("h"),
                 can_jump.alias("jumped"),
             )
         )
-        ptr = ptr2.select("node", "anc", "d")
+        ptr = ptr2.select("node", "anc", "d", "h")
         if ptr2.filter("jumped").isEmpty():
             break
     seed = spark.createDataFrame([(s, 0.0) for s in sources], "node string, dist double")
     reached = (
-        ptr.filter(F.col("anc").isin(sources))
+        ptr.filter(F.col("anc").isin(sources) & (F.col("h") <= max_iters))
         .join(seed.select("node"), on="node", how="left_anti")
         .select("node", F.col("d").alias("dist"))
     )
     return seed.unionByName(reached)
 
 
-def sssp(edges: DataFrame, sources: list[str], max_iters: int = MAX_ITERS) -> DataFrame:
+def sssp(
+    edges: DataFrame,
+    sources: list[str],
+    max_iters: int = MAX_ITERS,
+    functional: bool | None = None,
+) -> DataFrame:
     """Single-source shortest paths over weighted edges: (node, dist).
 
     Ref: analytics/SSSP.java. Functional graphs (unique parent — the path
@@ -188,8 +227,11 @@ def sssp(edges: DataFrame, sources: list[str], max_iters: int = MAX_ITERS) -> Da
     over materialized data, not a second job.
     """
     spark = edges.sparkSession
-    e = _chk(edges.select("src", "dst", F.col("weight").cast("double").alias("weight")))
-    if _is_functional(e):
+    sel = edges.select("src", "dst", F.col("weight").cast("double").alias("weight"))
+    if functional is None:
+        functional = _is_functional(sel.select("src", "dst"))
+    e = _chk(sel)
+    if functional:
         return _functional_sssp(e, sources, max_iters)
     state = _chk(spark.createDataFrame([(s, 0.0) for s in sources], "node string, dist double"))
     frontier = state

@@ -96,6 +96,20 @@ def _table_buckets(vec: Column, all_planes: list[list[list[float]]]) -> Column:
     )
 
 
+# Query sets at or below this row count are safely broadcast; above it the
+# bucket join falls back to a shuffle equi-join (an unconditional broadcast
+# OOMs the executors when a caller probes with a corpus-sized query set).
+BROADCAST_QUERY_LIMIT = 100_000
+
+
+def _maybe_broadcast(q: DataFrame, hint: bool | None, limit: int = BROADCAST_QUERY_LIMIT):
+    """Broadcast `q` only when the caller says so or a bounded probe (a
+    count over at most limit+1 rows, not a full scan) proves it small."""
+    if hint is None:
+        hint = q.limit(limit + 1).count() <= limit
+    return F.broadcast(q) if hint else q
+
+
 def lsh_ann_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -105,6 +119,7 @@ def lsh_ann_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int | None = None,
+    broadcast_queries: bool | None = None,
 ) -> DataFrame:
     """Approximate top-k via multi-table random-hyperplane LSH: a candidate
     is scored iff it shares a bucket with the query in >=1 of `tables`
@@ -120,9 +135,10 @@ def lsh_ann_topk(
     c = corpus.select(F.col(id_col).alias("neighbor"), as_double(F.col(vec_col)).alias("cv"))
     c = c.select("neighbor", "cv", F.explode(_table_buckets(F.col("cv"), all_planes)).alias("tb"))
     q = queries.select(F.col(id_col).alias("q"), as_double(F.col(vec_col)).alias("qv"))
+    q = _maybe_broadcast(q, broadcast_queries)
     q = q.select("q", "qv", F.explode(_table_buckets(F.col("qv"), all_planes)).alias("tb"))
     cands = (
-        c.join(F.broadcast(q), on=["tb"])
+        c.join(q, on=["tb"])
         .filter(F.col("q") != F.col("neighbor"))
         .select("q", "qv", "neighbor", "cv")
         .dropDuplicates(["q", "neighbor"])
@@ -189,6 +205,7 @@ def lsh_ann_topk_quantized(
     k: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    broadcast_queries: bool | None = None,
 ) -> DataFrame:
     """lsh_ann_topk with deterministic integer sign-LSH buckets: same
     one-scan + bucket-equi-join shape, but the signature arithmetic is exact
@@ -200,11 +217,12 @@ def lsh_ann_topk_quantized(
         "neighbor", "cv", F.explode(_int_table_buckets(quantize(F.col("cv")), planes)).alias("tb")
     )
     q = queries.select(F.col(id_col).alias("q"), as_double(F.col(vec_col)).alias("qv"))
+    q = _maybe_broadcast(q, broadcast_queries)
     q = q.select(
         "q", "qv", F.explode(_int_table_buckets(quantize(F.col("qv")), planes)).alias("tb")
     )
     cands = (
-        c.join(F.broadcast(q), on=["tb"])
+        c.join(q, on=["tb"])
         .filter(F.col("q") != F.col("neighbor"))
         .select("q", "qv", "neighbor", "cv")
         .dropDuplicates(["q", "neighbor"])

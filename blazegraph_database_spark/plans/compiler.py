@@ -644,7 +644,8 @@ def instantiate_template(
             odt = F.lit(o.dt)
         cols = [sc.alias("s"), pc.alias("p"), oc.alias("o_lex"), odt.alias("o_dt")]
         if emit_g:
-            cols.append(F.lit(g).cast("string").alias("g"))
+            gc = F.col(g.name) if isinstance(g, Var) else F.lit(g)
+            cols.append(gc.cast("string").alias("g"))
         parts.append(sol.select(*cols))
     out = parts[0]
     for p_ in parts[1:]:

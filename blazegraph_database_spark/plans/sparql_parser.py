@@ -1,19 +1,23 @@
-"""SPARQL SELECT text parser → algebra nodes (SURVEY.md §2.12).
+"""SPARQL text parser → algebra nodes, all four query forms (SURVEY.md §2.12).
 
 Reference analog: the JavaCC grammar under sparql-grammar/ producing the AST
-in bigdata-core/bigdata-rdf/.../sparql/ast/; we parse the practical SELECT
-subset directly into :mod:`plans.algebra` nodes:
+in bigdata-core/bigdata-rdf/.../sparql/ast/; we parse directly into
+:mod:`plans.algebra` nodes:
 
-  PREFIX decls, SELECT [DISTINCT] (vars | * | (expr AS ?v)), WHERE {
-    triple patterns (incl. property paths  ^ / | + * ?  and  ; , lists and
-    `a`), FILTER (expr | [NOT] EXISTS), OPTIONAL, UNION, MINUS, BIND,
-    VALUES }, GROUP BY / HAVING, ORDER BY [ASC|DESC], LIMIT / OFFSET.
+  PREFIX/BASE decls, SELECT [DISTINCT|REDUCED] (vars | * | (expr AS ?v)),
+  CONSTRUCT { template } / CONSTRUCT WHERE, ASK, DESCRIBE (<iri>... and
+  ?var WHERE forms), dataset clauses FROM / FROM NAMED, WHERE {
+    triple patterns (incl. property paths  ^ / | + * ?, negated sets, ; ,
+    lists, `a`, RDF-star <<s p o>> terms), FILTER (expr | [NOT] EXISTS),
+    OPTIONAL, UNION, MINUS, BIND, VALUES, GRAPH (iri | ?var),
+    SERVICE [SILENT] <iri> { ... }, { SELECT ... } subqueries,
+    INCLUDE %set }, named subqueries WITH { SELECT } AS %set,
+  query hints (hint:Query/hint:Prior triples, compact or expanded under the
+  queryHints namespace), GROUP BY / HAVING, ORDER BY [ASC|DESC],
+  LIMIT / OFFSET, trailing VALUES.
 
 Expressions compile straight to pyspark Columns via functions/sparql_funcs
 (JVM codegen — the parser never introduces Python execution).
-
-Out of scope (documented): CONSTRUCT/ASK/DESCRIBE text forms (the algebra
-API covers them), federation (SERVICE), named-graph dataset clauses.
 """
 
 from __future__ import annotations
@@ -27,6 +31,9 @@ from pyspark.sql import functions as F
 from blazegraph_database_spark.functions import sparql_funcs as fn
 from blazegraph_database_spark.model.terms import Lit, Var
 from blazegraph_database_spark.plans import algebra as A
+
+# Blazegraph query-hint namespace (ref: QueryHints.java NAMESPACE).
+HINT_NS = "http://www.bigdata.com/queryHints#"
 
 # ----------------------------------------------------------------- lexer --
 TOKEN_RE = re.compile(
@@ -505,14 +512,27 @@ class Parser:
                 add(pp)
             pend_paths = []
 
+        def hint_local(term) -> str | None:
+            # Hint terms may arrive compact (`hint:Query`, undeclared prefix)
+            # or expanded under the queryHints namespace IRI when the query
+            # declares `PREFIX hint: <.../queryHints#>` (ref: QueryHints.java
+            # NAMESPACE). Normalize both to the local name.
+            if not isinstance(term, str):
+                return None
+            if term.startswith("hint:"):
+                return term[5:]
+            if term.startswith(HINT_NS):
+                return term[len(HINT_NS):]
+            return None
+
         def apply_hint(sp) -> None:
-            pred = sp.p if isinstance(sp.p, str) else None
+            pred = hint_local(sp.p)
             val = sp.o.lex if isinstance(sp.o, Lit) else str(sp.o)
-            if pred == "hint:optimizer":
+            if pred == "optimizer":
                 hints["optimizer"] = val
-            elif pred == "hint:runFirst" and val == "true" and pend_sps:
+            elif pred == "runFirst" and val == "true" and pend_sps:
                 hints["run_first"].add(len(pend_sps) - 1)
-            elif pred == "hint:runLast" and val == "true" and pend_sps:
+            elif pred == "runLast" and val == "true" and pend_sps:
                 hints["run_last"].add(len(pend_sps) - 1)
             # unrecognized hints are ignored (hints are advisory)
 
@@ -527,7 +547,12 @@ class Parser:
                 # triple statement: accumulate into the pending BGP
                 sps, paths = self._triples_block()
                 for sp in sps:
-                    if isinstance(sp.s, str) and sp.s in ("hint:Query", "hint:Prior"):
+                    if hint_local(sp.s) in ("Query", "Prior") or (
+                        hint_local(sp.p) is not None
+                    ):
+                        # Hints are advisory: apply what we recognize, and
+                        # never leave a hint triple in the BGP as a real
+                        # pattern (it would match nothing and zero the query).
                         apply_hint(sp)
                     else:
                         pend_sps.append(sp)

@@ -221,7 +221,10 @@ def apply_update(store: UpdatableStore, src: str, spark: SparkSession | None = N
             if g is not None:
                 where = A.GraphScope(g, where)
             store.delete_insert_where(
-                where, delete_template=op["delete"], insert_template=op["insert"]
+                where,
+                delete_template=op["delete"],
+                insert_template=op["insert"],
+                with_graph=g,
             )
         elif kind == "load":
             store.load(spark, op["uri"], graph=op["graph"])

@@ -19,34 +19,35 @@ _CATALOG_MODULES = [
 # at 50/54). Entries with no CORRECTNESS row yet run first, cheapest first;
 # everything else keeps catalog-module order.
 _SCORE_FIRST = [
-    # round-3 additions, never driver-scored
-    "sparql_named_subquery",
-    "sparql_query_hints",
-    "stream_interval_join",
-    "text_repetition",
-    "text_decontaminate",
-    "ann_ivf_kmeans",
-    # round-2 additions
-    "text_pii",
-    "service_clause_text",
-    "update_graph_ops",
-    "geo_zorder",
-    "path_negated",
-    "dataset_from_named",
-    "sparql_update_text",
-    "graph_var_path",
-    "multimodal_frames",
-    "rdr_provenance",
-    "tm_delete_closure",
-    "owl_rules_extended",
-    "ann_ivf",
-    "gas_fuzzy_sssp",
-    "stream_sessionize",
-    # unscored tail of round 1
-    "stream_window_agg",
-    "stream_dedup",
-    "stream_to_triples",
-    "dict_encoded_join",
+    # Never driver-green (erred or hash-mismatched in r1, fixed since, green
+    # under scripts/check_correctness.py): need driver rows most urgently.
+    "fulltext_search",
+    "fulltext_all_prefix",
+    "geo_rect",
+    "geo_radius",
+    "describe_customer",
+    "service_bds_search",
+    "multimodal_meta",
+    # Remaining 18 queries with no round-3 row (driver-green in r1/r2, rotated
+    # out of r3's 50-query window): re-verify before anything scored in r3.
+    "ann_cosine_topk",
+    "ann_lsh",
+    "emb_near_dup",
+    "text_tokens",
+    "text_quality",
+    "text_langid",
+    "text_fingerprint",
+    "multimodal_decode",
+    "rdfs_closure_types",
+    "rdfs_domain_range",
+    "update_delete_insert",
+    "construct_pred_counts",
+    "ask_negative_balance",
+    "group_concat_segments",
+    "orderby_offset_page",
+    "graph_scoped_count",
+    "owl_inverse_orders",
+    "owl_sameas_merge",
 ]
 
 

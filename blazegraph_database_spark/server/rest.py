@@ -78,21 +78,55 @@ def _select_json(df: DataFrame) -> bytes:
     return json.dumps(doc).encode()
 
 
-def _select_csv(df: DataFrame, sep: str = ",") -> bytes:
-    """SPARQL 1.1 Query Results CSV/TSV (ref: the openrdf CSV/TSV writers
-    the reference serves through conneg)."""
+def _select_csv(df: DataFrame) -> bytes:
+    """SPARQL 1.1 Query Results CSV: plain header, bare lexical forms,
+    RFC-4180 quoting (ref: the openrdf CSV writer the reference serves)."""
     out_vars = [c for c in df.columns if not c.endswith("__dt")]
 
     def esc(v) -> str:
         s = "" if v is None else str(v)
-        if sep == "," and any(ch in s for ch in (",", '"', "\n")):
+        if any(ch in s for ch in (",", '"', "\n")):
             return '"' + s.replace('"', '""') + '"'
         return s
 
-    lines = [sep.join(out_vars)]
+    lines = [",".join(out_vars)]
     for row in df.collect():
         d = row.asDict()
-        lines.append(sep.join(esc(d[v]) for v in out_vars))
+        lines.append(",".join(esc(d[v]) for v in out_vars))
+    return ("\n".join(lines) + "\n").encode()
+
+
+def _select_tsv(df: DataFrame) -> bytes:
+    """SPARQL 1.1 Query Results TSV: headers are ``?var`` and terms are
+    serialized in Turtle syntax — IRIs in ``<>``, literals quoted with
+    lang/datatype tags, numeric literals bare — so conformant clients keep
+    the IRI/literal distinction (ref: the openrdf SPARQLResultsTSVWriter)."""
+    out_vars = [c for c in df.columns if not c.endswith("__dt")]
+
+    def term(val, dt) -> str:
+        if val is None:
+            return ""
+        s = str(val)
+        if dt == "iri":
+            return f"<{s}>"
+        if dt == "bnode":
+            return s if s.startswith("_:") else f"_:{s}"
+        if dt in ("long", "double", "boolean"):
+            return s  # Turtle short forms are valid TSV terms
+        quoted = (
+            s.replace("\\", "\\\\").replace('"', '\\"')
+            .replace("\t", "\\t").replace("\n", "\\n").replace("\r", "\\r")
+        )
+        if isinstance(dt, str) and dt.startswith("lang:"):
+            return f'"{quoted}"@{dt[5:]}'
+        if dt == "timestamp":
+            return f'"{quoted}"^^<http://www.w3.org/2001/XMLSchema#dateTime>'
+        return f'"{quoted}"'
+
+    lines = ["\t".join("?" + v for v in out_vars)]
+    for row in df.collect():
+        d = row.asDict()
+        lines.append("\t".join(term(d[v], d.get(f"{v}__dt", "string")) for v in out_vars))
     return ("\n".join(lines) + "\n").encode()
 
 
@@ -137,8 +171,8 @@ def _triples_nt(df: DataFrame) -> bytes:
 # valid Turtle, so text/turtle serves the NT serialization under its own
 # content type (the reference's conneg equally defaults Turtle-family
 # output to the simplest member).
-_SELECT_FMTS = {SRJ: (_select_json, SRJ), CSV: (lambda df: _select_csv(df, ","), CSV),
-                TSV: (lambda df: _select_csv(df, "\t"), TSV), SRX: (_select_xml, SRX)}
+_SELECT_FMTS = {SRJ: (_select_json, SRJ), CSV: (_select_csv, CSV),
+                TSV: (_select_tsv, TSV), SRX: (_select_xml, SRX)}
 _GRAPH_FMTS = {NT: (_triples_nt, NT), TTL: (_triples_nt, TTL)}
 
 
@@ -321,7 +355,15 @@ class SparqlEndpoint:
         if ns not in self.namespaces:
             raise KeyError(f"no such namespace: {ns}")
 
-        explain = str(params.get("explain", "")).lower() in ("", "true", "1", "details") and "explain" in params
+        def wants_explain(p: dict) -> bool:
+            # explain present with no value / true / 1 / details ⇒ explain;
+            # an explicit explain=false must NOT explain (same rule for GET
+            # params and POST form fields).
+            return "explain" in p and str(p.get("explain", "")).lower() in (
+                "", "true", "1", "details",
+            )
+
+        explain = wants_explain(params)
         if method == "GET":
             if "ESTCARD" in params:
                 return self.estcard(ns, params)
@@ -329,9 +371,12 @@ class SparqlEndpoint:
         if method == "POST":
             base = ctype.split(";")[0].strip()
             if base == "application/x-www-form-urlencoded":
-                form = {k: v[0] for k, v in parse_qs(body.decode()).items()}
+                form = {
+                    k: v[0]
+                    for k, v in parse_qs(body.decode(), keep_blank_values=True).items()
+                }
                 params = {**params, **form}
-                explain = explain or "explain" in form
+                explain = explain or wants_explain(form)
             elif base == "application/sparql-query":
                 params = {**params, "query": body.decode()}
             elif base == "application/sparql-update":

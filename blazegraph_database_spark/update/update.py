@@ -110,11 +110,19 @@ class UpdatableStore:
         where_plan,
         delete_template: list[tuple] | None = None,
         insert_template: list[tuple] | None = None,
+        with_graph: str | None = None,
     ) -> TripleStore:
         """DELETE { t1 } INSERT { t2 } WHERE { P }: one WHERE evaluation,
         both templates instantiated from the same bindings (ref:
-        DeleteInsertGraph semantics — delete first, then insert)."""
+        DeleteInsertGraph semantics — delete first, then insert).
+
+        On quad stores the templates are graph-aware: an entry's explicit
+        GRAPH wins, else ``with_graph`` (the UPDATE's WITH <g>), else the
+        default graph (g=NULL) — so DELETE/INSERT WHERE no longer touches
+        matching triples in *every* graph (ADVICE r3). The delete is a
+        null-safe anti-join on (s,p,o_lex,o_dt,g)."""
         cur = self.current
+        is_quads = "g" in cur.df.columns
         # dt-tracked bindings: object-var datatypes ride along as `<var>__dt`
         # companions, so instantiated triples carry the bound term's true type
         # and the delete anti-join on (s,p,o_lex,o_dt) matches IRIs and typed
@@ -122,10 +130,23 @@ class UpdatableStore:
         bindings = evaluate(cur.with_dt_tracking(), where_plan)
         df = cur.df
         if delete_template:
-            del_triples = instantiate_template(bindings, delete_template)
-            df = df.join(del_triples.select(*TRIPLE_COLS), on=TRIPLE_COLS, how="left_anti")
+            del_triples = instantiate_template(
+                bindings, delete_template, emit_g=is_quads, target_graph=with_graph
+            )
+            if is_quads:
+                doomed = del_triples.select(*QUAD_COLS).alias("doomed")
+                left = df.alias("cur")
+                cond = None
+                for k in QUAD_COLS:
+                    c = F.col(f"cur.{k}").eqNullSafe(F.col(f"doomed.{k}"))
+                    cond = c if cond is None else cond & c
+                df = left.join(doomed, on=cond, how="left_anti")
+            else:
+                df = df.join(del_triples.select(*TRIPLE_COLS), on=TRIPLE_COLS, how="left_anti")
         if insert_template:
-            ins = instantiate_template(bindings, insert_template)
+            ins = instantiate_template(
+                bindings, insert_template, emit_g=is_quads, target_graph=with_graph
+            )
             df = df.unionByName(ins, allowMissingColumns=True).distinct()
         return self._push(df)
 

@@ -30,6 +30,37 @@ def test_sssp_weighted(spark):
     assert out == {"a": 0.0, "b": 1.0, "c": 2.0, "d": 3.0}
 
 
+def test_functional_sssp_hop_bound(spark):
+    """On a functional chain, max_iters bounds hops exactly as the general
+    Bellman-Ford path does: nodes beyond max_iters hops are unreached
+    (ADVICE r3 — pointer doubling used to overshoot the bound)."""
+    chain = spark.createDataFrame(
+        [("a", "b", 1.0), ("b", "c", 1.0), ("c", "d", 1.0), ("d", "e", 1.0)],
+        "src string, dst string, weight double",
+    )
+    out = {r["node"]: r["dist"] for r in gas.sssp(chain, ["a"], max_iters=2).collect()}
+    assert out == {"a": 0.0, "b": 1.0, "c": 2.0}
+    # general path on the same graph + bound must agree
+    gen = {
+        r["node"]: r["dist"]
+        for r in gas.sssp(chain, ["a"], max_iters=2, functional=False).collect()
+    }
+    assert gen == out
+
+
+def test_bfs_functional_hint_skips_probe(spark, monkeypatch):
+    chain = spark.createDataFrame(
+        [("a", "b"), ("b", "c")], "src string, dst string"
+    )
+
+    def boom(_e):  # pragma: no cover - called only on regression
+        raise AssertionError("probe should be skipped when functional= is given")
+
+    monkeypatch.setattr(gas, "_is_functional", boom)
+    out = {r["node"]: r["depth"] for r in gas.bfs(chain, ["a"], functional=True).collect()}
+    assert out == {"a": 0, "b": 1, "c": 2}
+
+
 def test_cc_two_components(diamond):
     out = {r["node"]: r["comp"] for r in gas.connected_components(diamond).collect()}
     assert out == {"a": "a", "b": "a", "c": "a", "d": "a", "e": "e", "f": "e"}

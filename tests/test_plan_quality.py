@@ -100,3 +100,46 @@ def test_exact_dedup_partial_aggregation(spark):
     plan = plan_of(dedup.exact_dedup(docs), mode="simple")
     assert plan.count("HashAggregate") >= 2, plan
     assert "Exchange hashpartitioning(k#" in plan or "Exchange hashpartitioning" in plan
+
+
+def test_lsh_ann_no_broadcast_above_guard(spark):
+    """lsh_ann_topk must NOT broadcast a large query set (ADVICE r3: the
+    unconditional F.broadcast(q) OOMs on corpus-sized probes) — with the
+    guard told the set is big, the bucket join is a shuffle equi-join."""
+    from blazegraph_database_spark.operators import similarity
+
+    embs = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    big = similarity.lsh_ann_topk(
+        embs, embs, k=2, dim=64, broadcast_queries=False
+    )
+    # no FORCED broadcast hint in the logical plan (Catalyst may still pick a
+    # stats-based broadcast for genuinely small inputs — that's the point:
+    # the decision is size-driven, not hardcoded)
+    plan = plan_of(big, mode="extended")
+    assert "ResolvedHint" not in plan and "UnresolvedHint" not in plan, plan
+    # small query sets keep the forced-broadcast fast path
+    small = similarity.lsh_ann_topk(
+        embs, embs.limit(3), k=2, dim=64, broadcast_queries=True
+    )
+    assert "BroadcastHashJoin" in plan_of(small, mode="simple")
+
+
+def test_ngram_jaccard_caps_hot_shingles(spark):
+    """The shingle self-join must drop document-frequency outliers before
+    joining (a boilerplate shingle shared by 1M docs is a quadratic bomb):
+    the plan carries the df-cap anti-join, and a synthetic hot shingle
+    produces no candidate explosion."""
+    from blazegraph_database_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [(i, "common boiler plate line " + str(i)) for i in range(30)],
+        "doc_id long, text string",
+    )
+    # cap=5: the shared 'common boiler plate'/'boiler plate line' shingles
+    # (df=30) are dropped; per-doc distinct tails survive
+    out = dedup.ngram_jaccard_pairs(docs, threshold=0.01, max_df=5)
+    plan = plan_of(out, mode="simple")
+    assert "LeftAnti" in plan, plan
+    assert out.count() == 0  # without the cap every pair would share 2 shingles
+    uncapped = dedup.ngram_jaccard_pairs(docs, threshold=0.01, max_df=None)
+    assert uncapped.count() == 30 * 29 // 2

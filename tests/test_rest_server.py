@@ -92,9 +92,12 @@ def test_select_result_conneg(server):
     assert status == 200 and ctype == "text/csv"
     lines = body.decode().strip().splitlines()
     assert lines[0] == "x" and "a" in lines and "b" in lines
-    # TSV
+    # TSV — spec: headers are ?var, terms in Turtle syntax (quoted literals)
     _, ctype, body = _req(f"{server}/sparql?query={q}", accept="text/tab-separated-values")
     assert ctype == "text/tab-separated-values"
+    tsv_lines = body.decode().strip().splitlines()
+    assert tsv_lines[0] == "?x"
+    assert '"a"' in tsv_lines and '"b"' in tsv_lines
     # XML results
     _, ctype, body = _req(f"{server}/sparql?query={q}", accept="application/sparql-results+xml")
     assert ctype == "application/sparql-results+xml"
@@ -117,6 +120,24 @@ def test_explain_param(server):
     status, ctype, body = _req(f"{server}/sparql?query={q}&explain")
     assert status == 200 and ctype == "text/plain"
     assert b"Physical Plan" in body
+    # explain=false must NOT explain (GET)
+    status, ctype, _ = _req(f"{server}/sparql?query={q}&explain=false")
+    assert status == 200 and ctype == "application/sparql-results+json"
+
+
+def test_explain_form_post(server):
+    # POST form: bare `explain` key explains; explain=false does not (ADVICE r3)
+    sel = "SELECT ?x WHERE { ?x <rdf:type> <Person> }"
+    form = urllib.parse.urlencode({"query": sel, "explain": ""}).encode()
+    status, ctype, body = _req(
+        f"{server}/sparql", "POST", form, "application/x-www-form-urlencoded"
+    )
+    assert status == 200 and ctype == "text/plain" and b"Physical Plan" in body
+    form = urllib.parse.urlencode({"query": sel, "explain": "false"}).encode()
+    status, ctype, _ = _req(
+        f"{server}/sparql", "POST", form, "application/x-www-form-urlencoded"
+    )
+    assert status == 200 and ctype == "application/sparql-results+json"
 
 
 def test_get_describe_where(server):

@@ -215,6 +215,32 @@ def test_query_hints_parse_and_apply(tiny_store):
     assert rows == {("a", "Alice"), ("b", "Bob"), ("c", "Carol")}
 
 
+def test_query_hints_declared_prefix(tiny_store):
+    """A conformant query that declares PREFIX hint: <queryHints#> expands the
+    hint terms to full IRIs — they must still be recognized and stripped, not
+    left in the BGP as never-matching patterns (ADVICE r3)."""
+    from blazegraph_database_spark.plans import algebra as A
+    from blazegraph_database_spark.plans.sparql_parser import parse_sparql_select
+
+    q = """
+    PREFIX hint: <http://www.bigdata.com/queryHints#>
+    SELECT ?x ?n WHERE {
+      hint:Query hint:optimizer "None" .
+      ?x <knows> ?y .
+      hint:Prior hint:runLast "true" .
+      ?x <name> ?n .
+    }
+    """
+    plan = parse_sparql_select(q)
+    bgp = plan.child
+    assert isinstance(bgp, A.BGP)
+    assert len(bgp.patterns) == 2
+    assert bgp.hints["optimizer"] == "None"
+    assert bgp.hints["run_last"] == frozenset({0})
+    rows = {(r["x"], r["n"]) for r in run(tiny_store, q).collect()}
+    assert rows == {("a", "Alice"), ("b", "Bob"), ("c", "Carol")}
+
+
 def test_describe_form(tiny_store):
     from blazegraph_database_spark.plans.sparql_parser import run_sparql
 

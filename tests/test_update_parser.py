@@ -82,6 +82,31 @@ def test_copy_move_default_graph(spark, us):
     assert us.current.df.filter(F.col("g").isNull()).count() == 1
 
 
+def test_with_graph_modify_scopes_to_graph(spark, us):
+    # WITH <g1>: WHERE, DELETE and INSERT all scoped to g1 (ADVICE r3 — the
+    # delete previously anti-joined on (s,p,o) only, hitting every graph).
+    apply_update(
+        us,
+        "WITH <g1> DELETE { ?s <name> ?o } INSERT { ?s <nick> ?o } WHERE { ?s <name> ?o }",
+    )
+    df = us.current.df
+    assert df.filter((F.col("g") == "g2") & (F.col("p") == "name")).count() == 1
+    assert df.filter((F.col("g") == "g1") & (F.col("p") == "name")).count() == 0
+    ins = df.filter(F.col("p") == "nick").collect()
+    assert len(ins) == 1 and ins[0]["g"] == "g1" and ins[0]["o_lex"] == "Bob"
+
+
+def test_delete_where_on_quads_targets_default_graph(spark, us):
+    # bare (non-GRAPH) DELETE templates refer to the default graph on a quad
+    # store; named-graph rows with the same (s,p,o) must survive.
+    apply_update(us, 'INSERT DATA { <b> <name> "Bob" }')  # default-graph twin of g1's row
+    apply_update(us, "DELETE WHERE { ?s <name> ?o }")
+    df = us.current.df
+    assert df.filter(F.col("g").isNull()).count() == 0
+    assert df.filter((F.col("g") == "g1") & (F.col("p") == "name")).count() == 1
+    assert df.filter((F.col("g") == "g2") & (F.col("p") == "name")).count() == 1
+
+
 def test_data_block_rejects_variables():
     with pytest.raises(SyntaxError):
         parse_update("INSERT DATA { ?s <p> <o> }")
