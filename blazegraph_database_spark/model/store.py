@@ -67,6 +67,10 @@ class TripleStore:
         # object-position variables so CONSTRUCT/UPDATE preserve term type
         # (ref keeps IV type through construct; see ADVICE round 1).
         self.track_dt = False
+        # Vars the compiler binds as 64-bit term ids (`<var>__id`) instead of
+        # lexical strings — set per-query by plans/compiler.evaluate (the
+        # TERM2ID join discipline; ref: lexicon/LexiconRelation.java).
+        self.id_join_vars: frozenset = frozenset()
         # FROM / FROM NAMED scoping (None = no dataset declared)
         self.dataset_default: tuple | None = None
         self.dataset_named: tuple | None = None
@@ -78,6 +82,14 @@ class TripleStore:
 
         out = copy.copy(self)
         out.track_dt = True
+        return out
+
+    def with_id_join_vars(self, id_vars: frozenset) -> "TripleStore":
+        """Shallow view whose pattern compiler binds these vars as term ids."""
+        import copy
+
+        out = copy.copy(self)
+        out.id_join_vars = frozenset(id_vars)
         return out
 
     def with_dataset(self, default: tuple = (), named: tuple = ()) -> "TripleStore":
@@ -166,4 +178,7 @@ class TripleStore:
             raise ValueError("store has no graph column")
         out = TripleStore(self.df.filter(F.col("g") == g).drop("g"))
         out.track_dt = self.track_dt
+        # id-join classification must survive graph scoping: a var bound as
+        # an id inside GRAPH and as a string outside would never join
+        out.id_join_vars = self.id_join_vars
         return out

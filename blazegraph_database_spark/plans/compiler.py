@@ -7,13 +7,18 @@ reference uses B+Tree range counts the same way), broadcast small pattern
 inputs, and hand the rest to Catalyst/AQE.
 
 Scale notes (100 TB): every pattern compiles to scan→filter(p=const)→project,
-which parquet partition-pruning turns into a single-predicate read; joins are
-on string keys here (long-id variant via model/dictionary.py); broadcast
-thresholds keep dimension-like predicates (region/nation) out of shuffles.
+which parquet partition-pruning turns into a single-predicate read; pure join
+variables ride the shuffles as 64-bit term ids (``_id_join_vars`` — the
+lexicon/TERM2ID analog; ref: LexiconRelation.java — the reference never joins
+on lexical strings), value-bearing variables carry their lexical form inline
+(the inline-IV analog), and broadcast thresholds keep dimension-like
+predicates (region/nation) out of shuffles.
 """
 
 from __future__ import annotations
 
+import re
+from collections import Counter
 from functools import singledispatch
 
 from pyspark.sql import Column, DataFrame
@@ -27,8 +32,187 @@ BROADCAST_MAX_ROWS = 3_000_000  # est rows under which a pattern side is broadca
 
 
 def evaluate(store: TripleStore, node) -> DataFrame:
-    """Compile an algebra node over a store to a DataFrame of bindings."""
+    """Compile an algebra node over a store to a DataFrame of bindings.
+
+    Before compiling, classify which variables can ride joins as 64-bit
+    term ids instead of lexical strings (see :func:`_id_join_vars`); the
+    pattern compiler then emits ``<var>__id = xxhash64(lex)`` columns for
+    those, so every BGP/OPTIONAL/MINUS/EXISTS join on them shuffles 8-byte
+    longs, not IRIs — the reference's dictionary-encoded join discipline
+    (ref: lexicon/LexiconRelation.java TERM2ID), with decode-at-projection
+    implicit: output variables always keep their lexical column.
+    """
+    id_vars = _id_join_vars(node)
+    if id_vars:
+        store = store.with_id_join_vars(id_vars)
     return _compile(node, store)
+
+
+# ------------------------------------------------------- id-join planning --
+def term_id(col: Column) -> Column:
+    """64-bit term id: xxhash64 of the lexical form (TERM2ID analog).
+
+    Hashing only the lexical form makes id-equality coincide exactly with
+    the value path's string-join semantics (two bindings join iff their
+    lexical forms are equal), so flipping a var between id and value mode
+    can never change results — modulo the ~2^-64/pair collision odds
+    documented in model/dictionary.py.
+    """
+    return F.xxhash64(col)
+
+
+def _all_sp_vars(n) -> set[str]:
+    """Every var name appearing anywhere in a pattern subtree."""
+    out: set[str] = set()
+
+    def walk(x):
+        if isinstance(x, A.SP):
+            out.update(_vars_of(x))
+        elif isinstance(x, A.PathPattern):
+            for pos in (x.s, x.o, x.g):
+                if isinstance(pos, Var):
+                    out.add(pos.name)
+        elif isinstance(x, A.BGP):
+            for sp in x.patterns:
+                walk(sp)
+        else:
+            for attr in ("child", "pattern", "left", "right"):
+                c = getattr(x, attr, None)
+                if c is not None and not isinstance(c, (str, Column)):
+                    walk(c)
+
+    walk(n)
+    return out
+
+
+def _id_join_vars(root) -> frozenset[str]:
+    """Vars that can ride joins as 64-bit term ids instead of lexical strings.
+
+    A var qualifies iff every one of these holds:
+
+    * the query's output surface is known (the plan spine reaches a Project
+      or Group — raw pattern evaluations keep lexical bindings);
+    * it is bound only by plain triple patterns — never by property paths,
+      VALUES, BIND, INCLUDE, SERVICE, RDF-star embedded terms, or a GRAPH
+      position (those operators produce/consume lexical bindings);
+    * it occurs in >= 2 patterns, i.e. it is genuinely a join key;
+    * its value is never used: not projected, grouped, ordered, aggregated,
+      or referenced by any filter/expression. Expression references are
+      detected by a word-boundary scan of the Column's string form — a
+      false positive only costs the optimization, never correctness.
+
+    This is the compile-time equivalent of the reference's rule that all
+    intermediate solutions hold IVs and the lexicon materializes values
+    only at projection/expression boundaries.
+    """
+    occurrences: Counter = Counter()
+    needed: set[str] = set()
+    opaque: list[str] = []
+    state = {"bail": False}
+
+    def note_opaque(e) -> None:
+        try:
+            opaque.append(str(e))
+        except Exception:  # pragma: no cover - repr failure → give up safely
+            state["bail"] = True
+
+    def walk(n) -> None:
+        if state["bail"]:
+            return
+        if isinstance(n, A.SP):
+            if isinstance(n.s, A.Emb) or isinstance(n.o, A.Emb):
+                needed.update(_vars_of(n))  # sid joins are lexical
+                return
+            for pos, in_g in ((n.s, False), (n.p, False), (n.o, False), (n.g, True)):
+                if isinstance(pos, Var):
+                    occurrences[pos.name] += 1
+                    if in_g:
+                        needed.add(pos.name)
+            return
+        if isinstance(n, A.BGP):
+            for sp in n.patterns:
+                walk(sp)
+        elif isinstance(n, (A.Join, A.Union2, A.Minus)):
+            walk(n.left)
+            walk(n.right)
+        elif isinstance(n, A.LeftJoin):
+            walk(n.left)
+            walk(n.right)
+            if n.condition is not None:
+                note_opaque(n.condition)
+        elif isinstance(n, A.Filter):
+            note_opaque(n.condition)
+            walk(n.child)
+        elif isinstance(n, A.Extend):
+            needed.add(n.var)
+            note_opaque(n.expr)
+            walk(n.child)
+        elif isinstance(n, A.Values):
+            for row in n.rows:
+                needed.update(row.keys())
+            if n.child is not None:
+                walk(n.child)
+        elif isinstance(n, A.Exists):
+            walk(n.child)
+            walk(n.pattern)
+        elif isinstance(n, A.Project):
+            needed.update(n.vars)
+            walk(n.child)
+        elif isinstance(n, (A.Distinct, A.Slice, A.Dataset)):
+            walk(n.child)
+        elif isinstance(n, A.OrderBy):
+            for key, _asc in n.keys:
+                if isinstance(key, str):
+                    needed.add(key)
+                else:
+                    note_opaque(key)
+            walk(n.child)
+        elif isinstance(n, A.Group):
+            for k in n.keys:
+                if isinstance(k, str):
+                    needed.add(k)
+                else:
+                    note_opaque(k)
+            for _name, e in n.aggs:
+                note_opaque(e)
+            if n.having is not None:
+                note_opaque(n.having)
+            walk(n.child)
+        elif isinstance(n, A.GraphScope):
+            if isinstance(n.g, Var):
+                needed.add(n.g.name)
+            walk(n.child)
+        elif isinstance(n, A.WithNamed):
+            for plan in n.named.values():
+                walk(plan)
+            walk(n.child)
+        elif isinstance(n, A.NamedInclude):
+            pass  # joins against a materialized lexical solution set
+        elif isinstance(n, (A.Service, A.PathPattern)):
+            needed.update(_all_sp_vars(n))  # these emit lexical bindings
+        else:
+            state["bail"] = True
+
+    # the output surface must be knowable: a Project or Group on the spine
+    spine = root
+    while isinstance(spine, (A.Slice, A.OrderBy, A.Distinct, A.Dataset, A.WithNamed)):
+        spine = spine.child
+    if not isinstance(spine, (A.Project, A.Group)):
+        return frozenset()
+    walk(root)
+    if state["bail"]:
+        return frozenset()
+    cands = {v for v, c in occurrences.items() if c >= 2 and v not in needed}
+    if not cands:
+        return frozenset()
+    out = set()
+    for v in cands:
+        # matches `v`, `v__dt`, `v__id` as expression tokens; `_` continues a
+        # word so the explicit alternative covers the companion suffixes
+        rx = re.compile(r"\b" + re.escape(v) + r"(\b|_)")
+        if not any(rx.search(s) for s in opaque):
+            out.add(v)
+    return frozenset(out)
 
 
 # ---------------------------------------------------------------- patterns --
@@ -114,10 +298,16 @@ def _pattern_df(sp: A.SP, store: TripleStore) -> DataFrame:
     for c in conds:
         df = df.filter(c)
     sel, seen = [], {}
+    id_vars = getattr(store, "id_join_vars", frozenset())
     for col, pos in (("s", sp.s), ("p", sp.p), ("o_lex", sp.o), ("g", sp.g)):
         if isinstance(pos, Var):
             if pos.name in seen:  # repeated var within one pattern: equality filter
                 df = df.filter(F.col(col) == F.col(seen[pos.name]))
+            elif pos.name in id_vars:
+                # pure join key: bind the 64-bit term id, never the string —
+                # downstream joins shuffle longs (TERM2ID discipline)
+                seen[pos.name] = col
+                sel.append(term_id(F.col(col)).alias(f"{pos.name}__id"))
             else:
                 seen[pos.name] = col
                 sel.append(F.col(col).alias(pos.name))
@@ -195,13 +385,21 @@ def _star_fuse(patterns: list, store: TripleStore):
         df = store.star_factory(preds)
         if df is None:
             continue
-        sel = [F.col("s").alias(svar)] + [
-            F.col(p).alias(patterns[i].o.name) for p, i in zip(preds, uniq)
+        id_vars = getattr(store, "id_join_vars", frozenset())
+
+        def var_col(col: F.Column, vname: str) -> F.Column:
+            if vname in id_vars:
+                return term_id(col).alias(f"{vname}__id")
+            return col.alias(vname)
+
+        sel = [var_col(F.col("s"), svar)] + [
+            var_col(F.col(p), patterns[i].o.name) for p, i in zip(preds, uniq)
         ]
         if store.track_dt:
             sel += [
                 F.lit(store.pred_dt[p]).alias(f"{patterns[i].o.name}__dt")
                 for p, i in zip(preds, uniq)
+                if patterns[i].o.name not in id_vars
             ]
         ests = [float(stats[p].count) for p in preds if p in stats]
         est = max(ests) if ests else float("inf")
