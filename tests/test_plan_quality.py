@@ -102,6 +102,49 @@ def test_exact_dedup_partial_aggregation(spark):
     assert "Exchange hashpartitioning(k#" in plan or "Exchange hashpartitioning" in plan
 
 
+def test_bgp_joins_on_long_term_ids(spark):
+    """Pure join vars must ride joins as 64-bit term ids (the TERM2ID
+    discipline): the flagship star/chain BGP's join keys are `<var>__id`
+    longs computed at the scan, and no lexical IRI column crosses a join."""
+    from blazegraph_database_spark import queries_core
+
+    df = queries_core.bgp_join_agg(spark, SF_DIR)
+    plan = plan_of(df, mode="simple")
+    joins = [l for l in plan.splitlines() if "HashJoin" in l or "SortMergeJoin" in l]
+    assert joins, plan
+    for l in joins:  # every join keys on an __id long, never a lexical var
+        assert "__id#" in l, l
+    assert "xxhash64" in plan  # ids computed at the scan, not post-shuffle
+    # results stay the value-path answer
+    rows = {r["nname"]: r["n_orders"] for r in df.collect()}
+    assert rows and all(n > 0 for n in rows.values())
+
+
+def test_id_join_classification_is_conservative(spark):
+    """A var referenced by a filter expression must stay lexical even when it
+    is also a join key; vars bound by paths/VALUES never get ids."""
+    from blazegraph_database_spark.plans.compiler import _id_join_vars
+
+    plan = A.Project(
+        A.Filter(
+            F.col("c").startswith("customer:1"),
+            A.BGP(
+                [
+                    A.SP(V("o"), "orders#o_custkey_ref", V("c")),
+                    A.SP(V("c"), "customer#c_nationkey_ref", V("n")),
+                    A.SP(V("n"), "nation#n_name", V("nm")),
+                ]
+            ),
+        ),
+        ["nm"],
+    )
+    ids = _id_join_vars(plan)
+    assert "c" not in ids  # filtered on → value needed
+    assert "n" in ids  # pure join key
+    # no Project/Group root → no ids at all (output surface unknown)
+    assert _id_join_vars(plan.child) == frozenset()
+
+
 def test_lsh_ann_no_broadcast_above_guard(spark):
     """lsh_ann_topk must NOT broadcast a large query set (ADVICE r3: the
     unconditional F.broadcast(q) OOMs on corpus-sized probes) — with the
