@@ -316,6 +316,113 @@ def transitive_property_closure(df: DataFrame) -> DataFrame:
     return out.distinct()
 
 
+# Schema predicates whose triples feed rule premises as broadcast sides; a
+# delta touching any of these invalidates the closed schema and forces the
+# full-recompute path in truth maintenance.
+SCHEMA_PREDS = (RDFS_SUBCLASS, RDFS_SUBPROP, RDFS_DOMAIN, RDFS_RANGE, OWL_EQCLASS, OWL_EQPROP)
+
+
+def _schema_sides(closed: DataFrame):
+    """Broadcast-ready schema edge sets pulled from an ALREADY-CLOSED store:
+    subPropertyOf/subClassOf come back transitively closed and eq-folded
+    (rdfs_closure_pass materialized their closures as triples), so delta
+    rule firing needs no transitive_closure recompute."""
+    return (
+        _edges(closed, RDFS_SUBPROP),
+        _edges(closed, RDFS_DOMAIN),
+        _edges(closed, RDFS_RANGE),
+        _edges(closed, RDFS_SUBCLASS),
+    )
+
+
+def _fire_data_rules(delta: DataFrame, subprop, dom, rng, subclass) -> DataFrame:
+    """All inferences whose DATA premise is a `delta` row (schema premises
+    broadcast). Every RDFS rule has exactly one data premise and the schema
+    sides are pre-closed, so one stratified firing (rdfs7 → rdfs2/3 → rdfs9)
+    is complete — the same argument as rdfs_closure_pass, restricted to the
+    delta. Cost: delta-sized joins only; the corpus is never touched."""
+    inf7 = delta.join(F.broadcast(subprop), delta["p"] == subprop["src"]).select(
+        "s", F.col("dst").alias("p"), "o_lex", "o_dt"
+    )
+    data = delta.unionByName(inf7)
+    inf2 = data.join(F.broadcast(dom), data["p"] == dom["src"]).select(
+        "s", F.lit(RDF_TYPE).alias("p"), F.col("dst").alias("o_lex"), F.lit("iri").alias("o_dt")
+    )
+    inf3 = (
+        data.filter(F.col("o_dt") == "iri")
+        .join(F.broadcast(rng), data["p"] == rng["src"])
+        .select(
+            F.col("o_lex").alias("s"), F.lit(RDF_TYPE).alias("p"),
+            F.col("dst").alias("o_lex"), F.lit("iri").alias("o_dt"),
+        )
+    )
+    types = data.filter(F.col("p") == RDF_TYPE).unionByName(inf2).unionByName(inf3)
+    inf9 = types.join(F.broadcast(subclass), types["o_lex"] == subclass["src"]).select(
+        "s", F.lit(RDF_TYPE).alias("p"), F.col("dst").alias("o_lex"), F.lit("iri").alias("o_dt")
+    )
+    return inf7.unionByName(inf2).unionByName(inf3).unionByName(inf9).distinct()
+
+
+def delta_assert(closed: DataFrame, delta: DataFrame) -> DataFrame:
+    """Incremental closure on data-triple insert (ref: TruthMaintenance.java
+    assertAll — forward-chain the focus store against the database): the new
+    closure is closed ∪ Δ ∪ fire(Δ). Complete because every RDFS rule has
+    one data premise; cost is Δ-sized joins plus the union, no corpus scan."""
+    inferred = _fire_data_rules(delta, *_schema_sides(closed))
+    return closed.unionByName(delta).unionByName(inferred).distinct()
+
+
+def dred_retract(closed: DataFrame, explicit_new: DataFrame, delta: DataFrame) -> DataFrame:
+    """Truth maintenance on data-triple retraction via delete/re-derive
+    (DRed; ref: TruthMaintenance.java retractAll, which likewise
+    forward-chains the focus store to find dependents and re-proves
+    survivors against the remaining database).
+
+    1. Overestimate: suspects = Δ ∪ fire(Δ) minus the remaining explicit
+       set — everything whose derivation may have used a retracted row
+       (Δ-sized joins, broadcast schema).
+    2. Delete: candidate = closed ∖ suspects.
+    3. Re-derive: restrict candidate to rows that could be a premise of a
+       suspect head (one broadcast semi-join scan — suspect subjects are
+       few), fire the rules, keep heads that land in the suspect set; loop
+       on the re-derived delta (Δ-sized) until empty. Survivors rejoin.
+
+    Total cost: one scan of the closed store (the anti-join + premise
+    restriction) plus Δ-sized rule joins — never a closure recompute.
+    """
+    sides = _schema_sides(closed)
+    delta = delta.select("s", "p", "o_lex", "o_dt")
+    suspects = _chk(
+        delta.unionByName(_fire_data_rules(delta, *sides))
+        .distinct()
+        .join(explicit_new, on=["s", "p", "o_lex", "o_dt"], how="left_anti")
+    )
+    candidate = _chk(closed.join(suspects, on=["s", "p", "o_lex", "o_dt"], how="left_anti"))
+    # premise restriction: every rule head's subject is the premise row's s
+    # (rdfs7/2/9) or o_lex (rdfs3), so premises of suspect heads lie in rows
+    # whose s or o_lex is a suspect subject
+    keys = suspects.select("s").distinct()
+    pool = _chk(
+        candidate.join(F.broadcast(keys), on="s", how="left_semi").unionByName(
+            candidate.join(
+                F.broadcast(keys.select(F.col("s").alias("o_lex"))), on="o_lex", how="left_semi"
+            )
+        ).distinct()
+    )
+    rederived = None
+    remaining = suspects
+    for _ in range(4):  # strata depth bounds the cascade (7 → 2/3 → 9)
+        fired = _fire_data_rules(pool, *sides)
+        won = _chk(fired.join(remaining, on=["s", "p", "o_lex", "o_dt"], how="left_semi"))
+        if won.isEmpty():
+            break
+        rederived = won if rederived is None else rederived.unionByName(won).distinct()
+        remaining = remaining.join(won, on=["s", "p", "o_lex", "o_dt"], how="left_anti")
+        pool = won  # later rounds fire only from the re-derived delta
+    out = candidate if rederived is None else candidate.unionByName(rederived).distinct()
+    return out
+
+
 def same_as_components(df: DataFrame) -> DataFrame:
     """(node, canon): owl:sameAs equivalence classes via min-label connected
     components (reuses the GAS CC kernel)."""

@@ -65,6 +65,10 @@ class UpdatableStore:
     # explicit (asserted) triples for closure truth maintenance; None until
     # the first *_with_closure call seeds it from the current store
     _explicit: DataFrame | None = None
+    # True once the current version IS the closure of _explicit — the
+    # precondition for the delta maintenance paths (delta_assert /
+    # dred_retract); the first *_with_closure call closes from scratch
+    _closed_valid: bool = False
 
     @classmethod
     def from_store(cls, store: TripleStore) -> "UpdatableStore":
@@ -212,39 +216,55 @@ class UpdatableStore:
         return UpdatableStore.from_store(TripleStore(spark.read.parquet(path)))
 
     # ---------------------------------------------------------- closure --
-    def insert_with_closure(self, triples: DataFrame) -> TripleStore:
-        """Incremental RDFS maintenance: close (current ∪ delta) seeded from
-        the delta — the delta re-fires every rule whose body it can touch;
-        schema joins stay broadcast so the pass cost is one delta scan plus
-        one data scan for the rdfs7/9 re-fires (ref: TruthMaintenance.java
-        assertAll path). Tracks the explicit (asserted) set so retraction
-        can recompute exactly."""
-        from blazegraph_database_spark.inference.rdfs import rdfs_closure
+    def _touches_schema(self, triples: DataFrame) -> bool:
+        from blazegraph_database_spark.inference.rdfs import SCHEMA_PREDS
 
+        return bool(triples.filter(F.col("p").isin(*SCHEMA_PREDS)).take(1))
+
+    def insert_with_closure(self, triples: DataFrame) -> TripleStore:
+        """Incremental RDFS maintenance on insert (ref: TruthMaintenance.java
+        assertAll): data-only deltas forward-chain against the closed store —
+        Δ-sized joins with broadcast schema, no corpus scan (delta_assert).
+        Schema deltas (or the first call, before a closure exists) recompute
+        the closure from the explicit set. Tracks the explicit (asserted)
+        set so retraction can compensate exactly."""
+        from blazegraph_database_spark.inference.rdfs import delta_assert, rdfs_closure
+
+        delta = triples.select(*TRIPLE_COLS)
         explicit = (
             (self._explicit if self._explicit is not None else self.current.df)
-            .unionByName(triples.select(*TRIPLE_COLS), allowMissingColumns=True)
+            .unionByName(delta, allowMissingColumns=True)
             .distinct()
             .localCheckpoint(eager=False)
         )
         self._explicit = explicit
-        closed = rdfs_closure(TripleStore(explicit))
-        return self._push(closed.df)
+        if self._closed_valid and not self._touches_schema(delta):
+            closed_df = delta_assert(self.current.df.select(*TRIPLE_COLS), delta)
+        else:
+            closed_df = rdfs_closure(TripleStore(explicit)).df
+        self._closed_valid = True
+        return self._push(closed_df)
 
     def delete_with_closure(self, triples: DataFrame) -> TripleStore:
         """Truth maintenance on retraction (ref: TruthMaintenance.java
-        retractAll): remove the asserted triples from the EXPLICIT set and
-        recompute the closure — inferences no longer derivable disappear,
-        inferences still derivable from other support survive.
-        Recompute-from-explicit gives the exact DRed result in one batch
-        pass; at 100 TB one would keep per-triple support counts instead,
-        but the explicit set is the durable artifact either way."""
-        from blazegraph_database_spark.inference.rdfs import rdfs_closure
+        retractAll): remove the asserted triples from the EXPLICIT set;
+        inferences no longer derivable disappear, inferences still derivable
+        from other support survive. Data-only deltas run delete/re-derive
+        (inference.rdfs.dred_retract): Δ-sized rule joins plus ONE scan of
+        the closed store — delete cost scales with the delta, not with a
+        closure recompute. Schema deltas (rare, and schema-sized) fall back
+        to recompute-from-explicit."""
+        from blazegraph_database_spark.inference.rdfs import dred_retract, rdfs_closure
 
+        delta = triples.select(*TRIPLE_COLS)
         explicit = self._explicit if self._explicit is not None else self.current.df
         explicit = explicit.join(
-            F.broadcast(triples.select(*TRIPLE_COLS)), on=TRIPLE_COLS, how="left_anti"
+            F.broadcast(delta), on=TRIPLE_COLS, how="left_anti"
         ).localCheckpoint(eager=False)
         self._explicit = explicit
-        closed = rdfs_closure(TripleStore(explicit))
-        return self._push(closed.df)
+        if self._closed_valid and not self._touches_schema(delta):
+            closed_df = dred_retract(self.current.df.select(*TRIPLE_COLS), explicit, delta)
+        else:
+            closed_df = rdfs_closure(TripleStore(explicit)).df
+        self._closed_valid = True
+        return self._push(closed_df)

@@ -159,3 +159,89 @@ def test_insert_with_closure(spark):
     st.insert_with_closure(_store(spark, [("rex", "rdf:type", "Dog", "iri")]).df)
     rows = {(r["s"], r["p"], r["o_lex"]) for r in st.current.df.collect()}
     assert ("rex", "rdf:type", "Animal") in rows
+
+
+def _closure_set(df):
+    return {(r["s"], r["p"], r["o_lex"]) for r in df.collect()}
+
+
+def test_delete_with_closure_matches_full_recompute(spark, onto):
+    """DRed retraction must equal recompute-from-explicit for every delete
+    shape: sole support (inference dies), alternative explicit support
+    (inference survives), and re-derivable-as-inference deletes."""
+    cases = [
+        [("ann", "hasPet", "rex", "iri")],          # kills likes/knowsOf/Person/rdfs3-Animal
+        [("rex", "rdf:type", "Dog", "iri")],        # Mammal/Animal types survive via rdfs3? no — die
+        [("ann", "hasPet", "rex", "iri"), ("rex", "rdf:type", "Dog", "iri")],
+    ]
+    for doomed in cases:
+        st = UpdatableStore.from_store(TripleStore(onto.df))
+        st.insert_with_closure(_store(spark, []).df)  # initial full closure
+        st.delete_with_closure(_store(spark, doomed).df)
+        got = _closure_set(st.current.df)
+        want = _closure_set(rdfs.rdfs_closure(TripleStore(st._explicit)).df)
+        assert got == want, (doomed, got ^ want)
+
+
+def test_delete_with_closure_alternative_support_survives(spark):
+    """An inference with a second, surviving derivation must NOT be
+    retracted (the DRed re-derive step)."""
+    st = UpdatableStore.from_store(
+        _store(
+            spark,
+            [
+                ("Dog", "rdfs:subClassOf", "Animal", "iri"),
+                ("Cat", "rdfs:subClassOf", "Animal", "iri"),
+                ("rex", "rdf:type", "Dog", "iri"),
+                ("rex", "rdf:type", "Cat", "iri"),  # second support for (rex type Animal)
+            ],
+        )
+    )
+    st.insert_with_closure(_store(spark, []).df)
+    st.delete_with_closure(_store(spark, [("rex", "rdf:type", "Dog", "iri")]).df)
+    rows = _closure_set(st.current.df)
+    assert ("rex", "rdf:type", "Dog") not in rows
+    assert ("rex", "rdf:type", "Cat") in rows
+    assert ("rex", "rdf:type", "Animal") in rows  # re-derived from Cat
+
+
+def test_delete_with_closure_rederives_deleted_explicit(spark):
+    """Deleting an explicit triple that is still derivable as an inference
+    keeps it in the closure (it merely stops being asserted)."""
+    st = UpdatableStore.from_store(
+        _store(
+            spark,
+            [
+                ("hasPet", "rdfs:subPropertyOf", "likes", "iri"),
+                ("ann", "hasPet", "rex", "iri"),
+                ("ann", "likes", "rex", "iri"),  # also explicitly asserted
+            ],
+        )
+    )
+    st.insert_with_closure(_store(spark, []).df)
+    st.delete_with_closure(_store(spark, [("ann", "likes", "rex", "iri")]).df)
+    rows = _closure_set(st.current.df)
+    assert ("ann", "likes", "rex") in rows  # survives as an inference
+    st.delete_with_closure(_store(spark, [("ann", "hasPet", "rex", "iri")]).df)
+    rows = _closure_set(st.current.df)
+    assert ("ann", "likes", "rex") not in rows  # last support gone
+
+
+def test_data_delete_never_recomputes_closure(spark, onto, monkeypatch):
+    """The cost contract: once a closure exists, data-only deltas must go
+    through delta maintenance — rdfs_closure (the full recompute) must not
+    run (VERDICT r3: delete cost scales with the delta, not the corpus)."""
+    st = UpdatableStore.from_store(TripleStore(onto.df))
+    st.insert_with_closure(_store(spark, []).df)  # seeds + closes (full, once)
+
+    def boom(*a, **k):  # pragma: no cover - called only on regression
+        raise AssertionError("full closure recompute on a data-only delta")
+
+    monkeypatch.setattr(rdfs, "rdfs_closure", boom)
+    st.insert_with_closure(_store(spark, [("bob", "hasPet", "felix", "iri")]).df)
+    assert ("bob", "rdf:type", "Person") in _closure_set(st.current.df)
+    st.delete_with_closure(_store(spark, [("bob", "hasPet", "felix", "iri")]).df)
+    assert ("bob", "rdf:type", "Person") not in _closure_set(st.current.df)
+    # schema deltas DO recompute (and must hit the boom)
+    with pytest.raises(AssertionError):
+        st.delete_with_closure(_store(spark, [("Dog", "rdfs:subClassOf", "Mammal", "iri")]).df)
