@@ -86,6 +86,60 @@ def in_rectangle(
     )
 
 
+def zorder3_key(
+    lat: Column,
+    lon: Column,
+    ts_epoch: Column,
+    t_lo: int,
+    t_hi: int,
+    bits: int = 8,
+) -> Column:
+    """3-dimensional Morton interleave of quantized (lat, lon, time) — the
+    Spark analog of the reference's configurable multi-dimensional
+    geospatial datatypes (ref: service/geospatial/GeoSpatialConfig.java:52,
+    whose lat+lon+time datatype keys the index on exactly this interleave).
+
+    ``ts_epoch`` is epoch seconds; [t_lo, t_hi] is the quantization range
+    (the reference likewise fixes a per-datatype value range). Bit layout:
+    lat stripes 3i, lon 3i+1, time 3i+2 — a write-time sort on this key
+    gives parquet row groups min/max locality in all three dimensions.
+    """
+    qlat = quantize(lat, -90.0, 90.0, bits)
+    qlon = quantize(lon, -180.0, 180.0, bits)
+    qt = quantize(ts_epoch.cast("double"), float(t_lo), float(t_hi), bits)
+    key = F.lit(0).cast("long")
+    for i in range(bits):
+        key = (
+            key.bitwiseXOR(F.shiftleft(F.shiftright(qlat, i).bitwiseAND(F.lit(1)), 3 * i))
+            .bitwiseXOR(F.shiftleft(F.shiftright(qlon, i).bitwiseAND(F.lit(1)), 3 * i + 1))
+            .bitwiseXOR(F.shiftleft(F.shiftright(qt, i).bitwiseAND(F.lit(1)), 3 * i + 2))
+        )
+    return key
+
+
+def in_rectangle_time(
+    df: DataFrame,
+    lat0: float,
+    lat1: float,
+    lon0: float,
+    lon1: float,
+    t0: str,
+    t1: str,
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    ts_col: str = "ts",
+    cell_deg: float = 10.0,
+) -> DataFrame:
+    """Rows inside [lat0,lat1]x[lon0,lon1] with ts in [t0, t1] — the
+    reference's lat+lon+time range query (GeoSpatialQuery with a time
+    dimension). Spatial cell prefilter prunes partitions; the timestamp
+    range predicate is a plain column compare, so on a ts-partitioned or
+    z3-sorted store it reaches the parquet reader as a pushed filter."""
+    boxed = in_rectangle(df, lat0, lat1, lon0, lon1, lat_col, lon_col, cell_deg)
+    ts = F.col(ts_col)
+    return boxed.filter((ts >= F.lit(t0).cast("timestamp")) & (ts <= F.lit(t1).cast("timestamp")))
+
+
 def haversine_km(lat1: Column, lon1: Column, lat2: Column, lon2: Column) -> Column:
     rl1, rl2 = F.radians(lat1), F.radians(lat2)
     dlat = F.radians(lat2 - lat1) / 2

@@ -193,6 +193,87 @@ def geo_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "geo_rect_time",
+    _GEO_CTE
+    + """
+    SELECT p.event_id, lat, lon, e.ts
+    FROM pts p JOIN events e ON p.event_id = e.event_id
+    WHERE lat >= 0 AND lat <= 30 AND lon >= 0 AND lon <= 40
+      AND e.ts >= TIMESTAMP '2024-01-10' AND e.ts <= TIMESTAMP '2024-01-20'
+    """,
+)
+def geo_rect_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(lat, lon, time) range query — the reference's geospatial time
+    dimension (ref: service/geospatial/GeoSpatialConfig.java:52 lat+lon+time
+    datatype). Spatial cell prefilter + timestamp range predicate."""
+    from blazegraph_database_spark.sources.relational import read_parquet
+
+    ev = read_parquet(spark, f"{sf_dir}/events.parquet")
+    pts = ev.select(
+        "event_id",
+        ((F.col("event_id") * 37 % 18000) / 100.0 - 90.0).alias("lat"),
+        ((F.col("event_id") * 73 % 36000) / 100.0 - 180.0).alias("lon"),
+        "ts",
+    )
+    return geospatial.in_rectangle_time(
+        pts, 0.0, 30.0, 0.0, 40.0, "2024-01-10", "2024-01-20"
+    ).select("event_id", "lat", "lon", "ts")
+
+
+# zorder3 quantization range: january 2024 epoch bounds (events data window)
+_T_LO = 1704067200  # 2024-01-01 00:00:00 UTC
+_T_HI = 1706745600  # 2024-02-01 00:00:00 UTC
+
+
+@register(
+    "geo_zorder3",
+    _GEO_CTE
+    + f""",
+    q AS (
+        SELECT event_id,
+               LEAST(GREATEST(CAST(ROUND(((lat + 90.0) / 180.0) * 15) AS BIGINT), 0), 15) AS qlat,
+               LEAST(GREATEST(CAST(ROUND(((lon + 180.0) / 360.0) * 15) AS BIGINT), 0), 15) AS qlon,
+               LEAST(GREATEST(CAST(ROUND((CAST(CAST(FLOOR(epoch(e.ts)) AS BIGINT) AS DOUBLE) - {_T_LO}.0) / ({_T_HI}.0 - {_T_LO}.0) * 15) AS BIGINT), 0), 15) AS qt
+        FROM pts JOIN events e USING (event_id)
+    ),
+    bits(i) AS (SELECT UNNEST(generate_series(0, 3))),
+    z AS (
+        SELECT event_id,
+               CAST(SUM((((qlat >> i) & 1) << (3 * i))
+                      + (((qlon >> i) & 1) << (3 * i + 1))
+                      + (((qt >> i) & 1) << (3 * i + 2))) AS BIGINT) AS zkey
+        FROM q CROSS JOIN bits GROUP BY event_id
+    ),
+    cells AS (SELECT zkey, CAST(COUNT(*) AS BIGINT) AS n FROM z GROUP BY zkey)
+    SELECT zkey, n FROM cells ORDER BY n DESC, zkey ASC LIMIT 10
+    """,
+)
+def geo_zorder3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-D Morton (lat, lon, time) cell index: top-10 densest 4-bit z3
+    cells. Extends the reference's z-order encoding with the time dimension
+    of its lat+lon+time geospatial datatype (GeoSpatialConfig.java:52); the
+    oracle recomputes the 3-way interleave in SQL, checking the bit layout
+    exactly."""
+    from blazegraph_database_spark.sources.relational import read_parquet
+
+    ev = read_parquet(spark, f"{sf_dir}/events.parquet")
+    pts = ev.select(
+        ((F.col("event_id") * 37 % 18000) / 100.0 - 90.0).alias("lat"),
+        ((F.col("event_id") * 73 % 36000) / 100.0 - 180.0).alias("lon"),
+        F.unix_timestamp("ts").alias("te"),
+    )
+    keyed = pts.select(
+        geospatial.zorder3_key(F.col("lat"), F.col("lon"), F.col("te"), _T_LO, _T_HI, bits=4).alias("zkey")
+    )
+    return (
+        keyed.groupBy("zkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("zkey").asc())
+        .limit(10)
+    )
+
+
+@register(
     "service_clause_text",
     _FT_CTE.format(pats="('distribut', true), ('data', false)", where="TRUE", max_rank=12)
     .replace(

@@ -48,6 +48,9 @@ _SCORE_FIRST = [
     "graph_scoped_count",
     "owl_inverse_orders",
     "owl_sameas_merge",
+    # round-4 additions, never driver-scored
+    "geo_rect_time",
+    "geo_zorder3",
 ]
 
 

@@ -66,6 +66,23 @@ def test_cc_two_components(diamond):
     assert out == {"a": "a", "b": "a", "c": "a", "d": "a", "e": "e", "f": "e"}
 
 
+def test_cc_two_star_agrees_with_label_prop(spark, diamond):
+    """The large-star/small-star contraction (diameter-independent scale
+    path) must produce identical labels to min-label propagation."""
+    two = {r["node"]: r["comp"] for r in gas.connected_components(diamond, algorithm="two_star").collect()}
+    assert two == {"a": "a", "b": "a", "c": "a", "d": "a", "e": "e", "f": "e"}
+    # deep chain — the diameter-dominated case two-star exists for
+    chain = spark.createDataFrame(
+        [(f"n{i:03d}", f"n{i+1:03d}") for i in range(50)], "src string, dst string"
+    )
+    out = gas.connected_components(chain, algorithm="two_star").collect()
+    assert {r["comp"] for r in out} == {"n000"} and len(out) == 51
+    # self-loop-only nodes keep a label
+    sl = spark.createDataFrame([("x", "x"), ("a", "b")], "src string, dst string")
+    got = {r["node"]: r["comp"] for r in gas.connected_components(sl, algorithm="two_star").collect()}
+    assert got == {"x": "x", "a": "a", "b": "a"}
+
+
 def test_pagerank_sums_to_one_and_ranks_sink_highest(diamond):
     ranks = {r["node"]: r["rank"] for r in gas.pagerank(diamond, iters=15).collect()}
     assert abs(sum(ranks.values()) - 1.0) < 1e-6
