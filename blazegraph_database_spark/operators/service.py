@@ -1,24 +1,28 @@
-"""SERVICE federation (SURVEY.md §2.3, partial by design).
+"""SERVICE federation (SURVEY.md §2.3).
 
 Reference analog: the ServiceRegistry / ServiceCall machinery
-(bigdata-core/bigdata-rdf/.../sparql/ast/service/ServiceRegistry.java) that
-dispatches SERVICE <iri> { ... } groups to internal services (bds:search,
-geo:search) or remote SPARQL endpoints.
+(bigdata-core/bigdata-rdf/.../sparql/ast/service/ServiceRegistry.java,
+RemoteServiceCallImpl.java) that dispatches SERVICE <iri> { ... } groups to
+internal services (bds:search, geo:search) or remote SPARQL endpoints.
 
 Spark-first: a service is a callable (spark, params) -> DataFrame of
 bindings; the registry maps service IRIs to callables. The two built-in
 services wrap this engine's full-text and geospatial operators — the same
-internal services the reference ships. Remote HTTP endpoints are stubbed
-(no network in this environment): `RemoteSparqlService` raises
-NotImplementedError at the exact call point an HTTP POST of the serialized
-query would happen, and documents the join-strategy the real implementation
-would use (bindings pushed as VALUES, like the reference's vectored
-remote SERVICE evaluation).
+internal services the reference ships. Remote endpoints speak the SPARQL
+1.1 Protocol over HTTP: ``http_transport`` POSTs the serialized query as a
+form body and parses application/sparql-results+json responses
+(``parse_srj``); bindings are pushed down as chunked VALUES blocks — the
+reference's vectored remote SERVICE evaluation. The transport is
+injectable, so the protocol layer is conformance-tested against this
+repo's own localhost REST endpoint and against stored protocol fixtures
+without needing outside network access.
 """
 
 from __future__ import annotations
 
+import json
 from collections.abc import Callable
+from urllib.parse import urlencode
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -79,6 +83,50 @@ def _geo_search(spark: SparkSession, params: dict) -> DataFrame:
 Transport = Callable[[str, str], list]  # (endpoint, sparql_text) -> rows as dicts
 
 
+# ------------------------------------------------- SPARQL 1.1 protocol HTTP --
+def build_http_request(endpoint: str, query: str) -> tuple[str, dict, bytes]:
+    """(url, headers, body) for a SPARQL 1.1 Protocol query-via-POST:
+    form-urlencoded ``query=`` body, SRJ accept header (ref:
+    RemoteServiceCallImpl.java:51, which issues the same POST through the
+    openrdf SPARQLRepository client)."""
+    headers = {
+        "Content-Type": "application/x-www-form-urlencoded",
+        "Accept": "application/sparql-results+json",
+    }
+    return endpoint, headers, urlencode({"query": query}).encode()
+
+
+def parse_srj(payload: bytes | str) -> list[dict]:
+    """SPARQL JSON results document → list of {var: lexical} rows. Unbound
+    vars are absent from a binding (per spec) and come back as None when the
+    rows are reassembled into a DataFrame. Term type/lang/datatype collapse
+    to the lexical form — remote bindings join on lexical equality, same as
+    the engine's own value columns."""
+    doc = json.loads(payload if isinstance(payload, str) else payload.decode())
+    out_vars = doc.get("head", {}).get("vars", [])
+    rows = []
+    for b in doc.get("results", {}).get("bindings", []):
+        rows.append({v: b[v]["value"] for v in (out_vars or b.keys()) if v in b})
+    return rows
+
+
+def http_transport(timeout: float = 30.0) -> Transport:
+    """Transport that really speaks SPARQL-protocol HTTP (stdlib urllib).
+    Works against any reachable endpoint — exercised in tests against this
+    repo's own localhost REST server, the only endpoint reachable from the
+    build container."""
+
+    def send(endpoint: str, query: str) -> list:
+        import urllib.request
+
+        url, headers, body = build_http_request(endpoint, query)
+        req = urllib.request.Request(url, data=body, headers=headers, method="POST")
+        with urllib.request.urlopen(req, timeout=timeout) as resp:
+            return parse_srj(resp.read())
+
+    return send
+
+
 def _serialize_values(columns: list[str], rows: list) -> str:
     """VALUES block for binding pushdown (vectored SERVICE join)."""
     head = " ".join(f"?{c}" for c in columns)
@@ -103,18 +151,16 @@ def remote_sparql_service(endpoint: str, transport: Transport | None = None) -> 
     DataFrame. Chunking bounds both request size and remote work per call —
     the same reason the reference vectorizes.
 
-    ``transport=None`` (the default) raises at the exact point an HTTP POST
-    with application/sparql-results+json would happen — this container has
-    no network. Tests inject a local-store transport to exercise the whole
-    vectored join path.
+    ``transport=None`` defaults to :func:`http_transport` — a real SPARQL
+    1.1 Protocol POST (query form body, SRJ response). Tests exercise it
+    against this repo's own localhost REST endpoint; a local-store
+    transport remains injectable for endpoint-free unit runs.
     """
 
     def call(spark: SparkSession, params: dict) -> DataFrame:
+        nonlocal transport
         if transport is None:
-            raise NotImplementedError(
-                f"remote SERVICE <{endpoint}>: no network access in this "
-                "environment; inject a transport to evaluate"
-            )
+            transport = http_transport()
         query: str = params["query"]
         bindings: DataFrame | None = params.get("bindings")
         chunk = int(params.get("chunk_size", 512))

@@ -50,6 +50,7 @@ _RDF_READERS = {
     "application/n-quads": ntriples.read_nquads,
     "text/turtle": rdf_formats.read_turtle,
     "application/trig": rdf_formats.read_trig,
+    "application/trix": rdf_formats.read_trix,
     "application/ld+json": rdf_formats.read_jsonld,
     "application/rdf+xml": rdf_formats.read_rdfxml,
 }

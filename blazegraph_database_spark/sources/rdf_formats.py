@@ -121,9 +121,12 @@ def _parse_rdfxml_doc(doc: str) -> list[tuple]:
     rdf:nodeID (or anonymous → fresh bnode), properties as child elements
     with rdf:resource, rdf:nodeID, rdf:datatype, xml:lang, or text content,
     NESTED node elements as property values (recursive),
-    rdf:parseType="Resource" blocks, and rdf:li expansion to rdf:_n inside
-    containers (Bag/Seq/Alt). Not covered: reification attributes,
-    parseType="Collection"/"Literal", property attributes.
+    rdf:parseType="Resource" blocks, rdf:parseType="Collection" (child node
+    elements become an rdf:first/rdf:rest chain ending in rdf:nil — the same
+    structure Turtle `(...)` collections produce), rdf:parseType="Literal"
+    (inner XML serialized as an rdf:XMLLiteral-tagged string), and rdf:li
+    expansion to rdf:_n inside containers (Bag/Seq/Alt). Not covered:
+    reification attributes, property attributes.
     Ref: rio/ RDF/XML handling in the reference's parser registry."""
     import xml.etree.ElementTree as ET
 
@@ -165,11 +168,36 @@ def _parse_rdfxml_doc(doc: str) -> list[tuple]:
             if pnid is not None:
                 out.append((s, p, f"_:{pnid}", "bnode"))
                 continue
-            if prop.get(f"{{{RDF_NS}}}parseType") == "Resource":
+            ptype = prop.get(f"{{{RDF_NS}}}parseType")
+            if ptype == "Resource":
                 # the property element body is itself an anonymous node
                 b = new_bnode()
                 out.append((s, p, b, "bnode"))
                 emit_props(b, prop)
+                continue
+            if ptype == "Collection":
+                # child node elements → rdf:first/rest chain ending rdf:nil,
+                # identical shape to Turtle `(...)` collections
+                members = [walk_node(c) for c in prop]
+                if not members:
+                    out.append((s, p, RDF_NS + "nil", "iri"))
+                    continue
+                heads = [new_bnode() for _ in members]
+                out.append((s, p, heads[0], "bnode"))
+                for i, (m, mdt) in enumerate(members):
+                    out.append((heads[i], RDF_NS + "first", m, mdt))
+                    rest = heads[i + 1] if i + 1 < len(members) else RDF_NS + "nil"
+                    out.append(
+                        (heads[i], RDF_NS + "rest", rest, "bnode" if i + 1 < len(members) else "iri")
+                    )
+                continue
+            if ptype == "Literal":
+                import xml.etree.ElementTree as ET2
+
+                inner = (prop.text or "") + "".join(
+                    ET2.tostring(c, encoding="unicode") for c in prop
+                )
+                out.append((s, p, inner.strip(), "xml"))
                 continue
             children = list(prop)
             if children:  # nested node element value
@@ -196,6 +224,51 @@ def _parse_rdfxml_doc(doc: str) -> list[tuple]:
 
     for desc in root:
         walk_node(desc)
+    return out
+
+
+TRIX_NS = "http://www.w3.org/2004/03/trix/trix-1/"
+
+
+def _parse_trix_doc(doc: str) -> list[tuple]:
+    """TriX (W3C note; ref: rio/ TriX parser in the reference's registry):
+    `<TriX><graph><uri>g</uri><triple>term term term</triple>...</graph>`.
+    Term elements: <uri>, <id> (bnode), <plainLiteral [xml:lang]>,
+    <typedLiteral datatype="...">. Graphs without a name element load as
+    the default graph (g=''). Returns (s, p, o_lex, o_dt, g)."""
+    import xml.etree.ElementTree as ET
+
+    def local(tag: str) -> str:
+        return tag.split("}", 1)[1] if tag.startswith("{") else tag
+
+    def term(el) -> tuple[str, str]:
+        kind = local(el.tag)
+        text = (el.text or "").strip()
+        if kind == "uri":
+            return text, "iri"
+        if kind == "id":
+            return (text if text.startswith("_:") else f"_:{text}"), "bnode"
+        if kind == "plainLiteral":
+            lang = el.get("{http://www.w3.org/XML/1998/namespace}lang")
+            return text, (f"lang:{lang}" if lang else "string")
+        if kind == "typedLiteral":
+            return text, _XSD_DT.get(el.get("datatype", ""), "string")
+        raise ValueError(f"unknown TriX term element <{kind}>")
+
+    root = ET.fromstring(doc)
+    out: list[tuple] = []
+    for graph in root:
+        g = ""
+        body = list(graph)
+        if body and local(body[0].tag) == "uri":  # graph name
+            g = (body[0].text or "").strip()
+            body = body[1:]
+        for triple in body:
+            terms = [term(t) for t in triple]
+            if len(terms) != 3:
+                raise ValueError("TriX <triple> needs exactly 3 terms")
+            (s, _), (p, _), (o, odt) = terms
+            out.append((s, p, o, odt, g))
     return out
 
 
@@ -461,3 +534,9 @@ def read_jsonld(spark: SparkSession, path: str) -> DataFrame:
 def read_rdfxml(spark: SparkSession, path: str) -> DataFrame:
     """RDF/XML (subset) → (s, p, o_lex, o_dt). One task per file."""
     return _map_docs(_whole_docs(spark, path), _parse_rdfxml_doc, _TRIPLES_SCHEMA)
+
+
+def read_trix(spark: SparkSession, path: str) -> DataFrame:
+    """TriX → (s, p, o_lex, o_dt, g); g='' for unnamed graphs. One task per
+    file — shard the export for cluster parallelism."""
+    return _map_docs(_whole_docs(spark, path), _parse_trix_doc, _QUADS_SCHEMA)

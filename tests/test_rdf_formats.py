@@ -8,6 +8,7 @@ from blazegraph_database_spark.sources.rdf_formats import (
     read_jsonld,
     read_rdfxml,
     read_trig,
+    read_trix,
 )
 
 
@@ -142,6 +143,72 @@ def test_read_rdfxml_nested(spark, tmp_path):
     assert (E + "bag", RDF_NS + "type", RDF_NS + "Bag", "iri") in got
     assert (E + "bag", RDF_NS + "_1", E + "x", "iri") in got
     assert (E + "bag", RDF_NS + "_2", "plain", "string") in got
+
+
+def test_read_rdfxml_collection_and_literal(spark, tmp_path):
+    # parseType="Collection" → rdf:first/rest chain ending rdf:nil (same
+    # structure as Turtle `(...)`); parseType="Literal" → xml-tagged literal
+    (tmp_path / "c.rdf").write_text(
+        """<?xml version="1.0"?>
+<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+         xmlns:ex="http://ex.org/">
+  <rdf:Description rdf:about="http://ex.org/menu">
+    <ex:items rdf:parseType="Collection">
+      <rdf:Description rdf:about="http://ex.org/soup"/>
+      <rdf:Description rdf:about="http://ex.org/fish"/>
+    </ex:items>
+    <ex:empty rdf:parseType="Collection"/>
+    <ex:markup rdf:parseType="Literal"><b>bold</b></ex:markup>
+  </rdf:Description>
+</rdf:RDF>
+"""
+    )
+    got = rows(read_rdfxml(spark, str(tmp_path / "c.rdf")))
+    E = "http://ex.org/"
+    head = [r[2] for r in got if r[1] == E + "items"]
+    assert len(head) == 1 and head[0].startswith("_:")
+    assert (head[0], RDF_NS + "first", E + "soup", "iri") in got
+    rest1 = [r[2] for r in got if r[0] == head[0] and r[1] == RDF_NS + "rest"]
+    assert len(rest1) == 1 and rest1[0].startswith("_:")
+    assert (rest1[0], RDF_NS + "first", E + "fish", "iri") in got
+    assert (rest1[0], RDF_NS + "rest", RDF_NS + "nil", "iri") in got
+    assert (E + "menu", E + "empty", RDF_NS + "nil", "iri") in got
+    assert (E + "menu", E + "markup", "<b>bold</b>", "xml") in got
+
+
+def test_read_trix(spark, tmp_path):
+    (tmp_path / "d.trix").write_text(
+        """<?xml version="1.0"?>
+<TriX xmlns="http://www.w3.org/2004/03/trix/trix-1/"
+      xmlns:xml="http://www.w3.org/XML/1998/namespace">
+  <graph>
+    <uri>http://ex.org/g1</uri>
+    <triple>
+      <uri>http://ex.org/a</uri>
+      <uri>http://ex.org/knows</uri>
+      <uri>http://ex.org/b</uri>
+    </triple>
+    <triple>
+      <uri>http://ex.org/a</uri>
+      <uri>http://ex.org/age</uri>
+      <typedLiteral datatype="http://www.w3.org/2001/XMLSchema#integer">30</typedLiteral>
+    </triple>
+  </graph>
+  <graph>
+    <triple>
+      <id>n1</id>
+      <uri>http://ex.org/name</uri>
+      <plainLiteral xml:lang="en">Bob</plainLiteral>
+    </triple>
+  </graph>
+</TriX>
+"""
+    )
+    got = rows(read_trix(spark, str(tmp_path / "d.trix")))
+    E = "http://ex.org/"
+    assert (E + "a", E + "knows", E + "b", "iri", E + "g1") in got
+    assert (E + "a", E + "age", "30", "long", E + "g1") in got
+    assert ("_:n1", E + "name", "Bob", "lang:en", "") in got
 
 
 TTL_FULL = """

@@ -33,10 +33,59 @@ def test_service_geo_and_unknown(spark):
         service.call_service(spark, "no:such", {})
 
 
-def test_remote_service_stubbed(spark):
-    fn = service.remote_sparql_service("http://example.org/sparql")
-    with pytest.raises(NotImplementedError, match="no network"):
-        fn(spark, {})
+def test_remote_service_default_transport_is_http(spark):
+    # default transport really attempts the SPARQL-protocol POST — an
+    # unreachable endpoint surfaces a transport error, not a stub
+    fn = service.remote_sparql_service("http://127.0.0.1:9/sparql")
+    with pytest.raises(OSError):
+        fn(spark, {"query": "SELECT * WHERE { ?s ?p ?o }"})
+
+
+def test_build_http_request_protocol_shape():
+    url, headers, body = service.build_http_request(
+        "http://ex.org/sparql", 'SELECT ?x WHERE { ?x <p> "a b" }'
+    )
+    assert url == "http://ex.org/sparql"
+    assert headers["Content-Type"] == "application/x-www-form-urlencoded"
+    assert headers["Accept"] == "application/sparql-results+json"
+    import urllib.parse
+
+    form = urllib.parse.parse_qs(body.decode())
+    assert form["query"] == ['SELECT ?x WHERE { ?x <p> "a b" }']
+
+
+def test_parse_srj_fixture():
+    # stored SPARQL 1.1 protocol response: typed terms, lang tags, unbound
+    fixture = {
+        "head": {"vars": ["x", "name", "age"]},
+        "results": {
+            "bindings": [
+                {
+                    "x": {"type": "uri", "value": "http://ex.org/a"},
+                    "name": {"type": "literal", "value": "Ann", "xml:lang": "en"},
+                    "age": {
+                        "type": "literal",
+                        "value": "30",
+                        "datatype": "http://www.w3.org/2001/XMLSchema#integer",
+                    },
+                },
+                {"x": {"type": "bnode", "value": "b0"}},  # name/age unbound
+            ]
+        },
+    }
+    import json as _json
+
+    rows = service.parse_srj(_json.dumps(fixture))
+    assert rows == [
+        {"x": "http://ex.org/a", "name": "Ann", "age": "30"},
+        {"x": "b0"},
+    ]
+    assert service.parse_srj('{"head":{"vars":[]},"results":{"bindings":[]}}') == []
+
+
+def test_serialize_values_escaping():
+    block = service._serialize_values(["a", "b"], [{"a": 'say "hi"', "b": None}])
+    assert block == 'VALUES (?a ?b) { ("say \\"hi\\"" UNDEF) }'
 
 
 def test_salted_groupby_matches_plain(spark):
