@@ -446,13 +446,60 @@ def _compile_bgp(node: A.BGP, store: TripleStore) -> DataFrame:
     return out
 
 
+# Runtime-optimizer measurement bound: a pattern's cardinality probe stops
+# counting at this many rows — the probe cost is capped regardless of store
+# size, mirroring the reference RTO's cutoff sampling (JGraph.java limits
+# each sampled join path the same way).
+RTO_SAMPLE_CAP = 100_000
+
+
+def _measured_estimate(sp: A.SP, store: TripleStore) -> float:
+    """Actual (capped) cardinality of one pattern's scan — the RTO's sample
+    step. The count runs on the column-pruned virtual-index scan with
+    constant filters pushed down, so it reads one predicate's column(s),
+    not the store; the LIMIT keeps it bounded at 100 TB."""
+    df = _pattern_df(sp, store)
+    return float(df.limit(RTO_SAMPLE_CAP + 1).count())
+
+
 def _compile_bgp_hinted(patterns: list, hints: dict, store: TripleStore) -> DataFrame:
     """Query-hint-directed BGP join (ref: ASTQueryHintOptimizer — hints
     override the static optimizer): runFirst patterns lead, runLast
     trail, everything else keeps written order (which is exactly
     `hint:optimizer "None"` when no run hints are set). Broadcast of
     small inputs still applies — that is a physical choice, not a join
-    order."""
+    order.
+
+    ``hint:optimizer "Runtime"`` instead re-orders greedily by MEASURED
+    (capped) pattern cardinalities — the lite analog of the reference's
+    runtime query optimizer, which samples join paths when static stats
+    mislead (ref: bop/joinGraph/rto/JGraph.java). Probes are one bounded
+    count per pattern over the column-pruned scan."""
+    if hints.get("optimizer") == "Runtime":
+        entries = [
+            (_pattern_df(sp, store), _measured_estimate(sp, store), _vars_of(sp))
+            for sp in patterns
+        ]
+        entries.sort(key=lambda e: e[1])
+        ordered = [entries.pop(0)]
+        bound = set(ordered[0][2])
+        while entries:
+            joinable = [i for i, e in enumerate(entries) if e[2] & bound]
+            idx = joinable[0] if joinable else 0
+            ordered.append(entries.pop(idx))
+            bound |= ordered[-1][2]
+        out = None
+        for df, est, _ in ordered:
+            # a probe that hit the cap means "at least cap+1 rows" — only
+            # exactly-measured small inputs qualify for broadcast
+            if est <= RTO_SAMPLE_CAP and out is not None:
+                df = F.broadcast(df)
+            if out is None:
+                out = df
+            else:
+                shared = sorted(set(out.columns) & set(df.columns))
+                out = out.join(df, on=shared) if shared else out.crossJoin(df)
+        return out
     rf = hints.get("run_first") or frozenset()
     rl = hints.get("run_last") or frozenset()
     order = sorted(

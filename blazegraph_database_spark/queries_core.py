@@ -443,6 +443,39 @@ def sparql_query_hints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sparql_rto_hint",
+    """
+    SELECT n_name AS nname, COUNT(*) AS n
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    WHERE c_acctbal > 9000.0
+    GROUP BY n_name
+    """,
+)
+def sparql_rto_hint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime query optimizer (ref: bop/joinGraph/rto/JGraph.java via
+    hint:optimizer "Runtime"): join order comes from bounded MEASURED
+    pattern cardinalities instead of static stats — the probe counts run on
+    the column-pruned scans. Results are identical to the static plan,
+    which is what the oracle checks."""
+    from blazegraph_database_spark.plans.sparql_parser import parse_sparql_select
+
+    st = cached_store(spark, sf_dir)
+    plan = parse_sparql_select(
+        """
+        PREFIX hint: <http://www.bigdata.com/queryHints#>
+        SELECT ?nname (COUNT(*) AS ?n) WHERE {
+          hint:Query hint:optimizer "Runtime" .
+          ?c <customer#c_acctbal> ?bal .
+          ?c <customer#c_nationkey_ref> ?nat .
+          ?nat <nation#n_name> ?nname .
+          FILTER(?bal > 9000.0)
+        } GROUP BY ?nname
+        """
+    )
+    return evaluate(st, plan)
+
+
+@register(
     "sparql_named_subquery",
     """
     SELECT n_name AS nname, COUNT(*) AS n_rich

@@ -51,6 +51,7 @@ _SCORE_FIRST = [
     # round-4 additions, never driver-scored
     "geo_rect_time",
     "geo_zorder3",
+    "sparql_rto_hint",
 ]
 
 

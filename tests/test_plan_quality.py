@@ -145,6 +145,34 @@ def test_id_join_classification_is_conservative(spark):
     assert _id_join_vars(plan.child) == frozenset()
 
 
+def test_rto_hint_measures_and_matches_static(spark, monkeypatch):
+    """hint:optimizer "Runtime" must probe real cardinalities (one bounded
+    count per pattern) and produce the same bindings as the static plan."""
+    from blazegraph_database_spark.plans import compiler
+    from blazegraph_database_spark.plans.sparql_parser import run_sparql
+    from blazegraph_database_spark.model.store import TripleStore
+
+    rows = [("a", "knows", "b", "iri"), ("b", "knows", "c", "iri"),
+            ("a", "name", "Ann", "string"), ("b", "name", "Bob", "string")]
+    st = TripleStore(spark.createDataFrame(rows, "s string, p string, o_lex string, o_dt string"))
+    probes = []
+    real = compiler._measured_estimate
+    monkeypatch.setattr(
+        compiler, "_measured_estimate", lambda sp, s: probes.append(sp) or real(sp, s)
+    )
+    q = """
+    PREFIX hint: <http://www.bigdata.com/queryHints#>
+    SELECT ?x ?n WHERE {
+      hint:Query hint:optimizer "Runtime" .
+      ?x <knows> ?y .
+      ?x <name> ?n .
+    }
+    """
+    got = {(r["x"], r["n"]) for r in run_sparql(st, q).collect()}
+    assert got == {("a", "Ann"), ("b", "Bob")}
+    assert len(probes) == 2  # one bounded probe per pattern
+
+
 def test_lsh_ann_no_broadcast_above_guard(spark):
     """lsh_ann_topk must NOT broadcast a large query set (ADVICE r3: the
     unconditional F.broadcast(q) OOMs on corpus-sized probes) — with the
