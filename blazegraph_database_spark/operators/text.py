@@ -237,3 +237,60 @@ def pii_scrub(df: DataFrame, text_col: str = "text", token: str = "[PII]") -> Da
     for pat in (PII_EMAIL, PII_PHONE, PII_IPV4):
         t = F.regexp_replace(t, pat, token)
     return df.withColumn(text_col, t)
+
+
+def _md5_bucket(col: Column, modulo: int) -> Column:
+    """Deterministic [0, modulo) bucket from the md5 hex prefix — the
+    cross-engine hash surface (same arithmetic as dedup.md5_hash32, which a
+    SQL oracle reproduces bit-for-bit)."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long") % modulo
+
+
+def dataset_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    thresholds: tuple = (("train", 9000), ("val", 9500), ("test", 10000)),
+    seed: str = "s0",
+) -> DataFrame:
+    """Deterministic train/val/test assignment for training corpora: each
+    row hashes (seed, id) into a [0, 10000) bucket and takes the first
+    split whose cumulative permyriad threshold covers it — 90/5/5 by
+    default. Pure expression (one scan, no shuffle, no RNG state), so the
+    SAME rows land in the SAME split on every run, at any scale, on any
+    cluster layout — the property a reproducible data pipeline needs.
+    Adds `bucket` and `split` columns."""
+    b = _md5_bucket(F.concat(F.lit(seed + ":"), F.col(id_col).cast("string")), 10000)
+    expr = None
+    for name, hi in reversed(thresholds):
+        expr = F.lit(name) if expr is None else F.when(b < hi, F.lit(name)).otherwise(expr)
+    return df.withColumn("bucket", b).withColumn("split", expr)
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    budget: int = 512,
+    shards: int = 8,
+    seed: str = "pack",
+) -> DataFrame:
+    """Concat-and-chunk sequence packing for training batches: documents
+    are sharded deterministically (md5 bucket — each shard packs
+    independently, so shards scale out with no global coordination),
+    ordered by id within the shard, and assigned
+    ``seq = floor(tokens_before_this_doc / budget)`` — the greedy
+    streaming pack a tokenize-and-concat loader performs. Window state is
+    per-shard (one shuffle on shard, bounded partitions); at 100 TB pick
+    shards ≈ cluster parallelism. Adds (shard, n_tokens, seq)."""
+    from pyspark.sql.window import Window
+
+    t = F.trim(F.col(text_col))
+    n_tokens = F.size(F.split(t, r"\s+"))
+    out = df.withColumn(
+        "shard", _md5_bucket(F.concat(F.lit(seed + ":"), F.col(id_col).cast("string")), shards)
+    ).withColumn("n_tokens", n_tokens)
+    w = Window.partitionBy("shard").orderBy(id_col)
+    cum_before = F.sum("n_tokens").over(w) - F.col("n_tokens")
+    return out.withColumn(
+        "seq", F.floor(cum_before / F.lit(float(budget))).cast("long")
+    )

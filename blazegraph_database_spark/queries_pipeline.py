@@ -615,3 +615,54 @@ def text_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     from blazegraph_database_spark.operators import text as T
 
     return T.pii_scan(_docs(spark, sf_dir)).select("doc_id", "n_emails", "n_ipv4")
+
+
+@register(
+    "dataset_split",
+    """
+    WITH b AS (
+        SELECT doc_id,
+               CAST(('0x' || substr(md5('s0:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10000 AS bucket
+        FROM documents
+    )
+    SELECT CASE WHEN bucket < 9000 THEN 'train' WHEN bucket < 9500 THEN 'val' ELSE 'test' END AS split,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MIN(bucket) AS BIGINT) AS min_bucket
+    FROM b GROUP BY 1
+    """,
+)
+def dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/5/5 train/val/test split: md5-bucketed ids, pure
+    expression — same rows land in the same split at any scale. The oracle
+    recomputes the identical hash arithmetic in SQL."""
+    from blazegraph_database_spark.operators import text as T
+
+    out = T.dataset_split(_docs(spark, sf_dir))
+    return out.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n"), F.min("bucket").alias("min_bucket")
+    )
+
+
+@register(
+    "text_pack_sequences",
+    """
+    WITH t AS (
+        SELECT doc_id,
+               CAST(len(string_split_regex(trim(text), '\\s+')) AS INT) AS n_tokens,
+               CAST(('0x' || substr(md5('pack:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 8 AS shard
+        FROM documents
+    )
+    SELECT doc_id, shard, n_tokens,
+           CAST(FLOOR((SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id) - n_tokens) / 512.0) AS BIGINT) AS seq
+    FROM t
+    """,
+)
+def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing (token-budget batches): shard →
+    order by id → seq = floor(cumulative_tokens_before / budget). Each
+    shard packs independently (scale path); the oracle replays the same
+    window arithmetic."""
+    from blazegraph_database_spark.operators import text as T
+
+    out = T.pack_sequences(_docs(spark, sf_dir), budget=512, shards=8)
+    return out.select("doc_id", "shard", F.col("n_tokens").cast("int").alias("n_tokens"), "seq")

@@ -52,6 +52,8 @@ _SCORE_FIRST = [
     "geo_rect_time",
     "geo_zorder3",
     "sparql_rto_hint",
+    "dataset_split",
+    "text_pack_sequences",
 ]
 
 

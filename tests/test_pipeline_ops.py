@@ -181,3 +181,34 @@ def test_pii_scan_and_scrub(spark):
     scrubbed = T.pii_scrub(docs).collect()
     t1 = [r["text"] for r in scrubbed if r["doc_id"] == 1][0]
     assert "bob@example.com" not in t1 and "10.0.0.1" not in t1 and "[PII]" in t1
+
+
+def test_dataset_split_deterministic_and_complete(spark):
+    docs = spark.createDataFrame([(i, f"doc {i}") for i in range(400)], "doc_id long, text string")
+    a = {r["doc_id"]: r["split"] for r in text.dataset_split(docs).collect()}
+    b = {r["doc_id"]: r["split"] for r in text.dataset_split(docs).collect()}
+    assert a == b  # same rows → same split, every run
+    counts = {s: list(a.values()).count(s) for s in ("train", "val", "test")}
+    assert sum(counts.values()) == 400
+    assert counts["train"] > counts["val"] and counts["train"] > counts["test"]
+    # a different seed reshuffles assignments
+    c = {r["doc_id"]: r["split"] for r in text.dataset_split(docs, seed="s1").collect()}
+    assert c != a
+
+
+def test_pack_sequences_budget_invariant(spark):
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * (7 + i % 90))) for i in range(300)], "doc_id long, text string"
+    )
+    out = text.pack_sequences(docs, budget=100, shards=4).collect()
+    by_shard: dict = {}
+    for r in sorted(out, key=lambda r: (r["shard"], r["doc_id"])):
+        by_shard.setdefault(r["shard"], []).append(r)
+    for shard, rows in by_shard.items():
+        cum = 0
+        prev_seq = 0
+        for r in rows:
+            assert r["seq"] == cum // 100  # greedy streaming pack definition
+            assert r["seq"] >= prev_seq  # nondecreasing within shard
+            prev_seq = r["seq"]
+            cum += r["n_tokens"]
