@@ -103,6 +103,16 @@ FUNCS_N = {"CONCAT": fn.CONCAT, "COALESCE": fn.COALESCE}
 AGGS = {"COUNT": fn.COUNT, "SUM": fn.SUM, "AVG": fn.AVG, "MIN": fn.MIN, "MAX": fn.MAX,
         "GROUP_CONCAT": fn.GROUP_CONCAT, "SAMPLE": fn.SAMPLE}
 
+# XSD constructor-function casts (xsd:integer(?x) etc. — ref: the reference
+# evaluates these through its IV cast BOps); keyed by the type's local name
+# so both the compact `xsd:` form and the expanded IRI resolve.
+_XSD_CAST_LOCAL = {
+    "integer": "long", "int": "long", "long": "long", "short": "long",
+    "byte": "long", "nonNegativeInteger": "long",
+    "double": "double", "decimal": "double", "float": "double",
+    "string": "string", "boolean": "boolean", "dateTime": "timestamp",
+}
+
 
 class Parser:
     def __init__(self, src: str):
@@ -372,6 +382,17 @@ class Parser:
             if term.dt == "double":
                 return F.lit(float(term.lex))
             return F.lit(term.lex)
+        if t.kind in ("IRI", "PNAME") and self.peek(1).text == "(":
+            # xsd cast-as-function call: xsd:integer(?x) / <...#double>(?x)
+            name = self.expand_pname(t.text) if t.kind == "PNAME" else t.text[1:-1]
+            local = name.rsplit("#", 1)[-1].rsplit(":", 1)[-1]
+            if local in _XSD_CAST_LOCAL:
+                self.next()
+                self.eat_op("(")
+                e = self.expr()
+                self.eat_op(")")
+                return e.cast(_XSD_CAST_LOCAL[local])
+            raise SyntaxError(f"unknown function <{name}>")
         if t.kind == "IRI":
             self.next()
             return F.lit(t.text[1:-1])
@@ -461,7 +482,17 @@ class Parser:
             arg = None
         else:
             arg = self.expr()
+        sep = None
+        if self.at_op(";"):  # GROUP_CONCAT(?x; separator="...") scalar arg
+            self.next()
+            key = self.next().text.lower()
+            if key != "separator":
+                raise SyntaxError(f"unknown aggregate option {key!r}")
+            self.eat_op("=")
+            sep = self.term().lex
         self.eat_op(")")
+        if name == "GROUP_CONCAT" and sep is not None:
+            return name.lower(), fn.GROUP_CONCAT(arg, sep)
         if name == "COUNT":
             if arg is None:
                 col = F.count(F.lit(1))

@@ -241,6 +241,35 @@ def test_query_hints_declared_prefix(tiny_store):
     assert rows == {("a", "Alice"), ("b", "Bob"), ("c", "Carol")}
 
 
+def test_group_concat_separator_and_xsd_casts(tiny_store):
+    from blazegraph_database_spark.plans.sparql_parser import run_sparql
+
+    g = run_sparql(
+        tiny_store,
+        'SELECT ?x (GROUP_CONCAT(?y; separator="|") AS ?ys) '
+        "WHERE { ?x <knows> ?y } GROUP BY ?x ORDER BY ?x",
+    ).collect()
+    assert all("|" in r["ys"] or "," not in r["ys"] for r in g)
+    # xsd constructor-function casts, compact and declared-prefix forms
+    out = run_sparql(
+        tiny_store,
+        "SELECT (SUM(xsd:integer(?a)) AS ?total) WHERE { ?x <age> ?a }",
+    ).collect()
+    out2 = run_sparql(
+        tiny_store,
+        "PREFIX xsd: <http://www.w3.org/2001/XMLSchema#> "
+        "SELECT (SUM(xsd:integer(?a)) AS ?total) WHERE { ?x <age> ?a }",
+    ).collect()
+    assert out[0]["total"] == out2[0]["total"] and out[0]["total"] is not None
+    # cast in ORDER BY expression: numeric, not lexicographic
+    rows = run_sparql(
+        tiny_store,
+        "SELECT ?x ?a WHERE { ?x <age> ?a } ORDER BY DESC(xsd:integer(?a))",
+    ).collect()
+    ages = [int(r["a"]) for r in rows]
+    assert ages == sorted(ages, reverse=True)
+
+
 def test_describe_form(tiny_store):
     from blazegraph_database_spark.plans.sparql_parser import run_sparql
 
