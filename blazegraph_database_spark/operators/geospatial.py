@@ -1,6 +1,7 @@
 """Geospatial search (SURVEY.md §2.7) — Spark-first analog of the
 reference's geospatial service (ref: bigdata-core/.../service/geospatial/
-GeoSpatialQuery.java and its Z-order ("zOrder") index encoding).
+GeoSpatialQuery.java and its Z-order ("zOrder") index encoding; custom
+datatype registry per GeoSpatialConfig.java:52).
 
 The reference keys a B+Tree on a Z-order (Morton) interleave of quantized
 (lat, lon) so range scans prune both dimensions. The Spark analog:
@@ -178,3 +179,117 @@ def in_circle(
     return boxed.withColumn("distance_km", F.round(dist, 1)).filter(
         F.col("distance_km") <= radius_km
     )
+
+
+# ------------------------------------------------- custom datatype registry --
+from dataclasses import dataclass  # noqa: E402
+
+
+@dataclass(frozen=True)
+class GeoDim:
+    """One dimension of a geospatial datatype: value range + name (ref:
+    GeoSpatialDatatypeFieldConfiguration — each field declares valueType,
+    min/max and serializer mapping)."""
+
+    name: str
+    lo: float
+    hi: float
+
+
+@dataclass(frozen=True)
+class GeoDatatype:
+    """A registered multi-dimensional geospatial datatype (ref:
+    GeoSpatialConfig.java:52 — the reference lets deployments declare
+    datatypes like lat+lon, lat+lon+time, lat+lon+altitude+time with
+    custom literal serializers). ``bits`` is the per-dimension
+    quantization of the N-way Morton key."""
+
+    uri: str
+    dims: tuple
+    bits: int = 8
+
+    def dim(self, name: str) -> GeoDim:
+        for d in self.dims:
+            if d.name == name:
+                return d
+        raise KeyError(f"datatype <{self.uri}> has no dimension {name!r}")
+
+
+_GEO_DATATYPES: dict[str, GeoDatatype] = {}
+
+
+def register_geo_datatype(dt: GeoDatatype) -> GeoDatatype:
+    _GEO_DATATYPES[dt.uri] = dt
+    return dt
+
+
+def get_geo_datatype(uri: str) -> GeoDatatype:
+    if uri not in _GEO_DATATYPES:
+        raise KeyError(f"no geospatial datatype registered for <{uri}>")
+    return _GEO_DATATYPES[uri]
+
+
+# the reference ships lat+lon and lat+lon+time built-ins; same here
+LAT_LON = register_geo_datatype(
+    GeoDatatype(
+        "geo:lat-lon",
+        (GeoDim("lat", -90.0, 90.0), GeoDim("lon", -180.0, 180.0)),
+    )
+)
+LAT_LON_TIME = register_geo_datatype(
+    GeoDatatype(
+        "geo:lat-lon-time",
+        (GeoDim("lat", -90.0, 90.0), GeoDim("lon", -180.0, 180.0),
+         GeoDim("time", 0.0, 4102444800.0)),  # epoch range through 2100
+    )
+)
+
+
+def parse_geo_literal(lit: Column, dt: GeoDatatype, sep: str = "#") -> list[Column]:
+    """Custom-serializer literal → per-dimension double columns ("12.3#4.5#
+    1704067200" → lat, lon, time; ref: the datatype's literal serializer)."""
+    parts = F.split(lit, sep)
+    return [parts.getItem(i).cast("double").alias(d.name) for i, d in enumerate(dt.dims)]
+
+
+def geo_literal(cols: list[Column], sep: str = "#") -> Column:
+    """Per-dimension columns → datatype literal (round-trip of
+    parse_geo_literal)."""
+    return F.concat_ws(sep, *[c.cast("string") for c in cols])
+
+
+def zorder_nd(cols: list[Column], dt: GeoDatatype) -> Column:
+    """N-way Morton interleave over the datatype's dimensions: dim d
+    contributes bit i at position N*i+d. With the built-in lat-lon datatype
+    this reproduces `zorder_key` bit-for-bit; with lat-lon-time it matches
+    `zorder3_key`. Sort parquet writes on this key for min/max locality in
+    every declared dimension."""
+    n = len(dt.dims)
+    if len(cols) != n:
+        raise ValueError(f"datatype <{dt.uri}> has {n} dims, got {len(cols)} columns")
+    qs = [quantize(c.cast("double"), d.lo, d.hi, dt.bits) for c, d in zip(cols, dt.dims)]
+    key = F.lit(0).cast("long")
+    for i in range(dt.bits):
+        for d, q in enumerate(qs):
+            key = key.bitwiseXOR(
+                F.shiftleft(F.shiftright(q, i).bitwiseAND(F.lit(1)), n * i + d)
+            )
+    return key
+
+
+def range_query_nd(
+    df: DataFrame, dt: GeoDatatype, bounds: dict, cols: dict | None = None
+) -> DataFrame:
+    """Multi-dimensional range query over a registered datatype:
+    ``bounds = {dim_name: (lo, hi)}`` (dims omitted are unconstrained).
+    Each bound compiles to a plain column range predicate — pushed to the
+    parquet reader, where a zorder_nd-sorted layout turns them into
+    row-group min/max pruning in every bounded dimension (the Spark analog
+    of the reference's ZOrderIndexBigMinAdvancer range scan)."""
+    cols = cols or {}
+    out = df
+    for name, (lo, hi) in bounds.items():
+        dt.dim(name)  # validates the dimension exists
+        c = F.col(cols.get(name, name))
+        out = out.filter((c >= lo) & (c <= hi))
+    return out

@@ -67,3 +67,66 @@ def test_zorder_key_deterministic_and_local(spark):
 def test_candidate_cells_cover_box():
     cells = G.candidate_cells(-5.0, 5.0, -5.0, 5.0)
     assert len(cells) == 4  # 2x2 cells at 10-degree grid
+
+
+def test_geo_datatype_registry_roundtrip(spark):
+    from blazegraph_database_spark.operators import geospatial as geo
+    from pyspark.sql import functions as F
+
+    dt = geo.get_geo_datatype("geo:lat-lon-time")
+    df = spark.createDataFrame(
+        [("12.5#45.25#1704067200",), ("-33.9#151.2#1706659200",)], "lit string"
+    )
+    parsed = df.select(*geo.parse_geo_literal(F.col("lit"), dt))
+    rows = sorted(tuple(r) for r in parsed.collect())
+    assert rows == [(-33.9, 151.2, 1706659200.0), (12.5, 45.25, 1704067200.0)]
+    # serializer round-trip
+    back = parsed.select(geo.geo_literal([F.col("lat"), F.col("lon"), F.col("time")]).alias("lit"))
+    assert sorted(r["lit"] for r in back.collect()) == [
+        "-33.9#151.2#1.7066592E9", "12.5#45.25#1.7040672E9",
+    ]
+
+
+def test_zorder_nd_matches_fixed_encoders(spark):
+    from blazegraph_database_spark.operators import geospatial as geo
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(10.0, 20.0, 1704499200.0), (-45.5, 170.1, 1706227200.0)],
+        "lat double, lon double, t double",
+    )
+    # 2-dim registry key == the fixed lat/lon Morton encoder
+    two = geo.GeoDatatype("t2", (geo.GeoDim("lat", -90.0, 90.0), geo.GeoDim("lon", -180.0, 180.0)), bits=8)
+    got = df.select(
+        geo.zorder_nd([F.col("lat"), F.col("lon")], two).alias("a"),
+        geo.zorder_key(F.col("lat"), F.col("lon"), bits=8).alias("b"),
+    ).collect()
+    assert all(r["a"] == r["b"] for r in got)
+    # 3-dim registry key == the fixed lat/lon/time encoder
+    three = geo.GeoDatatype(
+        "t3",
+        (geo.GeoDim("lat", -90.0, 90.0), geo.GeoDim("lon", -180.0, 180.0),
+         geo.GeoDim("time", 1704067200.0, 1706745600.0)),
+        bits=4,
+    )
+    got3 = df.select(
+        geo.zorder_nd([F.col("lat"), F.col("lon"), F.col("t")], three).alias("a"),
+        geo.zorder3_key(F.col("lat"), F.col("lon"), F.col("t"), 1704067200, 1706745600, bits=4).alias("b"),
+    ).collect()
+    assert all(r["a"] == r["b"] for r in got3)
+
+
+def test_range_query_nd(spark):
+    from blazegraph_database_spark.operators import geospatial as geo
+
+    dt = geo.get_geo_datatype("geo:lat-lon-time")
+    df = spark.createDataFrame(
+        [(1, 10.0, 20.0, 100.0), (2, 50.0, 20.0, 100.0), (3, 10.0, 20.0, 900.0)],
+        "id long, lat double, lon double, time double",
+    )
+    out = geo.range_query_nd(df, dt, {"lat": (0.0, 30.0), "time": (0.0, 500.0)})
+    assert [r["id"] for r in out.collect()] == [1]
+    import pytest as _pt
+
+    with _pt.raises(KeyError):
+        geo.range_query_nd(df, dt, {"altitude": (0, 1)})
