@@ -303,6 +303,39 @@ class SparqlEndpoint:
                 df = df.filter(F.col(col) == val)
         return 200, JSON, json.dumps({"rangeCount": df.count()}).encode()
 
+    def _pattern_filter(self, ns: str, params: dict):
+        from pyspark.sql import functions as F
+
+        df = self.namespaces[ns].current.df
+        for col, key in (("s", "s"), ("p", "p"), ("o_lex", "o"), ("g", "c")):
+            val = params.get(key)
+            if val is not None and col in df.columns:
+                df = df.filter(F.col(col) == val)
+        return df
+
+    def hasstmt(self, ns: str, params: dict) -> tuple[int, str, bytes]:
+        """HASSTMT access-path probe (ref: the REST API's ?HASSTMT&s=&p=&o=
+        — existence check without a count)."""
+        found = bool(self._pattern_filter(ns, params).take(1))
+        return 200, JSON, json.dumps({"found": found}).encode()
+
+    def getstmts(self, ns: str, params: dict) -> tuple[int, str, bytes]:
+        """GETSTMTS statement export (ref: REST API access-path GET with
+        s/p/o[/c] bindings): matching statements as N-Triples."""
+        df = self._pattern_filter(ns, params).select("s", "p", "o_lex", "o_dt")
+        return 200, NT, _triples_nt(df)
+
+    def delete_by_pattern(self, ns: str, params: dict) -> tuple[int, str, bytes]:
+        """DELETE with s/p/o access-path bindings (ref: DeleteServlet's
+        triple-pattern form)."""
+        with self._lock:
+            us = self.namespaces[ns]
+            doomed = self._pattern_filter(ns, params)
+            before = us.current.df.count()
+            us.delete_data(doomed.select("s", "p", "o_lex", "o_dt"))
+            removed = before - us.current.df.count()
+        return 200, JSON, json.dumps({"removed": removed}).encode()
+
     def status(self) -> tuple[int, str, bytes]:
         doc = {
             "namespaces": sorted(self.namespaces),
@@ -368,6 +401,10 @@ class SparqlEndpoint:
         if method == "GET":
             if "ESTCARD" in params:
                 return self.estcard(ns, params)
+            if "HASSTMT" in params:
+                return self.hasstmt(ns, params)
+            if "GETSTMTS" in params:
+                return self.getstmts(ns, params)
             return self.query(ns, params["query"], accept, explain)
         if method == "POST":
             base = ctype.split(";")[0].strip()
@@ -394,6 +431,8 @@ class SparqlEndpoint:
         if method == "DELETE":
             if "query" in params:
                 return self.delete_by_query(ns, params["query"])
+            if any(k in params for k in ("s", "p", "o", "c")):
+                return self.delete_by_pattern(ns, params)
             # DELETE with no query: clear the namespace's data
             with self._lock:
                 us = self.namespaces[ns]

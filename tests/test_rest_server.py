@@ -206,6 +206,26 @@ def test_bad_query_is_400(server):
     assert e.value.code == 400
 
 
+def test_hasstmt_getstmts_delete_by_pattern(server):
+    # access-path REST verbs (ref: HASSTMT / GETSTMTS / DeleteServlet)
+    _, _, body = _req(f"{server}/namespace?name=ap", "POST")
+    nt = b"<v1> <p> <v2> .\n<v1> <q> <v3> .\n<v4> <p> <v2> .\n"
+    _req(f"{server}/namespace/ap/sparql", "POST", nt, "application/n-triples")
+    _, _, body = _req(f"{server}/namespace/ap/sparql?HASSTMT&s=v1&p=p")
+    assert json.loads(body)["found"] is True
+    _, _, body = _req(f"{server}/namespace/ap/sparql?HASSTMT&s=v9")
+    assert json.loads(body)["found"] is False
+    status, ctype, body = _req(f"{server}/namespace/ap/sparql?GETSTMTS&p=p")
+    assert status == 200 and ctype == "application/n-triples"
+    lines = sorted(ln for ln in body.decode().splitlines() if ln)
+    assert lines == ["<v1> <p> <v2> .", "<v4> <p> <v2> ."]
+    _, _, body = _req(f"{server}/namespace/ap/sparql?s=v1&p=p", "DELETE")
+    assert json.loads(body)["removed"] == 1
+    _, _, body = _req(f"{server}/namespace/ap/sparql?HASSTMT&s=v1&p=p")
+    assert json.loads(body)["found"] is False
+    _req(f"{server}/namespace/ap", "DELETE")
+
+
 def test_remote_service_federation_over_http(spark, server):
     """Real SPARQL federation: remote_sparql_service with the default HTTP
     transport queries THIS repo's REST endpoint over localhost — the full
