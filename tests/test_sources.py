@@ -102,3 +102,34 @@ def test_parquet_store_layouts(spark, tmp_path):
 
     spo = parquet_store.read_spo(spark, path)
     assert spo.df.count() == 3
+
+
+def test_bucketed_spo_join_has_no_exchange(spark, tmp_path):
+    """Two tables bucketed on s join subject-subject with NO Exchange on
+    either side — the persisted co-location the SPO layout promises."""
+    import contextlib
+    import io
+
+    rows = [(f"s{i}", "p1", str(i), "long") for i in range(100)]
+    st = TripleStore(spark.createDataFrame(rows, "s string, p string, o_lex string, o_dt string"))
+    parquet_store.write_bucketed_spo(st, "t_bl", buckets=4, path=str(tmp_path / "bl"))
+    parquet_store.write_bucketed_spo(st, "t_br", buckets=4, path=str(tmp_path / "br"))
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        l = parquet_store.read_table(spark, "t_bl").df
+        r = parquet_store.read_table(spark, "t_br").df.select(
+            F.col("s"), F.col("o_lex").alias("o2")
+        )
+        joined = l.join(r, on="s")
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            joined.explain(mode="simple")
+        plan = buf.getvalue()
+        assert "SortMergeJoin" in plan, plan
+        assert "Exchange" not in plan, plan  # bucket spec kills both shuffles
+        assert joined.count() == 100
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS t_bl")
+        spark.sql("DROP TABLE IF EXISTS t_br")
