@@ -211,9 +211,23 @@ class SparqlEndpoint:
 
     # ------------------------------------------------------------ verbs --
     def query(
-        self, ns: str, text: str, accept: str = "", explain: bool = False
+        self,
+        ns: str,
+        text: str,
+        accept: str = "",
+        explain: bool = False,
+        timestamp: int | None = None,
     ) -> tuple[int, str, bytes]:
-        store = self.namespaces[ns].current
+        us = self.namespaces[ns]
+        if timestamp is None:
+            store = us.current
+        else:
+            # MVCC read at commit point N (ref: the REST API's &timestamp=
+            # param reading a historical commit time): versions[] IS the
+            # commit-point sequence, immutable by construction
+            if not (0 <= timestamp < len(us.versions)):
+                raise KeyError(f"no commit point {timestamp} (have {len(us.versions)})")
+            store = us.versions[timestamp]
         parsed = parse_sparql_query(text)
         form = parsed[0]
         if explain:
@@ -405,7 +419,10 @@ class SparqlEndpoint:
                 return self.hasstmt(ns, params)
             if "GETSTMTS" in params:
                 return self.getstmts(ns, params)
-            return self.query(ns, params["query"], accept, explain)
+            return self.query(
+                ns, params["query"], accept, explain,
+                timestamp=int(params["timestamp"]) if "timestamp" in params else None,
+            )
         if method == "POST":
             base = ctype.split(";")[0].strip()
             if base == "application/x-www-form-urlencoded":
@@ -424,7 +441,10 @@ class SparqlEndpoint:
             if "update" in params:
                 return self.update(ns, params["update"])
             if "query" in params:
-                return self.query(ns, params["query"], accept, explain)
+                return self.query(
+                ns, params["query"], accept, explain,
+                timestamp=int(params["timestamp"]) if "timestamp" in params else None,
+            )
             raise ValueError("POST needs query=, update=, or an RDF body")
         if method == "PUT":
             return self.insert_rdf(ns, ctype, body, replace=True)

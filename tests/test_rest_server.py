@@ -226,6 +226,26 @@ def test_hasstmt_getstmts_delete_by_pattern(server):
     _req(f"{server}/namespace/ap", "DELETE")
 
 
+def test_timestamp_reads_commit_point(server):
+    # MVCC: &timestamp=N reads commit point N while current moves on
+    _req(f"{server}/namespace?name=mv", "POST")
+    _req(f"{server}/namespace/mv/sparql", "POST", b"<m1> <p> <v> .\n", "application/n-triples")
+    _req(f"{server}/namespace/mv/sparql", "POST", b"<m2> <p> <v> .\n", "application/n-triples")
+    q = urllib.parse.quote("SELECT ?s WHERE { ?s <p> <v> }")
+    _, _, body = _req(f"{server}/namespace/mv/sparql?query={q}")
+    assert len(json.loads(body)["results"]["bindings"]) == 2
+    # commit point 1 = after the first insert only
+    _, _, body = _req(f"{server}/namespace/mv/sparql?query={q}&timestamp=1")
+    vals = [b["s"]["value"] for b in json.loads(body)["results"]["bindings"]]
+    assert vals == ["m1"]
+    # commit point 0 = the empty namespace
+    _, _, body = _req(f"{server}/namespace/mv/sparql?query={q}&timestamp=0")
+    assert json.loads(body)["results"]["bindings"] == []
+    with pytest.raises(urllib.error.HTTPError):
+        _req(f"{server}/namespace/mv/sparql?query={q}&timestamp=99")
+    _req(f"{server}/namespace/mv", "DELETE")
+
+
 def test_remote_service_federation_over_http(spark, server):
     """Real SPARQL federation: remote_sparql_service with the default HTTP
     transport queries THIS repo's REST endpoint over localhost — the full
