@@ -295,3 +295,56 @@ def tm_delete_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.lit("type_Party").alias("metric"), F.count(F.lit(1)).alias("n"))
         )
     )
+
+
+@register(
+    "tm_insert_delta",
+    """
+    SELECT 'type_Machine' AS metric,
+           CAST(COUNT(CASE WHEN c_mktsegment = 'MACHINERY' THEN 1 END) AS BIGINT) AS n
+    FROM customer
+    UNION ALL
+    SELECT 'type_Party',
+           CAST(COUNT(CASE WHEN c_mktsegment IN ('BUILDING', 'MACHINERY') THEN 1 END) AS BIGINT)
+    FROM customer
+    """,
+)
+def tm_insert_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental closure on insert (ref: TruthMaintenance.java assertAll):
+    after an initial closure over BUILDING buyers, inserting MACHINERY
+    machine-operators forward-chains ONLY the delta against the closed
+    store (inference.rdfs.delta_assert — no recompute, asserted by unit
+    tests); the resulting type counts must equal a from-scratch closure."""
+    cust = read_parquet(spark, f"{sf_dir}/customer.parquet")
+
+    def seg_types(seg: str, cls: str) -> DataFrame:
+        return cust.filter(F.col("c_mktsegment") == seg).select(
+            F.concat(F.lit("customer:"), F.col("c_custkey")).alias("s"),
+            F.lit(rdfs.RDF_TYPE).alias("p"),
+            F.lit(cls).alias("o_lex"),
+            F.lit("iri").alias("o_dt"),
+        )
+
+    schema = spark.createDataFrame(
+        [
+            ("Class:Buyer", rdfs.RDFS_SUBCLASS, "Class:Party", "iri"),
+            ("Class:Machine", rdfs.RDFS_SUBCLASS, "Class:Party", "iri"),
+        ],
+        "s string, p string, o_lex string, o_dt string",
+    )
+    us = UpdatableStore.from_store(
+        TripleStore(seg_types("BUILDING", "Class:Buyer").unionByName(schema))
+    )
+    us.insert_with_closure(
+        spark.createDataFrame([], "s string, p string, o_lex string, o_dt string")
+    )
+    us.insert_with_closure(seg_types("MACHINERY", "Class:Machine"))
+    closed = us.current.df
+    return (
+        closed.filter((F.col("p") == rdfs.RDF_TYPE) & (F.col("o_lex") == "Class:Machine"))
+        .agg(F.lit("type_Machine").alias("metric"), F.count(F.lit(1)).alias("n"))
+        .unionByName(
+            closed.filter((F.col("p") == rdfs.RDF_TYPE) & (F.col("o_lex") == "Class:Party"))
+            .agg(F.lit("type_Party").alias("metric"), F.count(F.lit(1)).alias("n"))
+        )
+    )

@@ -54,6 +54,7 @@ _SCORE_FIRST = [
     "sparql_rto_hint",
     "dataset_split",
     "text_pack_sequences",
+    "tm_insert_delta",
 ]
 
 
