@@ -371,6 +371,77 @@ def ivf_ann_topk(
     return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k).drop("rk")
 
 
+def build_ivf_index(
+    corpus: DataFrame,
+    n_cells: int = 16,
+    refine_iters: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """(cells, assignments) — the persistable IVF index: centroids plus
+    each corpus vector's nearest cell. Build once per corpus, save with
+    :func:`save_ivf_index`, and every later query pays only its own probe
+    joins — at 100 TB the assignment pass (one full corpus scan) is the
+    expensive step, so amortizing it across queries is the point of an
+    inverted file."""
+    cells = (
+        ivf_cells_refined(corpus, n_cells, refine_iters, id_col, vec_col)
+        if refine_iters > 0
+        else ivf_cells(corpus, n_cells, id_col, vec_col)
+    )
+    assign = ivf_assign(corpus, cells, 1, "neighbor", id_col, vec_col)
+    return cells, assign
+
+
+def save_ivf_index(cells: DataFrame, assign: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Persist the index: centroids + assignments, the latter partitioned
+    by cell so a probe reads only its n_probe cell directories (partition
+    pruning = the inverted-file posting-list seek)."""
+    cells.coalesce(1).write.mode(mode).parquet(f"{path}/cells")
+    assign.withColumn("v_arr", F.col("neighbor_v")).drop("neighbor_v").write.mode(
+        mode
+    ).partitionBy("cell").parquet(f"{path}/assign")
+
+
+def load_ivf_index(spark, path: str) -> tuple[DataFrame, DataFrame]:
+    cells = spark.read.parquet(f"{path}/cells")
+    assign = (
+        spark.read.parquet(f"{path}/assign")
+        .withColumn("neighbor_v", F.col("v_arr"))
+        .drop("v_arr")
+    )
+    return cells, assign
+
+
+def ivf_index_topk(
+    cells: DataFrame,
+    assign: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k over a pre-built (possibly reloaded) IVF index: queries assign
+    to their n_probe nearest cells (broadcast centroids), then a cell
+    equi-join against the stored assignments — cell-partitioned storage
+    turns the join's scan into partition-pruned reads. Same output contract
+    as ivf_ann_topk."""
+    from pyspark.sql.window import Window
+
+    q = ivf_assign(queries, cells, n_probe, "q", id_col, vec_col)
+    cands = (
+        assign.join(q, on="cell")
+        .filter(F.col("q") != F.col("neighbor"))
+        .dropDuplicates(["q", "neighbor"])
+    )
+    scored = cands.select(
+        "q", "neighbor", F.round(cosine(F.col("q_v"), F.col("neighbor_v")), 4).alias("cos")
+    )
+    w = Window.partitionBy("q").orderBy(F.col("cos").desc(), F.col("neighbor").asc())
+    return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k).drop("rk")
+
+
 def lsh_near_dup_pairs(
     corpus: DataFrame,
     planes: list[list[list[int]]],

@@ -212,3 +212,27 @@ def test_pack_sequences_budget_invariant(spark):
             assert r["seq"] >= prev_seq  # nondecreasing within shard
             prev_seq = r["seq"]
             cum += r["n_tokens"]
+
+
+def test_ivf_index_persist_roundtrip(spark, tmp_path):
+    """Saved+reloaded IVF index answers identically to the in-memory build,
+    and the on-disk assignments are cell-partitioned (posting-list layout)."""
+    import os
+
+    embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = embs.limit(3)
+    cells, assign = similarity.build_ivf_index(embs, n_cells=8)
+    direct = similarity.ivf_index_topk(cells, assign, queries, k=2, n_probe=3)
+    path = str(tmp_path / "ivf")
+    similarity.save_ivf_index(cells, assign, path)
+    cells2, assign2 = similarity.load_ivf_index(spark, path)
+    loaded = similarity.ivf_index_topk(cells2, assign2, queries, k=2, n_probe=3)
+    a = sorted((r["q"], r["neighbor"], r["cos"]) for r in direct.collect())
+    b = sorted((r["q"], r["neighbor"], r["cos"]) for r in loaded.collect())
+    assert a == b and len(a) > 0
+    # cell-partitioned layout: probe reads prune to cell=N directories
+    assert any(d.startswith("cell=") for d in os.listdir(f"{path}/assign"))
+    # matches the one-shot operator on the same centroid set
+    oneshot = similarity.ivf_ann_topk(embs, queries, k=2, n_probe=3, cells=cells)
+    c = sorted((r["q"], r["neighbor"], r["cos"]) for r in oneshot.collect())
+    assert c == a
