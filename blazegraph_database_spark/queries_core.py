@@ -530,3 +530,46 @@ def sparql_text_filter_path(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
     )
     return evaluate(st, plan)
+
+
+@register(
+    "sparql_tpch_q3",
+    """
+    SELECT CAST(o_orderkey AS VARCHAR) AS okey,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)) * 100) / 100 AS revenue
+    FROM customer, orders, lineitem
+    WHERE c_mktsegment = 'BUILDING' AND o_custkey = c_custkey AND l_orderkey = o_orderkey
+      AND o_orderdate < TIMESTAMP '1996-06-15' AND l_shipdate > TIMESTAMP '1996-06-15'
+    GROUP BY o_orderkey ORDER BY revenue DESC, okey LIMIT 10
+    """,
+)
+def sparql_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 (shipping priority) as SPARQL text over the direct-mapped
+    store: 3-table star/chain BGP, typed date filters, revenue aggregate,
+    ORDER/LIMIT — the full parser→compiler→id-join stack on the classic
+    warehouse query shape."""
+    from blazegraph_database_spark.plans.sparql_parser import parse_sparql_select
+
+    st = cached_store(spark, sf_dir)
+    plan = parse_sparql_select(
+        """
+        PREFIX xsd: <http://www.w3.org/2001/XMLSchema#>
+        SELECT ?okey (ROUND(SUM(xsd:double(?ep) * (1 - xsd:double(?disc))) * 100) / 100 AS ?revenue)
+        WHERE {
+          ?c <customer#c_mktsegment> "BUILDING" .
+          ?o <orders#o_custkey_ref> ?c .
+          ?o <orders#o_orderkey> ?okey .
+          ?o <orders#o_orderdate> ?od .
+          ?l <lineitem#l_orderkey_ref> ?o .
+          ?l <lineitem#l_extendedprice> ?ep .
+          ?l <lineitem#l_discount> ?disc .
+          ?l <lineitem#l_shipdate> ?sd .
+          FILTER(xsd:dateTime(?od) < xsd:dateTime("1996-06-15 00:00:00")
+                 && xsd:dateTime(?sd) > xsd:dateTime("1996-06-15 00:00:00"))
+        }
+        GROUP BY ?okey
+        ORDER BY DESC(?revenue) ?okey
+        LIMIT 10
+        """
+    )
+    return evaluate(st, plan)

@@ -55,6 +55,7 @@ _SCORE_FIRST = [
     "dataset_split",
     "text_pack_sequences",
     "tm_insert_delta",
+    "sparql_tpch_q3",
 ]
 
 
