@@ -898,26 +898,48 @@ def instantiate_template(
     return out.distinct()
 
 
-def describe(store: TripleStore, subjects: DataFrame | list[str], max_depth: int = 8) -> DataFrame:
-    """DESCRIBE via Concise Bounded Description: outbound statements of the
-    resources, recursively expanded through blank-node objects — a bnode
-    value's own description is part of the CBD (ref: eval/CBD.java, which
-    iterates until no new bnodes appear). `max_depth` guards bnode cycles."""
+def describe(
+    store: TripleStore,
+    subjects: DataFrame | list[str],
+    max_depth: int = 8,
+    mode: str = "cbd",
+) -> DataFrame:
+    """DESCRIBE with configurable mode (ref: eval/CBD.java plus the
+    reference's describeMode query hint):
+
+    * ``cbd`` (default): outbound statements of the resources, recursively
+      expanded through blank-node objects — a bnode value's own description
+      is part of the CBD; ``max_depth`` guards bnode cycles.
+    * ``fwd``: outbound statements only, no bnode recursion.
+    * ``rev``: inbound statements only (who references the resource).
+    * ``scbd``: symmetric CBD — the CBD plus inbound statements of the
+      described resources.
+    """
     if isinstance(subjects, list):
         subjects = store.spark.createDataFrame([(s,) for s in subjects], "s string")
     frontier = subjects.select("s").distinct()
+    inbound = None
+    if mode in ("rev", "scbd"):
+        inbound = store.df.join(
+            F.broadcast(frontier.select(F.col("s").alias("o_lex"))), on="o_lex"
+        ).select("s", "p", "o_lex", "o_dt", *(["g"] if "g" in store.df.columns else []))
+        if mode == "rev":
+            return inbound
     seen = frontier.localCheckpoint()
     out = store.df.join(F.broadcast(frontier), on="s")
-    for _ in range(max_depth):
-        bnodes = (
-            out.filter(F.col("o_dt") == "bnode")
-            .select(F.col("o_lex").alias("s"))
-            .distinct()
-            .join(seen, on="s", how="left_anti")
-            .localCheckpoint()
-        )
-        if bnodes.isEmpty():
-            break
-        seen = seen.unionByName(bnodes)
-        out = out.unionByName(store.df.join(F.broadcast(bnodes), on="s"))
+    if mode != "fwd":
+        for _ in range(max_depth):
+            bnodes = (
+                out.filter(F.col("o_dt") == "bnode")
+                .select(F.col("o_lex").alias("s"))
+                .distinct()
+                .join(seen, on="s", how="left_anti")
+                .localCheckpoint()
+            )
+            if bnodes.isEmpty():
+                break
+            seen = seen.unionByName(bnodes)
+            out = out.unionByName(store.df.join(F.broadcast(bnodes), on="s"))
+    if inbound is not None:  # scbd: CBD ∪ inbound arcs
+        out = out.unionByName(inbound.select(*out.columns)).distinct()
     return out

@@ -144,6 +144,19 @@ def test_describe(tiny_store):
     assert df.count() == 3
 
 
+def test_describe_modes(tiny_store):
+    """scbd = cbd + inbound arcs; rev = inbound only; fwd = outbound only
+    (ref: the reference's describeMode hint — CBD/SCBD/forward)."""
+    cbd = {tuple(r) for r in describe(tiny_store, ["b"]).select("s", "p", "o_lex").collect()}
+    fwd = {tuple(r) for r in describe(tiny_store, ["b"], mode="fwd").select("s", "p", "o_lex").collect()}
+    rev = {tuple(r) for r in describe(tiny_store, ["b"], mode="rev").select("s", "p", "o_lex").collect()}
+    scbd = {tuple(r) for r in describe(tiny_store, ["b"], mode="scbd").select("s", "p", "o_lex").collect()}
+    assert ("a", "knows", "b") in rev  # inbound arc
+    assert all(s == "b" for s, _, _ in fwd) and fwd  # outbound only
+    assert scbd == cbd | rev
+    assert not (rev & cbd)
+
+
 def test_path_seq_and_plus(tiny_store):
     # knows/knows
     df = evaluate(tiny_store, A.PathPattern(v("x"), A.Seq("knows", "knows"), v("y")))
