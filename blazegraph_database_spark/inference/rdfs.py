@@ -423,6 +423,85 @@ def dred_retract(closed: DataFrame, explicit_new: DataFrame, delta: DataFrame) -
     return out
 
 
+OWL_PROPCHAIN = "owl:propertyChainAxiom"
+RDF_FIRST = "rdf:first"
+RDF_REST = "rdf:rest"
+RDF_NIL = "rdf:nil"
+
+
+def _read_chains(df: DataFrame) -> list[tuple[str, list[str]]]:
+    """(superProp, [p1, p2, ...]) for every owl:propertyChainAxiom whose
+    chain is an rdf:first/rest list. Schema-sized by definition — the axiom
+    triples and their list spines are collected driver-side exactly like
+    the reference's rule-program compilation reads its ontology."""
+    axioms = {
+        r["s"]: r["o_lex"]
+        for r in df.filter(F.col("p") == OWL_PROPCHAIN).select("s", "o_lex").collect()
+    }
+    if not axioms:
+        return []
+    firsts, rests = {}, {}
+    for r in df.filter(F.col("p").isin(RDF_FIRST, RDF_REST)).select("s", "p", "o_lex").collect():
+        (firsts if r["p"] == RDF_FIRST else rests)[r["s"]] = r["o_lex"]
+    out = []
+    for prop, head in axioms.items():
+        chain, node, hops = [], head, 0
+        while node != RDF_NIL and node in firsts and hops < 32:
+            chain.append(firsts[node])
+            node = rests.get(node, RDF_NIL)
+            hops += 1
+        if len(chain) >= 2:
+            out.append((prop, chain))
+    return out
+
+
+def property_chain_closure(df: DataFrame, max_iters: int = 8) -> DataFrame:
+    """owl:propertyChainAxiom (OWL RL rule prp-spo2): ``p owl:
+    propertyChainAxiom (p1 p2 ... pn)`` infers ``(x0 p xn)`` from the edge
+    chain ``(x0 p1 x1) ... (xn-1 pn xn)``. Each chain composes as n-1
+    equi-joins over per-predicate edge sets; the outer loop re-fires until
+    no new triples (chains whose heads feed other chains), bounded by
+    ``max_iters``. Per-predicate inputs are filtered scans, so each join
+    round touches only the chain's predicates, not the store."""
+    chains = _read_chains(df)
+    if not chains:
+        return df
+    out = df
+    for _ in range(max_iters):
+        new_parts = []
+        for prop, chain in chains:
+            comp = out.filter(F.col("p") == chain[0]).select(
+                F.col("s").alias("x0"), F.col("o_lex").alias("x1")
+            )
+            for i, p in enumerate(chain[1:], start=1):
+                step = out.filter(F.col("p") == p).select(
+                    F.col("s").alias(f"x{i}"), F.col("o_lex").alias(f"x{i+1}")
+                )
+                comp = comp.join(step, on=f"x{i}")
+            new_parts.append(
+                comp.select(
+                    F.col("x0").alias("s"),
+                    F.lit(prop).alias("p"),
+                    F.col(f"x{len(chain)}").alias("o_lex"),
+                    F.lit("iri").alias("o_dt"),
+                )
+            )
+        fresh = new_parts[0]
+        for p_ in new_parts[1:]:
+            fresh = fresh.unionByName(p_)
+        fresh = _chk(
+            fresh.distinct().join(
+                out.select("s", "p", "o_lex", "o_dt"),
+                on=["s", "p", "o_lex", "o_dt"],
+                how="left_anti",
+            )
+        )
+        if fresh.isEmpty():
+            break
+        out = out.unionByName(fresh, allowMissingColumns=True)
+    return out
+
+
 def same_as_components(df: DataFrame) -> DataFrame:
     """(node, canon): owl:sameAs equivalence classes via min-label connected
     components (reuses the GAS CC kernel)."""

@@ -245,3 +245,34 @@ def test_data_delete_never_recomputes_closure(spark, onto, monkeypatch):
     # schema deltas DO recompute (and must hit the boom)
     with pytest.raises(AssertionError):
         st.delete_with_closure(_store(spark, [("Dog", "rdfs:subClassOf", "Mammal", "iri")]).df)
+
+
+def test_property_chain_axiom(spark):
+    """owl:propertyChainAxiom (OWL RL prp-spo2): hasParent∘hasParent ⊑
+    hasGrandparent, including re-firing when a chain head feeds another."""
+    T = "iri"
+    st = _store(
+        spark,
+        [
+            # hasGrandparent <- hasParent o hasParent (rdf list schema)
+            ("hasGrandparent", "owl:propertyChainAxiom", "_:l1", T),
+            ("_:l1", "rdf:first", "hasParent", T),
+            ("_:l1", "rdf:rest", "_:l2", T),
+            ("_:l2", "rdf:first", "hasParent", T),
+            ("_:l2", "rdf:rest", "rdf:nil", T),
+            # hasGreatGrandparent <- hasGrandparent o hasParent (chained chains)
+            ("hasGGp", "owl:propertyChainAxiom", "_:m1", T),
+            ("_:m1", "rdf:first", "hasGrandparent", T),
+            ("_:m1", "rdf:rest", "_:m2", T),
+            ("_:m2", "rdf:first", "hasParent", T),
+            ("_:m2", "rdf:rest", "rdf:nil", T),
+            ("a", "hasParent", "b", T),
+            ("b", "hasParent", "c", T),
+            ("c", "hasParent", "d", T),
+        ],
+    )
+    out = {(r["s"], r["p"], r["o_lex"]) for r in rdfs.property_chain_closure(st.df).collect()}
+    assert ("a", "hasGrandparent", "c") in out
+    assert ("b", "hasGrandparent", "d") in out
+    assert ("a", "hasGGp", "d") in out  # needs the second firing round
+    assert ("a", "hasGrandparent", "d") not in out
