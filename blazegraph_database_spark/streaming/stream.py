@@ -185,3 +185,43 @@ def sessionize_stateful(stream: DataFrame, gap_seconds: float = 1800.0) -> DataF
             GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def ingest_stream_to_store(
+    stream_triples: DataFrame,
+    store,
+    with_closure: bool = False,
+    checkpoint_dir: str | None = None,
+):
+    """Commit a triple stream into an :class:`UpdatableStore`, one store
+    version per micro-batch (foreachBatch → ``insert_data`` /
+    ``insert_with_closure``) — the streaming DataLoader: each micro-batch
+    is a transaction, readers keep whatever version they hold (snapshot
+    isolation), and with ``with_closure=True`` every batch forward-chains
+    only its delta against the closed store (inference.rdfs.delta_assert).
+
+    Returns the StreamingQuery; await with ``.awaitTermination()``. The
+    driver is the single writer (the reference's unisolated-connection
+    discipline), so micro-batch commits serialize naturally.
+    """
+    import tempfile
+
+    def commit(batch_df: DataFrame, _batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        # foreachBatch hands over an ephemeral DF; pin the rows so the new
+        # store version doesn't depend on re-reading stream state
+        pinned = batch_df.localCheckpoint(eager=True)
+        if with_closure:
+            store.insert_with_closure(pinned)
+        else:
+            store.insert_data(pinned)
+
+    ckpt = checkpoint_dir or tempfile.mkdtemp(prefix="ingest_ckpt_")
+    return (
+        stream_triples.writeStream.outputMode("append")
+        .foreachBatch(commit)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -89,3 +89,44 @@ def test_stream_to_triples_counts(spark):
     counts = {r["p"]: r["n"] for r in out.collect()}
     assert counts["events#event_type"] == n_events
     assert set(counts) == {"events#event_type", "events#user_id", "events#value", "events#props"}
+
+
+def test_ingest_stream_to_store_versions(spark, tmp_path):
+    """Micro-batch commits: the stream lands in an UpdatableStore as new
+    versions with snapshot isolation; closure mode chains each delta."""
+    from blazegraph_database_spark.model.store import TripleStore
+    from blazegraph_database_spark.update.update import UpdatableStore
+
+    schema_rows = [("Class:Click", "rdfs:subClassOf", "Class:Event", "iri")]
+    us = UpdatableStore.from_store(
+        TripleStore(
+            spark.createDataFrame(schema_rows, "s string, p string, o_lex string, o_dt string")
+        )
+    )
+    us.insert_with_closure(
+        spark.createDataFrame([], "s string, p string, o_lex string, o_dt string")
+    )
+    v0 = us.current
+
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [(f"e{i}",) for i in range(20)], "eid string"
+    ).repartition(2).write.parquet(src)
+    st = spark.readStream.schema("eid string").parquet(src)
+    triples = st.select(
+        F.col("eid").alias("s"),
+        F.lit("rdf:type").alias("p"),
+        F.lit("Class:Click").alias("o_lex"),
+        F.lit("iri").alias("o_dt"),
+    )
+    q = S.ingest_stream_to_store(
+        triples, us, with_closure=True, checkpoint_dir=str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(120)
+    cur = us.current.df
+    assert cur.filter((F.col("p") == "rdf:type") & (F.col("o_lex") == "Class:Click")).count() == 20
+    # delta closure fired per batch: every click is also an Event
+    assert cur.filter((F.col("p") == "rdf:type") & (F.col("o_lex") == "Class:Event")).count() == 20
+    # snapshot isolation: the pre-stream version is untouched
+    assert v0.df.filter(F.col("p") == "rdf:type").count() == 0
+    assert len(us.versions) > 2
