@@ -423,6 +423,7 @@ def _compile_bgp(node: A.BGP, store: TripleStore) -> DataFrame:
     if hints:
         return _compile_bgp_hinted(patterns, hints, store)
     entries, leftover = _star_fuse(patterns, store)
+    n_fused = len(entries)
     for i in leftover:
         sp = patterns[i]
         entries.append((_pattern_df(sp, store), _estimate(sp, store), _vars_of(sp)))
@@ -434,6 +435,24 @@ def _compile_bgp(node: A.BGP, store: TripleStore) -> DataFrame:
         idx = joinable[0] if joinable else 0
         ordered.append(entries.pop(idx))
         bound |= ordered[-1][2]
+    trace = getattr(store, "_trace", None)
+    if trace is not None:
+        trace.append(
+            {
+                "op": "BGP",
+                "n_patterns": len(patterns),
+                "star_fused_scans": n_fused,
+                "join_order": [
+                    {
+                        "vars": sorted(vs),
+                        "est_rows": est,
+                        "broadcast": bool(k > 0 and est <= BROADCAST_MAX_ROWS),
+                    }
+                    for k, (_df, est, vs) in enumerate(ordered)
+                ],
+                "id_join_vars": sorted(getattr(store, "id_join_vars", ())),
+            }
+        )
     out = None
     for df, est, _ in ordered:
         if est <= BROADCAST_MAX_ROWS and out is not None:
@@ -835,6 +854,21 @@ def _(node: A.PathPattern, store: TripleStore) -> DataFrame:
 
 
 # ---------------------------------------------------------------- frontends --
+def explain_trace(store: TripleStore, node) -> list[dict]:
+    """Engine-level optimizer trace (the reference's explain page shows its
+    static-optimizer join order and range counts the same way): one entry
+    per BGP with the chosen join order, per-input row estimates, broadcast
+    decisions, star-fusion count, and the id-join variable set. Building
+    the plan runs no Spark job beyond the stats/probes the compiler itself
+    uses."""
+    import copy
+
+    traced = copy.copy(store)
+    traced._trace = []
+    evaluate(traced, node)
+    return traced._trace
+
+
 def ask(store: TripleStore, node) -> bool:
     """ASK query. Ref: AST QueryType.ASK."""
     return len(evaluate(store, node).take(1)) > 0

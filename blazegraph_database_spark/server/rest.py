@@ -215,7 +215,7 @@ class SparqlEndpoint:
         ns: str,
         text: str,
         accept: str = "",
-        explain: bool = False,
+        explain: str | None = None,
         timestamp: int | None = None,
     ) -> tuple[int, str, bytes]:
         us = self.namespaces[ns]
@@ -232,7 +232,10 @@ class SparqlEndpoint:
         form = parsed[0]
         if explain:
             # ref: NanoSparqlServer's ?explain= page — here the analyzed +
-            # optimized + physical Spark plan for the compiled query
+            # optimized + physical Spark plan for the compiled query;
+            # explain=details prepends the engine's own optimizer trace
+            # (BGP join order, estimates, broadcast and id-join decisions —
+            # the reference page's static-optimizer section)
             if form == "select":
                 df = compiler.evaluate(store, parsed[1])
             elif form == "construct":
@@ -242,6 +245,14 @@ class SparqlEndpoint:
             else:  # ASK explains its underlying pattern
                 df = compiler.evaluate(store, parsed[1])
             plan = df._jdf.queryExecution().toString()
+            if explain == "details" and form in ("select", "ask"):
+                trace = compiler.explain_trace(store, parsed[1])
+                plan = (
+                    "== Optimizer Trace ==\n"
+                    + json.dumps(trace, indent=1, default=str)
+                    + "\n\n"
+                    + plan
+                )
             return 200, "text/plain", plan.encode()
         if form == "select":
             ser, ctype = _pick(accept, _SELECT_FMTS, SRJ)
@@ -403,13 +414,17 @@ class SparqlEndpoint:
         if ns not in self.namespaces:
             raise KeyError(f"no such namespace: {ns}")
 
-        def wants_explain(p: dict) -> bool:
-            # explain present with no value / true / 1 / details ⇒ explain;
-            # an explicit explain=false must NOT explain (same rule for GET
-            # params and POST form fields).
-            return "explain" in p and str(p.get("explain", "")).lower() in (
-                "", "true", "1", "details",
-            )
+        def wants_explain(p: dict) -> str | None:
+            # explain present with no value / true / 1 ⇒ plain explain;
+            # explain=details adds the optimizer trace; an explicit
+            # explain=false must NOT explain (same rule for GET params and
+            # POST form fields).
+            if "explain" not in p:
+                return None
+            v = str(p.get("explain", "")).lower()
+            if v == "details":
+                return "details"
+            return "plain" if v in ("", "true", "1") else None
 
         explain = wants_explain(params)
         if method == "GET":

@@ -125,6 +125,15 @@ def test_explain_param(server):
     assert status == 200 and ctype == "application/sparql-results+json"
 
 
+def test_explain_details_has_optimizer_trace(server):
+    q = urllib.parse.quote("SELECT ?x ?y WHERE { ?x <knows> ?y . ?x <rdf:type> <Person> }")
+    status, ctype, body = _req(f"{server}/sparql?query={q}&explain=details")
+    assert status == 200 and ctype == "text/plain"
+    text = body.decode()
+    assert "Optimizer Trace" in text and '"join_order"' in text
+    assert "Physical Plan" in text  # Spark plan still follows
+
+
 def test_explain_form_post(server):
     # POST form: bare `explain` key explains; explain=false does not (ADVICE r3)
     sel = "SELECT ?x WHERE { ?x <rdf:type> <Person> }"
