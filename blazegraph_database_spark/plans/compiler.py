@@ -801,6 +801,7 @@ def _(node: A.Service, store: TripleStore) -> DataFrame:
         # magic predicates inside the block (ref: BDS.java search vocabulary)
         pats = collect_sps(node.pattern)
         subj, query, opts = None, None, {}
+        rel_var = rank_var = None
         for sp in pats:
             pred = const_lex(sp.p) if is_const(sp.p) else None
             if pred == "bds:search":
@@ -811,11 +812,20 @@ def _(node: A.Service, store: TripleStore) -> DataFrame:
                 opts["min_relevance_ppm"] = int(float(const_lex(sp.o)) * 1_000_000)
             elif pred == "bds:maxRank":
                 opts["max_rank"] = int(const_lex(sp.o))
+            elif pred == "bds:relevance" and isinstance(sp.o, Var):
+                rel_var = sp.o.name  # bind the hit's relevance score
+            elif pred == "bds:rank" and isinstance(sp.o, Var):
+                rank_var = sp.o.name  # bind the hit's 1-based rank
         if subj is None or not isinstance(subj, Var):
             raise ValueError("SERVICE <bds:search> needs `?var bds:search \"query\"`")
         patterns = [(t.rstrip("*"), t.endswith("*")) for t in query.split()]
         hits = fulltext.search(_store_literal_index(store), patterns, **opts)
-        return hits.select(F.col("id").alias(subj.name))
+        sel = [F.col("id").alias(subj.name)]
+        if rel_var is not None:  # score as the 0..1 relevance the ref binds
+            sel.append((F.col("score_ppm").cast("double") / 1_000_000).alias(rel_var))
+        if rank_var is not None:
+            sel.append(F.col("rank").alias(rank_var))
+        return hits.select(*sel)
     try:
         fn = service.lookup(node.iri)
         out = fn(store.spark, {"query": f"SELECT * WHERE {{ {node.raw} }}", "pattern": node.pattern})

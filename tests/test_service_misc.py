@@ -204,6 +204,39 @@ def test_service_clause_bds_search_text(spark):
     assert [(r["s"], r["y"]) for r in out.collect()] == [("d1", "2024")]
 
 
+def test_service_bds_relevance_rank_bindings(spark):
+    """bds:relevance / bds:rank bind the hit's score and 1-based rank to
+    variables (ref: BDS.java RELEVANCE/RANK magic predicates)."""
+    st = TripleStore(
+        spark.createDataFrame(
+            [
+                ("d1", "title", "spark spark spark", "string"),
+                ("d2", "title", "spark once only here", "string"),
+                ("d3", "title", "nothing relevant", "string"),
+            ],
+            "s string, p string, o_lex string, o_dt string",
+        )
+    )
+    from blazegraph_database_spark.plans.sparql_parser import run_sparql
+
+    out = run_sparql(
+        st,
+        """
+        SELECT ?s ?score ?r WHERE {
+          SERVICE <bds:search> {
+            ?s <bds:search> "spark" .
+            ?s <bds:relevance> ?score .
+            ?s <bds:rank> ?r .
+          }
+        }
+        """,
+    ).collect()
+    got = {r["s"]: (r["score"], r["r"]) for r in out}
+    assert set(got) == {"d1", "d2"}
+    assert got["d1"][1] == 1 and got["d2"][1] == 2  # tf ranks d1 first
+    assert got["d1"][0] > got["d2"][0] > 0
+
+
 def test_service_clause_remote_transport(spark):
     """SERVICE <http://...> dispatches the serialized block through a
     transport-backed registration."""
