@@ -59,3 +59,19 @@ def decode(enc: EncodedStore) -> TripleStore:
         .select("s", "p", "o_lex", "o_dt")
     )
     return TripleStore(out)
+
+
+def save_encoded(enc: EncodedStore, path: str, id_buckets: int = 64, mode: str = "overwrite") -> None:
+    """Persist the encoded form: 24-byte triple rows plus the decode
+    dictionary repartitioned by id range (the ID2TERM shard layout —
+    decode-at-projection joins read only the id buckets they touch). At
+    100 TB the encoded triples are the working set (joins never touch
+    lexical data); the dictionary is cold until final projection."""
+    enc.triples.write.mode(mode).parquet(f"{path}/triples")
+    enc.dictionary.repartition(id_buckets, "id").write.mode(mode).parquet(f"{path}/dict")
+
+
+def load_encoded(spark, path: str) -> EncodedStore:
+    return EncodedStore(
+        spark.read.parquet(f"{path}/triples"), spark.read.parquet(f"{path}/dict")
+    )

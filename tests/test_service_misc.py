@@ -127,6 +127,21 @@ def test_dictionary_roundtrip(spark):
     )
 
 
+def test_dictionary_persist_roundtrip(spark, tmp_path):
+    from blazegraph_database_spark.model import dictionary
+
+    st = TripleStore(
+        spark.createDataFrame(
+            [("a", "knows", "b", "iri"), ("b", "name", "Bob", "string")],
+            "s string, p string, o_lex string, o_dt string",
+        )
+    )
+    path = str(tmp_path / "encstore")
+    dictionary.save_encoded(dictionary.encode(st), path, id_buckets=4)
+    back = dictionary.decode(dictionary.load_encoded(spark, path))
+    assert sorted(map(tuple, back.df.collect())) == sorted(map(tuple, st.df.collect()))
+
+
 def test_graph_scope_quads(spark):
     quads = spark.createDataFrame(
         [
