@@ -911,8 +911,23 @@ class Parser:
         if self.at_kw("group"):
             self.next()
             self.eat_kw("by")
-            while self.peek().kind == "VAR":
-                group_keys.append(self.next().text[1:])
+            while True:
+                if self.peek().kind == "VAR":
+                    group_keys.append(self.next().text[1:])
+                elif self.at_op("("):
+                    # GROUP BY (expr AS ?v): bind the key expression first,
+                    # then group on the alias (SPARQL GroupCondition)
+                    self.next()
+                    e = self.expr()
+                    self.eat_kw("as")
+                    t = self.next()
+                    if t.kind != "VAR":
+                        raise SyntaxError(f"expected ?var after AS, got {t.text!r}")
+                    self.eat_op(")")
+                    node = A.Extend(node, t.text[1:], e)
+                    group_keys.append(t.text[1:])
+                else:
+                    break
         if self.at_kw("having"):
             self.next()
             self.eat_op("(")

@@ -241,6 +241,18 @@ def test_query_hints_declared_prefix(tiny_store):
     assert rows == {("a", "Alice"), ("b", "Bob"), ("c", "Carol")}
 
 
+def test_group_by_expression(tiny_store):
+    from blazegraph_database_spark.plans.sparql_parser import run_sparql
+
+    out = run_sparql(
+        tiny_store,
+        "SELECT ?dec (COUNT(*) AS ?n) WHERE { ?x <age> ?a } "
+        "GROUP BY (SUBSTR(?a, 1, 1) AS ?dec)",
+    ).collect()
+    got = {r["dec"]: r["n"] for r in out}
+    assert got == {"3": 1, "2": 1}  # ages 30, 25
+
+
 def test_group_concat_separator_and_xsd_casts(tiny_store):
     from blazegraph_database_spark.plans.sparql_parser import run_sparql
 
