@@ -86,6 +86,40 @@ class UpdatableStore:
         self.versions.append(st)
         return st
 
+    # ------------------------------------------------------- transactions --
+    def transaction(self):
+        """Group several update verbs into ONE commit point (ref: the SAIL
+        connection's begin/commit/abort — BigdataSailConnection buffers
+        writes until commit). Inside the block every verb still produces a
+        readable intermediate version (read-your-writes); on normal exit
+        the intermediates collapse into a single new commit point, and on
+        exception the store rolls back to its pre-transaction state
+        (including the truth-maintenance bookkeeping).
+
+            with store.transaction():
+                store.insert_data(...)
+                store.delete_data(...)
+        """
+        from contextlib import contextmanager
+
+        @contextmanager
+        def txn():
+            base = len(self.versions)
+            saved = (self._explicit, self._closed_valid, self._updates)
+            try:
+                yield self
+            except Exception:
+                del self.versions[base:]
+                self._explicit, self._closed_valid, self._updates = saved
+                raise
+            else:
+                if len(self.versions) > base + 1:
+                    final = self.versions[-1]
+                    del self.versions[base:]
+                    self.versions.append(final)
+
+        return txn()
+
     # ------------------------------------------------------------- verbs --
     def insert_data(self, triples: DataFrame) -> TripleStore:
         """INSERT DATA: union new ground triples (set semantics)."""

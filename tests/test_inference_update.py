@@ -276,3 +276,37 @@ def test_property_chain_axiom(spark):
     assert ("b", "hasGrandparent", "d") in out
     assert ("a", "hasGGp", "d") in out  # needs the second firing round
     assert ("a", "hasGrandparent", "d") not in out
+
+
+def test_transaction_commit_collapses_versions(spark):
+    st = UpdatableStore.from_store(_store(spark, [("a", "p", "1", "long")]))
+    n0 = len(st.versions)
+    with st.transaction():
+        st.insert_data(_store(spark, [("b", "p", "2", "long")]).df)
+        st.insert_data(_store(spark, [("c", "p", "3", "long")]).df)
+        assert st.current.df.count() == 3  # read-your-writes inside the txn
+    assert len(st.versions) == n0 + 1  # one commit point for both verbs
+    assert st.current.df.count() == 3
+
+
+def test_transaction_abort_rolls_back(spark):
+    st = UpdatableStore.from_store(_store(spark, [("a", "p", "1", "long")]))
+    n0 = len(st.versions)
+    with pytest.raises(RuntimeError):
+        with st.transaction():
+            st.insert_data(_store(spark, [("b", "p", "2", "long")]).df)
+            raise RuntimeError("boom")
+    assert len(st.versions) == n0
+    assert [r["s"] for r in st.current.df.collect()] == ["a"]
+    # TM bookkeeping also rolls back: closure state is as before
+    st2 = UpdatableStore.from_store(
+        _store(spark, [("Dog", "rdfs:subClassOf", "Animal", "iri")])
+    )
+    st2.insert_with_closure(_store(spark, []).df)
+    explicit_before = st2._explicit
+    with pytest.raises(RuntimeError):
+        with st2.transaction():
+            st2.insert_with_closure(_store(spark, [("rex", "rdf:type", "Dog", "iri")]).df)
+            raise RuntimeError("boom")
+    assert st2._explicit is explicit_before
+    assert not {(r["s"]) for r in st2.current.df.collect() if r["s"] == "rex"}
