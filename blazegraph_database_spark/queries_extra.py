@@ -481,3 +481,76 @@ def update_graph_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
         .orderBy("g")
     )
+
+
+@register(
+    "store_roundtrip",
+    """
+    SELECT 'customer#c_acctbal' AS p, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(DISTINCT c_custkey) AS BIGINT) AS nsubj
+    FROM customer
+    UNION ALL
+    SELECT 'nation#n_name', CAST(COUNT(*) AS BIGINT), CAST(COUNT(DISTINCT n_nationkey) AS BIGINT)
+    FROM nation
+    """,
+)
+def store_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bulk load → persistent POS layout → read back (ref: DataLoader.java
+    + the SPO/POS index write path): the persisted store's per-predicate
+    contents and its write-time stats must both equal the source. Exercises
+    write_pos_layout / read_store end-to-end on real data."""
+    import tempfile
+
+    from blazegraph_database_spark.model.store import TripleStore
+    from blazegraph_database_spark.sources import parquet_store
+    from blazegraph_database_spark.sources.relational import read_parquet, table_to_triples
+
+    cust = table_to_triples(read_parquet(spark, f"{sf_dir}/customer.parquet"), "customer", "c_custkey", {})
+    nat = table_to_triples(read_parquet(spark, f"{sf_dir}/nation.parquet"), "nation", "n_nationkey", {})
+    st = TripleStore(cust.unionByName(nat))
+    path = tempfile.mkdtemp(prefix="store_rt_")
+    parquet_store.write_pos_layout(st, path)
+    back = parquet_store.read_store(spark, path)
+    preds = ["customer#c_acctbal", "nation#n_name"]
+    return (
+        back.df.filter(F.col("p").isin(preds))
+        .groupBy("p")
+        .agg(F.count(F.lit(1)).alias("n"), F.countDistinct("s").alias("nsubj"))
+    )
+
+
+@register(
+    "ntriples_roundtrip",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_triples,
+           CAST(COUNT(DISTINCT n_nationkey) AS BIGINT) AS n_subjects,
+           MIN(n_name) AS first_name
+    FROM nation
+    """,
+)
+def ntriples_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serialize the nation table as real N-Triples lines, parse them back
+    with the distributed N-Triples reader, and aggregate — the parser's
+    lexical round-trip checked against the source data (ref: the rio
+    N-Triples parser feeding DataLoader)."""
+    import tempfile
+
+    from blazegraph_database_spark.sources import ntriples
+    from blazegraph_database_spark.sources.relational import read_parquet
+
+    nat = read_parquet(spark, f"{sf_dir}/nation.parquet")
+    lines = nat.select(
+        F.concat(
+            F.lit("<nation:"), F.col("n_nationkey").cast("string"), F.lit("> "),
+            F.lit("<nation#n_name> "),
+            F.lit('"'), F.col("n_name"), F.lit('" .'),
+        ).alias("value")
+    )
+    path = tempfile.mkdtemp(prefix="nt_rt_") + "/nation.nt"
+    lines.coalesce(1).write.mode("overwrite").text(path)
+    parsed = ntriples.read_ntriples(spark, path)
+    return parsed.agg(
+        F.count(F.lit(1)).alias("n_triples"),
+        F.countDistinct("s").alias("n_subjects"),
+        F.min("o_lex").alias("first_name"),
+    )

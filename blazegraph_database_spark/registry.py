@@ -56,6 +56,8 @@ _SCORE_FIRST = [
     "text_pack_sequences",
     "tm_insert_delta",
     "sparql_tpch_q3",
+    "store_roundtrip",
+    "ntriples_roundtrip",
 ]
 
 
