@@ -94,24 +94,27 @@ def transitive_closure(
             if not closed:
                 return known
             return pairs.sparkSession.createDataFrame(closed, known.schema)
+    from blazegraph_database_spark.operators.gas import _iter_shuffle
+
     use_doubling = n_pairs <= DOUBLING_MAX_PAIRS
-    if use_doubling:
+    with _iter_shuffle(pairs.sparkSession, n_pairs):
+        if use_doubling:
+            for _ in range(max_iters):
+                grown = _join_through(known, known, keys)
+                new = grown.join(known, on=keys + ["s", "o"], how="left_anti").localCheckpoint()
+                if new.isEmpty():
+                    break
+                known = known.unionByName(new)
+            return known
+        base = known
+        delta = known
         for _ in range(max_iters):
-            grown = _join_through(known, known, keys)
-            new = grown.join(known, on=keys + ["s", "o"], how="left_anti").localCheckpoint()
-            if new.isEmpty():
+            grown = _join_through(delta, base, keys)
+            delta = grown.join(known, on=keys + ["s", "o"], how="left_anti").localCheckpoint()
+            if delta.isEmpty():
                 break
-            known = known.unionByName(new)
+            known = known.unionByName(delta)
         return known
-    base = known
-    delta = known
-    for _ in range(max_iters):
-        grown = _join_through(delta, base, keys)
-        delta = grown.join(known, on=keys + ["s", "o"], how="left_anti").localCheckpoint()
-        if delta.isEmpty():
-            break
-        known = known.unionByName(delta)
-    return known
 
 
 def _identity_pairs(pairs: DataFrame, keys: list[str] | None = None) -> DataFrame:
