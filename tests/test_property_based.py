@@ -93,3 +93,54 @@ def test_ntriples_line_shape(parts):
         assert m, line
         assert m.group(1) == f"<{s}>" and m.group(2) == f"<{p}>"
         assert _nt_unescape(m.group(3)[1:-1]) == lex
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 5), st.integers(0, 5)), min_size=1, max_size=12
+    ),
+    shape=st.sampled_from(["chain3", "star3", "triangle"]),
+    data=st.data(),
+)
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+def test_id_join_path_equals_lexical_path(spark, edges, shape, data):
+    """The dictionary-encoded join path must be result-identical to the
+    all-lexical path on random graphs and BGP shapes — the invariant the
+    conservative classifier promises (a classification can only change the
+    physical plan, never the bindings)."""
+    from blazegraph_database_spark.model.store import TripleStore
+    from blazegraph_database_spark.model.terms import Var as V
+    from blazegraph_database_spark.plans import algebra as A
+    from blazegraph_database_spark.plans import compiler
+
+    rows = [(f"n{a}", "knows", f"n{b}", "iri") for a, b in edges]
+    rows += [(f"n{a}", "age", str(10 + a), "long") for a, _ in edges]
+    st_ = TripleStore(
+        spark.createDataFrame(rows, "s string, p string, o_lex string, o_dt string")
+    )
+    if shape == "chain3":
+        plan = A.Project(
+            A.BGP([A.SP(V("x"), "knows", V("y")), A.SP(V("y"), "knows", V("z")),
+                   A.SP(V("z"), "age", V("a"))]),
+            ["a"],
+        )
+    elif shape == "star3":
+        plan = A.Project(
+            A.BGP([A.SP(V("x"), "knows", V("y")), A.SP(V("x"), "knows", V("z")),
+                   A.SP(V("x"), "age", V("a"))]),
+            ["a"],
+        )
+    else:
+        plan = A.Project(
+            A.BGP([A.SP(V("x"), "knows", V("y")), A.SP(V("y"), "knows", V("z")),
+                   A.SP(V("z"), "knows", V("x"))]),
+            ["x"],
+        )
+    with_ids = sorted(map(tuple, compiler.evaluate(st_, plan).collect()))
+    real = compiler._id_join_vars
+    try:
+        compiler._id_join_vars = lambda node: frozenset()
+        lexical = sorted(map(tuple, compiler.evaluate(st_, plan).collect()))
+    finally:
+        compiler._id_join_vars = real
+    assert with_ids == lexical
