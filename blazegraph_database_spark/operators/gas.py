@@ -33,27 +33,36 @@ MAX_ITERS = 64
 ITER_ROWS_PER_PARTITION = 2_000
 
 
+# The shuffle-width cap mutates session-global conf; concurrent callers
+# (e.g. two REST queries on the ThreadingHTTPServer both running a path
+# closure) must serialize the save/set/restore or an interleaved restore
+# can pin the session at the capped width permanently. Serializing the
+# loops is acceptable — they are driver-coordination-bound anyway.
+_ITER_SHUFFLE_LOCK = __import__("threading").RLock()
+
+
 def _iter_shuffle(spark, n_rows: int):
     """Context manager: cap spark.sql.shuffle.partitions to the iterative
     state's size (never raising it above the session default — a real
     cluster's default is already sized for its data). Restores on exit;
     the loop's checkpoints execute inside, so every round's exchange uses
-    the capped width."""
+    the capped width. Thread-safe via a process-wide lock (see above)."""
     from contextlib import contextmanager
 
     @contextmanager
     def ctx():
         conf = spark.conf
-        old = conf.get("spark.sql.shuffle.partitions")
-        parts = min(int(old), max(4, n_rows // ITER_ROWS_PER_PARTITION))
-        if parts >= int(old):
-            yield
-            return
-        conf.set("spark.sql.shuffle.partitions", str(parts))
-        try:
-            yield
-        finally:
-            conf.set("spark.sql.shuffle.partitions", old)
+        with _ITER_SHUFFLE_LOCK:
+            old = conf.get("spark.sql.shuffle.partitions")
+            parts = min(int(old), max(4, n_rows // ITER_ROWS_PER_PARTITION))
+            if parts >= int(old):
+                yield
+                return
+            conf.set("spark.sql.shuffle.partitions", str(parts))
+            try:
+                yield
+            finally:
+                conf.set("spark.sql.shuffle.partitions", old)
 
     return ctx()
 
@@ -71,7 +80,12 @@ def undirect(edges: DataFrame) -> DataFrame:
 # Verdicts of the in-degree probe keyed by the edge plan's semanticHash, so
 # repeated traversals over the same edge set don't re-scan it (a full edge
 # aggregation per bfs/sssp call would be an extra corpus scan at 100 TB).
+# semanticHash identifies the PLAN, not the data: like Spark's own relation
+# caches, a source mutated under the same path is not detected — pass
+# ``functional=`` explicitly (or reload after REFRESH) when data can change
+# mid-session. Size-bounded so long-lived sessions don't leak entries.
 _FUNCTIONAL_CACHE: dict[int, bool] = {}
+_FUNCTIONAL_CACHE_MAX = 256
 
 
 def _is_functional(e: DataFrame) -> bool:
@@ -86,6 +100,8 @@ def _is_functional(e: DataFrame) -> bool:
     row = e.groupBy("dst").agg(F.count(F.lit(1)).alias("c")).agg(F.max("c").alias("m")).first()
     verdict = row is not None and row["m"] == 1
     if key is not None:
+        if len(_FUNCTIONAL_CACHE) >= _FUNCTIONAL_CACHE_MAX:
+            _FUNCTIONAL_CACHE.clear()
         _FUNCTIONAL_CACHE[key] = verdict
     return verdict
 

@@ -62,7 +62,9 @@ def term_id(col: Column) -> Column:
 
 
 def _all_sp_vars(n) -> set[str]:
-    """Every var name appearing anywhere in a pattern subtree."""
+    """Every var name BOUND anywhere in a pattern subtree — pattern
+    positions plus BIND targets, VALUES columns, and Project vars (used to
+    mark a whole opaque subtree, e.g. a SERVICE block, as lexical)."""
     out: set[str] = set()
 
     def walk(x):
@@ -76,6 +78,13 @@ def _all_sp_vars(n) -> set[str]:
             for sp in x.patterns:
                 walk(sp)
         else:
+            if isinstance(x, A.Extend):
+                out.add(x.var)
+            elif isinstance(x, A.Values):
+                for row in x.rows:
+                    out.update(row.keys())
+            elif isinstance(x, A.Project):
+                out.update(x.vars)
             for attr in ("child", "pattern", "left", "right"):
                 c = getattr(x, attr, None)
                 if c is not None and not isinstance(c, (str, Column)):
@@ -660,7 +669,15 @@ def _(node: A.Exists, store: TripleStore) -> DataFrame:
 
 @_compile.register
 def _(node: A.Project, store: TripleStore) -> DataFrame:
-    return _compile(node.child, store).select(*node.vars)
+    child = _compile(node.child, store)
+    cols = list(node.vars)
+    if store.track_dt:
+        # keep the projected vars' datatype companions so result
+        # serializers can type terms (IRI vs literal vs lang) — DISTINCT
+        # over them is still term-correct (same lexical + different dt IS
+        # a different term)
+        cols += [f"{v}__dt" for v in node.vars if f"{v}__dt" in child.columns]
+    return child.select(*cols)
 
 
 @_compile.register

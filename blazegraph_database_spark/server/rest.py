@@ -256,7 +256,11 @@ class SparqlEndpoint:
             return 200, "text/plain", plan.encode()
         if form == "select":
             ser, ctype = _pick(accept, _SELECT_FMTS, SRJ)
-            return 200, ctype, ser(compiler.evaluate(store, parsed[1]))
+            # dt tracking: object-position vars carry `<var>__dt` companions
+            # through projection so serializers type terms (uri / literal /
+            # lang); subject/join-position vars have no companion and
+            # default to plain literals (documented subset)
+            return 200, ctype, ser(compiler.evaluate(store.with_dt_tracking(), parsed[1]))
         if form == "ask":
             return 200, SRJ, json.dumps(
                 {"head": {}, "boolean": compiler.ask(store, parsed[1])}
@@ -292,7 +296,17 @@ class SparqlEndpoint:
             us = self.namespaces[ns]
             if replace:  # PUT: delete-all + load
                 us.versions.append(TripleStore(us.current.df.limit(0)))
-            us.insert_data(new.select("s", "p", "o_lex", "o_dt"))
+            cols = ["s", "p", "o_lex", "o_dt"]
+            if "g" in new.columns and "g" in us.current.df.columns:
+                # quad body (TriG/TriX/N-Quads) into a quad store: named
+                # graphs survive; readers use g='' for the default graph
+                from pyspark.sql import functions as F
+
+                new = new.withColumn(
+                    "g", F.when(F.col("g") == "", F.lit(None)).otherwise(F.col("g"))
+                )
+                cols.append("g")
+            us.insert_data(new.select(*cols))
         n = new.count()
         return 200, JSON, json.dumps({"inserted": n}).encode()
 
@@ -351,13 +365,18 @@ class SparqlEndpoint:
         return 200, NT, _triples_nt(df)
 
     def delete_by_pattern(self, ns: str, params: dict) -> tuple[int, str, bytes]:
-        """DELETE with s/p/o access-path bindings (ref: DeleteServlet's
-        triple-pattern form)."""
+        """DELETE with s/p/o[/c] access-path bindings (ref: DeleteServlet's
+        triple-pattern form). Quad stores keep the graph column through the
+        delete so c= constrains it and unconstrained deletes still remove
+        the matching row in each graph (not a cross-graph wipe of others)."""
         with self._lock:
             us = self.namespaces[ns]
             doomed = self._pattern_filter(ns, params)
+            cols = ["s", "p", "o_lex", "o_dt"]
+            if "g" in us.current.df.columns:
+                cols.append("g")
             before = us.current.df.count()
-            us.delete_data(doomed.select("s", "p", "o_lex", "o_dt"))
+            us.delete_data(doomed.select(*cols))
             removed = before - us.current.df.count()
         return 200, JSON, json.dumps({"removed": removed}).encode()
 

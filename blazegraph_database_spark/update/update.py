@@ -84,6 +84,13 @@ class UpdatableStore:
             df = df.localCheckpoint(eager=False)
         st = TripleStore(df)
         self.versions.append(st)
+        # any push invalidates the closure bookkeeping ("current == closure
+        # of _explicit", and _explicit itself) — the *_with_closure paths
+        # re-set both after their own push, so interleaved plain verbs
+        # (insert_data/delete_insert_where/graph ops) correctly force the
+        # next closure call to re-seed and recompute from the live store
+        self._closed_valid = False
+        self._explicit = None
         return st
 
     # ------------------------------------------------------- transactions --
@@ -271,13 +278,14 @@ class UpdatableStore:
             .distinct()
             .localCheckpoint(eager=False)
         )
-        self._explicit = explicit
         if self._closed_valid and not self._touches_schema(delta):
             closed_df = delta_assert(self.current.df.select(*TRIPLE_COLS), delta)
         else:
             closed_df = rdfs_closure(TripleStore(explicit)).df
+        st = self._push(closed_df)
+        self._explicit = explicit
         self._closed_valid = True
-        return self._push(closed_df)
+        return st
 
     def delete_with_closure(self, triples: DataFrame) -> TripleStore:
         """Truth maintenance on retraction (ref: TruthMaintenance.java
@@ -291,14 +299,16 @@ class UpdatableStore:
         from blazegraph_database_spark.inference.rdfs import dred_retract, rdfs_closure
 
         delta = triples.select(*TRIPLE_COLS)
+        was_closed = self._closed_valid
         explicit = self._explicit if self._explicit is not None else self.current.df
         explicit = explicit.join(
             F.broadcast(delta), on=TRIPLE_COLS, how="left_anti"
         ).localCheckpoint(eager=False)
-        self._explicit = explicit
-        if self._closed_valid and not self._touches_schema(delta):
+        if was_closed and not self._touches_schema(delta):
             closed_df = dred_retract(self.current.df.select(*TRIPLE_COLS), explicit, delta)
         else:
             closed_df = rdfs_closure(TripleStore(explicit)).df
+        st = self._push(closed_df)
+        self._explicit = explicit
         self._closed_valid = True
-        return self._push(closed_df)
+        return st

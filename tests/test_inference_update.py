@@ -310,3 +310,22 @@ def test_transaction_abort_rolls_back(spark):
             raise RuntimeError("boom")
     assert st2._explicit is explicit_before
     assert not {(r["s"]) for r in st2.current.df.collect() if r["s"] == "rex"}
+
+
+def test_plain_verb_invalidates_closure_bookkeeping(spark):
+    """A plain verb between closure calls must force the next closure call
+    to re-seed and recompute (code-review r4: stale _closed_valid/_explicit
+    made delta_assert fire against an unclosed schema)."""
+    st = UpdatableStore.from_store(
+        _store(spark, [("B", "rdfs:subClassOf", "C", "iri"), ("y", "rdf:type", "B", "iri")])
+    )
+    st.insert_with_closure(_store(spark, []).df)
+    assert ("y", "rdf:type", "C") in _closure_set(st.current.df)
+    # plain verb adds NEW SCHEMA (not via the closure path)
+    st.insert_data(_store(spark, [("C", "rdfs:subClassOf", "D", "iri")]).df)
+    assert st._closed_valid is False and st._explicit is None
+    # next closure call must recompute from the live store: y gets type D
+    st.insert_with_closure(_store(spark, [("x", "rdf:type", "B", "iri")]).df)
+    closed = _closure_set(st.current.df)
+    assert ("y", "rdf:type", "D") in closed
+    assert ("x", "rdf:type", "D") in closed

@@ -235,6 +235,69 @@ def test_hasstmt_getstmts_delete_by_pattern(server):
     _req(f"{server}/namespace/ap", "DELETE")
 
 
+def test_quad_namespace_pattern_verbs_and_trix_graphs(spark):
+    """Quad stores: TriX insert keeps named graphs; c= scopes pattern
+    verbs; DELETE-by-pattern neither crashes nor wipes other graphs
+    (code-review r4 findings)."""
+    rows = [("s0", "p", "o0", "iri", None)]
+    store = UpdatableStore.from_store(
+        TripleStore(
+            spark.createDataFrame(rows, "s string, p string, o_lex string, o_dt string, g string")
+        )
+    )
+    ep = SparqlEndpoint(spark, store)
+    srv, port = start_background(ep)
+    base = f"http://127.0.0.1:{port}"
+    try:
+        trix = """<?xml version="1.0"?>
+<TriX xmlns="http://www.w3.org/2004/03/trix/trix-1/">
+  <graph><uri>g1</uri>
+    <triple><uri>a</uri><uri>p</uri><uri>b</uri></triple></graph>
+  <graph><uri>g2</uri>
+    <triple><uri>a</uri><uri>p</uri><uri>b</uri></triple></graph>
+</TriX>
+""".encode()
+        _req(f"{base}/sparql", "POST", trix, "application/trix")
+        q = urllib.parse.quote("SELECT ?s WHERE { GRAPH <g1> { ?s <p> <b> } }")
+        _, _, body = _req(f"{base}/sparql?query={q}")
+        assert [b["s"]["value"] for b in json.loads(body)["results"]["bindings"]] == ["a"]
+        # c= scopes the delete to one graph; g2's copy survives
+        _, _, body = _req(f"{base}/sparql?s=a&p=p&c=g1", "DELETE")
+        assert json.loads(body)["removed"] == 1
+        _, _, body = _req(f"{base}/sparql?query={q}")
+        assert json.loads(body)["results"]["bindings"] == []
+        q2 = urllib.parse.quote("SELECT ?s WHERE { GRAPH <g2> { ?s <p> <b> } }")
+        _, _, body = _req(f"{base}/sparql?query={q2}")
+        assert [b["s"]["value"] for b in json.loads(body)["results"]["bindings"]] == ["a"]
+        # unconstrained pattern delete on a quad store must not crash
+        _, _, body = _req(f"{base}/sparql?s=a", "DELETE")
+        assert json.loads(body)["removed"] == 1
+    finally:
+        srv.shutdown()
+
+
+def test_tsv_types_object_iris(spark):
+    """Object-position IRI bindings serialize as <iri> in TSV (dt tracking
+    now flows through projection to the REST serializers)."""
+    rows = [("a", "knows", "b", "iri"), ("a", "name", "Ann", "string")]
+    store = UpdatableStore.from_store(
+        TripleStore(spark.createDataFrame(rows, "s string, p string, o_lex string, o_dt string"))
+    )
+    ep = SparqlEndpoint(spark, store)
+    srv, port = start_background(ep)
+    try:
+        q = urllib.parse.quote("SELECT ?o WHERE { <a> <knows> ?o }")
+        _, _, body = _req(
+            f"http://127.0.0.1:{port}/sparql?query={q}", accept="text/tab-separated-values"
+        )
+        assert body.decode().strip().splitlines() == ["?o", "<b>"]
+        # and SRJ types it as uri
+        _, _, body = _req(f"http://127.0.0.1:{port}/sparql?query={q}")
+        assert json.loads(body)["results"]["bindings"][0]["o"]["type"] == "uri"
+    finally:
+        srv.shutdown()
+
+
 def test_timestamp_reads_commit_point(server):
     # MVCC: &timestamp=N reads commit point N while current moves on
     _req(f"{server}/namespace?name=mv", "POST")
