@@ -423,6 +423,116 @@ def dred_retract(closed: DataFrame, explicit_new: DataFrame, delta: DataFrame) -
     return out
 
 
+def _count_data_rules(delta: DataFrame, subprop, dom, rng, subclass) -> DataFrame:
+    """Multiplicity-preserving variant of `_fire_data_rules`: each input row
+    carries a `cnt` column and every (premise, schema-edge, rule) combination
+    contributes its premise's count to the head — so the result is the exact
+    number of distinct derivations of each head whose ONE explicit data
+    premise lies in `delta`. Same stratification (rdfs7 → rdfs2/3 → rdfs9),
+    same broadcast-schema joins; the only difference is sum(cnt) in place of
+    distinct."""
+    inf7 = delta.join(F.broadcast(subprop), delta["p"] == subprop["src"]).select(
+        "s", F.col("dst").alias("p"), "o_lex", "o_dt", "cnt"
+    )
+    data = delta.unionByName(inf7)
+    inf2 = data.join(F.broadcast(dom), data["p"] == dom["src"]).select(
+        "s", F.lit(RDF_TYPE).alias("p"), F.col("dst").alias("o_lex"),
+        F.lit("iri").alias("o_dt"), "cnt",
+    )
+    inf3 = (
+        data.filter(F.col("o_dt") == "iri")
+        .join(F.broadcast(rng), data["p"] == rng["src"])
+        .select(
+            F.col("o_lex").alias("s"), F.lit(RDF_TYPE).alias("p"),
+            F.col("dst").alias("o_lex"), F.lit("iri").alias("o_dt"), "cnt",
+        )
+    )
+    types = data.filter(F.col("p") == RDF_TYPE).unionByName(inf2).unionByName(inf3)
+    inf9 = types.join(F.broadcast(subclass), types["o_lex"] == subclass["src"]).select(
+        "s", F.lit(RDF_TYPE).alias("p"), F.col("dst").alias("o_lex"),
+        F.lit("iri").alias("o_dt"), "cnt",
+    )
+    return (
+        inf7.unionByName(inf2).unionByName(inf3).unionByName(inf9)
+        .groupBy("s", "p", "o_lex", "o_dt")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+
+
+def build_support_counts(closed: DataFrame, explicit: DataFrame) -> DataFrame:
+    """Per-derived-triple derivation counts for the RDFS data-rule program
+    (counting truth maintenance — the Gupta/Mumick/Subrahmanian "counting"
+    algorithm, exact here because the pre-closed schema makes the data-rule
+    program non-recursive: every derivation is a bounded-depth tree with
+    exactly ONE explicit data premise). The reference tracks the same
+    distinction via per-statement StatementEnum.Inferred + justifications
+    (ref: inf/TruthMaintenance.java, Justification chains); counts collapse
+    the justification store into one long per triple.
+
+    Returns (s, p, o_lex, o_dt, cnt) over DERIVED triples only. The closure
+    is explicit ∪ {counts where cnt > 0}; schema-sized by broadcast joins,
+    one shuffle on the triple key for the sum."""
+    sides = _schema_sides(closed)
+    return _count_data_rules(explicit.withColumn("cnt", F.lit(1).cast("long")), *sides)
+
+
+def counting_retract(
+    counts: DataFrame, explicit_new: DataFrame, delta: DataFrame, closed: DataFrame
+) -> tuple[DataFrame, DataFrame]:
+    """Truth maintenance on retraction via support-count decrement (SURVEY
+    R5; complements `dred_retract`). Because every derivation has exactly
+    one explicit premise, derivation counts are LINEAR in the explicit set:
+    the counts lost by deleting Δ are exactly the counts the pipeline
+    produces from Δ alone. So retraction is: decrement, drop zeros — no
+    re-derivation scan, no closure recompute, cost is Δ-sized rule joins
+    plus one join against the counts table (vs DRed's extra re-prove pass).
+
+    Returns (new_counts, new_closed). `closed` supplies the broadcast
+    schema sides AND the baseline closure (derived schema triples — the
+    rdfs5/11 closures — live outside the counts table and survive any data
+    retraction untouched); schema deltas must take the recompute path
+    (callers gate on `_touches_schema`, same as DRed). `delta` must be a
+    subset of the old explicit set."""
+    sides = _schema_sides(closed)
+    dec = _count_data_rules(delta.withColumn("cnt", F.lit(1).cast("long")), *sides)
+    key = ["s", "p", "o_lex", "o_dt"]
+    adjusted = counts.join(dec.withColumnRenamed("cnt", "dec"), on=key, how="left").withColumn(
+        "cnt", F.col("cnt") - F.coalesce(F.col("dec"), F.lit(0))
+    )
+    new_counts = adjusted.filter(F.col("cnt") > 0).drop("dec")
+    # a triple leaves the closure iff it was deleted or its support hit zero
+    # AND it is neither still explicit nor still derived
+    alive = explicit_new.select(*key).unionByName(new_counts.select(*key))
+    dropped = (
+        delta.select(*key)
+        .unionByName(adjusted.filter(F.col("cnt") <= 0).select(*key))
+        .join(alive, on=key, how="left_anti")
+    )
+    new_closed = closed.join(dropped, on=key, how="left_anti")
+    return new_counts, new_closed
+
+
+def counting_assert(
+    counts: DataFrame, explicit_new: DataFrame, delta: DataFrame, closed: DataFrame
+) -> tuple[DataFrame, DataFrame]:
+    """Insert-side of counting TM: increment by the derivation counts the
+    delta generates (linearity again). Returns (new_counts, new_closed)."""
+    sides = _schema_sides(closed)
+    inc = _count_data_rules(delta.withColumn("cnt", F.lit(1).cast("long")), *sides)
+    key = ["s", "p", "o_lex", "o_dt"]
+    new_counts = (
+        counts.join(inc.withColumnRenamed("cnt", "inc"), on=key, how="full")
+        .withColumn(
+            "cnt", F.coalesce(F.col("cnt"), F.lit(0)) + F.coalesce(F.col("inc"), F.lit(0))
+        )
+        .drop("inc")
+    )
+    new_closed = (
+        closed.unionByName(delta).unionByName(new_counts.select(*key)).distinct()
+    )
+    return new_counts, new_closed
+
+
 OWL_PROPCHAIN = "owl:propertyChainAxiom"
 RDF_FIRST = "rdf:first"
 RDF_REST = "rdf:rest"

@@ -181,6 +181,107 @@ def in_circle(
     )
 
 
+# ---------------------------------------------- z-order range decomposition --
+def _quantize_py(value: float, lo: float, hi: float, bits: int) -> int:
+    """Driver-side mirror of `quantize` (same HALF_UP rounding as F.round)."""
+    steps = (1 << bits) - 1
+    q = math.floor(((value - lo) / (hi - lo)) * steps + 0.5)
+    return min(max(q, 0), steps)
+
+
+def zorder_ranges(
+    lat0: float,
+    lat1: float,
+    lon0: float,
+    lon1: float,
+    bits: int = 16,
+    max_ranges: int = 64,
+    depth_limit: int = 8,
+) -> list[tuple[int, int]]:
+    """Decompose a rectangle into contiguous Morton-key ranges — the Spark
+    analog of the reference's BIGMIN advancer (ref: service/geospatial/
+    ZOrderIndexBigMinAdvancer.java, which skips a B+Tree range scan forward
+    past z-key runs that leave the query rectangle). Here the skip list is
+    computed up front: a driver-side quadtree walk emits the aligned quads
+    fully inside the (quantized) rectangle as exact contiguous key ranges,
+    recursion stops at `depth_limit` (boundary quads over-cover — safe, the
+    exact predicate refines), and adjacent/nearest ranges coalesce until at
+    most `max_ranges` remain. The ranges become `zkey BETWEEN lo AND hi`
+    disjuncts: on a zorder_key-sorted parquet layout they reach the reader
+    as pushed min/max filters, so row groups outside every range are never
+    read — a pure-key scan, no lat/lon columns needed to prune."""
+    qx0, qx1 = _quantize_py(lat0, -90.0, 90.0, bits), _quantize_py(lat1, -90.0, 90.0, bits)
+    qy0, qy1 = _quantize_py(lon0, -180.0, 180.0, bits), _quantize_py(lon1, -180.0, 180.0, bits)
+    ranges: list[tuple[int, int]] = []
+
+    # cell = (xbase, ybase, level): an aligned quad of side 2^(bits-level).
+    def walk(xb: int, yb: int, level: int, z_prefix: int) -> None:
+        side = 1 << (bits - level)
+        x_hi, y_hi = xb + side - 1, yb + side - 1
+        if x_hi < qx0 or xb > qx1 or y_hi < qy0 or yb > qy1:
+            return
+        span = 1 << (2 * (bits - level))  # z keys inside this quad
+        if (xb >= qx0 and x_hi <= qx1 and yb >= qy0 and y_hi <= qy1) or level >= depth_limit:
+            ranges.append((z_prefix, z_prefix + span - 1))
+            return
+        half = side >> 1
+        quarter = span >> 2
+        # children in z order: (x,y) bit pair (0,0) (0,1) (1,0) (1,1) →
+        # lat contributes the even bit, lon the odd bit
+        walk(xb, yb, level + 1, z_prefix)
+        walk(xb, yb + half, level + 1, z_prefix + 2 * quarter)  # lon bit = 1
+        walk(xb + half, yb, level + 1, z_prefix + quarter)  # lat bit = 1
+        walk(xb + half, yb + half, level + 1, z_prefix + 3 * quarter)
+
+    walk(0, 0, 0, 0)
+    ranges.sort()
+    # exact merge of touching ranges
+    merged: list[list[int]] = []
+    for lo, hi in ranges:
+        if merged and lo <= merged[-1][1] + 1:
+            merged[-1][1] = max(merged[-1][1], hi)
+        else:
+            merged.append([lo, hi])
+    # budget: coalesce across the smallest gaps (over-covers; refine decides)
+    while len(merged) > max_ranges:
+        gaps = [(merged[i + 1][0] - merged[i][1], i) for i in range(len(merged) - 1)]
+        _, i = min(gaps)
+        merged[i][1] = merged[i + 1][1]
+        del merged[i + 1]
+    return [(lo, hi) for lo, hi in merged]
+
+
+def in_rectangle_zorder(
+    df: DataFrame,
+    lat0: float,
+    lat1: float,
+    lon0: float,
+    lon1: float,
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    zkey_col: str | None = None,
+    bits: int = 16,
+    max_ranges: int = 64,
+) -> DataFrame:
+    """Rectangle search driven by the z-order key alone: the precomputed
+    range list prunes (pure-key scan — on a store carrying a persisted
+    `zkey` column this is the only pruning predicate and it pushes to
+    parquet), then the exact rectangle compare refines boundary cells.
+    Results are identical to `in_rectangle`."""
+    lat, lon = F.col(lat_col), F.col(lon_col)
+    zkey = F.col(zkey_col) if zkey_col else zorder_key(lat, lon, bits)
+    rngs = zorder_ranges(lat0, lat1, lon0, lon1, bits=bits, max_ranges=max_ranges)
+    cond = None
+    for lo, hi in rngs:
+        piece = (zkey >= lo) & (zkey <= hi)
+        cond = piece if cond is None else (cond | piece)
+    if cond is None:
+        cond = F.lit(False)
+    return df.filter(cond).filter(
+        (lat >= lat0) & (lat <= lat1) & (lon >= lon0) & (lon <= lon1)
+    )
+
+
 # ------------------------------------------------- custom datatype registry --
 from dataclasses import dataclass  # noqa: E402
 

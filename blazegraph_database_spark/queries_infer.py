@@ -298,6 +298,62 @@ def tm_delete_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "tm_counting_delete",
+    """
+    -- two explicit premises (Buyer via segment, VIP via acctbal) both derive
+    -- Party; deleting the Buyer premise keeps Party for rows still VIP
+    SELECT 'type_Buyer' AS metric,
+           CAST(COUNT(CASE WHEN c_mktsegment != 'BUILDING' THEN 1 END) AS BIGINT) AS n
+    FROM customer
+    UNION ALL
+    SELECT 'type_Party',
+           CAST(COUNT(CASE WHEN c_mktsegment != 'BUILDING' OR c_acctbal > 5000 THEN 1 END) AS BIGINT)
+    FROM customer
+    """,
+)
+def tm_counting_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Support-count truth maintenance (counting algorithm; the reference's
+    per-statement Inferred/justification bookkeeping collapsed to derivation
+    counts — ref: inf/TruthMaintenance.java, StatementEnum): Buyer⊑Party and
+    VIP⊑Party give Party two independent supports; retracting the Buyer
+    assertions decrements, and Party survives exactly where a VIP support
+    remains — no re-derivation, no recompute."""
+    cust = read_parquet(spark, f"{sf_dir}/customer.parquet")
+
+    def typed(cond, cls: str) -> DataFrame:
+        return cust.filter(cond).select(
+            F.concat(F.lit("customer:"), F.col("c_custkey")).alias("s"),
+            F.lit(rdfs.RDF_TYPE).alias("p"),
+            F.lit(cls).alias("o_lex"),
+            F.lit("iri").alias("o_dt"),
+        )
+
+    buyers = typed(F.lit(True), "Class:Buyer")  # every customer is a Buyer
+    vips = typed(F.col("c_acctbal") > 5000, "Class:VIP")
+    schema = spark.createDataFrame(
+        [
+            ("Class:Buyer", rdfs.RDFS_SUBCLASS, "Class:Party", "iri"),
+            ("Class:VIP", rdfs.RDFS_SUBCLASS, "Class:Party", "iri"),
+        ],
+        "s string, p string, o_lex string, o_dt string",
+    )
+    explicit = buyers.unionByName(vips).unionByName(schema)
+    closed = rdfs.rdfs_closure(TripleStore(explicit)).df
+    counts = rdfs.build_support_counts(closed, explicit)
+    delta = typed(F.col("c_mktsegment") == "BUILDING", "Class:Buyer")
+    explicit_new = explicit.join(delta, on=["s", "p", "o_lex", "o_dt"], how="left_anti")
+    _, new_closed = rdfs.counting_retract(counts, explicit_new, delta, closed)
+    return (
+        new_closed.filter((F.col("p") == rdfs.RDF_TYPE) & (F.col("o_lex") == "Class:Buyer"))
+        .agg(F.lit("type_Buyer").alias("metric"), F.count(F.lit(1)).alias("n"))
+        .unionByName(
+            new_closed.filter((F.col("p") == rdfs.RDF_TYPE) & (F.col("o_lex") == "Class:Party"))
+            .agg(F.lit("type_Party").alias("metric"), F.count(F.lit(1)).alias("n"))
+        )
+    )
+
+
+@register(
     "tm_insert_delta",
     """
     SELECT 'type_Machine' AS metric,

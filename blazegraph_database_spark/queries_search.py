@@ -193,6 +193,23 @@ def geo_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "geo_zorder_scan",
+    _GEO_CTE
+    + "SELECT event_id, lat, lon FROM pts WHERE lat >= -20 AND lat <= 42 AND lon >= -60 AND lon <= 75",
+)
+def geo_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rectangle search driven by precomputed z-order key ranges (the
+    BIGMIN-advancer analog, ref: service/geospatial/
+    ZOrderIndexBigMinAdvancer.java): the quadtree-decomposed Morton ranges
+    are the only pruning predicate (pure-key scan; they push to parquet on
+    a z-sorted store), the exact compare refines boundary cells. The oracle
+    is the plain rectangle — proving range-pruning loses nothing."""
+    return geospatial.in_rectangle_zorder(
+        _events_geo(spark, sf_dir), -20.0, 42.0, -60.0, 75.0, bits=8, max_ranges=16
+    )
+
+
+@register(
     "geo_rect_time",
     _GEO_CTE
     + """

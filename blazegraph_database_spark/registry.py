@@ -58,6 +58,8 @@ _SCORE_FIRST = [
     "sparql_tpch_q3",
     "store_roundtrip",
     "ntriples_roundtrip",
+    "geo_zorder_scan",
+    "tm_counting_delete",
 ]
 
 

@@ -130,3 +130,54 @@ def test_range_query_nd(spark):
 
     with _pt.raises(KeyError):
         geo.range_query_nd(df, dt, {"altitude": (0, 1)})
+
+
+def _interleave(qlat: int, qlon: int, bits: int) -> int:
+    z = 0
+    for i in range(bits):
+        z |= ((qlat >> i) & 1) << (2 * i)
+        z |= ((qlon >> i) & 1) << (2 * i + 1)
+    return z
+
+
+def test_zorder_ranges_exact_cover():
+    # full-depth decomposition covers exactly the quantized rectangle's cells
+    bits = 6
+    lat0, lat1, lon0, lon1 = -10.0, 35.0, 20.0, 90.0
+    rngs = G.zorder_ranges(lat0, lat1, lon0, lon1, bits=bits, max_ranges=10**6, depth_limit=bits)
+    qx0, qx1 = G._quantize_py(lat0, -90, 90, bits), G._quantize_py(lat1, -90, 90, bits)
+    qy0, qy1 = G._quantize_py(lon0, -180, 180, bits), G._quantize_py(lon1, -180, 180, bits)
+    covered = set()
+    for lo, hi in rngs:
+        covered.update(range(lo, hi + 1))
+    expect = {
+        _interleave(x, y, bits)
+        for x in range(qx0, qx1 + 1)
+        for y in range(qy0, qy1 + 1)
+    }
+    assert covered == expect
+
+
+def test_zorder_ranges_budget_overcovers():
+    bits = 8
+    exact = G.zorder_ranges(0, 30, 0, 40, bits=bits, max_ranges=10**6, depth_limit=bits)
+    budgeted = G.zorder_ranges(0, 30, 0, 40, bits=bits, max_ranges=8, depth_limit=bits)
+    assert len(budgeted) <= 8
+    exact_keys = set()
+    for lo, hi in exact:
+        exact_keys.update(range(lo, hi + 1))
+    # every exactly-covered key survives coalescing
+    assert all(any(lo <= k <= hi for lo, hi in budgeted) for k in exact_keys)
+
+
+def test_in_rectangle_zorder_matches_exact(spark):
+    import random
+
+    random.seed(7)
+    rows = [(i, random.uniform(-90, 90), random.uniform(-180, 180)) for i in range(400)]
+    df = spark.createDataFrame(rows, "id long, lat double, lon double")
+    exact = G.in_rectangle(df, -20.0, 42.0, -60.0, 75.0)
+    zscan = G.in_rectangle_zorder(df, -20.0, 42.0, -60.0, 75.0, bits=8, max_ranges=16)
+    a = sorted(r["id"] for r in exact.collect())
+    b = sorted(r["id"] for r in zscan.collect())
+    assert a == b and len(a) > 0

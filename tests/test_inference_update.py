@@ -329,3 +329,68 @@ def test_plain_verb_invalidates_closure_bookkeeping(spark):
     closed = _closure_set(st.current.df)
     assert ("y", "rdf:type", "D") in closed
     assert ("x", "rdf:type", "D") in closed
+
+
+def _closure_set(df):
+    return {(r["s"], r["p"], r["o_lex"]) for r in df.collect()}
+
+
+def test_counting_retract_matches_full_recompute(spark, onto):
+    """Support-count TM (SURVEY R5): decrement-only retraction must land on
+    the same closure as recomputing from the remaining explicit set."""
+    explicit = onto.df
+    closed = rdfs.rdfs_closure(onto).df
+    counts = rdfs.build_support_counts(closed, explicit)
+    delta = spark.createDataFrame(
+        [("ann", "hasPet", "rex", "iri")], "s string, p string, o_lex string, o_dt string"
+    )
+    explicit_new = explicit.join(delta, on=["s", "p", "o_lex", "o_dt"], how="left_anti")
+    _, new_closed = rdfs.counting_retract(counts, explicit_new, delta, closed)
+    recomputed = rdfs.rdfs_closure(TripleStore(explicit_new)).df
+    assert _closure_set(new_closed) == _closure_set(recomputed)
+    triples = _closure_set(new_closed)
+    assert ("ann", "likes", "rex") not in triples          # lost with the premise
+    assert ("rex", "rdf:type", "Mammal") in triples        # still from rex type Dog
+    assert ("hasPet", "rdfs:subPropertyOf", "knowsOf") in triples  # schema closure survives
+
+
+def test_counting_retract_shared_support_survives(spark):
+    """A derived triple with two independent explicit premises must survive
+    deleting one of them (the diamond case counting handles exactly)."""
+    T = "iri"
+    st = _store(
+        spark,
+        [
+            ("p1", "rdfs:subPropertyOf", "q", T),
+            ("p2", "rdfs:subPropertyOf", "q", T),
+            ("a", "p1", "b", T),
+            ("a", "p2", "b", T),
+        ],
+    )
+    explicit = st.df
+    closed = rdfs.rdfs_closure(st).df
+    counts = rdfs.build_support_counts(closed, explicit)
+    # (a, q, b) has two derivations
+    row = [r for r in counts.collect() if (r["s"], r["p"], r["o_lex"]) == ("a", "q", "b")]
+    assert row and row[0]["cnt"] == 2
+    delta = spark.createDataFrame([("a", "p1", "b", T)], "s string, p string, o_lex string, o_dt string")
+    explicit_new = explicit.join(delta, on=["s", "p", "o_lex", "o_dt"], how="left_anti")
+    new_counts, new_closed = rdfs.counting_retract(counts, explicit_new, delta, closed)
+    triples = _closure_set(new_closed)
+    assert ("a", "q", "b") in triples and ("a", "p1", "b") not in triples
+    row = [r for r in new_counts.collect() if (r["s"], r["p"], r["o_lex"]) == ("a", "q", "b")]
+    assert row and row[0]["cnt"] == 1
+
+
+def test_counting_assert_matches_full_recompute(spark, onto):
+    explicit = onto.df
+    closed = rdfs.rdfs_closure(onto).df
+    counts = rdfs.build_support_counts(closed, explicit)
+    delta = spark.createDataFrame(
+        [("bob", "hasPet", "felix", "iri"), ("felix", "rdf:type", "Mammal", "iri")],
+        "s string, p string, o_lex string, o_dt string",
+    )
+    explicit_new = explicit.unionByName(delta)
+    _, new_closed = rdfs.counting_assert(counts, explicit_new, delta, closed)
+    recomputed = rdfs.rdfs_closure(TripleStore(explicit_new)).df
+    assert _closure_set(new_closed) == _closure_set(recomputed)
