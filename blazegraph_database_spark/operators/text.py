@@ -266,6 +266,53 @@ def dataset_split(
     return df.withColumn("bucket", b).withColumn("split", expr)
 
 
+def top_ngrams(df: DataFrame, n: int = 2, text_col: str = "text") -> DataFrame:
+    """Corpus-wide word-n-gram frequencies — the vocabulary/merge-table
+    builder of a training pipeline (the counting pass a BPE/WordPiece
+    trainer runs per merge round, here at word granularity). One explode +
+    one count aggregation: partial (map-side) counts combine before the
+    single shuffle on the gram key, so the reduce moves one row per
+    distinct gram per partition — at 100 TB the shuffle is vocabulary-
+    sized, not corpus-sized. Callers take top-k with orderBy().limit()."""
+    ws = words(F.col(text_col))
+    idx = F.when(
+        F.size(ws) >= n, F.sequence(F.lit(1), F.size(ws) - (n - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    grams = F.transform(
+        idx, lambda i: F.concat_ws(" ", *[F.element_at(ws, i + j) for j in range(n)])
+    )
+    return (
+        df.select(F.explode(grams).alias("gram"))
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    rates: dict,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    default_permyriad: int = 0,
+    seed: str = "mix",
+) -> DataFrame:
+    """Deterministic domain-mixture sampling: keep each group at its own
+    rate (``rates = {group: permyriad}``, e.g. {"en": 8000} keeps 80% of
+    English rows). Each row hashes (seed, group, id) into [0, 10000) and
+    survives iff bucket < rate — a pure filter expression: no shuffle, no
+    RNG state, reproducible row-for-row at any scale and any partitioning,
+    which is what a rebuildable training mixture requires. Groups absent
+    from ``rates`` fall to ``default_permyriad``."""
+    b = _md5_bucket(
+        F.concat(F.lit(seed + ":"), F.col(group_col), F.lit(":"), F.col(id_col).cast("string")),
+        10000,
+    )
+    rate = F.lit(default_permyriad)
+    for g, r in sorted(rates.items()):
+        rate = F.when(F.col(group_col) == g, F.lit(r)).otherwise(rate)
+    return df.filter(b < rate)
+
+
 def pack_sequences(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -666,3 +666,65 @@ def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     out = T.pack_sequences(_docs(spark, sf_dir), budget=512, shards=8)
     return out.select("doc_id", "shard", F.col("n_tokens").cast("int").alias("n_tokens"), "seq")
+
+
+@register(
+    "text_top_ngrams",
+    """
+    WITH ws AS (
+        SELECT string_split_regex(trim(text), '\\s+') AS w
+        FROM documents WHERE trim(text) != ''
+    ),
+    g AS (
+        SELECT unnest(list_transform(generate_series(1, len(w) - 1),
+                                     i -> w[i] || ' ' || w[i + 1])) AS gram
+        FROM ws WHERE len(w) >= 2
+    )
+    SELECT gram, CAST(COUNT(*) AS BIGINT) AS n
+    FROM g GROUP BY 1 ORDER BY n DESC, gram LIMIT 50
+    """,
+)
+def text_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary building: top-50 word bigrams corpus-wide (the counting
+    pass of a BPE/WordPiece-style trainer). Map-side partial counts, one
+    vocabulary-sized shuffle (operators/text.top_ngrams)."""
+    from blazegraph_database_spark.operators import text as T
+
+    return (
+        T.top_ngrams(_docs(spark, sf_dir), n=2)
+        .orderBy(F.col("n").desc(), F.col("gram").asc())
+        .limit(50)
+    )
+
+
+@register(
+    "dataset_mix",
+    """
+    WITH b AS (
+        SELECT doc_id, lang,
+               CAST(('0x' || substr(md5('mix:' || lang || ':' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10000 AS bucket
+        FROM documents
+    )
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS kept, CAST(SUM(doc_id) AS BIGINT) AS id_sum
+    FROM b
+    WHERE bucket < CASE lang WHEN 'en' THEN 8000 WHEN 'fr' THEN 5000
+                             WHEN 'de' THEN 5000 WHEN 'es' THEN 3000
+                             WHEN 'zh' THEN 2000 ELSE 0 END
+    GROUP BY 1
+    """,
+)
+def dataset_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic domain-mixture sampling: per-language keep rates as a
+    pure hash-filter expression (operators/text.stratified_sample) — the
+    reweighting step of a training-data pipeline, reproducible row-for-row
+    at any scale. id_sum checks exact row membership, not just counts."""
+    from blazegraph_database_spark.operators import text as T
+
+    kept = T.stratified_sample(
+        _docs(spark, sf_dir),
+        {"en": 8000, "fr": 5000, "de": 5000, "es": 3000, "zh": 2000},
+        group_col="lang",
+    )
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("kept"), F.sum("doc_id").alias("id_sum")
+    )

@@ -60,6 +60,8 @@ _SCORE_FIRST = [
     "ntriples_roundtrip",
     "geo_zorder_scan",
     "tm_counting_delete",
+    "text_top_ngrams",
+    "dataset_mix",
 ]
 
 

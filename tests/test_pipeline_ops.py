@@ -236,3 +236,29 @@ def test_ivf_index_persist_roundtrip(spark, tmp_path):
     oneshot = similarity.ivf_ann_topk(embs, queries, k=2, n_probe=3, cells=cells)
     c = sorted((r["q"], r["neighbor"], r["cos"]) for r in oneshot.collect())
     assert c == a
+
+
+def test_top_ngrams_counts(spark):
+    df = spark.createDataFrame(
+        [(1, "a b a b c"), (2, "a b"), (3, "x"), (4, "")],
+        "doc_id long, text string",
+    )
+    out = {r["gram"]: r["n"] for r in text.top_ngrams(df, n=2).collect()}
+    assert out == {"a b": 3, "b a": 1, "b c": 1}
+    tri = {r["gram"]: r["n"] for r in text.top_ngrams(df, n=3).collect()}
+    assert tri == {"a b a": 1, "b a b": 1, "a b c": 1}
+
+
+def test_stratified_sample_rates_and_determinism(spark):
+    rows = [(i, "en" if i % 2 == 0 else "zh") for i in range(2000)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    kept = text.stratified_sample(df, {"en": 8000, "zh": 1000}, group_col="lang")
+    counts = {r["lang"]: r["n"] for r in kept.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    # 1000 rows per group; binomial bounds far looser than 5 sigma
+    assert 700 <= counts["en"] <= 900 and 50 <= counts.get("zh", 0) <= 200
+    # deterministic: re-running selects the identical rows
+    again = text.stratified_sample(df, {"en": 8000, "zh": 1000}, group_col="lang")
+    assert sorted(r["doc_id"] for r in kept.collect()) == sorted(r["doc_id"] for r in again.collect())
+    # unknown group defaults to dropped
+    other = text.stratified_sample(df, {"en": 8000}, group_col="lang")
+    assert other.filter(F.col("lang") == "zh").count() == 0
