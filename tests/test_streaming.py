@@ -130,3 +130,44 @@ def test_ingest_stream_to_store_versions(spark, tmp_path):
     # snapshot isolation: the pre-stream version is untouched
     assert v0.df.filter(F.col("p") == "rdf:type").count() == 0
     assert len(us.versions) > 2
+
+
+def test_kafka_wire_roundtrip_matches_batch(spark, tmp_path):
+    """Kafka profile without a broker: batch rows → wire records (key/value
+    JSON binary) → file-stream replay → kafka_wire_decode → windowed agg
+    must equal the batch aggregation of the original rows."""
+    rows = [
+        (1, "2024-01-01 00:05:00", "click", 1.5),
+        (2, "2024-01-01 00:25:00", "click", 2.0),
+        (3, "2024-01-01 01:10:00", "view", 3.25),
+        (4, "2024-01-01 01:40:00", "view", 0.5),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts_s string, event_type string, value double"
+    ).select("event_id", F.col("ts_s").cast("timestamp").alias("ts"), "event_type", "value")
+    wire = S.kafka_wire_encode(ev, key_cols=["event_id"])
+    assert [f.name for f in wire.schema] == ["key", "value", "timestamp"]
+    assert dict(wire.dtypes)["value"] == "binary"
+    path = str(tmp_path / "wire")
+    wire.write.parquet(path)
+
+    st = S.read_stream_source(spark, {"kind": "file", "path": path}, schema=wire.schema)
+    decoded = S.kafka_wire_decode(st, ev.schema)
+    assert decoded.isStreaming and decoded.schema == ev.schema
+    got = S.run_to_memory(S.windowed_agg(decoded), "complete")
+    batch = ev.groupBy(F.date_trunc("hour", "ts").alias("window_start"), "event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value") * 100).cast("long").alias("sum_value_cents"),
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, batch.collect()))
+
+
+def test_stream_source_profiles(spark):
+    rate = S.read_stream_source(spark, {"kind": "rate", "rows_per_second": 5})
+    assert rate.isStreaming and "timestamp" in rate.columns
+    with pytest.raises(RuntimeError, match="kafka"):
+        S.read_stream_source(
+            spark, {"kind": "kafka", "bootstrap_servers": "localhost:9092", "subscribe": "t"}
+        )
+    with pytest.raises(ValueError, match="unknown"):
+        S.read_stream_source(spark, {"kind": "nope"})
