@@ -938,19 +938,42 @@ class Parser:
             self.eat_op(")")
 
         order: list[tuple] = []
+        order_uses_aggs = False
         if self.at_kw("order"):
             self.next()
             self.eat_kw("by")
+            expr_starters = set(AGGS) | set(FUNCS_1) | set(FUNCS_2) | set(FUNCS_N) | {"IF"}
             while True:
                 if self.at_kw("asc") or self.at_kw("desc"):
                     asc = self.peek().text.lower() == "asc"
                     self.next()
                     self.eat_op("(")
-                    e = self.expr()
+                    self._pending_aggs = []
+                    e = self.expr()  # ORDER BY DESC(COUNT(?x)) hoists the agg
+                    if self._pending_aggs:
+                        hidden_aggs.extend(self._pending_aggs)
+                        order_uses_aggs = True
+                        self._pending_aggs = []
                     self.eat_op(")")
                     order.append((e, asc))
                 elif self.peek().kind == "VAR":
                     order.append((F.col(self.next().text[1:]), True))
+                elif self.at_op("(") or (
+                    self.peek().kind == "KW" and self.peek().text.upper() in expr_starters
+                ):
+                    # bare OrderCondition: BrackettedExpression or Constraint
+                    self._pending_aggs = []
+                    if self.at_op("("):
+                        self.next()
+                        e = self.expr()
+                        self.eat_op(")")
+                    else:
+                        e = self.expr()
+                    if self._pending_aggs:
+                        hidden_aggs.extend(self._pending_aggs)
+                        order_uses_aggs = True
+                        self._pending_aggs = []
+                    order.append((e, True))
                 else:
                     break
         limit = offset = None
@@ -983,6 +1006,20 @@ class Parser:
         if having is not None:
             node = A.Filter(having, node)
         if proj is not None and proj:
+            if order and order_uses_aggs:
+                # sort keys reference hoisted __agg aliases the projection
+                # drops — order first (projection preserves row order), then
+                # narrow. DISTINCT would dedup before the sort sees the
+                # hidden column, so that combination needs the aggregate
+                # projected under an alias instead.
+                if distinct:
+                    raise SyntaxError(
+                        "ORDER BY over an unprojected aggregate cannot combine "
+                        "with DISTINCT; alias the aggregate in SELECT and sort "
+                        "by the alias"
+                    )
+                node = A.OrderBy(node, order)
+                order = []
             node = A.Project(node, proj)
         if distinct:
             node = A.Distinct(node)

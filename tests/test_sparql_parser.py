@@ -314,3 +314,27 @@ def test_star_fusion_matches_join_path(spark):
     a = {tuple(r) for r in fused.select("c", "ck", "ab", "seg").collect()}
     b = {tuple(r) for r in unfused.select("c", "ck", "ab", "seg").collect()}
     assert a == b
+
+
+def test_order_by_aggregate(tiny_store):
+    """ORDER BY DESC(COUNT(?y)) — the aggregate hoists into the Group and
+    the sort applies before the projection drops the hidden alias."""
+    q = "SELECT ?x WHERE { ?x <knows> ?y } GROUP BY ?x ORDER BY DESC(COUNT(?y)) ?x"
+    out = [r["x"] for r in run(tiny_store, q).collect()]
+    counts = {}
+    q2 = "SELECT ?x (COUNT(?y) AS ?n) WHERE { ?x <knows> ?y } GROUP BY ?x"
+    for r in run(tiny_store, q2).collect():
+        counts[r["x"]] = r["n"]
+    assert out == sorted(counts, key=lambda x: (-counts[x], x))
+    # bare Constraint form (no ASC/DESC wrapper)
+    q3 = "SELECT ?x WHERE { ?x <knows> ?y } GROUP BY ?x ORDER BY COUNT(?y) ?x LIMIT 1"
+    low = run(tiny_store, q3).collect()[0]["x"]
+    assert counts[low] == min(counts.values())
+
+
+def test_order_by_aggregate_distinct_rejected(tiny_store):
+    with pytest.raises(SyntaxError, match="DISTINCT"):
+        run(
+            tiny_store,
+            "SELECT DISTINCT ?x WHERE { ?x <knows> ?y } GROUP BY ?x ORDER BY DESC(COUNT(?y))",
+        )
