@@ -223,6 +223,79 @@ def STRUUID() -> Column:
     return F.uuid()
 
 
+# term-type tests + accessors over the (lexical, dtype-tag) pair (ref:
+# IsURIBOp / IsLiteralBOp / IsBNodeBOp / LangBOp / DatatypeBOp /
+# LangMatchesBOp; dtype tags per model/terms.py, lang literals `lang:<tag>`,
+# bnode lexicals `_:`-prefixed) -----------------------------------------------
+_XSD = "http://www.w3.org/2001/XMLSchema#"
+_RDF_LANGSTRING = "http://www.w3.org/1999/02/22-rdf-syntax-ns#langString"
+
+
+def LANG(lex, dt) -> Column:
+    """Language tag of a literal; "" for plain/typed literals (SPARQL LANG)."""
+    d = _c(dt)
+    return F.when(d.startswith("lang:"), F.substring(d, 6, 2**24)).otherwise(F.lit(""))
+
+
+def LANGMATCHES(lang, rng) -> Column:
+    """langMatches(tag, range): "*" matches any non-empty tag; otherwise
+    case-insensitive exact or prefix-with-hyphen match (basic filtering)."""
+    tag = F.lower(_c(lang))
+    if isinstance(rng, str):
+        r = rng.lower()
+        if r == "*":
+            return tag != ""
+        return (tag == r) | tag.startswith(r + "-")
+    r = F.lower(_c(rng))
+    return F.when(r == "*", tag != "").otherwise((tag == r) | tag.startswith(F.concat(r, F.lit("-"))))
+
+
+def DATATYPE(lex, dt) -> Column:
+    """Datatype IRI of a literal (xsd:string for plain literals,
+    rdf:langString for language-tagged ones; NULL = error for non-literals,
+    matching SPARQL's type-error propagation)."""
+    d = _c(dt)
+    return (
+        F.when(d.startswith("lang:"), F.lit(_RDF_LANGSTRING))
+        .when(d == "string", F.lit(_XSD + "string"))
+        .when(d == "long", F.lit(_XSD + "integer"))
+        .when(d == "double", F.lit(_XSD + "double"))
+        .when(d == "boolean", F.lit(_XSD + "boolean"))
+        .when(d == "timestamp", F.lit(_XSD + "dateTime"))
+        .otherwise(F.lit(None).cast("string"))
+    )
+
+
+def ISIRI(lex, dt) -> Column:
+    return (_c(dt) == "iri") & ~_c(lex).startswith("_:")
+
+
+def ISBLANK(lex, dt) -> Column:
+    # bnodes surface either under the bnode tag or as `_:`-prefixed
+    # lexicals tagged iri (the N-Triples reader's encoding)
+    return (_c(dt) == "bnode") | _c(lex).startswith("_:")
+
+
+def ISLITERAL(lex, dt) -> Column:
+    d = _c(dt)
+    return ~d.isin("iri", "bnode", "sid") & ~_c(lex).startswith("_:")
+
+
+def STRLANG_DT(tag: str) -> str:
+    """dtype tag for STRLANG(x, tag) results (companion-column value)."""
+    return f"lang:{tag}"
+
+
+def STRDT_TAG(dt_iri: str) -> str:
+    """dtype tag for STRDT(x, <dt_iri>) results."""
+    return {
+        _XSD + "integer": "long", _XSD + "long": "long", _XSD + "int": "long",
+        _XSD + "double": "double", _XSD + "decimal": "double",
+        _XSD + "boolean": "boolean", _XSD + "dateTime": "timestamp",
+        _XSD + "string": "string",
+    }.get(dt_iri, "string")
+
+
 # RDF-star / RDR statement-term accessors (ref: SidIV.java; SPARQL-star
 # TRIPLE/SUBJECT/PREDICATE/OBJECT/isTRIPLE over the `<<s|p|o_lex|o_dt>>`
 # sid encoding — see plans.compiler.sid_expr) --------------------------------

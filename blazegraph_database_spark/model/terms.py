@@ -10,7 +10,7 @@ inside whole-stage codegen; the dictionary encoding lives in
 
 Datatype tags: ``iri``, ``bnode``, ``string``, ``long``, ``double``,
 ``boolean``, ``timestamp`` (covers xsd:integer/long, xsd:double/decimal,
-xsd:boolean, xsd:dateTime; language-tagged literals carry ``string@<lang>``).
+xsd:boolean, xsd:dateTime; language-tagged literals carry ``lang:<tag>``).
 """
 
 from __future__ import annotations

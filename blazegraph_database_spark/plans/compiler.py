@@ -320,8 +320,19 @@ def _pattern_df(sp: A.SP, store: TripleStore) -> DataFrame:
             else:
                 seen[pos.name] = col
                 sel.append(F.col(col).alias(pos.name))
-                if col == "o_lex" and store.track_dt:
-                    sel.append(F.col("o_dt").alias(f"{pos.name}__dt"))
+                if store.track_dt:
+                    if col == "o_lex":
+                        sel.append(F.col("o_dt").alias(f"{pos.name}__dt"))
+                    elif col == "s":
+                        # subjects are IRIs or bnodes; the tag feeds the
+                        # isIRI/isBlank term tests and CONSTRUCT templates
+                        sel.append(
+                            F.when(F.col("s").startswith("_:"), F.lit("bnode"))
+                            .otherwise(F.lit("iri"))
+                            .alias(f"{pos.name}__dt")
+                        )
+                    else:  # predicate / graph vars are always IRIs
+                        sel.append(F.lit("iri").alias(f"{pos.name}__dt"))
     return df.select(*sel)
 
 
@@ -410,6 +421,12 @@ def _star_fuse(patterns: list, store: TripleStore):
                 for p, i in zip(preds, uniq)
                 if patterns[i].o.name not in id_vars
             ]
+            if svar not in id_vars:
+                sel.append(
+                    F.when(F.col("s").startswith("_:"), F.lit("bnode"))
+                    .otherwise(F.lit("iri"))
+                    .alias(f"{svar}__dt")
+                )
         ests = [float(stats[p].count) for p in preds if p in stats]
         est = max(ests) if ests else float("inf")
         fused.append((df.select(*sel), est, {svar, *seen_o}))

@@ -48,8 +48,9 @@ TOKEN_RE = re.compile(
   | (?P<NUM>[+-]?\d+\.\d+|[+-]?\d+)
   | (?P<PNAME>[A-Za-z_][A-Za-z0-9_-]*:[A-Za-z0-9_.-]*)
   | (?P<NAMED>%[A-Za-z_][A-Za-z0-9_]*)
+  | (?P<LANGTAG>@[A-Za-z][A-Za-z0-9-]*)
   | (?P<KW>[A-Za-z_][A-Za-z0-9_]*)
-  | (?P<OP>\^\^|\|\||&&|!=|<=|>=|[{}().,;|/^*+?!<>=\-])
+  | (?P<OP>\^\^|\|\||&&|!=|<=|>=|[{}()\[\].,;|/^*+?!<>=\-])
     """,
     re.VERBOSE,
 )
@@ -120,10 +121,14 @@ class Parser:
         self.i = 0
         self.prefixes: dict[str, str] = {}
         self._agg_counter = 0
+        self._anon_counter = 0  # fresh vars for `[ ... ]` bnode prop lists
         # Aggregate calls inside SELECT expressions / HAVING are hoisted here
         # as (generated alias, agg Column); the expression keeps a column ref
         # to the alias (ref: the AST's GroupByRewriter does the same hoist).
         self._pending_aggs: list[tuple[str, Column]] = []
+        # STRLANG/STRDT set the result's dtype tag here; the BIND / SELECT
+        # expression consumer materializes it as a `<var>__dt` companion
+        self._pending_term_dt: str | None = None
 
     # ------------------------------------------------------- tok helpers --
     def peek(self, k: int = 0) -> Tok:
@@ -179,9 +184,16 @@ class Parser:
         if t.kind == "IRI":
             return t.text[1:-1]
         if t.kind == "PNAME":
+            if t.text.startswith("_:"):
+                # bnode label: scoped to the query, acts as a non-projected
+                # variable (SPARQL bnode-in-query semantics)
+                return Var(f"__bn_{t.text[2:]}")
             return self.expand_pname(t.text)
         if t.kind == "STRING":
             lex = t.text[1:-1].replace('\\"', '"').replace("\\n", "\n").replace("\\\\", "\\")
+            if self.peek().kind == "LANGTAG":
+                tag = self.next().text[1:]
+                return Lit(lex, f"lang:{tag}")
             if self.peek().text == "^^":
                 self.next()
                 dt_tok = self.next()
@@ -415,6 +427,45 @@ class Parser:
                 b = self.expr()
                 self.eat_op(")")
                 return fn.IF(c, a, b)
+            if kw in ("LANG", "DATATYPE", "ISIRI", "ISURI", "ISBLANK", "ISLITERAL"):
+                # term-type tests/accessors read the `<var>__dt` companion
+                # the compiler binds under dt tracking (run_sparql enables
+                # it when the query text uses these functions)
+                self.next()
+                self.eat_op("(")
+                t2 = self.next()
+                if t2.kind != "VAR":
+                    raise SyntaxError(f"{kw} applies to a variable binding, got {t2.text!r}")
+                v = t2.text[1:]
+                self.eat_op(")")
+                impl = {
+                    "LANG": fn.LANG, "DATATYPE": fn.DATATYPE, "ISIRI": fn.ISIRI,
+                    "ISURI": fn.ISIRI, "ISBLANK": fn.ISBLANK, "ISLITERAL": fn.ISLITERAL,
+                }[kw]
+                return impl(F.col(v), F.col(f"{v}__dt"))
+            if kw == "LANGMATCHES":
+                self.next()
+                self.eat_op("(")
+                lang = self.expr()
+                self.eat_op(",")
+                rng = self.term().lex
+                self.eat_op(")")
+                return fn.LANGMATCHES(lang, rng)
+            if kw in ("STRLANG", "STRDT"):
+                self.next()
+                self.eat_op("(")
+                x = self.expr()
+                self.eat_op(",")
+                if kw == "STRLANG":
+                    self._pending_term_dt = fn.STRLANG_DT(self.term().lex)
+                else:
+                    dt_tok = self.next()
+                    dt_iri = (
+                        dt_tok.text[1:-1] if dt_tok.kind == "IRI" else self.expand_pname(dt_tok.text)
+                    )
+                    self._pending_term_dt = fn.STRDT_TAG(dt_iri)
+                self.eat_op(")")
+                return x.cast("string")
             if kw == "SUBSTR":
                 self.next()
                 self.eat_op("(")
@@ -618,12 +669,17 @@ class Parser:
             elif self.at_kw("bind"):
                 self.next()
                 self.eat_op("(")
+                self._pending_term_dt = None
                 e = self.expr()
+                term_dt = self._pending_term_dt
+                self._pending_term_dt = None
                 self.eat_kw("as")
                 v = self.next().text[1:]
                 self.eat_op(")")
                 base = node if node is not None else A.BGP([])
                 node = A.Extend(base, v, e) if node is not None else A.Extend(_EMPTY, v, e)
+                if term_dt is not None:  # STRLANG/STRDT: bind the dtype tag
+                    node = A.Extend(node, f"{v}__dt", F.lit(term_dt))
             elif self.at_kw("values"):
                 self.next()
                 node_vals = self._values_clause()
@@ -719,10 +775,32 @@ class Parser:
     def _triples_block(self):
         """subject (path|pred) object (, object)* (; pred obj...)* — returns
         (sps, paths): plain statement patterns + property-path patterns.
-        The caller merges consecutive statements into one BGP."""
-        subj = self.term()
+        Subjects/objects may be `[ pred obj ; ... ]` blank-node property
+        lists (each introduces a fresh anonymous variable and its inner
+        triples). The caller merges consecutive statements into one BGP."""
         sps: list[A.SP] = []
         paths: list[A.PathPattern] = []
+        was_bracket = self.at_op("[")
+        subj = self._node_term(sps, paths)
+        if was_bracket and self.at_op(".", "}"):
+            return sps, paths  # `[ ... ]` as a complete statement
+        self._prop_obj_list(subj, sps, paths)
+        return sps, paths
+
+    def _node_term(self, sps, paths):
+        """Subject/object position: a plain term or a `[ ... ]` blank-node
+        property list (fresh anonymous var; inner triples accumulate)."""
+        if self.at_op("["):
+            self.next()
+            v = Var(f"__anon{self._anon_counter}")
+            self._anon_counter += 1
+            if not self.at_op("]"):
+                self._prop_obj_list(v, sps, paths)
+            self.eat_op("]")
+            return v
+        return self.term()
+
+    def _prop_obj_list(self, subj, sps, paths):
         while True:
             if self.at_kw("a"):
                 self.next()
@@ -732,7 +810,7 @@ class Parser:
             else:
                 pred = self.path()
             while True:
-                obj = self.term()
+                obj = self._node_term(sps, paths)
                 if isinstance(pred, Var) or self._is_simple_pred(pred):
                     sps.append(A.SP(subj, pred, obj))
                 else:
@@ -743,11 +821,10 @@ class Parser:
                 break
             if self.at_op(";"):
                 self.next()
-                if self.at_op(".", "}"):  # dangling ;
+                if self.at_op(".", "}", "]"):  # dangling ;
                     break
                 continue
             break
-        return sps, paths
 
     # ------------------------------------------------------- query root --
     def _parse_prefixes(self):
@@ -870,7 +947,10 @@ class Parser:
                 elif self.at_op("("):
                     self.next()
                     self._pending_aggs = []
+                    self._pending_term_dt = None
                     e = self.expr()
+                    term_dt = self._pending_term_dt
+                    self._pending_term_dt = None
                     self.eat_kw("as")
                     v = self.next().text[1:]
                     self.eat_op(")")
@@ -882,6 +962,8 @@ class Parser:
                         post_binds.append((v, e))
                     else:
                         binds.append((v, e))
+                        if term_dt is not None:  # STRLANG/STRDT companion
+                            binds.append((f"{v}__dt", F.lit(term_dt)))
                     self._pending_aggs = []
                     proj.append(v)
                 else:
@@ -1062,17 +1144,35 @@ def parse_sparql_query(src: str):
     return Parser(src).parse_query()
 
 
+_DT_FUNC_RE = re.compile(
+    r"\b(LANG|LANGMATCHES|DATATYPE|ISIRI|ISURI|ISBLANK|ISLITERAL)\s*\(", re.I
+)
+
+
 def run_sparql(store, src: str):
     """Parse + evaluate any query form against a store.
 
     SELECT → bindings DataFrame; ASK → bool; CONSTRUCT → triples DataFrame;
     DESCRIBE → triples DataFrame (forward CBD). The textual analog of the
-    reference's SailConnection query entry points."""
+    reference's SailConnection query entry points.
+
+    Queries using term-type functions (LANG/DATATYPE/isIRI/...) evaluate
+    with datatype tracking so the `<var>__dt` companions exist; when the
+    caller's store didn't already track, the companions are stripped from
+    the SELECT result (they're an engine detail, not bindings)."""
     from blazegraph_database_spark.plans import compiler
+
+    auto_dt = False
+    if not getattr(store, "track_dt", False) and _DT_FUNC_RE.search(src):
+        store = store.with_dt_tracking()
+        auto_dt = True
 
     parsed = parse_sparql_query(src)
     if parsed[0] == "select":
-        return compiler.evaluate(store, parsed[1])
+        out = compiler.evaluate(store, parsed[1])
+        if auto_dt:
+            out = out.drop(*[c for c in out.columns if c.endswith("__dt")])
+        return out
     if parsed[0] == "ask":
         return compiler.ask(store, parsed[1])
     if parsed[0] == "construct":

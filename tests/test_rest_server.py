@@ -97,12 +97,13 @@ def test_select_result_conneg(server):
     assert ctype == "text/tab-separated-values"
     tsv_lines = body.decode().strip().splitlines()
     assert tsv_lines[0] == "?x"
-    assert '"a"' in tsv_lines and '"b"' in tsv_lines
+    # subject bindings carry the iri dtype companion → angle-bracket terms
+    assert "<a>" in tsv_lines and "<b>" in tsv_lines
     # XML results
     _, ctype, body = _req(f"{server}/sparql?query={q}", accept="application/sparql-results+xml")
     assert ctype == "application/sparql-results+xml"
     assert b'<variable name="x"/>' in body
-    assert b'<binding name="x"><literal>a</literal></binding>' in body
+    assert b'<binding name="x"><uri>a</uri></binding>' in body
     # unknown accept falls back to JSON
     _, ctype, _ = _req(f"{server}/sparql?query={q}", accept="application/weird")
     assert ctype == "application/sparql-results+json"

@@ -338,3 +338,70 @@ def test_order_by_aggregate_distinct_rejected(tiny_store):
             tiny_store,
             "SELECT DISTINCT ?x WHERE { ?x <knows> ?y } GROUP BY ?x ORDER BY DESC(COUNT(?y))",
         )
+
+
+@pytest.fixture(scope="module")
+def term_store(spark):
+    from blazegraph_database_spark.model.store import TripleStore
+
+    rows = [
+        ("a1", "ex:name", "Alice", "string"), ("a1", "ex:age", "30", "long"),
+        ("a1", "ex:knows", "b1", "iri"), ("b1", "ex:name", "Bob", "string"),
+        ("b1", "ex:label", "Bob", "lang:en"), ("c1", "ex:label", "Robert", "lang:fr"),
+        ("b1", "ex:knows", "_:c9", "iri"), ("c1", "ex:name", "Carol", "string"),
+    ]
+    return TripleStore(
+        spark.createDataFrame(rows, "s string, p string, o_lex string, o_dt string")
+    )
+
+
+def test_bnode_property_lists(term_store):
+    from blazegraph_database_spark.plans.sparql_parser import run_sparql
+
+    # [ ... ] as a complete statement, as an object, and _:label scoping
+    assert run_sparql(term_store, "SELECT ?n WHERE { [ <ex:name> ?n ] }").count() == 3
+    got = run_sparql(term_store, "SELECT ?n WHERE { ?x <ex:knows> [ <ex:label> ?n ] }").collect()
+    assert [r["n"] for r in got] == ["Bob"]
+    got = run_sparql(
+        term_store, "SELECT ?n WHERE { _:x <ex:name> ?n . _:x <ex:age> ?a }"
+    ).collect()
+    assert [r["n"] for r in got] == ["Alice"]
+
+
+def test_lang_literals_and_term_functions(term_store):
+    from blazegraph_database_spark.plans.sparql_parser import run_sparql
+
+    assert [r["x"] for r in run_sparql(term_store, 'SELECT ?x WHERE { ?x <ex:label> "Bob"@en }').collect()] == ["b1"]
+    got = {r["x"]: r["lg"] for r in run_sparql(
+        term_store, "SELECT ?x (LANG(?l) AS ?lg) WHERE { ?x <ex:label> ?l }"
+    ).collect()}
+    assert got == {"b1": "en", "c1": "fr"}
+    assert [r["x"] for r in run_sparql(
+        term_store, 'SELECT ?x WHERE { ?x <ex:label> ?l FILTER(LANGMATCHES(LANG(?l), "en")) }'
+    ).collect()] == ["b1"]
+    got = run_sparql(
+        term_store, "SELECT (DATATYPE(?a) AS ?dt) WHERE { ?x <ex:age> ?a }"
+    ).collect()
+    assert got[0]["dt"] == "http://www.w3.org/2001/XMLSchema#integer"
+    # term tests across positions, including `_:`-lexical bnodes
+    assert run_sparql(term_store, "SELECT ?o WHERE { ?s <ex:knows> ?o FILTER(ISBLANK(?o)) }").collect()[0]["o"] == "_:c9"
+    assert [r["o"] for r in run_sparql(term_store, "SELECT ?o WHERE { ?s <ex:knows> ?o FILTER(ISIRI(?o)) }").collect()] == ["b1"]
+    assert run_sparql(term_store, "SELECT ?s WHERE { ?s <ex:name> ?n FILTER(ISIRI(?s)) }").count() == 3
+    # companions are stripped from the result when auto-enabled
+    out = run_sparql(term_store, "SELECT ?x (LANG(?l) AS ?lg) WHERE { ?x <ex:label> ?l }")
+    assert not [c for c in out.columns if c.endswith("__dt")]
+
+
+def test_strlang_strdt(term_store):
+    from blazegraph_database_spark.plans.sparql_parser import run_sparql
+
+    got = run_sparql(
+        term_store,
+        'SELECT ?lg WHERE { ?x <ex:name> "Alice" BIND(STRLANG("hi", "en") AS ?v) BIND(LANG(?v) AS ?lg) }',
+    ).collect()
+    assert [r["lg"] for r in got] == ["en"]
+    got = run_sparql(
+        term_store,
+        'SELECT (STRDT("5", <http://www.w3.org/2001/XMLSchema#integer>) AS ?five) WHERE { ?x <ex:name> "Alice" }',
+    )
+    assert got.collect()[0]["five"] == "5"
