@@ -554,3 +554,38 @@ def ntriples_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("s").alias("n_subjects"),
         F.min("o_lex").alias("first_name"),
     )
+
+
+@register(
+    "sparql_lang_functions",
+    """
+    SELECT 'doc:' || doc_id AS x, lang AS lg, COUNT(*) OVER () AS n_en_fr
+    FROM documents WHERE lang IN ('en', 'fr') ORDER BY x LIMIT 20
+    """,
+)
+def sparql_lang_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-tagged literals end to end: documents become lang-tagged
+    label triples (o_dt = lang:<tag>, the engine's langString encoding),
+    then a textual SPARQL query filters with LANGMATCHES(LANG(?l), ...)
+    and projects the tag with LANG (ref: LangBOp / LangMatchesBOp)."""
+    from blazegraph_database_spark.model.store import TripleStore
+    from blazegraph_database_spark.plans.sparql_parser import run_sparql
+
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    st = TripleStore(
+        docs.select(
+            F.concat(F.lit("doc:"), F.col("doc_id")).alias("s"),
+            F.lit("doc#label").alias("p"),
+            F.col("text").alias("o_lex"),
+            F.concat(F.lit("lang:"), F.col("lang")).alias("o_dt"),
+        )
+    )
+    out = run_sparql(
+        st,
+        'SELECT ?x (LANG(?l) AS ?lg) WHERE { ?x <doc#label> ?l '
+        'FILTER(LANGMATCHES(LANG(?l), "en") || LANGMATCHES(LANG(?l), "fr")) } ORDER BY ?x',
+    )
+    total = out.count()
+    return (
+        out.withColumn("n_en_fr", F.lit(total).cast("long")).orderBy("x").limit(20)
+    )

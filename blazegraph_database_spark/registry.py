@@ -62,6 +62,7 @@ _SCORE_FIRST = [
     "tm_counting_delete",
     "text_top_ngrams",
     "dataset_mix",
+    "sparql_lang_functions",
 ]
 
 
