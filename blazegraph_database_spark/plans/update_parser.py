@@ -17,6 +17,8 @@ and `;`-separated sequences.
 
 from __future__ import annotations
 
+import uuid
+
 from pyspark.sql import DataFrame, SparkSession
 
 from blazegraph_database_spark.model.terms import Lit, Var
@@ -98,20 +100,56 @@ class UpdateParser(Parser):
                 return {"op": verb, "src": src, "dst": dst}
         raise SyntaxError(f"bad UPDATE operation at {self.peek().text!r}")
 
+    def _template_block(self) -> list[tuple]:
+        """Modify template body up to (and consuming) the closing brace:
+        plain triples plus `GRAPH <g> { ... }` wrappers → (s, p, o[, g])
+        entries (the 4th element feeds delete_insert_where's quad-aware
+        templates)."""
+        tmpl: list[tuple] = []
+        while not self.at_op("}"):
+            if self.at_kw("graph"):
+                self.next()
+                g = self._graph_ref()
+                self.eat_op("{")
+                tmpl.extend((s, p, o, g) for s, p, o in self._triple_block())
+                if self.at_op("."):
+                    self.next()
+                continue
+            s = self.term()
+            while True:
+                p = self._pred_term()
+                while True:
+                    o = self.term()
+                    tmpl.append((s, p, o))
+                    if self.at_op(","):
+                        self.next()
+                        continue
+                    break
+                if self.at_op(";"):
+                    self.next()
+                    if self.at_op(".", "}"):
+                        break
+                    continue
+                break
+            if self.at_op("."):
+                self.next()
+        self.eat_op("}")
+        return tmpl
+
     def _modify(self, delete_first: bool, graph: str | None = None) -> dict:
         """[DELETE { t }] [INSERT { t }] WHERE { P } (one template already
         committed to by the caller via delete_first)."""
         delete = insert = None
         if delete_first:
             self.eat_op("{")
-            delete = self._triple_block()
+            delete = self._template_block()
             if self.at_kw("insert"):
                 self.next()
                 self.eat_op("{")
-                insert = self._triple_block()
+                insert = self._template_block()
         else:
             self.eat_op("{")
-            insert = self._triple_block()
+            insert = self._template_block()
         self.eat_kw("where")
         where = self.group_graph_pattern()
         return {"op": "modify", "delete": delete, "insert": insert, "where": where, "graph": graph}
@@ -171,6 +209,19 @@ class UpdateParser(Parser):
             if self.at_op("."):
                 self.next()
         self.eat_op("}")
+        # bnode labels (`_:x`, parsed as __bn_ vars) are legal in INSERT
+        # DATA: each label mints one fresh bnode for the request (SPARQL
+        # 1.1 Update §3.1.1). Real variables stay rejected.
+        fresh: dict[str, str] = {}
+
+        def ground(term):
+            if isinstance(term, Var) and term.name.startswith("__bn_"):
+                if term.name not in fresh:
+                    fresh[term.name] = f"_:b{uuid.uuid4().hex[:12]}"
+                return fresh[term.name]
+            return term
+
+        quads = [(ground(s), ground(p), ground(o), g) for s, p, o, g in quads]
         for s, p, o, _ in quads:
             if isinstance(s, Var) or isinstance(p, Var) or isinstance(o, Var):
                 raise SyntaxError("variables are not allowed in DATA blocks")
@@ -209,12 +260,14 @@ def apply_update(store: UpdatableStore, src: str, spark: SparkSession | None = N
     spark = spark or store.current.spark
     for op in parse_update(src):
         kind = op["op"]
-        if kind == "insert_data":
-            has_g = "g" in store.current.df.columns
-            store.insert_data(_ground_triples_df(spark, op["quads"], with_graph=has_g))
-        elif kind == "delete_data":
-            has_g = "g" in store.current.df.columns
-            store.delete_data(_ground_triples_df(spark, op["quads"], with_graph=has_g))
+        if kind in ("insert_data", "delete_data"):
+            # keep the g column whenever the data block names a graph — a
+            # triples-only store upgrades to quads rather than dropping it
+            has_g = "g" in store.current.df.columns or any(
+                q[3] is not None for q in op["quads"]
+            )
+            data = _ground_triples_df(spark, op["quads"], with_graph=has_g)
+            store.insert_data(data) if kind == "insert_data" else store.delete_data(data)
         elif kind == "modify":
             where = op["where"]
             g = op.get("graph")

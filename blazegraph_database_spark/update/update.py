@@ -128,9 +128,18 @@ class UpdatableStore:
         return txn()
 
     # ------------------------------------------------------------- verbs --
+    def _upgraded_if_quads(self, triples: DataFrame) -> DataFrame:
+        """Current statements, upgraded to quads when the incoming data
+        carries a graph column a triples-only store would otherwise drop
+        (existing rows land in the default graph, g = NULL)."""
+        cur = self.current.df
+        if "g" in triples.columns and "g" not in cur.columns:
+            cur = cur.withColumn("g", F.lit(None).cast("string"))
+        return cur
+
     def insert_data(self, triples: DataFrame) -> TripleStore:
         """INSERT DATA: union new ground triples (set semantics)."""
-        cur = self.current.df
+        cur = self._upgraded_if_quads(triples)
         new = triples.select(*_key_cols(cur)) if set(triples.columns) >= set(_key_cols(cur)) else triples
         return self._push(cur.unionByName(new, allowMissingColumns=True).distinct())
 
@@ -139,7 +148,7 @@ class UpdatableStore:
         Quad stores join null-safely on g so default-graph triples (g=NULL)
         actually delete (ADVICE round 2: NULL never equals NULL in a plain
         equi-join, silently deleting nothing)."""
-        cur = self.current.df
+        cur = self._upgraded_if_quads(triples)
         keys = _key_cols(cur)
         doomed = F.broadcast(triples.select(*keys))
         if "g" in keys:
@@ -168,6 +177,16 @@ class UpdatableStore:
         null-safe anti-join on (s,p,o_lex,o_dt,g)."""
         cur = self.current
         is_quads = "g" in cur.df.columns
+        # WITH <g> / GRAPH-wrapped templates target a named graph: a
+        # triples-only store upgrades to quads first (default graph = NULL)
+        needs_g = with_graph is not None or any(
+            len(t) > 3 and t[3] is not None
+            for t in (delete_template or []) + (insert_template or [])
+        )
+        if needs_g and not is_quads:
+            self._push(cur.df.withColumn("g", F.lit(None).cast("string")))
+            cur = self.current
+            is_quads = True
         # dt-tracked bindings: object-var datatypes ride along as `<var>__dt`
         # companions, so instantiated triples carry the bound term's true type
         # and the delete anti-join on (s,p,o_lex,o_dt) matches IRIs and typed
@@ -197,9 +216,14 @@ class UpdatableStore:
 
     # --------------------------------------------------------- graph ops --
     def _require_quads(self) -> DataFrame:
+        """Current statements with a graph column. A triples-only store
+        upgrades in place on the first graph operation: existing rows land
+        in the default graph (g = NULL) — the reference likewise serves
+        quad operations on any store, defaulting statement contexts."""
         cur = self.current.df
         if "g" not in cur.columns:
-            raise ValueError("graph operation on a triples-only store")
+            cur = cur.withColumn("g", F.lit(None).cast("string"))
+            self._push(cur)
         return cur
 
     def clear_graph(self, g: str) -> TripleStore:

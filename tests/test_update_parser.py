@@ -124,3 +124,62 @@ def test_delete_insert_where_var_object_types(spark):
     # variable-object delete must remove IRI and typed-literal rows too
     apply_update(us2, "DELETE { ?s <p> ?o } WHERE { ?s <p> ?o }")
     assert us2.current.df.count() == 0
+
+
+def test_insert_data_bnodes(spark):
+    """Bnode labels in INSERT DATA mint one fresh bnode per label per
+    request (SPARQL 1.1 Update §3.1.1)."""
+    from blazegraph_database_spark.model.store import TripleStore
+    from blazegraph_database_spark.plans.update_parser import apply_update
+    from blazegraph_database_spark.update.update import UpdatableStore
+
+    us = UpdatableStore.from_store(
+        TripleStore(
+            spark.createDataFrame(
+                [("a1", "ex:name", "Alice", "string")],
+                "s string, p string, o_lex string, o_dt string",
+            )
+        )
+    )
+    apply_update(us, 'INSERT DATA { _:x <ex:name> "Temp" . _:x <ex:age> "5" }')
+    bn = us.current.df.filter(F.col("s").startswith("_:"))
+    assert bn.count() == 2
+    assert bn.select("s").distinct().count() == 1  # same label, same bnode
+
+
+def test_graph_ops_upgrade_triples_store(spark):
+    """Graph-targeted updates on a triples-only store upgrade it to quads
+    (existing rows in the default graph) instead of dropping g or failing."""
+    from blazegraph_database_spark.model.store import TripleStore
+    from blazegraph_database_spark.plans.update_parser import apply_update
+    from blazegraph_database_spark.update.update import UpdatableStore
+
+    def fresh():
+        return UpdatableStore.from_store(
+            TripleStore(
+                spark.createDataFrame(
+                    [("a1", "ex:name", "Alice", "string")],
+                    "s string, p string, o_lex string, o_dt string",
+                )
+            )
+        )
+
+    us = fresh()
+    apply_update(
+        us,
+        'INSERT DATA { GRAPH <g1> { <x> <p> "1" } . <y> <p> "2" } ; '
+        "WITH <g1> DELETE { ?s <p> ?o } WHERE { ?s <p> ?o }",
+    )
+    rows = sorted(tuple(r) for r in us.current.df.collect())
+    assert rows == [
+        ("a1", "ex:name", "Alice", "string", None),
+        ("y", "p", "2", "string", None),
+    ]
+    # named-graph DELETE DATA must not touch the default graph
+    us2 = fresh()
+    apply_update(us2, 'DELETE DATA { GRAPH <g9> { <a1> <ex:name> "Alice" } }')
+    assert us2.current.df.count() == 1
+    # template-level GRAPH wrapper in INSERT ... WHERE
+    us3 = fresh()
+    apply_update(us3, "INSERT { GRAPH <g2> { ?s <ex:copy> ?n } } WHERE { ?s <ex:name> ?n }")
+    assert us3.current.df.filter(F.col("g") == "g2").count() == 1
