@@ -181,3 +181,30 @@ def test_in_rectangle_zorder_matches_exact(spark):
     a = sorted(r["id"] for r in exact.collect())
     b = sorted(r["id"] for r in zscan.collect())
     assert a == b and len(a) > 0
+
+
+def test_zorder_scan_pushes_ranges_to_parquet(spark, tmp_path):
+    """On a store persisting the Morton key, the range disjunction is the
+    only pruning predicate and reaches the parquet reader as pushed
+    filters — row groups outside every range are skipped (the B+Tree
+    range-scan analog)."""
+    import random
+
+    random.seed(11)
+    rows = [(i, random.uniform(-90, 90), random.uniform(-180, 180)) for i in range(2000)]
+    df = spark.createDataFrame(rows, "id long, lat double, lon double")
+    path = str(tmp_path / "zstore")
+    (
+        df.withColumn("zkey", G.zorder_key(F.col("lat"), F.col("lon"), bits=8))
+        .sort("zkey")
+        .write.parquet(path)
+    )
+    stored = spark.read.parquet(path)
+    out = G.in_rectangle_zorder(
+        stored, -20.0, 42.0, -60.0, 75.0, zkey_col="zkey", bits=8, max_ranges=8
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "zkey" in plan.split("PushedFilters", 1)[1][:400]
+    # and the result still equals the exact predicate
+    exact = G.in_rectangle(stored, -20.0, 42.0, -60.0, 75.0)
+    assert sorted(r["id"] for r in out.collect()) == sorted(r["id"] for r in exact.collect())
