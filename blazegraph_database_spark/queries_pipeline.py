@@ -728,3 +728,58 @@ def dataset_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.groupBy("lang").agg(
         F.count(F.lit(1)).alias("kept"), F.sum("doc_id").alias("id_sum")
     )
+
+
+@register(
+    "pipeline_end_to_end",
+    f"""
+    WITH f AS (
+        SELECT doc_id, lang, text, strlen(text) AS n_chars,
+               string_split_regex(trim(text), '\\s+') AS ws
+        FROM documents
+    ), g AS (
+        SELECT doc_id, lang, text, len(ws) AS n_words,
+               len(list_filter(ws, w -> lower(w) IN {_STOP_SQL})) AS stop,
+               len(list_distinct(list_transform(ws, w -> lower(w)))) AS uniq,
+               GREATEST(len(ws), 1) AS nz
+        FROM f
+    ), q AS (
+        SELECT doc_id, lang, text,
+               ROUND(LEAST(n_words / 100.0, 1.0) * 0.4
+                     + LEAST(stop * 1.0 / nz * 5.0, 1.0) * 0.3
+                     + (uniq * 1.0 / nz) * 0.3, 6) AS quality
+        FROM g
+    ), kept AS (
+        SELECT doc_id, text FROM q WHERE quality >= 0.45 AND lang = 'en'
+    ), reps AS (
+        SELECT MIN(doc_id) AS doc_id FROM kept
+        GROUP BY regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')
+    ), b AS (
+        SELECT doc_id,
+               CAST(('0x' || substr(md5('s0:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10000 AS bucket
+        FROM reps
+    )
+    SELECT CASE WHEN bucket < 9000 THEN 'train' WHEN bucket < 9500 THEN 'val' ELSE 'test' END AS split,
+           CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(doc_id) AS BIGINT) AS id_sum
+    FROM b GROUP BY 1
+    """,
+)
+def pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed pretraining pipeline: quality filter → language filter →
+    exact dedup (keep-first) → deterministic split — every stage a pure
+    expression or a single keyed aggregation, so the whole chain is ONE
+    Catalyst plan (no materialization between stages; at 100 TB the stages
+    fuse into scan → filter → two shuffles). id_sum checks exact membership
+    through all four stages."""
+    from blazegraph_database_spark.operators import dedup
+    from blazegraph_database_spark.operators import text as T
+
+    docs = _docs(spark, sf_dir)
+    kept = T.quality_score(docs).filter((F.col("quality") >= 0.45) & (F.col("lang") == "en"))
+    reps = kept.groupBy(dedup.normalize_text(F.col("text")).alias("k")).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    surv = T.dataset_split(reps.select("doc_id"))
+    return surv.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("doc_id").alias("id_sum")
+    )

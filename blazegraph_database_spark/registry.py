@@ -63,6 +63,7 @@ _SCORE_FIRST = [
     "text_top_ngrams",
     "dataset_mix",
     "sparql_lang_functions",
+    "pipeline_end_to_end",
 ]
 
 
