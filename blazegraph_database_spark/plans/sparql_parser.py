@@ -451,6 +451,18 @@ class Parser:
                 rng = self.term().lex
                 self.eat_op(")")
                 return fn.LANGMATCHES(lang, rng)
+            if kw in ("NOW", "RAND", "UUID", "STRUUID", "BNODE"):
+                self.next()
+                self.eat_op("(")
+                self.eat_op(")")
+                return {"NOW": fn.NOW, "RAND": fn.RAND, "UUID": fn.UUID,
+                        "STRUUID": fn.STRUUID, "BNODE": fn.BNODE}[kw]()
+            if kw in ("TIMEZONE", "TZ"):
+                self.next()
+                self.eat_op("(")
+                x = self.expr()
+                self.eat_op(")")
+                return fn.TIMEZONE(x)
             if kw in ("STRLANG", "STRDT"):
                 self.next()
                 self.eat_op("(")

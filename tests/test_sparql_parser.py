@@ -405,3 +405,19 @@ def test_strlang_strdt(term_store):
         'SELECT (STRDT("5", <http://www.w3.org/2001/XMLSchema#integer>) AS ?five) WHERE { ?x <ex:name> "Alice" }',
     )
     assert got.collect()[0]["five"] == "5"
+
+
+def test_zero_arg_functions(tiny_store):
+    from blazegraph_database_spark.plans.sparql_parser import run_sparql
+
+    q = """SELECT ?n ?u ?b ?now WHERE {
+      ?x <name> ?n .
+      BIND(STRUUID() AS ?u) BIND(BNODE() AS ?b) BIND(NOW() AS ?now)
+      FILTER(RAND() >= 0)
+    }"""
+    rows = run_sparql(tiny_store, q).collect()
+    assert len(rows) == 5
+    assert all(r["b"].startswith("_:b") and len(r["u"]) == 36 for r in rows)
+    assert len({r["u"] for r in rows}) == 5  # fresh per row
+    tz = run_sparql(tiny_store, "SELECT (TZ(NOW()) AS ?z) WHERE { ?x <name> ?n } LIMIT 1")
+    assert tz.collect()[0]["z"] == "Z"
