@@ -57,17 +57,20 @@ def search(
     match_all: bool = False,
     min_relevance_ppm: int = 0,
     max_rank: int = 20,
+    min_rank: int = 1,
 ) -> DataFrame:
     """Ranked keyword search over an inverted index.
 
     patterns: [(token, is_prefix)] — is_prefix matches term LIKE 'tok%'
     (ref: bds:prefixMatch). match_all = every pattern must match the doc
-    (ref: bds:matchAllTerms); else any. min_relevance_ppm / max_rank mirror
-    bds:minRelevance / bds:maxRank.
+    (ref: bds:matchAllTerms); else any. min_relevance_ppm / max_rank /
+    min_rank mirror bds:minRelevance / bds:maxRank / bds:minRank
+    (minRank+maxRank page through results, ref: BDS.java MIN_RANK).
 
-    Returns (id, score_ppm, rank), rank 1..max_rank by (score desc, id).
-    The pattern set is tiny and broadcast; only matching posting rows leave
-    the scan, so cost is O(postings of matched terms), not corpus size.
+    Returns (id, score_ppm, rank), rank min_rank..max_rank by (score desc,
+    id). The pattern set is tiny and broadcast; only matching posting rows
+    leave the scan, so cost is O(postings of matched terms), not corpus
+    size.
     """
     spark = index.sparkSession
     pats = spark.createDataFrame(patterns, "pat string, is_prefix boolean")
@@ -99,7 +102,10 @@ def search(
     from pyspark.sql.window import Window
 
     w = Window.orderBy(F.col("score_ppm").desc(), F.col("id").asc())  # <= max_rank rows
-    return top.withColumn("rank", F.row_number().over(w))
+    out = top.withColumn("rank", F.row_number().over(w))
+    if min_rank > 1:
+        out = out.filter(F.col("rank") >= min_rank)
+    return out
 
 
 def bm25_search(

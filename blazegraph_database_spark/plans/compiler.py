@@ -846,6 +846,8 @@ def _(node: A.Service, store: TripleStore) -> DataFrame:
                 opts["min_relevance_ppm"] = int(float(const_lex(sp.o)) * 1_000_000)
             elif pred == "bds:maxRank":
                 opts["max_rank"] = int(const_lex(sp.o))
+            elif pred == "bds:minRank":  # minRank+maxRank page (BDS.java)
+                opts["min_rank"] = int(const_lex(sp.o))
             elif pred == "bds:relevance" and isinstance(sp.o, Var):
                 rel_var = sp.o.name  # bind the hit's relevance score
             elif pred == "bds:rank" and isinstance(sp.o, Var):

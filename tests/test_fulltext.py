@@ -62,3 +62,21 @@ def test_bm25_orders_by_rarity(index):
     assert scores[1] > scores[2]  # higher tf of 'spark'
     assert 3 in scores  # matches rarer 'query'
     assert all(s > 0 for s in scores.values())
+
+
+def test_min_rank_paging(spark):
+    """bds:minRank + bds:maxRank page through the ranked hits: page 2 picks
+    up exactly where page 1 ended (ref: BDS.java MIN_RANK/MAX_RANK)."""
+    from blazegraph_database_spark.model.store import TripleStore
+    from blazegraph_database_spark.plans.sparql_parser import run_sparql
+
+    docs = [(f"d{i}", "p#text", " ".join(["spark"] * (10 - i) + ["pad"] * i), "string") for i in range(6)]
+    st = TripleStore(spark.createDataFrame(docs, "s string, p string, o_lex string, o_dt string"))
+    def page(lo, hi):
+        q = ('SELECT ?s ?r WHERE { SERVICE <bds:search> { ?s <bds:search> "spark" . '
+             f'?s <bds:minRank> "{lo}" . ?s <bds:maxRank> "{hi}" . ?s <bds:rank> ?r }} }}')
+        return [(r["s"], r["r"]) for r in run_sparql(st, q).orderBy("r").collect()]
+    p1, p2 = page(1, 3), page(4, 6)
+    assert [r for _, r in p1] == [1, 2, 3] and [r for _, r in p2] == [4, 5, 6]
+    both = page(1, 6)
+    assert p1 + p2 == both
