@@ -589,3 +589,104 @@ def sparql_lang_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         out.withColumn("n_en_fr", F.lit(total).cast("long")).orderBy("x").limit(20)
     )
+
+
+@register(
+    "turtle_roundtrip",
+    """
+    SELECT CAST(2 * COUNT(*) AS BIGINT) AS n_triples,
+           CAST(COUNT(DISTINCT n_nationkey) AS BIGINT) AS n_subjects,
+           CAST(SUM(n_regionkey) AS BIGINT) AS region_sum,
+           MIN(n_name) AS first_name
+    FROM nation
+    """,
+)
+def turtle_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serialize the nation table as a Turtle document (@prefix, `;`
+    predicate lists, typed integer literals), parse it back with the
+    full-grammar Turtle reader, and aggregate — checked against the source
+    rows (ref: rio Turtle parser feeding DataLoader). 2 triples/subject:
+    n_triples doubles the row count, region_sum checks the typed literal
+    lexicals survive the trip."""
+    import tempfile
+
+    from blazegraph_database_spark.sources.rdf_formats import read_turtle
+    from blazegraph_database_spark.sources.relational import read_parquet
+
+    nat = read_parquet(spark, f"{sf_dir}/nation.parquet")
+    stmts = nat.select(
+        F.concat(
+            F.lit("n:"), F.col("n_nationkey").cast("string"),
+            F.lit(' <nation#n_name> "'), F.col("n_name"),
+            F.lit('" ; <nation#n_regionkey> "'), F.col("n_regionkey").cast("string"),
+            F.lit('"^^<http://www.w3.org/2001/XMLSchema#integer> .'),
+        ).alias("value")
+    )
+    header = spark.createDataFrame([("@prefix n: <nation:> .",)], "value string")
+    path = tempfile.mkdtemp(prefix="ttl_rt_") + "/nation.ttl"
+    header.unionByName(stmts).coalesce(1).write.mode("overwrite").text(path)
+    parsed = read_turtle(spark, path)
+    names = parsed.filter(F.col("p") == "nation#n_name")
+    regions = parsed.filter(F.col("p") == "nation#n_regionkey")
+    return (
+        names.agg(
+            F.count(F.lit(1)).alias("n_names"),
+            F.countDistinct("s").alias("n_subjects"),
+            F.min("o_lex").alias("first_name"),
+        )
+        .crossJoin(
+            regions.agg(
+                F.count(F.lit(1)).alias("n_regions"),
+                F.sum(F.col("o_lex").cast("long")).alias("region_sum"),
+            )
+        )
+        .select(
+            (F.col("n_names") + F.col("n_regions")).alias("n_triples"),
+            "n_subjects", "region_sum", "first_name",
+        )
+    )
+
+
+@register(
+    "trig_roundtrip",
+    """
+    SELECT 'region:' || r_regionkey AS g, CAST(COUNT(*) AS BIGINT) AS n_nations
+    FROM nation JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_regionkey
+    """,
+)
+def trig_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serialize nations into per-region TriG graph blocks, parse with the
+    TriG reader, count statements per graph — named-graph structure checked
+    against the join (ref: rio TriG parser)."""
+    import tempfile
+
+    from blazegraph_database_spark.sources.rdf_formats import read_trig
+    from blazegraph_database_spark.sources.relational import read_parquet
+
+    nat = read_parquet(spark, f"{sf_dir}/nation.parquet")
+    reg = read_parquet(spark, f"{sf_dir}/region.parquet")
+    joined = nat.join(reg, nat["n_regionkey"] == reg["r_regionkey"])
+    blocks = joined.groupBy("r_regionkey").agg(
+        F.concat(
+            F.lit("<region:"), F.col("r_regionkey").cast("string"), F.lit("> {\n"),
+            F.concat_ws(
+                "\n",
+                F.array_sort(
+                    F.collect_list(
+                        F.concat(
+                            F.lit("<nation:"), F.col("n_nationkey").cast("string"),
+                            F.lit('> <nation#n_name> "'), F.col("n_name"), F.lit('" .'),
+                        )
+                    )
+                ),
+            ),
+            F.lit("\n}"),
+        ).alias("value")
+    ).select("value")
+    path = tempfile.mkdtemp(prefix="trig_rt_") + "/nations.trig"
+    blocks.coalesce(1).write.mode("overwrite").text(path)
+    parsed = read_trig(spark, path)
+    return parsed.groupBy(F.col("g")).agg(F.count(F.lit(1)).alias("n_nations")).select(
+        F.col("g"), "n_nations"
+    )

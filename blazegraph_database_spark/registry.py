@@ -64,6 +64,8 @@ _SCORE_FIRST = [
     "dataset_mix",
     "sparql_lang_functions",
     "pipeline_end_to_end",
+    "turtle_roundtrip",
+    "trig_roundtrip",
 ]
 
 
