@@ -115,3 +115,32 @@ def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     must equal the batch LAG-window formulation."""
     st = S.read_events_stream(spark, sf_dir)
     return S.run_to_memory(S.sessionize_stateful(st), output_mode="update")
+
+
+@register(
+    "stream_funnel",
+    """
+    WITH v AS (
+        SELECT user_id, MIN(ts) AS t1 FROM events WHERE event_type = 'view' GROUP BY user_id
+    ), c AS (
+        SELECT v.user_id, v.t1, MIN(e.ts) AS t2
+        FROM v JOIN events e ON e.user_id = v.user_id AND e.event_type = 'click' AND e.ts > v.t1
+        GROUP BY v.user_id, v.t1
+    ), p AS (
+        SELECT c.user_id, c.t1, MIN(e.ts) AS t3
+        FROM c JOIN events e ON e.user_id = c.user_id AND e.event_type = 'purchase' AND e.ts > c.t2
+        GROUP BY c.user_id, c.t1
+    )
+    SELECT user_id,
+           CAST(FLOOR(epoch(t1)) AS BIGINT) AS start_s,
+           CAST(FLOOR(epoch(t3)) AS BIGINT) AS end_s
+    FROM p
+    """,
+)
+def stream_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful funnel detection (applyInPandasWithState, append mode):
+    per-user view→click→purchase with strict ordering, one emission per
+    completed funnel — exactly the chained-MIN self-join formulation the
+    oracle runs in batch."""
+    st = S.read_events_stream(spark, sf_dir)
+    return S.run_to_memory(S.funnel_stateful(st), output_mode="append")

@@ -66,6 +66,7 @@ _SCORE_FIRST = [
     "pipeline_end_to_end",
     "turtle_roundtrip",
     "trig_roundtrip",
+    "stream_funnel",
 ]
 
 

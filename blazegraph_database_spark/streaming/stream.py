@@ -299,3 +299,59 @@ def read_stream_source(spark: SparkSession, profile: dict, schema: T.StructType 
                 "kafka_wire_decode to test the same pipeline without a broker"
             ) from exc
     raise ValueError(f"unknown stream source profile kind {kind!r}")
+
+
+def funnel_stateful(stream: DataFrame, steps: tuple = ("view", "click", "purchase")) -> DataFrame:
+    """Stateful funnel detection via applyInPandasWithState: per user,
+    advance through ``steps`` in (ts, event_id) order — each step matches
+    the first qualifying event strictly after the previous step — and emit
+    ONE row (user_id, start_s, end_s) when the last step completes (append
+    mode; first completion only, then the user's state is closed).
+
+    The strict-ordering rule makes the machine exactly batch-recomputable
+    as chained MIN(ts) self-joins, which is what the oracle checks. State
+    per user = (step index, start ts, prev-step ts, done flag) — four
+    scalars, bounded regardless of event volume."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    steps = tuple(steps)
+
+    def fn(key, pdfs, state):
+        if state.exists:
+            idx, t_start, t_prev, done = state.get
+        else:
+            idx, t_start, t_prev, done = 0, 0.0, float("-inf"), 0
+        out = []
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks and not done:
+            allrows = pd.concat(chunks, ignore_index=True).sort_values(["ts", "event_id"])
+            for t, et in zip(allrows["ts"], allrows["event_type"]):
+                if done:
+                    break
+                tsec = t.timestamp() if hasattr(t, "timestamp") else float(t)
+                if et == steps[idx] and tsec > t_prev:
+                    if idx == 0:
+                        t_start = tsec
+                    t_prev = tsec
+                    idx += 1
+                    if idx == len(steps):
+                        done = 1
+                        out.append((key[0], int(t_start), int(tsec)))
+        state.update((idx, t_start, t_prev, done))
+        if out:
+            yield pd.DataFrame(out, columns=["user_id", "start_s", "end_s"])
+        else:
+            yield pd.DataFrame({"user_id": [], "start_s": [], "end_s": []})
+
+    return (
+        stream.select("user_id", "ts", "event_id", "event_type")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            "user_id long, start_s long, end_s long",
+            "idx int, t_start double, t_prev double, done int",
+            "append",
+            GroupStateTimeout.NoTimeout,
+        )
+    )

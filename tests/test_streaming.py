@@ -171,3 +171,30 @@ def test_stream_source_profiles(spark):
         )
     with pytest.raises(ValueError, match="unknown"):
         S.read_stream_source(spark, {"kind": "nope"})
+
+
+def test_funnel_stateful_strict_order(spark, tmp_path):
+    """Funnel machine only advances on strictly-later events, emits once,
+    and ignores steps arriving out of order."""
+    rows = [
+        # u1 completes: view@0, click@10, purchase@20 (plus noise)
+        (1, "2024-01-01 00:00:00", 1, "view"),
+        (2, "2024-01-01 00:00:10", 1, "click"),
+        (3, "2024-01-01 00:00:15", 1, "view"),
+        (4, "2024-01-01 00:00:20", 1, "purchase"),
+        (5, "2024-01-01 00:00:30", 1, "purchase"),   # after done → ignored
+        # u2 never completes (purchase BEFORE click)
+        (6, "2024-01-01 00:00:00", 2, "view"),
+        (7, "2024-01-01 00:00:05", 2, "purchase"),
+        (8, "2024-01-01 00:00:10", 2, "click"),
+    ]
+    df = spark.createDataFrame(rows, "event_id long, ts_s string, user_id long, event_type string").select(
+        "event_id", F.col("ts_s").cast("timestamp").alias("ts"), "user_id", "event_type"
+    )
+    path = str(tmp_path / "ev")
+    df.write.parquet(path)
+    st = spark.readStream.schema(df.schema).parquet(path)
+    out = S.run_to_memory(S.funnel_stateful(st), "append").collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["user_id"] == 1 and r["end_s"] - r["start_s"] == 20
