@@ -313,6 +313,46 @@ def stratified_sample(
     return df.filter(b < rate)
 
 
+def interdoc_repetition(
+    df: DataFrame, k: int = 8, min_df: int = 2, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Inter-document substring repetition: the fraction of a document's
+    word-k-gram windows that also occur in other documents — the
+    boilerplate/template-contamination signal large-scale cleaning uses
+    (repeated navigation chrome, license blocks, mirrored passages).
+
+    Two linear passes, no pairwise comparison: (1) window corpus document
+    frequency via one map-side-combined count on the window key; (2) join
+    the per-doc windows back to flag those with df >= min_df. Both
+    shuffles move one row per distinct window — never doc×doc. Returns
+    (id, n_windows, n_repeated, repeated_ppm), integer ppm for exact
+    cross-engine comparison."""
+    ws = words(F.col(text_col))
+    idx = F.when(
+        F.size(ws) >= k, F.sequence(F.lit(1), F.size(ws) - (k - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    grams = F.transform(
+        idx, lambda i: F.concat_ws(" ", *[F.element_at(ws, i + j) for j in range(k)])
+    )
+    win = df.select(F.col(id_col).alias("id"), F.explode(grams).alias("gram"))
+    dfreq = win.distinct().groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
+    flagged = win.join(dfreq, on="gram").groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_windows"),
+        F.sum(F.when(F.col("df") >= min_df, 1).otherwise(0)).alias("n_repeated"),
+    )
+    base = df.select(F.col(id_col).alias("id"))
+    return base.join(flagged, on="id", how="left").select(
+        "id",
+        F.coalesce(F.col("n_windows"), F.lit(0)).alias("n_windows"),
+        F.coalesce(F.col("n_repeated"), F.lit(0)).alias("n_repeated"),
+        F.floor(
+            F.coalesce(F.col("n_repeated"), F.lit(0))
+            * 1_000_000
+            / F.greatest(F.coalesce(F.col("n_windows"), F.lit(0)), F.lit(1))
+        ).cast("long").alias("repeated_ppm"),
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -783,3 +783,43 @@ def pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     return surv.groupBy("split").agg(
         F.count(F.lit(1)).alias("n"), F.sum("doc_id").alias("id_sum")
     )
+
+
+@register(
+    "text_interdoc_repetition",
+    """
+    WITH ws AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+        FROM documents WHERE trim(text) != ''
+    ),
+    win AS (
+        SELECT doc_id,
+               unnest(list_transform(generate_series(1, len(w) - 7),
+                      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' '
+                           || w[i+4] || ' ' || w[i+5] || ' ' || w[i+6] || ' ' || w[i+7])) AS gram
+        FROM ws WHERE len(w) >= 8
+    ),
+    dfreq AS (
+        SELECT gram, COUNT(*) AS df FROM (SELECT DISTINCT doc_id, gram FROM win) GROUP BY gram
+    ),
+    per AS (
+        SELECT w.doc_id AS id,
+               CAST(COUNT(*) AS BIGINT) AS n_windows,
+               CAST(SUM(CASE WHEN d.df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_repeated
+        FROM win w JOIN dfreq d USING (gram) GROUP BY 1
+    )
+    SELECT doc_id AS id,
+           COALESCE(n_windows, 0) AS n_windows,
+           COALESCE(n_repeated, 0) AS n_repeated,
+           CAST(FLOOR(COALESCE(n_repeated, 0) * 1000000.0 / GREATEST(COALESCE(n_windows, 0), 1)) AS BIGINT) AS repeated_ppm
+    FROM documents LEFT JOIN per ON doc_id = per.id
+    """,
+)
+def text_interdoc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-document k-gram repetition signal (boilerplate/template
+    contamination): fraction of a doc's 8-word windows shared with other
+    docs. Linear window-frequency passes, never doc×doc
+    (operators/text.interdoc_repetition)."""
+    from blazegraph_database_spark.operators import text as T
+
+    return T.interdoc_repetition(_docs(spark, sf_dir), k=8, min_df=2)

@@ -67,6 +67,7 @@ _SCORE_FIRST = [
     "turtle_roundtrip",
     "trig_roundtrip",
     "stream_funnel",
+    "text_interdoc_repetition",
 ]
 
 

@@ -262,3 +262,21 @@ def test_stratified_sample_rates_and_determinism(spark):
     # unknown group defaults to dropped
     other = text.stratified_sample(df, {"en": 8000}, group_col="lang")
     assert other.filter(F.col("lang") == "zh").count() == 0
+
+
+def test_interdoc_repetition(spark):
+    shared = "one two three four five six seven eight"  # an 8-gram both docs share
+    rows = [
+        (1, shared + " alpha beta gamma delta epsilon zeta eta theta"),
+        (2, shared + " iota kappa lam mu nu xi omicron pi"),
+        (3, "wholly unique words that appear nowhere else in corpus here"),
+        (4, "short"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["id"]: r for r in text.interdoc_repetition(df, k=8, min_df=2).collect()}
+    # docs 1/2: 9 windows each, exactly 1 shared window
+    assert out[1]["n_windows"] == 9 and out[1]["n_repeated"] == 1
+    assert out[2]["n_repeated"] == 1
+    assert out[1]["repeated_ppm"] == 111111
+    assert out[3]["n_repeated"] == 0
+    assert out[4]["n_windows"] == 0 and out[4]["repeated_ppm"] == 0
