@@ -690,3 +690,85 @@ def trig_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return parsed.groupBy(F.col("g")).agg(F.count(F.lit(1)).alias("n_nations")).select(
         F.col("g"), "n_nations"
     )
+
+
+@register(
+    "jsonld_roundtrip",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_triples,
+           CAST(COUNT(DISTINCT r_regionkey) AS BIGINT) AS n_subjects,
+           MIN(r_name) AS first_name
+    FROM region
+    """,
+)
+def jsonld_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serialize the region table as a JSON-LD @graph document, parse it
+    back with the JSON-LD reader, aggregate — checked against the source
+    rows (ref: rio JSON-LD parser)."""
+    import tempfile
+
+    from blazegraph_database_spark.sources.rdf_formats import read_jsonld
+    from blazegraph_database_spark.sources.relational import read_parquet
+
+    reg = read_parquet(spark, f"{sf_dir}/region.parquet")
+    nodes = reg.select(
+        F.to_json(
+            F.struct(
+                F.concat(F.lit("region:"), F.col("r_regionkey").cast("string")).alias("@id"),
+                F.col("r_name").alias("region#r_name"),
+            )
+        ).alias("j")
+    )
+    doc = nodes.agg(
+        F.concat(
+            F.lit('{"@graph": ['),
+            F.concat_ws(",", F.array_sort(F.collect_list("j"))),
+            F.lit("]}"),
+        ).alias("value")
+    )
+    path = tempfile.mkdtemp(prefix="jld_rt_") + "/regions.jsonld"
+    doc.coalesce(1).write.mode("overwrite").text(path)
+    parsed = read_jsonld(spark, path)
+    return parsed.agg(
+        F.count(F.lit(1)).alias("n_triples"),
+        F.countDistinct("s").alias("n_subjects"),
+        F.min("o_lex").alias("first_name"),
+    )
+
+
+@register(
+    "trix_roundtrip",
+    """
+    SELECT 'region:' || r_regionkey AS g, CAST(COUNT(*) AS BIGINT) AS n_nations
+    FROM nation JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_regionkey
+    """,
+)
+def trix_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serialize nations into per-region TriX graph blocks, parse with the
+    TriX reader, count per graph (ref: rio TriX parser)."""
+    import tempfile
+
+    from blazegraph_database_spark.sources.rdf_formats import read_trix
+    from blazegraph_database_spark.sources.relational import read_parquet
+
+    nat = read_parquet(spark, f"{sf_dir}/nation.parquet")
+    triple = F.concat(
+        F.lit("<triple><uri>nation:"), F.col("n_nationkey").cast("string"),
+        F.lit("</uri><uri>nation#n_name</uri><plainLiteral>"), F.col("n_name"),
+        F.lit("</plainLiteral></triple>"),
+    )
+    blocks = nat.groupBy("n_regionkey").agg(
+        F.concat(
+            F.lit("<graph><uri>region:"), F.col("n_regionkey").cast("string"), F.lit("</uri>"),
+            F.concat_ws("", F.array_sort(F.collect_list(triple))),
+            F.lit("</graph>"),
+        ).alias("block")
+    )
+    doc = blocks.agg(
+        F.concat(F.lit("<TriX>"), F.concat_ws("", F.array_sort(F.collect_list("block"))), F.lit("</TriX>")).alias("value")
+    )
+    path = tempfile.mkdtemp(prefix="trix_rt_") + "/nations.trix"
+    doc.coalesce(1).write.mode("overwrite").text(path)
+    parsed = read_trix(spark, path)
+    return parsed.groupBy("g").agg(F.count(F.lit(1)).alias("n_nations"))

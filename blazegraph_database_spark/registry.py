@@ -68,6 +68,8 @@ _SCORE_FIRST = [
     "trig_roundtrip",
     "stream_funnel",
     "text_interdoc_repetition",
+    "jsonld_roundtrip",
+    "trix_roundtrip",
 ]
 
 
