@@ -772,3 +772,48 @@ def trix_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc.coalesce(1).write.mode("overwrite").text(path)
     parsed = read_trix(spark, path)
     return parsed.groupBy("g").agg(F.count(F.lit(1)).alias("n_nations"))
+
+
+@register(
+    "rdfxml_roundtrip",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_triples,
+           CAST(COUNT(DISTINCT r_regionkey) AS BIGINT) AS n_subjects,
+           MIN(r_name) AS first_name
+    FROM region
+    """,
+)
+def rdfxml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serialize the region table as RDF/XML Descriptions, parse with the
+    RDF/XML reader, aggregate (ref: rio RDF/XML parser)."""
+    import tempfile
+
+    from blazegraph_database_spark.sources.rdf_formats import read_rdfxml
+    from blazegraph_database_spark.sources.relational import read_parquet
+
+    reg = read_parquet(spark, f"{sf_dir}/region.parquet")
+    desc = reg.select(
+        F.concat(
+            F.lit('<rdf:Description rdf:about="region:'),
+            F.col("r_regionkey").cast("string"),
+            F.lit('"><x:r_name>'), F.col("r_name"), F.lit("</x:r_name></rdf:Description>"),
+        ).alias("d")
+    )
+    doc = desc.agg(
+        F.concat(
+            F.lit(
+                '<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#" '
+                'xmlns:x="region#">'
+            ),
+            F.concat_ws("", F.array_sort(F.collect_list("d"))),
+            F.lit("</rdf:RDF>"),
+        ).alias("value")
+    )
+    path = tempfile.mkdtemp(prefix="rx_rt_") + "/regions.rdf"
+    doc.coalesce(1).write.mode("overwrite").text(path)
+    parsed = read_rdfxml(spark, path)
+    return parsed.agg(
+        F.count(F.lit(1)).alias("n_triples"),
+        F.countDistinct("s").alias("n_subjects"),
+        F.min("o_lex").alias("first_name"),
+    )

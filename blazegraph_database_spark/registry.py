@@ -70,6 +70,7 @@ _SCORE_FIRST = [
     "text_interdoc_repetition",
     "jsonld_roundtrip",
     "trix_roundtrip",
+    "rdfxml_roundtrip",
 ]
 
 
