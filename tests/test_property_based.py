@@ -144,3 +144,40 @@ def test_id_join_path_equals_lexical_path(spark, edges, shape, data):
     finally:
         compiler._id_join_vars = real
     assert with_ids == lexical
+
+
+@given(
+    lat=st.tuples(st.floats(-90, 90), st.floats(-90, 90)).map(sorted),
+    lon=st.tuples(st.floats(-180, 180), st.floats(-180, 180)).map(sorted),
+    bits=st.integers(3, 7),
+)
+@settings(max_examples=60, deadline=None)
+def test_zorder_ranges_exact_cover_property(lat, lon, bits):
+    """For any rectangle and bit depth, the full-depth decomposition covers
+    exactly the quantized rectangle's Morton keys (no gaps, no excess)."""
+    from blazegraph_database_spark.operators import geospatial as G
+
+    (lat0, lat1), (lon0, lon1) = lat, lon
+    rngs = G.zorder_ranges(
+        lat0, lat1, lon0, lon1, bits=bits, max_ranges=10**9, depth_limit=bits
+    )
+    qx0, qx1 = G._quantize_py(lat0, -90, 90, bits), G._quantize_py(lat1, -90, 90, bits)
+    qy0, qy1 = G._quantize_py(lon0, -180, 180, bits), G._quantize_py(lon1, -180, 180, bits)
+
+    def ilv(x, y):
+        z = 0
+        for i in range(bits):
+            z |= ((x >> i) & 1) << (2 * i)
+            z |= ((y >> i) & 1) << (2 * i + 1)
+        return z
+
+    covered = set()
+    for lo, hi in rngs:
+        covered.update(range(lo, hi + 1))
+    expect = {
+        ilv(x, y) for x in range(qx0, qx1 + 1) for y in range(qy0, qy1 + 1)
+    }
+    assert covered == expect
+    # ranges are sorted, disjoint, non-adjacent (maximally merged)
+    for (lo1, hi1), (lo2, hi2) in zip(rngs, rngs[1:]):
+        assert hi1 + 1 < lo2
