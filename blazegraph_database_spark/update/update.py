@@ -69,6 +69,11 @@ class UpdatableStore:
     # precondition for the delta maintenance paths (delta_assert /
     # dred_retract); the first *_with_closure call closes from scratch
     _closed_valid: bool = False
+    # retraction strategy: "dred" (delete/re-derive, no side state) or
+    # "counting" (per-triple derivation counts maintained across updates —
+    # decrement-only deletes, right when deletes are frequent)
+    tm_strategy: str = "dred"
+    _counts: DataFrame | None = None
 
     @classmethod
     def from_store(cls, store: TripleStore) -> "UpdatableStore":
@@ -91,6 +96,7 @@ class UpdatableStore:
         # next closure call to re-seed and recompute from the live store
         self._closed_valid = False
         self._explicit = None
+        self._counts = None
         return st
 
     # ------------------------------------------------------- transactions --
@@ -112,12 +118,12 @@ class UpdatableStore:
         @contextmanager
         def txn():
             base = len(self.versions)
-            saved = (self._explicit, self._closed_valid, self._updates)
+            saved = (self._explicit, self._closed_valid, self._updates, self._counts)
             try:
                 yield self
             except Exception:
                 del self.versions[base:]
-                self._explicit, self._closed_valid, self._updates = saved
+                self._explicit, self._closed_valid, self._updates, self._counts = saved
                 raise
             else:
                 if len(self.versions) > base + 1:
@@ -302,13 +308,25 @@ class UpdatableStore:
             .distinct()
             .localCheckpoint(eager=False)
         )
+        new_counts = None
         if self._closed_valid and not self._touches_schema(delta):
-            closed_df = delta_assert(self.current.df.select(*TRIPLE_COLS), delta)
+            if self.tm_strategy == "counting" and self._counts is not None:
+                from blazegraph_database_spark.inference.rdfs import counting_assert
+
+                new_counts, closed_df = counting_assert(
+                    self._counts, explicit, delta, self.current.df.select(*TRIPLE_COLS)
+                )
+            else:
+                closed_df = delta_assert(self.current.df.select(*TRIPLE_COLS), delta)
         else:
             closed_df = rdfs_closure(TripleStore(explicit)).df
         st = self._push(closed_df)
         self._explicit = explicit
         self._closed_valid = True
+        if new_counts is not None:
+            # eager: the counts table is closure-sized and its lineage chains
+            # across updates — truncate now or plans grow multiplicatively
+            self._counts = new_counts.localCheckpoint(eager=True)
         return st
 
     def delete_with_closure(self, triples: DataFrame) -> TripleStore:
@@ -320,19 +338,46 @@ class UpdatableStore:
         the closed store — delete cost scales with the delta, not with a
         closure recompute. Schema deltas (rare, and schema-sized) fall back
         to recompute-from-explicit."""
-        from blazegraph_database_spark.inference.rdfs import dred_retract, rdfs_closure
+        from blazegraph_database_spark.inference.rdfs import (
+            build_support_counts,
+            counting_retract,
+            dred_retract,
+            rdfs_closure,
+        )
 
         delta = triples.select(*TRIPLE_COLS)
         was_closed = self._closed_valid
-        explicit = self._explicit if self._explicit is not None else self.current.df
-        explicit = explicit.join(
+        explicit_old = self._explicit if self._explicit is not None else self.current.df
+        explicit = explicit_old.join(
             F.broadcast(delta), on=TRIPLE_COLS, how="left_anti"
         ).localCheckpoint(eager=False)
+        new_counts = None
         if was_closed and not self._touches_schema(delta):
-            closed_df = dred_retract(self.current.df.select(*TRIPLE_COLS), explicit, delta)
+            closed = self.current.df.select(*TRIPLE_COLS)
+            if self.tm_strategy == "counting":
+                # pin the closure first: the counting pipeline references it
+                # from every rule branch, and an unpinned post-update plan
+                # re-expands once per reference (driver plan blow-up)
+                closed = closed.localCheckpoint(eager=True)
+                # counts build lazily from the PRE-delete explicit set (the
+                # linearity precondition: delta ⊆ counted explicit rows),
+                # then persist across updates so later deletes are
+                # decrement-only
+                counts = (
+                    self._counts
+                    if self._counts is not None
+                    else build_support_counts(closed, explicit_old.select(*TRIPLE_COLS))
+                )
+                new_counts, closed_df = counting_retract(counts, explicit, delta, closed)
+            else:
+                closed_df = dred_retract(closed, explicit, delta)
         else:
             closed_df = rdfs_closure(TripleStore(explicit)).df
         st = self._push(closed_df)
         self._explicit = explicit
         self._closed_valid = True
+        if new_counts is not None:
+            # eager: the counts table is closure-sized and its lineage chains
+            # across updates — truncate now or plans grow multiplicatively
+            self._counts = new_counts.localCheckpoint(eager=True)
         return st

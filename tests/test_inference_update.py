@@ -394,3 +394,41 @@ def test_counting_assert_matches_full_recompute(spark, onto):
     _, new_closed = rdfs.counting_assert(counts, explicit_new, delta, closed)
     recomputed = rdfs.rdfs_closure(TripleStore(explicit_new)).df
     assert _closure_set(new_closed) == _closure_set(recomputed)
+
+
+def test_counting_strategy_store(spark, onto):
+    """UpdatableStore(tm_strategy='counting'): insert→delete→delete chain
+    keeps the closure identical to DRed / full recompute, with the counts
+    table maintained across calls."""
+    dred = UpdatableStore.from_store(TripleStore(onto.df))
+    cnt = UpdatableStore.from_store(TripleStore(onto.df))
+    cnt.tm_strategy = "counting"
+    empty = spark.createDataFrame([], "s string, p string, o_lex string, o_dt string")
+    for us in (dred, cnt):
+        us.insert_with_closure(empty)  # seed the closure
+    ins = spark.createDataFrame(
+        [("bob", "hasPet", "felix", "iri")], "s string, p string, o_lex string, o_dt string"
+    )
+    dele = spark.createDataFrame(
+        [("ann", "hasPet", "rex", "iri")], "s string, p string, o_lex string, o_dt string"
+    )
+    for us in (dred, cnt):
+        us.insert_with_closure(ins)
+        us.delete_with_closure(dele)
+    assert cnt._counts is not None  # maintained for the next delete
+    a = _closure_set(dred.current.df)
+    b = _closure_set(cnt.current.df)
+    assert a == b
+    # second delete reuses the maintained counts (still exact)
+    for us in (dred, cnt):
+        us.delete_with_closure(ins)
+    assert _closure_set(dred.current.df) == _closure_set(cnt.current.df)
+    # rollback restores the counts bookkeeping
+    before = cnt._counts
+    try:
+        with cnt.transaction():
+            cnt.delete_with_closure(dele)
+            raise RuntimeError("boom")
+    except RuntimeError:
+        pass
+    assert cnt._counts is before
