@@ -513,10 +513,13 @@ def counting_retract(
 
 
 def counting_assert(
-    counts: DataFrame, explicit_new: DataFrame, delta: DataFrame, closed: DataFrame
+    counts: DataFrame, delta: DataFrame, closed: DataFrame
 ) -> tuple[DataFrame, DataFrame]:
     """Insert-side of counting TM: increment by the derivation counts the
-    delta generates (linearity again). Returns (new_counts, new_closed)."""
+    delta generates (linearity again). `delta` must contain only rows NOT
+    already explicit — re-inserting a counted row would double its
+    derivations (callers anti-join against the old explicit set).
+    Returns (new_counts, new_closed)."""
     sides = _schema_sides(closed)
     inc = _count_data_rules(delta.withColumn("cnt", F.lit(1).cast("long")), *sides)
     key = ["s", "p", "o_lex", "o_dt"]

@@ -259,7 +259,11 @@ def _sid_inner_df(emb: "A.Emb", store: TripleStore, alias: str) -> DataFrame:
                 seen[pos.name] = col
                 sel.append(F.col(col).alias(pos.name))
                 if col == "o_lex" and store.track_dt:
-                    sel.append(F.col("o_dt").alias(f"{pos.name}__dt"))
+                    sel.append(
+                        F.when(F.col("o_dt") == "bnode", F.lit("iri"))
+                        .otherwise(F.col("o_dt"))
+                        .alias(f"{pos.name}__dt")
+                    )
     return df.select(*sel)
 
 
@@ -322,16 +326,20 @@ def _pattern_df(sp: A.SP, store: TripleStore) -> DataFrame:
                 sel.append(F.col(col).alias(pos.name))
                 if store.track_dt:
                     if col == "o_lex":
-                        sel.append(F.col("o_dt").alias(f"{pos.name}__dt"))
-                    elif col == "s":
-                        # subjects are IRIs or bnodes; the tag feeds the
-                        # isIRI/isBlank term tests and CONSTRUCT templates
+                        # companions are BGP join keys (term identity
+                        # includes the datatype), so the bnode tag — which
+                        # some readers emit as 'bnode', others as 'iri' —
+                        # normalizes to 'iri' here; the `_:` lexical prefix
+                        # keeps bnodes distinguishable (isBlank checks it)
                         sel.append(
-                            F.when(F.col("s").startswith("_:"), F.lit("bnode"))
-                            .otherwise(F.lit("iri"))
+                            F.when(F.col("o_dt") == "bnode", F.lit("iri"))
+                            .otherwise(F.col("o_dt"))
                             .alias(f"{pos.name}__dt")
                         )
-                    else:  # predicate / graph vars are always IRIs
+                    else:  # subject / predicate / graph vars: iri space
+                        # (bnode subjects carry the `_:` lexical; tagging
+                        # them 'iri' matches the normalized object tag so
+                        # subject-object joins on a shared var agree)
                         sel.append(F.lit("iri").alias(f"{pos.name}__dt"))
     return df.select(*sel)
 
@@ -422,11 +430,8 @@ def _star_fuse(patterns: list, store: TripleStore):
                 if patterns[i].o.name not in id_vars
             ]
             if svar not in id_vars:
-                sel.append(
-                    F.when(F.col("s").startswith("_:"), F.lit("bnode"))
-                    .otherwise(F.lit("iri"))
-                    .alias(f"{svar}__dt")
-                )
+                # same normalized tag as _pattern_df's subject branch
+                sel.append(F.lit("iri").alias(f"{svar}__dt"))
         ests = [float(stats[p].count) for p in preds if p in stats]
         est = max(ests) if ests else float("inf")
         fused.append((df.select(*sel), est, {svar, *seen_o}))

@@ -116,7 +116,12 @@ _XSD_CAST_LOCAL = {
 
 
 class Parser:
-    def __init__(self, src: str):
+    def __init__(self, src: str, dt_mode: bool = False):
+        # dt_mode: the query uses term-type functions (LANG/DATATYPE/...),
+        # so BIND/SELECT-bound vars default to a 'string' dtype companion —
+        # LANG over a plain BIND result is "" rather than an unresolved
+        # column (run_sparql sets this from the query text)
+        self.dt_mode = dt_mode
         self.toks = tokenize(src)
         self.i = 0
         self.prefixes: dict[str, str] = {}
@@ -127,8 +132,11 @@ class Parser:
         # to the alias (ref: the AST's GroupByRewriter does the same hoist).
         self._pending_aggs: list[tuple[str, Column]] = []
         # STRLANG/STRDT set the result's dtype tag here; the BIND / SELECT
-        # expression consumer materializes it as a `<var>__dt` companion
+        # expression consumer materializes it as a `<var>__dt` companion —
+        # but only when the recorded token span covers the WHOLE bound
+        # expression (a sub-expression call doesn't type the result)
         self._pending_term_dt: str | None = None
+        self._pending_term_dt_span: tuple[int, int] | None = None
 
     # ------------------------------------------------------- tok helpers --
     def peek(self, k: int = 0) -> Tok:
@@ -464,19 +472,30 @@ class Parser:
                 self.eat_op(")")
                 return fn.TIMEZONE(x)
             if kw in ("STRLANG", "STRDT"):
+                start = self.i  # span start: the STRLANG/STRDT token itself
                 self.next()
                 self.eat_op("(")
                 x = self.expr()
                 self.eat_op(",")
                 if kw == "STRLANG":
-                    self._pending_term_dt = fn.STRLANG_DT(self.term().lex)
+                    tag = self.term()
+                    if not isinstance(tag, Lit):
+                        raise SyntaxError("STRLANG needs a literal language tag")
+                    self._pending_term_dt = fn.STRLANG_DT(tag.lex)
                 else:
                     dt_tok = self.next()
+                    if dt_tok.kind not in ("IRI", "PNAME"):
+                        raise SyntaxError("STRDT needs a constant datatype IRI")
                     dt_iri = (
                         dt_tok.text[1:-1] if dt_tok.kind == "IRI" else self.expand_pname(dt_tok.text)
                     )
                     self._pending_term_dt = fn.STRDT_TAG(dt_iri)
                 self.eat_op(")")
+                # the dtype tag applies only when this call IS the whole
+                # bound expression — consumers compare this span against the
+                # expression they parsed (CONCAT(STRLANG(...), x) is a plain
+                # string, not a lang literal)
+                self._pending_term_dt_span = (start, self.i)
                 return x.cast("string")
             if kw == "SUBSTR":
                 self.next()
@@ -682,8 +701,15 @@ class Parser:
                 self.next()
                 self.eat_op("(")
                 self._pending_term_dt = None
+                e_start = self.i
                 e = self.expr()
-                term_dt = self._pending_term_dt
+                term_dt = (
+                    self._pending_term_dt
+                    if self._pending_term_dt_span == (e_start, self.i)
+                    else None
+                )
+                if term_dt is None and self.dt_mode:
+                    term_dt = "string"
                 self._pending_term_dt = None
                 self.eat_kw("as")
                 v = self.next().text[1:]
@@ -960,8 +986,15 @@ class Parser:
                     self.next()
                     self._pending_aggs = []
                     self._pending_term_dt = None
+                    e_start = self.i
                     e = self.expr()
-                    term_dt = self._pending_term_dt
+                    term_dt = (
+                        self._pending_term_dt
+                        if self._pending_term_dt_span == (e_start, self.i)
+                        else None
+                    )
+                    if term_dt is None and self.dt_mode:
+                        term_dt = "string"
                     self._pending_term_dt = None
                     self.eat_kw("as")
                     v = self.next().text[1:]
@@ -1145,15 +1178,15 @@ class Parser:
 _EMPTY = A.BGP([])
 
 
-def parse_sparql_select(src: str):
+def parse_sparql_select(src: str, dt_mode: bool = False):
     """Parse a SPARQL SELECT string into an algebra plan (evaluate with
     plans.compiler.evaluate)."""
-    return Parser(src).parse_select()
+    return Parser(src, dt_mode=dt_mode).parse_select()
 
 
-def parse_sparql_query(src: str):
+def parse_sparql_query(src: str, dt_mode: bool = False):
     """Parse any query form; returns a tagged tuple (see Parser.parse_query)."""
-    return Parser(src).parse_query()
+    return Parser(src, dt_mode=dt_mode).parse_query()
 
 
 _DT_FUNC_RE = re.compile(
@@ -1174,12 +1207,13 @@ def run_sparql(store, src: str):
     the SELECT result (they're an engine detail, not bindings)."""
     from blazegraph_database_spark.plans import compiler
 
+    dt_mode = bool(_DT_FUNC_RE.search(src))
     auto_dt = False
-    if not getattr(store, "track_dt", False) and _DT_FUNC_RE.search(src):
+    if dt_mode and not getattr(store, "track_dt", False):
         store = store.with_dt_tracking()
         auto_dt = True
 
-    parsed = parse_sparql_query(src)
+    parsed = parse_sparql_query(src, dt_mode=dt_mode)
     if parsed[0] == "select":
         out = compiler.evaluate(store, parsed[1])
         if auto_dt:

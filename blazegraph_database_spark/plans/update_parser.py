@@ -54,7 +54,7 @@ class UpdateParser(Parser):
             self.next()
             if self.at_kw("data"):
                 self.next()
-                return {"op": "delete_data", "quads": self._quad_data()}
+                return {"op": "delete_data", "quads": self._quad_data(mint_bnodes=False)}
             if self.at_kw("where"):  # DELETE WHERE { P }: pattern is template
                 self.next()
                 self.eat_op("{")
@@ -175,9 +175,12 @@ class UpdateParser(Parser):
             self.next()
         return self._graph_ref()
 
-    def _quad_data(self) -> list[tuple]:
+    def _quad_data(self, mint_bnodes: bool = True) -> list[tuple]:
         """Ground data block: { triples... } with optional GRAPH <g> { ... }
-        sub-blocks. Returns (s, p, o, g|None) tuples."""
+        sub-blocks. Returns (s, p, o, g|None) tuples. ``mint_bnodes`` is
+        True for INSERT DATA (each `_:label` mints one fresh bnode per
+        request) and False for DELETE DATA, where SPARQL 1.1 Update
+        forbids blank nodes outright."""
         self.eat_op("{")
         quads: list[tuple] = []
         while not self.at_op("}"):
@@ -216,6 +219,10 @@ class UpdateParser(Parser):
 
         def ground(term):
             if isinstance(term, Var) and term.name.startswith("__bn_"):
+                if not mint_bnodes:
+                    raise SyntaxError(
+                        "blank nodes are not allowed in DELETE DATA (SPARQL 1.1 Update)"
+                    )
                 if term.name not in fresh:
                     fresh[term.name] = f"_:b{uuid.uuid4().hex[:12]}"
                 return fresh[term.name]

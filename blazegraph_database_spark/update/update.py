@@ -302,9 +302,9 @@ class UpdatableStore:
         from blazegraph_database_spark.inference.rdfs import delta_assert, rdfs_closure
 
         delta = triples.select(*TRIPLE_COLS)
+        explicit_old = self._explicit if self._explicit is not None else self.current.df
         explicit = (
-            (self._explicit if self._explicit is not None else self.current.df)
-            .unionByName(delta, allowMissingColumns=True)
+            explicit_old.unionByName(delta, allowMissingColumns=True)
             .distinct()
             .localCheckpoint(eager=False)
         )
@@ -313,9 +313,14 @@ class UpdatableStore:
             if self.tm_strategy == "counting" and self._counts is not None:
                 from blazegraph_database_spark.inference.rdfs import counting_assert
 
-                new_counts, closed_df = counting_assert(
-                    self._counts, explicit, delta, self.current.df.select(*TRIPLE_COLS)
+                # linearity: only GENUINELY-new rows may increment — a
+                # re-insert of an already-explicit triple must not create
+                # phantom support that would survive its later retraction
+                fresh = delta.join(
+                    explicit_old.select(*TRIPLE_COLS), on=TRIPLE_COLS, how="left_anti"
                 )
+                closed = self.current.df.select(*TRIPLE_COLS).localCheckpoint(eager=True)
+                new_counts, closed_df = counting_assert(self._counts, fresh, closed)
             else:
                 closed_df = delta_assert(self.current.df.select(*TRIPLE_COLS), delta)
         else:
@@ -368,7 +373,13 @@ class UpdatableStore:
                     if self._counts is not None
                     else build_support_counts(closed, explicit_old.select(*TRIPLE_COLS))
                 )
-                new_counts, closed_df = counting_retract(counts, explicit, delta, closed)
+                # linearity: only rows that WERE explicit may decrement — a
+                # no-op delete of a never-asserted triple must not steal
+                # support from inferences other premises still derive
+                eff = delta.join(
+                    explicit_old.select(*TRIPLE_COLS), on=TRIPLE_COLS, how="left_semi"
+                )
+                new_counts, closed_df = counting_retract(counts, explicit, eff, closed)
             else:
                 closed_df = dred_retract(closed, explicit, delta)
         else:

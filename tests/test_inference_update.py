@@ -391,7 +391,7 @@ def test_counting_assert_matches_full_recompute(spark, onto):
         "s string, p string, o_lex string, o_dt string",
     )
     explicit_new = explicit.unionByName(delta)
-    _, new_closed = rdfs.counting_assert(counts, explicit_new, delta, closed)
+    _, new_closed = rdfs.counting_assert(counts, delta, closed)
     recomputed = rdfs.rdfs_closure(TripleStore(explicit_new)).df
     assert _closure_set(new_closed) == _closure_set(recomputed)
 
@@ -432,3 +432,43 @@ def test_counting_strategy_store(spark, onto):
     except RuntimeError:
         pass
     assert cnt._counts is before
+
+
+def test_counting_reinsert_no_phantom_support(spark):
+    """Re-inserting an already-explicit triple must not double its counts:
+    a later delete still removes its no-longer-derivable inferences."""
+    T = "iri"
+    st = _store(spark, [("C", "rdfs:subClassOf", "D", T), ("x", "rdf:type", "C", T)])
+    us = UpdatableStore.from_store(TripleStore(st.df))
+    us.tm_strategy = "counting"
+    empty = spark.createDataFrame([], "s string, p string, o_lex string, o_dt string")
+    us.insert_with_closure(empty)
+    t = spark.createDataFrame([("x", "rdf:type", "C", T)], "s string, p string, o_lex string, o_dt string")
+    us.delete_with_closure(t)   # materializes counts
+    us.insert_with_closure(t)   # re-insert
+    us.insert_with_closure(t)   # re-insert AGAIN (already explicit — no-op)
+    us.delete_with_closure(t)   # must remove (x type D)
+    triples = _closure_set(us.current.df)
+    assert ("x", "rdf:type", "D") not in triples and ("x", "rdf:type", "C") not in triples
+
+
+def test_counting_noop_delete_keeps_support(spark):
+    """Deleting a never-asserted triple is a no-op: it must not decrement
+    support that other explicit premises still provide."""
+    T = "iri"
+    st = _store(
+        spark,
+        [
+            ("p1", "rdfs:subPropertyOf", "q", T),
+            ("p2", "rdfs:subPropertyOf", "q", T),
+            ("a", "p1", "b", T),
+        ],
+    )
+    us = UpdatableStore.from_store(TripleStore(st.df))
+    us.tm_strategy = "counting"
+    empty = spark.createDataFrame([], "s string, p string, o_lex string, o_dt string")
+    us.insert_with_closure(empty)
+    ghost = spark.createDataFrame([("a", "p2", "b", T)], "s string, p string, o_lex string, o_dt string")
+    us.delete_with_closure(ghost)  # 'a p2 b' was never asserted
+    triples = _closure_set(us.current.df)
+    assert ("a", "q", "b") in triples  # still derived from 'a p1 b'

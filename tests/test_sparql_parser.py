@@ -421,3 +421,41 @@ def test_zero_arg_functions(tiny_store):
     assert len({r["u"] for r in rows}) == 5  # fresh per row
     tz = run_sparql(tiny_store, "SELECT (TZ(NOW()) AS ?z) WHERE { ?x <name> ?n } LIMIT 1")
     assert tz.collect()[0]["z"] == "Z"
+
+
+def test_strlang_subexpression_not_lang_typed(term_store):
+    """STRLANG inside a larger expression types nothing: the CONCAT result
+    is a plain string, so LANG() is empty."""
+    from blazegraph_database_spark.plans.sparql_parser import run_sparql
+
+    got = run_sparql(
+        term_store,
+        'SELECT ?lg WHERE { ?x <ex:name> "Alice" '
+        'BIND(CONCAT(STRLANG("a", "en"), "b") AS ?v) BIND(LANG(?v) AS ?lg) }',
+    ).collect()
+    assert [r["lg"] for r in got] == [""]
+    with pytest.raises(SyntaxError, match="STRLANG"):
+        run_sparql(term_store, 'SELECT ?v WHERE { ?x <ex:name> ?n BIND(STRLANG(?n, ?n) AS ?v) }')
+
+
+def test_bnode_join_across_positions(spark):
+    """A shared var bound as OBJECT in one pattern and SUBJECT in another
+    must join even for bnode-valued terms under dt tracking (companion
+    tags normalize to the iri space)."""
+    from blazegraph_database_spark.model.store import TripleStore
+    from blazegraph_database_spark.plans.sparql_parser import run_sparql
+
+    rows = [
+        ("a", "ex:p", "_:c9", "iri"),      # reader convention: bnode tagged iri
+        ("_:c9", "ex:q", "end", "string"),
+        ("b", "ex:p", "_:d1", "bnode"),    # model convention: bnode tag
+        ("_:d1", "ex:q", "end2", "string"),
+    ]
+    st = TripleStore(
+        spark.createDataFrame(rows, "s string, p string, o_lex string, o_dt string")
+    ).with_dt_tracking()
+    got = {
+        (r["a"], r["b"])
+        for r in run_sparql(st, "SELECT ?a ?b WHERE { ?a <ex:p> ?x . ?x <ex:q> ?b }").collect()
+    }
+    assert got == {("a", "end"), ("b", "end2")}

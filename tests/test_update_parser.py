@@ -183,3 +183,10 @@ def test_graph_ops_upgrade_triples_store(spark):
     us3 = fresh()
     apply_update(us3, "INSERT { GRAPH <g2> { ?s <ex:copy> ?n } } WHERE { ?s <ex:name> ?n }")
     assert us3.current.df.filter(F.col("g") == "g2").count() == 1
+
+
+def test_delete_data_rejects_bnodes(spark):
+    from blazegraph_database_spark.plans.update_parser import parse_update
+
+    with pytest.raises(SyntaxError, match="DELETE DATA"):
+        parse_update('DELETE DATA { _:x <ex:p> <o> }')
