@@ -68,7 +68,9 @@ def _select_json(df: DataFrame) -> bytes:
             if d[v] is None:
                 continue
             dt = d.get(f"{v}__dt", "string")
-            if dt == "iri":
+            if dt in ("iri", "bnode") and str(d[v]).startswith("_:"):
+                b[v] = {"type": "bnode", "value": str(d[v])[2:]}
+            elif dt == "iri":
                 b[v] = {"type": "uri", "value": str(d[v])}
             elif isinstance(dt, str) and dt.startswith("lang:"):
                 b[v] = {"type": "literal", "value": str(d[v]), "xml:lang": dt[5:]}
@@ -109,7 +111,9 @@ def _select_tsv(df: DataFrame) -> bytes:
             return ""
         s = str(val)
         if dt == "iri":
-            return f"<{s}>"
+            # companions normalize bnodes into the iri tag (join-key
+            # consistency); the `_:` lexical keeps them renderable as bnodes
+            return s if s.startswith("_:") else f"<{s}>"
         if dt == "bnode":
             return s if s.startswith("_:") else f"_:{s}"
         if dt in ("long", "double", "boolean"):
@@ -150,7 +154,9 @@ def _select_xml(df: DataFrame) -> bytes:
                 continue
             dt = d.get(f"{v}__dt", "string")
             val = escape(str(d[v]))
-            if dt == "iri":
+            if dt in ("iri", "bnode") and str(d[v]).startswith("_:"):
+                cells.append(f'<binding name="{v}"><bnode>{val[2:]}</bnode></binding>')
+            elif dt == "iri":
                 cells.append(f'<binding name="{v}"><uri>{val}</uri></binding>')
             elif isinstance(dt, str) and dt.startswith("lang:"):
                 cells.append(

@@ -353,3 +353,19 @@ def test_remote_service_federation_over_http(spark, server):
         f"SELECT ?x ?n WHERE {{ SERVICE <{endpoint}> {{ ?x <rdf:type> <Person> }} . ?x <localName> ?n }}",
     ).collect()
     assert [(r["x"], r["n"]) for r in rows] == [("a", "Ann")]
+
+
+def test_bnode_bindings_serialize_as_bnodes(spark):
+    """Bnode-valued bindings (tagged iri by the companion normalization but
+    `_:`-prefixed) serialize as bnodes across JSON/TSV/XML writers."""
+    from blazegraph_database_spark.server import rest as R
+
+    df = spark.createDataFrame(
+        [("_:b1", "iri"), ("x", "iri")], "v string, v__dt string"
+    )
+    j = R._select_json(df).decode()
+    assert '"type": "bnode", "value": "b1"' in j and '"type": "uri", "value": "x"' in j
+    t = R._select_tsv(df).decode().splitlines()
+    assert "_:b1" in t and "<x>" in t
+    x = R._select_xml(df).decode()
+    assert "<bnode>b1</bnode>" in x and "<uri>x</uri>" in x
