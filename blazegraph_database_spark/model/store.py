@@ -71,6 +71,13 @@ class TripleStore:
         # lexical strings — set per-query by plans/compiler.evaluate (the
         # TERM2ID join discipline; ref: lexicon/LexiconRelation.java).
         self.id_join_vars: frozenset = frozenset()
+        # Vars the compiler binds with their NATIVE column type (long/double)
+        # instead of the lexical string — set per-query by
+        # plans/compiler.evaluate for vars consumed only through typed casts
+        # (the inline-IV analog: the reference stores numerics inline in the
+        # IV, never round-tripping through the lexicon; ref:
+        # internal/impl/literal/XSDNumericIV.java). Maps var -> dt tag.
+        self.native_typed_vars: dict = {}
         # FROM / FROM NAMED scoping (None = no dataset declared)
         self.dataset_default: tuple | None = None
         self.dataset_named: tuple | None = None
@@ -90,6 +97,14 @@ class TripleStore:
 
         out = copy.copy(self)
         out.id_join_vars = frozenset(id_vars)
+        return out
+
+    def with_native_typed_vars(self, native: dict) -> "TripleStore":
+        """Shallow view whose pattern compiler binds these vars natively."""
+        import copy
+
+        out = copy.copy(self)
+        out.native_typed_vars = dict(native)
         return out
 
     def with_dataset(self, default: tuple = (), named: tuple = ()) -> "TripleStore":
@@ -121,13 +136,23 @@ class TripleStore:
     def df(self, value: DataFrame) -> None:
         self._df = value
 
-    def pattern_source(self, pred: str) -> DataFrame | None:
-        """Virtual-index DataFrame for a constant predicate, if registered."""
+    def pattern_source(self, pred: str, typed: bool = False) -> DataFrame | None:
+        """Virtual-index DataFrame for a constant predicate, if registered.
+
+        ``typed=True`` asks for the object column in its NATIVE parquet type
+        (no lexical string cast) — factories that predate the typed path
+        ignore the flag and the compiler falls back to casting the lexical
+        column, which is semantically identical."""
         if not self.pred_sources or pred not in self.pred_sources:
             return None
-        if pred not in self._src_cache:
-            self._src_cache[pred] = self.pred_sources[pred]()
-        return self._src_cache[pred]
+        key = (pred, typed)
+        if key not in self._src_cache:
+            factory = self.pred_sources[pred]
+            try:
+                self._src_cache[key] = factory(typed=typed) if typed else factory()
+            except TypeError:  # factory without typed support
+                self._src_cache[key] = factory()
+        return self._src_cache[key]
 
     @property
     def spark(self) -> SparkSession:
@@ -181,4 +206,5 @@ class TripleStore:
         # id-join classification must survive graph scoping: a var bound as
         # an id inside GRAPH and as a string outside would never join
         out.id_join_vars = self.id_join_vars
+        out.native_typed_vars = self.native_typed_vars
         return out

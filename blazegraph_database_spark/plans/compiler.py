@@ -42,9 +42,12 @@ def evaluate(store: TripleStore, node) -> DataFrame:
     (ref: lexicon/LexiconRelation.java TERM2ID), with decode-at-projection
     implicit: output variables always keep their lexical column.
     """
-    id_vars = _id_join_vars(node)
+    native = _native_typed_vars(node, store)
+    id_vars = _id_join_vars(node) - set(native)
     if id_vars:
         store = store.with_id_join_vars(id_vars)
+    if native:
+        store = store.with_native_typed_vars(native)
     return _compile(node, store)
 
 
@@ -224,6 +227,174 @@ def _id_join_vars(root) -> frozenset[str]:
     return frozenset(out)
 
 
+# Allowed cast surfaces per native dt tag. For 'double' only AS DOUBLE is
+# value-identical in both binding modes (string "1.5"→BIGINT yields NULL while
+# double 1.5→BIGINT truncates to 1); from a long both casts agree. Timestamps
+# round-trip exactly through Spark's canonical 'yyyy-MM-dd HH:mm:ss[.SSSSSS]'
+# string form, so CAST AS TIMESTAMP is value-identical from either mode.
+_NATIVE_CASTS = {
+    "long": ("CAST({v} AS BIGINT)", "CAST({v} AS DOUBLE)"),
+    "double": ("CAST({v} AS DOUBLE)",),
+    "timestamp": ("CAST({v} AS TIMESTAMP)",),
+}
+_NATIVE_SPARK_TYPE = {"long": "long", "double": "double", "timestamp": "timestamp"}
+
+
+def _native_typed_vars(root, store) -> dict[str, str]:
+    """Vars bound with their NATIVE parquet type instead of the lexical string.
+
+    The inline-IV analog of :func:`_id_join_vars`: the reference never
+    round-trips a numeric through the lexicon — XSDNumericIV carries the
+    value inline in the statement indices and materializes a lexical form
+    only on demand (ref: bigdata-core/bigdata-rdf/src/java/com/bigdata/rdf/
+    internal/impl/literal/XSDNumericIV.java). Here, a var whose every
+    consumer is a typed cast (sparql_funcs.num/lng and the aggregates built
+    on them) binds the base table's native column directly: the string cast
+    disappears from the scan, the re-cast disappears from the consumer, and
+    numeric range filters reach the parquet reader as pushed filters
+    (plan-quality-tested).
+
+    A var qualifies iff:
+
+    * the output surface is known (Project/Group on the spine);
+    * every binding site is the OBJECT of a constant-predicate plain triple
+      pattern whose store dt tag is 'long' or 'double', the same tag at
+      every site (Union arms must union compatible column types);
+    * it never occurs in subject/predicate/graph position, paths, VALUES,
+      BIND targets, RDF-star embedded terms, SERVICE, or named includes;
+    * it is not projected, grouped, ordered, or distinct-surfaced by name;
+    * every expression reference is one of the tag's allowed casts
+      (``_NATIVE_CASTS``) — those casts produce bit-identical values from
+      either binding mode, so any surrounding expression is unaffected.
+
+    Joins on a qualifying var stay correct: all sites share one tag, the
+    lexical form per (tag, value) is unique (Spark's double→string is
+    shortest-round-trip), so native equality coincides with lexical
+    equality; Spark treats NaN as equal in join keys, matching the lexical
+    'NaN' self-join.
+    """
+    pred_dt = getattr(store, "pred_dt", None) or {}
+    if not pred_dt:
+        return {}
+    bind_tags: dict[str, set] = {}
+    disq: set[str] = set()
+    opaque: list[str] = []
+    state = {"bail": False}
+
+    def note_opaque(e) -> None:
+        try:
+            opaque.append(str(e))
+        except Exception:  # pragma: no cover - repr failure → give up safely
+            state["bail"] = True
+
+    def walk(n) -> None:
+        if state["bail"]:
+            return
+        if isinstance(n, A.SP):
+            if isinstance(n.s, A.Emb) or isinstance(n.o, A.Emb):
+                disq.update(_vars_of(n))  # sid joins are lexical
+                return
+            for pos in (n.s, n.p, n.g):
+                if isinstance(pos, Var):
+                    disq.add(pos.name)
+            if isinstance(n.o, Var):
+                v = n.o.name
+                tag = (
+                    pred_dt.get(const_lex(n.p))
+                    if (n.p is not None and is_const(n.p))
+                    else None
+                )
+                if tag in _NATIVE_CASTS:
+                    bind_tags.setdefault(v, set()).add(tag)
+                else:
+                    disq.add(v)
+            return
+        if isinstance(n, A.BGP):
+            for sp in n.patterns:
+                walk(sp)
+        elif isinstance(n, (A.Join, A.Union2, A.Minus)):
+            walk(n.left)
+            walk(n.right)
+        elif isinstance(n, A.LeftJoin):
+            walk(n.left)
+            walk(n.right)
+            if n.condition is not None:
+                note_opaque(n.condition)
+        elif isinstance(n, A.Filter):
+            note_opaque(n.condition)
+            walk(n.child)
+        elif isinstance(n, A.Extend):
+            disq.add(n.var)
+            note_opaque(n.expr)
+            walk(n.child)
+        elif isinstance(n, A.Values):
+            for row in n.rows:
+                disq.update(row.keys())
+            if n.child is not None:
+                walk(n.child)
+        elif isinstance(n, A.Exists):
+            walk(n.child)
+            walk(n.pattern)
+        elif isinstance(n, A.Project):
+            disq.update(n.vars)
+            walk(n.child)
+        elif isinstance(n, (A.Distinct, A.Slice, A.Dataset)):
+            walk(n.child)
+        elif isinstance(n, A.OrderBy):
+            for key, _asc in n.keys:
+                if isinstance(key, str):
+                    disq.add(key)
+                else:
+                    note_opaque(key)
+            walk(n.child)
+        elif isinstance(n, A.Group):
+            for k in n.keys:
+                if isinstance(k, str):
+                    disq.add(k)
+                else:
+                    note_opaque(k)
+            for _name, e in n.aggs:
+                note_opaque(e)
+            if n.having is not None:
+                note_opaque(n.having)
+            walk(n.child)
+        elif isinstance(n, A.GraphScope):
+            if isinstance(n.g, Var):
+                disq.add(n.g.name)
+            walk(n.child)
+        elif isinstance(n, (A.Service, A.PathPattern)):
+            disq.update(_all_sp_vars(n))  # these emit lexical bindings
+        else:
+            state["bail"] = True  # WithNamed / NamedInclude / unknown: bail
+
+    spine = root
+    while isinstance(spine, (A.Slice, A.OrderBy, A.Distinct, A.Dataset)):
+        spine = spine.child
+    if not isinstance(spine, (A.Project, A.Group)):
+        return {}
+    walk(root)
+    if state["bail"]:
+        return {}
+    out: dict[str, str] = {}
+    for v, tags in bind_tags.items():
+        if v in disq or len(tags) != 1:
+            continue
+        tag = next(iter(tags))
+        allowed = [c.format(v=v) for c in _NATIVE_CASTS[tag]]
+        rx = re.compile(r"\b" + re.escape(v) + r"(\b|_)")
+        ok = True
+        for s in opaque:
+            cleaned = s
+            for a in allowed:
+                cleaned = cleaned.replace(a, "")
+            if rx.search(cleaned):
+                ok = False
+                break
+        if ok:
+            out[v] = tag
+    return out
+
+
 # ---------------------------------------------------------------- patterns --
 DT_SID = "sid"  # datatype tag of an embedded-statement term in object position
 
@@ -286,8 +457,12 @@ def _pattern_df(sp: A.SP, store: TripleStore) -> DataFrame:
     if isinstance(sp.s, A.Emb) or isinstance(sp.o, A.Emb):
         return _emb_pattern_df(sp, store)
     df = None
+    native = getattr(store, "native_typed_vars", {})
     if sp.p is not None and is_const(sp.p) and sp.g is None:
-        df = store.pattern_source(const_lex(sp.p))  # virtual POS index
+        # typed=True serves the object column in its native parquet type for
+        # vars the classifier proved are consumed only through typed casts
+        typed = isinstance(sp.o, Var) and sp.o.name in native
+        df = store.pattern_source(const_lex(sp.p), typed=typed)  # virtual POS index
     if df is None:
         df = store.df
     conds = []
@@ -321,6 +496,21 @@ def _pattern_df(sp: A.SP, store: TripleStore) -> DataFrame:
                 # downstream joins shuffle longs (TERM2ID discipline)
                 seen[pos.name] = col
                 sel.append(term_id(F.col(col)).alias(f"{pos.name}__id"))
+            elif pos.name in native and col == "o_lex":
+                # native-typed binding (inline-IV analog): cast to the tag's
+                # type — a no-op Catalyst erases when the typed virtual
+                # source already served the native column, the one
+                # string→numeric conversion otherwise (melted fallback)
+                seen[pos.name] = col
+                sel.append(
+                    F.col(col).cast(_NATIVE_SPARK_TYPE[native[pos.name]]).alias(pos.name)
+                )
+                if store.track_dt:
+                    sel.append(
+                        F.when(F.col("o_dt") == "bnode", F.lit("iri"))
+                        .otherwise(F.col("o_dt"))
+                        .alias(f"{pos.name}__dt")
+                    )
             else:
                 seen[pos.name] = col
                 sel.append(F.col(col).alias(pos.name))
@@ -410,7 +600,14 @@ def _star_fuse(patterns: list, store: TripleStore):
         preds = [const_lex(patterns[i].p) for i in uniq]
         if store.track_dt and not (store.pred_dt and all(p in store.pred_dt for p in preds)):
             continue  # need per-pred dt tags to bind companions; join path handles it
-        df = store.star_factory(preds)
+        native = getattr(store, "native_typed_vars", {})
+        native_preds = frozenset(
+            const_lex(patterns[i].p) for i in uniq if patterns[i].o.name in native
+        )
+        try:
+            df = store.star_factory(preds, native_preds)
+        except TypeError:  # star factory without native support
+            df = store.star_factory(preds)
         if df is None:
             continue
         id_vars = getattr(store, "id_join_vars", frozenset())
@@ -418,6 +615,10 @@ def _star_fuse(patterns: list, store: TripleStore):
         def var_col(col: F.Column, vname: str) -> F.Column:
             if vname in id_vars:
                 return term_id(col).alias(f"{vname}__id")
+            if vname in native:
+                # cast is a Catalyst no-op when the factory served the
+                # native column, the single conversion otherwise
+                return col.cast(_NATIVE_SPARK_TYPE[native[vname]]).alias(vname)
             return col.alias(vname)
 
         sel = [var_col(F.col("s"), svar)] + [
@@ -482,6 +683,9 @@ def _compile_bgp(node: A.BGP, store: TripleStore) -> DataFrame:
                     for k, (_df, est, vs) in enumerate(ordered)
                 ],
                 "id_join_vars": sorted(getattr(store, "id_join_vars", ())),
+                "native_typed_vars": dict(
+                    sorted(getattr(store, "native_typed_vars", {}).items())
+                ),
             }
         )
     out = None
@@ -512,6 +716,84 @@ def _measured_estimate(sp: A.SP, store: TripleStore) -> float:
     return float(df.limit(RTO_SAMPLE_CAP + 1).count())
 
 
+# Join-path sampling bounds (ref JGraph: limited cutoff sampling per edge of
+# the join graph): each pairwise probe joins a bounded head-sample of each
+# side; path sampling only runs for graphs small enough that the probe cost
+# (≤ k·(k-1)/2 bounded join jobs) stays trivially driver-bounded.
+RTO_PAIR_SAMPLE = 2_000
+RTO_MAX_SAMPLED_PATTERNS = 8
+
+
+def _sampled_pair_rows(dfa: DataFrame, dfb: DataFrame) -> float | None:
+    """Cutoff-sampled output size of one join-graph edge (JGraph's edge
+    sample): join a bounded head-sample of each side on their shared
+    columns. None when the pair shares no variable (no edge)."""
+    shared = sorted(set(dfa.columns) & set(dfb.columns))
+    if not shared:
+        return None
+    sa, sb = dfa.limit(RTO_PAIR_SAMPLE), dfb.limit(RTO_PAIR_SAMPLE)
+    return float(sa.join(sb, on=shared).limit(RTO_SAMPLE_CAP + 1).count())
+
+
+def _rto_order(entries: list, trace: list | None) -> list:
+    """Selinger-lite greedy over SAMPLED join selectivities (the runtime
+    query optimizer's core; ref: bop/joinGraph/rto/JGraph.java — the
+    reference samples join paths with cutoffs and picks the cheapest
+    expansion; we sample each edge once and expand greedily by estimated
+    intermediate cardinality).
+
+    ``entries``: [(df, measured_card, vars)]. Returns the reordered list.
+    """
+    k = len(entries)
+    # edge selectivities from bounded pairwise probes
+    sel: dict[tuple[int, int], float] = {}
+    for i in range(k):
+        for j in range(i + 1, k):
+            out = _sampled_pair_rows(entries[i][0], entries[j][0])
+            if out is None:
+                continue
+            na = max(min(entries[i][1], RTO_PAIR_SAMPLE), 1.0)
+            nb = max(min(entries[j][1], RTO_PAIR_SAMPLE), 1.0)
+            # zero sampled matches still means "very selective", not
+            # impossible — clamp to one-match-in-the-sample
+            sel[(i, j)] = max(out, 1.0) / (na * nb)
+    start = min(range(k), key=lambda i: entries[i][1])
+    chosen, remaining = [start], [i for i in range(k) if i != start]
+    cur_est = entries[start][1]
+    est_path = [cur_est]
+    while remaining:
+        best, best_est = None, None
+        for idx in remaining:
+            edges = [
+                sel[tuple(sorted((idx, c)))]
+                for c in chosen
+                if tuple(sorted((idx, c))) in sel
+            ]
+            if edges:
+                # most selective sampled edge bounds the join output
+                est = cur_est * entries[idx][1] * min(edges)
+            else:
+                est = cur_est * entries[idx][1]  # cartesian: maximally costly
+            if best_est is None or est < best_est:
+                best, best_est = idx, est
+        chosen.append(best)
+        remaining.remove(best)
+        cur_est = best_est
+        est_path.append(cur_est)
+    if trace is not None:
+        trace.append(
+            {
+                "op": "RTO",
+                "sampled_edges": {
+                    f"{i}-{j}": round(s, 9) for (i, j), s in sorted(sel.items())
+                },
+                "order": chosen,
+                "est_path": [round(e, 1) for e in est_path],
+            }
+        )
+    return [entries[i] for i in chosen]
+
+
 def _compile_bgp_hinted(patterns: list, hints: dict, store: TripleStore) -> DataFrame:
     """Query-hint-directed BGP join (ref: ASTQueryHintOptimizer — hints
     override the static optimizer): runFirst patterns lead, runLast
@@ -520,24 +802,30 @@ def _compile_bgp_hinted(patterns: list, hints: dict, store: TripleStore) -> Data
     small inputs still applies — that is a physical choice, not a join
     order.
 
-    ``hint:optimizer "Runtime"`` instead re-orders greedily by MEASURED
-    (capped) pattern cardinalities — the lite analog of the reference's
-    runtime query optimizer, which samples join paths when static stats
-    mislead (ref: bop/joinGraph/rto/JGraph.java). Probes are one bounded
-    count per pattern over the column-pruned scan."""
+    ``hint:optimizer "Runtime"`` instead orders by RUNTIME measurement —
+    the analog of the reference's runtime query optimizer (ref:
+    bop/joinGraph/rto/JGraph.java): one bounded count per pattern over the
+    column-pruned scan, then (for join graphs of ≤ RTO_MAX_SAMPLED_PATTERNS
+    patterns) one bounded join probe per join-graph edge, feeding a
+    Selinger-lite greedy expansion over the sampled selectivities. Larger
+    graphs keep the measured-cardinality greedy (probe cost stays linear)."""
     if hints.get("optimizer") == "Runtime":
         entries = [
             (_pattern_df(sp, store), _measured_estimate(sp, store), _vars_of(sp))
             for sp in patterns
         ]
-        entries.sort(key=lambda e: e[1])
-        ordered = [entries.pop(0)]
-        bound = set(ordered[0][2])
-        while entries:
-            joinable = [i for i, e in enumerate(entries) if e[2] & bound]
-            idx = joinable[0] if joinable else 0
-            ordered.append(entries.pop(idx))
-            bound |= ordered[-1][2]
+        trace = getattr(store, "_trace", None)
+        if len(entries) <= RTO_MAX_SAMPLED_PATTERNS and len(entries) > 2:
+            ordered = _rto_order(entries, trace)
+        else:
+            entries.sort(key=lambda e: e[1])
+            ordered = [entries.pop(0)]
+            bound = set(ordered[0][2])
+            while entries:
+                joinable = [i for i, e in enumerate(entries) if e[2] & bound]
+                idx = joinable[0] if joinable else 0
+                ordered.append(entries.pop(idx))
+                bound |= ordered[-1][2]
         out = None
         for df, est, _ in ordered:
             # a probe that hit the cap means "at least cap+1 rows" — only

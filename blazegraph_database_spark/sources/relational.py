@@ -139,12 +139,16 @@ def _pred_source_factories(
     parquet footers (no Spark jobs, no JVM roundtrips)."""
 
     def factory(table: str, fname: str, dt: str, ref: str | None):
-        def build() -> DataFrame:
+        def build(typed: bool = False) -> DataFrame:
             df = read_parquet(spark, f"{sf_dir}/{table}.parquet")
             key, _ = TPCH_SCHEMA[table]
             s = subject_col(table, df, key)
             if ref is None:
-                o = F.col(fname).cast("string")
+                # typed: serve the object in its NATIVE parquet type (no
+                # lexical cast) — the compiler asks for this only when every
+                # consumer is a typed cast, so range filters and aggregates
+                # run (and push down) on the native column (inline-IV analog)
+                o = F.col(fname) if typed and dt in ("long", "double", "timestamp") else F.col(fname).cast("string")
                 pred = f"{table}#{fname}"
                 o_dt = dt
             else:
@@ -186,7 +190,7 @@ def _star_source_factory(spark: SparkSession, sf_dir: str, tables: list[str], fi
             if name in fks:
                 meta[f"{t}#{name}_ref"] = (t, name, fks[name])
 
-    def star(preds: list[str]) -> DataFrame | None:
+    def star(preds: list[str], native: frozenset = frozenset()) -> DataFrame | None:
         info = [meta.get(p) for p in preds]
         if any(i is None for i in info) or len({i[0] for i in info}) != 1:
             return None
@@ -197,11 +201,12 @@ def _star_source_factory(spark: SparkSession, sf_dir: str, tables: list[str], fi
             df = df.filter(F.col(col).isNotNull())
         sel = [subject_col(table, df, key).alias("s")]
         for p, (_, col, ref) in zip(preds, info):
-            o = (
-                F.concat(F.lit(ref + ":"), F.col(col).cast("string"))
-                if ref
-                else F.col(col).cast("string")
-            )
+            if ref:
+                o = F.concat(F.lit(ref + ":"), F.col(col).cast("string"))
+            elif p in native:
+                o = F.col(col)  # native type rides the fused scan untouched
+            else:
+                o = F.col(col).cast("string")
             sel.append(o.alias(p))
         return df.select(*sel)
 

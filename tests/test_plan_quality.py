@@ -214,3 +214,126 @@ def test_ngram_jaccard_caps_hot_shingles(spark):
     assert out.count() == 0  # without the cap every pair would share 2 shingles
     uncapped = dedup.ngram_jaccard_pairs(docs, threshold=0.01, max_df=None)
     assert uncapped.count() == 30 * 29 // 2
+
+
+def test_native_typed_filter_pushes_to_parquet(spark):
+    """A numeric range FILTER over a var consumed only through typed casts
+    must bind the NATIVE parquet column (inline-IV analog; ref:
+    internal/impl/literal/XSDNumericIV.java): the comparison reaches the
+    scan as a pushed parquet filter instead of evaluating post-scan over a
+    string round-trip."""
+    from blazegraph_database_spark.functions.sparql_funcs import num
+
+    st = cached_store(spark, SF_DIR)
+    plan = A.Project(
+        A.Extend(
+            A.Filter(
+                num("v") > 400000,
+                A.BGP(
+                    [
+                        A.SP(V("x"), "orders#o_totalprice", V("v")),
+                        A.SP(V("x"), "orders#o_orderkey", V("k")),
+                    ]
+                ),
+            ),
+            "val",
+            F.round(num("v"), 2),
+        ),
+        ["val"],
+    )
+    df = evaluate(st, plan)
+    p = plan_of(df)
+    assert "GreaterThan(o_totalprice,400000.0)" in p, p
+    # the value column never round-trips through a string
+    assert "cast(o_totalprice" not in p, p
+
+
+def test_native_typed_classification_is_conservative(spark):
+    """Vars whose value surface isn't provably cast-only must stay lexical:
+    projected vars, string-function references, IRI-ref objects, raw
+    (uncast) aggregate args, and double-tagged vars cast AS BIGINT
+    (string→BIGINT of '1.5' is NULL; double→BIGINT truncates)."""
+    from blazegraph_database_spark.functions import sparql_funcs as fn
+    from blazegraph_database_spark.plans.compiler import _native_typed_vars
+
+    st = cached_store(spark, SF_DIR)
+    tp = A.SP(V("x"), "orders#o_totalprice", V("v"))  # double tag
+    ok = A.SP(V("x"), "orders#o_orderkey", V("k"))  # long tag
+
+    # projected by name → lexical
+    assert "v" not in _native_typed_vars(A.Project(A.BGP([tp]), ["v"]), st)
+    # referenced through a non-cast expression → lexical
+    p2 = A.Project(A.Extend(A.BGP([tp]), "u", F.upper(F.col("v"))), ["u"])
+    assert "v" not in _native_typed_vars(p2, st)
+    # double-tagged var cast AS BIGINT → lexical (value-divergent cast)
+    p3 = A.Project(A.Extend(A.BGP([tp]), "b", F.col("v").cast("long")), ["b"])
+    assert "v" not in _native_typed_vars(p3, st)
+    # IRI-ref object never qualifies; long key under pure casts does
+    p4 = A.Project(
+        A.Extend(
+            A.BGP([A.SP(V("o"), "orders#o_custkey_ref", V("c")), ok]),
+            "kk",
+            F.col("k").cast("long"),
+        ),
+        ["kk"],
+    )
+    nat = _native_typed_vars(p4, st)
+    assert "c" not in nat and nat.get("k") == "long"
+    # raw MIN(v) (no cast: lexical ordering semantics) → lexical
+    p5 = A.Group(A.BGP([tp]), keys=(), aggs=[("m", fn.MIN("v"))])
+    assert "v" not in _native_typed_vars(p5, st)
+    # cast-only aggregate → native
+    p6 = A.Group(A.BGP([tp]), keys=(), aggs=[("s", fn.SUM("v"))])
+    assert _native_typed_vars(p6, st).get("v") == "double"
+
+
+def test_native_typed_path_equals_lexical_path(spark, monkeypatch):
+    """Forcing the classifier off must not change any result of the flagship
+    agg query or a typed-filter query — the native binding is a pure
+    physical optimization."""
+    from blazegraph_database_spark import queries_core
+    from blazegraph_database_spark.plans import compiler
+
+    def run_both(q):
+        native = q(spark, SF_DIR).collect()
+        monkeypatch.setattr(compiler, "_native_typed_vars", lambda n, s: {})
+        lexical = q(spark, SF_DIR).collect()
+        monkeypatch.undo()
+        key = lambda rows: sorted(tuple(r) for r in rows)
+        assert key(native) == key(lexical)
+
+    run_both(queries_core.bgp_join_agg)
+    run_both(queries_core.union_filter)
+
+
+def test_rto_samples_join_paths(spark):
+    """With ≥3 patterns, hint:optimizer "Runtime" must sample join-graph
+    edges (bounded pairwise join probes — the JGraph cutoff-sampling
+    analog), record them in the optimizer trace, and still produce the
+    static plan's bindings."""
+    from blazegraph_database_spark.model.store import TripleStore
+    from blazegraph_database_spark.plans import compiler
+    from blazegraph_database_spark.plans.sparql_parser import run_sparql
+
+    rows = [("a", "knows", "b", "iri"), ("b", "knows", "c", "iri"),
+            ("a", "name", "Ann", "string"), ("b", "name", "Bob", "string"),
+            ("a", "age", "7", "long"), ("b", "age", "9", "long")]
+    st = TripleStore(
+        spark.createDataFrame(rows, "s string, p string, o_lex string, o_dt string")
+    )
+    st._trace = []
+    q = """
+    PREFIX hint: <http://www.bigdata.com/queryHints#>
+    SELECT ?x ?n ?a WHERE {
+      hint:Query hint:optimizer "Runtime" .
+      ?x <knows> ?y .
+      ?x <name> ?n .
+      ?x <age> ?a .
+    }
+    """
+    got = {(r["x"], r["n"], r["a"]) for r in run_sparql(st, q).collect()}
+    assert got == {("a", "Ann", "7"), ("b", "Bob", "9")}
+    rto = [t for t in st._trace if t.get("op") == "RTO"]
+    assert rto, st._trace
+    assert rto[0]["sampled_edges"]  # every shared-var pair probed
+    assert len(rto[0]["order"]) == 3
