@@ -80,6 +80,227 @@ def _geo_search(spark: SparkSession, params: dict) -> DataFrame:
     return geospatial.in_circle(df, params["lat"], params["lon"], params["radius_km"])
 
 
+# ------------------------------------------------------------ GAS service --
+GAS_NS = "http://www.bigdata.com/rdf/gas#"
+
+
+def _gas_local(iri: str | None) -> str | None:
+    """Local name of a gas-vocabulary IRI in either its full-namespace or
+    compact 'gas:' form (queries may or may not declare the prefix)."""
+    if iri is None:
+        return None
+    if iri.startswith(GAS_NS):
+        return iri[len(GAS_NS):]
+    if iri.startswith("gas:"):
+        return iri[4:]
+    return None
+
+
+def gas_service(store, patterns) -> DataFrame:
+    """SERVICE <gas:service> — the GAS-program SERVICE (ref:
+    bigdata-core/.../graph/impl/bd/GASService.java Options vocabulary plus
+    the analytics' Bindings interfaces). Magic triples
+    ``gas:program gas:<option> <value>`` select and parameterize one of the
+    graph analytics over the store's statements:
+
+      gas:gasClass  "com.bigdata.rdf.graph.analytics.BFS"  (BFS / SSSP /
+                    CC / PR / FuzzySSSP — matched on the trailing name)
+      gas:in        <v>    repeatable: the initial frontier
+      gas:target    <v>    repeatable: FuzzySSSP target vertices
+      gas:linkType  <p>    edge predicate (default: every IRI-object stmt)
+      gas:traversalDirection "Forward" | "Reverse" | "Undirected"
+      gas:maxIterations N  /  gas:maxVisited N
+      gas:out ?v           the visited vertex
+      gas:out1 / gas:out2  per-program attributes (BFS: depth /
+                           predecessor; SSSP: dist; CC: component; PR: rank)
+
+    Attribute columns come back typed (depth int, dist/rank double) — the
+    analog of the reference binding numeric IVs. ``gas:maxVisited``
+    truncates by (attribute, vertex) order after convergence, which equals
+    the reference's traversal cutoff whenever the cap lands on a depth
+    boundary."""
+    from pyspark.sql import functions as F
+
+    from blazegraph_database_spark.model.terms import Var, const_lex, is_const
+    from blazegraph_database_spark.operators import gas
+
+    sources: list[str] = []
+    targets: list[str] = []
+    outs: dict[str, str] = {}
+    opts: dict = {"direction": "Forward"}
+    for sp in patterns:
+        pred = const_lex(sp.p) if (sp.p is not None and is_const(sp.p)) else None
+        local = _gas_local(pred)
+        if local is None:
+            continue
+        if local in ("out", "out1", "out2") and isinstance(sp.o, Var):
+            outs[local] = sp.o.name
+        elif local == "gasClass":
+            opts["cls"] = const_lex(sp.o).rsplit(".", 1)[-1]
+        elif local == "in":
+            sources.append(const_lex(sp.o))
+        elif local == "target":
+            targets.append(const_lex(sp.o))
+        elif local in ("linkType", "direction", "traversalDirection"):
+            opts["linkType" if local == "linkType" else "direction"] = const_lex(sp.o)
+        elif local in ("maxIterations", "maxVisited"):
+            opts[local] = int(const_lex(sp.o))
+    cls = opts.get("cls")
+    if cls is None or "out" not in outs:
+        raise ValueError('SERVICE <gas:service> needs gas:gasClass and gas:out ?var')
+
+    lt = opts.get("linkType")
+    if lt is not None:
+        src_df = store.pattern_source(lt)
+        if src_df is None:
+            src_df = store.df.filter(F.col("p") == lt)
+    else:  # default graph: every statement whose object is a vertex (IRI)
+        src_df = store.df.filter(F.col("o_dt") == "iri")
+    edges = src_df.select(F.col("s").alias("src"), F.col("o_lex").alias("dst"))
+    if opts["direction"] == "Reverse":
+        edges = edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    elif opts["direction"] == "Undirected":
+        edges = gas.undirect(edges)
+
+    mi = opts.get("maxIterations")
+    if cls == "BFS":
+        out = gas.bfs(edges, sources, max_depth=mi if mi else gas.MAX_ITERS)
+        attr = {"out1": ("depth", "int"), "out2": ("pred", None)}
+        order = ["depth", "node"]
+    elif cls == "SSSP":
+        out = gas.sssp(
+            edges.withColumn("weight", F.lit(1.0)),
+            sources,
+            max_iters=mi if mi else gas.MAX_ITERS,
+        )
+        attr = {"out1": ("dist", "double")}
+        order = ["dist", "node"]
+    elif cls == "CC":
+        out = gas.connected_components(edges, max_iters=mi if mi else gas.MAX_ITERS)
+        attr = {"out1": ("comp", None)}
+        order = ["node"]
+    elif cls == "PR":
+        out = gas.pagerank(edges, iters=mi if mi else 20)
+        attr = {"out1": ("rank", "double")}
+        order = ["node"]
+    elif cls == "FuzzySSSP":
+        verts, _st = gas.fuzzy_sssp(
+            edges,
+            sources,
+            targets,
+            n_max=opts.get("maxVisited", 100),
+            max_depth=mi if mi else gas.MAX_ITERS,
+        )
+        out, attr, order = verts, {}, ["node"]
+    else:
+        raise ValueError(f"unknown gas:gasClass {cls!r}")
+    if "maxVisited" in opts and cls != "FuzzySSSP":
+        out = out.orderBy(*order).limit(opts["maxVisited"])
+    sel = [F.col("node").alias(outs["out"])]
+    for slot, (col, cast_to) in attr.items():
+        if slot in outs:
+            c = F.col(col).cast(cast_to) if cast_to else F.col(col)
+            sel.append(c.alias(outs[slot]))
+    return out.select(*sel)
+
+
+# ------------------------------------------------------------ geo service --
+GEO_NS = "http://www.bigdata.com/rdf/geospatial#"
+
+
+def _geo_local(iri: str | None) -> str | None:
+    if iri is None:
+        return None
+    if iri.startswith(GEO_NS):
+        return iri[len(GEO_NS):]
+    if iri.startswith("geo:"):
+        return iri[4:]
+    return None
+
+
+def geo_search_service(store, patterns) -> DataFrame:
+    """SERVICE <geo:search> — the geospatial SERVICE (ref:
+    service/geospatial/GeoSpatial.java magic-predicate vocabulary,
+    evaluated by GeoSpatialServiceFactory). The search subject binds
+    subjects whose ``geo:predicate`` object is a ``#``-separated
+    geospatial literal (``lat#lon[#time]`` — the
+    GeoSpatialDefaultLiteralSerializer layout, identical to this repo's
+    custom-datatype serializer):
+
+      ?res geo:search "inRectangle" | "inCircle" .
+      ?res geo:predicate <p> .
+      ?res geo:spatialRectangleSouthWest "lat#lon" .   # inRectangle
+      ?res geo:spatialRectangleNorthEast "lat#lon" .
+      ?res geo:spatialCircleCenter "lat#lon" .         # inCircle
+      ?res geo:spatialCircleRadius "km" .
+      ?res geo:timeStart N . / ?res geo:timeEnd N .    # optional 3rd dim
+      ?res geo:latValue ?lat . / geo:lonValue ?lon . / geo:timeValue ?t .
+      ?res geo:locationValue ?loc . / geo:literalValue ?lit .
+      ?res geo:distanceValue ?d .                      # inCircle only
+    """
+    from pyspark.sql import functions as F
+
+    from blazegraph_database_spark.model.terms import Var, const_lex, is_const
+    from blazegraph_database_spark.operators import geospatial
+
+    subj = None
+    mode = "inRectangle"
+    args: dict = {}
+    outs: dict[str, str] = {}
+    out_locals = (
+        "latValue", "lonValue", "timeValue", "locationValue",
+        "literalValue", "distanceValue",
+    )
+    for sp in patterns:
+        pred = const_lex(sp.p) if (sp.p is not None and is_const(sp.p)) else None
+        local = _geo_local(pred)
+        if local is None:
+            continue
+        if local == "search":
+            subj, mode = sp.s, const_lex(sp.o)
+        elif local in out_locals and isinstance(sp.o, Var):
+            outs[local] = sp.o.name
+        else:
+            args[local] = const_lex(sp.o)
+    if subj is None or not isinstance(subj, Var) or "predicate" not in args:
+        raise ValueError(
+            'SERVICE <geo:search> needs `?var geo:search "..."` and geo:predicate'
+        )
+    src = store.pattern_source(args["predicate"])
+    if src is None:
+        src = store.df.filter(F.col("p") == args["predicate"])
+    parts = F.split(F.col("o_lex"), "#")
+    df = src.select(
+        F.col("s"),
+        F.col("o_lex"),
+        parts.getItem(0).cast("double").alias("lat"),
+        parts.getItem(1).cast("double").alias("lon"),
+        parts.getItem(2).cast("long").alias("t"),
+    )
+    if mode == "inRectangle":
+        lat0, lon0 = (float(x) for x in args["spatialRectangleSouthWest"].split("#"))
+        lat1, lon1 = (float(x) for x in args["spatialRectangleNorthEast"].split("#"))
+        df = geospatial.in_rectangle(df, lat0, lat1, lon0, lon1)
+    elif mode == "inCircle":
+        clat, clon = (float(x) for x in args["spatialCircleCenter"].split("#"))
+        df = geospatial.in_circle(df, clat, clon, float(args["spatialCircleRadius"]))
+    else:
+        raise ValueError(f"unknown geo:search mode {mode!r}")
+    if "timeStart" in args:
+        df = df.filter(F.col("t") >= int(args["timeStart"]))
+    if "timeEnd" in args:
+        df = df.filter(F.col("t") <= int(args["timeEnd"]))
+    sel = [F.col("s").alias(subj.name)]
+    for local, col in (
+        ("latValue", "lat"), ("lonValue", "lon"), ("timeValue", "t"),
+        ("locationValue", "o_lex"), ("literalValue", "o_lex"),
+        ("distanceValue", "distance_km"),
+    ):
+        if local in outs:
+            sel.append(F.col(col).alias(outs[local]))
+    return df.select(*sel)
+
+
 Transport = Callable[[str, str], list]  # (endpoint, sparql_text) -> rows as dicts
 
 

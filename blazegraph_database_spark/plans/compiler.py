@@ -1109,6 +1109,26 @@ def _store_literal_index(store: TripleStore) -> DataFrame:
     return cached
 
 
+# Built-in service namespaces: queries may use the declared full-IRI form or
+# the compact prefix form; both resolve to the same internal service (the
+# reference registers these factories under the full URIs; ref:
+# ServiceRegistry.java defaults + BDS.java / GASService.java namespaces).
+_BUILTIN_SERVICE_NS = {
+    "http://www.bigdata.com/rdf/search#": "bds:",
+    "http://www.bigdata.com/rdf/gas#": "gas:",
+    "http://www.bigdata.com/rdf/geospatial#": "geo:",
+}
+
+
+def _compact_builtin_iri(iri: str | None) -> str | None:
+    if iri is None:
+        return None
+    for ns, pfx in _BUILTIN_SERVICE_NS.items():
+        if iri.startswith(ns):
+            return pfx + iri[len(ns):]
+    return iri
+
+
 @_compile.register
 def _(node: A.Service, store: TripleStore) -> DataFrame:
     """SERVICE <iri> { ... }: built-in magic-predicate services evaluate
@@ -1124,13 +1144,18 @@ def _(node: A.Service, store: TripleStore) -> DataFrame:
             return collect_sps(n.left) + collect_sps(n.right)
         return [n] if isinstance(n, A.SP) else []
 
-    if node.iri == "bds:search":
+    svc_iri = _compact_builtin_iri(node.iri)
+    if svc_iri == "gas:service":
+        return service.gas_service(store, collect_sps(node.pattern))
+    if svc_iri == "geo:search":
+        return service.geo_search_service(store, collect_sps(node.pattern))
+    if svc_iri == "bds:search":
         # magic predicates inside the block (ref: BDS.java search vocabulary)
         pats = collect_sps(node.pattern)
         subj, query, opts = None, None, {}
         rel_var = rank_var = None
         for sp in pats:
-            pred = const_lex(sp.p) if is_const(sp.p) else None
+            pred = _compact_builtin_iri(const_lex(sp.p)) if is_const(sp.p) else None
             if pred == "bds:search":
                 subj, query = sp.s, const_lex(sp.o)
             elif pred == "bds:matchAllTerms":

@@ -233,3 +233,51 @@ def gas_fuzzy_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
     return verts.select(
         F.col("node").cast("long").alias("node_id"), F.col("dist").cast("int").alias("dist")
     )
+
+
+@register(
+    "gas_service_bfs",
+    """
+    WITH RECURSIVE b AS (
+        SELECT CAST(1 AS BIGINT) AS node_id, 0 AS depth, CAST(NULL AS BIGINT) AS pred
+        UNION ALL
+        SELECT c_custkey, b.depth + 1, b.node_id
+        FROM customer JOIN b ON c_custkey // 2 = b.node_id WHERE c_custkey >= 2
+    )
+    SELECT node_id, depth, pred FROM b
+    """,
+)
+def gas_service_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BFS invoked through the SERVICE <gas:service> text syntax (ref:
+    GASService.java usage doc — gas:program gas:gasClass/in/linkType/out
+    magic triples), over the custkey tree loaded as childOf_inv triples.
+    Result surface identical to gas_bfs_tree's direct-API call."""
+    from blazegraph_database_spark.plans.sparql_parser import run_sparql
+
+    edges = _tree_edges(spark, sf_dir)
+    triples = edges.select(
+        F.col("src").alias("s"),
+        F.lit("childOf_inv").alias("p"),
+        F.col("dst").alias("o_lex"),
+        F.lit("iri").alias("o_dt"),
+    )
+    st = TripleStore(triples)
+    q = """
+    PREFIX gas: <http://www.bigdata.com/rdf/gas#>
+    SELECT ?node ?depth ?pred WHERE {
+      SERVICE gas:service {
+        gas:program gas:gasClass "com.bigdata.rdf.graph.analytics.BFS" .
+        gas:program gas:in <1> .
+        gas:program gas:linkType <childOf_inv> .
+        gas:program gas:out ?node .
+        gas:program gas:out1 ?depth .
+        gas:program gas:out2 ?pred .
+      }
+    }
+    """
+    out = run_sparql(st, q)
+    return out.select(
+        F.col("node").cast("long").alias("node_id"),
+        F.col("depth").cast("int").alias("depth"),
+        F.col("pred").cast("long").alias("pred"),
+    )

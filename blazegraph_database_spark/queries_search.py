@@ -332,3 +332,49 @@ def service_clause_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hits.join(ranked.withColumnRenamed("id", "s"), on="s").select(
         "s", "score_ppm", F.col("rank").cast("int").alias("rank")
     )
+
+
+@register(
+    "geo_service_rect",
+    _GEO_CTE
+    + """
+    SELECT 'event:' || event_id AS res,
+           ROUND(lat, 2) AS rlat, ROUND(lon, 2) AS rlon
+    FROM pts WHERE lat >= 0 AND lat <= 30 AND lon >= 0 AND lon <= 40
+    """,
+)
+def geo_service_rect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-rectangle search through the SERVICE <geo:search> text syntax
+    (ref: GeoSpatial.java magic predicates / GeoSpatialServiceFactory):
+    events carry `hasLocation "lat#lon"` literals in the default
+    `#`-serializer layout; the service binds the subject plus
+    geo:latValue/geo:lonValue."""
+    from blazegraph_database_spark.model.store import TripleStore
+    from blazegraph_database_spark.plans.sparql_parser import run_sparql
+
+    pts = _events_geo(spark, sf_dir)
+    triples = pts.select(
+        F.concat(F.lit("event:"), F.col("event_id")).alias("s"),
+        F.lit("hasLocation").alias("p"),
+        F.concat(
+            F.round(F.col("lat"), 2).cast("string"),
+            F.lit("#"),
+            F.round(F.col("lon"), 2).cast("string"),
+        ).alias("o_lex"),
+        F.lit("http://www.bigdata.com/rdf/geospatial#geoSpatialLiteral").alias("o_dt"),
+    )
+    st = TripleStore(triples)
+    q = """
+    PREFIX geo: <http://www.bigdata.com/rdf/geospatial#>
+    SELECT ?res ?rlat ?rlon WHERE {
+      SERVICE geo:search {
+        ?res geo:search "inRectangle" .
+        ?res geo:predicate <hasLocation> .
+        ?res geo:spatialRectangleSouthWest "0#0" .
+        ?res geo:spatialRectangleNorthEast "30#40" .
+        ?res geo:latValue ?rlat .
+        ?res geo:lonValue ?rlon .
+      }
+    }
+    """
+    return run_sparql(st, q).select("res", "rlat", "rlon")

@@ -19,6 +19,9 @@ _CATALOG_MODULES = [
 # at 50/54). Entries with no CORRECTNESS row yet run first, cheapest first;
 # everything else keeps catalog-module order.
 _SCORE_FIRST = [
+    # Round-4c additions, never driver-scored: need rows first.
+    "gas_service_bfs",
+    "geo_service_rect",
     # Never driver-green (erred or hash-mismatched in r1, fixed since, green
     # under scripts/check_correctness.py): need driver rows most urgently.
     "fulltext_search",

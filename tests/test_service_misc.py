@@ -314,3 +314,113 @@ def test_describe_var_where(spark):
     out = run_sparql(st, 'DESCRIBE ?x WHERE { ?x <age> "30"^^<http://www.w3.org/2001/XMLSchema#integer> }')
     rows = {tuple(r) for r in out.select("s", "p", "o_lex", "o_dt").collect()}
     assert rows == {("a", "age", "30", "long"), ("a", "name", "Alice", "string")}
+
+
+def _edge_store(spark, pairs, pred="link"):
+    rows = [(a, pred, b, "iri") for a, b in pairs]
+    return TripleStore(
+        spark.createDataFrame(rows, "s string, p string, o_lex string, o_dt string")
+    )
+
+
+def test_gas_service_bfs_and_directions(spark):
+    """SERVICE <gas:service> BFS: out/out1/out2 bind vertex/depth/pred
+    (ref GASService.java + BFS.java Bindings); traversalDirection Reverse
+    flips edges; the full-namespace IRI form resolves like gas:."""
+    from blazegraph_database_spark.plans.sparql_parser import run_sparql
+
+    st = _edge_store(spark, [("a", "b"), ("b", "c")])
+    q = """
+    PREFIX gas: <http://www.bigdata.com/rdf/gas#>
+    SELECT ?v ?d ?p WHERE {
+      SERVICE <http://www.bigdata.com/rdf/gas#service> {
+        gas:program gas:gasClass "com.bigdata.rdf.graph.analytics.BFS" .
+        gas:program gas:in <a> .
+        gas:program gas:linkType <link> .
+        gas:program gas:out ?v .
+        gas:program gas:out1 ?d .
+        gas:program gas:out2 ?p .
+      }
+    }
+    """
+    got = {(r["v"], r["d"], r["p"]) for r in run_sparql(st, q).collect()}
+    assert got == {("a", 0, None), ("b", 1, "a"), ("c", 2, "b")}
+    qrev = q.replace("gas:in <a>", 'gas:in <c> . gas:program gas:traversalDirection "Reverse"')
+    got = {(r["v"], r["d"]) for r in run_sparql(st, qrev).select("v", "d").collect()}
+    assert got == {("c", 0), ("b", 1), ("a", 2)}
+
+
+def test_gas_service_cc_pr_sssp(spark):
+    """CC binds component labels, PR ranks sum to ~1, SSSP binds unit-hop
+    distances; maxIterations caps BFS expansion; maxVisited truncates."""
+    from blazegraph_database_spark.plans.sparql_parser import run_sparql
+
+    st = _edge_store(spark, [("a", "b"), ("c", "d")])
+    tmpl = """
+    PREFIX gas: <http://www.bigdata.com/rdf/gas#>
+    SELECT %s WHERE {
+      SERVICE gas:service {
+        gas:program gas:gasClass "com.bigdata.rdf.graph.analytics.%s" .
+        %s
+        gas:program gas:out ?v .
+        %s
+      }
+    }
+    """
+    cc = run_sparql(st, tmpl % ("?v ?c", "CC", "", "gas:program gas:out1 ?c .")).collect()
+    comp = {r["v"]: r["c"] for r in cc}
+    assert comp["a"] == comp["b"] and comp["c"] == comp["d"] and comp["a"] != comp["c"]
+
+    pr = run_sparql(st, tmpl % ("?v ?r", "PR", "", "gas:program gas:out1 ?r .")).collect()
+    assert abs(sum(r["r"] for r in pr) - 1.0) < 1e-6
+
+    sssp = run_sparql(
+        st,
+        tmpl % ("?v ?dist", "SSSP", "gas:program gas:in <a> .", "gas:program gas:out1 ?dist ."),
+    ).collect()
+    assert {(r["v"], r["dist"]) for r in sssp} == {("a", 0.0), ("b", 1.0)}
+
+    capped = run_sparql(
+        st,
+        tmpl
+        % (
+            "?v",
+            "BFS",
+            "gas:program gas:in <a> . gas:program gas:maxVisited 1 .",
+            "",
+        ),
+    ).collect()
+    assert [r["v"] for r in capped] == ["a"]
+
+
+def test_geo_service_circle_and_time(spark):
+    """SERVICE <geo:search> inCircle binds distanceValue; timeStart/timeEnd
+    filter the literal's third dimension (lat#lon#time layout)."""
+    from blazegraph_database_spark.plans.sparql_parser import run_sparql
+
+    rows = [
+        ("e1", "loc", "10.0#20.0#100", "geo"),
+        ("e2", "loc", "10.5#20.5#200", "geo"),
+        ("e3", "loc", "80.0#170.0#150", "geo"),
+    ]
+    st = TripleStore(
+        spark.createDataFrame(rows, "s string, p string, o_lex string, o_dt string")
+    )
+    q = """
+    PREFIX geo: <http://www.bigdata.com/rdf/geospatial#>
+    SELECT ?res ?d ?t WHERE {
+      SERVICE geo:search {
+        ?res geo:search "inCircle" .
+        ?res geo:predicate <loc> .
+        ?res geo:spatialCircleCenter "10#20" .
+        ?res geo:spatialCircleRadius "200" .
+        ?res geo:distanceValue ?d .
+        ?res geo:timeValue ?t .
+      }
+    }
+    """
+    got = {(r["res"], r["t"]) for r in run_sparql(st, q).collect()}
+    assert got == {("e1", 100), ("e2", 200)}
+    q2 = q.replace('?res geo:distanceValue ?d .', '?res geo:distanceValue ?d . ?res geo:timeEnd 150 .')
+    got = {r["res"] for r in run_sparql(st, q2).collect()}
+    assert got == {"e1"}
