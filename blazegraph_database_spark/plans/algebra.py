@@ -199,6 +199,30 @@ class Exists:
 
 
 @dataclass(frozen=True)
+class ExistsFlag:
+    """EXISTS used INSIDE a value expression: binds ``var`` as a boolean
+    column (true iff the pattern has a compatible solution), so arbitrary
+    filter expressions can reference it — SPARQL 1.1 treats EXISTS as an
+    expression operator, and the reference evaluates ExistsNode /
+    NotExistsNode as value expressions via an "ask subquery" that writes a
+    solution flag (ref: sparql/ast/ExistsNode.java anonymous variable).
+    ``negate`` folds NOT EXISTS into the bound value."""
+
+    child: Any
+    pattern: Any
+    var: str
+    negate: bool = False
+
+
+@dataclass(frozen=True)
+class DropCols:
+    """Drop helper columns (e.g. spent EXISTS flags) after their filters."""
+
+    child: Any
+    cols: tuple
+
+
+@dataclass(frozen=True)
 class Project:
     child: Any
     vars: tuple

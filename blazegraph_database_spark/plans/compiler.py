@@ -978,6 +978,34 @@ def _(node: A.Exists, store: TripleStore) -> DataFrame:
 
 
 @_compile.register
+def _(node: A.ExistsFlag, store: TripleStore) -> DataFrame:
+    """EXISTS as a value expression: bind node.var as a boolean column via a
+    left join against the distinct shared-var solutions (the reference's
+    ask-subquery solution flag; ref: ExistsNode.java). Uncorrelated blocks
+    reduce to one broadcast scalar."""
+    child = _compile(node.child, store)
+    sub = _compile(node.pattern, store)
+    shared = sorted(set(child.columns) & set(sub.columns))
+    if shared:
+        # no forced broadcast: the distinct solution set can be corpus-sized;
+        # AQE picks broadcast when it measures small
+        marked = sub.select(*shared).distinct().withColumn("__ex_hit", F.lit(True))
+        out = child.join(marked, on=shared, how="left")
+        flag = F.coalesce(F.col("__ex_hit"), F.lit(False))
+    else:  # uncorrelated: one scalar riding a broadcast one-row crossJoin
+        scalar = sub.limit(1).agg(F.count(F.lit(1)).alias("__ex_n"))
+        out = child.crossJoin(F.broadcast(scalar))
+        flag = F.col("__ex_n") > 0
+    flag = ~flag if node.negate else flag
+    return out.withColumn(node.var, flag).drop("__ex_hit", "__ex_n")
+
+
+@_compile.register
+def _(node: A.DropCols, store: TripleStore) -> DataFrame:
+    return _compile(node.child, store).drop(*node.cols)
+
+
+@_compile.register
 def _(node: A.Project, store: TripleStore) -> DataFrame:
     child = _compile(node.child, store)
     cols = list(node.vars)

@@ -127,6 +127,8 @@ class Parser:
         self.prefixes: dict[str, str] = {}
         self._agg_counter = 0
         self._anon_counter = 0  # fresh vars for `[ ... ]` bnode prop lists
+        self._exists_ctr = 0  # fresh flag vars for expression-level EXISTS
+        self._exists_flags: list[tuple] = []  # (var, negate, pattern) pending
         # Aggregate calls inside SELECT expressions / HAVING are hoisted here
         # as (generated alias, agg Column); the expression keeps a column ref
         # to the alias (ref: the AST's GroupByRewriter does the same hoist).
@@ -388,6 +390,26 @@ class Parser:
             e = self.expr()
             self.eat_op(")")
             return e
+        # [NOT] EXISTS { ... } as a VALUE EXPRESSION (usable anywhere in a
+        # filter expression, not just as a bare FILTER — SPARQL 1.1 treats
+        # EXISTS as an expression operator; the reference evaluates
+        # ExistsNode/NotExistsNode through an ask-subquery solution flag).
+        # Parses the group now, defers the flag join to the enclosing group
+        # (see group_graph_pattern), and yields the flag column here.
+        if (t.kind == "KW" and t.text.lower() == "exists") or (
+            t.kind == "KW"
+            and t.text.lower() == "not"
+            and self.peek(1).text.lower() == "exists"
+        ):
+            negate = t.text.lower() == "not"
+            self.next()
+            if negate:
+                self.next()
+            pattern = self.group_graph_pattern()
+            var = f"__ex{self._exists_ctr}"
+            self._exists_ctr += 1
+            self._exists_flags.append((var, negate, pattern))
+            return F.col(var)
         if t.kind == "VAR":
             self.next()
             return F.col(t.text[1:])
@@ -603,6 +625,10 @@ class Parser:
         pend_sps: list = []
         pend_paths: list = []
         hints = {"run_first": set(), "run_last": set(), "optimizer": None}
+        # expression-level EXISTS flags belong to the innermost group whose
+        # filter references them: shelve any outer group's pending flags
+        outer_exists_flags = self._exists_flags
+        self._exists_flags = []
 
         def add(n):
             nonlocal node
@@ -761,8 +787,14 @@ class Parser:
         out = node if node is not None else A.BGP([])
         for neg, pat in exists:
             out = A.Exists(out, pat, negate=neg)
+        flag_vars = [v for v, _neg, _pat in self._exists_flags]
+        for v, neg, pat in self._exists_flags:
+            out = A.ExistsFlag(out, pat, v, negate=neg)
+        self._exists_flags = outer_exists_flags
         for f in filters:
             out = A.Filter(f, out)
+        if flag_vars:  # spent flags never escape the group
+            out = A.DropCols(out, tuple(flag_vars))
         return out
 
     def _group_or_subselect(self):

@@ -459,3 +459,36 @@ def test_bnode_join_across_positions(spark):
         for r in run_sparql(st, "SELECT ?a ?b WHERE { ?a <ex:p> ?x . ?x <ex:q> ?b }").collect()
     }
     assert got == {("a", "end"), ("b", "end2")}
+
+
+def test_exists_as_value_expression(spark):
+    """[NOT] EXISTS inside filter expressions (SPARQL 1.1 expression
+    operator; ref: ExistsNode/NotExistsNode as value expressions): combined
+    with &&, ||, and IF; correlated and uncorrelated blocks; flag columns
+    never leak into results."""
+    from blazegraph_database_spark.model.store import TripleStore
+    from blazegraph_database_spark.plans.sparql_parser import run_sparql
+
+    rows = [("a", "knows", "b", "iri"), ("b", "knows", "c", "iri"),
+            ("a", "age", "30", "long"), ("b", "age", "7", "long"),
+            ("c", "age", "9", "long")]
+    st = TripleStore(
+        spark.createDataFrame(rows, "s string, p string, o_lex string, o_dt string")
+    )
+
+    def q(text, want):
+        out = run_sparql(st, text)
+        assert not [c for c in out.columns if c.startswith("__ex")], out.columns
+        assert {tuple(r) for r in out.collect()} == want
+
+    q('SELECT ?s WHERE { ?s <age> ?a FILTER(EXISTS { ?s <knows> ?x } && ?a > "1") }',
+      {("a",), ("b",)})
+    q('SELECT ?s WHERE { ?s <age> ?a FILTER(NOT EXISTS { ?s <knows> ?x } || ?a = "30") }',
+      {("a",), ("c",)})
+    q('SELECT ?s WHERE { ?s <age> ?a FILTER(IF(EXISTS { ?s <knows> ?x }, ?a > "10", false)) }',
+      {("a",), ("b",)})  # untyped literals compare lexically: "7" > "10"
+    # uncorrelated EXISTS: scalar truth of an unrelated pattern
+    q('SELECT ?s WHERE { ?s <age> ?a FILTER(EXISTS { ?x <knows> <zzz> } || ?a = "9") }',
+      {("c",)})
+    q('SELECT ?s WHERE { ?s <age> ?a FILTER(EXISTS { ?x <knows> <c> } && ?a = "9") }',
+      {("c",)})
