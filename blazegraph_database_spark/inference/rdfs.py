@@ -113,6 +113,74 @@ def transitive_closure(edges: DataFrame, max_iters: int = MAX_ITERS) -> DataFram
     return all_e
 
 
+def tc_retract(
+    tc: DataFrame, edges_new: DataFrame, deleted: DataFrame, max_iters: int = MAX_ITERS
+) -> DataFrame:
+    """Truth maintenance for the RECURSIVE rule set: maintain a transitive
+    closure under edge retraction by delete/re-derive (DRed — Gupta/Mumick/
+    Subrahmanian). Counting TM cannot cover this case: cyclic derivations
+    make derivation counts non-terminating, which is exactly why the
+    reference routes TransitiveProperty retraction through its
+    justification-search TM rather than counts (ref:
+    inf/TruthMaintenance.java retractAll + Justification chains).
+
+    ``tc``: (src, dst) reachability pairs (path length >= 1) under the OLD
+    edge set; ``edges_new``: the edges AFTER retraction; ``deleted``: the
+    removed edges. Returns the new closure.
+
+    1. OVERESTIMATE — pairs whose some derivation may route through a
+       deleted edge: D = (x→*s) ∘ (s,d)∈deleted ∘ (d→*y) ∩ tc, computed
+       with two Δ-anchored joins against the old closure.
+    2. DELETE — keep = tc \\ D is sound: every derivation of a kept pair
+       avoids every deleted edge.
+    3. RE-DERIVE — iterate the LINEAR TC program (R = E ∪ E∘R) restricted
+       to D: a candidate (x,y) re-enters iff (x,y) ∈ E_new or some edge
+       E_new(x,m) reaches a surviving/re-proved (m,y). Every join in the
+       loop is D-sized (the overdeleted set), never a closure recompute;
+       rounds are bounded by the longest re-proved path.
+    """
+    key = ["src", "dst"]
+    tc = _chk(tc.select(*key))
+    deleted = deleted.select(*key)
+    e_new = _chk(edges_new.select(*key).distinct())
+    # (x, d): x reaches a deleted edge's target through that edge
+    d1 = (
+        tc.alias("a")
+        .join(deleted.alias("e"), F.col("a.dst") == F.col("e.src"))
+        .select(F.col("a.src").alias("src"), F.col("e.dst").alias("dst"))
+        .unionByName(deleted)
+    )
+    D = _chk(
+        d1.alias("l")
+        .join(tc.alias("b"), F.col("l.dst") == F.col("b.src"))
+        .select(F.col("l.src").alias("src"), F.col("b.dst").alias("dst"))
+        .unionByName(d1)
+        .distinct()
+        .join(tc, on=key, how="left_semi")
+    )
+    R = _chk(tc.join(D, on=key, how="left_anti"))  # keep: still-valid pairs
+    remaining = D
+    for _ in range(max_iters):
+        direct = remaining.join(e_new, on=key, how="left_semi")
+        via = (
+            remaining.alias("c")
+            .join(e_new.alias("e"), F.col("c.src") == F.col("e.src"))
+            .select("c.src", "c.dst", F.col("e.dst").alias("m"))
+            .join(
+                R.selectExpr("src as m", "dst"),
+                on=["m", "dst"],
+                how="left_semi",
+            )
+            .select("src", "dst")
+        )
+        newly = _chk(direct.unionByName(via).distinct())
+        if newly.isEmpty():
+            break
+        R = _chk(R.unionByName(newly))
+        remaining = _chk(remaining.join(newly, on=key, how="left_anti"))
+    return R
+
+
 def _edges(df: DataFrame, pred: str) -> DataFrame:
     return df.filter(F.col("p") == pred).select(F.col("s").alias("src"), F.col("o_lex").alias("dst"))
 

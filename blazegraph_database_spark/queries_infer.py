@@ -404,3 +404,38 @@ def tm_insert_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.lit("type_Party").alias("metric"), F.count(F.lit(1)).alias("n"))
         )
     )
+
+
+@register(
+    "tm_tc_delete",
+    """
+    WITH RECURSIVE e AS (
+        SELECT CAST(c_custkey // 2 AS VARCHAR) AS src, CAST(c_custkey AS VARCHAR) AS dst
+        FROM customer
+        WHERE c_custkey >= 2 AND NOT (c_custkey // 2 = 1)
+    ),
+    r AS (
+        SELECT src, dst FROM e
+        UNION
+        SELECT r.src, e.dst FROM r JOIN e ON r.dst = e.src
+    )
+    SELECT CAST(src AS BIGINT) AS src_id, CAST(dst AS BIGINT) AS dst_id FROM r
+    """,
+)
+def tm_tc_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DRed truth maintenance for the RECURSIVE rule set (rdfs.tc_retract;
+    ref: inf/TruthMaintenance.java over TransitiveProperty): the custkey
+    tree's transitive closure maintained under deletion of the root's
+    outgoing edges — overdelete + D-restricted re-derive, no closure
+    recompute. Oracle recomputes the closure of the surviving edges."""
+    from blazegraph_database_spark.queries_gas import _tree_edges
+
+    edges = _tree_edges(spark, sf_dir)
+    tc_old = rdfs.transitive_closure(edges)
+    deleted = edges.filter(F.col("src") == "1")
+    kept = edges.join(deleted, on=["src", "dst"], how="left_anti")
+    out = rdfs.tc_retract(tc_old, kept, deleted)
+    return out.select(
+        F.col("src").cast("long").alias("src_id"),
+        F.col("dst").cast("long").alias("dst_id"),
+    )

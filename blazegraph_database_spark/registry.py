@@ -22,6 +22,7 @@ _SCORE_FIRST = [
     # Round-4c additions, never driver-scored: need rows first.
     "gas_service_bfs",
     "geo_service_rect",
+    "tm_tc_delete",
     # Never driver-green (erred or hash-mismatched in r1, fixed since, green
     # under scripts/check_correctness.py): need driver rows most urgently.
     "fulltext_search",

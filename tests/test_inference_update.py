@@ -472,3 +472,49 @@ def test_counting_noop_delete_keeps_support(spark):
     us.delete_with_closure(ghost)  # 'a p2 b' was never asserted
     triples = _closure_set(us.current.df)
     assert ("a", "q", "b") in triples  # still derived from 'a p1 b'
+
+
+def test_tc_retract_matches_recompute(spark):
+    """DRed for the recursive TC rule (rdfs.tc_retract): retraction result
+    equals a from-scratch closure of the surviving edges, on chains,
+    diamonds (multiple support), and cycles."""
+    import itertools
+
+    from blazegraph_database_spark.inference.rdfs import tc_retract, transitive_closure
+
+    def tc_py(edges):
+        nodes = set(itertools.chain(*edges)) or {"x"}
+        reach = {n: set() for n in nodes}
+        for a, b in edges:
+            reach[a].add(b)
+        changed = True
+        while changed:
+            changed = False
+            for a in nodes:
+                add = set().union(*(reach.get(m, set()) for m in reach[a])) if reach[a] else set()
+                if not add <= reach[a]:
+                    reach[a] |= add
+                    changed = True
+        return {(a, b) for a in nodes for b in reach[a]}
+
+    cases = [
+        # chain: delete middle edge splits reachability
+        ([("a", "b"), ("b", "c"), ("c", "d")], [("b", "c")]),
+        # diamond: (a,d) keeps alternate support after one branch dies
+        ([("a", "b"), ("b", "d"), ("a", "c"), ("c", "d")], [("b", "d")]),
+        # cycle: counting TM would not terminate here; DRed must
+        ([("a", "b"), ("b", "c"), ("c", "a"), ("c", "d")], [("b", "c")]),
+        # delete everything
+        ([("a", "b"), ("b", "a")], [("a", "b"), ("b", "a")]),
+    ]
+    for edges, deleted in cases:
+        kept = [e for e in edges if e not in deleted]
+        tc_old = spark.createDataFrame(sorted(tc_py(edges)), "src string, dst string")
+        e_new = (
+            spark.createDataFrame(kept, "src string, dst string")
+            if kept
+            else tc_old.limit(0)
+        )
+        dele = spark.createDataFrame(deleted, "src string, dst string")
+        got = {(r["src"], r["dst"]) for r in tc_retract(tc_old, e_new, dele).collect()}
+        assert got == tc_py(kept), (edges, deleted)
