@@ -43,7 +43,7 @@ def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Shared DuckDB CTE: distinct word-3-gram shingles + per-doc sizes + exact
 # pairwise jaccard (the brute-force truth the LSH path must reproduce).
 _JACCARD_CTE = """
-    WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws FROM documents),
+    WITH RECURSIVE w AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws FROM documents),
     s AS (
         SELECT DISTINCT doc_id,
                unnest(list_transform(generate_series(1, GREATEST(len(ws) - 2, 0)),
@@ -823,3 +823,46 @@ def text_interdoc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     from blazegraph_database_spark.operators import text as T
 
     return T.interdoc_repetition(_docs(spark, sf_dir), k=8, min_df=2)
+
+
+@register(
+    "dedup_cluster_canonical",
+    _JACCARD_CTE
+    + """,
+    dup AS (
+        SELECT lpad(CAST(a AS VARCHAR), 8, '0') AS a,
+               lpad(CAST(b AS VARCHAR), 8, '0') AS b
+        FROM jac WHERE jac >= 0.8
+    ),
+    e AS (SELECT a, b FROM dup UNION SELECT b, a FROM dup),
+    reach AS (
+        SELECT a AS node, a AS r FROM e
+        UNION
+        SELECT reach.node, e.b FROM reach JOIN e ON reach.r = e.a
+    )
+    SELECT CAST(node AS BIGINT) AS doc_id, CAST(MIN(r) AS BIGINT) AS canonical
+    FROM reach GROUP BY node
+    """,
+)
+def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERING: the pipeline step after pair generation — LSH
+    near-dup pairs become an undirected graph, connected components merge
+    transitive duplicate chains (A~B, B~C => one cluster even when A,C
+    aren't direct pairs), and each clustered doc maps to its lowest doc_id
+    as the canonical representative (the keep-list a dedup pass feeds the
+    tokenizer). Composes two oracle-checked operators: minhash_lsh_dedup
+    and the GAS CC engine; ids ride zero-padded so lexicographic MIN ==
+    numeric MIN on both sides."""
+    from blazegraph_database_spark.operators import gas
+
+    pairs = dedup.minhash_lsh_dedup(_docs(spark, sf_dir), threshold=0.8)
+
+    def pad(c: str):
+        return F.lpad(F.col(c).cast("string"), 8, "0")
+
+    edges = pairs.select(pad("a").alias("src"), pad("b").alias("dst"))
+    cc = gas.connected_components(edges)
+    return cc.select(
+        F.col("node").cast("long").alias("doc_id"),
+        F.col("comp").cast("long").alias("canonical"),
+    )
