@@ -650,7 +650,10 @@ def _compile_bgp(node: A.BGP, store: TripleStore) -> DataFrame:
     """
     patterns = list(node.patterns)
     if not patterns:
-        raise ValueError("empty BGP")
+        # SPARQL: the empty group pattern has exactly ONE solution, the
+        # empty solution — so `BIND`/`VALUES`-only groups work (ref:
+        # GroupGraphPattern with no members evaluates to a unit solution).
+        return store.spark.range(1).select()
     hints = getattr(node, "hints", None)
     if hints:
         return _compile_bgp_hinted(patterns, hints, store)

@@ -492,3 +492,20 @@ def test_exists_as_value_expression(spark):
       {("c",)})
     q('SELECT ?s WHERE { ?s <age> ?a FILTER(EXISTS { ?x <knows> <c> } && ?a = "9") }',
       {("c",)})
+
+
+def test_empty_group_unit_solution(spark):
+    """The empty group pattern has exactly one (empty) solution, so
+    BIND-only and VALUES-only groups work (SPARQL 1.1 GroupGraphPattern)."""
+    from blazegraph_database_spark.model.store import TripleStore
+    from blazegraph_database_spark.plans.sparql_parser import run_sparql
+
+    st = TripleStore(
+        spark.createDataFrame(
+            [("a", "knows", "b", "iri")], "s string, p string, o_lex string, o_dt string"
+        )
+    )
+    out = run_sparql(st, 'SELECT ?x WHERE { BIND("q" AS ?x) }')
+    assert [tuple(r) for r in out.collect()] == [("q",)]
+    out = run_sparql(st, "SELECT ?x ?y WHERE { VALUES (?x ?y) { (<a> <b>) (<c> UNDEF) } }")
+    assert sorted(tuple(r) for r in out.collect()) == [("a", "b"), ("c", None)]
