@@ -127,7 +127,10 @@ def gas_sssp_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def gas_cc_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Connected components on the part↔supplier co-occurrence graph (ref: CC.java)."""
+    """Connected components on the part↔supplier co-occurrence graph (ref:
+    CC.java). The query KNOWS the graph is bipartite with p: < s: ids, so it
+    uses the contracted strategy (right side folded away, CC at half
+    diameter; gas.connected_components_bipartite)."""
     li = read_parquet(spark, f"{sf_dir}/lineitem.parquet")
     edges = (
         li.filter(F.col("l_quantity") > 49)
@@ -137,7 +140,7 @@ def gas_cc_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    return gas.connected_components(edges).select("node", "comp")
+    return gas.connected_components_bipartite(edges).select("node", "comp")
 
 
 def _pagerank_oracle(iters: int = 10, damping: float = 0.85) -> str:

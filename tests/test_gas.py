@@ -110,3 +110,28 @@ def test_paths_cycle_safe(spark):
 
 def test_reachable(diamond):
     assert sorted(r["node"] for r in gas.reachable(diamond, ["b"]).collect()) == ["b", "d"]
+
+
+def test_cc_bipartite_matches_label_prop(spark):
+    """The bipartite-contracted CC strategy must produce exactly the
+    label-prop labels on random bipartite graphs (left ids sort below
+    right ids), including isolated stars and multi-right bridges."""
+    import random
+
+    from blazegraph_database_spark.operators import gas
+
+    random.seed(11)
+    for _ in range(4):
+        edges = list(
+            {
+                (f"a{random.randint(0, 12)}", f"b{random.randint(0, 12)}")
+                for _ in range(random.randint(2, 30))
+            }
+        )
+        df = spark.createDataFrame(edges, "src string, dst string")
+        want = {(r["node"], r["comp"]) for r in gas.connected_components(df).collect()}
+        got = {
+            (r["node"], r["comp"])
+            for r in gas.connected_components_bipartite(df).collect()
+        }
+        assert got == want, edges
