@@ -56,6 +56,7 @@ def search(
     patterns: list[tuple[str, bool]],
     match_all: bool = False,
     min_relevance_ppm: int = 0,
+    max_relevance_ppm: int | None = None,
     max_rank: int = 20,
     min_rank: int = 1,
 ) -> DataFrame:
@@ -63,9 +64,10 @@ def search(
 
     patterns: [(token, is_prefix)] — is_prefix matches term LIKE 'tok%'
     (ref: bds:prefixMatch). match_all = every pattern must match the doc
-    (ref: bds:matchAllTerms); else any. min_relevance_ppm / max_rank /
-    min_rank mirror bds:minRelevance / bds:maxRank / bds:minRank
-    (minRank+maxRank page through results, ref: BDS.java MIN_RANK).
+    (ref: bds:matchAllTerms); else any. min_relevance_ppm /
+    max_relevance_ppm / max_rank / min_rank mirror bds:minRelevance /
+    bds:maxRelevance / bds:maxRank / bds:minRank (minRank+maxRank page
+    through results, ref: BDS.java MIN_RANK).
 
     Returns (id, score_ppm, rank), rank min_rank..max_rank by (score desc,
     id). The pattern set is tiny and broadcast; only matching posting rows
@@ -97,6 +99,8 @@ def search(
     if match_all:
         scored = scored.filter(F.col("npat") == len(patterns))
     scored = scored.filter(F.col("score_ppm") >= min_relevance_ppm).drop("npat")
+    if max_relevance_ppm is not None:
+        scored = scored.filter(F.col("score_ppm") <= max_relevance_ppm)
     # TakeOrderedAndProject: orderBy+limit never materializes a global sort
     top = scored.orderBy(F.col("score_ppm").desc(), F.col("id").asc()).limit(max_rank)
     from pyspark.sql.window import Window

@@ -1130,13 +1130,26 @@ def _store_literal_index(store: TripleStore) -> DataFrame:
 
     cached = getattr(store, "_ft_literal_index", None)
     if cached is None:
-        docs = (
+        docs = _store_literal_texts(store)
+        cached = fulltext.inverted_index(docs, id_col="s", text_col="text").localCheckpoint()
+        store._ft_literal_index = cached
+    return cached
+
+
+def _store_literal_texts(store: TripleStore) -> DataFrame:
+    """(s, text): each subject's concatenated string literals — the document
+    surface behind the full-text index; bds:matchExact / bds:matchRegex
+    post-filter against it (ref: BDS.java MATCH_EXACT/MATCH_REGEX filter
+    the matched literal's text)."""
+    cached = getattr(store, "_ft_literal_texts", None)
+    if cached is None:
+        cached = (
             store.df.filter(F.col("o_dt") == "string")
             .groupBy("s")
             .agg(F.concat_ws(" ", F.collect_list("o_lex")).alias("text"))
+            .localCheckpoint()
         )
-        cached = fulltext.inverted_index(docs, id_col="s", text_col="text").localCheckpoint()
-        store._ft_literal_index = cached
+        store._ft_literal_texts = cached
     return cached
 
 
@@ -1184,7 +1197,8 @@ def _(node: A.Service, store: TripleStore) -> DataFrame:
         # magic predicates inside the block (ref: BDS.java search vocabulary)
         pats = collect_sps(node.pattern)
         subj, query, opts = None, None, {}
-        rel_var = rank_var = None
+        rel_var = rank_var = count_var = match_regex = None
+        match_exact = False
         for sp in pats:
             pred = _compact_builtin_iri(const_lex(sp.p)) if is_const(sp.p) else None
             if pred == "bds:search":
@@ -1197,19 +1211,44 @@ def _(node: A.Service, store: TripleStore) -> DataFrame:
                 opts["max_rank"] = int(const_lex(sp.o))
             elif pred == "bds:minRank":  # minRank+maxRank page (BDS.java)
                 opts["min_rank"] = int(const_lex(sp.o))
+            elif pred == "bds:maxRelevance":
+                opts["max_relevance_ppm"] = int(float(const_lex(sp.o)) * 1_000_000)
+            elif pred == "bds:matchExact":
+                match_exact = const_lex(sp.o) == "true"
+            elif pred == "bds:matchRegex":
+                match_regex = const_lex(sp.o)
             elif pred == "bds:relevance" and isinstance(sp.o, Var):
                 rel_var = sp.o.name  # bind the hit's relevance score
             elif pred == "bds:rank" and isinstance(sp.o, Var):
                 rank_var = sp.o.name  # bind the hit's 1-based rank
+            elif pred == "bds:rangeCount" and isinstance(sp.o, Var):
+                count_var = sp.o.name  # bind the total hit count
         if subj is None or not isinstance(subj, Var):
             raise ValueError("SERVICE <bds:search> needs `?var bds:search \"query\"`")
         patterns = [(t.rstrip("*"), t.endswith("*")) for t in query.split()]
         hits = fulltext.search(_store_literal_index(store), patterns, **opts)
+        if match_exact or match_regex is not None:
+            # post-filter on the matched document's literal text (ref:
+            # BDS.java MATCH_EXACT/MATCH_REGEX): join the ≤max_rank hits
+            # back to the memoized (s, text) surface
+            texts = _store_literal_texts(store).withColumnRenamed("s", "id")
+            hits = hits.join(texts, on="id")
+            if match_exact:  # must contain the exact phrase
+                hits = hits.filter(F.col("text").contains(query))
+            if match_regex is not None:
+                hits = hits.filter(F.col("text").rlike(match_regex))
+            hits = hits.drop("text")
+        if count_var is not None:  # BDS.java RANGE_COUNT: total-hit binding
+            hits = hits.crossJoin(
+                F.broadcast(hits.agg(F.count(F.lit(1)).alias(count_var)))
+            )
         sel = [F.col("id").alias(subj.name)]
         if rel_var is not None:  # score as the 0..1 relevance the ref binds
             sel.append((F.col("score_ppm").cast("double") / 1_000_000).alias(rel_var))
         if rank_var is not None:
             sel.append(F.col("rank").alias(rank_var))
+        if count_var is not None:
+            sel.append(F.col(count_var))
         return hits.select(*sel)
     try:
         fn = service.lookup(node.iri)

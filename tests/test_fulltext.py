@@ -80,3 +80,40 @@ def test_min_rank_paging(spark):
     assert [r for _, r in p1] == [1, 2, 3] and [r for _, r in p2] == [4, 5, 6]
     both = page(1, 6)
     assert p1 + p2 == both
+
+
+def test_bds_extended_options(spark):
+    """bds:maxRelevance / bds:matchExact / bds:matchRegex / bds:rangeCount
+    (ref: BDS.java MAX_RELEVANCE, MATCH_EXACT, MATCH_REGEX, RANGE_COUNT)."""
+    from blazegraph_database_spark.model.store import TripleStore
+    from blazegraph_database_spark.plans.sparql_parser import run_sparql
+
+    rows = [
+        ("d1", "txt", "alpha beta gamma", "string"),
+        ("d2", "txt", "alpha alpha beta", "string"),
+        ("d3", "txt", "beta delta", "string"),
+    ]
+    st = TripleStore(
+        spark.createDataFrame(rows, "s string, p string, o_lex string, o_dt string")
+    )
+
+    def hits(block):
+        q = "SELECT * WHERE { SERVICE <bds:search> { %s } }" % block
+        return run_sparql(st, q).collect()
+
+    # matchExact: the matched doc's text must contain the exact phrase
+    # (the search var binds subjects; the index is subject-level)
+    got = {r["lit"] for r in hits('?lit <bds:search> "alpha beta" . ?lit <bds:matchExact> "true"')}
+    assert got == {"d1", "d2"}  # d3 has no "alpha beta" substring
+    # matchRegex post-filter
+    got = {r["lit"] for r in hits('?lit <bds:search> "beta" . ?lit <bds:matchRegex> "delta$"')}
+    assert got == {"d3"}
+    # rangeCount binds the total hit count on every row
+    out = hits('?lit <bds:search> "beta" . ?lit <bds:rangeCount> ?n')
+    assert len(out) == 3 and all(r["n"] == 3 for r in out)
+    # maxRelevance excludes the top-scoring doc that minRelevance keeps
+    all_rel = {r["lit"]: r["rel"] for r in hits('?lit <bds:search> "alpha" . ?lit <bds:relevance> ?rel')}
+    assert len(all_rel) == 2
+    cap = min(all_rel.values())
+    got = {r["lit"] for r in hits(f'?lit <bds:search> "alpha" . ?lit <bds:maxRelevance> "{cap}"')}
+    assert got == {lit for lit, rel in all_rel.items() if rel <= cap}
