@@ -1028,9 +1028,25 @@ def _(node: A.Distinct, store: TripleStore) -> DataFrame:
 
 @_compile.register
 def _(node: A.OrderBy, store: TripleStore) -> DataFrame:
+    """ORDER BY. When a sort var carries a datatype companion, ordering
+    follows the SPARQL operator mapping instead of raw lexical order:
+    IRIs before literals, numeric literals compared numerically, everything
+    else by lexical form (the reference orders by IV type then value; ref:
+    IVComparator). Vars without companions keep plain column order —
+    exactly the previous behavior."""
     df = _compile(node.child, store)
     cols = []
     for key, asc in node.keys:
+        if isinstance(key, str) and f"{key}__dt" in df.columns:
+            dt = F.col(f"{key}__dt")
+            is_num = dt.isin("long", "double", "integer", "decimal", "int", "float")
+            parts = [
+                F.when(F.col(key).isNull(), 0).when(dt == "iri", 1).otherwise(2),
+                F.when(is_num, F.col(key).cast("double")),
+                F.col(key),
+            ]
+            cols.extend((p.asc() if asc else p.desc()) for p in parts)
+            continue
         c = F.col(key) if isinstance(key, str) else key
         cols.append(c.asc() if asc else c.desc())
     return df.orderBy(*cols)

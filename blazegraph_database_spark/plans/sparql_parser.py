@@ -1107,6 +1107,11 @@ class Parser:
                     asc = self.peek().text.lower() == "asc"
                     self.next()
                     self.eat_op("(")
+                    if self.peek().kind == "VAR" and self.peek(1).text == ")":
+                        # ASC/DESC(?var): string key → dt-aware ordering
+                        order.append((self.next().text[1:], asc))
+                        self.eat_op(")")
+                        continue
                     self._pending_aggs = []
                     e = self.expr()  # ORDER BY DESC(COUNT(?x)) hoists the agg
                     if self._pending_aggs:
@@ -1116,7 +1121,11 @@ class Parser:
                     self.eat_op(")")
                     order.append((e, asc))
                 elif self.peek().kind == "VAR":
-                    order.append((F.col(self.next().text[1:]), True))
+                    # STRING key (not a Column): lets the compiler apply the
+                    # SPARQL operator-mapping order via the var's datatype
+                    # companion when one is tracked (numeric literals sort
+                    # numerically; see compiler's OrderBy)
+                    order.append((self.next().text[1:], True))
                 elif self.at_op("(") or (
                     self.peek().kind == "KW" and self.peek().text.upper() in expr_starters
                 ):
@@ -1177,6 +1186,15 @@ class Parser:
                         "with DISTINCT; alias the aggregate in SELECT and sort "
                         "by the alias"
                     )
+                node = A.OrderBy(node, order)
+                order = []
+            elif order and not distinct and any(
+                isinstance(k, str) and k not in proj for k, _ in order
+            ):
+                # a sort var the projection drops: order first so the key
+                # (and its datatype companion, for the operator-mapping
+                # order) is still a real column; the narrow projection
+                # preserves row order
                 node = A.OrderBy(node, order)
                 order = []
             node = A.Project(node, proj)

@@ -509,3 +509,21 @@ def test_empty_group_unit_solution(spark):
     assert [tuple(r) for r in out.collect()] == [("q",)]
     out = run_sparql(st, "SELECT ?x ?y WHERE { VALUES (?x ?y) { (<a> <b>) (<c> UNDEF) } }")
     assert sorted(tuple(r) for r in out.collect()) == [("a", "b"), ("c", None)]
+
+
+def test_order_by_numeric_literals(spark):
+    """ORDER BY over a datatype-tracked var follows the SPARQL operator
+    mapping: numeric literals compare numerically ("9" < "10"), IRIs sort
+    before literals (ref: IVComparator ordering)."""
+    from blazegraph_database_spark.model.store import TripleStore
+    from blazegraph_database_spark.plans.sparql_parser import run_sparql
+
+    rows = [("a", "age", "9", "long"), ("b", "age", "10", "long"),
+            ("c", "age", "100", "long"), ("d", "age", "2", "long")]
+    st = TripleStore(
+        spark.createDataFrame(rows, "s string, p string, o_lex string, o_dt string")
+    ).with_dt_tracking()
+    out = run_sparql(st, "SELECT ?s ?a WHERE { ?s <age> ?a } ORDER BY ?a LIMIT 2")
+    assert [r["s"] for r in out.collect()] == ["d", "a"]  # 2, 9 — not "10","100"
+    out = run_sparql(st, "SELECT ?s WHERE { ?s <age> ?a } ORDER BY DESC(?a) LIMIT 1")
+    assert [r["s"] for r in out.collect()] == ["c"]  # 100 numerically largest
