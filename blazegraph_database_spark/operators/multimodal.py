@@ -91,7 +91,9 @@ def decode_media(media: DataFrame, partitions: int = 0) -> DataFrame:
 
 
 def decode_media_real(media: DataFrame) -> DataFrame:
-    """Real decoder entry point — requires PIL/torchaudio, absent here."""
+    """Real decoder entry point — requires PIL/torchaudio, absent here.
+    (Uncompressed container formats — WAV/BMP/PPM — decode for REAL
+    without those libraries: see :func:`decode_media_uncompressed`.)"""
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         raise NotImplementedError(
@@ -102,6 +104,160 @@ def decode_media_real(media: DataFrame) -> DataFrame:
         yield  # pragma: no cover
 
     return media.select("media_id", "payload").mapInPandas(decode, FEATURE_SCHEMA)
+
+
+# ------------------------------------------------ REAL uncompressed decode --
+# WAV (RIFF PCM), BMP (BITMAPINFOHEADER, uncompressed), and PPM (P6) carry
+# raw samples/pixels — no codec needed, numpy alone decodes them. These are
+# REAL decoders, not stubs: headers are parsed per spec and features come
+# from the actual samples. Codec formats (JPEG/MP3/H.264) still raise at the
+# same integration point, naming the library they need.
+UNCOMP_SCHEMA = (
+    "media_id long, kind string, width int, height int, n_samples long, feature_mean double"
+)
+
+
+def _parse_wav(b: bytes) -> tuple:
+    """RIFF/WAVE PCM: walk chunks for fmt + data; 8-bit unsigned or 16-bit
+    signed samples. Returns (kind, channels, bits, n_samples, mean)."""
+    import numpy as np
+    import struct
+
+    if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(b):
+        cid, size = b[pos:pos + 4], struct.unpack("<I", b[pos + 4:pos + 8])[0]
+        body = b[pos + 8:pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    audio_fmt, channels, _rate, _byte_rate, _align, bits = fmt
+    if audio_fmt != 1:
+        raise NotImplementedError("compressed WAV needs an audio codec library")
+    samples = (
+        np.frombuffer(data, dtype=np.uint8)
+        if bits == 8
+        else np.frombuffer(data[: len(data) // 2 * 2], dtype="<i2")
+    )
+    return ("audio", channels, bits, len(samples), float(samples.mean()) if len(samples) else 0.0)
+
+
+def _parse_bmp(b: bytes) -> tuple:
+    """BMP BITMAPINFOHEADER, uncompressed (BI_RGB) 8/24/32-bpp."""
+    import numpy as np
+    import struct
+
+    if b[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    data_off = struct.unpack("<I", b[10:14])[0]
+    width, height = struct.unpack("<ii", b[18:26])
+    bpp, compression = struct.unpack("<H", b[28:30])[0], struct.unpack("<I", b[30:34])[0]
+    if compression != 0:
+        raise NotImplementedError("compressed BMP needs an image codec library")
+    row_bytes = (width * bpp // 8 + 3) // 4 * 4  # rows pad to 4 bytes
+    h = abs(height)
+    px = np.frombuffer(b, dtype=np.uint8, count=row_bytes * h, offset=data_off)
+    px = px.reshape(h, row_bytes)[:, : width * bpp // 8]
+    return ("image", width, h, width * h, float(px.mean()) if px.size else 0.0)
+
+
+def _parse_ppm(b: bytes) -> tuple:
+    """PPM P6: ascii header (w, h, maxval) + raw RGB bytes."""
+    import numpy as np
+
+    if b[:2] != b"P6":
+        raise ValueError("not a P6 PPM payload")
+    fields, pos = [], 2
+    while len(fields) < 3:
+        while pos < len(b) and b[pos:pos + 1].isspace():
+            pos += 1
+        if b[pos:pos + 1] == b"#":  # comment line
+            while b[pos:pos + 1] not in (b"\n", b""):
+                pos += 1
+            continue
+        start = pos
+        while pos < len(b) and not b[pos:pos + 1].isspace():
+            pos += 1
+        fields.append(int(b[start:pos]))
+    pos += 1  # single whitespace after maxval
+    width, height, _maxval = fields
+    px = np.frombuffer(b, dtype=np.uint8, count=width * height * 3, offset=pos)
+    return ("image", width, height, width * height, float(px.mean()) if px.size else 0.0)
+
+
+def decode_payload_uncompressed(b: bytes) -> tuple:
+    """Dispatch on magic bytes. Raises NotImplementedError for codec
+    formats — the same integration point decode_media_real marks."""
+    if b[:4] == b"RIFF":
+        return _parse_wav(b)
+    if b[:2] == b"BM":
+        return _parse_bmp(b)
+    if b[:2] == b"P6":
+        return _parse_ppm(b)
+    raise NotImplementedError(
+        "payload is not an uncompressed WAV/BMP/PPM container; codec formats "
+        "(JPEG/MP3/H.264) require an image/audio library absent here"
+    )
+
+
+def decode_media_uncompressed(media: DataFrame, partitions: int = 0) -> DataFrame:
+    """REAL decode for uncompressed media containers (WAV PCM, BMP, PPM) —
+    header parse + numpy over the raw samples, Arrow-batched exactly like
+    the stub path. (media_id, kind, width, height, n_samples, feature_mean):
+    images report pixel dims + mean pixel value; audio reports
+    channels/bits + mean sample value."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [decode_payload_uncompressed(bytes(p)) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": [r[0] for r in rows],
+                    "width": [r[1] for r in rows],
+                    "height": [r[2] for r in rows],
+                    "n_samples": [r[3] for r in rows],
+                    "feature_mean": [r[4] for r in rows],  # raw mean; callers round
+                }
+            )
+
+    src = media.repartition(partitions, "media_id") if partitions else media
+    return src.select("media_id", "payload").mapInPandas(decode, UNCOMP_SCHEMA)
+
+
+def wrap_pcm_wav(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Frame each row's UTF-8 bytes as a REAL 8-bit mono PCM WAV payload
+    (RIFF header per spec) — deterministic audio test data whose decoded
+    sample stream is exactly the text's byte values."""
+
+    def wrap(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        def wav(data: bytes) -> bytes:
+            hdr = (
+                b"RIFF"
+                + struct.pack("<I", 36 + len(data))
+                + b"WAVEfmt "
+                + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 8000, 1, 8)
+                + b"data"
+                + struct.pack("<I", len(data))
+            )
+            return hdr + data
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col],
+                    "payload": [wav(t.encode("utf-8")) for t in pdf[text_col]],
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(wrap, "media_id long, payload binary")
 
 
 def resize_media(media: DataFrame, width: int = 32, height: int = 32) -> DataFrame:

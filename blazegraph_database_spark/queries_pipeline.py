@@ -866,3 +866,30 @@ def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("node").cast("long").alias("doc_id"),
         F.col("comp").cast("long").alias("canonical"),
     )
+
+
+@register(
+    "multimodal_wav_decode",
+    """
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_samples,
+           ROUND(list_avg(list_transform(generate_series(1, length(text)),
+                                         i -> ord(substr(text, i, 1)))), 2) AS feature_mean
+    FROM documents WHERE length(text) > 0
+    """,
+)
+def multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode end-to-end: each document's bytes framed as an
+    actual 8-bit mono PCM RIFF/WAVE payload (wrap_pcm_wav), then decoded by
+    the real WAV parser (header walk + numpy over the sample stream — no
+    stub). The oracle recomputes the sample mean directly from the text's
+    character codes, so a header-parse or sample-extraction bug fails the
+    hash."""
+    docs = _docs(spark, sf_dir).filter(F.length("text") > 0)
+    media = multimodal.wrap_pcm_wav(docs)
+    out = multimodal.decode_media_uncompressed(media)
+    return out.select(
+        F.col("media_id").alias("doc_id"),
+        "n_samples",
+        F.round("feature_mean", 2).alias("feature_mean"),
+    )
