@@ -223,7 +223,12 @@ class SparqlEndpoint:
         accept: str = "",
         explain: str | None = None,
         timestamp: int | None = None,
+        timeout_ms: int | None = None,
     ) -> tuple[int, str, bytes]:
+        if timeout_ms:
+            return self._bounded(
+                timeout_ms, lambda: self.query(ns, text, accept, explain, timestamp)
+            )
         us = self.namespaces[ns]
         if timestamp is None:
             store = us.current
@@ -275,6 +280,40 @@ class SparqlEndpoint:
         if form == "construct":
             return 200, ctype, ser(compiler.construct(store, parsed[1], parsed[2]))
         return 200, ctype, ser(self._describe(store, parsed))
+
+    def _bounded(self, timeout_ms: int, fn):
+        """Query-deadline enforcement (ref: the REST API's ``timeout=``
+        parameter / ``X-BIGDATA-MAX-QUERY-MILLIS`` header;
+        BigdataRDFContext query timeout): the query runs in its own Spark
+        job group; at the deadline the group's jobs are cancelled and the
+        client gets 503 with an error body, the reference's
+        query-timeout behavior re-expressed on Spark's cancellation API."""
+        import uuid
+
+        from pyspark import InheritableThread
+
+        gid = f"rest-timeout-{uuid.uuid4().hex[:8]}"
+        sc = self.spark.sparkContext
+        box: dict = {}
+
+        def run():
+            sc.setJobGroup(gid, "REST query with deadline", interruptOnCancel=True)
+            try:
+                box["out"] = fn()
+            except BaseException as ex:  # re-raised on the caller thread
+                box["err"] = ex
+
+        t = InheritableThread(target=run, daemon=True)
+        t.start()
+        t.join(timeout_ms / 1000.0)
+        if t.is_alive():
+            sc.cancelJobGroup(gid)
+            return 503, JSON, json.dumps(
+                {"error": f"query timeout after {timeout_ms}ms"}
+            ).encode()
+        if "err" in box:
+            raise box["err"]
+        return box["out"]
 
     @staticmethod
     def _describe(store: TripleStore, parsed) -> DataFrame:
@@ -452,6 +491,15 @@ class SparqlEndpoint:
             return "plain" if v in ("", "true", "1") else None
 
         explain = wants_explain(params)
+
+        def timeout_of(p: dict) -> int | None:
+            # ref: REST API timeout= (seconds) / X-BIGDATA-MAX-QUERY-MILLIS
+            if "timeout" in p:
+                return int(float(p["timeout"]) * 1000)
+            if "maxQueryTimeMillis" in p:
+                return int(p["maxQueryTimeMillis"])
+            return None
+
         if method == "GET":
             if "ESTCARD" in params:
                 return self.estcard(ns, params)
@@ -462,6 +510,7 @@ class SparqlEndpoint:
             return self.query(
                 ns, params["query"], accept, explain,
                 timestamp=int(params["timestamp"]) if "timestamp" in params else None,
+                timeout_ms=timeout_of(params),
             )
         if method == "POST":
             base = ctype.split(";")[0].strip()
@@ -482,9 +531,10 @@ class SparqlEndpoint:
                 return self.update(ns, params["update"])
             if "query" in params:
                 return self.query(
-                ns, params["query"], accept, explain,
-                timestamp=int(params["timestamp"]) if "timestamp" in params else None,
-            )
+                    ns, params["query"], accept, explain,
+                    timestamp=int(params["timestamp"]) if "timestamp" in params else None,
+                    timeout_ms=timeout_of(params),
+                )
             raise ValueError("POST needs query=, update=, or an RDF body")
         if method == "PUT":
             return self.insert_rdf(ns, ctype, body, replace=True)
@@ -507,6 +557,9 @@ class _Handler(BaseHTTPRequestHandler):
     def _serve(self, method: str) -> None:
         url = urlparse(self.path)
         params = {k: v[0] for k, v in parse_qs(url.query, keep_blank_values=True).items()}
+        h = self.headers.get("X-BIGDATA-MAX-QUERY-MILLIS")
+        if h and "maxQueryTimeMillis" not in params:
+            params["maxQueryTimeMillis"] = h
         n = int(self.headers.get("Content-Length") or 0)
         body = self.rfile.read(n) if n else b""
         status, ctype, payload = self.endpoint.dispatch(

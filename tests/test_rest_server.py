@@ -369,3 +369,33 @@ def test_bnode_bindings_serialize_as_bnodes(spark):
     assert "_:b1" in t and "<x>" in t
     x = R._select_xml(df).decode()
     assert "<bnode>b1</bnode>" in x and "<uri>x</uri>" in x
+
+
+def test_query_timeout(server):
+    """timeout= (seconds) and X-BIGDATA-MAX-QUERY-MILLIS enforce a query
+    deadline: the job group is cancelled and the client gets 503 (ref:
+    BigdataRDFContext query timeout); a generous deadline still answers."""
+    # 5-way cartesian over all statements: far too slow for a 50ms deadline
+    slow = urllib.parse.quote(
+        "SELECT (COUNT(*) AS ?n) WHERE { ?a ?p1 ?o1 . ?b ?p2 ?o2 . "
+        "?c ?p3 ?o3 . ?d ?p4 ?o4 . ?e ?p5 ?o5 }"
+    )
+    try:
+        status, _, body = _req(f"{server}/sparql?query={slow}&timeout=0.05")
+    except urllib.error.HTTPError as e:
+        status, body = e.code, e.read()
+    assert status == 503 and b"timeout" in body
+
+    fast = urllib.parse.quote("SELECT ?x WHERE { ?x <knows> <b> }")
+    status, _, body = _req(f"{server}/sparql?query={fast}&timeout=60")
+    assert status == 200 and json.loads(body)["results"]["bindings"]
+
+    # header form
+    req = urllib.request.Request(f"{server}/sparql?query={slow}")
+    req.add_header("X-BIGDATA-MAX-QUERY-MILLIS", "50")
+    try:
+        with urllib.request.urlopen(req) as resp:
+            status = resp.status
+    except urllib.error.HTTPError as e:
+        status = e.code
+    assert status == 503
