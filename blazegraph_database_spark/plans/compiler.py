@@ -167,10 +167,14 @@ def _id_join_vars(root) -> frozenset[str]:
         elif isinstance(n, A.Exists):
             walk(n.child)
             walk(n.pattern)
+        elif isinstance(n, A.ExistsFlag):
+            needed.add(n.var)  # generated boolean flag, never an id
+            walk(n.child)
+            walk(n.pattern)
         elif isinstance(n, A.Project):
             needed.update(n.vars)
             walk(n.child)
-        elif isinstance(n, (A.Distinct, A.Slice, A.Dataset)):
+        elif isinstance(n, (A.Distinct, A.Slice, A.Dataset, A.DropCols)):
             walk(n.child)
         elif isinstance(n, A.OrderBy):
             for key, _asc in n.keys:
@@ -335,10 +339,14 @@ def _native_typed_vars(root, store) -> dict[str, str]:
         elif isinstance(n, A.Exists):
             walk(n.child)
             walk(n.pattern)
+        elif isinstance(n, A.ExistsFlag):
+            disq.add(n.var)
+            walk(n.child)
+            walk(n.pattern)
         elif isinstance(n, A.Project):
             disq.update(n.vars)
             walk(n.child)
-        elif isinstance(n, (A.Distinct, A.Slice, A.Dataset)):
+        elif isinstance(n, (A.Distinct, A.Slice, A.Dataset, A.DropCols)):
             walk(n.child)
         elif isinstance(n, A.OrderBy):
             for key, _asc in n.keys:
