@@ -115,6 +115,28 @@ _XSD_CAST_LOCAL = {
 }
 
 
+_BARE_VAR_RX = re.compile(r"^Column<'(\w+)'>$")
+_NUM_LIT_RX = re.compile(r"^Column<'-?\d+(\.\d+)?'>$")
+
+
+def _typed_cmp_sides(left: Column, right: Column) -> tuple[Column, Column]:
+    """A bare var compared against a NUMERIC literal takes an explicit
+    double view. Value-identical to what Spark's implicit coercion does
+    anyway (PromoteStrings casts the string side to double in a
+    string-vs-numeric BinaryComparison), but the explicit CAST makes the
+    comparison visible to the native-typed-column classifier — numeric
+    range FILTERs in query text then run on the base table's native column
+    and push down to parquet (the reference's inline-IV range filters)."""
+    ls, rs = str(left), str(right)
+    lv, rn = _BARE_VAR_RX.match(ls), _NUM_LIT_RX.match(rs)
+    if lv and rn:
+        return F.col(lv.group(1)).cast("double"), right
+    rv, ln = _BARE_VAR_RX.match(rs), _NUM_LIT_RX.match(ls)
+    if rv and ln:
+        return left, F.col(rv.group(1)).cast("double")
+    return left, right
+
+
 class Parser:
     def __init__(self, src: str, dt_mode: bool = False):
         # dt_mode: the query uses term-type functions (LANG/DATATYPE/...),
@@ -341,6 +363,7 @@ class Parser:
         if self.at_op("=", "!=", "<", "<=", ">", ">="):
             op = self.next().text
             right = self.expr_add()
+            left, right = _typed_cmp_sides(left, right)
             return {
                 "=": lambda a, b: a == b, "!=": lambda a, b: a != b,
                 "<": lambda a, b: a < b, "<=": lambda a, b: a <= b,

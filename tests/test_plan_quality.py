@@ -337,3 +337,28 @@ def test_rto_samples_join_paths(spark):
     assert rto, st._trace
     assert rto[0]["sampled_edges"]  # every shared-var pair probed
     assert len(rto[0]["order"]) == 3
+
+
+def test_text_query_numeric_filter_pushes_down(spark):
+    """A numeric range FILTER written in QUERY TEXT must reach parquet as a
+    pushed filter: the parser's explicit double view of bare-var-vs-number
+    comparisons (value-identical to Spark's implicit coercion) lets the
+    native-typed classifier bind the base table's native column."""
+    from blazegraph_database_spark.plans.sparql_parser import run_sparql
+
+    st = cached_store(spark, SF_DIR)
+    df = run_sparql(
+        st,
+        'SELECT (COUNT(*) AS ?n) WHERE { ?o <orders#o_totalprice> ?p '
+        "FILTER(?p > 400000) }",
+    )
+    p = plan_of(df)
+    assert "GreaterThan(o_totalprice,400000.0)" in p, p
+    # and the result is right
+    import duckdb
+
+    want = duckdb.connect().execute(
+        f"SELECT COUNT(*) FROM read_parquet('{SF_DIR}/orders.parquet') "
+        "WHERE o_totalprice > 400000"
+    ).fetchone()[0]
+    assert df.collect()[0]["n"] == want
