@@ -1160,6 +1160,20 @@ def _store_literal_index(store: TripleStore) -> DataFrame:
     return cached
 
 
+def _store_subject_index(store: TripleStore) -> DataFrame:
+    """Full-text index over SUBJECT URIs (ref: BDS.java SUBJECT_SEARCH —
+    "search against the URIs"): doc id = the subject term, text = its
+    lexical form, tokenized like any literal."""
+    from blazegraph_database_spark.operators import fulltext
+
+    cached = getattr(store, "_ft_subject_index", None)
+    if cached is None:
+        docs = store.df.select("s").distinct().select("s", F.col("s").alias("text"))
+        cached = fulltext.inverted_index(docs, id_col="s", text_col="text").localCheckpoint()
+        store._ft_subject_index = cached
+    return cached
+
+
 def _store_literal_texts(store: TripleStore) -> DataFrame:
     """(s, text): each subject's concatenated string literals — the document
     surface behind the full-text index; bds:matchExact / bds:matchRegex
@@ -1222,7 +1236,7 @@ def _(node: A.Service, store: TripleStore) -> DataFrame:
         pats = collect_sps(node.pattern)
         subj, query, opts = None, None, {}
         rel_var = rank_var = count_var = match_regex = None
-        match_exact = False
+        match_exact = subject_search = False
         for sp in pats:
             pred = _compact_builtin_iri(const_lex(sp.p)) if is_const(sp.p) else None
             if pred == "bds:search":
@@ -1239,6 +1253,8 @@ def _(node: A.Service, store: TripleStore) -> DataFrame:
                 opts["max_relevance_ppm"] = int(float(const_lex(sp.o)) * 1_000_000)
             elif pred == "bds:matchExact":
                 match_exact = const_lex(sp.o) == "true"
+            elif pred == "bds:subjectSearch":  # BDS.java SUBJECT_SEARCH
+                subject_search = const_lex(sp.o) == "true"
             elif pred == "bds:matchRegex":
                 match_regex = const_lex(sp.o)
             elif pred == "bds:relevance" and isinstance(sp.o, Var):
@@ -1250,7 +1266,8 @@ def _(node: A.Service, store: TripleStore) -> DataFrame:
         if subj is None or not isinstance(subj, Var):
             raise ValueError("SERVICE <bds:search> needs `?var bds:search \"query\"`")
         patterns = [(t.rstrip("*"), t.endswith("*")) for t in query.split()]
-        hits = fulltext.search(_store_literal_index(store), patterns, **opts)
+        idx = _store_subject_index(store) if subject_search else _store_literal_index(store)
+        hits = fulltext.search(idx, patterns, **opts)
         if match_exact or match_regex is not None:
             # post-filter on the matched document's literal text (ref:
             # BDS.java MATCH_EXACT/MATCH_REGEX): join the ≤max_rank hits

@@ -117,3 +117,20 @@ def test_bds_extended_options(spark):
     cap = min(all_rel.values())
     got = {r["lit"] for r in hits(f'?lit <bds:search> "alpha" . ?lit <bds:maxRelevance> "{cap}"')}
     assert got == {lit for lit, rel in all_rel.items() if rel <= cap}
+
+
+def test_bds_subject_search(spark):
+    """bds:subjectSearch searches the SUBJECT URIs' text instead of the
+    literal index (ref: BDS.java SUBJECT_SEARCH)."""
+    from blazegraph_database_spark.model.store import TripleStore
+    from blazegraph_database_spark.plans.sparql_parser import run_sparql
+
+    rows = [("product:42", "label", "a table", "string"),
+            ("order:7", "label", "a product order", "string")]
+    st = TripleStore(
+        spark.createDataFrame(rows, "s string, p string, o_lex string, o_dt string")
+    )
+    q = ('SELECT * WHERE { SERVICE <bds:search> { ?s <bds:search> "product" . '
+         '?s <bds:subjectSearch> "true" } }')
+    got = {r["s"] for r in run_sparql(st, q).collect()}
+    assert got == {"product:42"}  # the literal index would match order:7
