@@ -19,6 +19,17 @@ from pyspark.sql import functions as F
 TRIPLE_COLS = ["s", "p", "o_lex", "o_dt"]
 
 
+def _accepts_kwarg(fn, name: str) -> bool:
+    """Capability probe by signature — never by trial call, which would
+    swallow genuine TypeErrors from inside the factory and run it twice."""
+    import inspect
+
+    try:
+        return name in inspect.signature(fn).parameters
+    except (TypeError, ValueError):  # builtins/partials without signatures
+        return False
+
+
 @dataclass
 class PredStat:
     count: int
@@ -148,10 +159,8 @@ class TripleStore:
         key = (pred, typed)
         if key not in self._src_cache:
             factory = self.pred_sources[pred]
-            try:
-                self._src_cache[key] = factory(typed=typed) if typed else factory()
-            except TypeError:  # factory without typed support
-                self._src_cache[key] = factory()
+            use_typed = typed and _accepts_kwarg(factory, "typed")
+            self._src_cache[key] = factory(typed=True) if use_typed else factory()
         return self._src_cache[key]
 
     @property

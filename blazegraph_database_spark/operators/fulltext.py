@@ -59,6 +59,8 @@ def search(
     max_relevance_ppm: int | None = None,
     max_rank: int = 20,
     min_rank: int = 1,
+    scored_filter=None,
+    count_col: str | None = None,
 ) -> DataFrame:
     """Ranked keyword search over an inverted index.
 
@@ -101,6 +103,17 @@ def search(
     scored = scored.filter(F.col("score_ppm") >= min_relevance_ppm).drop("npat")
     if max_relevance_ppm is not None:
         scored = scored.filter(F.col("score_ppm") <= max_relevance_ppm)
+    if scored_filter is not None:
+        # hit-level filters (bds:matchExact/matchRegex) apply BEFORE rank
+        # assignment and the maxRank cut, like every other hit filter
+        scored = scored_filter(scored)
+    if count_col is not None:
+        # bds:rangeCount = TOTAL matching hits (pre-maxRank). Checkpoint so
+        # the count aggregate and the ranked read don't each re-run the
+        # whole search pipeline.
+        scored = scored.localCheckpoint(eager=True)
+        total = scored.agg(F.count(F.lit(1)).alias(count_col))
+        scored = scored.crossJoin(F.broadcast(total))
     # TakeOrderedAndProject: orderBy+limit never materializes a global sort
     top = scored.orderBy(F.col("score_ppm").desc(), F.col("id").asc()).limit(max_rank)
     from pyspark.sql.window import Window

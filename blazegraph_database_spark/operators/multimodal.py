@@ -139,6 +139,8 @@ def _parse_wav(b: bytes) -> tuple:
     audio_fmt, channels, _rate, _byte_rate, _align, bits = fmt
     if audio_fmt != 1:
         raise NotImplementedError("compressed WAV needs an audio codec library")
+    if bits not in (8, 16):
+        raise NotImplementedError(f"{bits}-bit PCM needs an audio library (8/16-bit supported)")
     samples = (
         np.frombuffer(data, dtype=np.uint8)
         if bits == 8
@@ -159,6 +161,8 @@ def _parse_bmp(b: bytes) -> tuple:
     bpp, compression = struct.unpack("<H", b[28:30])[0], struct.unpack("<I", b[30:34])[0]
     if compression != 0:
         raise NotImplementedError("compressed BMP needs an image codec library")
+    if bpp not in (8, 24, 32):
+        raise NotImplementedError(f"{bpp}-bpp BMP needs an image library (8/24/32 supported)")
     row_bytes = (width * bpp // 8 + 3) // 4 * 4  # rows pad to 4 bytes
     h = abs(height)
     px = np.frombuffer(b, dtype=np.uint8, count=row_bytes * h, offset=data_off)
@@ -185,7 +189,9 @@ def _parse_ppm(b: bytes) -> tuple:
             pos += 1
         fields.append(int(b[start:pos]))
     pos += 1  # single whitespace after maxval
-    width, height, _maxval = fields
+    width, height, maxval = fields
+    if maxval > 255:
+        raise NotImplementedError("2-byte-sample PPM needs an image library (maxval <= 255 supported)")
     px = np.frombuffer(b, dtype=np.uint8, count=width * height * 3, offset=pos)
     return ("image", width, height, width * height, float(px.mean()) if px.size else 0.0)
 

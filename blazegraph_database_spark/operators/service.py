@@ -84,16 +84,20 @@ def _geo_search(spark: SparkSession, params: dict) -> DataFrame:
 GAS_NS = "http://www.bigdata.com/rdf/gas#"
 
 
-def _gas_local(iri: str | None) -> str | None:
-    """Local name of a gas-vocabulary IRI in either its full-namespace or
-    compact 'gas:' form (queries may or may not declare the prefix)."""
+def _ns_local(iri: str | None, ns: str, prefix: str) -> str | None:
+    """Local name of a vocabulary IRI in either its full-namespace or
+    compact prefixed form (queries may or may not declare the prefix)."""
     if iri is None:
         return None
-    if iri.startswith(GAS_NS):
-        return iri[len(GAS_NS):]
-    if iri.startswith("gas:"):
-        return iri[4:]
+    if iri.startswith(ns):
+        return iri[len(ns):]
+    if iri.startswith(prefix):
+        return iri[len(prefix):]
     return None
+
+
+def _gas_local(iri: str | None) -> str | None:
+    return _ns_local(iri, GAS_NS, "gas:")
 
 
 def gas_service(store, patterns) -> DataFrame:
@@ -209,13 +213,7 @@ GEO_NS = "http://www.bigdata.com/rdf/geospatial#"
 
 
 def _geo_local(iri: str | None) -> str | None:
-    if iri is None:
-        return None
-    if iri.startswith(GEO_NS):
-        return iri[len(GEO_NS):]
-    if iri.startswith("geo:"):
-        return iri[4:]
-    return None
+    return _ns_local(iri, GEO_NS, "geo:")
 
 
 def geo_search_service(store, patterns) -> DataFrame:

@@ -612,9 +612,11 @@ def _star_fuse(patterns: list, store: TripleStore):
         native_preds = frozenset(
             const_lex(patterns[i].p) for i in uniq if patterns[i].o.name in native
         )
-        try:
-            df = store.star_factory(preds, native_preds)
-        except TypeError:  # star factory without native support
+        from blazegraph_database_spark.model.store import _accepts_kwarg
+
+        if _accepts_kwarg(store.star_factory, "native"):
+            df = store.star_factory(preds, native=native_preds)
+        else:  # star factory without native support
             df = store.star_factory(preds)
         if df is None:
             continue
@@ -1250,7 +1252,9 @@ def _(node: A.Service, store: TripleStore) -> DataFrame:
             elif pred == "bds:minRank":  # minRank+maxRank page (BDS.java)
                 opts["min_rank"] = int(const_lex(sp.o))
             elif pred == "bds:maxRelevance":
-                opts["max_relevance_ppm"] = int(float(const_lex(sp.o)) * 1_000_000)
+                # round, not truncate: the bound is inclusive, and a cap
+                # echoed back from a hit's own bds:relevance must keep it
+                opts["max_relevance_ppm"] = round(float(const_lex(sp.o)) * 1_000_000)
             elif pred == "bds:matchExact":
                 match_exact = const_lex(sp.o) == "true"
             elif pred == "bds:subjectSearch":  # BDS.java SUBJECT_SEARCH
@@ -1267,22 +1271,29 @@ def _(node: A.Service, store: TripleStore) -> DataFrame:
             raise ValueError("SERVICE <bds:search> needs `?var bds:search \"query\"`")
         patterns = [(t.rstrip("*"), t.endswith("*")) for t in query.split()]
         idx = _store_subject_index(store) if subject_search else _store_literal_index(store)
-        hits = fulltext.search(idx, patterns, **opts)
+        scored_filter = None
         if match_exact or match_regex is not None:
-            # post-filter on the matched document's literal text (ref:
-            # BDS.java MATCH_EXACT/MATCH_REGEX): join the ≤max_rank hits
-            # back to the memoized (s, text) surface
-            texts = _store_literal_texts(store).withColumnRenamed("s", "id")
-            hits = hits.join(texts, on="id")
-            if match_exact:  # must contain the exact phrase
-                hits = hits.filter(F.col("text").contains(query))
-            if match_regex is not None:
-                hits = hits.filter(F.col("text").rlike(match_regex))
-            hits = hits.drop("text")
-        if count_var is not None:  # BDS.java RANGE_COUNT: total-hit binding
-            hits = hits.crossJoin(
-                F.broadcast(hits.agg(F.count(F.lit(1)).alias(count_var)))
-            )
+            # hit-text filters (ref: BDS.java MATCH_EXACT/MATCH_REGEX) run
+            # inside search(), BEFORE ranking and the maxRank cut, against
+            # the matched document's text surface: the subject URI itself
+            # under subjectSearch, the memoized (s, text) literal surface
+            # otherwise
+            def scored_filter(scored, _q=query, _rx=match_regex, _ex=match_exact):
+                if subject_search:
+                    text = F.col("id")  # the doc IS the subject lexical
+                else:
+                    texts = _store_literal_texts(store).withColumnRenamed("s", "id")
+                    scored = scored.join(texts, on="id")
+                    text = F.col("text")
+                if _ex:
+                    scored = scored.filter(text.contains(_q))
+                if _rx is not None:
+                    scored = scored.filter(text.rlike(_rx))
+                return scored.drop("text")
+
+        hits = fulltext.search(
+            idx, patterns, scored_filter=scored_filter, count_col=count_var, **opts
+        )
         sel = [F.col("id").alias(subj.name)]
         if rel_var is not None:  # score as the 0..1 relevance the ref binds
             sel.append((F.col("score_ppm").cast("double") / 1_000_000).alias(rel_var))

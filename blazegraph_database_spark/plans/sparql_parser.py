@@ -115,7 +115,12 @@ _XSD_CAST_LOCAL = {
 }
 
 
-_BARE_VAR_RX = re.compile(r"^Column<'(\w+)'>$")
+# A bare var renders as Column<'name'>. Literals can render the same way
+# (Column<'10'>, Column<'true'>, Column<'NULL'>), so require a letter/
+# underscore start and exclude the literal keywords — a skipped rewrite
+# only costs the optimization, a false positive would invent a column.
+_BARE_VAR_RX = re.compile(r"^Column<'([A-Za-z_]\w*)'>$")
+_NON_VAR_WORDS = {"true", "false", "NULL"}
 _NUM_LIT_RX = re.compile(r"^Column<'-?\d+(\.\d+)?'>$")
 
 
@@ -129,10 +134,10 @@ def _typed_cmp_sides(left: Column, right: Column) -> tuple[Column, Column]:
     and push down to parquet (the reference's inline-IV range filters)."""
     ls, rs = str(left), str(right)
     lv, rn = _BARE_VAR_RX.match(ls), _NUM_LIT_RX.match(rs)
-    if lv and rn:
+    if lv and rn and lv.group(1) not in _NON_VAR_WORDS:
         return F.col(lv.group(1)).cast("double"), right
     rv, ln = _BARE_VAR_RX.match(rs), _NUM_LIT_RX.match(ls)
-    if rv and ln:
+    if rv and ln and rv.group(1) not in _NON_VAR_WORDS:
         return left, F.col(rv.group(1)).cast("double")
     return left, right
 
@@ -1068,6 +1073,10 @@ class Parser:
                     proj.append(v)
                 else:
                     break
+        # expression-level EXISTS in SELECT expressions: flags bind over
+        # the WHERE result, before the select extends/aggregates see them
+        select_flags = self._exists_flags
+        self._exists_flags = []
         ds_default, ds_named = self._dataset_clauses()
         # named subqueries: WITH { SELECT ... } AS %set (Blazegraph ext.;
         # ref: NamedSubqueryRoot.java) — each evaluates once, INCLUDEd below
@@ -1106,6 +1115,10 @@ class Parser:
                     if t.kind != "VAR":
                         raise SyntaxError(f"expected ?var after AS, got {t.text!r}")
                     self.eat_op(")")
+                    for fv, neg, pat in self._exists_flags:  # EXISTS in key expr
+                        node = A.ExistsFlag(node, pat, fv, negate=neg)
+                        select_flags.append((fv, neg, None))  # drop later only
+                    self._exists_flags = []
                     node = A.Extend(node, t.text[1:], e)
                     group_keys.append(t.text[1:])
                 else:
@@ -1118,6 +1131,8 @@ class Parser:
             hidden_aggs.extend(self._pending_aggs)
             self._pending_aggs = []
             self.eat_op(")")
+        having_flags = self._exists_flags
+        self._exists_flags = []
 
         order: list[tuple] = []
         order_uses_aggs = False
@@ -1167,6 +1182,8 @@ class Parser:
                     order.append((e, True))
                 else:
                     break
+        having_flags += self._exists_flags  # EXISTS in ORDER BY exprs
+        self._exists_flags = []
         limit = offset = None
         for _ in range(2):
             if self.at_kw("limit"):
@@ -1187,6 +1204,9 @@ class Parser:
         # SELECT aliases (?avg) and hoisted aggregates (COUNT(*) > n).
         if trailing_values is not None:
             node = A.Values(trailing_values.rows, child=node)
+        for fv, neg, pat in select_flags:
+            if pat is not None:  # group-key flags already wrapped inline
+                node = A.ExistsFlag(node, pat, fv, negate=neg)
         for v, e in binds:
             node = A.Extend(node, v, e)
         if group_keys or hidden_aggs:
@@ -1194,6 +1214,8 @@ class Parser:
             node = A.Group(node, keys=tuple(group_keys), aggs=aggs)
         for v, e in post_binds:
             node = A.Extend(node, v, e)
+        for fv, neg, pat in having_flags:
+            node = A.ExistsFlag(node, pat, fv, negate=neg)
         if having is not None:
             node = A.Filter(having, node)
         if proj is not None and proj:
@@ -1227,6 +1249,9 @@ class Parser:
         # subset limitation: sort keys must be projected variables
         if order:
             node = A.OrderBy(node, order)
+        flag_vars = [fv for fv, _n, _p in select_flags + having_flags]
+        if proj is None and flag_vars:
+            node = A.DropCols(node, tuple(flag_vars))
         if limit is not None or offset is not None:
             node = A.Slice(node, limit=limit, offset=offset or 0)
         if ds_default or ds_named:

@@ -875,7 +875,8 @@ def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(length(text) AS BIGINT) AS n_samples,
            ROUND(list_avg(list_transform(generate_series(1, length(text)),
                                          i -> ord(substr(text, i, 1)))), 2) AS feature_mean
-    FROM documents WHERE length(text) > 0
+    FROM documents
+    WHERE length(text) > 0 AND NOT regexp_matches(text, '[^\\x00-\\x7F]')
     """,
 )
 def multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -885,7 +886,11 @@ def multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     stub). The oracle recomputes the sample mean directly from the text's
     character codes, so a header-parse or sample-extraction bug fails the
     hash."""
-    docs = _docs(spark, sf_dir).filter(F.length("text") > 0)
+    # ASCII-only on both sides: the engine samples UTF-8 BYTES while the
+    # oracle averages per-CHARACTER codes — identical only for ASCII
+    docs = _docs(spark, sf_dir).filter(
+        (F.length("text") > 0) & ~F.col("text").rlike("[^\\x00-\\x7F]")
+    )
     media = multimodal.wrap_pcm_wav(docs)
     out = multimodal.decode_media_uncompressed(media)
     return out.select(

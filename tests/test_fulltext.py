@@ -134,3 +134,19 @@ def test_bds_subject_search(spark):
          '?s <bds:subjectSearch> "true" } }')
     got = {r["s"] for r in run_sparql(st, q).collect()}
     assert got == {"product:42"}  # the literal index would match order:7
+
+
+def test_bds_rangecount_is_total_prerank(spark):
+    """Review r4c: bds:rangeCount binds the TOTAL hit count (pre-maxRank),
+    and matchExact applies before the rank cut."""
+    from blazegraph_database_spark.model.store import TripleStore
+    from blazegraph_database_spark.plans.sparql_parser import run_sparql
+
+    rows = [(f"d{i}", "txt", f"beta word{i}", "string") for i in range(30)]
+    st = TripleStore(
+        spark.createDataFrame(rows, "s string, p string, o_lex string, o_dt string")
+    )
+    q = ('SELECT * WHERE { SERVICE <bds:search> { ?s <bds:search> "beta" . '
+         '?s <bds:maxRank> "5" . ?s <bds:rangeCount> ?n } }')
+    out = run_sparql(st, q).collect()
+    assert len(out) == 5 and all(r["n"] == 30 for r in out)

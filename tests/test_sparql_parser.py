@@ -527,3 +527,47 @@ def test_order_by_numeric_literals(spark):
     assert [r["s"] for r in out.collect()] == ["d", "a"]  # 2, 9 — not "10","100"
     out = run_sparql(st, "SELECT ?s WHERE { ?s <age> ?a } ORDER BY DESC(?a) LIMIT 1")
     assert [r["s"] for r in out.collect()] == ["c"]  # 100 numerically largest
+
+
+def test_exists_in_select_having_order(spark):
+    """Review r4c: expression-level EXISTS outside group bodies — in SELECT
+    expressions, HAVING, and ORDER BY — binds its flag over the right frame
+    instead of leaving an orphaned __exN column."""
+    from blazegraph_database_spark.model.store import TripleStore
+    from blazegraph_database_spark.plans.sparql_parser import run_sparql
+
+    rows = [("a", "knows", "b", "iri"), ("b", "knows", "c", "iri"),
+            ("a", "age", "30", "long"), ("b", "age", "7", "long"),
+            ("c", "age", "9", "long")]
+    st = TripleStore(
+        spark.createDataFrame(rows, "s string, p string, o_lex string, o_dt string")
+    )
+    out = run_sparql(st, "SELECT ?s (EXISTS { ?s <knows> ?x } AS ?e) WHERE { ?s <age> ?a }")
+    assert {(r["s"], r["e"]) for r in out.collect()} == {
+        ("a", True), ("b", True), ("c", False)
+    }
+    out = run_sparql(
+        st,
+        "SELECT ?s (COUNT(*) AS ?n) WHERE { ?s <age> ?a } GROUP BY ?s "
+        "HAVING(EXISTS { ?s <knows> ?x })",
+    )
+    assert {r["s"] for r in out.collect()} == {"a", "b"}
+    # SELECT * never leaks the flag column
+    out = run_sparql(st, "SELECT * WHERE { ?s <age> ?a } ORDER BY (NOT EXISTS { ?s <knows> ?x }) LIMIT 1")
+    assert not [c for c in out.columns if c.startswith("__ex")]
+
+
+def test_literal_comparisons_not_rewritten(spark):
+    """Review r4c: FILTER(1 < 2) / FILTER(true = 1)-style literal-vs-literal
+    comparisons must not be mistaken for bare vars by the typed-view
+    rewrite."""
+    from blazegraph_database_spark.model.store import TripleStore
+    from blazegraph_database_spark.plans.sparql_parser import run_sparql
+
+    st = TripleStore(
+        spark.createDataFrame(
+            [("a", "age", "30", "long")], "s string, p string, o_lex string, o_dt string"
+        )
+    )
+    assert run_sparql(st, "SELECT ?s WHERE { ?s <age> ?a FILTER(1 < 2) }").count() == 1
+    assert run_sparql(st, "SELECT ?s WHERE { ?s <age> ?a FILTER(2 < 1) }").count() == 0
