@@ -127,6 +127,24 @@ def _identity_pairs(pairs: DataFrame, keys: list[str] | None = None) -> DataFram
     return nodes.select(*keys, F.col("n").alias("s"), F.col("n").alias("o"))
 
 
+def _identity_all_terms(store: TripleStore, with_graph: bool) -> DataFrame:
+    """(x, x) for EVERY term of the (scoped) graph — the SPARQL ZeroLengthPath
+    domain (spec: zero-length paths match all graph nodes, subjects and
+    objects alike; the reference's ZeroLengthPathOp binds the same set).
+    This is what makes `P*` nested under a sequence correct: `knows*/age`
+    must reach nodes that have an `age` but no `knows` edges. Inherently a
+    terms scan when both endpoints are unbound; constant endpoints prune it
+    through the PathPattern filter."""
+    k = _gcols(with_graph)
+    df = store.df
+    nodes = (
+        df.select(*k, F.col("s").alias("n"))
+        .unionByName(df.select(*k, F.col("o_lex").alias("n")))
+        .distinct()
+    )
+    return nodes.select(*k, F.col("n").alias("s"), F.col("n").alias("o"))
+
+
 def compile_path(store: TripleStore, path, with_graph: bool = False) -> DataFrame:
     """Compile a path expression to a distinct (s, o) pair DataFrame —
     ([g,] s, o) when with_graph, evaluated per named graph."""
@@ -152,10 +170,15 @@ def compile_path(store: TripleStore, path, with_graph: bool = False) -> DataFram
         return transitive_closure(compile_path(store, path.path, with_graph), keys=k)
     if isinstance(path, A.Star):
         base = compile_path(store, path.path, with_graph)
-        # Zero-length component restricted to the path's node domain (documented
-        # deviation from binding every term in the graph; matches common engines).
-        return transitive_closure(base, keys=k).unionByName(_identity_pairs(base, k)).distinct()
+        # zero-length component = identity over ALL graph terms (SPARQL
+        # ZeroLengthPath; ref: ZeroLengthPathOp) — required for correctness
+        # when the star nests under a sequence
+        return (
+            transitive_closure(base, keys=k)
+            .unionByName(_identity_all_terms(store, with_graph))
+            .distinct()
+        )
     if isinstance(path, A.ZeroOrOne):
         base = compile_path(store, path.path, with_graph)
-        return base.unionByName(_identity_pairs(base, k)).distinct()
+        return base.unionByName(_identity_all_terms(store, with_graph)).distinct()
     raise TypeError(f"unknown path expression: {path!r}")

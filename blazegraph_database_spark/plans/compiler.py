@@ -1328,6 +1328,20 @@ def _(node: A.PathPattern, store: TripleStore) -> DataFrame:
             scoped.track_dt = store.track_dt
             store = scoped
     pairs = compile_path(store, node.path, with_graph=with_graph)  # DF([g,] s, o)
+    if isinstance(node.path, (A.Star, A.ZeroOrOne)):
+        # spec ALP: a CONSTANT endpoint zero-length-matches itself even when
+        # the term is absent from the graph (W3C ZeroOrMorePath starts at x)
+        consts = [
+            const_lex(p) for p in (node.s, node.o) if p is not None and is_const(p)
+        ]
+        if consts:
+            spark = store.spark
+            ident = spark.createDataFrame(
+                [(c, c) for c in set(consts)], "s string, o string"
+            )
+            if with_graph:
+                ident = store.df.select("g").distinct().crossJoin(ident)
+            pairs = pairs.unionByName(ident).distinct()
     df = pairs
     sel = []
     positions = (("s", node.s), ("o", node.o)) + ((("g", node.g),) if with_graph else ())

@@ -571,3 +571,24 @@ def test_literal_comparisons_not_rewritten(spark):
     )
     assert run_sparql(st, "SELECT ?s WHERE { ?s <age> ?a FILTER(1 < 2) }").count() == 1
     assert run_sparql(st, "SELECT ?s WHERE { ?s <age> ?a FILTER(2 < 1) }").count() == 0
+
+
+def test_zero_length_path_all_terms(spark):
+    """SPARQL ZeroLengthPath: `P*`/`P?` zero-length matches EVERY graph term
+    (ref: ZeroLengthPathOp), which makes stars nested under sequences
+    correct — knows*/age must reach nodes with an age but no knows edge."""
+    from blazegraph_database_spark.model.store import TripleStore
+    from blazegraph_database_spark.plans.sparql_parser import run_sparql
+
+    rows = [("a", "knows", "b", "iri"), ("b", "knows", "c", "iri"),
+            ("d", "age", "7", "long")]
+    st = TripleStore(
+        spark.createDataFrame(rows, "s string, p string, o_lex string, o_dt string")
+    )
+    got = {tuple(r) for r in run_sparql(st, "SELECT ?x ?y WHERE { ?x <knows>* ?y }").collect()}
+    assert got == {("a", "a"), ("a", "b"), ("a", "c"), ("b", "b"), ("b", "c"),
+                   ("c", "c"), ("d", "d"), ("7", "7")}
+    got = {tuple(r) for r in run_sparql(st, "SELECT ?x ?y WHERE { ?x <knows>*/<age> ?y }").collect()}
+    assert got == {("d", "7")}
+    got = {tuple(r) for r in run_sparql(st, "SELECT ?y WHERE { <zzz> <knows>* ?y }").collect()}
+    assert got == {("zzz",)}  # spec ALP: a constant start matches itself
