@@ -573,3 +573,30 @@ def sparql_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
     )
     return evaluate(st, plan)
+
+
+@register(
+    "exists_expr_filter",
+    """
+    SELECT c_custkey AS ck, c_acctbal AS bal
+    FROM customer
+    WHERE (c_acctbal > 9000 AND EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey))
+       OR c_acctbal > 9900
+    """,
+)
+def exists_expr_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS as a VALUE EXPRESSION composed with && and || inside one
+    FILTER (SPARQL 1.1 expression operator; ref: ExistsNode as a value
+    expression), through the text parser end-to-end."""
+    from blazegraph_database_spark.plans.sparql_parser import run_sparql
+
+    st = cached_store(spark, sf_dir)
+    q = """
+    PREFIX xsd: <http://www.w3.org/2001/XMLSchema#>
+    SELECT (xsd:long(?k) AS ?ck) (xsd:double(?b) AS ?bal) WHERE {
+      ?c <customer#c_custkey> ?k .
+      ?c <customer#c_acctbal> ?b .
+      FILTER((EXISTS { ?o <orders#o_custkey_ref> ?c } && ?b > 9000) || ?b > 9900)
+    }
+    """
+    return run_sparql(st, q)

@@ -25,6 +25,7 @@ _SCORE_FIRST = [
     "tm_tc_delete",
     "dedup_cluster_canonical",
     "multimodal_wav_decode",
+    "exists_expr_filter",
     # Never driver-green (erred or hash-mismatched in r1, fixed since, green
     # under scripts/check_correctness.py): need driver rows most urgently.
     "fulltext_search",
