@@ -486,3 +486,150 @@ def embedding_near_dup_pairs(
         .select("a", "b", F.round(cosine(F.col("va"), F.col("vb")), 4).alias("cos"))
         .filter(F.col("cos") >= min_cos)
     )
+
+
+# ---------------------------------------------------- product quantization --
+def _int_l2_cols(a: Column, b: Column) -> Column:
+    """Exact integer squared-L2 between two quantized vectors."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda s, v: s + v,
+    )
+
+
+def _pq_subvectors(df: DataFrame, id_alias: str, m: int, dim: int, vec_col: str) -> DataFrame:
+    """(id, sub, sv): each vector's quantized sub-slices, one row per
+    subspace (m rows per vector)."""
+    sub_len = dim // m
+    vq = quantize(as_double(F.col(vec_col)))
+    slices = F.array(
+        *[
+            F.struct(
+                F.lit(s).alias("sub"), F.slice(vq, s * sub_len + 1, sub_len).alias("sv")
+            )
+            for s in range(m)
+        ]
+    )
+    return df.select(F.col("vec_id").alias(id_alias), F.explode(slices).alias("x")).select(
+        id_alias, "x.sub", "x.sv"
+    )
+
+
+def _pq_assign(subs: DataFrame, books: DataFrame, id_alias: str) -> DataFrame:
+    """Nearest codebook entry per (vector, subspace) by exact integer
+    squared-L2; ties break to the lower code — deterministic, so a SQL
+    oracle reproduces every code."""
+    from pyspark.sql.window import Window
+
+    scored = subs.join(F.broadcast(books), on="sub").select(
+        id_alias, "sub", "sv", "code", _int_l2_cols(F.col("sv"), F.col("cq")).alias("_d")
+    )
+    w = Window.partitionBy(id_alias, "sub").orderBy(F.col("_d").asc(), F.col("code").asc())
+    return (
+        scored.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") == 1)
+        .select(id_alias, "sub", "sv", "code")
+    )
+
+
+def pq_codebooks(
+    corpus: DataFrame,
+    m: int = 4,
+    k: int = 8,
+    iters: int = 1,
+    dim: int = 64,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantization codebooks (Jégou et al.): the dim splits into m
+    subspaces; per subspace, k centroids Lloyd-refined from the k lowest-id
+    vectors' sub-slices. Integer arithmetic end-to-end (quantized values,
+    floor-average updates), so the codebooks — and every code assignment —
+    are bit-identical in Spark and a SQL oracle. Returns (sub, code, cq).
+
+    Scale: codebooks are m*k rows (broadcast); each Lloyd round is one
+    corpus-subvector pass + one (sub, code, pos) aggregation. At 100 TB,
+    train on a sampled fraction — the plan shape holds."""
+    subs = _pq_subvectors(corpus, "vid", m, dim, vec_col)
+    books = subs.filter(F.col("vid") < k).select(
+        "sub", F.col("vid").alias("code"), F.col("sv").alias("cq")
+    )
+    for _ in range(iters):
+        assigned = _pq_assign(subs, books, "vid")
+        comp = (
+            assigned.select("sub", "code", F.posexplode("sv").alias("pos", "val"))
+            .groupBy("sub", "code", "pos")
+            .agg(F.floor(F.sum("val") / F.count(F.lit(1))).cast("long").alias("c"))
+        )
+        books = (
+            comp.groupBy("sub", "code")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("pc"))
+            .select("sub", "code", F.transform("pc", lambda s: s["c"]).alias("cq"))
+            .localCheckpoint(eager=True)
+        )
+    return books
+
+
+def pq_encode(
+    corpus: DataFrame, books: DataFrame, m: int = 4, dim: int = 64, vec_col: str = "embedding"
+) -> DataFrame:
+    """(neighbor, sub, code): the corpus compressed to m small codes per
+    vector — at 100 TB this is the in-memory structure ADC search scans
+    (m bytes/vector at k<=256 vs dim*4 for raw floats)."""
+    subs = _pq_subvectors(corpus, "neighbor", m, dim, vec_col)
+    return _pq_assign(subs, books, "neighbor").select("neighbor", "sub", "code")
+
+
+def pq_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    m: int = 4,
+    n_codes: int = 8,
+    n_rescore: int = 10,
+    dim: int = 64,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ asymmetric-distance (ADC) top-k: per-query subspace distance
+    tables against the codebooks (tiny, broadcast), approximate distance =
+    sum of m table lookups over the compressed codes, exact-cosine rescore
+    of the n_rescore best. Returns (q, neighbor, cos) — the fourth ANN
+    strategy next to brute-force, sign-LSH, and IVF.
+
+    Scale: the candidate-generation scan touches ONLY the m-codes table
+    (never the raw vectors); raw embeddings are read again just for the
+    q×n_rescore rescore join."""
+    from pyspark.sql.window import Window
+
+    books = pq_codebooks(corpus, m=m, k=n_codes, dim=dim, vec_col=vec_col)
+    codes = pq_encode(corpus, books, m=m, dim=dim, vec_col=vec_col)
+    qtab = (
+        _pq_subvectors(queries, "q", m, dim, vec_col)
+        .join(F.broadcast(books), on="sub")
+        .select("q", "sub", "code", _int_l2_cols(F.col("sv"), F.col("cq")).alias("d"))
+    )
+    apx = (
+        codes.join(F.broadcast(qtab), on=["sub", "code"])
+        .filter(F.col("q") != F.col("neighbor"))
+        .groupBy("q", "neighbor")
+        .agg(F.sum("d").alias("apx"), F.count(F.lit(1)).alias("_m"))
+        # a candidate must have a lookup in EVERY subspace (it always does —
+        # the join is total over codes — but the guard keeps the sum honest)
+        .filter(F.col("_m") == m)
+    )
+    wa = Window.partitionBy("q").orderBy(F.col("apx").asc(), F.col("neighbor").asc())
+    cand = apx.withColumn("_r", F.row_number().over(wa)).filter(F.col("_r") <= n_rescore)
+    cv = corpus.select(F.col("vec_id").alias("neighbor"), as_double(F.col(vec_col)).alias("nv"))
+    qv = queries.select(F.col("vec_id").alias("q"), as_double(F.col(vec_col)).alias("qvv"))
+    rescored = (
+        cand.select("q", "neighbor")
+        .join(cv, on="neighbor")
+        .join(F.broadcast(qv), on="q")
+        .select("q", "neighbor", F.round(cosine(F.col("qvv"), F.col("nv")), 4).alias("cos"))
+    )
+    wk = Window.partitionBy("q").orderBy(F.col("cos").desc(), F.col("neighbor").asc())
+    return (
+        rescored.withColumn("_r", F.row_number().over(wk))
+        .filter(F.col("_r") <= k)
+        .select("q", "neighbor", "cos")
+    )

@@ -898,3 +898,76 @@ def multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_samples",
         F.round("feature_mean", 2).alias("feature_mean"),
     )
+
+
+@register(
+    "ann_ivf_pq",
+    """
+    WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+               list_transform(CAST(embedding AS DOUBLE[]), x -> CAST(ROUND(x*1000) AS BIGINT)) AS vq
+        FROM embeddings
+    ),
+    subsp(sub) AS (SELECT UNNEST(generate_series(0, 3))),
+    idx(i) AS (SELECT UNNEST(generate_series(1, 16))),
+    subs AS (
+        SELECT vec_id, s.sub, e.vq[s.sub*16+1 : s.sub*16+16] AS sv
+        FROM e CROSS JOIN subsp s
+    ),
+    b0 AS (SELECT sub, vec_id AS code, sv AS cq FROM subs WHERE vec_id < 8),
+    d1 AS (
+        SELECT subs.vec_id, subs.sub, b.code,
+               CAST(SUM((subs.sv[i]-b.cq[i])*(subs.sv[i]-b.cq[i])) AS BIGINT) AS d
+        FROM subs JOIN b0 b ON subs.sub = b.sub CROSS JOIN idx GROUP BY 1,2,3
+    ),
+    a1 AS (
+        SELECT vec_id, sub, code FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY d ASC, code ASC) AS r FROM d1
+        ) WHERE r = 1
+    ),
+    comp AS (
+        SELECT a1.sub, a1.code, idx.i, CAST(FLOOR(SUM(s2.sv[idx.i]) * 1.0 / COUNT(*)) AS BIGINT) AS c
+        FROM a1 JOIN subs s2 ON s2.vec_id = a1.vec_id AND s2.sub = a1.sub CROSS JOIN idx
+        GROUP BY 1,2,3
+    ),
+    b1 AS (SELECT sub, code, list(c ORDER BY i) AS cq FROM comp GROUP BY 1,2),
+    d2 AS (
+        SELECT subs.vec_id, subs.sub, b.code,
+               CAST(SUM((subs.sv[i]-b.cq[i])*(subs.sv[i]-b.cq[i])) AS BIGINT) AS d
+        FROM subs JOIN b1 b ON subs.sub = b.sub CROSS JOIN idx GROUP BY 1,2,3
+    ),
+    codes AS (
+        SELECT vec_id AS neighbor, sub, code FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY d ASC, code ASC) AS r FROM d2
+        ) WHERE r = 1
+    ),
+    qtab AS (SELECT vec_id AS q, sub, code, d FROM d2 WHERE vec_id < 5),
+    apx AS (
+        SELECT qt.q, c.neighbor, SUM(qt.d) AS apx
+        FROM codes c JOIN qtab qt ON c.sub = qt.sub AND c.code = qt.code
+        WHERE qt.q != c.neighbor
+        GROUP BY 1,2
+    ),
+    cand AS (
+        SELECT q, neighbor FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY q ORDER BY apx ASC, neighbor ASC) AS r FROM apx
+        ) WHERE r <= 10
+    ),
+    scored AS (
+        SELECT cand.q, cand.neighbor, ROUND(list_cosine_similarity(eq.v, ec.v), 4) AS cos
+        FROM cand JOIN e eq ON eq.vec_id = cand.q JOIN e ec ON ec.vec_id = cand.neighbor
+    ),
+    rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY q ORDER BY cos DESC, neighbor ASC) AS r FROM scored)
+    SELECT q, neighbor, cos FROM rk WHERE r <= 3
+    """,
+)
+def ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC search (Jégou et al. — the IVF-PQ candidate
+    stage that makes billion-vector ANN tractable): 64-dim vectors compress
+    to 4 subspace codes against Lloyd-refined integer codebooks; per-query
+    distance tables (broadcast) turn candidate generation into a scan of
+    the codes table alone; the best 10 rescore with exact cosine. Fourth
+    ANN strategy next to brute-force, sign-LSH, and IVF — integer-exact,
+    so the oracle unrolls the same training + encode + ADC search in SQL."""
+    embs = _embs(spark, sf_dir)
+    return similarity.pq_ann_topk(embs, embs.filter(F.col("vec_id") < 5))

@@ -324,3 +324,32 @@ def test_uncompressed_decoders_real(spark):
     rows = {r["media_id"]: r for r in mm.decode_media_uncompressed(df).collect()}
     assert rows[1]["kind"] == "audio" and rows[1]["n_samples"] == 3
     assert rows[2]["kind"] == "image" and rows[2]["feature_mean"] == 15.0
+
+
+def test_pq_ann_shapes_and_recall(spark):
+    """PQ ADC search: codes table is m rows per vector (the compressed
+    surface ADC scans), and top-1 recall against brute-force cosine is
+    reasonable on the harness embeddings."""
+    from blazegraph_database_spark.operators import similarity as S
+
+    embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    n = embs.count()
+    books = S.pq_codebooks(embs, m=4, k=8)
+    assert books.count() <= 4 * 8
+    codes = S.pq_encode(embs, books, m=4)
+    assert codes.count() == n * 4
+    assert codes.select("neighbor").distinct().count() == n
+
+    queries = embs.filter("vec_id < 10")
+    pq = {(r["q"], r["r"]): r["neighbor"] for r in _ranked(S.pq_ann_topk(embs, queries, k=1, n_rescore=20))}
+    bf = {(r["q"], r["r"]): r["neighbor"] for r in _ranked(S.brute_force_topk(embs, queries, k=1))}
+    hit = sum(1 for key in bf if pq.get(key) == bf[key])
+    assert hit >= 5  # >=50% top-1 recall at n_rescore=20 on random vectors
+
+
+def _ranked(df):
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("q").orderBy(F.col("cos").desc(), F.col("neighbor").asc())
+    return df.withColumn("r", F.row_number().over(w)).collect()
