@@ -387,6 +387,26 @@ class SparqlEndpoint:
                 df = df.filter(F.col(col) == val)
         return 200, JSON, json.dumps({"rangeCount": df.count()}).encode()
 
+    def contexts(self, ns: str) -> tuple[int, str, bytes]:
+        """CONTEXTS: the namespace's named graphs, as the SPARQL-results
+        document the reference's ?CONTEXTS verb returns (one
+        ``contextIRI`` binding per graph; triples-only stores: none)."""
+        store = self.namespaces[ns].current
+        rows = (
+            [r["g"] for r in store.df.select("g").distinct().collect()]
+            if "g" in store.df.columns
+            else []
+        )
+        doc = {
+            "head": {"vars": ["contextIRI"]},
+            "results": {
+                "bindings": [
+                    {"contextIRI": {"type": "uri", "value": g}} for g in sorted(rows)
+                ]
+            },
+        }
+        return 200, SRJ, json.dumps(doc).encode()
+
     def _pattern_filter(self, ns: str, params: dict):
         from pyspark.sql import functions as F
 
@@ -501,6 +521,8 @@ class SparqlEndpoint:
             return None
 
         if method == "GET":
+            if "CONTEXTS" in params:
+                return self.contexts(ns)
             if "ESTCARD" in params:
                 return self.estcard(ns, params)
             if "HASSTMT" in params:

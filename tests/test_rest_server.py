@@ -399,3 +399,13 @@ def test_query_timeout(server):
     except urllib.error.HTTPError as e:
         status = e.code
     assert status == 503
+
+
+def test_contexts_verb(server):
+    """GET ?CONTEXTS lists the namespace's named graphs (ref: the REST
+    API's CONTEXTS verb); a triples-only namespace reports none."""
+    status, ctype, body = _req(f"{server}/sparql?CONTEXTS")
+    assert status == 200 and ctype == "application/sparql-results+json"
+    doc = json.loads(body)
+    assert doc["head"]["vars"] == ["contextIRI"]
+    assert doc["results"]["bindings"] == []  # fixture store has no g column
