@@ -381,3 +381,44 @@ def pack_sequences(
     return out.withColumn(
         "seq", F.floor(cum_before / F.lit(float(budget))).cast("long")
     )
+
+
+def char_trigrams(text: Column) -> Column:
+    """Array of character trigrams of the lowercased, whitespace-collapsed
+    text (docs shorter than 3 chars → empty array). Pure expressions."""
+    t = F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
+    n = F.length(t)
+    return F.when(n < 3, F.array().cast("array<string>")).otherwise(
+        F.transform(F.sequence(F.lit(1), n - 2), lambda i: t.substr(i, F.lit(3)))
+    )
+
+
+def rare_trigram_fraction(
+    df: DataFrame, max_count: int = 5, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Corpus-statistics gibberish signal: the fraction of a document's
+    character trigrams whose CORPUS occurrence count is <= max_count.
+    Random strings, mojibake, and encoding damage are built from trigrams
+    the rest of the corpus never produces; natural text reuses common ones
+    (the cross-document counterpart of the intra-document repetition
+    signals). Integer counts and an exact ratio — SQL-oracle-reproducible.
+
+    Two linear passes at 100 TB: one trigram-count aggregation
+    (vocabulary-sized shuffle, map-side combined), one explode+join+ratio
+    pass; no Python anywhere. Returns (id, n_trigrams, rare_frac)."""
+    tris = df.select(
+        F.col(id_col).alias("id"), F.explode(char_trigrams(F.col(text_col))).alias("tri")
+    )
+    counts = tris.groupBy("tri").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        tris.join(counts, on="tri")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_trigrams"),
+            F.round(
+                F.sum(F.when(F.col("c") <= max_count, 1).otherwise(0))
+                / F.count(F.lit(1)),
+                4,
+            ).alias("rare_frac"),
+        )
+    )

@@ -971,3 +971,31 @@ def ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the oracle unrolls the same training + encode + ADC search in SQL."""
     embs = _embs(spark, sf_dir)
     return similarity.pq_ann_topk(embs, embs.filter(F.col("vec_id") < 5))
+
+
+@register(
+    "text_rare_trigrams",
+    """
+    WITH t AS (
+        SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS nt
+        FROM documents
+    ),
+    tris AS (
+        SELECT doc_id, unnest(list_transform(generate_series(1, length(nt) - 2),
+                                             i -> substr(nt, i, 3))) AS tri
+        FROM t WHERE length(nt) >= 3
+    ),
+    counts AS (SELECT tri, COUNT(*) AS c FROM tris GROUP BY tri)
+    SELECT doc_id AS id,
+           CAST(COUNT(*) AS BIGINT) AS n_trigrams,
+           ROUND(SUM(CASE WHEN c <= 5 THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 4) AS rare_frac
+    FROM tris JOIN counts USING (tri)
+    GROUP BY doc_id
+    """,
+)
+def text_rare_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-statistics gibberish signal: fraction of each document's char
+    trigrams that the whole corpus produces <= 5 times — mojibake and
+    random strings score high, natural text low (cross-document complement
+    of the intra-document repetition signals)."""
+    return text.rare_trigram_fraction(_docs(spark, sf_dir))

@@ -27,6 +27,7 @@ _SCORE_FIRST = [
     "multimodal_wav_decode",
     "exists_expr_filter",
     "ann_ivf_pq",
+    "text_rare_trigrams",
     # Never driver-green (erred or hash-mismatched in r1, fixed since, green
     # under scripts/check_correctness.py): need driver rows most urgently.
     "fulltext_search",
