@@ -117,16 +117,6 @@ def transitive_closure(
         return known
 
 
-def _identity_pairs(pairs: DataFrame, keys: list[str] | None = None) -> DataFrame:
-    keys = keys or []
-    nodes = (
-        pairs.select(*keys, F.col("s").alias("n"))
-        .unionByName(pairs.select(*keys, F.col("o").alias("n")))
-        .distinct()
-    )
-    return nodes.select(*keys, F.col("n").alias("s"), F.col("n").alias("o"))
-
-
 def _identity_all_terms(store: TripleStore, with_graph: bool) -> DataFrame:
     """(x, x) for EVERY term of the (scoped) graph — the SPARQL ZeroLengthPath
     domain (spec: zero-length paths match all graph nodes, subjects and

@@ -498,7 +498,9 @@ def _int_l2_cols(a: Column, b: Column) -> Column:
     )
 
 
-def _pq_subvectors(df: DataFrame, id_alias: str, m: int, dim: int, vec_col: str) -> DataFrame:
+def _pq_subvectors(
+    df: DataFrame, id_alias: str, m: int, dim: int, vec_col: str, id_col: str = "vec_id"
+) -> DataFrame:
     """(id, sub, sv): each vector's quantized sub-slices, one row per
     subspace (m rows per vector)."""
     sub_len = dim // m
@@ -511,7 +513,7 @@ def _pq_subvectors(df: DataFrame, id_alias: str, m: int, dim: int, vec_col: str)
             for s in range(m)
         ]
     )
-    return df.select(F.col("vec_id").alias(id_alias), F.explode(slices).alias("x")).select(
+    return df.select(F.col(id_col).alias(id_alias), F.explode(slices).alias("x")).select(
         id_alias, "x.sub", "x.sv"
     )
 
@@ -540,6 +542,7 @@ def pq_codebooks(
     iters: int = 1,
     dim: int = 64,
     vec_col: str = "embedding",
+    id_col: str = "vec_id",
 ) -> DataFrame:
     """Product-quantization codebooks (Jégou et al.): the dim splits into m
     subspaces; per subspace, k centroids Lloyd-refined from the k lowest-id
@@ -550,7 +553,7 @@ def pq_codebooks(
     Scale: codebooks are m*k rows (broadcast); each Lloyd round is one
     corpus-subvector pass + one (sub, code, pos) aggregation. At 100 TB,
     train on a sampled fraction — the plan shape holds."""
-    subs = _pq_subvectors(corpus, "vid", m, dim, vec_col)
+    subs = _pq_subvectors(corpus, "vid", m, dim, vec_col, id_col)
     books = subs.filter(F.col("vid") < k).select(
         "sub", F.col("vid").alias("code"), F.col("sv").alias("cq")
     )
@@ -571,12 +574,17 @@ def pq_codebooks(
 
 
 def pq_encode(
-    corpus: DataFrame, books: DataFrame, m: int = 4, dim: int = 64, vec_col: str = "embedding"
+    corpus: DataFrame,
+    books: DataFrame,
+    m: int = 4,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
 ) -> DataFrame:
     """(neighbor, sub, code): the corpus compressed to m small codes per
     vector — at 100 TB this is the in-memory structure ADC search scans
     (m bytes/vector at k<=256 vs dim*4 for raw floats)."""
-    subs = _pq_subvectors(corpus, "neighbor", m, dim, vec_col)
+    subs = _pq_subvectors(corpus, "neighbor", m, dim, vec_col, id_col)
     return _pq_assign(subs, books, "neighbor").select("neighbor", "sub", "code")
 
 
@@ -589,6 +597,7 @@ def pq_ann_topk(
     n_rescore: int = 10,
     dim: int = 64,
     vec_col: str = "embedding",
+    id_col: str = "vec_id",
 ) -> DataFrame:
     """PQ asymmetric-distance (ADC) top-k: per-query subspace distance
     tables against the codebooks (tiny, broadcast), approximate distance =
@@ -601,10 +610,10 @@ def pq_ann_topk(
     q×n_rescore rescore join."""
     from pyspark.sql.window import Window
 
-    books = pq_codebooks(corpus, m=m, k=n_codes, dim=dim, vec_col=vec_col)
-    codes = pq_encode(corpus, books, m=m, dim=dim, vec_col=vec_col)
+    books = pq_codebooks(corpus, m=m, k=n_codes, dim=dim, vec_col=vec_col, id_col=id_col)
+    codes = pq_encode(corpus, books, m=m, dim=dim, vec_col=vec_col, id_col=id_col)
     qtab = (
-        _pq_subvectors(queries, "q", m, dim, vec_col)
+        _pq_subvectors(queries, "q", m, dim, vec_col, id_col)
         .join(F.broadcast(books), on="sub")
         .select("q", "sub", "code", _int_l2_cols(F.col("sv"), F.col("cq")).alias("d"))
     )
@@ -619,8 +628,8 @@ def pq_ann_topk(
     )
     wa = Window.partitionBy("q").orderBy(F.col("apx").asc(), F.col("neighbor").asc())
     cand = apx.withColumn("_r", F.row_number().over(wa)).filter(F.col("_r") <= n_rescore)
-    cv = corpus.select(F.col("vec_id").alias("neighbor"), as_double(F.col(vec_col)).alias("nv"))
-    qv = queries.select(F.col("vec_id").alias("q"), as_double(F.col(vec_col)).alias("qvv"))
+    cv = corpus.select(F.col(id_col).alias("neighbor"), as_double(F.col(vec_col)).alias("nv"))
+    qv = queries.select(F.col(id_col).alias("q"), as_double(F.col(vec_col)).alias("qvv"))
     rescored = (
         cand.select("q", "neighbor")
         .join(cv, on="neighbor")

@@ -386,7 +386,9 @@ def pack_sequences(
 def char_trigrams(text: Column) -> Column:
     """Array of character trigrams of the lowercased, whitespace-collapsed
     text (docs shorter than 3 chars → empty array). Pure expressions."""
-    t = F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
+    # explicit class = RE2's \s (DuckDB oracle); Java's \s also eats
+    # \x0B, which would silently diverge on vertical-tab mojibake
+    t = F.regexp_replace(F.lower(F.trim(text)), "[ \t\n\f\r]+", " ")
     n = F.length(t)
     return F.when(n < 3, F.array().cast("array<string>")).otherwise(
         F.transform(F.sequence(F.lit(1), n - 2), lambda i: t.substr(i, F.lit(3)))

@@ -1312,6 +1312,21 @@ def _(node: A.Service, store: TripleStore) -> DataFrame:
     return out
 
 
+def _path_nullable(path) -> bool:
+    """True iff the path expression's language contains the empty word
+    (matches zero-length) — Star/ZeroOrOne introduce epsilon, Inv preserves
+    it, Alt needs either arm, Seq needs both."""
+    if isinstance(path, (A.Star, A.ZeroOrOne)):
+        return True
+    if isinstance(path, A.Inv):
+        return _path_nullable(path.path)
+    if isinstance(path, A.Alt):
+        return _path_nullable(path.left) or _path_nullable(path.right)
+    if isinstance(path, A.Seq):
+        return _path_nullable(path.left) and _path_nullable(path.right)
+    return False  # Link / NegatedPropertySet / str
+
+
 @_compile.register
 def _(node: A.PathPattern, store: TripleStore) -> DataFrame:
     from blazegraph_database_spark.operators.paths import compile_path
@@ -1328,9 +1343,13 @@ def _(node: A.PathPattern, store: TripleStore) -> DataFrame:
             scoped.track_dt = store.track_dt
             store = scoped
     pairs = compile_path(store, node.path, with_graph=with_graph)  # DF([g,] s, o)
-    if isinstance(node.path, (A.Star, A.ZeroOrOne)):
-        # spec ALP: a CONSTANT endpoint zero-length-matches itself even when
-        # the term is absent from the graph (W3C ZeroOrMorePath starts at x)
+    if _path_nullable(node.path):
+        # spec ALP: when the path language contains epsilon, a CONSTANT
+        # endpoint zero-length-matches itself even when the term is absent
+        # from the graph (W3C ZeroOrMorePath starts at x). Keyed on
+        # nullability, not the outermost node, so ^p*, (p*|q), p?/q?
+        # wrappers all get it. Anti-join instead of a trailing distinct:
+        # deduping <=2 identity rows must not re-shuffle the whole closure.
         consts = [
             const_lex(p) for p in (node.s, node.o) if p is not None and is_const(p)
         ]
@@ -1341,7 +1360,8 @@ def _(node: A.PathPattern, store: TripleStore) -> DataFrame:
             )
             if with_graph:
                 ident = store.df.select("g").distinct().crossJoin(ident)
-            pairs = pairs.unionByName(ident).distinct()
+            on = (["g"] if with_graph else []) + ["s", "o"]
+            pairs = pairs.unionByName(ident.join(pairs, on=on, how="left_anti"))
     df = pairs
     sel = []
     positions = (("s", node.s), ("o", node.o)) + ((("g", node.g),) if with_graph else ())

@@ -393,7 +393,13 @@ class SparqlEndpoint:
         ``contextIRI`` binding per graph; triples-only stores: none)."""
         store = self.namespaces[ns].current
         rows = (
-            [r["g"] for r in store.df.select("g").distinct().collect()]
+            [
+                r["g"]
+                for r in store.df.select("g").distinct().collect()
+                # default-graph statements carry g=NULL — only NAMED
+                # contexts are listed (matching the reference)
+                if r["g"] is not None
+            ]
             if "g" in store.df.columns
             else []
         )

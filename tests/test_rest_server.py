@@ -403,9 +403,33 @@ def test_query_timeout(server):
 
 def test_contexts_verb(server):
     """GET ?CONTEXTS lists the namespace's named graphs (ref: the REST
-    API's CONTEXTS verb); a triples-only namespace reports none."""
+    API's CONTEXTS verb); a triples-only namespace reports none; NULL-g
+    default-graph rows never break or appear in the listing."""
     status, ctype, body = _req(f"{server}/sparql?CONTEXTS")
     assert status == 200 and ctype == "application/sparql-results+json"
     doc = json.loads(body)
     assert doc["head"]["vars"] == ["contextIRI"]
     assert doc["results"]["bindings"] == []  # fixture store has no g column
+
+
+def test_contexts_verb_quads(spark):
+    """CONTEXTS over a quad store: named graphs listed, default-graph
+    (g=NULL) rows excluded."""
+    from blazegraph_database_spark.server import SparqlEndpoint, start_background
+
+    rows = [("a", "p", "b", "iri", "g:1"), ("c", "p", "d", "iri", None)]
+    store = UpdatableStore.from_store(
+        TripleStore(
+            spark.createDataFrame(
+                rows, "s string, p string, o_lex string, o_dt string, g string"
+            )
+        )
+    )
+    srv, port = start_background(SparqlEndpoint(spark, store))
+    try:
+        status, _, body = _req(f"http://127.0.0.1:{port}/sparql?CONTEXTS")
+        assert status == 200
+        got = [b["contextIRI"]["value"] for b in json.loads(body)["results"]["bindings"]]
+        assert got == ["g:1"]
+    finally:
+        srv.shutdown()

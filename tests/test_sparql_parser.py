@@ -592,3 +592,25 @@ def test_zero_length_path_all_terms(spark):
     assert got == {("d", "7")}
     got = {tuple(r) for r in run_sparql(st, "SELECT ?y WHERE { <zzz> <knows>* ?y }").collect()}
     assert got == {("zzz",)}  # spec ALP: a constant start matches itself
+
+
+def test_zero_length_const_through_wrappers(spark):
+    """Review r4c-2: nullable-path detection covers Inv/Alt/Seq wrappers —
+    ^p*, (p*|q), and p?/q? all zero-length-match a constant endpoint."""
+    from blazegraph_database_spark.model.store import TripleStore
+    from blazegraph_database_spark.plans.sparql_parser import run_sparql
+
+    st = TripleStore(
+        spark.createDataFrame(
+            [("a", "knows", "b", "iri")], "s string, p string, o_lex string, o_dt string"
+        )
+    )
+    assert {r["y"] for r in run_sparql(st, "SELECT ?y WHERE { <zzz> ^<knows>* ?y }").collect()} == {"zzz"}
+    assert "zzz" in {
+        r["y"] for r in run_sparql(st, "SELECT ?y WHERE { <zzz> (<knows>*|<likes>) ?y }").collect()
+    }
+    assert "zzz" in {
+        r["y"] for r in run_sparql(st, "SELECT ?y WHERE { <zzz> <knows>?/<likes>? ?y }").collect()
+    }
+    # a non-nullable seq must NOT self-match
+    assert {r["y"] for r in run_sparql(st, "SELECT ?y WHERE { <zzz> <knows>*/<knows> ?y }").collect()} == set()
