@@ -214,6 +214,12 @@ class SparqlEndpoint:
         self.default_ns = namespace
         self.namespaces: dict[str, UpdatableStore] = {namespace: store}
         self._lock = threading.Lock()  # single-writer update discipline
+        # REST transactions (ref: the /bigdata/tx API): txid -> (namespace,
+        # base commit-point count, shadow UpdatableStore). The shadow is an
+        # isolated clone; commit publishes it iff no concurrent commit
+        # advanced the namespace (first-committer-wins, like the
+        # reference's unisolated-connection conflict rule).
+        self._txns: dict[str, tuple[str, int, UpdatableStore]] = {}
 
     # ------------------------------------------------------------ verbs --
     def query(
@@ -224,12 +230,14 @@ class SparqlEndpoint:
         explain: str | None = None,
         timestamp: int | None = None,
         timeout_ms: int | None = None,
+        txid: str | None = None,
     ) -> tuple[int, str, bytes]:
         if timeout_ms:
             return self._bounded(
-                timeout_ms, lambda: self.query(ns, text, accept, explain, timestamp)
+                timeout_ms,
+                lambda: self.query(ns, text, accept, explain, timestamp, txid=txid),
             )
-        us = self.namespaces[ns]
+        us = self._tx_store(txid) if txid is not None else self.namespaces[ns]
         if timestamp is None:
             store = us.current
         else:
@@ -387,6 +395,50 @@ class SparqlEndpoint:
                 df = df.filter(F.col(col) == val)
         return 200, JSON, json.dumps({"rangeCount": df.count()}).encode()
 
+    # ------------------------------------------------------ transactions --
+    def tx_begin(self, ns: str) -> tuple[int, str, bytes]:
+        """POST /tx: begin a transaction — returns its txId. Queries and
+        updates carrying ``txid=`` run against the transaction's isolated
+        shadow (read-your-writes; ref: the REST Tx API + SAIL connection
+        buffering)."""
+        import uuid
+
+        with self._lock:
+            us = self.namespaces[ns]
+            txid = uuid.uuid4().hex[:16]
+            self._txns[txid] = (ns, len(us.versions), us.clone())
+        return 201, JSON, json.dumps({"txId": txid}).encode()
+
+    def tx_commit(self, txid: str) -> tuple[int, str, bytes]:
+        """POST /tx/<id>/commit: publish the shadow as ONE new commit point
+        iff the namespace hasn't advanced since begin (409 otherwise —
+        first committer wins)."""
+        with self._lock:
+            if txid not in self._txns:
+                raise KeyError(f"no such transaction: {txid}")
+            ns, base, shadow = self._txns.pop(txid)
+            live = self.namespaces[ns]
+            if len(live.versions) != base:
+                return 409, JSON, json.dumps(
+                    {"error": "conflict: namespace advanced since BEGIN", "txId": txid}
+                ).encode()
+            if len(shadow.versions) > base:  # collapse to one commit point
+                live.versions.append(shadow.versions[-1])
+            return 200, JSON, json.dumps({"committed": txid}).encode()
+
+    def tx_abort(self, txid: str) -> tuple[int, str, bytes]:
+        """POST /tx/<id>/abort: discard the shadow."""
+        with self._lock:
+            if txid not in self._txns:
+                raise KeyError(f"no such transaction: {txid}")
+            del self._txns[txid]
+        return 200, JSON, json.dumps({"aborted": txid}).encode()
+
+    def _tx_store(self, txid: str) -> UpdatableStore:
+        if txid not in self._txns:
+            raise KeyError(f"no such transaction: {txid}")
+        return self._txns[txid][2]
+
     def contexts(self, ns: str) -> tuple[int, str, bytes]:
         """CONTEXTS: the namespace's named graphs, as the SPARQL-results
         document the reference's ?CONTEXTS verb returns (one
@@ -495,6 +547,14 @@ class SparqlEndpoint:
                     return 200, JSON, json.dumps({"dropped": ns}).encode()
                 raise KeyError(f"no such resource: {path}")
             parts = parts[2:]
+        if parts and parts[0] == "tx" and method == "POST":
+            if len(parts) == 1:
+                return self.tx_begin(ns)
+            if len(parts) == 3 and parts[2] == "commit":
+                return self.tx_commit(parts[1])
+            if len(parts) == 3 and parts[2] == "abort":
+                return self.tx_abort(parts[1])
+            raise KeyError(f"no such resource: {path}")
         if parts == ["status"] and method == "GET":
             return self.status()
         if parts == ["counters"] and method == "GET":
@@ -539,6 +599,7 @@ class SparqlEndpoint:
                 ns, params["query"], accept, explain,
                 timestamp=int(params["timestamp"]) if "timestamp" in params else None,
                 timeout_ms=timeout_of(params),
+                txid=params.get("txid"),
             )
         if method == "POST":
             base = ctype.split(";")[0].strip()
@@ -556,12 +617,17 @@ class SparqlEndpoint:
             elif base in _RDF_READERS:
                 return self.insert_rdf(ns, ctype, body)
             if "update" in params:
+                if "txid" in params:  # buffered write on the tx shadow
+                    with self._lock:
+                        apply_update(self._tx_store(params["txid"]), params["update"], self.spark)
+                    return 200, JSON, b'{"ok": true}'
                 return self.update(ns, params["update"])
             if "query" in params:
                 return self.query(
                     ns, params["query"], accept, explain,
                     timestamp=int(params["timestamp"]) if "timestamp" in params else None,
                     timeout_ms=timeout_of(params),
+                    txid=params.get("txid"),
                 )
             raise ValueError("POST needs query=, update=, or an RDF body")
         if method == "PUT":

@@ -79,6 +79,22 @@ class UpdatableStore:
     def from_store(cls, store: TripleStore) -> "UpdatableStore":
         return cls(versions=[store])
 
+    def clone(self) -> "UpdatableStore":
+        """Independent view sharing the immutable version history: updates
+        on the clone never touch this store (versions are append-only
+        TripleStores, so a list copy is a full isolation boundary). The
+        REST transaction API builds its per-transaction shadow from this
+        (ref: the unisolated SAIL connection each Tx wraps)."""
+        return UpdatableStore(
+            versions=list(self.versions),
+            checkpoint_every=self.checkpoint_every,
+            _updates=self._updates,
+            _explicit=self._explicit,
+            _closed_valid=self._closed_valid,
+            tm_strategy=self.tm_strategy,
+            _counts=self._counts,
+        )
+
     @property
     def current(self) -> TripleStore:
         return self.versions[-1]

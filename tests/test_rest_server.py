@@ -433,3 +433,50 @@ def test_contexts_verb_quads(spark):
         assert got == ["g:1"]
     finally:
         srv.shutdown()
+
+
+def test_rest_transactions(server):
+    """REST Tx API (ref: the /tx endpoints): BEGIN returns a txId; updates
+    and queries with txid= see the isolated shadow (read-your-writes)
+    while the namespace stays unchanged; COMMIT publishes one commit
+    point; a conflicting commit after an interleaved write 409s; ABORT
+    discards."""
+    def post(url, body=None, ctype="application/x-www-form-urlencoded"):
+        try:
+            return _req(url, method="POST", body=body, ctype=ctype)
+        except urllib.error.HTTPError as e:
+            return e.code, e.headers.get("Content-Type"), e.read()
+
+    count_q = urllib.parse.quote("SELECT (COUNT(*) AS ?n) WHERE { ?s <tx:p> ?o }")
+
+    def count(txid=None):
+        url = f"{server}/sparql?query={count_q}" + (f"&txid={txid}" if txid else "")
+        return json.loads(_req(url)[2])["results"]["bindings"][0]["n"]["value"]
+
+    status, _, body = post(f"{server}/tx")
+    assert status == 201
+    tx = json.loads(body)["txId"]
+    upd = urllib.parse.urlencode(
+        {"update": 'INSERT DATA { <tx:a> <tx:p> "1" }', "txid": tx}
+    ).encode()
+    assert post(f"{server}/sparql", upd)[0] == 200
+    assert count(tx) == "1"  # read-your-writes inside the tx
+    assert count() == "0"  # invisible outside until commit
+    status, _, _b = post(f"{server}/tx/{tx}/commit")
+    assert status == 200
+    assert count() == "1"
+
+    # conflict: interleaved direct commit advances the namespace
+    status, _, body = post(f"{server}/tx")
+    tx2 = json.loads(body)["txId"]
+    direct = urllib.parse.urlencode({"update": 'INSERT DATA { <tx:b> <tx:p> "2" }'}).encode()
+    assert post(f"{server}/sparql", direct)[0] == 200
+    status, _, _b = post(f"{server}/tx/{tx2}/commit")
+    assert status == 409
+
+    # abort discards
+    status, _, body = post(f"{server}/tx")
+    tx3 = json.loads(body)["txId"]
+    assert post(f"{server}/tx/{tx3}/abort")[0] == 200
+    status, _, _b = post(f"{server}/tx/{tx3}/commit")
+    assert status == 404
