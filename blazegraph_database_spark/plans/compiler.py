@@ -773,6 +773,7 @@ def _rto_order(entries: list, trace: list | None) -> list:
     start = min(range(k), key=lambda i: entries[i][1])
     chosen, remaining = [start], [i for i in range(k) if i != start]
     cur_est = entries[start][1]
+    prefix_df = entries[start][0]
     est_path = [cur_est]
     while remaining:
         best, best_est = None, None
@@ -791,7 +792,17 @@ def _rto_order(entries: list, trace: list | None) -> list:
                 best, best_est = idx, est
         chosen.append(best)
         remaining.remove(best)
-        cur_est = best_est
+        # measured-prefix refinement (the RTO's path evaluation: JGraph
+        # expands the chosen path and SAMPLES its actual cardinality with a
+        # cutoff rather than trusting the cascaded estimate): one bounded
+        # count of the real prefix join feeds the next expansion decision
+        bd = entries[best][0]
+        shared = sorted(set(prefix_df.columns) & set(bd.columns))
+        prefix_df = prefix_df.join(bd, on=shared) if shared else prefix_df.crossJoin(bd)
+        if remaining:  # the last prefix is the full query: never pre-run it
+            cur_est = float(prefix_df.limit(RTO_SAMPLE_CAP + 1).count())
+        else:
+            cur_est = best_est
         est_path.append(cur_est)
     if trace is not None:
         trace.append(
@@ -801,7 +812,7 @@ def _rto_order(entries: list, trace: list | None) -> list:
                     f"{i}-{j}": round(s, 9) for (i, j), s in sorted(sel.items())
                 },
                 "order": chosen,
-                "est_path": [round(e, 1) for e in est_path],
+                "measured_prefix_path": [round(e, 1) for e in est_path],
             }
         )
     return [entries[i] for i in chosen]

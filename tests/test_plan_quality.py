@@ -337,6 +337,8 @@ def test_rto_samples_join_paths(spark):
     assert rto, st._trace
     assert rto[0]["sampled_edges"]  # every shared-var pair probed
     assert len(rto[0]["order"]) == 3
+    # measured-prefix refinement: intermediate prefixes counted for real
+    assert len(rto[0]["measured_prefix_path"]) == 3
 
 
 def test_text_query_numeric_filter_pushes_down(spark):
