@@ -181,3 +181,91 @@ def test_zorder_ranges_exact_cover_property(lat, lon, bits):
     # ranges are sorted, disjoint, non-adjacent (maximally merged)
     for (lo1, hi1), (lo2, hi2) in zip(rngs, rngs[1:]):
         assert hi1 + 1 < lo2
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 5), st.integers(0, 5)), min_size=1, max_size=12
+    ),
+    deleted_frac=st.floats(0.1, 0.9),
+    data=st.data(),
+)
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+def test_tc_retract_equals_recompute_random(spark, edges, deleted_frac, data):
+    """DRed transitive-closure retraction equals a from-scratch closure of
+    the surviving edges on RANDOM graphs (cycles, self-loops, multi-support
+    diamonds included) — the invariant behind rdfs.tc_retract."""
+    import itertools
+
+    from blazegraph_database_spark.inference.rdfs import tc_retract
+
+    edges = sorted({(f"n{a}", f"n{b}") for a, b in edges})
+    n_del = max(1, int(len(edges) * deleted_frac))
+    deleted = edges[:n_del]
+    kept = edges[n_del:]
+
+    def tc_py(es):
+        nodes = set(itertools.chain(*es)) or {"x"}
+        reach = {n: set() for n in nodes}
+        for a, b in es:
+            reach[a].add(b)
+        changed = True
+        while changed:
+            changed = False
+            for a in nodes:
+                add = set().union(*(reach.get(m, set()) for m in reach[a])) if reach[a] else set()
+                if not add <= reach[a]:
+                    reach[a] |= add
+                    changed = True
+        return {(a, b) for a in nodes for b in reach[a]}
+
+    tc_old_set = tc_py(edges)
+    tc_old = (
+        spark.createDataFrame(sorted(tc_old_set), "src string, dst string")
+        if tc_old_set
+        else spark.createDataFrame([], "src string, dst string")
+    )
+    e_new = (
+        spark.createDataFrame(kept, "src string, dst string")
+        if kept
+        else spark.createDataFrame([], "src string, dst string")
+    )
+    dele = spark.createDataFrame(deleted, "src string, dst string")
+    got = {(r["src"], r["dst"]) for r in tc_retract(tc_old, e_new, dele).collect()}
+    assert got == tc_py(kept)
+
+
+@given(
+    qty=st.lists(st.integers(1, 60), min_size=2, max_size=10),
+    thresh=st.integers(5, 55),
+)
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+def test_native_typed_path_equals_lexical_random(spark, qty, thresh):
+    """The native-typed binding is result-identical to the lexical path on
+    random numeric data and thresholds — the classifier invariant (a
+    classification changes the physical plan, never the bindings)."""
+    from blazegraph_database_spark.functions.sparql_funcs import num
+    from blazegraph_database_spark.model.store import TripleStore
+    from blazegraph_database_spark.model.terms import Var as V
+    from blazegraph_database_spark.plans import algebra as A
+    from blazegraph_database_spark.plans import compiler
+    from pyspark.sql import functions as F
+
+    rows = [(f"i{i}", "qty", str(q), "long") for i, q in enumerate(qty)]
+    st_ = TripleStore(
+        spark.createDataFrame(rows, "s string, p string, o_lex string, o_dt string")
+    )
+    st_.pred_dt = {"qty": "long"}
+    plan = A.Group(
+        A.Filter(num("v") > float(thresh), A.BGP([A.SP(V("x"), "qty", V("v"))])),
+        keys=(),
+        aggs=[("n", F.count(F.lit(1))), ("s", F.sum(num("v")))],
+    )
+    native = sorted(map(tuple, compiler.evaluate(st_, plan).collect()))
+    real = compiler._native_typed_vars
+    try:
+        compiler._native_typed_vars = lambda n, s: {}
+        lexical = sorted(map(tuple, compiler.evaluate(st_, plan).collect()))
+    finally:
+        compiler._native_typed_vars = real
+    assert native == lexical
