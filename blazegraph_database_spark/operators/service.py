@@ -145,8 +145,10 @@ def gas_service(store, patterns) -> DataFrame:
             sources.append(const_lex(sp.o))
         elif local == "target":
             targets.append(const_lex(sp.o))
-        elif local in ("linkType", "direction", "traversalDirection"):
-            opts["linkType" if local == "linkType" else "direction"] = const_lex(sp.o)
+        elif local in ("linkType", "linkAttrType"):
+            opts[local] = const_lex(sp.o)
+        elif local in ("direction", "traversalDirection"):
+            opts["direction"] = const_lex(sp.o)
         elif local in ("maxIterations", "maxVisited"):
             opts[local] = int(const_lex(sp.o))
     cls = opts.get("cls")
@@ -161,10 +163,34 @@ def gas_service(store, patterns) -> DataFrame:
     else:  # default graph: every statement whose object is a vertex (IRI)
         src_df = store.df.filter(F.col("o_dt") == "iri")
     edges = src_df.select(F.col("s").alias("src"), F.col("o_lex").alias("dst"))
+    lat = opts.get("linkAttrType")
+    if lat is not None:
+        # link weights through RDR statement metadata (ref: GASService
+        # LINK_ATTR_TYPE — the reference resolves link attributes through
+        # SIDs): `<<s linkType o>> <attr> w` rows keyed by the edge's sid
+        from blazegraph_database_spark.plans.compiler import sid_expr
+
+        sids = src_df.select(
+            F.col("s").alias("src"), F.col("o_lex").alias("dst"), sid_expr().alias("_sid")
+        )
+        wts = store.df.filter(F.col("p") == lat).select(
+            F.col("s").alias("_sid"), F.col("o_lex").cast("double").alias("weight")
+        )
+        edges = (
+            sids.join(wts, on="_sid", how="left")
+            .select("src", "dst", F.coalesce("weight", F.lit(1.0)).alias("weight"))
+        )
     if opts["direction"] == "Reverse":
-        edges = edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        flip = [F.col("dst").alias("src"), F.col("src").alias("dst")]
+        edges = edges.select(*flip, *(["weight"] if lat is not None else []))
     elif opts["direction"] == "Undirected":
-        edges = gas.undirect(edges)
+        if lat is not None:  # weight-preserving symmetrization
+            rev = edges.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst"), "weight"
+            )
+            edges = edges.unionByName(rev).distinct()
+        else:
+            edges = gas.undirect(edges)
 
     mi = opts.get("maxIterations")
     if cls == "BFS":
@@ -172,11 +198,8 @@ def gas_service(store, patterns) -> DataFrame:
         attr = {"out1": ("depth", "int"), "out2": ("pred", None)}
         order = ["depth", "node"]
     elif cls == "SSSP":
-        out = gas.sssp(
-            edges.withColumn("weight", F.lit(1.0)),
-            sources,
-            max_iters=mi if mi else gas.MAX_ITERS,
-        )
+        weighted = edges if lat is not None else edges.withColumn("weight", F.lit(1.0))
+        out = gas.sssp(weighted, sources, max_iters=mi if mi else gas.MAX_ITERS)
         attr = {"out1": ("dist", "double")}
         order = ["dist", "node"]
     elif cls == "CC":

@@ -424,3 +424,38 @@ def test_geo_service_circle_and_time(spark):
     q2 = q.replace('?res geo:distanceValue ?d .', '?res geo:distanceValue ?d . ?res geo:timeEnd 150 .')
     got = {r["res"] for r in run_sparql(st, q2).collect()}
     assert got == {"e1"}
+
+
+def test_gas_service_weighted_sssp_link_attr(spark):
+    """gas:linkAttrType resolves SSSP edge weights through RDR statement
+    metadata (ref: GASService LINK_ATTR_TYPE via SIDs): `<<s link o>>
+    <w> n` rows weight the edge; unannotated edges default to 1.0."""
+    from blazegraph_database_spark.plans.compiler import sid_expr
+    from blazegraph_database_spark.plans.sparql_parser import run_sparql
+    from pyspark.sql import functions as F
+
+    base = spark.createDataFrame(
+        [("a", "link", "b", "iri"), ("b", "link", "c", "iri"), ("a", "link", "c", "iri")],
+        "s string, p string, o_lex string, o_dt string",
+    )
+    # weight a->c so the two-hop a->b->c route (1 + 1) beats it
+    meta = base.filter("s = 'a' and o_lex = 'c'").select(
+        sid_expr().alias("s"), F.lit("w").alias("p"),
+        F.lit("9.5").alias("o_lex"), F.lit("double").alias("o_dt"),
+    )
+    st = TripleStore(base.unionByName(meta))
+    q = """
+    PREFIX gas: <http://www.bigdata.com/rdf/gas#>
+    SELECT ?v ?d WHERE {
+      SERVICE gas:service {
+        gas:program gas:gasClass "com.bigdata.rdf.graph.analytics.SSSP" .
+        gas:program gas:in <a> .
+        gas:program gas:linkType <link> .
+        gas:program gas:linkAttrType <w> .
+        gas:program gas:out ?v .
+        gas:program gas:out1 ?d .
+      }
+    }
+    """
+    got = {(r["v"], r["d"]) for r in run_sparql(st, q).collect()}
+    assert got == {("a", 0.0), ("b", 1.0), ("c", 2.0)}  # not 9.5 via the direct edge
