@@ -284,3 +284,57 @@ def gas_service_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("depth").cast("int").alias("depth"),
         F.col("pred").cast("long").alias("pred"),
     )
+
+
+@register(
+    "gas_service_sssp_weighted",
+    """
+    WITH RECURSIVE d AS (
+        SELECT CAST(1 AS BIGINT) AS node_id, CAST(0 AS DOUBLE) AS dist
+        UNION ALL
+        SELECT c_custkey, d.dist + 1 + (c_custkey % 3)
+        FROM customer JOIN d ON c_custkey // 2 = d.node_id WHERE c_custkey >= 2
+    )
+    SELECT node_id, ROUND(dist, 1) AS dist FROM d
+    """,
+)
+def gas_service_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted SSSP through SERVICE <gas:service> with gas:linkAttrType:
+    edge weights ride RDR statement metadata (`<<parent childOf_inv child>>
+    <w> (1 + child%3)`), resolved via sid equi-join — the reference's
+    link-attribute-through-SIDs mechanism, driver-checked against the same
+    recursive-CTE oracle as the direct-API gas_sssp_tree."""
+    from blazegraph_database_spark.plans.compiler import sid_expr
+    from blazegraph_database_spark.plans.sparql_parser import run_sparql
+
+    edges = _tree_edges(spark, sf_dir)
+    base = edges.select(
+        F.col("src").alias("s"),
+        F.lit("childOf_inv").alias("p"),
+        F.col("dst").alias("o_lex"),
+        F.lit("iri").alias("o_dt"),
+    )
+    meta = base.select(
+        sid_expr().alias("s"),
+        F.lit("w").alias("p"),
+        (F.lit(1) + F.col("o_lex").cast("long") % 3).cast("double").cast("string").alias("o_lex"),
+        F.lit("double").alias("o_dt"),
+    )
+    st = TripleStore(base.unionByName(meta))
+    q = """
+    PREFIX gas: <http://www.bigdata.com/rdf/gas#>
+    SELECT ?v ?d WHERE {
+      SERVICE gas:service {
+        gas:program gas:gasClass "com.bigdata.rdf.graph.analytics.SSSP" .
+        gas:program gas:in <1> .
+        gas:program gas:linkType <childOf_inv> .
+        gas:program gas:linkAttrType <w> .
+        gas:program gas:out ?v .
+        gas:program gas:out1 ?d .
+      }
+    }
+    """
+    out = run_sparql(st, q)
+    return out.select(
+        F.col("v").cast("long").alias("node_id"), F.round("d", 1).alias("dist")
+    )
