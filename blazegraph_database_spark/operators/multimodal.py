@@ -1,13 +1,16 @@
 """Multimodal (image/audio/video) column plumbing (SURVEY.md §2.11).
 
 Media payloads are opaque `binary` columns with a typed metadata struct;
-decode / feature-extract run as Arrow-batched `mapInPandas` stages. The
-container has no image/audio libraries, so the actual decoders are STUBBED:
-`decode_media` computes deterministic fake features from the bytes (marked
-clearly below), and `decode_media_real` raises NotImplementedError at the
-exact point a real decoder (PIL / torchaudio / pyav) would be called. The
-Spark-side plumbing — schema, partitioning, UDF signature, Arrow batch shape
-— is real and tested.
+decode / feature-extract run as Arrow-batched `mapInPandas` stages.
+UNCOMPRESSED containers (WAV PCM, BMP, PPM) decode for REAL — numpy alone
+parses their headers and raw samples (`decode_media_uncompressed`,
+oracle-checked end to end). Codec formats need image/audio libraries the
+container lacks, so those paths are stubbed: `decode_media` computes
+deterministic fake features from the bytes (marked clearly below), and
+`decode_media_real` raises NotImplementedError at the exact point a codec
+decoder (PIL / torchaudio / pyav) would be called. The Spark-side plumbing
+— schema, partitioning, UDF signature, Arrow batch shape — is real and
+tested everywhere.
 
 Scale: payload rows are wide; `repartition(n, key)` before mapInPandas keeps
 batches balanced, and metadata-only queries never touch the binary column

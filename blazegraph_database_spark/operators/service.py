@@ -6,8 +6,9 @@ RemoteServiceCallImpl.java) that dispatches SERVICE <iri> { ... } groups to
 internal services (bds:search, geo:search) or remote SPARQL endpoints.
 
 Spark-first: a service is a callable (spark, params) -> DataFrame of
-bindings; the registry maps service IRIs to callables. The two built-in
-services wrap this engine's full-text and geospatial operators — the same
+bindings; the registry maps service IRIs to callables. The built-in
+services wrap this engine's own operators — full-text (bds:search),
+geospatial (geo:search), and graph analytics (gas:service) — the same
 internal services the reference ships. Remote endpoints speak the SPARQL
 1.1 Protocol over HTTP: ``http_transport`` POSTs the serialized query as a
 form body and parses application/sparql-results+json responses
