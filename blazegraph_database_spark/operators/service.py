@@ -113,6 +113,8 @@ def gas_service(store, patterns) -> DataFrame:
       gas:in        <v>    repeatable: the initial frontier
       gas:target    <v>    repeatable: FuzzySSSP target vertices
       gas:linkType  <p>    edge predicate (default: every IRI-object stmt)
+      gas:linkAttrType <a> SSSP edge weights via RDR statement metadata
+                           (`<<s linkType o>> <a> w`; unannotated -> 1.0)
       gas:traversalDirection "Forward" | "Reverse" | "Undirected"
       gas:maxIterations N  /  gas:maxVisited N
       gas:out ?v           the visited vertex
