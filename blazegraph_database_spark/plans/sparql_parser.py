@@ -152,6 +152,7 @@ class Parser:
         self.toks = tokenize(src)
         self.i = 0
         self.prefixes: dict[str, str] = {}
+        self.base: str | None = None  # BASE <iri> prologue declaration
         self._agg_counter = 0
         self._anon_counter = 0  # fresh vars for `[ ... ]` bnode prop lists
         self._exists_ctr = 0  # fresh flag vars for expression-level EXISTS
@@ -219,7 +220,7 @@ class Parser:
         if t.kind == "VAR":
             return Var(t.text[1:])
         if t.kind == "IRI":
-            return t.text[1:-1]
+            return self.resolve_iri(t.text[1:-1])
         if t.kind == "PNAME":
             if t.text.startswith("_:"):
                 # bnode label: scoped to the query, acts as a non-projected
@@ -274,7 +275,7 @@ class Parser:
     def _iri_only(self) -> str:
         t = self.next()
         if t.kind == "IRI":
-            return t.text[1:-1]
+            return self.resolve_iri(t.text[1:-1])
         if t.kind == "PNAME":
             return self.expand_pname(t.text)
         if t.kind == "KW" and t.text.lower() == "a":
@@ -316,7 +317,7 @@ class Parser:
         else:
             t = self.next()
             if t.kind == "IRI":
-                p = t.text[1:-1]
+                p = self.resolve_iri(t.text[1:-1])
             elif t.kind == "PNAME":
                 p = self.expand_pname(t.text)
             elif t.kind == "KW" and t.text.lower() == "a":
@@ -926,11 +927,23 @@ class Parser:
 
     # ------------------------------------------------------- query root --
     def _parse_prefixes(self):
-        while self.at_kw("prefix"):
+        while self.at_kw("prefix") or self.at_kw("base"):
+            if self.at_kw("base"):
+                self.next()
+                self.base = self.next().text[1:-1]
+                continue
             self.next()
             pname = self.next().text  # 'pfx:'
             iri = self.next().text[1:-1]
             self.prefixes[pname[:-1]] = iri
+
+    def resolve_iri(self, iri: str) -> str:
+        """Resolve a relative IRI reference against the declared BASE (the
+        common concat subset of RFC 3986: a ref with no scheme appends to
+        the base; absolute refs pass through). No BASE -> unchanged."""
+        if self.base and ":" not in iri.split("/", 1)[0]:
+            return self.base + iri
+        return iri
 
     def _pred_term(self):
         """Template/pattern predicate: ?var | IRI | pname | `a`."""

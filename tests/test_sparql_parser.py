@@ -614,3 +614,23 @@ def test_zero_length_const_through_wrappers(spark):
     }
     # a non-nullable seq must NOT self-match
     assert {r["y"] for r in run_sparql(st, "SELECT ?y WHERE { <zzz> <knows>*/<knows> ?y }").collect()} == set()
+
+
+def test_base_declaration(spark):
+    """BASE <iri> prologue: relative IRI references resolve against it;
+    absolute IRIs pass through untouched."""
+    from blazegraph_database_spark.model.store import TripleStore
+    from blazegraph_database_spark.plans.sparql_parser import run_sparql
+
+    st = TripleStore(
+        spark.createDataFrame(
+            [("http://ex.org/a", "http://ex.org/p", "http://ex.org/b", "iri")],
+            "s string, p string, o_lex string, o_dt string",
+        )
+    )
+    out = run_sparql(st, "BASE <http://ex.org/> SELECT ?o WHERE { <a> <p> ?o }")
+    assert [r["o"] for r in out.collect()] == ["http://ex.org/b"]
+    out = run_sparql(
+        st, "BASE <http://zzz/> SELECT ?o WHERE { <http://ex.org/a> <http://ex.org/p> ?o }"
+    )
+    assert out.count() == 1
