@@ -176,8 +176,18 @@ def gas_service(store, patterns) -> DataFrame:
         sids = src_df.select(
             F.col("s").alias("src"), F.col("o_lex").alias("dst"), sid_expr().alias("_sid")
         )
-        wts = store.df.filter(F.col("p") == lat).select(
-            F.col("s").alias("_sid"), F.col("o_lex").cast("double").alias("weight")
+        # non-numeric annotations ERROR (a silent 1.0 default would mask
+        # data damage); multiple annotations per edge collapse to MIN so
+        # the join can never duplicate edge rows
+        wt = F.when(
+            F.col("o_lex").cast("double").isNull(),
+            F.raise_error(F.concat(F.lit("non-numeric link attribute: "), F.col("o_lex"))),
+        ).otherwise(F.col("o_lex").cast("double"))
+        wts = (
+            store.df.filter(F.col("p") == lat)
+            .select(F.col("s").alias("_sid"), wt.alias("weight"))
+            .groupBy("_sid")
+            .agg(F.min("weight").alias("weight"))
         )
         edges = (
             sids.join(wts, on="_sid", how="left")

@@ -800,7 +800,12 @@ def _rto_order(entries: list, trace: list | None) -> list:
         shared = sorted(set(prefix_df.columns) & set(bd.columns))
         prefix_df = prefix_df.join(bd, on=shared) if shared else prefix_df.crossJoin(bd)
         if remaining:  # the last prefix is the full query: never pre-run it
-            cur_est = float(prefix_df.limit(RTO_SAMPLE_CAP + 1).count())
+            # materialize the CUTOFF SAMPLE of the prefix (JGraph keeps
+            # exactly this bounded sample per path) so each step adds ONE
+            # join to a materialized sample instead of re-running the whole
+            # accumulated prefix — O(k) planning joins, not O(k^2)
+            prefix_df = prefix_df.limit(RTO_SAMPLE_CAP + 1).localCheckpoint(eager=True)
+            cur_est = float(prefix_df.count())
         else:
             cur_est = best_est
         est_path.append(cur_est)

@@ -235,7 +235,11 @@ class Parser:
             if self.peek().text == "^^":
                 self.next()
                 dt_tok = self.next()
-                dt_iri = dt_tok.text[1:-1] if dt_tok.kind == "IRI" else self.expand_pname(dt_tok.text)
+                dt_iri = (
+                    self.resolve_iri(dt_tok.text[1:-1])
+                    if dt_tok.kind == "IRI"
+                    else self.expand_pname(dt_tok.text)
+                )
                 tag = {
                     "http://www.w3.org/2001/XMLSchema#integer": "long",
                     "http://www.w3.org/2001/XMLSchema#long": "long",
@@ -466,7 +470,7 @@ class Parser:
             raise SyntaxError(f"unknown function <{name}>")
         if t.kind == "IRI":
             self.next()
-            return F.lit(t.text[1:-1])
+            return F.lit(self.resolve_iri(t.text[1:-1]))
         if t.kind == "KW":
             kw = t.text.upper()
             low = t.text.lower()
@@ -930,11 +934,14 @@ class Parser:
         while self.at_kw("prefix") or self.at_kw("base"):
             if self.at_kw("base"):
                 self.next()
-                self.base = self.next().text[1:-1]
+                t = self.next()
+                if t.kind != "IRI":
+                    raise SyntaxError(f"expected <iri> after BASE, got {t.text!r}")
+                self.base = t.text[1:-1]
                 continue
             self.next()
             pname = self.next().text  # 'pfx:'
-            iri = self.next().text[1:-1]
+            iri = self.resolve_iri(self.next().text[1:-1])
             self.prefixes[pname[:-1]] = iri
 
     def resolve_iri(self, iri: str) -> str:
@@ -1031,7 +1038,11 @@ class Parser:
             iris = []
             while self.peek().kind in ("IRI", "PNAME"):
                 t = self.next()
-                iris.append(t.text[1:-1] if t.kind == "IRI" else self.expand_pname(t.text))
+                iris.append(
+                    self.resolve_iri(t.text[1:-1])
+                    if t.kind == "IRI"
+                    else self.expand_pname(t.text)
+                )
             if self.peek().kind != "EOF":
                 raise SyntaxError(f"trailing tokens at {self.peek().text!r}")
             return ("describe", iris)

@@ -237,7 +237,7 @@ class SparqlEndpoint:
                 timeout_ms,
                 lambda: self.query(ns, text, accept, explain, timestamp, txid=txid),
             )
-        us = self._tx_store(txid) if txid is not None else self.namespaces[ns]
+        us = self._tx_store(txid, ns) if txid is not None else self.namespaces[ns]
         if timestamp is None:
             store = us.current
         else:
@@ -416,14 +416,22 @@ class SparqlEndpoint:
         with self._lock:
             if txid not in self._txns:
                 raise KeyError(f"no such transaction: {txid}")
-            ns, base, shadow = self._txns.pop(txid)
+            ns, base, shadow = self._txns[txid]
             live = self.namespaces[ns]
             if len(live.versions) != base:
+                # tx survives a conflict: the client's standard cleanup
+                # (abort, or inspect then retry) must still find it
                 return 409, JSON, json.dumps(
                     {"error": "conflict: namespace advanced since BEGIN", "txId": txid}
                 ).encode()
+            del self._txns[txid]
             if len(shadow.versions) > base:  # collapse to one commit point
                 live.versions.append(shadow.versions[-1])
+                # same invalidation _push performs: the closure bookkeeping
+                # no longer describes the current version
+                live._closed_valid = False
+                live._explicit = None
+                live._counts = None
             return 200, JSON, json.dumps({"committed": txid}).encode()
 
     def tx_abort(self, txid: str) -> tuple[int, str, bytes]:
@@ -434,10 +442,13 @@ class SparqlEndpoint:
             del self._txns[txid]
         return 200, JSON, json.dumps({"aborted": txid}).encode()
 
-    def _tx_store(self, txid: str) -> UpdatableStore:
+    def _tx_store(self, txid: str, ns: str | None = None) -> UpdatableStore:
         if txid not in self._txns:
             raise KeyError(f"no such transaction: {txid}")
-        return self._txns[txid][2]
+        tx_ns, _base, shadow = self._txns[txid]
+        if ns is not None and tx_ns != ns:
+            raise KeyError(f"transaction {txid} belongs to namespace {tx_ns!r}")
+        return shadow
 
     def contexts(self, ns: str) -> tuple[int, str, bytes]:
         """CONTEXTS: the namespace's named graphs, as the SPARQL-results
@@ -577,6 +588,13 @@ class SparqlEndpoint:
             return "plain" if v in ("", "true", "1") else None
 
         explain = wants_explain(params)
+        if "txid" in params and not (
+            method in ("GET", "POST") and ("query" in params or "update" in params or ctype.split(";")[0].strip() in ("application/x-www-form-urlencoded", "application/sparql-query", "application/sparql-update"))
+        ):
+            # a txid on any other verb (RDF-body insert, PUT, DELETE,
+            # ESTCARD/...) would silently write/read OUTSIDE the
+            # transaction — refuse instead of faking isolation
+            raise ValueError("txid= is only supported for query and update requests")
 
         def timeout_of(p: dict) -> int | None:
             # ref: REST API timeout= (seconds) / X-BIGDATA-MAX-QUERY-MILLIS
@@ -619,7 +637,7 @@ class SparqlEndpoint:
             if "update" in params:
                 if "txid" in params:  # buffered write on the tx shadow
                     with self._lock:
-                        apply_update(self._tx_store(params["txid"]), params["update"], self.spark)
+                        apply_update(self._tx_store(params["txid"], ns), params["update"], self.spark)
                     return 200, JSON, b'{"ok": true}'
                 return self.update(ns, params["update"])
             if "query" in params:

@@ -480,3 +480,35 @@ def test_rest_transactions(server):
     assert post(f"{server}/tx/{tx3}/abort")[0] == 200
     status, _, _b = post(f"{server}/tx/{tx3}/commit")
     assert status == 404
+
+
+def test_tx_hardening(server):
+    """Review r4c-3: a 409-conflicted tx survives for abort; txid on
+    unsupported verbs is refused instead of silently bypassing the tx."""
+    def post(url, body=None, ctype="application/x-www-form-urlencoded"):
+        try:
+            return _req(url, method="POST", body=body, ctype=ctype)
+        except urllib.error.HTTPError as e:
+            return e.code, e.headers.get("Content-Type"), e.read()
+
+    status, _, body = post(f"{server}/tx")
+    tx = json.loads(body)["txId"]
+    direct = urllib.parse.urlencode({"update": 'INSERT DATA { <h:a> <h:p> "1" }'}).encode()
+    assert post(f"{server}/sparql", direct)[0] == 200
+    assert post(f"{server}/tx/{tx}/commit")[0] == 409
+    assert post(f"{server}/tx/{tx}/abort")[0] == 200  # conflict kept the tx alive
+
+    # txid on an RDF-body insert would bypass the tx: refused
+    status, _, body = post(f"{server}/tx")
+    tx2 = json.loads(body)["txId"]
+    try:
+        status, _, _b = _req(
+            f"{server}/sparql?txid={tx2}",
+            method="POST",
+            body=b"<x:s> <x:p> <x:o> .",
+            ctype="application/n-triples",
+        )
+    except urllib.error.HTTPError as e:
+        status = e.code
+    assert status == 400
+    assert post(f"{server}/tx/{tx2}/abort")[0] == 200

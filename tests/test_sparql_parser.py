@@ -634,3 +634,26 @@ def test_base_declaration(spark):
         st, "BASE <http://zzz/> SELECT ?o WHERE { <http://ex.org/a> <http://ex.org/p> ?o }"
     )
     assert out.count() == 1
+
+
+def test_base_applies_everywhere(spark):
+    """Review r4c-3: BASE resolves relative IRIs in FILTER expressions and
+    ^^datatype positions, not just triple patterns; malformed BASE is a
+    parse error."""
+    import pytest
+
+    from blazegraph_database_spark.model.store import TripleStore
+    from blazegraph_database_spark.plans.sparql_parser import run_sparql
+
+    st = TripleStore(
+        spark.createDataFrame(
+            [("http://ex.org/a", "http://ex.org/p", "http://ex.org/b", "iri")],
+            "s string, p string, o_lex string, o_dt string",
+        )
+    )
+    out = run_sparql(
+        st, "BASE <http://ex.org/> SELECT ?o WHERE { ?s <p> ?o FILTER(?o = <b>) }"
+    )
+    assert out.count() == 1
+    with pytest.raises(SyntaxError):
+        run_sparql(st, "BASE SELECT ?s WHERE { ?s <p> ?o }")
