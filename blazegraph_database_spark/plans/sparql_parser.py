@@ -124,6 +124,17 @@ _NON_VAR_WORDS = {"true", "false", "NULL"}
 _NUM_LIT_RX = re.compile(r"^Column<'-?\d+(\.\d+)?'>$")
 
 
+def _typed_arith_operand(c: Column) -> Column:
+    """A bare var in ARITHMETIC position takes a double view: SPARQL
+    arithmetic is defined only on numeric operands (a non-numeric binding
+    is a type error -> unbound), and Spark refuses string operands for
+    +-*/ outright. Non-var operands pass through."""
+    m = _BARE_VAR_RX.match(str(c))
+    if m and m.group(1) not in _NON_VAR_WORDS:
+        return F.col(m.group(1)).cast("double")
+    return c
+
+
 def _typed_cmp_sides(left: Column, right: Column) -> tuple[Column, Column]:
     """A bare var compared against a NUMERIC literal takes an explicit
     double view. Value-identical to what Spark's implicit coercion does
@@ -398,7 +409,7 @@ class Parser:
         left = self.expr_mul()
         while self.at_op("+", "-"):
             op = self.next().text
-            right = self.expr_mul()
+            left, right = _typed_arith_operand(left), _typed_arith_operand(self.expr_mul())
             left = left + right if op == "+" else left - right
         return left
 
@@ -406,7 +417,7 @@ class Parser:
         left = self.expr_unary()
         while self.at_op("*", "/"):
             op = self.next().text
-            right = self.expr_unary()
+            left, right = _typed_arith_operand(left), _typed_arith_operand(self.expr_unary())
             left = left * right if op == "*" else left / right
         return left
 

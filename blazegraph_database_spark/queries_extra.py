@@ -817,3 +817,35 @@ def rdfxml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("s").alias("n_subjects"),
         F.min("o_lex").alias("first_name"),
     )
+
+
+@register(
+    "sparql_tpch_q6",
+    """
+    SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+    """,
+)
+def sparql_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 (forecasting revenue change) as PURE SPARQL text: date
+    range + numeric band + quantity filters and a product aggregate. The
+    numeric comparisons take the typed double view, so at the plan level
+    this is a single star-fused lineitem scan with the discount/quantity
+    range predicates pushed to parquet."""
+    from blazegraph_database_spark.plans.sparql_parser import run_sparql
+    from blazegraph_database_spark.sources.relational import cached_store
+
+    st = cached_store(spark, sf_dir)
+    q = """
+    SELECT (SUM(?ep * ?disc) AS ?rev) WHERE {
+      ?l <lineitem#l_shipdate> ?sd .
+      ?l <lineitem#l_extendedprice> ?ep .
+      ?l <lineitem#l_discount> ?disc .
+      ?l <lineitem#l_quantity> ?q .
+      FILTER(?sd >= "1996-01-01 00:00:00" && ?sd < "1997-01-01 00:00:00"
+             && ?disc >= 0.05 && ?disc <= 0.07 && ?q < 24)
+    }
+    """
+    return run_sparql(st, q).select(F.round("rev", 2).alias("revenue"))

@@ -657,3 +657,21 @@ def test_base_applies_everywhere(spark):
     assert out.count() == 1
     with pytest.raises(SyntaxError):
         run_sparql(st, "BASE SELECT ?s WHERE { ?s <p> ?o }")
+
+
+def test_arithmetic_coerces_bare_vars(spark):
+    """SPARQL arithmetic on bare vars takes the numeric view (Spark refuses
+    string operands for * + - / outright); literal operands untouched."""
+    from blazegraph_database_spark.model.store import TripleStore
+    from blazegraph_database_spark.plans.sparql_parser import run_sparql
+
+    st = TripleStore(
+        spark.createDataFrame(
+            [("a", "x", "3", "long"), ("a", "y", "4", "long")],
+            "s string, p string, o_lex string, o_dt string",
+        )
+    )
+    out = run_sparql(
+        st, "SELECT (?x * ?y + 1 AS ?v) WHERE { ?s <x> ?x . ?s <y> ?y }"
+    )
+    assert [r["v"] for r in out.collect()] == [13.0]
