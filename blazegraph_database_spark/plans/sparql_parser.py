@@ -593,6 +593,22 @@ class Parser:
                 self._agg_counter += 1
                 self._pending_aggs.append((alias, col))
                 return F.col(alias)
+            if kw in ("SUBSTR", "REPLACE"):
+                # variable arity: SUBSTR(x, start[, len]), REPLACE(x, pat, rep)
+                self.next()
+                self.eat_op("(")
+                args = [self.expr()]
+                while self.at_op(","):
+                    self.next()
+                    if self.peek().kind == "STRING":
+                        args.append(self.term().lex)
+                    elif self.peek().kind == "NUM":
+                        t2 = self.next()
+                        args.append(float(t2.text) if "." in t2.text else int(t2.text))
+                    else:
+                        args.append(self.expr())
+                self.eat_op(")")
+                return (fn.SUBSTR if kw == "SUBSTR" else fn.REPLACE)(*args)
             for table, arity in ((FUNCS_1, 1), (FUNCS_2, 2)):
                 if kw in table:
                     self.next()
@@ -1174,7 +1190,7 @@ class Parser:
         if self.at_kw("order"):
             self.next()
             self.eat_kw("by")
-            expr_starters = set(AGGS) | set(FUNCS_1) | set(FUNCS_2) | set(FUNCS_N) | {"IF"}
+            expr_starters = set(AGGS) | set(FUNCS_1) | set(FUNCS_2) | set(FUNCS_N) | {"IF", "SUBSTR", "REPLACE"}
             while True:
                 if self.at_kw("asc") or self.at_kw("desc"):
                     asc = self.peek().text.lower() == "asc"

@@ -675,3 +675,18 @@ def test_arithmetic_coerces_bare_vars(spark):
         st, "SELECT (?x * ?y + 1 AS ?v) WHERE { ?s <x> ?x . ?s <y> ?y }"
     )
     assert [r["v"] for r in out.collect()] == [13.0]
+
+
+def test_substr_replace_functions(spark):
+    """SUBSTR (2- and 3-arg) and REPLACE parse in expression position."""
+    from blazegraph_database_spark.model.store import TripleStore
+    from blazegraph_database_spark.plans.sparql_parser import run_sparql
+
+    st = TripleStore(
+        spark.createDataFrame(
+            [("a", "name", "foobar", "string")], "s string, p string, o_lex string, o_dt string"
+        )
+    )
+    out = run_sparql(st, 'SELECT (SUBSTR(?n, 4) AS ?t) (SUBSTR(?n, 1, 3) AS ?h) '
+                         '(REPLACE(?n, "o+", "0") AS ?r) WHERE { ?s <name> ?n }')
+    assert [tuple(r) for r in out.collect()] == [("bar", "foo", "f0bar")]
