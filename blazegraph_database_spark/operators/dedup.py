@@ -299,3 +299,26 @@ def simhash_near_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+def dedup_against_prior(
+    new_docs: DataFrame,
+    prior_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Incremental cross-snapshot dedup: drop new documents whose
+    normalized text already exists in a PRIOR corpus — the continuous-crawl
+    step that keeps re-crawled pages out of the next training snapshot.
+
+    One anti-join on 64-bit normalized-text hashes: the prior side reduces
+    to its distinct hash set (narrow 8-byte rows — at 100 TB this is the
+    only state that must persist between snapshots, not the prior text),
+    and AQE broadcasts it when small. Returns the surviving new docs."""
+    key = F.xxhash64(normalize_text(F.col(text_col)))
+    prior_keys = prior_docs.select(key.alias("k")).distinct()
+    return (
+        new_docs.withColumn("k", key)
+        .join(prior_keys, on="k", how="left_anti")
+        .drop("k")
+    )

@@ -999,3 +999,29 @@ def text_rare_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     random strings score high, natural text low (cross-document complement
     of the intra-document repetition signals)."""
     return text.rare_trigram_fraction(_docs(spark, sf_dir))
+
+
+@register(
+    "dedup_incremental",
+    """
+    WITH norm AS (
+        SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS nt
+        FROM documents
+    ),
+    prior AS (SELECT DISTINCT nt FROM norm WHERE doc_id < 250),
+    new_docs AS (SELECT doc_id, nt FROM norm WHERE doc_id >= 250)
+    SELECT n.doc_id FROM new_docs n LEFT JOIN prior p ON n.nt = p.nt
+    WHERE p.nt IS NULL
+    """,
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-snapshot incremental dedup (dedup.dedup_against_prior): the
+    docs with id >= 250 play the new crawl, ids < 250 the prior corpus;
+    new docs whose normalized text the prior corpus already contains are
+    dropped. Prior state is a distinct 64-bit hash set — the only thing a
+    continuous pipeline persists between snapshots."""
+    docs = _docs(spark, sf_dir)
+    survived = dedup.dedup_against_prior(
+        docs.filter(F.col("doc_id") >= 250), docs.filter(F.col("doc_id") < 250)
+    )
+    return survived.select("doc_id")

@@ -30,6 +30,7 @@ _SCORE_FIRST = [
     "text_rare_trigrams",
     "gas_service_sssp_weighted",
     "sparql_tpch_q6",
+    "dedup_incremental",
     # Never driver-green (erred or hash-mismatched in r1, fixed since, green
     # under scripts/check_correctness.py): need driver rows most urgently.
     "fulltext_search",

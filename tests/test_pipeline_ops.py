@@ -353,3 +353,19 @@ def _ranked(df):
 
     w = Window.partitionBy("q").orderBy(F.col("cos").desc(), F.col("neighbor").asc())
     return df.withColumn("r", F.row_number().over(w)).collect()
+
+
+def test_dedup_against_prior(spark):
+    """Incremental dedup drops new docs whose normalized text a prior
+    snapshot already contains (whitespace/case-insensitive)."""
+    from blazegraph_database_spark.operators import dedup
+
+    prior = spark.createDataFrame(
+        [(1, "Hello  World"), (2, "unique old")], "doc_id long, text string"
+    )
+    new = spark.createDataFrame(
+        [(10, "hello world"), (11, "fresh content"), (12, "UNIQUE OLD")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"] for r in dedup.dedup_against_prior(new, prior).collect()}
+    assert got == {11}  # 10 and 12 normalize to prior texts
