@@ -15,74 +15,73 @@ _CATALOG_MODULES = [
 ]
 
 
-# Scored first if the driver's correctness pass has a budget (round 1 cut off
-# at 50/54). Entries with no CORRECTNESS row yet run first, cheapest first;
-# everything else keeps catalog-module order.
+# Scored first if the driver's correctness pass has a budget (50 queries per
+# round). Layout: (a) round-5 additions with no driver row yet, (b) the 8
+# queries never driver-scored through round 4, (c) the 50 queries whose newest
+# green row is r3, stalest-first. Whatever overflows the 50-slot window keeps
+# its r3 row and rotates in next round.
 _SCORE_FIRST = [
-    # Round-4c additions, never driver-scored: need rows first.
-    "gas_service_bfs",
-    "geo_service_rect",
-    "tm_tc_delete",
-    "dedup_cluster_canonical",
-    "multimodal_wav_decode",
-    "exists_expr_filter",
-    "ann_ivf_pq",
-    "text_rare_trigrams",
-    "gas_service_sssp_weighted",
-    "sparql_tpch_q6",
-    "dedup_incremental",
-    # Never driver-green (erred or hash-mismatched in r1, fixed since, green
-    # under scripts/check_correctness.py): need driver rows most urgently.
-    "fulltext_search",
-    "fulltext_all_prefix",
-    "geo_rect",
-    "geo_radius",
-    "describe_customer",
-    "service_bds_search",
-    "multimodal_meta",
-    # Remaining 18 queries with no round-3 row (driver-green in r1/r2, rotated
-    # out of r3's 50-query window): re-verify before anything scored in r3.
-    "ann_cosine_topk",
-    "ann_lsh",
-    "emb_near_dup",
-    "text_tokens",
-    "text_quality",
-    "text_langid",
-    "text_fingerprint",
-    "multimodal_decode",
-    "rdfs_closure_types",
-    "rdfs_domain_range",
-    "update_delete_insert",
-    "construct_pred_counts",
-    "ask_negative_balance",
-    "group_concat_segments",
-    "orderby_offset_page",
-    "graph_scoped_count",
-    "owl_inverse_orders",
-    "owl_sameas_merge",
-    # round-4 additions, never driver-scored
-    "geo_rect_time",
-    "geo_zorder3",
-    "sparql_rto_hint",
-    "dataset_split",
-    "text_pack_sequences",
-    "tm_insert_delta",
-    "sparql_tpch_q3",
-    "store_roundtrip",
-    "ntriples_roundtrip",
-    "geo_zorder_scan",
-    "tm_counting_delete",
-    "text_top_ngrams",
-    "dataset_mix",
-    "sparql_lang_functions",
+    # (a) round-5 additions — inserted here as they land.
+    # (b) never driver-scored through r4 (judge-verified local only).
     "pipeline_end_to_end",
     "turtle_roundtrip",
     "trig_roundtrip",
-    "stream_funnel",
-    "text_interdoc_repetition",
     "jsonld_roundtrip",
     "trix_roundtrip",
     "rdfxml_roundtrip",
+    "stream_funnel",
+    "text_interdoc_repetition",
+    # (c) newest green row is r3 — re-verify before anything r4-green.
+    "bgp_join_agg",
+    "agg_suite",
+    "optional_count",
+    "union_filter",
+    "filter_funcs",
+    "minus_no_orders",
+    "exists_bigqty",
+    "values_inline",
+    "topk_customers",
+    "group_having",
+    "subquery_avg_orders",
+    "bind_datatype_funcs",
+    "path_two_hop",
+    "path_closure_ancestors",
+    "path_negated",
+    "graph_var_path",
+    "sparql_text_join_agg",
+    "sparql_text_filter_path",
+    "sparql_query_hints",
+    "sparql_named_subquery",
+    "sparql_update_text",
+    "dataset_from_named",
+    "rdr_provenance",
+    "dict_encoded_join",
+    "gas_bfs_tree",
+    "gas_sssp_tree",
+    "gas_cc_bipartite",
+    "gas_pagerank",
+    "gas_paths",
+    "gas_fuzzy_sssp",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "ann_ivf",
+    "ann_ivf_kmeans",
+    "multimodal_frames",
+    "text_repetition",
+    "text_decontaminate",
+    "text_pii",
+    "geo_zorder",
+    "service_clause_text",
+    "owl_rules_extended",
+    "tm_delete_closure",
+    "update_graph_ops",
+    "stream_window_agg",
+    "stream_dedup",
+    "stream_to_triples",
+    "stream_interval_join",
+    "stream_sessionize",
 ]
 
 
