@@ -49,12 +49,18 @@ class UpdateParser(Parser):
             if self.at_kw("data"):
                 self.next()
                 return {"op": "insert_data", "quads": self._quad_data()}
+            if self.at_kw("into"):  # INSERT INTO %set SELECT ... WHERE {P}
+                self.next()
+                return self._solutions_modify("insert")
             return self._modify(delete_first=False)
         if self.at_kw("delete"):
             self.next()
             if self.at_kw("data"):
                 self.next()
                 return {"op": "delete_data", "quads": self._quad_data(mint_bnodes=False)}
+            if self.at_kw("from"):  # DELETE FROM %set SELECT ... WHERE {P}
+                self.next()
+                return self._solutions_modify("delete")
             if self.at_kw("where"):  # DELETE WHERE { P }: pattern is template
                 self.next()
                 self.eat_op("{")
@@ -87,7 +93,15 @@ class UpdateParser(Parser):
         for verb in ("clear", "drop", "create"):
             if self.at_kw(verb):
                 self.next()
+                silent = self.at_kw("silent")
                 self._skip_silent()
+                # bigdata extension: CREATE/DROP/CLEAR SOLUTIONS %name
+                # (grammar: sparql.jjt SolutionsRef; DROP and CLEAR have
+                # identical semantics for solution sets)
+                if self.at_kw("solutions"):
+                    self.next()
+                    op = "create_solutions" if verb == "create" else "drop_solutions"
+                    return {"op": op, "name": self._solutions_name(), "silent": silent}
                 self.eat_kw("graph")
                 return {"op": verb, "graph": self._graph_ref()}
         for verb in ("copy", "move", "add"):
@@ -153,6 +167,45 @@ class UpdateParser(Parser):
         self.eat_kw("where")
         where = self.group_graph_pattern()
         return {"op": "modify", "delete": delete, "insert": insert, "where": where, "graph": graph}
+
+    def _solutions_name(self) -> str:
+        t = self.next()
+        if t.kind != "NAMED":
+            raise SyntaxError(f"expected %name solution-set ref, got {t.text!r}")
+        return t.text[1:]
+
+    def _solutions_modify(self, action: str) -> dict:
+        """INSERT INTO %set / DELETE FROM %set + Select() projection +
+        shared WHERE (grammar: sparql.jjt InsertClause/DeleteClause —
+        `<INSERT> <INTO> t=<VAR3> Select()` / `<DELETE> <FROM> t=<VAR3>
+        Select()`)."""
+        name = self._solutions_name()
+        self.eat_kw("select")
+        distinct = False
+        if self.at_kw("distinct") or self.at_kw("reduced"):
+            distinct = self.at_kw("distinct")
+            self.next()
+        project = None
+        if self.at_op("*"):
+            self.next()
+        else:
+            project = []
+            while self.peek().kind == "VAR":
+                project.append(self.next().text[1:])
+            if not project:
+                raise SyntaxError(
+                    f"expected ?var list or * after SELECT, got {self.peek().text!r}"
+                )
+        self.eat_kw("where")
+        where = self.group_graph_pattern()
+        return {
+            "op": "solutions_modify",
+            "action": action,
+            "name": name,
+            "project": project,
+            "distinct": distinct,
+            "where": where,
+        }
 
     # ------------------------------------------------------------ helpers --
     def _skip_silent(self) -> None:
@@ -286,6 +339,17 @@ def apply_update(store: UpdatableStore, src: str, spark: SparkSession | None = N
                 insert_template=op["insert"],
                 with_graph=g,
             )
+        elif kind == "solutions_modify":
+            fn = (
+                store.insert_into_solutions
+                if op["action"] == "insert"
+                else store.delete_from_solutions
+            )
+            fn(op["name"], op["where"], project=op["project"], distinct=op["distinct"])
+        elif kind == "create_solutions":
+            store.solutions_manager().create(op["name"], silent=op["silent"])
+        elif kind == "drop_solutions":
+            store.solutions_manager().drop(op["name"], silent=op["silent"])
         elif kind == "load":
             store.load(spark, op["uri"], graph=op["graph"])
         elif kind in ("clear", "drop"):

@@ -849,3 +849,53 @@ def sparql_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
     }
     """
     return run_sparql(st, q).select(F.round("rev", 2).alias("revenue"))
+
+
+@register(
+    "solution_set_include",
+    """
+    SELECT c_mktsegment AS seg, CAST(COUNT(*) AS BIGINT) AS n
+    FROM customer
+    WHERE c_acctbal > 5000 AND c_nationkey >= 10
+    GROUP BY c_mktsegment
+    """,
+)
+def solution_set_include(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted named solution sets across requests (ref:
+    ssets/SolutionSetManager.java + ast/cache/CacheConnectionImpl.java;
+    UPDATE grammar sparql.jjt InsertClause/DeleteClause): request 1 writes
+    the set with ``INSERT INTO %big SELECT``, request 2 narrows it with
+    ``DELETE FROM %big SELECT`` (INCLUDE-MINUS semantics,
+    AST2BOpUpdate.java:728), and a THIRD request — a brand-new store +
+    manager over the same parquet-backed path, i.e. a different process —
+    joins it via ``INCLUDE %big``. The persisted set is re-read as a plain
+    parquet scan, never recomputed."""
+    import tempfile
+
+    from blazegraph_database_spark.plans.sparql_parser import run_sparql
+    from blazegraph_database_spark.plans.update_parser import apply_update
+    from blazegraph_database_spark.sources.relational import table_to_triples
+    from blazegraph_database_spark.update.update import UpdatableStore
+
+    cust = table_to_triples(
+        read_parquet(spark, f"{sf_dir}/customer.parquet"), "customer", "c_custkey", {}
+    )
+    path = tempfile.mkdtemp(prefix="ssets_")
+    us1 = UpdatableStore.from_store(TripleStore(cust))
+    us1.solutions_manager(path)
+    apply_update(
+        us1,
+        "INSERT INTO %big SELECT ?c WHERE "
+        "{ ?c <customer#c_acctbal> ?b FILTER(?b > 5000) } ; "
+        "DELETE FROM %big SELECT ?c WHERE "
+        "{ ?c <customer#c_nationkey> ?n FILTER(?n < 10) }",
+        spark,
+    )
+    us2 = UpdatableStore.from_store(TripleStore(cust))  # fresh "request"
+    us2.solutions_manager(path)
+    out = run_sparql(
+        us2.query_store,
+        "SELECT ?seg (COUNT(?c) AS ?n) WHERE "
+        "{ INCLUDE %big . ?c <customer#c_mktsegment> ?seg } GROUP BY ?seg",
+    )
+    return out.select(F.col("seg"), F.col("n").cast("long").alias("n"))

@@ -22,6 +22,7 @@ _CATALOG_MODULES = [
 # its r3 row and rotates in next round.
 _SCORE_FIRST = [
     # (a) round-5 additions — inserted here as they land.
+    "solution_set_include",
     # (b) never driver-scored through r4 (judge-verified local only).
     "pipeline_end_to_end",
     "turtle_roundtrip",

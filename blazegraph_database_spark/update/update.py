@@ -74,6 +74,11 @@ class UpdatableStore:
     # decrement-only deletes, right when deletes are frequent)
     tm_strategy: str = "dred"
     _counts: DataFrame | None = None
+    # persisted named solution sets (ref: ssets/SolutionSetManager.java);
+    # lazily created by solutions_manager(). Shared across clones/txs like
+    # the reference's cache connection (solution sets live OUTSIDE tx
+    # isolation — they are a cache, not part of the commit point).
+    solutions: object = None
 
     @classmethod
     def from_store(cls, store: TripleStore) -> "UpdatableStore":
@@ -93,11 +98,73 @@ class UpdatableStore:
             _closed_valid=self._closed_valid,
             tm_strategy=self.tm_strategy,
             _counts=self._counts,
+            solutions=self.solutions,
         )
 
     @property
     def current(self) -> TripleStore:
         return self.versions[-1]
+
+    # ----------------------------------------------------- solution sets --
+    def solutions_manager(self, path: str | None = None):
+        """The store's named-solution-set cache (ref: AST2BOpContext.
+        solutionSetManager). Pass ``path`` on first call for parquet-backed
+        durability across processes."""
+        if self.solutions is None:
+            from blazegraph_database_spark.update.solutions import SolutionSetManager
+
+            self.solutions = SolutionSetManager(self.current.spark, path)
+        return self.solutions
+
+    @property
+    def query_store(self) -> TripleStore:
+        """Current version with persisted named solution sets attached, so
+        ``INCLUDE %name`` in a LATER query resolves against sets written by
+        earlier UPDATE requests (ref: NamedSubqueryInclude resolving
+        through the solution-set cache). Query-local WITH %name shadows a
+        persisted set of the same name (WithNamed merges on top)."""
+        if self.solutions is not None and self.solutions.names():
+            return self.current.with_named_sets(self.solutions.sets())
+        return self.current
+
+    def insert_into_solutions(
+        self, name: str, where, project=None, distinct: bool = False
+    ) -> None:
+        """``INSERT INTO %name SELECT ... WHERE {...}`` — evaluate WHERE,
+        project, and REPLACE the named set (ref AST2BOpUpdate.java:891 +
+        ISolutionSetManager.putSolutions "replace not append")."""
+        from blazegraph_database_spark.plans import algebra as A
+        from blazegraph_database_spark.plans.compiler import evaluate
+
+        node = where
+        if project:
+            node = A.Project(node, tuple(project))
+        if distinct:
+            node = A.Distinct(node)
+        self.solutions_manager().put(name, evaluate(self.query_store, node))
+
+    def delete_from_solutions(
+        self, name: str, where, project=None, distinct: bool = False
+    ) -> None:
+        """``DELETE FROM %name SELECT ... WHERE {...}`` — new set =
+        project(INCLUDE %name MINUS where-solutions), replacing the set
+        (ref AST2BOpUpdate.java:728-815: INCLUDE %set MINUS INCLUDE %temp
+        with the delete clause's projection)."""
+        from blazegraph_database_spark.plans import algebra as A
+        from blazegraph_database_spark.plans.compiler import evaluate
+        from blazegraph_database_spark.update.solutions import (
+            SolutionSetDoesNotExistError,
+        )
+
+        mgr = self.solutions_manager()
+        if not mgr.exists(name):
+            raise SolutionSetDoesNotExistError(name)
+        node = A.Minus(A.NamedInclude(name), where)
+        if project:
+            node = A.Project(node, tuple(project))
+        if distinct:
+            node = A.Distinct(node)
+        mgr.put(name, evaluate(self.query_store, node))
 
     def _push(self, df: DataFrame) -> TripleStore:
         self._updates += 1
