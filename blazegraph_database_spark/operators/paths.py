@@ -117,6 +117,48 @@ def transitive_closure(
         return known
 
 
+def bounded_paths(
+    base: DataFrame, lower: int, upper: int | None, keys: list[str] | None = None
+) -> DataFrame:
+    """Pairs connected by a walk of length in [lower, upper] hops over
+    ``base`` (ref: ArbitraryLengthPathNode.java:95 LOWER_BOUND/UPPER_BOUND;
+    lower >= 1 here — the zero-length component is the caller's identity
+    union, like Star vs Plus).
+
+    Bounded upper: round-capped composition — exactly-k pairs compose per
+    round (k <= upper barriers; the user's literal bound keeps this small),
+    pairs enter the result from round ``lower``; a drained round (DAG
+    exhausted) exits early. Every round is a distinct-pair join, so state
+    per round is bounded by reachable pairs, never walk multiplicity.
+
+    Unbounded upper (`p{m,}`): walks of length >= m = exactly-(m-1)-hop
+    pairs composed with the 1+ closure — one closure plus m-2 composition
+    joins, not an m-deep unrolling of the closure itself."""
+    keys = keys or []
+    lower = max(lower, 1)
+    if upper is None:
+        closure = transitive_closure(base, keys=keys)
+        if lower == 1:
+            return closure
+        cur = base  # exactly 1 hop
+        for _ in range(lower - 2):
+            cur = _join_through(cur, base, keys)  # exactly lower-1 hops
+        return _join_through(cur, closure, keys)
+    if upper < lower:
+        return base.limit(0)
+    cur = base.select(*keys, "s", "o").distinct().localCheckpoint()
+    acc = cur if lower <= 1 else None
+    for k in range(2, upper + 1):
+        cur = _join_through(cur, base, keys).localCheckpoint()
+        if cur.isEmpty():
+            break
+        if k >= lower:
+            acc = cur if acc is None else acc.unionByName(cur)
+    if acc is None:
+        return base.limit(0)
+    return acc.distinct()
+
+
 def _identity_all_terms(store: TripleStore, with_graph: bool) -> DataFrame:
     """(x, x) for EVERY term of the (scoped) graph — the SPARQL ZeroLengthPath
     domain (spec: zero-length paths match all graph nodes, subjects and
@@ -171,4 +213,12 @@ def compile_path(store: TripleStore, path, with_graph: bool = False) -> DataFram
     if isinstance(path, A.ZeroOrOne):
         base = compile_path(store, path.path, with_graph)
         return base.unionByName(_identity_all_terms(store, with_graph)).distinct()
+    if isinstance(path, A.Bounded):
+        base = compile_path(store, path.path, with_graph)
+        if path.upper == 0:  # {0,0}: zero-length only
+            return _identity_all_terms(store, with_graph)
+        out = bounded_paths(base, path.lower, path.upper, keys=k)
+        if path.lower == 0:
+            out = out.unionByName(_identity_all_terms(store, with_graph)).distinct()
+        return out
     raise TypeError(f"unknown path expression: {path!r}")

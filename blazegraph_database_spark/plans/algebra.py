@@ -91,6 +91,18 @@ class ZeroOrOne:
 
 
 @dataclass(frozen=True)
+class Bounded:
+    """Bounded-length path `p{m,n}` — between ``lower`` and ``upper`` hops
+    (``upper=None`` = unbounded, `p{m,}`). Ref: ArbitraryLengthPathNode.java:95
+    — the ALP node carries LOWER_BOUND/UPPER_BOUND beyond the `? + *`
+    sugar (`*` = {0,∞}, `+` = {1,∞}, `?` = {0,1})."""
+
+    path: Any
+    lower: int
+    upper: Any  # int | None
+
+
+@dataclass(frozen=True)
 class NegatedPropertySet:
     """!(:p1|...|^:q1|...) — forward edges whose predicate is outside
     `forward` plus reversed edges whose predicate is outside `inverse`;

@@ -348,9 +348,39 @@ class Parser:
         elif self.at_op("?"):
             self.next()
             p = A.ZeroOrOne(p)
+        elif self.at_op("{"):
+            # bounded-length path p{m,n} / p{m,} / p{,n} / p{n} (ref:
+            # ArbitraryLengthPathNode.java:95 LOWER_BOUND/UPPER_BOUND;
+            # SPARQL 1.1 draft path-mod syntax)
+            self.next()
+            lo = hi = None
+            if self.peek().kind == "NUM":
+                lo = self._path_bound(self.next().text)
+            if self.at_op(","):
+                self.next()
+                if self.peek().kind == "NUM":
+                    hi = self._path_bound(self.next().text)
+            else:
+                hi = lo  # {n} = exactly n
+            self.eat_op("}")
+            if lo is None and hi is None:
+                raise SyntaxError("path bound {} needs at least one of m,n")
+            lo = lo or 0
+            if hi is not None and hi < lo:
+                raise SyntaxError(f"path bound upper {hi} < lower {lo}")
+            p = A.Bounded(p, lo, hi)
         if inv:
             p = A.Inv(p)
         return p
+
+    def _path_bound(self, text: str) -> int:
+        try:
+            n = int(text)
+        except ValueError:
+            raise SyntaxError(f"path bound must be a non-negative integer: {text!r}")
+        if n < 0:
+            raise SyntaxError(f"path bound must be non-negative: {text!r}")
+        return n
 
     def _is_simple_pred(self, p) -> bool:
         return isinstance(p, str)

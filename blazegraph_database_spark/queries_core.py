@@ -349,6 +349,45 @@ def path_closure_ancestors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "path_bounded",
+    """
+    WITH RECURSIVE anc(child, a, d) AS (
+      SELECT c_custkey, c_custkey // 2, 1 FROM customer WHERE c_custkey >= 2
+      UNION ALL
+      SELECT child, a // 2, d + 1 FROM anc WHERE a >= 2 AND d < 3
+    )
+    SELECT child AS child_id, CAST(COUNT(DISTINCT a) AS BIGINT) AS n_anc
+    FROM anc WHERE d BETWEEN 2 AND 3
+    GROUP BY child
+    """,
+)
+def path_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-length property path `hasParent{2,3}` over the same binary
+    ancestor tree as path_closure_ancestors (ref:
+    ArbitraryLengthPathNode.java:95 LOWER_BOUND/UPPER_BOUND — hop bounds
+    beyond the `? + *` sugar). Round-capped composition: exactly-k pairs
+    per round, <= upper barriers, result from round lower — never an
+    unbounded closure. Oracle: depth-tracked recursive CTE with the same
+    [2,3] band."""
+    st = cached_store(spark, sf_dir)
+    base = A.Filter(lng("ck") >= 2, A.SP(V("c"), "customer#c_custkey", V("ck")))
+    with_parent = A.Extend(
+        base, "par", F.concat(F.lit("customer:"), (lng("ck") / 2).cast("long").cast("string"))
+    )
+    edges = construct(st, with_parent, [(V("c"), "hasParent", V("par"))])
+    tree = TripleStore(edges)
+    plan = A.Group(
+        A.PathPattern(V("child"), A.Bounded("hasParent", 2, 3), V("anc")),
+        keys=("child",),
+        aggs=[("n_anc", fn.COUNT())],
+    )
+    plan = A.Project(
+        A.Extend(plan, "child_id", lng(fn.STRAFTER("child", ":"))), ["child_id", "n_anc"]
+    )
+    return evaluate(tree, plan)
+
+
+@register(
     "bind_datatype_funcs",
     """
     SELECT o_orderkey AS o_id,

@@ -23,6 +23,7 @@ _CATALOG_MODULES = [
 _SCORE_FIRST = [
     # (a) round-5 additions — inserted here as they land.
     "solution_set_include",
+    "path_bounded",
     # (b) never driver-scored through r4 (judge-verified local only).
     "pipeline_end_to_end",
     "turtle_roundtrip",

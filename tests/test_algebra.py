@@ -176,6 +176,58 @@ def test_path_inv_alt(tiny_store):
     assert rows(df) == [("x", "y"), ("y", "x")]
 
 
+def test_path_bounded(tiny_store):
+    """p{m,n} hop bands (ref: ArbitraryLengthPathNode.java:95 LOWER/UPPER
+    bounds). Chain a->b->c->d on `knows`."""
+    # {2,3}: all pairs 2 or 3 hops apart
+    df = evaluate(tiny_store, A.PathPattern(v("x"), A.Bounded("knows", 2, 3), v("y")))
+    assert rows(df) == [("a", "c"), ("a", "d"), ("b", "d")]
+    # {2} exact
+    df = evaluate(tiny_store, A.PathPattern(v("x"), A.Bounded("knows", 2, 2), v("y")))
+    assert rows(df) == [("a", "c"), ("b", "d")]
+    # {2,} unbounded upper == composition with closure
+    df = evaluate(tiny_store, A.PathPattern(v("x"), A.Bounded("knows", 2, None), v("y")))
+    assert rows(df) == [("a", "c"), ("a", "d"), ("b", "d")]
+    # {0,1} == ZeroOrOne (identity over graph terms + one hop)
+    b01 = rows(evaluate(tiny_store, A.PathPattern(v("x"), A.Bounded("knows", 0, 1), v("y"))))
+    zo = rows(evaluate(tiny_store, A.PathPattern(v("x"), A.ZeroOrOne("knows"), v("y"))))
+    assert b01 == zo
+    # {0,0}: zero-length only
+    df = evaluate(tiny_store, A.PathPattern("a", A.Bounded("knows", 0, 0), v("y")))
+    assert sorted(r[0] for r in df.collect()) == ["a"]
+
+
+def test_path_bounded_cycle(spark):
+    """Bounded bands terminate on cyclic graphs (walk semantics): 3-cycle,
+    {2,4} reaches every ordered pair."""
+    from blazegraph_database_spark.model.store import TripleStore
+
+    st = TripleStore(
+        spark.createDataFrame(
+            [("a", "e", "b", "iri"), ("b", "e", "c", "iri"), ("c", "e", "a", "iri")],
+            "s string, p string, o_lex string, o_dt string",
+        )
+    )
+    df = evaluate(st, A.PathPattern(v("x"), A.Bounded("e", 2, 4), v("y")))
+    assert len(rows(df)) == 9
+
+
+def test_path_bounded_text_syntax(tiny_store):
+    from blazegraph_database_spark.plans.sparql_parser import run_sparql
+
+    got = rows(run_sparql(tiny_store, "SELECT ?x ?y WHERE { ?x <knows>{2,3} ?y }"))
+    assert got == [("a", "c"), ("a", "d"), ("b", "d")]
+    got = rows(run_sparql(tiny_store, "SELECT ?x ?y WHERE { ?x <knows>{,2} ?y }"))
+    zo = rows(run_sparql(tiny_store, "SELECT ?x ?y WHERE { ?x <knows>{0,2} ?y }"))
+    assert got == zo
+    import pytest as _pytest
+
+    with _pytest.raises(SyntaxError):
+        run_sparql(tiny_store, "SELECT ?x WHERE { ?x <knows>{3,2} ?y }")
+    with _pytest.raises(SyntaxError):
+        run_sparql(tiny_store, "SELECT ?x WHERE { ?x <knows>{} ?y }")
+
+
 def test_path_cycle_terminates(spark):
     from blazegraph_database_spark.model.store import TripleStore
 
