@@ -899,3 +899,99 @@ def solution_set_include(spark: SparkSession, sf_dir: str) -> DataFrame:
         "{ INCLUDE %big . ?c <customer#c_mktsegment> ?seg } GROUP BY ?seg",
     )
     return out.select(F.col("seg"), F.col("n").cast("long").alias("n"))
+
+
+def _writer_roundtrip(spark, sf_dir, writer_name, reader_name, ext):
+    """Shared harness: nation table → triples → WRITER doc → READER →
+    per-predicate aggregate. Exercises the writer/reader pair end to end
+    (ref: ConnegUtil's writer registry must round-trip with rio's parsers)."""
+    import os
+    import tempfile
+
+    from blazegraph_database_spark.sources import rdf_formats, rdf_writers
+    from blazegraph_database_spark.sources.relational import read_parquet, table_to_triples
+
+    nat = table_to_triples(
+        read_parquet(spark, f"{sf_dir}/nation.parquet"), "nation", "n_nationkey", {}
+    )
+    doc = getattr(rdf_writers, writer_name)(nat)
+    path = os.path.join(tempfile.mkdtemp(prefix="wrt_"), f"doc.{ext}")
+    with open(path, "w") as f:
+        f.write(doc)
+    back = getattr(rdf_formats, reader_name)(spark, path)
+    return (
+        back.filter(F.col("p").isin("nation#n_name", "nation#n_regionkey"))
+        .groupBy("p")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.countDistinct("s").cast("long").alias("nsubj"),
+            F.min("o_lex").alias("lo"),
+        )
+    )
+
+
+_WRT_SQL = """
+    SELECT 'nation#n_name' AS p, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(DISTINCT n_nationkey) AS BIGINT) AS nsubj, MIN(n_name) AS lo
+    FROM nation
+    UNION ALL
+    SELECT 'nation#n_regionkey', CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(DISTINCT n_nationkey) AS BIGINT),
+           CAST(MIN(n_regionkey) AS VARCHAR)
+    FROM nation
+"""
+
+
+@register("turtle_writer_roundtrip", _WRT_SQL)
+def turtle_writer_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Turtle WRITER (prefixes + `;` blocks) → full Turtle reader."""
+    return _writer_roundtrip(spark, sf_dir, "turtle_doc", "read_turtle", "ttl")
+
+
+@register("rdfxml_writer_roundtrip", _WRT_SQL)
+def rdfxml_writer_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RDF/XML WRITER (per-element xmlns, rdf:datatype) → RDF/XML reader."""
+    return _writer_roundtrip(spark, sf_dir, "rdfxml_doc", "read_rdfxml", "rdf")
+
+
+@register("jsonld_writer_roundtrip", _WRT_SQL)
+def jsonld_writer_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-LD WRITER (@graph node objects via to_json) → JSON-LD reader."""
+    return _writer_roundtrip(spark, sf_dir, "jsonld_doc", "read_jsonld", "jsonld")
+
+
+@register(
+    "trig_writer_roundtrip",
+    """
+    SELECT 'region:' || n_regionkey AS g, CAST(COUNT(*) AS BIGINT) AS n,
+           MIN(n_name) AS lo
+    FROM nation GROUP BY n_regionkey
+    """,
+)
+def trig_writer_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TriG WRITER (per-graph `{}` blocks) → TriG reader: nations land in
+    their region's named graph; per-graph counts survive the trip."""
+    import os
+    import tempfile
+
+    from blazegraph_database_spark.sources import rdf_formats, rdf_writers
+    from blazegraph_database_spark.sources.relational import read_parquet, table_to_triples
+
+    nat_tbl = read_parquet(spark, f"{sf_dir}/nation.parquet")
+    nat = table_to_triples(nat_tbl, "nation", "n_nationkey", {}).join(
+        nat_tbl.select(
+            F.concat(F.lit("nation:"), F.col("n_nationkey").cast("string")).alias("s"),
+            F.concat(F.lit("region:"), F.col("n_regionkey").cast("string")).alias("g"),
+        ),
+        on="s",
+    )
+    doc = rdf_writers.trig_doc(nat)
+    path = os.path.join(tempfile.mkdtemp(prefix="wrt_"), "doc.trig")
+    with open(path, "w") as f:
+        f.write(doc)
+    back = rdf_formats.read_trig(spark, path)
+    return (
+        back.filter(F.col("p") == "nation#n_name")
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"), F.min("o_lex").alias("lo"))
+    )

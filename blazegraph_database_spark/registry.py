@@ -24,6 +24,10 @@ _SCORE_FIRST = [
     # (a) round-5 additions — inserted here as they land.
     "solution_set_include",
     "path_bounded",
+    "turtle_writer_roundtrip",
+    "rdfxml_writer_roundtrip",
+    "jsonld_writer_roundtrip",
+    "trig_writer_roundtrip",
     # (b) never driver-scored through r4 (judge-verified local only).
     "pipeline_end_to_end",
     "turtle_roundtrip",

@@ -1,0 +1,294 @@
+"""RDF writers: Turtle (with @prefix + `;` predicate lists), TriG,
+RDF/XML, JSON-LD (SURVEY.md §2.12 conneg parity).
+
+Reference analog: the conneg writer registry —
+bigdata-core/bigdata-sails/src/java/com/bigdata/rdf/sail/webapp/ConnegUtil.java
+picks an RDFFormat writer (Turtle/RDF-XML/JSON-LD/TriG/N-Triples) for
+CONSTRUCT/DESCRIBE responses; rio/ RDFWriterRegistry provides the
+serializers. Each writer here round-trips through this repo's own reader
+(`sources/rdf_formats.py` / `sources/ntriples.py`) — oracle-checked by the
+`*_writer_roundtrip` queries.
+
+Spark-first: per-subject (and per-graph) fragments are computed as JVM-side
+column expressions — grouping, escaping, prefix compression and JSON
+encoding all happen distributed; the driver only concatenates collected
+fragment strings into the final document (the same bounded-result surface
+the REST serializers use — document assembly is inherently a driver/stream
+step). For unbounded exports use `ntriples.write_ntriples` (line-oriented,
+fully distributed); these document writers are the interactive-response
+path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+RDF_NS = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+
+# engine dt tag → XSD datatype IRI (inverse of the readers' _XSD_DT)
+_TAG_XSD = {
+    "long": "http://www.w3.org/2001/XMLSchema#integer",
+    "double": "http://www.w3.org/2001/XMLSchema#double",
+    "boolean": "http://www.w3.org/2001/XMLSchema#boolean",
+    "timestamp": "http://www.w3.org/2001/XMLSchema#dateTime",
+}
+
+DEFAULT_PREFIXES = {
+    "rdf": RDF_NS,
+    "rdfs": "http://www.w3.org/2000/01/rdf-schema#",
+    "xsd": "http://www.w3.org/2001/XMLSchema#",
+    "owl": "http://www.w3.org/2002/07/owl#",
+}
+
+
+# ------------------------------------------------------------- turtle ----
+def _ttl_escape(col):
+    """Escape a literal for a quoted Turtle/N-Triples string: the inverse
+    of the readers' unescape set (\\ \" \\n \\t)."""
+    out = F.regexp_replace(col, r"\\", r"\\\\")
+    out = F.regexp_replace(out, '"', '\\\\"')
+    out = F.regexp_replace(out, "\n", r"\\n")
+    return F.regexp_replace(out, "\t", r"\\t")
+
+
+def _pname_or_iri(col, prefixes: dict[str, str]):
+    """Compress an IRI to pfx:local when a declared namespace matches and
+    the local part is PN-safe (the readers' PNAME charset), else <iri>.
+    Bnode ids (`_:x`) pass through. Small prefix map → a short JVM when-
+    chain, no UDF."""
+    out = F.concat(F.lit("<"), col, F.lit(">"))
+    # longest namespace wins: apply shorter ones first so later (longer)
+    # WHENs override
+    for pfx, ns in sorted(prefixes.items(), key=lambda kv: len(kv[1])):
+        local = F.substring(col, len(ns) + 1, 1 << 20)
+        out = F.when(
+            col.startswith(ns) & local.rlike("^[A-Za-z0-9_.-]*$") & ~local.rlike(r"^\.|\.$"),
+            F.concat(F.lit(pfx + ":"), local),
+        ).otherwise(out)
+    return F.when(col.startswith("_:"), col).otherwise(out)
+
+
+def _ttl_obj(prefixes: dict[str, str]):
+    """Object term in Turtle syntax from (o_lex, o_dt)."""
+    lex = F.col("o_lex")
+    esc = _ttl_escape(lex)
+    obj = F.concat(F.lit('"'), esc, F.lit('"'))
+    for tag, iri in _TAG_XSD.items():
+        obj = F.when(
+            F.col("o_dt") == tag,
+            F.concat(F.lit('"'), esc, F.lit('"^^'), _pname_or_iri(F.lit(iri), prefixes)),
+        ).otherwise(obj)
+    return (
+        F.when(F.col("o_dt").isin("iri", "bnode"), _pname_or_iri(lex, prefixes))
+        .when(
+            F.col("o_dt").startswith("lang:"),
+            F.concat(F.lit('"'), esc, F.lit('"@'), F.substring(F.col("o_dt"), 6, 100)),
+        )
+        .otherwise(obj)
+    )
+
+
+def _ttl_subject_blocks(df: DataFrame, prefixes: dict[str, str], extra_group=()):
+    """One Turtle statement block per subject: `s p1 o1 ; p2 o2 .` —
+    grouping/sorting/joining all in JVM expressions."""
+    pairs = F.concat(
+        _pname_or_iri(F.col("p"), prefixes), F.lit(" "), _ttl_obj(prefixes)
+    ).alias("po")
+    rows = df.select(*extra_group, F.col("s"), pairs)
+    return (
+        rows.groupBy(*extra_group, "s")
+        .agg(F.array_sort(F.collect_list("po")).alias("pos"))
+        .select(
+            *extra_group,
+            F.concat(
+                _pname_or_iri(F.col("s"), prefixes),
+                F.lit(" "),
+                F.array_join(F.col("pos"), " ;\n    "),
+                F.lit(" ."),
+            ).alias("block"),
+        )
+    )
+
+
+def _prefix_header(prefixes: dict[str, str]) -> str:
+    return "".join(f"@prefix {p}: <{ns}> .\n" for p, ns in sorted(prefixes.items()))
+
+
+def turtle_doc(df: DataFrame, prefixes: dict[str, str] | None = None) -> str:
+    """Serialize (s,p,o_lex,o_dt) triples as one Turtle document with
+    @prefix declarations and per-subject `;` predicate lists (ref: rio
+    TurtleWriter behind ConnegUtil)."""
+    prefixes = DEFAULT_PREFIXES if prefixes is None else prefixes
+    blocks = [r["block"] for r in _ttl_subject_blocks(df, prefixes).collect()]
+    return _prefix_header(prefixes) + "\n" + "\n\n".join(blocks) + ("\n" if blocks else "")
+
+
+def trig_doc(df: DataFrame, prefixes: dict[str, str] | None = None) -> str:
+    """Serialize quads (s,p,o_lex,o_dt,g) as TriG: one `<g> { ... }` block
+    per named graph, default-graph (g IS NULL) statements bare (ref: rio
+    TriGWriter)."""
+    prefixes = DEFAULT_PREFIXES if prefixes is None else prefixes
+    if "g" not in df.columns:
+        df = df.withColumn("g", F.lit(None).cast("string"))
+    blocks = _ttl_subject_blocks(df, prefixes, extra_group=("g",))
+    per_graph = (
+        blocks.groupBy("g")
+        .agg(F.array_join(F.array_sort(F.collect_list("block")), "\n").alias("body"))
+        .collect()
+    )
+    parts = [_prefix_header(prefixes)]
+    for r in sorted(per_graph, key=lambda r: (r["g"] is not None, r["g"] or "")):
+        if r["g"] is None:
+            parts.append(r["body"] + "\n")
+        else:
+            parts.append(f"<{r['g']}> {{\n{r['body']}\n}}\n")
+    return "\n".join(parts)
+
+
+# ------------------------------------------------------------ rdf/xml ----
+def _xml_escape(col):
+    out = F.regexp_replace(col, "&", "&amp;")
+    out = F.regexp_replace(out, "<", "&lt;")
+    out = F.regexp_replace(out, ">", "&gt;")
+    return F.regexp_replace(out, '"', "&quot;")
+
+
+def _xml_prop_el():
+    """One RDF/XML property element per row. The element carries its own
+    xmlns (split at the last #/ boundary), so no document-level namespace
+    pass is needed; ElementTree reassembles ns+local = the original
+    predicate string on re-parse."""
+    ns = F.regexp_extract(F.col("p"), r"^(.*[#/])", 1)
+    local = F.regexp_extract(F.col("p"), r"([^#/]+)$", 1)
+    open_tag = F.concat(
+        F.lit("<"), local,
+        F.when(ns != "", F.concat(F.lit(' xmlns="'), _xml_escape(ns), F.lit('"'))).otherwise(F.lit("")),
+    )
+    lex, esc = F.col("o_lex"), _xml_escape(F.col("o_lex"))
+    el = F.concat(open_tag, F.lit(">"), esc, F.lit("</"), local, F.lit(">"))
+    for tag, iri in _TAG_XSD.items():
+        el = F.when(
+            F.col("o_dt") == tag,
+            F.concat(open_tag, F.lit(f' rdf:datatype="{iri}">'), esc, F.lit("</"), local, F.lit(">")),
+        ).otherwise(el)
+    return (
+        F.when(
+            F.col("o_dt") == "iri",
+            F.concat(open_tag, F.lit(' rdf:resource="'), _xml_escape(lex), F.lit('"/>')),
+        )
+        .when(
+            F.col("o_dt") == "bnode",
+            F.concat(open_tag, F.lit(' rdf:nodeID="'), _xml_escape(F.substring(lex, 3, 1 << 20)), F.lit('"/>')),
+        )
+        .when(
+            F.col("o_dt").startswith("lang:"),
+            F.concat(
+                open_tag, F.lit(' xml:lang="'), F.substring(F.col("o_dt"), 6, 100),
+                F.lit('">'), esc, F.lit("</"), local, F.lit(">"),
+            ),
+        )
+        .otherwise(el)
+    )
+
+
+def rdfxml_fragments(df: DataFrame) -> DataFrame:
+    """One `<rdf:Description>` fragment string per subject (column
+    ``frag``) — the distributed part of the RDF/XML serialization; callers
+    assemble header + fragments + footer (doc below, or the REST streamer
+    row by row)."""
+    subj_attr = F.when(
+        F.col("s").startswith("_:"),
+        F.concat(F.lit(' rdf:nodeID="'), _xml_escape(F.substring(F.col("s"), 3, 1 << 20)), F.lit('"')),
+    ).otherwise(F.concat(F.lit(' rdf:about="'), _xml_escape(F.col("s")), F.lit('"')))
+    return (
+        df.select(F.col("s"), subj_attr.alias("sa"), _xml_prop_el().alias("pe"))
+        .groupBy("s", "sa")
+        .agg(F.array_join(F.array_sort(F.collect_list("pe")), "\n    ").alias("body"))
+        .select(
+            F.concat(
+                F.lit("  <rdf:Description"), F.col("sa"), F.lit(">\n    "),
+                F.col("body"), F.lit("\n  </rdf:Description>"),
+            ).alias("frag")
+        )
+    )
+
+
+RDFXML_HEADER = f'<?xml version="1.0"?>\n<rdf:RDF xmlns:rdf="{RDF_NS}">\n'
+RDFXML_FOOTER = "\n</rdf:RDF>\n"
+
+
+def rdfxml_doc(df: DataFrame) -> str:
+    """Serialize triples as RDF/XML rdf:Description elements (ref: rio
+    RDFXMLWriter behind ConnegUtil). Exotic dt tags (sid/xml) fall back to
+    plain literals — same subset boundary as the reader."""
+    frags = rdfxml_fragments(df).collect()
+    return RDFXML_HEADER + "\n".join(r["frag"] for r in frags) + RDFXML_FOOTER
+
+
+# ------------------------------------------------------------- jsonld ----
+def _jsonld_value():
+    """One JSON-LD value object per row, via to_json (JVM JSON escaping)."""
+    iri_obj = F.to_json(F.struct(F.col("o_lex").alias("@id")))
+    lang_obj = F.to_json(
+        F.struct(
+            F.col("o_lex").alias("@value"),
+            F.substring(F.col("o_dt"), 6, 100).alias("@language"),
+        )
+    )
+    plain = F.to_json(F.struct(F.col("o_lex").alias("@value")))
+    out = plain
+    for tag, iri in _TAG_XSD.items():
+        out = F.when(
+            F.col("o_dt") == tag,
+            F.to_json(F.struct(F.col("o_lex").alias("@value"), F.lit(iri).alias("@type"))),
+        ).otherwise(out)
+    return (
+        F.when(F.col("o_dt").isin("iri", "bnode"), iri_obj)
+        .when(F.col("o_dt").startswith("lang:"), lang_obj)
+        .otherwise(out)
+    )
+
+
+def _json_str(col):
+    """JSON-encode a string column (quotes + escapes) via to_json: wrap in
+    a one-field struct, then strip the `{"k":` / `}` envelope."""
+    j = F.to_json(F.struct(col.alias("k")))
+    return j.substr(F.lit(6), F.length(j) - F.lit(6))
+
+
+def jsonld_nodes(df: DataFrame) -> DataFrame:
+    """One JSON-LD node-object string per subject (column ``node``) — the
+    distributed part; callers wrap in the @graph envelope."""
+    per_pred = (
+        df.select(F.col("s"), F.col("p"), _jsonld_value().alias("v"))
+        .groupBy("s", "p")
+        .agg(
+            F.concat(
+                _json_str(F.col("p")),
+                F.lit(":["),
+                F.array_join(F.array_sort(F.collect_list("v")), ","),
+                F.lit("]"),
+            ).alias("pair")
+        )
+    )
+    return (
+        per_pred.groupBy("s")
+        .agg(F.array_join(F.array_sort(F.collect_list("pair")), ",").alias("pairs"))
+        .select(
+            F.concat(
+                F.lit('{"@id":'),
+                _json_str(F.col("s")),
+                F.lit(","),
+                F.col("pairs"),
+                F.lit("}"),
+            ).alias("node")
+        )
+    )
+
+
+def jsonld_doc(df: DataFrame) -> str:
+    """Serialize triples as a JSON-LD @graph document of flat node objects
+    (ref: rio JSON-LD writer behind ConnegUtil; matches the reader's
+    flat-node subset)."""
+    nodes = jsonld_nodes(df).collect()
+    return '{"@graph":[' + ",".join(sorted(r["node"] for r in nodes)) + "]}"

@@ -3,6 +3,8 @@ reference accepts through bigdata-rdf/rio)."""
 
 from __future__ import annotations
 
+import pytest
+
 from blazegraph_database_spark.sources.rdf_formats import (
     RDF_NS,
     read_jsonld,
@@ -257,3 +259,76 @@ def test_read_turtle_full(spark, tmp_path):
     assert (rest, RDF + "rest", RDF + "nil", "iri") in rows
     # @base applied to relative IRIs; long string preserved
     assert ("http://base.org/rel", FOAF + "note", "multi\nline", "string") in rows
+
+
+# ---------------------------------------------------------------- writers --
+@pytest.fixture()
+def wdf(spark):
+    rows = [
+        ("http://ex/a", "http://ex/ns#knows", "http://ex/b", "iri"),
+        ("http://ex/a", "http://ex/ns#name", 'Al "q" \\ b\nnl\tt', "string"),
+        ("http://ex/a", "http://ex/ns#age", "42", "long"),
+        ("http://ex/b", "http://ex/ns#score", "3.5", "double"),
+        ("http://ex/b", "http://ex/ns#label", "hola <&>", "lang:es"),
+        ("_:b1", "http://ex/ns#flag", "true", "boolean"),
+        ("http://ex/b", "http://ex/ns#friend", "_:b1", "bnode"),
+    ]
+    return spark.createDataFrame(rows, "s string, p string, o_lex string, o_dt string")
+
+
+def _norm(rows_):
+    # readers report bnode objects as iri-tagged in JSON-LD (@id has no
+    # bnode marker beyond the _: prefix) — normalize the tag, keep the lex
+    return {(s, p, o, "iri" if dt == "bnode" else dt) for s, p, o, dt in rows_}
+
+
+@pytest.mark.parametrize(
+    "writer,reader,ext",
+    [
+        ("turtle_doc", "read_turtle", "ttl"),
+        ("rdfxml_doc", "read_rdfxml", "rdf"),
+        ("jsonld_doc", "read_jsonld", "jsonld"),
+    ],
+)
+def test_writer_reader_roundtrip(spark, wdf, tmp_path, writer, reader, ext):
+    from blazegraph_database_spark.sources import rdf_formats, rdf_writers
+
+    doc = getattr(rdf_writers, writer)(wdf)
+    p = tmp_path / f"doc.{ext}"
+    p.write_text(doc)
+    back = {tuple(r) for r in getattr(rdf_formats, reader)(spark, str(p)).collect()}
+    orig = {tuple(r) for r in wdf.collect()}
+    assert _norm(back) == _norm(orig)
+
+
+def test_trig_writer_roundtrip(spark, wdf, tmp_path):
+    from pyspark.sql import functions as F
+
+    from blazegraph_database_spark.sources import rdf_writers
+    from blazegraph_database_spark.sources.rdf_formats import read_trig
+
+    q = wdf.withColumn(
+        "g", F.when(F.col("s") == "http://ex/a", "http://ex/g1")
+    )
+    doc = rdf_writers.trig_doc(q, {"ex": "http://ex/ns#"})
+    p = tmp_path / "doc.trig"
+    p.write_text(doc)
+    back = {
+        (s, pp, o, "iri" if dt == "bnode" else dt, g or None)
+        for s, pp, o, dt, g in (tuple(r) for r in read_trig(spark, str(p)).collect())
+    }
+    orig = {
+        (s, pp, o, "iri" if dt == "bnode" else dt, g)
+        for s, pp, o, dt, g in (tuple(r) for r in q.collect())
+    }
+    assert back == orig
+
+
+def test_turtle_writer_prefix_compression(spark, wdf):
+    from blazegraph_database_spark.sources import rdf_writers
+
+    doc = rdf_writers.turtle_doc(wdf, {"ex": "http://ex/ns#"})
+    assert "@prefix ex: <http://ex/ns#> ." in doc
+    assert "ex:knows" in doc and "<http://ex/ns#knows>" not in doc
+    # subjects group with `;` predicate lists
+    assert " ;\n    " in doc

@@ -113,7 +113,9 @@ def test_construct_turtle_conneg(server):
     q = urllib.parse.quote("CONSTRUCT { ?x <linked> ?y } WHERE { ?x <knows> ?y }")
     status, ctype, body = _req(f"{server}/sparql?query={q}", accept="text/turtle")
     assert status == 200 and ctype == "text/turtle"
-    assert body.decode().strip() == "<a> <linked> <b> ."
+    # real Turtle writer now: prefix header + subject block
+    assert "<a> <linked> <b> ." in body.decode()
+    assert body.decode().startswith("@prefix")
 
 
 def test_explain_param(server):
@@ -512,3 +514,57 @@ def test_tx_hardening(server):
         status = e.code
     assert status == 400
     assert post(f"{server}/tx/{tx2}/abort")[0] == 200
+
+
+def test_construct_conneg_turtle_rdfxml_jsonld(server, spark, tmp_path):
+    """CONSTRUCT served as Turtle-with-prefixes / RDF/XML / JSON-LD via
+    Accept (ref: ConnegUtil RDFFormat table) — each body re-parses with the
+    matching reader to the same triples."""
+    from blazegraph_database_spark.sources import rdf_formats
+
+    q = urllib.parse.quote(
+        "CONSTRUCT { ?x <knows> ?y } WHERE { ?x <knows> ?y }"
+    )
+    expected = {("a", "knows", "b", "iri")}
+    for accept, reader, ext in [
+        ("text/turtle", rdf_formats.read_turtle, "ttl"),
+        ("application/rdf+xml", rdf_formats.read_rdfxml, "rdf"),
+        ("application/ld+json", rdf_formats.read_jsonld, "jsonld"),
+    ]:
+        status, ctype, body = _req(f"{server}/sparql?query={q}", accept=accept)
+        assert status == 200 and ctype == accept
+        p = tmp_path / f"resp.{ext}"
+        p.write_bytes(body)
+        got = {tuple(r) for r in reader(spark, str(p)).collect()}
+        assert got == expected, accept
+    # turtle body actually uses the prefix/grouping writer
+    _, _, ttl = _req(f"{server}/sparql?query={q}", accept="text/turtle")
+    assert b"@prefix" in ttl
+
+
+def test_result_row_cap_413(spark):
+    """Documented 413 guard: a result beyond max_result_rows aborts with
+    413 instead of materializing on the driver (VERDICT r4 rest.py
+    collect() finding)."""
+    import urllib.error
+
+    rows = [(f"s{i}", "p", f"o{i}", "iri") for i in range(50)]
+    store = UpdatableStore.from_store(
+        TripleStore(
+            spark.createDataFrame(rows, "s string, p string, o_lex string, o_dt string")
+        )
+    )
+    ep = SparqlEndpoint(spark, store, max_result_rows=10)
+    srv, port = start_background(ep)
+    try:
+        q = urllib.parse.quote("SELECT ?s ?o WHERE { ?s <p> ?o }")
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _req(f"http://127.0.0.1:{port}/sparql?query={q}")
+        assert ei.value.code == 413
+        assert "row cap" in json.loads(ei.value.read())["error"]
+        # under the cap still fine (LIMIT paging path)
+        q2 = urllib.parse.quote("SELECT ?s ?o WHERE { ?s <p> ?o } LIMIT 5")
+        status, _, body = _req(f"http://127.0.0.1:{port}/sparql?query={q2}")
+        assert status == 200 and len(json.loads(body)["results"]["bindings"]) == 5
+    finally:
+        srv.shutdown()
