@@ -995,3 +995,44 @@ def trig_writer_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("g")
         .agg(F.count(F.lit(1)).cast("long").alias("n"), F.min("o_lex").alias("lo"))
     )
+
+
+@register(
+    "history_changelog",
+    """
+    SELECT 1 AS commit, 'added' AS action, 'tag#high' AS p,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM customer WHERE c_acctbal > 5000
+    UNION ALL
+    SELECT 2, 'removed', 'customer#c_mktsegment', CAST(COUNT(*) AS BIGINT)
+    FROM customer WHERE c_mktsegment = 'BUILDING'
+    """,
+)
+def history_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """History/changelog service over MVCC commits (ref:
+    ast/service/history/HistoryServiceFactory.java:1 + RDRHistory.java —
+    per-commit added/removed statement records): commit 1 inserts a derived
+    tag for high-balance customers, commit 2 deletes the BUILDING segment
+    triples; the changelog between commit points 0..2 reports both deltas
+    as Δ-sized anti-joins of adjacent immutable versions."""
+    from blazegraph_database_spark.plans.update_parser import apply_update
+    from blazegraph_database_spark.sources.relational import table_to_triples
+    from blazegraph_database_spark.update.update import UpdatableStore
+
+    cust = table_to_triples(
+        read_parquet(spark, f"{sf_dir}/customer.parquet"), "customer", "c_custkey", {}
+    )
+    us = UpdatableStore.from_store(TripleStore(cust))
+    apply_update(
+        us,
+        'INSERT { ?c <tag#high> "1" } WHERE '
+        "{ ?c <customer#c_acctbal> ?b FILTER(?b > 5000) } ; "
+        "DELETE { ?c <customer#c_mktsegment> ?seg } WHERE "
+        '{ ?c <customer#c_mktsegment> ?seg FILTER(?seg = "BUILDING") }',
+        spark,
+    )
+    return (
+        us.changelog()
+        .groupBy("commit", "action", "p")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )

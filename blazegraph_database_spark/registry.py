@@ -28,6 +28,7 @@ _SCORE_FIRST = [
     "rdfxml_writer_roundtrip",
     "jsonld_writer_roundtrip",
     "trig_writer_roundtrip",
+    "history_changelog",
     # (b) never driver-scored through r4 (judge-verified local only).
     "pipeline_end_to_end",
     "turtle_roundtrip",

@@ -105,6 +105,58 @@ class UpdatableStore:
     def current(self) -> TripleStore:
         return self.versions[-1]
 
+    # --------------------------------------------------------- changelog --
+    def changelog(self, since: int = 0, until: int | None = None) -> DataFrame:
+        """Per-commit change records over the MVCC version list (ref: the
+        history service — ast/service/history/HistoryServiceFactory.java:1,
+        HistoryChangeRecord.java, and the RDR change-capture variant
+        bigdata-sails/.../RDRHistory.java: each change event records the
+        statement, the action (added/removed) and the commit).
+
+        Returns one row per changed statement per commit in (since, until]:
+        ``(commit, action, s, p, o_lex, o_dt[, g])`` with action in
+        {'added','removed'}. Spark-first: each commit's delta is a pair of
+        anti-joins between adjacent immutable versions — Δ-sized results,
+        no version is ever materialized to the driver; statement identity
+        is (s,p,o_lex[,g]) set semantics, matching the store's verbs."""
+        until = len(self.versions) - 1 if until is None else until
+        if not 0 <= since <= until < len(self.versions):
+            raise IndexError(
+                f"changelog range ({since}, {until}] outside 0..{len(self.versions) - 1}"
+            )
+        spark = self.current.spark
+        parts: list[DataFrame] = []
+        for i in range(since + 1, until + 1):
+            cur, prev = self.versions[i].df, self.versions[i - 1].df
+            if "g" in cur.columns and "g" not in prev.columns:
+                prev = prev.withColumn("g", F.lit(None).cast("string"))
+            if "g" in prev.columns and "g" not in cur.columns:
+                cur = cur.withColumn("g", F.lit(None).cast("string"))
+            keys = _key_cols(cur)
+            for action, left, right in (("added", cur, prev), ("removed", prev, cur)):
+                # null-safe on g: the default graph is g=NULL and must
+                # compare equal to itself (same discipline as delete_data)
+                r = right.select(*keys)
+                cond = None
+                for c in keys:
+                    eq = left[c].eqNullSafe(r[c])
+                    cond = eq if cond is None else cond & eq
+                delta = left.join(r, on=cond, how="left_anti").dropDuplicates(keys)
+                parts.append(
+                    delta.select(
+                        F.lit(i).alias("commit"), F.lit(action).alias("action"), "*"
+                    )
+                )
+        if not parts:
+            cols = "commit int, action string, s string, p string, o_lex string, o_dt string"
+            if "g" in self.current.df.columns:
+                cols += ", g string"
+            return spark.createDataFrame([], cols)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p, allowMissingColumns=True)
+        return out
+
     # ----------------------------------------------------- solution sets --
     def solutions_manager(self, path: str | None = None):
         """The store's named-solution-set cache (ref: AST2BOpContext.

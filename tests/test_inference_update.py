@@ -518,3 +518,54 @@ def test_tc_retract_matches_recompute(spark):
         dele = spark.createDataFrame(deleted, "src string, dst string")
         got = {(r["src"], r["dst"]) for r in tc_retract(tc_old, e_new, dele).collect()}
         assert got == tc_py(kept), (edges, deleted)
+
+
+# --------------------------------------------------------------- changelog --
+def test_changelog_records_adds_and_removes(spark):
+    """History service analog (ref: HistoryServiceFactory.java /
+    RDRHistory.java): per-commit added/removed statement records."""
+    from blazegraph_database_spark.model.store import TripleStore
+    from blazegraph_database_spark.update.update import UpdatableStore
+
+    df = spark.createDataFrame(
+        [("a", "p", "1", "long"), ("b", "p", "2", "long")],
+        "s string, p string, o_lex string, o_dt string",
+    )
+    us = UpdatableStore.from_store(TripleStore(df))
+    us.insert_data(
+        spark.createDataFrame([("c", "p", "3", "long")], df.schema)
+    )
+    us.delete_data(spark.createDataFrame([("a", "p", "1", "long")], df.schema))
+    log = {(r.commit, r.action, r.s) for r in us.changelog().collect()}
+    assert log == {(1, "added", "c"), (2, "removed", "a")}
+    # windowed: only commit 2
+    log2 = {(r.commit, r.action, r.s) for r in us.changelog(since=1).collect()}
+    assert log2 == {(2, "removed", "a")}
+    # empty window
+    assert us.changelog(since=2).count() == 0
+    import pytest as _pytest
+
+    with _pytest.raises(IndexError):
+        us.changelog(since=5)
+
+
+def test_changelog_quad_upgrade(spark):
+    """A commit that upgrades the store to quads diffs correctly (prev
+    version aligned into the default graph)."""
+    from pyspark.sql import functions as F
+
+    from blazegraph_database_spark.model.store import TripleStore
+    from blazegraph_database_spark.update.update import UpdatableStore
+
+    df = spark.createDataFrame(
+        [("a", "p", "1", "long")], "s string, p string, o_lex string, o_dt string"
+    )
+    us = UpdatableStore.from_store(TripleStore(df))
+    us.insert_data(
+        spark.createDataFrame(
+            [("b", "p", "2", "long", "g1")],
+            "s string, p string, o_lex string, o_dt string, g string",
+        )
+    )
+    log = [(r.commit, r.action, r.s, r.g) for r in us.changelog().collect()]
+    assert log == [(1, "added", "b", "g1")]
