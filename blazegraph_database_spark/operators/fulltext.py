@@ -108,12 +108,13 @@ def search(
         # assignment and the maxRank cut, like every other hit filter
         scored = scored_filter(scored)
     if count_col is not None:
-        # bds:rangeCount = TOTAL matching hits (pre-maxRank). Checkpoint so
-        # the count aggregate and the ranked read don't each re-run the
-        # whole search pipeline.
-        scored = scored.localCheckpoint(eager=True)
-        total = scored.agg(F.count(F.lit(1)).alias(count_col))
-        scored = scored.crossJoin(F.broadcast(total))
+        # bds:rangeCount: the reference returns EXACTLY ONE solution
+        # binding only the count var — hits are NOT enumerated, and a
+        # zero-hit search still binds 0 (ref:
+        # SearchServiceFactory.java:649 SingleValueChunkedIterator instead
+        # of the hit iterator; ADVICE r4: the old per-hit crossJoin made
+        # count 0 unobservable). Count is total pre-maxRank hits.
+        return scored.agg(F.count(F.lit(1)).alias(count_col))
     # TakeOrderedAndProject: orderBy+limit never materializes a global sort
     top = scored.orderBy(F.col("score_ppm").desc(), F.col("id").asc()).limit(max_rank)
     from pyspark.sql.window import Window

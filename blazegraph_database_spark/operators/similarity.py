@@ -554,8 +554,21 @@ def pq_codebooks(
     corpus-subvector pass + one (sub, code, pos) aggregation. At 100 TB,
     train on a sampled fraction — the plan shape holds."""
     subs = _pq_subvectors(corpus, "vid", m, dim, vec_col, id_col)
-    books = subs.filter(F.col("vid") < k).select(
-        "sub", F.col("vid").alias("code"), F.col("sv").alias("cq")
+    # seed from the k LOWEST ids actually present (ADVICE r4: a sparse or
+    # non-zero-based id space silently trained fewer than k centroids per
+    # subspace under the literal `vid < k` predicate); ranks densify the
+    # seed ids into codes 0..k-1
+    from pyspark.sql.window import Window
+
+    seeds = (
+        subs.select("vid")
+        .distinct()
+        .orderBy("vid")
+        .limit(k)
+        .withColumn("code", F.row_number().over(Window.orderBy("vid")) - F.lit(1))
+    )
+    books = subs.join(F.broadcast(seeds), on="vid").select(
+        "sub", "code", F.col("sv").alias("cq")
     )
     for _ in range(iters):
         assigned = _pq_assign(subs, books, "vid")

@@ -1006,15 +1006,64 @@ def _(node: A.Exists, store: TripleStore) -> DataFrame:
     return child.join(sub.select(*shared).distinct(), on=shared, how=how)
 
 
+def _may_bind_unbound(node) -> bool:
+    """Static walk: can this algebra subtree produce UNBOUND (NULL) values
+    in its binding columns? True when an OPTIONAL (LeftJoin), UNION with
+    asymmetric arms, or VALUES-with-UNDEF sits anywhere inside —
+    conservative, purely structural, no Spark job."""
+    import dataclasses
+
+    if isinstance(node, (A.LeftJoin, A.Union2, A.Values)):
+        return True
+    if dataclasses.is_dataclass(node):
+        for f in dataclasses.fields(node):
+            v = getattr(node, f.name)
+            for item in v.values() if isinstance(v, dict) else (v if isinstance(v, (list, tuple)) else (v,)):
+                if dataclasses.is_dataclass(item) and _may_bind_unbound(item):
+                    return True
+    return False
+
+
 @_compile.register
 def _(node: A.ExistsFlag, store: TripleStore) -> DataFrame:
     """EXISTS as a value expression: bind node.var as a boolean column via a
     left join against the distinct shared-var solutions (the reference's
     ask-subquery solution flag; ref: ExistsNode.java). Uncorrelated blocks
-    reduce to one broadcast scalar."""
+    reduce to one broadcast scalar.
+
+    SPARQL solution compatibility treats UNBOUND as compatible with any
+    binding (ADVICE r4: the pure equi-join made NULL shared vars never
+    match). When the static walk says the child can bind NULLs, the join
+    falls back to a null-tolerant condition re-aggregated per input row;
+    otherwise the fast equi path stands."""
     child = _compile(node.child, store)
     sub = _compile(node.pattern, store)
     shared = sorted(set(child.columns) & set(sub.columns))
+    if shared and _may_bind_unbound(node.child):
+        rid = "__ex_rid"
+        left = child.withColumn(rid, F.monotonically_increasing_id())
+        m = (
+            sub.select(*[F.col(c).alias(f"__ex_{c}") for c in shared])
+            .distinct()
+            .withColumn("__ex_hit", F.lit(True))
+        )
+        cond = None
+        for c in shared:
+            e = (
+                F.col(c).isNull()
+                | F.col(f"__ex_{c}").isNull()
+                | (F.col(c) == F.col(f"__ex_{c}"))
+            )
+            cond = e if cond is None else cond & e
+        joined = left.join(m, on=cond, how="left")
+        out = (
+            joined.groupBy(rid, *child.columns)
+            .agg(F.max(F.coalesce(F.col("__ex_hit"), F.lit(False))).alias("__ex_hitagg"))
+            .drop(rid)
+        )
+        flag = F.col("__ex_hitagg")
+        out = out.withColumn(node.var, ~flag if node.negate else flag)
+        return out.drop("__ex_hitagg")
     if shared:
         # no forced broadcast: the distinct solution set can be corpus-sized;
         # AQE picks broadcast when it measures small
@@ -1310,13 +1359,16 @@ def _(node: A.Service, store: TripleStore) -> DataFrame:
         hits = fulltext.search(
             idx, patterns, scored_filter=scored_filter, count_col=count_var, **opts
         )
+        if count_var is not None:
+            # reference semantics: ONE solution binding only rangeCount
+            # (hits suppressed; zero-hit searches bind 0) — ref:
+            # SearchServiceFactory.java:649
+            return hits
         sel = [F.col("id").alias(subj.name)]
         if rel_var is not None:  # score as the 0..1 relevance the ref binds
             sel.append((F.col("score_ppm").cast("double") / 1_000_000).alias(rel_var))
         if rank_var is not None:
             sel.append(F.col("rank").alias(rank_var))
-        if count_var is not None:
-            sel.append(F.col(count_var))
         return hits.select(*sel)
     try:
         fn = service.lookup(node.iri)

@@ -1002,12 +1002,21 @@ class Parser:
             self.prefixes[pname[:-1]] = iri
 
     def resolve_iri(self, iri: str) -> str:
-        """Resolve a relative IRI reference against the declared BASE (the
-        common concat subset of RFC 3986: a ref with no scheme appends to
-        the base; absolute refs pass through). No BASE -> unchanged."""
-        if self.base and ":" not in iri.split("/", 1)[0]:
+        """RFC 3986 resolution of a relative IRI reference against the
+        declared BASE (ADVICE r4: plain concatenation mis-resolved 'c'
+        against <http://ex/a/b> as 'http://ex/a/bc', plus '../x' and
+        '//host/p' forms). urllib.parse.urljoin IS the RFC 3986 merge/
+        remove-dot-segments algorithm, matching the reference's openrdf
+        ParsedURI resolution. A base ending in '#' keeps the legacy suffix
+        append (urljoin would drop the fragment base). No BASE →
+        unchanged."""
+        if not self.base or ":" in iri.split("/", 1)[0]:
+            return iri
+        if self.base.endswith("#"):
             return self.base + iri
-        return iri
+        from urllib.parse import urljoin
+
+        return urljoin(self.base, iri)
 
     def _pred_term(self):
         """Template/pattern predicate: ?var | IRI | pname | `a`."""

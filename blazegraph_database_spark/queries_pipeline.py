@@ -914,7 +914,9 @@ def multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT vec_id, s.sub, e.vq[s.sub*16+1 : s.sub*16+16] AS sv
         FROM e CROSS JOIN subsp s
     ),
-    b0 AS (SELECT sub, vec_id AS code, sv AS cq FROM subs WHERE vec_id < 8),
+    seeds AS (SELECT vid, ROW_NUMBER() OVER (ORDER BY vid) - 1 AS code
+              FROM (SELECT DISTINCT vec_id AS vid FROM subs ORDER BY vid LIMIT 8)),
+    b0 AS (SELECT s.sub, seeds.code, s.sv AS cq FROM subs s JOIN seeds ON s.vec_id = seeds.vid),
     d1 AS (
         SELECT subs.vec_id, subs.sub, b.code,
                CAST(SUM((subs.sv[i]-b.cq[i])*(subs.sv[i]-b.cq[i])) AS BIGINT) AS d

@@ -266,3 +266,38 @@ def test_negated_property_set_mixed(tiny_store):
     assert ("x", "y") in got and ("y", "x") in got      # forward likes
     assert ("b", "a") in got                             # inverse knows
     assert all(pair != ("a", "b") or True for pair in got)
+
+
+def test_exists_flag_unbound_compatible(spark):
+    """ADVICE r4: SPARQL solution compatibility — an UNBOUND shared var
+    (from OPTIONAL) is compatible with ANY binding, so EXISTS must not
+    evaluate to false for it. Fast equi path keeps serving plans without
+    OPTIONAL/UNION."""
+    from blazegraph_database_spark.model.store import TripleStore
+    from blazegraph_database_spark.plans.compiler import evaluate
+
+    rows = [
+        ("a", "p", "1", "long"),
+        ("b", "p", "2", "long"),
+        ("a", "q", "k1", "iri"),   # only a has a q binding
+        ("x", "r", "k1", "iri"),   # sub pattern matches x=k1
+    ]
+    st = TripleStore(
+        spark.createDataFrame(rows, "s string, p string, o_lex string, o_dt string")
+    )
+    child = A.LeftJoin(
+        A.SP(v("s"), "p", v("o")), A.SP(v("s"), "q", v("x")), None
+    )
+    plan = A.ExistsFlag(child, A.SP(v("y"), "r", v("x")), "f")
+    got = {(r.s, r.f) for r in evaluate(st, plan).select("s", "f").collect()}
+    # a: x=k1 bound, sub has k1 → true; b: x unbound → compatible → true
+    assert got == {("a", True), ("b", True)}
+    # and a bound-but-absent value stays false
+    st2 = TripleStore(
+        spark.createDataFrame(
+            rows + [("b", "q", "k2", "iri")],
+            "s string, p string, o_lex string, o_dt string",
+        )
+    )
+    got2 = {(r.s, r.f) for r in evaluate(st2, plan).select("s", "f").collect()}
+    assert got2 == {("a", True), ("b", False)}

@@ -108,9 +108,13 @@ def test_bds_extended_options(spark):
     # matchRegex post-filter
     got = {r["lit"] for r in hits('?lit <bds:search> "beta" . ?lit <bds:matchRegex> "delta$"')}
     assert got == {"d3"}
-    # rangeCount binds the total hit count on every row
+    # rangeCount: ONE solution binding only the total (ref:
+    # SearchServiceFactory.java:649 — hits are not enumerated), and a
+    # zero-hit search observably binds 0 (ADVICE r4)
     out = hits('?lit <bds:search> "beta" . ?lit <bds:rangeCount> ?n')
-    assert len(out) == 3 and all(r["n"] == 3 for r in out)
+    assert len(out) == 1 and out[0]["n"] == 3
+    out = hits('?lit <bds:search> "zzzznohit" . ?lit <bds:rangeCount> ?n')
+    assert len(out) == 1 and out[0]["n"] == 0
     # maxRelevance excludes the top-scoring doc that minRelevance keeps
     all_rel = {r["lit"]: r["rel"] for r in hits('?lit <bds:search> "alpha" . ?lit <bds:relevance> ?rel')}
     assert len(all_rel) == 2
@@ -149,4 +153,4 @@ def test_bds_rangecount_is_total_prerank(spark):
     q = ('SELECT * WHERE { SERVICE <bds:search> { ?s <bds:search> "beta" . '
          '?s <bds:maxRank> "5" . ?s <bds:rangeCount> ?n } }')
     out = run_sparql(st, q).collect()
-    assert len(out) == 5 and all(r["n"] == 30 for r in out)
+    assert len(out) == 1 and out[0]["n"] == 30

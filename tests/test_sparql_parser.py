@@ -690,3 +690,36 @@ def test_substr_replace_functions(spark):
     out = run_sparql(st, 'SELECT (SUBSTR(?n, 4) AS ?t) (SUBSTR(?n, 1, 3) AS ?h) '
                          '(REPLACE(?n, "o+", "0") AS ?r) WHERE { ?s <name> ?n }')
     assert [tuple(r) for r in out.collect()] == [("bar", "foo", "f0bar")]
+
+
+def test_base_rfc3986_resolution(spark):
+    """ADVICE r4: BASE resolution follows RFC 3986 — sibling refs replace
+    the last path segment, ../ steps up, //host/p is network-relative."""
+    from blazegraph_database_spark.model.store import TripleStore
+    from blazegraph_database_spark.plans.sparql_parser import run_sparql
+
+    rows = [
+        ("http://ex.org/a/c", "http://ex.org/a/p", "1", "long"),
+        ("http://ex.org/x", "http://ex.org/a/p", "2", "long"),
+        ("http://other/p2", "http://ex.org/a/p", "3", "long"),
+    ]
+    st = TripleStore(
+        spark.createDataFrame(rows, "s string, p string, o_lex string, o_dt string")
+    )
+    base = "BASE <http://ex.org/a/b> "
+    # sibling: 'c' against .../a/b → .../a/c (NOT .../a/bc)
+    out = run_sparql(st, base + "SELECT ?o WHERE { <c> <p> ?o }")
+    assert [r.o for r in out.collect()] == ["1"]
+    # dot-segment: '../x' → http://ex.org/x
+    out = run_sparql(st, base + "SELECT ?o WHERE { <../x> <p> ?o }")
+    assert [r.o for r in out.collect()] == ["2"]
+    # network-relative: '//other/p2' → http://other/p2
+    out = run_sparql(st, base + "SELECT ?o WHERE { <//other/p2> <p> ?o }")
+    assert [r.o for r in out.collect()] == ["3"]
+    # fragment-style base keeps suffix append
+    rows2 = [("http://ex.org/ns#a", "http://ex.org/ns#p", "9", "long")]
+    st2 = TripleStore(
+        spark.createDataFrame(rows2, "s string, p string, o_lex string, o_dt string")
+    )
+    out = run_sparql(st2, "BASE <http://ex.org/ns#> SELECT ?o WHERE { <a> <p> ?o }")
+    assert [r.o for r in out.collect()] == ["9"]
