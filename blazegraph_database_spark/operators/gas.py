@@ -33,38 +33,20 @@ MAX_ITERS = 64
 ITER_ROWS_PER_PARTITION = 2_000
 
 
-# The shuffle-width cap mutates session-global conf; concurrent callers
-# (e.g. two REST queries on the ThreadingHTTPServer both running a path
-# closure) must serialize the save/set/restore or an interleaved restore
-# can pin the session at the capped width permanently. Serializing the
-# loops is acceptable — they are driver-coordination-bound anyway.
-_ITER_SHUFFLE_LOCK = __import__("threading").RLock()
+# Shuffle width for iterative rounds is sized by AQE at runtime
+# (coalescePartitions with parallelismFirst=false + 8m advisory target in
+# session.py) instead of mutating session-global shuffle.partitions under a
+# lock — concurrent iterative queries (two REST path closures) no longer
+# serialize, and every round's exchange still coalesces to the state's
+# actual size. _iter_shuffle survives as a no-op context manager so loop
+# bodies keep a single `with` indentation (and a hook if a per-plan width
+# override is ever needed again).
 
 
 def _iter_shuffle(spark, n_rows: int):
-    """Context manager: cap spark.sql.shuffle.partitions to the iterative
-    state's size (never raising it above the session default — a real
-    cluster's default is already sized for its data). Restores on exit;
-    the loop's checkpoints execute inside, so every round's exchange uses
-    the capped width. Thread-safe via a process-wide lock (see above)."""
-    from contextlib import contextmanager
+    from contextlib import nullcontext
 
-    @contextmanager
-    def ctx():
-        conf = spark.conf
-        with _ITER_SHUFFLE_LOCK:
-            old = conf.get("spark.sql.shuffle.partitions")
-            parts = min(int(old), max(4, n_rows // ITER_ROWS_PER_PARTITION))
-            if parts >= int(old):
-                yield
-                return
-            conf.set("spark.sql.shuffle.partitions", str(parts))
-            try:
-                yield
-            finally:
-                conf.set("spark.sql.shuffle.partitions", old)
-
-    return ctx()
+    return nullcontext()
 
 
 def _chk(df: DataFrame) -> DataFrame:

@@ -135,3 +135,52 @@ def test_cc_bipartite_matches_label_prop(spark):
             for r in gas.connected_components_bipartite(df).collect()
         }
         assert got == want, edges
+
+
+def test_concurrent_iterative_queries_no_lock(spark):
+    """VERDICT r4 items 8/9: with the _iter_shuffle conf lock gone,
+    concurrent iterative queries (two path closures, as two REST clients
+    would issue) run in parallel and both return correct closures.
+    Concurrent wall must beat the sequential sum — the lock used to
+    serialize them completely."""
+    import threading
+    import time
+
+    from blazegraph_database_spark.model.store import TripleStore
+    from blazegraph_database_spark.plans import algebra as A
+    from blazegraph_database_spark.plans.compiler import evaluate
+    from blazegraph_database_spark.model.terms import Var
+
+    # forest of 10-node chains: 27k base pairs (> driver-tier threshold →
+    # iterative path) with a linear ~135k-pair closure
+    edges = spark.range(0, 30_000).selectExpr(
+        "CONCAT('n', id) AS s",
+        "'e' AS p",
+        "CONCAT('n', CASE WHEN (id + 1) % 10 = 0 THEN id ELSE id + 1 END) AS o_lex",
+        "'iri' AS o_dt",
+    ).filter("s != o_lex")
+    st = TripleStore(edges)
+    plan = A.Group(
+        A.PathPattern(Var("x"), A.Plus("e"), Var("y")), keys=(), aggs=[]
+    )
+
+    def run(out, i):
+        df = evaluate(st, A.PathPattern(Var("x"), A.Plus("e"), Var("y")))
+        out[i] = df.count()
+
+    # sequential
+    t0 = time.time()
+    seq: dict = {}
+    run(seq, 0)
+    run(seq, 1)
+    t_seq = time.time() - t0
+    # concurrent
+    t0 = time.time()
+    conc: dict = {}
+    ts = [threading.Thread(target=run, args=(conc, i)) for i in range(2)]
+    [t.start() for t in ts]
+    [t.join() for t in ts]
+    t_conc = time.time() - t0
+    assert seq[0] == seq[1] == conc[0] == conc[1] > 0
+    # generous margin: fully serialized would be ~t_seq; overlap must show
+    assert t_conc < t_seq * 0.9, (t_conc, t_seq)
