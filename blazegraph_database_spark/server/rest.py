@@ -295,15 +295,25 @@ class SparqlEndpoint:
         timestamp: int | None = None,
         timeout_ms: int | None = None,
         txid: str | None = None,
+        describe_mode: str | None = None,
+        describe_iterations: int | None = None,
     ) -> tuple[int, str, bytes]:
         if timeout_ms:
             return self._bounded(
                 timeout_ms,
-                lambda: self.query(ns, text, accept, explain, timestamp, txid=txid),
+                lambda: self.query(
+                    ns, text, accept, explain, timestamp, txid=txid,
+                    describe_mode=describe_mode,
+                    describe_iterations=describe_iterations,
+                ),
             )
         us = self._tx_store(txid, ns) if txid is not None else self.namespaces[ns]
         if timestamp is None:
-            store = us.current
+            # query_store = current version + persisted named solution
+            # sets, so INCLUDE %set resolves against sets written by prior
+            # UPDATE requests (ref: the solution-set cache is visible to
+            # every query — SolutionSetManager via AST2BOpContext)
+            store = us.query_store
         else:
             # MVCC read at commit point N (ref: the REST API's &timestamp=
             # param reading a historical commit time): versions[] IS the
@@ -351,7 +361,10 @@ class SparqlEndpoint:
         ser, ctype = _pick(accept, _GRAPH_FMTS, NT)
         if form == "construct":
             return 200, ctype, ser(compiler.construct(store, parsed[1], parsed[2]), self.max_result_rows)
-        return 200, ctype, ser(self._describe(store, parsed), self.max_result_rows)
+        return 200, ctype, ser(
+            self._describe(store, parsed, describe_mode, describe_iterations),
+            self.max_result_rows,
+        )
 
     def _bounded(self, timeout_ms: int, fn):
         """Query-deadline enforcement (ref: the REST API's ``timeout=``
@@ -387,10 +400,45 @@ class SparqlEndpoint:
             raise box["err"]
         return box["out"]
 
-    @staticmethod
-    def _describe(store: TripleStore, parsed) -> DataFrame:
+    # reference describeMode enum → engine describe() args (ref:
+    # QueryHints.java:587 DESCRIBE_MODE / DescribeModeEnum +
+    # ASTDescribeOptimizer): SymmetricOneStep = fwd+rev, no bnode recursion
+    _DESCRIBE_MODES = {
+        "cbd": ("cbd", None),
+        "scbd": ("scbd", None),
+        "forwardonestep": ("fwd", None),
+        "symmetriconestep": ("scbd", 0),
+        "fwd": ("fwd", None),
+        "rev": ("rev", None),
+    }
+
+    @classmethod
+    def _describe(
+        cls,
+        store: TripleStore,
+        parsed,
+        describe_mode: str | None = None,
+        describe_iterations: int | None = None,
+    ) -> DataFrame:
         """Both DESCRIBE forms: plain IRI list and DESCRIBE ?x WHERE {P}
-        (mirrors run_sparql; the WHERE form binds the var and CBDs it)."""
+        (mirrors run_sparql; the WHERE form binds the var and CBDs it).
+        ``describe_mode``/``describe_iterations`` expose the reference's
+        describeMode / describeIterationLimit options (QueryHints.java:587,
+        601) as REST params."""
+        kwargs: dict = {}
+        if describe_mode is not None:
+            key = describe_mode.strip().lower()
+            if key not in cls._DESCRIBE_MODES:
+                raise ValueError(
+                    f"unknown describeMode {describe_mode!r}; one of "
+                    "CBD, SCBD, ForwardOneStep, SymmetricOneStep"
+                )
+            mode, forced_depth = cls._DESCRIBE_MODES[key]
+            kwargs["mode"] = mode
+            if forced_depth is not None:
+                kwargs["max_depth"] = forced_depth
+        if describe_iterations is not None:
+            kwargs["max_depth"] = describe_iterations
         if parsed[0] == "describe_where":
             from pyspark.sql import functions as F
 
@@ -399,8 +447,8 @@ class SparqlEndpoint:
                 .select(F.col(parsed[1]).alias("s"))
                 .distinct()
             )
-            return compiler.describe(store, subjects)
-        return compiler.describe(store, parsed[1])
+            return compiler.describe(store, subjects, **kwargs)
+        return compiler.describe(store, parsed[1], **kwargs)
 
     def update(self, ns: str, text: str) -> tuple[int, str, bytes]:
         with self._lock:
@@ -684,6 +732,9 @@ class SparqlEndpoint:
                 timestamp=int(params["timestamp"]) if "timestamp" in params else None,
                 timeout_ms=timeout_of(params),
                 txid=params.get("txid"),
+                describe_mode=params.get("describeMode"),
+                describe_iterations=int(params["describeIterationLimit"])
+                if "describeIterationLimit" in params else None,
             )
         if method == "POST":
             base = ctype.split(";")[0].strip()
@@ -712,6 +763,9 @@ class SparqlEndpoint:
                     timestamp=int(params["timestamp"]) if "timestamp" in params else None,
                     timeout_ms=timeout_of(params),
                     txid=params.get("txid"),
+                    describe_mode=params.get("describeMode"),
+                    describe_iterations=int(params["describeIterationLimit"])
+                    if "describeIterationLimit" in params else None,
                 )
             raise ValueError("POST needs query=, update=, or an RDF body")
         if method == "PUT":

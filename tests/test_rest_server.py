@@ -568,3 +568,56 @@ def test_result_row_cap_413(spark):
         assert status == 200 and len(json.loads(body)["results"]["bindings"]) == 5
     finally:
         srv.shutdown()
+
+
+def test_solution_sets_over_http(spark):
+    """Named solution sets across REST requests (ref: SolutionSetManager +
+    the UPDATE grammar's INSERT INTO %set): one POST update writes the set,
+    a later GET query INCLUDEs it."""
+    rows = [
+        ("a", "score", "10", "long"),
+        ("b", "score", "20", "long"),
+        ("a", "tag", "x", "string"),
+        ("b", "tag", "y", "string"),
+    ]
+    store = UpdatableStore.from_store(
+        TripleStore(spark.createDataFrame(rows, "s string, p string, o_lex string, o_dt string"))
+    )
+    ep = SparqlEndpoint(spark, store)
+    srv, port = start_background(ep)
+    try:
+        base = f"http://127.0.0.1:{port}"
+        upd = urllib.parse.urlencode(
+            {"update": "INSERT INTO %hi SELECT ?s WHERE { ?s <score> ?v FILTER(?v > 15) }"}
+        ).encode()
+        status, _, _ = _req(f"{base}/sparql", method="POST", body=upd,
+                            ctype="application/x-www-form-urlencoded")
+        assert status == 200
+        q = urllib.parse.quote("SELECT ?s ?t WHERE { INCLUDE %hi . ?s <tag> ?t }")
+        status, _, body = _req(f"{base}/sparql?query={q}")
+        assert status == 200
+        got = [(b["s"]["value"], b["t"]["value"])
+               for b in json.loads(body)["results"]["bindings"]]
+        assert got == [("b", "y")]
+    finally:
+        srv.shutdown()
+
+
+def test_describe_mode_params(server):
+    """describeMode / describeIterationLimit params (ref:
+    QueryHints.java:587 DESCRIBE_MODE, :601 DESCRIBE_ITERATION_LIMIT)."""
+    import urllib.error
+
+    q = urllib.parse.quote("DESCRIBE <b>")
+    # default CBD: only b's outbound statements (b has none beyond rdf:type)
+    _, _, cbd = _req(f"{server}/sparql?query={q}")
+    # SCBD adds inbound arcs (a knows b)
+    _, _, scbd = _req(f"{server}/sparql?query={q}&describeMode=SCBD")
+    assert "<a> <knows> <b>" in scbd.decode() and "<a> <knows> <b>" not in cbd.decode()
+    # SymmetricOneStep behaves like SCBD here (no bnodes to recurse)
+    _, _, sos = _req(f"{server}/sparql?query={q}&describeMode=SymmetricOneStep")
+    assert "<a> <knows> <b>" in sos.decode()
+    # bad mode → 400
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _req(f"{server}/sparql?query={q}&describeMode=Bogus")
+    assert ei.value.code == 400
