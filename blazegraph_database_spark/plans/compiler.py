@@ -1013,7 +1013,11 @@ def _may_bind_unbound(node) -> bool:
     conservative, purely structural, no Spark job."""
     import dataclasses
 
-    if isinstance(node, (A.LeftJoin, A.Union2, A.Values)):
+    # Extend: BIND expressions can yield NULL (failed casts, IF branches);
+    # Service: remote solutions may omit vars (review r5-2)
+    if isinstance(node, (A.LeftJoin, A.Union2, A.Values, A.Extend)):
+        return True
+    if node.__class__.__name__ == "Service":
         return True
     if dataclasses.is_dataclass(node):
         for f in dataclasses.fields(node):
@@ -1039,7 +1043,9 @@ def _(node: A.ExistsFlag, store: TripleStore) -> DataFrame:
     child = _compile(node.child, store)
     sub = _compile(node.pattern, store)
     shared = sorted(set(child.columns) & set(sub.columns))
-    if shared and _may_bind_unbound(node.child):
+    # either side can produce UNBOUND shared vars (review r5-1: a pattern
+    # whose OPTIONAL leaves ?x NULL is compatible with every child row)
+    if shared and (_may_bind_unbound(node.child) or _may_bind_unbound(node.pattern)):
         rid = "__ex_rid"
         left = child.withColumn(rid, F.monotonically_increasing_id())
         m = (
@@ -1362,8 +1368,15 @@ def _(node: A.Service, store: TripleStore) -> DataFrame:
         if count_var is not None:
             # reference semantics: ONE solution binding only rangeCount
             # (hits suppressed; zero-hit searches bind 0) — ref:
-            # SearchServiceFactory.java:649
-            return hits
+            # SearchServiceFactory.java:649. Other requested service vars
+            # ride along UNBOUND (typed NULLs) so projections over them
+            # stay valid instead of raising (review r5-5).
+            out = hits.withColumn(subj.name, F.lit(None).cast("string"))
+            if rel_var is not None:
+                out = out.withColumn(rel_var, F.lit(None).cast("double"))
+            if rank_var is not None:
+                out = out.withColumn(rank_var, F.lit(None).cast("int"))
+            return out
         sel = [F.col("id").alias(subj.name)]
         if rel_var is not None:  # score as the 0..1 relevance the ref binds
             sel.append((F.col("score_ppm").cast("double") / 1_000_000).alias(rel_var))

@@ -1014,8 +1014,14 @@ class Parser:
             return iri
         if self.base.endswith("#"):
             return self.base + iri
-        from urllib.parse import urljoin
+        from urllib.parse import urljoin, uses_relative
 
+        # urljoin only resolves against hierarchical schemes it knows
+        # (http, file, ...); a urn:/tag:/did: base would return the bare
+        # relative ref unchanged (review r5-3) — keep suffix append there
+        scheme = self.base.split(":", 1)[0].lower()
+        if scheme not in uses_relative:
+            return self.base + iri
         return urljoin(self.base, iri)
 
     def _pred_term(self):

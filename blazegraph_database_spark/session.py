@@ -27,6 +27,13 @@ def ensure_session_confs(spark: SparkSession) -> SparkSession:
     try:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         spark.conf.set("spark.sql.session.timeZone", "UTC")
+        # iterative loops (GAS/paths/closure) rely on AQE coalescing to
+        # size per-round exchanges (no per-query conf mutation anymore);
+        # these are runtime-settable SQL confs, so foreign sessions (the
+        # driver harness, embedding apps) get the same behavior the
+        # get_spark builder configures (review r5-9)
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
     except Exception:
         pass  # conf locked down (never seen in practice) — reads of nano-ts tables will raise
     return spark

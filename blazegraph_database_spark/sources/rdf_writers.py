@@ -44,10 +44,12 @@ DEFAULT_PREFIXES = {
 # ------------------------------------------------------------- turtle ----
 def _ttl_escape(col):
     """Escape a literal for a quoted Turtle/N-Triples string: the inverse
-    of the readers' unescape set (\\ \" \\n \\t)."""
+    of the readers' unescape set, plus \\r (Turtle's short string forbids
+    raw CR; review r5-6)."""
     out = F.regexp_replace(col, r"\\", r"\\\\")
     out = F.regexp_replace(out, '"', '\\\\"')
     out = F.regexp_replace(out, "\n", r"\\n")
+    out = F.regexp_replace(out, "\r", r"\\r")
     return F.regexp_replace(out, "\t", r"\\t")
 
 
@@ -155,11 +157,15 @@ def _xml_escape(col):
 
 def _xml_prop_el():
     """One RDF/XML property element per row. The element carries its own
-    xmlns (split at the last #/ boundary), so no document-level namespace
-    pass is needed; ElementTree reassembles ns+local = the original
-    predicate string on re-parse."""
-    ns = F.regexp_extract(F.col("p"), r"^(.*[#/])", 1)
-    local = F.regexp_extract(F.col("p"), r"([^#/]+)$", 1)
+    xmlns (split so the local part is the LONGEST valid-NCName suffix —
+    a predicate like <...#2dPoint> splits as ns='...#2' + local='dPoint',
+    review r5-7), so no document-level namespace pass is needed;
+    ElementTree reassembles ns+local = the original predicate string on
+    re-parse. A predicate whose IRI ends in no NCName character at all
+    (e.g. pure digits) is not RDF/XML-serializable — the same boundary
+    real RDF/XML writers hit."""
+    local = F.regexp_extract(F.col("p"), r"([A-Za-z_][A-Za-z0-9_.\-]*)$", 1)
+    ns = F.expr("substring(p, 1, length(p) - length(regexp_extract(p, '([A-Za-z_][A-Za-z0-9_.\\\\-]*)$', 1)))")
     open_tag = F.concat(
         F.lit("<"), local,
         F.when(ns != "", F.concat(F.lit(' xmlns="'), _xml_escape(ns), F.lit('"'))).otherwise(F.lit("")),

@@ -49,6 +49,11 @@ class SolutionSetManager:
         self.spark = spark
         self.path = path
         self._mem: dict[str, DataFrame] = {}
+        # loaded-reader memo keyed by version dir: dirs are immutable
+        # (every put writes a NEW dir), so a cached DataFrame handle stays
+        # valid forever — repeated query_store attachment costs no
+        # re-setup (review r5-8)
+        self._loaded: dict[str, DataFrame] = {}
         if path:
             os.makedirs(path, exist_ok=True)
 
@@ -101,15 +106,17 @@ class SolutionSetManager:
                 df if len(df.columns) == 0 else df.localCheckpoint(eager=True)
             )
 
-    def get(self, name: str) -> DataFrame:
+    def get(self, name: str, _manifest: dict | None = None) -> DataFrame:
         if name in self._mem:
             return self._mem[name]
-        entry = self._manifest().get(name)
+        entry = (self._manifest() if _manifest is None else _manifest).get(name)
         if entry is None:
             raise SolutionSetDoesNotExistError(name)
         if entry["dir"] is None:  # persisted empty set
             return self.spark.range(0).drop("id")
-        return self.spark.read.parquet(entry["dir"])
+        if entry["dir"] not in self._loaded:
+            self._loaded[entry["dir"]] = self.spark.read.parquet(entry["dir"])
+        return self._loaded[entry["dir"]]
 
     def create(self, name: str, silent: bool = False) -> None:
         if self.exists(name):
@@ -137,5 +144,10 @@ class SolutionSetManager:
 
     def sets(self) -> dict[str, DataFrame]:
         """All sets as name → DataFrame (feed to
-        TripleStore.with_named_sets so INCLUDE %name resolves)."""
-        return {n: self.get(n) for n in self.names()}
+        TripleStore.with_named_sets so INCLUDE %name resolves). One
+        manifest read total; DataFrame handles are memoized, so attaching
+        the sets to every query's store is cheap whether or not the query
+        INCLUDEs anything (review r5-8)."""
+        m = self._manifest()
+        names = sorted(set(self._mem) | set(m))
+        return {n: self.get(n, _manifest=m) for n in names}

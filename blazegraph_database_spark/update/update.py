@@ -332,7 +332,13 @@ class UpdatableStore:
         # companions, so instantiated triples carry the bound term's true type
         # and the delete anti-join on (s,p,o_lex,o_dt) matches IRIs and typed
         # literals, not just plain strings (ADVICE round 1, high).
-        bindings = evaluate(cur.with_dt_tracking(), where_plan)
+        # named_sets attached so `INCLUDE %set` works inside UPDATE WHERE
+        # clauses too — the reference's primary solution-set use case
+        # (compute once, then modify the graph; review r5-4)
+        where_store = cur.with_dt_tracking()
+        if self.solutions is not None and self.solutions.names():
+            where_store = where_store.with_named_sets(self.solutions.sets())
+        bindings = evaluate(where_store, where_plan)
         df = cur.df
         if delete_template:
             del_triples = instantiate_template(

@@ -301,3 +301,48 @@ def test_exists_flag_unbound_compatible(spark):
     )
     got2 = {(r.s, r.f) for r in evaluate(st2, plan).select("s", "f").collect()}
     assert got2 == {("a", True), ("b", False)}
+
+
+def test_exists_flag_pattern_side_unbound(spark):
+    """Review r5-1: a pattern whose OPTIONAL leaves the shared var NULL is
+    compatible with EVERY child row."""
+    from blazegraph_database_spark.model.store import TripleStore
+    from blazegraph_database_spark.plans.compiler import evaluate
+
+    rows = [
+        ("a", "p", "1", "long"),
+        ("b", "p", "2", "long"),
+        ("y1", "q", "z", "iri"),  # sub: ?y <q> ?z OPTIONAL { ?y <r> ?x } → ?x NULL
+    ]
+    st = TripleStore(
+        spark.createDataFrame(rows, "s string, p string, o_lex string, o_dt string")
+    )
+    pattern = A.LeftJoin(A.SP(v("y"), "q", v("z")), A.SP(v("y"), "r", v("x")), None)
+    child = A.Extend(A.SP(v("s"), "p", v("o")), "x", F.col("s"))  # binds ?x = ?s
+    plan = A.ExistsFlag(child, pattern, "f")
+    got = {(r.s, r.f) for r in evaluate(st, plan).select("s", "f").collect()}
+    # the sub solution has ?x unbound → compatible with both a and b
+    assert got == {("a", True), ("b", True)}
+
+
+def test_exists_flag_extend_child_null(spark):
+    """Review r5-2: BIND can produce NULL (failed cast) — Extend children
+    take the null-tolerant path."""
+    from blazegraph_database_spark.model.store import TripleStore
+    from blazegraph_database_spark.plans.compiler import evaluate
+
+    rows = [
+        ("a", "p", "5", "long"),
+        ("b", "p", "oops", "string"),  # IF with no ELSE → NULL ?x
+        ("k", "q", "5", "long"),
+    ]
+    st = TripleStore(
+        spark.createDataFrame(rows, "s string, p string, o_lex string, o_dt string")
+    )
+    null_unless_numeric = F.when(F.col("o") == "5", F.col("o"))
+    child = A.Extend(A.SP(v("s"), "p", v("o")), "x", null_unless_numeric)
+    pattern = A.Extend(A.SP(v("y"), "q", v("z")), "x", F.col("z"))
+    plan = A.ExistsFlag(child, pattern, "f")
+    got = {(r.s, r.f) for r in evaluate(st, plan).select("s", "f").collect()}
+    # a: x=5 matches; b: x NULL → unbound-compatible → true
+    assert got == {("a", True), ("b", True)}

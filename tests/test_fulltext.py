@@ -154,3 +154,19 @@ def test_bds_rangecount_is_total_prerank(spark):
          '?s <bds:maxRank> "5" . ?s <bds:rangeCount> ?n } }')
     out = run_sparql(st, q).collect()
     assert len(out) == 1 and out[0]["n"] == 30
+
+
+def test_bds_rangecount_with_other_vars_projected(spark):
+    """Review r5-5: rangeCount + other service vars — one solution, count
+    bound, the rest unbound (NULL), projection does not raise."""
+    from blazegraph_database_spark.model.store import TripleStore
+    from blazegraph_database_spark.plans.sparql_parser import run_sparql
+
+    rows = [("d1", "txt", "beta one", "string"), ("d2", "txt", "beta two", "string")]
+    st = TripleStore(
+        spark.createDataFrame(rows, "s string, p string, o_lex string, o_dt string")
+    )
+    q = ('SELECT ?s ?n WHERE { SERVICE <bds:search> { ?s <bds:search> "beta" . '
+         "?s <bds:rangeCount> ?n } }")
+    out = run_sparql(st, q).collect()
+    assert len(out) == 1 and out[0]["n"] == 2 and out[0]["s"] is None

@@ -332,3 +332,31 @@ def test_turtle_writer_prefix_compression(spark, wdf):
     assert "ex:knows" in doc and "<http://ex/ns#knows>" not in doc
     # subjects group with `;` predicate lists
     assert " ;\n    " in doc
+
+
+def test_turtle_writer_escapes_cr(spark, tmp_path):
+    """Review r5-6: raw CR is forbidden in Turtle short strings."""
+    from blazegraph_database_spark.sources import rdf_formats, rdf_writers
+
+    df = spark.createDataFrame(
+        [("http://ex/a", "http://ex/p", "x\ry", "string")],
+        "s string, p string, o_lex string, o_dt string",
+    )
+    doc = rdf_writers.turtle_doc(df)
+    assert "\r" not in doc and "\\r" in doc
+
+
+def test_rdfxml_writer_digit_local_part(spark, tmp_path):
+    """Review r5-7: a predicate whose #-local part starts with a digit
+    splits at the longest valid-NCName suffix and still round-trips."""
+    from blazegraph_database_spark.sources import rdf_formats, rdf_writers
+
+    df = spark.createDataFrame(
+        [("http://ex/a", "http://ex/vocab#2dPoint", "3", "long")],
+        "s string, p string, o_lex string, o_dt string",
+    )
+    doc = rdf_writers.rdfxml_doc(df)
+    p = tmp_path / "d.rdf"
+    p.write_text(doc)
+    back = [tuple(r) for r in rdf_formats.read_rdfxml(spark, str(p)).collect()]
+    assert back == [("http://ex/a", "http://ex/vocab#2dPoint", "3", "long")]

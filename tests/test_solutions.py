@@ -131,3 +131,17 @@ def test_include_persisted_is_scan_not_recompute(spark, us, tmp_path):
     df = us.query_store.named_sets["hi"]
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Scan parquet" in plan and "Join" not in plan
+
+
+def test_include_inside_update_where(spark, us):
+    """Review r5-4: INCLUDE %set inside an UPDATE's WHERE clause — the
+    reference's compute-once-then-modify-the-graph use case."""
+    apply_update(us, "INSERT INTO %hi SELECT ?s WHERE { ?s <score> ?v FILTER(?v > 15) }")
+    apply_update(
+        us,
+        'INSERT { ?s <flag> "hi" } WHERE { INCLUDE %hi . ?s <tag> ?t }',
+    )
+    got = sorted(
+        r.s for r in us.current.df.filter(F.col("p") == "flag").select("s").collect()
+    )
+    assert got == ["b", "c"]

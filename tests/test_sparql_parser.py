@@ -723,3 +723,17 @@ def test_base_rfc3986_resolution(spark):
     )
     out = run_sparql(st2, "BASE <http://ex.org/ns#> SELECT ?o WHERE { <a> <p> ?o }")
     assert [r.o for r in out.collect()] == ["9"]
+
+
+def test_base_urn_scheme_suffix_append(spark):
+    """Review r5-3: urn:/tag: bases are non-hierarchical — urljoin would
+    return the bare relative ref; suffix append applies instead."""
+    from blazegraph_database_spark.model.store import TripleStore
+    from blazegraph_database_spark.plans.sparql_parser import run_sparql
+
+    rows = [("urn:example:ns/foo", "urn:example:ns/p", "1", "long")]
+    st = TripleStore(
+        spark.createDataFrame(rows, "s string, p string, o_lex string, o_dt string")
+    )
+    out = run_sparql(st, "BASE <urn:example:ns/> SELECT ?o WHERE { <foo> <p> ?o }")
+    assert [r.o for r in out.collect()] == ["1"]
