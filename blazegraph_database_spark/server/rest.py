@@ -284,6 +284,10 @@ class SparqlEndpoint:
         # advanced the namespace (first-committer-wins, like the
         # reference's unisolated-connection conflict rule).
         self._txns: dict[str, tuple[str, int, UpdatableStore]] = {}
+        # DESCRIBE cache (ref: ast/cache/DescribeCache.java): LRU of
+        # materialized plain-IRI descriptions keyed by store version —
+        # MVCC makes invalidation automatic (see _describe)
+        self._describe_cache: dict[tuple, tuple] = {}
 
     # ------------------------------------------------------------ verbs --
     def query(
@@ -412,9 +416,8 @@ class SparqlEndpoint:
         "rev": ("rev", None),
     }
 
-    @classmethod
     def _describe(
-        cls,
+        self,
         store: TripleStore,
         parsed,
         describe_mode: str | None = None,
@@ -424,16 +427,24 @@ class SparqlEndpoint:
         (mirrors run_sparql; the WHERE form binds the var and CBDs it).
         ``describe_mode``/``describe_iterations`` expose the reference's
         describeMode / describeIterationLimit options (QueryHints.java:587,
-        601) as REST params."""
+        601) as REST params.
+
+        Plain-IRI DESCRIBEs memoize (ref: the DESCRIBE cache —
+        ast/cache/DescribeCache.java:1, webapp/DescribeCacheServlet.java):
+        the cache key includes the STORE VERSION's identity, so an update
+        (new immutable version) never serves stale descriptions —
+        invalidation falls out of MVCC instead of a change-set listener.
+        Bounded LRU; entries are localCheckpointed so repeats skip the
+        whole CBD recursion, not just planning."""
         kwargs: dict = {}
         if describe_mode is not None:
             key = describe_mode.strip().lower()
-            if key not in cls._DESCRIBE_MODES:
+            if key not in self._DESCRIBE_MODES:
                 raise ValueError(
                     f"unknown describeMode {describe_mode!r}; one of "
                     "CBD, SCBD, ForwardOneStep, SymmetricOneStep"
                 )
-            mode, forced_depth = cls._DESCRIBE_MODES[key]
+            mode, forced_depth = self._DESCRIBE_MODES[key]
             kwargs["mode"] = mode
             if forced_depth is not None:
                 kwargs["max_depth"] = forced_depth
@@ -448,6 +459,21 @@ class SparqlEndpoint:
                 .distinct()
             )
             return compiler.describe(store, subjects, **kwargs)
+        if isinstance(parsed[1], (list, tuple)):
+            # entries pin the keyed version's DataFrame so the id() can't
+            # be recycled while the entry lives (the r2 id()-reuse lesson)
+            ck = (id(store.df), tuple(parsed[1]), tuple(sorted(kwargs.items())))
+            hit = self._describe_cache.get(ck)
+            if hit is not None:
+                self._describe_cache[ck] = self._describe_cache.pop(ck)  # LRU touch
+                return hit[1]
+            out = compiler.describe(store, list(parsed[1]), **kwargs).localCheckpoint(
+                eager=True
+            )
+            self._describe_cache[ck] = (store.df, out)
+            while len(self._describe_cache) > 64:
+                self._describe_cache.pop(next(iter(self._describe_cache)))
+            return out
         return compiler.describe(store, parsed[1], **kwargs)
 
     def update(self, ns: str, text: str) -> tuple[int, str, bytes]:

@@ -621,3 +621,30 @@ def test_describe_mode_params(server):
     with pytest.raises(urllib.error.HTTPError) as ei:
         _req(f"{server}/sparql?query={q}&describeMode=Bogus")
     assert ei.value.code == 400
+
+
+def test_describe_cache_hit_and_mvcc_invalidation(spark):
+    """DESCRIBE cache (ref: DescribeCache.java): a repeated plain-IRI
+    DESCRIBE serves the memoized materialization; an update produces a new
+    version whose key misses, so results are never stale."""
+    rows = [("a", "p", "1", "long")]
+    store = UpdatableStore.from_store(
+        TripleStore(spark.createDataFrame(rows, "s string, p string, o_lex string, o_dt string"))
+    )
+    ep = SparqlEndpoint(spark, store)
+    srv, port = start_background(ep)
+    try:
+        base = f"http://127.0.0.1:{port}"
+        q = urllib.parse.quote("DESCRIBE <a>")
+        _, _, b1 = _req(f"{base}/sparql?query={q}")
+        assert len(ep._describe_cache) == 1
+        _, _, b2 = _req(f"{base}/sparql?query={q}")
+        assert b1 == b2 and len(ep._describe_cache) == 1  # hit, no new entry
+        upd = urllib.parse.urlencode({"update": 'INSERT DATA { <a> <q> "2" }'}).encode()
+        _req(f"{base}/sparql", method="POST", body=upd,
+             ctype="application/x-www-form-urlencoded")
+        _, _, b3 = _req(f"{base}/sparql?query={q}")
+        assert b"<q>" in b3  # fresh version served, not the cached one
+        assert len(ep._describe_cache) == 2
+    finally:
+        srv.shutdown()
