@@ -269,3 +269,61 @@ def test_native_typed_path_equals_lexical_random(spark, qty, thresh):
     finally:
         compiler._native_typed_vars = real
     assert native == lexical
+
+
+# ------------------------------------------------------ writer round-trips --
+_W_LEX = st.text(
+    alphabet=st.characters(
+        blacklist_categories=("Cs", "Cc"), whitelist_characters="\n\t\r"
+    ),
+    min_size=0,
+    max_size=30,
+)
+_W_SUBJ = st.text(alphabet="abcdefghijklmnopqrstuvwxyz0123456789/#:._-", min_size=1, max_size=20).map(
+    lambda s: "http://ex/" + s
+)
+# predicate local part must end in an NCName char for RDF/XML (documented
+# writer boundary — real RDF/XML writers share it)
+_W_PRED = st.text(alphabet="abcdefghijklmnopqrstuvwxyz", min_size=1, max_size=10).map(
+    lambda s: "http://ex/ns#" + s
+)
+_W_VALUE = st.one_of(
+    st.tuples(_W_LEX, st.just("string")),
+    st.tuples(_W_LEX, st.just("lang:en")),
+    st.tuples(st.integers(-10**9, 10**9).map(str), st.just("long")),
+    st.tuples(st.just("2.5"), st.just("double")),
+    st.tuples(st.sampled_from(["true", "false"]), st.just("boolean")),
+    st.tuples(_W_SUBJ, st.just("iri")),
+)
+_W_ROWS = st.lists(st.tuples(_W_SUBJ, _W_PRED, _W_VALUE), min_size=1, max_size=6)
+
+
+@given(rows=_W_ROWS)
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_writers_roundtrip_property(spark, rows):
+    """Any triple set the model can hold must survive WRITER → READER for
+    Turtle, RDF/XML and JSON-LD (ref: ConnegUtil writers must round-trip
+    with rio parsers). Format caveats: the RDF/XML reader strips literal
+    whitespace (its documented subset), so expectations strip there too."""
+    from blazegraph_database_spark.sources import rdf_formats, rdf_writers
+    import tempfile, os
+
+    data = [(s, p, lex, dt) for s, p, (lex, dt) in rows]
+    df = spark.createDataFrame(data, "s string, p string, o_lex string, o_dt string")
+    orig = {(s, p, lex, dt) for s, p, lex, dt in data}
+    d = tempfile.mkdtemp(prefix="prop_wrt_")
+    for writer, reader, ext, norm in [
+        ("turtle_doc", "read_turtle", "ttl", lambda t: t),
+        ("rdfxml_doc", "read_rdfxml", "rdf", lambda t: (t[0], t[1], t[2].strip(), t[3])),
+        ("jsonld_doc", "read_jsonld", "jsonld", lambda t: t),
+    ]:
+        doc = getattr(rdf_writers, writer)(df)
+        path = os.path.join(d, f"doc.{ext}")
+        with open(path, "w") as f:
+            f.write(doc)
+        back = {tuple(r) for r in getattr(rdf_formats, reader)(spark, path).collect()}
+        assert back == {norm(t) for t in orig}, writer
