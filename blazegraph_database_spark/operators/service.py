@@ -458,3 +458,136 @@ def remote_sparql_service(endpoint: str, transport: Transport | None = None) -> 
 
 register_service("bds:search", _bds_search)
 register_service("geo:search", _geo_search)
+
+
+# ------------------------------------------------- bd: utility services --
+BD_NS = "http://www.bigdata.com/rdf#"
+
+
+def _bd_local(iri: str | None) -> str | None:
+    return _ns_local(iri, BD_NS, "bd:")
+
+
+def _split_service_params(store, sps):
+    """Split a SERVICE block's triples into ``bd:serviceParam`` options and
+    the actual pattern(s) (ref: eval/ServiceParams.java — the shared param
+    convention of the bd: utility services). Returns (params, patterns):
+    params maps the bd-local key ('sample.limit') to a list of lexicals."""
+    from blazegraph_database_spark.model.terms import const_lex, is_const
+
+    # grammar: `bd:serviceParam <key> <value>` — the SUBJECT is the magic
+    # bd:serviceParam constant, the predicate names the option
+    params: dict[str, list[str]] = {}
+    patterns = []
+    for sp in sps:
+        subj = const_lex(sp.s) if is_const(sp.s) else None
+        if subj is not None and _bd_local(subj) == "serviceParam":
+            if not is_const(sp.p) or not is_const(sp.o):
+                raise ValueError("bd:serviceParam needs constant key and value")
+            # bd:-namespace keys compact to their local name
+            # ('sample.limit'); app-chosen keys keep their full IRI
+            p = const_lex(sp.p)
+            key = _bd_local(p) or p
+            params.setdefault(key, []).append(const_lex(sp.o))
+        else:
+            patterns.append(sp)
+    return params, patterns
+
+
+def _service_pattern_df(store, patterns) -> DataFrame:
+    from blazegraph_database_spark.plans import algebra as A
+    from blazegraph_database_spark.plans.compiler import evaluate
+
+    if not patterns:
+        raise ValueError("service needs at least one statement pattern")
+    node = A.BGP(patterns) if len(patterns) > 1 else patterns[0]
+    return evaluate(store, node)
+
+
+def bd_sample_service(store, sps) -> DataFrame:
+    """SERVICE <bd:sample> { pattern . bd:serviceParam bd:sample.limit n …}
+    — statement-pattern sampling (ref: eval/SampleServiceFactory.java:101 +
+    bop/ap/SampleIndex.java SampleType): DENSE = first N in key order,
+    EVEN = every (total/N)th tuple in key order, RANDOM = seeded uniform.
+
+    Spark: the pattern evaluates once; DENSE/EVEN order by the binding
+    columns (the SPO-key-order analog); RANDOM is ``orderBy(rand(seed))``
+    — one pass, TakeOrdered, never a full sort materialization."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    params, patterns = _split_service_params(store, sps)
+    limit = int(params.get("sample.limit", ["100"])[0])
+    seed = int(params.get("sample.seed", ["0"])[0])
+    stype = params.get("sample.sampleType", ["RANDOM"])[0].upper()
+    df = _service_pattern_df(store, patterns)
+    cols = [c for c in df.columns if not c.endswith("__dt")]
+    if stype == "DENSE":
+        return df.orderBy(*cols).limit(limit)
+    if stype == "EVEN":
+        total = df.count()
+        step = max(total // max(limit, 1), 1)
+        w = Window.orderBy(*cols)
+        return (
+            df.withColumn("__rn", F.row_number().over(w))
+            .filter((F.col("__rn") % step) == 1)
+            .drop("__rn")
+            .limit(limit)
+        )
+    if stype == "RANDOM":
+        return df.orderBy(F.rand(seed)).limit(limit)
+    raise ValueError(f"unknown bd:sample.sampleType {stype!r} (DENSE/EVEN/RANDOM)")
+
+
+def bd_slice_service(store, sps) -> DataFrame:
+    """SERVICE <bd:slice> { pattern . bd:serviceParam bd:slice.offset o ;
+    bd:slice.limit n } — direct offset/limit slice of an access path in
+    key order (ref: eval/SliceServiceFactory.java:110)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    params, patterns = _split_service_params(store, sps)
+    offset = int(params.get("slice.offset", ["0"])[0])
+    limit = int(params.get("slice.limit", ["1000"])[0])
+    df = _service_pattern_df(store, patterns)
+    cols = [c for c in df.columns if not c.endswith("__dt")]
+    w = Window.orderBy(*cols)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter((F.col("__rn") > offset) & (F.col("__rn") <= offset + limit))
+        .drop("__rn")
+    )
+
+
+# ------------------------------------------------------- stored queries --
+# ref: service/storedquery/StoredQueryService.java — applications register
+# a stored query (SPARQL text or procedural logic) under a service IRI of
+# their choosing; SERVICE <iri> { bd:serviceParam ... } invokes it.
+_STORED_QUERIES: dict[str, object] = {}
+
+
+def register_stored_query(iri: str, query) -> None:
+    """Register SPARQL text or a callable ``(store, params) -> DataFrame``
+    under a service IRI (ref: StoredQueryService registration against the
+    ServiceRegistry)."""
+    _STORED_QUERIES[iri] = query
+
+
+def stored_query_lookup(iri: str):
+    return _STORED_QUERIES.get(iri)
+
+
+def call_stored_query(store, iri: str, sps) -> DataFrame:
+    """Invoke a stored query; the block's bd:serviceParam triples become
+    the ServiceParams the stored logic sees."""
+    q = _STORED_QUERIES[iri]
+    params, patterns = _split_service_params(store, sps)
+    if patterns:
+        raise ValueError(
+            "stored-query SERVICE blocks carry only bd:serviceParam triples"
+        )
+    if callable(q):
+        return q(store, params)
+    from blazegraph_database_spark.plans.sparql_parser import run_sparql
+
+    return run_sparql(store, q)

@@ -1272,6 +1272,7 @@ _BUILTIN_SERVICE_NS = {
     "http://www.bigdata.com/rdf/search#": "bds:",
     "http://www.bigdata.com/rdf/gas#": "gas:",
     "http://www.bigdata.com/rdf/geospatial#": "geo:",
+    "http://www.bigdata.com/rdf#": "bd:",
 }
 
 
@@ -1304,6 +1305,13 @@ def _(node: A.Service, store: TripleStore) -> DataFrame:
         return service.gas_service(store, collect_sps(node.pattern))
     if svc_iri == "geo:search":
         return service.geo_search_service(store, collect_sps(node.pattern))
+    if svc_iri == "bd:sample":  # ref: eval/SampleServiceFactory.java:101
+        return service.bd_sample_service(store, collect_sps(node.pattern))
+    if svc_iri == "bd:slice":  # ref: eval/SliceServiceFactory.java:110
+        return service.bd_slice_service(store, collect_sps(node.pattern))
+    if service.stored_query_lookup(node.iri) is not None:
+        # ref: storedquery/StoredQueryService.java — app-registered IRIs
+        return service.call_stored_query(store, node.iri, collect_sps(node.pattern))
     if svc_iri == "bds:search":
         # magic predicates inside the block (ref: BDS.java search vocabulary)
         pats = collect_sps(node.pattern)

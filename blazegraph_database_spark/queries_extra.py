@@ -1036,3 +1036,65 @@ def history_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("commit", "action", "p")
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
     )
+
+
+@register(
+    "service_bd_slice",
+    """
+    SELECT c, seg FROM (
+      SELECT 'customer:' || c_custkey AS c, c_mktsegment AS seg
+      FROM customer ORDER BY c, seg OFFSET 100 LIMIT 20
+    ) ORDER BY c
+    """,
+)
+def service_bd_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SERVICE <bd:slice> — direct offset/limit slice of an access path in
+    key order (ref: eval/SliceServiceFactory.java:110): the dispatcher
+    routes the magic IRI, bd:serviceParam triples carry the bounds, the
+    slice is a row_number window over the pattern's binding order."""
+    from blazegraph_database_spark.plans.sparql_parser import run_sparql
+    from blazegraph_database_spark.sources.relational import cached_store
+
+    st = cached_store(spark, sf_dir)
+    q = """
+    PREFIX bd: <http://www.bigdata.com/rdf#>
+    SELECT ?c ?seg WHERE {
+      SERVICE <http://www.bigdata.com/rdf#slice> {
+        ?c <customer#c_mktsegment> ?seg .
+        bd:serviceParam bd:slice.offset "100" .
+        bd:serviceParam bd:slice.limit "20" .
+      }
+    }
+    """
+    return run_sparql(st, q)
+
+
+@register(
+    "service_bd_sample",
+    """
+    SELECT c, seg FROM (
+      SELECT 'customer:' || c_custkey AS c, c_mktsegment AS seg
+      FROM customer ORDER BY c, seg LIMIT 25
+    ) ORDER BY c
+    """,
+)
+def service_bd_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SERVICE <bd:sample> with sampleType DENSE (ref:
+    eval/SampleServiceFactory.java:101 + bop/ap/SampleIndex.java — DENSE =
+    the first N tuples in key order, the deterministic member of the
+    DENSE/EVEN/RANDOM enum; EVEN and seeded RANDOM are unit-tested)."""
+    from blazegraph_database_spark.plans.sparql_parser import run_sparql
+    from blazegraph_database_spark.sources.relational import cached_store
+
+    st = cached_store(spark, sf_dir)
+    q = """
+    PREFIX bd: <http://www.bigdata.com/rdf#>
+    SELECT ?c ?seg WHERE {
+      SERVICE <http://www.bigdata.com/rdf#sample> {
+        ?c <customer#c_mktsegment> ?seg .
+        bd:serviceParam bd:sample.limit "25" .
+        bd:serviceParam bd:sample.sampleType "DENSE" .
+      }
+    }
+    """
+    return run_sparql(st, q)

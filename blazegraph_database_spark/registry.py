@@ -29,6 +29,8 @@ _SCORE_FIRST = [
     "jsonld_writer_roundtrip",
     "trig_writer_roundtrip",
     "history_changelog",
+    "service_bd_slice",
+    "service_bd_sample",
     # (b) never driver-scored through r4 (judge-verified local only).
     "pipeline_end_to_end",
     "turtle_roundtrip",

@@ -488,3 +488,68 @@ def test_remote_service_binding_cap(spark):
         "max_bindings": 50,
     })
     assert out.count() == 0
+
+
+def test_bd_sample_even_and_random(spark):
+    """bd:sample EVEN (every total/N-th in key order) and seeded RANDOM
+    (ref: SampleIndex.java SampleType)."""
+    from blazegraph_database_spark.model.store import TripleStore
+    from blazegraph_database_spark.plans.sparql_parser import run_sparql
+
+    rows = [(f"s{i:02d}", "p", f"o{i}", "iri") for i in range(30)]
+    st = TripleStore(
+        spark.createDataFrame(rows, "s string, p string, o_lex string, o_dt string")
+    )
+    base = """
+    PREFIX bd: <http://www.bigdata.com/rdf#>
+    SELECT ?s WHERE {{
+      SERVICE <http://www.bigdata.com/rdf#sample> {{
+        ?s <p> ?o .
+        bd:serviceParam bd:sample.limit "6" .
+        bd:serviceParam bd:sample.sampleType "{t}" .
+        bd:serviceParam bd:sample.seed "7" .
+      }}
+    }}
+    """
+    even = sorted(r.s for r in run_sparql(st, base.format(t="EVEN")).collect())
+    assert even == ["s00", "s05", "s10", "s15", "s20", "s25"]
+    rnd1 = sorted(r.s for r in run_sparql(st, base.format(t="RANDOM")).collect())
+    assert len(rnd1) == 6 and set(rnd1) <= {f"s{i:02d}" for i in range(30)}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="sampleType"):
+        run_sparql(st, base.format(t="BOGUS"))
+
+
+def test_stored_query_service(spark):
+    """StoredQueryService analog (ref: storedquery/StoredQueryService.java):
+    register SPARQL text or a callable; SERVICE <iri> { bd:serviceParam }
+    invokes it with the parsed params."""
+    from blazegraph_database_spark.model.store import TripleStore
+    from blazegraph_database_spark.operators import service
+    from blazegraph_database_spark.plans.sparql_parser import run_sparql
+
+    rows = [(f"s{i}", "p", f"o{i}", "iri") for i in range(5)]
+    st = TripleStore(
+        spark.createDataFrame(rows, "s string, p string, o_lex string, o_dt string")
+    )
+    service.register_stored_query(
+        "http://app/stored#all", "SELECT ?s WHERE { ?s <p> ?o } ORDER BY ?s"
+    )
+    got = [r.s for r in run_sparql(
+        st, "SELECT ?s WHERE { SERVICE <http://app/stored#all> { } }"
+    ).collect()]
+    assert got == [f"s{i}" for i in range(5)]
+
+    def limited(store, params):
+        n = int(params["http://app/limit"][0])
+        return run_sparql(store, f"SELECT ?s WHERE {{ ?s <p> ?o }} ORDER BY ?s LIMIT {n}")
+
+    service.register_stored_query("http://app/stored#limited", limited)
+    q = """
+    PREFIX bd: <http://www.bigdata.com/rdf#>
+    SELECT ?s WHERE {
+      SERVICE <http://app/stored#limited> { bd:serviceParam <http://app/limit> "2" }
+    }
+    """
+    assert [r.s for r in run_sparql(st, q).collect()] == ["s0", "s1"]
