@@ -591,3 +591,32 @@ def call_stored_query(store, iri: str, sps) -> DataFrame:
     from blazegraph_database_spark.plans.sparql_parser import run_sparql
 
     return run_sparql(store, q)
+
+
+def bd_values_service(store, sps) -> DataFrame:
+    """SERVICE <bd:values> { bd:serviceParam bd:values.var ?v .
+    bd:serviceParam bd:values.val "x" . ... } — the VALUES-as-service form
+    (ref: eval/ValuesServiceFactory.java:92): one binding per bd:values.val
+    for the named var."""
+    from blazegraph_database_spark.model.terms import Var, const_lex, is_const
+
+    var = None
+    vals: list[str] = []
+    for sp in sps:
+        subj = const_lex(sp.s) if is_const(sp.s) else None
+        if subj is None or _bd_local(subj) != "serviceParam":
+            raise ValueError("bd:values blocks carry only bd:serviceParam triples")
+        key = _bd_local(const_lex(sp.p)) if is_const(sp.p) else None
+        if key == "values.var":
+            if not isinstance(sp.o, Var):
+                raise ValueError("bd:values.var needs a variable object")
+            var = sp.o.name
+        elif key == "values.val":
+            if not is_const(sp.o):
+                raise ValueError("bd:values.val needs a constant value")
+            vals.append(const_lex(sp.o))
+        else:
+            raise ValueError(f"unknown bd:values param {key!r}")
+    if var is None:
+        raise ValueError("bd:values needs bd:values.var ?v")
+    return store.spark.createDataFrame([(v,) for v in vals], f"{var} string")

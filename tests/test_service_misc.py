@@ -553,3 +553,28 @@ def test_stored_query_service(spark):
     }
     """
     assert [r.s for r in run_sparql(st, q).collect()] == ["s0", "s1"]
+
+
+def test_bd_values_service(spark):
+    """bd:values — VALUES-as-service (ref: ValuesServiceFactory.java:92)."""
+    from blazegraph_database_spark.model.store import TripleStore
+    from blazegraph_database_spark.plans.sparql_parser import run_sparql
+
+    rows = [("a", "name", "Alice", "string"), ("b", "name", "Bob", "string"),
+            ("c", "name", "Carol", "string")]
+    st = TripleStore(
+        spark.createDataFrame(rows, "s string, p string, o_lex string, o_dt string")
+    )
+    q = """
+    PREFIX bd: <http://www.bigdata.com/rdf#>
+    SELECT ?x ?n WHERE {
+      SERVICE <http://www.bigdata.com/rdf#values> {
+        bd:serviceParam bd:values.var ?x .
+        bd:serviceParam bd:values.val "a" .
+        bd:serviceParam bd:values.val "c" .
+      }
+      ?x <name> ?n .
+    }
+    """
+    got = sorted((r.x, r.n) for r in run_sparql(st, q).collect())
+    assert got == [("a", "Alice"), ("c", "Carol")]
