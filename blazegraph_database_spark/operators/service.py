@@ -620,3 +620,66 @@ def bd_values_service(store, sps) -> DataFrame:
     if var is None:
         raise ValueError("bd:values needs bd:values.var ?v")
     return store.spark.createDataFrame([(v,) for v in vals], f"{var} string")
+
+
+def bd_history_service(store, sps) -> DataFrame:
+    """SERVICE <bd:history> — the history-index query surface (ref:
+    ast/service/history/HistoryServiceFactory.java:1 — the reference
+    exposes its ordered change index through a registered SERVICE;
+    HistoryChangeRecord = statement + ChangeAction + commit time).
+
+    Block grammar: one triple pattern (vars or constants position-filter
+    the change records) plus optional params —
+
+        ?s ?p ?o .
+        bd:serviceParam bd:history.action ?action .  # 'added'/'removed'
+        bd:serviceParam bd:history.commit ?commit .  # commit point (int)
+        bd:serviceParam bd:history.since "N" .       # commits > N only
+
+    Requires a store view carrying its UpdatableStore (query_store sets
+    the back-pointer) — the MVCC version list IS the history index."""
+    from pyspark.sql import functions as F
+
+    from blazegraph_database_spark.model.terms import Var, const_lex, is_const
+
+    us = getattr(store, "updatable", None)
+    if us is None:
+        raise ValueError(
+            "SERVICE <bd:history> needs an updatable store (query via "
+            "UpdatableStore.query_store or the REST endpoint)"
+        )
+    # scan by hand: action/commit params take VARIABLE objects, which
+    # _split_service_params (constants-only) would reject
+    action_var = commit_var = None
+    since = 0
+    pattern = None
+    for sp in sps:
+        subj = const_lex(sp.s) if is_const(sp.s) else None
+        if subj is not None and _bd_local(subj) == "serviceParam":
+            key = _bd_local(const_lex(sp.p)) if is_const(sp.p) else None
+            if key == "history.action" and isinstance(sp.o, Var):
+                action_var = sp.o.name
+            elif key == "history.commit" and isinstance(sp.o, Var):
+                commit_var = sp.o.name
+            elif key == "history.since" and is_const(sp.o):
+                since = int(const_lex(sp.o))
+            else:
+                raise ValueError(f"unknown bd:history param {key!r}")
+        else:
+            if pattern is not None:
+                raise ValueError("bd:history takes ONE statement pattern")
+            pattern = sp
+    if pattern is None:
+        raise ValueError("bd:history needs a statement pattern")
+    log = us.changelog(since=since)
+    sel = []
+    for term, col in ((pattern.s, "s"), (pattern.p, "p"), (pattern.o, "o_lex")):
+        if isinstance(term, Var):
+            sel.append(F.col(col).alias(term.name))
+        else:
+            log = log.filter(F.col(col) == const_lex(term))
+    if action_var is not None:
+        sel.append(F.col("action").alias(action_var))
+    if commit_var is not None:
+        sel.append(F.col("commit").alias(commit_var))
+    return log.select(*sel)

@@ -1311,6 +1311,8 @@ def _(node: A.Service, store: TripleStore) -> DataFrame:
         return service.bd_slice_service(store, collect_sps(node.pattern))
     if svc_iri == "bd:values":  # ref: eval/ValuesServiceFactory.java:92
         return service.bd_values_service(store, collect_sps(node.pattern))
+    if svc_iri == "bd:history":  # ref: history/HistoryServiceFactory.java:1
+        return service.bd_history_service(store, collect_sps(node.pattern))
     if service.stored_query_lookup(node.iri) is not None:
         # ref: storedquery/StoredQueryService.java — app-registered IRIs
         return service.call_stored_query(store, node.iri, collect_sps(node.pattern))

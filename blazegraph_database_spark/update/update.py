@@ -135,11 +135,16 @@ class UpdatableStore:
             keys = _key_cols(cur)
             for action, left, right in (("added", cur, prev), ("removed", prev, cur)):
                 # null-safe on g: the default graph is g=NULL and must
-                # compare equal to itself (same discipline as delete_data)
-                r = right.select(*keys)
+                # compare equal to itself (same discipline as delete_data).
+                # The right side is RENAMED before the join: adjacent
+                # versions share lineage, and same-named attributes can
+                # resolve to one expression id (Spark's trivially-true
+                # self-join warning) — which would silently loosen the
+                # anti-join condition.
+                r = right.select([F.col(c).alias(f"__r_{c}") for c in keys])
                 cond = None
                 for c in keys:
-                    eq = left[c].eqNullSafe(r[c])
+                    eq = F.col(c).eqNullSafe(F.col(f"__r_{c}"))
                     cond = eq if cond is None else cond & eq
                 delta = left.join(r, on=cond, how="left_anti").dropDuplicates(keys)
                 parts.append(
@@ -175,9 +180,20 @@ class UpdatableStore:
         earlier UPDATE requests (ref: NamedSubqueryInclude resolving
         through the solution-set cache). Query-local WITH %name shadows a
         persisted set of the same name (WithNamed merges on top)."""
+        out = self.current
         if self.solutions is not None and self.solutions.names():
-            return self.current.with_named_sets(self.solutions.sets())
-        return self.current
+            out = out.with_named_sets(self.solutions.sets())
+        elif getattr(out, "updatable", None) is self:
+            return out
+        else:
+            import copy
+
+            out = copy.copy(out)
+        # back-pointer for SERVICE <bd:history> (the MVCC version list is
+        # the history index; the service needs it, a bare TripleStore
+        # doesn't carry it)
+        out.updatable = self
+        return out
 
     def insert_into_solutions(
         self, name: str, where, project=None, distinct: bool = False

@@ -578,3 +578,38 @@ def test_bd_values_service(spark):
     """
     got = sorted((r.x, r.n) for r in run_sparql(st, q).collect())
     assert got == [("a", "Alice"), ("c", "Carol")]
+
+
+def test_bd_history_service(spark):
+    """SERVICE <bd:history> — the history-index query surface over the
+    MVCC changelog (ref: history/HistoryServiceFactory.java:1)."""
+    import pytest as _pytest
+
+    from blazegraph_database_spark.model.store import TripleStore
+    from blazegraph_database_spark.plans.sparql_parser import run_sparql
+    from blazegraph_database_spark.update.update import UpdatableStore
+
+    df = spark.createDataFrame(
+        [("a", "p", "1", "long")], "s string, p string, o_lex string, o_dt string"
+    )
+    us = UpdatableStore.from_store(TripleStore(df))
+    us.insert_data(spark.createDataFrame([("b", "p", "2", "long")], df.schema))
+    us.delete_data(spark.createDataFrame([("a", "p", "1", "long")], df.schema))
+    q = """
+    PREFIX bd: <http://www.bigdata.com/rdf#>
+    SELECT ?s ?action ?commit WHERE {
+      SERVICE <http://www.bigdata.com/rdf#history> {
+        ?s <p> ?o .
+        bd:serviceParam bd:history.action ?action .
+        bd:serviceParam bd:history.commit ?commit .
+      }
+    }
+    """
+    got = {tuple(r) for r in run_sparql(us.query_store, q).collect()}
+    assert got == {("b", "added", 1), ("a", "removed", 2)}
+    # since= filters commits; constant-subject filters records
+    q2 = q.replace("?s <p> ?o .", '?s <p> ?o . bd:serviceParam bd:history.since "1" .')
+    assert {r.s for r in run_sparql(us.query_store, q2).collect()} == {"a"}
+    # a bare store (no version list) refuses
+    with _pytest.raises(ValueError, match="updatable"):
+        run_sparql(TripleStore(df), q)
