@@ -683,3 +683,117 @@ def bd_history_service(store, sps) -> DataFrame:
     if commit_var is not None:
         sel.append(F.col("commit").alias(commit_var))
     return log.select(*sel)
+
+
+# --------------------------------------------- external fulltext (fts:) --
+FTS_NS = "http://www.bigdata.com/rdf/fts#"
+
+
+def _fts_local(iri: str | None) -> str | None:
+    return _ns_local(iri, FTS_NS, "fts:")
+
+
+def solr_transport(timeout_ms: int | None = None):
+    """Default fts: transport — a Solr select GET (ref:
+    fts/impl/SolrFulltextSearchImpl.java:100: `wt=json` + user params,
+    response parsed from response.docs). Returns list[dict] docs."""
+
+    def transport(endpoint: str, query: str, params: str | None):
+        from urllib.request import urlopen
+
+        qs = {"q": query, "wt": "json"}
+        if params:
+            for kv in params.split("&"):
+                k, _, v = kv.partition("=")
+                if k and k != "wt":
+                    qs[k] = v
+        url = endpoint + ("&" if "?" in endpoint else "?") + urlencode(qs)
+        with urlopen(url, timeout=(timeout_ms or 60_000) / 1000) as resp:
+            doc = json.loads(resp.read().decode())
+        return doc["response"]["docs"]
+
+    return transport
+
+
+def fts_search_service(store, sps, transport=None) -> DataFrame:
+    """SERVICE <fts:search> — EXTERNAL fulltext search (ref:
+    fts/FulltextSearchServiceFactory.java + FTS.java vocabulary): the
+    reference federates search out to a Solr endpoint; hits come back as
+    bindings with score/snippet. Magic triples:
+
+        ?res fts:search "query" ;
+             fts:endpoint "http://solr/core/select" ;
+             fts:params "defType=edismax&qf=text" ;     # optional
+             fts:searchField "id" ;                     # doc field → ?res
+             fts:scoreField "score" ; fts:snippetField "snippet" ;
+             fts:searchResultType "LITERAL" | "URI" ;
+             fts:timeout "5000" ;
+             fts:score ?score ; fts:snippet ?snip .
+
+    The transport is injectable (tests run a fake Solr); the default
+    speaks the real Solr select wire format."""
+    from blazegraph_database_spark.model.terms import Var, const_lex, is_const
+
+    res_var = None
+    opts = {
+        "searchField": "id",
+        "scoreField": "score",
+        "snippetField": "snippet",
+        "searchResultType": "LITERAL",
+    }
+    score_var = snippet_var = None
+    query = endpoint = params = None
+    timeout = None
+    for sp in sps:
+        pred = const_lex(sp.p) if is_const(sp.p) else None
+        local = _fts_local(pred)
+        if local is None:
+            continue
+        if local == "search":
+            res_var = sp.s if isinstance(sp.s, Var) else None
+            query = const_lex(sp.o)
+        elif local == "endpoint":
+            endpoint = const_lex(sp.o)
+        elif local == "params":
+            params = const_lex(sp.o)
+        elif local == "timeout":
+            timeout = int(const_lex(sp.o))
+        elif local in ("searchField", "scoreField", "snippetField", "searchResultType"):
+            opts[local] = const_lex(sp.o)
+        elif local == "score" and isinstance(sp.o, Var):
+            score_var = sp.o.name
+        elif local == "snippet" and isinstance(sp.o, Var):
+            snippet_var = sp.o.name
+    if res_var is None or query is None:
+        raise ValueError('SERVICE <fts:search> needs `?res fts:search "query"`')
+    if endpoint is None:
+        raise ValueError("SERVICE <fts:search> needs fts:endpoint (no default configured)")
+    if transport is None:
+        transport = solr_transport(timeout)
+    docs = transport(endpoint, query, params)
+
+    def flat(v):  # ref flattenJsonResult: arrays join, scalars stringify
+        if isinstance(v, list):
+            return " ".join(str(x) for x in v)
+        return str(v)
+
+    rows = []
+    for d in docs:
+        sf = opts["searchField"]
+        if sf not in d:
+            raise ValueError(f"fts: search field {sf!r} missing from result doc")
+        rows.append(
+            (
+                flat(d[sf]),
+                float(flat(d[opts["scoreField"]])) if opts["scoreField"] in d else None,
+                flat(d[opts["snippetField"]]) if opts["snippetField"] in d else None,
+            )
+        )
+    spark = store.spark
+    out = spark.createDataFrame(rows, "res string, score double, snippet string")
+    sel = [out["res"].alias(res_var.name)]
+    if score_var is not None:
+        sel.append(out["score"].alias(score_var))
+    if snippet_var is not None:
+        sel.append(out["snippet"].alias(snippet_var))
+    return out.select(*sel)

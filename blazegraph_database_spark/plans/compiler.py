@@ -1273,6 +1273,7 @@ _BUILTIN_SERVICE_NS = {
     "http://www.bigdata.com/rdf/gas#": "gas:",
     "http://www.bigdata.com/rdf/geospatial#": "geo:",
     "http://www.bigdata.com/rdf#": "bd:",
+    "http://www.bigdata.com/rdf/fts#": "fts:",
 }
 
 
@@ -1313,6 +1314,10 @@ def _(node: A.Service, store: TripleStore) -> DataFrame:
         return service.bd_values_service(store, collect_sps(node.pattern))
     if svc_iri == "bd:history":  # ref: history/HistoryServiceFactory.java:1
         return service.bd_history_service(store, collect_sps(node.pattern))
+    if svc_iri == "fts:search":  # ref: fts/FulltextSearchServiceFactory.java
+        return service.fts_search_service(
+            store, collect_sps(node.pattern), transport=getattr(store, "fts_transport", None)
+        )
     if service.stored_query_lookup(node.iri) is not None:
         # ref: storedquery/StoredQueryService.java — app-registered IRIs
         return service.call_stored_query(store, node.iri, collect_sps(node.pattern))

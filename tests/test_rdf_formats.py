@@ -360,3 +360,30 @@ def test_rdfxml_writer_digit_local_part(spark, tmp_path):
     p.write_text(doc)
     back = [tuple(r) for r in rdf_formats.read_rdfxml(spark, str(p)).collect()]
     assert back == [("http://ex/a", "http://ex/vocab#2dPoint", "3", "long")]
+
+
+def test_write_turtle_distributed(spark, tmp_path):
+    """Distributed Turtle export: part files each carry the @prefix header
+    (valid standalone Turtle) and the whole directory re-parses to the
+    source triples."""
+    from pyspark.sql import functions as F
+
+    from blazegraph_database_spark.sources import rdf_formats, rdf_writers
+
+    df = spark.range(50).select(
+        F.concat(F.lit("http://ex/s"), F.col("id")).alias("s"),
+        F.lit("http://ex/ns#v").alias("p"),
+        F.col("id").cast("string").alias("o_lex"),
+        F.lit("long").alias("o_dt"),
+    ).repartition(4)
+    out = str(tmp_path / "ttl_out")
+    rdf_writers.write_turtle(df, out, {"ex": "http://ex/ns#"})
+    back = rdf_formats.read_turtle(spark, out)
+    assert back.count() == 50
+    assert {r.o_lex for r in back.collect()} == {str(i) for i in range(50)}
+    # every non-empty part file is standalone-valid (header present)
+    import glob
+
+    parts = [p for p in glob.glob(f"{out}/part-*") if not p.endswith(".crc")]
+    texts = [open(p).read() for p in parts]
+    assert all(t.startswith("@prefix ex:") for t in texts if t.strip())

@@ -613,3 +613,57 @@ def test_bd_history_service(spark):
     # a bare store (no version list) refuses
     with _pytest.raises(ValueError, match="updatable"):
         run_sparql(TripleStore(df), q)
+
+
+def test_fts_external_search_service(spark):
+    """SERVICE <fts:search> — external fulltext federation (ref:
+    fts/FulltextSearchServiceFactory.java + FTS.java vocabulary). A fake
+    Solr transport returns response.docs-shaped hits; bindings carry the
+    result, score and snippet vars."""
+    from blazegraph_database_spark.model.store import TripleStore
+    from blazegraph_database_spark.plans.sparql_parser import run_sparql
+
+    rows = [("doc1", "title", "Spark", "string")]
+    st = TripleStore(
+        spark.createDataFrame(rows, "s string, p string, o_lex string, o_dt string")
+    )
+    seen = {}
+
+    def fake_solr(endpoint, query, params):
+        seen.update(endpoint=endpoint, query=query, params=params)
+        return [
+            {"id": "doc1", "score": 2.5, "snippet": ["best match", "really"]},
+            {"id": "doc2", "score": 1.0},
+        ]
+
+    st.fts_transport = fake_solr
+    q = """
+    PREFIX fts: <http://www.bigdata.com/rdf/fts#>
+    SELECT ?res ?score ?snip WHERE {
+      SERVICE <http://www.bigdata.com/rdf/fts#search> {
+        ?res fts:search "spark streaming" .
+        ?res fts:endpoint "http://solr:8983/solr/core/select" .
+        ?res fts:params "defType=edismax" .
+        ?res fts:score ?score .
+        ?res fts:snippet ?snip .
+      }
+    }
+    """
+    got = sorted(tuple(r) for r in run_sparql(st, q).collect())
+    assert got == [
+        ("doc1", 2.5, "best match really"),  # array snippet flattens (ref)
+        ("doc2", 1.0, None),
+    ]
+    assert seen["query"] == "spark streaming" and "solr" in seen["endpoint"]
+    # endpoint required
+    import pytest as _pytest
+
+    st2 = TripleStore(
+        spark.createDataFrame(rows, "s string, p string, o_lex string, o_dt string")
+    )
+    with _pytest.raises(ValueError, match="endpoint"):
+        run_sparql(
+            st2,
+            'SELECT ?r WHERE { SERVICE <http://www.bigdata.com/rdf/fts#search> '
+            '{ ?r <http://www.bigdata.com/rdf/fts#search> "x" } }',
+        )
