@@ -1176,9 +1176,15 @@ def _push_graph(node, g):
 
 @_compile.register
 def _(node: A.GraphScope, store: TripleStore) -> DataFrame:
+    if not store.has_graphs:
+        # SPARQL dataset semantics: with ZERO named graphs a GRAPH pattern
+        # has zero solutions — not an error (a triples-only store is a
+        # dataset whose named-graph set is empty)
+        out = _compile(node.child, store).limit(0)
+        if isinstance(node.g, Var) and node.g.name not in out.columns:
+            out = out.withColumn(node.g.name, F.lit(None).cast("string"))
+        return out
     if isinstance(node.g, Var):
-        if not store.has_graphs:
-            raise ValueError("GRAPH ?var over a triples-only store")
         return _compile(_push_graph(node.child, node.g), store)
     g = const_lex(node.g)
     named = getattr(store, "dataset_named", None)

@@ -737,3 +737,24 @@ def test_base_urn_scheme_suffix_append(spark):
     )
     out = run_sparql(st, "BASE <urn:example:ns/> SELECT ?o WHERE { <foo> <p> ?o }")
     assert [r.o for r in out.collect()] == ["1"]
+
+
+def test_graph_over_triples_only_store_is_empty(spark):
+    """SPARQL dataset semantics: a triples-only store has ZERO named
+    graphs, so GRAPH patterns (const or var) yield zero solutions — not an
+    error."""
+    from blazegraph_database_spark.model.store import TripleStore
+    from blazegraph_database_spark.plans.sparql_parser import run_sparql
+
+    st = TripleStore(
+        spark.createDataFrame(
+            [("a", "p", "x", "iri")], "s string, p string, o_lex string, o_dt string"
+        )
+    )
+    out = run_sparql(st, "SELECT ?s WHERE { GRAPH <g> { ?s <p> ?o } }")
+    assert out.count() == 0
+    out = run_sparql(st, "SELECT ?s ?g WHERE { GRAPH ?g { ?s <p> ?o } }")
+    assert out.columns == ["s", "g"] and out.count() == 0
+    # and the default-graph pattern still matches
+    out = run_sparql(st, "SELECT ?s WHERE { { GRAPH ?g { ?s <p> ?o } } UNION { ?s <p> ?o } }")
+    assert out.count() == 1
