@@ -131,19 +131,19 @@ class GPO:
 
     def add_value(self, prop: str, lex: str, dt: str = "string") -> None:
         self._materialized().setdefault(prop, []).append((lex, dt))
-        self.om._added.append((self.id, prop, lex, dt))
+        self.om._buffer_add((self.id, prop, lex, dt))
         self.om._dirty.add(self.id)
 
     def remove_value(self, prop: str, lex: str, dt: str = "string") -> None:
         vals = self._materialized().get(prop, [])
         if (lex, dt) in vals:
             vals.remove((lex, dt))
-            self.om._removed.append((self.id, prop, lex, dt))
+            self.om._buffer_remove((self.id, prop, lex, dt))
             self.om._dirty.add(self.id)
 
     def remove_values(self, prop: str) -> None:
         for lex, dt in self._materialized().get(prop, []):
-            self.om._removed.append((self.id, prop, lex, dt))
+            self.om._buffer_remove((self.id, prop, lex, dt))
         self._props[prop] = []
         self.om._dirty.add(self.id)
 
@@ -159,7 +159,7 @@ class GPO:
             .collect()
         )
         for r in rows:
-            self.om._removed.append((r["s"], r["p"], r["o_lex"], r["o_dt"]))
+            self.om._buffer_remove((r["s"], r["p"], r["o_lex"], r["o_dt"]))
         self.om._dirty.add(self.id)
 
     def __repr__(self) -> str:  # pragma: no cover - debugging nicety
@@ -183,6 +183,25 @@ class ObjectManager:
         if rid not in self._gpos:
             self._gpos[rid] = GPO(self, rid)
         return self._gpos[rid]
+
+    # ---------------------------------------------------------- buffers --
+    # Mutations net out at buffer time so commit replays only the true
+    # delta: removing a value whose add is still pending cancels the add
+    # (nothing to delete in the store), and re-adding a value whose
+    # removal is pending cancels the removal. Without this, commit's
+    # removals-then-additions replay resurrects values that were added
+    # and then removed (or overwritten via set_value) before commit.
+    def _buffer_add(self, quad: tuple) -> None:
+        try:
+            self._removed.remove(quad)
+        except ValueError:
+            self._added.append(quad)
+
+    def _buffer_remove(self, quad: tuple) -> None:
+        try:
+            self._added.remove(quad)
+        except ValueError:
+            self._removed.append(quad)
 
     def init_gpos(self, ids: list[str]) -> dict[str, GPO]:
         """Batch-materialize several objects with ONE pruned scan (ref:

@@ -525,15 +525,19 @@ def bd_sample_service(store, sps) -> DataFrame:
     if stype == "DENSE":
         return df.orderBy(*cols).limit(limit)
     if stype == "EVEN":
+        # every (total/N)-th tuple in key order. Indices come from
+        # zipWithIndex over the distributed sort — NOT a global
+        # row_number window, which would funnel every row through one
+        # task (WindowExec with an empty partition spec)
         total = df.count()
         step = max(total // max(limit, 1), 1)
-        w = Window.orderBy(*cols)
-        return (
-            df.withColumn("__rn", F.row_number().over(w))
-            .filter((F.col("__rn") % step) == 1)
-            .drop("__rn")
-            .limit(limit)
+        sdf = df.orderBy(*cols)
+        picked = (
+            sdf.rdd.zipWithIndex()
+            .filter(lambda t: t[1] % step == 0)
+            .map(lambda t: t[0])
         )
+        return sdf.sparkSession.createDataFrame(picked, sdf.schema).limit(limit)
     if stype == "RANDOM":
         return df.orderBy(F.rand(seed)).limit(limit)
     raise ValueError(f"unknown bd:sample.sampleType {stype!r} (DENSE/EVEN/RANDOM)")
@@ -551,10 +555,15 @@ def bd_slice_service(store, sps) -> DataFrame:
     limit = int(params.get("slice.limit", ["1000"])[0])
     df = _service_pattern_df(store, patterns)
     cols = [c for c in df.columns if not c.endswith("__dt")]
+    # TakeOrdered bounds the data to offset+limit rows FIRST (distributed
+    # top-k, no shuffle of the full pattern result); the row_number window
+    # then runs over that bounded set only — a global window over the raw
+    # pattern would drag every matching row through one task
+    bounded = df.orderBy(*cols).limit(offset + limit)
     w = Window.orderBy(*cols)
     return (
-        df.withColumn("__rn", F.row_number().over(w))
-        .filter((F.col("__rn") > offset) & (F.col("__rn") <= offset + limit))
+        bounded.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") > offset)
         .drop("__rn")
     )
 
@@ -651,16 +660,29 @@ def bd_history_service(store, sps) -> DataFrame:
     # scan by hand: action/commit params take VARIABLE objects, which
     # _split_service_params (constants-only) would reject
     action_var = commit_var = None
+    action_filter = commit_filter = None
     since = 0
     pattern = None
     for sp in sps:
         subj = const_lex(sp.s) if is_const(sp.s) else None
         if subj is not None and _bd_local(subj) == "serviceParam":
             key = _bd_local(const_lex(sp.p)) if is_const(sp.p) else None
+            # a VARIABLE object binds the record field; a CONSTANT object
+            # filters the records by it (the reference's history service
+            # filters by ChangeAction / commit point the same way)
             if key == "history.action" and isinstance(sp.o, Var):
                 action_var = sp.o.name
+            elif key == "history.action" and is_const(sp.o):
+                action_filter = const_lex(sp.o)
+                if action_filter not in ("added", "removed"):
+                    raise ValueError(
+                        "bd:history.action filter must be 'added' or "
+                        f"'removed', got {action_filter!r}"
+                    )
             elif key == "history.commit" and isinstance(sp.o, Var):
                 commit_var = sp.o.name
+            elif key == "history.commit" and is_const(sp.o):
+                commit_filter = int(const_lex(sp.o))
             elif key == "history.since" and is_const(sp.o):
                 since = int(const_lex(sp.o))
             else:
@@ -672,6 +694,10 @@ def bd_history_service(store, sps) -> DataFrame:
     if pattern is None:
         raise ValueError("bd:history needs a statement pattern")
     log = us.changelog(since=since)
+    if action_filter is not None:
+        log = log.filter(F.col("action") == action_filter)
+    if commit_filter is not None:
+        log = log.filter(F.col("commit") == commit_filter)
     sel = []
     for term, col in ((pattern.s, "s"), (pattern.p, "p"), (pattern.o, "o_lex")):
         if isinstance(term, Var):
@@ -701,13 +727,15 @@ def solr_transport(timeout_ms: int | None = None):
     def transport(endpoint: str, query: str, params: str | None):
         from urllib.request import urlopen
 
-        qs = {"q": query, "wt": "json"}
+        # list-of-pairs, NOT a dict: Solr params repeat (fq=a&fq=b is two
+        # filters) and collapsing repeats silently drops all but the last
+        pairs = [("q", query), ("wt", "json")]
         if params:
             for kv in params.split("&"):
                 k, _, v = kv.partition("=")
                 if k and k != "wt":
-                    qs[k] = v
-        url = endpoint + ("&" if "?" in endpoint else "?") + urlencode(qs)
+                    pairs.append((k, v))
+        url = endpoint + ("&" if "?" in endpoint else "?") + urlencode(pairs)
         with urlopen(url, timeout=(timeout_ms or 60_000) / 1000) as resp:
             doc = json.loads(resp.read().decode())
         return doc["response"]["docs"]
@@ -732,6 +760,8 @@ def fts_search_service(store, sps, transport=None) -> DataFrame:
 
     The transport is injectable (tests run a fake Solr); the default
     speaks the real Solr select wire format."""
+    from pyspark.sql import functions as F
+
     from blazegraph_database_spark.model.terms import Var, const_lex, is_const
 
     res_var = None
@@ -764,6 +794,11 @@ def fts_search_service(store, sps, transport=None) -> DataFrame:
             score_var = sp.o.name
         elif local == "snippet" and isinstance(sp.o, Var):
             snippet_var = sp.o.name
+        else:
+            # unknown fts: predicate (or a var where a constant belongs):
+            # raise like the sibling bd: services do — silently dropping a
+            # typo'd option leaves vars unbound with no diagnostic
+            raise ValueError(f"unknown fts: service predicate {pred!r}")
     if res_var is None or query is None:
         raise ValueError('SERVICE <fts:search> needs `?res fts:search "query"`')
     if endpoint is None:
@@ -792,6 +827,17 @@ def fts_search_service(store, sps, transport=None) -> DataFrame:
     spark = store.spark
     out = spark.createDataFrame(rows, "res string, score double, snippet string")
     sel = [out["res"].alias(res_var.name)]
+    rtype = opts["searchResultType"].upper()
+    if rtype not in ("URI", "LITERAL"):
+        raise ValueError(
+            f"fts:searchResultType must be LITERAL or URI, got {rtype!r}"
+        )
+    # ref FulltextSearchServiceFactory binds hits as URIs or literals per
+    # the option; the dt companion makes isURI()/isLiteral() and IRI joins
+    # see the right term type (term-type fns REQUIRE the companion)
+    sel.append(
+        F.lit("iri" if rtype == "URI" else "string").alias(f"{res_var.name}__dt")
+    )
     if score_var is not None:
         sel.append(out["score"].alias(score_var))
     if snippet_var is not None:

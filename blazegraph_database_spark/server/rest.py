@@ -288,6 +288,10 @@ class SparqlEndpoint:
         # materialized plain-IRI descriptions keyed by store version —
         # MVCC makes invalidation automatic (see _describe)
         self._describe_cache: dict[tuple, tuple] = {}
+        # queries run on ThreadingHTTPServer threads WITHOUT self._lock
+        # (that lock is the single-writer update discipline), so the LRU
+        # pop/reinsert needs its own mutex
+        self._describe_cache_lock = threading.Lock()
 
     # ------------------------------------------------------------ verbs --
     def query(
@@ -463,16 +467,19 @@ class SparqlEndpoint:
             # entries pin the keyed version's DataFrame so the id() can't
             # be recycled while the entry lives (the r2 id()-reuse lesson)
             ck = (id(store.df), tuple(parsed[1]), tuple(sorted(kwargs.items())))
-            hit = self._describe_cache.get(ck)
-            if hit is not None:
-                self._describe_cache[ck] = self._describe_cache.pop(ck)  # LRU touch
-                return hit[1]
+            with self._describe_cache_lock:
+                hit = self._describe_cache.get(ck)
+                if hit is not None:
+                    # LRU touch (pop can't KeyError under the lock)
+                    self._describe_cache[ck] = self._describe_cache.pop(ck)
+                    return hit[1]
             out = compiler.describe(store, list(parsed[1]), **kwargs).localCheckpoint(
                 eager=True
             )
-            self._describe_cache[ck] = (store.df, out)
-            while len(self._describe_cache) > 64:
-                self._describe_cache.pop(next(iter(self._describe_cache)))
+            with self._describe_cache_lock:
+                self._describe_cache[ck] = (store.df, out)
+                while len(self._describe_cache) > 64:
+                    self._describe_cache.pop(next(iter(self._describe_cache)))
             return out
         return compiler.describe(store, parsed[1], **kwargs)
 

@@ -179,20 +179,36 @@ class UpdatableStore:
         ``INCLUDE %name`` in a LATER query resolves against sets written by
         earlier UPDATE requests (ref: NamedSubqueryInclude resolving
         through the solution-set cache). Query-local WITH %name shadows a
-        persisted set of the same name (WithNamed merges on top)."""
-        out = self.current
-        if self.solutions is not None and self.solutions.names():
-            out = out.with_named_sets(self.solutions.sets())
-        elif getattr(out, "updatable", None) is self:
-            return out
+        persisted set of the same name (WithNamed merges on top).
+
+        The returned view is MEMOIZED per (version, solution-set names):
+        repeated queries against the same commit point reuse ONE
+        TripleStore instance, so its lazily-built memos (predicate stats
+        for join ordering, the checkpointed full-text indexes) survive
+        across requests instead of being rebuilt per call. A new commit
+        or solution-set change invalidates the memo by key mismatch.
+        We never hand out ``self.current`` itself: versions can be shared
+        across tx shadows, and the ``updatable`` back-pointer (needed by
+        SERVICE <bd:history> — the MVCC version list IS the history
+        index) must belong to THIS UpdatableStore."""
+        base = self.current
+        sets = self.solutions.sets() if self.solutions is not None else {}
+        # set dirs are immutable and their reader handles memoized, so the
+        # handle identity fingerprints set CONTENT (a put repoints to a
+        # new dir -> new handle); the memo pins the dict so ids can't be
+        # recycled while the entry lives
+        key = tuple(sorted((n, id(df)) for n, df in sets.items()))
+        cached = getattr(self, "_qstore_memo", None)
+        if cached is not None and cached[0] is base and cached[1] == key:
+            return cached[3]
+        if sets:
+            out = base.with_named_sets(sets)
         else:
             import copy
 
-            out = copy.copy(out)
-        # back-pointer for SERVICE <bd:history> (the MVCC version list is
-        # the history index; the service needs it, a bare TripleStore
-        # doesn't carry it)
+            out = copy.copy(base)
         out.updatable = self
+        self._qstore_memo = (base, key, sets, out)
         return out
 
     def insert_into_solutions(

@@ -95,3 +95,41 @@ def test_om_evaluate_and_execute(om):
     fresh = ObjectManager(om.store)
     assert fresh.get_gpo("d").get_value("name") == ("Dave", "string")
     assert fresh.get_gpo("a").get_value("tag") == ("t1", "string")
+
+
+def test_gpo_add_then_remove_nets_out(om):
+    """Buffered add/remove pairs cancel: a value added then removed (or
+    overwritten twice via set_value) before commit must NOT be resurrected
+    by the removals-then-additions replay (review r5 finding)."""
+    a = om.get_gpo("a")
+    a.set_value("name", "Alicia")
+    a.set_value("name", "Zed")
+    b = om.get_gpo("b")
+    b.add_value("tag", "x")
+    b.remove_values("tag")
+    n_versions = len(om.store.versions)
+    om.commit()
+    df = om.store.current.df
+    names = sorted(
+        r.o_lex for r in df.filter("s = 'a' and p = 'name'").collect()
+    )
+    assert names == ["Zed"]  # 'Alicia' must not survive
+    assert df.filter("s = 'b' and p = 'tag'").count() == 0
+    # in-memory view agrees with the store
+    assert a.get_values("name") == [("Zed", "string")]
+    assert b.get_values("tag") == []
+    # exactly one new commit point (b's netted-out edit adds none)
+    assert len(om.store.versions) == n_versions + 1
+
+
+def test_gpo_remove_then_add_same_value_is_noop(om):
+    """Removing a stored value then re-adding it nets to nothing: no
+    spurious commit point, value still present."""
+    a = om.get_gpo("a")
+    a.remove_value("name", "Alice")
+    a.add_value("name", "Alice")
+    n_versions = len(om.store.versions)
+    om.commit()
+    assert len(om.store.versions) == n_versions  # no-op commit
+    assert a.get_value("name") == ("Alice", "string")
+    assert om.store.current.df.filter("s = 'a' and p = 'name'").count() == 1

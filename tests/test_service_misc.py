@@ -667,3 +667,162 @@ def test_fts_external_search_service(spark):
             'SELECT ?r WHERE { SERVICE <http://www.bigdata.com/rdf/fts#search> '
             '{ ?r <http://www.bigdata.com/rdf/fts#search> "x" } }',
         )
+
+
+def test_bd_history_constant_filters(spark):
+    """Constant objects on bd:history.action / bd:history.commit FILTER the
+    change records (a misleading 'unknown param' error previously made
+    filtering impossible — review r5 finding)."""
+    from blazegraph_database_spark.model.store import TripleStore
+    from blazegraph_database_spark.plans.sparql_parser import run_sparql
+    from blazegraph_database_spark.update.update import UpdatableStore
+
+    df = spark.createDataFrame(
+        [("a", "p", "1", "long")], "s string, p string, o_lex string, o_dt string"
+    )
+    us = UpdatableStore.from_store(TripleStore(df))
+    us.insert_data(spark.createDataFrame([("b", "p", "2", "long")], df.schema))
+    us.delete_data(spark.createDataFrame([("a", "p", "1", "long")], df.schema))
+    q = """
+    PREFIX bd: <http://www.bigdata.com/rdf#>
+    SELECT ?s WHERE {{
+      SERVICE <http://www.bigdata.com/rdf#history> {{
+        ?s <p> ?o .
+        {param}
+      }}
+    }}
+    """
+    only_added = run_sparql(
+        us.query_store,
+        q.format(param='bd:serviceParam bd:history.action "added" .'),
+    )
+    assert {r.s for r in only_added.collect()} == {"b"}
+    only_c2 = run_sparql(
+        us.query_store,
+        q.format(param='bd:serviceParam bd:history.commit "2" .'),
+    )
+    assert {r.s for r in only_c2.collect()} == {"a"}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="added.*removed|removed.*added"):
+        run_sparql(
+            us.query_store,
+            q.format(param='bd:serviceParam bd:history.action "bogus" .'),
+        )
+
+
+def test_query_store_memoized_per_version(spark):
+    """query_store returns ONE memoized view per commit point, so per-store
+    memos (join stats, full-text indexes) survive across requests; a new
+    commit or a solution-set change invalidates it (review r5 finding)."""
+    from blazegraph_database_spark.model.store import TripleStore
+    from blazegraph_database_spark.update.update import UpdatableStore
+
+    df = spark.createDataFrame(
+        [("a", "p", "1", "long")], "s string, p string, o_lex string, o_dt string"
+    )
+    us = UpdatableStore.from_store(TripleStore(df))
+    qs1 = us.query_store
+    assert us.query_store is qs1  # memoized
+    assert qs1.updatable is us
+    assert qs1 is not us.current  # back-pointer never lands on a shared version
+    us.insert_data(spark.createDataFrame([("b", "p", "2", "long")], df.schema))
+    qs2 = us.query_store
+    assert qs2 is not qs1  # new commit point invalidates
+    assert us.query_store is qs2
+    # solution-set content change invalidates too
+    mgr = us.solutions_manager()
+    mgr.put("st", spark.createDataFrame([("x",)], "v string"))
+    qs3 = us.query_store
+    assert qs3 is not qs2 and us.query_store is qs3
+    mgr.put("st", spark.createDataFrame([("y",)], "v string"))
+    assert us.query_store is not qs3
+
+
+def test_fts_result_type_and_param_repeats(spark):
+    """fts:searchResultType URI tags hits as IRIs; repeated fts:params keys
+    reach the wire as repeats; unknown fts: predicates raise (review r5)."""
+    from blazegraph_database_spark.model.store import TripleStore
+    from blazegraph_database_spark.operators.service import solr_transport
+    from blazegraph_database_spark.plans.sparql_parser import run_sparql
+
+    rows = [("doc1", "title", "Spark", "string")]
+    st = TripleStore(
+        spark.createDataFrame(rows, "s string, p string, o_lex string, o_dt string")
+    )
+    st.fts_transport = lambda e, q, p: [{"id": "http://x/doc1", "score": 1.0}]
+    q = """
+    PREFIX fts: <http://www.bigdata.com/rdf/fts#>
+    SELECT ?res WHERE {{
+      SERVICE <http://www.bigdata.com/rdf/fts#search> {{
+        ?res fts:search "spark" .
+        ?res fts:endpoint "http://solr/core/select" .
+        {extra}
+      }}
+      FILTER(isURI(?res))
+    }}
+    """
+    got = run_sparql(st, q.format(extra='?res fts:searchResultType "URI" .'))
+    assert [r.res for r in got.collect()] == ["http://x/doc1"]
+    # LITERAL (default) hits fail the isURI filter
+    got2 = run_sparql(st, q.format(extra=""))
+    assert got2.count() == 0
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unknown fts"):
+        run_sparql(st, q.format(extra='?res fts:snipet ?s .'))
+    # multi-valued Solr params preserve repeats on the wire
+    captured = {}
+
+    class FakeResp:
+        def __init__(self, url):
+            captured["url"] = url
+
+        def read(self):
+            return b'{"response": {"docs": []}}'
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+    import urllib.request as _ur
+
+    orig = _ur.urlopen
+    _ur.urlopen = lambda url, timeout=None: FakeResp(url)
+    try:
+        solr_transport()("http://solr/sel", "q1", "fq=type:doc&fq=lang:en")
+    finally:
+        _ur.urlopen = orig
+    assert captured["url"].count("fq=") == 2
+
+
+def test_bd_slice_and_even_plans_bounded(spark):
+    """bd:slice bounds the sort to offset+limit rows before any window (no
+    global single-partition WindowExec over the full pattern result) and
+    still pages correctly (review r5 finding)."""
+    from blazegraph_database_spark.model.store import TripleStore
+    from blazegraph_database_spark.plans.sparql_parser import run_sparql
+
+    rows = [(f"s{i:02d}", "p", f"o{i}", "iri") for i in range(30)]
+    st = TripleStore(
+        spark.createDataFrame(rows, "s string, p string, o_lex string, o_dt string")
+    )
+    q = """
+    PREFIX bd: <http://www.bigdata.com/rdf#>
+    SELECT ?s WHERE {
+      SERVICE <http://www.bigdata.com/rdf#slice> {
+        ?s <p> ?o .
+        bd:serviceParam bd:slice.offset "10" .
+        bd:serviceParam bd:slice.limit "5" .
+      }
+    }
+    """
+    out = run_sparql(st, q)
+    assert sorted(r.s for r in out.collect()) == [f"s{i}" for i in range(10, 15)]
+    # the window input is the TakeOrdered-bounded set, not the raw scan:
+    # GlobalLimit appears below the Window in the optimized plan
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "Window" in plan and "Limit" in plan
+    assert plan.index("Window") < plan.index("Limit")
