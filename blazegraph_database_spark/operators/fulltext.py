@@ -57,7 +57,7 @@ def search(
     match_all: bool = False,
     min_relevance_ppm: int = 0,
     max_relevance_ppm: int | None = None,
-    max_rank: int = 20,
+    max_rank: int | None = 20,
     min_rank: int = 1,
     scored_filter=None,
     count_col: str | None = None,
@@ -115,6 +115,10 @@ def search(
         # of the hit iterator; ADVICE r4: the old per-hit crossJoin made
         # count 0 unobservable). Count is total pre-maxRank hits.
         return scored.agg(F.count(F.lit(1)).alias(count_col))
+    if max_rank is None:
+        # unranked hit SET (ref: searchInSearch uses DEFAULT_MAX_RANK =
+        # Integer.MAX_VALUE — no rank cut, so no global sort either)
+        return scored
     # TakeOrderedAndProject: orderBy+limit never materializes a global sort
     top = scored.orderBy(F.col("score_ppm").desc(), F.col("id").asc()).limit(max_rank)
     from pyspark.sql.window import Window

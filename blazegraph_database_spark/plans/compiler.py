@@ -1327,6 +1327,64 @@ def _(node: A.Service, store: TripleStore) -> DataFrame:
     if service.stored_query_lookup(node.iri) is not None:
         # ref: storedquery/StoredQueryService.java — app-registered IRIs
         return service.call_stored_query(store, node.iri, collect_sps(node.pattern))
+    if svc_iri == "bds:searchInSearch":
+        # ref: eval/SearchInSearchServiceFactory.java (registered under
+        # BDS.SEARCH_IN_SEARCH, ServiceRegistry.java:138): the full-text
+        # hit set used as a FILTER on the search var — the service yields
+        # the DISTINCT subjects holding a matching literal, and the
+        # enclosing group's natural join on ?var keeps only incoming
+        # bindings linked to a matched literal (the reference's
+        # iterate-and-prune over the incoming binding sets). No rank cut
+        # by default (ref uses DEFAULT_MAX_RANK = MAX_VALUE), so no
+        # global sort: the hit set stays an unordered semi-join input.
+        pats = collect_sps(node.pattern)
+        subj, query, opts = None, None, {}
+        match_exact = False
+        match_regex = None
+        for sp in pats:
+            pred = _compact_builtin_iri(const_lex(sp.p)) if is_const(sp.p) else None
+            if pred == "bds:searchInSearch":
+                subj, query = sp.s, const_lex(sp.o)
+            elif pred == "bds:matchAllTerms":
+                opts["match_all"] = const_lex(sp.o) == "true"
+            elif pred == "bds:minRelevance":
+                opts["min_relevance_ppm"] = int(float(const_lex(sp.o)) * 1_000_000)
+            elif pred == "bds:maxRelevance":
+                opts["max_relevance_ppm"] = round(float(const_lex(sp.o)) * 1_000_000)
+            elif pred == "bds:maxRank":
+                opts["max_rank"] = int(const_lex(sp.o))
+            elif pred == "bds:matchExact":
+                match_exact = const_lex(sp.o) == "true"
+            elif pred == "bds:matchRegex":
+                match_regex = const_lex(sp.o)
+            else:
+                raise ValueError(
+                    "SERVICE <bds:searchInSearch> supports searchInSearch/"
+                    f"matchAllTerms/minRelevance/maxRelevance/maxRank/"
+                    f"matchExact/matchRegex, got {pred!r}"
+                )
+        if subj is None or not isinstance(subj, Var):
+            raise ValueError(
+                'SERVICE <bds:searchInSearch> needs `?var bds:searchInSearch "query"`'
+            )
+        opts.setdefault("max_rank", None)
+        patterns = [(t.rstrip("*"), t.endswith("*")) for t in query.split()]
+        scored_filter = None
+        if match_exact or match_regex is not None:
+            def scored_filter(scored, _q=query, _rx=match_regex, _ex=match_exact):
+                texts = _store_literal_texts(store).withColumnRenamed("s", "id")
+                scored = scored.join(texts, on="id")
+                text = F.col("text")
+                if _ex:
+                    scored = scored.filter(text.contains(_q))
+                if _rx is not None:
+                    scored = scored.filter(text.rlike(_rx))
+                return scored.drop("text")
+
+        hits = fulltext.search(
+            _store_literal_index(store), patterns, scored_filter=scored_filter, **opts
+        )
+        return hits.select(F.col("id").alias(subj.name)).distinct()
     if svc_iri == "bds:search":
         # magic predicates inside the block (ref: BDS.java search vocabulary)
         pats = collect_sps(node.pattern)

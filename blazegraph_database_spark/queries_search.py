@@ -378,3 +378,46 @@ def geo_service_rect(spark: SparkSession, sf_dir: str) -> DataFrame:
     }
     """
     return run_sparql(st, q).select("res", "rlat", "rlon")
+
+
+@register(
+    "fulltext_search_in_search",
+    """
+    SELECT 'doc:' || doc_id AS s, source AS src
+    FROM documents
+    WHERE list_contains(string_split_regex(lower(text), '[^a-z0-9]+'), 'vector')
+      AND list_contains(string_split_regex(lower(text), '[^a-z0-9]+'), 'merge')
+    ORDER BY s
+    """,
+)
+def fulltext_search_in_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SERVICE <bds:searchInSearch> — the full-text hit set as a semi-join
+    FILTER on incoming bindings (ref: eval/SearchInSearchServiceFactory.java:91,
+    registered at ServiceRegistry.java:138): only subjects linked to a
+    literal matching the search survive; no rank cut, no global sort."""
+    from blazegraph_database_spark.model.store import TripleStore
+    from blazegraph_database_spark.plans.sparql_parser import run_sparql
+    from blazegraph_database_spark.sources.relational import read_parquet
+
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    subj = F.concat(F.lit("doc:"), F.col("doc_id"))
+    st = TripleStore(
+        docs.select(subj.alias("s"), F.lit("documents#text").alias("p"),
+                    F.col("text").alias("o_lex"), F.lit("string").alias("o_dt"))
+        .unionByName(
+            docs.select(subj.alias("s"), F.lit("documents#source").alias("p"),
+                        F.col("source").alias("o_lex"), F.lit("string").alias("o_dt"))
+        )
+    )
+    return run_sparql(
+        st,
+        """
+        SELECT ?s ?src WHERE {
+          ?s <documents#source> ?src .
+          SERVICE <bds:searchInSearch> {
+            ?s <bds:searchInSearch> "vector merge" .
+            ?s <bds:matchAllTerms> "true" .
+          }
+        } ORDER BY ?s
+        """,
+    )

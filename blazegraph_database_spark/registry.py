@@ -22,6 +22,7 @@ _CATALOG_MODULES = [
 # its r3 row and rotates in next round.
 _SCORE_FIRST = [
     # (a) round-5 additions — inserted here as they land.
+    "fulltext_search_in_search",
     "solution_set_include",
     "path_bounded",
     "turtle_writer_roundtrip",

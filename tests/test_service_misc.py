@@ -826,3 +826,46 @@ def test_bd_slice_and_even_plans_bounded(spark):
     plan = out._jdf.queryExecution().optimizedPlan().toString()
     assert "Window" in plan and "Limit" in plan
     assert plan.index("Window") < plan.index("Limit")
+
+
+def test_bds_search_in_search(spark):
+    """SERVICE <bds:searchInSearch> filters incoming bindings to subjects
+    holding a full-text-matched literal (ref:
+    eval/SearchInSearchServiceFactory.java:91); matchAllTerms narrows to
+    every-term subjects; unknown options raise."""
+    from blazegraph_database_spark.model.store import TripleStore
+    from blazegraph_database_spark.plans.sparql_parser import run_sparql
+
+    rows = [
+        ("d1", "text", "spark streaming engine", "string"),
+        ("d1", "cat", "a", "string"),
+        ("d2", "text", "batch engine", "string"),
+        ("d2", "cat", "b", "string"),
+        ("d3", "text", "spark batch", "string"),
+        ("d3", "cat", "c", "string"),
+    ]
+    st = TripleStore(
+        spark.createDataFrame(rows, "s string, p string, o_lex string, o_dt string")
+    )
+    q = """
+    SELECT ?s ?c WHERE {{
+      ?s <cat> ?c .
+      SERVICE <bds:searchInSearch> {{
+        ?s <bds:searchInSearch> "spark streaming" .
+        {extra}
+      }}
+    }}
+    """
+    got = {tuple(r) for r in run_sparql(st, q.format(extra="")).collect()}
+    assert got == {("d1", "a"), ("d3", "c")}  # d2 has neither term
+    all_terms = {
+        tuple(r)
+        for r in run_sparql(
+            st, q.format(extra='?s <bds:matchAllTerms> "true" .')
+        ).collect()
+    }
+    assert all_terms == {("d1", "a")}  # only d1 has both
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="searchInSearch"):
+        run_sparql(st, q.format(extra='?s <bds:bogusOption> "1" .'))
