@@ -23,6 +23,7 @@ import json
 import shutil
 import tempfile
 import threading
+import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from urllib.parse import parse_qs, urlparse
 
@@ -292,6 +293,11 @@ class SparqlEndpoint:
         # (that lock is the single-writer update discipline), so the LRU
         # pop/reinsert needs its own mutex
         self._describe_cache_lock = threading.Lock()
+        # running-query registry (ref: StatusServlet SHOW_QUERIES /
+        # CANCEL_QUERY over the QueryEngine's running-query table):
+        # queryId -> {namespace, query, started, gid}; entries live only
+        # while the request thread is inside _run_query
+        self._running: dict[str, dict] = {}
 
     # ------------------------------------------------------------ verbs --
     def query(
@@ -306,15 +312,55 @@ class SparqlEndpoint:
         describe_mode: str | None = None,
         describe_iterations: int | None = None,
     ) -> tuple[int, str, bytes]:
+        """Every query runs in its own Spark job group and is listed in the
+        running-query registry while it executes (ref: StatusServlet's
+        showQueries page + cancelQuery — QueryCancellationHelper over the
+        QueryEngine's running-query table). GET /status?showQueries lists
+        them; POST /status?cancelQuery&queryId=<id> cancels the group."""
+        import uuid
+
+        qid = uuid.uuid4().hex[:12]
+        args = (ns, text, accept, explain, timestamp, txid, describe_mode,
+                describe_iterations)
         if timeout_ms:
             return self._bounded(
                 timeout_ms,
-                lambda: self.query(
-                    ns, text, accept, explain, timestamp, txid=txid,
-                    describe_mode=describe_mode,
-                    describe_iterations=describe_iterations,
-                ),
+                lambda: self._run_query(qid, *args),
+                gid=f"rest-query-{qid}",
             )
+        return self._run_query(qid, *args)
+
+    def _run_query(self, qid, ns, text, accept, explain, timestamp, txid,
+                   describe_mode, describe_iterations):
+        gid = f"rest-query-{qid}"
+        sc = self.spark.sparkContext
+        # thread-local: ThreadingHTTPServer gives each request its own
+        # thread, so groups don't bleed across concurrent queries
+        sc.setJobGroup(gid, f"REST query [{ns}]", interruptOnCancel=True)
+        self._running[qid] = {
+            "queryId": qid,
+            "namespace": ns,
+            "query": text[:2000],
+            "started": time.time(),
+            "gid": gid,
+        }
+        try:
+            return self._query_impl(ns, text, accept, explain, timestamp,
+                                    txid, describe_mode, describe_iterations)
+        finally:
+            self._running.pop(qid, None)
+
+    def _query_impl(
+        self,
+        ns: str,
+        text: str,
+        accept: str = "",
+        explain: str | None = None,
+        timestamp: int | None = None,
+        txid: str | None = None,
+        describe_mode: str | None = None,
+        describe_iterations: int | None = None,
+    ) -> tuple[int, str, bytes]:
         us = self._tx_store(txid, ns) if txid is not None else self.namespaces[ns]
         if timestamp is None:
             # query_store = current version + persisted named solution
@@ -374,23 +420,20 @@ class SparqlEndpoint:
             self.max_result_rows,
         )
 
-    def _bounded(self, timeout_ms: int, fn):
+    def _bounded(self, timeout_ms: int, fn, gid: str):
         """Query-deadline enforcement (ref: the REST API's ``timeout=``
         parameter / ``X-BIGDATA-MAX-QUERY-MILLIS`` header;
-        BigdataRDFContext query timeout): the query runs in its own Spark
-        job group; at the deadline the group's jobs are cancelled and the
-        client gets 503 with an error body, the reference's
-        query-timeout behavior re-expressed on Spark's cancellation API."""
-        import uuid
-
+        BigdataRDFContext query timeout): ``fn`` (a _run_query call) sets
+        job group ``gid`` on its worker thread; at the deadline the
+        group's jobs are cancelled and the client gets 503 with an error
+        body, the reference's query-timeout behavior re-expressed on
+        Spark's cancellation API."""
         from pyspark import InheritableThread
 
-        gid = f"rest-timeout-{uuid.uuid4().hex[:8]}"
         sc = self.spark.sparkContext
         box: dict = {}
 
         def run():
-            sc.setJobGroup(gid, "REST query with deadline", interruptOnCancel=True)
             try:
                 box["out"] = fn()
             except BaseException as ex:  # re-raised on the caller thread
@@ -659,12 +702,53 @@ class SparqlEndpoint:
             removed = before - us.current.df.count()
         return 200, JSON, json.dumps({"removed": removed}).encode()
 
-    def status(self) -> tuple[int, str, bytes]:
+    def status(self, show_queries: bool = False) -> tuple[int, str, bytes]:
         doc = {
             "namespaces": sorted(self.namespaces),
             "versions": {ns: len(us.versions) for ns, us in self.namespaces.items()},
         }
+        if show_queries:
+            # ref: StatusServlet ?showQueries — the running-query table
+            now = time.time()
+            doc["queries"] = [
+                {
+                    "queryId": e["queryId"],
+                    "namespace": e["namespace"],
+                    "elapsedMillis": int((now - e["started"]) * 1000),
+                    "query": e["query"],
+                }
+                for e in list(self._running.values())
+            ]
         return 200, JSON, json.dumps(doc).encode()
+
+    def cancel_query(self, query_ids: list[str]) -> tuple[int, str, bytes]:
+        """POST /status?cancelQuery&queryId=<id> (ref: StatusServlet
+        CANCEL_QUERY → QueryCancellationHelper.tryCancelQuery): cancels the
+        query's Spark job group; the cancelled request itself returns 503.
+        Unknown/already-finished ids are ignored, like the reference."""
+        sc = self.spark.sparkContext
+        cancelled = []
+        for qid in query_ids:
+            entry = self._running.get(qid)
+            if entry is not None:
+                sc.cancelJobGroup(entry["gid"])
+                cancelled.append(qid)
+                # pending-cancel (ref: QueryEngine.addPendingCancel): a
+                # cancel that lands while the query is still PLANNING has
+                # no active jobs to kill; re-fire until the request thread
+                # leaves the registry so later-submitted jobs die too
+                threading.Thread(
+                    target=self._pending_cancel, args=(qid, entry["gid"]),
+                    daemon=True,
+                ).start()
+        return 200, JSON, json.dumps({"cancelled": cancelled}).encode()
+
+    def _pending_cancel(self, qid: str, gid: str, ttl_s: float = 60.0) -> None:
+        sc = self.spark.sparkContext
+        deadline = time.time() + ttl_s
+        while qid in self._running and time.time() < deadline:
+            sc.cancelJobGroup(gid)
+            time.sleep(0.25)
 
     def counters(self, ns: str) -> tuple[int, str, bytes]:
         stats = self.namespaces[ns].current.stats()
@@ -683,6 +767,12 @@ class SparqlEndpoint:
         except ResultTooLarge as e:
             return 413, JSON, json.dumps({"error": str(e)}).encode()
         except Exception as e:  # parse errors etc. → 400, like the reference
+            if "cancelled" in str(e).lower():
+                # a cancelQuery (or job-group kill) aborted this request's
+                # Spark jobs: the cancelled client sees 503, not a parse 400
+                return 503, JSON, json.dumps(
+                    {"error": f"query cancelled: {type(e).__name__}"}
+                ).encode()
             return 400, JSON, json.dumps({"error": f"{type(e).__name__}: {e}"}).encode()
 
     def _dispatch(self, method, path, params, ctype, body, accept=""):
@@ -714,7 +804,12 @@ class SparqlEndpoint:
                 return self.tx_abort(parts[1])
             raise KeyError(f"no such resource: {path}")
         if parts == ["status"] and method == "GET":
-            return self.status()
+            return self.status(show_queries="showQueries" in params)
+        if parts == ["status"] and method == "POST" and "cancelQuery" in params:
+            # reference accepts repeated queryId params; flattened form
+            # takes a comma-separated list
+            ids = [q for q in params.get("queryId", "").split(",") if q]
+            return self.cancel_query(ids)
         if parts == ["counters"] and method == "GET":
             return self.counters(ns)
         if parts != ["sparql"]:

@@ -648,3 +648,69 @@ def test_describe_cache_hit_and_mvcc_invalidation(spark):
         assert len(ep._describe_cache) == 2
     finally:
         srv.shutdown()
+
+
+def test_show_queries_and_cancel(spark):
+    """StatusServlet parity: GET /status?showQueries lists in-flight
+    queries; POST /status?cancelQuery&queryId=<id> kills the query's job
+    group and the cancelled client gets 503 (ref: StatusServlet
+    SHOW_QUERIES/CANCEL_QUERY + QueryCancellationHelper)."""
+    import threading
+    import time as _time
+    import urllib.error
+
+    rows = [(f"s{i}", "p", f"o{i}", "iri") for i in range(800)]
+    store = UpdatableStore.from_store(
+        TripleStore(spark.createDataFrame(rows, "s string, p string, o_lex string, o_dt string"))
+    )
+    ep = SparqlEndpoint(spark, store)
+    srv, port = start_background(ep)
+    base = f"http://127.0.0.1:{port}"
+    try:
+        # a deliberately explosive aggregate: 800^3 = 512M join rows to
+        # count (single result row, so no row cap — just minutes of work
+        # unless cancelled)
+        slow_q = urllib.parse.quote(
+            "SELECT (COUNT(?a) AS ?n) WHERE { ?a <p> ?x . ?b <p> ?y . ?c <p> ?z }"
+        )
+        result = {}
+
+        def client():
+            try:
+                st, _, _ = _req(f"{base}/sparql?query={slow_q}")
+                result["status"] = st
+            except urllib.error.HTTPError as e:
+                result["status"] = e.code
+
+        t = threading.Thread(target=client, daemon=True)
+        t.start()
+        # poll until the query shows up in the running table
+        qid = None
+        for _ in range(200):
+            _, _, body = _req(f"{base}/status?showQueries")
+            queries = json.loads(body).get("queries", [])
+            if queries:
+                qid = queries[0]["queryId"]
+                assert queries[0]["namespace"] == "kb"
+                assert "SELECT" in queries[0]["query"]
+                assert queries[0]["elapsedMillis"] >= 0
+                break
+            _time.sleep(0.05)
+        assert qid is not None, "query never appeared in showQueries"
+        st, _, body = _req(
+            f"{base}/status?cancelQuery&queryId={qid}", method="POST", body=b""
+        )
+        assert st == 200 and qid in json.loads(body)["cancelled"]
+        t.join(timeout=60)
+        assert not t.is_alive()
+        assert result["status"] == 503  # cancelled client sees 503
+        # registry drained after the request thread exits
+        _, _, body = _req(f"{base}/status?showQueries")
+        assert json.loads(body).get("queries", []) == []
+        # cancelling an unknown id is a no-op 200
+        st, _, body = _req(
+            f"{base}/status?cancelQuery&queryId=deadbeef", method="POST", body=b""
+        )
+        assert st == 200 and json.loads(body)["cancelled"] == []
+    finally:
+        srv.shutdown()
