@@ -750,6 +750,99 @@ class SparqlEndpoint:
             sc.cancelJobGroup(gid)
             time.sleep(0.25)
 
+    # SD/VoID vocabulary (ref: webapp/SD.java:70 + VoID.java — GET on the
+    # SPARQL endpoint with no query serves the W3C service description
+    # with VoID dataset statistics folded in)
+    _SD = "http://www.w3.org/ns/sparql-service-description#"
+    _VOID = "http://rdfs.org/ns/void#"
+    _FMT = "http://www.w3.org/ns/formats/"
+    _RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+
+    def service_description(self, ns: str, accept: str = "", host: str | None = None) -> tuple[int, str, bytes]:
+        """W3C SPARQL 1.1 Service Description + VoID statistics (ref:
+        webapp/SD.java describeService + VoID.java describeDataSet —
+        served by the reference on a queryless GET of the endpoint).
+        Counts come from the store's predicate stats (parquet footers /
+        one pruned scan for class usage) — no full corpus scan."""
+        from pyspark.sql import functions as F
+
+        sd, void, fmt = self._SD, self._VOID, self._FMT
+        svc = f"http://{host or 'localhost'}/namespace/{ns}/sparql"
+        store = self.namespaces[ns].current
+        stats = store.stats()
+        t = []  # (s, p, o_lex, o_dt)
+
+        def iri(s, p, o):
+            t.append((s, p, o, "iri"))
+
+        def bnode(s, p, o):
+            t.append((s, p, o, "bnode"))
+
+        def num(s, p, o):
+            t.append((s, p, str(int(o)), "long"))
+
+        iri(svc, self._RDF_TYPE, sd + "Service")
+        iri(svc, sd + "endpoint", svc)
+        for lang in ("SPARQL10Query", "SPARQL11Query", "SPARQL11Update"):
+            iri(svc, sd + "supportedLanguage", sd + lang)
+        for feat in ("UnionDefaultGraph", "BasicFederatedQuery"):
+            iri(svc, sd + "feature", sd + feat)
+        for f in ("SPARQL_Results_JSON", "SPARQL_Results_XML",
+                  "SPARQL_Results_CSV", "SPARQL_Results_TSV",
+                  "N-Triples", "Turtle", "RDF_XML", "JSON-LD"):
+            iri(svc, sd + "resultFormat", fmt + f)
+        for f in ("N-Triples", "Turtle", "TriG", "RDF_XML", "JSON-LD", "TriX"):
+            iri(svc, sd + "inputFormat", fmt + f)
+        bnode(svc, sd + "defaultDataset", "_:ds")
+        iri("_:ds", self._RDF_TYPE, sd + "Dataset")
+        bnode("_:ds", sd + "defaultGraph", "_:g")
+        iri("_:g", self._RDF_TYPE, sd + "Graph")
+        num("_:g", void + "triples", sum(st.count for st in stats.values()))
+        num("_:g", void + "properties", len(stats))
+        # per-property partitions (VoID.java propertyPartition loop) —
+        # counts straight off the predicate stats, no scan
+        for i, (p, st) in enumerate(sorted(stats.items())):
+            pp = f"_:pp{i}"
+            bnode("_:g", void + "propertyPartition", pp)
+            iri(pp, void + "property", p)
+            num(pp, void + "triples", st.count)
+        # class partitions (VoID.java classPartition / classUsage): one
+        # predicate-pruned aggregation over the type predicate only
+        type_preds = [
+            p for p in stats
+            if p == "rdf:type" or p.endswith("#type") or p.endswith("/type")
+        ]
+        classes = []
+        for p in type_preds:
+            classes += (
+                store.df.filter(F.col("p") == p)
+                .groupBy("o_lex").agg(F.count(F.lit(1)).alias("n"))
+                .orderBy("o_lex").collect()
+            )
+        num("_:g", void + "classes", len(classes))
+        for i, r in enumerate(classes):
+            cp = f"_:cp{i}"
+            bnode("_:g", void + "classPartition", cp)
+            iri(cp, void + "class", r["o_lex"])
+            num(cp, void + "triples", r["n"])
+        # named graphs (SD.java namedGraph section)
+        if "g" in store.df.columns:
+            graphs = [
+                r["g"]
+                for r in store.df.select("g").filter(F.col("g").isNotNull())
+                .distinct().orderBy("g").collect()
+            ]
+            for i, gname in enumerate(graphs):
+                gn = f"_:ng{i}"
+                bnode("_:ds", sd + "namedGraph", gn)
+                iri(gn, sd + "name", gname)
+                iri(gn, self._RDF_TYPE, sd + "Graph")
+        df = self.spark.createDataFrame(
+            t, "s string, p string, o_lex string, o_dt string"
+        )
+        ser, ctype = _pick(accept, _GRAPH_FMTS, NT)
+        return 200, ctype, ser(df, self.max_result_rows)
+
     def counters(self, ns: str) -> tuple[int, str, bytes]:
         stats = self.namespaces[ns].current.stats()
         doc = {p: {"count": st.count, "distinct_s": st.distinct_s, "distinct_o": st.distinct_o} for p, st in stats.items()}
@@ -855,6 +948,11 @@ class SparqlEndpoint:
                 return self.hasstmt(ns, params)
             if "GETSTMTS" in params:
                 return self.getstmts(ns, params)
+            if "query" not in params:
+                # queryless GET on the endpoint = SPARQL 1.1 Service
+                # Description w/ VoID stats (ref: QueryServlet routing to
+                # SD.java/VoID.java describeService)
+                return self.service_description(ns, accept, host=params.get("__host"))
             return self.query(
                 ns, params["query"], accept, explain,
                 timestamp=int(params["timestamp"]) if "timestamp" in params else None,
@@ -920,6 +1018,9 @@ class _Handler(BaseHTTPRequestHandler):
         h = self.headers.get("X-BIGDATA-MAX-QUERY-MILLIS")
         if h and "maxQueryTimeMillis" not in params:
             params["maxQueryTimeMillis"] = h
+        if self.headers.get("Host"):
+            # service descriptions embed the request's endpoint URL
+            params["__host"] = self.headers["Host"]
         n = int(self.headers.get("Content-Length") or 0)
         body = self.rfile.read(n) if n else b""
         status, ctype, payload = self.endpoint.dispatch(

@@ -162,14 +162,18 @@ def nt_line(df: DataFrame) -> F.Column:
             F.col("o_dt") == tag, F.concat(F.lit('"'), esc, F.lit('"^^<'), F.lit(iri), F.lit(">"))
         ).otherwise(obj)
     obj = (
-        F.when(F.col("o_dt") == "iri", F.concat(F.lit("<"), F.col("o_lex"), F.lit(">")))
+        F.when(F.col("o_dt") == "bnode", F.col("o_lex"))  # bare _:label
+        .when(F.col("o_dt") == "iri", F.concat(F.lit("<"), F.col("o_lex"), F.lit(">")))
         .when(
             F.col("o_dt").startswith("lang:"),
             F.concat(F.lit('"'), esc, F.lit('"@'), F.substring(F.col("o_dt"), 6, 100)),
         )
         .otherwise(obj)
     )
-    return F.concat(F.lit("<"), F.col("s"), F.lit("> <"), F.col("p"), F.lit("> "), obj, F.lit(" ."))
+    subj = F.when(
+        F.col("s").startswith("_:"), F.col("s")  # blank-node subject
+    ).otherwise(F.concat(F.lit("<"), F.col("s"), F.lit(">")))
+    return F.concat(subj, F.lit(" <"), F.col("p"), F.lit("> "), obj, F.lit(" ."))
 
 
 def write_ntriples(df: DataFrame, path: str) -> None:

@@ -714,3 +714,46 @@ def test_show_queries_and_cancel(spark):
         assert st == 200 and json.loads(body)["cancelled"] == []
     finally:
         srv.shutdown()
+
+
+def test_service_description_void(spark):
+    """Queryless GET on the endpoint serves the W3C service description
+    with VoID statistics (ref: webapp/SD.java:70 describeService +
+    VoID.java) through the graph conneg. Own endpoint: the module fixture
+    is mutated by earlier tests, and the VoID counts are exact."""
+    rows = [
+        ("a", "rdf:type", "Person", "iri"),
+        ("b", "rdf:type", "Person", "iri"),
+        ("a", "knows", "b", "iri"),
+        ("a", "age", "30", "long"),
+    ]
+    store = UpdatableStore.from_store(
+        TripleStore(spark.createDataFrame(rows, "s string, p string, o_lex string, o_dt string"))
+    )
+    srv, port = start_background(SparqlEndpoint(spark, store))
+    server = f"http://127.0.0.1:{port}"
+    st, ctype, body = _req(f"{server}/sparql")
+    assert st == 200 and ctype == "application/n-triples"
+    text = body.decode()
+    sd = "http://www.w3.org/ns/sparql-service-description#"
+    void = "http://rdfs.org/ns/void#"
+    assert f"<{sd}Service>" in text
+    assert f"<{sd}supportedLanguage> <{sd}SPARQL11Update>" in text
+    # endpoint IRI embeds the request host
+    assert "/namespace/kb/sparql>" in text and "127.0.0.1" in text
+    # VoID: fixture has 4 triples over 3 predicates, 1 class (Person x2)
+    assert f'<{void}triples> "4"' in text
+    assert f'<{void}properties> "3"' in text
+    assert f'<{void}classes> "1"' in text
+    assert f'<{void}class> <Person>' in text
+    # per-property partition carries its stat count
+    import re
+    m = re.search(r'(_:\w+) <' + re.escape(void) + r'property> <knows>', text)
+    assert m is not None
+    assert re.search(re.escape(m.group(1)) + r' <' + re.escape(void) + r'triples> "1"', text)
+    # conneg: Turtle form parses back through this repo's own reader
+    try:
+        st2, ctype2, body2 = _req(f"{server}/sparql", accept="text/turtle")
+        assert st2 == 200 and ctype2 == "text/turtle"
+    finally:
+        srv.shutdown()
