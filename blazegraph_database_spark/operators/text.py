@@ -424,3 +424,86 @@ def rare_trigram_fraction(
             ).alias("rare_frac"),
         )
     )
+
+
+def deterministic_shuffle(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    shards: int = 16,
+    seed: str = "shuf",
+) -> DataFrame:
+    """Deterministic global training-order shuffle: every row gets a
+    pseudo-random but REPRODUCIBLE position — hash (seed, id) to a key,
+    shard = key mod shards, pos = rank of the key within its shard. Same
+    corpus + same seed = identical order on any cluster layout, and a new
+    seed is a fresh permutation — the epoch-shuffle step of a training
+    pipeline without an RNG state file.
+
+    Scale: no global sort and no single-partition window — the rank
+    window partitions by shard, so the work spreads across `shards`
+    parallel groups (pick shards ~ cluster width at 100 TB). md5-derived
+    keys keep the hash surface SQL-recomputable (same arithmetic as
+    dataset_split)."""
+    from pyspark.sql.window import Window
+
+    key = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(seed + ":"), F.col(id_col).cast("string"))), 1, 12
+        ),
+        16,
+        10,
+    ).cast("long")
+    out = df.withColumn("skey", key).withColumn("shard", (F.col("skey") % shards).cast("int"))
+    w = Window.partitionBy("shard").orderBy("skey", id_col)
+    return out.withColumn("pos", F.row_number().over(w))
+
+
+def stratified_sample_exact(
+    df: DataFrame,
+    quotas: dict,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    seed: str = "strat",
+) -> DataFrame:
+    """Exact-quota stratified sampling: keep EXACTLY ``quotas[group]`` rows
+    per group (fewer only if the group is smaller), chosen by
+    deterministic hash rank — the fixed-budget counterpart of
+    stratified_sample's keep-rate form (a training mixture often specifies
+    "200k docs of code, 50k of math", not rates). Reproducible
+    row-for-row; groups not in ``quotas`` are dropped.
+
+    Scale: one window partitioned by group — parallel across groups; the
+    rank order is the md5 hash (SQL-recomputable), so the oracle can
+    replay the exact member set."""
+    from pyspark.sql.window import Window
+
+    rk = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit(seed + ":"),
+                    F.col(group_col).cast("string"),
+                    F.lit(":"),
+                    F.col(id_col).cast("string"),
+                )
+            ),
+            1,
+            12,
+        ),
+        16,
+        10,
+    ).cast("long")
+    quota = None
+    for g, n in sorted(quotas.items()):
+        quota = (
+            F.when(F.col(group_col) == g, F.lit(int(n)))
+            if quota is None
+            else quota.when(F.col(group_col) == g, F.lit(int(n)))
+        )
+    quota = quota.otherwise(F.lit(0)) if quota is not None else F.lit(0)
+    w = Window.partitionBy(group_col).orderBy(rk, id_col)
+    return (
+        df.withColumn("srank", F.row_number().over(w))
+        .filter(F.col("srank") <= quota)
+        .drop("srank")
+    )

@@ -1027,3 +1027,100 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.filter(F.col("doc_id") >= 250), docs.filter(F.col("doc_id") < 250)
     )
     return survived.select("doc_id")
+
+
+@register(
+    "dataset_shuffle",
+    """
+    WITH k AS (
+        SELECT doc_id,
+               CAST(('0x' || substr(md5('ep1:' || CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT) AS skey
+        FROM documents
+    )
+    SELECT doc_id, CAST(skey % 16 AS INT) AS shard,
+           CAST(ROW_NUMBER() OVER (PARTITION BY skey % 16 ORDER BY skey, doc_id) AS INT) AS pos
+    FROM k
+    """,
+)
+def dataset_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic epoch shuffle: reproducible pseudo-random training
+    order via hash keys — shard-partitioned rank, no global sort, no
+    single-partition window (operators/text.deterministic_shuffle)."""
+    from blazegraph_database_spark.operators import text as T
+
+    out = T.deterministic_shuffle(_docs(spark, sf_dir), shards=16, seed="ep1")
+    return out.select("doc_id", "shard", "pos")
+
+
+@register(
+    "dataset_stratified_exact",
+    """
+    WITH r AS (
+        SELECT doc_id, source,
+               ROW_NUMBER() OVER (
+                   PARTITION BY source
+                   ORDER BY CAST(('0x' || substr(md5('strat:' || source || ':' || CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT), doc_id
+               ) AS srank
+        FROM documents
+    )
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS kept, CAST(SUM(doc_id) AS BIGINT) AS id_sum
+    FROM r
+    WHERE srank <= CASE source WHEN 'src1' THEN 10 WHEN 'src2' THEN 30
+                               WHEN 'src3' THEN 5 ELSE 0 END
+    GROUP BY 1
+    """,
+)
+def dataset_stratified_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-quota stratified sampling: keep exactly N docs per source by
+    deterministic hash rank — the fixed-budget mixture step
+    (operators/text.stratified_sample_exact). id_sum checks the exact
+    member set, not just counts."""
+    from blazegraph_database_spark.operators import text as T
+
+    kept = T.stratified_sample_exact(
+        _docs(spark, sf_dir),
+        {"src1": 10, "src2": 30, "src3": 5},
+        group_col="source",
+    )
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("kept"), F.sum("doc_id").alias("id_sum")
+    )
+
+
+@register(
+    "text_decontaminate_fuzzy",
+    """
+    WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws FROM documents),
+    s AS (
+        SELECT DISTINCT doc_id,
+               unnest(list_transform(generate_series(1, GREATEST(len(ws) - 2, 0)),
+                                     i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS g
+        FROM w
+    ),
+    probe AS (SELECT * FROM s WHERE doc_id < 25),
+    corp AS (SELECT * FROM s WHERE doc_id >= 25),
+    pairs AS (
+        SELECT c.doc_id AS id, p.doc_id AS pid, COUNT(*) AS inter
+        FROM corp c JOIN probe p ON c.g = p.g GROUP BY 1, 2
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM s GROUP BY doc_id),
+    jac AS (
+        SELECT id, pid, ROUND(inter * 1.0 / (sc.n + sp.n - inter), 4) AS jac
+        FROM pairs JOIN sizes sc ON id = sc.doc_id JOIN sizes sp ON pid = sp.doc_id
+    )
+    SELECT id, CAST(COUNT(*) AS BIGINT) AS n_matched, MAX(jac) AS max_jac
+    FROM jac WHERE jac >= 0.7 GROUP BY 1
+    """,
+)
+def text_decontaminate_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy (near-duplicate) benchmark decontamination: corpus docs whose
+    shingle-Jaccard vs any probe doc (ids < 25 standing in for an eval
+    suite) reaches 0.7 — MinHash-band candidates w/ broadcast probe side,
+    exact verify on candidates only; the brute-force oracle equals it at
+    32x2 banding recall (operators/dedup.fuzzy_decontaminate)."""
+    docs = _docs(spark, sf_dir)
+    return dedup.fuzzy_decontaminate(
+        docs.filter(F.col("doc_id") >= 25),
+        docs.filter(F.col("doc_id") < 25),
+        threshold=0.7,
+    )

@@ -22,6 +22,9 @@ _CATALOG_MODULES = [
 # its r3 row and rotates in next round.
 _SCORE_FIRST = [
     # (a) round-5 additions — inserted here as they land.
+    "dataset_shuffle",
+    "dataset_stratified_exact",
+    "text_decontaminate_fuzzy",
     "fulltext_search_in_search",
     "solution_set_include",
     "path_bounded",

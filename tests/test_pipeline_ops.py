@@ -369,3 +369,56 @@ def test_dedup_against_prior(spark):
     )
     got = {r["doc_id"] for r in dedup.dedup_against_prior(new, prior).collect()}
     assert got == {11}  # 10 and 12 normalize to prior texts
+
+
+def test_fuzzy_decontaminate(spark):
+    """MinHash fuzzy decontamination flags paraphrase-level overlap that
+    exact n-gram matching would need verbatim runs for; clean docs pass."""
+    from blazegraph_database_spark.operators import dedup
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    probes = spark.createDataFrame(
+        [(0, base), (1, "completely different eval question about astronomy")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (100, base + " extra"),          # near-dup of probe 0
+            (101, base),                      # exact dup of probe 0
+            (102, "unrelated text about cooking pasta with garlic and olive oil in rome"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["id"]: (r["n_matched"], r["max_jac"])
+           for r in dedup.fuzzy_decontaminate(corpus, probes, threshold=0.7).collect()}
+    assert set(out) == {100, 101}
+    assert out[101] == (1, 1.0)   # exact dup: jaccard 1 vs one probe
+    assert out[100][1] >= 0.7     # near-dup flagged
+    # shared banding helper keeps the self-join dedup path intact
+    sets_df = dedup.shingle_sets(corpus)
+    sigs = dedup.minhash_signatures(sets_df)
+    pairs = dedup.lsh_candidate_pairs(sigs).collect()
+    assert {(r.a, r.b) for r in pairs} == {(100, 101)}
+
+
+def test_deterministic_shuffle_and_stratified_exact(spark):
+    """Epoch shuffle: same seed = identical order, new seed = new
+    permutation; exact-quota sampling keeps exactly N per group."""
+    from blazegraph_database_spark.operators import text as T
+
+    df = spark.createDataFrame(
+        [(i, "g" + str(i % 2)) for i in range(40)], "doc_id long, source string"
+    )
+    a = T.deterministic_shuffle(df, shards=4, seed="e1").select("doc_id", "shard", "pos")
+    b = T.deterministic_shuffle(df, shards=4, seed="e1").select("doc_id", "shard", "pos")
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+    c = T.deterministic_shuffle(df, shards=4, seed="e2").select("doc_id", "shard", "pos")
+    assert sorted(map(tuple, a.collect())) != sorted(map(tuple, c.collect()))
+    # every row keeps exactly one position; shards partition the corpus
+    assert a.count() == 40 and a.select("doc_id").distinct().count() == 40
+    kept = T.stratified_sample_exact(df, {"g0": 5, "g1": 50}, group_col="source")
+    counts = {r["source"]: r["n"] for r in kept.groupBy("source").agg(
+        __import__("pyspark.sql.functions", fromlist=["count"]).count("*").alias("n")).collect()}
+    assert counts == {"g0": 5, "g1": 20}  # quota capped vs group exhausted
+    again = T.stratified_sample_exact(df, {"g0": 5, "g1": 50}, group_col="source")
+    assert sorted(r.doc_id for r in kept.collect()) == sorted(r.doc_id for r in again.collect())
