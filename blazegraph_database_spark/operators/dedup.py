@@ -385,3 +385,82 @@ def fuzzy_decontaminate(
     return verified.groupBy("id").agg(
         F.count(F.lit(1)).alias("n_matched"), F.max("jac").alias("max_jac")
     )
+
+
+def remove_duplicate_spans(
+    df: DataFrame,
+    k: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact duplicated-SPAN removal (Lee et al., "Deduplicating Training
+    Data Makes Language Models Better": cut repeated substrings, keep the
+    rest of the document): any k-word window occurring more than once in
+    the corpus keeps only its FIRST occurrence (lowest (doc_id, position));
+    every other occurrence's word range is cut from its document. Document-
+    level dedup misses this mass — boilerplate headers/footers/licenses
+    repeat inside otherwise-unique pages.
+
+    Scale shape, all JVM expressions: one explode to (doc, pos, window)
+    rows, ONE frequency+keeper aggregation shuffled on the window key
+    (map-side combined), covered positions by explode of the non-keeper
+    ranges, one anti-join to drop covered words, one per-doc re-aggregation
+    (array_sort fixes collect order). Never doc x doc; linear in corpus
+    windows.
+
+    Returns (doc_id, n_words, n_removed, clean_text)."""
+    from blazegraph_database_spark.operators.text import words
+
+    ws = words(F.col(text_col))
+    base = df.select(F.col(id_col).alias("id"), ws.alias("ws")).localCheckpoint(
+        eager=True  # feeds the window explode AND the rebuild
+    )
+    wins = base.filter(F.size("ws") >= k).select(
+        "id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("ws") - (k - 1)),
+                lambda i: F.struct(
+                    i.alias("pos"),
+                    F.concat_ws(" ", F.slice("ws", i, k)).alias("gram"),
+                ),
+            )
+        ).alias("w"),
+    ).select("id", "w.pos", "w.gram")
+    # keeper = first occurrence in (doc_id, pos) order; min over the struct
+    # is the lexicographic min — one shuffle on the gram key
+    freq = wins.groupBy("gram").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min(F.struct("id", "pos")).alias("keep"),
+    )
+    cut = (
+        wins.join(freq.filter(F.col("n") > 1), on="gram")
+        .filter(~((F.col("id") == F.col("keep.id")) & (F.col("pos") == F.col("keep.pos"))))
+        .select("id", F.explode(F.sequence("pos", F.col("pos") + (k - 1))).alias("cpos"))
+        .distinct()
+    )
+    wordpos = base.select(
+        "id", F.posexplode("ws").alias("p0", "w")
+    ).select("id", (F.col("p0") + 1).alias("pos"), "w")
+    kept = wordpos.join(
+        cut, (wordpos["id"] == cut["id"]) & (wordpos["pos"] == cut["cpos"]), "left_anti"
+    )
+    rebuilt = kept.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "w"))), lambda s: s["w"]
+            ),
+            " ",
+        ).alias("clean_text"),
+    )
+    return (
+        base.select("id", F.size("ws").alias("n_words"))
+        .join(rebuilt, on="id", how="left")
+        .select(
+            F.col("id").alias(id_col),
+            "n_words",
+            (F.col("n_words") - F.coalesce(F.col("n_kept"), F.lit(0))).alias("n_removed"),
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+        )
+    )

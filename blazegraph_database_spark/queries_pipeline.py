@@ -1124,3 +1124,63 @@ def text_decontaminate_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.filter(F.col("doc_id") < 25),
         threshold=0.7,
     )
+
+
+@register(
+    "text_remove_dup_spans",
+    """
+    WITH w AS (
+        SELECT doc_id,
+               CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                    ELSE string_split_regex(trim(text), '\\s+') END AS ws
+        FROM documents
+    ),
+    g AS (
+        SELECT doc_id, unnest(generate_series(1, GREATEST(len(ws) - 7, 0))) AS pos, ws
+        FROM w
+    ),
+    occ AS (SELECT doc_id, pos, array_to_string(ws[pos:pos+7], ' ') AS gram FROM g),
+    marked AS (
+        SELECT doc_id, pos,
+               ROW_NUMBER() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rn,
+               COUNT(*) OVER (PARTITION BY gram) AS n
+        FROM occ
+    ),
+    cov AS (
+        SELECT DISTINCT doc_id, unnest(generate_series(pos, pos + 7)) AS cpos
+        FROM marked WHERE n > 1 AND rn > 1
+    ),
+    wordpos AS (
+        SELECT doc_id, unnest(ws) AS wd, unnest(generate_series(1, len(ws))) AS pos
+        FROM w
+    ),
+    kept AS (
+        SELECT wp.doc_id, wp.pos, wp.wd
+        FROM wordpos wp LEFT JOIN cov ON wp.doc_id = cov.doc_id AND wp.pos = cov.cpos
+        WHERE cov.doc_id IS NULL
+    ),
+    clean AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+               string_agg(wd, ' ' ORDER BY pos) AS ct
+        FROM kept GROUP BY 1
+    )
+    SELECT w.doc_id,
+           CAST(len(w.ws) AS INT) AS n_words,
+           CAST(len(w.ws) - COALESCE(c.n_kept, 0) AS INT) AS n_removed,
+           md5(COALESCE(c.ct, '')) AS clean_md5
+    FROM w LEFT JOIN clean c ON w.doc_id = c.doc_id
+    """,
+)
+def text_remove_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-span removal (Lee et al. substring dedup): 8-word
+    windows occurring >1x corpus-wide keep only their first (doc_id, pos)
+    occurrence; all other occurrences are cut from their documents.
+    Linear window-frequency passes, never doc x doc
+    (operators/dedup.remove_duplicate_spans)."""
+    out = dedup.remove_duplicate_spans(_docs(spark, sf_dir), k=8)
+    return out.select(
+        "doc_id",
+        F.col("n_words").cast("int").alias("n_words"),
+        F.col("n_removed").cast("int").alias("n_removed"),
+        F.md5("clean_text").alias("clean_md5"),
+    )

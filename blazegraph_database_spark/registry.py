@@ -25,6 +25,7 @@ _SCORE_FIRST = [
     "dataset_shuffle",
     "dataset_stratified_exact",
     "text_decontaminate_fuzzy",
+    "text_remove_dup_spans",
     "fulltext_search_in_search",
     "solution_set_include",
     "path_bounded",

@@ -422,3 +422,33 @@ def test_deterministic_shuffle_and_stratified_exact(spark):
     assert counts == {"g0": 5, "g1": 20}  # quota capped vs group exhausted
     again = T.stratified_sample_exact(df, {"g0": 5, "g1": 50}, group_col="source")
     assert sorted(r.doc_id for r in kept.collect()) == sorted(r.doc_id for r in again.collect())
+
+
+def test_remove_duplicate_spans(spark):
+    """Lee-et-al-style span dedup: a k-word run repeated across docs keeps
+    only its first (doc_id, pos) occurrence; unique words survive; docs
+    shorter than k are untouched; within-doc repeats also cut."""
+    from blazegraph_database_spark.operators import dedup
+
+    boiler = "all rights reserved contact us at example dot com"  # 9 words
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma " + boiler),
+            (2, "delta epsilon " + boiler + " zeta"),
+            (3, "short doc"),
+            (4, "x y " + boiler + " middle " + boiler),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in dedup.remove_duplicate_spans(docs, k=9).collect()}
+    # doc 1 holds the first occurrence -> intact
+    assert out[1]["n_removed"] == 0
+    assert out[1]["clean_text"] == "alpha beta gamma " + boiler
+    # doc 2 loses exactly the boilerplate, keeps its own words in order
+    assert out[2]["clean_text"] == "delta epsilon zeta"
+    assert out[2]["n_removed"] == 9
+    # doc 3: shorter than k, untouched
+    assert out[3]["clean_text"] == "short doc" and out[3]["n_removed"] == 0
+    # doc 4: BOTH its occurrences cut (doc 1 owns the keeper)
+    assert out[4]["clean_text"] == "x y middle"
+    assert out[4]["n_removed"] == 18
