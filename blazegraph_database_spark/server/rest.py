@@ -20,6 +20,7 @@ unisolated-connection discipline).
 from __future__ import annotations
 
 import json
+import os
 import shutil
 import tempfile
 import threading
@@ -843,6 +844,35 @@ class SparqlEndpoint:
         ser, ctype = _pick(accept, _GRAPH_FMTS, NT)
         return 200, ctype, ser(df, self.max_result_rows)
 
+    def backup(self, ns: str, params: dict) -> tuple[int, str, bytes]:
+        """Online backup (ref: webapp/BackupServlet.java — POST /backup
+        with file=/compress= snapshots the journal while live). Here the
+        snapshot is the current MVCC version written as a POS-layout
+        parquet store (data + predicate stats — re-openable via
+        sources.parquet_store.read_store). The version pointer is taken
+        under the update lock; the version itself is immutable, so the
+        export needs no further coordination with concurrent updates —
+        exactly the journal-snapshot property the reference relies on."""
+        from blazegraph_database_spark.sources import parquet_store
+
+        path = params.get("file", "backup.store")
+        compress = params.get("compress")
+        # bare `compress` (no value) and compress=true both mean on (ref)
+        do_compress = compress is not None and compress.lower() != "false"
+        with self._lock:
+            snapshot = self.namespaces[ns].current
+        if os.path.exists(path):  # ref: the file must not exist
+            return 409, JSON, json.dumps(
+                {"error": f"backup target exists: {path}"}
+            ).encode()
+        parquet_store.write_pos_layout(
+            snapshot, path, compression="gzip" if do_compress else None
+        )
+        return 200, JSON, json.dumps(
+            {"backup": path, "compressed": do_compress,
+             "triples": sum(st.count for st in snapshot.stats().values())}
+        ).encode()
+
     def counters(self, ns: str) -> tuple[int, str, bytes]:
         stats = self.namespaces[ns].current.stats()
         doc = {p: {"count": st.count, "distinct_s": st.distinct_s, "distinct_o": st.distinct_o} for p, st in stats.items()}
@@ -905,6 +935,15 @@ class SparqlEndpoint:
             return self.cancel_query(ids)
         if parts == ["counters"] and method == "GET":
             return self.counters(ns)
+        if parts == ["backup"] and method == "POST":
+            # ref: BackupServlet — form-encoded file=/compress= params
+            if ctype.split(";")[0].strip() == "application/x-www-form-urlencoded":
+                form = {
+                    k: v[0]
+                    for k, v in parse_qs(body.decode(), keep_blank_values=True).items()
+                }
+                params = {**params, **form}
+            return self.backup(ns, params)
         if parts != ["sparql"]:
             raise KeyError(f"no such resource: {path}")
         if ns not in self.namespaces:

@@ -23,15 +23,17 @@ from pyspark.sql import functions as F
 from blazegraph_database_spark.model.store import PredStat, TripleStore
 
 
-def write_pos_layout(store: TripleStore, path: str, mode: str = "overwrite") -> None:
-    """POS-style layout: partitioned by predicate, subject-sorted within."""
-    (
-        store.df.repartition("p")
-        .sortWithinPartitions("s")
-        .write.mode(mode)
-        .partitionBy("p")
-        .parquet(f"{path}/pos")
-    )
+def write_pos_layout(
+    store: TripleStore, path: str, mode: str = "overwrite",
+    compression: str | None = None,
+) -> None:
+    """POS-style layout: partitioned by predicate, subject-sorted within.
+    ``compression`` overrides the parquet codec (e.g. "gzip" for archival
+    backups; default stays the session codec, normally snappy)."""
+    w = store.df.repartition("p").sortWithinPartitions("s").write.mode(mode)
+    if compression is not None:
+        w = w.option("compression", compression)
+    w.partitionBy("p").parquet(f"{path}/pos")
     stats = store.df.groupBy("p").agg(
         F.count(F.lit(1)).alias("count"),
         F.approx_count_distinct("s").alias("n_distinct_s"),

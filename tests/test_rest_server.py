@@ -757,3 +757,41 @@ def test_service_description_void(spark):
         assert st2 == 200 and ctype2 == "text/turtle"
     finally:
         srv.shutdown()
+
+
+def test_backup_verb(spark, tmp_path):
+    """Online backup (ref: BackupServlet): POST /backup writes the current
+    version as a re-openable POS-layout parquet store; existing target =
+    409; compress=true flips the parquet codec."""
+    rows = [("a", "p", "1", "long"), ("b", "p", "2", "long")]
+    store = UpdatableStore.from_store(
+        TripleStore(spark.createDataFrame(rows, "s string, p string, o_lex string, o_dt string"))
+    )
+    srv, port = start_background(SparqlEndpoint(spark, store))
+    base = f"http://127.0.0.1:{port}"
+    try:
+        target = str(tmp_path / "bk.store")
+        form = urllib.parse.urlencode({"file": target}).encode()
+        st, _, body = _req(f"{base}/backup", "POST", form, "application/x-www-form-urlencoded")
+        doc = json.loads(body)
+        assert st == 200 and doc["backup"] == target and doc["triples"] == 2
+        from blazegraph_database_spark.sources import parquet_store
+        reopened = parquet_store.read_store(spark, target)
+        assert reopened.df.count() == 2
+        assert reopened.stats()["p"].count == 2  # stats shipped with backup
+        # target exists -> 409, like the reference's must-not-exist rule
+        # (urllib.error is loaded by urllib.request at module import)
+        try:
+            _req(f"{base}/backup", "POST", form, "application/x-www-form-urlencoded")
+            assert False, "expected 409"
+        except urllib.error.HTTPError as e:
+            assert e.code == 409
+        # compressed variant writes gzip parquet
+        target2 = str(tmp_path / "bk2.store")
+        form2 = urllib.parse.urlencode({"file": target2, "compress": "true"}).encode()
+        st, _, _ = _req(f"{base}/backup", "POST", form2, "application/x-www-form-urlencoded")
+        assert st == 200
+        import glob
+        assert any(".gz.parquet" in f for f in glob.glob(f"{target2}/pos/**/*.parquet", recursive=True))
+    finally:
+        srv.shutdown()
