@@ -532,18 +532,33 @@ class SparqlEndpoint:
             apply_update(self.namespaces[ns], text, self.spark)
         return 200, JSON, json.dumps({"ok": True}).encode()
 
-    def insert_rdf(self, ns: str, ctype: str, body: bytes, replace: bool = False) -> tuple[int, str, bytes]:
+    def insert_rdf(
+        self, ns: str, ctype: str, body: bytes, replace: bool = False,
+        context_uri: str | None = None,
+    ) -> tuple[int, str, bytes]:
         new = _read_rdf_body(self.spark, ctype, body)
+        from pyspark.sql import functions as F
+
         with self._lock:
             us = self.namespaces[ns]
             if replace:  # PUT: delete-all + load
                 us.versions.append(TripleStore(us.current.df.limit(0)))
             cols = ["s", "p", "o_lex", "o_dt"]
-            if "g" in new.columns and "g" in us.current.df.columns:
+            if context_uri is not None:
+                # ref: InsertServlet's context-uri= — body statements land
+                # in the named graph(s); comma-separated here (the
+                # reference takes repeated params). Overrides any graph
+                # the body itself names, like the reference's forced
+                # context. insert_data quad-upgrades a triples-only store.
+                ctxs = [c for c in context_uri.split(",") if c]
+                parts = [new.select(*cols, F.lit(c).alias("g")) for c in ctxs]
+                out = parts[0]
+                for p in parts[1:]:
+                    out = out.unionByName(p)
+                new, cols = out, cols + ["g"]
+            elif "g" in new.columns and "g" in us.current.df.columns:
                 # quad body (TriG/TriX/N-Quads) into a quad store: named
                 # graphs survive; readers use g='' for the default graph
-                from pyspark.sql import functions as F
-
                 new = new.withColumn(
                     "g", F.when(F.col("g") == "", F.lit(None)).otherwise(F.col("g"))
                 )
@@ -551,6 +566,45 @@ class SparqlEndpoint:
             us.insert_data(new.select(*cols))
         n = new.count()
         return 200, JSON, json.dumps({"inserted": n}).encode()
+
+    def delete_rdf(
+        self, ns: str, ctype: str, body: bytes, context_uri: str | None = None,
+    ) -> tuple[int, str, bytes]:
+        """DELETE with an RDF document body (ref: DeleteServlet
+        DELETE-WITH-BODY, DeleteServlet.java:689): remove exactly the
+        body's statements; context-uri= scopes the removal to the named
+        graph(s)."""
+        doomed = _read_rdf_body(self.spark, ctype, body)
+        from pyspark.sql import functions as F
+
+        cols = ["s", "p", "o_lex", "o_dt"]
+        with self._lock:
+            us = self.namespaces[ns]
+            if context_uri is not None:
+                if "g" not in us.current.df.columns:
+                    # named-graph delete over a triples-only store removes
+                    # nothing (no named graphs exist)
+                    return 200, JSON, b'{"removed": 0}'
+                ctxs = [c for c in context_uri.split(",") if c]
+                parts = [doomed.select(*cols, F.lit(c).alias("g")) for c in ctxs]
+                out = parts[0]
+                for p in parts[1:]:
+                    out = out.unionByName(p)
+                doomed = out
+                cols = cols + ["g"]
+            elif "g" in doomed.columns and "g" in us.current.df.columns:
+                doomed = doomed.withColumn(
+                    "g", F.when(F.col("g") == "", F.lit(None)).otherwise(F.col("g"))
+                )
+                cols.append("g")
+            elif "g" in us.current.df.columns:
+                # triples-only body against a quad store = default graph
+                doomed = doomed.withColumn("g", F.lit(None).cast("string"))
+                cols.append("g")
+            before = us.current.df.count()
+            us.delete_data(doomed.select(*cols))
+            removed = before - us.current.df.count()
+        return 200, JSON, json.dumps({"removed": removed}).encode()
 
     def delete_by_query(self, ns: str, text: str) -> tuple[int, str, bytes]:
         """DeleteServlet: evaluate CONSTRUCT/DESCRIBE, remove its triples."""
@@ -1015,7 +1069,9 @@ class SparqlEndpoint:
             elif base == "application/sparql-update":
                 params = {**params, "update": body.decode()}
             elif base in _RDF_READERS:
-                return self.insert_rdf(ns, ctype, body)
+                return self.insert_rdf(
+                    ns, ctype, body, context_uri=params.get("context-uri")
+                )
             if "update" in params:
                 if "txid" in params:  # buffered write on the tx shadow
                     with self._lock:
@@ -1034,8 +1090,16 @@ class SparqlEndpoint:
                 )
             raise ValueError("POST needs query=, update=, or an RDF body")
         if method == "PUT":
-            return self.insert_rdf(ns, ctype, body, replace=True)
+            return self.insert_rdf(
+                ns, ctype, body, replace=True, context_uri=params.get("context-uri")
+            )
         if method == "DELETE":
+            if body and ctype.split(";")[0].strip() in _RDF_READERS:
+                # ref: DeleteServlet DELETE-WITH-BODY — remove exactly the
+                # body's statements (context-uri= scopes to named graphs)
+                return self.delete_rdf(
+                    ns, ctype, body, context_uri=params.get("context-uri")
+                )
             if "query" in params:
                 return self.delete_by_query(ns, params["query"])
             if any(k in params for k in ("s", "p", "o", "c")):

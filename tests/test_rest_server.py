@@ -795,3 +795,53 @@ def test_backup_verb(spark, tmp_path):
         assert any(".gz.parquet" in f for f in glob.glob(f"{target2}/pos/**/*.parquet", recursive=True))
     finally:
         srv.shutdown()
+
+
+def test_context_uri_and_delete_with_body(spark):
+    """InsertServlet context-uri= (body statements land in the named
+    graph, quad-upgrading a triples-only store) and DeleteServlet
+    DELETE-WITH-BODY (remove exactly the body's statements, optionally
+    graph-scoped)."""
+    rows = [("a", "p", "1", "long")]
+    store = UpdatableStore.from_store(
+        TripleStore(spark.createDataFrame(rows, "s string, p string, o_lex string, o_dt string"))
+    )
+    srv, port = start_background(SparqlEndpoint(spark, store))
+    base = f"http://127.0.0.1:{port}"
+    try:
+        nt = b"<g1s> <gp> <g1o> .\n"
+        st, _, body = _req(
+            f"{base}/sparql?context-uri=http://g/one", "POST", nt, "application/n-triples"
+        )
+        assert st == 200 and json.loads(body)["inserted"] == 1
+        # the triple is visible ONLY inside GRAPH <http://g/one>
+        q = urllib.parse.quote(
+            "SELECT ?s WHERE { GRAPH <http://g/one> { ?s <gp> ?o } }"
+        )
+        _, _, body = _req(f"{base}/sparql?query={q}")
+        assert [b["s"]["value"] for b in json.loads(body)["results"]["bindings"]] == ["g1s"]
+        # union default graph (the SD advertises sd:UnionDefaultGraph,
+        # Blazegraph's quads-mode default): graph-less patterns see it too
+        q2 = urllib.parse.quote("SELECT ?s WHERE { ?s <gp> ?o }")
+        _, _, body = _req(f"{base}/sparql?query={q2}")
+        assert [b["s"]["value"] for b in json.loads(body)["results"]["bindings"]] == ["g1s"]
+        # but it is NOT in any OTHER named graph
+        qo = urllib.parse.quote("SELECT ?s WHERE { GRAPH <http://g/other> { ?s <gp> ?o } }")
+        _, _, body = _req(f"{base}/sparql?query={qo}")
+        assert json.loads(body)["results"]["bindings"] == []
+        # DELETE-WITH-BODY, graph-scoped: removes it
+        st, _, body = _req(
+            f"{base}/sparql?context-uri=http://g/one", "DELETE", nt, "application/n-triples"
+        )
+        assert st == 200 and json.loads(body)["removed"] == 1
+        _, _, body = _req(f"{base}/sparql?query={q}")
+        assert json.loads(body)["results"]["bindings"] == []
+        # DELETE-WITH-BODY on the default graph removes the original triple
+        st, _, body = _req(
+            f"{base}/sparql", "DELETE",
+            b'<a> <p> "1"^^<http://www.w3.org/2001/XMLSchema#integer> .\n',
+            "application/n-triples",
+        )
+        assert st == 200 and json.loads(body)["removed"] == 1
+    finally:
+        srv.shutdown()
