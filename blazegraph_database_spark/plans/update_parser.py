@@ -9,8 +9,9 @@ already DataFrame union/anti-join; this adds the text surface an endpoint
 user hits first.
 
 Supported: INSERT DATA / DELETE DATA (with optional GRAPH wrapper),
-DELETE/INSERT ... WHERE (either or both templates, optional WITH graph),
-DELETE WHERE shorthand, LOAD [SILENT] <uri> [INTO GRAPH <g>],
+DELETE/INSERT ... WHERE (either or both templates, optional WITH graph,
+USING / USING NAMED dataset clauses), DELETE WHERE shorthand (incl.
+GRAPH-wrapped quad patterns), LOAD [SILENT] <uri> [INTO GRAPH <g>],
 CLEAR/DROP/CREATE [SILENT] GRAPH <g>, COPY/MOVE/ADD [SILENT] <g> TO <g>,
 and `;`-separated sequences.
 """
@@ -64,13 +65,23 @@ class UpdateParser(Parser):
             if self.at_kw("where"):  # DELETE WHERE { P }: pattern is template
                 self.next()
                 self.eat_op("{")
-                tmpl = self._triple_block()
-                return {
-                    "op": "modify",
-                    "delete": tmpl,
-                    "insert": None,
-                    "where": A.BGP([A.SP(s, p, o) for s, p, o in tmpl]),
-                }
+                tmpl = self._template_block()  # accepts GRAPH <g> wrappers
+                plain = [t for t in tmpl if len(t) == 3]
+                by_g: dict = {}
+                for t in tmpl:
+                    if len(t) == 4:
+                        by_g.setdefault(t[3], []).append(t[:3])
+
+                def bgp(ts):
+                    return A.BGP([A.SP(*t) for t in ts]) if len(ts) > 1 else A.SP(*ts[0])
+
+                parts = ([bgp(plain)] if plain else []) + [
+                    A.GraphScope(g, bgp(ts)) for g, ts in by_g.items()
+                ]
+                where = parts[0]
+                for p in parts[1:]:
+                    where = A.Join(where, p)
+                return {"op": "modify", "delete": tmpl, "insert": None, "where": where}
             return self._modify(delete_first=True)
         if self.at_kw("with"):  # WITH <g> DELETE ... INSERT ... WHERE ...
             self.next()
@@ -82,6 +93,7 @@ class UpdateParser(Parser):
             return self._modify(delete_first=False, graph=g)
         if self.at_kw("load"):
             self.next()
+            silent = self.at_kw("silent")
             self._skip_silent()
             uri = self._graph_ref()
             graph = None
@@ -89,7 +101,7 @@ class UpdateParser(Parser):
                 self.next()
                 self.eat_kw("graph")
                 graph = self._graph_ref()
-            return {"op": "load", "uri": uri, "graph": graph}
+            return {"op": "load", "uri": uri, "graph": graph, "silent": silent}
         for verb in ("clear", "drop", "create"):
             if self.at_kw(verb):
                 self.next()
@@ -164,9 +176,25 @@ class UpdateParser(Parser):
         else:
             self.eat_op("{")
             insert = self._template_block()
+        # USING <g> / USING NAMED <g> (ref: UpdateExprBuilder dataset
+        # clauses): the WHERE clause's dataset — like FROM/FROM NAMED on a
+        # query; per spec it OVERRIDES a WITH graph for pattern matching
+        # (templates still honor WITH)
+        using: list[str] = []
+        using_named: list[str] = []
+        while self.at_kw("using"):
+            self.next()
+            if self.at_kw("named"):
+                self.next()
+                using_named.append(self._graph_ref())
+            else:
+                using.append(self._graph_ref())
         self.eat_kw("where")
         where = self.group_graph_pattern()
-        return {"op": "modify", "delete": delete, "insert": insert, "where": where, "graph": graph}
+        return {
+            "op": "modify", "delete": delete, "insert": insert, "where": where,
+            "graph": graph, "using": using, "using_named": using_named,
+        }
 
     def _solutions_name(self) -> str:
         t = self.next()
@@ -331,7 +359,13 @@ def apply_update(store: UpdatableStore, src: str, spark: SparkSession | None = N
         elif kind == "modify":
             where = op["where"]
             g = op.get("graph")
-            if g is not None:
+            using = op.get("using") or []
+            using_named = op.get("using_named") or []
+            if using or using_named:
+                # USING overrides WITH for the WHERE dataset (spec: WITH
+                # acts as default dataset ONLY absent USING clauses)
+                where = A.Dataset(where, default=using, named=using_named)
+            elif g is not None:
                 where = A.GraphScope(g, where)
             store.delete_insert_where(
                 where,
@@ -351,7 +385,14 @@ def apply_update(store: UpdatableStore, src: str, spark: SparkSession | None = N
         elif kind == "drop_solutions":
             store.solutions_manager().drop(op["name"], silent=op["silent"])
         elif kind == "load":
-            store.load(spark, op["uri"], graph=op["graph"])
+            try:
+                store.load(spark, op["uri"], graph=op["graph"])
+            except Exception:
+                # LOAD SILENT: failure to load must not abort the request
+                # (spec: the SILENT keyword makes the operation always
+                # succeed); non-silent failures propagate
+                if not op.get("silent"):
+                    raise
         elif kind in ("clear", "drop"):
             store.clear_graph(op["graph"])
         elif kind == "create":

@@ -29,7 +29,7 @@ def test_parse_ops_shapes():
         "CLEAR GRAPH <g1> ; COPY <g1> TO <g2> ; LOAD SILENT <file:///x> INTO GRAPH <g3>"
     )
     assert [o["op"] for o in ops] == ["insert_data", "modify", "clear", "copy", "load"]
-    assert ops[4] == {"op": "load", "uri": "file:///x", "graph": "g3"}
+    assert ops[4] == {"op": "load", "uri": "file:///x", "graph": "g3", "silent": True}
 
 
 def test_insert_data_graph_block(spark, us):
@@ -190,3 +190,60 @@ def test_delete_data_rejects_bnodes(spark):
 
     with pytest.raises(SyntaxError, match="DELETE DATA"):
         parse_update('DELETE DATA { _:x <ex:p> <o> }')
+
+
+def test_using_clauses(spark):
+    """USING / USING NAMED dataset clauses on DELETE/INSERT WHERE (ref:
+    UpdateExprBuilder dataset handling): USING <g> scopes the WHERE's
+    default graph; USING overrides WITH for pattern matching."""
+    from blazegraph_database_spark.model.store import TripleStore
+    from blazegraph_database_spark.plans.update_parser import apply_update
+    from blazegraph_database_spark.update.update import UpdatableStore
+
+    rows = [
+        ("a", "p", "default", "string", None),
+        ("b", "p", "ing1", "string", "g1"),
+        ("c", "p", "ing2", "string", "g2"),
+    ]
+    us = UpdatableStore.from_store(TripleStore(spark.createDataFrame(
+        rows, "s string, p string, o_lex string, o_dt string, g string")))
+    # WHERE sees only g1 via USING; inserts land in the default graph
+    apply_update(us, 'INSERT { ?s <seen> "yes" } USING <g1> WHERE { ?s <p> ?o }')
+    seen = us.current.df.filter("p = 'seen'").collect()
+    assert [(r.s, r.g) for r in seen] == [("b", None)]
+    # USING NAMED: GRAPH ?g patterns range over the named set only
+    apply_update(
+        us,
+        'INSERT { ?s <ng> "y" } USING NAMED <g2> WHERE { GRAPH ?g { ?s <p> ?o } }',
+    )
+    ng = us.current.df.filter("p = 'ng'").collect()
+    assert [r.s for r in ng] == ["c"]
+
+
+def test_delete_where_graph_and_load_silent(spark, tmp_path):
+    """DELETE WHERE { GRAPH <g> { ... } } shorthand removes the quads; LOAD
+    SILENT of a missing file is a no-op instead of an abort."""
+    from blazegraph_database_spark.model.store import TripleStore
+    from blazegraph_database_spark.plans.update_parser import apply_update
+    from blazegraph_database_spark.update.update import UpdatableStore
+    import pytest as _pytest
+
+    rows = [
+        ("a", "p", "x", "string", None),
+        ("b", "p", "y", "string", "g1"),
+        ("c", "q", "z", "string", "g1"),
+    ]
+    us = UpdatableStore.from_store(TripleStore(spark.createDataFrame(
+        rows, "s string, p string, o_lex string, o_dt string, g string")))
+    apply_update(us, "DELETE WHERE { GRAPH <g1> { ?s <p> ?o } }")
+    left = {(r.s, r.g) for r in us.current.df.collect()}
+    assert left == {("a", None), ("c", "g1")}  # only g1's <p> quad removed
+    # mixed plain + GRAPH block in one shorthand
+    apply_update(us, "DELETE WHERE { ?s <p> ?o . GRAPH <g1> { ?t <q> ?z } }")
+    assert us.current.df.count() == 0  # join matched (a, c) together
+    # LOAD SILENT: missing file no-ops; plain LOAD raises
+    n = us.current.df.count()
+    apply_update(us, "LOAD SILENT <file:///nonexistent-load-target.nt>")
+    assert us.current.df.count() == n
+    with _pytest.raises(Exception):
+        apply_update(us, "LOAD <file:///nonexistent-load-target.nt>")
