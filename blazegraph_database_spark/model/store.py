@@ -119,12 +119,22 @@ class TripleStore:
         return out
 
     def with_dataset(self, default: tuple = (), named: tuple = ()) -> "TripleStore":
-        """Shallow view scoped by FROM (default) / FROM NAMED (named)."""
+        """Shallow view scoped by FROM/USING (default) and FROM NAMED/
+        USING NAMED (named). SPARQL dataset semantics: once ANY dataset
+        clause is present the dataset is FULLY specified — FROM without
+        FROM NAMED means the named-graph set is EMPTY (GRAPH patterns
+        yield zero solutions), and FROM NAMED without FROM means the
+        default graph is empty. Both sides therefore become concrete
+        (possibly-empty) tuples together; None = no dataset clause."""
         import copy
 
         out = copy.copy(self)
-        out.dataset_default = tuple(default) if default else None
-        out.dataset_named = tuple(named) if named else None
+        if default or named:
+            out.dataset_default = tuple(default)
+            out.dataset_named = tuple(named)
+        else:
+            out.dataset_default = None
+            out.dataset_named = None
         return out
 
     def with_named_sets(self, sets: dict) -> "TripleStore":

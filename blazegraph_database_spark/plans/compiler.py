@@ -485,12 +485,16 @@ def _pattern_df(sp: A.SP, store: TripleStore) -> DataFrame:
                 conds.append(F.col("o_dt") == (pos.dt if isinstance(pos, Lit) else "iri"))
     if sp.g is not None and is_const(sp.g):
         conds.append(F.col("g") == const_lex(sp.g))
-    # FROM / FROM NAMED dataset scoping (ref: DatasetNode)
+    # FROM / FROM NAMED dataset scoping (ref: DatasetNode). An EMPTY
+    # concrete set means "match nothing" (FROM without FROM NAMED leaves
+    # the named-graph set empty, and vice versa) — not "unrestricted".
     if "g" in df.columns:
-        if sp.g is None and getattr(store, "dataset_default", None) is not None:
-            conds.append(F.col("g").isin(list(store.dataset_default)))
-        if isinstance(sp.g, Var) and getattr(store, "dataset_named", None) is not None:
-            conds.append(F.col("g").isin(list(store.dataset_named)))
+        dd = getattr(store, "dataset_default", None)
+        dn = getattr(store, "dataset_named", None)
+        if sp.g is None and dd is not None:
+            conds.append(F.col("g").isin(list(dd)) if dd else F.lit(False))
+        if isinstance(sp.g, Var) and dn is not None:
+            conds.append(F.col("g").isin(list(dn)) if dn else F.lit(False))
     for c in conds:
         df = df.filter(c)
     sel, seen = [], {}
@@ -1270,6 +1274,54 @@ def _store_literal_texts(store: TripleStore) -> DataFrame:
     return cached
 
 
+def _parse_bds_common(sp, pred: str | None, opts: dict, flags: dict) -> bool:
+    """Consume one SHARED BDS option magic triple into opts/flags; True if
+    handled. bds:search and bds:searchInSearch route through the same
+    FullTextQuery option set in the reference, so the parse is shared."""
+    if pred == "bds:matchAllTerms":
+        opts["match_all"] = const_lex(sp.o) == "true"
+    elif pred == "bds:minRelevance":
+        opts["min_relevance_ppm"] = int(float(const_lex(sp.o)) * 1_000_000)
+    elif pred == "bds:maxRank":
+        opts["max_rank"] = int(const_lex(sp.o))
+    elif pred == "bds:maxRelevance":
+        # round, not truncate: the bound is inclusive, and a cap echoed
+        # back from a hit's own bds:relevance must keep it
+        opts["max_relevance_ppm"] = round(float(const_lex(sp.o)) * 1_000_000)
+    elif pred == "bds:matchExact":
+        flags["match_exact"] = const_lex(sp.o) == "true"
+    elif pred == "bds:matchRegex":
+        flags["match_regex"] = const_lex(sp.o)
+    else:
+        return False
+    return True
+
+
+def _bds_text_filter(store, query, match_exact, match_regex, subject_search=False):
+    """Hit-text filter closure (ref: BDS.java MATCH_EXACT/MATCH_REGEX):
+    runs inside search() BEFORE ranking and the maxRank cut, against the
+    matched document's text surface — the subject URI itself under
+    subjectSearch, the memoized (s, text) literal surface otherwise.
+    None when no filter option is set."""
+    if not match_exact and match_regex is None:
+        return None
+
+    def scored_filter(scored):
+        if subject_search:
+            text = F.col("id")  # the doc IS the subject lexical
+        else:
+            texts = _store_literal_texts(store).withColumnRenamed("s", "id")
+            scored = scored.join(texts, on="id")
+            text = F.col("text")
+        if match_exact:
+            scored = scored.filter(text.contains(query))
+        if match_regex is not None:
+            scored = scored.filter(text.rlike(match_regex))
+        return scored.drop("text")
+
+    return scored_filter
+
+
 # Built-in service namespaces: queries may use the declared full-IRI form or
 # the compact prefix form; both resolve to the same internal service (the
 # reference registers these factories under the full URIs; ref:
@@ -1339,25 +1391,12 @@ def _(node: A.Service, store: TripleStore) -> DataFrame:
         # global sort: the hit set stays an unordered semi-join input.
         pats = collect_sps(node.pattern)
         subj, query, opts = None, None, {}
-        match_exact = False
-        match_regex = None
+        flags = {"match_exact": False, "match_regex": None}
         for sp in pats:
             pred = _compact_builtin_iri(const_lex(sp.p)) if is_const(sp.p) else None
             if pred == "bds:searchInSearch":
                 subj, query = sp.s, const_lex(sp.o)
-            elif pred == "bds:matchAllTerms":
-                opts["match_all"] = const_lex(sp.o) == "true"
-            elif pred == "bds:minRelevance":
-                opts["min_relevance_ppm"] = int(float(const_lex(sp.o)) * 1_000_000)
-            elif pred == "bds:maxRelevance":
-                opts["max_relevance_ppm"] = round(float(const_lex(sp.o)) * 1_000_000)
-            elif pred == "bds:maxRank":
-                opts["max_rank"] = int(const_lex(sp.o))
-            elif pred == "bds:matchExact":
-                match_exact = const_lex(sp.o) == "true"
-            elif pred == "bds:matchRegex":
-                match_regex = const_lex(sp.o)
-            else:
+            elif not _parse_bds_common(sp, pred, opts, flags):
                 raise ValueError(
                     "SERVICE <bds:searchInSearch> supports searchInSearch/"
                     f"matchAllTerms/minRelevance/maxRelevance/maxRank/"
@@ -1369,50 +1408,32 @@ def _(node: A.Service, store: TripleStore) -> DataFrame:
             )
         opts.setdefault("max_rank", None)
         patterns = [(t.rstrip("*"), t.endswith("*")) for t in query.split()]
-        scored_filter = None
-        if match_exact or match_regex is not None:
-            def scored_filter(scored, _q=query, _rx=match_regex, _ex=match_exact):
-                texts = _store_literal_texts(store).withColumnRenamed("s", "id")
-                scored = scored.join(texts, on="id")
-                text = F.col("text")
-                if _ex:
-                    scored = scored.filter(text.contains(_q))
-                if _rx is not None:
-                    scored = scored.filter(text.rlike(_rx))
-                return scored.drop("text")
-
         hits = fulltext.search(
-            _store_literal_index(store), patterns, scored_filter=scored_filter, **opts
+            _store_literal_index(store),
+            patterns,
+            scored_filter=_bds_text_filter(
+                store, query, flags["match_exact"], flags["match_regex"]
+            ),
+            **opts,
         )
         return hits.select(F.col("id").alias(subj.name)).distinct()
     if svc_iri == "bds:search":
         # magic predicates inside the block (ref: BDS.java search vocabulary)
         pats = collect_sps(node.pattern)
         subj, query, opts = None, None, {}
-        rel_var = rank_var = count_var = match_regex = None
-        match_exact = subject_search = False
+        flags = {"match_exact": False, "match_regex": None}
+        rel_var = rank_var = count_var = None
+        subject_search = False
         for sp in pats:
             pred = _compact_builtin_iri(const_lex(sp.p)) if is_const(sp.p) else None
             if pred == "bds:search":
                 subj, query = sp.s, const_lex(sp.o)
-            elif pred == "bds:matchAllTerms":
-                opts["match_all"] = const_lex(sp.o) == "true"
-            elif pred == "bds:minRelevance":
-                opts["min_relevance_ppm"] = int(float(const_lex(sp.o)) * 1_000_000)
-            elif pred == "bds:maxRank":
-                opts["max_rank"] = int(const_lex(sp.o))
+            elif _parse_bds_common(sp, pred, opts, flags):
+                pass  # shared option set (matchAllTerms/relevance/rank caps/filters)
             elif pred == "bds:minRank":  # minRank+maxRank page (BDS.java)
                 opts["min_rank"] = int(const_lex(sp.o))
-            elif pred == "bds:maxRelevance":
-                # round, not truncate: the bound is inclusive, and a cap
-                # echoed back from a hit's own bds:relevance must keep it
-                opts["max_relevance_ppm"] = round(float(const_lex(sp.o)) * 1_000_000)
-            elif pred == "bds:matchExact":
-                match_exact = const_lex(sp.o) == "true"
             elif pred == "bds:subjectSearch":  # BDS.java SUBJECT_SEARCH
                 subject_search = const_lex(sp.o) == "true"
-            elif pred == "bds:matchRegex":
-                match_regex = const_lex(sp.o)
             elif pred == "bds:relevance" and isinstance(sp.o, Var):
                 rel_var = sp.o.name  # bind the hit's relevance score
             elif pred == "bds:rank" and isinstance(sp.o, Var):
@@ -1423,28 +1444,15 @@ def _(node: A.Service, store: TripleStore) -> DataFrame:
             raise ValueError("SERVICE <bds:search> needs `?var bds:search \"query\"`")
         patterns = [(t.rstrip("*"), t.endswith("*")) for t in query.split()]
         idx = _store_subject_index(store) if subject_search else _store_literal_index(store)
-        scored_filter = None
-        if match_exact or match_regex is not None:
-            # hit-text filters (ref: BDS.java MATCH_EXACT/MATCH_REGEX) run
-            # inside search(), BEFORE ranking and the maxRank cut, against
-            # the matched document's text surface: the subject URI itself
-            # under subjectSearch, the memoized (s, text) literal surface
-            # otherwise
-            def scored_filter(scored, _q=query, _rx=match_regex, _ex=match_exact):
-                if subject_search:
-                    text = F.col("id")  # the doc IS the subject lexical
-                else:
-                    texts = _store_literal_texts(store).withColumnRenamed("s", "id")
-                    scored = scored.join(texts, on="id")
-                    text = F.col("text")
-                if _ex:
-                    scored = scored.filter(text.contains(_q))
-                if _rx is not None:
-                    scored = scored.filter(text.rlike(_rx))
-                return scored.drop("text")
-
         hits = fulltext.search(
-            idx, patterns, scored_filter=scored_filter, count_col=count_var, **opts
+            idx,
+            patterns,
+            scored_filter=_bds_text_filter(
+                store, query, flags["match_exact"], flags["match_regex"],
+                subject_search=subject_search,
+            ),
+            count_col=count_var,
+            **opts,
         )
         if count_var is not None:
             # reference semantics: ONE solution binding only rangeCount
@@ -1495,13 +1503,23 @@ def _(node: A.PathPattern, store: TripleStore) -> DataFrame:
 
     if node.g is not None and is_const(node.g):
         store = store.graph(const_lex(node.g))
+    elif node.g is None and store.has_graphs:
+        # FROM dataset scoping for default-graph paths (same rule the SP
+        # compiler applies): an empty concrete default set matches nothing
+        dd = getattr(store, "dataset_default", None)
+        if dd is not None:
+            cond = F.col("g").isin(list(dd)) if dd else F.lit(False)
+            scoped = TripleStore(store.df.filter(cond))
+            scoped.track_dt = store.track_dt
+            store = scoped
     with_graph = node.g is not None and isinstance(node.g, Var)
     if with_graph:
         if not store.has_graphs:
             raise ValueError("path inside GRAPH ?var over a triples-only store")
         named = getattr(store, "dataset_named", None)
         if named is not None:
-            scoped = TripleStore(store.df.filter(F.col("g").isin(list(named))))
+            cond = F.col("g").isin(list(named)) if named else F.lit(False)
+            scoped = TripleStore(store.df.filter(cond))
             scoped.track_dt = store.track_dt
             store = scoped
     pairs = compile_path(store, node.path, with_graph=with_graph)  # DF([g,] s, o)

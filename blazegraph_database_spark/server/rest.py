@@ -299,6 +299,8 @@ class SparqlEndpoint:
         # queryId -> {namespace, query, started, gid}; entries live only
         # while the request thread is inside _run_query
         self._running: dict[str, dict] = {}
+        # qids with a live pending-cancel re-fire thread (dedup guard)
+        self._pending_cancels: set[str] = set()
 
     # ------------------------------------------------------------ verbs --
     def query(
@@ -532,6 +534,23 @@ class SparqlEndpoint:
             apply_update(self.namespaces[ns], text, self.spark)
         return 200, JSON, json.dumps({"ok": True}).encode()
 
+    @staticmethod
+    def _fan_out_contexts(df: DataFrame, context_uri: str, cols: list[str]) -> DataFrame:
+        """Replicate the statements into each graph of a comma-separated
+        ``context-uri`` list (ref: InsertServlet/DeleteServlet take
+        repeated context-uri params; the flattened form is comma-joined).
+        A blank list is a caller error, not an IndexError."""
+        from pyspark.sql import functions as F
+
+        ctxs = [c.strip() for c in context_uri.split(",") if c.strip()]
+        if not ctxs:
+            raise ValueError("context-uri must name at least one graph IRI")
+        parts = [df.select(*cols, F.lit(c).alias("g")) for c in ctxs]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
     def insert_rdf(
         self, ns: str, ctype: str, body: bytes, replace: bool = False,
         context_uri: str | None = None,
@@ -546,16 +565,11 @@ class SparqlEndpoint:
             cols = ["s", "p", "o_lex", "o_dt"]
             if context_uri is not None:
                 # ref: InsertServlet's context-uri= — body statements land
-                # in the named graph(s); comma-separated here (the
-                # reference takes repeated params). Overrides any graph
-                # the body itself names, like the reference's forced
-                # context. insert_data quad-upgrades a triples-only store.
-                ctxs = [c for c in context_uri.split(",") if c]
-                parts = [new.select(*cols, F.lit(c).alias("g")) for c in ctxs]
-                out = parts[0]
-                for p in parts[1:]:
-                    out = out.unionByName(p)
-                new, cols = out, cols + ["g"]
+                # in the named graph(s). Overrides any graph the body
+                # itself names, like the reference's forced context.
+                # insert_data quad-upgrades a triples-only store.
+                new = self._fan_out_contexts(new, context_uri, cols)
+                cols = cols + ["g"]
             elif "g" in new.columns and "g" in us.current.df.columns:
                 # quad body (TriG/TriX/N-Quads) into a quad store: named
                 # graphs survive; readers use g='' for the default graph
@@ -583,14 +597,10 @@ class SparqlEndpoint:
             if context_uri is not None:
                 if "g" not in us.current.df.columns:
                     # named-graph delete over a triples-only store removes
-                    # nothing (no named graphs exist)
+                    # nothing (no named graphs exist) — but still validate
+                    self._fan_out_contexts(doomed, context_uri, cols)
                     return 200, JSON, b'{"removed": 0}'
-                ctxs = [c for c in context_uri.split(",") if c]
-                parts = [doomed.select(*cols, F.lit(c).alias("g")) for c in ctxs]
-                out = parts[0]
-                for p in parts[1:]:
-                    out = out.unionByName(p)
-                doomed = out
+                doomed = self._fan_out_contexts(doomed, context_uri, cols)
                 cols = cols + ["g"]
             elif "g" in doomed.columns and "g" in us.current.df.columns:
                 doomed = doomed.withColumn(
@@ -791,19 +801,26 @@ class SparqlEndpoint:
                 # pending-cancel (ref: QueryEngine.addPendingCancel): a
                 # cancel that lands while the query is still PLANNING has
                 # no active jobs to kill; re-fire until the request thread
-                # leaves the registry so later-submitted jobs die too
-                threading.Thread(
-                    target=self._pending_cancel, args=(qid, entry["gid"]),
-                    daemon=True,
-                ).start()
+                # leaves the registry so later-submitted jobs die too.
+                # set.add dedupes — repeated cancels of the same query
+                # share ONE re-fire thread instead of stacking them
+                if qid not in self._pending_cancels:
+                    self._pending_cancels.add(qid)
+                    threading.Thread(
+                        target=self._pending_cancel, args=(qid, entry["gid"]),
+                        daemon=True,
+                    ).start()
         return 200, JSON, json.dumps({"cancelled": cancelled}).encode()
 
     def _pending_cancel(self, qid: str, gid: str, ttl_s: float = 60.0) -> None:
         sc = self.spark.sparkContext
         deadline = time.time() + ttl_s
-        while qid in self._running and time.time() < deadline:
-            sc.cancelJobGroup(gid)
-            time.sleep(0.25)
+        try:
+            while qid in self._running and time.time() < deadline:
+                sc.cancelJobGroup(gid)
+                time.sleep(0.25)
+        finally:
+            self._pending_cancels.discard(qid)
 
     # SD/VoID vocabulary (ref: webapp/SD.java:70 + VoID.java — GET on the
     # SPARQL endpoint with no query serves the W3C service description
@@ -861,16 +878,18 @@ class SparqlEndpoint:
             bnode("_:g", void + "propertyPartition", pp)
             iri(pp, void + "property", p)
             num(pp, void + "triples", st.count)
-        # class partitions (VoID.java classPartition / classUsage): one
-        # predicate-pruned aggregation over the type predicate only
+        # class partitions (VoID.java classPartition / classUsage): ONE
+        # predicate-pruned aggregation across every type-like predicate —
+        # grouping by class alone also dedupes a class typed through
+        # several predicates (two rows would double-count void:classes)
         type_preds = [
             p for p in stats
             if p == "rdf:type" or p.endswith("#type") or p.endswith("/type")
         ]
         classes = []
-        for p in type_preds:
-            classes += (
-                store.df.filter(F.col("p") == p)
+        if type_preds:
+            classes = (
+                store.df.filter(F.col("p").isin(type_preds))
                 .groupBy("o_lex").agg(F.count(F.lit(1)).alias("n"))
                 .orderBy("o_lex").collect()
             )
@@ -953,7 +972,12 @@ class SparqlEndpoint:
             if reader is None:
                 continue  # ref: non-RDF files in a dir are skipped
             try:
-                parts.append(reader(self.spark, p))
+                # readers are LAZY — materialize per file (eager
+                # checkpoint) so a parse failure surfaces HERE, inside
+                # this file's try, and durableQueues can isolate it;
+                # it also decouples the commit from the source file, so
+                # the .good rename below can't invalidate the version
+                parts.append(reader(self.spark, p).localCheckpoint(eager=True))
                 loaded.append(p)
             except Exception as ex:
                 failed.append({"file": p, "error": f"{type(ex).__name__}: {ex}"})
@@ -965,13 +989,11 @@ class SparqlEndpoint:
         if parts:
             from pyspark.sql import functions as F
 
+            # parts are already eagerly checkpointed per file (the union
+            # references checkpointed data, never the renamed sources)
             out = parts[0]
             for df in parts[1:]:
                 out = out.unionByName(df, allowMissingColumns=True)
-            # materialize BEFORE committing (and before any durable-queue
-            # rename): the MVCC version must not lazily re-read source
-            # files that the rename below moves out from under it
-            out = out.localCheckpoint(eager=True)
             with self._lock:
                 us = self.namespaces[target_ns]
                 cols = ["s", "p", "o_lex", "o_dt"]
@@ -1006,7 +1028,12 @@ class SparqlEndpoint:
         do_compress = compress is not None and compress.lower() != "false"
         with self._lock:
             snapshot = self.namespaces[ns].current
-        if os.path.exists(path):  # ref: the file must not exist
+        try:
+            # atomic claim: mkdir either creates the target or raises —
+            # no exists()-then-write window for two concurrent backups to
+            # both proceed into the same path (ref: must-not-exist rule)
+            os.makedirs(path, exist_ok=False)
+        except FileExistsError:
             return 409, JSON, json.dumps(
                 {"error": f"backup target exists: {path}"}
             ).encode()
@@ -1035,9 +1062,12 @@ class SparqlEndpoint:
         except ResultTooLarge as e:
             return 413, JSON, json.dumps({"error": str(e)}).encode()
         except Exception as e:  # parse errors etc. → 400, like the reference
-            if "cancelled" in str(e).lower():
-                # a cancelQuery (or job-group kill) aborted this request's
-                # Spark jobs: the cancelled client sees 503, not a parse 400
+            msg = str(e)
+            # a cancelQuery (or deadline kill) aborted this request's Spark
+            # jobs: Spark's cancellation message names the job group, and
+            # ours are all "rest-query-*" — match THAT, not the bare word
+            # 'cancelled' (which can appear in user data/paths)
+            if "rest-query-" in msg and "cancel" in msg.lower():
                 return 503, JSON, json.dumps(
                     {"error": f"query cancelled: {type(e).__name__}"}
                 ).encode()

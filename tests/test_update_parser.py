@@ -247,3 +247,32 @@ def test_delete_where_graph_and_load_silent(spark, tmp_path):
     assert us.current.df.count() == n
     with _pytest.raises(Exception):
         apply_update(us, "LOAD <file:///nonexistent-load-target.nt>")
+
+
+def test_using_only_empty_named_set(spark):
+    """SPARQL 1.1 dataset semantics: once any USING clause is present the
+    dataset is FULLY specified — USING without USING NAMED leaves the
+    named-graph set EMPTY, so GRAPH patterns yield zero solutions (review
+    r5 finding: they previously ranged over every named graph)."""
+    from blazegraph_database_spark.model.store import TripleStore
+    from blazegraph_database_spark.plans.update_parser import apply_update
+    from blazegraph_database_spark.update.update import UpdatableStore
+
+    rows = [
+        ("a", "p", "x", "string", None),
+        ("b", "p", "y", "string", "g1"),
+    ]
+    us = UpdatableStore.from_store(TripleStore(spark.createDataFrame(
+        rows, "s string, p string, o_lex string, o_dt string, g string")))
+    before = us.current.df.count()
+    apply_update(
+        us,
+        'DELETE { ?s <p> ?o } USING <g1> WHERE { GRAPH <g1> { ?s <p> ?o } }',
+    )
+    assert us.current.df.count() == before  # GRAPH matched nothing
+    # and the flip side: USING NAMED only -> default-graph patterns empty
+    apply_update(
+        us,
+        'INSERT { ?s <dflt> "seen" } USING NAMED <g1> WHERE { ?s <p> ?o }',
+    )
+    assert us.current.df.filter("p = 'dflt'").count() == 0
