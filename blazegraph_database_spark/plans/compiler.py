@@ -1632,6 +1632,40 @@ def instantiate_template(
     return out.distinct()
 
 
+# reference describeMode enum → describe() args (ref: QueryHints.java:587
+# DESCRIBE_MODE / DescribeModeEnum + ASTDescribeOptimizer):
+# SymmetricOneStep = fwd+rev with no bnode recursion. Shared by the REST
+# describeMode= parameter and the hint:Query hint:describeMode query hint.
+DESCRIBE_MODES = {
+    "cbd": ("cbd", None),
+    "scbd": ("scbd", None),
+    "forwardonestep": ("fwd", None),
+    "symmetriconestep": ("scbd", 0),
+    "fwd": ("fwd", None),
+    "rev": ("rev", None),
+}
+
+
+def describe_kwargs(mode: str | None, iterations: int | None) -> dict:
+    """Map a describeMode name + iteration limit onto describe() kwargs;
+    raises on unknown modes (shared REST-param / query-hint validation)."""
+    kwargs: dict = {}
+    if mode is not None:
+        key = mode.strip().lower()
+        if key not in DESCRIBE_MODES:
+            raise ValueError(
+                f"unknown describeMode {mode!r}; one of "
+                "CBD, SCBD, ForwardOneStep, SymmetricOneStep"
+            )
+        m, forced_depth = DESCRIBE_MODES[key]
+        kwargs["mode"] = m
+        if forced_depth is not None:
+            kwargs["max_depth"] = forced_depth
+    if iterations is not None:
+        kwargs["max_depth"] = int(iterations)
+    return kwargs
+
+
 def describe(
     store: TripleStore,
     subjects: DataFrame | list[str],

@@ -763,6 +763,13 @@ class Parser:
                 hints["run_first"].add(len(pend_sps) - 1)
             elif pred == "runLast" and val == "true" and pend_sps:
                 hints["run_last"].add(len(pend_sps) - 1)
+            elif pred in ("describeMode", "describeIterationLimit"):
+                # query-level DESCRIBE hints (ref: QueryHints.java:587
+                # DESCRIBE_MODE / DESCRIBE_ITERATION_LIMIT) — recorded on
+                # the parser, surfaced with the describe_where parse
+                if not hasattr(self, "describe_hints"):
+                    self.describe_hints = {}
+                self.describe_hints[pred] = val
             # unrecognized hints are ignored (hints are advisory)
 
         while not self.at_op("}"):
@@ -1106,7 +1113,9 @@ class Parser:
                 node = self.group_graph_pattern()
                 if self.peek().kind != "EOF":
                     raise SyntaxError(f"trailing tokens at {self.peek().text!r}")
-                return ("describe_where", var, node)
+                # 4th element: query-level describe hints collected from
+                # hint:Query hint:describeMode/... triples in the WHERE
+                return ("describe_where", var, node, getattr(self, "describe_hints", None))
             iris = []
             while self.peek().kind in ("IRI", "PNAME"):
                 t = self.next()
@@ -1421,5 +1430,9 @@ def run_sparql(store, src: str):
         subjects = (
             compiler.evaluate(store, parsed[2]).select(F.col(parsed[1]).alias("s")).distinct()
         )
-        return compiler.describe(store, subjects)
+        dh = parsed[3] if len(parsed) > 3 and parsed[3] else {}
+        kwargs = compiler.describe_kwargs(
+            dh.get("describeMode"), dh.get("describeIterationLimit")
+        )
+        return compiler.describe(store, subjects, **kwargs)
     return compiler.describe(store, parsed[1])

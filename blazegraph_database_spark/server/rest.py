@@ -454,18 +454,6 @@ class SparqlEndpoint:
             raise box["err"]
         return box["out"]
 
-    # reference describeMode enum → engine describe() args (ref:
-    # QueryHints.java:587 DESCRIBE_MODE / DescribeModeEnum +
-    # ASTDescribeOptimizer): SymmetricOneStep = fwd+rev, no bnode recursion
-    _DESCRIBE_MODES = {
-        "cbd": ("cbd", None),
-        "scbd": ("scbd", None),
-        "forwardonestep": ("fwd", None),
-        "symmetriconestep": ("scbd", 0),
-        "fwd": ("fwd", None),
-        "rev": ("rev", None),
-    }
-
     def _describe(
         self,
         store: TripleStore,
@@ -486,20 +474,15 @@ class SparqlEndpoint:
         invalidation falls out of MVCC instead of a change-set listener.
         Bounded LRU; entries are localCheckpointed so repeats skip the
         whole CBD recursion, not just planning."""
-        kwargs: dict = {}
-        if describe_mode is not None:
-            key = describe_mode.strip().lower()
-            if key not in self._DESCRIBE_MODES:
-                raise ValueError(
-                    f"unknown describeMode {describe_mode!r}; one of "
-                    "CBD, SCBD, ForwardOneStep, SymmetricOneStep"
-                )
-            mode, forced_depth = self._DESCRIBE_MODES[key]
-            kwargs["mode"] = mode
-            if forced_depth is not None:
-                kwargs["max_depth"] = forced_depth
-        if describe_iterations is not None:
-            kwargs["max_depth"] = describe_iterations
+        # query-text hints (hint:Query hint:describeMode/...) fill whatever
+        # the explicit REST params leave unset — URL params win, like the
+        # reference's request-parameter-over-hint precedence
+        dh = parsed[3] if len(parsed) > 3 and parsed[3] else {}
+        if describe_mode is None:
+            describe_mode = dh.get("describeMode")
+        if describe_iterations is None and "describeIterationLimit" in dh:
+            describe_iterations = int(dh["describeIterationLimit"])
+        kwargs = compiler.describe_kwargs(describe_mode, describe_iterations)
         if parsed[0] == "describe_where":
             from pyspark.sql import functions as F
 

@@ -364,3 +364,43 @@ def test_text_query_numeric_filter_pushes_down(spark):
         "WHERE o_totalprice > 400000"
     ).fetchone()[0]
     assert df.collect()[0]["n"] == want
+
+
+def test_fuzzy_decontaminate_broadcasts_probes_no_cartesian(spark):
+    """Fuzzy decontamination must be a banded-bucket equi-join with the
+    probe side broadcast — never corpus x probes."""
+    from blazegraph_database_spark.operators import dedup
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    out = dedup.fuzzy_decontaminate(
+        docs.filter(F.col("doc_id") >= 25), docs.filter(F.col("doc_id") < 25)
+    )
+    plan = plan_of(out, mode="simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan  # probe side rides a broadcast
+
+
+def test_remove_duplicate_spans_no_cartesian_partial_agg(spark):
+    """Span dedup is linear: window-frequency aggregation map-side combines
+    on the gram key; rebuild joins are equi/anti joins, never doc x doc."""
+    from blazegraph_database_spark.operators import dedup
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = plan_of(dedup.remove_duplicate_spans(docs, k=8), mode="simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("HashAggregate") >= 2  # partial + final on gram key
+
+
+def test_deterministic_shuffle_window_is_partitioned(spark):
+    """The epoch shuffle's rank window must be PARTITIONED (by shard) — a
+    global empty-spec window would drag the corpus through one task."""
+    from blazegraph_database_spark.operators import text as T
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = plan_of(T.deterministic_shuffle(docs), mode="simple")
+    assert "Window" in plan
+    # Spark prints an empty partition spec as 'windowspecdefinition(' with
+    # only order columns; the shard-partitioned form lists shard first
+    assert "windowspecdefinition(shard" in plan, plan

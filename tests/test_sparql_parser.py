@@ -758,3 +758,49 @@ def test_graph_over_triples_only_store_is_empty(spark):
     # and the default-graph pattern still matches
     out = run_sparql(st, "SELECT ?s WHERE { { GRAPH ?g { ?s <p> ?o } } UNION { ?s <p> ?o } }")
     assert out.count() == 1
+
+
+def test_describe_mode_query_hint(spark):
+    """hint:Query hint:describeMode / hint:describeIterationLimit inside
+    DESCRIBE ?x WHERE (ref: QueryHints.java:587 DESCRIBE_MODE): ForwardOneStep
+    stops at depth-0 forward arcs; the default CBD recurses through bnodes."""
+    from blazegraph_database_spark.model.store import TripleStore
+    from blazegraph_database_spark.plans.sparql_parser import run_sparql
+
+    rows = [
+        ("a", "p", "_:b1", "bnode"),
+        ("_:b1", "q", "deep", "string"),
+        ("x", "r", "a", "iri"),
+    ]
+    st = TripleStore(
+        spark.createDataFrame(rows, "s string, p string, o_lex string, o_dt string")
+    )
+    q = """
+    DESCRIBE ?d WHERE {{
+      ?d <p> ?o .
+      {hint}
+    }}
+    """
+    # default CBD: recurses into _:b1's statements
+    full = {tuple(r) for r in run_sparql(st, q.format(hint="")).collect()}
+    assert ("_:b1", "q", "deep", "string") in {t[:4] for t in full}
+    # iteration limit 0: no bnode recursion
+    lim = {
+        tuple(r)[:4]
+        for r in run_sparql(
+            st,
+            q.format(hint='hint:Query hint:describeIterationLimit "0" .'),
+        ).collect()
+    }
+    assert ("a", "p", "_:b1", "bnode") in lim
+    assert ("_:b1", "q", "deep", "string") not in lim
+    # SymmetricOneStep: adds the reverse arc, still no recursion
+    sym = {
+        tuple(r)[:4]
+        for r in run_sparql(
+            st,
+            q.format(hint='hint:Query hint:describeMode "SymmetricOneStep" .'),
+        ).collect()
+    }
+    assert ("x", "r", "a", "iri") in sym
+    assert ("_:b1", "q", "deep", "string") not in sym
