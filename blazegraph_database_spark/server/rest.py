@@ -1028,6 +1028,29 @@ class SparqlEndpoint:
              "triples": sum(st.count for st in snapshot.stats().values())}
         ).encode()
 
+    def namespace_properties(self, ns: str) -> tuple[int, str, bytes]:
+        """GET /namespace/<ns>/properties (ref: MultiTenancyServlet.java:262
+        'Show properties'): the namespace's effective configuration in the
+        Java properties-XML wire format the reference serves. Keys mirror
+        the reference's com.bigdata.rdf.sail.* namespace properties where
+        an analog exists (quads mode, truth maintenance, commit points)."""
+        us = self.namespaces[ns]
+        store = us.current
+        entries = {
+            "com.bigdata.rdf.sail.namespace": ns,
+            "com.bigdata.rdf.store.AbstractTripleStore.quads":
+                str("g" in store.df.columns).lower(),
+            "com.bigdata.rdf.sail.truthMaintenance":
+                str(getattr(us, "tm_strategy", None) is not None).lower(),
+            "commitPoints": str(len(us.versions)),
+        }
+        body = ['<?xml version="1.0" encoding="UTF-8" standalone="no"?>',
+                "<properties>"]
+        for k, v in entries.items():
+            body.append(f'<entry key="{k}">{v}</entry>')
+        body.append("</properties>")
+        return 200, "application/xml", "\n".join(body).encode()
+
     def counters(self, ns: str) -> tuple[int, str, bytes]:
         stats = self.namespaces[ns].current.stats()
         doc = {p: {"count": st.count, "distinct_s": st.distinct_s, "distinct_o": st.distinct_o} for p, st in stats.items()}
@@ -1075,6 +1098,11 @@ class SparqlEndpoint:
                     del self.namespaces[ns]
                     return 200, JSON, json.dumps({"dropped": ns}).encode()
                 raise KeyError(f"no such resource: {path}")
+            if parts[2] == "properties" and method == "GET":
+                # ref: MultiTenancyServlet GET .../properties — the
+                # namespace's effective configuration as Java-properties
+                # XML (the reference's PropertiesFormat wire format)
+                return self.namespace_properties(ns)
             parts = parts[2:]
         if parts and parts[0] == "tx" and method == "POST":
             if len(parts) == 1:

@@ -890,3 +890,15 @@ def test_dataloader_verb(spark, tmp_path):
             assert e.code == 400
     finally:
         srv.shutdown()
+
+
+def test_namespace_properties(server):
+    """GET /namespace/<ns>/properties (ref: MultiTenancyServlet 'Show
+    properties'): Java properties-XML with the namespace's effective
+    configuration."""
+    st, ctype, body = _req(f"{server}/namespace/kb/properties")
+    assert st == 200 and ctype == "application/xml"
+    text = body.decode()
+    assert '<entry key="com.bigdata.rdf.sail.namespace">kb</entry>' in text
+    assert 'AbstractTripleStore.quads">' in text
+    assert '<entry key="commitPoints">' in text
