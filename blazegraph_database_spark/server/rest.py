@@ -1087,8 +1087,39 @@ class SparqlEndpoint:
                 if method == "GET":
                     return self.status()
                 if method == "POST":
-                    name = params["name"]
+                    # name= param, or the reference's properties-XML body
+                    # (RestApiCreateKBTask: com.bigdata.rdf.sail.namespace
+                    # names the KB; ...AbstractTripleStore.quads selects
+                    # quads mode)
+                    quads = False
+                    if "name" in params:
+                        name = params["name"]
+                    else:
+                        import re as _re
+
+                        props = dict(_re.findall(
+                            r'<entry key="([^"]+)">([^<]*)</entry>', body.decode()
+                        ))
+                        name = props.get("com.bigdata.rdf.sail.namespace")
+                        if not name:
+                            raise ValueError(
+                                "namespace create needs name= or a "
+                                "com.bigdata.rdf.sail.namespace property"
+                            )
+                        quads = props.get(
+                            "com.bigdata.rdf.store.AbstractTripleStore.quads", ""
+                        ).lower() == "true"
+                    if name in self.namespaces:  # ref: 409 on existing KB
+                        return 409, JSON, json.dumps(
+                            {"error": f"namespace exists: {name}"}
+                        ).encode()
                     empty = TripleStore(self.namespaces[self.default_ns].current.df.limit(0))
+                    if quads and "g" not in empty.df.columns:
+                        from pyspark.sql import functions as F
+
+                        empty = TripleStore(
+                            empty.df.withColumn("g", F.lit(None).cast("string"))
+                        )
                     self.namespaces[name] = UpdatableStore.from_store(empty)
                     return 201, JSON, json.dumps({"created": name}).encode()
                 return 405, JSON, b'{"error": "method not allowed"}'

@@ -902,3 +902,35 @@ def test_namespace_properties(server):
     assert '<entry key="com.bigdata.rdf.sail.namespace">kb</entry>' in text
     assert 'AbstractTripleStore.quads">' in text
     assert '<entry key="commitPoints">' in text
+
+
+def test_namespace_create_properties_body(spark):
+    """POST /namespace with the reference's properties-XML body (ref:
+    RestApiCreateKBTask): com.bigdata.rdf.sail.namespace names the KB,
+    ...AbstractTripleStore.quads selects quads mode; existing KB -> 409."""
+    store = UpdatableStore.from_store(
+        TripleStore(spark.createDataFrame([("a", "p", "1", "long")],
+                    "s string, p string, o_lex string, o_dt string"))
+    )
+    srv, port = start_background(SparqlEndpoint(spark, store))
+    base = f"http://127.0.0.1:{port}"
+    try:
+        xml = (
+            '<?xml version="1.0"?><properties>'
+            '<entry key="com.bigdata.rdf.sail.namespace">kb2</entry>'
+            '<entry key="com.bigdata.rdf.store.AbstractTripleStore.quads">true</entry>'
+            "</properties>"
+        ).encode()
+        st, _, body = _req(f"{base}/namespace", "POST", xml, "application/xml")
+        assert st == 201 and json.loads(body)["created"] == "kb2"
+        # the new namespace is quads-mode: properties endpoint reflects it
+        _, _, body = _req(f"{base}/namespace/kb2/properties")
+        assert 'AbstractTripleStore.quads">true<' in body.decode()
+        # duplicate -> 409
+        try:
+            _req(f"{base}/namespace", "POST", xml, "application/xml")
+            assert False, "expected 409"
+        except urllib.error.HTTPError as e:
+            assert e.code == 409
+    finally:
+        srv.shutdown()
