@@ -144,3 +144,56 @@ def stream_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle runs in batch."""
     st = S.read_events_stream(spark, sf_dir)
     return S.run_to_memory(S.funnel_stateful(st), output_mode="append")
+
+
+@register(
+    "stream_doc_pipeline",
+    """
+    WITH f AS (
+        SELECT doc_id, lang, text,
+               string_split_regex(trim(text), '\\s+') AS ws,
+               strlen(text) AS n_chars
+        FROM documents
+    ), g AS (
+        SELECT doc_id, lang, text,
+               len(ws) AS n_words,
+               len(list_filter(ws, w -> lower(w) IN ('the','a','an','of','and','to','in','is','it','on','for'))) AS stop,
+               len(list_distinct(list_transform(ws, w -> lower(w)))) AS uniq,
+               GREATEST(len(ws), 1) AS nz
+        FROM f
+    ), q AS (
+        SELECT doc_id, lang, text,
+               ROUND(LEAST(n_words / 100.0, 1.0) * 0.4
+                     + LEAST(stop * 1.0 / nz * 5.0, 1.0) * 0.3
+                     + (uniq * 1.0 / nz) * 0.3, 6) AS quality
+        FROM g
+    ), kept AS (
+        SELECT DISTINCT lang,
+               regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS nt
+        FROM q WHERE quality >= 0.5
+    )
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_kept FROM kept GROUP BY 1
+    """,
+)
+def stream_doc_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING pretraining-ingest pipeline: document stream → quality
+    filter (pure expressions, streaming-safe) → stateful exact content
+    dedup (dropDuplicates on the 8-byte normalized-text hash — the
+    streaming form of dedup_incremental: state is hashes, never text) →
+    per-language accepted counts. The batch oracle replays filter +
+    DISTINCT; parity holds because dedup keeps exactly one row per hash
+    and duplicate groups never span languages."""
+    from blazegraph_database_spark.operators import dedup as D
+    from blazegraph_database_spark.operators import text as T
+
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    st = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    q = T.quality_score(st).filter(F.col("quality") >= 0.5)
+    hashed = q.withColumn("__h", F.xxhash64(D.normalize_text(F.col("text"))))
+    deduped = hashed.dropDuplicates(["__h"])
+    kept = S.run_to_memory(deduped.select("lang", "__h"), output_mode="append")
+    return kept.groupBy("lang").agg(F.count(F.lit(1)).alias("n_kept"))

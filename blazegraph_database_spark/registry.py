@@ -26,6 +26,7 @@ _SCORE_FIRST = [
     "dataset_stratified_exact",
     "text_decontaminate_fuzzy",
     "text_remove_dup_spans",
+    "stream_doc_pipeline",
     "fulltext_search_in_search",
     "solution_set_include",
     "path_bounded",
