@@ -160,6 +160,14 @@ class GPO:
         )
         for r in rows:
             self.om._buffer_remove((r["s"], r["p"], r["o_lex"], r["o_dt"]))
+        # pending (not-yet-committed) adds that point AT this object from
+        # other GPOs would re-link a removed object at commit — cancel them
+        for quad in [
+            q for q in self.om._added
+            if q[0] == self.id or (q[2] == self.id and q[3] in ("iri", "bnode"))
+        ]:
+            self.om._added.remove(quad)
+            self.om._dirty.add(quad[0])
         self.om._dirty.add(self.id)
 
     def __repr__(self) -> str:  # pragma: no cover - debugging nicety

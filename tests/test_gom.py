@@ -133,3 +133,16 @@ def test_gpo_remove_then_add_same_value_is_noop(om):
     assert len(om.store.versions) == n_versions  # no-op commit
     assert a.get_value("name") == ("Alice", "string")
     assert om.store.current.df.filter("s = 'a' and p = 'name'").count() == 1
+
+
+def test_remove_cancels_pending_links(om):
+    """remove() cancels OTHER GPOs' buffered adds that point at the removed
+    object — commit must not re-link a removed object."""
+    b = om.get_gpo("b")
+    c = om.get_gpo("c")
+    c.add_value("likes", "b", "iri")  # pending link INTO b
+    b.remove()
+    om.commit()
+    df = om.store.current.df
+    assert df.filter("s = 'b'").count() == 0
+    assert df.filter("o_lex = 'b' and o_dt in ('iri','bnode')").count() == 0
