@@ -314,15 +314,19 @@ class SparqlEndpoint:
         txid: str | None = None,
         describe_mode: str | None = None,
         describe_iterations: int | None = None,
+        query_id: str | None = None,
     ) -> tuple[int, str, bytes]:
         """Every query runs in its own Spark job group and is listed in the
         running-query registry while it executes (ref: StatusServlet's
         showQueries page + cancelQuery — QueryCancellationHelper over the
         QueryEngine's running-query table). GET /status?showQueries lists
-        them; POST /status?cancelQuery&queryId=<id> cancels the group."""
+        them; POST /status?cancelQuery&queryId=<id> cancels the group.
+        ``query_id``: client-assigned id via the queryId= request param
+        (ref: StatusServlet.java queryId associates a request with a UUID
+        so the client can cancel without polling showQueries)."""
         import uuid
 
-        qid = uuid.uuid4().hex[:12]
+        qid = query_id or uuid.uuid4().hex[:12]
         args = (ns, text, accept, explain, timestamp, txid, describe_mode,
                 describe_iterations)
         if timeout_ms:
@@ -1219,6 +1223,7 @@ class SparqlEndpoint:
                 describe_mode=params.get("describeMode"),
                 describe_iterations=int(params["describeIterationLimit"])
                 if "describeIterationLimit" in params else None,
+                query_id=params.get("queryId"),
             )
         if method == "POST":
             base = ctype.split(";")[0].strip()
@@ -1252,6 +1257,7 @@ class SparqlEndpoint:
                     describe_mode=params.get("describeMode"),
                     describe_iterations=int(params["describeIterationLimit"])
                     if "describeIterationLimit" in params else None,
+                    query_id=params.get("queryId"),
                 )
             raise ValueError("POST needs query=, update=, or an RDF body")
         if method == "PUT":

@@ -934,3 +934,47 @@ def test_namespace_create_properties_body(spark):
             assert e.code == 409
     finally:
         srv.shutdown()
+
+
+def test_client_assigned_query_id(spark):
+    """queryId= on the query request itself (ref: StatusServlet.java — the
+    same parameter name associates a request with a UUID) lets a client
+    cancel its own query without polling showQueries."""
+    import threading
+    import time as _time
+    import urllib.error
+
+    rows = [(f"s{i}", "p", f"o{i}", "iri") for i in range(800)]
+    store = UpdatableStore.from_store(
+        TripleStore(spark.createDataFrame(rows, "s string, p string, o_lex string, o_dt string"))
+    )
+    srv, port = start_background(SparqlEndpoint(spark, store))
+    base = f"http://127.0.0.1:{port}"
+    try:
+        slow_q = urllib.parse.quote(
+            "SELECT (COUNT(?a) AS ?n) WHERE { ?a <p> ?x . ?b <p> ?y . ?c <p> ?z }"
+        )
+        result = {}
+
+        def client():
+            try:
+                st, _, _ = _req(f"{base}/sparql?query={slow_q}&queryId=myquery01")
+                result["status"] = st
+            except urllib.error.HTTPError as e:
+                result["status"] = e.code
+
+        t = threading.Thread(target=client, daemon=True)
+        t.start()
+        for _ in range(100):  # wait until registered under OUR id
+            _, _, body = _req(f"{base}/status?showQueries")
+            if any(q["queryId"] == "myquery01" for q in json.loads(body).get("queries", [])):
+                break
+            _time.sleep(0.05)
+        st, _, body = _req(
+            f"{base}/status?cancelQuery&queryId=myquery01", method="POST", body=b""
+        )
+        assert st == 200 and json.loads(body)["cancelled"] == ["myquery01"]
+        t.join(timeout=60)
+        assert result["status"] == 503
+    finally:
+        srv.shutdown()
