@@ -439,3 +439,51 @@ def tm_tc_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("src").cast("long").alias("src_id"),
         F.col("dst").cast("long").alias("dst_id"),
     )
+
+
+@register(
+    "owl_property_chain",
+    """
+    SELECT 'customer:' || c_custkey AS s, 'region:' || n_regionkey AS region
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    ORDER BY s
+    """,
+)
+def owl_property_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """owl:propertyChainAxiom (OWL RL prp-spo2; ref: the reference's
+    property-chain support in its rule program): in_region ≡ nat ∘ reg —
+    customer→nation→region composes into an inferred customer→region edge
+    via per-predicate equi-joins (inference/rdfs.property_chain_closure).
+    The axiom's rdf:first/rest list spine rides the data as triples."""
+    cust = read_parquet(spark, f"{sf_dir}/customer.parquet")
+    nat = read_parquet(spark, f"{sf_dir}/nation.parquet")
+    edges1 = cust.select(
+        F.concat(F.lit("customer:"), F.col("c_custkey")).alias("s"),
+        F.lit("nat").alias("p"),
+        F.concat(F.lit("nation:"), F.col("c_nationkey")).alias("o_lex"),
+        F.lit("iri").alias("o_dt"),
+    )
+    edges2 = nat.select(
+        F.concat(F.lit("nation:"), F.col("n_nationkey")).alias("s"),
+        F.lit("reg").alias("p"),
+        F.concat(F.lit("region:"), F.col("n_regionkey")).alias("o_lex"),
+        F.lit("iri").alias("o_dt"),
+    )
+    axiom = spark.createDataFrame(
+        [
+            ("in_region", rdfs.OWL_PROPCHAIN, "_:l1", "iri"),
+            ("_:l1", rdfs.RDF_FIRST, "nat", "iri"),
+            ("_:l1", rdfs.RDF_REST, "_:l2", "iri"),
+            ("_:l2", rdfs.RDF_FIRST, "reg", "iri"),
+            ("_:l2", rdfs.RDF_REST, rdfs.RDF_NIL, "iri"),
+        ],
+        "s string, p string, o_lex string, o_dt string",
+    )
+    closed = rdfs.property_chain_closure(
+        edges1.unionByName(edges2).unionByName(axiom)
+    )
+    return (
+        closed.filter(F.col("p") == "in_region")
+        .select("s", F.col("o_lex").alias("region"))
+        .orderBy("s")
+    )

@@ -27,6 +27,7 @@ _SCORE_FIRST = [
     "text_decontaminate_fuzzy",
     "text_remove_dup_spans",
     "stream_doc_pipeline",
+    "owl_property_chain",
     "fulltext_search_in_search",
     "solution_set_include",
     "path_bounded",
