@@ -1098,3 +1098,59 @@ def service_bd_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     }
     """
     return run_sparql(st, q)
+
+
+@register(
+    "mvcc_snapshot_read",
+    """
+    SELECT 0 AS version, (SELECT CAST(COUNT(*) AS BIGINT) FROM nation) AS n
+    UNION ALL
+    SELECT 1, (SELECT COUNT(*) FROM nation) + (SELECT COUNT(*) FROM region)
+    UNION ALL
+    SELECT 2, (SELECT COUNT(*) FROM nation WHERE n_nationkey >= 10)
+              + (SELECT COUNT(*) FROM region)
+    ORDER BY version
+    """,
+)
+def mvcc_snapshot_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot isolation over the MVCC version list (ref: the journal's
+    commit points — every commit is an immutable snapshot, and a read at
+    commit point N sees exactly that state regardless of later updates).
+    Three commit points (load / insert / delete), then ALL THREE are read
+    AFTER the last update — earlier versions must be untouched."""
+    from blazegraph_database_spark.model.store import TripleStore
+    from blazegraph_database_spark.sources.relational import read_parquet
+    from blazegraph_database_spark.update.update import UpdatableStore
+
+    nat = read_parquet(spark, f"{sf_dir}/nation.parquet")
+    reg = read_parquet(spark, f"{sf_dir}/region.parquet")
+    nat_t = nat.select(
+        F.concat(F.lit("nation:"), F.col("n_nationkey")).alias("s"),
+        F.lit("nation#n_name").alias("p"),
+        F.col("n_name").alias("o_lex"),
+        F.lit("string").alias("o_dt"),
+    )
+    reg_t = reg.select(
+        F.concat(F.lit("region:"), F.col("r_regionkey")).alias("s"),
+        F.lit("region#r_name").alias("p"),
+        F.col("r_name").alias("o_lex"),
+        F.lit("string").alias("o_dt"),
+    )
+    us = UpdatableStore.from_store(TripleStore(nat_t))       # version 0
+    us.insert_data(reg_t)                                    # version 1
+    us.delete_data(nat_t.join(                               # version 2
+        nat.filter(F.col("n_nationkey") < 10).select(
+            F.concat(F.lit("nation:"), F.col("n_nationkey")).alias("s")
+        ),
+        on="s",
+    ))
+    parts = [
+        us.versions[i].df.agg(
+            F.lit(i).alias("version"), F.count(F.lit(1)).alias("n")
+        )
+        for i in range(3)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("version")

@@ -28,6 +28,7 @@ _SCORE_FIRST = [
     "text_remove_dup_spans",
     "stream_doc_pipeline",
     "owl_property_chain",
+    "mvcc_snapshot_read",
     "fulltext_search_in_search",
     "solution_set_include",
     "path_bounded",
