@@ -1154,3 +1154,43 @@ def mvcc_snapshot_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out.orderBy("version")
+
+
+@register(
+    "path_zero_or_one",
+    """
+    SELECT 'customer:1' AS y
+    UNION
+    SELECT 'nation:' || c_nationkey FROM customer WHERE c_custkey = 1
+    UNION
+    SELECT 'ghost:99'
+    ORDER BY y
+    """,
+)
+def path_zero_or_one(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spec-true zero-length paths (ref: ZeroLengthPathOp; W3C
+    ZeroOrOnePath): `<customer:1> <nat>? ?y` yields the start term ITSELF
+    plus its one-hop targets, and a constant endpoint absent from the
+    graph (`<ghost:99>`) still zero-length-matches itself."""
+    from blazegraph_database_spark.model.store import TripleStore
+    from blazegraph_database_spark.plans.sparql_parser import run_sparql
+    from blazegraph_database_spark.sources.relational import read_parquet
+
+    cust = read_parquet(spark, f"{sf_dir}/customer.parquet")
+    st = TripleStore(
+        cust.select(
+            F.concat(F.lit("customer:"), F.col("c_custkey")).alias("s"),
+            F.lit("nat").alias("p"),
+            F.concat(F.lit("nation:"), F.col("c_nationkey")).alias("o_lex"),
+            F.lit("iri").alias("o_dt"),
+        )
+    )
+    out = run_sparql(
+        st,
+        """
+        SELECT DISTINCT ?y WHERE {
+          { <customer:1> <nat>? ?y } UNION { <ghost:99> <nat>? ?y }
+        } ORDER BY ?y
+        """,
+    )
+    return out

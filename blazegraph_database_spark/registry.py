@@ -29,6 +29,7 @@ _SCORE_FIRST = [
     "stream_doc_pipeline",
     "owl_property_chain",
     "mvcc_snapshot_read",
+    "path_zero_or_one",
     "fulltext_search_in_search",
     "solution_set_include",
     "path_bounded",
