@@ -909,9 +909,59 @@ def _(node: A.BGP, store: TripleStore) -> DataFrame:
 
 @_compile.register
 def _(node: A.Join, store: TripleStore) -> DataFrame:
+    # SERVICE ?var: the endpoint is a VARIABLE bound by the sibling side
+    # (ref: ServiceCallJoin.java:386 — group the incoming solutions by the
+    # distinct as-bound serviceRef values, call each endpoint once)
+    if isinstance(node.right, A.Service) and isinstance(node.right.iri, Var):
+        return _service_var_join(store, node.left, node.right)
+    if isinstance(node.left, A.Service) and isinstance(node.left.iri, Var):
+        return _service_var_join(store, node.right, node.left)
     l, r = _compile(node.left, store), _compile(node.right, store)
     shared = sorted(set(l.columns) & set(r.columns))
     return l.join(r, on=shared) if shared else l.crossJoin(r)
+
+
+# endpoint sets are inherently small (they're SERVICES, not data); the cap
+# keeps a mis-bound variable (e.g. joined to a data column) from fanning
+# out into thousands of service calls
+SERVICE_VAR_MAX_ENDPOINTS = 64
+
+
+def _service_var_join(store: TripleStore, sibling, svc: "A.Service") -> DataFrame:
+    """Evaluate the sibling side, collect its DISTINCT endpoint bindings,
+    call the service once per endpoint, and natural-join the tagged union
+    back — the reference's as-bound serviceRef grouping. Solutions with the
+    endpoint var unbound are pruned (ref: ServiceCallJoin filters incoming
+    binding sets without a serviceRef binding)."""
+    ldf = _compile(sibling, store)
+    v = svc.iri.name
+    if v not in ldf.columns:
+        raise ValueError(
+            f"SERVICE ?{v}: no sibling pattern binds ?{v} (a variable "
+            "service endpoint must be bound by the enclosing group, e.g. "
+            "via VALUES)"
+        )
+    rows = (
+        ldf.select(v).filter(F.col(v).isNotNull()).distinct()
+        .limit(SERVICE_VAR_MAX_ENDPOINTS + 1).collect()
+    )
+    if len(rows) > SERVICE_VAR_MAX_ENDPOINTS:
+        raise ValueError(
+            f"SERVICE ?{v}: more than {SERVICE_VAR_MAX_ENDPOINTS} distinct "
+            "endpoint bindings — is the variable really a service ref?"
+        )
+    parts = []
+    for r in rows:
+        ep = r[0]
+        res = _compile(A.Service(ep, svc.pattern, svc.raw, svc.silent), store)
+        parts.append(res.withColumn(v, F.lit(ep)))
+    if not parts:  # no bound endpoints → no output (reference behavior)
+        return ldf.limit(0)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p, allowMissingColumns=True)
+    shared = sorted(set(ldf.columns) & set(out.columns))
+    return ldf.join(out, on=shared)
 
 
 @_compile.register
@@ -1351,6 +1401,12 @@ def _(node: A.Service, store: TripleStore) -> DataFrame:
     (remote endpoints need a transport-backed registration — no network
     here). Ref: ServiceRegistry.java dispatch in AST2BOpUtility."""
     from blazegraph_database_spark.operators import fulltext, service
+
+    if isinstance(node.iri, Var):
+        raise ValueError(
+            f"SERVICE ?{node.iri.name}: a variable service endpoint needs a "
+            "sibling pattern in the same group binding it (e.g. VALUES)"
+        )
 
     def collect_sps(n):
         if isinstance(n, A.BGP):

@@ -858,7 +858,13 @@ class Parser:
                 silent = self.at_kw("silent")
                 if silent:
                     self.next()
-                iri = self._iri_only()
+                if self.peek().kind == "VAR":
+                    # variable endpoint (ref: ServiceCallJoin groups the
+                    # incoming solutions by the as-bound serviceRef) —
+                    # resolved per distinct sibling binding at compile time
+                    iri = Var(self.next().text[1:])
+                else:
+                    iri = self._iri_only()
                 start = self.i  # raw token text of the group, for remote transports
                 inner = self.group_graph_pattern()
                 raw = " ".join(t.text for t in self.toks[start + 1 : self.i - 1])

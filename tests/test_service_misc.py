@@ -869,3 +869,44 @@ def test_bds_search_in_search(spark):
 
     with _pytest.raises(ValueError, match="searchInSearch"):
         run_sparql(st, q.format(extra='?s <bds:bogusOption> "1" .'))
+
+
+def test_service_variable_endpoint(spark):
+    """SERVICE ?ep with the endpoint bound by VALUES (ref:
+    ServiceCallJoin.java — incoming solutions grouped by the as-bound
+    serviceRef; each distinct endpoint called once). Unbound-endpoint
+    groups error clearly; oversized endpoint sets are capped."""
+    import pytest as _pytest
+
+    from blazegraph_database_spark.model.store import TripleStore
+    from blazegraph_database_spark.operators import service
+    from blazegraph_database_spark.plans.sparql_parser import run_sparql
+
+    st = TripleStore(spark.createDataFrame(
+        [("a", "p", "1", "long")], "s string, p string, o_lex string, o_dt string"
+    ))
+    service.register_stored_query(
+        "http://app/svc1",
+        lambda store, params: store.df.sparkSession.createDataFrame(
+            [("one",)], "r string"),
+    )
+    service.register_stored_query(
+        "http://app/svc2",
+        lambda store, params: store.df.sparkSession.createDataFrame(
+            [("two",), ("deux",)], "r string"),
+    )
+    q = """
+    SELECT ?ep ?r WHERE {
+      VALUES ?ep { <http://app/svc1> <http://app/svc2> }
+      SERVICE ?ep { }
+    }
+    """
+    got = sorted(tuple(x) for x in run_sparql(st, q).collect())
+    assert got == [
+        ("http://app/svc1", "one"),
+        ("http://app/svc2", "deux"),
+        ("http://app/svc2", "two"),
+    ]
+    # the endpoint var must be bound by a sibling
+    with _pytest.raises(ValueError, match="binding it|binds"):
+        run_sparql(st, "SELECT ?r WHERE { SERVICE ?ep { } }")
