@@ -1194,3 +1194,36 @@ def path_zero_or_one(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
     )
     return out
+
+
+@register(
+    "sparql_hash_functions",
+    """
+    SELECT 'doc:' || doc_id AS d, md5(text) AS m, sha256(text) AS h
+    FROM documents WHERE doc_id < 20 ORDER BY d
+    """,
+)
+def sparql_hash_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL hash functions MD5/SHA256 in expression position through the
+    text parser, bit-for-bit vs DuckDB's digests (ref: DigestBOp — SHA1/
+    384/512 are unit-tested; DuckDB only ships md5/sha256)."""
+    from blazegraph_database_spark.model.store import TripleStore
+    from blazegraph_database_spark.plans.sparql_parser import run_sparql
+    from blazegraph_database_spark.sources.relational import read_parquet
+
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    st = TripleStore(
+        docs.filter(F.col("doc_id") < 20).select(
+            F.concat(F.lit("doc:"), F.col("doc_id")).alias("s"),
+            F.lit("text").alias("p"),
+            F.col("text").alias("o_lex"),
+            F.lit("string").alias("o_dt"),
+        )
+    )
+    return run_sparql(
+        st,
+        """
+        SELECT ?d (MD5(?t) AS ?m) (SHA256(?t) AS ?h)
+        WHERE { ?d <text> ?t } ORDER BY ?d
+        """,
+    ).select(F.col("d"), "m", "h")

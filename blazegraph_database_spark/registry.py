@@ -30,6 +30,7 @@ _SCORE_FIRST = [
     "owl_property_chain",
     "mvcc_snapshot_read",
     "path_zero_or_one",
+    "sparql_hash_functions",
     "fulltext_search_in_search",
     "solution_set_include",
     "path_bounded",
