@@ -161,12 +161,19 @@ class GPO:
         for r in rows:
             self.om._buffer_remove((r["s"], r["p"], r["o_lex"], r["o_dt"]))
         # pending (not-yet-committed) adds that point AT this object from
-        # other GPOs would re-link a removed object at commit — cancel them
+        # other GPOs would re-link a removed object at commit — cancel
+        # them, and mirror the cancellation into the owning GPO's
+        # materialized view (else its _props keeps reporting the link)
         for quad in [
             q for q in self.om._added
             if q[0] == self.id or (q[2] == self.id and q[3] in ("iri", "bnode"))
         ]:
             self.om._added.remove(quad)
+            owner = self.om._gpos.get(quad[0])
+            if owner is not None and owner._props is not None:
+                vals = owner._props.get(quad[1], [])
+                if (quad[2], quad[3]) in vals:
+                    vals.remove((quad[2], quad[3]))
             self.om._dirty.add(quad[0])
         self.om._dirty.add(self.id)
 

@@ -206,6 +206,10 @@ def _id_join_vars(root) -> frozenset[str]:
             pass  # joins against a materialized lexical solution set
         elif isinstance(n, (A.Service, A.PathPattern)):
             needed.update(_all_sp_vars(n))  # these emit lexical bindings
+            if isinstance(n, A.Service) and isinstance(n.iri, Var):
+                # a variable ENDPOINT is consumed lexically (the compiler
+                # collects its distinct values to dispatch service calls)
+                needed.add(n.iri.name)
         else:
             state["bail"] = True
 
@@ -907,15 +911,45 @@ def _(node: A.BGP, store: TripleStore) -> DataFrame:
     return _compile_bgp(node, store)
 
 
+def _flatten_join(n) -> list:
+    if isinstance(n, A.Join):
+        return _flatten_join(n.left) + _flatten_join(n.right)
+    return [n]
+
+
 @_compile.register
 def _(node: A.Join, store: TripleStore) -> DataFrame:
-    # SERVICE ?var: the endpoint is a VARIABLE bound by the sibling side
-    # (ref: ServiceCallJoin.java:386 — group the incoming solutions by the
-    # distinct as-bound serviceRef values, call each endpoint once)
-    if isinstance(node.right, A.Service) and isinstance(node.right.iri, Var):
-        return _service_var_join(store, node.left, node.right)
-    if isinstance(node.left, A.Service) and isinstance(node.left.iri, Var):
-        return _service_var_join(store, node.right, node.left)
+    # SERVICE ?var: the endpoint is a VARIABLE bound elsewhere in the join
+    # conjunction (ref: ServiceCallJoin.java:386 — group the incoming
+    # solutions by the distinct as-bound serviceRef values, call each
+    # endpoint once). Join is associative/commutative, so the binding may
+    # sit ANYWHERE in the flattened conjunct list, not just the direct
+    # sibling — compile everything else first, then resolve each
+    # variable-endpoint service against the joined solutions.
+    conjuncts = _flatten_join(node)
+    var_svcs = [
+        c for c in conjuncts
+        if isinstance(c, A.Service) and isinstance(c.iri, Var)
+    ]
+    if var_svcs:
+        others = [
+            c for c in conjuncts
+            if not (isinstance(c, A.Service) and isinstance(c.iri, Var))
+        ]
+        if not others:
+            raise ValueError(
+                f"SERVICE ?{var_svcs[0].iri.name}: a variable service "
+                "endpoint needs a sibling pattern in the same group "
+                "binding it (e.g. VALUES)"
+            )
+        ldf = _compile(others[0], store)
+        for o in others[1:]:
+            rdf = _compile(o, store)
+            shared = sorted(set(ldf.columns) & set(rdf.columns))
+            ldf = ldf.join(rdf, on=shared) if shared else ldf.crossJoin(rdf)
+        for svc in var_svcs:
+            ldf = _service_var_join(store, ldf, svc)
+        return ldf
     l, r = _compile(node.left, store), _compile(node.right, store)
     shared = sorted(set(l.columns) & set(r.columns))
     return l.join(r, on=shared) if shared else l.crossJoin(r)
@@ -927,13 +961,28 @@ def _(node: A.Join, store: TripleStore) -> DataFrame:
 SERVICE_VAR_MAX_ENDPOINTS = 64
 
 
-def _service_var_join(store: TripleStore, sibling, svc: "A.Service") -> DataFrame:
-    """Evaluate the sibling side, collect its DISTINCT endpoint bindings,
-    call the service once per endpoint, and natural-join the tagged union
-    back — the reference's as-bound serviceRef grouping. Solutions with the
-    endpoint var unbound are pruned (ref: ServiceCallJoin filters incoming
-    binding sets without a serviceRef binding)."""
-    ldf = _compile(sibling, store)
+def _pattern_var_names(n) -> set[str]:
+    """Variable names mentioned in a service block's patterns (the
+    service's possible output bindings)."""
+    out: set[str] = set()
+    if isinstance(n, A.BGP):
+        for sp in n.patterns:
+            out |= _pattern_var_names(sp)
+    elif isinstance(n, A.Join):
+        out |= _pattern_var_names(n.left) | _pattern_var_names(n.right)
+    elif isinstance(n, A.SP):
+        for t in (n.s, n.p, n.o, getattr(n, "g", None)):
+            if isinstance(t, Var):
+                out.add(t.name)
+    return out
+
+
+def _service_var_join(store: TripleStore, ldf: DataFrame, svc: "A.Service") -> DataFrame:
+    """Collect the solutions' DISTINCT endpoint bindings, call the service
+    once per endpoint, and natural-join the tagged union back — the
+    reference's as-bound serviceRef grouping. Solutions with the endpoint
+    var unbound are pruned (ref: ServiceCallJoin filters incoming binding
+    sets without a serviceRef binding)."""
     v = svc.iri.name
     if v not in ldf.columns:
         raise ValueError(
@@ -954,9 +1003,23 @@ def _service_var_join(store: TripleStore, sibling, svc: "A.Service") -> DataFram
     for r in rows:
         ep = r[0]
         res = _compile(A.Service(ep, svc.pattern, svc.raw, svc.silent), store)
-        parts.append(res.withColumn(v, F.lit(ep)))
-    if not parts:  # no bound endpoints → no output (reference behavior)
-        return ldf.limit(0)
+        if v in res.columns:
+            # the block itself binds the endpoint var: SPARQL join
+            # semantics FILTER on it — overwriting would keep (and
+            # mislabel) rows whose inner binding differs
+            res = res.filter(F.col(v) == F.lit(ep))
+        else:
+            res = res.withColumn(v, F.lit(ep))
+        parts.append(res)
+    if not parts:
+        # no bound endpoints → no output (reference behavior). Keep the
+        # service block's variable columns so outer projections over them
+        # still resolve on the empty frame.
+        out = ldf.limit(0)
+        for name in sorted(_pattern_var_names(svc.pattern)):
+            if name not in out.columns:
+                out = out.withColumn(name, F.lit(None).cast("string"))
+        return out
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p, allowMissingColumns=True)
@@ -1020,6 +1083,28 @@ def _(node: A.Values, store: TripleStore) -> DataFrame:
 
     spark = store.spark
     cols = sorted({k for row in node.rows for k in row})
+    if node.child is not None:
+        # variable-endpoint SERVICEs on the child's join spine resolve
+        # against the solutions INCLUDING these inline bindings (a VALUES
+        # clause is the usual way to bind ?ep) — evaluate everything else
+        # plus the bindings first, then dispatch the service calls
+        spine = _flatten_join(node.child)
+        var_svcs = [
+            c for c in spine
+            if isinstance(c, A.Service) and isinstance(c.iri, Var)
+        ]
+        if var_svcs:
+            others = [
+                c for c in spine
+                if not (isinstance(c, A.Service) and isinstance(c.iri, Var))
+            ]
+            rest = None
+            for o in others:
+                rest = o if rest is None else A.Join(rest, o)
+            ldf = _compile(A.Values(node.rows, child=rest), store)
+            for svc in var_svcs:
+                ldf = _service_var_join(store, ldf, svc)
+            return ldf
     if node.child is None:
         data = [tuple(row.get(c) for c in cols) for row in node.rows]
         return spark.createDataFrame(data, schema=", ".join(f"{c} string" for c in cols))

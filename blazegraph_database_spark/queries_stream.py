@@ -180,9 +180,11 @@ def stream_doc_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     filter (pure expressions, streaming-safe) → stateful exact content
     dedup (dropDuplicates on the 8-byte normalized-text hash — the
     streaming form of dedup_incremental: state is hashes, never text) →
-    per-language accepted counts. The batch oracle replays filter +
-    DISTINCT; parity holds because dedup keeps exactly one row per hash
-    and duplicate groups never span languages."""
+    per-language accepted counts. Dedup state is keyed (lang, hash), so
+    the batch oracle's DISTINCT (lang, normalized-text) matches EXACTLY
+    regardless of which duplicate row a micro-batch happens to deliver
+    first — no data assumption about duplicates never spanning languages
+    (review r5 finding)."""
     from blazegraph_database_spark.operators import dedup as D
     from blazegraph_database_spark.operators import text as T
 
@@ -194,6 +196,6 @@ def stream_doc_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q = T.quality_score(st).filter(F.col("quality") >= 0.5)
     hashed = q.withColumn("__h", F.xxhash64(D.normalize_text(F.col("text"))))
-    deduped = hashed.dropDuplicates(["__h"])
+    deduped = hashed.dropDuplicates(["lang", "__h"])
     kept = S.run_to_memory(deduped.select("lang", "__h"), output_mode="append")
     return kept.groupBy("lang").agg(F.count(F.lit(1)).alias("n_kept"))

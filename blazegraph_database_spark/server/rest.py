@@ -339,6 +339,11 @@ class SparqlEndpoint:
 
     def _run_query(self, qid, ns, text, accept, explain, timestamp, txid,
                    describe_mode, describe_iterations):
+        if qid in self._running or qid in self._pending_cancels:
+            # a client-assigned id colliding with a live query (or a still-
+            # firing pending-cancel for the previous holder) would share
+            # one job group — the re-fire loop would kill the newcomer
+            raise ValueError(f"queryId {qid!r} is already in use")
         gid = f"rest-query-{qid}"
         sc = self.spark.sparkContext
         # thread-local: ThreadingHTTPServer gives each request its own
@@ -904,6 +909,33 @@ class SparqlEndpoint:
         ser, ctype = _pick(accept, _GRAPH_FMTS, NT)
         return 200, ctype, ser(df, self.max_result_rows)
 
+    # the reference's Java properties-XML wire format (PropertiesFormat),
+    # shared by /dataloader, namespace creation, and /properties — ONE
+    # parse/render pair so escaping fixes don't diverge
+    @staticmethod
+    def _parse_properties_xml(body: bytes) -> dict:
+        import re as _re
+        from xml.sax.saxutils import unescape
+
+        return {
+            unescape(k): unescape(v)
+            for k, v in _re.findall(
+                r'<entry key="([^"]+)">([^<]*)</entry>', body.decode()
+            )
+        }
+
+    @staticmethod
+    def _render_properties_xml(entries: dict) -> bytes:
+        from xml.sax.saxutils import escape
+
+        body = ['<?xml version="1.0" encoding="UTF-8" standalone="no"?>',
+                "<properties>"]
+        for k, v in entries.items():
+            ek = escape(str(k), {'"': "&quot;"})
+            body.append(f'<entry key="{ek}">{escape(str(v))}</entry>')
+        body.append("</properties>")
+        return "\n".join(body).encode()
+
     # file-extension → reader dispatch for the bulk loader (ref: the
     # DataLoader's RDFFormat.forFileName detection)
     _EXT_READERS = {
@@ -930,11 +962,7 @@ class SparqlEndpoint:
         an interrupted load can re-run without re-ingesting."""
         base_ct = ctype.split(";")[0].strip()
         if base_ct in ("application/xml", "text/xml"):
-            import re as _re
-
-            props = dict(
-                _re.findall(r'<entry key="([^"]+)">([^<]*)</entry>', body.decode())
-            )
+            props = self._parse_properties_xml(body)
         else:
             props = json.loads(body.decode()) if body else {}
         target_ns = props.get("namespace", ns)
@@ -1048,12 +1076,7 @@ class SparqlEndpoint:
                 str(getattr(us, "tm_strategy", None) is not None).lower(),
             "commitPoints": str(len(us.versions)),
         }
-        body = ['<?xml version="1.0" encoding="UTF-8" standalone="no"?>',
-                "<properties>"]
-        for k, v in entries.items():
-            body.append(f'<entry key="{k}">{v}</entry>')
-        body.append("</properties>")
-        return 200, "application/xml", "\n".join(body).encode()
+        return 200, "application/xml", self._render_properties_xml(entries)
 
     def counters(self, ns: str) -> tuple[int, str, bytes]:
         stats = self.namespaces[ns].current.stats()
@@ -1099,11 +1122,7 @@ class SparqlEndpoint:
                     if "name" in params:
                         name = params["name"]
                     else:
-                        import re as _re
-
-                        props = dict(_re.findall(
-                            r'<entry key="([^"]+)">([^<]*)</entry>', body.decode()
-                        ))
+                        props = self._parse_properties_xml(body)
                         name = props.get("com.bigdata.rdf.sail.namespace")
                         if not name:
                             raise ValueError(

@@ -910,3 +910,57 @@ def test_service_variable_endpoint(spark):
     # the endpoint var must be bound by a sibling
     with _pytest.raises(ValueError, match="binding it|binds"):
         run_sparql(st, "SELECT ?r WHERE { SERVICE ?ep { } }")
+
+
+def test_service_variable_endpoint_deep_and_inner_binding(spark):
+    """SERVICE ?ep review fixes: (a) the binding may sit ANYWHERE in the
+    join conjunction, not just the direct sibling; (b) a block that itself
+    binds the endpoint var join-filters on it instead of being
+    overwritten; (c) zero bound endpoints yield an EMPTY result carrying
+    the block's var columns."""
+    from blazegraph_database_spark.model.store import TripleStore
+    from blazegraph_database_spark.operators import service
+    from blazegraph_database_spark.plans.sparql_parser import run_sparql
+
+    st = TripleStore(spark.createDataFrame(
+        [("a", "p", "1", "long")], "s string, p string, o_lex string, o_dt string"
+    ))
+    service.register_stored_query(
+        "http://app/deep1",
+        lambda store, params: store.df.sparkSession.createDataFrame(
+            [("d1",)], "r string"),
+    )
+    # (a) SERVICE first, VALUES later in the same group
+    q = """
+    SELECT ?ep ?r WHERE {
+      SERVICE ?ep { }
+      ?s <p> ?o .
+      VALUES ?ep { <http://app/deep1> }
+    }
+    """
+    got = [tuple(r) for r in run_sparql(st, q).collect()]
+    assert got == [("http://app/deep1", "d1")]
+    # (b) inner block binding the endpoint var: join-filter, not overwrite
+    service.register_stored_query(
+        "http://app/echo",
+        lambda store, params: store.df.sparkSession.createDataFrame(
+            [("http://app/echo",), ("http://app/OTHER",)], "ep string"),
+    )
+    q2 = """
+    SELECT ?ep WHERE {
+      VALUES ?ep { <http://app/echo> }
+      SERVICE ?ep { }
+    }
+    """
+    got2 = [r.ep for r in run_sparql(st, q2).collect()]
+    assert got2 == ["http://app/echo"]  # the OTHER row must be dropped
+    # (c) no bound endpoint at all -> empty result, block vars projectable
+    q3 = """
+    SELECT ?r WHERE {
+      ?s <p> ?o OPTIONAL { ?s <missing> ?ep }
+      SERVICE ?ep { ?r <bds:search> "q" . }
+    }
+    """
+    # OPTIONAL binds ?ep nowhere -> all-null endpoint set -> zero rows
+    out3 = run_sparql(st, q3)
+    assert out3.count() == 0 and "r" in out3.columns
