@@ -327,3 +327,52 @@ def test_writers_roundtrip_property(spark, rows):
             f.write(doc)
         back = {tuple(r) for r in getattr(rdf_formats, reader)(spark, path).collect()}
         assert back == {norm(t) for t in orig}, writer
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(["aa", "bb", "cc"]), min_size=0, max_size=10),
+        min_size=1,
+        max_size=5,
+    )
+)
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+def test_remove_duplicate_spans_matches_reference(spark, docs):
+    """Span dedup must equal a direct Python reference on random tiny
+    corpora (3-word alphabet forces heavy window collisions — the
+    adversarial case for keeper selection and overlap handling)."""
+    from collections import Counter, defaultdict
+
+    from blazegraph_database_spark.operators import dedup
+
+    k = 3
+    words = {i: ws for i, ws in enumerate(docs)}
+
+    # reference implementation: first (doc_id, pos) occurrence of each
+    # duplicated k-window survives; every other occurrence's range is cut
+    occ = []
+    for i, ws in words.items():
+        for p in range(1, len(ws) - k + 2):
+            occ.append((i, p, tuple(ws[p - 1 : p - 1 + k])))
+    cnt = Counter(g for _, _, g in occ)
+    keeper = {}
+    for i, p, g in sorted(occ):
+        keeper.setdefault(g, (i, p))
+    covered = defaultdict(set)
+    for i, p, g in occ:
+        if cnt[g] > 1 and keeper[g] != (i, p):
+            covered[i].update(range(p, p + k))
+    expect = {
+        i: (len(ws), len(covered[i] & set(range(1, len(ws) + 1))),
+            " ".join(w for j, w in enumerate(ws, 1) if j not in covered[i]))
+        for i, ws in words.items()
+    }
+
+    df = spark.createDataFrame(
+        [(i, " ".join(ws)) for i, ws in words.items()], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["n_words"], r["n_removed"], r["clean_text"])
+        for r in dedup.remove_duplicate_spans(df, k=k).collect()
+    }
+    assert got == expect
