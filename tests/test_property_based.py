@@ -376,3 +376,34 @@ def test_remove_duplicate_spans_matches_reference(spark, docs):
         for r in dedup.remove_duplicate_spans(df, k=k).collect()
     }
     assert got == expect
+
+
+@given(ids=st.lists(st.integers(0, 10**9), min_size=1, max_size=30, unique=True))
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+def test_deterministic_shuffle_matches_md5_arithmetic(spark, ids):
+    seed = "epX"
+    """The epoch shuffle's (shard, pos) must equal plain-Python md5
+    arithmetic — the cross-engine determinism the op promises (same rows,
+    same order, on any cluster layout or engine)."""
+    import hashlib
+
+    from blazegraph_database_spark.operators import text as T
+
+    def key(i):
+        return int(hashlib.md5(f"{seed}:{i}".encode()).hexdigest()[:12], 16)
+
+    shards = 4
+    by_shard = {}
+    for i in ids:
+        by_shard.setdefault(key(i) % shards, []).append(i)
+    expect = {}
+    for sh, members in by_shard.items():
+        for pos, i in enumerate(sorted(members, key=lambda x: (key(x), x)), 1):
+            expect[i] = (sh, pos)
+
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    got = {
+        r["doc_id"]: (r["shard"], r["pos"])
+        for r in T.deterministic_shuffle(df, shards=shards, seed=seed).collect()
+    }
+    assert got == expect
