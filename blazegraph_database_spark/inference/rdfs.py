@@ -372,10 +372,33 @@ def inverse_of_closure(df: DataFrame) -> DataFrame:
     return df.unionByName(inferred).distinct()
 
 
+# schema-statement collects (transitive-property declarations, chain
+# axioms) are schema-sized by construction; the cap turns a pathological
+# data set (millions of axiom subjects) into a loud error instead of a
+# silent driver stall (VERDICT r4)
+SCHEMA_COLLECT_MAX = 10_000
+
+
+def _bounded_schema_collect(df: DataFrame, what: str) -> list:
+    rows = df.limit(SCHEMA_COLLECT_MAX + 1).collect()
+    if len(rows) > SCHEMA_COLLECT_MAX:
+        raise ValueError(
+            f"{what}: more than {SCHEMA_COLLECT_MAX} schema statements — "
+            "this is data mis-modeled as schema; refusing the driver-side "
+            "rule compilation"
+        )
+    return rows
+
+
 def transitive_property_closure(df: DataFrame) -> DataFrame:
     """owl:TransitiveProperty: close every declared-transitive predicate."""
     preds = [
-        r["s"] for r in df.filter((F.col("p") == RDF_TYPE) & (F.col("o_lex") == OWL_TRANSITIVE)).select("s").distinct().collect()
+        r["s"]
+        for r in _bounded_schema_collect(
+            df.filter((F.col("p") == RDF_TYPE) & (F.col("o_lex") == OWL_TRANSITIVE))
+            .select("s").distinct(),
+            "owl:TransitiveProperty declarations",
+        )
     ]
     out = df
     for p in preds:  # declared-transitive predicate list is small (schema)
@@ -617,12 +640,31 @@ def _read_chains(df: DataFrame) -> list[tuple[str, list[str]]]:
     the reference's rule-program compilation reads its ontology."""
     axioms = {
         r["s"]: r["o_lex"]
-        for r in df.filter(F.col("p") == OWL_PROPCHAIN).select("s", "o_lex").collect()
+        for r in _bounded_schema_collect(
+            df.filter(F.col("p") == OWL_PROPCHAIN).select("s", "o_lex"),
+            "owl:propertyChainAxiom axioms",
+        )
     }
     if not axioms:
         return []
+    # rdf:first/rest also encodes DATA collections (Turtle `(...)`), not
+    # just axiom spines — the cap is 10x looser here so a list-heavy
+    # corpus with a few legitimate chain axioms still compiles; chains
+    # themselves are bounded at 32 hops per axiom below
     firsts, rests = {}, {}
-    for r in df.filter(F.col("p").isin(RDF_FIRST, RDF_REST)).select("s", "p", "o_lex").collect():
+    spine_rows = (
+        df.filter(F.col("p").isin(RDF_FIRST, RDF_REST))
+        .select("s", "p", "o_lex")
+        .limit(SCHEMA_COLLECT_MAX * 10 + 1)
+        .collect()
+    )
+    if len(spine_rows) > SCHEMA_COLLECT_MAX * 10:
+        raise ValueError(
+            f"rdf:first/rest spine collect exceeds {SCHEMA_COLLECT_MAX * 10} "
+            "statements — list-heavy data with owl:propertyChainAxiom "
+            "present; refusing the driver-side rule compilation"
+        )
+    for r in spine_rows:
         (firsts if r["p"] == RDF_FIRST else rests)[r["s"]] = r["o_lex"]
     out = []
     for prop, head in axioms.items():
