@@ -407,3 +407,53 @@ def test_deterministic_shuffle_matches_md5_arithmetic(spark, ids):
         for r in T.deterministic_shuffle(df, shards=shards, seed=seed).collect()
     }
     assert got == expect
+
+
+@given(
+    corpus=st.lists(
+        st.lists(st.sampled_from(["w1", "w2", "w3", "w4"]), min_size=3, max_size=8),
+        min_size=1,
+        max_size=4,
+    ),
+    probes=st.lists(
+        st.lists(st.sampled_from(["w1", "w2", "w3", "w4"]), min_size=3, max_size=8),
+        min_size=1,
+        max_size=2,
+    ),
+)
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+def test_fuzzy_decontaminate_matches_bruteforce(spark, corpus, probes):
+    """LSH-bucketed decontamination must equal brute-force shingle Jaccard
+    at threshold 0.7 (32x2 banding recall ~1-4e-10 makes them equal)."""
+    from blazegraph_database_spark.operators import dedup
+
+    def shingles(ws):
+        return {tuple(ws[i : i + 3]) for i in range(len(ws) - 2)}
+
+    expect = {}
+    for ci, cws in enumerate(corpus):
+        cs = shingles(cws)
+        if not cs:
+            continue
+        jacs = []
+        for pws in probes:
+            ps = shingles(pws)
+            if not ps:
+                continue
+            j = len(cs & ps) / len(cs | ps)
+            if round(j, 4) >= 0.7:
+                jacs.append(round(j, 4))
+        if jacs:
+            expect[ci] = (len(jacs), max(jacs))
+
+    cdf = spark.createDataFrame(
+        [(i, " ".join(ws)) for i, ws in enumerate(corpus)], "doc_id long, text string"
+    )
+    pdf = spark.createDataFrame(
+        [(100 + i, " ".join(ws)) for i, ws in enumerate(probes)], "doc_id long, text string"
+    )
+    got = {
+        r["id"]: (r["n_matched"], r["max_jac"])
+        for r in dedup.fuzzy_decontaminate(cdf, pdf, threshold=0.7).collect()
+    }
+    assert got == expect
