@@ -28,6 +28,7 @@ from dataclasses import dataclass
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+from blazegraph_database_spark.functions import registry as func_registry
 from blazegraph_database_spark.functions import sparql_funcs as fn
 from blazegraph_database_spark.model.terms import Lit, Var
 from blazegraph_database_spark.plans import algebra as A
@@ -500,7 +501,26 @@ class Parser:
             return F.lit(term.lex)
         if t.kind in ("IRI", "PNAME") and self.peek(1).text == "(":
             # xsd cast-as-function call: xsd:integer(?x) / <...#double>(?x)
-            name = self.expand_pname(t.text) if t.kind == "PNAME" else t.text[1:-1]
+            name = self.expand_pname(t.text) if t.kind == "PNAME" else self.resolve_iri(t.text[1:-1])
+            # registered custom/XPath function call by IRI (ref:
+            # FunctionRegistry.java — external factories invoked from any
+            # expression position; TestCustomFunction.java is the model).
+            # Exact-IRI registration wins over the local-name xsd-cast
+            # heuristic below (a user registering <http://ex/fn#double>
+            # means their function, not a cast).
+            impl = func_registry.resolve_function(name)
+            if impl is not None:
+                self.next()
+                self.eat_op("(")
+                args = []
+                if not self.at_op(")"):
+                    args.append(self._func_arg())
+                    while self.at_op(","):
+                        self.next()
+                        args.append(self._func_arg())
+                self.eat_op(")")
+                return impl(*args)
+            # xsd cast-as-function by local name: xsd:integer(?x)
             local = name.rsplit("#", 1)[-1].rsplit(":", 1)[-1]
             if local in _XSD_CAST_LOCAL:
                 self.next()
@@ -664,6 +684,14 @@ class Parser:
                 return FUNCS_N[kw](*args)
         raise SyntaxError(f"bad expression at {t.text!r}")
 
+    def _func_arg(self):
+        """One argument of a registered-function call: string literals pass
+        through as python strings (pattern/separator-style args, matching
+        the FUNCS_2 convention above); everything else is a full expr."""
+        if self.peek().kind == "STRING":
+            return self.term().lex
+        return self.expr()
+
     def _agg_call(self) -> tuple[str, Column]:
         name = self.next().text.upper()
         self.eat_op("(")
@@ -685,14 +713,30 @@ class Parser:
             self.eat_op("=")
             sep = self.term().lex
         self.eat_op(")")
-        if name == "GROUP_CONCAT" and sep is not None:
-            return name.lower(), fn.GROUP_CONCAT(arg, sep)
+        if name == "GROUP_CONCAT":
+            # DISTINCT dedups the multiset before concatenation (SPARQL 1.1
+            # §18.5.1.7); collect_set is the distinct collect, and the same
+            # deterministic array_sort GROUP_CONCAT already applies
+            if distinct:
+                col = F.array_join(
+                    F.array_sort(F.collect_set(arg)), sep if sep is not None else " "
+                )
+            else:
+                col = fn.GROUP_CONCAT(arg, sep) if sep is not None else fn.GROUP_CONCAT(arg)
+            return name.lower(), col
         if name == "COUNT":
             if arg is None:
                 col = F.count(F.lit(1))
             else:
                 col = F.count_distinct(arg) if distinct else F.count(arg)
+        elif distinct and name == "SUM":
+            col = F.sum_distinct(fn.num(arg))
+        elif distinct and name == "AVG":
+            # AVG(DISTINCT x) = SUM(DISTINCT x) / COUNT(DISTINCT x); Spark
+            # has no avg_distinct built-in but the quotient is exact
+            col = F.sum_distinct(fn.num(arg)) / F.count_distinct(fn.num(arg))
         else:
+            # MIN/MAX/SAMPLE are distinct-insensitive per the spec
             col = AGGS[name](arg)
         return name.lower(), col
 

@@ -1227,3 +1227,76 @@ def sparql_hash_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE { ?d <text> ?t } ORDER BY ?d
         """,
     ).select(F.col("d"), "m", "h")
+
+
+@register(
+    "custom_function",
+    """
+    SELECT l_returnflag AS rf,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS margin
+    FROM lineitem WHERE l_quantity < 10
+    GROUP BY l_returnflag ORDER BY rf
+    """,
+)
+def custom_function(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Application-registered custom function invoked by IRI from SPARQL
+    text (ref: sparql/ast/FunctionRegistry.java add()/Factory,
+    eval/TestCustomFunction.java): <http://example.org/fn#margin> compiles
+    straight into the Catalyst plan (pure Column arithmetic, whole-stage
+    codegen — no Python UDF), aggregated per return flag."""
+    from blazegraph_database_spark.functions import registry as freg
+    from blazegraph_database_spark.plans.sparql_parser import run_sparql
+
+    freg.register_function(
+        "http://example.org/fn#margin",
+        lambda p, d: p.cast("double") * (1 - d.cast("double")),
+        replace=True,
+    )
+    st = cached_store(spark, sf_dir)
+    q = """
+    SELECT ?rf (SUM(<http://example.org/fn#margin>(?ep, ?disc)) AS ?m) WHERE {
+      ?l <lineitem#l_returnflag> ?rf .
+      ?l <lineitem#l_extendedprice> ?ep .
+      ?l <lineitem#l_discount> ?disc .
+      ?l <lineitem#l_quantity> ?q .
+      FILTER(?q < 10)
+    }
+    GROUP BY ?rf
+    ORDER BY ?rf
+    """
+    return run_sparql(st, q).select("rf", F.round("m", 2).alias("margin"))
+
+
+@register(
+    "agg_distinct",
+    """
+    SELECT l_returnflag AS rf,
+           CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS suppliers,
+           ROUND(SUM(DISTINCT CAST(l_quantity AS DOUBLE)), 2) AS qty_sum,
+           string_agg(DISTINCT l_linestatus, ',' ORDER BY l_linestatus) AS statuses
+    FROM lineitem GROUP BY l_returnflag ORDER BY rf
+    """,
+)
+def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT-qualified aggregates COUNT/SUM/GROUP_CONCAT(DISTINCT ...)
+    through the text parser (SPARQL 1.1 §18.5.1 set-quantified aggregates;
+    ref: AggregateBase.Annotations.DISTINCT on every reference aggregate
+    bop) — dedup happens inside the aggregation, partial-agg friendly."""
+    from blazegraph_database_spark.plans.sparql_parser import run_sparql
+
+    st = cached_store(spark, sf_dir)
+    q = """
+    SELECT ?rf (COUNT(DISTINCT ?sk) AS ?suppliers)
+               (SUM(DISTINCT ?qty) AS ?qs)
+               (GROUP_CONCAT(DISTINCT ?ls; separator=",") AS ?statuses) WHERE {
+      ?l <lineitem#l_returnflag> ?rf .
+      ?l <lineitem#l_suppkey> ?sk .
+      ?l <lineitem#l_quantity> ?qty .
+      ?l <lineitem#l_linestatus> ?ls .
+    }
+    GROUP BY ?rf
+    ORDER BY ?rf
+    """
+    return run_sparql(st, q).select(
+        "rf", "suppliers", F.round("qs", 2).alias("qty_sum"), "statuses"
+    )

@@ -22,6 +22,8 @@ _CATALOG_MODULES = [
 # its r3 row and rotates in next round.
 _SCORE_FIRST = [
     # (a) round-5 additions — inserted here as they land.
+    "custom_function",
+    "agg_distinct",
     "dataset_shuffle",
     "dataset_stratified_exact",
     "text_decontaminate_fuzzy",
