@@ -278,6 +278,7 @@ _TTL_TOKEN = re.compile(
     (?P<WS>\s+|\#[^\n]*)
   | (?P<TRIPLEQ>\"\"\"(?:[^"\\]|\\.|"(?!""))*\"\"\")
   | (?P<STRING>"(?:[^"\\\n]|\\.)*")
+  | (?P<SOP><<|>>)
   | (?P<IRI><[^>\s]*>)
   | (?P<BNODE>_:[A-Za-z0-9_][A-Za-z0-9_.-]*)
   | (?P<NUM>[+-]?(?:\d+\.\d+(?:[eE][+-]?\d+)?|\.\d+(?:[eE][+-]?\d+)?|\d+[eE][+-]?\d+|\d+))
@@ -302,7 +303,11 @@ class _TurtleParser:
         self.toks: list[tuple[str, str]] = []
         for m in _TTL_TOKEN.finditer(doc):
             if m.lastgroup != "WS":
-                self.toks.append((m.lastgroup, m.group()))
+                # SOP (<< / >>) is ordered before IRI in the token grammar so
+                # compact RDR like <<<s> <p> <o>>> never mis-lexes as an IRI;
+                # downstream it is an ordinary OP token
+                kind = "OP" if m.lastgroup == "SOP" else m.lastgroup
+                self.toks.append((kind, m.group()))
         self.i = 0
         self.prefixes: dict[str, str] = {}
         self.base = ""
@@ -408,6 +413,26 @@ class _TurtleParser:
             return text, "long"
         if kind == "KW" and text in ("true", "false"):
             return text, "boolean"
+        if (kind, text) == ("OP", "<<"):
+            # RDR / Turtle-star embedded statement <<s p o>> (ref:
+            # BigdataTurtleParser's RDR mode — rio/turtle/
+            # BigdataTurtleParser.java): per RDR semantics the inner
+            # statement is ALSO asserted, and the term itself is the
+            # deterministic sid the compiler's SPARQL-star patterns join on
+            # (same encoding as sources/ntriples.read_ntriples_star).
+            es, _ = self.term(as_subject=True)
+            pk, pt = self.peek()
+            if pk == "KW" and pt == "a":
+                self.next()
+                ep = RDF_NS + "type"
+            else:
+                ep = self.term()[0]
+            eo, eodt = self.term()
+            if self.peek() != ("OP", ">>"):
+                raise SyntaxError("turtle: expected '>>' closing an embedded statement")
+            self.next()
+            self.out.append((es, ep, eo, eodt))
+            return f"<<{es}|{ep}|{eo}|{eodt}>>", "sid"
         if (kind, text) == ("OP", "["):
             bn = self._new_bnode()
             if self.peek() != ("OP", "]"):  # [ p o ; ... ]

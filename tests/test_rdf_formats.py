@@ -387,3 +387,49 @@ def test_write_turtle_distributed(spark, tmp_path):
     parts = [p for p in glob.glob(f"{out}/part-*") if not p.endswith(".crc")]
     texts = [open(p).read() for p in parts]
     assert all(t.startswith("@prefix ex:") for t in texts if t.strip())
+
+
+# ------------------------------------------------------- Turtle RDR --------
+def test_turtle_rdr_embedded(spark, tmp_path):
+    """Turtle-star / RDR embedded statements in the Turtle reader (ref:
+    rio/turtle/BigdataTurtleParser.java RDR mode): inner statement asserted,
+    sid term joinable by SPARQL-star patterns."""
+    from blazegraph_database_spark.model.store import TripleStore
+    from blazegraph_database_spark.plans.sparql_parser import run_sparql
+    from blazegraph_database_spark.sources.rdf_formats import read_turtle
+
+    # note: asserting ex:a ex:age 30 explicitly AS WELL would duplicate the
+    # row (the store is a multiset; the RDR line already asserts the inner
+    # statement, matching read_ntriples_star)
+    doc = """@prefix ex: <http://ex/> .
+    <<ex:a ex:age 30>> ex:creator ex:crawler .
+    ex:x ex:saw <<ex:b a ex:Person>> .
+    <<<http://ex/c> <http://ex/knows> <http://ex/d>>> ex:w "0.9"^^<http://www.w3.org/2001/XMLSchema#double> .
+    """
+    f = tmp_path / "rdr.ttl"
+    f.write_text(doc)
+    df = read_turtle(spark, str(f))
+    rows = {tuple(r) for r in df.collect()}
+    # inner statements asserted (RDR semantics)
+    assert ("http://ex/a", "http://ex/age", "30", "long") in rows
+    assert ("http://ex/c", "http://ex/knows", "http://ex/d", "iri") in rows
+    # sid metadata triples present, object-position sid tagged 'sid'
+    assert any(s.startswith("<<http://ex/a|") and p.endswith("creator") for s, p, _, _ in rows)
+    assert any(dt == "sid" for _, _, _, dt in rows)
+    # SPARQL-star join works over the loaded store
+    st = TripleStore(df)
+    out = run_sparql(
+        st,
+        "SELECT ?s ?c WHERE { <<?s <http://ex/age> ?v>> <http://ex/creator> ?c }",
+    ).collect()
+    assert [(r["s"], r["c"]) for r in out] == [("http://ex/a", "http://ex/crawler")]
+
+
+def test_trig_rdr_graph_scoped(spark, tmp_path):
+    from blazegraph_database_spark.sources.rdf_formats import read_trig
+
+    f = tmp_path / "rdr.trig"
+    f.write_text('@prefix ex: <http://ex/> .\nex:g { <<ex:a ex:p ex:b>> ex:m "v" . }')
+    rows = {tuple(r) for r in read_trig(spark, str(f)).collect()}
+    assert ("http://ex/a", "http://ex/p", "http://ex/b", "iri", "http://ex/g") in rows
+    assert ("<<http://ex/a|http://ex/p|http://ex/b|iri>>", "http://ex/m", "v", "string", "http://ex/g") in rows
