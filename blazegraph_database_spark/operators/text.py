@@ -507,3 +507,80 @@ def stratified_sample_exact(
         .filter(F.col("srank") <= quota)
         .drop("srank")
     )
+
+
+def temperature_rates(
+    df: DataFrame,
+    budget: int,
+    alpha_sqrt: bool = True,
+    group_col: str = "lang",
+) -> dict:
+    """Temperature-scaled mixture rates (the mT5/XLM-R reweighting:
+    sample domain i proportional to p_i^alpha, alpha<1 up-weighting
+    low-resource domains). With alpha=0.5 the weight is sqrt(n_i); to stay
+    integer-exact cross-engine (a SQL oracle must reproduce the rates
+    bit-for-bit) the weight is floor(sqrt(n_i)) and every subsequent step
+    is integer arithmetic:
+
+        w_i      = isqrt(n_i)
+        target_i = budget * w_i // sum(w)
+        rate_i   = min(10000, 10000 * target_i // n_i)   [permyriad]
+
+    Returns {group: permyriad} for stratified_sample. The group-count
+    collect is mixture-schema-sized (one row per domain), never corpus-
+    sized."""
+    import math
+
+    counts = {
+        r["g"]: r["n"]
+        for r in df.groupBy(F.col(group_col).alias("g")).agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    if not alpha_sqrt:
+        raise NotImplementedError("only alpha=0.5 (sqrt) is integer-exact")
+    w = {g: math.isqrt(n) for g, n in counts.items()}
+    sw = sum(w.values()) or 1
+    rates = {}
+    for g, n in counts.items():
+        target = budget * w[g] // sw
+        rates[g] = min(10000, 10000 * target // n)
+    return rates
+
+
+def resample_epochs(
+    df: DataFrame,
+    rates: dict,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    default_permyriad: int = 0,
+    seed: str = "epoch",
+) -> DataFrame:
+    """Deterministic resampling WITH repetition: ``rates`` in permyriad may
+    exceed 10000 — 25000 means every row appears twice and survives a 50%
+    hash-filter for the third copy (2.5 "epochs" of that domain, the
+    standard low-resource upsampling move). Downsampling (<10000) matches
+    stratified_sample exactly.
+
+    Pure expressions: each row explodes into ceil(rate/10000) candidate
+    copies (bounded by the mixture spec, not the data) tagged rep=0,1,...;
+    copy k survives iff rate - 10000*k > bucket(seed, group, id, k). Output
+    carries a ``rep`` column so downstream shuffles (dataset_shuffle) can
+    interleave copies. Reproducible row-for-row at any scale/partitioning;
+    no RNG state, no driver loop."""
+    rate = F.lit(default_permyriad)
+    for g, r in sorted(rates.items()):
+        rate = F.when(F.col(group_col) == g, F.lit(int(r))).otherwise(rate)
+    out = df.withColumn("__rate", rate)
+    reps = F.explode(F.sequence(F.lit(0), F.floor((F.col("__rate") - 1) / 10000).cast("int")))
+    out = out.filter(F.col("__rate") > 0).withColumn("rep", reps)
+    b = _md5_bucket(
+        F.concat(
+            F.lit(seed + ":"),
+            F.col(group_col),
+            F.lit(":"),
+            F.col(id_col).cast("string"),
+            F.lit(":"),
+            F.col("rep").cast("string"),
+        ),
+        10000,
+    )
+    return out.filter(F.col("__rate") - F.lit(10000) * F.col("rep") > b).drop("__rate")

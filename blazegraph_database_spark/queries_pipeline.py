@@ -1184,3 +1184,89 @@ def text_remove_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_removed").cast("int").alias("n_removed"),
         F.md5("clean_text").alias("clean_md5"),
     )
+
+
+@register(
+    "dataset_mix_temperature",
+    """
+    WITH c AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n FROM documents GROUP BY lang),
+    w AS (SELECT lang, n, CAST(FLOOR(SQRT(n)) AS BIGINT) AS w FROM c),
+    s AS (SELECT SUM(w) AS sw FROM w),
+    r AS (
+        SELECT lang, n, LEAST(10000, (10000 * ((250 * w) // sw)) // n) AS rate
+        FROM w, s
+    ),
+    k AS (
+        SELECT d.lang, d.doc_id
+        FROM documents d JOIN r ON d.lang = r.lang
+        WHERE CAST(('0x' || substr(md5('mixtemp:' || d.lang || ':' || CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10000
+              < r.rate
+    )
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS kept, CAST(SUM(doc_id) AS BIGINT) AS id_sum
+    FROM k GROUP BY lang ORDER BY lang
+    """,
+)
+def dataset_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled domain mixture (mT5/XLM-R alpha=0.5 reweighting):
+    per-language keep rates derived FROM the corpus counts via integer-only
+    arithmetic (isqrt weights, floor divisions) so the SQL oracle replays
+    the rate computation AND the hash-filter membership bit-for-bit. The
+    count collect is one row per domain; the sampling itself is a pure
+    filter expression (operators/text.temperature_rates +
+    stratified_sample)."""
+    docs = _docs(spark, sf_dir)
+    rates = text.temperature_rates(docs, budget=250, group_col="lang")
+    kept = text.stratified_sample(docs, rates, group_col="lang", seed="mixtemp")
+    return (
+        kept.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("kept"), F.sum("doc_id").alias("id_sum"))
+        .orderBy("lang")
+    )
+
+
+@register(
+    "dataset_resample",
+    """
+    WITH r AS (
+        SELECT doc_id, lang,
+               CASE lang WHEN 'en' THEN 25000 WHEN 'fr' THEN 15000
+                         WHEN 'zh' THEN 5000 ELSE 0 END AS rate
+        FROM documents
+    ),
+    e AS (
+        SELECT doc_id, lang, rate, unnest(generate_series(0, (rate - 1) // 10000)) AS rep
+        FROM r WHERE rate > 0
+    ),
+    k AS (
+        SELECT * FROM e
+        WHERE rate - 10000 * rep >
+              CAST(('0x' || substr(md5('epoch:' || lang || ':' || CAST(doc_id AS VARCHAR) || ':' || CAST(rep AS VARCHAR)), 1, 8)) AS BIGINT) % 10000
+    )
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(SUM(doc_id * (rep + 1)) AS BIGINT) AS chk
+    FROM k GROUP BY lang ORDER BY lang
+    """,
+)
+def dataset_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic epoch resampling WITH repetition: permyriad rates above
+    10000 duplicate rows (2.5 epochs = two full copies + a 50% hash-filtered
+    third), the standard low-resource upsampling move a rate-capped sampler
+    cannot express. Copies are tagged rep=0,1,... so downstream epoch
+    shuffles interleave them; membership is a pure hash expression the
+    oracle unrolls with generate_series (operators/text.resample_epochs).
+    chk = SUM(doc_id*(rep+1)) checks exact copy membership, not just
+    counts."""
+    docs = _docs(spark, sf_dir)
+    out = text.resample_epochs(
+        docs, {"en": 25000, "fr": 15000, "zh": 5000}, group_col="lang", seed="epoch"
+    )
+    return (
+        out.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count_distinct("doc_id").alias("n_docs"),
+            F.sum(F.col("doc_id") * (F.col("rep") + 1)).alias("chk"),
+        )
+        .orderBy("lang")
+    )

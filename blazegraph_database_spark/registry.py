@@ -24,6 +24,8 @@ _SCORE_FIRST = [
     # (a) round-5 additions — inserted here as they land.
     "custom_function",
     "agg_distinct",
+    "dataset_mix_temperature",
+    "dataset_resample",
     "dataset_shuffle",
     "dataset_stratified_exact",
     "text_decontaminate_fuzzy",

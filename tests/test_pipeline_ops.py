@@ -452,3 +452,54 @@ def test_remove_duplicate_spans(spark):
     # doc 4: BOTH its occurrences cut (doc 1 owns the keeper)
     assert out[4]["clean_text"] == "x y middle"
     assert out[4]["n_removed"] == 18
+
+
+# ----------------------------------------------- temperature mix / epochs --
+def test_temperature_rates_upweight_low_resource(spark):
+    from blazegraph_database_spark.operators import text as T
+
+    rows = [(i, "big") for i in range(400)] + [(i + 1000, "small") for i in range(25)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    rates = T.temperature_rates(df, budget=200, group_col="lang")
+    # alpha=0.5: weights isqrt(400)=20, isqrt(25)=5 -> targets 160/40 ->
+    # rates 4000 permyriad of big, 10000(capped, 40/25>1) of small: the
+    # low-resource group keeps a HIGHER fraction
+    assert rates["small"] == 10000
+    assert rates["big"] == 10000 * (200 * 20 // 25) // 400 == 4000
+    # integer-exactness: recompute by hand
+    import math
+    sw = math.isqrt(400) + math.isqrt(25)
+    assert rates["big"] == min(10000, 10000 * (200 * math.isqrt(400) // sw) // 400)
+
+
+def test_resample_epochs_repetition(spark):
+    from blazegraph_database_spark.operators import text as T
+
+    df = spark.createDataFrame([(i, "en") for i in range(200)], "doc_id long, lang string")
+    out = T.resample_epochs(df, {"en": 25000}, group_col="lang").cache()
+    by_rep = {r["rep"]: r["n"] for r in out.groupBy("rep").agg(F.count(F.lit(1)).alias("n")).collect()}
+    # rep 0 and 1 are full copies; rep 2 survives a 50% hash filter
+    assert by_rep[0] == 200 and by_rep[1] == 200
+    assert 60 < by_rep[2] < 140
+    # deterministic: rerun equals itself row-for-row
+    again = T.resample_epochs(df, {"en": 25000}, group_col="lang")
+    assert out.select("doc_id", "rep").exceptAll(again.select("doc_id", "rep")).count() == 0
+
+
+def test_resample_epochs_downsample_matches_stratified(spark):
+    from blazegraph_database_spark.operators import text as T
+
+    df = spark.createDataFrame(
+        [(i, "en") for i in range(300)] + [(i + 500, "fr") for i in range(100)],
+        "doc_id long, lang string",
+    )
+    rates = {"en": 4000, "fr": 9000}
+    a = T.resample_epochs(df, rates, group_col="lang", seed="same").select("doc_id")
+    b = T.stratified_sample(df, rates, group_col="lang", seed="same:rep-zero").select("doc_id")
+    # sub-10000 rates never repeat: rep is always 0 and membership is the
+    # same hash filter family (different seed strings, so only shape/count
+    # class is comparable) — check no duplicates and rate is honored
+    assert a.count() == a.distinct().count()
+    n_en = a.join(df.filter(F.col("lang") == "en"), "doc_id").count()
+    assert 60 < n_en < 180  # ~120 expected at 40%
+    assert b.count() == b.distinct().count()
