@@ -743,6 +743,12 @@ def _measured_estimate(sp: A.SP, store: TripleStore) -> float:
 # (≤ k·(k-1)/2 bounded join jobs) stays trivially driver-bounded.
 RTO_PAIR_SAMPLE = 2_000
 RTO_MAX_SAMPLED_PATTERNS = 8
+# How many of the best-estimated candidate extensions get an ACTUAL
+# prefix-join probe per greedy step (JGraph evaluates every one-step path
+# extension with a cutoff sample; probing only the top few keeps planning
+# to O(k·probes) bounded jobs while still catching correlated predicates
+# the edge-selectivity product misses).
+RTO_EXT_PROBES = 3
 
 
 def _sampled_pair_rows(dfa: DataFrame, dfb: DataFrame) -> float | None:
@@ -783,8 +789,9 @@ def _rto_order(entries: list, trace: list | None) -> list:
     cur_est = entries[start][1]
     prefix_df = entries[start][0]
     est_path = [cur_est]
+    ext_trace: list = []
     while remaining:
-        best, best_est = None, None
+        ests: list[tuple[float, int, bool]] = []  # (est, idx, has_edge)
         for idx in remaining:
             edges = [
                 sel[tuple(sorted((idx, c)))]
@@ -796,8 +803,33 @@ def _rto_order(entries: list, trace: list | None) -> list:
                 est = cur_est * entries[idx][1] * min(edges)
             else:
                 est = cur_est * entries[idx][1]  # cartesian: maximally costly
-            if best_est is None or est < best_est:
-                best, best_est = idx, est
+            ests.append((est, idx, bool(edges)))
+        ests.sort()
+        # longer-prefix probes (JGraph's path evaluation proper: sample the
+        # ACTUAL prefix⋈candidate output, not just the edge product — a
+        # correlated filter can make the true extension orders of magnitude
+        # off the pairwise estimate). Probe the top few edge-connected
+        # candidates against the materialized prefix sample; cartesian
+        # candidates keep their penalty estimate.
+        probed: list[tuple[float, int]] = []
+        psample = prefix_df.limit(RTO_PAIR_SAMPLE)
+        for est, idx, has_edge in ests[:RTO_EXT_PROBES]:
+            if not has_edge or len(remaining) <= 1:
+                continue
+            shared = sorted(set(prefix_df.columns) & set(entries[idx][0].columns))
+            rows = float(
+                psample.join(entries[idx][0].limit(RTO_PAIR_SAMPLE), on=shared)
+                .limit(RTO_SAMPLE_CAP + 1)
+                .count()
+            )
+            probed.append((rows, idx))
+        if probed:
+            probed.sort()
+            best = probed[0][1]
+            best_est = next(e for e, i, _ in ests if i == best)
+            ext_trace.append({str(i): r for r, i in probed})
+        else:
+            best_est, best, _ = ests[0]
         chosen.append(best)
         remaining.remove(best)
         # measured-prefix refinement (the RTO's path evaluation: JGraph
@@ -826,6 +858,7 @@ def _rto_order(entries: list, trace: list | None) -> list:
                 },
                 "order": chosen,
                 "measured_prefix_path": [round(e, 1) for e in est_path],
+                "ext_probe_rows": ext_trace,
             }
         )
     return [entries[i] for i in chosen]

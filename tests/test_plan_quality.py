@@ -339,6 +339,11 @@ def test_rto_samples_join_paths(spark):
     assert len(rto[0]["order"]) == 3
     # measured-prefix refinement: intermediate prefixes counted for real
     assert len(rto[0]["measured_prefix_path"]) == 3
+    # longer-prefix extension probes (JGraph path evaluation): at the first
+    # expansion step both edge-connected candidates get an ACTUAL
+    # prefix-join cutoff sample, recorded in the trace
+    assert rto[0]["ext_probe_rows"], rto[0]
+    assert len(rto[0]["ext_probe_rows"][0]) == 2
 
 
 def test_text_query_numeric_filter_pushes_down(spark):
