@@ -409,3 +409,21 @@ def test_deterministic_shuffle_window_is_partitioned(spark):
     # Spark prints an empty partition spec as 'windowspecdefinition(' with
     # only order columns; the shard-partitioned form lists shard first
     assert "windowspecdefinition(shard" in plan, plan
+
+
+def test_resample_and_temperature_mix_stay_expression_only(spark):
+    """The mixture ops must be pure JVM expressions: no Python UDF stage
+    anywhere, and the resample itself adds NO exchange before the filter
+    (the only shuffle in the query below is the final count aggregation) —
+    the shape that scales linearly with input splits at 100 TB."""
+    from blazegraph_database_spark.operators import text as T
+
+    df = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    out = T.resample_epochs(df, {"en": 25000, "fr": 5000}, group_col="lang")
+    p = plan_of(out)
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "Exchange" not in p  # explode+filter over the scan, no shuffle
+    rates = T.temperature_rates(df, budget=100, group_col="lang")
+    kept = T.stratified_sample(df, rates, group_col="lang", seed="t")
+    p2 = plan_of(kept)
+    assert "BatchEvalPython" not in p2 and "Exchange" not in p2

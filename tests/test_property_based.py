@@ -457,3 +457,35 @@ def test_fuzzy_decontaminate_matches_bruteforce(spark, corpus, probes):
         for r in dedup.fuzzy_decontaminate(cdf, pdf, threshold=0.7).collect()
     }
     assert got == expect
+
+
+@given(
+    ids=st.lists(st.integers(0, 10**9), min_size=1, max_size=25, unique=True),
+    rate=st.integers(1, 35000),
+)
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+def test_resample_epochs_matches_md5_arithmetic(spark, ids, rate):
+    """Epoch resampling membership (including >1-epoch repetition) must
+    equal plain-Python md5 arithmetic — the cross-engine determinism the
+    op promises at any rate, scale, or partitioning."""
+    import hashlib
+
+    from blazegraph_database_spark.operators import text as T
+
+    seed = "epoch-prop"
+
+    def bucket(g, i, rep):
+        return int(hashlib.md5(f"{seed}:{g}:{i}:{rep}".encode()).hexdigest()[:8], 16) % 10000
+
+    expect = set()
+    for i in ids:
+        for rep in range((rate - 1) // 10000 + 1):
+            if rate - 10000 * rep > bucket("en", i, rep):
+                expect.add((i, rep))
+
+    df = spark.createDataFrame([(i, "en") for i in ids], "doc_id long, lang string")
+    got = {
+        (r["doc_id"], r["rep"])
+        for r in T.resample_epochs(df, {"en": rate}, group_col="lang", seed=seed).collect()
+    }
+    assert got == expect
