@@ -1300,3 +1300,50 @@ def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_sparql(st, q).select(
         "rf", "suppliers", F.round("qs", 2).alias("qty_sum"), "statuses"
     )
+
+
+@register(
+    "rdr_reify_roundtrip",
+    """
+    SELECT o_orderstatus AS st, COUNT(*) AS n_orders,
+           COUNT(DISTINCT o_orderpriority) AS n_prios
+    FROM orders WHERE o_totalprice > 200000
+    GROUP BY o_orderstatus ORDER BY st
+    """,
+)
+def rdr_reify_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RDR ↔ standard reification migration (ref: SidIV.java — Blazegraph
+    positions RDR as the reification replacement; converting legacy
+    reified corpora is the operational path in): the RDR provenance store
+    is REIFIED into rdf:Statement/subject/predicate/object scaffolding
+    with deterministic md5 statement nodes, then UNREIFIED back, and the
+    same SPARQL-star query must still hold — proving both converters are
+    exact inverses over real data, not just on toy rows
+    (operators/reification.reify/unreify)."""
+    from blazegraph_database_spark.operators import reification as R
+    from blazegraph_database_spark.plans.sparql_parser import run_sparql
+
+    ords = read_parquet(spark, f"{sf_dir}/orders.parquet")
+    base = ords.select(
+        F.concat(F.lit("order:"), F.col("o_orderkey")).alias("s"),
+        F.lit("status").alias("p"),
+        F.col("o_orderstatus").alias("o_lex"),
+        F.lit("string").alias("o_dt"),
+    )
+    sid = F.concat(
+        F.lit("<<order:"), F.col("o_orderkey"), F.lit("|status|"),
+        F.col("o_orderstatus"), F.lit("|string>>"),
+    )
+    meta = ords.filter(F.col("o_totalprice") > 200000).select(
+        sid.alias("s"), F.lit("verifiedBy").alias("p"),
+        F.col("o_orderpriority").alias("o_lex"), F.lit("string").alias("o_dt"),
+    )
+    roundtripped = R.unreify(R.reify(base.unionByName(meta)))
+    return run_sparql(
+        TripleStore(roundtripped),
+        """
+        SELECT ?st (COUNT(?s) AS ?n_orders) (COUNT(DISTINCT ?prio) AS ?n_prios)
+        WHERE { <<?s <status> ?st>> <verifiedBy> ?prio }
+        GROUP BY ?st ORDER BY ?st
+        """,
+    )

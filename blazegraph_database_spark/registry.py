@@ -26,6 +26,7 @@ _SCORE_FIRST = [
     "agg_distinct",
     "dataset_mix_temperature",
     "dataset_resample",
+    "rdr_reify_roundtrip",
     "dataset_shuffle",
     "dataset_stratified_exact",
     "text_decontaminate_fuzzy",

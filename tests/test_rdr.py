@@ -150,3 +150,48 @@ def test_update_insert_emb_data(spark):
     apply_update(us, 'INSERT DATA { <<<bob> <age> "23"^^<http://www.w3.org/2001/XMLSchema#integer>>> <flag> "checked" }', spark)
     out = evaluate(us.current, A.BGP([A.SP(A.Emb(V("s"), "age", V("a")), "flag", V("f"))]))
     assert {(r["s"], r["f"]) for r in out.collect()} == {("bob", "checked")}
+
+
+# ------------------------------------------------ RDR <-> reification -----
+def test_reify_unreify_roundtrip(spark):
+    from blazegraph_database_spark.operators import reification as R
+
+    rows = [
+        ("a", "knows", "b", "iri"),
+        ("<<a|knows|b|iri>>", "since", "2001", "long"),
+        ("x", "saw", "<<a|knows|b|iri>>", "sid"),
+        ("c", "name", "pipe|val", "string"),
+        ("<<c|name|pipe|val|string>>", "src", "crawler", "iri"),
+        ("_:bn", "age", "5", "long"),
+        ("<<_:bn|age|5|long>>", "conf", "0.9", "double"),
+    ]
+    df = spark.createDataFrame(rows, "s string, p string, o_lex string, o_dt string")
+    r = R.reify(df)
+    got = {tuple(t) for t in r.collect()}
+    # scaffolding complete per sid, metadata re-pointed at the node
+    nodes = {s for s, p, _, _ in got if p == "rdf:type"}
+    assert len(nodes) == 3 and all(n.startswith("_:st_") for n in nodes)
+    for n in nodes:
+        preds = {p for s, p, _, _ in got if s == n}
+        assert {"rdf:type", "rdf:subject", "rdf:predicate", "rdf:object"} <= preds
+    # bnode inner subject keeps its bnode dtype on rdf:subject
+    assert any(p == "rdf:subject" and o == "_:bn" and dt == "bnode" for _, p, o, dt in got)
+    # no sid survives reification
+    assert not any("<<" in s for s, _, _, _ in got)
+    # exact inverse
+    back = {tuple(t) for t in R.unreify(r).collect()}
+    assert back == {tuple(t) for t in df.collect()}
+
+
+def test_unreify_leaves_incomplete_scaffolding(spark):
+    from blazegraph_database_spark.operators import reification as R
+
+    rows = [
+        ("_:n1", "rdf:type", "rdf:Statement", "iri"),
+        ("_:n1", "rdf:subject", "a", "iri"),
+        # no predicate/object: incomplete — must pass through untouched
+        ("_:n1", "note", "partial", "string"),
+    ]
+    df = spark.createDataFrame(rows, "s string, p string, o_lex string, o_dt string")
+    out = {tuple(t) for t in R.unreify(df).collect()}
+    assert out == {tuple(t) for t in df.collect()}
