@@ -99,6 +99,8 @@ def read_ntriples(spark: SparkSession, path: str) -> DataFrame:
 
 
 NT_STAR_LINE = rf"^\s*<<\s*{_SUBJ}\s+{_PRED}\s+{_OBJ}\s*>>\s+{_PRED}\s+{_OBJ}\s*\.\s*$"
+# object-position star line: `s p <<s2 p2 o2>> .` (sid as the object term)
+NT_STAR_OBJ_LINE = rf"^\s*{_SUBJ}\s+{_PRED}\s+<<\s*{_SUBJ}\s+{_PRED}\s+{_OBJ}\s*>>\s*\.\s*$"
 
 
 def read_ntriples_star(spark: SparkSession, path: str) -> DataFrame:
@@ -114,7 +116,10 @@ def read_ntriples_star(spark: SparkSession, path: str) -> DataFrame:
     v = F.col("value")
     lines = spark.read.text(path).filter((F.trim(v) != "") & ~F.trim(v).startswith("#"))
     star = lines.filter(v.rlike(NT_STAR_LINE))
-    plain = _parse(lines.filter(~v.rlike(NT_STAR_LINE)), NT_LINE, quads=False)
+    star_obj = lines.filter(v.rlike(NT_STAR_OBJ_LINE) & ~v.rlike(NT_STAR_LINE))
+    plain = _parse(
+        lines.filter(~v.rlike(NT_STAR_LINE) & ~v.rlike(NT_STAR_OBJ_LINE)), NT_LINE, quads=False
+    )
 
     def grp(i: int) -> F.Column:
         return F.regexp_extract(v, NT_STAR_LINE, i)
@@ -139,7 +144,38 @@ def read_ntriples_star(spark: SparkSession, path: str) -> DataFrame:
     ).select(
         sid.alias("s"), F.col("_mp").alias("p"), F.col("_mo").alias("o_lex"), F.col("_mdt").alias("o_dt")
     )
-    return plain.unionByName(inner).unionByName(meta)
+
+    # object-position star lines: `s p <<s2 p2 o2>> .` — inner statement
+    # asserted (RDR), outer row binds the sid as a 'sid'-typed object
+    def ogrp(i: int) -> F.Column:
+        return F.regexp_extract(v, NT_STAR_OBJ_LINE, i)
+
+    out_s = F.when(
+        ogrp(1).startswith("<"), ogrp(1).substr(F.lit(2), F.length(ogrp(1)) - 2)
+    ).otherwise(ogrp(1))
+    out_p = ogrp(2).substr(F.lit(2), F.length(ogrp(2)) - 2)
+    oin_s = F.when(
+        ogrp(3).startswith("<"), ogrp(3).substr(F.lit(2), F.length(ogrp(3)) - 2)
+    ).otherwise(ogrp(3))
+    oin_p = ogrp(4).substr(F.lit(2), F.length(ogrp(4)) - 2)
+    oin_o_lex, oin_o_dt = _term_cols(ogrp(5))
+    obj_inner = star_obj.select(
+        oin_s.alias("s"), oin_p.alias("p"), oin_o_lex.alias("o_lex"), oin_o_dt.alias("o_dt")
+    )
+    obj_meta = star_obj.select(
+        out_s.alias("s"), out_p.alias("p"),
+        F.concat(
+            F.lit("<<"), oin_s, F.lit("|"), oin_p, F.lit("|"), oin_o_lex, F.lit("|"), oin_o_dt,
+            F.lit(">>"),
+        ).alias("o_lex"),
+        F.lit("sid").alias("o_dt"),
+    )
+    return (
+        plain.unionByName(inner)
+        .unionByName(meta)
+        .unionByName(obj_inner)
+        .unionByName(obj_meta)
+    )
 
 
 def read_nquads(spark: SparkSession, path: str) -> DataFrame:
@@ -147,32 +183,68 @@ def read_nquads(spark: SparkSession, path: str) -> DataFrame:
     return _parse(spark.read.text(path), NQ_LINE, quads=True)
 
 
-def nt_line(df: DataFrame) -> F.Column:
-    """Column: one N-Triples line per (s,p,o_lex,o_dt) row."""
-    esc = F.regexp_replace(F.regexp_replace(F.col("o_lex"), r"\\", r"\\\\"), '"', '\\\\"')
-    _TAG_XSD = {
-        "long": "http://www.w3.org/2001/XMLSchema#integer",
-        "double": "http://www.w3.org/2001/XMLSchema#double",
-        "boolean": "http://www.w3.org/2001/XMLSchema#boolean",
-        "timestamp": "http://www.w3.org/2001/XMLSchema#dateTime",
-    }
+_TAG_XSD_W = {
+    "long": "http://www.w3.org/2001/XMLSchema#integer",
+    "double": "http://www.w3.org/2001/XMLSchema#double",
+    "boolean": "http://www.w3.org/2001/XMLSchema#boolean",
+    "timestamp": "http://www.w3.org/2001/XMLSchema#dateTime",
+}
+
+
+def _nt_obj(lex: F.Column, dt: F.Column) -> F.Column:
+    """N-Triples object syntax from (lexical, dtype-tag) columns."""
+    esc = F.regexp_replace(F.regexp_replace(lex, r"\\", r"\\\\"), '"', '\\\\"')
     obj = F.concat(F.lit('"'), esc, F.lit('"'))
-    for tag, iri in _TAG_XSD.items():
+    for tag, iri in _TAG_XSD_W.items():
         obj = F.when(
-            F.col("o_dt") == tag, F.concat(F.lit('"'), esc, F.lit('"^^<'), F.lit(iri), F.lit(">"))
+            dt == tag, F.concat(F.lit('"'), esc, F.lit('"^^<'), F.lit(iri), F.lit(">"))
         ).otherwise(obj)
-    obj = (
-        F.when(F.col("o_dt") == "bnode", F.col("o_lex"))  # bare _:label
-        .when(F.col("o_dt") == "iri", F.concat(F.lit("<"), F.col("o_lex"), F.lit(">")))
+    return (
+        F.when(dt == "bnode", lex)  # bare _:label
+        .when(dt == "iri", F.concat(F.lit("<"), lex, F.lit(">")))
         .when(
-            F.col("o_dt").startswith("lang:"),
-            F.concat(F.lit('"'), esc, F.lit('"@'), F.substring(F.col("o_dt"), 6, 100)),
+            dt.startswith("lang:"),
+            F.concat(F.lit('"'), esc, F.lit('"@'), F.substring(dt, 6, 100)),
         )
         .otherwise(obj)
     )
-    subj = F.when(
-        F.col("s").startswith("_:"), F.col("s")  # blank-node subject
-    ).otherwise(F.concat(F.lit("<"), F.col("s"), F.lit(">")))
+
+
+def _nt_sid(col: F.Column) -> F.Column:
+    """RDR embedded-statement syntax `<< s p o >>` for a sid lexical (the
+    `<<s|p|o_lex|o_dt>>` internal encoding; one nesting level — a sid
+    whose embedded OBJECT is itself a sid re-joins textually from the
+    middle fields but is not recursively rendered)."""
+    inner = col.substr(F.lit(3), F.length(col) - 4)
+    parts = F.split(inner, r"\|")
+    i_s = F.element_at(parts, 1)
+    i_p = F.element_at(parts, 2)
+    i_odt = F.element_at(parts, -1)
+    i_o = F.array_join(F.slice(parts, 3, F.greatest(F.size(parts) - 3, F.lit(1))), "|")
+    subj = F.when(i_s.startswith("_:"), i_s).otherwise(F.concat(F.lit("<"), i_s, F.lit(">")))
+    return F.concat(
+        F.lit("<< "), subj, F.lit(" <"), i_p, F.lit("> "), _nt_obj(i_o, i_odt), F.lit(" >>")
+    )
+
+
+def _is_sid_lex(col: F.Column) -> F.Column:
+    return col.startswith("<<") & col.endswith(">>") & col.contains("|")
+
+
+def nt_line(df: DataFrame) -> F.Column:
+    """Column: one N-Triples line per (s,p,o_lex,o_dt) row. Sid terms
+    (subject or object position) render as RDR `<< s p o >>` embedded
+    statements — the writer-side of BigdataNTriplesParser's RDR mode, so
+    an RDR store exports losslessly through write_ntriples and reloads
+    via read_ntriples_star."""
+    obj = F.when(F.col("o_dt") == "sid", _nt_sid(F.col("o_lex"))).otherwise(
+        _nt_obj(F.col("o_lex"), F.col("o_dt"))
+    )
+    subj = (
+        F.when(_is_sid_lex(F.col("s")), _nt_sid(F.col("s")))
+        .when(F.col("s").startswith("_:"), F.col("s"))  # blank-node subject
+        .otherwise(F.concat(F.lit("<"), F.col("s"), F.lit(">")))
+    )
     return F.concat(subj, F.lit(" <"), F.col("p"), F.lit("> "), obj, F.lit(" ."))
 
 

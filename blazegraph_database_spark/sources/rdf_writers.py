@@ -70,23 +70,50 @@ def _pname_or_iri(col, prefixes: dict[str, str]):
     return F.when(col.startswith("_:"), col).otherwise(out)
 
 
-def _ttl_obj(prefixes: dict[str, str]):
-    """Object term in Turtle syntax from (o_lex, o_dt)."""
-    lex = F.col("o_lex")
+def _ttl_obj_expr(lex, dt, prefixes: dict[str, str]):
+    """Turtle object syntax from (lexical, dtype-tag) columns."""
     esc = _ttl_escape(lex)
     obj = F.concat(F.lit('"'), esc, F.lit('"'))
     for tag, iri in _TAG_XSD.items():
         obj = F.when(
-            F.col("o_dt") == tag,
+            dt == tag,
             F.concat(F.lit('"'), esc, F.lit('"^^'), _pname_or_iri(F.lit(iri), prefixes)),
         ).otherwise(obj)
     return (
-        F.when(F.col("o_dt").isin("iri", "bnode"), _pname_or_iri(lex, prefixes))
+        F.when(dt.isin("iri", "bnode"), _pname_or_iri(lex, prefixes))
         .when(
-            F.col("o_dt").startswith("lang:"),
-            F.concat(F.lit('"'), esc, F.lit('"@'), F.substring(F.col("o_dt"), 6, 100)),
+            dt.startswith("lang:"),
+            F.concat(F.lit('"'), esc, F.lit('"@'), F.substring(dt, 6, 100)),
         )
         .otherwise(obj)
+    )
+
+
+def _ttl_sid(col, prefixes: dict[str, str]):
+    """RDR `<< s p o >>` Turtle-star syntax for a sid lexical (the internal
+    `<<s|p|o_lex|o_dt>>` encoding; one nesting level)."""
+    inner = col.substr(F.lit(3), F.length(col) - 4)
+    parts = F.split(inner, r"\|")
+    i_s = F.element_at(parts, 1)
+    i_p = F.element_at(parts, 2)
+    i_odt = F.element_at(parts, -1)
+    i_o = F.array_join(F.slice(parts, 3, F.greatest(F.size(parts) - 3, F.lit(1))), "|")
+    return F.concat(
+        F.lit("<< "), _pname_or_iri(i_s, prefixes), F.lit(" "),
+        _pname_or_iri(i_p, prefixes), F.lit(" "),
+        _ttl_obj_expr(i_o, i_odt, prefixes), F.lit(" >>"),
+    )
+
+
+def _is_sid_lex(col):
+    return col.startswith("<<") & col.endswith(">>") & col.contains("|")
+
+
+def _ttl_obj(prefixes: dict[str, str]):
+    """Object term in Turtle syntax from (o_lex, o_dt); sid objects render
+    as RDR embedded statements."""
+    return F.when(F.col("o_dt") == "sid", _ttl_sid(F.col("o_lex"), prefixes)).otherwise(
+        _ttl_obj_expr(F.col("o_lex"), F.col("o_dt"), prefixes)
     )
 
 
@@ -103,7 +130,9 @@ def _ttl_subject_blocks(df: DataFrame, prefixes: dict[str, str], extra_group=())
         .select(
             *extra_group,
             F.concat(
-                _pname_or_iri(F.col("s"), prefixes),
+                F.when(
+                    _is_sid_lex(F.col("s")), _ttl_sid(F.col("s"), prefixes)
+                ).otherwise(_pname_or_iri(F.col("s"), prefixes)),
                 F.lit(" "),
                 F.array_join(F.col("pos"), " ;\n    "),
                 F.lit(" ."),

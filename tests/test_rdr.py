@@ -195,3 +195,39 @@ def test_unreify_leaves_incomplete_scaffolding(spark):
     df = spark.createDataFrame(rows, "s string, p string, o_lex string, o_dt string")
     out = {tuple(t) for t in R.unreify(df).collect()}
     assert out == {tuple(t) for t in df.collect()}
+
+
+def test_write_ntriples_rdr_roundtrip(spark, tmp_path):
+    """RDR stores export losslessly: sid terms (subject AND object
+    position) render as `<< s p o >>` star lines, and read_ntriples_star
+    reloads the same statement set (inner statements dedup via RDR
+    assertion semantics)."""
+    from blazegraph_database_spark.sources import ntriples as NT
+
+    rows = [
+        ("a", "knows", "b", "iri"),
+        ("<<a|knows|b|iri>>", "since", "2001", "long"),
+        ("x", "saw", "<<a|knows|b|iri>>", "sid"),
+        ("<<a|knows|b|iri>>", "note", "hi there", "string"),
+    ]
+    df = spark.createDataFrame(rows, "s string, p string, o_lex string, o_dt string")
+    out = str(tmp_path / "rdr_nt")
+    NT.write_ntriples(df, out)
+    back = {tuple(r) for r in NT.read_ntriples_star(spark, out).collect()}
+    assert back == {tuple(r) for r in df.collect()}
+
+
+def test_turtle_writer_rdr_roundtrip(spark, tmp_path):
+    from blazegraph_database_spark.sources import rdf_formats as RF
+    from blazegraph_database_spark.sources.rdf_writers import turtle_doc
+
+    rows = [
+        ("http://ex/a", "http://ex/knows", "http://ex/b", "iri"),
+        ("<<http://ex/a|http://ex/knows|http://ex/b|iri>>", "http://ex/since", "2001", "long"),
+        ("http://ex/x", "http://ex/saw", "<<http://ex/a|http://ex/knows|http://ex/b|iri>>", "sid"),
+    ]
+    df = spark.createDataFrame(rows, "s string, p string, o_lex string, o_dt string")
+    doc = turtle_doc(df)
+    assert "<< " in doc and " >>" in doc
+    back = {tuple(t) for t in RF._parse_turtle_doc(doc)}
+    assert back == {tuple(t) for t in df.collect()}
