@@ -1347,3 +1347,42 @@ def rdr_reify_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY ?st ORDER BY ?st
         """,
     )
+
+
+@register(
+    "skew_salted_agg",
+    """
+    WITH a AS (
+        SELECT l_returnflag AS rf, CAST(SUM(l_quantity) AS BIGINT) AS qty,
+               CAST(COUNT(*) AS BIGINT) AS n, MAX(l_extendedprice) AS mx
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT a.rf, a.qty, a.n, a.mx, UPPER(a.rf) AS label
+    FROM a ORDER BY a.rf
+    """,
+)
+def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigation operators under oracle check (SURVEY §6; the
+    power-law-key patterns AQE cannot fix): two-phase salted aggregation
+    over the 3-key lineitem returnflag distribution (each hot key spreads
+    over 16 reducers, partials combine exactly) and a salted replicate-join
+    of the result against a small dimension — both must be bit-identical
+    to the unsalted plan, which is what the DuckDB oracle computes."""
+    from blazegraph_database_spark.operators import skew
+
+    li = read_parquet(spark, f"{sf_dir}/lineitem.parquet")
+    agg = skew.salted_groupby_agg(
+        li.select(F.col("l_returnflag").alias("rf"), "l_quantity", "l_extendedprice"),
+        key="rf",
+        aggs=[("qty", "sum", "l_quantity"), ("n", "count", "rf"), ("mx", "max", "l_extendedprice")],
+        salts=16,
+    )
+    dim = (
+        li.select(F.col("l_returnflag").alias("rf"))
+        .distinct()
+        .withColumn("label", F.upper(F.col("rf")))
+    )
+    out = skew.salted_join(agg, dim, on="rf", salts=8)
+    return out.select(
+        "rf", F.col("qty").cast("long").alias("qty"), "n", "mx", "label"
+    ).orderBy("rf")

@@ -27,6 +27,7 @@ _SCORE_FIRST = [
     "dataset_mix_temperature",
     "dataset_resample",
     "rdr_reify_roundtrip",
+    "skew_salted_agg",
     "dataset_shuffle",
     "dataset_stratified_exact",
     "text_decontaminate_fuzzy",
