@@ -346,7 +346,10 @@ def build_http_request(endpoint: str, query: str) -> tuple[str, dict, bytes]:
     openrdf SPARQLRepository client)."""
     headers = {
         "Content-Type": "application/x-www-form-urlencoded",
-        "Accept": "application/sparql-results+json",
+        # prefer SRJ; accept SPARQL-XML from endpoints that only speak it
+        # (the openrdf client behind RemoteServiceCallImpl negotiates the
+        # same pair)
+        "Accept": "application/sparql-results+json, application/sparql-results+xml;q=0.9",
     }
     return endpoint, headers, urlencode({"query": query}).encode()
 
@@ -365,11 +368,42 @@ def parse_srj(payload: bytes | str) -> list[dict]:
     return rows
 
 
+def parse_srx(payload: bytes | str) -> list[dict]:
+    """SPARQL XML results document (application/sparql-results+xml) →
+    list of {var: lexical} rows, the same collapse-to-lexical contract as
+    ``parse_srj`` — for endpoints that only speak the XML format (the
+    openrdf remote client accepts both)."""
+    import xml.etree.ElementTree as ET
+
+    ns = "{http://www.w3.org/2005/sparql-results#}"
+    root = ET.fromstring(payload if isinstance(payload, str) else payload.decode())
+    rows = []
+    for result in root.iter(f"{ns}result"):
+        row = {}
+        for b in result.iter(f"{ns}binding"):
+            term = next(iter(b), None)
+            if term is not None:
+                row[b.attrib["name"]] = term.text or ""
+        rows.append(row)
+    return rows
+
+
+def parse_results(payload: bytes | str, content_type: str | None) -> list[dict]:
+    """Dispatch a SPARQL-protocol response body by Content-Type: SRJ by
+    default, SPARQL-XML when the endpoint negotiated it."""
+    if content_type and "sparql-results+xml" in content_type:
+        return parse_srx(payload)
+    if content_type and ("xml" in content_type and "json" not in content_type):
+        return parse_srx(payload)
+    return parse_srj(payload)
+
+
 def http_transport(timeout: float = 30.0) -> Transport:
     """Transport that really speaks SPARQL-protocol HTTP (stdlib urllib).
     Works against any reachable endpoint — exercised in tests against this
     repo's own localhost REST server, the only endpoint reachable from the
-    build container."""
+    build container. Responses dispatch on Content-Type (SRJ or
+    SPARQL-XML)."""
 
     def send(endpoint: str, query: str) -> list:
         import urllib.request
@@ -377,7 +411,7 @@ def http_transport(timeout: float = 30.0) -> Transport:
         url, headers, body = build_http_request(endpoint, query)
         req = urllib.request.Request(url, data=body, headers=headers, method="POST")
         with urllib.request.urlopen(req, timeout=timeout) as resp:
-            return parse_srj(resp.read())
+            return parse_results(resp.read(), resp.headers.get("Content-Type"))
 
     return send
 

@@ -964,3 +964,62 @@ def test_service_variable_endpoint_deep_and_inner_binding(spark):
     # OPTIONAL binds ?ep nowhere -> all-null endpoint set -> zero rows
     out3 = run_sparql(st, q3)
     assert out3.count() == 0 and "r" in out3.columns
+
+
+# ------------------------------------------- SPARQL-XML result parsing ----
+SRX_DOC = """<?xml version="1.0"?>
+<sparql xmlns="http://www.w3.org/2005/sparql-results#">
+  <head><variable name="x"/><variable name="n"/></head>
+  <results>
+    <result>
+      <binding name="x"><uri>http://ex/a</uri></binding>
+      <binding name="n"><literal datatype="http://www.w3.org/2001/XMLSchema#integer">7</literal></binding>
+    </result>
+    <result>
+      <binding name="x"><bnode>b0</bnode></binding>
+    </result>
+  </results>
+</sparql>"""
+
+
+def test_parse_srx():
+    from blazegraph_database_spark.operators.service import parse_results, parse_srx
+
+    rows = parse_srx(SRX_DOC)
+    assert rows == [{"x": "http://ex/a", "n": "7"}, {"x": "b0"}]
+    # content-type dispatch
+    assert parse_results(SRX_DOC, "application/sparql-results+xml;charset=utf-8") == rows
+    assert parse_results('{"head":{"vars":["x"]},"results":{"bindings":[]}}', "application/sparql-results+json") == []
+
+
+def test_http_transport_against_xml_only_endpoint(spark):
+    """A remote endpoint that ONLY speaks SPARQL-XML federates correctly:
+    the transport negotiates via Accept and dispatches on the response
+    Content-Type."""
+    import http.server
+    import threading
+
+    from blazegraph_database_spark.operators.service import http_transport
+
+    class XmlOnly(http.server.BaseHTTPRequestHandler):
+        def do_POST(self):
+            self.rfile.read(int(self.headers.get("Content-Length", 0)))
+            assert "sparql-results+xml" in self.headers.get("Accept", "")
+            body = SRX_DOC.encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/sparql-results+xml")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.HTTPServer(("127.0.0.1", 0), XmlOnly)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        rows = http_transport()(f"http://127.0.0.1:{srv.server_port}/sparql", "SELECT * WHERE {}")
+        assert rows == [{"x": "http://ex/a", "n": "7"}, {"x": "b0"}]
+    finally:
+        srv.shutdown()
