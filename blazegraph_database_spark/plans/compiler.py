@@ -1366,9 +1366,50 @@ def _(node: A.GraphScope, store: TripleStore) -> DataFrame:
     return _compile(node.child, store.graph(g))
 
 
+BD_VIRTUAL_GRAPH = "http://www.bigdata.com/rdf#virtualGraph"
+_VIRTUAL_GRAPH_MAX = 100_000
+
+
+def _expand_virtual_graphs(entries: tuple, store: TripleStore) -> tuple:
+    """Expand ("virtual", vg) dataset entries into the member graphs the
+    store declares via `<vg> bd:virtualGraph <member>` triples (ref:
+    BD.java:199 VIRTUAL_GRAPH; ASTDeferredIVResolution.java:530 — an
+    undeclared virtual graph is an error, matching the reference's
+    "Not declared" RuntimeException). The membership collect is
+    graph-catalog-sized; a hard cap fails loud if data is mis-modeled as
+    membership."""
+    out: list = []
+    for e in entries:
+        if isinstance(e, tuple) and len(e) == 2 and e[0] == "virtual":
+            vg = e[1]
+            members = [
+                r["o_lex"]
+                for r in store.df.filter(
+                    (F.col("s") == vg) & (F.col("p") == BD_VIRTUAL_GRAPH)
+                )
+                .select("o_lex")
+                .limit(_VIRTUAL_GRAPH_MAX + 1)
+                .collect()
+            ]
+            if not members:
+                raise ValueError(
+                    f"virtual graph <{vg}> not declared: no bd:virtualGraph membership triples"
+                )
+            if len(members) > _VIRTUAL_GRAPH_MAX:
+                raise ValueError(
+                    f"virtual graph <{vg}> declares more than {_VIRTUAL_GRAPH_MAX} members"
+                )
+            out.extend(members)
+        else:
+            out.append(e)
+    return tuple(out)
+
+
 @_compile.register
 def _(node: A.Dataset, store: TripleStore) -> DataFrame:
-    return _compile(node.child, store.with_dataset(node.default, node.named))
+    default = _expand_virtual_graphs(node.default, store)
+    named = _expand_virtual_graphs(node.named, store)
+    return _compile(node.child, store.with_dataset(default, named))
 
 
 @_compile.register

@@ -1415,16 +1415,27 @@ class Parser:
             raise SyntaxError(f"trailing tokens at {self.peek().text!r}")
         return node
 
-    def _dataset_clauses(self) -> tuple[list[str], list[str]]:
-        """FROM <g> / FROM NAMED <g> declarations (ref: DatasetNode)."""
+    def _dataset_clauses(self) -> tuple[list, list]:
+        """FROM [NAMED] [VIRTUAL GRAPH] <g> declarations (ref: DatasetNode;
+        sparql.jjt:329 VIRTUAL_GRAPH token + DatasetClause setVirtual).
+        A virtual-graph entry is tagged ("virtual", iri) and expands at
+        evaluation into the graphs declared via `<vg> bd:virtualGraph <g>`
+        membership triples (ASTDeferredIVResolution.java:530)."""
         default, named = [], []
         while self.at_kw("from"):
             self.next()
+            target = default
             if self.at_kw("named"):
                 self.next()
-                named.append(self._iri_only())
+                target = named
+            if self.at_kw("virtual"):
+                self.next()
+                if not self.at_kw("graph"):
+                    raise SyntaxError("expected GRAPH after VIRTUAL")
+                self.next()
+                target.append(("virtual", self._iri_only()))
             else:
-                default.append(self._iri_only())
+                target.append(self._iri_only())
         return default, named
 
 

@@ -1386,3 +1386,63 @@ def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "rf", F.col("qty").cast("long").alias("qty"), "n", "mx", "label"
     ).orderBy("rf")
+
+
+@register(
+    "virtual_graph_dataset",
+    """
+    SELECT 'default' AS g, CAST(COUNT(*) AS BIGINT) AS n FROM customer
+    WHERE c_mktsegment IS NOT NULL AND c_nationkey < 12
+    UNION ALL
+    SELECT 'named' AS g,
+           CAST((SELECT COUNT(*) FROM customer WHERE c_mktsegment IS NOT NULL AND c_nationkey >= 12)
+              + (SELECT COUNT(*) FROM orders WHERE o_orderstatus IS NOT NULL) AS BIGINT) AS n
+    ORDER BY g
+    """,
+)
+def virtual_graph_dataset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Virtual graphs (ref: BD.java:199 bd:virtualGraph +
+    sparql.jjt:329 `FROM [NAMED] VIRTUAL GRAPH`): a virtual graph is a
+    store-declared collection of graphs — `<vg> bd:virtualGraph <member>`
+    membership triples — expanded into the dataset at evaluation
+    (ASTDeferredIVResolution.java:530). Here FROM VIRTUAL GRAPH <vg:lo>
+    covers the low-nation customer graph, FROM NAMED VIRTUAL GRAPH
+    <vg:rest> covers the high-nation customer graph AND the orders graph,
+    and the query counts both scopes."""
+    from blazegraph_database_spark.plans.sparql_parser import run_sparql
+
+    cust = read_parquet(spark, f"{sf_dir}/customer.parquet").select(
+        F.concat(F.lit("customer:"), F.col("c_custkey")).alias("s"),
+        F.lit("customer#c_mktsegment").alias("p"),
+        F.col("c_mktsegment").alias("o_lex"),
+        F.lit("string").alias("o_dt"),
+        F.when(F.col("c_nationkey") < 12, F.lit("g:lo")).otherwise(F.lit("g:hi")).alias("g"),
+    )
+    ords = read_parquet(spark, f"{sf_dir}/orders.parquet").select(
+        F.concat(F.lit("order:"), F.col("o_orderkey")).alias("s"),
+        F.lit("orders#o_orderstatus").alias("p"),
+        F.col("o_orderstatus").alias("o_lex"),
+        F.lit("string").alias("o_dt"),
+        F.lit("g:ord").alias("g"),
+    )
+    members = spark.createDataFrame(
+        [
+            ("vg:lo", "http://www.bigdata.com/rdf#virtualGraph", "g:lo", "iri", None),
+            ("vg:rest", "http://www.bigdata.com/rdf#virtualGraph", "g:hi", "iri", None),
+            ("vg:rest", "http://www.bigdata.com/rdf#virtualGraph", "g:ord", "iri", None),
+        ],
+        "s string, p string, o_lex string, o_dt string, g string",
+    )
+    qst = TripleStore(
+        cust.unionByName(ords).filter(F.col("o_lex").isNotNull()).unionByName(members)
+    )
+    return run_sparql(
+        qst,
+        """
+        SELECT ?g (COUNT(*) AS ?n)
+        FROM VIRTUAL GRAPH <vg:lo> FROM NAMED VIRTUAL GRAPH <vg:rest> WHERE {
+          { ?s <customer#c_mktsegment> ?o BIND("default" AS ?g) }
+          UNION { GRAPH ?ng { ?s ?p ?o } BIND("named" AS ?g) }
+        } GROUP BY ?g ORDER BY ?g
+        """,
+    )

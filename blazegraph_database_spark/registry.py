@@ -28,6 +28,7 @@ _SCORE_FIRST = [
     "dataset_resample",
     "rdr_reify_roundtrip",
     "skew_salted_agg",
+    "virtual_graph_dataset",
     "dataset_shuffle",
     "dataset_stratified_exact",
     "text_decontaminate_fuzzy",

@@ -804,3 +804,32 @@ def test_describe_mode_query_hint(spark):
     }
     assert ("x", "r", "a", "iri") in sym
     assert ("_:b1", "q", "deep", "string") not in sym
+
+
+def test_virtual_graph_expansion_and_error(spark):
+    """FROM [NAMED] VIRTUAL GRAPH <vg> expands bd:virtualGraph membership
+    triples into the dataset; an undeclared virtual graph is an error
+    (ref: ASTDeferredIVResolution.java 'Not declared')."""
+    from blazegraph_database_spark.model.store import TripleStore
+    from blazegraph_database_spark.plans.sparql_parser import run_sparql
+
+    rows = [
+        ("a", "p", "1", "long", "g1"),
+        ("b", "p", "2", "long", "g2"),
+        ("c", "p", "3", "long", "g3"),
+        ("vg:x", "http://www.bigdata.com/rdf#virtualGraph", "g1", "iri", None),
+        ("vg:x", "http://www.bigdata.com/rdf#virtualGraph", "g2", "iri", None),
+    ]
+    st = TripleStore(
+        spark.createDataFrame(rows, "s string, p string, o_lex string, o_dt string, g string")
+    )
+    out = run_sparql(st, "SELECT ?s FROM VIRTUAL GRAPH <vg:x> WHERE { ?s <p> ?o }")
+    assert {r["s"] for r in out.collect()} == {"a", "b"}
+    out2 = run_sparql(
+        st, "SELECT ?g FROM NAMED VIRTUAL GRAPH <vg:x> WHERE { GRAPH ?g { ?s <p> ?o } }"
+    )
+    assert {r["g"] for r in out2.collect()} == {"g1", "g2"}
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="not declared"):
+        run_sparql(st, "SELECT ?s FROM VIRTUAL GRAPH <vg:none> WHERE { ?s <p> ?o }").collect()
