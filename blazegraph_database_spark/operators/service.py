@@ -877,3 +877,109 @@ def fts_search_service(store, sps, transport=None) -> DataFrame:
     if snippet_var is not None:
         sel.append(out["snippet"].alias(snippet_var))
     return out.select(*sel)
+
+
+# ------------------------------------------------------- bd:alp service --
+def alp_service(store, pattern) -> DataFrame:
+    """SERVICE bd:alp — the configurable arbitrary-length-path service
+    (ref: ASTALPServiceOptimizer.java; BD.java ALP_SERVICE; the documented
+    form in blazegraph ticket 1072):
+
+        SERVICE bd:alp {
+          <src> ?edge ?to .
+          hint:Prior hint:alp.pathExpr true .
+          ?edge <p> <o> .          # edge-constraint patterns (a BGP on ?edge)
+          hint:Group hint:alp.lowerBound 1 .
+          hint:Group hint:alp.upperBound 3 .
+          hint:Group hint:alp.bidirectional true .
+        }
+
+    Semantics: one hop n→m iff a triple (n, e, m) exists whose PREDICATE e
+    satisfies the constraint BGP; walks of length in [lowerBound,
+    upperBound] connect the path pattern's endpoints. Spark-first shape:
+    the constraint BGP compiles normally (selectivity-ordered, pruned
+    scans), its DISTINCT edge set broadcast-joins the store's IRI-object
+    triples into a filtered edge table, and the round-capped
+    `operators/paths.bounded_paths` composition produces the pairs — no
+    per-hop re-evaluation of the constraints. lowerBound 0 adds the
+    zero-length identity on the source side. Binds the endpoint
+    variables; the per-hop edge binding is existential across a multi-hop
+    walk and is not projected (the reference's alp.edgeVar covers the
+    same single-var naming)."""
+    from pyspark.sql import functions as F
+
+    from blazegraph_database_spark.model.terms import Var, const_lex, is_const
+    from blazegraph_database_spark.operators.paths import bounded_paths
+    from blazegraph_database_spark.plans import algebra as A
+
+    def bgps(n, acc):
+        if isinstance(n, A.BGP):
+            acc.append(n)
+        for f in getattr(n, "__dataclass_fields__", {}):
+            v = getattr(n, f)
+            if hasattr(v, "__dataclass_fields__"):
+                bgps(v, acc)
+            elif isinstance(v, tuple):
+                for x in v:
+                    if hasattr(x, "__dataclass_fields__"):
+                        bgps(x, acc)
+        return acc
+
+    groups = bgps(pattern, [])
+    alp = None
+    sps: list = []
+    path_sp = None
+    for g in groups:
+        h = (getattr(g, "hints", None) or {}).get("alp")
+        pats = list(g.patterns)
+        if h is not None and "path_idx" in h:
+            alp = h
+            path_sp = pats.pop(h["path_idx"])
+        elif h is not None and alp is None:
+            alp = h
+        sps.extend(pats)
+    if alp is None or path_sp is None:
+        raise ValueError(
+            "SERVICE bd:alp needs exactly one path pattern marked with "
+            "`hint:Prior hint:alp.pathExpr true`"
+        )
+    if not isinstance(path_sp.p, Var):
+        raise ValueError("bd:alp path pattern must have a VARIABLE edge (predicate) term")
+    edge_var = path_sp.p.name
+
+    edges = store.df.filter(F.col("o_dt") == "iri").select("s", "p", F.col("o_lex").alias("o"))
+    if sps:
+        from blazegraph_database_spark.plans.compiler import _compile
+
+        cand = _compile(A.BGP(sps), store)
+        if edge_var not in cand.columns:
+            raise ValueError(
+                f"bd:alp edge constraints never bind the edge variable ?{edge_var}"
+            )
+        cand = cand.select(F.col(edge_var).alias("p")).distinct()
+        edges = edges.join(F.broadcast(cand), on="p")
+    edges = edges.select("s", "o")
+    if str(alp.get("bidirectional", "false")).lower() == "true":
+        edges = edges.unionByName(edges.select(F.col("o").alias("s"), F.col("s").alias("o")))
+    lower = int(alp.get("lowerBound", 1))
+    upper = int(alp["upperBound"]) if "upperBound" in alp else None
+    pairs = bounded_paths(edges, max(lower, 1), upper)
+    if lower <= 0:
+        # zero-length: the source reaches itself
+        nodes = store.df.select(F.col("s").alias("s")).unionByName(
+            store.df.filter(F.col("o_dt") == "iri").select(F.col("o_lex").alias("s"))
+        ).distinct().select("s", F.col("s").alias("o"))
+        pairs = pairs.unionByName(nodes).distinct()
+
+    out_cols = []
+    if is_const(path_sp.s):
+        pairs = pairs.filter(F.col("s") == const_lex(path_sp.s))
+    else:
+        out_cols.append(F.col("s").alias(path_sp.s.name))
+    if is_const(path_sp.o):
+        pairs = pairs.filter(F.col("o") == const_lex(path_sp.o))
+    else:
+        out_cols.append(F.col("o").alias(path_sp.o.name))
+    if not out_cols:
+        out_cols = [F.lit(True).alias("__alp_hit")]
+    return pairs.select(*out_cols).distinct()

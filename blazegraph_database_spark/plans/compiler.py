@@ -673,7 +673,9 @@ def _compile_bgp(node: A.BGP, store: TripleStore) -> DataFrame:
         # GroupGraphPattern with no members evaluates to a unit solution).
         return store.spark.range(1).select()
     hints = getattr(node, "hints", None)
-    if hints:
+    # join-order hints only; "alp" keys parameterize the ALP service and
+    # don't affect an ordinary BGP compile
+    if hints and (hints.get("optimizer") or hints.get("run_first") or hints.get("run_last")):
         return _compile_bgp_hinted(patterns, hints, store)
     entries, leftover = _star_fuse(patterns, store)
     n_fused = len(entries)
@@ -1575,6 +1577,12 @@ def _(node: A.Service, store: TripleStore) -> DataFrame:
         return [n] if isinstance(n, A.SP) else []
 
     svc_iri = _compact_builtin_iri(node.iri)
+    if svc_iri == "bd:alp":
+        # ref: ASTALPServiceOptimizer.java / BD.java ALP_SERVICE — the
+        # configurable arbitrary-length-path service (bounds, edge
+        # constraints, bidirectionality); needs the BGP node itself (its
+        # hints carry the alp.* parameters), not just the pattern list
+        return service.alp_service(store, node.pattern)
     if svc_iri == "gas:service":
         return service.gas_service(store, collect_sps(node.pattern))
     if svc_iri == "geo:search":

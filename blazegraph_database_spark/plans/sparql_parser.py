@@ -778,9 +778,13 @@ class Parser:
                         "run_first": frozenset(hints["run_first"]),
                         "run_last": frozenset(hints["run_last"]),
                     }
+                if hints.get("alp"):
+                    h = dict(h or {})
+                    h["alp"] = dict(hints["alp"])
                 add(A.BGP(pend_sps, hints=h))
                 pend_sps = []
                 hints["run_first"], hints["run_last"] = set(), set()
+                hints.pop("alp", None)
             for pp in pend_paths:
                 add(pp)
             pend_paths = []
@@ -807,6 +811,15 @@ class Parser:
                 hints["run_first"].add(len(pend_sps) - 1)
             elif pred == "runLast" and val == "true" and pend_sps:
                 hints["run_last"].add(len(pend_sps) - 1)
+            elif pred == "alp.pathExpr" and val == "true" and pend_sps:
+                # ALP SERVICE: hint:Prior hint:alp.pathExpr true marks the
+                # PREVIOUS triple as the path expression (ref:
+                # ASTALPServiceOptimizer.java PATH_EXPR)
+                hints.setdefault("alp", {})["path_idx"] = len(pend_sps) - 1
+            elif pred is not None and pred.startswith("alp."):
+                # alp.lowerBound / alp.upperBound / alp.bidirectional /
+                # alp.edgeVar (ASTALPServiceOptimizer.java hint registry)
+                hints.setdefault("alp", {})[pred[4:]] = val
             elif pred in ("describeMode", "describeIterationLimit"):
                 # query-level DESCRIBE hints (ref: QueryHints.java:587
                 # DESCRIBE_MODE / DESCRIBE_ITERATION_LIMIT) — recorded on

@@ -1446,3 +1446,58 @@ def virtual_graph_dataset(spark: SparkSession, sf_dir: str) -> DataFrame:
         } GROUP BY ?g ORDER BY ?g
         """,
     )
+
+
+@register(
+    "service_alp",
+    """
+    WITH RECURSIVE e AS (
+        SELECT 'nation:' || n_nationkey AS s,
+               'nation:' || ((n_nationkey + 1) % 25) AS o
+        FROM nation WHERE n_nationkey % 3 < 2
+    ),
+    r AS (
+        SELECT o AS v, 1 AS d FROM e WHERE s = 'nation:0'
+        UNION ALL
+        SELECT e.o, r.d + 1 FROM r JOIN e ON e.s = r.v WHERE r.d < 4
+    )
+    SELECT DISTINCT v FROM r WHERE d BETWEEN 2 AND 4 ORDER BY v
+    """,
+)
+def service_alp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SERVICE bd:alp — the configurable arbitrary-length-path service
+    (ref: ASTALPServiceOptimizer.java, BD.java:239 ALP_SERVICE): path
+    bounds {2,4} over a nation-ring whose per-hop edge IRIs carry a type
+    constraint (?edge <etype> "ok") — edge-constrained bounded traversal,
+    checked against a depth-tracked recursive CTE over the same derived
+    edge set."""
+    from blazegraph_database_spark.plans.sparql_parser import run_sparql
+
+    nat = read_parquet(spark, f"{sf_dir}/nation.parquet")
+    edges = nat.select(
+        F.concat(F.lit("nation:"), F.col("n_nationkey")).alias("s"),
+        F.concat(F.lit("edge:"), F.col("n_nationkey")).alias("p"),
+        F.concat(F.lit("nation:"), (F.col("n_nationkey") + 1) % 25).alias("o_lex"),
+        F.lit("iri").alias("o_dt"),
+    )
+    etypes = nat.select(
+        F.concat(F.lit("edge:"), F.col("n_nationkey")).alias("s"),
+        F.lit("etype").alias("p"),
+        F.when(F.col("n_nationkey") % 3 < 2, F.lit("ok")).otherwise(F.lit("no")).alias("o_lex"),
+        F.lit("string").alias("o_dt"),
+    )
+    st = TripleStore(edges.unionByName(etypes))
+    return run_sparql(
+        st,
+        """
+        SELECT ?v WHERE {
+          SERVICE <http://www.bigdata.com/rdf#alp> {
+            <nation:0> ?edge ?v .
+            hint:Prior hint:alp.pathExpr "true" .
+            ?edge <etype> "ok" .
+            hint:Group hint:alp.lowerBound 2 .
+            hint:Group hint:alp.upperBound 4 .
+          }
+        } ORDER BY ?v
+        """,
+    )

@@ -29,6 +29,7 @@ _SCORE_FIRST = [
     "rdr_reify_roundtrip",
     "skew_salted_agg",
     "virtual_graph_dataset",
+    "service_alp",
     "dataset_shuffle",
     "dataset_stratified_exact",
     "text_decontaminate_fuzzy",

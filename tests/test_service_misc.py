@@ -1023,3 +1023,100 @@ def test_http_transport_against_xml_only_endpoint(spark):
         assert rows == [{"x": "http://ex/a", "n": "7"}, {"x": "b0"}]
     finally:
         srv.shutdown()
+
+
+# ----------------------------------------------------- bd:alp service ----
+def _alp_store(spark):
+    from blazegraph_database_spark.model.store import TripleStore
+
+    # ring a->b->c->d->e->a via per-hop edge IRIs; edges e0..e3 typed "ok",
+    # e4 typed "no"
+    nodes = ["a", "b", "c", "d", "e"]
+    rows = []
+    for i, n in enumerate(nodes):
+        rows.append((n, f"edge:{i}", nodes[(i + 1) % 5], "iri"))
+        rows.append((f"edge:{i}", "etype", "ok" if i < 4 else "no", "string"))
+    return TripleStore(
+        spark.createDataFrame(rows, "s string, p string, o_lex string, o_dt string")
+    )
+
+
+def test_alp_service_bounds_and_constraints(spark):
+    from blazegraph_database_spark.plans.sparql_parser import run_sparql
+
+    st = _alp_store(spark)
+    q = """
+    SELECT ?v WHERE {
+      SERVICE <http://www.bigdata.com/rdf#alp> {
+        <a> ?edge ?v .
+        hint:Prior hint:alp.pathExpr "true" .
+        ?edge <etype> "ok" .
+        hint:Group hint:alp.lowerBound 2 .
+        hint:Group hint:alp.upperBound 3 .
+      }
+    }
+    """
+    # ok-edges: a->b->c->d->e (e->a excluded); 2..3 hops from a: c, d
+    assert {r["v"] for r in run_sparql(st, q).collect()} == {"c", "d"}
+
+
+def test_alp_service_bidirectional_and_unbounded(spark):
+    from blazegraph_database_spark.plans.sparql_parser import run_sparql
+
+    st = _alp_store(spark)
+    q = """
+    SELECT ?v WHERE {
+      SERVICE <http://www.bigdata.com/rdf#alp> {
+        <c> ?edge ?v .
+        hint:Prior hint:alp.pathExpr "true" .
+        ?edge <etype> "ok" .
+        hint:Group hint:alp.bidirectional "true" .
+      }
+    }
+    """
+    # undirected ok-edge component reaches every node (default bounds 1..inf)
+    assert {r["v"] for r in run_sparql(st, q).collect()} == {"a", "b", "d", "e", "c"}
+    # no constraints: full ring, 1 hop from a
+    q2 = """
+    SELECT ?v WHERE {
+      SERVICE <http://www.bigdata.com/rdf#alp> {
+        <a> ?edge ?v .
+        hint:Prior hint:alp.pathExpr "true" .
+        hint:Group hint:alp.upperBound 1 .
+      }
+    }
+    """
+    assert {r["v"] for r in run_sparql(st, q2).collect()} == {"b"}
+
+
+def test_alp_service_join_with_outer_pattern(spark):
+    from blazegraph_database_spark.plans.sparql_parser import run_sparql
+
+    st = _alp_store(spark)
+    # ALP result joins the enclosing group on ?v
+    q = """
+    SELECT ?v ?t WHERE {
+      SERVICE <http://www.bigdata.com/rdf#alp> {
+        <a> ?edge ?v .
+        hint:Prior hint:alp.pathExpr "true" .
+        hint:Group hint:alp.upperBound 2 .
+      }
+      ?e2 <etype> ?t . FILTER(?e2 = "edge:1")
+      FILTER(?v = "c")
+    }
+    """
+    rows = {(r["v"], r["t"]) for r in run_sparql(st, q).collect()}
+    assert rows == {("c", "ok")}
+
+
+def test_alp_service_requires_path_marker(spark):
+    import pytest as _pt
+
+    from blazegraph_database_spark.plans.sparql_parser import run_sparql
+
+    st = _alp_store(spark)
+    with _pt.raises(ValueError, match="pathExpr"):
+        run_sparql(
+            st,
+            'SELECT ?v WHERE { SERVICE <http://www.bigdata.com/rdf#alp> { <a> ?e ?v } }',
+        ).collect()
