@@ -315,6 +315,7 @@ class SparqlEndpoint:
         describe_mode: str | None = None,
         describe_iterations: int | None = None,
         query_id: str | None = None,
+        include_inferred: bool = True,
     ) -> tuple[int, str, bytes]:
         """Every query runs in its own Spark job group and is listed in the
         running-query registry while it executes (ref: StatusServlet's
@@ -328,7 +329,7 @@ class SparqlEndpoint:
 
         qid = query_id or uuid.uuid4().hex[:12]
         args = (ns, text, accept, explain, timestamp, txid, describe_mode,
-                describe_iterations)
+                describe_iterations, include_inferred)
         if timeout_ms:
             return self._bounded(
                 timeout_ms,
@@ -338,7 +339,7 @@ class SparqlEndpoint:
         return self._run_query(qid, *args)
 
     def _run_query(self, qid, ns, text, accept, explain, timestamp, txid,
-                   describe_mode, describe_iterations):
+                   describe_mode, describe_iterations, include_inferred=True):
         if qid in self._running or qid in self._pending_cancels:
             # a client-assigned id colliding with a live query (or a still-
             # firing pending-cancel for the previous holder) would share
@@ -358,7 +359,8 @@ class SparqlEndpoint:
         }
         try:
             return self._query_impl(ns, text, accept, explain, timestamp,
-                                    txid, describe_mode, describe_iterations)
+                                    txid, describe_mode, describe_iterations,
+                                    include_inferred)
         finally:
             self._running.pop(qid, None)
 
@@ -372,9 +374,21 @@ class SparqlEndpoint:
         txid: str | None = None,
         describe_mode: str | None = None,
         describe_iterations: int | None = None,
+        include_inferred: bool = True,
     ) -> tuple[int, str, bytes]:
         us = self._tx_store(txid, ns) if txid is not None else self.namespaces[ns]
-        if timestamp is None:
+        if not include_inferred:
+            # includeInferred=false: query ONLY the explicit statement set
+            # (ref: QueryServlet.java:140 INCLUDE_INFERRED, default true;
+            # BigdataRDFContext.java:771 — the SAIL flag on every query
+            # task). Combines with neither timestamp= nor txid= reads:
+            # the explicit set is tracked for the CURRENT version only.
+            if timestamp is not None or txid is not None:
+                raise ValueError(
+                    "includeInferred=false cannot combine with timestamp= or txid="
+                )
+            store = us.explicit_store
+        elif timestamp is None:
             # query_store = current version + persisted named solution
             # sets, so INCLUDE %set resolves against sets written by prior
             # UPDATE requests (ref: the solution-set cache is visible to
@@ -629,9 +643,14 @@ class SparqlEndpoint:
         per-predicate stats (parquet-footer analog) — no job."""
         from pyspark.sql import functions as F
 
-        store = self.namespaces[ns].current
+        us = self.namespaces[ns]
+        # includeInferred=false counts the explicit set only (ref:
+        # QueryServlet.java:1546-1556 — ESTCARD honors INCLUDE_INFERRED;
+        # BLZG-1207 fixed the REST API ignoring it)
+        inferred = params.get("includeInferred", "true").lower() != "false"
+        store = us.current if inferred else us.explicit_store
         s, p, o = params.get("s"), params.get("p"), params.get("o")
-        if p is not None and s is None and o is None:
+        if inferred and p is not None and s is None and o is None:
             st = store.stats().get(p)
             return 200, JSON, json.dumps({"rangeCount": st.count if st else 0}).encode()
         df = store.df
@@ -1243,6 +1262,7 @@ class SparqlEndpoint:
                 describe_iterations=int(params["describeIterationLimit"])
                 if "describeIterationLimit" in params else None,
                 query_id=params.get("queryId"),
+                include_inferred=params.get("includeInferred", "true").lower() != "false",
             )
         if method == "POST":
             base = ctype.split(";")[0].strip()
@@ -1277,6 +1297,7 @@ class SparqlEndpoint:
                     describe_iterations=int(params["describeIterationLimit"])
                     if "describeIterationLimit" in params else None,
                     query_id=params.get("queryId"),
+                    include_inferred=params.get("includeInferred", "true").lower() != "false",
                 )
             raise ValueError("POST needs query=, update=, or an RDF body")
         if method == "PUT":

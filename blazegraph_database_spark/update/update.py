@@ -211,6 +211,25 @@ class UpdatableStore:
         self._qstore_memo = (base, key, sets, out)
         return out
 
+    @property
+    def explicit_store(self) -> TripleStore:
+        """The EXPLICIT statement set as a queryable store — the
+        ``includeInferred=false`` view (ref: BigdataRDFContext.java:771 —
+        every SAIL query task carries the includeInferred flag; BLZG-1207
+        fixed getStatements ignoring it). Before any closure is computed
+        the current version IS the explicit set; afterwards the tracked
+        explicit DataFrame is the source of truth. Memoized per explicit
+        snapshot so stats/indexes survive across requests like
+        query_store's."""
+        base = self._explicit if self._explicit is not None else self.current.df
+        cached = getattr(self, "_estore_memo", None)
+        if cached is not None and cached[0] is base:
+            return cached[1]
+        out = TripleStore(base)
+        out.updatable = self
+        self._estore_memo = (base, out)
+        return out
+
     def insert_into_solutions(
         self, name: str, where, project=None, distinct: bool = False
     ) -> None:

@@ -978,3 +978,43 @@ def test_client_assigned_query_id(spark):
         assert result["status"] == 503
     finally:
         srv.shutdown()
+
+
+def test_include_inferred_false(spark):
+    """includeInferred=false queries/counts ONLY the explicit set (ref:
+    QueryServlet.java INCLUDE_INFERRED; BigdataRDFContext.java:771)."""
+    import json as _json
+    from urllib.parse import quote
+
+    rows = [
+        ("Car", "rdfs:subClassOf", "Vehicle", "iri"),
+        ("c1", "rdf:type", "Car", "iri"),
+    ]
+    us = UpdatableStore.from_store(
+        TripleStore(spark.createDataFrame(rows, "s string, p string, o_lex string, o_dt string"))
+    )
+    # compute the closure so c1 rdf:type Vehicle is inferred
+    us.insert_with_closure(
+        spark.createDataFrame(
+            [("c2", "rdf:type", "Car", "iri")], "s string, p string, o_lex string, o_dt string"
+        )
+    )
+    ep = SparqlEndpoint(spark, us)
+    srv, port = start_background(ep)
+    try:
+        base = f"http://127.0.0.1:{port}"
+        q = quote("SELECT ?t WHERE { <c1> <rdf:type> ?t }")
+        _, _, body = _req(f"{base}/sparql?query={q}")
+        types = {b["t"]["value"] for b in _json.loads(body)["results"]["bindings"]}
+        assert types == {"Car", "Vehicle"}  # closure visible by default
+        _, _, body = _req(f"{base}/sparql?query={q}&includeInferred=false")
+        types = {b["t"]["value"] for b in _json.loads(body)["results"]["bindings"]}
+        assert types == {"Car"}  # explicit only
+        # ESTCARD honors it too
+        _, _, body = _req(f"{base}/sparql?ESTCARD&p={quote('rdf:type')}")
+        n_all = _json.loads(body)["rangeCount"]
+        _, _, body = _req(f"{base}/sparql?ESTCARD&p={quote('rdf:type')}&includeInferred=false")
+        n_exp = _json.loads(body)["rangeCount"]
+        assert n_exp == 2 and n_all > n_exp
+    finally:
+        srv.shutdown()
