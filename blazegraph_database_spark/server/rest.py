@@ -743,7 +743,14 @@ class SparqlEndpoint:
     def _pattern_filter(self, ns: str, params: dict):
         from pyspark.sql import functions as F
 
-        df = self.namespaces[ns].current.df
+        us = self.namespaces[ns]
+        # includeInferred=false restricts access paths to the explicit set
+        # (ref: BLZG-1207 — getStatements ignored includeInferred; fixed in
+        # BigdataRDFContext.java:769)
+        if params.get("includeInferred", "true").lower() == "false":
+            df = us.explicit_store.df
+        else:
+            df = us.current.df
         for col, key in (("s", "s"), ("p", "p"), ("o_lex", "o"), ("g", "c")):
             val = params.get(key)
             if val is not None and col in df.columns:

@@ -1016,5 +1016,13 @@ def test_include_inferred_false(spark):
         _, _, body = _req(f"{base}/sparql?ESTCARD&p={quote('rdf:type')}&includeInferred=false")
         n_exp = _json.loads(body)["rangeCount"]
         assert n_exp == 2 and n_all > n_exp
+        # HASSTMT / GETSTMTS honor it (BLZG-1207 parity)
+        probe = f"s={quote('c1')}&p={quote('rdf:type')}&o={quote('Vehicle')}"
+        _, _, body = _req(f"{base}/sparql?HASSTMT&{probe}")
+        assert _json.loads(body)["found"] is True
+        _, _, body = _req(f"{base}/sparql?HASSTMT&{probe}&includeInferred=false")
+        assert _json.loads(body)["found"] is False
+        _, _, body = _req(f"{base}/sparql?GETSTMTS&s={quote('c1')}&includeInferred=false")
+        assert b"Vehicle" not in body and b"Car" in body
     finally:
         srv.shutdown()
