@@ -60,6 +60,32 @@ def brute_force_topk(
     return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k).drop("rk")
 
 
+def radius_search(
+    corpus: DataFrame,
+    queries: DataFrame,
+    min_cos: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    broadcast_queries: bool | None = None,
+) -> DataFrame:
+    """Exact cosine radius (range) search: every (q, neighbor) pair with
+    cosine >= min_cos, self excluded. Unlike top-k there is no window/rank
+    stage at all — one corpus scan with the (small) query side broadcast and
+    a row filter, so the plan is embarrassingly parallel at any corpus size
+    and emits matches incrementally. A corpus-sized query side trips the
+    same broadcast guard as LSH top-k and falls back to a shuffle join.
+    The filter compares the ROUNDED cosine so a SQL replay of the same
+    arithmetic agrees at the threshold boundary."""
+    c = corpus.select(F.col(id_col).alias("neighbor"), as_double(F.col(vec_col)).alias("cv"))
+    q = queries.select(F.col(id_col).alias("q"), as_double(F.col(vec_col)).alias("qv"))
+    return (
+        c.crossJoin(_maybe_broadcast(q, broadcast_queries))
+        .filter(F.col("q") != F.col("neighbor"))
+        .select("q", "neighbor", F.round(cosine(F.col("qv"), F.col("cv")), 4).alias("cos"))
+        .filter(F.col("cos") >= F.lit(min_cos))
+    )
+
+
 def _hyperplanes(dim: int, bits: int, seed: int = 1234567) -> list[list[float]]:
     """Deterministic pseudo-random unit-ish hyperplanes (LCG + Box-Muller)."""
     state = seed

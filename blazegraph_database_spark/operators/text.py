@@ -584,3 +584,127 @@ def resample_epochs(
         10000,
     )
     return out.filter(F.col("__rate") - F.lit(10000) * F.col("rep") > b).drop("__rate")
+
+
+# Gopher quality-rule thresholds (Rae et al. 2021, "Scaling Language Models:
+# Methods, Analysis & Insights from Training Gopher", table A1 — public).
+GOPHER_BULLET_RE = r"^\s*[-*•]\s"
+GOPHER_ELLIPSIS_RE = r"(\.\.\.|…)\s*$"
+
+
+def gopher_rules(
+    df: DataFrame,
+    text_col: str = "text",
+    min_words: int = 20,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    min_alpha_frac: float = 0.8,
+    min_distinct_stopwords: int = 2,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_ratio: float = 0.9,
+    max_ellipsis_ratio: float = 0.3,
+    stopwords: list[str] | None = None,
+) -> DataFrame:
+    """Gopher repetition-free quality rules (Rae et al. 2021) as one pass of
+    pure Column expressions: word-count bounds, mean word length band,
+    alphabetic-word fraction, distinct-stopword floor, symbol (#/...)
+    ratio, bullet-start and ellipsis-end line ratios. Adds one column per
+    feature plus ``gopher_pass`` (1/0). Per-row, no shuffle — linear at any
+    corpus size; the pass decision uses the ROUNDED features so a SQL
+    replay of the same arithmetic agrees at the thresholds."""
+    stop = stopwords if stopwords is not None else STOPWORDS_EN
+    c = F.trim(F.col(text_col))
+    ws = words(c)
+    n_words = F.size(ws)
+    nz = F.greatest(n_words, F.lit(1))
+    wl = F.aggregate(ws, F.lit(0).cast("long"), lambda a, w: a + F.length(w))
+    alpha = F.size(F.filter(ws, lambda w: w.rlike("[A-Za-z]")))
+    ws_lower = F.transform(ws, F.lower)
+    n_stop = F.size(
+        F.filter(F.array(*[F.lit(s) for s in stop]), lambda s: F.array_contains(ws_lower, s))
+    )
+    sym = F.regexp_count(c, F.lit("#")) + F.regexp_count(c, F.lit(r"\.\.\."))
+    lines = F.split(F.col(text_col), "\n")
+    n_lines = F.greatest(F.size(lines), F.lit(1))
+    bullet = F.size(F.filter(lines, lambda l: l.rlike(GOPHER_BULLET_RE)))
+    ell = F.size(F.filter(lines, lambda l: l.rlike(GOPHER_ELLIPSIS_RE)))
+    mean_word_len = F.round(wl / nz, 4)
+    alpha_frac = F.round(alpha / nz, 6)
+    symbol_ratio = F.round(sym / nz, 6)
+    bullet_ratio = F.round(bullet / n_lines, 6)
+    ellipsis_ratio = F.round(ell / n_lines, 6)
+    gopher_pass = (
+        n_words.between(min_words, max_words)
+        & mean_word_len.between(min_mean_word_len, max_mean_word_len)
+        & (alpha_frac >= min_alpha_frac)
+        & (n_stop >= min_distinct_stopwords)
+        & (symbol_ratio <= max_symbol_ratio)
+        & (bullet_ratio <= max_bullet_ratio)
+        & (ellipsis_ratio <= max_ellipsis_ratio)
+    )
+    return (
+        df.withColumn("n_words", n_words)
+        .withColumn("mean_word_len", mean_word_len)
+        .withColumn("alpha_frac", alpha_frac)
+        .withColumn("n_stop", n_stop)
+        .withColumn("symbol_ratio", symbol_ratio)
+        .withColumn("bullet_ratio", bullet_ratio)
+        .withColumn("ellipsis_ratio", ellipsis_ratio)
+        .withColumn("gopher_pass", gopher_pass.cast("int"))
+    )
+
+
+def unigram_logprob(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Corpus-trained unigram LM score per document — the in-engine analog of
+    the CCNet/KenLM perplexity quality signal, with the model TRAINED ON THE
+    CORPUS ITSELF so the whole computation is deterministic and
+    SQL-replayable (no external model file).
+
+    Plan shape: lowercased whitespace tokens → per-doc term frequencies
+    (map-side partial agg) → vocabulary counts (one shuffle) → tf ⋈ vocab on
+    the word (one shuffle; the vocab side has ONE row per key, so key skew on
+    hot words is join-safe) → per-doc weighted mean of -ln(cnt/total). The
+    corpus-total token count rides in as a broadcast single-row frame. Empty
+    documents produce no tokens and therefore no output row.
+
+    Returns (id_col, n_tokens, neg_logprob); lower neg_logprob = more
+    typical of the corpus."""
+    tok = df.select(
+        F.col(id_col), F.explode(F.transform(words(F.col(text_col)), F.lower)).alias("w")
+    )
+    tf = tok.groupBy(id_col, "w").agg(F.count("*").alias("tf"))
+    vocab = tok.groupBy("w").agg(F.count("*").alias("cnt"))
+    total = vocab.agg(F.sum("cnt").alias("total"))
+    return (
+        tf.join(vocab, "w")
+        .crossJoin(F.broadcast(total))
+        .groupBy(id_col)
+        .agg(
+            F.sum("tf").cast("long").alias("n_tokens"),
+            F.round(
+                F.sum(F.col("tf") * -F.log(F.col("cnt") / F.col("total"))) / F.sum("tf"), 4
+            ).alias("neg_logprob"),
+        )
+    )
+
+
+def domain_cap(
+    df: DataFrame,
+    domain_col: str = "source",
+    cap: int = 10,
+    order_col: str = "quality",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-domain document quota (the CCNet/RefinedWeb host-capping move):
+    keep at most ``cap`` documents per domain, best-``order_col`` first, ties
+    broken by ``id_col`` so the cut is deterministic under any partitioning.
+    One shuffle on the domain key; AQE's skew-join/partition splitting keeps
+    a mega-domain from pinning an executor, and the cap itself is exactly the
+    guard that makes downstream work domain-balanced at 100 TB."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(domain_col).orderBy(F.col(order_col).desc(), F.col(id_col).asc())
+    return df.withColumn("domain_rank", F.row_number().over(w)).filter(
+        F.col("domain_rank") <= F.lit(cap)
+    )

@@ -1270,3 +1270,139 @@ def dataset_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+_GOPHER_STOP_LIST = "[" + ",".join(f"'{w}'" for w in text.STOPWORDS_EN) + "]"
+
+@register(
+    "text_gopher_rules",
+    f"""
+    WITH f AS (
+        SELECT doc_id, trim(text) AS t,
+               string_split_regex(trim(text), '\\s+') AS ws,
+               string_split(text, chr(10)) AS lines
+        FROM documents
+    ), g AS (
+        SELECT doc_id,
+               len(ws) AS n_words,
+               GREATEST(len(ws), 1) AS nz,
+               COALESCE(list_aggregate(list_transform(ws, w -> strlen(w)), 'sum'), 0) AS wl,
+               len(list_filter(ws, w -> regexp_matches(w, '[A-Za-z]'))) AS alpha,
+               len(list_filter({_GOPHER_STOP_LIST},
+                               s -> list_contains(list_transform(ws, w -> lower(w)), s))) AS n_stop,
+               len(regexp_extract_all(t, '#')) + len(regexp_extract_all(t, '\\.\\.\\.')) AS sym,
+               GREATEST(len(lines), 1) AS n_lines,
+               len(list_filter(lines, l -> regexp_matches(l, '^\\s*[-*•]\\s'))) AS bullet,
+               len(list_filter(lines, l -> regexp_matches(l, '(\\.\\.\\.|…)\\s*$'))) AS ell
+        FROM f
+    )
+    SELECT doc_id, n_words,
+           ROUND(wl * 1.0 / nz, 4) AS mean_word_len,
+           ROUND(alpha * 1.0 / nz, 6) AS alpha_frac,
+           n_stop,
+           ROUND(sym * 1.0 / nz, 6) AS symbol_ratio,
+           ROUND(bullet * 1.0 / n_lines, 6) AS bullet_ratio,
+           ROUND(ell * 1.0 / n_lines, 6) AS ellipsis_ratio,
+           CAST(CASE WHEN n_words BETWEEN 20 AND 100000
+                      AND ROUND(wl * 1.0 / nz, 4) BETWEEN 3.0 AND 10.0
+                      AND ROUND(alpha * 1.0 / nz, 6) >= 0.8
+                      AND n_stop >= 2
+                      AND ROUND(sym * 1.0 / nz, 6) <= 0.1
+                      AND ROUND(bullet * 1.0 / n_lines, 6) <= 0.9
+                      AND ROUND(ell * 1.0 / n_lines, 6) <= 0.3
+                THEN 1 ELSE 0 END AS INT) AS gopher_pass
+    FROM g
+    """,
+)
+def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher quality-rule filter (Rae et al. 2021): per-doc rule features +
+    pass flag, all pure Column expressions (operators/text.gopher_rules)."""
+    return text.gopher_rules(_docs(spark, sf_dir)).select(
+        "doc_id", "n_words", "mean_word_len", "alpha_frac", "n_stop",
+        "symbol_ratio", "bullet_ratio", "ellipsis_ratio", "gopher_pass",
+    )
+
+
+@register(
+    "text_unigram_logprob",
+    """
+    WITH w AS (
+        SELECT doc_id,
+               unnest(list_transform(string_split_regex(trim(text), '\\s+'),
+                                     x -> lower(x))) AS w
+        FROM documents WHERE trim(text) != ''
+    ),
+    tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM w GROUP BY 1, 2),
+    vocab AS (SELECT w, COUNT(*) AS cnt FROM w GROUP BY 1),
+    tot AS (SELECT SUM(cnt) AS total FROM vocab)
+    SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens,
+           ROUND(SUM(tf * -ln(cnt * 1.0 / total)) / SUM(tf), 4) AS neg_logprob
+    FROM tf JOIN vocab USING (w) CROSS JOIN tot
+    GROUP BY doc_id
+    """,
+)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained unigram LM document scoring — the in-engine analog of
+    the CCNet/KenLM perplexity quality signal (operators/text.unigram_logprob)."""
+    return text.unigram_logprob(_docs(spark, sf_dir))
+
+
+@register(
+    "dataset_domain_cap",
+    f"""
+    WITH f AS (
+        SELECT doc_id, source, strlen(text) AS n_chars,
+               string_split_regex(trim(text), '\\s+') AS ws
+        FROM documents
+    ), g AS (
+        SELECT doc_id, source,
+               len(ws) AS n_words,
+               len(list_filter(ws, w -> lower(w) IN {_STOP_SQL})) AS stop,
+               len(list_distinct(list_transform(ws, w -> lower(w)))) AS uniq,
+               GREATEST(len(ws), 1) AS nz
+        FROM f
+    ), q AS (
+        SELECT doc_id, source,
+               ROUND(LEAST(n_words / 100.0, 1.0) * 0.4
+                     + LEAST(stop * 1.0 / nz * 5.0, 1.0) * 0.3
+                     + (uniq * 1.0 / nz) * 0.3, 6) AS quality
+        FROM g
+    ), r AS (
+        SELECT doc_id, source, quality,
+               ROW_NUMBER() OVER (PARTITION BY source
+                                  ORDER BY quality DESC, doc_id ASC) AS domain_rank
+        FROM q
+    )
+    SELECT doc_id, source, quality, CAST(domain_rank AS INT) AS domain_rank
+    FROM r WHERE domain_rank <= 7
+    """,
+)
+def dataset_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain quota: top-7 docs per source by composite quality (the
+    CCNet/RefinedWeb host-capping move; operators/text.domain_cap)."""
+    capped = text.domain_cap(
+        text.quality_score(_docs(spark, sf_dir)), domain_col="source", cap=7
+    )
+    return capped.select("doc_id", "source", "quality", "domain_rank")
+
+
+@register(
+    "ann_radius",
+    """
+    WITH q AS (SELECT vec_id AS q, CAST(embedding AS DOUBLE[]) AS qv
+               FROM embeddings WHERE vec_id < 5),
+    c AS (SELECT vec_id AS neighbor, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings)
+    SELECT q, neighbor, cos
+    FROM (SELECT q, neighbor, ROUND(list_cosine_similarity(qv, cv), 4) AS cos
+          FROM q CROSS JOIN c WHERE q != neighbor)
+    WHERE cos >= 0.25
+    """,
+)
+def ann_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine radius (range) search: all neighbors of query vectors vec_id<5
+    at cosine>=0.25 — no rank/window stage, one broadcast-probe corpus scan
+    (operators/similarity.radius_search)."""
+    embs = _embs(spark, sf_dir)
+    return similarity.radius_search(
+        embs, embs.filter(F.col("vec_id") < 5), min_cos=0.25, broadcast_queries=True
+    )

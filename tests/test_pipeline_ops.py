@@ -503,3 +503,69 @@ def test_resample_epochs_downsample_matches_stratified(spark):
     n_en = a.join(df.filter(F.col("lang") == "en"), "doc_id").count()
     assert 60 < n_en < 180  # ~120 expected at 40%
     assert b.count() == b.distinct().count()
+
+
+def test_gopher_rules_hand_fixture(spark):
+    """Known texts hit the intended rules: a good prose doc passes, a short
+    doc fails the word floor, a bullet wall fails the bullet ratio, a
+    symbol-heavy doc fails the symbol ratio."""
+    good = ("the cat sat on a mat and then the dog ran to the park with a ball "
+            "while it was sunny and the kids played games on the field for hours")
+    rows = [
+        (1, good),
+        (2, "too short"),
+        (3, "\n".join(f"- bullet item {i} here now" for i in range(30))),
+        (4, " ".join(["the a an of and to in is it on for word like this ok"] * 2
+                     + ["# # # # # # # # # #"] * 2)),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r.asDict() for r in text.gopher_rules(df).collect()}
+    assert out[1]["gopher_pass"] == 1
+    assert out[2]["gopher_pass"] == 0 and out[2]["n_words"] == 2
+    assert out[3]["gopher_pass"] == 0 and out[3]["bullet_ratio"] == 1.0
+    assert out[4]["gopher_pass"] == 0 and out[4]["symbol_ratio"] > 0.1
+
+
+def test_unigram_logprob_ranks_rare_docs_higher(spark):
+    """A doc of corpus-common words scores lower neg_logprob than a doc of
+    words that appear nowhere else; token counts are exact."""
+    rows = [
+        (1, "common common common words words"),
+        (2, "common words"),
+        (3, "zyx qwv unique rare"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in text.unigram_logprob(df).collect()}
+    assert out[1]["n_tokens"] == 5 and out[3]["n_tokens"] == 4
+    assert out[1]["neg_logprob"] < out[3]["neg_logprob"]
+    # exact value for doc 3: each word appears once out of 11 tokens
+    import math
+    assert out[3]["neg_logprob"] == round(math.log(11.0), 4)
+
+
+def test_domain_cap_quota_and_tiebreak(spark):
+    """Cap keeps exactly `cap` rows per domain, best-score first, and the
+    id tiebreak makes equal scores deterministic."""
+    rows = [(i, "d1" if i < 6 else "d2", float(i % 3)) for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, quality double")
+    out = text.domain_cap(df, cap=2).collect()
+    by_dom = {}
+    for r in out:
+        by_dom.setdefault(r["source"], []).append((r["domain_rank"], r["doc_id"]))
+    assert sorted(by_dom["d1"]) == [(1, 2), (2, 5)]  # quality 2.0 twice, min id first
+    assert len(by_dom["d2"]) == 2
+
+
+def test_radius_search_matches_bruteforce_filter(spark):
+    """Radius search equals the top-k scorer's pair set filtered at the
+    threshold (same rounding), and self-pairs are excluded."""
+    import random
+    rnd = random.Random(7)
+    rows = [(i, [rnd.uniform(-1, 1) for _ in range(8)]) for i in range(40)]
+    embs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = embs.filter(F.col("vec_id") < 3)
+    got = {(r["q"], r["neighbor"]) for r in
+           similarity.radius_search(embs, q, min_cos=0.3).collect()}
+    brute = similarity.brute_force_topk(embs, q, k=40)
+    want = {(r["q"], r["neighbor"]) for r in brute.collect() if r["cos"] >= 0.3}
+    assert got == want and all(a != b for a, b in got)

@@ -427,3 +427,40 @@ def test_resample_and_temperature_mix_stay_expression_only(spark):
     kept = T.stratified_sample(df, rates, group_col="lang", seed="t")
     p2 = plan_of(kept)
     assert "BatchEvalPython" not in p2 and "Exchange" not in p2
+
+
+def test_gopher_rules_expression_only_no_shuffle(spark):
+    """Gopher rules are a single per-row projection: no Python UDF stage and
+    no exchange anywhere — the linear 100 TB shape."""
+    from blazegraph_database_spark.operators import text as T
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    p = plan_of(T.gopher_rules(docs))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "Exchange" not in p
+
+
+def test_radius_search_no_window_broadcast_probe(spark):
+    """Radius search must not rank: no Window in the plan, and the query side
+    rides a broadcast (no shuffle of the corpus)."""
+    from blazegraph_database_spark.operators import similarity as S
+
+    embs = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    q = embs.filter(F.col("vec_id") < 5)
+    p = plan_of(S.radius_search(embs, q, min_cos=0.25, broadcast_queries=True))
+    assert "Window" not in p
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
+    assert p.count("Exchange") <= p.count("BroadcastExchange") + 1
+
+
+def test_unigram_logprob_partial_agg_and_single_row_broadcast(spark):
+    """The LM scorer pre-aggregates term frequencies (partial+final pairs on
+    both groupings) and the corpus total joins as a broadcast, so the only
+    data-sized shuffles are the two word-key aggregations."""
+    from blazegraph_database_spark.operators import text as T
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    p = plan_of(T.unigram_logprob(docs), mode="simple")
+    assert "BatchEvalPython" not in p
+    assert "BroadcastExchange" in p  # the single-row total
+    assert p.count("HashAggregate") >= 4  # partial+final for tf and vocab
