@@ -86,6 +86,59 @@ def radius_search(
     )
 
 
+def semantic_dedup(
+    embs: DataFrame,
+    k_clusters: int = 8,
+    min_cos: float = 0.3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, public): cluster the embedding space,
+    then inside each cluster drop every vector that has a LOWER-id neighbor
+    above ``min_cos`` — semantic redundancy pruning, the step beyond
+    near-duplicate removal.
+
+    Cluster step is deterministic so a SQL oracle can replay it: the
+    ``k_clusters`` lowest-id vectors act as fixed centroids and every vector
+    goes to its highest-cosine centroid (rounded, seed-asc tiebreak). Swap
+    in ``ivf_cells_refined`` centroids for true k-means when replayability
+    is not needed — the pruning stage is identical.
+
+    Plan shape: centroids broadcast (k rows) → per-vector argmax via
+    map-side-combining max_by (no window) → intra-cluster self-join bucketed
+    by cluster id. Cost is Σ|cluster|², exactly the paper's economics — size
+    ``k_clusters`` with the corpus (they use 50k on the web scale) to keep
+    buckets bounded; no doc×doc compare ever crosses clusters.
+
+    Returns (id_col, cluster, kept∈{0,1}) for every input vector."""
+    e = embs.select(F.col(id_col).alias("vid"), as_double(F.col(vec_col)).alias("v"))
+    seeds = e.orderBy("vid").limit(k_clusters).select(
+        F.col("vid").alias("seed"), F.col("v").alias("sv")
+    )
+    scored = e.crossJoin(F.broadcast(seeds)).select(
+        "vid", "v", "seed", F.round(cosine(F.col("v"), F.col("sv")), 4).alias("cos")
+    )
+    assign = scored.groupBy("vid").agg(
+        F.expr("max_by(seed, struct(cos, -seed))").alias("cluster"),
+        F.first("v").alias("v"),
+    )
+    a, b = assign.alias("a"), assign.alias("b")
+    redundant = (
+        a.join(b, (F.col("a.cluster") == F.col("b.cluster")) & (F.col("a.vid") < F.col("b.vid")))
+        .filter(F.round(cosine(F.col("a.v"), F.col("b.v")), 4) >= F.lit(min_cos))
+        .select(F.col("b.vid").alias("rid"))
+        .distinct()
+    )
+    return (
+        assign.join(redundant, assign["vid"] == redundant["rid"], "left")
+        .select(
+            F.col("vid").alias(id_col),
+            F.col("cluster"),
+            F.when(F.col("rid").isNull(), F.lit(1)).otherwise(F.lit(0)).alias("kept"),
+        )
+    )
+
+
 def _hyperplanes(dim: int, bits: int, seed: int = 1234567) -> list[list[float]]:
     """Deterministic pseudo-random unit-ish hyperplanes (LCG + Box-Muller)."""
     state = seed

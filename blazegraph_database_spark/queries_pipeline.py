@@ -1406,3 +1406,37 @@ def ann_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.radius_search(
         embs, embs.filter(F.col("vec_id") < 5), min_cos=0.25, broadcast_queries=True
     )
+
+
+@register(
+    "semdedup_prune",
+    """
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    seeds AS (SELECT vec_id AS seed, v AS sv FROM e ORDER BY vec_id ASC LIMIT 8),
+    scored AS (
+        SELECT e.vec_id, seed, ROUND(list_cosine_similarity(v, sv), 4) AS cos
+        FROM e CROSS JOIN seeds
+    ),
+    assign AS (
+        SELECT vec_id, seed AS cluster FROM (
+            SELECT vec_id, seed,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY cos DESC, seed ASC) AS r
+            FROM scored) WHERE r = 1
+    ),
+    red AS (
+        SELECT DISTINCT b.vec_id AS rid
+        FROM assign a JOIN assign b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+        JOIN e ea ON ea.vec_id = a.vec_id JOIN e eb ON eb.vec_id = b.vec_id
+        WHERE ROUND(list_cosine_similarity(ea.v, eb.v), 4) >= 0.3
+    )
+    SELECT vec_id, cluster,
+           CAST(CASE WHEN vec_id IN (SELECT rid FROM red) THEN 0 ELSE 1 END AS INT) AS kept
+    FROM assign
+    """,
+)
+def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup semantic-redundancy pruning: deterministic nearest-centroid
+    clusters, intra-cluster lower-id dominance at cosine>=0.3
+    (operators/similarity.semantic_dedup)."""
+    return similarity.semantic_dedup(_embs(spark, sf_dir), k_clusters=8, min_cos=0.3)

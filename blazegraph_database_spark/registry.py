@@ -22,6 +22,7 @@ _CATALOG_MODULES = [
 # its r3 row and rotates in next round.
 _SCORE_FIRST = [
     # (a) round-5 additions — inserted here as they land.
+    "semdedup_prune",
     "text_gopher_rules",
     "text_unigram_logprob",
     "dataset_domain_cap",

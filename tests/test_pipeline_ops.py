@@ -569,3 +569,23 @@ def test_radius_search_matches_bruteforce_filter(spark):
     brute = similarity.brute_force_topk(embs, q, k=40)
     want = {(r["q"], r["neighbor"]) for r in brute.collect() if r["cos"] >= 0.3}
     assert got == want and all(a != b for a, b in got)
+
+
+def test_semantic_dedup_prunes_within_cluster_only(spark):
+    """Two near-identical vectors land in the same cluster: the higher id is
+    pruned. A similar-direction vector in a DIFFERENT cluster survives —
+    cross-cluster pairs are never compared (the SemDeDup contract)."""
+    rows = [
+        (0, [1.0, 0.0, 0.0]),   # centroid seed A
+        (1, [0.0, 1.0, 0.0]),   # centroid seed B
+        (2, [1.0, 0.01, 0.0]),  # cluster A, near-dup of 0 -> pruned
+        (3, [0.0, 1.0, 0.01]),  # cluster B, near-dup of 1 -> pruned
+        (4, [0.6, 0.8, 0.0]),   # cluster B (cos .8 vs .6); far from 1/3 at 0.3? no: cos(4,1)=0.8 -> pruned
+    ]
+    embs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r["vec_id"]: (r["cluster"], r["kept"]) for r in
+           similarity.semantic_dedup(embs, k_clusters=2, min_cos=0.95).collect()}
+    assert out[0] == (0, 1) and out[1] == (1, 1)
+    assert out[2][0] == 0 and out[2][1] == 0
+    assert out[3][0] == 1 and out[3][1] == 0
+    assert out[4][0] == 1 and out[4][1] == 1  # cos(4, 1)=0.8 < 0.95 threshold

@@ -464,3 +464,15 @@ def test_unigram_logprob_partial_agg_and_single_row_broadcast(spark):
     assert "BatchEvalPython" not in p
     assert "BroadcastExchange" in p  # the single-row total
     assert p.count("HashAggregate") >= 4  # partial+final for tf and vocab
+
+
+def test_semantic_dedup_no_cross_cluster_cartesian(spark):
+    """SemDeDup's pair stage must join ON the cluster key (equi-join, never a
+    cartesian/nested-loop over the corpus), and the centroid probe must ride
+    a broadcast."""
+    from blazegraph_database_spark.operators import similarity as S
+
+    embs = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    p = plan_of(S.semantic_dedup(embs))
+    assert "CartesianProduct" not in p
+    assert "BroadcastExchange" in p  # k-row centroid table
