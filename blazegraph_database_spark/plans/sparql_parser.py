@@ -1375,11 +1375,20 @@ class Parser:
         for fv, neg, pat in select_flags:
             if pat is not None:  # group-key flags already wrapped inline
                 node = A.ExistsFlag(node, pat, fv, negate=neg)
-        for v, e in binds:
-            node = A.Extend(node, v, e)
-        if group_keys or hidden_aggs:
+        if not (group_keys or hidden_aggs):
+            for v, e in binds:
+                node = A.Extend(node, v, e)
+        else:
+            # SPARQL algebra: in a grouped query, non-aggregate SELECT
+            # expressions evaluate AFTER grouping (they may only reference
+            # group keys and constants) — binding them post-Group keeps a
+            # derived column like (xsd:double(?key) AS ?v) alive, where a
+            # pre-Group extend would be dropped by the aggregation
+            # projection (keys + aggregates only).
             aggs = hidden_aggs or [("__count", fn.COUNT())]
             node = A.Group(node, keys=tuple(group_keys), aggs=aggs)
+            for v, e in binds:
+                node = A.Extend(node, v, e)
         for v, e in post_binds:
             node = A.Extend(node, v, e)
         for fv, neg, pat in having_flags:

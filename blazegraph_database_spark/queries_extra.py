@@ -1501,3 +1501,193 @@ def service_alp(spark: SparkSession, sf_dir: str) -> DataFrame:
         } ORDER BY ?v
         """,
     )
+
+
+@register(
+    "sparql_tpch_q1",
+    """
+    SELECT l_returnflag AS rf, l_linestatus AS ls,
+           ROUND(SUM(l_quantity), 2) AS sum_qty,
+           ROUND(SUM(l_extendedprice), 2) AS sum_base,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           ROUND(SUM(l_quantity) / COUNT(*), 4) AS avg_qty,
+           ROUND(SUM(l_extendedprice) / COUNT(*), 4) AS avg_price,
+           ROUND(SUM(l_discount) / COUNT(*), 4) AS avg_disc,
+           CAST(COUNT(*) AS BIGINT) AS count_order
+    FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def sparql_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 (pricing summary) as SPARQL text: one star-fused lineitem
+    scan (6 predicates on the same subject), pushed timestamp filter,
+    two-key GROUP BY with five simultaneous aggregates. Averages derive as
+    SUM/COUNT on both sides so the arithmetic is replayed exactly."""
+    from blazegraph_database_spark.plans.sparql_parser import run_sparql
+
+    st = cached_store(spark, sf_dir)
+    out = run_sparql(
+        st,
+        """
+        SELECT ?rf ?ls (SUM(?q) AS ?sq) (SUM(?ep) AS ?sb)
+               (SUM(?ep * (1 - ?d)) AS ?sdp)
+               (SUM(?ep * (1 - ?d) * (1 + ?t)) AS ?sc)
+               (SUM(?d) AS ?sd2) (COUNT(*) AS ?n)
+        WHERE {
+          ?l <lineitem#l_returnflag> ?rf ;
+             <lineitem#l_linestatus> ?ls ;
+             <lineitem#l_quantity> ?q ;
+             <lineitem#l_extendedprice> ?ep ;
+             <lineitem#l_discount> ?d ;
+             <lineitem#l_tax> ?t ;
+             <lineitem#l_shipdate> ?sdate .
+          FILTER(?sdate <= "1998-09-02 00:00:00")
+        }
+        GROUP BY ?rf ?ls
+        """,
+    )
+    n = F.col("n")
+    return out.select(
+        F.col("rf"),
+        F.col("ls"),
+        F.round("sq", 2).alias("sum_qty"),
+        F.round("sb", 2).alias("sum_base"),
+        F.round("sdp", 2).alias("sum_disc_price"),
+        F.round("sc", 2).alias("sum_charge"),
+        F.round(F.col("sq") / n, 4).alias("avg_qty"),
+        F.round(F.col("sb") / n, 4).alias("avg_price"),
+        F.round(F.col("sd2") / n, 4).alias("avg_disc"),
+        n.cast("long").alias("count_order"),
+    )
+
+
+@register(
+    "sparql_tpch_q5",
+    """
+    SELECT n_name AS nname, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS rev
+    FROM customer, orders, lineitem, supplier, nation, region
+    WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey AND l_suppkey = s_suppkey
+      AND c_nationkey = s_nationkey AND s_nationkey = n_nationkey
+      AND n_regionkey = r_regionkey AND r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+    GROUP BY n_name
+    """,
+)
+def sparql_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 (local supplier volume) as SPARQL text: a SIX-table join
+    cycle — the customer and the line's supplier must share a nation
+    (expressed by both _ref predicates binding the same ?n) — with region
+    selection and a date window. The selectivity-ordered BGP optimizer and
+    broadcast of the small dimension chain (region→nation) carry the plan."""
+    from blazegraph_database_spark.plans.sparql_parser import run_sparql
+
+    st = cached_store(spark, sf_dir)
+    out = run_sparql(
+        st,
+        """
+        SELECT ?nname (SUM(?ep * (1 - ?d)) AS ?rev0) WHERE {
+          ?c <customer#c_nationkey_ref> ?n .
+          ?o <orders#o_custkey_ref> ?c ;
+             <orders#o_orderdate> ?od .
+          ?l <lineitem#l_orderkey_ref> ?o ;
+             <lineitem#l_suppkey_ref> ?s ;
+             <lineitem#l_extendedprice> ?ep ;
+             <lineitem#l_discount> ?d .
+          ?s <supplier#s_nationkey_ref> ?n .
+          ?n <nation#n_name> ?nname ;
+             <nation#n_regionkey_ref> ?r .
+          ?r <region#r_name> "ASIA" .
+          FILTER(?od >= "1996-01-01 00:00:00" && ?od < "1997-01-01 00:00:00")
+        }
+        GROUP BY ?nname
+        """,
+    )
+    return out.select("nname", F.round("rev0", 2).alias("rev"))
+
+
+@register(
+    "sparql_tpch_q10",
+    """
+    SELECT c_custkey AS ck, c_name AS cname,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)) * 100) / 100 AS revenue,
+           c_acctbal AS bal, n_name AS nname
+    FROM customer, orders, lineitem, nation
+    WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-04-01'
+      AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+    GROUP BY c_custkey, c_name, c_acctbal, n_name
+    ORDER BY revenue DESC, ck LIMIT 20
+    """,
+)
+def sparql_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 (returned items) as SPARQL text: 4-table join, constant
+    returnflag + date window, 4-key GROUP BY, in-query rounding so the
+    top-20 ORDER/LIMIT cut is taken on the same values the oracle orders
+    by (the q3 ROUND(x*100)/100 pattern)."""
+    from blazegraph_database_spark.plans.sparql_parser import run_sparql
+
+    st = cached_store(spark, sf_dir)
+    return run_sparql(
+        st,
+        """
+        PREFIX xsd: <http://www.w3.org/2001/XMLSchema#>
+        SELECT ?ck ?cname (ROUND(SUM(?ep * (1 - ?d)) * 100) / 100 AS ?revenue)
+               (xsd:double(?bal0) AS ?bal) ?nname
+        WHERE {
+          ?c <customer#c_custkey> ?ck ;
+             <customer#c_name> ?cname ;
+             <customer#c_acctbal> ?bal0 ;
+             <customer#c_nationkey_ref> ?n .
+          ?n <nation#n_name> ?nname .
+          ?o <orders#o_custkey_ref> ?c ;
+             <orders#o_orderdate> ?od .
+          ?l <lineitem#l_orderkey_ref> ?o ;
+             <lineitem#l_returnflag> "R" ;
+             <lineitem#l_extendedprice> ?ep ;
+             <lineitem#l_discount> ?d .
+          FILTER(?od >= "1996-01-01 00:00:00" && ?od < "1996-04-01 00:00:00")
+        }
+        GROUP BY ?ck ?cname ?bal0 ?nname
+        ORDER BY DESC(?revenue) ?ck
+        LIMIT 20
+        """,
+    )
+
+
+@register(
+    "sparql_tpch_q14",
+    """
+    SELECT ROUND(100.0 * SUM(CASE WHEN p_type = 'PROMO'
+                                  THEN l_extendedprice * (1 - l_discount)
+                                  ELSE 0.0 END)
+                 / SUM(l_extendedprice * (1 - l_discount)), 4) AS promo_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-09-01' AND l_shipdate < TIMESTAMP '1996-10-01'
+    """,
+)
+def sparql_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 (promotion effect) as SPARQL text: conditional aggregation
+    via IF() INSIDE SUM, and an expression over two aggregates in the
+    projection — the CASE-WHEN ratio shape."""
+    from blazegraph_database_spark.plans.sparql_parser import run_sparql
+
+    st = cached_store(spark, sf_dir)
+    out = run_sparql(
+        st,
+        """
+        SELECT (SUM(IF(?pt = "PROMO", ?ep * (1 - ?d), 0.0)) AS ?promo)
+               (SUM(?ep * (1 - ?d)) AS ?total)
+        WHERE {
+          ?l <lineitem#l_partkey_ref> ?p ;
+             <lineitem#l_shipdate> ?sd ;
+             <lineitem#l_extendedprice> ?ep ;
+             <lineitem#l_discount> ?d .
+          ?p <part#p_type> ?pt .
+          FILTER(?sd >= "1996-09-01 00:00:00" && ?sd < "1996-10-01 00:00:00")
+        }
+        """,
+    )
+    return out.select(
+        F.round(F.lit(100.0) * F.col("promo") / F.col("total"), 4).alias("promo_pct")
+    )

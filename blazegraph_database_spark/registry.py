@@ -22,6 +22,10 @@ _CATALOG_MODULES = [
 # its r3 row and rotates in next round.
 _SCORE_FIRST = [
     # (a) round-5 additions — inserted here as they land.
+    "sparql_tpch_q1",
+    "sparql_tpch_q5",
+    "sparql_tpch_q10",
+    "sparql_tpch_q14",
     "semdedup_prune",
     "text_gopher_rules",
     "text_unigram_logprob",

@@ -833,3 +833,18 @@ def test_virtual_graph_expansion_and_error(spark):
 
     with _pt.raises(ValueError, match="not declared"):
         run_sparql(st, "SELECT ?s FROM VIRTUAL GRAPH <vg:none> WHERE { ?s <p> ?o }").collect()
+
+
+def test_select_expression_over_group_key(tiny_store):
+    """A non-aggregate SELECT expression over a grouping variable must
+    survive the Group (SPARQL algebra binds it AFTER aggregation): here the
+    key is re-projected through UCASE next to a COUNT."""
+    from blazegraph_database_spark.plans.sparql_parser import run_sparql
+
+    q = """
+    SELECT (UCASE(?n) AS ?uname) (COUNT(*) AS ?cnt) WHERE {
+      ?x <name> ?n .
+    } GROUP BY ?n
+    """
+    rows = {(r["uname"], r["cnt"]) for r in run_sparql(tiny_store, q).collect()}
+    assert ("ALICE", 1) in rows and len(rows) == 5
