@@ -67,6 +67,11 @@ class TripleStore:
         self._df = df
         self._df_factory = df_factory
         self._stats = _stats
+        # Whether per-predicate counts in _stats are EXACT (safe to answer
+        # COUNT(*) / ESTCARD from; ref: fast range counts are exact in the
+        # reference's B+Tree). Lazily-computed stats are exact; injected
+        # stats default to estimates until the injector marks them.
+        self._stats_exact = _stats is None
         self.pred_sources = pred_sources
         # Star-fusion hooks (see plans/compiler._compile_bgp): pred_table maps
         # predicate → base table; star_factory([preds]) returns one scan with
@@ -204,7 +209,15 @@ class TripleStore:
                 .collect()
             )
             self._stats = {r["p"]: PredStat(r["c"], max(r["ds"], 1), max(r["do"], 1)) for r in rows}
+            self._stats_exact = True
         return self._stats
+
+    def stats_are_exact(self) -> bool:
+        """True when per-predicate counts can answer COUNT(*)/ESTCARD
+        exactly: either stats will be computed by the exact groupBy path on
+        first use, or the injector (parquet-store persisted stats, complete
+        parquet-footer null counts) marked them exact."""
+        return self._stats is None or self._stats_exact
 
     def total(self) -> int:
         return sum(s.count for s in self.stats().values())

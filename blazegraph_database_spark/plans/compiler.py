@@ -42,6 +42,9 @@ def evaluate(store: TripleStore, node) -> DataFrame:
     (ref: lexicon/LexiconRelation.java TERM2ID), with decode-at-projection
     implicit: output variables always keep their lexical column.
     """
+    fast = _fast_scan_rewrite(store, node)
+    if fast is not None:
+        return fast
     native = _native_typed_vars(node, store)
     id_vars = _id_join_vars(node) - set(native)
     if id_vars:
@@ -49,6 +52,139 @@ def evaluate(store: TripleStore, node) -> DataFrame:
     if native:
         store = store.with_native_typed_vars(native)
     return _compile(node, store)
+
+
+# ------------------------------------------------- fast range-count scan --
+def _col_sql(c: Column) -> str:
+    try:
+        return c._jc.toString()  # classic mode: the Catalyst expression text
+    except Exception:
+        return str(c)
+
+
+def _fast_spo(bgp) -> tuple[str, object, str] | None:
+    """(s_var, p_var_or_IRI, o_var) when the node is a single unscoped
+    triple pattern with distinct variables in subject/object position."""
+    from blazegraph_database_spark.model.terms import IRI, Var
+
+    if not isinstance(bgp, A.BGP) or len(bgp.patterns) != 1:
+        return None
+    sp = bgp.patterns[0]
+    if not isinstance(sp, A.SP) or sp.g is not None:
+        return None
+    s, p, o = sp.s, sp.p, sp.o
+    if not isinstance(s, Var) or not isinstance(o, Var) or s.name == o.name:
+        return None
+    if isinstance(p, Var):
+        return None if p.name in (s.name, o.name) else (s.name, p, o.name)
+    if isinstance(p, IRI):  # algebra-builder constant
+        return (s.name, p.value, o.name)
+    return (s.name, p, o.name) if isinstance(p, str) else None  # parser constant
+
+
+def _fast_scan_rewrite(store: TripleStore, node):
+    """Answer whole-pattern counts and distinct-predicate scans from the
+    store's per-predicate range counts instead of scanning triples — the
+    reference's ASTFastRangeCountOptimizer (SELECT (COUNT(*) AS ?c)
+    { ?s [?p|:p] ?o } → index range count), ASTDistinctTermScanOptimizer
+    (SELECT DISTINCT ?p { ?s ?p ?o } → distinct-term scan), and
+    ASTSimpleGroupByAndCountOptimizer (GROUP BY ?p + COUNT(*) → one range
+    count per distinct term) — bigdata-rdf/.../ast/optimizers/*.java.
+
+    Applies only when the stats are EXACT (parquet-footer null counts,
+    persisted store stats, or the groupBy stats path — see
+    TripleStore.stats_are_exact) and the store is an unscoped triple view
+    (no quads, no FROM dataset). At 100 TB this answers "how many triples
+    with predicate X" from metadata instead of a full scan."""
+    from blazegraph_database_spark.model.terms import IRI, Var
+
+    if store.has_graphs or store.dataset_default is not None or store.dataset_named is not None:
+        return None
+    if not store.stats_are_exact():
+        return None
+
+    def count_df(alias: str, m) -> DataFrame:
+        _s, p, _o = m
+        if isinstance(p, str):  # constant predicate: one range count
+            st = store.stats().get(p)
+            total = st.count if st else 0
+        else:  # variable predicate: sum of all range counts
+            total = sum(s.count for s in store.stats().values())
+        return store.spark.createDataFrame([(int(total),)], f"{alias} long")
+
+    # SELECT (COUNT(*) AS ?c) { spo } — parser shape:
+    # Project(Extend(Group(bgp, (), ((__agg0, count(1)),)), c, col(__agg0)), [c])
+    # and the algebra-builder shape Project(Group(...aggs=((c, count(1)),)), [c]).
+    if isinstance(node, A.Project) and len(node.vars) == 1:
+        alias, ch = node.vars[0], node.child
+        if (
+            isinstance(ch, A.Extend)
+            and ch.var == alias
+            and isinstance(ch.child, A.Group)
+            and not ch.child.keys
+            and ch.child.having is None
+            and len(ch.child.aggs) == 1
+            and _col_sql(ch.expr) == ch.child.aggs[0][0]
+            and _col_sql(ch.child.aggs[0][1]) == "count(1)"
+        ):
+            m = _fast_spo(ch.child.child)
+            if m:
+                return count_df(alias, m)
+        if (
+            isinstance(ch, A.Group)
+            and not ch.keys
+            and ch.having is None
+            and len(ch.aggs) == 1
+            and ch.aggs[0][0] == alias
+            and _col_sql(ch.aggs[0][1]) == "count(1)"
+        ):
+            m = _fast_spo(ch.child)
+            if m:
+                return count_df(alias, m)
+
+    # SELECT DISTINCT ?p { ?s ?p ?o } — Distinct(Project(bgp, [p])).
+    if (
+        isinstance(node, A.Distinct)
+        and isinstance(node.child, A.Project)
+        and len(node.child.vars) == 1
+    ):
+        m = _fast_spo(node.child.child)
+        if m and isinstance(m[1], Var) and m[1].name == node.child.vars[0]:
+            preds = sorted(p for p, s in store.stats().items() if s.count > 0)
+            return store.spark.createDataFrame(
+                [(p,) for p in preds], f"{m[1].name} string"
+            )
+
+    # SELECT ?p (COUNT(*) AS ?c) { ?s ?p ?o } GROUP BY ?p —
+    # Project(Extend(Group(bgp, (p,), ((__agg0, count(1)),)), c, col(__agg0)), [p, c]).
+    if isinstance(node, A.Project) and len(node.vars) == 2:
+        ch = node.child
+        if (
+            isinstance(ch, A.Extend)
+            and isinstance(ch.child, A.Group)
+            and len(ch.child.keys) == 1
+            and ch.child.having is None
+            and len(ch.child.aggs) == 1
+            and _col_sql(ch.expr) == ch.child.aggs[0][0]
+            and _col_sql(ch.child.aggs[0][1]) == "count(1)"
+        ):
+            m = _fast_spo(ch.child.child)
+            pkey = ch.child.keys[0]
+            if (
+                m
+                and isinstance(m[1], Var)
+                and m[1].name == pkey
+                and set(node.vars) == {pkey, ch.var}
+            ):
+                rows = sorted(
+                    (p, int(s.count)) for p, s in store.stats().items() if s.count > 0
+                )
+                if node.vars[0] == pkey:
+                    data, schema = rows, f"{pkey} string, {ch.var} long"
+                else:
+                    data, schema = [(c, p) for p, c in rows], f"{ch.var} long, {pkey} string"
+                return store.spark.createDataFrame(data, schema)
+    return None
 
 
 # ------------------------------------------------------- id-join planning --

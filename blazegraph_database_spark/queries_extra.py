@@ -1691,3 +1691,76 @@ def sparql_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         F.round(F.lit(100.0) * F.col("promo") / F.col("total"), 4).alias("promo_pct")
     )
+
+
+@register(
+    "fast_range_count",
+    "SELECT CAST(COUNT(l_quantity) AS BIGINT) AS n FROM lineitem",
+)
+def fast_range_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(*) over a constant-predicate pattern answered from the store's
+    exact range counts with NO triple scan (ref: ast/optimizers/
+    ASTFastRangeCountOptimizer.java; plans/compiler._fast_scan_rewrite)."""
+    from blazegraph_database_spark.plans.sparql_parser import run_sparql
+
+    st = cached_store(spark, sf_dir)
+    return run_sparql(st, "SELECT (COUNT(*) AS ?n) WHERE { ?s <lineitem#l_quantity> ?o }")
+
+
+# The direct-mapped store's full predicate inventory: one arm per column
+# (count of non-null values = that predicate's triple count) plus one per
+# declared foreign key. Mirrors sources/relational.table_to_triples.
+_TBL_COLS = {
+    "region": ["r_regionkey", "r_name"],
+    "nation": ["n_nationkey", "n_name", "n_regionkey"],
+    "customer": ["c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"],
+    "supplier": ["s_suppkey", "s_name", "s_nationkey", "s_acctbal"],
+    "part": ["p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice"],
+    "orders": ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+               "o_orderdate", "o_orderpriority"],
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+                 "l_extendedprice", "l_discount", "l_tax", "l_returnflag",
+                 "l_linestatus", "l_shipdate"],
+    "events": ["event_id", "ts", "user_id", "event_type", "value", "props"],
+    "documents": ["doc_id", "text", "lang", "source", "n_chars"],
+    "embeddings": ["vec_id", "label"],  # the embedding array column stays relational
+}
+_TBL_FKS = {
+    "nation": {"n_regionkey"}, "customer": {"c_nationkey"}, "supplier": {"s_nationkey"},
+    "orders": {"o_custkey"}, "lineitem": {"l_orderkey", "l_partkey", "l_suppkey"},
+}
+
+
+def _pred_count_arms() -> str:
+    arms = []
+    for t, cols in _TBL_COLS.items():
+        for c in cols:
+            arms.append(
+                f"SELECT '{t}#{c}' AS p, CAST(COUNT({c}) AS BIGINT) AS n FROM {t} HAVING COUNT({c}) > 0"
+            )
+            if c in _TBL_FKS.get(t, set()):
+                arms.append(
+                    f"SELECT '{t}#{c}_ref' AS p, CAST(COUNT({c}) AS BIGINT) AS n FROM {t} HAVING COUNT({c}) > 0"
+                )
+    return " UNION ALL ".join(arms)
+
+
+@register("fast_distinct_preds", f"SELECT p FROM ({_pred_count_arms()})")
+def fast_distinct_preds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SELECT DISTINCT ?p answered as a distinct-term scan over the range-
+    count metadata — no triple scan (ref: ast/optimizers/
+    ASTDistinctTermScanOptimizer.java)."""
+    from blazegraph_database_spark.plans.sparql_parser import run_sparql
+
+    st = cached_store(spark, sf_dir)
+    return run_sparql(st, "SELECT DISTINCT ?p WHERE { ?s ?p ?o }")
+
+
+@register("fast_count_by_pred", f"SELECT p, n FROM ({_pred_count_arms()})")
+def fast_count_by_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ?p + COUNT(*) answered as one range count per distinct
+    term (ref: ast/optimizers/ASTSimpleGroupByAndCountOptimizer.java)."""
+    from blazegraph_database_spark.plans.sparql_parser import run_sparql
+
+    st = cached_store(spark, sf_dir)
+    return run_sparql(st, "SELECT ?p (COUNT(*) AS ?n) WHERE { ?s ?p ?o } GROUP BY ?p")

@@ -22,6 +22,9 @@ _CATALOG_MODULES = [
 # its r3 row and rotates in next round.
 _SCORE_FIRST = [
     # (a) round-5 additions — inserted here as they land.
+    "fast_range_count",
+    "fast_distinct_preds",
+    "fast_count_by_pred",
     "sparql_tpch_q1",
     "sparql_tpch_q5",
     "sparql_tpch_q10",

@@ -650,7 +650,7 @@ class SparqlEndpoint:
         inferred = params.get("includeInferred", "true").lower() != "false"
         store = us.current if inferred else us.explicit_store
         s, p, o = params.get("s"), params.get("p"), params.get("o")
-        if inferred and p is not None and s is None and o is None:
+        if inferred and p is not None and s is None and o is None and store.stats_are_exact():
             st = store.stats().get(p)
             return 200, JSON, json.dumps({"rangeCount": st.count if st else 0}).encode()
         df = store.df

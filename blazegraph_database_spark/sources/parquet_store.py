@@ -64,6 +64,7 @@ def read_store(spark: SparkSession, path: str) -> TripleStore:
         r["p"]: PredStat(r["count"], max(r["n_distinct_s"], 1), max(r["n_distinct_o"], 1))
         for r in stats_rows
     }
+    store._stats_exact = True  # persisted counts come from the exact groupBy at write time
     return store
 
 

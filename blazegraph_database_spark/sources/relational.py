@@ -215,27 +215,45 @@ def _star_source_factory(spark: SparkSession, sf_dir: str, tables: list[str], fi
 
 
 def _metadata_stats(
-    fields: dict[str, list], counts: dict[str, int]
-) -> dict[str, PredStat]:
+    fields: dict[str, list],
+    counts: dict[str, int],
+    nonnull: dict[str, dict[str, int]] | None = None,
+) -> tuple[dict[str, PredStat], bool]:
     """B+Tree-range-count-style stats without materializing any triples —
-    row counts come straight from parquet footers, zero Spark jobs."""
+    row counts come straight from parquet footers, zero Spark jobs.
+
+    ``nonnull[t][col]`` (when the footer's column statistics carry null
+    counts) makes the per-predicate counts EXACT — the melt filters null
+    objects, so a nullable column's triple count is its non-null count,
+    not the table row count. Returns (stats, exact): exact is False iff
+    any column lacked footer null counts and had to fall back to the row
+    count (then the counts are upper-bound estimates, fine for join
+    ordering but not for fast COUNT(*)/ESTCARD answers)."""
     stats: dict[str, PredStat] = {}
+    exact = True
     for t, flds in fields.items():
         n = counts[t]
         _, fks = TPCH_SCHEMA[t]
         for name, tag in flds:
             if tag is None:
                 continue
-            stats[f"{t}#{name}"] = PredStat(n, max(n, 1), max(n, 1))
+            nn = (nonnull or {}).get(t, {}).get(name)
+            if nn is None:
+                nn = n
+                exact = False
+            stats[f"{t}#{name}"] = PredStat(nn, max(nn, 1), max(nn, 1))
             if name in fks:
-                ref_n = counts.get(fks[name]) or n
-                stats[f"{t}#{name}_ref"] = PredStat(n, max(n, 1), max(ref_n, 1))
-    return stats
+                ref_n = counts.get(fks[name]) or nn
+                stats[f"{t}#{name}_ref"] = PredStat(nn, max(nn, 1), max(ref_n, 1))
+    return stats, exact
 
 
-def _footer_meta(path: str) -> tuple[list, int]:
-    """(field list [(name, dt_tag | None-if-array)], row count) straight
-    from the parquet footer — pure Python, no Spark jobs, no JVM roundtrips."""
+def _footer_meta(path: str) -> tuple[list, int, dict[str, int]]:
+    """(field list [(name, dt_tag | None-if-array)], row count, per-column
+    non-null counts) straight from the parquet footer — pure Python, no
+    Spark jobs, no JVM roundtrips. Non-null counts come from the row-group
+    column statistics (num_rows - null_count summed over row groups); a
+    column whose writer omitted null counts is absent from the dict."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -255,7 +273,27 @@ def _footer_meta(path: str) -> tuple[list, int]:
         else:
             tag = "string"
         fields.append((f.name, tag))
-    return fields, pf.metadata.num_rows
+    md = pf.metadata
+    flat = {f.name for f in pf.schema_arrow}
+    nulls: dict[str, int] = {}
+    complete = set(flat)
+    for rg in range(md.num_row_groups):
+        g = md.row_group(rg)
+        for ci in range(g.num_columns):
+            col = g.column(ci)
+            name = col.path_in_schema
+            if name not in flat:
+                # nested physical column (maps/structs/lists): its leaf null
+                # counts don't give the top-level field's null count
+                complete.discard(name.split(".")[0])
+                continue
+            st = col.statistics
+            if st is None or st.null_count is None:
+                complete.discard(name)
+            else:
+                nulls[name] = nulls.get(name, 0) + st.null_count
+    nonnull = {name: md.num_rows - nulls.get(name, 0) for name in complete}
+    return fields, md.num_rows, nonnull
 
 
 def store_from_sf_dir(spark: SparkSession, sf_dir: str, tables: list[str] | None = None) -> TripleStore:
@@ -268,6 +306,7 @@ def store_from_sf_dir(spark: SparkSession, sf_dir: str, tables: list[str] | None
     meta = {t: _footer_meta(f"{sf_dir}/{t}.parquet") for t in tables}
     fields = {t: m[0] for t, m in meta.items()}
     counts = {t: m[1] for t, m in meta.items()}
+    nonnull = {t: m[2] for t, m in meta.items()}
 
     def build_union() -> DataFrame:
         dfs = load_tables(spark, sf_dir, tables)
@@ -297,7 +336,7 @@ def store_from_sf_dir(spark: SparkSession, sf_dir: str, tables: list[str] | None
         pred_table=pred_table,
         pred_dt=pred_dt,
     )
-    store._stats = _metadata_stats(fields, counts)
+    store._stats, store._stats_exact = _metadata_stats(fields, counts, nonnull)
     return store
 
 

@@ -476,3 +476,34 @@ def test_semantic_dedup_no_cross_cluster_cartesian(spark):
     p = plan_of(S.semantic_dedup(embs))
     assert "CartesianProduct" not in p
     assert "BroadcastExchange" in p  # k-row centroid table
+
+
+def test_fast_range_count_is_metadata_only(spark):
+    """COUNT(*) over a single triple pattern (constant or variable
+    predicate), SELECT DISTINCT ?p, and GROUP BY ?p + COUNT(*) must answer
+    from the exact range-count stats with NO file scan in the plan; quad
+    stores and inexact stats must fall back to the real scan."""
+    import copy
+
+    from blazegraph_database_spark.plans.sparql_parser import run_sparql
+
+    st = cached_store(spark, SF_DIR)
+    assert st.stats_are_exact()
+    for q in (
+        "SELECT (COUNT(*) AS ?n) WHERE { ?s ?p ?o }",
+        "SELECT (COUNT(*) AS ?n) WHERE { ?s <customer#c_name> ?o }",
+        "SELECT DISTINCT ?p WHERE { ?s ?p ?o }",
+        "SELECT ?p (COUNT(*) AS ?n) WHERE { ?s ?p ?o } GROUP BY ?p",
+    ):
+        p = plan_of(run_sparql(st, q), mode="simple")
+        assert "FileScan" not in p and "parquet" not in p, (q, p)
+    # inexact stats -> fall back to a real scan, same answer
+    st2 = copy.copy(st)
+    st2._stats_exact = False
+    q = "SELECT (COUNT(*) AS ?n) WHERE { ?s ?p ?o }"
+    p2 = plan_of(run_sparql(st2, q), mode="simple")
+    assert "parquet" in p2 or "FileScan" in p2
+    assert run_sparql(st2, q).collect() == run_sparql(st, q).collect()
+    # a pattern the rewrite must NOT claim: repeated variable (?s ?p ?s)
+    p3 = plan_of(run_sparql(st, "SELECT (COUNT(*) AS ?n) WHERE { ?x ?p ?x }"), mode="simple")
+    assert "parquet" in p3 or "FileScan" in p3
