@@ -23,6 +23,7 @@ from functools import singledispatch
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.errors import AnalysisException
 
 from blazegraph_database_spark.model.store import TripleStore
 from blazegraph_database_spark.model.terms import Lit, Var, const_lex, is_const
@@ -606,11 +607,23 @@ def _pattern_df(sp: A.SP, store: TripleStore) -> DataFrame:
         return _emb_pattern_df(sp, store)
     df = None
     native = getattr(store, "native_typed_vars", {})
-    if sp.p is not None and is_const(sp.p) and sp.g is None:
-        # typed=True serves the object column in its native parquet type for
-        # vars the classifier proved are consumed only through typed casts
-        typed = isinstance(sp.o, Var) and sp.o.name in native
-        df = store.pattern_source(const_lex(sp.p), typed=typed)  # virtual POS index
+    if sp.p is not None and is_const(sp.p):
+        stats = store._stats
+        known = stats.get(const_lex(sp.p)) if stats is not None else None
+        if stats is not None and (known is None or known.count == 0):
+            # Unknown-term shortcut (ref: ast/optimizers/
+            # ASTUnknownTermOptimizer.java): a constant predicate absent
+            # from the store's range counts (or counted 0 — the counts are
+            # exact or UPPER bounds, never under) has zero triples, so the
+            # pattern is provably empty. limit(0) folds to an empty local
+            # relation — no union build, no scan.
+            df = store.df.limit(0)
+        elif sp.g is None:
+            # typed=True serves the object column in its native parquet type
+            # for vars the classifier proved are consumed only through typed
+            # casts
+            typed = isinstance(sp.o, Var) and sp.o.name in native
+            df = store.pattern_source(const_lex(sp.p), typed=typed)  # virtual POS index
     if df is None:
         df = store.df
     conds = []
@@ -1236,12 +1249,37 @@ def _(node: A.Minus, store: TripleStore) -> DataFrame:
 
 @_compile.register
 def _(node: A.Filter, store: TripleStore) -> DataFrame:
-    return _compile(node.child, store).filter(node.condition)
+    child = _compile(node.child, store)
+    try:
+        return child.filter(node.condition)
+    except AnalysisException as e:
+        # Bottom-up semantics (ref: ast/optimizers/ASTBottomUpOptimizer.java):
+        # a FILTER referencing a variable that is not bound anywhere in its
+        # group's scope — e.g. { ?s <p> ?v . { FILTER(?v > 0) } } — sees that
+        # variable as unbound for EVERY solution; the comparison is then a
+        # type error for every row, so the filter eliminates all of them.
+        # Spark surfaces the never-in-scope case as an unresolved column;
+        # map it to the spec's empty result. Internal (__-prefixed) columns
+        # are compiler plumbing, never user variables — re-raise those so a
+        # genuine compiler bug stays loud.
+        if "UNRESOLVED_COLUMN" in str(e) and "`__" not in str(e).split("SQLSTATE")[0]:
+            return child.limit(0)
+        raise
 
 
 @_compile.register
 def _(node: A.Extend, store: TripleStore) -> DataFrame:
-    return _compile(node.child, store).withColumn(node.var, node.expr)
+    child = _compile(node.child, store)
+    try:
+        return child.withColumn(node.var, node.expr)
+    except AnalysisException as e:
+        # Bottom-up semantics: BIND over a variable that can never be bound
+        # in scope errors for every row — per SPARQL the row SURVIVES with
+        # the target variable unbound (errors in Extend bind nothing).
+        # Same guard discipline as A.Filter above.
+        if "UNRESOLVED_COLUMN" in str(e) and "`__" not in str(e).split("SQLSTATE")[0]:
+            return child.withColumn(node.var, F.lit(None).cast("string"))
+        raise
 
 
 @_compile.register

@@ -848,3 +848,38 @@ def test_select_expression_over_group_key(tiny_store):
     """
     rows = {(r["uname"], r["cnt"]) for r in run_sparql(tiny_store, q).collect()}
     assert ("ALICE", 1) in rows and len(rows) == 5
+
+
+def test_bottom_up_out_of_scope_filter_and_bind(tiny_store):
+    """Bottom-up semantics (ref: ASTBottomUpOptimizer): a FILTER in an inner
+    group referencing a variable bound only outside sees it as UNBOUND —
+    type error for every row, so the group is empty and the join yields
+    nothing. A BIND over a never-in-scope variable keeps the row and binds
+    nothing."""
+    from blazegraph_database_spark.plans.sparql_parser import run_sparql
+
+    q = "SELECT ?x WHERE { ?x <knows> ?y . { FILTER(?y = <b>) } }"
+    assert run_sparql(tiny_store, q).count() == 0
+    q2 = "SELECT ?x ?z WHERE { ?x <knows> ?y . BIND(STR(?nope) AS ?z) }"
+    rows = run_sparql(tiny_store, q2).collect()
+    assert len(rows) > 0 and all(r["z"] is None for r in rows)
+
+
+def test_unknown_predicate_is_plan_empty(tiny_store, spark):
+    """Unknown-term shortcut (ref: ASTUnknownTermOptimizer): a constant
+    predicate the store's range counts have never seen compiles to an empty
+    local relation — zero rows AND no table scan in the plan."""
+    import contextlib
+    import io
+
+    from blazegraph_database_spark.plans.sparql_parser import run_sparql
+
+    tiny_store.stats()  # materialize range counts
+    df = run_sparql(tiny_store, "SELECT ?s WHERE { ?s <never-seen-pred> ?o }")
+    assert df.count() == 0
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain()
+    p = buf.getvalue()
+    assert "LocalTableScan" in p or "EmptyRelation" in p, p
+    assert "ExistingRDD" in p or "Scan parquet" not in p
