@@ -103,6 +103,8 @@ def _fast_scan_rewrite(store: TripleStore, node):
         return None
     if not store.stats_are_exact():
         return None
+    if getattr(store, "track_dt", False):
+        return None  # dt-tracked consumers expect __dt companion columns
 
     def count_df(alias: str, m) -> DataFrame:
         _s, p, _o = m

@@ -489,3 +489,63 @@ def test_resample_epochs_matches_md5_arithmetic(spark, ids, rate):
         for r in T.resample_epochs(df, {"en": rate}, group_col="lang", seed=seed).collect()
     }
     assert got == expect
+
+
+_WORDS = st.lists(
+    st.sampled_from(["the", "a", "cat", "Dog", "run##", "x1", "...", "zebra", "of", "to"]),
+    min_size=0,
+    max_size=40,
+)
+
+
+@given(docs=st.lists(_WORDS, min_size=1, max_size=6))
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+def test_unigram_logprob_matches_python_reference(spark, docs):
+    """The distributed unigram LM score equals a plain-Python computation of
+    the same arithmetic on any random tiny corpus (empty docs drop out)."""
+    import math
+
+    from blazegraph_database_spark.operators import text as T
+
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_tokens"], r["neg_logprob"])
+           for r in T.unigram_logprob(df).collect()}
+    toks = {i: [w.lower() for w in ws] for i, ws in enumerate(docs)}
+    vocab: dict[str, int] = {}
+    for ws in toks.values():
+        for w in ws:
+            vocab[w] = vocab.get(w, 0) + 1
+    total = sum(vocab.values())
+    for i, ws in toks.items():
+        if not ws:
+            assert i not in got
+            continue
+        score = round(sum(-math.log(vocab[w] / total) for w in ws) / len(ws), 4)
+        assert got[i][0] == len(ws)
+        assert abs(got[i][1] - score) <= 1e-9, (i, got[i], score)
+
+
+@given(docs=st.lists(_WORDS, min_size=1, max_size=5))
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+def test_gopher_word_features_match_python(spark, docs):
+    """Word-level Gopher features (count, mean length, alpha fraction,
+    distinct stopwords, symbol ratio) equal a direct Python computation."""
+    from blazegraph_database_spark.operators import text as T
+
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r.asDict() for r in T.gopher_rules(df).collect()}
+    for i, ws in enumerate(docs):
+        n = len(ws)
+        nz = max(n, 1)
+        r = out[i]
+        assert r["n_words"] == n
+        assert r["mean_word_len"] == round(sum(map(len, ws)) / nz, 4)
+        alpha = sum(1 for w in ws if any(c.isascii() and c.isalpha() for c in w))
+        assert r["alpha_frac"] == round(alpha / nz, 6)
+        stops = len({w.lower() for w in ws} & set(T.STOPWORDS_EN))
+        assert r["n_stop"] == stops
+        text = " ".join(ws)
+        sym = text.count("#") + len(__import__("re").findall(r"\.\.\.", text))
+        assert r["symbol_ratio"] == round(sym / nz, 6)
