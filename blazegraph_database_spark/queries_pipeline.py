@@ -1440,3 +1440,102 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     clusters, intra-cluster lower-id dominance at cosine>=0.3
     (operators/similarity.semantic_dedup)."""
     return similarity.semantic_dedup(_embs(spark, sf_dir), k_clusters=8, min_cos=0.3)
+
+
+@register(
+    "pipeline_curation",
+    f"""
+    WITH f AS (
+        SELECT doc_id, lang, source, text, trim(text) AS t,
+               string_split_regex(trim(text), '\\s+') AS ws,
+               string_split(text, chr(10)) AS lines
+        FROM documents
+    ), g AS (
+        SELECT doc_id, lang, source, text, ws,
+               len(ws) AS n_words, GREATEST(len(ws), 1) AS nz,
+               COALESCE(list_aggregate(list_transform(ws, w -> strlen(w)), 'sum'), 0) AS wl,
+               len(list_filter(ws, w -> regexp_matches(w, '[A-Za-z]'))) AS alpha,
+               len(list_filter({_GOPHER_STOP_LIST},
+                               s -> list_contains(list_transform(ws, w -> lower(w)), s))) AS n_stop,
+               len(regexp_extract_all(t, '#')) + len(regexp_extract_all(t, '\\.\\.\\.')) AS sym,
+               GREATEST(len(lines), 1) AS n_lines,
+               len(list_filter(lines, l -> regexp_matches(l, '^\\s*[-*•]\\s'))) AS bullet,
+               len(list_filter(lines, l -> regexp_matches(l, '(\\.\\.\\.|…)\\s*$'))) AS ell
+        FROM f
+    ), passed AS (
+        SELECT doc_id, lang, source, text, ws, n_words, nz
+        FROM g
+        WHERE n_words BETWEEN 20 AND 100000
+          AND ROUND(wl * 1.0 / nz, 4) BETWEEN 3.0 AND 10.0
+          AND ROUND(alpha * 1.0 / nz, 6) >= 0.8
+          AND n_stop >= 2
+          AND ROUND(sym * 1.0 / nz, 6) <= 0.1
+          AND ROUND(bullet * 1.0 / n_lines, 6) <= 0.9
+          AND ROUND(ell * 1.0 / n_lines, 6) <= 0.3
+    ), w AS (
+        SELECT doc_id, unnest(list_transform(ws, x -> lower(x))) AS w
+        FROM f WHERE trim(text) != ''
+    ),
+    tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM w GROUP BY 1, 2),
+    vocab AS (SELECT w, COUNT(*) AS cnt FROM w GROUP BY 1),
+    tot AS (SELECT SUM(cnt) AS total FROM vocab),
+    lm AS (
+        SELECT doc_id, ROUND(SUM(tf * -ln(cnt * 1.0 / total)) / SUM(tf), 4) AS nl
+        FROM tf JOIN vocab USING (w) CROSS JOIN tot GROUP BY doc_id
+    ), survived AS (
+        SELECT p.doc_id, p.lang, p.source, p.text, p.n_words, p.nz, lm.nl
+        FROM passed p JOIN lm ON p.doc_id = lm.doc_id
+        WHERE lm.nl <= 3.41
+    ), q AS (
+        SELECT *,
+               ROUND(LEAST(n_words / 100.0, 1.0) * 0.4
+                     + LEAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+                                             w -> lower(w) IN {_STOP_SQL})) * 1.0 / nz * 5.0, 1.0) * 0.3
+                     + (len(list_distinct(list_transform(string_split_regex(trim(text), '\\s+'),
+                                                         w -> lower(w)))) * 1.0 / nz) * 0.3, 6) AS quality
+        FROM survived
+    ), capped AS (
+        SELECT * FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+                                         ORDER BY quality DESC, doc_id ASC) AS rk
+            FROM q) WHERE rk <= 15
+    ), dedup AS (
+        SELECT * FROM (
+            SELECT *, MIN(doc_id) OVER (
+                PARTITION BY regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS rep
+            FROM capped) WHERE doc_id = rep
+    )
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(SUM(nl) / COUNT(*), 4) AS avg_logprob
+    FROM dedup GROUP BY lang
+    """,
+)
+def pipeline_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed curation pipeline over the session's new operators — the
+    CCNet/RefinedWeb shape: Gopher rule filter → corpus-trained unigram-LM
+    band filter (model trained on the FULL corpus, applied to the rule
+    survivors) → per-domain quota by composite quality → exact dedup keeping
+    the lowest-id copy → per-language counts. Every stage is the exact
+    operator the standalone oracles verify; this query proves they compose."""
+    docs = _docs(spark, sf_dir)
+    passed = text.gopher_rules(docs).filter(F.col("gopher_pass") == 1)
+    lm = text.unigram_logprob(docs)  # trained on the full corpus
+    survived = (
+        passed.join(lm, "doc_id")
+        .filter(F.col("neg_logprob") <= 3.41)
+        .select("doc_id", "lang", "source", "text", "neg_logprob")
+    )
+    capped = text.domain_cap(text.quality_score(survived), domain_col="source", cap=15)
+    from pyspark.sql.window import Window
+
+    from blazegraph_database_spark.operators.dedup import normalize_text
+
+    w = Window.partitionBy(F.xxhash64(normalize_text(F.col("text"))))
+    deduped = (
+        capped.withColumn("rep", F.min("doc_id").over(w))
+        .filter(F.col("doc_id") == F.col("rep"))
+    )
+    return deduped.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.round(F.sum("neg_logprob") / F.count(F.lit(1)), 4).alias("avg_logprob"),
+    )
