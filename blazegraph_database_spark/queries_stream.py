@@ -199,3 +199,35 @@ def stream_doc_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     deduped = hashed.dropDuplicates(["lang", "__h"])
     kept = S.run_to_memory(deduped.select("lang", "__h"), output_mode="append")
     return kept.groupBy("lang").agg(F.count(F.lit(1)).alias("n_kept"))
+
+
+@register(
+    "stream_trending_terms",
+    """
+    WITH e AS (SELECT date_trunc('hour', ts) AS h, event_type FROM events),
+    x AS (SELECT h AS ws, event_type FROM e
+          UNION ALL SELECT h - INTERVAL 1 HOUR, event_type FROM e),
+    c AS (SELECT ws, event_type, COUNT(*) AS n FROM x GROUP BY 1, 2),
+    r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY ws
+                                       ORDER BY n DESC, event_type ASC) AS rk
+          FROM c)
+    SELECT ws AS window_start, event_type, CAST(n AS BIGINT) AS n, CAST(rk AS INT) AS rk
+    FROM r WHERE rk <= 3
+    """,
+)
+def stream_trending_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trending terms: SLIDING 2h/1h windowed event-type frequencies
+    computed by the stream (each event feeds two windows' state), top-3 per
+    window ranked on the complete-mode sink output. Batch parity: the
+    oracle unions each event into both windows it belongs to."""
+    from pyspark.sql.window import Window
+
+    st = S.read_events_stream(spark, sf_dir)
+    counts = S.run_to_memory(S.sliding_counts(st), output_mode="complete")
+    w = Window.partitionBy("window_start").orderBy(F.col("n").desc(), F.col("event_type").asc())
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("window_start", "event_type", F.col("n").cast("long").alias("n"),
+                F.col("rk").cast("int").alias("rk"))
+    )

@@ -355,3 +355,25 @@ def funnel_stateful(stream: DataFrame, steps: tuple = ("view", "click", "purchas
             GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def sliding_counts(
+    stream: DataFrame,
+    key: str = "event_type",
+    window: str = "2 hours",
+    slide: str = "1 hour",
+    watermark: str = "4 hours",
+) -> DataFrame:
+    """Sliding-window term frequencies — the stateful half of a streaming
+    'trending terms' pipeline: each event lands in window/slide overlapping
+    windows and the state store keeps one partial count per (window, key)
+    until the watermark closes the window. Top-k ranking is NOT applied in
+    the stream (rank over a streaming aggregate is not incremental); rank
+    the complete-mode sink output instead — see queries_stream
+    stream_trending_terms."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("w"), key)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), key, "n")
+    )
