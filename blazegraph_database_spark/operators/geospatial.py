@@ -394,3 +394,56 @@ def range_query_nd(
         c = F.col(cols.get(name, name))
         out = out.filter((c >= lo) & (c <= hi))
     return out
+
+
+def knn(
+    df: DataFrame,
+    lat0: float,
+    lon0: float,
+    k: int = 10,
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    id_col: str = "event_id",
+    band_deg: float = 5.0,
+) -> DataFrame:
+    """Exact k-nearest-neighbor search with expanding latitude-band pruning
+    — the index-accelerated kNN shape on top of the same pruning economics
+    as the rectangle/z-order scans (ref: GeoSpatialQuery's index-driven
+    search; kNN is this repo's extension of it).
+
+    Phase 1 grows a ±band around the query latitude until it holds >= k
+    points (each probe is one bounded top-k job). Phase 2 derives the
+    exact completeness radius from the candidate k-th distance: any point
+    that could still enter the rounded top-k lies within
+    degrees(D + 0.05) of the query latitude (haversine >= R*radians(dlat),
+    and 0.05 covers the 1-decimal rounding boundary), so ONE final scan of
+    that band is provably sufficient — the result equals brute force,
+    ties broken by (rounded distance, id). On a lat-sorted / z-ordered
+    store every band filter prunes row groups; the full-table scan never
+    happens."""
+    import math
+
+    R = 6371.0
+    dist = F.round(haversine_km(F.col(lat_col), F.col(lon_col), F.lit(lat0), F.lit(lon0)), 1)
+    scored = df.select(id_col, dist.alias("distance_km"))
+
+    def band_top(width_deg: float):
+        band = df.filter(
+            (F.col(lat_col) >= lat0 - width_deg) & (F.col(lat_col) <= lat0 + width_deg)
+        ).select(id_col, dist.alias("distance_km"))
+        return band.orderBy("distance_km", id_col).limit(k)
+
+    width = band_deg
+    rows = band_top(width).collect()
+    while len(rows) < k and width < 180.0 + abs(lat0):
+        width += band_deg
+        rows = band_top(width).collect()
+    if not rows:
+        return scored.limit(0)
+    d_k = rows[-1]["distance_km"]
+    # completeness band: everything that could round into the top-k
+    need = math.degrees((d_k + 0.05) / R)
+    if need > width:
+        rows = band_top(need).collect()
+    spark = df.sparkSession
+    return spark.createDataFrame(rows, f"{id_col} long, distance_km double")

@@ -421,3 +421,23 @@ def fulltext_search_in_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         } ORDER BY ?s
         """,
     )
+
+
+@register(
+    "geo_knn",
+    _GEO_CTE
+    + """
+    SELECT event_id, distance_km FROM (
+        SELECT event_id,
+               ROUND(2 * 6371.0 * asin(sqrt(
+                   sin(radians(lat - 10.0) / 2) ^ 2
+                   + cos(radians(10.0)) * cos(radians(lat)) * sin(radians(lon - 20.0) / 2) ^ 2)), 1) AS distance_km
+        FROM pts
+    ) d ORDER BY distance_km, event_id LIMIT 10
+    """,
+)
+def geo_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 10-nearest-neighbor search around (10, 20) via expanding
+    latitude-band pruning with a provably-complete final band — equals the
+    brute-force distance rank (operators/geospatial.knn)."""
+    return geospatial.knn(_events_geo(spark, sf_dir), 10.0, 20.0, k=10)

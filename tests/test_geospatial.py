@@ -208,3 +208,28 @@ def test_zorder_scan_pushes_ranges_to_parquet(spark, tmp_path):
     # and the result still equals the exact predicate
     exact = G.in_rectangle(stored, -20.0, 42.0, -60.0, 75.0)
     assert sorted(r["id"] for r in out.collect()) == sorted(r["id"] for r in exact.collect())
+
+
+def test_knn_equals_bruteforce_and_expands_bands(spark):
+    """kNN with a tiny initial band must still equal brute force (the
+    expansion loop and the completeness re-scan both fire), including at
+    k > matching points."""
+    from pyspark.sql import functions as F
+
+    from blazegraph_database_spark.operators import geospatial as G
+
+    rows = [(i, float((i * 13) % 170 - 85), float((i * 29) % 350 - 175)) for i in range(60)]
+    df = spark.createDataFrame(rows, "event_id long, lat double, lon double")
+    got = G.knn(df, 0.0, 0.0, k=7, band_deg=1.0).collect()
+    brute = (
+        df.select(
+            "event_id",
+            F.round(G.haversine_km(F.col("lat"), F.col("lon"), F.lit(0.0), F.lit(0.0)), 1).alias("distance_km"),
+        )
+        .orderBy("distance_km", "event_id")
+        .limit(7)
+        .collect()
+    )
+    assert [tuple(r) for r in got] == [tuple(r) for r in brute]
+    # k larger than the dataset: returns everything, still ordered
+    assert G.knn(df, 0.0, 0.0, k=100, band_deg=1.0).count() == 60
