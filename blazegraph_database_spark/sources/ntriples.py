@@ -15,6 +15,7 @@ onto the engine's dt tags (long/double/boolean/timestamp/string).
 
 from __future__ import annotations
 
+import re
 from collections.abc import Iterator
 
 import pandas as pd
@@ -42,14 +43,44 @@ _XSD_DT = {
 }
 
 
+def unescape_literal(lex: str) -> str:
+    """Single-pass N-Triples/Turtle string unescape. A sequential
+    replace chain mis-handles `\\\\n` (escaped backslash followed by n —
+    the old chain turned it into a newline) and missed `\\r`; one regex
+    pass over each escape sequence is order-safe."""
+    return re.sub(
+        r"\\(u[0-9a-fA-F]{4}|U[0-9a-fA-F]{8}|.)",
+        lambda m: (
+            chr(int(m.group(1)[1:], 16))
+            if m.group(1)[0] in "uU" and len(m.group(1)) > 1
+            else {"n": "\n", "t": "\t", "r": "\r", "b": "\b", "f": "\f",
+                  '"': '"', "'": "'", "\\": "\\"}.get(m.group(1), "\\" + m.group(1))
+        ),
+        lex,
+    )
+
+
+# Spark-side single-pass analog: swap escaped backslashes for a sentinel
+# FIRST so `\\n` (literal backslash + n) can never be re-read as a newline
+# escape, decode the control escapes, then restore the backslashes.
+_ESC_SENTINEL = "\x00"
+
+
+def _unescape_cols(lex):
+    lex = F.regexp_replace(lex, r"\\\\", _ESC_SENTINEL)
+    lex = F.regexp_replace(lex, r'\\"', '"')
+    lex = F.regexp_replace(lex, r"\\n", "\n")
+    lex = F.regexp_replace(lex, r"\\t", "\t")
+    lex = F.regexp_replace(lex, r"\\r", "\r")
+    return F.regexp_replace(lex, _ESC_SENTINEL, r"\\")
+
+
 def _term_cols(raw_obj):
     """(o_lex, o_dt) from a raw object token."""
     is_iri = raw_obj.startswith("<")
     is_bnode = raw_obj.startswith("_:")
     lex = F.regexp_extract(raw_obj, r'^"((?:[^"\\]|\\.)*)"', 1)
-    lex = F.regexp_replace(lex, r'\\(["\\])', r"$1")
-    lex = F.regexp_replace(lex, r"\\n", "\n")
-    lex = F.regexp_replace(lex, r"\\t", "\t")
+    lex = _unescape_cols(lex)
     lang = F.regexp_extract(raw_obj, r'"@([A-Za-z0-9-]+)$', 1)
     dtype_iri = F.regexp_extract(raw_obj, r'\^\^<([^>]*)>$', 1)
     dt_mapped = F.lit("string")
@@ -192,8 +223,13 @@ _TAG_XSD_W = {
 
 
 def _nt_obj(lex: F.Column, dt: F.Column) -> F.Column:
-    """N-Triples object syntax from (lexical, dtype-tag) columns."""
+    """N-Triples object syntax from (lexical, dtype-tag) columns. The
+    grammar's STRING_LITERAL_QUOTE excludes raw LF/CR (the format is
+    line-based) — escape them and TAB along with backslash and quote."""
     esc = F.regexp_replace(F.regexp_replace(lex, r"\\", r"\\\\"), '"', '\\\\"')
+    esc = F.regexp_replace(esc, "\n", r"\\n")
+    esc = F.regexp_replace(esc, "\r", r"\\r")
+    esc = F.regexp_replace(esc, "\t", r"\\t")
     obj = F.concat(F.lit('"'), esc, F.lit('"'))
     for tag, iri in _TAG_XSD_W.items():
         obj = F.when(
@@ -283,7 +319,7 @@ def read_turtle_subset(spark: SparkSession, path: str) -> DataFrame:
             return tok, "iri"
         if tok.startswith('"'):
             m = re.match(r'"((?:[^"\\]|\\.)*)"(?:@([A-Za-z0-9-]+)|\^\^(\S+))?', tok)
-            lex = m.group(1).replace('\\"', '"').replace("\\n", "\n").replace("\\t", "\t")
+            lex = unescape_literal(m.group(1))
             if m.group(2):
                 return lex, f"lang:{m.group(2)}"
             if m.group(3):

@@ -24,7 +24,7 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
 
-from blazegraph_database_spark.sources.ntriples import _XSD_DT
+from blazegraph_database_spark.sources.ntriples import _XSD_DT, unescape_literal
 
 RDF_NS = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
 
@@ -395,9 +395,7 @@ class _TurtleParser:
             return text, "bnode"
         if kind in ("STRING", "TRIPLEQ"):
             lex = text[3:-3] if kind == "TRIPLEQ" else text[1:-1]
-            lex = (
-                lex.replace('\\"', '"').replace("\\n", "\n").replace("\\t", "\t").replace("\\\\", "\\")
-            )
+            lex = unescape_literal(lex)  # order-safe single pass (incl. \r, \uXXXX)
             nk, nt = self.peek()
             if nk == "KW" and nt.startswith("@"):
                 self.next()

@@ -207,7 +207,10 @@ def _xml_escape(col):
     out = F.regexp_replace(col, "&", "&amp;")
     out = F.regexp_replace(out, "<", "&lt;")
     out = F.regexp_replace(out, ">", "&gt;")
-    return F.regexp_replace(out, '"', "&quot;")
+    out = F.regexp_replace(out, '"', "&quot;")
+    # XML 1.0 end-of-line handling normalizes a raw CR in content to LF on
+    # parse — a carriage return survives a round-trip only as a char ref.
+    return F.regexp_replace(out, "\r", "&#13;")
 
 
 def _xml_prop_el():
