@@ -433,3 +433,39 @@ def test_trig_rdr_graph_scoped(spark, tmp_path):
     rows = {tuple(r) for r in read_trig(spark, str(f)).collect()}
     assert ("http://ex/a", "http://ex/p", "http://ex/b", "iri", "http://ex/g") in rows
     assert ("<<http://ex/a|http://ex/p|http://ex/b|iri>>", "http://ex/m", "v", "string", "http://ex/g") in rows
+
+
+def test_nasty_literal_escapes_roundtrip_all_formats(spark, tmp_path):
+    """Deterministic adversarial literals — literal backslash-n (NOT a
+    newline), trailing backslash, embedded quotes, CR/LF/TAB — must survive
+    writer → reader for N-Triples, Turtle, TriG, RDF/XML and JSON-LD (the
+    sequential-replace unescape turned literal \\n into a newline; CR was
+    dropped entirely)."""
+    from blazegraph_database_spark.sources import ntriples, rdf_formats, rdf_writers
+
+    nasty = ["back\\nslash", "trail\\", 'quo"te', "cr\rhere", "nl\nhere",
+             "tab\there", "\\\\r", "mix\\\r\n\t\"end"]
+    data = [(f"http://ex/{i}", "http://ex/ns#p", lex, "string")
+            for i, lex in enumerate(nasty)]
+    df = spark.createDataFrame(data, "s string, p string, o_lex string, o_dt string")
+    orig = set(data)
+
+    # N-Triples store writer → reader
+    ntriples.write_ntriples(df, str(tmp_path / "nt_out"))
+    back = {
+        tuple(r)
+        for r in ntriples.read_ntriples(spark, str(tmp_path / "nt_out")).collect()
+    }
+    assert back == orig, "ntriples"
+    for writer, reader, ext in [
+        ("turtle_doc", "read_turtle", "ttl"),
+        ("trig_doc", "read_trig", "trig"),
+        ("rdfxml_doc", "read_rdfxml", "rdf"),
+        ("jsonld_doc", "read_jsonld", "jsonld"),
+    ]:
+        doc = getattr(rdf_writers, writer)(df)
+        fp = tmp_path / f"doc.{ext}"
+        fp.write_text(doc)
+        got = getattr(rdf_formats, reader)(spark, str(fp))
+        back = {(r["s"], r["p"], r["o_lex"], r["o_dt"]) for r in got.collect()}
+        assert back == orig, writer
