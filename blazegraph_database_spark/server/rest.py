@@ -115,7 +115,7 @@ def _select_csv(df: DataFrame, cap: int | None = None) -> bytes:
 
     def esc(v) -> str:
         s = "" if v is None else str(v)
-        if any(ch in s for ch in (",", '"', "\n")):
+        if any(ch in s for ch in (",", '"', "\n", "\r")):
             return '"' + s.replace('"', '""') + '"'
         return s
 
