@@ -47,7 +47,10 @@ def test_build_http_request_protocol_shape():
     )
     assert url == "http://ex.org/sparql"
     assert headers["Content-Type"] == "application/x-www-form-urlencoded"
-    assert headers["Accept"] == "application/sparql-results+json"
+    # dual negotiation: JSON preferred, XML accepted at q=0.9 so XML-only
+    # endpoints can federate (see operators/service parse_srx)
+    assert headers["Accept"].startswith("application/sparql-results+json")
+    assert "application/sparql-results+xml" in headers["Accept"]
     import urllib.parse
 
     form = urllib.parse.parse_qs(body.decode())
