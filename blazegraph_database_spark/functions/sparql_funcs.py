@@ -25,15 +25,18 @@ def _c(x) -> Column:
 
 # typed access ---------------------------------------------------------------
 def num(x) -> Column:  # xsd:double view of a binding
-    return _c(x).cast("double")
+    # try_cast throughout the typed views: SPARQL treats an uncastable
+    # lexical as a type ERROR (the binding is dropped / the cast yields
+    # unbound), where Spark's ANSI CAST would abort the whole query.
+    return _c(x).try_cast("double")
 
 
 def lng(x) -> Column:  # xsd:integer/long view
-    return _c(x).cast("long")
+    return _c(x).try_cast("long")
 
 
 def ts(x) -> Column:  # xsd:dateTime view
-    return _c(x).cast("timestamp")
+    return _c(x).try_cast("timestamp")
 
 
 # strings --------------------------------------------------------------------

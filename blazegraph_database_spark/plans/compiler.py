@@ -108,9 +108,9 @@ def _fast_scan_rewrite(store: TripleStore, node):
 
     def count_df(alias: str, m) -> DataFrame:
         _s, p, _o = m
-        if isinstance(p, str):  # constant predicate: one range count
-            st = store.stats().get(p)
-            total = st.count if st else 0
+        if isinstance(p, str):  # constant predicate: range count over aliases
+            st0 = store.stats()
+            total = sum(st0[a].count for a in _pred_aliases(p) if a in st0)
         else:  # variable predicate: sum of all range counts
             total = sum(s.count for s in store.stats().values())
         return store.spark.createDataFrame([(int(total),)], f"{alias} long")
@@ -380,9 +380,10 @@ def _id_join_vars(root) -> frozenset[str]:
 # round-trip exactly through Spark's canonical 'yyyy-MM-dd HH:mm:ss[.SSSSSS]'
 # string form, so CAST AS TIMESTAMP is value-identical from either mode.
 _NATIVE_CASTS = {
-    "long": ("CAST({v} AS BIGINT)", "CAST({v} AS DOUBLE)"),
-    "double": ("CAST({v} AS DOUBLE)",),
-    "timestamp": ("CAST({v} AS TIMESTAMP)",),
+    "long": ("TRY_CAST({v} AS BIGINT)", "TRY_CAST({v} AS DOUBLE)",
+             "CAST({v} AS BIGINT)", "CAST({v} AS DOUBLE)"),
+    "double": ("TRY_CAST({v} AS DOUBLE)", "CAST({v} AS DOUBLE)"),
+    "timestamp": ("TRY_CAST({v} AS TIMESTAMP)", "CAST({v} AS TIMESTAMP)"),
 }
 _NATIVE_SPARK_TYPE = {"long": "long", "double": "double", "timestamp": "timestamp"}
 
@@ -547,6 +548,21 @@ def _native_typed_vars(root, store) -> dict[str, str]:
 
 
 # ---------------------------------------------------------------- patterns --
+# The engine's internal vocabulary spells rdf:type compactly (inference,
+# blueprints, reification all key on it) while the RDF interchange readers
+# emit the full IRI — one TERM, two lexicals, exactly what the reference's
+# Vocabulary classes normalize. Pattern matching and range counts treat the
+# spellings as aliases of the same predicate.
+RDF_TYPE_ALIASES = (
+    "rdf:type",
+    "http://www.w3.org/1999/02/22-rdf-syntax-ns#type",
+)
+
+
+def _pred_aliases(p: str) -> tuple[str, ...]:
+    return RDF_TYPE_ALIASES if p in RDF_TYPE_ALIASES else (p,)
+
+
 DT_SID = "sid"  # datatype tag of an embedded-statement term in object position
 
 
@@ -610,9 +626,14 @@ def _pattern_df(sp: A.SP, store: TripleStore) -> DataFrame:
     df = None
     native = getattr(store, "native_typed_vars", {})
     if sp.p is not None and is_const(sp.p):
+        aliases = _pred_aliases(const_lex(sp.p))
         stats = store._stats
-        known = stats.get(const_lex(sp.p)) if stats is not None else None
-        if stats is not None and (known is None or known.count == 0):
+        known = (
+            next((stats[a] for a in aliases if a in stats and stats[a].count > 0), None)
+            if stats is not None
+            else None
+        )
+        if stats is not None and known is None:
             # Unknown-term shortcut (ref: ast/optimizers/
             # ASTUnknownTermOptimizer.java): a constant predicate absent
             # from the store's range counts (or counted 0 — the counts are
@@ -621,16 +642,31 @@ def _pattern_df(sp: A.SP, store: TripleStore) -> DataFrame:
             # relation — no union build, no scan.
             df = store.df.limit(0)
         elif sp.g is None:
-            # typed=True serves the object column in its native parquet type
-            # for vars the classifier proved are consumed only through typed
-            # casts
-            typed = isinstance(sp.o, Var) and sp.o.name in native
-            df = store.pattern_source(const_lex(sp.p), typed=typed)  # virtual POS index
+            # When exactly one alias spelling is live in the store, its
+            # virtual POS index serves the pattern; with both spellings
+            # present (or no stats to tell) the union scan + alias filter
+            # below matches them all.
+            live = [a for a in aliases if stats is not None and a in stats and stats[a].count > 0]
+            src_pred = live[0] if len(live) == 1 else (
+                aliases[0] if len(aliases) == 1 else None
+            )
+            if src_pred is not None:
+                # typed=True serves the object column in its native parquet
+                # type for vars the classifier proved are consumed only
+                # through typed casts
+                typed = isinstance(sp.o, Var) and sp.o.name in native
+                df = store.pattern_source(src_pred, typed=typed)  # virtual POS index
     if df is None:
         df = store.df
     conds = []
     for col, pos in (("s", sp.s), ("p", sp.p), ("o_lex", sp.o)):
         if pos is not None and is_const(pos):
+            if col == "p":
+                al = _pred_aliases(const_lex(pos))
+                conds.append(
+                    F.col("p").isin(list(al)) if len(al) > 1 else F.col("p") == al[0]
+                )
+                continue
             conds.append(F.col(col) == const_lex(pos))
             if col == "o_lex":
                 # Term identity includes the type: a constant Lit matches only
@@ -1336,7 +1372,27 @@ def _(node: A.Values, store: TripleStore) -> DataFrame:
         vdf = spark.createDataFrame(data, schema=", ".join(f"{c} string" for c in keep))
         join_cols = sorted(set(child.columns) & set(bound))
         if join_cols:
-            outs.append(child.join(F.broadcast(vdf), on=join_cols))
+            # SPARQL solution compatibility: a child row whose shared var is
+            # UNBOUND (NULL — e.g. out of an OPTIONAL) is compatible with
+            # ANY binding, and the VALUES value fills it in. A plain
+            # equi-join would drop such rows, so join on
+            # (child IS NULL OR child = value) and coalesce the output —
+            # the VALUES side is a broadcast handful of rows, so the
+            # non-equi condition stays a cheap broadcast join.
+            vren = vdf.select([F.col(c).alias(f"__v_{c}") for c in keep])
+            cond = None
+            for c in join_cols:
+                cc = child[c].isNull() | (child[c] == F.col(f"__v_{c}"))
+                cond = cc if cond is None else (cond & cc)
+            j = child.join(F.broadcast(vren), cond)
+            sel = [
+                F.coalesce(child[c], F.col(f"__v_{c}")).alias(c)
+                if c in join_cols
+                else child[c]
+                for c in child.columns
+            ]
+            sel += [F.col(f"__v_{c}").alias(c) for c in keep if c not in child.columns]
+            outs.append(j.select(*sel))
         else:
             outs.append(child.crossJoin(F.broadcast(vdf)))
     out = outs[0]

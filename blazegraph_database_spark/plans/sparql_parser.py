@@ -47,7 +47,7 @@ TOKEN_RE = re.compile(
   | (?P<VAR>[?$][A-Za-z_][A-Za-z0-9_]*)
   | (?P<STRING>"(?:[^"\\]|\\.)*")
   | (?P<NUM>[+-]?\d+\.\d+|[+-]?\d+)
-  | (?P<PNAME>[A-Za-z_][A-Za-z0-9_-]*:[A-Za-z0-9_.-]*)
+  | (?P<PNAME>[A-Za-z_][A-Za-z0-9_-]*:[A-Za-z0-9_.-]*|:[A-Za-z0-9_.-]*)
   | (?P<NAMED>%[A-Za-z_][A-Za-z0-9_]*)
   | (?P<LANGTAG>@[A-Za-z][A-Za-z0-9-]*)
   | (?P<KW>[A-Za-z_][A-Za-z0-9_]*)
@@ -132,7 +132,9 @@ def _typed_arith_operand(c: Column) -> Column:
     +-*/ outright. Non-var operands pass through."""
     m = _BARE_VAR_RX.match(str(c))
     if m and m.group(1) not in _NON_VAR_WORDS:
-        return F.col(m.group(1)).cast("double")
+        # try_cast: a non-numeric binding is a SPARQL type error (-> unbound
+        # -> filter false), not a runtime failure; ANSI CAST would raise.
+        return F.col(m.group(1)).try_cast("double")
     return c
 
 
@@ -147,10 +149,10 @@ def _typed_cmp_sides(left: Column, right: Column) -> tuple[Column, Column]:
     ls, rs = str(left), str(right)
     lv, rn = _BARE_VAR_RX.match(ls), _NUM_LIT_RX.match(rs)
     if lv and rn and lv.group(1) not in _NON_VAR_WORDS:
-        return F.col(lv.group(1)).cast("double"), right
+        return F.col(lv.group(1)).try_cast("double"), right
     rv, ln = _BARE_VAR_RX.match(rs), _NUM_LIT_RX.match(ls)
     if rv and ln and rv.group(1) not in _NON_VAR_WORDS:
-        return left, F.col(rv.group(1)).cast("double")
+        return left, F.col(rv.group(1)).try_cast("double")
     return left, right
 
 
@@ -432,7 +434,16 @@ class Parser:
                 self.next()
                 vals.append(self.expr())
             self.eat_op(")")
-            res = left.isin(*vals)
+            # SPARQL defines IN as (?x = e1 || ?x = e2 || ...), so each
+            # comparison takes the same typed-sides treatment as `=` —
+            # Column.isin would ANSI-cast the whole column to the literals'
+            # type and abort on any non-numeric binding instead of treating
+            # it as a per-row type error (false).
+            res = None
+            for v in vals:
+                l2, r2 = _typed_cmp_sides(left, v)
+                c = l2 == r2
+                res = c if res is None else (res | c)
             return ~res if neg else res
         return left
 
@@ -833,7 +844,7 @@ class Parser:
             if not self.at_op("}") and not (
                 self.at_kw(
                     "filter", "optional", "minus", "bind", "values", "graph",
-                    "service", "include",
+                    "service", "include", "select", "let",
                 )
                 or self.at_op("{")
             ):
@@ -932,6 +943,31 @@ class Parser:
                 if t.kind != "NAMED":
                     raise SyntaxError(f"expected %name after INCLUDE, got {t.text!r}")
                 add(A.NamedInclude(t.text[1:]))
+            elif self.at_kw("select"):
+                # inline subquery: the grammar allows a SubSelect as the
+                # whole group body without an extra brace pair
+                # (GroupGraphPattern ::= '{' ( SubSelect | ... ) '}')
+                add(self.parse_select(toplevel=False))
+            elif self.at_kw("let"):
+                # Blazegraph extension LET (?var := expr) ≡ BIND(expr AS
+                # ?var) — ref: sparql-grammar sparql.jjt LetClause /
+                # AssignmentNode. ':=' lexes as PNAME ':' + OP '='.
+                self.next()
+                self.eat_op("(")
+                tv = self.next()
+                if tv.kind != "VAR":
+                    raise SyntaxError(f"expected ?var in LET, got {tv.text!r}")
+                t = self.next()
+                if not (t.text == ":" and self.at_op("=")):
+                    raise SyntaxError(f"expected := in LET, got {t.text!r}")
+                self.next()
+                e = self.expr()
+                self.eat_op(")")
+                node = (
+                    A.Extend(node, tv.text[1:], e)
+                    if node is not None
+                    else A.Extend(_EMPTY, tv.text[1:], e)
+                )
             elif self.at_op("{"):
                 sub = self._group_or_subselect()
                 while self.at_kw("union"):
@@ -1360,11 +1396,43 @@ class Parser:
             elif self.at_kw("offset"):
                 self.next()
                 offset = int(self.next().text)
-        # trailing VALUES block (SPARQL 1.1 ValuesClause at query end)
+        # trailing VALUES block (SPARQL 1.1 ValuesClause at query end).
+        # BINDINGS is the pre-recommendation draft spelling of the same
+        # clause — the reference grammar still accepts it (sparql.jjt
+        # BindingsClause), so queries from its own test suite parse here.
         trailing_values = None
+        initial_bindings = None
         if self.at_kw("values"):
             self.next()
             trailing_values = self._values_clause()
+        elif self.at_kw("bindings"):
+            # BINDINGS ?v1 ?v2 { (row) ... }: bare variable list, every row
+            # parenthesized (even single-var)
+            self.next()
+            bvars = []
+            while self.peek().kind == "VAR":
+                bvars.append(self.next().text[1:])
+            self.eat_op("{")
+            brows = []
+            while self.at_op("("):
+                self.next()
+                row = {}
+                for v in bvars:
+                    if self.at_kw("undef"):
+                        self.next()
+                        continue
+                    t = self.term()
+                    row[v] = t.lex if isinstance(t, Lit) else t
+                self.eat_op(")")
+                brows.append(row)
+            self.eat_op("}")
+            # Draft-SPARQL BINDINGS semantics (what the reference's
+            # BindingsClause implements, per its own sparql11-bindings
+            # fixtures): the rows are INITIAL solutions fed into evaluation
+            # — they scope inside OPTIONAL's left side, unlike the final
+            # recommendation's VALUES end-join. Injected into the leftmost
+            # join spine below.
+            initial_bindings = brows
 
         # assemble: binds → group/aggregates → post-binds → having → order →
         # project → distinct → slice (SPARQL algebra ordering). HAVING is a
@@ -1372,6 +1440,16 @@ class Parser:
         # SELECT aliases (?avg) and hoisted aggregates (COUNT(*) > n).
         if trailing_values is not None:
             node = A.Values(trailing_values.rows, child=node)
+        if initial_bindings is not None:
+
+            def _inject(n):
+                if isinstance(n, A.LeftJoin):
+                    return A.LeftJoin(_inject(n.left), n.right, n.condition)
+                if isinstance(n, A.Join):
+                    return A.Join(_inject(n.left), n.right)
+                return A.Values(initial_bindings, child=n)
+
+            node = _inject(node)
         for fv, neg, pat in select_flags:
             if pat is not None:  # group-key flags already wrapped inline
                 node = A.ExistsFlag(node, pat, fv, negate=neg)
