@@ -61,6 +61,7 @@ def search(
     min_rank: int = 1,
     scored_filter=None,
     count_col: str | None = None,
+    scoring: str = "tfidf",
 ) -> DataFrame:
     """Ranked keyword search over an inverted index.
 
@@ -77,6 +78,9 @@ def search(
     size.
     """
     spark = index.sparkSession
+    # index terms are lowercased at build time — lowercase the query tokens
+    # too so the search is case-insensitive like the reference's analyzer
+    patterns = [(t.lower(), p) for t, p in patterns]
     pats = spark.createDataFrame(patterns, "pat string, is_prefix boolean")
     n_docs = index.agg(F.count_distinct("id").alias("n"))
 
@@ -89,15 +93,39 @@ def search(
         .groupBy("term")
         .agg(F.count_distinct("id").alias("df"))
     )
-    contrib = F.round(
-        F.col("tf") * F.lit(1_000_000.0) * F.col("n") / (F.col("dl") * F.col("df"))
-    ).cast("long")
-    scored = (
-        matched.join(F.broadcast(dfreq), on="term")
-        .crossJoin(F.broadcast(n_docs))
-        .groupBy("id")
-        .agg(F.sum(contrib).alias("score_ppm"), F.count_distinct("pat").alias("npat"))
-    )
+    if scoring == "cosine":
+        # Reference-exact relevance (search/TermFrequencyData.java
+        # normalize + Hit.java add): both the query and the document are
+        # L2-normalized term-frequency vectors and the score is their dot
+        # product — always in [0,1]; a prefix pattern contributes once per
+        # doc term it matches, with the PATTERN's query weight.
+        import math
+
+        qmag = math.sqrt(len(patterns))
+        dmag = index.groupBy("id").agg(
+            F.sqrt(F.sum(F.col("tf") * F.col("tf"))).alias("dmag")
+        )
+        contrib = (
+            F.col("tf") / F.col("dmag") / F.lit(qmag) * F.lit(1_000_000.0)
+        )
+        scored = (
+            matched.join(F.broadcast(dmag), on="id")
+            .groupBy("id")
+            .agg(
+                F.round(F.sum(contrib)).cast("long").alias("score_ppm"),
+                F.count_distinct("pat").alias("npat"),
+            )
+        )
+    else:
+        contrib = F.round(
+            F.col("tf") * F.lit(1_000_000.0) * F.col("n") / (F.col("dl") * F.col("df"))
+        ).cast("long")
+        scored = (
+            matched.join(F.broadcast(dfreq), on="term")
+            .crossJoin(F.broadcast(n_docs))
+            .groupBy("id")
+            .agg(F.sum(contrib).alias("score_ppm"), F.count_distinct("pat").alias("npat"))
+        )
     if match_all:
         scored = scored.filter(F.col("npat") == len(patterns))
     scored = scored.filter(F.col("score_ppm") >= min_relevance_ppm).drop("npat")

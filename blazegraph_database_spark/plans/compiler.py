@@ -1130,7 +1130,159 @@ def _(node: A.SP, store: TripleStore) -> DataFrame:
 
 @_compile.register
 def _(node: A.BGP, store: TripleStore) -> DataFrame:
+    magic, rest = _split_bds_magic(node.patterns)
+    if magic:
+        # Inline magic-predicate full-text search, the form Blazegraph
+        # queries actually use (`?lit bds:search "q" . ?lit bds:relevance
+        # ?s . ?subj ?p ?lit`, no SERVICE wrapper; ref: BDS.java vocabulary
+        # + ASTSearchOptimizer.java lifting magic triples out of the BGP).
+        # Contract per the reference's own eval fixtures: the search var
+        # binds the MATCHED LITERAL, which then joins object-position
+        # patterns naturally.
+        out = None
+        idv = getattr(store, "id_join_vars", frozenset())
+        for var, pats in magic.items():
+            hits = _bds_inline_search(store, pats)
+            # GRAPH-scoped search (the SPs carry g after _push_graph /
+            # GRAPH <g>): a hit counts once per graph holding the matched
+            # literal, binding/filtering the graph term and honoring the
+            # FROM NAMED set — ref: the search service runs against the
+            # statements visible in the GRAPH scope.
+            gterm = next((sp.g for sp in pats if sp.g is not None), None)
+            if gterm is not None and store.has_graphs:
+                pairs = (
+                    store.df.filter(F.col("o_dt") == "string")
+                    .select("g", F.col("o_lex").alias(var))
+                    .distinct()
+                )
+                if is_const(gterm):
+                    pairs = pairs.filter(F.col("g") == const_lex(gterm)).drop("g")
+                else:
+                    dn = getattr(store, "dataset_named", None)
+                    if dn is not None:
+                        pairs = pairs.filter(
+                            F.col("g").isin(list(dn)) if dn else F.lit(False)
+                        )
+                    pairs = pairs.withColumnRenamed("g", gterm.name)
+                hits = hits.join(pairs, on=var)
+            for c in list(hits.columns):
+                # pure-join vars ride shuffles as 64-bit term ids — the
+                # search output must offer the same companion the rest of
+                # the BGP joins on
+                if c in idv:
+                    hits = hits.withColumn(f"{c}__id", term_id(F.col(c)))
+            out = hits if out is None else out.crossJoin(hits)
+        if rest:
+            rdf = _compile_bgp(A.BGP(rest, hints=node.hints), store)
+            shared = sorted(set(rdf.columns) & set(out.columns))
+            out = rdf.join(out, on=shared) if shared else rdf.crossJoin(out)
+        return out
     return _compile_bgp(node, store)
+
+
+def _split_bds_magic(patterns):
+    """Partition a BGP's patterns into {search_var: [magic sps]} and the
+    ordinary remainder. A bds:* pattern whose subject never receives a
+    bds:search is an error (the reference's ASTSearchOptimizer rejects
+    orphan magic triples)."""
+    magic: dict[str, list] = {}
+    rest: list = []
+    search_vars = {
+        sp.s.name
+        for sp in patterns
+        if isinstance(sp, A.SP)
+        and sp.p is not None
+        and is_const(sp.p)
+        and _compact_builtin_iri(const_lex(sp.p)) == "bds:search"
+        and isinstance(sp.s, Var)
+    }
+    for sp in patterns:
+        pred = (
+            _compact_builtin_iri(const_lex(sp.p))
+            if isinstance(sp, A.SP) and sp.p is not None and is_const(sp.p)
+            else None
+        )
+        if pred is not None and pred.startswith("bds:"):
+            if not (isinstance(sp.s, Var) and sp.s.name in search_vars):
+                raise ValueError(
+                    f"magic predicate {pred} without a bds:search on its subject"
+                )
+            magic.setdefault(sp.s.name, []).append(sp)
+        else:
+            rest.append(sp)
+    return magic, rest
+
+
+def _store_literal_value_index(store: TripleStore) -> DataFrame:
+    """Full-text index over DISTINCT string-literal VALUES: doc id = the
+    literal lexical itself, so a hit binds the matched literal (the
+    reference's text index maps tokens to literal IVs; ref:
+    search/FullTextIndex.java). Memoized on the store instance."""
+    from blazegraph_database_spark.operators import fulltext
+
+    cached = getattr(store, "_ft_value_index", None)
+    if cached is None:
+        docs = (
+            store.df.filter(F.col("o_dt") == "string")
+            .select(F.col("o_lex").alias("s"))
+            .distinct()
+            .select("s", F.col("s").alias("text"))
+        )
+        cached = fulltext.inverted_index(docs, id_col="s", text_col="text").localCheckpoint()
+        store._ft_value_index = cached
+    return cached
+
+
+def _bds_inline_search(store: TripleStore, pats) -> DataFrame:
+    """Evaluate one inline magic-predicate search group → DataFrame binding
+    the search var to the matched literal plus any requested
+    relevance/rank/rangeCount vars. Shares the option parser and filter
+    closures with the SERVICE form."""
+    from blazegraph_database_spark.operators import fulltext
+
+    subj, query, opts = None, None, {}
+    flags = {"match_exact": False, "match_regex": None}
+    rel_var = rank_var = count_var = None
+    for sp in pats:
+        pred = _compact_builtin_iri(const_lex(sp.p))
+        if pred == "bds:search":
+            subj, query = sp.s, const_lex(sp.o)
+        elif _parse_bds_common(sp, pred, opts, flags):
+            pass
+        elif pred == "bds:minRank":
+            opts["min_rank"] = int(const_lex(sp.o))
+        elif pred == "bds:relevance" and isinstance(sp.o, Var):
+            rel_var = sp.o.name
+        elif pred == "bds:rank" and isinstance(sp.o, Var):
+            rank_var = sp.o.name
+        elif pred == "bds:rangeCount" and isinstance(sp.o, Var):
+            count_var = sp.o.name
+        else:
+            raise ValueError(f"unsupported inline search magic predicate {pred!r}")
+    patterns = [(t.rstrip("*"), t.endswith("*")) for t in query.split()]
+
+    def value_filter(scored):
+        # matchExact/matchRegex run against the matched literal itself
+        out = scored
+        if flags["match_exact"]:
+            out = out.filter(F.col("id").contains(query))
+        if flags["match_regex"] is not None:
+            out = out.filter(F.col("id").rlike(flags["match_regex"]))
+        return out
+
+    sf = value_filter if (flags["match_exact"] or flags["match_regex"]) else None
+    hits = fulltext.search(
+        _store_literal_value_index(store), patterns, scored_filter=sf,
+        count_col=count_var, scoring="cosine", **opts,
+    )
+    if count_var is not None:
+        return hits.withColumn(subj.name, F.lit(None).cast("string"))
+    sel = [F.col("id").alias(subj.name)]
+    if rel_var is not None:
+        sel.append((F.col("score_ppm").cast("double") / 1_000_000).alias(rel_var))
+    if rank_var is not None:
+        sel.append(F.col("rank").alias(rank_var))
+    return hits.select(*sel)
 
 
 def _flatten_join(n) -> list:
@@ -1408,7 +1560,12 @@ def _(node: A.Exists, store: TripleStore) -> DataFrame:
     shared = sorted(set(child.columns) & set(sub.columns))
     how = "left_anti" if node.negate else "left_semi"
     if not shared:
-        raise ValueError("EXISTS with no shared variables — use ASK instead")
+        # uncorrelated [NOT] EXISTS: a pure boolean gate — keep every child
+        # row iff the pattern has any solution (none, under NOT). A
+        # true-condition semi/anti join against a one-row probe stays
+        # distributed (no driver count).
+        probe = sub.limit(1).select(F.lit(1).alias("__probe"))
+        return child.join(probe, F.lit(True), how=how)
     return child.join(sub.select(*shared).distinct(), on=shared, how=how)
 
 
@@ -1498,6 +1655,12 @@ def _(node: A.DropCols, store: TripleStore) -> DataFrame:
 @_compile.register
 def _(node: A.Project, store: TripleStore) -> DataFrame:
     child = _compile(node.child, store)
+    # A projected var nothing in scope can bind (e.g. one a subquery
+    # projected away) is UNBOUND in every solution — a NULL column, not an
+    # analysis error (SPARQL §18.2.1 in-scope rules).
+    for v in node.vars:
+        if v not in child.columns:
+            child = child.withColumn(v, F.lit(None).cast("string"))
     cols = list(node.vars)
     if store.track_dt:
         # keep the projected vars' datatype companions so result

@@ -449,7 +449,18 @@ class Parser:
 
     def expr_add(self) -> Column:
         left = self.expr_mul()
-        while self.at_op("+", "-"):
+        while True:
+            # `?x+1` lexes the sign into the NUM token — in binary-additive
+            # position split it back into operator + magnitude (the signed
+            # form is only right when a literal stands alone, e.g. `> -1`)
+            nxt = self.peek()
+            if nxt.kind == "NUM" and nxt.text[0] in "+-":
+                self.toks[self.i : self.i + 1] = [
+                    Tok("OP", nxt.text[0]),
+                    Tok("NUM", nxt.text[1:]),
+                ]
+            if not self.at_op("+", "-"):
+                break
             op = self.next().text
             left, right = _typed_arith_operand(left), _typed_arith_operand(self.expr_mul())
             left = left + right if op == "+" else left - right
@@ -538,11 +549,17 @@ class Parser:
                 self.eat_op("(")
                 e = self.expr()
                 self.eat_op(")")
-                return e.cast(_XSD_CAST_LOCAL[local])
+                return e.try_cast(_XSD_CAST_LOCAL[local])
             raise SyntaxError(f"unknown function <{name}>")
         if t.kind == "IRI":
             self.next()
             return F.lit(self.resolve_iri(t.text[1:-1]))
+        if t.kind == "PNAME":
+            # IRI term in expression position (FILTER(?x = :bob) /
+            # ?type = owl:Class): compares on the expanded lexical — IRI
+            # term identity is lexical equality in this engine
+            self.next()
+            return F.lit(self.expand_pname(t.text))
         if t.kind == "KW":
             kw = t.text.upper()
             low = t.text.lower()
@@ -881,9 +898,10 @@ class Parser:
             elif self.at_kw("optional"):
                 self.next()
                 right = self.group_graph_pattern()
-                if node is None:
-                    raise SyntaxError("OPTIONAL with no left-hand pattern")
-                node = A.LeftJoin(node, right)
+                # leading OPTIONAL: the left side is the unit solution
+                # ({μ0}), so the result is `right` plus one all-unbound row
+                # when right is empty (SPARQL LeftJoin over the empty group)
+                node = A.LeftJoin(node if node is not None else _EMPTY, right)
             elif self.at_kw("minus"):
                 self.next()
                 right = self.group_graph_pattern()

@@ -30,15 +30,19 @@ pytestmark = pytest.mark.skipif(
 )
 
 
-def _cases():
+def _cases(prefix: str | None = "sparql11-"):
     if not os.path.isdir(FIXDIR):
         return []
     out = []
     for f in sorted(os.listdir(FIXDIR)):
-        if not (f.startswith("sparql11-") and f.endswith(".rq")):
+        if not f.endswith(".rq"):
             continue
         name = f[:-3]
-        if "service" in name:
+        if prefix is not None and not name.startswith(prefix):
+            continue
+        if prefix is None and name.startswith("sparql11-"):
+            continue  # covered by the dedicated parametrization below
+        if "service" in name.lower():
             continue  # needs a live SPARQL endpoint
         data = None
         for ext in (".ttl", ".trig"):
@@ -103,3 +107,34 @@ def test_reference_fixture(spark, name, datafile):
     if not ordered:
         g, e = sorted(g), sorted(e)
     assert g == e, (name, g[:5], e[:5])
+
+
+def _run_fixture(spark, name, datafile):
+    query = open(os.path.join(FIXDIR, name + ".rq")).read()
+    expected = parse_srx(open(os.path.join(FIXDIR, name + ".srx")).read())
+    path = os.path.join(FIXDIR, datafile)
+    if datafile.endswith(".trig"):
+        df = rdf_formats.read_trig(spark, path)
+    else:
+        df = rdf_formats.read_turtle(spark, path)
+    st = TripleStore(df)
+    got_df = run_sparql(st, query)
+    if got_df is True or got_df is False:  # ASK form
+        root = open(os.path.join(FIXDIR, name + ".srx")).read()
+        want = "<boolean>true</boolean>" in root
+        assert got_df == want, (name, got_df, want)
+        return
+    varnames = [c for c in got_df.columns if not c.endswith("__dt")]
+    got = [{v: r[v] for v in varnames} for r in got_df.collect()]
+    assert len(got) == len(expected), (name, len(got), len(expected))
+    ordered = re.search(r"(?i)\bORDER\s+BY\b", query) is not None
+    g = _rows_to_keyed(got, varnames)
+    e = _rows_to_keyed(expected, varnames)
+    if not ordered:
+        g, e = sorted(g), sorted(e)
+    assert g == e, (name, g[:5], e[:5])
+
+
+@pytest.mark.parametrize("name,datafile", _cases(prefix=None))
+def test_reference_eval_fixture(spark, name, datafile):
+    _run_fixture(spark, name, datafile)
