@@ -548,11 +548,20 @@ def _native_typed_vars(root, store) -> dict[str, str]:
 
 
 # ---------------------------------------------------------------- patterns --
-# The engine's internal vocabulary spells rdf:type compactly (inference,
-# blueprints, reification all key on it) while the RDF interchange readers
-# emit the full IRI — one TERM, two lexicals, exactly what the reference's
-# Vocabulary classes normalize. Pattern matching and range counts treat the
-# spellings as aliases of the same predicate.
+# The engine's internal vocabulary spells well-known terms compactly
+# (inference, blueprints, reification key on rdf:type / rdfs:subClassOf /
+# owl:sameAs ...) while the RDF interchange readers and the parser's
+# auto-declared prefixes produce the full IRIs — one TERM, two lexicals,
+# exactly what the reference's Vocabulary classes normalize. Pattern
+# matching and range counts treat the spellings as aliases of one term.
+WELLKNOWN_NS = {
+    "rdf:": "http://www.w3.org/1999/02/22-rdf-syntax-ns#",
+    "rdfs:": "http://www.w3.org/2000/01/rdf-schema#",
+    "owl:": "http://www.w3.org/2002/07/owl#",
+    "xsd:": "http://www.w3.org/2001/XMLSchema#",
+    "foaf:": "http://xmlns.com/foaf/0.1/",
+    "dc:": "http://purl.org/dc/elements/1.1/",
+}
 RDF_TYPE_ALIASES = (
     "rdf:type",
     "http://www.w3.org/1999/02/22-rdf-syntax-ns#type",
@@ -560,7 +569,12 @@ RDF_TYPE_ALIASES = (
 
 
 def _pred_aliases(p: str) -> tuple[str, ...]:
-    return RDF_TYPE_ALIASES if p in RDF_TYPE_ALIASES else (p,)
+    for pfx, ns in WELLKNOWN_NS.items():
+        if p.startswith(pfx):
+            return (p, ns + p[len(pfx):])
+        if p.startswith(ns):
+            return (pfx + p[len(ns):], p)
+    return (p,)
 
 
 DT_SID = "sid"  # datatype tag of an embedded-statement term in object position
@@ -667,7 +681,16 @@ def _pattern_df(sp: A.SP, store: TripleStore) -> DataFrame:
                     F.col("p").isin(list(al)) if len(al) > 1 else F.col("p") == al[0]
                 )
                 continue
-            conds.append(F.col(col) == const_lex(pos))
+            if col == "o_lex" and not isinstance(pos, Lit):
+                # constant IRI object: well-known compact/full spellings are
+                # one term (same alias layer as predicates)
+                oal = _pred_aliases(const_lex(pos))
+                conds.append(
+                    F.col("o_lex").isin(list(oal)) if len(oal) > 1
+                    else F.col("o_lex") == oal[0]
+                )
+            else:
+                conds.append(F.col(col) == const_lex(pos))
             if col == "o_lex":
                 # Term identity includes the type: a constant Lit matches only
                 # its datatype, a constant IRI (str/IRI per terms.py) matches
@@ -1418,7 +1441,18 @@ def _(node: A.LeftJoin, store: TripleStore) -> DataFrame:
         cond = c if cond is None else (cond & c)
     if node.condition is not None:
         cond = node.condition if cond is None else (cond & node.condition)
-    out = l.join(r2, on=cond, how="left")
+    try:
+        out = l.join(r2, on=cond, how="left")
+    except AnalysisException as e:
+        # Bottom-up semantics: a LeftJoin condition referencing a variable
+        # that can never be bound in scope (e.g. an outer-group var inside
+        # a nested OPTIONAL's filter — the DAWG filter-scope tests) errors
+        # for every row pair, so no pair joins: every left row survives
+        # with the right side unbound.
+        if "UNRESOLVED_COLUMN" in str(e) and "`__r_" not in str(e).split("SQLSTATE")[0]:
+            out = l.join(r2, on=F.lit(False), how="left")
+        else:
+            raise
     return out.drop(*[f"__r_{v}" for v in shared])
 
 

@@ -36,6 +36,21 @@ from blazegraph_database_spark.plans import algebra as A
 # Blazegraph query-hint namespace (ref: QueryHints.java NAMESPACE).
 HINT_NS = "http://www.bigdata.com/queryHints#"
 
+# Auto-declared prefixes (ref: sail/sparql/PrefixDeclProcessor.java:88-98).
+DEFAULT_PREFIXES = {
+    "rdf": "http://www.w3.org/1999/02/22-rdf-syntax-ns#",
+    "rdfs": "http://www.w3.org/2000/01/rdf-schema#",
+    "sesame": "http://www.openrdf.org/schema/sesame#",
+    "owl": "http://www.w3.org/2002/07/owl#",
+    "xsd": "http://www.w3.org/2001/XMLSchema#",
+    "fn": "http://www.w3.org/2005/xpath-functions#",
+    "foaf": "http://xmlns.com/foaf/0.1/",
+    "dc": "http://purl.org/dc/elements/1.1/",
+    "hint": HINT_NS,
+    "bd": "http://www.bigdata.com/rdf#",
+    "bds": "http://www.bigdata.com/rdf/search#",
+}
+
 # ----------------------------------------------------------------- lexer --
 TOKEN_RE = re.compile(
     r"""
@@ -165,7 +180,12 @@ class Parser:
         self.dt_mode = dt_mode
         self.toks = tokenize(src)
         self.i = 0
-        self.prefixes: dict[str, str] = {}
+        # Blazegraph auto-declares the well-known prefixes (ref:
+        # sail/sparql/PrefixDeclProcessor.java defaultDecls) — a query may
+        # use rdfs:/foaf:/... without declaring them. Explicit PREFIX decls
+        # override. The compiler's vocabulary-alias layer keeps the
+        # expanded forms joinable with stores that spell these compactly.
+        self.prefixes: dict[str, str] = dict(DEFAULT_PREFIXES)
         self.base: str | None = None  # BASE <iri> prologue declaration
         self._agg_counter = 0
         self._anon_counter = 0  # fresh vars for `[ ... ]` bnode prop lists
@@ -898,10 +918,26 @@ class Parser:
             elif self.at_kw("optional"):
                 self.next()
                 right = self.group_graph_pattern()
+                # SPARQL algebra: OPTIONAL { P FILTER(e) } translates to
+                # LeftJoin(left, P, e) — the filter becomes the JOIN
+                # CONDITION, whose scope includes the LEFT side's variables
+                # (the classic opt-filter/DAWG tests). Hoist top-level
+                # filters off the group; anything else (flag machinery,
+                # DropCols) stays put.
+                lj_cond = None
+                while isinstance(right, A.Filter):
+                    lj_cond = (
+                        right.condition
+                        if lj_cond is None
+                        else (lj_cond & right.condition)
+                    )
+                    right = right.child
                 # leading OPTIONAL: the left side is the unit solution
                 # ({μ0}), so the result is `right` plus one all-unbound row
                 # when right is empty (SPARQL LeftJoin over the empty group)
-                node = A.LeftJoin(node if node is not None else _EMPTY, right)
+                node = A.LeftJoin(
+                    node if node is not None else _EMPTY, right, lj_cond
+                )
             elif self.at_kw("minus"):
                 self.next()
                 right = self.group_graph_pattern()

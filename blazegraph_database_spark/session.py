@@ -47,6 +47,11 @@ def get_spark(app: str = "blazegraph-spark", shuffle_partitions: int | None = No
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # SPARQL expression errors bind NOTHING (a failed cast / malformed
+        # comparison is a per-row type error → unbound → filter false), so
+        # permissive evaluation is the SPEC behavior here — ANSI mode would
+        # turn a single malformed literal into a whole-query abort.
+        .config("spark.sql.ansi.enabled", "false")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         # size iterative/state exchanges at runtime instead of mutating

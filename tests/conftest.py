@@ -13,6 +13,7 @@ def spark() -> SparkSession:
         SparkSession.builder.master("local[*]")
         .appName("blazegraph-spark-tests")
         .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.sql.ansi.enabled", "false")  # match session.get_spark
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")

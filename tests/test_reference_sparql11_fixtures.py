@@ -135,6 +135,73 @@ def _run_fixture(spark, name, datafile):
     assert g == e, (name, g[:5], e[:5])
 
 
+# Fixtures whose Java tests perform programmatic setup before running the
+# query — mirror the SAME setup through this engine's public APIs
+# (FunctionRegistry / stored-query registration analogs), exactly what
+# TestCustomFunction.java / TestStoredQueryService.java do.
+def _setup_custom_functions():
+    from pyspark.sql import functions as F
+
+    from blazegraph_database_spark.functions import registry as freg
+
+    def _c(x):
+        return F.lit(x) if isinstance(x, str) else x
+
+    # MyFunctionBOp: label + "-" + label (TestCustomFunction.java:237)
+    freg.register_function(
+        "http://www.bigdata.com/myFunction",
+        lambda x: F.concat(_c(x), F.lit("-"), _c(x)),
+        replace=True,
+    )
+    # MyFilterBOp: label equals "Mike" (TestCustomFunction.java:331)
+    freg.register_function(
+        "http://www.bigdata.com/myFunction2",
+        lambda x: _c(x) == F.lit("Mike"),
+        replace=True,
+    )
+
+
+def _setup_stored_query():
+    from blazegraph_database_spark.operators import service
+
+    service.register_stored_query(
+        "http://www.bigdata.com/rdf/stored-query#test_stored_query_001",
+        """
+        PREFIX dc:   <http://purl.org/dc/elements/1.1/>
+        PREFIX :     <http://example.org/book/>
+        PREFIX ns:   <http://example.org/ns#>
+        SELECT ?book ?title ?price {
+          ?book dc:title ?title ;
+                ns:price ?price .
+        }
+        """,
+    )
+
+
+_FIXTURE_SETUP = {
+    "custom-function-1": _setup_custom_functions,
+    "custom-function-2": _setup_custom_functions,
+    "custom-function-3": _setup_custom_functions,
+    "stored-query-001": _setup_stored_query,
+}
+
+# Environment-bound fixtures: the Java tests wire a mock SERVICE endpoint,
+# a live Solr instance, or hand-built named solution sets — not
+# reproducible from the .rq/.ttl/.srx triplet alone.
+_ENV_BOUND = {
+    "include_01", "include_02", "include_03",  # programmatic solution sets
+    "query-hints-08", "query-hints-08b", "query-hints-09",
+    "query-hints-10",  # mock SERVICE endpoint
+    "fts-complexWithQuery", "fts-filter", "fts-join", "fts-multiRequest",
+    "fts-singleMax", "fts-singleMin", "fts-typeCastException",
+    "fts-variableInjectionFailing",  # live Solr endpoint
+}
+
+
 @pytest.mark.parametrize("name,datafile", _cases(prefix=None))
 def test_reference_eval_fixture(spark, name, datafile):
+    if name in _ENV_BOUND:
+        pytest.skip("Java test wires a live/mock external dependency")
+    if name in _FIXTURE_SETUP:
+        _FIXTURE_SETUP[name]()
     _run_fixture(spark, name, datafile)
