@@ -1349,7 +1349,26 @@ def _(node: A.Join, store: TripleStore) -> DataFrame:
         return ldf
     l, r = _compile(node.left, store), _compile(node.right, store)
     shared = sorted(set(l.columns) & set(r.columns))
-    return l.join(r, on=shared) if shared else l.crossJoin(r)
+    if not shared:
+        return l.crossJoin(r)
+    if _may_bind_unbound(node.left) or _may_bind_unbound(node.right):
+        # SPARQL solution compatibility: an UNBOUND shared var (e.g. out of
+        # a `{} UNION`, OPTIONAL, or VALUES UNDEF arm) is compatible with
+        # ANY binding; the bound side's value survives. Only the statically
+        # may-be-unbound shapes take this theta join — definite patterns
+        # keep the fast shuffle equi-join.
+        r2 = r
+        for v in shared:
+            r2 = r2.withColumnRenamed(v, f"__j_{v}")
+        cond = None
+        for v in shared:
+            c = l[v].isNull() | F.col(f"__j_{v}").isNull() | (l[v] == F.col(f"__j_{v}"))
+            cond = c if cond is None else (cond & c)
+        out = l.join(r2, on=cond)
+        for v in shared:
+            out = out.withColumn(v, F.coalesce(l[v], F.col(f"__j_{v}")))
+        return out.drop(*[f"__j_{v}" for v in shared])
+    return l.join(r, on=shared)
 
 
 # endpoint sets are inherently small (they're SERVICES, not data); the cap
@@ -1788,6 +1807,22 @@ def _(node: A.GraphScope, store: TripleStore) -> DataFrame:
             out = out.withColumn(node.g.name, F.lit(None).cast("string"))
         return out
     if isinstance(node.g, Var):
+        if isinstance(node.child, A.BGP) and not node.child.patterns:
+            # GRAPH ?g {} enumerates the named graphs (one unit solution
+            # per graph; ref: trac709 — openrdf/DAWG semantics), honoring
+            # any FROM NAMED restriction. The default graph ('' in the
+            # quads encoding) is not a NAMED graph.
+            gs = (
+                store.df.filter(F.col("g").isNotNull() & (F.col("g") != ""))
+                .select(F.col("g").alias(node.g.name))
+                .distinct()
+            )
+            dn = getattr(store, "dataset_named", None)
+            if dn is not None:
+                gs = gs.filter(
+                    F.col(node.g.name).isin(list(dn)) if dn else F.lit(False)
+                )
+            return gs
         return _compile(_push_graph(node.child, node.g), store)
     g = const_lex(node.g)
     named = getattr(store, "dataset_named", None)

@@ -60,7 +60,7 @@ TOKEN_RE = re.compile(
   | (?P<DEND>>>)
   | (?P<IRI><[^>\s]*>)
   | (?P<VAR>[?$][A-Za-z_][A-Za-z0-9_]*)
-  | (?P<STRING>"(?:[^"\\]|\\.)*")
+  | (?P<STRING>"(?:[^"\\]|\\.)*"|'(?:[^'\\]|\\.)*')
   | (?P<NUM>[+-]?\d+\.\d+|[+-]?\d+)
   | (?P<PNAME>[A-Za-z_][A-Za-z0-9_-]*:[A-Za-z0-9_.-]*|:[A-Za-z0-9_.-]*)
   | (?P<NAMED>%[A-Za-z_][A-Za-z0-9_]*)
