@@ -95,7 +95,13 @@ def REPLACE(x, pattern, replacement) -> Column:
     return F.regexp_replace(_c(x), pattern, replacement)
 
 
-def REGEX(x, pattern) -> Column:
+def REGEX(x, pattern, flags: str | None = None) -> Column:
+    """fn:matches — the optional flags arg maps onto Java regex inline
+    flags ((?i) etc.), the same engine the reference's REGEX BOp uses."""
+    if flags:
+        inline = "".join(ch for ch in flags if ch in "imsxuU")
+        if inline:
+            pattern = f"(?{inline}){pattern}"
     return _c(x).rlike(pattern)
 
 

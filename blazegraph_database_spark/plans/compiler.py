@@ -1786,6 +1786,16 @@ def _push_graph(node, g):
         return node  # inner GRAPH overrides
     if isinstance(node, A.PathPattern):
         return A.PathPattern(node.s, node.path, node.o, g if node.g is None else node.g)
+    if isinstance(node, (A.Exists, A.ExistsFlag)):
+        # the EXISTS pattern is graph-scoped too (FILTER [NOT] EXISTS inside
+        # GRAPH evaluates its pattern against that graph; ticket-888)
+        import dataclasses
+
+        return dataclasses.replace(
+            node,
+            child=_push_graph(node.child, g),
+            pattern=_push_graph(node.pattern, g),
+        )
     for children in (("child",), ("left", "right")):
         if all(hasattr(node, c) for c in children):
             import dataclasses
@@ -1829,6 +1839,11 @@ def _(node: A.GraphScope, store: TripleStore) -> DataFrame:
     if named is not None and g not in named:
         # GRAPH <g> outside the FROM NAMED set matches nothing
         return _compile(node.child, store.graph(g)).limit(0)
+    if isinstance(node.child, A.BGP) and not node.child.patterns:
+        # GRAPH <g> {}: the unit solution iff <g> IS a named graph of the
+        # dataset (has at least one statement) — zero solutions otherwise
+        # (trac429neg). One bounded probe, no driver collect.
+        return store.df.filter(F.col("g") == g).limit(1).select()
     return _compile(node.child, store.graph(g))
 
 
@@ -2107,6 +2122,18 @@ def _(node: A.Service, store: TripleStore) -> DataFrame:
     if svc_iri == "bds:search":
         # magic predicates inside the block (ref: BDS.java search vocabulary)
         pats = collect_sps(node.pattern)
+        if not any(
+            is_const(sp.p)
+            and _compact_builtin_iri(const_lex(sp.p)) == "bds:subjectSearch"
+            and const_lex(sp.o) == "true"
+            for sp in pats
+        ):
+            # default contract = the INLINE form's: the search var binds the
+            # MATCHED LITERAL (ref: the reference's own ticket_bg1256
+            # fixture — SERVICE bds:search yields the literal, which joins
+            # object-position patterns); subjectSearch=true switches to the
+            # URI index below
+            return _bds_inline_search(store, pats)
         subj, query, opts = None, None, {}
         flags = {"match_exact": False, "match_regex": None}
         rel_var = rank_var = count_var = None

@@ -707,6 +707,19 @@ class Parser:
                         args.append(self.expr())
                 self.eat_op(")")
                 return (fn.SUBSTR if kw == "SUBSTR" else fn.REPLACE)(*args)
+            if kw == "REGEX":
+                # optional third flags argument (fn:matches): REGEX(x, pat[, flags])
+                self.next()
+                self.eat_op("(")
+                x = self.expr()
+                self.eat_op(",")
+                pat = self.term().lex if self.peek().kind == "STRING" else self.expr()
+                fl = None
+                if self.at_op(","):
+                    self.next()
+                    fl = self.term().lex
+                self.eat_op(")")
+                return fn.REGEX(x, pat, fl)
             for table, arity in ((FUNCS_1, 1), (FUNCS_2, 2)):
                 if kw in table:
                     self.next()
@@ -911,10 +924,15 @@ class Parser:
                     self.next()
                     self.next()
                     exists.append((True, self.group_graph_pattern()))
-                else:
-                    self.eat_op("(")
+                elif self.at_op("("):
+                    self.next()
                     filters.append(self.expr())
                     self.eat_op(")")
+                else:
+                    # FILTER BuiltInCall / FunctionCall without the outer
+                    # parens (Constraint ::= BrackettedExpression |
+                    # BuiltInCall | FunctionCall)
+                    filters.append(self.expr())
             elif self.at_kw("optional"):
                 self.next()
                 right = self.group_graph_pattern()

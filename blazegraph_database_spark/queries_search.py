@@ -292,19 +292,37 @@ def geo_zorder3(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "service_clause_text",
-    _FT_CTE.format(pats="('distribut', true), ('data', false)", where="TRUE", max_rank=12)
-    .replace(
-        "SELECT id, score_ppm, CAST(ROW_NUMBER() OVER (ORDER BY score_ppm DESC, id) AS INT) AS rank",
-        # ties break on the STRING doc id ('doc:108' < 'doc:44'), matching the
-        # engine whose doc ids are subject lexicals
-        "SELECT 'doc:' || id AS s, score_ppm, CAST(ROW_NUMBER() OVER (ORDER BY score_ppm DESC, 'doc:' || id) AS INT) AS rank",
+    """
+    WITH lits AS (SELECT DISTINCT text AS lit FROM documents),
+    toks AS (
+        SELECT lit, unnest(list_filter(string_split_regex(lower(lit), '[^a-z0-9]+'),
+                                       t -> t != '')) AS term
+        FROM lits
     ),
+    tf AS (SELECT lit, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+    dmag AS (SELECT lit, sqrt(SUM(tf * tf)) AS dmag FROM tf GROUP BY 1),
+    pats(pat, is_prefix) AS (VALUES ('distribut', true), ('data', false)),
+    matched AS (
+        SELECT p.pat, f.term, f.lit, f.tf FROM tf f JOIN pats p
+        ON CASE WHEN p.is_prefix THEN starts_with(f.term, p.pat) ELSE f.term = p.pat END
+    ),
+    scored AS (
+        SELECT m.lit,
+               CAST(ROUND(SUM(m.tf / d.dmag / sqrt(2.0) * 1000000.0)) AS BIGINT) AS sppm
+        FROM matched m JOIN dmag d USING (lit) GROUP BY 1
+    )
+    SELECT lit, sppm / 1000000.0 AS score,
+           CAST(ROW_NUMBER() OVER (ORDER BY sppm DESC, lit) AS INT) AS rank
+    FROM scored QUALIFY rank <= 12
+    """,
 )
 def service_clause_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SERVICE <bds:search> as a textual SPARQL clause: the full dispatch
-    path — parser → Service node → registry → store-literal full-text index
-    (ref: ServiceRegistry + BDS magic predicates). Score recomputed per doc
-    so the oracle checks ranking, not just membership."""
+    path — parser → Service node → the store's literal-value full-text
+    index. Reference contract (its own ticket_bg1256 fixture): the search
+    var binds the MATCHED LITERAL, relevance is the L2-normalized-tf cosine
+    in [0,1], rank breaks ties on the literal. The oracle replays the whole
+    scoring in SQL."""
     from blazegraph_database_spark.model.store import TripleStore
     from blazegraph_database_spark.plans.sparql_parser import run_sparql
     from blazegraph_database_spark.sources.relational import read_parquet
@@ -318,20 +336,19 @@ def service_clause_text(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("string").alias("o_dt"),
         )
     )
-    hits = run_sparql(
+    return run_sparql(
         st,
-        'SELECT ?s WHERE { SERVICE <bds:search> { ?s <bds:search> "distribut* data" . ?s <bds:maxRank> "12" } }',
-    )
-    # join rank + score back through the same index for the checked surface
-    idx = fulltext.inverted_index(
-        st.df.groupBy("s").agg(F.concat_ws(" ", F.collect_list("o_lex")).alias("text")),
-        id_col="s",
-        text_col="text",
-    )
-    ranked = fulltext.search(idx, [("distribut", True), ("data", False)], max_rank=12)
-    return hits.join(ranked.withColumnRenamed("id", "s"), on="s").select(
-        "s", "score_ppm", F.col("rank").cast("int").alias("rank")
-    )
+        """
+        SELECT ?lit ?score ?rank WHERE {
+          SERVICE <bds:search> {
+            ?lit <bds:search> "distribut* data" .
+            ?lit <bds:relevance> ?score .
+            ?lit <bds:rank> ?rank .
+            ?lit <bds:maxRank> "12" .
+          }
+        }
+        """,
+    ).select("lit", "score", F.col("rank").cast("int").alias("rank"))
 
 
 @register(

@@ -101,13 +101,13 @@ def test_bds_extended_options(spark):
         q = "SELECT * WHERE { SERVICE <bds:search> { %s } }" % block
         return run_sparql(st, q).collect()
 
-    # matchExact: the matched doc's text must contain the exact phrase
-    # (the search var binds subjects; the index is subject-level)
+    # matchExact: the matched LITERAL must contain the exact phrase
+    # (reference contract: the search var binds the matched literal)
     got = {r["lit"] for r in hits('?lit <bds:search> "alpha beta" . ?lit <bds:matchExact> "true"')}
-    assert got == {"d1", "d2"}  # d3 has no "alpha beta" substring
+    assert got == {"alpha beta gamma", "alpha alpha beta"}  # no "alpha beta" in d3's text
     # matchRegex post-filter
     got = {r["lit"] for r in hits('?lit <bds:search> "beta" . ?lit <bds:matchRegex> "delta$"')}
-    assert got == {"d3"}
+    assert got == {"beta delta"}
     # rangeCount: ONE solution binding only the total (ref:
     # SearchServiceFactory.java:649 — hits are not enumerated), and a
     # zero-hit search observably binds 0 (ADVICE r4)
@@ -121,6 +121,7 @@ def test_bds_extended_options(spark):
     cap = min(all_rel.values())
     got = {r["lit"] for r in hits(f'?lit <bds:search> "alpha" . ?lit <bds:maxRelevance> "{cap}"')}
     assert got == {lit for lit, rel in all_rel.items() if rel <= cap}
+    assert all(lit.startswith("alpha") for lit in all_rel)  # literal contract
 
 
 def test_bds_subject_search(spark):

@@ -214,7 +214,8 @@ def test_service_clause_bds_search_text(spark):
         st,
         """
         SELECT ?s ?y WHERE {
-          SERVICE <bds:search> { ?s <bds:search> "spark engi*" . ?s <bds:matchAllTerms> "true" }
+          SERVICE <bds:search> { ?lit <bds:search> "spark engi*" . ?lit <bds:matchAllTerms> "true" }
+          ?s <title> ?lit .
           ?s <year> ?y
         }
         """,
@@ -250,9 +251,12 @@ def test_service_bds_relevance_rank_bindings(spark):
         """,
     ).collect()
     got = {r["s"]: (r["score"], r["r"]) for r in out}
-    assert set(got) == {"d1", "d2"}
-    assert got["d1"][1] == 1 and got["d2"][1] == 2  # tf ranks d1 first
-    assert got["d1"][0] > got["d2"][0] > 0
+    # literal contract: the search var binds the matched literal; cosine
+    # relevance of the pure-"spark" literal is exactly 1.0
+    assert set(got) == {"spark spark spark", "spark once only here"}
+    assert got["spark spark spark"] == (1.0, 1)
+    assert got["spark once only here"][1] == 2
+    assert 0 < got["spark once only here"][0] < 1.0
 
 
 def test_service_clause_remote_transport(spark):
