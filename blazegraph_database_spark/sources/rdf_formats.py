@@ -309,7 +309,11 @@ class _TurtleParser:
                 kind = "OP" if m.lastgroup == "SOP" else m.lastgroup
                 self.toks.append((kind, m.group()))
         self.i = 0
-        self.prefixes: dict[str, str] = {}
+        # same auto-declared well-known prefixes as the SPARQL parser
+        # (PrefixDeclProcessor parity); explicit @prefix overrides
+        from blazegraph_database_spark.plans.sparql_parser import DEFAULT_PREFIXES
+
+        self.prefixes: dict[str, str] = dict(DEFAULT_PREFIXES)
         self.base = ""
         self.out: list[tuple] = []
         self.bn = 0
@@ -338,6 +342,12 @@ class _TurtleParser:
         if kind == "KW" and low in ("@prefix", "prefix"):
             self.next()
             pname = self.next()[1]  # 'pfx:' (PNAME) — may be just ':'
+            if not pname.endswith(":") and self.peek() == ("PNAME", ":"):
+                # lenient: `@prefix name : <iri>` with a space before the
+                # colon lexes as two tokens; openrdf's parser accepted it
+                # and the reference's own fixtures use it
+                self.next()
+                pname += ":"
             iri = self.next()[1][1:-1]
             self.prefixes[pname[:-1] if pname.endswith(":") else pname] = iri
             if self.peek() == ("OP", "."):
