@@ -458,3 +458,70 @@ def geo_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     latitude-band pruning with a provably-complete final band — equals the
     brute-force distance rank (operators/geospatial.knn)."""
     return geospatial.knn(_events_geo(spark, sf_dir), 10.0, 20.0, k=10)
+
+
+@register(
+    "sparql_inline_search",
+    """
+    WITH lits AS (SELECT DISTINCT text AS lit FROM documents),
+    toks AS (
+        SELECT lit, unnest(list_filter(string_split_regex(lower(lit), '[^a-z0-9]+'),
+                                       t -> t != '')) AS term
+        FROM lits
+    ),
+    tf AS (SELECT lit, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+    dmag AS (SELECT lit, sqrt(SUM(tf * tf)) AS dmag FROM tf GROUP BY 1),
+    pats(pat, is_prefix) AS (VALUES ('merge', false), ('shuffle', false)),
+    matched AS (
+        SELECT p.pat, f.term, f.lit, f.tf FROM tf f JOIN pats p
+        ON CASE WHEN p.is_prefix THEN starts_with(f.term, p.pat) ELSE f.term = p.pat END
+    ),
+    scored AS (
+        SELECT m.lit,
+               CAST(ROUND(SUM(m.tf / d.dmag / sqrt(2.0) * 1000000.0)) AS BIGINT) AS sppm
+        FROM matched m JOIN dmag d USING (lit) GROUP BY 1
+    ),
+    ranked AS (
+        SELECT lit, sppm / 1000000.0 AS score,
+               ROW_NUMBER() OVER (ORDER BY sppm DESC, lit) AS rk
+        FROM scored
+    )
+    SELECT d.doc_id AS doc, r.score
+    FROM ranked r JOIN documents d ON d.text = r.lit
+    WHERE r.rk <= 10
+    ORDER BY doc
+    """,
+)
+def sparql_inline_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INLINE magic-predicate full-text search — the form Blazegraph users
+    actually write, no SERVICE wrapper (ref: BDS.java vocabulary +
+    ASTSearchOptimizer): `?lit bds:search "..."` binds the matched LITERAL
+    with its cosine relevance, and the ordinary pattern `?doc <text> ?lit`
+    joins it back to the documents. Exercises the bds magic-pattern lift,
+    the literal-value index, and the reference-exact cosine end to end."""
+    from blazegraph_database_spark.model.store import TripleStore
+    from blazegraph_database_spark.plans.sparql_parser import run_sparql
+    from blazegraph_database_spark.sources.relational import read_parquet
+
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    st = TripleStore(
+        docs.select(
+            F.col("doc_id").cast("string").alias("s"),
+            F.lit("documents#text").alias("p"),
+            F.col("text").alias("o_lex"),
+            F.lit("string").alias("o_dt"),
+        )
+    )
+    out = run_sparql(
+        st,
+        """
+        PREFIX bds: <http://www.bigdata.com/rdf/search#>
+        SELECT ?doc ?score WHERE {
+          ?lit bds:search "merge shuffle" .
+          ?lit bds:relevance ?score .
+          ?lit bds:maxRank "10" .
+          ?doc <documents#text> ?lit .
+        }
+        """,
+    )
+    return out.select(F.col("doc").cast("long").alias("doc"), "score").orderBy("doc")

@@ -22,6 +22,7 @@ _CATALOG_MODULES = [
 # its r3 row and rotates in next round.
 _SCORE_FIRST = [
     # (a) round-5 additions — inserted here as they land.
+    "sparql_inline_search",
     "geo_knn",
     "stream_trending_terms",
     "pipeline_curation",
