@@ -97,6 +97,10 @@ class TripleStore:
         # FROM / FROM NAMED scoping (None = no dataset declared)
         self.dataset_default: tuple | None = None
         self.dataset_named: tuple | None = None
+        # the quad store a graph()-restricted view came from — a nested
+        # GRAPH term must resolve against the ORIGINAL dataset, never the
+        # already-restricted view (SPARQL active-graph override)
+        self.parent_quads: "TripleStore | None" = None
         self._src_cache: dict = {}
 
     def with_dt_tracking(self) -> "TripleStore":
@@ -239,4 +243,5 @@ class TripleStore:
         # an id inside GRAPH and as a string outside would never join
         out.id_join_vars = self.id_join_vars
         out.native_typed_vars = self.native_typed_vars
+        out.parent_quads = self
         return out

@@ -265,6 +265,28 @@ class Slice:
 
 
 @dataclass(frozen=True)
+class PerKeySlice:
+    """LIMIT/OFFSET applied independently per value of ``key`` — produced by
+    the compiler when a subquery carrying a Slice sits under ``GRAPH ?g``
+    (the subquery evaluates once per active graph, so its LIMIT is
+    per-graph; ref: ASTGraphGroupOptimizer + SubqueryRoot evaluation order).
+    ``keys`` carries the subquery's ORDER BY (empty = any rows, per spec)."""
+
+    child: Any
+    key: str
+    limit: int | None = None
+    offset: int = 0
+    keys: tuple = ()
+
+    def __init__(self, child, key, limit=None, offset=0, keys=()):
+        object.__setattr__(self, "child", child)
+        object.__setattr__(self, "key", key)
+        object.__setattr__(self, "limit", limit)
+        object.__setattr__(self, "offset", offset)
+        object.__setattr__(self, "keys", tuple(keys))
+
+
+@dataclass(frozen=True)
 class Group:
     """GROUP BY + aggregates (+ HAVING). Ref: GroupByNode/HavingNode."""
 

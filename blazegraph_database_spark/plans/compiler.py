@@ -1738,8 +1738,15 @@ def _(node: A.OrderBy, store: TripleStore) -> DataFrame:
     IVComparator). Vars without companions keep plain column order —
     exactly the previous behavior."""
     df = _compile(node.child, store)
+    return df.orderBy(*_order_exprs(df, node.keys))
+
+
+def _order_exprs(df: DataFrame, keys: tuple) -> list:
+    """Translate (key, ascending) pairs into sort Columns, applying the
+    SPARQL operator-mapping order when a datatype companion exists (shared
+    by ORDER BY and the per-graph Slice window)."""
     cols = []
-    for key, asc in node.keys:
+    for key, asc in keys:
         if isinstance(key, str) and f"{key}__dt" in df.columns:
             dt = F.col(f"{key}__dt")
             is_num = dt.isin("long", "double", "integer", "decimal", "int", "float")
@@ -1752,7 +1759,7 @@ def _(node: A.OrderBy, store: TripleStore) -> DataFrame:
             continue
         c = F.col(key) if isinstance(key, str) else key
         cols.append(c.asc() if asc else c.desc())
-    return df.orderBy(*cols)
+    return cols
 
 
 @_compile.register
@@ -1766,8 +1773,36 @@ def _(node: A.Slice, store: TripleStore) -> DataFrame:
 
 
 @_compile.register
+def _(node: A.PerKeySlice, store: TripleStore) -> DataFrame:
+    """Per-graph LIMIT/OFFSET: a subquery Slice under GRAPH ?g applies
+    per active graph. One window pass partitioned by the graph slot — no
+    per-graph driver loop; with no ORDER BY the spec allows any rows, so
+    the tie-break over the remaining columns just makes runs repeatable."""
+    from pyspark.sql.window import Window
+
+    df = _compile(node.child, store)
+    order = _order_exprs(df, node.keys) if node.keys else [
+        F.col(c) for c in df.columns if c != node.key
+    ]
+    if not order:  # key is the only column
+        order = [F.lit(1)]
+    w = Window.partitionBy(node.key).orderBy(*order)
+    lo, hi = node.offset, None if node.limit is None else node.offset + node.limit
+    cond = F.col("__rn") > lo
+    if hi is not None:
+        cond = cond & (F.col("__rn") <= hi)
+    return df.withColumn("__rn", F.row_number().over(w)).filter(cond).drop("__rn")
+
+
+@_compile.register
 def _(node: A.Group, store: TripleStore) -> DataFrame:
     df = _compile(node.child, store)
+    # a GROUP BY var nothing in scope can bind (e.g. one shadowed away by a
+    # subquery boundary — ticket-1892-additional4) groups as UNBOUND: one
+    # NULL key, not an analysis error (same bottom-up rule as Project)
+    for k in node.keys:
+        if isinstance(k, str) and k not in df.columns:
+            df = df.withColumn(k, F.lit(None).cast("string"))
     aggs = [expr.alias(name) for name, expr in node.aggs]
     out = df.groupBy(*node.keys).agg(*aggs) if node.keys else df.agg(*aggs)
     if node.having is not None:
@@ -1775,17 +1810,87 @@ def _(node: A.Group, store: TripleStore) -> DataFrame:
     return out
 
 
+def _slot_bound(node, name: str) -> bool:
+    """True iff the (already graph-pushed) subtree can bind ``name`` in its
+    OUTPUT — i.e. some statement/path pattern carries the slot in its graph
+    position on the solution-producing spine. Subquery projections and
+    group keys that include the slot count (the push rewrite appends it);
+    a nested GraphScope stops the walk (inner GRAPH overrides)."""
+    if isinstance(node, (A.SP, A.PathPattern)):
+        return isinstance(node.g, Var) and node.g.name == name
+    if isinstance(node, A.BGP):
+        return any(_slot_bound(p, name) for p in node.patterns)
+    if isinstance(node, A.GraphScope):
+        return False
+    if isinstance(node, A.Project):
+        return name in node.vars
+    if isinstance(node, A.Group):
+        return name in node.keys
+    if isinstance(node, (A.Join, A.LeftJoin, A.Union2)):
+        return _slot_bound(node.left, name) or _slot_bound(node.right, name)
+    if isinstance(node, A.Minus):
+        return _slot_bound(node.left, name)
+    if isinstance(node, (A.Exists, A.ExistsFlag)):
+        return _slot_bound(node.child, name)
+    child = getattr(node, "child", None)
+    return child is not None and _slot_bound(child, name)
+
+
 def _push_graph(node, g):
     """Rewrite a pattern tree so every SP carries the GRAPH term (the SP
-    compiler handles constant/variable g positions natively)."""
+    compiler handles constant/variable g positions natively).
+
+    ``g`` is a fresh internal slot variable (see the GraphScope compile) —
+    never the user's name — so a subquery-local variable spelled like the
+    graph variable can NEVER conflate with the active graph (SPARQL
+    bottom-up scoping; ref: the ticket-1892 eval fixtures + the reference's
+    variable-scoping in SubqueryRoot).
+
+    The slot propagates INTO subqueries by identity (ref:
+    ASTGraphGroupOptimizer.java:64 — "Anything nested (even if a subquery)
+    is constrained to be from [the graph]... even if they occur within a
+    subquery"), appended to the subquery's projection and GROUP BY keys so
+    the per-active-graph evaluation stays correlated while the USER's
+    same-named variables inside the subquery remain shadowed (matches the
+    reference's ticket-1892 additional1/3/4/5/6 + subquery03 fixtures;
+    its additional2 fixture evaluates the subquery decorrelated from the
+    incoming graph binding — a runs-first evaluation-order artifact this
+    engine does not reproduce, documented as a divergence)."""
     if isinstance(node, A.SP):
         return A.SP(node.s, node.p, node.o, g if node.g is None else node.g)
     if isinstance(node, A.BGP):
-        return A.BGP([_push_graph(p, g) for p in node.patterns])
+        return A.BGP([_push_graph(p, g) for p in node.patterns], hints=node.hints)
     if isinstance(node, A.GraphScope):
         return node  # inner GRAPH overrides
     if isinstance(node, A.PathPattern):
         return A.PathPattern(node.s, node.path, node.o, g if node.g is None else node.g)
+    if isinstance(node, A.Project):
+        child = _push_graph(node.child, g)
+        if (
+            isinstance(g, Var)
+            and g.name not in node.vars
+            and _slot_bound(child, g.name)
+        ):
+            return A.Project(child, tuple(node.vars) + (g.name,))
+        return A.Project(child, node.vars)
+    if isinstance(node, A.Group):
+        child = _push_graph(node.child, g)
+        keys = tuple(node.keys)
+        if isinstance(g, Var) and g.name not in keys and _slot_bound(child, g.name):
+            keys += (g.name,)
+        return A.Group(child, keys, node.aggs, node.having)
+    if isinstance(node, A.Slice):
+        child = _push_graph(node.child, g)
+        if isinstance(g, Var) and _slot_bound(child, g.name):
+            # the Slice belongs to a subquery evaluated once per active
+            # graph — LIMIT/OFFSET apply per graph, honoring its ORDER BY
+            inner, keys = child, ()
+            while isinstance(inner, A.DropCols):
+                inner = inner.child
+            if isinstance(inner, A.OrderBy):
+                keys = inner.keys
+            return A.PerKeySlice(child, g.name, node.limit, node.offset, keys)
+        return A.Slice(child, node.limit, node.offset)
     if isinstance(node, (A.Exists, A.ExistsFlag)):
         # the EXISTS pattern is graph-scoped too (FILTER [NOT] EXISTS inside
         # GRAPH evaluates its pattern against that graph; ticket-888)
@@ -1806,9 +1911,19 @@ def _push_graph(node, g):
     return node
 
 
+import itertools
+
+_GSLOT = itertools.count()
+
+
 @_compile.register
 def _(node: A.GraphScope, store: TripleStore) -> DataFrame:
-    if not store.has_graphs:
+    # Nested GRAPH override: `GRAPH <g2>` inside `GRAPH <g1>` evaluates
+    # against g2 of the ORIGINAL dataset, never the g1-restricted view
+    # (store.graph() records its source as parent_quads; ref: ticket_832c —
+    # the reference resolves every GRAPH term against the full quad store).
+    base = getattr(store, "parent_quads", None) or store
+    if not base.has_graphs:
         # SPARQL dataset semantics: with ZERO named graphs a GRAPH pattern
         # has zero solutions — not an error (a triples-only store is a
         # dataset whose named-graph set is empty)
@@ -1816,35 +1931,70 @@ def _(node: A.GraphScope, store: TripleStore) -> DataFrame:
         if isinstance(node.g, Var) and node.g.name not in out.columns:
             out = out.withColumn(node.g.name, F.lit(None).cast("string"))
         return out
+    dn = getattr(store, "dataset_named", None)
+    if dn is None and base is not store:
+        dn = getattr(base, "dataset_named", None)
+
+    def _named_graphs(alias: str) -> DataFrame:
+        # the named graphs of the dataset (one row per graph; the default
+        # graph '' is not NAMED), honoring any FROM NAMED restriction
+        gs = (
+            base.df.filter(F.col("g").isNotNull() & (F.col("g") != ""))
+            .select(F.col("g").alias(alias))
+            .distinct()
+        )
+        if dn is not None:
+            gs = gs.filter(F.col(alias).isin(list(dn)) if dn else F.lit(False))
+        return gs
+
     if isinstance(node.g, Var):
+        gname = node.g.name
         if isinstance(node.child, A.BGP) and not node.child.patterns:
             # GRAPH ?g {} enumerates the named graphs (one unit solution
-            # per graph; ref: trac709 — openrdf/DAWG semantics), honoring
-            # any FROM NAMED restriction. The default graph ('' in the
-            # quads encoding) is not a NAMED graph.
-            gs = (
-                store.df.filter(F.col("g").isNotNull() & (F.col("g") != ""))
-                .select(F.col("g").alias(node.g.name))
-                .distinct()
+            # per graph; ref: trac709 — openrdf/DAWG semantics)
+            return _named_graphs(gname)
+        # Push a FRESH internal slot — never the user's variable name — so
+        # a subquery-local variable spelled ?g can never conflate with the
+        # active graph (SPARQL bottom-up scoping; the reference's
+        # ticket-1892 eval fixtures). The user's name binds only HERE, at
+        # the scope boundary.
+        fresh = Var(f"__gslot_{next(_GSLOT)}")
+        out = _compile(_push_graph(node.child, fresh), base)
+        fdt, gdt = f"{fresh.name}__dt", f"{gname}__dt"
+        if fresh.name in out.columns:
+            if gname in out.columns:
+                # ?g is ALSO bound as an ordinary variable in this scope
+                # (e.g. GRAPH ?g { ?x ex:q ?g }): both denote the same term
+                out = out.filter(F.col(gname) == F.col(fresh.name)).drop(fresh.name)
+                if fdt in out.columns:
+                    out = out.drop(fdt)
+            else:
+                out = out.withColumnRenamed(fresh.name, gname)
+                if fdt in out.columns:
+                    out = (
+                        out.drop(fdt)
+                        if gdt in out.columns
+                        else out.withColumnRenamed(fdt, gdt)
+                    )
+        else:
+            # nothing below consumed the active graph (the body is entirely
+            # nested GraphScopes / VALUES): ?g still ranges over the named
+            # graphs, joined per solution compatibility
+            gs = _named_graphs(gname)
+            out = (
+                gs.crossJoin(out) if gname not in out.columns else out.join(gs, gname)
             )
-            dn = getattr(store, "dataset_named", None)
-            if dn is not None:
-                gs = gs.filter(
-                    F.col(node.g.name).isin(list(dn)) if dn else F.lit(False)
-                )
-            return gs
-        return _compile(_push_graph(node.child, node.g), store)
+        return out
     g = const_lex(node.g)
-    named = getattr(store, "dataset_named", None)
-    if named is not None and g not in named:
+    if dn is not None and g not in dn:
         # GRAPH <g> outside the FROM NAMED set matches nothing
-        return _compile(node.child, store.graph(g)).limit(0)
+        return _compile(node.child, base.graph(g)).limit(0)
     if isinstance(node.child, A.BGP) and not node.child.patterns:
         # GRAPH <g> {}: the unit solution iff <g> IS a named graph of the
         # dataset (has at least one statement) — zero solutions otherwise
         # (trac429neg). One bounded probe, no driver collect.
-        return store.df.filter(F.col("g") == g).limit(1).select()
-    return _compile(node.child, store.graph(g))
+        return base.df.filter(F.col("g") == g).limit(1).select()
+    return _compile(node.child, base.graph(g))
 
 
 BD_VIRTUAL_GRAPH = "http://www.bigdata.com/rdf#virtualGraph"
@@ -1894,17 +2044,60 @@ def _(node: A.Dataset, store: TripleStore) -> DataFrame:
 
 
 @_compile.register
+def _named_includes_of(plan) -> set:
+    """Names of the named solution sets a plan INCLUDEs (transitive walk)."""
+    out: set = set()
+
+    def walk(n):
+        if isinstance(n, A.NamedInclude):
+            out.add(n.name)
+            return
+        if isinstance(n, A.BGP):
+            for p in n.patterns:
+                walk(p)
+            return
+        named = getattr(n, "named", None)
+        if isinstance(named, dict):
+            for v in named.values():
+                walk(v)
+        for attr in ("child", "left", "right", "pattern"):
+            c = getattr(n, attr, None)
+            if c is not None and hasattr(c, "__dataclass_fields__"):
+                walk(c)
+
+    if plan is not None and hasattr(plan, "__dataclass_fields__"):
+        walk(plan)
+    return out
+
+
+@_compile.register
 def _(node: A.WithNamed, store: TripleStore) -> DataFrame:
     """Named subqueries evaluate ONCE into materialized solution sets
     (localCheckpoint = the reference's hash-indexed named solution set;
     ref: NamedSubqueryRoot.java), then the main pattern runs with INCLUDEs
     resolving against them. Multiple INCLUDEs of one set share the same
-    materialized data — no recomputation."""
-    sets = {
-        name: _compile(plan, store).localCheckpoint(eager=True)
-        for name, plan in node.named.items()
+    materialized data — no recomputation.
+
+    Evaluation is DEPENDENCY-ordered, not declaration-ordered: a WITH
+    clause may INCLUDE a named set declared later in the query (ref:
+    ASTNamedSubqueryOptimizer computes the dependency graph among
+    NamedSubqueryRoots; eval fixture ticket_bg1763b)."""
+    pending = dict(node.named)
+    deps = {
+        name: _named_includes_of(plan) & set(pending) for name, plan in pending.items()
     }
-    return _compile(node.child, store.with_named_sets(sets))
+    sets: dict = {}
+    scoped = store
+    while pending:
+        ready = [n for n in pending if not (deps[n] - set(sets))]
+        if not ready:
+            raise ValueError(
+                "cyclic INCLUDE among named subqueries: " + ", ".join(sorted(pending))
+            )
+        for name in ready:
+            sets[name] = _compile(pending.pop(name), scoped).localCheckpoint(eager=True)
+            scoped = store.with_named_sets(sets)
+    return _compile(node.child, scoped)
 
 
 @_compile.register

@@ -1249,6 +1249,7 @@ class Parser:
             if self.at_kw("where"):
                 self.next()
             node = self.group_graph_pattern()
+            node = self._tail_modifiers(node)
             if ds_default or ds_named:
                 node = A.Dataset(node, ds_default, ds_named)
             if self.peek().kind != "EOF":
@@ -1264,6 +1265,7 @@ class Parser:
                 self.eat_op("{")
                 tmpl = self._triple_block()
                 node = A.BGP([A.SP(s, p, o) for s, p, o in tmpl])
+                node = self._tail_modifiers(node)
                 if self.peek().kind != "EOF":
                     raise SyntaxError(f"trailing tokens at {self.peek().text!r}")
                 return ("construct", node, tmpl)
@@ -1272,6 +1274,7 @@ class Parser:
             if self.at_kw("where"):
                 self.next()
             node = self.group_graph_pattern()
+            node = self._tail_modifiers(node)
             if self.peek().kind != "EOF":
                 raise SyntaxError(f"trailing tokens at {self.peek().text!r}")
             return ("construct", node, tmpl)
@@ -1299,6 +1302,68 @@ class Parser:
                 raise SyntaxError(f"trailing tokens at {self.peek().text!r}")
             return ("describe", iris)
         return ("select", self.parse_select())
+
+    def _tail_modifiers(self, node):
+        """Solution modifiers after an ASK or CONSTRUCT pattern — the
+        reference accepts the full GROUP BY / HAVING / ORDER BY / LIMIT
+        tail on every query form (ref: eval fixtures ticket-618f/g,
+        CONSTRUCT/ASK combined with GROUP BY + aggregate ORDER BY).
+        Grouping and HAVING change the solution multiset the template /
+        emptiness test sees; ORDER BY is parsed for validity and its
+        aggregates computed, but imposes no order on a graph or boolean
+        result (a CONSTRUCT graph is a set; ref: ConstructNode)."""
+        group_keys: list[str] = []
+        hidden_aggs: list[tuple] = []
+        having = None
+        if self.at_kw("group"):
+            self.next()
+            self.eat_kw("by")
+            while self.peek().kind == "VAR":
+                group_keys.append(self.next().text[1:])
+        if self.at_kw("having"):
+            self.next()
+            self._pending_aggs = []
+            having = self.expr()
+            hidden_aggs.extend(self._pending_aggs)
+            self._pending_aggs = []
+        if self.at_kw("order"):
+            self.next()
+            self.eat_kw("by")
+            while True:
+                if self.at_kw("asc") or self.at_kw("desc"):
+                    self.next()
+                    self.eat_op("(")
+                    self._pending_aggs = []
+                    self.expr()
+                    hidden_aggs.extend(self._pending_aggs)
+                    self._pending_aggs = []
+                    self.eat_op(")")
+                elif self.peek().kind == "VAR":
+                    self.next()
+                elif self.at_op("("):
+                    self.next()
+                    self._pending_aggs = []
+                    self.expr()
+                    hidden_aggs.extend(self._pending_aggs)
+                    self._pending_aggs = []
+                    self.eat_op(")")
+                else:
+                    break
+        limit = offset = None
+        while self.at_kw("limit") or self.at_kw("offset"):
+            kw = self.next().text.lower()
+            t = self.next()
+            if kw == "limit":
+                limit = int(t.text)
+            else:
+                offset = int(t.text)
+        if group_keys or hidden_aggs or having is not None:
+            node = A.Group(node, keys=tuple(group_keys), aggs=tuple(hidden_aggs))
+            if having is not None:
+                node = A.Filter(having, node)
+        if limit is not None or offset is not None:
+            node = A.Slice(node, limit=limit, offset=offset or 0)
+        return node
 
     def parse_select(self, toplevel: bool = True):
         self._parse_prefixes()
