@@ -171,6 +171,60 @@ def _typed_cmp_sides(left: Column, right: Column) -> tuple[Column, Column]:
     return left, right
 
 
+def _maybe_bound(node) -> set:
+    """Variables a pattern tree can possibly bind (static, optimistic —
+    used for the forward-BIND deferral check; a var in neither branch of
+    a UNION etc. still counts as maybe-bound if either arm binds it)."""
+    from blazegraph_database_spark.model.terms import Var as _V
+
+    if node is None:
+        return set()
+    if isinstance(node, (A.SP, A.Emb)):
+        out = {p.name for p in (node.s, node.p, node.o) if isinstance(p, _V)}
+        g = getattr(node, "g", None)
+        if isinstance(g, _V):
+            out.add(g.name)
+        return out
+    if isinstance(node, A.PathPattern):
+        out = {p.name for p in (node.s, node.o) if isinstance(p, _V)}
+        if isinstance(node.g, _V):
+            out.add(node.g.name)
+        return out
+    if isinstance(node, A.BGP):
+        return set().union(*(_maybe_bound(p) for p in node.patterns)) if node.patterns else set()
+    if isinstance(node, A.Extend):
+        return _maybe_bound(node.child) | {node.var}
+    if isinstance(node, A.Values):
+        keys = {k for row in node.rows for k in row}
+        return keys | _maybe_bound(node.child)
+    if isinstance(node, A.Project):
+        return set(node.vars)
+    if isinstance(node, A.Group):
+        return {k for k in node.keys if isinstance(k, str)} | {n for n, _ in node.aggs}
+    if isinstance(node, A.GraphScope):
+        out = _maybe_bound(node.child)
+        if isinstance(node.g, _V):
+            out.add(node.g.name)
+        return out
+    if isinstance(node, (A.Join, A.LeftJoin, A.Union2)):
+        return _maybe_bound(node.left) | _maybe_bound(node.right)
+    if isinstance(node, A.Minus):
+        return _maybe_bound(node.left)
+    if isinstance(node, A.Exists):
+        return _maybe_bound(node.child)
+    if isinstance(node, A.ExistsFlag):
+        return _maybe_bound(node.child) | {node.var}
+    if isinstance(node, A.Service):
+        out = _maybe_bound(node.pattern)
+        if isinstance(node.iri, _V):
+            out.add(node.iri.name)
+        return out
+    child = getattr(node, "child", None)
+    if child is not None and hasattr(child, "__dataclass_fields__"):
+        return _maybe_bound(child)
+    return set()
+
+
 class Parser:
     def __init__(self, src: str, dt_mode: bool = False):
         # dt_mode: the query uses term-type functions (LANG/DATATYPE/...),
@@ -817,6 +871,7 @@ class Parser:
         node = None
         filters: list[Column] = []
         exists: list[tuple] = []
+        deferred_binds: list[tuple] = []  # (var, expr, term_dt) run after joins
         pend_sps: list = []
         pend_paths: list = []
         hints = {"run_first": set(), "run_last": set(), "optimizer": None}
@@ -974,13 +1029,29 @@ class Parser:
                 if term_dt is None and self.dt_mode:
                     term_dt = "string"
                 self._pending_term_dt = None
+                refs = {
+                    t.text[1:] for t in self.toks[e_start : self.i] if t.kind == "VAR"
+                }
                 self.eat_kw("as")
                 v = self.next().text[1:]
                 self.eat_op(")")
-                base = node if node is not None else A.BGP([])
-                node = A.Extend(base, v, e) if node is not None else A.Extend(_EMPTY, v, e)
-                if term_dt is not None:  # STRLANG/STRDT: bind the dtype tag
-                    node = A.Extend(node, f"{v}__dt", F.lit(term_dt))
+                # (pending triples were flushed at clause dispatch, so the
+                # scope check sees every preceding sibling)
+                if refs and not refs <= _maybe_bound(node):
+                    # forward BIND: the expression references a variable no
+                    # PRECEDING sibling can bind. The reference defers such
+                    # group-level assignments to run after the group's joins
+                    # (ref: ASTSetValueExpressionsOptimizer; eval fixture
+                    # simpleBindingsOptimizer_02 expects BIND(2*?val) placed
+                    # before the pattern binding ?val to yield 20, not
+                    # unbound) — strict clause-order scoping would make the
+                    # value a per-row type error.
+                    deferred_binds.append((v, e, term_dt))
+                else:
+                    base = node if node is not None else _EMPTY
+                    node = A.Extend(base, v, e)
+                    if term_dt is not None:  # STRLANG/STRDT: bind the dtype tag
+                        node = A.Extend(node, f"{v}__dt", F.lit(term_dt))
             elif self.at_kw("values"):
                 self.next()
                 node_vals = self._values_clause()
@@ -1053,6 +1124,10 @@ class Parser:
         flush()
         self.eat_op("}")
         out = node if node is not None else A.BGP([])
+        for v, e, term_dt in deferred_binds:
+            out = A.Extend(out, v, e)
+            if term_dt is not None:
+                out = A.Extend(out, f"{v}__dt", F.lit(term_dt))
         for neg, pat in exists:
             out = A.Exists(out, pat, negate=neg)
         flag_vars = [v for v, _neg, _pat in self._exists_flags]

@@ -216,7 +216,6 @@ _DIVERGENT = {
     # the reference's ASTSetValueExpressionsOptimizer defers group-level
     # BINDs to run after the joins; this engine evaluates BIND in clause
     # order per the recommendation's scoping
-    "simpleBindingsOptimizer_02": "reference defers BIND past later joins",
     "bindingsWithSubquery03a": "BIND re-binding of an in-scope var",
     "bindingsWithSubquery03b": "BIND re-binding of an in-scope var",
     "bindingsWithSubquery05": "BIND re-binding of an in-scope var",
