@@ -983,3 +983,98 @@ def alp_service(store, pattern) -> DataFrame:
     if not out_cols:
         out_cols = [F.lit(True).alias("__alp_hit")]
     return pairs.select(*out_cols).distinct()
+
+
+# -- wikibase:label — the Wikidata deployment's label service ---------------
+
+WIKIBASE_NS = "http://wikiba.se/ontology#"
+WIKIBASE_LABEL_SERVICE = WIKIBASE_NS + "label"
+_RDFS_LABEL = "http://www.w3.org/2000/01/rdf-schema#label"
+_SCHEMA_DESC = "http://schema.org/description"
+_SKOS_ALT = "http://www.w3.org/2004/02/skos/core#altLabel"
+LABEL_TARGET_PREDS = {
+    "Label": _RDFS_LABEL,
+    "Description": _SCHEMA_DESC,
+    "AltLabel": _SKOS_ALT,
+}
+
+
+def label_service_langs(store, sps) -> list[str]:
+    """Language preference list from `bd:serviceParam wikibase:language
+    "en,de"` triples (comma lists and repeated params both accepted;
+    `[AUTO_LANGUAGE]` placeholders are dropped — no request context here)."""
+    params, _pats = _split_service_params(store, sps)
+    raw = params.get(WIKIBASE_NS + "language", [])
+    langs = [l.strip() for v in raw for l in v.split(",")]
+    langs = [l for l in langs if l and not l.startswith("[")]
+    return langs or ["en"]
+
+
+def label_service_targets(sps) -> list[tuple]:
+    """Manual-mode label triples `?x rdfs:label ?xLabel` (and description /
+    altLabel) from the SERVICE block → [(entity_var, pred_iri, out_var)].
+    Automatic mode is rewritten INTO this form at parse time from the
+    query's projection (see sparql_parser), mirroring how the Wikidata
+    label service resolves `?xLabel`-style projection variables."""
+    from blazegraph_database_spark.model.terms import Var, const_lex, is_const
+
+    out = []
+    for sp in sps:
+        if (
+            is_const(sp.p)
+            and const_lex(sp.p) in LABEL_TARGET_PREDS.values()
+            and isinstance(sp.s, Var)
+            and isinstance(sp.o, Var)
+        ):
+            out.append((sp.s.name, const_lex(sp.p), sp.o.name))
+    return out
+
+
+def label_service_join(store, ldf: DataFrame, sps) -> DataFrame:
+    """Join label bindings onto incoming solutions — the Wikidata label
+    service contract (public SERVICE wikibase:label semantics; Wikidata
+    runs Blazegraph, so this is first-class reference-deployment surface):
+    for each target `?x → ?xLabel`, bind the store's rdfs:label of ?x in
+    the FIRST preferred language that has one; a Label target falls back
+    to the term's local name when no label exists, Description/AltLabel
+    stay unbound. One left join per target; the label lookup prunes to the
+    target predicate before its per-entity window, so the joined side is
+    label-index-sized, never store-sized."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    langs = label_service_langs(store, sps)
+    targets = label_service_targets(sps)
+    pri = None
+    for i, lang in enumerate(langs):
+        c = F.when(F.col("o_dt") == f"lang:{lang}", F.lit(i))
+        pri = c if pri is None else pri.when(F.col("o_dt") == f"lang:{lang}", F.lit(i))
+    # untagged labels rank after every preferred language
+    pri = pri.when(F.col("o_dt") == "string", F.lit(len(langs))) if pri is not None else F.lit(0)
+    for evar, pred, ovar in targets:
+        if ovar in ldf.columns:
+            continue
+        if evar not in ldf.columns:
+            ldf = ldf.withColumn(ovar, F.lit(None).cast("string"))
+            continue
+        lab = (
+            store.df.filter(F.col("p") == pred)
+            .withColumn("__pri", pri)
+            .filter(F.col("__pri").isNotNull())
+        )
+        w = Window.partitionBy("s").orderBy("__pri", "o_lex")
+        best = (
+            lab.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select(F.col("s").alias("__ent"), F.col("o_lex").alias("__lab"))
+        )
+        ldf = ldf.join(best, on=ldf[evar] == best["__ent"], how="left").drop("__ent")
+        val = F.col("__lab")
+        if pred == _RDFS_LABEL:
+            # Wikidata fallback: the entity's local name stands in for a
+            # missing label ("Q42" when no rdfs:label matches)
+            val = F.coalesce(val, F.regexp_extract(F.col(evar), r"([^/#]*)$", 1))
+        ldf = ldf.withColumn(ovar, val).drop("__lab")
+        if getattr(store, "track_dt", False):
+            ldf = ldf.withColumn(f"{ovar}__dt", F.lit("string"))
+    return ldf

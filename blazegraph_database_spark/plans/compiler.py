@@ -1314,6 +1314,28 @@ def _flatten_join(n) -> list:
     return [n]
 
 
+def _is_label_service(c) -> bool:
+    """SERVICE wikibase:label — correlates with the sibling solutions (the
+    Wikidata deployment's label service; Wikidata runs the reference, so
+    this is reference-deployment surface). Resolved in the Join spine like
+    variable-endpoint services."""
+    from blazegraph_database_spark.operators.service import WIKIBASE_LABEL_SERVICE
+
+    return (
+        isinstance(c, A.Service)
+        and not isinstance(c.iri, Var)
+        and c.iri == WIKIBASE_LABEL_SERVICE
+    )
+
+
+def _collect_sps(n) -> list:
+    if isinstance(n, A.BGP):
+        return list(n.patterns)
+    if isinstance(n, A.Join):
+        return _collect_sps(n.left) + _collect_sps(n.right)
+    return [n] if isinstance(n, A.SP) else []
+
+
 @_compile.register
 def _(node: A.Join, store: TripleStore) -> DataFrame:
     # SERVICE ?var: the endpoint is a VARIABLE bound elsewhere in the join
@@ -1328,24 +1350,30 @@ def _(node: A.Join, store: TripleStore) -> DataFrame:
         c for c in conjuncts
         if isinstance(c, A.Service) and isinstance(c.iri, Var)
     ]
-    if var_svcs:
-        others = [
-            c for c in conjuncts
-            if not (isinstance(c, A.Service) and isinstance(c.iri, Var))
-        ]
-        if not others:
+    lbl_svcs = [c for c in conjuncts if _is_label_service(c)]
+    if var_svcs or lbl_svcs:
+        skip = {id(c) for c in var_svcs} | {id(c) for c in lbl_svcs}
+        others = [c for c in conjuncts if id(c) not in skip]
+        if not others and var_svcs:
             raise ValueError(
                 f"SERVICE ?{var_svcs[0].iri.name}: a variable service "
                 "endpoint needs a sibling pattern in the same group "
                 "binding it (e.g. VALUES)"
             )
-        ldf = _compile(others[0], store)
-        for o in others[1:]:
-            rdf = _compile(o, store)
-            shared = sorted(set(ldf.columns) & set(rdf.columns))
-            ldf = ldf.join(rdf, on=shared) if shared else ldf.crossJoin(rdf)
+        if others:
+            ldf = _compile(others[0], store)
+            for o in others[1:]:
+                rdf = _compile(o, store)
+                shared = sorted(set(ldf.columns) & set(rdf.columns))
+                ldf = ldf.join(rdf, on=shared) if shared else ldf.crossJoin(rdf)
+        else:  # label service alone: incoming = the unit solution
+            ldf = store.spark.range(1).drop("id")
         for svc in var_svcs:
             ldf = _service_var_join(store, ldf, svc)
+        for svc in lbl_svcs:
+            from blazegraph_database_spark.operators import service as _svc_mod
+
+            ldf = _svc_mod.label_service_join(store, ldf, _collect_sps(svc.pattern))
         return ldf
     l, r = _compile(node.left, store), _compile(node.right, store)
     shared = sorted(set(l.columns) & set(r.columns))
@@ -2248,6 +2276,13 @@ def _(node: A.Service, store: TripleStore) -> DataFrame:
             return collect_sps(n.left) + collect_sps(n.right)
         return [n] if isinstance(n, A.SP) else []
 
+    if _is_label_service(node):
+        # standalone (no sibling patterns in its group): incoming = unit
+        # solution; manual-mode targets with no bound entity come back
+        # unbound, matching an empty automatic resolution
+        return service.label_service_join(
+            store, store.spark.range(1).drop("id"), collect_sps(node.pattern)
+        )
     svc_iri = _compact_builtin_iri(node.iri)
     if svc_iri == "bd:alp":
         # ref: ASTALPServiceOptimizer.java / BD.java ALP_SERVICE — the

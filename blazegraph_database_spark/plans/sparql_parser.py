@@ -225,6 +225,53 @@ def _maybe_bound(node) -> set:
     return set()
 
 
+def _expand_label_services(node, proj: list) -> object:
+    """Rewrite automatic-mode `SERVICE wikibase:label` blocks into manual
+    mode using THIS select's projection (the Wikidata label service
+    contract: a projected ?xLabel / ?xDescription / ?xAltLabel binds the
+    corresponding term of ?x). Stops at Project boundaries — a nested
+    subquery's parse pass already expanded its own services."""
+    from blazegraph_database_spark.model.terms import Var as _V
+    from blazegraph_database_spark.operators.service import (
+        LABEL_TARGET_PREDS,
+        WIKIBASE_LABEL_SERVICE,
+    )
+
+    if node is None or not hasattr(node, "__dataclass_fields__"):
+        return node
+    if isinstance(node, A.Project):
+        return node
+    if (
+        isinstance(node, A.Service)
+        and not isinstance(node.iri, _V)
+        and node.iri == WIKIBASE_LABEL_SERVICE
+    ):
+        pats = list(node.pattern.patterns) if isinstance(node.pattern, A.BGP) else []
+        explicit = {
+            sp.o.name
+            for sp in pats
+            if isinstance(sp, A.SP) and isinstance(sp.o, _V)
+        }
+        for v in proj:
+            for suf, pred in LABEL_TARGET_PREDS.items():
+                base = v[: -len(suf)] if v.endswith(suf) else ""
+                if base and v not in explicit:
+                    pats.append(A.SP(_V(base), pred, _V(v)))
+        return A.Service(node.iri, A.BGP(pats), node.raw, node.silent)
+    import dataclasses
+
+    kw = {}
+    for f in dataclasses.fields(node):
+        c = getattr(node, f.name)
+        if hasattr(c, "__dataclass_fields__"):
+            kw[f.name] = _expand_label_services(c, proj)
+        elif isinstance(c, tuple) and c and all(
+            hasattr(x, "__dataclass_fields__") for x in c
+        ):
+            kw[f.name] = tuple(_expand_label_services(x, proj) for x in c)
+    return dataclasses.replace(node, **kw) if kw else node
+
+
 class Parser:
     def __init__(self, src: str, dt_mode: bool = False):
         # dt_mode: the query uses term-type functions (LANG/DATATYPE/...),
@@ -1510,6 +1557,8 @@ class Parser:
         if self.at_kw("where"):
             self.next()
         node = self.group_graph_pattern()
+        if proj:
+            node = _expand_label_services(node, proj)
         if named_subs:
             node = A.WithNamed(node, named_subs)
 

@@ -235,9 +235,6 @@ _DIVERGENT = {
     "ticket-618f": "reference emits empty graph for CONSTRUCT over groups",
     # LIMIT without ORDER BY pins the reference's physical row order
     "ticket_944": "nondeterministic LIMIT row choice",
-    # wikibase:label is the Wikidata deployment's label service, not part
-    # of bigdata-core
-    "ticket_bg1817": "external wikibase:label service",
     # our result is the W3C answer (path over the untyped tail yields
     # os:4 rows); the fixture's expected set omits them
     "property-paths-2": "fixture expected omits spec-valid rows",

@@ -1127,3 +1127,50 @@ def test_alp_service_requires_path_marker(spark):
             st,
             'SELECT ?v WHERE { SERVICE <http://www.bigdata.com/rdf#alp> { <a> ?e ?v } }',
         ).collect()
+
+
+def test_wikibase_label_service(spark):
+    """SERVICE wikibase:label — the Wikidata deployment's label service
+    (Wikidata runs the reference engine): automatic mode binds ?xLabel
+    from the projection in the first preferred language, falling back to
+    the term's local name; ?xDescription stays unbound without data."""
+    from blazegraph_database_spark.plans.sparql_parser import run_sparql
+
+    rows = [
+        ("http://ex/Q1", "http://ex/p", "http://ex/Q2", "iri"),
+        ("http://ex/Q3", "http://ex/p", "http://ex/Q2", "iri"),
+        ("http://ex/Q1", "http://www.w3.org/2000/01/rdf-schema#label", "Douglas", "lang:en"),
+        ("http://ex/Q1", "http://www.w3.org/2000/01/rdf-schema#label", "Duglas", "lang:de"),
+        ("http://ex/Q3", "http://www.w3.org/2000/01/rdf-schema#label", "nur deutsch", "lang:de"),
+        ("http://ex/Q1", "http://schema.org/description", "an author", "lang:en"),
+    ]
+    st = TripleStore(
+        spark.createDataFrame(rows, "s string, p string, o_lex string, o_dt string")
+    )
+    q = """
+    PREFIX wikibase: <http://wikiba.se/ontology#>
+    SELECT ?s ?sLabel ?sDescription WHERE {
+      ?s <http://ex/p> <http://ex/Q2> .
+      SERVICE wikibase:label { bd:serviceParam wikibase:language "en,de" . }
+    }
+    """
+    got = {r["s"]: (r["sLabel"], r["sDescription"]) for r in run_sparql(st, q).collect()}
+    # Q1: english label preferred over german; description bound
+    assert got["http://ex/Q1"] == ("Douglas", "an author")
+    # Q3: no english label -> german; no description -> unbound (NULL)
+    assert got["http://ex/Q3"] == ("nur deutsch", None)
+    # manual mode: explicit target triple, single language, local-name fallback
+    q2 = """
+    PREFIX wikibase: <http://wikiba.se/ontology#>
+    PREFIX rdfs: <http://www.w3.org/2000/01/rdf-schema#>
+    SELECT ?s ?lab WHERE {
+      ?s <http://ex/p> <http://ex/Q2> .
+      SERVICE wikibase:label {
+        bd:serviceParam wikibase:language "en" .
+        ?s rdfs:label ?lab .
+      }
+    }
+    """
+    got2 = {r["s"]: r["lab"] for r in run_sparql(st, q2).collect()}
+    assert got2["http://ex/Q1"] == "Douglas"
+    assert got2["http://ex/Q3"] == "Q3"  # local-name fallback, no en label
