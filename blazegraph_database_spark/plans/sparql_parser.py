@@ -383,6 +383,17 @@ class Parser:
                     "http://www.w3.org/2001/XMLSchema#boolean": "boolean",
                     "http://www.w3.org/2001/XMLSchema#dateTime": "timestamp",
                 }.get(dt_iri, "string")
+                if tag == "timestamp":
+                    # canonicalize like the readers (millisecond-UTC-Z; the
+                    # reference's typed-IV ingest) so pattern matching and
+                    # lexical comparison line up with stored canonicals —
+                    # the fixed-width Z form also makes lexical order equal
+                    # chronological order
+                    from blazegraph_database_spark.sources.ntriples import (
+                        canonical_datetime_lex,
+                    )
+
+                    lex = canonical_datetime_lex(lex)
                 return Lit(lex, tag)
             return Lit(lex)
         if t.kind == "NUM":

@@ -43,6 +43,39 @@ _XSD_DT = {
 }
 
 
+def canonical_datetime_lex(lex: str) -> str:
+    """Canonicalize an xsd:dateTime lexical to millisecond-UTC-Z form —
+    the reference parses dateTime literals into typed IVs at ingest and
+    re-serializes them canonically (ref: internal/impl/literal/
+    XSDDateTimeIV — '2008-07-28T08:53:25-04:00' reads back as
+    '2008-07-28T12:53:25.000Z', a bare date as 'T00:00:00.000Z'; eval
+    fixtures inline-constraints-dt / materialization-extensions).
+    Unparseable lexicals stay as written (malformed literals remain
+    lexical, per the engine's per-row type-error discipline)."""
+    import datetime as _dt
+
+    s = lex.strip()
+    try:
+        if len(s) == 10:  # bare date with a dateTime datatype (lenient)
+            s += "T00:00:00"
+        d = _dt.datetime.fromisoformat(s.replace("Z", "+00:00"))
+    except ValueError:
+        return lex
+    if d.tzinfo is not None:
+        d = d.astimezone(_dt.timezone.utc)
+    return (
+        f"{d.year:04d}-{d.month:02d}-{d.day:02d}"
+        f"T{d.hour:02d}:{d.minute:02d}:{d.second:02d}.{d.microsecond // 1000:03d}Z"
+    )
+
+
+def typed_lex(lex: str, dt_iri: str) -> tuple:
+    """(o_lex, dt_tag) for a typed literal, canonicalizing dateTime
+    lexicals the way the reference's IV ingest does."""
+    tag = _XSD_DT.get(dt_iri, "string")
+    return (canonical_datetime_lex(lex) if tag == "timestamp" else lex), tag
+
+
 def unescape_literal(lex: str) -> str:
     """Single-pass N-Triples/Turtle string unescape. A sequential
     replace chain mis-handles `\\\\n` (escaped backslash followed by n —
@@ -98,6 +131,16 @@ def _term_cols(raw_obj):
         .when(dtype_iri != "", dt_mapped)
         .otherwise(F.lit("string"))
     )
+    # dateTime canonicalization (see canonical_datetime_lex): session TZ is
+    # UTC (session.get_spark), so date_format renders the instant in Z form;
+    # to_timestamp handles bare dates and zone offsets, NULL on malformed
+    # (ANSI off) — those keep their written lexical
+    canon = F.date_format(
+        F.to_timestamp(o_lex), "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'"
+    )
+    o_lex = F.when(
+        (o_dt == "timestamp") & canon.isNotNull(), canon
+    ).otherwise(o_lex)
     return o_lex, o_dt
 
 

@@ -24,7 +24,7 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
 
-from blazegraph_database_spark.sources.ntriples import _XSD_DT, unescape_literal
+from blazegraph_database_spark.sources.ntriples import _XSD_DT, typed_lex, unescape_literal
 
 RDF_NS = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
 
@@ -53,7 +53,7 @@ def _obj_term(v) -> tuple[str, str]:
             if "@language" in v:
                 return lex, f"lang:{v['@language']}"
             if "@type" in v:
-                return lex, _XSD_DT.get(v["@type"], "string")
+                return typed_lex(lex, v["@type"])
             if isinstance(v["@value"], bool):
                 return str(v["@value"]).lower(), "boolean"
             if isinstance(v["@value"], int):
@@ -210,7 +210,7 @@ def _parse_rdfxml_doc(doc: str) -> list[tuple]:
             if lang:
                 out.append((s, p, lex, f"lang:{lang}"))
             elif dt_iri:
-                out.append((s, p, lex, _XSD_DT.get(dt_iri, "string")))
+                out.append((s, p, *typed_lex(lex, dt_iri)))
             else:
                 out.append((s, p, lex, "string"))
 
@@ -252,7 +252,7 @@ def _parse_trix_doc(doc: str) -> list[tuple]:
             lang = el.get("{http://www.w3.org/XML/1998/namespace}lang")
             return text, (f"lang:{lang}" if lang else "string")
         if kind == "typedLiteral":
-            return text, _XSD_DT.get(el.get("datatype", ""), "string")
+            return typed_lex(text, el.get("datatype", ""))
         raise ValueError(f"unknown TriX term element <{kind}>")
 
     root = ET.fromstring(doc)
@@ -413,7 +413,7 @@ class _TurtleParser:
             if (nk, nt) == ("OP", "^^"):
                 self.next()
                 dt_iri = self.term()[0]
-                return lex, _XSD_DT.get(dt_iri, "string")
+                return typed_lex(lex, dt_iri)
             return lex, "string"
         if kind == "NUM":
             if "." in text or "e" in text.lower():

@@ -206,8 +206,6 @@ _DIVERGENT = {
     # reference canonicalizes datetimes to UTC Z-form and compares numerics
     # across lexical forms; we preserve source lexicals (same class as the
     # sparql11-sum xfails above)
-    "inline-constraints-dt": "typed-IV lexical canonicalization",
-    "materialization-extensions": "typed-IV lexical canonicalization",
     "open-eq-12": "typed open-world equality errors",
     # cosine matches the reference's documented formula
     # (TermFrequencyData.normalize); the residual numeric diff traces to
