@@ -1764,3 +1764,143 @@ def fast_count_by_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     st = cached_store(spark, sf_dir)
     return run_sparql(st, "SELECT ?p (COUNT(*) AS ?n) WHERE { ?s ?p ?o } GROUP BY ?p")
+
+
+@register(
+    "service_label",
+    """
+    SELECT 'http://ex/nation/' || n_nationkey AS n,
+           CAST(n_nationkey AS VARCHAR) AS "nLabel",
+           'http://ex/region/' || n_regionkey AS r,
+           CASE WHEN n_regionkey % 2 = 0 THEN r_name
+                ELSE 'de ' || r_name END AS "rLabel"
+    FROM nation JOIN region ON r_regionkey = n_regionkey
+    """,
+)
+def service_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SERVICE wikibase:label end-to-end (the Wikidata deployment's label
+    service — Wikidata runs the reference engine): automatic mode resolves
+    the projected ?nLabel / ?rLabel, English labels win over German where
+    both exist (even region keys carry lang:en, every region carries
+    lang:de), and label-less nations fall back to the term's LOCAL NAME.
+    The oracle replays the preference chain and the fallback in SQL."""
+    from blazegraph_database_spark.plans.sparql_parser import run_sparql
+
+    nat = read_parquet(spark, f"{sf_dir}/nation.parquet")
+    reg = read_parquet(spark, f"{sf_dir}/region.parquet")
+    RDFS_LABEL = "http://www.w3.org/2000/01/rdf-schema#label"
+    member = nat.select(
+        F.concat(F.lit("http://ex/nation/"), F.col("n_nationkey")).alias("s"),
+        F.lit("http://ex/memberOf").alias("p"),
+        F.concat(F.lit("http://ex/region/"), F.col("n_regionkey")).alias("o_lex"),
+        F.lit("iri").alias("o_dt"),
+    )
+    lab_en = reg.filter(F.col("r_regionkey") % 2 == 0).select(
+        F.concat(F.lit("http://ex/region/"), F.col("r_regionkey")).alias("s"),
+        F.lit(RDFS_LABEL).alias("p"),
+        F.col("r_name").alias("o_lex"),
+        F.lit("lang:en").alias("o_dt"),
+    )
+    lab_de = reg.select(
+        F.concat(F.lit("http://ex/region/"), F.col("r_regionkey")).alias("s"),
+        F.lit(RDFS_LABEL).alias("p"),
+        F.concat(F.lit("de "), F.col("r_name")).alias("o_lex"),
+        F.lit("lang:de").alias("o_dt"),
+    )
+    st = TripleStore(member.unionByName(lab_en).unionByName(lab_de))
+    return run_sparql(
+        st,
+        """
+        PREFIX wikibase: <http://wikiba.se/ontology#>
+        SELECT ?n ?nLabel ?r ?rLabel WHERE {
+          ?n <http://ex/memberOf> ?r .
+          SERVICE wikibase:label { bd:serviceParam wikibase:language "en,de" . }
+        }
+        """,
+    )
+
+
+@register(
+    "graph_subquery_limit",
+    """
+    WITH ranked AS (
+        SELECT 'http://g/' || n_name AS g,
+               'http://ex/c/' || c_custkey AS c,
+               printf('%012.2f', c_acctbal + 10000) AS bal,
+               ROW_NUMBER() OVER (
+                   PARTITION BY n_nationkey
+                   ORDER BY printf('%012.2f', c_acctbal + 10000) DESC,
+                            'http://ex/c/' || c_custkey ASC
+               ) AS rn
+        FROM customer JOIN nation ON n_nationkey = c_nationkey
+    )
+    SELECT g, c, bal FROM ranked WHERE rn <= 3
+    """,
+)
+def graph_subquery_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-graph LIMIT: a subquery carrying ORDER BY + LIMIT under
+    GRAPH ?g evaluates once per active graph, so its LIMIT 3 is the
+    top-3 WITHIN each named graph — one window pass partitioned by the
+    graph slot (compiler PerKeySlice), never a per-graph driver loop.
+    Balances ride as shifted zero-padded lexicals so string order equals
+    numeric order on both engines."""
+    from blazegraph_database_spark.plans.sparql_parser import run_sparql
+
+    cust = read_parquet(spark, f"{sf_dir}/customer.parquet")
+    nat = read_parquet(spark, f"{sf_dir}/nation.parquet")
+    quads = cust.join(nat, cust.c_nationkey == nat.n_nationkey).select(
+        F.concat(F.lit("http://ex/c/"), F.col("c_custkey")).alias("s"),
+        F.lit("http://ex/bal").alias("p"),
+        F.format_string("%012.2f", F.col("c_acctbal") + 10000).alias("o_lex"),
+        F.lit("string").alias("o_dt"),
+        F.concat(F.lit("http://g/"), F.col("n_name")).alias("g"),
+    )
+    st = TripleStore(quads)
+    return run_sparql(
+        st,
+        """
+        SELECT ?g ?c ?bal WHERE {
+          GRAPH ?g {
+            { SELECT ?c ?bal WHERE { ?c <http://ex/bal> ?bal }
+              ORDER BY DESC(?bal) ?c LIMIT 3 }
+          }
+        }
+        """,
+    )
+
+
+@register(
+    "ntriples_datetime_canon",
+    """
+    SELECT 'http://ex/o/' || o_orderkey AS s,
+           strftime(o_orderdate + INTERVAL 4 HOUR,
+                    '%Y-%m-%dT%H:%M:%S') || '.000Z' AS dt_lex
+    FROM orders WHERE o_orderkey < 500
+    """,
+)
+def ntriples_datetime_canon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """xsd:dateTime canonicalization through the N-Triples reader: order
+    dates serialized with a -04:00 zone offset come back in the
+    reference's typed-IV canonical form (millisecond-UTC-Z; ref:
+    internal/impl/literal/XSDDateTimeIV) — the oracle shifts the same
+    instants to UTC in SQL."""
+    import tempfile
+
+    from blazegraph_database_spark.sources import ntriples
+
+    orders = read_parquet(spark, f"{sf_dir}/orders.parquet").filter(
+        F.col("o_orderkey") < 500
+    )
+    lines = orders.select(
+        F.concat(
+            F.lit("<http://ex/o/"), F.col("o_orderkey"), F.lit("> "),
+            F.lit("<http://ex/date> "),
+            F.lit('"'),
+            F.date_format("o_orderdate", "yyyy-MM-dd'T'HH:mm:ss"),
+            F.lit('-04:00"^^<http://www.w3.org/2001/XMLSchema#dateTime> .'),
+        ).alias("value")
+    )
+    path = tempfile.mkdtemp(prefix="nt_dtc_") + "/orders.nt"
+    lines.coalesce(1).write.mode("overwrite").text(path)
+    parsed = ntriples.read_ntriples(spark, path)
+    return parsed.select(F.col("s"), F.col("o_lex").alias("dt_lex"))

@@ -22,6 +22,9 @@ _CATALOG_MODULES = [
 # its r3 row and rotates in next round.
 _SCORE_FIRST = [
     # (a) round-5 additions — inserted here as they land.
+    "service_label",
+    "graph_subquery_limit",
+    "ntriples_datetime_canon",
     "sparql_inline_search",
     "geo_knn",
     "stream_trending_terms",
