@@ -1793,6 +1793,28 @@ def _order_exprs(df: DataFrame, keys: tuple) -> list:
 @_compile.register
 def _(node: A.Slice, store: TripleStore) -> DataFrame:
     df = _compile(node.child, store)
+    if node.limit is not None and node.offset == 0:
+        # ORDER-less LIMIT over a single statement pattern: the reference's
+        # access path is a B+Tree index scan, so its LIMIT takes the LOWEST
+        # key, deterministically (eval fixture ticket_944 — `SELECT ?s {?s
+        # ?p ?o} LIMIT 1` binds the minimum subject). Order by the
+        # pattern's bound positions in SPO key order — Spark lowers
+        # limit-over-sort to TakeOrderedAndProject (per-partition top-k,
+        # never a full sort materialization), so the determinism is free
+        # at any scale.
+        ch = node.child
+        while isinstance(ch, (A.Project, A.DropCols, A.Distinct)):
+            ch = ch.child
+        if isinstance(ch, A.BGP) and len(ch.patterns) == 1:
+            ch = ch.patterns[0]
+        if isinstance(ch, A.SP):
+            keys = [
+                p.name
+                for p in (ch.s, ch.p, ch.o, ch.g)
+                if isinstance(p, Var) and p.name in df.columns
+            ]
+            if keys:
+                df = df.orderBy(*keys)
     if node.offset:
         df = df.offset(node.offset)
     if node.limit is not None:

@@ -231,8 +231,6 @@ _DIVERGENT = {
     # passes), losing the template bindings in the grouped pipeline; this
     # engine emits the sensible one-triple-per-group graph
     "ticket-618f": "reference emits empty graph for CONSTRUCT over groups",
-    # LIMIT without ORDER BY pins the reference's physical row order
-    "ticket_944": "nondeterministic LIMIT row choice",
     # our result is the W3C answer (path over the untyped tail yields
     # os:4 rows); the fixture's expected set omits them
     "property-paths-2": "fixture expected omits spec-valid rows",
