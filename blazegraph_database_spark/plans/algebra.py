@@ -177,8 +177,19 @@ class Minus:
 
 @dataclass(frozen=True)
 class Filter:
+    """``refs`` (optional) carries the variable names the condition's text
+    referenced, captured by the parser — Column expressions are opaque, and
+    the EXISTS compiler needs the names to hoist outer-correlated filters
+    into the semi-join condition (SPARQL substitution semantics)."""
+
     condition: Column
     child: Any
+    refs: tuple = ()
+
+    def __init__(self, condition, child, refs=()):
+        object.__setattr__(self, "condition", condition)
+        object.__setattr__(self, "child", child)
+        object.__setattr__(self, "refs", tuple(refs))
 
 
 @dataclass(frozen=True)

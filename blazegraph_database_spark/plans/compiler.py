@@ -1637,17 +1637,53 @@ def _(node: A.Values, store: TripleStore) -> DataFrame:
 @_compile.register
 def _(node: A.Exists, store: TripleStore) -> DataFrame:
     child = _compile(node.child, store)
-    sub = _compile(node.pattern, store)
-    shared = sorted(set(child.columns) & set(sub.columns))
     how = "left_anti" if node.negate else "left_semi"
-    if not shared:
-        # uncorrelated [NOT] EXISTS: a pure boolean gate — keep every child
-        # row iff the pattern has any solution (none, under NOT). A
-        # true-condition semi/anti join against a one-row probe stays
-        # distributed (no driver count).
-        probe = sub.limit(1).select(F.lit(1).alias("__probe"))
-        return child.join(probe, F.lit(True), how=how)
-    return child.join(sub.select(*shared).distinct(), on=shared, how=how)
+    # SPARQL substitution semantics: a FILTER inside the EXISTS pattern may
+    # reference OUTER variables (the W3C exists-06 shape `FILTER NOT EXISTS
+    # { ?a :q ?m . FILTER(?n = ?m) }`). Such filters can't evaluate inside
+    # the pattern (the var is unbound there) — hoist them into the
+    # semi/anti-join condition, where both sides are in scope (the
+    # reference evaluates EXISTS as an ask-subquery over the INCOMING
+    # solution; ref: ExistsNode.java).
+    pattern, hoisted = node.pattern, []
+    while isinstance(pattern, A.Filter) and pattern.refs:
+        from blazegraph_database_spark.plans.sparql_parser import _maybe_bound
+
+        outer = set(pattern.refs) - _maybe_bound(pattern.child)
+        if outer and outer <= set(child.columns):
+            hoisted.append(pattern.condition)
+            pattern = pattern.child
+            continue
+        break
+    sub = _compile(pattern, store)
+    shared = sorted(set(child.columns) & set(sub.columns))
+    if not hoisted:
+        if not shared:
+            # uncorrelated [NOT] EXISTS: a pure boolean gate — keep every
+            # child row iff the pattern has any solution (none, under NOT).
+            # A true-condition semi/anti join against a one-row probe stays
+            # distributed (no driver count).
+            probe = sub.limit(1).select(F.lit(1).alias("__probe"))
+            return child.join(probe, F.lit(True), how=how)
+        return child.join(sub.select(*shared).distinct(), on=shared, how=how)
+    sub2 = sub
+    for v in shared:
+        sub2 = sub2.withColumnRenamed(v, f"__r_{v}")
+    cond = None
+    for v in shared:
+        c = child[v] == F.col(f"__r_{v}")
+        cond = c if cond is None else cond & c
+    for h in hoisted:
+        cond = h if cond is None else cond & h
+    try:
+        return child.join(sub2, on=cond, how=how)
+    except AnalysisException as e:
+        # a hoisted condition referencing a var bound on NEITHER side is a
+        # per-row type error: EXISTS never matches (bottom-up discipline,
+        # same guard as A.Filter)
+        if "UNRESOLVED_COLUMN" in str(e) and "`__" not in str(e).split("SQLSTATE")[0]:
+            return child.join(sub2.limit(1), on=F.lit(False), how=how)
+        raise
 
 
 def _may_bind_unbound(node) -> bool:
@@ -1685,8 +1721,51 @@ def _(node: A.ExistsFlag, store: TripleStore) -> DataFrame:
     falls back to a null-tolerant condition re-aggregated per input row;
     otherwise the fast equi path stands."""
     child = _compile(node.child, store)
-    sub = _compile(node.pattern, store)
+    # outer-correlated inner FILTERs hoist into the join condition — same
+    # substitution semantics as the A.Exists compile above
+    pattern, hoisted = node.pattern, []
+    while isinstance(pattern, A.Filter) and pattern.refs:
+        from blazegraph_database_spark.plans.sparql_parser import _maybe_bound
+
+        outer = set(pattern.refs) - _maybe_bound(pattern.child)
+        if outer and outer <= set(child.columns):
+            hoisted.append(pattern.condition)
+            pattern = pattern.child
+            continue
+        break
+    sub = _compile(pattern, store)
     shared = sorted(set(child.columns) & set(sub.columns))
+    if hoisted:
+        rid = "__ex_rid"
+        left = child.withColumn(rid, F.monotonically_increasing_id())
+        m = sub.select(
+            *[F.col(c).alias(f"__ex_{c}") for c in shared],
+            *[F.col(c) for c in sub.columns if c not in shared],
+        ).withColumn("__ex_hit", F.lit(True))
+        cond = F.lit(True)
+        for c in shared:
+            cond = cond & (F.col(c) == F.col(f"__ex_{c}"))
+        for h in hoisted:
+            cond = cond & h
+        try:
+            joined = left.join(m, on=cond, how="left")
+            out = (
+                joined.groupBy(rid, *child.columns)
+                .agg(
+                    F.max(F.coalesce(F.col("__ex_hit"), F.lit(False))).alias(
+                        "__ex_hitagg"
+                    )
+                )
+                .drop(rid)
+            )
+        except AnalysisException as e:
+            if "UNRESOLVED_COLUMN" in str(e) and "`__" not in str(e).split("SQLSTATE")[0]:
+                out = child.withColumn("__ex_hitagg", F.lit(False))
+            else:
+                raise
+        flag = F.col("__ex_hitagg")
+        out = out.withColumn(node.var, ~flag if node.negate else flag)
+        return out.drop("__ex_hitagg")
     # either side can produce UNBOUND shared vars (review r5-1: a pattern
     # whose OPTIONAL leaves ?x NULL is compatible with every child row)
     if shared and (_may_bind_unbound(node.child) or _may_bind_unbound(node.pattern)):

@@ -1039,13 +1039,21 @@ class Parser:
                     exists.append((True, self.group_graph_pattern()))
                 elif self.at_op("("):
                     self.next()
-                    filters.append(self.expr())
+                    f_start = self.i
+                    cond = self.expr()
+                    filters.append(
+                        (cond, tuple({t.text[1:] for t in self.toks[f_start : self.i] if t.kind == "VAR"}))
+                    )
                     self.eat_op(")")
                 else:
                     # FILTER BuiltInCall / FunctionCall without the outer
                     # parens (Constraint ::= BrackettedExpression |
                     # BuiltInCall | FunctionCall)
-                    filters.append(self.expr())
+                    f_start = self.i
+                    cond = self.expr()
+                    filters.append(
+                        (cond, tuple({t.text[1:] for t in self.toks[f_start : self.i] if t.kind == "VAR"}))
+                    )
             elif self.at_kw("optional"):
                 self.next()
                 right = self.group_graph_pattern()
@@ -1192,8 +1200,8 @@ class Parser:
         for v, neg, pat in self._exists_flags:
             out = A.ExistsFlag(out, pat, v, negate=neg)
         self._exists_flags = outer_exists_flags
-        for f in filters:
-            out = A.Filter(f, out)
+        for f, refs in filters:
+            out = A.Filter(f, out, refs=refs)
         if flag_vars:  # spent flags never escape the group
             out = A.DropCols(out, tuple(flag_vars))
         return out

@@ -81,7 +81,6 @@ def _rows_to_keyed(rows, varnames):
 _TYPED_MODEL_DIVERGENCE = {
     "sparql11-sum-03",
     "sparql11-sum-04",
-    "sparql11-exists-06",
 }
 
 
