@@ -1066,7 +1066,11 @@ def label_service_join(store, ldf: DataFrame, sps) -> DataFrame:
         best = (
             lab.withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") == 1)
-            .select(F.col("s").alias("__ent"), F.col("o_lex").alias("__lab"))
+            .select(
+                F.col("s").alias("__ent"),
+                F.col("o_lex").alias("__lab"),
+                F.col("o_dt").alias("__labdt"),
+            )
         )
         ldf = ldf.join(best, on=ldf[evar] == best["__ent"], how="left").drop("__ent")
         val = F.col("__lab")
@@ -1074,7 +1078,13 @@ def label_service_join(store, ldf: DataFrame, sps) -> DataFrame:
             # Wikidata fallback: the entity's local name stands in for a
             # missing label ("Q42" when no rdfs:label matches)
             val = F.coalesce(val, F.regexp_extract(F.col(evar), r"([^/#]*)$", 1))
-        ldf = ldf.withColumn(ovar, val).drop("__lab")
+        ldf = ldf.withColumn(ovar, val)
         if getattr(store, "track_dt", False):
-            ldf = ldf.withColumn(f"{ovar}__dt", F.lit("string"))
+            # the label keeps its language tag; the local-name fallback is a
+            # plain string; an unbound Description/AltLabel stays untyped
+            dt = F.when(F.col("__lab").isNotNull(), F.col("__labdt"))
+            if pred == _RDFS_LABEL:
+                dt = F.coalesce(dt, F.lit("string"))
+            ldf = ldf.withColumn(f"{ovar}__dt", dt)
+        ldf = ldf.drop("__lab", "__labdt")
     return ldf

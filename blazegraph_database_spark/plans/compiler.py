@@ -1361,11 +1361,13 @@ def _(node: A.Join, store: TripleStore) -> DataFrame:
                 "binding it (e.g. VALUES)"
             )
         if others:
-            ldf = _compile(others[0], store)
-            for o in others[1:]:
-                rdf = _compile(o, store)
-                shared = sorted(set(ldf.columns) & set(rdf.columns))
-                ldf = ldf.join(rdf, on=shared) if shared else ldf.crossJoin(rdf)
+            # rebuild the sibling conjunction as a Join tree and compile it
+            # through the normal path, so null-compatible joins (UNION/
+            # OPTIONAL arms leaving shared vars UNBOUND) keep their
+            # semantics under a service rewrite
+            from functools import reduce
+
+            ldf = _compile(reduce(A.Join, others), store)
         else:  # label service alone: incoming = the unit solution
             ldf = store.spark.range(1).drop("id")
         for svc in var_svcs:
@@ -1473,6 +1475,16 @@ def _service_var_join(store: TripleStore, ldf: DataFrame, svc: "A.Service") -> D
 
 @_compile.register
 def _(node: A.LeftJoin, store: TripleStore) -> DataFrame:
+    if _is_label_service(node.right) and node.condition is None:
+        # OPTIONAL { SERVICE wikibase:label {...} } — a common Wikidata
+        # idiom: the label service correlates with the LEFT solutions (it
+        # only ever adds columns, never removes rows, so the left-join
+        # semantics are exactly the enrich)
+        from blazegraph_database_spark.operators import service as _svc_mod
+
+        return _svc_mod.label_service_join(
+            store, _compile(node.left, store), _collect_sps(node.right.pattern)
+        )
     l, r = _compile(node.left, store), _compile(node.right, store)
     shared = sorted(set(l.columns) & set(r.columns))
     if not shared and node.condition is None:
@@ -1742,9 +1754,15 @@ def _(node: A.ExistsFlag, store: TripleStore) -> DataFrame:
             *[F.col(c).alias(f"__ex_{c}") for c in shared],
             *[F.col(c) for c in sub.columns if c not in shared],
         ).withColumn("__ex_hit", F.lit(True))
+        nullable = _may_bind_unbound(node.child) or _may_bind_unbound(pattern)
         cond = F.lit(True)
         for c in shared:
-            cond = cond & (F.col(c) == F.col(f"__ex_{c}"))
+            eq = F.col(c) == F.col(f"__ex_{c}")
+            if nullable:
+                # solution compatibility: UNBOUND matches anything (same
+                # rule as the non-hoisted r5-1 path below)
+                eq = F.col(c).isNull() | F.col(f"__ex_{c}").isNull() | eq
+            cond = cond & eq
         for h in hoisted:
             cond = cond & h
         try:
@@ -2012,13 +2030,21 @@ def _push_graph(node, g):
         child = _push_graph(node.child, g)
         if isinstance(g, Var) and _slot_bound(child, g.name):
             # the Slice belongs to a subquery evaluated once per active
-            # graph — LIMIT/OFFSET apply per graph, honoring its ORDER BY
-            inner, keys = child, ()
-            while isinstance(inner, A.DropCols):
-                inner = inner.child
-            if isinstance(inner, A.OrderBy):
-                keys = inner.keys
-            return A.PerKeySlice(child, g.name, node.limit, node.offset, keys)
+            # graph — LIMIT/OFFSET apply per graph, honoring its ORDER BY.
+            # The OrderBy may sit BELOW the projection (unprojected sort
+            # key): descend through DropCols/Project and slice there, so
+            # the sort columns are still in scope; a pure column selection
+            # commutes with the row filter. Never descend through Distinct
+            # (slice-then-distinct is not distinct-then-slice).
+            def _slice_at(c):
+                if isinstance(c, A.DropCols):
+                    return A.DropCols(_slice_at(c.child), c.cols)
+                if isinstance(c, A.Project):
+                    return A.Project(_slice_at(c.child), c.vars)
+                keys = c.keys if isinstance(c, A.OrderBy) else ()
+                return A.PerKeySlice(c, g.name, node.limit, node.offset, keys)
+
+            return _slice_at(child)
         return A.Slice(child, node.limit, node.offset)
     if isinstance(node, (A.Exists, A.ExistsFlag)):
         # the EXISTS pattern is graph-scoped too (FILTER [NOT] EXISTS inside
@@ -2172,7 +2198,6 @@ def _(node: A.Dataset, store: TripleStore) -> DataFrame:
     return _compile(node.child, store.with_dataset(default, named))
 
 
-@_compile.register
 def _named_includes_of(plan) -> set:
     """Names of the named solution sets a plan INCLUDEs (transitive walk)."""
     out: set = set()
@@ -2370,12 +2395,7 @@ def _(node: A.Service, store: TripleStore) -> DataFrame:
             "sibling pattern in the same group binding it (e.g. VALUES)"
         )
 
-    def collect_sps(n):
-        if isinstance(n, A.BGP):
-            return list(n.patterns)
-        if isinstance(n, A.Join):
-            return collect_sps(n.left) + collect_sps(n.right)
-        return [n] if isinstance(n, A.SP) else []
+    collect_sps = _collect_sps
 
     if _is_label_service(node):
         # standalone (no sibling patterns in its group): incoming = unit

@@ -253,10 +253,14 @@ def _expand_label_services(node, proj: list) -> object:
             if isinstance(sp, A.SP) and isinstance(sp.o, _V)
         }
         for v in proj:
-            for suf, pred in LABEL_TARGET_PREDS.items():
+            # longest suffix first: ?xAltLabel must resolve as ?x + AltLabel,
+            # never ?xAlt + Label (a bogus first target would shadow the
+            # real one in label_service_join's already-bound guard)
+            for suf in sorted(LABEL_TARGET_PREDS, key=len, reverse=True):
                 base = v[: -len(suf)] if v.endswith(suf) else ""
                 if base and v not in explicit:
-                    pats.append(A.SP(_V(base), pred, _V(v)))
+                    pats.append(A.SP(_V(base), LABEL_TARGET_PREDS[suf], _V(v)))
+                    break
         return A.Service(node.iri, A.BGP(pats), node.raw, node.silent)
     import dataclasses
 
@@ -929,7 +933,7 @@ class Parser:
         node = None
         filters: list[Column] = []
         exists: list[tuple] = []
-        deferred_binds: list[tuple] = []  # (var, expr, term_dt) run after joins
+        deferred_binds: list[tuple] = []  # (var, expr, term_dt, refs) run after joins
         pend_sps: list = []
         pend_paths: list = []
         hints = {"run_first": set(), "run_last": set(), "optimizer": None}
@@ -1112,7 +1116,7 @@ class Parser:
                     # before the pattern binding ?val to yield 20, not
                     # unbound) — strict clause-order scoping would make the
                     # value a per-row type error.
-                    deferred_binds.append((v, e, term_dt))
+                    deferred_binds.append((v, e, term_dt, refs))
                 else:
                     base = node if node is not None else _EMPTY
                     node = A.Extend(base, v, e)
@@ -1190,10 +1194,22 @@ class Parser:
         flush()
         self.eat_op("}")
         out = node if node is not None else A.BGP([])
-        for v, e, term_dt in deferred_binds:
+        # dependency order among the deferred binds themselves: a deferred
+        # BIND may reference another deferred BIND's target (the reference's
+        # ASTSetValueExpressionsOptimizer orders assignments by dependency)
+        pend = list(deferred_binds)
+        placed = _maybe_bound(out)
+        while pend:
+            # first bind whose refs are all placeable; else declaration order
+            # (index-based — Column's __eq__ forbids tuple equality removal)
+            idx = next(
+                (i for i, t in enumerate(pend) if not (set(t[3]) - placed)), 0
+            )
+            v, e, term_dt, _refs = pend.pop(idx)
             out = A.Extend(out, v, e)
             if term_dt is not None:
                 out = A.Extend(out, f"{v}__dt", F.lit(term_dt))
+            placed.add(v)
         for neg, pat in exists:
             out = A.Exists(out, pat, negate=neg)
         flag_vars = [v for v, _neg, _pat in self._exists_flags]
@@ -1499,6 +1515,10 @@ class Parser:
             else:
                 offset = int(t.text)
         if group_keys or hidden_aggs or having is not None:
+            if not hidden_aggs:
+                # Spark's agg() refuses an empty expression list — a pure
+                # GROUP BY keeps a hidden count (same guard parse_select uses)
+                hidden_aggs = [("__tail_n", F.count(F.lit(1)))]
             node = A.Group(node, keys=tuple(group_keys), aggs=tuple(hidden_aggs))
             if having is not None:
                 node = A.Filter(having, node)

@@ -1174,3 +1174,72 @@ def test_wikibase_label_service(spark):
     got2 = {r["s"]: r["lab"] for r in run_sparql(st, q2).collect()}
     assert got2["http://ex/Q1"] == "Douglas"
     assert got2["http://ex/Q3"] == "Q3"  # local-name fallback, no en label
+
+
+def test_wikibase_label_review_fixes(spark):
+    """Review r5 fixes: ?xAltLabel resolves as ?x + AltLabel (never ?xAlt +
+    Label); OPTIONAL { SERVICE wikibase:label } correlates with the LEFT
+    solutions instead of decorrelating to the unit solution."""
+    from blazegraph_database_spark.plans.sparql_parser import run_sparql
+
+    rows = [
+        ("http://ex/Q1", "http://ex/p", "http://ex/Q2", "iri"),
+        ("http://ex/Q1", "http://www.w3.org/2004/02/skos/core#altLabel", "DNA", "lang:en"),
+        ("http://ex/Q1", "http://www.w3.org/2000/01/rdf-schema#label", "Doug", "lang:en"),
+    ]
+    st = TripleStore(
+        spark.createDataFrame(rows, "s string, p string, o_lex string, o_dt string")
+    )
+    q = """
+    PREFIX wikibase: <http://wikiba.se/ontology#>
+    SELECT ?s ?sAltLabel WHERE {
+      ?s <http://ex/p> <http://ex/Q2> .
+      SERVICE wikibase:label { bd:serviceParam wikibase:language "en" . }
+    }
+    """
+    got = run_sparql(st, q).collect()
+    assert got[0]["sAltLabel"] == "DNA"
+    q2 = """
+    PREFIX wikibase: <http://wikiba.se/ontology#>
+    SELECT ?s ?sLabel WHERE {
+      ?s <http://ex/p> <http://ex/Q2> .
+      OPTIONAL { SERVICE wikibase:label { bd:serviceParam wikibase:language "en" . } }
+    }
+    """
+    got2 = run_sparql(st, q2).collect()
+    assert got2[0]["sLabel"] == "Doug"
+
+
+def test_tail_modifier_group_without_aggregates(spark):
+    """ASK ... GROUP BY without aggregates must not crash Spark's agg()."""
+    from blazegraph_database_spark.plans.sparql_parser import run_sparql
+
+    st = TripleStore(
+        spark.createDataFrame(
+            [("http://a", "http://p", "1", "long")],
+            "s string, p string, o_lex string, o_dt string",
+        )
+    )
+    assert run_sparql(st, "ASK { ?s ?p ?o } GROUP BY ?s") is True
+
+
+def test_deferred_bind_chain(spark):
+    """A deferred BIND referencing another deferred BIND's target applies in
+    dependency order (?c = ?b + 1 where ?b = ?z * 2)."""
+    from blazegraph_database_spark.plans.sparql_parser import run_sparql
+
+    st = TripleStore(
+        spark.createDataFrame(
+            [("http://x", "http://p", "5", "long")],
+            "s string, p string, o_lex string, o_dt string",
+        )
+    )
+    q = """
+    SELECT ?c WHERE {
+      BIND(?b + 1 AS ?c)
+      BIND(?z * 2 AS ?b)
+      ?x <http://p> ?z .
+    }
+    """
+    got = run_sparql(st, q).collect()
+    assert float(got[0]["c"]) == 11.0
