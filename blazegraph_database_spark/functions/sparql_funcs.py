@@ -271,6 +271,8 @@ def DATATYPE(lex, dt) -> Column:
         .when(d == "double", F.lit(_XSD + "double"))
         .when(d == "boolean", F.lit(_XSD + "boolean"))
         .when(d == "timestamp", F.lit(_XSD + "dateTime"))
+        # unknown datatype IRIs ride as dt:<iri> tags (term identity)
+        .when(d.startswith("dt:"), F.substring(d, 4, 1 << 20))
         .otherwise(F.lit(None).cast("string"))
     )
 

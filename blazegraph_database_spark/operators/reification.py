@@ -39,7 +39,16 @@ RDF_SUBJECT = "rdf:subject"
 RDF_PREDICATE = "rdf:predicate"
 RDF_OBJECT = "rdf:object"
 
-_SCAFFOLD_PREDS = [RDF_SUBJECT, RDF_PREDICATE, RDF_OBJECT]
+# both the compact and the full-IRI spelling match (the RDF readers emit
+# full IRIs; programmatic stores may carry the compact vocabulary)
+_RDF_NS = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+_TYPE_SP = (RDF_TYPE, _RDF_NS + "type")
+_STMT_SP = (RDF_STATEMENT, _RDF_NS + "Statement")
+_SUBJ_SP = (RDF_SUBJECT, _RDF_NS + "subject")
+_PRED_SP = (RDF_PREDICATE, _RDF_NS + "predicate")
+_OBJ_SP = (RDF_OBJECT, _RDF_NS + "object")
+
+_SCAFFOLD_PREDS = list(_SUBJ_SP + _PRED_SP + _OBJ_SP)
 
 
 def _is_sid(col):
@@ -133,16 +142,16 @@ def unreify(df: DataFrame) -> DataFrame:
     df = df.localCheckpoint(eager=False)
     scaffold = df.filter(
         F.col("p").isin(*_SCAFFOLD_PREDS)
-        | ((F.col("p") == RDF_TYPE) & (F.col("o_lex") == RDF_STATEMENT))
+        | (F.col("p").isin(*_TYPE_SP) & F.col("o_lex").isin(*_STMT_SP))
     )
     stmts = (
         scaffold.groupBy("s")
         .agg(
-            F.max(F.when((F.col("p") == RDF_TYPE), True)).alias("typed"),
-            F.min(F.when(F.col("p") == RDF_SUBJECT, F.col("o_lex"))).alias("i_s"),
-            F.min(F.when(F.col("p") == RDF_PREDICATE, F.col("o_lex"))).alias("i_p"),
-            F.min(F.when(F.col("p") == RDF_OBJECT, F.col("o_lex"))).alias("i_o"),
-            F.min(F.when(F.col("p") == RDF_OBJECT, F.col("o_dt"))).alias("i_odt"),
+            F.max(F.when(F.col("p").isin(*_TYPE_SP), True)).alias("typed"),
+            F.min(F.when(F.col("p").isin(*_SUBJ_SP), F.col("o_lex"))).alias("i_s"),
+            F.min(F.when(F.col("p").isin(*_PRED_SP), F.col("o_lex"))).alias("i_p"),
+            F.min(F.when(F.col("p").isin(*_OBJ_SP), F.col("o_lex"))).alias("i_o"),
+            F.min(F.when(F.col("p").isin(*_OBJ_SP), F.col("o_dt"))).alias("i_odt"),
         )
         .filter(
             F.col("typed") & F.col("i_s").isNotNull() & F.col("i_p").isNotNull() & F.col("i_o").isNotNull()
@@ -157,15 +166,6 @@ def unreify(df: DataFrame) -> DataFrame:
         .select(F.col("s").alias("node"), "sid", "i_s", "i_p", "i_o", "i_odt")
         .localCheckpoint(eager=False)  # feeds inner + node set + two joins
     )
-    extra = {c: F.lit(None).cast("string") for c in cols if c not in ("s", "p", "o_lex", "o_dt")}
-    inner = stmts.select(
-        F.col("i_s").alias("s"), F.col("i_p").alias("p"),
-        F.col("i_o").alias("o_lex"), F.col("i_odt").alias("o_dt"),
-    )
-    for c, v in extra.items():
-        inner = inner.withColumn(c, v)
-    inner = inner.select(*cols)
-
     # drop scaffolding rows of complete statements only
     complete_nodes = stmts.select("node")
     rest = df.join(
@@ -205,4 +205,9 @@ def unreify(df: DataFrame) -> DataFrame:
         .drop("__sid_o")
         .select(*cols)
     )
-    return rest.unionByName(inner).distinct()
+    # standard reification is NON-ASSERTING (RDF Semantics §: reifying a
+    # statement does not state it): the inner triple is NOT added — if the
+    # source also asserted it as a plain triple, that row is already in
+    # `rest` (ref: reif/rdr-03a — <<?a :b :c>> matches only the ASSERTED
+    # reified statement, a2, never the unasserted a3)
+    return rest.distinct()

@@ -213,6 +213,18 @@ class Values:
 
 
 @dataclass(frozen=True)
+class SidBind:
+    """``BIND(<<s p o>> AS ?sid)`` — match the embedded pattern against the
+    store's statements, binding the inner vars and ``var`` to the statement
+    id (the RDR BIND access path; ref: the reference's
+    TestReificationDoneRightEval rdr-02a/rdr-03 fixtures + SidIV.java)."""
+
+    child: Any
+    var: str
+    emb: Any
+
+
+@dataclass(frozen=True)
 class Exists:
     """FILTER [NOT] EXISTS — semi/anti join. Ref: ExistsNode."""
 

@@ -868,6 +868,68 @@ def _star_fuse(patterns: list, store: TripleStore):
     return fused, [i for i in range(len(patterns)) if i not in taken]
 
 
+_RDF_NS = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+_REIF_SCAFFOLD = {
+    _RDF_NS + "subject": "s",
+    _RDF_NS + "predicate": "p",
+    _RDF_NS + "object": "o",
+}
+
+
+def _rewrite_reif_scaffold(patterns: list, store: TripleStore) -> list:
+    """Reification-Done-Right query rewrite (ref: the reference's RDR mode,
+    TestReificationDoneRightEval rdr-05a — a query written in the EXPANDED
+    reification vocabulary answers against a sid store): a variable ?stmt
+    carrying rdf:subject/rdf:predicate/rdf:object scaffold patterns folds
+    into an embedded-statement term replacing ?stmt in the metadata
+    patterns' subject position. Applies ONLY when the store holds no
+    rdf:subject triples (exact range counts) — a store with real expanded
+    reification keeps matching it directly."""
+    groups: dict = {}
+    for sp in patterns:
+        if (
+            isinstance(sp, A.SP)
+            and isinstance(sp.s, Var)
+            and sp.p is not None
+            and is_const(sp.p)
+            and const_lex(sp.p) in _REIF_SCAFFOLD
+        ):
+            groups.setdefault(sp.s.name, {})[_REIF_SCAFFOLD[const_lex(sp.p)]] = sp.o
+    if not groups:
+        return patterns
+    stats = store.stats()
+    st = stats.get(_RDF_NS + "subject")
+    if st is not None and st.count > 0:
+        return patterns
+    complete = {v: g for v, g in groups.items() if len(g) == 3}
+    # a statement var used outside subject position can't be folded away
+    for sp in patterns:
+        if isinstance(sp, A.SP):
+            for pos in (sp.p, sp.o, sp.g):
+                if isinstance(pos, Var):
+                    complete.pop(pos.name, None)
+    if not complete:
+        return patterns
+    out = []
+    for sp in patterns:
+        if not isinstance(sp, A.SP):
+            out.append(sp)
+            continue
+        if isinstance(sp.s, Var) and sp.s.name in complete:
+            pred = const_lex(sp.p) if sp.p is not None and is_const(sp.p) else None
+            if pred in _REIF_SCAFFOLD:
+                continue  # folded into the Emb term
+            if pred in (_RDF_NS + "type",) and is_const(sp.o) and const_lex(
+                sp.o
+            ) in (_RDF_NS + "Statement",):
+                continue  # the rdf:type rdf:Statement marker
+            g = complete[sp.s.name]
+            out.append(A.SP(A.Emb(g["s"], g["p"], g["o"]), sp.p, sp.o, sp.g))
+            continue
+        out.append(sp)
+    return out
+
+
 def _compile_bgp(node: A.BGP, store: TripleStore) -> DataFrame:
     """Greedy selectivity-ordered join, broadcast for small inputs.
 
@@ -882,6 +944,7 @@ def _compile_bgp(node: A.BGP, store: TripleStore) -> DataFrame:
         # empty solution — so `BIND`/`VALUES`-only groups work (ref:
         # GroupGraphPattern with no members evaluates to a unit solution).
         return store.spark.range(1).select()
+    patterns = _rewrite_reif_scaffold(patterns, store)
     hints = getattr(node, "hints", None)
     # join-order hints only; "alp" keys parameterize the ALP service and
     # don't affect an ordinary BGP compile
@@ -1644,6 +1707,18 @@ def _(node: A.Values, store: TripleStore) -> DataFrame:
     for o in outs[1:]:
         out = out.unionByName(o, allowMissingColumns=True)
     return out
+
+
+@_compile.register
+def _(node: A.SidBind, store: TripleStore) -> DataFrame:
+    """BIND(<<s p o>> AS ?sid): one statement-index scan binding the inner
+    vars plus the sid; joins the sibling solutions on any shared vars (the
+    RDR BIND access path — the sid then equi-joins metadata patterns by its
+    deterministic encoding)."""
+    inner = _sid_inner_df(node.emb, store, node.var)
+    child = _compile(node.child, store)
+    shared = sorted(set(child.columns) & set(inner.columns))
+    return child.join(inner, on=shared) if shared else child.crossJoin(inner)
 
 
 @_compile.register

@@ -194,6 +194,11 @@ def _maybe_bound(node) -> set:
         return set().union(*(_maybe_bound(p) for p in node.patterns)) if node.patterns else set()
     if isinstance(node, A.Extend):
         return _maybe_bound(node.child) | {node.var}
+    if isinstance(node, A.SidBind):
+        inner = {
+            p.name for p in (node.emb.s, node.emb.p, node.emb.o) if isinstance(p, _V)
+        }
+        return _maybe_bound(node.child) | inner | {node.var}
     if isinstance(node, A.Values):
         keys = {k for row in node.rows for k in row}
         return keys | _maybe_bound(node.child)
@@ -381,12 +386,16 @@ class Parser:
                 )
                 tag = {
                     "http://www.w3.org/2001/XMLSchema#integer": "long",
+                    "http://www.w3.org/2001/XMLSchema#int": "long",
                     "http://www.w3.org/2001/XMLSchema#long": "long",
                     "http://www.w3.org/2001/XMLSchema#double": "double",
                     "http://www.w3.org/2001/XMLSchema#decimal": "double",
+                    "http://www.w3.org/2001/XMLSchema#float": "double",
                     "http://www.w3.org/2001/XMLSchema#boolean": "boolean",
                     "http://www.w3.org/2001/XMLSchema#dateTime": "timestamp",
-                }.get(dt_iri, "string")
+                    "http://www.w3.org/2001/XMLSchema#string": "string",
+                    # unknown dtype IRIs keep identity (readers' dt: tags)
+                }.get(dt_iri) or f"dt:{dt_iri}"
                 if tag == "timestamp":
                     # canonicalize like the readers (millisecond-UTC-Z; the
                     # reference's typed-IV ingest) so pattern matching and
@@ -1088,6 +1097,18 @@ class Parser:
             elif self.at_kw("bind"):
                 self.next()
                 self.eat_op("(")
+                if self.peek().kind == "DSTART":
+                    # BIND(<<s p o>> AS ?sid): the RDR statement-id access
+                    # path — matches the embedded pattern, binds inner vars
+                    # and the sid (ref: reif/rdr-02a, rdr-03 eval fixtures)
+                    emb = self.term()
+                    self.eat_kw("as")
+                    sv = self.next().text[1:]
+                    self.eat_op(")")
+                    node = A.SidBind(node if node is not None else _EMPTY, sv, emb)
+                    if self.at_op("."):
+                        self.next()
+                    continue
                 self._pending_term_dt = None
                 e_start = self.i
                 e = self.expr()

@@ -101,6 +101,8 @@ def _select_json(df: DataFrame, cap: int | None = None) -> bytes:
                 b[v] = {"type": "uri", "value": str(d[v])}
             elif isinstance(dt, str) and dt.startswith("lang:"):
                 b[v] = {"type": "literal", "value": str(d[v]), "xml:lang": dt[5:]}
+            elif isinstance(dt, str) and dt.startswith("dt:"):
+                b[v] = {"type": "literal", "value": str(d[v]), "datatype": dt[3:]}
             else:
                 b[v] = {"type": "literal", "value": str(d[v])}
         bindings.append(b)
@@ -151,6 +153,8 @@ def _select_tsv(df: DataFrame, cap: int | None = None) -> bytes:
         )
         if isinstance(dt, str) and dt.startswith("lang:"):
             return f'"{quoted}"@{dt[5:]}'
+        if isinstance(dt, str) and dt.startswith("dt:"):
+            return f'"{quoted}"^^<{dt[3:]}>'
         if dt == "timestamp":
             return f'"{quoted}"^^<http://www.w3.org/2001/XMLSchema#dateTime>'
         return f'"{quoted}"'
@@ -188,6 +192,10 @@ def _select_xml(df: DataFrame, cap: int | None = None) -> bytes:
             elif isinstance(dt, str) and dt.startswith("lang:"):
                 cells.append(
                     f'<binding name="{v}"><literal xml:lang="{dt[5:]}">{val}</literal></binding>'
+                )
+            elif isinstance(dt, str) and dt.startswith("dt:"):
+                cells.append(
+                    f'<binding name="{v}"><literal datatype="{escape(dt[3:])}">{val}</literal></binding>'
                 )
             else:
                 cells.append(f'<binding name="{v}"><literal>{val}</literal></binding>')

@@ -71,8 +71,12 @@ def canonical_datetime_lex(lex: str) -> str:
 
 def typed_lex(lex: str, dt_iri: str) -> tuple:
     """(o_lex, dt_tag) for a typed literal, canonicalizing dateTime
-    lexicals the way the reference's IV ingest does."""
-    tag = _XSD_DT.get(dt_iri, "string")
+    lexicals the way the reference's IV ingest does. A datatype IRI
+    outside the xsd mapping keeps its IDENTITY as a `dt:<iri>` tag —
+    "0"^^xsd:unsignedByte and "0"^^xsd:unsignedShort are DIFFERENT terms
+    (the reference models unknown dtypes as fully-typed literals; eval
+    fixture unsigned-01 counts them separately)."""
+    tag = _XSD_DT.get(dt_iri) or (f"dt:{dt_iri}" if dt_iri else "string")
     return (canonical_datetime_lex(lex) if tag == "timestamp" else lex), tag
 
 
@@ -116,7 +120,9 @@ def _term_cols(raw_obj):
     lex = _unescape_cols(lex)
     lang = F.regexp_extract(raw_obj, r'"@([A-Za-z0-9-]+)$', 1)
     dtype_iri = F.regexp_extract(raw_obj, r'\^\^<([^>]*)>$', 1)
-    dt_mapped = F.lit("string")
+    # unknown datatype IRIs keep their identity (dt:<iri> tag — see
+    # typed_lex); known xsd types map onto the engine tags
+    dt_mapped = F.concat(F.lit("dt:"), dtype_iri)
     for iri, tag in _XSD_DT.items():
         dt_mapped = F.when(dtype_iri == iri, F.lit(tag)).otherwise(dt_mapped)
     o_lex = (
@@ -168,8 +174,10 @@ def _parse(lines: DataFrame, pattern: str, quads: bool) -> DataFrame:
 
 
 def read_ntriples(spark: SparkSession, path: str) -> DataFrame:
-    """Distributed N-Triples parse → (s, p, o_lex, o_dt)."""
-    return _parse(spark.read.text(path), NT_LINE, quads=False)
+    """Distributed N-Triples parse → (s, p, o_lex, o_dt). An RDF graph is a
+    SET of statements — duplicate lines load once (the reference's B+Tree
+    insert semantics; one distinct at load, the standard bulk-load dedup)."""
+    return _parse(spark.read.text(path), NT_LINE, quads=False).distinct()
 
 
 NT_STAR_LINE = rf"^\s*<<\s*{_SUBJ}\s+{_PRED}\s+{_OBJ}\s*>>\s+{_PRED}\s+{_OBJ}\s*\.\s*$"
@@ -249,12 +257,16 @@ def read_ntriples_star(spark: SparkSession, path: str) -> DataFrame:
         .unionByName(meta)
         .unionByName(obj_inner)
         .unionByName(obj_meta)
+        # a statement asserted both explicitly and via its `<<...>>` term
+        # loads once (RDF set semantics)
+        .distinct()
     )
 
 
 def read_nquads(spark: SparkSession, path: str) -> DataFrame:
-    """Distributed N-Quads parse → (s, p, o_lex, o_dt, g)."""
-    return _parse(spark.read.text(path), NQ_LINE, quads=True)
+    """Distributed N-Quads parse → (s, p, o_lex, o_dt, g); duplicate lines
+    load once (RDF dataset set semantics, same as read_ntriples)."""
+    return _parse(spark.read.text(path), NQ_LINE, quads=True).distinct()
 
 
 _TAG_XSD_W = {
@@ -274,6 +286,10 @@ def _nt_obj(lex: F.Column, dt: F.Column) -> F.Column:
     esc = F.regexp_replace(esc, "\r", r"\\r")
     esc = F.regexp_replace(esc, "\t", r"\\t")
     obj = F.concat(F.lit('"'), esc, F.lit('"'))
+    obj = F.when(
+        dt.startswith("dt:"),
+        F.concat(F.lit('"'), esc, F.lit('"^^<'), F.substring(dt, 4, 2_000_000), F.lit(">")),
+    ).otherwise(obj)
     for tag, iri in _TAG_XSD_W.items():
         obj = F.when(
             dt == tag, F.concat(F.lit('"'), esc, F.lit('"^^<'), F.lit(iri), F.lit(">"))

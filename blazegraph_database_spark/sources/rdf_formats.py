@@ -280,9 +280,9 @@ _TTL_TOKEN = re.compile(
   | (?P<STRING>"(?:[^"\\\n]|\\.)*")
   | (?P<SOP><<|>>)
   | (?P<IRI><[^>\s]*>)
-  | (?P<BNODE>_:[A-Za-z0-9_][A-Za-z0-9_.-]*)
+  | (?P<BNODE>_:[A-Za-z0-9_](?:[A-Za-z0-9_.-]*[A-Za-z0-9_-])?)
   | (?P<NUM>[+-]?(?:\d+\.\d+(?:[eE][+-]?\d+)?|\.\d+(?:[eE][+-]?\d+)?|\d+[eE][+-]?\d+|\d+))
-  | (?P<PNAME>[A-Za-z][A-Za-z0-9_-]*:[A-Za-z0-9_][A-Za-z0-9_.-]*|[A-Za-z][A-Za-z0-9_-]*:|:[A-Za-z0-9_][A-Za-z0-9_.-]*|:)
+  | (?P<PNAME>[A-Za-z][A-Za-z0-9_-]*:[A-Za-z0-9_](?:[A-Za-z0-9_.-]*[A-Za-z0-9_-])?|[A-Za-z][A-Za-z0-9_-]*:|:[A-Za-z0-9_](?:[A-Za-z0-9_.-]*[A-Za-z0-9_-])?|:)
   | (?P<KW>@?[A-Za-z][A-Za-z0-9_-]*)
   | (?P<OP>\^\^|[;,.\[\](){}])
     """,
@@ -550,7 +550,12 @@ def _map_docs(docs: DataFrame, parse_fn, schema: str) -> DataFrame:
                 rows.extend(parse_fn(doc))
             yield pd.DataFrame(rows, columns=cols)
 
-    return docs.mapInPandas(run, schema)
+    # an RDF graph is a SET of statements: a triple spelled twice in the
+    # document (e.g. asserted explicitly AND via an RDR `<<...>>` term —
+    # reif/rdr-04.ttlx) loads once, matching the reference's B+Tree insert
+    # semantics. One distinct at load, exactly what a bulk loader does
+    # before writing the store.
+    return docs.mapInPandas(run, schema).distinct()
 
 
 def read_trig(spark: SparkSession, path: str) -> DataFrame:

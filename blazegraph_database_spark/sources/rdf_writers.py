@@ -74,6 +74,11 @@ def _ttl_obj_expr(lex, dt, prefixes: dict[str, str]):
     """Turtle object syntax from (lexical, dtype-tag) columns."""
     esc = _ttl_escape(lex)
     obj = F.concat(F.lit('"'), esc, F.lit('"'))
+    # unknown datatype IRIs ride as dt:<iri> tags (term identity preserved)
+    obj = F.when(
+        dt.startswith("dt:"),
+        F.concat(F.lit('"'), esc, F.lit('"^^<'), F.substring(dt, 4, 1 << 20), F.lit(">")),
+    ).otherwise(obj)
     for tag, iri in _TAG_XSD.items():
         obj = F.when(
             dt == tag,
@@ -230,6 +235,14 @@ def _xml_prop_el():
     )
     lex, esc = F.col("o_lex"), _xml_escape(F.col("o_lex"))
     el = F.concat(open_tag, F.lit(">"), esc, F.lit("</"), local, F.lit(">"))
+    el = F.when(
+        F.col("o_dt").startswith("dt:"),
+        F.concat(
+            open_tag, F.lit(' rdf:datatype="'),
+            _xml_escape(F.substring(F.col("o_dt"), 4, 1 << 20)),
+            F.lit('">'), esc, F.lit("</"), local, F.lit(">"),
+        ),
+    ).otherwise(el)
     for tag, iri in _TAG_XSD.items():
         el = F.when(
             F.col("o_dt") == tag,
@@ -301,6 +314,15 @@ def _jsonld_value():
     )
     plain = F.to_json(F.struct(F.col("o_lex").alias("@value")))
     out = plain
+    out = F.when(
+        F.col("o_dt").startswith("dt:"),
+        F.to_json(
+            F.struct(
+                F.col("o_lex").alias("@value"),
+                F.substring(F.col("o_dt"), 4, 1 << 20).alias("@type"),
+            )
+        ),
+    ).otherwise(out)
     for tag, iri in _TAG_XSD.items():
         out = F.when(
             F.col("o_dt") == tag,

@@ -100,7 +100,9 @@ def test_reference_fixture(spark, name, datafile):
     varnames = [c for c in got_df.columns if not c.endswith("__dt")]
     got = [{v: r[v] for v in varnames} for r in got_df.collect()]
     assert len(got) == len(expected), (name, len(got), len(expected))
-    ordered = re.search(r"(?i)\bORDER\s+BY\b", query) is not None
+    # ordered compare only for a TOP-LEVEL ORDER BY (after the last '}'):
+    # an ORDER BY inside a subquery imposes no order on the outer result
+    ordered = re.search(r"(?i)\bORDER\s+BY\b", query.rsplit("}", 1)[-1]) is not None
     g = _rows_to_keyed(got, varnames)
     e = _rows_to_keyed(expected, varnames)
     if not ordered:
@@ -126,7 +128,9 @@ def _run_fixture(spark, name, datafile):
     varnames = [c for c in got_df.columns if not c.endswith("__dt")]
     got = [{v: r[v] for v in varnames} for r in got_df.collect()]
     assert len(got) == len(expected), (name, len(got), len(expected))
-    ordered = re.search(r"(?i)\bORDER\s+BY\b", query) is not None
+    # ordered compare only for a TOP-LEVEL ORDER BY (after the last '}'):
+    # an ORDER BY inside a subquery imposes no order on the outer result
+    ordered = re.search(r"(?i)\bORDER\s+BY\b", query.rsplit("}", 1)[-1]) is not None
     g = _rows_to_keyed(got, varnames)
     e = _rows_to_keyed(expected, varnames)
     if not ordered:
