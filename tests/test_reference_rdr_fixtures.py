@@ -88,3 +88,27 @@ def test_rdr_fixture(spark, qname, datafile, expname):
         for row in expected
     ]
     assert sorted(got) == sorted(exp), (qname, datafile, sorted(got)[:5], sorted(exp)[:5])
+
+
+RTODIR = FIXDIR.rsplit("/reif", 1)[0] + "/rto"
+BARDATA = (
+    "/root/reference/bigdata-rdf-test/src/test/resources/data/barData/"
+    "barData.trig.gz"
+)
+
+
+@pytest.mark.skipif(not os.path.exists(BARDATA), reason="barData not present")
+def test_rto_bar_q1(spark):
+    """The reference's RTO eval fixture BAR-Q1 (TestRTO_BAR.java): a
+    6-pattern join over the 2MB bar dataset with the Runtime optimizer
+    engaged through query hints (hint:Group hint:optimizer "Runtime",
+    RTO-sampleType/limit/nedges) — COUNT(*) must equal the pinned 8039.
+    (The BSBM RTO fixtures need dataset_pc100.nt, absent from the
+    checkout.)"""
+    q = open(os.path.join(RTODIR, "BAR-Q1.rq")).read()
+    exp = re.findall(
+        r"<literal[^>]*>([^<]*)<", open(os.path.join(RTODIR, "BAR-Q1.srx")).read()
+    )
+    st = TripleStore(rdf_formats.read_trig(spark, BARDATA))
+    got = run_sparql(st, q).collect()
+    assert [str(got[0]["count"])] == exp
