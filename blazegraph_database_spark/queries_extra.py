@@ -1904,3 +1904,86 @@ def ntriples_datetime_canon(spark: SparkSession, sf_dir: str) -> DataFrame:
     lines.coalesce(1).write.mode("overwrite").text(path)
     parsed = ntriples.read_ntriples(spark, path)
     return parsed.select(F.col("s"), F.col("o_lex").alias("dt_lex"))
+
+
+def _rdr_nation_store(spark: SparkSession, sf_dir: str) -> TripleStore:
+    """Nation→region membership triples plus sid-keyed provenance metadata
+    (the engine's deterministic `<<s|p|o|dt>>` statement-id encoding)."""
+    nat = read_parquet(spark, f"{sf_dir}/nation.parquet")
+    base = nat.select(
+        F.concat(F.lit("http://ex/nation/"), F.col("n_nationkey")).alias("s"),
+        F.lit("http://ex/memberOf").alias("p"),
+        F.concat(F.lit("http://ex/region/"), F.col("n_regionkey")).alias("o_lex"),
+        F.lit("iri").alias("o_dt"),
+    )
+    meta = nat.select(
+        F.concat(
+            F.lit("<<http://ex/nation/"), F.col("n_nationkey"),
+            F.lit("|http://ex/memberOf|http://ex/region/"),
+            F.col("n_regionkey"), F.lit("|iri>>"),
+        ).alias("s"),
+        F.lit("http://ex/src").alias("p"),
+        F.concat(F.lit("src:"), F.col("n_nationkey")).alias("o_lex"),
+        F.lit("string").alias("o_dt"),
+    )
+    return TripleStore(base.unionByName(meta))
+
+
+@register(
+    "rdr_sid_bind",
+    """
+    SELECT 'http://ex/nation/' || n_nationkey AS n,
+           'http://ex/region/' || n_regionkey AS r,
+           'src:' || n_nationkey AS src
+    FROM nation
+    """,
+)
+def rdr_sid_bind(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BIND(<<s p o>> AS ?sid) — the RDR statement-id access path (ref:
+    SidIV.java + the reference's reif/rdr-02a eval fixture): one
+    statement-index scan binds the inner vars plus the sid, which then
+    equi-joins the provenance pattern by its deterministic encoding."""
+    from blazegraph_database_spark.plans.sparql_parser import run_sparql
+
+    st = _rdr_nation_store(spark, sf_dir)
+    return run_sparql(
+        st,
+        """
+        SELECT ?n ?r ?src WHERE {
+          BIND(<<?n <http://ex/memberOf> ?r>> AS ?sid)
+          ?sid <http://ex/src> ?src .
+        }
+        """,
+    )
+
+
+@register(
+    "rdr_scaffold_query",
+    """
+    SELECT 'http://ex/nation/' || n_nationkey AS s,
+           'http://ex/region/' || n_regionkey AS o,
+           'src:' || n_nationkey AS c
+    FROM nation
+    """,
+)
+def rdr_scaffold_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A query written in the EXPANDED reification vocabulary answering
+    against a sid store — the Reification-Done-Right rewrite (ref: the
+    reference's reif/rdr-05a fixture): the rdf:subject/predicate/object
+    scaffold folds into an embedded-statement term because the store's
+    exact range counts show zero rdf:subject triples."""
+    from blazegraph_database_spark.plans.sparql_parser import run_sparql
+
+    st = _rdr_nation_store(spark, sf_dir)
+    return run_sparql(
+        st,
+        """
+        PREFIX rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#>
+        SELECT ?s ?o ?c WHERE {
+          ?stmt rdf:subject ?s .
+          ?stmt rdf:predicate <http://ex/memberOf> .
+          ?stmt rdf:object ?o .
+          ?stmt <http://ex/src> ?c .
+        }
+        """,
+    )

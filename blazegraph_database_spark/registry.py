@@ -22,6 +22,8 @@ _CATALOG_MODULES = [
 # its r3 row and rotates in next round.
 _SCORE_FIRST = [
     # (a) round-5 additions — inserted here as they land.
+    "rdr_sid_bind",
+    "rdr_scaffold_query",
     "service_label",
     "graph_subquery_limit",
     "ntriples_datetime_canon",
