@@ -1691,6 +1691,11 @@ class Parser:
                     order.append((self.next().text[1:], True))
                 elif self.at_op("(") or (
                     self.peek().kind == "KW" and self.peek().text.upper() in expr_starters
+                ) or (
+                    # bare FunctionCall OrderCondition, e.g. BSBM explore
+                    # query10's `ORDER BY xsd:double(str(?price))`
+                    self.peek().kind in ("PNAME", "IRI")
+                    and self.peek(1).text == "("
                 ):
                     # bare OrderCondition: BrackettedExpression or Constraint
                     self._pending_aggs = []
