@@ -258,6 +258,16 @@ class DropCols:
 
 
 @dataclass(frozen=True)
+class DropInternal:
+    """Drop the parser's internal bnode columns (`__anon*` / `__bn_*`) from
+    a SELECT * result — anonymous blank nodes in the pattern are not
+    visible variables (SPARQL §18.2.1), and leaking them poisons
+    federation joins (a remote SELECT * response must not carry them)."""
+
+    child: Any
+
+
+@dataclass(frozen=True)
 class Project:
     child: Any
     vars: tuple
@@ -365,12 +375,15 @@ class Service:
 
     ``pattern`` is the parsed inner group (used by built-in magic-predicate
     services like bds:search); ``raw`` is the inner group's token text (used
-    to ship the sub-query to a remote endpoint's transport)."""
+    to ship the sub-query to a remote endpoint's transport) and ``prologue``
+    the enclosing query's PREFIX declarations, prepended OUTSIDE the shipped
+    SELECT so the remote parser resolves the pattern's pnames."""
 
     iri: str
     pattern: Any
     raw: str = ""
     silent: bool = False
+    prologue: str = ""
 
 
 @dataclass(frozen=True)

@@ -1511,7 +1511,9 @@ def _service_var_join(store: TripleStore, ldf: DataFrame, svc: "A.Service") -> D
     parts = []
     for r in rows:
         ep = r[0]
-        res = _compile(A.Service(ep, svc.pattern, svc.raw, svc.silent), store)
+        res = _compile(
+            A.Service(ep, svc.pattern, svc.raw, svc.silent, svc.prologue), store
+        )
         if v in res.columns:
             # the block itself binds the endpoint var: SPARQL join
             # semantics FILTER on it — overwriting would keep (and
@@ -1903,6 +1905,17 @@ def _(node: A.ExistsFlag, store: TripleStore) -> DataFrame:
 @_compile.register
 def _(node: A.DropCols, store: TripleStore) -> DataFrame:
     return _compile(node.child, store).drop(*node.cols)
+
+
+@_compile.register
+def _(node: A.DropInternal, store: TripleStore) -> DataFrame:
+    df = _compile(node.child, store)
+    drop = [
+        c
+        for c in df.columns
+        if c.startswith("__anon") or c.startswith("__bn_") or c.startswith("__gslot")
+    ]
+    return df.drop(*drop) if drop else df
 
 
 @_compile.register
@@ -2612,7 +2625,13 @@ def _(node: A.Service, store: TripleStore) -> DataFrame:
         return hits.select(*sel)
     try:
         fn = service.lookup(node.iri)
-        out = fn(store.spark, {"query": f"SELECT * WHERE {{ {node.raw} }}", "pattern": node.pattern})
+        out = fn(
+            store.spark,
+            {
+                "query": f"{node.prologue}SELECT * WHERE {{ {node.raw} }}",
+                "pattern": node.pattern,
+            },
+        )
     except Exception:
         if node.silent:  # SERVICE SILENT failure → one empty solution (spec)
             return store.spark.range(1).drop("id")

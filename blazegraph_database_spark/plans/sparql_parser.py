@@ -1170,7 +1170,15 @@ class Parser:
                 start = self.i  # raw token text of the group, for remote transports
                 inner = self.group_graph_pattern()
                 raw = " ".join(t.text for t in self.toks[start + 1 : self.i - 1])
-                add(A.Service(iri, inner, raw=raw, silent=silent))
+                # a remote transport ships the inner group verbatim — the
+                # enclosing query's prologue rides along so the remote
+                # parser can resolve this query's pnames (W3C federation
+                # suite: `?project doap:name ?title` inside SERVICE, doap:
+                # declared only at the top)
+                prologue = "".join(
+                    f"PREFIX {p}: <{ns}>\n" for p, ns in self.prefixes.items()
+                )
+                add(A.Service(iri, inner, raw=raw, silent=silent, prologue=prologue))
             elif self.at_kw("include"):  # INCLUDE %set (Blazegraph ext.)
                 self.next()
                 t = self.next()
@@ -1833,6 +1841,11 @@ class Parser:
         flag_vars = [fv for fv, _n, _p in select_flags + having_flags]
         if proj is None and flag_vars:
             node = A.DropCols(node, tuple(flag_vars))
+        if proj is None:
+            # SELECT *: anonymous bnode vars are not visible variables
+            # (§18.2.1) — a remote SELECT * response carrying them would
+            # poison federation joins (W3C service10 vs service10b)
+            node = A.DropInternal(node)
         if limit is not None or offset is not None:
             node = A.Slice(node, limit=limit, offset=offset or 0)
         if ds_default or ds_named:
