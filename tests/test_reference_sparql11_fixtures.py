@@ -119,6 +119,8 @@ def _run_fixture(spark, name, datafile):
     else:
         df = rdf_formats.read_turtle(spark, path)
     st = TripleStore(df)
+    if name in _STORE_SETUP:
+        st = _STORE_SETUP[name](spark, st)
     got_df = run_sparql(st, query)
     if got_df is True or got_df is False:  # ASK form
         root = open(os.path.join(FIXDIR, name + ".srx")).read()
@@ -181,7 +183,58 @@ def _setup_stored_query():
     )
 
 
+def _solutions_123(spark):
+    # TestInclude.java's %solutionSet1: {(x=1,y=2), (), (x=3,y=4,z=5)} —
+    # insertion order matters (include_02 takes OFFSET 2 LIMIT 1)
+    return spark.createDataFrame(
+        [("1", "2", None), (None, None, None), ("3", "4", "5")],
+        "x string, y string, z string",
+    ).coalesce(1)
+
+
+def _solutions_mike(spark):
+    # include_03's set: {(x=:Mike,y=2), (x=:Bryan,y=4), (x=:DC,y=1)}
+    return spark.createDataFrame(
+        [
+            ("http://www.bigdata.com/Mike", "2"),
+            ("http://www.bigdata.com/Bryan", "4"),
+            ("http://www.bigdata.com/DC", "1"),
+        ],
+        "x string, y string",
+    ).coalesce(1)
+
+
+# per-fixture STORE transforms (programmatic named solution sets — the
+# Java tests install them through SolutionSetManager; this engine's
+# analog is TripleStore.with_named_sets)
+_STORE_SETUP = {
+    "include_01": lambda spark, st: st.with_named_sets({"solutionSet1": _solutions_123(spark)}),
+    "include_02": lambda spark, st: st.with_named_sets({"solutionSet1": _solutions_123(spark)}),
+    "include_03": lambda spark, st: st.with_named_sets({"solutionSet1": _solutions_mike(spark)}),
+}
+
+
+def _setup_mock_service():
+    # TestQueryHints.java's OpenrdfNativeMockServiceFactory: a registered
+    # SERVICE returning the fixed solutions {x=:Mike}, {x=:Bryan} —
+    # mirrored through this engine's own service registry
+    from blazegraph_database_spark.operators import service as _svc
+    from blazegraph_database_spark.session import get_spark
+
+    def mock(spark, params):
+        return spark.createDataFrame(
+            [("http://www.bigdata.com/Mike",), ("http://www.bigdata.com/Bryan",)],
+            "x string",
+        )
+
+    _svc.register_service("http://www.bigdata.com/mockService", mock)
+
+
 _FIXTURE_SETUP = {
+    "query-hints-08": _setup_mock_service,
+    "query-hints-08b": _setup_mock_service,
+    "query-hints-09": _setup_mock_service,
+    "query-hints-10": _setup_mock_service,
     "custom-function-1": _setup_custom_functions,
     "custom-function-2": _setup_custom_functions,
     "custom-function-3": _setup_custom_functions,
@@ -192,9 +245,6 @@ _FIXTURE_SETUP = {
 # a live Solr instance, or hand-built named solution sets — not
 # reproducible from the .rq/.ttl/.srx triplet alone.
 _ENV_BOUND = {
-    "include_01", "include_02", "include_03",  # programmatic solution sets
-    "query-hints-08", "query-hints-08b", "query-hints-09",
-    "query-hints-10",  # mock SERVICE endpoint
     "fts-complexWithQuery", "fts-filter", "fts-join", "fts-multiRequest",
     "fts-singleMax", "fts-singleMin", "fts-typeCastException",
     "fts-variableInjectionFailing",  # live Solr endpoint
