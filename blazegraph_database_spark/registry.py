@@ -15,71 +15,22 @@ _CATALOG_MODULES = [
 ]
 
 
-# Scored first if the driver's correctness pass has a budget (50 queries per
-# round). Layout: (a) round-5 additions with no driver row yet, (b) the 8
-# queries never driver-scored through round 4, (c) the 50 queries whose newest
-# green row is r3, stalest-first. Whatever overflows the 50-slot window keeps
-# its r3 row and rotates in next round.
+# Scored first under the driver's 50-query-per-round correctness budget.
+# Backlog-first discipline (round-6 fix per VERDICT r5 task 1): (a) the 6
+# queries never driver-scored through r5, (b) the 50 queries whose newest
+# green row is r3, stalest-first, (c) new round-6 additions APPEND here —
+# after the backlog, never before it, (d) r5-green queries last. The 50-slot
+# window this round covers (a) + 44 of (b); the remaining 6 of (b) plus (c)
+# lead next round's window.
 _SCORE_FIRST = [
-    # (a) round-5 additions — inserted here as they land.
-    "rdr_sid_bind",
-    "rdr_scaffold_query",
-    "service_label",
-    "graph_subquery_limit",
-    "ntriples_datetime_canon",
-    "sparql_inline_search",
-    "geo_knn",
-    "stream_trending_terms",
-    "pipeline_curation",
-    "fast_range_count",
-    "fast_distinct_preds",
-    "fast_count_by_pred",
-    "sparql_tpch_q1",
-    "sparql_tpch_q5",
-    "sparql_tpch_q10",
-    "sparql_tpch_q14",
-    "semdedup_prune",
-    "text_gopher_rules",
-    "text_unigram_logprob",
-    "dataset_domain_cap",
-    "ann_radius",
-    "custom_function",
-    "agg_distinct",
-    "dataset_mix_temperature",
-    "dataset_resample",
-    "rdr_reify_roundtrip",
-    "skew_salted_agg",
-    "virtual_graph_dataset",
-    "service_alp",
-    "dataset_shuffle",
-    "dataset_stratified_exact",
-    "text_decontaminate_fuzzy",
-    "text_remove_dup_spans",
-    "stream_doc_pipeline",
-    "owl_property_chain",
-    "mvcc_snapshot_read",
-    "path_zero_or_one",
-    "sparql_hash_functions",
-    "fulltext_search_in_search",
-    "solution_set_include",
-    "path_bounded",
-    "turtle_writer_roundtrip",
-    "rdfxml_writer_roundtrip",
-    "jsonld_writer_roundtrip",
-    "trig_writer_roundtrip",
-    "history_changelog",
-    "service_bd_slice",
-    "service_bd_sample",
-    # (b) never driver-scored through r4 (judge-verified local only).
-    "pipeline_end_to_end",
-    "turtle_roundtrip",
+    # (a) never driver-scored through r5 (judge-verified local-green only).
     "trig_roundtrip",
     "jsonld_roundtrip",
     "trix_roundtrip",
     "rdfxml_roundtrip",
     "stream_funnel",
     "text_interdoc_repetition",
-    # (c) newest green row is r3 — re-verify before anything r4-green.
+    # (b) newest green driver row is r3 — stalest first.
     "bgp_join_agg",
     "agg_suite",
     "optional_count",
@@ -130,6 +81,58 @@ _SCORE_FIRST = [
     "stream_to_triples",
     "stream_interval_join",
     "stream_sessionize",
+    # (c) round-6 additions — append new names HERE (after the backlog).
+    # (d) green in CORRECTNESS_r05.
+    "agg_distinct",
+    "ann_radius",
+    "custom_function",
+    "dataset_domain_cap",
+    "dataset_mix_temperature",
+    "dataset_resample",
+    "dataset_shuffle",
+    "dataset_stratified_exact",
+    "fast_count_by_pred",
+    "fast_distinct_preds",
+    "fast_range_count",
+    "fulltext_search_in_search",
+    "geo_knn",
+    "graph_subquery_limit",
+    "history_changelog",
+    "jsonld_writer_roundtrip",
+    "mvcc_snapshot_read",
+    "ntriples_datetime_canon",
+    "owl_property_chain",
+    "path_bounded",
+    "path_zero_or_one",
+    "pipeline_curation",
+    "pipeline_end_to_end",
+    "rdfxml_writer_roundtrip",
+    "rdr_reify_roundtrip",
+    "rdr_scaffold_query",
+    "rdr_sid_bind",
+    "semdedup_prune",
+    "service_alp",
+    "service_bd_sample",
+    "service_bd_slice",
+    "service_label",
+    "skew_salted_agg",
+    "solution_set_include",
+    "sparql_hash_functions",
+    "sparql_inline_search",
+    "sparql_tpch_q1",
+    "sparql_tpch_q10",
+    "sparql_tpch_q14",
+    "sparql_tpch_q5",
+    "stream_doc_pipeline",
+    "stream_trending_terms",
+    "text_decontaminate_fuzzy",
+    "text_gopher_rules",
+    "text_remove_dup_spans",
+    "text_unigram_logprob",
+    "trig_writer_roundtrip",
+    "turtle_roundtrip",
+    "turtle_writer_roundtrip",
+    "virtual_graph_dataset",
 ]
 
 
