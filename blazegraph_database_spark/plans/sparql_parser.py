@@ -171,6 +171,50 @@ def _typed_cmp_sides(left: Column, right: Column) -> tuple[Column, Column]:
     return left, right
 
 
+def _bare_var(c: Column) -> str | None:
+    m = _BARE_VAR_RX.match(str(c))
+    return m.group(1) if m and m.group(1) not in _NON_VAR_WORDS else None
+
+
+def _typed_eq(a_name: str, b_name: str) -> Column:
+    """Open-world typed RDF-term equality between two bound vars, honoring
+    the `<var>__dt` companion columns (dt-tracking mode only). Mirrors the
+    reference's CompareBOp/RDFterm-equal semantics (ref: bigdata-core/
+    bigdata-rdf/src/java/com/bigdata/rdf/internal/constraints/CompareBOp.java):
+
+    - resources (IRI/bnode/sid): decidable — equal iff same kind + same id;
+    - language-tagged literals: equal iff same lex and same tag
+      (case-insensitive); a lang-tagged literal NEVER equals a plain one;
+    - plain/xsd:string: string equality;
+    - numerics with valid lexicals: numeric value equality ("1" = "1.0");
+    - identical terms of any datatype (incl. unknown `dt:<iri>` and
+      invalid-lexical numerics): TRUE;
+    - everything else (plain vs numeric, unknown dtype vs anything
+      non-identical, invalid numeric lexicals): TYPE ERROR → NULL, so the
+      enclosing FILTER drops the row (open-world: can't know). Eval fixture
+      open-eq-12 pins all of these branches.
+    """
+    a, b = F.col(a_name), F.col(b_name)
+    adt = F.coalesce(F.col(f"{a_name}__dt"), F.lit("string"))
+    bdt = F.coalesce(F.col(f"{b_name}__dt"), F.lit("string"))
+    a_res, b_res = adt.isin("iri", "bnode", "sid"), bdt.isin("iri", "bnode", "sid")
+    a_lang, b_lang = adt.startswith("lang:"), bdt.startswith("lang:")
+    a_num, b_num = adt.isin("long", "double"), bdt.isin("long", "double")
+    an, bn = a.try_cast("double"), b.try_cast("double")
+    err = F.lit(None).cast("boolean")
+    return (
+        F.when(a.isNull() | b.isNull(), err)  # unbound operand = type error
+        .when(a_res | b_res, (adt == bdt) & (a == b))
+        .when(a_lang & b_lang, (F.lower(adt) == F.lower(bdt)) & (a == b))
+        .when(a_lang | b_lang, F.lit(False))  # lang vs non-lang: never equal
+        .when((adt == "string") & (bdt == "string"), a == b)
+        .when(a_num & b_num & an.isNotNull() & bn.isNotNull(), an == bn)
+        .when(adt.isin("boolean", "timestamp") & (adt == bdt), a == b)
+        .when((adt == bdt) & (a == b), F.lit(True))  # same term, any dtype
+        .otherwise(err)
+    )
+
+
 def _maybe_bound(node) -> set:
     """Variables a pattern tree can possibly bind (static, optimistic —
     used for the forward-BIND deferral check; a var in neither branch of
@@ -562,6 +606,14 @@ class Parser:
         if self.at_op("=", "!=", "<", "<=", ">", ">="):
             op = self.next().text
             right = self.expr_add()
+            if op in ("=", "!="):
+                # var-vs-var [in]equality under dt tracking is OPEN-WORLD
+                # typed term equality (see _typed_eq); only meaningful when
+                # the `__dt` companions ride the plan
+                lv, rv = _bare_var(left), _bare_var(right)
+                if self.dt_mode and lv and rv:
+                    eq = _typed_eq(lv, rv)
+                    return eq if op == "=" else ~eq
             left, right = _typed_cmp_sides(left, right)
             return {
                 "=": lambda a, b: a == b, "!=": lambda a, b: a != b,
@@ -921,6 +973,25 @@ class Parser:
             # AVG(DISTINCT x) = SUM(DISTINCT x) / COUNT(DISTINCT x); Spark
             # has no avg_distinct built-in but the quotient is exact
             col = F.sum_distinct(fn.num(arg)) / F.count_distinct(fn.num(arg))
+        elif (
+            self.dt_mode and name in ("SUM", "AVG") and _bare_var(arg) is not None
+        ):
+            # Typed aggregate semantics under dt tracking (SPARQL 1.1 §18.5 /
+            # ref: internal/constraints/MathBOp.java): SUM/AVG over a group
+            # containing any bound NON-numeric value (plain string, bnode,
+            # IRI, unknown dtype, or a numeric-typed literal with an invalid
+            # lexical form) is a TYPE ERROR -> the total is unbound for that
+            # group, not a best-effort sum of the castable rows. Eval
+            # fixtures sparql11-sum-03/04 pin this.
+            v = _bare_var(arg)
+            x = F.col(v)
+            xdt = F.coalesce(F.col(f"{v}__dt"), F.lit("string"))
+            valid = xdt.isin("long", "double") & x.try_cast("double").isNotNull()
+            any_bad = F.max(F.when(x.isNotNull() & ~valid, 1).otherwise(0))
+            agg = F.sum(x.try_cast("double")) if name == "SUM" else F.avg(
+                x.try_cast("double")
+            )
+            col = F.when(any_bad == 1, F.lit(None).cast("double")).otherwise(agg)
         else:
             # MIN/MAX/SAMPLE are distinct-insensitive per the spec
             col = AGGS[name](arg)
@@ -1910,7 +1981,11 @@ def run_sparql(store, src: str):
     the SELECT result (they're an engine detail, not bindings)."""
     from blazegraph_database_spark.plans import compiler
 
-    dt_mode = bool(_DT_FUNC_RE.search(src))
+    # dt_mode also turns on when the CALLER's store already tracks datatype
+    # companions: with `__dt` riding the plan, =/!= and SUM/AVG take the
+    # typed open-world value model (ref: internal/constraints/CompareBOp.java,
+    # MathBOp.java) instead of the lexical-first default.
+    dt_mode = bool(_DT_FUNC_RE.search(src)) or getattr(store, "track_dt", False)
     auto_dt = False
     if dt_mode and not getattr(store, "track_dt", False):
         store = store.with_dt_tracking()

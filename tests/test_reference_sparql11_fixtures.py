@@ -70,24 +70,21 @@ def _rows_to_keyed(rows, varnames):
     return ["|".join(_norm_cell(r.get(v)) for v in varnames) for r in rows]
 
 
-# Documented divergence (typed-IV vs lexical value model): the reference
-# carries per-term datatypes through evaluation, so SUM over a group that
-# mixes a plain-string "1" with numerics is a TYPE ERROR (unbound total),
-# and ?n = ?m is NUMERIC equality across different lexical forms
-# ("1" = "1.0"^^float). This engine's value model is lexical-first (typed
-# views are explicit casts), so a castable string sums and var-var `=`
-# compares lexically. The three fixtures below exist to keep that
-# difference visible, not hidden.
-_TYPED_MODEL_DIVERGENCE = {
+# Typed value model (round 6): these fixtures pin the reference's typed-IV
+# semantics — SUM over a group mixing a plain-string "1" (or a bnode) with
+# numerics is a TYPE ERROR (unbound total), and var-var `=` is open-world
+# typed term equality. The engine takes that path when the store tracks
+# datatype companions (run_sparql dt_mode), so run them on a dt-tracking
+# store; the default store stays lexical-first (documented, SURVEY §4).
+_TYPED_MODEL = {
     "sparql11-sum-03",
     "sparql11-sum-04",
+    "open-eq-12",
 }
 
 
 @pytest.mark.parametrize("name,datafile", _cases())
 def test_reference_fixture(spark, name, datafile):
-    if name in _TYPED_MODEL_DIVERGENCE:
-        pytest.xfail("typed-IV vs lexical value model (see module comment)")
     query = open(os.path.join(FIXDIR, name + ".rq")).read()
     expected = parse_srx(open(os.path.join(FIXDIR, name + ".srx")).read())
     path = os.path.join(FIXDIR, datafile)
@@ -96,6 +93,8 @@ def test_reference_fixture(spark, name, datafile):
     else:
         df = rdf_formats.read_turtle(spark, path)
     st = TripleStore(df)
+    if name in _TYPED_MODEL:
+        st = st.with_dt_tracking()
     got_df = run_sparql(st, query)
     varnames = [c for c in got_df.columns if not c.endswith("__dt")]
     got = [{v: r[v] for v in varnames} for r in got_df.collect()]
@@ -119,6 +118,8 @@ def _run_fixture(spark, name, datafile):
     else:
         df = rdf_formats.read_turtle(spark, path)
     st = TripleStore(df)
+    if name in _TYPED_MODEL:
+        st = st.with_dt_tracking()
     if name in _STORE_SETUP:
         st = _STORE_SETUP[name](spark, st)
     got_df = run_sparql(st, query)
@@ -255,11 +256,6 @@ _ENV_BOUND = {
 # each is a deliberate design difference or a fixture that encodes the
 # reference's own implementation detail, kept VISIBLE here, not hidden.
 _DIVERGENT = {
-    # typed-IV value model vs this engine's lexical-first model: the
-    # reference canonicalizes datetimes to UTC Z-form and compares numerics
-    # across lexical forms; we preserve source lexicals (same class as the
-    # sparql11-sum xfails above)
-    "open-eq-12": "typed open-world equality errors",
     # cosine matches the reference's documented formula
     # (TermFrequencyData.normalize); the residual numeric diff traces to
     # its analyzer's token multiset (ordering agrees)
