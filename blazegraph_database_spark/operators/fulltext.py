@@ -28,13 +28,172 @@ from pyspark.sql import functions as F
 
 TOKEN_SPLIT_RE = "[^a-z0-9]+"
 
+# Lucene's classic English stop set (StopAnalyzer.ENGLISH_STOP_WORDS_SET) —
+# what the reference's StandardAnalyzer-backed profiles filter by default.
+ENGLISH_STOPWORDS = frozenset(
+    "a an and are as at be but by for if in into is it no not of on or such "
+    "that the their then there these they this to was will with".split()
+)
 
-def tokenize(text: Column) -> Column:
-    """Lowercase alnum tokens."""
-    return F.filter(F.split(F.lower(text), TOKEN_SPLIT_RE), lambda t: t != "")
+
+class AnalyzerProfile:
+    """A text-analysis profile: tokenizer split pattern + stopword set +
+    optional light stemming — the Spark-expression analog of the
+    reference's per-language-range analyzer configuration (ref:
+    bigdata-core/bigdata/src/java/com/bigdata/search/
+    ConfigurableAnalyzerFactory.java:110 — language ranges map to Lucene
+    analyzer classes with configurable stopwords; AnalyzerOptions
+    STOPWORDS/LIKE/PATTERN). Everything stays a JVM-side expression —
+    tokenization, stopword filtering and stemming compile into the scan,
+    so an index build is one pass with no Python in the hot path."""
+
+    def __init__(
+        self,
+        split_re: str = TOKEN_SPLIT_RE,
+        stopwords: frozenset = frozenset(),
+        stem: bool = False,
+        lowercase: bool = True,
+    ):
+        self.split_re = split_re
+        self.stopwords = frozenset(stopwords)
+        self.stem = stem
+        self.lowercase = lowercase
+
+    def tokens(self, text: Column) -> Column:
+        src = F.lower(text) if self.lowercase else text
+        toks = F.filter(F.split(src, self.split_re), lambda t: t != "")
+        if self.stopwords:
+            stop = F.array(*[F.lit(s) for s in sorted(self.stopwords)])
+            toks = F.filter(toks, lambda t: ~F.array_contains(stop, t))
+        if self.stem:
+            toks = F.transform(toks, _stem_en)
+        return toks
 
 
-def inverted_index(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+def _stem_en(t: Column) -> Column:
+    """Light English suffix stemmer (s-stemmer + ing/ed), deterministic and
+    replayable in ANSI SQL for the oracle: sses→ss, ies→y, ss kept,
+    s dropped (len>3), then ing dropped (len>5) / ed dropped (len>4)."""
+    n = F.length(t)
+    t = (
+        F.when(t.endswith("sses"), F.substring(t, 1, n - 2))
+        .when(t.endswith("ies"), F.concat(F.substring(t, 1, n - 3), F.lit("y")))
+        .when(t.endswith("ss"), t)
+        .when(t.endswith("s") & (n > 3), F.substring(t, 1, n - 1))
+        .otherwise(t)
+    )
+    n2 = F.length(t)
+    return (
+        F.when(t.endswith("ing") & (n2 > 5), F.substring(t, 1, n2 - 3))
+        .when(t.endswith("ed") & (n2 > 4), F.substring(t, 1, n2 - 2))
+        .otherwise(t)
+    )
+
+
+# Built-in profiles, keyed like the reference's language-range config:
+# "default" = the engine's historical lowercase-alnum split (StandardAnalyzer
+# minus stopwords), "en" = English stopwords + light stemming, "ws" =
+# WhitespaceAnalyzer, "keyword" = KeywordAnalyzer (whole value, one token).
+ANALYZERS: dict[str, AnalyzerProfile] = {
+    "default": AnalyzerProfile(),
+    "en": AnalyzerProfile(stopwords=ENGLISH_STOPWORDS, stem=True),
+    "en-nostem": AnalyzerProfile(stopwords=ENGLISH_STOPWORDS),
+    "ws": AnalyzerProfile(split_re=r"\s+", lowercase=False),
+    "keyword": AnalyzerProfile(split_re=r"(?!)", lowercase=False),
+}
+
+
+def register_analyzer(name: str, profile: AnalyzerProfile) -> None:
+    """Register a custom analyzer profile (the ConfigurableAnalyzerFactory
+    extension point: language range → analyzer + stopwords)."""
+    ANALYZERS[name] = profile
+
+
+def analyzer_for_language(lang: str | None) -> AnalyzerProfile:
+    """RFC-4647-style longest-prefix match of a language tag against the
+    registered profiles, falling back to `default` (the reference resolves
+    the best matching language range the same way)."""
+    if lang:
+        code = lang.lower()
+        while code:
+            if code in ANALYZERS:
+                return ANALYZERS[code]
+            code = code.rpartition("-")[0]
+    return ANALYZERS["default"]
+
+
+def tokenize(text: Column, analyzer: str = "default") -> Column:
+    """Analyzer-profile tokens (default: lowercase alnum split)."""
+    return ANALYZERS[analyzer].tokens(text)
+
+
+def _stem_en_py(t: str) -> str:
+    """Python twin of _stem_en — MUST mirror it rule for rule (query tokens
+    are analyzed driver-side; index tokens executor-side)."""
+    if t.endswith("sses"):
+        t = t[:-2]
+    elif t.endswith("ies"):
+        t = t[:-3] + "y"
+    elif t.endswith("ss"):
+        pass
+    elif t.endswith("s") and len(t) > 3:
+        t = t[:-1]
+    if t.endswith("ing") and len(t) > 5:
+        t = t[:-3]
+    elif t.endswith("ed") and len(t) > 4:
+        t = t[:-2]
+    return t
+
+
+def analyze_query(query: str, analyzer: str = "default") -> list[tuple[str, bool]]:
+    """Tokenize a search query with an analyzer profile, preserving the
+    trailing-`*` prefix-match marker per token (ref: the reference analyzes
+    the query string through the SAME analyzer as the index — FullTextIndex
+    tokenize(); prefix tokens skip stopword filtering there too)."""
+    import re as _re
+
+    prof = ANALYZERS[analyzer]
+    out: list[tuple[str, bool]] = []
+    for raw in query.split():
+        prefix = raw.endswith("*")
+        raw = raw.rstrip("*")
+        s = raw.lower() if prof.lowercase else raw
+        for t in _re.split(prof.split_re, s):
+            if not t:
+                continue
+            if prof.stopwords and not prefix and t in prof.stopwords:
+                continue
+            if prof.stem and not prefix:
+                t = _stem_en_py(t)
+            out.append((t, prefix))
+    return out
+
+
+def lucene_norm(w: Column) -> Column:
+    """Lucene SmallFloat byte315 round-trip (decode(encode(w))) as a pure
+    Spark expression. The reference stores each posting's normalized term
+    weight as an 8-bit norm in its B+Tree key (ref: search/
+    FullTextIndexTupleSerializer.java:138 DefaultSimilarity.encodeNormValue
+    = SmallFloat.floatToByte315), so doc-side weights are TRUNCATED before
+    the cosine: 1/sqrt(2) scores as 0.625, 1/sqrt(3) as 0.5 (eval fixture
+    search-2 pins 0.44/0.35 exactly because of this).
+    Math form: keep the top 2 EXPLICIT mantissa bits of w = f x 2^e (the
+    8-bit code is sign+exponent+2 mantissa bits after the >>21 shift),
+    truncating — (1 + floor((f-1)*4)/4) x 2^e. Exact for every weight the tf/magnitude
+    formula can produce at float64; the f32 boundary cases byte315 sees
+    differ only when the f64->f32 rounding crosses a 1/8-mantissa step."""
+    e = F.floor(F.log2(w))
+    p = F.pow(F.lit(2.0), e)
+    m = F.floor((w / p - F.lit(1.0)) * F.lit(4.0))
+    return F.when(w <= 0, F.lit(0.0)).otherwise((F.lit(1.0) + m / F.lit(4.0)) * p)
+
+
+def inverted_index(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    analyzer: str = "default",
+) -> DataFrame:
     """(term, id, tf, dl): posting list rows with per-doc token length.
 
     One corpus scan AND one shuffle: the per-doc token length dl is
@@ -42,10 +201,13 @@ def inverted_index(df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
     rides the groupBy as a functionally-dependent key — the alternative
     window-sum over postings re-shuffles the whole posting list a second
     time just to recover a number already known at tokenize time.
+
+    analyzer selects a registered AnalyzerProfile; query tokens must be
+    analyzed with the SAME profile (search(query_analyzer=...)).
     """
-    toks = df.select(F.col(id_col).alias("id"), tokenize(F.col(text_col)).alias("toks")).select(
-        "id", F.size("toks").alias("dl"), F.explode("toks").alias("term")
-    )
+    toks = df.select(
+        F.col(id_col).alias("id"), tokenize(F.col(text_col), analyzer).alias("toks")
+    ).select("id", F.size("toks").alias("dl"), F.explode("toks").alias("term"))
     return toks.groupBy("id", "dl", "term").agg(F.count(F.lit(1)).alias("tf")).select(
         "term", "id", "tf", "dl"
     )
@@ -105,8 +267,11 @@ def search(
         dmag = index.groupBy("id").agg(
             F.sqrt(F.sum(F.col("tf") * F.col("tf"))).alias("dmag")
         )
+        # doc-side weight goes through the reference's stored 8-bit norm
+        # (see lucene_norm); the query side stays exact — Hit.add computes
+        # queryTermWeight x decoded index weight
         contrib = (
-            F.col("tf") / F.col("dmag") / F.lit(qmag) * F.lit(1_000_000.0)
+            lucene_norm(F.col("tf") / F.col("dmag")) / F.lit(qmag) * F.lit(1_000_000.0)
         )
         scored = (
             matched.join(F.broadcast(dmag), on="id")

@@ -308,7 +308,11 @@ def geo_zorder3(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     scored AS (
         SELECT m.lit,
-               CAST(ROUND(SUM(m.tf / d.dmag / sqrt(2.0) * 1000000.0)) AS BIGINT) AS sppm
+               CAST(ROUND(SUM(
+                   -- stored 8-bit Lucene norm: truncate w to 2 explicit mantissa bits
+                   (1 + floor((m.tf / d.dmag / pow(2, floor(log2(m.tf / d.dmag))) - 1) * 4) / 4)
+                   * pow(2, floor(log2(m.tf / d.dmag)))
+                   / sqrt(2.0) * 1000000.0)) AS BIGINT) AS sppm
         FROM matched m JOIN dmag d USING (lit) GROUP BY 1
     )
     SELECT lit, sppm / 1000000.0 AS score,
@@ -478,7 +482,11 @@ def geo_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     scored AS (
         SELECT m.lit,
-               CAST(ROUND(SUM(m.tf / d.dmag / sqrt(2.0) * 1000000.0)) AS BIGINT) AS sppm
+               CAST(ROUND(SUM(
+                   -- stored 8-bit Lucene norm: truncate w to 2 explicit mantissa bits
+                   (1 + floor((m.tf / d.dmag / pow(2, floor(log2(m.tf / d.dmag))) - 1) * 4) / 4)
+                   * pow(2, floor(log2(m.tf / d.dmag)))
+                   / sqrt(2.0) * 1000000.0)) AS BIGINT) AS sppm
         FROM matched m JOIN dmag d USING (lit) GROUP BY 1
     ),
     ranked AS (
@@ -525,3 +533,78 @@ def sparql_inline_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
     )
     return out.select(F.col("doc").cast("long").alias("doc"), "score").orderBy("doc")
+
+
+@register(
+    "fulltext_stemmed_search",
+    """
+    WITH raw AS (
+        SELECT doc_id,
+               unnest(list_filter(string_split_regex(
+                   lower(replace(text, 'stream', 'streaming')), '[^a-z0-9]+'),
+                   t -> t != '')) AS term0
+        FROM documents
+    ),
+    nostop AS (
+        SELECT doc_id, term0 FROM raw
+        WHERE term0 NOT IN ('a','an','and','are','as','at','be','but','by',
+            'for','if','in','into','is','it','no','not','of','on','or','such',
+            'that','the','their','then','there','these','they','this','to',
+            'was','will','with')
+    ),
+    s1 AS (
+        SELECT doc_id,
+               CASE WHEN term0 LIKE '%sses' THEN substr(term0, 1, length(term0)-2)
+                    WHEN term0 LIKE '%ies' THEN substr(term0, 1, length(term0)-3) || 'y'
+                    WHEN term0 LIKE '%ss' THEN term0
+                    WHEN term0 LIKE '%s' AND length(term0) > 3 THEN substr(term0, 1, length(term0)-1)
+                    ELSE term0 END AS t1
+        FROM nostop
+    ),
+    toks AS (
+        SELECT doc_id,
+               CASE WHEN t1 LIKE '%ing' AND length(t1) > 5 THEN substr(t1, 1, length(t1)-3)
+                    WHEN t1 LIKE '%ed' AND length(t1) > 4 THEN substr(t1, 1, length(t1)-2)
+                    ELSE t1 END AS term
+        FROM s1
+    ),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1),
+    n AS (SELECT COUNT(DISTINCT doc_id) AS n FROM toks),
+    pats(pat, is_prefix) AS (VALUES ('stream', false), ('table', false)),
+    matched AS (
+        SELECT p.pat, f.term, f.doc_id, f.tf FROM tf f JOIN pats p
+        ON CASE WHEN p.is_prefix THEN starts_with(f.term, p.pat) ELSE f.term = p.pat END
+    ),
+    dfreq AS (
+        SELECT term, COUNT(DISTINCT doc_id) AS df FROM tf
+        WHERE term IN (SELECT DISTINCT term FROM matched) GROUP BY 1
+    ),
+    scored AS (
+        SELECT m.doc_id AS id,
+               CAST(SUM(CAST(ROUND(m.tf * 1000000.0 * n.n / (d2.dl * d.df)) AS BIGINT)) AS BIGINT) AS score_ppm,
+               COUNT(DISTINCT m.pat) AS npat
+        FROM matched m JOIN dl d2 ON m.doc_id = d2.doc_id
+             JOIN dfreq d ON m.term = d.term CROSS JOIN n
+        GROUP BY 1
+    )
+    SELECT id, score_ppm, CAST(ROW_NUMBER() OVER (ORDER BY score_ppm DESC, id) AS INT) AS rank
+    FROM scored WHERE npat = 2 QUALIFY rank <= 12
+    """,
+)
+def fulltext_stemmed_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Configurable-analyzer search (SURVEY §2.6; ref: search/
+    ConfigurableAnalyzerFactory.java): the index is built with the `en`
+    profile — English stopwords filtered ('a'/'the' vanish from dl and df)
+    and light suffix stemming applied in the scan expression — and the
+    QUERY goes through the same analyzer, so "streaming tables" matches
+    documents containing 'streaming'/'stream' and 'table'. The corpus has
+    'stream' rewritten to 'streaming' on both sides so executor-side
+    stemming is really exercised. matchAll + tf-idf ppm scoring as in the
+    other fulltext oracles."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", F.regexp_replace("text", "stream", "streaming").alias("text")
+    )
+    idx = fulltext.inverted_index(docs, analyzer="en")
+    pats = fulltext.analyze_query("streaming tables", analyzer="en")
+    return fulltext.search(idx, pats, match_all=True, max_rank=12)

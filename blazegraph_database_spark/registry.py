@@ -82,6 +82,7 @@ _SCORE_FIRST = [
     "stream_interval_join",
     "stream_sessionize",
     # (c) round-6 additions — append new names HERE (after the backlog).
+    "fulltext_stemmed_search",
     # (d) green in CORRECTNESS_r05.
     "agg_distinct",
     "ann_radius",

@@ -171,3 +171,90 @@ def test_bds_rangecount_with_other_vars_projected(spark):
          "?s <bds:rangeCount> ?n } }")
     out = run_sparql(st, q).collect()
     assert len(out) == 1 and out[0]["n"] == 2 and out[0]["s"] is None
+
+
+# ------------------------------------------------ analyzer profiles (r6) --
+
+
+def test_analyzer_en_stopwords_and_stem(spark):
+    """The `en` profile drops Lucene's English stop set and light-stems in
+    the scan expression (ref: search/ConfigurableAnalyzerFactory.java —
+    language ranges -> analyzers with configurable stopwords)."""
+    df = spark.createDataFrame(
+        [(1, "the streaming tables are merged")], "doc_id long, text string"
+    )
+    idx = fulltext.inverted_index(df, analyzer="en")
+    terms = {r["term"] for r in idx.collect()}
+    assert terms == {"stream", "table", "merg"}
+    # dl counts post-stopword tokens only
+    assert {r["dl"] for r in idx.collect()} == {3}
+
+
+def test_analyzer_query_doc_parity(spark):
+    """Python-side query analysis must mirror the executor-side expression
+    rule for rule: every analyzed doc token equals the analyzed query token
+    for the same word."""
+    words = [
+        "glasses", "queries", "process", "tables", "gas", "is",
+        "streaming", "merged", "sing", "red", "bed", "classes",
+    ]
+    df = spark.createDataFrame(
+        [(i, w) for i, w in enumerate(words)], "doc_id long, text string"
+    )
+    doc_terms = {
+        r["id"]: r["term"]
+        for r in fulltext.inverted_index(df, analyzer="en").collect()
+    }
+    for i, w in enumerate(words):
+        got = fulltext.analyze_query(w, analyzer="en")
+        if w in fulltext.ENGLISH_STOPWORDS:
+            assert got == [] and i not in doc_terms
+        else:
+            assert [t for t, _ in got] == [doc_terms[i]], (w, got, doc_terms.get(i))
+
+
+def test_analyzer_prefix_token_skips_stem_and_stopwords():
+    # prefix tokens skip stopword filtering AND stemming (the reference
+    # keeps stopwords for prefix match: FullTextIndex tokenize() passes
+    # filterStopwords=false when prefixMatch)
+    assert fulltext.analyze_query("the* merges", analyzer="en") == [
+        ("the", True),
+        ("merge", False),
+    ]
+
+
+def test_analyzer_keyword_and_ws(spark):
+    df = spark.createDataFrame([(1, "Alpha Beta-2")], "doc_id long, text string")
+    kw = {r["term"] for r in fulltext.inverted_index(df, analyzer="keyword").collect()}
+    assert kw == {"Alpha Beta-2"}
+    ws = {r["term"] for r in fulltext.inverted_index(df, analyzer="ws").collect()}
+    assert ws == {"Alpha", "Beta-2"}
+
+
+def test_analyzer_language_routing():
+    assert fulltext.analyzer_for_language("en-US") is fulltext.ANALYZERS["en"]
+    assert fulltext.analyzer_for_language("en") is fulltext.ANALYZERS["en"]
+    assert fulltext.analyzer_for_language("fr") is fulltext.ANALYZERS["default"]
+    assert fulltext.analyzer_for_language(None) is fulltext.ANALYZERS["default"]
+    fulltext.register_analyzer(
+        "fr", fulltext.AnalyzerProfile(stopwords=frozenset({"le", "la"}))
+    )
+    try:
+        assert fulltext.analyzer_for_language("fr-CA") is fulltext.ANALYZERS["fr"]
+    finally:
+        del fulltext.ANALYZERS["fr"]
+
+
+def test_stemmed_search_end_to_end(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the streams merge quickly"),
+            (2, "a stream merges"),
+            (3, "no relevant words"),
+        ],
+        "doc_id long, text string",
+    )
+    idx = fulltext.inverted_index(df, analyzer="en")
+    pats = fulltext.analyze_query("streaming merges", analyzer="en")
+    got = {r["id"] for r in fulltext.search(idx, pats, match_all=True).collect()}
+    assert got == {1, 2}

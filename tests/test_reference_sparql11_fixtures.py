@@ -256,10 +256,6 @@ _ENV_BOUND = {
 # each is a deliberate design difference or a fixture that encodes the
 # reference's own implementation detail, kept VISIBLE here, not hidden.
 _DIVERGENT = {
-    # cosine matches the reference's documented formula
-    # (TermFrequencyData.normalize); the residual numeric diff traces to
-    # its analyzer's token multiset (ordering agrees)
-    "search-2": "analyzer token-set detail in cosine magnitudes",
     # the reference's ASTSetValueExpressionsOptimizer defers group-level
     # BINDs to run after the joins; this engine evaluates BIND in clause
     # order per the recommendation's scoping
