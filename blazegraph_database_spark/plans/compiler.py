@@ -2511,6 +2511,20 @@ def _(node: A.Service, store: TripleStore) -> DataFrame:
         return service.bd_values_service(store, collect_sps(node.pattern))
     if svc_iri == "bd:history":  # ref: history/HistoryServiceFactory.java:1
         return service.bd_history_service(store, collect_sps(node.pattern))
+    if svc_iri == "bd:rdrhistory":
+        # ref: ServiceRegistry.java:170 RDRHistoryServiceFactory + sail/
+        # RDRHistory.java:61 — change events recorded as RDR statement
+        # metadata (<<s p o>> blaze:history:added|removed "commit"^^xsd:long)
+        # and queried with ORDINARY SPARQL-star patterns: the block compiles
+        # unchanged against the history store view (ever-existed statements
+        # + metadata rows), so sid joins, accessors and filters all work.
+        us = getattr(store, "updatable", None)
+        if us is None:
+            raise ValueError(
+                "SERVICE <bd:rdrhistory> needs an updatable store (query via "
+                "UpdatableStore.query_store or the REST endpoint)"
+            )
+        return _compile(node.pattern, us.history_store())
     if svc_iri == "fts:search":  # ref: fts/FulltextSearchServiceFactory.java
         return service.fts_search_service(
             store, collect_sps(node.pattern), transport=getattr(store, "fts_transport", None)

@@ -1987,3 +1987,58 @@ def rdr_scaffold_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         }
         """,
     )
+
+
+@register(
+    "rdr_history_service",
+    """
+    SELECT action, CAST(commit AS INT) AS commit, CAST(COUNT(*) AS BIGINT) AS n
+    FROM (
+      SELECT 'added' AS action, 1 AS commit FROM customer WHERE c_acctbal > 5000
+      UNION ALL
+      SELECT 'removed', 2 FROM customer WHERE c_mktsegment = 'BUILDING'
+    ) GROUP BY 1, 2 ORDER BY action
+    """,
+)
+def rdr_history_service(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SERVICE <bd:rdrhistory> (ref: ServiceRegistry.java:170
+    RDRHistoryServiceFactory + sail/RDRHistory.java:61): change events as
+    RDR statement metadata — commit 1 inserts high-balance tags, commit 2
+    deletes the BUILDING segment triples; the history is then queried with
+    ORDINARY SPARQL-star patterns (<<?c ?p ?o>> ?action ?commit), counting
+    events per action+commit. The oracle reconstructs both deltas straight
+    from the customer table."""
+    from blazegraph_database_spark.plans.sparql_parser import run_sparql
+    from blazegraph_database_spark.plans.update_parser import apply_update
+    from blazegraph_database_spark.sources.relational import table_to_triples
+    from blazegraph_database_spark.update.update import UpdatableStore
+
+    cust = table_to_triples(
+        read_parquet(spark, f"{sf_dir}/customer.parquet"), "customer", "c_custkey", {}
+    )
+    us = UpdatableStore.from_store(TripleStore(cust))
+    apply_update(
+        us,
+        'INSERT { ?c <tag#high> "1" } WHERE '
+        "{ ?c <customer#c_acctbal> ?b FILTER(?b > 5000) } ; "
+        "DELETE { ?c <customer#c_mktsegment> ?seg } WHERE "
+        '{ ?c <customer#c_mktsegment> ?seg FILTER(?seg = "BUILDING") }',
+        spark,
+    )
+    out = run_sparql(
+        us.query_store,
+        """
+        SELECT ?action ?commit (COUNT(*) AS ?n) WHERE {
+          SERVICE <http://www.bigdata.com/rdf#rdrhistory> {
+            <<?c ?p ?val>> ?act ?commit .
+          }
+          BIND(STRAFTER(STR(?act), "blaze:history:") AS ?action)
+        }
+        GROUP BY ?action ?commit
+        ORDER BY ?action
+        """,
+    )
+    return out.select(
+        "action", F.col("commit").cast("int").alias("commit"),
+        F.col("n").cast("long").alias("n"),
+    )

@@ -83,6 +83,7 @@ _SCORE_FIRST = [
     "stream_sessionize",
     # (c) round-6 additions — append new names HERE (after the backlog).
     "fulltext_stemmed_search",
+    "rdr_history_service",
     # (d) green in CORRECTNESS_r05.
     "agg_distinct",
     "ann_radius",

@@ -162,6 +162,46 @@ class UpdatableStore:
             out = out.unionByName(p, allowMissingColumns=True)
         return out
 
+    def rdr_history(self, since: int = 0, until: int | None = None) -> DataFrame:
+        """Change events as RDR statement metadata (ref: bigdata-sails/
+        .../RDRHistory.java:61 — each change appends
+        ``<< s p o >> blaze:history:added|removed "commit"^^xsd:long``,
+        queryable with ordinary SPARQL-star patterns; registered as
+        SERVICE <bd:rdrhistory>, RDRHistoryServiceFactory.java). The
+        subject is the engine's deterministic sid encoding of the changed
+        statement; the object is the MVCC commit point (the reference uses
+        the commit time — same role, and this engine's commit points ARE
+        its version ordinals)."""
+        log = self.changelog(since, until)
+        sid = F.concat(
+            F.lit("<<"), F.col("s"), F.lit("|"), F.col("p"), F.lit("|"),
+            F.col("o_lex"), F.lit("|"), F.col("o_dt"), F.lit(">>"),
+        )
+        return log.select(
+            sid.alias("s"),
+            F.concat(F.lit("blaze:history:"), F.col("action")).alias("p"),
+            F.col("commit").cast("string").alias("o_lex"),
+            F.lit("long").alias("o_dt"),
+        )
+
+    def history_store(self, since: int = 0, until: int | None = None) -> TripleStore:
+        """Store view for SPARQL-star history queries: every statement that
+        EVER existed in (since, until] (current ∪ removed — RDR semantics
+        need the inner statement present for the sid join) plus the
+        rdr_history metadata rows. Δ-sized on top of the current version:
+        the union adds only removed statements and one metadata row per
+        change, never a full copy of a past version."""
+        cur = self.current.df.select("s", "p", "o_lex", "o_dt")
+        log = self.changelog(since, until)
+        removed = log.filter(F.col("action") == "removed").select(
+            "s", "p", "o_lex", "o_dt"
+        )
+        return TripleStore(
+            cur.unionByName(removed).distinct().unionByName(
+                self.rdr_history(since, until)
+            )
+        )
+
     # ----------------------------------------------------- solution sets --
     def solutions_manager(self, path: str | None = None):
         """The store's named-solution-set cache (ref: AST2BOpContext.

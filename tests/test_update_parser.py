@@ -276,3 +276,47 @@ def test_using_only_empty_named_set(spark):
         'INSERT { ?s <dflt> "seen" } USING NAMED <g1> WHERE { ?s <p> ?o }',
     )
     assert us.current.df.filter("p = 'dflt'").count() == 0
+
+
+# ------------------------------------------------- bd:rdrhistory (r6) --
+
+
+def test_rdr_history_events_and_service(spark):
+    """RDR change capture (ref: sail/RDRHistory.java:61 — << s p o >>
+    blaze:history:added|removed "commit"^^xsd:long) + the registered
+    SERVICE <bd:rdrhistory> query surface over SPARQL-star patterns."""
+    from blazegraph_database_spark.plans.sparql_parser import run_sparql
+
+    base = spark.createDataFrame(
+        [("ex:a", "ex:p", "1", "long"), ("ex:b", "ex:p", "2", "long")],
+        "s string, p string, o_lex string, o_dt string",
+    )
+    us = UpdatableStore.from_store(TripleStore(base))
+    apply_update(us, 'INSERT DATA { <ex:c> <ex:p> "3" }', spark)
+    apply_update(us, "DELETE DATA { <ex:a> <ex:p> 1 }", spark)
+
+    events = {
+        (r["s"], r["p"], r["o_lex"]) for r in us.rdr_history().collect()
+    }
+    assert ("<<ex:c|ex:p|3|string>>", "blaze:history:added", "1") in events
+    assert ("<<ex:a|ex:p|1|long>>", "blaze:history:removed", "2") in events
+
+    # the removed statement is queryable through ordinary SPARQL-star
+    # patterns inside the service block — constant inner positions too
+    out = run_sparql(
+        us.query_store,
+        """
+        SELECT ?c WHERE {
+          SERVICE <http://www.bigdata.com/rdf#rdrhistory> {
+            <<<ex:a> <ex:p> ?v>> <blaze:history:removed> ?c .
+          }
+        }
+        """,
+    ).collect()
+    assert [r["c"] for r in out] == ["2"]
+
+    # history events never leak into ordinary (non-service) queries
+    plain = run_sparql(
+        us.query_store, "SELECT ?s WHERE { ?s <blaze:history:removed> ?c }"
+    ).collect()
+    assert plain == []
