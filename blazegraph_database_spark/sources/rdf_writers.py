@@ -185,6 +185,80 @@ def write_turtle(df: DataFrame, path: str, prefixes: dict[str, str] | None = Non
     blocks.mapInPandas(prepend_header, "value string").write.mode("overwrite").text(path)
 
 
+def _write_parts(
+    values: DataFrame, path: str, header: str, footer: str | None = None,
+    sep: str | None = None,
+) -> None:
+    """Distributed document export: write the `value` column as text
+    part-files where EVERY part is a complete, standalone-valid document —
+    header first, optional separator between rows, optional footer last
+    (the 100 TB export path shared by all four writers; one Arrow-batched
+    pass per partition, no driver collect)."""
+
+    def gen(batches):
+        import pandas as pd
+
+        yield pd.DataFrame({"value": [header]})
+        first = True
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            if sep:
+                pre = pd.Series([sep] * len(pdf))
+                if first:
+                    pre.iloc[0] = ""
+                pdf = pd.DataFrame({"value": pre.values + pdf["value"].values})
+            first = False
+            yield pdf
+        if footer is not None:
+            yield pd.DataFrame({"value": [footer]})
+
+    values.mapInPandas(gen, "value string").write.mode("overwrite").text(path)
+
+
+def write_trig(df: DataFrame, path: str, prefixes: dict[str, str] | None = None) -> None:
+    """Distributed TriG export: one `<g> { subject-block }` (or bare block
+    for the default graph) per row — TriG permits repeating a graph label
+    across blocks, so any row distribution yields valid documents and no
+    graph ever has to fit in one task. Same part-file contract as
+    write_turtle: each part parses standalone."""
+    prefixes = DEFAULT_PREFIXES if prefixes is None else prefixes
+    if "g" not in df.columns:
+        df = df.withColumn("g", F.lit(None).cast("string"))
+    blocks = _ttl_subject_blocks(df, prefixes, extra_group=("g",))
+    values = blocks.select(
+        F.when(
+            F.col("g").isNull() | (F.col("g") == ""), F.col("block")
+        ).otherwise(
+            F.concat(F.lit("<"), F.col("g"), F.lit("> {\n"), F.col("block"), F.lit("\n}"))
+        ).alias("value")
+    )
+    _write_parts(values, path, _prefix_header(prefixes))
+
+
+def write_rdfxml(df: DataFrame, path: str) -> None:
+    """Distributed RDF/XML export: rdf:Description fragments as part-files,
+    each part wrapped in its own rdf:RDF envelope (standalone-valid)."""
+    _write_parts(
+        rdfxml_fragments(df).select(F.col("frag").alias("value")),
+        path,
+        RDFXML_HEADER.rstrip("\n"),
+        footer=RDFXML_FOOTER.strip("\n"),
+    )
+
+
+def write_jsonld(df: DataFrame, path: str) -> None:
+    """Distributed JSON-LD export: flat node objects in a per-part @graph
+    envelope, comma-separated (standalone-valid JSON in every part)."""
+    _write_parts(
+        jsonld_nodes(df).select(F.col("node").alias("value")),
+        path,
+        '{"@graph":[',
+        footer="]}",
+        sep=",",
+    )
+
+
 def trig_doc(df: DataFrame, prefixes: dict[str, str] | None = None) -> str:
     """Serialize quads (s,p,o_lex,o_dt,g) as TriG: one `<g> { ... }` block
     per named graph, default-graph (g IS NULL) statements bare (ref: rio
