@@ -88,10 +88,12 @@ def radius_search(
 
 def semantic_dedup(
     embs: DataFrame,
-    k_clusters: int = 8,
+    k_clusters: int | None = None,
     min_cos: float = 0.3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_cluster: int | None = 20_000,
+    target_cluster_size: int = 1_000,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, public): cluster the embedding space,
     then inside each cluster drop every vector that has a LOWER-id neighbor
@@ -106,12 +108,27 @@ def semantic_dedup(
 
     Plan shape: centroids broadcast (k rows) → per-vector argmax via
     map-side-combining max_by (no window) → intra-cluster self-join bucketed
-    by cluster id. Cost is Σ|cluster|², exactly the paper's economics — size
-    ``k_clusters`` with the corpus (they use 50k on the web scale) to keep
-    buckets bounded; no doc×doc compare ever crosses clusters.
+    by cluster id. Cost is Σ|cluster|², exactly the paper's economics — no
+    doc×doc compare ever crosses clusters.
+
+    Scale guards (VERDICT r5 task 6 — a fixed small k invites quadratic
+    buckets on a big corpus):
+
+    - ``k_clusters=None`` (default) derives k from the corpus: one count
+      job, k = clamp(n / target_cluster_size, 8, 65_536) — the paper sizes
+      k with the corpus the same way (50k clusters at web scale).
+    - ``max_cluster`` caps the pair stage per cluster (same discipline as
+      the LSH ``max_bucket``): a cluster larger than the cap contributes
+      only its ``max_cluster`` lowest-id members to the self-join; overflow
+      members are kept (never pruned) — a conservative, deterministic
+      answer a SQL oracle can replay, and the bound makes the worst-case
+      pair stage k x max_cluster² instead of n².
 
     Returns (id_col, cluster, kept∈{0,1}) for every input vector."""
     e = embs.select(F.col(id_col).alias("vid"), as_double(F.col(vec_col)).alias("v"))
+    if k_clusters is None:
+        n = e.count()
+        k_clusters = max(8, min(65_536, n // max(1, target_cluster_size)))
     seeds = e.orderBy("vid").limit(k_clusters).select(
         F.col("vid").alias("seed"), F.col("v").alias("sv")
     )
@@ -122,7 +139,19 @@ def semantic_dedup(
         F.expr("max_by(seed, struct(cos, -seed))").alias("cluster"),
         F.first("v").alias("v"),
     )
-    a, b = assign.alias("a"), assign.alias("b")
+    paired = assign
+    if max_cluster is not None:
+        from pyspark.sql.window import Window
+
+        paired = (
+            assign.withColumn(
+                "__cn",
+                F.row_number().over(Window.partitionBy("cluster").orderBy("vid")),
+            )
+            .filter(F.col("__cn") <= max_cluster)
+            .drop("__cn")
+        )
+    a, b = paired.alias("a"), paired.alias("b")
     redundant = (
         a.join(b, (F.col("a.cluster") == F.col("b.cluster")) & (F.col("a.vid") < F.col("b.vid")))
         .filter(F.round(cosine(F.col("a.v"), F.col("b.v")), 4) >= F.lit(min_cos))

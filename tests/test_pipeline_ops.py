@@ -589,3 +589,26 @@ def test_semantic_dedup_prunes_within_cluster_only(spark):
     assert out[2][0] == 0 and out[2][1] == 0
     assert out[3][0] == 1 and out[3][1] == 0
     assert out[4][0] == 1 and out[4][1] == 1  # cos(4, 1)=0.8 < 0.95 threshold
+
+
+def test_semantic_dedup_cluster_cap_bounds_pair_stage(spark):
+    """Scale guard (VERDICT r5-6): a skewed cluster larger than max_cluster
+    contributes only its max_cluster lowest-id members to the pair stage;
+    overflow members are conservatively KEPT, never pruned, and the
+    corpus-derived k engages when k_clusters is omitted."""
+    # 1 seed direction, 60 near-identical vectors -> one giant cluster
+    rows = [(i, [1.0, i * 1e-6, 0.0]) for i in range(60)]
+    embs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r["vec_id"]: r["kept"] for r in
+           similarity.semantic_dedup(
+               embs, k_clusters=1, min_cos=0.99, max_cluster=10
+           ).collect()}
+    # inside the capped window: 0 kept, 1..9 pruned against it
+    assert out[0] == 1 and all(out[i] == 0 for i in range(1, 10))
+    # overflow members never enter the self-join -> kept
+    assert all(out[i] == 1 for i in range(10, 60))
+    # corpus-derived k: n=60, target 20 -> k=max(8, 3)=8 seeds, runs clean
+    auto = similarity.semantic_dedup(
+        embs, min_cos=0.999999, target_cluster_size=20
+    ).collect()
+    assert len(auto) == 60
