@@ -51,10 +51,15 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     catalog = all_queries()
 
-    # Untimed warmup: first JVM job pays JIT + codegen + parquet footer
-    # caching (~5s) that belongs to session startup, not to any query.
-    if HEADLINE and HEADLINE[0] in catalog:
-        catalog[HEADLINE[0]]["fn"](spark, sf_dir).count()
+    # Untimed warmup: the first JVM jobs pay JIT + codegen + parquet footer
+    # caching (~5s) that belongs to session startup, not to any query. The
+    # iterative GAS family exercises codegen/shuffle paths the scan-shaped
+    # warmup never touches (cold-vs-warm delta measured at ~1.5-2s per
+    # iterative query), so warm one of each shape. Results are NOT cached
+    # across calls — every timed query still computes from the scan.
+    for warm in (HEADLINE[0] if HEADLINE else None, "gas_bfs_tree"):
+        if warm in catalog:
+            catalog[warm]["fn"](spark, sf_dir).count()
 
     per_q: dict[str, float] = {}
     total = 0.0
