@@ -71,17 +71,64 @@ def main() -> None:
         dt = round(time.time() - t0, 3)
         per_q[name] = dt
         total += dt
-    print(
-        json.dumps(
-            {
-                "metric": "headline_total_wall",
-                "value": round(total, 3),
-                "unit": "sec",
-                "queries": per_q,
-                "sf": sf,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_total_wall",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": per_q,
+        "sf": sf,
+    }
+    bsbm = _bsbm_explore_total(spark)
+    if bsbm is not None:
+        # realistic SPARQL query-mix wall clock (the reference's own BSBM
+        # Explore fixtures over its bundled pc10 dataset) — pinned so
+        # optimizer regressions on complex query SHAPES (nested OPTIONALs,
+        # unions, aggregate subqueries, DESCRIBE/CONSTRUCT) show up
+        # round-over-round next to the data-heavy headline set.
+        # Floor (round 6, idle local[32]): ~11 s for the 12-query mix —
+        # plan/parse dominated at pc10 size (5007 triples), so this metric
+        # tracks OPTIMIZER cost, not data throughput.
+        out["bsbm_explore_total"] = bsbm
+    print(json.dumps(out))
+
+
+# BSBM Explore mix (ref: bigdata-rdf-test .../eval/bsbm/explore, the same 13
+# queries tests/test_reference_bsbm_queries.py pins for conformance).
+_BSBM_DIR = (
+    "/root/reference/bigdata-rdf-test/src/test/java/com/bigdata/rdf/"
+    "sparql/ast/eval/bsbm"
+)
+_BSBM_EXPLORE = [
+    "query1", "query2", "query3", "query4", "query5", "query5b",
+    "query7", "query8", "query9", "query10", "query11", "query12",
+]
+
+
+def _bsbm_explore_total(spark) -> float | None:
+    if not os.path.isdir(_BSBM_DIR):
+        return None  # reference checkout absent: headline metrics only
+    from blazegraph_database_spark.model.store import TripleStore
+    from blazegraph_database_spark.plans.sparql_parser import run_sparql
+    from blazegraph_database_spark.sources import ntriples
+
+    store = TripleStore(
+        ntriples.read_ntriples(spark, os.path.join(_BSBM_DIR, "bsbm3_dataset_pc10.nt"))
+    ).cache()
+    texts = [
+        open(os.path.join(_BSBM_DIR, "explore", f"{q}.txt")).read()
+        for q in _BSBM_EXPLORE
+    ]
+
+    def force(q: str) -> None:
+        res = run_sparql(store, q)
+        if res is not True and res is not False:
+            res.count()
+
+    force(texts[0])  # untimed: pc10 load + cache fill belongs to setup
+    t0 = time.time()
+    for q in texts:
+        force(q)
+    return round(time.time() - t0, 3)
 
 
 if __name__ == "__main__":
