@@ -2511,6 +2511,8 @@ def _(node: A.Service, store: TripleStore) -> DataFrame:
         return service.bd_values_service(store, collect_sps(node.pattern))
     if svc_iri == "bd:history":  # ref: history/HistoryServiceFactory.java:1
         return service.bd_history_service(store, collect_sps(node.pattern))
+    if svc_iri == "bd:describe":  # ref: cache/DescribeServiceFactory.java
+        return service.bd_describe_service(store, collect_sps(node.pattern))
     if svc_iri == "bd:rdrhistory":
         # ref: ServiceRegistry.java:170 RDRHistoryServiceFactory + sail/
         # RDRHistory.java:61 — change events recorded as RDR statement

@@ -1243,3 +1243,47 @@ def test_deferred_bind_chain(spark):
     """
     got = run_sparql(st, q).collect()
     assert float(got[0]["c"]) == 11.0
+
+
+def test_bd_describe_service(spark):
+    """SERVICE <bd:describe> (ref: ServiceRegistry.java:151
+    DescribeServiceFactory + ast/cache/DescribeCache.java): CBD of the
+    listed resources as block-pattern bindings, MVCC-keyed LRU underneath."""
+    from blazegraph_database_spark.model.store import TripleStore
+    from blazegraph_database_spark.operators import service as svc
+    from blazegraph_database_spark.plans.sparql_parser import run_sparql
+
+    df = spark.createDataFrame(
+        [
+            ("ex:a", "ex:p", "ex:b", "iri"),
+            ("ex:b", "ex:q", "1", "long"),   # one hop out from ex:a's CBD
+            ("ex:c", "ex:p", "zzz", "string"),
+        ],
+        "s string, p string, o_lex string, o_dt string",
+    )
+    st = TripleStore(df)
+    q = """
+    PREFIX bd: <http://www.bigdata.com/rdf#>
+    SELECT ?s ?p ?o WHERE {
+      SERVICE <http://www.bigdata.com/rdf#describe> {
+        ?s ?p ?o .
+        bd:serviceParam bd:describe.iri <ex:a> .
+      }
+    }
+    """
+    got = {(r["s"], r["p"], r["o"]) for r in run_sparql(st, q).collect()}
+    assert ("ex:a", "ex:p", "ex:b") in got
+    assert ("ex:c", "ex:p", "zzz") not in got
+
+    # cache: same store version + same iris = a hit (entry identity reused)
+    before = len(svc._DESCRIBE_CACHE)
+    run_sparql(st, q).collect()
+    assert len(svc._DESCRIBE_CACHE) == before
+
+    # a NEW store version (different DataFrame identity) never serves stale
+    st2 = TripleStore(df.union(spark.createDataFrame(
+        [("ex:a", "ex:r", "new", "string")],
+        "s string, p string, o_lex string, o_dt string",
+    )))
+    got2 = {(r["s"], r["p"], r["o"]) for r in run_sparql(st2, q).collect()}
+    assert ("ex:a", "ex:r", "new") in got2
