@@ -2042,3 +2042,92 @@ def rdr_history_service(spark: SparkSession, sf_dir: str) -> DataFrame:
         "action", F.col("commit").cast("int").alias("commit"),
         F.col("n").cast("long").alias("n"),
     )
+
+
+@register(
+    "typed_sum_semantics",
+    """
+    SELECT 'o:' || l_orderkey AS o,
+           CASE WHEN MAX(CASE WHEN l_orderkey % 97 = 0 THEN 1 ELSE 0 END) = 1
+                THEN NULL ELSE SUM(l_quantity) END AS total
+    FROM lineitem GROUP BY 1
+    """,
+)
+def typed_sum_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed open-world aggregate semantics (round 6; ref: internal/
+    constraints/MathBOp.java + SPARQL 1.1 §18.5, pinned by the reference's
+    own sparql11-sum-03/04 fixtures): under datatype tracking, SUM over a
+    group containing any bound NON-numeric value is a TYPE ERROR — the
+    total is unbound for that group, never a best-effort partial sum.
+    Every order whose key % 97 == 0 gets one plain-string "n/a" quantity
+    injected; its total must come back NULL while clean groups sum."""
+    from blazegraph_database_spark.plans.sparql_parser import run_sparql
+
+    li = read_parquet(spark, f"{sf_dir}/lineitem.parquet")
+    qty = li.select(
+        F.concat(F.lit("o:"), F.col("l_orderkey")).alias("s"),
+        F.lit("li#qty").alias("p"),
+        F.col("l_quantity").cast("string").alias("o_lex"),
+        F.lit("double").alias("o_dt"),
+    )
+    tainted = (
+        li.filter(F.col("l_orderkey") % 97 == 0)
+        .select(
+            F.concat(F.lit("o:"), F.col("l_orderkey")).alias("s"),
+            F.lit("li#qty").alias("p"),
+            F.lit("n/a").alias("o_lex"),
+            F.lit("string").alias("o_dt"),
+        )
+        .distinct()
+    )
+    st = TripleStore(qty.unionByName(tainted)).with_dt_tracking()
+    out = run_sparql(
+        st,
+        "SELECT ?o (SUM(?q) AS ?total) WHERE { ?o <li#qty> ?q } GROUP BY ?o",
+    )
+    return out.select("o", "total")
+
+
+@register(
+    "typed_open_eq",
+    """
+    SELECT 'c:' || c_custkey AS c FROM customer
+    WHERE c_mktsegment != 'BUILDING' ORDER BY c
+    """,
+)
+def typed_open_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-world typed equality (round 6; ref: internal/constraints/
+    CompareBOp.java, pinned by the reference's open-eq-12 fixture): under
+    datatype tracking, `?a = ?b` between a numeric-typed and a plain-string
+    literal is a TYPE ERROR (row dropped), while numeric-vs-numeric
+    compares by VALUE across lexical forms. Every customer carries its
+    balance twice — once typed double, once (BUILDING segment only) as a
+    plain string with an equal lexical — so exactly the BUILDING rows
+    error out of the filter."""
+    from blazegraph_database_spark.plans.sparql_parser import run_sparql
+
+    cust = read_parquet(spark, f"{sf_dir}/customer.parquet")
+    a = cust.select(
+        F.concat(F.lit("c:"), F.col("c_custkey")).alias("s"),
+        F.lit("c#balA").alias("p"),
+        F.col("c_acctbal").cast("string").alias("o_lex"),
+        F.lit("double").alias("o_dt"),
+    )
+    b = cust.select(
+        F.concat(F.lit("c:"), F.col("c_custkey")).alias("s"),
+        F.lit("c#balB").alias("p"),
+        F.col("c_acctbal").cast("string").alias("o_lex"),
+        F.when(F.col("c_mktsegment") == "BUILDING", F.lit("string"))
+        .otherwise(F.lit("double"))
+        .alias("o_dt"),
+    )
+    st = TripleStore(a.unionByName(b)).with_dt_tracking()
+    out = run_sparql(
+        st,
+        """
+        SELECT ?c WHERE {
+          ?c <c#balA> ?x . ?c <c#balB> ?y . FILTER(?x = ?y)
+        } ORDER BY ?c
+        """,
+    )
+    return out.select("c")

@@ -84,6 +84,8 @@ _SCORE_FIRST = [
     # (c) round-6 additions — append new names HERE (after the backlog).
     "fulltext_stemmed_search",
     "rdr_history_service",
+    "typed_sum_semantics",
+    "typed_open_eq",
     # (d) green in CORRECTNESS_r05.
     "agg_distinct",
     "ann_radius",
