@@ -176,6 +176,32 @@ def _bare_var(c: Column) -> str | None:
     return m.group(1) if m and m.group(1) not in _NON_VAR_WORDS else None
 
 
+# a string-literal Column renders with INNER quotes (Column<''urn:...''>)
+_CONST_RX = re.compile(r"^Column<''(\S+)''>$")
+
+
+def _inline_uri_cmp(left: Column, right: Column):
+    """(var-key, packed-constant) when one comparison side is a bare var
+    and the other a constant URI with a registered inline-URI handler
+    (model/inline_uris — the InlineURIFactory analog); else None."""
+    from blazegraph_database_spark.model import inline_uris as IU
+
+    for var_side, const_side, flip in ((left, right, False), (right, left, True)):
+        v = _bare_var(var_side)
+        cm = _CONST_RX.match(str(const_side))
+        if not (v and cm):
+            continue
+        h = IU.handler_for(cm.group(1))
+        if h is None:
+            continue
+        packed = IU.pack_py(cm.group(1))
+        if packed is None:
+            continue
+        key, const = IU.inline_key(F.col(v), *h), F.lit(packed)
+        return (const, key) if flip else (key, const)
+    return None
+
+
 def _typed_eq(a_name: str, b_name: str) -> Column:
     """Open-world typed RDF-term equality between two bound vars, honoring
     the `<var>__dt` companion columns (dt-tracking mode only). Mirrors the
@@ -614,6 +640,15 @@ class Parser:
                 if self.dt_mode and lv and rv:
                     eq = _typed_eq(lv, rv)
                     return eq if op == "=" else ~eq
+            else:
+                # ordering against an inline-URI constant (ref:
+                # InlineIPv4URIHandler — `?ip > <urn:ipv4:10.0.0.0>` must
+                # compare in PACKED VALUE order, not lexicographically):
+                # both sides take the handler's native key; rows whose var
+                # isn't a parseable handler URI key to NULL = type error
+                iu = _inline_uri_cmp(left, right)
+                if iu is not None:
+                    left, right = iu
             left, right = _typed_cmp_sides(left, right)
             return {
                 "=": lambda a, b: a == b, "!=": lambda a, b: a != b,

@@ -2131,3 +2131,52 @@ def typed_open_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
     )
     return out.select("c")
+
+
+@register(
+    "inline_uri_ipv4_range",
+    """
+    SELECT 'c:' || c_custkey AS c,
+           'urn:ipv4:10.' || CAST((c_custkey // 65536) % 256 AS VARCHAR) || '.'
+             || CAST((c_custkey // 256) % 256 AS VARCHAR) || '.'
+             || CAST(c_custkey % 256 AS VARCHAR) AS ip
+    FROM customer
+    WHERE c_custkey >= 512 AND c_custkey < 2048
+    ORDER BY c
+    """,
+)
+def inline_uri_ipv4_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inline-URI factory analog (round 6; ref: internal/
+    InlineURIFactory.java + InlineIPv4URIHandler.java): every customer
+    carries a urn:ipv4: address URI derived from its key; the range FILTER
+    `?ip >= <urn:ipv4:10.0.2.0> && ?ip < <urn:ipv4:10.0.8.0>` compiles to
+    the handler's PACKED long key — value order, native comparison in
+    codegen — selecting exactly keys [512, 2048). Lexicographic string
+    order would also admit e.g. 10.0.20.x; the oracle replays the range
+    arithmetically."""
+    from blazegraph_database_spark.plans.sparql_parser import run_sparql
+
+    cust = read_parquet(spark, f"{sf_dir}/customer.parquet")
+    k = F.col("c_custkey")
+    ip = F.concat(
+        F.lit("urn:ipv4:10."), ((k / 65536).cast("long") % 256).cast("string"),
+        F.lit("."), ((k / 256).cast("long") % 256).cast("string"),
+        F.lit("."), (k % 256).cast("string"),
+    )
+    st = TripleStore(
+        cust.select(
+            F.concat(F.lit("c:"), k).alias("s"),
+            F.lit("c#ip").alias("p"),
+            ip.alias("o_lex"),
+            F.lit("iri").alias("o_dt"),
+        )
+    )
+    return run_sparql(
+        st,
+        """
+        SELECT ?c ?ip WHERE {
+          ?c <c#ip> ?ip .
+          FILTER(?ip >= <urn:ipv4:10.0.2.0> && ?ip < <urn:ipv4:10.0.8.0>)
+        } ORDER BY ?c
+        """,
+    )

@@ -86,6 +86,7 @@ _SCORE_FIRST = [
     "rdr_history_service",
     "typed_sum_semantics",
     "typed_open_eq",
+    "inline_uri_ipv4_range",
     # (d) green in CORRECTNESS_r05.
     "agg_distinct",
     "ann_radius",

@@ -883,3 +883,51 @@ def test_unknown_predicate_is_plan_empty(tiny_store, spark):
     p = buf.getvalue()
     assert "LocalTableScan" in p or "EmptyRelation" in p, p
     assert "ExistingRDD" in p or "Scan parquet" not in p
+
+
+def test_inline_uri_value_order(spark):
+    """Inline-URI handlers (ref: internal/InlineURIFactory.java +
+    InlineIPv4URIHandler.java): range FILTERs over urn:ipv4: URIs compare
+    in PACKED value order — "10.9.0.0" sorts below "10.10.0.0" even though
+    lexicographic string order says otherwise; non-handler URIs key to
+    NULL and drop out (type error)."""
+    from blazegraph_database_spark.model.store import TripleStore
+    from blazegraph_database_spark.plans.sparql_parser import run_sparql
+
+    rows = [
+        ("h1", "ex:ip", "urn:ipv4:10.9.0.0", "iri"),
+        ("h2", "ex:ip", "urn:ipv4:10.10.0.0", "iri"),
+        ("h3", "ex:ip", "urn:ipv4:10.200.0.0", "iri"),
+        ("h4", "ex:ip", "ex:not-an-ip", "iri"),
+    ]
+    st = TripleStore(
+        spark.createDataFrame(rows, "s string, p string, o_lex string, o_dt string")
+    )
+    got = {
+        r["s"]
+        for r in run_sparql(
+            st,
+            "SELECT ?s WHERE { ?s <ex:ip> ?ip . "
+            "FILTER(?ip > <urn:ipv4:10.9.0.0> && ?ip < <urn:ipv4:10.199.0.0>) }",
+        ).collect()
+    }
+    assert got == {"h2"}  # 10.10.0.0 is between; lexicographic order would say otherwise
+
+    # extension point: integer handler registered by the app
+    from blazegraph_database_spark.model import inline_uris as IU
+
+    IU.register_inline_uri_handler("ex:v/", "integer")
+    try:
+        rows2 = [(f"n{i}", "ex:n", f"ex:v/{i}", "iri") for i in (2, 10, 30)]
+        st2 = TripleStore(
+            spark.createDataFrame(rows2, "s string, p string, o_lex string, o_dt string")
+        )
+        got2 = {
+            r["s"]
+            for r in run_sparql(
+                st2, "SELECT ?s WHERE { ?s <ex:n> ?v . FILTER(?v >= <ex:v/10>) }"
+            ).collect()
+        }
+        assert got2 == {"n10", "n30"}
+    finally:
+        del IU._HANDLERS["ex:v/"]
