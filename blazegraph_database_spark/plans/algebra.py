@@ -194,11 +194,20 @@ class Filter:
 
 @dataclass(frozen=True)
 class Extend:
-    """BIND(expr AS ?var). Ref: AssignmentNode."""
+    """BIND(expr AS ?var). Ref: AssignmentNode.
+
+    ``conditional``: bind only when ?var is UNBOUND in the row, keep the
+    existing binding otherwise (never filter) — the reference's
+    ConditionalBind semantics for the spec-illegal re-binding of an
+    in-scope var (eval fixtures bindingsWithSubquery03a/b/05; per SPARQL
+    §10.1 such a query is a syntax error, so no spec-compliant query ever
+    takes this path). The parser sets it only when a preceding sibling can
+    bind the target."""
 
     child: Any
     var: str
     expr: Column
+    conditional: bool = False
 
 
 @dataclass(frozen=True)

@@ -1619,6 +1619,11 @@ def _(node: A.Filter, store: TripleStore) -> DataFrame:
 def _(node: A.Extend, store: TripleStore) -> DataFrame:
     child = _compile(node.child, store)
     try:
+        if getattr(node, "conditional", False) and node.var in child.columns:
+            # ConditionalBind (see algebra.Extend): keep existing bindings
+            return child.withColumn(
+                node.var, F.coalesce(F.col(node.var), node.expr)
+            )
         return child.withColumn(node.var, node.expr)
     except AnalysisException as e:
         # Bottom-up semantics: BIND over a variable that can never be bound

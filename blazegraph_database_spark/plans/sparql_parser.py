@@ -1246,7 +1246,11 @@ class Parser:
                     deferred_binds.append((v, e, term_dt, refs))
                 else:
                     base = node if node is not None else _EMPTY
-                    node = A.Extend(base, v, e)
+                    # re-binding an in-scope var is a SPARQL syntax error;
+                    # the reference accepts it with ConditionalBind
+                    # semantics (bind only where unbound, never filter) —
+                    # see algebra.Extend.conditional
+                    node = A.Extend(base, v, e, conditional=v in _maybe_bound(base))
                     if term_dt is not None:  # STRLANG/STRDT: bind the dtype tag
                         node = A.Extend(node, f"{v}__dt", F.lit(term_dt))
             elif self.at_kw("values"):
@@ -1341,7 +1345,7 @@ class Parser:
                 (i for i, t in enumerate(pend) if not (set(t[3]) - placed)), 0
             )
             v, e, term_dt, _refs = pend.pop(idx)
-            out = A.Extend(out, v, e)
+            out = A.Extend(out, v, e, conditional=v in placed)
             if term_dt is not None:
                 out = A.Extend(out, f"{v}__dt", F.lit(term_dt))
             placed.add(v)

@@ -931,3 +931,36 @@ def test_inline_uri_value_order(spark):
         assert got2 == {"n10", "n30"}
     finally:
         del IU._HANDLERS["ex:v/"]
+
+
+def test_conditional_bind_rebinding_in_scope_var(spark):
+    """Re-binding an in-scope var is a SPARQL syntax error; the reference
+    accepts it with ConditionalBind semantics (ref: bigdata/bop/
+    ConditionalBind.java — bind only where unbound, never filter). Rows
+    with ?o bound keep their binding; a row from an OPTIONAL miss gets the
+    BIND value."""
+    from blazegraph_database_spark.model.store import TripleStore
+    from blazegraph_database_spark.plans.sparql_parser import run_sparql
+
+    rows = [
+        ("ex:a", "ex:p", "1", "long"),
+        ("ex:b", "ex:p", "2", "long"),
+        ("ex:a", "ex:q", "x", "string"),
+    ]
+    st = TripleStore(
+        spark.createDataFrame(rows, "s string, p string, o_lex string, o_dt string")
+    )
+    out = {
+        (r["s"], r["o"])
+        for r in run_sparql(
+            st,
+            """
+            SELECT ?s ?o WHERE {
+              ?s <ex:p> ?v .
+              OPTIONAL { ?s <ex:q> ?o }
+              BIND("fallback" AS ?o)
+            }
+            """,
+        ).collect()
+    }
+    assert out == {("ex:a", "x"), ("ex:b", "fallback")}
