@@ -708,3 +708,55 @@ def domain_cap(
     return df.withColumn("domain_rank", F.row_number().over(w)).filter(
         F.col("domain_rank") <= F.lit(cap)
     )
+
+
+def canonical_url(url: Column) -> Column:
+    """URL canonicalization for crawl dedup — the normalize-before-hash
+    step every large-scale web pipeline runs ahead of exact URL dedup.
+    Pure expressions (one codegen pass, no UDF), deterministic, and
+    replayable in ANSI SQL for the oracle. Rules:
+
+      1. trim; drop the #fragment
+      2. lowercase scheme and host; strip a leading "www."
+      3. strip default ports (:80 for http, :443 for https)
+      4. drop tracking params (utm_*, fbclid, gclid, ref) and SORT the
+         survivors for order-insensitive identity
+      5. strip a trailing "/" from the path; drop an empty "?"
+
+    Malformed inputs (no scheme://host) canonicalize to their trimmed
+    form — never NULL, so dedup still groups them consistently."""
+    u = F.regexp_replace(F.trim(url), r"#.*$", "")
+    scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.\-]*)://", 1))
+    host = F.lower(F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)", 1))
+    host = F.regexp_replace(host, r"^www\.", "")
+    host = F.regexp_replace(host, r":(80|443)$", "")
+    tail = F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*([^?#]*)", 1)
+    path = F.regexp_replace(tail, r"/$", "")
+    query = F.regexp_extract(u, r"\?([^#]*)", 1)
+    kept = F.array_sort(
+        F.filter(
+            F.split(query, "&"),
+            lambda kv: (kv != "")
+            & ~kv.rlike(r"^(utm_[A-Za-z0-9_]*|fbclid|gclid|ref)="),
+        )
+    )
+    qs = F.when(F.size(kept) > 0, F.concat(F.lit("?"), F.array_join(kept, "&"))).otherwise(
+        F.lit("")
+    )
+    return F.when(
+        scheme == "", F.trim(url)
+    ).otherwise(F.concat(scheme, F.lit("://"), host, path, qs))
+
+
+def url_dedup(df: DataFrame, url_col: str = "url", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup by canonical URL: one partial-agg shuffle on the
+    canonical form, min-id representative (same discipline as exact text
+    dedup). Returns (canon_url, keep_id, n_dups)."""
+    return (
+        df.select(canonical_url(F.col(url_col)).alias("canon_url"), F.col(id_col))
+        .groupBy("canon_url")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).cast("long").alias("n_dups"),
+        )
+    )

@@ -1539,3 +1539,53 @@ def pipeline_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.round(F.sum("neg_logprob") / F.count(F.lit(1)), 4).alias("avg_logprob"),
     )
+
+
+@register(
+    "url_canonical_dedup",
+    """
+    SELECT 'https://' || source || '.com/p/' || doc_id || '?a=1&b=2' AS canon_url,
+           CAST(doc_id * 2 AS BIGINT) AS keep_id,
+           CAST(2 AS BIGINT) AS n_dups
+    FROM documents
+    UNION ALL
+    SELECT 'not-a-url-' || doc_id, CAST(doc_id * 2 + 1000000 AS BIGINT), CAST(1 AS BIGINT)
+    FROM documents WHERE doc_id % 10 = 0
+    ORDER BY canon_url
+    """,
+)
+def url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + exact URL dedup (round 6) — the
+    normalize-before-hash step ahead of crawl dedup: scheme/host
+    lowercasing, www. and default-port stripping, fragment removal,
+    tracking-param (utm_*/fbclid/gclid/ref) drop, query-param sort,
+    trailing-slash trim — all one codegen expression pass, then one
+    partial-agg shuffle keyed on the canonical form (min-id winner).
+    Two synthesized variants per document (uppercase host + :443 +
+    tracking params + fragment vs. the clean form) must collapse to ONE
+    canonical URL; malformed inputs fall back to trimmed identity. The
+    oracle states the expected canonical forms INDEPENDENTLY (hand-derived
+    truth, not a replay)."""
+    from blazegraph_database_spark.operators import text as T
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "source")
+    v1 = docs.select(
+        (F.col("doc_id") * 2).alias("doc_id"),
+        F.concat(
+            F.lit("HTTPS://WWW."), F.upper("source"), F.lit(".com:443/p/"),
+            (F.col("doc_id")).cast("string"),
+            F.lit("/?utm_source=x&b=2&a=1#frag"),
+        ).alias("url"),
+    )
+    v2 = docs.select(
+        (F.col("doc_id") * 2 + 1).alias("doc_id"),
+        F.concat(
+            F.lit("https://"), F.col("source"), F.lit(".com/p/"),
+            (F.col("doc_id")).cast("string"), F.lit("?a=1&b=2"),
+        ).alias("url"),
+    )
+    v3 = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") * 2 + 1000000).alias("doc_id"),
+        F.concat(F.lit("  not-a-url-"), F.col("doc_id").cast("string"), F.lit("  ")).alias("url"),
+    )
+    return T.url_dedup(v1.unionByName(v2).unionByName(v3)).orderBy("canon_url")

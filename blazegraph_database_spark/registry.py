@@ -87,6 +87,7 @@ _SCORE_FIRST = [
     "typed_sum_semantics",
     "typed_open_eq",
     "inline_uri_ipv4_range",
+    "url_canonical_dedup",
     # (d) green in CORRECTNESS_r05.
     "agg_distinct",
     "ann_radius",

@@ -612,3 +612,19 @@ def test_semantic_dedup_cluster_cap_bounds_pair_stage(spark):
         embs, min_cos=0.999999, target_cluster_size=20
     ).collect()
     assert len(auto) == 60
+
+
+def test_canonical_url_rules(spark):
+    from blazegraph_database_spark.operators import text as T
+
+    cases = [
+        ("HTTPS://WWW.Ex.COM:443/a/b/?utm_source=x&z=1&a=2#f", "https://ex.com/a/b?a=2&z=1"),
+        ("http://ex.com:80/", "http://ex.com"),
+        ("http://ex.com/p?fbclid=123", "http://ex.com/p"),
+        ("http://ex.com/p?gclid=1&ref=tw&keep=v", "http://ex.com/p?keep=v"),
+        ("  plain-text  ", "plain-text"),
+        ("https://sub.www.ex.com/x", "https://sub.www.ex.com/x"),  # only LEADING www. strips
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = [r["c"] for r in df.select(T.canonical_url(F.col("url")).alias("c")).collect()]
+    assert got == [want for _, want in cases]
