@@ -760,3 +760,62 @@ def url_dedup(df: DataFrame, url_col: str = "url", id_col: str = "doc_id") -> Da
             F.count(F.lit(1)).cast("long").alias("n_dups"),
         )
     )
+
+
+def bigram_logprob(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", alpha: float = 1.0
+) -> DataFrame:
+    """Corpus-trained BIGRAM LM score per document (round 6) — one order up
+    from unigram_logprob, the shape of the CCNet/KenLM n-gram perplexity
+    filter, trained on the corpus itself so it is deterministic and
+    SQL-replayable. Per bigram (w1,w2): add-alpha conditional
+    p(w2|w1) = (c(w1 w2) + alpha) / (c_ctx(w1) + alpha * V), with c_ctx
+    counting w1's occurrences AS A CONTEXT (tokens with a successor) and V
+    the unigram vocabulary size; the doc score is the mean -ln p over its
+    bigrams.
+
+    Scale shape: the bigram LM table is |V|² worst-case — far too big to
+    broadcast at corpus scale — so doc-bigram frequencies JOIN the count
+    tables on their keys (hash join, one row per key on the build side =
+    skew-safe); only the two scalar totals (V) ride a broadcast. Documents
+    with fewer than 2 tokens yield no bigrams and no output row.
+
+    Returns (id_col, n_bigrams, neg_logprob)."""
+    toks = df.select(
+        F.col(id_col), F.transform(words(F.col(text_col)), F.lower).alias("ws")
+    )
+    big = toks.select(
+        F.col(id_col),
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("ws"), 1, F.greatest(F.size("ws") - 1, F.lit(0))),
+                F.slice(F.col("ws"), 2, F.greatest(F.size("ws") - 1, F.lit(0))),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("bg"),
+    ).select(id_col, "bg.w1", "bg.w2")
+    bf = big.groupBy(id_col, "w1", "w2").agg(F.count("*").alias("bf"))
+    pair_cnt = big.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    ctx_cnt = big.groupBy("w1").agg(F.count("*").alias("c1"))
+    vsize = (
+        df.select(F.explode(F.transform(words(F.col(text_col)), F.lower)).alias("w"))
+        .agg(F.count_distinct("w").alias("v"))
+    )
+    a = F.lit(float(alpha))
+    return (
+        bf.join(pair_cnt, ["w1", "w2"])
+        .join(ctx_cnt, "w1")
+        .crossJoin(F.broadcast(vsize))
+        .groupBy(id_col)
+        .agg(
+            F.sum("bf").cast("long").alias("n_bigrams"),
+            F.round(
+                F.sum(
+                    F.col("bf")
+                    * -F.log((F.col("c12") + a) / (F.col("c1") + a * F.col("v")))
+                )
+                / F.sum("bf"),
+                4,
+            ).alias("neg_logprob"),
+        )
+    )

@@ -1589,3 +1589,39 @@ def url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("  not-a-url-"), F.col("doc_id").cast("string"), F.lit("  ")).alias("url"),
     )
     return T.url_dedup(v1.unionByName(v2).unionByName(v3)).orderBy("canon_url")
+
+
+@register(
+    "text_bigram_logprob",
+    """
+    WITH toks AS (
+        SELECT doc_id,
+               list_transform(string_split_regex(trim(text), '\\s+'),
+                              x -> lower(x)) AS ws
+        FROM documents WHERE trim(text) != ''
+    ),
+    big AS (
+        SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2
+        FROM toks, UNNEST(range(1, len(ws))) AS t(i)
+    ),
+    bf AS (SELECT doc_id, w1, w2, COUNT(*) AS bf FROM big GROUP BY 1, 2, 3),
+    pair_cnt AS (SELECT w1, w2, COUNT(*) AS c12 FROM big GROUP BY 1, 2),
+    ctx_cnt AS (SELECT w1, COUNT(*) AS c1 FROM big GROUP BY 1),
+    vsize AS (
+        SELECT COUNT(DISTINCT w) AS v FROM (
+            SELECT unnest(ws) AS w FROM toks
+        )
+    )
+    SELECT doc_id, CAST(SUM(bf) AS BIGINT) AS n_bigrams,
+           ROUND(SUM(bf * -ln((c12 + 1.0) / (c1 + 1.0 * v))) / SUM(bf), 4)
+             AS neg_logprob
+    FROM bf JOIN pair_cnt USING (w1, w2) JOIN ctx_cnt USING (w1) CROSS JOIN vsize
+    GROUP BY doc_id
+    """,
+)
+def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained BIGRAM LM document scoring (round 6) — the CCNet/KenLM
+    n-gram perplexity filter shape with add-alpha conditionals; the bigram
+    LM table JOINS (never broadcasts — |V|² at corpus scale), only the
+    scalar vocab size rides a broadcast (operators/text.bigram_logprob)."""
+    return text.bigram_logprob(_docs(spark, sf_dir))

@@ -88,6 +88,7 @@ _SCORE_FIRST = [
     "typed_open_eq",
     "inline_uri_ipv4_range",
     "url_canonical_dedup",
+    "text_bigram_logprob",
     # (d) green in CORRECTNESS_r05.
     "agg_distinct",
     "ann_radius",

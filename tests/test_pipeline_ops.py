@@ -628,3 +628,19 @@ def test_canonical_url_rules(spark):
     df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
     got = [r["c"] for r in df.select(T.canonical_url(F.col("url")).alias("c")).collect()]
     assert got == [want for _, want in cases]
+
+
+def test_bigram_logprob_orders_typicality(spark):
+    """A document made of the corpus's dominant bigram scores lower
+    (more typical) than one of rare transitions; sub-2-token docs vanish."""
+    rows = [
+        (1, "a b a b a b a b"),
+        (2, "a b a b a b a b"),
+        (3, "b a z q"),
+        (4, "x"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in text.bigram_logprob(df).collect()}
+    assert 4 not in out
+    assert out[1]["n_bigrams"] == 7
+    assert out[1]["neg_logprob"] < out[3]["neg_logprob"]
