@@ -507,3 +507,31 @@ def test_fast_range_count_is_metadata_only(spark):
     # a pattern the rewrite must NOT claim: repeated variable (?s ?p ?s)
     p3 = plan_of(run_sparql(st, "SELECT (COUNT(*) AS ?n) WHERE { ?x ?p ?x }"), mode="simple")
     assert "parquet" in p3 or "FileScan" in p3
+
+
+def test_distributed_export_plans_one_shuffle_no_collect(spark):
+    """The distributed writers' fragment stages (VERDICT r5 task 5): the
+    Turtle/TriG subject-block stage and the RDF/XML fragment stage are ONE
+    shuffle (the subject grouping); JSON-LD is two (per-predicate then
+    per-subject, inherent to its nesting). No stage collects to the driver
+    — the part-file writer is mapInPandas + write by construction."""
+    from pyspark.sql import functions as F
+
+    from blazegraph_database_spark.sources import rdf_writers as W
+
+    df = spark.range(100).select(
+        F.concat(F.lit("http://ex/s"), (F.col("id") % 10)).alias("s"),
+        F.lit("http://ex/ns#v").alias("p"),
+        F.col("id").cast("string").alias("o_lex"),
+        F.lit("long").alias("o_dt"),
+        F.concat(F.lit("http://ex/g"), F.col("id") % 3).alias("g"),
+    )
+    pfx = {"ex": "http://ex/ns#"}
+    ttl = plan_of(W._ttl_subject_blocks(df.drop("g"), pfx), "simple")
+    assert ttl.count("Exchange") - ttl.count("BroadcastExchange") == 1
+    trig = plan_of(W._ttl_subject_blocks(df, pfx, extra_group=("g",)), "simple")
+    assert trig.count("Exchange") - trig.count("BroadcastExchange") == 1
+    xml = plan_of(W.rdfxml_fragments(df.drop("g")), "simple")
+    assert xml.count("Exchange") - xml.count("BroadcastExchange") == 1
+    jld = plan_of(W.jsonld_nodes(df.drop("g")), "simple")
+    assert jld.count("Exchange") - jld.count("BroadcastExchange") == 2
