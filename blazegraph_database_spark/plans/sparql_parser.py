@@ -898,10 +898,18 @@ class Parser:
             if kw in AGGS:
                 # hoist: the aggregate is computed under a generated alias at
                 # the Group node; the surrounding expression sees the alias
-                _, col = self._agg_call()
+                start = self.i
+                name, col = self._agg_call()
                 alias = f"__agg{self._agg_counter}"
                 self._agg_counter += 1
                 self._pending_aggs.append((alias, col))
+                # dt_mode companion when the aggregate IS the whole bound
+                # expression (same span contract as STRLANG/STRDT): COUNT
+                # yields xsd:integer, SUM/AVG numeric (ref: the typed-IV
+                # aggregates produce typed results, AggregateBase)
+                if name in ("count", "sum", "avg"):
+                    self._pending_term_dt = "long" if name == "count" else "double"
+                    self._pending_term_dt_span = (start, self.i)
                 return F.col(alias)
             if kw in ("SUBSTR", "REPLACE"):
                 # variable arity: SUBSTR(x, start[, len]), REPLACE(x, pat, rep)
@@ -1706,6 +1714,8 @@ class Parser:
                         # aliases at the Group; v binds after it
                         hidden_aggs.extend(self._pending_aggs)
                         post_binds.append((v, e))
+                        if term_dt is not None:  # aggregate result dtype
+                            post_binds.append((f"{v}__dt", F.lit(term_dt)))
                     else:
                         binds.append((v, e))
                         if term_dt is not None:  # STRLANG/STRDT companion
