@@ -66,9 +66,14 @@ def _docs_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     per lookup."""
     key = (id(spark), sf_dir)
     if key not in _FT_IDX_CACHE:
-        _FT_IDX_CACHE[key] = fulltext.inverted_index(
-            spark.read.parquet(f"{sf_dir}/documents.parquet")
-        ).localCheckpoint(eager=True)
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        # a small corpus arrives as ONE parquet split — fan the tokenize
+        # stage out before the explode or the whole build runs one-core
+        # (at real scale the input has thousands of splits and this no-ops)
+        par = spark.sparkContext.defaultParallelism
+        if docs.rdd.getNumPartitions() < par:
+            docs = docs.repartition(par)
+        _FT_IDX_CACHE[key] = fulltext.inverted_index(docs).localCheckpoint(eager=True)
     return _FT_IDX_CACHE[key]
 
 
