@@ -1,0 +1,175 @@
+"""Manifest-driven sweep of the reference's OWN TestHelper fixtures.
+
+The reference wires hundreds of eval fixtures through Java calls
+``new TestHelper(testURI, queryFile, dataFile(s), resultFile)`` where the
+data file's name differs from the query's — cases the same-name harness
+(test_reference_sparql11_fixtures) can never discover. This module parses
+every TestHelper invocation out of the bundled Java test sources (read in
+place from the read-only checkout), keeps the cases whose files exist and
+that the same-name harness does NOT already run, and executes each query
+against its declared data, comparing solution multisets under the same
+contract as the sibling harness.
+
+Java-side store/config-dependent families (geospatial datatype config,
+pipelined-hash-join-specific instrumentation, analytic-mode memory
+managers) are listed with reasons below rather than silently skipped.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import re
+
+import pytest
+
+from blazegraph_database_spark.model.store import TripleStore
+from blazegraph_database_spark.operators.service import parse_srx
+from blazegraph_database_spark.plans.sparql_parser import run_sparql
+from blazegraph_database_spark.sources import ntriples, rdf_formats
+
+EVAL = (
+    "/root/reference/bigdata-rdf-test/src/test/java/com/bigdata/rdf/sparql/ast/eval"
+)
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(EVAL), reason="reference fixture dir not present"
+)
+
+_HELPER_RX = re.compile(r"new\s+TestHelper\s*\((.*?)\)\s*(?:\.runTest|,)", re.S)
+_STR_RX = re.compile(r'"([^"]*)"')
+_ARR_RX = re.compile(r"new\s+String\s*\[\s*\]\s*\{([^}]*)\}", re.S)
+
+
+def _manifest():
+    """(case_id, rq, (data,...), srx) for every TestHelper call whose files
+    exist, minus the same-name cases the sibling harness already runs."""
+    if not os.path.isdir(EVAL):
+        return []
+    seen, out = set(), []
+    for jf in sorted(glob.glob(f"{EVAL}/*.java") + glob.glob(f"{EVAL}/*/*.java")):
+        txt = open(jf, errors="replace").read()
+        for m in _HELPER_RX.finditer(txt):
+            body = re.sub(r"//[^\n]*", "", m.group(1))
+            arr = _ARR_RX.search(body)
+            datafiles = _STR_RX.findall(arr.group(1)) if arr else None
+            if arr:
+                body = _ARR_RX.sub('"__ARR__"', body)
+            args = _STR_RX.findall(body)
+            if len(args) < 4:
+                continue
+            _, rq, data, srx = args[0], args[1], args[2], args[3]
+            data = tuple(datafiles) if data == "__ARR__" else (data,)
+            if not data or not rq.endswith(".rq") or not srx.endswith(".srx"):
+                continue
+            if not (
+                os.path.exists(f"{EVAL}/{rq}")
+                and os.path.exists(f"{EVAL}/{srx}")
+                and all(os.path.exists(f"{EVAL}/{d}") for d in data)
+            ):
+                continue
+            base = rq[:-3]
+            if (
+                len(data) == 1
+                and data[0] in (base + ".ttl", base + ".trig")
+                and srx == base + ".srx"
+            ):
+                continue  # same-name harness covers it
+            key = (rq, data, srx)
+            if key in seen:
+                continue
+            seen.add(key)
+            case_id = f"{os.path.basename(jf)[:-5]}:{base}"
+            out.append(pytest.param(rq, data, srx, id=case_id))
+    return out
+
+
+def _load(spark, datafiles):
+    dfs = []
+    for d in datafiles:
+        p = f"{EVAL}/{d}"
+        if d.endswith(".trig"):
+            dfs.append(rdf_formats.read_trig(spark, p))
+        elif d.endswith(".nt"):
+            dfs.append(ntriples.read_ntriples(spark, p))
+        else:  # .ttl / .n3 (turtle-compatible subset)
+            dfs.append(rdf_formats.read_turtle(spark, p))
+    out = dfs[0]
+    for x in dfs[1:]:
+        if "g" in out.columns and "g" not in x.columns:
+            from pyspark.sql import functions as F
+
+            x = x.withColumn("g", F.lit(None).cast("string"))
+        if "g" in x.columns and "g" not in out.columns:
+            from pyspark.sql import functions as F
+
+            out = out.withColumn("g", F.lit(None).cast("string"))
+        out = out.unionByName(x)
+    return out.distinct()
+
+
+def _norm_cell(v) -> str:
+    if v is None:
+        return ""
+    s = str(v)
+    if s.startswith("_:"):
+        return "_:b"
+    try:
+        return repr(float(s))
+    except ValueError:
+        return s
+
+
+# Families this harness cannot reproduce from the (rq, data, srx) triple
+# alone — each needs Java-side store configuration. Kept visible.
+_CONFIG_BOUND_FILES = {
+    # geospatial fixtures configure custom N-dim datatypes on the store
+    # (GeoSpatialConfig options in the Java test's properties)
+    "TestGeoSpatialCorrectRejection",
+    "TestGeoSpatialCustomFields",
+    "TestGeoSpatialQueryVaryOneDimension",
+    "TestGeoSpatialServiceEvaluation",
+    "TestGeoSpatialServiceConfiguration",
+    "TestGeoSpatialQueryIfGeospatialDisabled",
+    "TestGeoSpatialDefaults",
+    "TestGeoSpatialDisableBuiltinDatatypes",
+    "TestGeoSpatialExamplesFromDocumentation",
+    "TestGeoSpatialSpecialCases",
+}
+
+
+@pytest.mark.parametrize("rq,data,srx", _manifest())
+def test_reference_manifest_fixture(spark, rq, data, srx, request):
+    jf = request.node.callspec.id.split(":")[0]
+    if jf in _CONFIG_BOUND_FILES:
+        pytest.skip("Java test configures store-level geospatial datatypes")
+    if jf in _DIVERGENT_FILES:
+        pytest.xfail(_DIVERGENT_FILES[jf])
+    case = request.node.callspec.id
+    if case in _DIVERGENT:
+        pytest.xfail(_DIVERGENT[case])
+    query = open(f"{EVAL}/{rq}").read()
+    if re.search(r"(?i)\bSERVICE\s*<http", query):
+        pytest.skip("needs a live remote SPARQL endpoint")
+    expected = parse_srx(open(f"{EVAL}/{srx}").read())
+    st = TripleStore(_load(spark, data))
+    got_df = run_sparql(st, query)
+    if got_df is True or got_df is False:  # ASK
+        want = "<boolean>true</boolean>" in open(f"{EVAL}/{srx}").read()
+        assert got_df == want
+        return
+    varnames = [c for c in got_df.columns if not c.endswith("__dt")]
+    got = [{v: r[v] for v in varnames} for r in got_df.collect()]
+    assert len(got) == len(expected), (len(got), len(expected))
+    ordered = re.search(r"(?i)\bORDER\s+BY\b", query.rsplit("}", 1)[-1]) is not None
+    g = ["|".join(_norm_cell(r.get(v)) for v in varnames) for r in got]
+    e = ["|".join(_norm_cell(r.get(v)) for v in varnames) for r in expected]
+    if not ordered:
+        g, e = sorted(g), sorted(e)
+    assert g == e, (g[:5], e[:5])
+
+
+# Per-case documented divergences (filled by triage below).
+_DIVERGENT: dict[str, str] = {}
+# Whole-file divergences.
+_DIVERGENT_FILES: dict[str, str] = {}
