@@ -112,3 +112,38 @@ def test_rto_bar_q1(spark):
     st = TripleStore(rdf_formats.read_trig(spark, BARDATA))
     got = run_sparql(st, q).collect()
     assert [str(got[0]["count"])] == exp
+
+
+LUBMDATA = (
+    "/root/reference/bigdata-rdf-test/src/test/resources/data/lehigh/"
+    "LUBM-U1.rdf.gz"
+)
+
+
+@pytest.mark.skipif(not os.path.exists(LUBMDATA), reason="LUBM data not present")
+def test_rto_lubm_queries(spark):
+    """The reference's RTO LUBM fixtures (TestRTO_LUBM.java: LUBM-Q2/Q8/Q9
+    over the bundled 145k-triple LUBM-U1 dataset, gzipped RDF/XML) — the
+    RDF/XML reader ingests the real dataset and each query's solution
+    multiset matches the bundled .srx exactly. (BSBM RTO fixtures need
+    dataset_pc100.nt, absent from the checkout; FOAF queries are inline
+    Java, no .rq.)"""
+    from blazegraph_database_spark.operators.service import parse_srx
+
+    st = TripleStore(rdf_formats.read_rdfxml(spark, LUBMDATA).cache())
+
+    def norm(rows, varnames):
+        out = []
+        for r in rows:
+            get = r.get if isinstance(r, dict) else (lambda v, _r=r: _r[v])
+            cells = [get(v) for v in varnames]
+            out.append("|".join("" if c is None else str(c) for c in cells))
+        return sorted(out)
+
+    for q in ("LUBM-Q2", "LUBM-Q8", "LUBM-Q9"):
+        text = open(os.path.join(RTODIR, f"{q}.rq")).read()
+        exp = parse_srx(open(os.path.join(RTODIR, f"{q}.srx")).read())
+        got_df = run_sparql(st, text)
+        varnames = [c for c in got_df.columns if not c.endswith("__dt")]
+        got = [{v: r[v] for v in varnames} for r in got_df.collect()]
+        assert norm(got, varnames) == norm(exp, varnames), q
