@@ -1604,15 +1604,46 @@ def _(node: A.Filter, store: TripleStore) -> DataFrame:
         # Bottom-up semantics (ref: ast/optimizers/ASTBottomUpOptimizer.java):
         # a FILTER referencing a variable that is not bound anywhere in its
         # group's scope — e.g. { ?s <p> ?v . { FILTER(?v > 0) } } — sees that
-        # variable as unbound for EVERY solution; the comparison is then a
-        # type error for every row, so the filter eliminates all of them.
-        # Spark surfaces the never-in-scope case as an unresolved column;
-        # map it to the spec's empty result. Internal (__-prefixed) columns
-        # are compiler plumbing, never user variables — re-raise those so a
-        # genuine compiler bug stays loud.
+        # variable as UNBOUND for every solution. Spark surfaces the
+        # never-in-scope case as an unresolved column; substitute NULL for
+        # it and re-apply: comparisons then yield NULL (row dropped, the
+        # spec's type error) while BOUND()/COALESCE see the unbound var
+        # correctly (fixture bindingsAndBottomUp03a: FILTER(!bound(?s))
+        # inside a group that can never bind ?s keeps every row). Internal
+        # (__-prefixed) columns are compiler plumbing, never user variables
+        # — re-raise those so a genuine compiler bug stays loud.
         if "UNRESOLVED_COLUMN" in str(e) and "`__" not in str(e).split("SQLSTATE")[0]:
-            return child.limit(0)
+            padded, added = _pad_unresolved(child, node.condition, e)
+            if padded is not None:
+                return padded.filter(node.condition).drop(*added)
         raise
+
+
+def _pad_unresolved(child: DataFrame, expr, first_err) -> tuple:
+    """Resolve an expression over columns Spark reports as UNRESOLVED by
+    adding them as NULL string columns (the SPARQL reading: a variable no
+    sibling can bind is unbound in every solution). Returns (padded_df,
+    added_names) or (None, ()) when the unresolved name is internal or
+    nothing converges within the bound."""
+    import re as _re
+
+    rx = _re.compile(r"name `([^`]+)` cannot be resolved")
+    df, added, err = child, [], first_err
+    for _ in range(8):
+        m = rx.search(str(err).split("SQLSTATE")[0])
+        if not m or m.group(1).startswith("__") or m.group(1) in df.columns:
+            return None, ()
+        name = m.group(1)
+        df = df.withColumn(name, F.lit(None).cast("string"))
+        added.append(name)
+        try:
+            df.select(expr)  # analysis probe: any more missing columns?
+            return df, added
+        except AnalysisException as nxt:
+            if "UNRESOLVED_COLUMN" not in str(nxt):
+                return None, ()
+            err = nxt
+    return None, ()
 
 
 @_compile.register
@@ -1620,19 +1651,66 @@ def _(node: A.Extend, store: TripleStore) -> DataFrame:
     child = _compile(node.child, store)
     try:
         if getattr(node, "conditional", False) and node.var in child.columns:
-            # ConditionalBind (see algebra.Extend): keep existing bindings
-            return child.withColumn(
-                node.var, F.coalesce(F.col(node.var), node.expr)
-            )
+            return _conditional_bind(child, node.var, node.expr)
         return child.withColumn(node.var, node.expr)
     except AnalysisException as e:
-        # Bottom-up semantics: BIND over a variable that can never be bound
-        # in scope errors for every row — per SPARQL the row SURVIVES with
-        # the target variable unbound (errors in Extend bind nothing).
-        # Same guard discipline as A.Filter above.
+        # Bottom-up semantics: BIND over a never-in-scope variable sees it
+        # as NULL — the expression evaluates with the unbound var (BOUND ->
+        # false, comparisons -> NULL = the target stays unbound), same
+        # substitution discipline as A.Filter above.
         if "UNRESOLVED_COLUMN" in str(e) and "`__" not in str(e).split("SQLSTATE")[0]:
+            padded, added = _pad_unresolved(child, node.expr, e)
+            if padded is not None:
+                return padded.withColumn(node.var, node.expr).drop(*added)
             return child.withColumn(node.var, F.lit(None).cast("string"))
         raise
+
+
+def _conditional_bind(child: DataFrame, var: str, expr) -> DataFrame:
+    """ConditionalBind (ref: internal/constraints/ConditionalBind.java:160 —
+    `return (val.equals(existing)) ? val : null`, the null failing the
+    solution through BindingConstraint): BIND onto an already-in-scope var
+    binds where UNBOUND and otherwise acts as an EQUALITY CONSTRAINT —
+    solutions whose existing binding differs from (or is incomparable
+    with) the value are dropped. Spec-illegal input (SPARQL §10.1 calls
+    re-binding a syntax error), so no spec-compliant query takes this
+    path; fixtures ticket-1007-* / bindingsWithSubquery03b/05 pin it.
+
+    Equality is TYPED when the var carries a `__dt` companion (same
+    open-world rules as _typed_eq: resources and lang-tagged literals are
+    decidable, numerics compare by value, plain-vs-typed is a type error →
+    drop); lexical otherwise (the engine's documented default)."""
+    existing = F.col(var)
+    vs = expr.cast("string")
+    if f"{var}__dt" in child.columns:
+        adt = F.coalesce(F.col(f"{var}__dt"), F.lit("string"))
+        vt = child.select(expr.alias("__v")).schema[0].dataType.simpleString()
+        is_res = adt.isin("iri", "bnode", "sid")
+        is_lang = adt.startswith("lang:")
+        err = F.lit(None).cast("boolean")
+        if vt in ("int", "bigint", "smallint", "tinyint", "double", "float", "decimal"):
+            an = existing.try_cast("double")
+            eq = (
+                F.when(is_res | is_lang, F.lit(False))
+                .when(adt.isin("long", "double") & an.isNotNull(), an == expr.cast("double"))
+                .otherwise(err)  # plain/unknown/invalid vs numeric: type error
+            )
+        elif vt == "boolean":
+            eq = (
+                F.when(adt == "boolean", existing == vs)
+                .when(is_res | is_lang, F.lit(False))
+                .otherwise(err)
+            )
+        else:  # string-valued expression (plain literal or IRI-producing)
+            eq = (
+                F.when(is_res | is_lang, F.lit(False))
+                .when(adt == "string", existing == vs)
+                .otherwise(err)  # typed/unknown vs plain: type error
+            )
+    else:
+        eq = existing == vs
+    keep = existing.isNull() | eq
+    return child.filter(keep).withColumn(var, F.coalesce(existing, vs))
 
 
 @_compile.register

@@ -1017,6 +1017,26 @@ class Parser:
             # has no avg_distinct built-in but the quotient is exact
             col = F.sum_distinct(fn.num(arg)) / F.count_distinct(fn.num(arg))
         elif (
+            self.dt_mode and name in ("MIN", "MAX") and _bare_var(arg) is not None
+        ):
+            # SPARQL ORDER BY term ordering for MIN/MAX under dt tracking
+            # (ref: TestTickets aggregate-min/max fixtures + the IV total
+            # order): unbound < bnodes < IRIs < literals; numeric literals
+            # compare by VALUE. min_by/max_by over a rank struct keeps the
+            # whole thing one map-side-combining aggregate.
+            v = _bare_var(arg)
+            x = F.col(v)
+            xdt = F.coalesce(F.col(f"{v}__dt"), F.lit("string"))
+            rank = (
+                # unbound never wins: rank it past the losing end per side
+                F.when(x.isNull(), F.lit(-1 if name == "MAX" else 3))
+                .when(xdt == "bnode", F.lit(0))
+                .when(xdt.isin("iri", "sid"), F.lit(1))
+                .otherwise(F.lit(2))
+            )
+            key = F.struct(rank, x.try_cast("double"), x)
+            col = F.max_by(x, key) if name == "MAX" else F.min_by(x, key)
+        elif (
             self.dt_mode and name in ("SUM", "AVG") and _bare_var(arg) is not None
         ):
             # Typed aggregate semantics under dt tracking (SPARQL 1.1 §18.5 /
@@ -1893,7 +1913,14 @@ class Parser:
         # plain Filter after the post-Group extends so it can reference both
         # SELECT aliases (?avg) and hoisted aggregates (COUNT(*) > n).
         if trailing_values is not None:
-            node = A.Values(trailing_values.rows, child=node)
+            # the reference's grammar maps the trailing VALUES onto the SAME
+            # BindingsClause as the draft BINDINGS keyword, so it takes
+            # INITIAL-solution semantics there (rows feed INTO evaluation and
+            # scope inside OPTIONAL's left side) rather than the
+            # recommendation's end-join — its bindingsAndBottomUp fixtures
+            # pin the difference (`OPTIONAL { ?s ?p ?o } VALUES ?s { 1 }`
+            # keeps s=1 when the optional misses). Matching the reference.
+            initial_bindings = list(trailing_values.rows)
         if initial_bindings is not None:
 
             def _inject(n):

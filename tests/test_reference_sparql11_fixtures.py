@@ -256,18 +256,15 @@ _ENV_BOUND = {
 # each is a deliberate design difference or a fixture that encodes the
 # reference's own implementation detail, kept VISIBLE here, not hidden.
 _DIVERGENT = {
-    # ConditionalBind (bind-only-when-unbound, never filter) IS implemented
-    # for the spec-illegal re-binding of an in-scope var
-    # (algebra.Extend.conditional; ref: bigdata/bop/ConditionalBind.java).
-    # These three remain divergent on the reference's OPTIMIZER PLACEMENT
-    # artifacts layered on top: its pipeline dedups sub-SELECT solutions on
-    # the hash join (03a expects 2 rows where multiset join semantics give
-    # 4) and hoists the constant BIND ahead of the statement pattern only
-    # when a non-trivial subquery leads the group (03b/05) — join-order
-    # artifacts, not value semantics.
-    "bindingsWithSubquery03a": "reference dedups sub-SELECT solutions on the join",
-    "bindingsWithSubquery03b": "reference hoists constant BIND ahead of the pattern",
-    "bindingsWithSubquery05": "reference hoists constant BIND ahead of the pattern",
+    # ConditionalBind IS implemented with the reference's equal-or-fail
+    # semantics for the spec-illegal re-binding of an in-scope var
+    # (compiler._conditional_bind; ref: internal/constraints/
+    # ConditionalBind.java:160 — fixtures ticket-1007-* and
+    # bindingsWithSubquery03b/05 pass). 03a alone stays divergent: the
+    # reference's expected set keeps BOTH original ?o values (its
+    # optimizer drops/decorrelates the assignment around the trivial
+    # sub-SELECT), which contradicts ConditionalBind's own contract.
+    "bindingsWithSubquery03a": "reference optimizer bypasses ConditionalBind here",
     # subquery variable shadowing is implemented (fresh graph slots pushed
     # by identity through subquery boundaries; see compiler._push_graph) —
     # additional1/3/5/6, subquery03 and ticket_832c now match exactly.

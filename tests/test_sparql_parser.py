@@ -935,10 +935,11 @@ def test_inline_uri_value_order(spark):
 
 def test_conditional_bind_rebinding_in_scope_var(spark):
     """Re-binding an in-scope var is a SPARQL syntax error; the reference
-    accepts it with ConditionalBind semantics (ref: bigdata/bop/
-    ConditionalBind.java — bind only where unbound, never filter). Rows
-    with ?o bound keep their binding; a row from an OPTIONAL miss gets the
-    BIND value."""
+    accepts it with ConditionalBind semantics (ref: internal/constraints/
+    ConditionalBind.java:160 — bind where unbound; where bound, the value
+    must EQUAL the existing binding or the solution fails). The row whose
+    ?o is bound to a different value is dropped; the OPTIONAL-miss row
+    gets the BIND value."""
     from blazegraph_database_spark.model.store import TripleStore
     from blazegraph_database_spark.plans.sparql_parser import run_sparql
 
@@ -963,4 +964,4 @@ def test_conditional_bind_rebinding_in_scope_var(spark):
             """,
         ).collect()
     }
-    assert out == {("ex:a", "x"), ("ex:b", "fallback")}
+    assert out == {("ex:b", "fallback")}  # ex:a bound to "x" != "fallback" -> dropped
