@@ -1538,6 +1538,62 @@ def _service_var_join(store: TripleStore, ldf: DataFrame, svc: "A.Service") -> D
     return ldf.join(out, on=shared)
 
 
+def _definite_vars(n) -> set[str]:
+    """Vars bound in EVERY solution a node yields (static, conservative).
+    Drives the join-strategy choice below: a shared var that is definitely
+    bound on both sides joins with a plain equality (hash join); one that
+    can be NULL needs SPARQL compatibility (unbound matches anything,
+    merged value = coalesce). Being conservative only costs the fallback
+    path, never correctness."""
+    if n is None:
+        return set()
+    if isinstance(n, (A.SP, A.Emb)):
+        out = {p.name for p in (n.s, n.p, n.o) if isinstance(p, Var)}
+        g = getattr(n, "g", None)
+        if isinstance(g, Var):
+            out.add(g.name)
+        return out
+    if isinstance(n, A.BGP):
+        return set().union(*(_definite_vars(p) for p in n.patterns)) if n.patterns else set()
+    if isinstance(n, A.PathPattern):
+        out = {p.name for p in (n.s, n.o) if isinstance(p, Var)}
+        if isinstance(n.g, Var):
+            out.add(n.g.name)
+        return out
+    if isinstance(n, A.Join):
+        return _definite_vars(n.left) | _definite_vars(n.right)
+    if isinstance(n, A.LeftJoin):
+        return _definite_vars(n.left)  # right side may be all-unbound
+    if isinstance(n, A.Union2):
+        return _definite_vars(n.left) & _definite_vars(n.right)
+    if isinstance(n, A.Minus):
+        return _definite_vars(n.left)
+    if isinstance(n, (A.Filter, A.Distinct, A.OrderBy, A.Slice, A.Exists)):
+        return _definite_vars(n.child)
+    if isinstance(n, A.Project):
+        return _definite_vars(n.child) & set(n.vars)
+    if isinstance(n, A.Extend):
+        return _definite_vars(n.child)  # the bound expr may error -> unbound
+    if isinstance(n, A.Values):
+        keys = None
+        for row in n.rows:
+            bound = {k for k, v in row.items() if v is not None}
+            keys = bound if keys is None else (keys & bound)
+        keys = keys or set()
+        return keys | _definite_vars(n.child) if n.child is not None else keys
+    if isinstance(n, A.Group):
+        return {k for k in n.keys if isinstance(k, str)}
+    if isinstance(n, A.GraphScope):
+        out = _definite_vars(n.child)
+        if isinstance(n.g, Var):
+            out.add(n.g.name)
+        return out
+    child = getattr(n, "child", None)
+    if child is not None and hasattr(child, "__dataclass_fields__"):
+        return _definite_vars(child)
+    return set()
+
+
 @_compile.register
 def _(node: A.LeftJoin, store: TripleStore) -> DataFrame:
     if _is_label_service(node.right) and node.condition is None:
@@ -1553,15 +1609,34 @@ def _(node: A.LeftJoin, store: TripleStore) -> DataFrame:
     l, r = _compile(node.left, store), _compile(node.right, store)
     shared = sorted(set(l.columns) & set(r.columns))
     if not shared and node.condition is None:
-        return l.crossJoin(r)  # degenerate OPTIONAL
+        # degenerate OPTIONAL: a LEFT join on TRUE, not a crossJoin — the
+        # left rows must survive an EMPTY right side with the right's vars
+        # unbound (ticket_933a: OPTIONAL over a group the ConditionalBind
+        # emptied still yields the unit row)
+        return l.join(r, on=F.lit(True), how="left")
     # Rename shared vars on the right; the join condition equates them, so a
     # condition written against the original names resolves to the left copy.
+    # A shared var the LEFT may leave NULL takes SPARQL compatibility
+    # semantics instead of equality (unbound matches anything; the merged
+    # solution takes the right's value — ticket_1071 fixtures): the plan
+    # cost is real (the OR disables the hash join), so the static
+    # definitely-bound analysis keeps every always-bound var on the
+    # equi-join fast path.
+    l_def = _definite_vars(node.left)
+    r_def = _definite_vars(node.right)
     r2 = r
     for v in shared:
         r2 = r2.withColumnRenamed(v, f"__r_{v}")
     cond = None
+    merged = []
     for v in shared:
         c = l[v] == r2[f"__r_{v}"]
+        if v not in l_def:
+            c = l[v].isNull() | c
+            merged.append(v)
+        if v not in r_def:
+            c = c | r2[f"__r_{v}"].isNull()
+            merged.append(v)
         cond = c if cond is None else (cond & c)
     if node.condition is not None:
         cond = node.condition if cond is None else (cond & node.condition)
@@ -1577,6 +1652,8 @@ def _(node: A.LeftJoin, store: TripleStore) -> DataFrame:
             out = l.join(r2, on=F.lit(False), how="left")
         else:
             raise
+    for v in set(merged):
+        out = out.withColumn(v, F.coalesce(F.col(v), F.col(f"__r_{v}")))
     return out.drop(*[f"__r_{v}" for v in shared])
 
 
@@ -1592,7 +1669,24 @@ def _(node: A.Minus, store: TripleStore) -> DataFrame:
     shared = sorted(set(l.columns) & set(r.columns))
     if not shared:
         return l  # SPARQL MINUS with disjoint domains removes nothing
-    return l.join(r.select(*shared).distinct(), on=shared, how="left_anti")
+    if all(v in _definite_vars(node.left) and v in _definite_vars(node.right) for v in shared):
+        # every shared var bound on both sides: plain hash anti-join
+        return l.join(r.select(*shared).distinct(), on=shared, how="left_anti")
+    # PER-ROW domain semantics (§18.5 Minus; ticket_bg852a): μ1 is removed
+    # when some μ2 agrees on every shared var EITHER binds (compatibility)
+    # AND they share at least one BOUND-on-both var (disjoint-domain pairs
+    # remove nothing). Unbound-able shared vars force the general condition.
+    rs = r.select(*shared).distinct()
+    r2 = rs
+    for v in shared:
+        r2 = r2.withColumnRenamed(v, f"__m_{v}")
+    compat, overlap = None, None
+    for v in shared:
+        c = F.col(v).isNull() | F.col(f"__m_{v}").isNull() | (F.col(v) == F.col(f"__m_{v}"))
+        compat = c if compat is None else (compat & c)
+        o = F.col(v).isNotNull() & F.col(f"__m_{v}").isNotNull()
+        overlap = o if overlap is None else (overlap | o)
+    return l.join(r2, on=compat & overlap, how="left_anti")
 
 
 @_compile.register
@@ -1829,7 +1923,9 @@ def _(node: A.Exists, store: TripleStore) -> DataFrame:
         break
     sub = _compile(pattern, store)
     shared = sorted(set(child.columns) & set(sub.columns))
-    if not hoisted:
+    c_def = _definite_vars(node.child)
+    nullable = [v for v in shared if v not in c_def]
+    if not hoisted and not nullable:
         if not shared:
             # uncorrelated [NOT] EXISTS: a pure boolean gate — keep every
             # child row iff the pattern has any solution (none, under NOT).
@@ -1844,6 +1940,11 @@ def _(node: A.Exists, store: TripleStore) -> DataFrame:
     cond = None
     for v in shared:
         c = child[v] == F.col(f"__r_{v}")
+        if v in nullable:
+            # substitution semantics with an UNBOUND outer var: the
+            # substituted pattern leaves it free, so it matches anything
+            # (ticket_blzg_1284: NOT EXISTS over an OPTIONAL-bound var)
+            c = child[v].isNull() | c
         cond = c if cond is None else cond & c
     for h in hoisted:
         cond = h if cond is None else cond & h
@@ -2250,13 +2351,17 @@ def _(node: A.GraphScope, store: TripleStore) -> DataFrame:
     # the reference resolves every GRAPH term against the full quad store).
     base = getattr(store, "parent_quads", None) or store
     if not base.has_graphs:
-        # SPARQL dataset semantics: with ZERO named graphs a GRAPH pattern
-        # has zero solutions — not an error (a triples-only store is a
-        # dataset whose named-graph set is empty)
-        out = _compile(node.child, store).limit(0)
-        if isinstance(node.g, Var) and node.g.name not in out.columns:
-            out = out.withColumn(node.g.name, F.lit(None).cast("string"))
-        return out
+        if isinstance(node.g, Var):
+            # TRIPLES-MODE parity (ref: ticket_bg1760 — the reference's
+            # triples-mode evaluation treats GRAPH ?g as the plain pattern
+            # with ?g unbound; there is no quad index to scope by)
+            out = _compile(node.child, store)
+            if node.g.name not in out.columns:
+                out = out.withColumn(node.g.name, F.lit(None).cast("string"))
+            return out
+        # constant graph: with ZERO named graphs the pattern has zero
+        # solutions (a triples-only store's named-graph set is empty)
+        return _compile(node.child, store).limit(0)
     dn = getattr(store, "dataset_named", None)
     if dn is None and base is not store:
         dn = getattr(base, "dataset_named", None)

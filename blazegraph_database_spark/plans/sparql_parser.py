@@ -49,6 +49,10 @@ DEFAULT_PREFIXES = {
     "hint": HINT_NS,
     "bd": "http://www.bigdata.com/rdf#",
     "bds": "http://www.bigdata.com/rdf/search#",
+    # not in the reference's query-side defaultDecls, but its data loader
+    # resolves skos: in fixture files that never declare it
+    # (ticket_blzg_1284.trig) — seed it as a fallback; explicit decls win
+    "skos": "http://www.w3.org/2004/02/skos/core#",
 }
 
 # ----------------------------------------------------------------- lexer --
@@ -948,7 +952,11 @@ class Parser:
                     for _ in range(arity - 1):
                         self.eat_op(",")
                         # string-literal args pass through as python strings
-                        if self.peek().kind == "STRING":
+                        # for the pattern/fragment-style functions; SAMETERM
+                        # compares TERMS, so its literal must stay a literal
+                        # Column (fn._c reads a bare str as a column NAME —
+                        # ticket_blzg_1331: sameTerm(?tmp, "val"))
+                        if self.peek().kind == "STRING" and kw != "SAMETERM":
                             args.append(self.term().lex)
                         else:
                             args.append(self.expr())
@@ -1227,7 +1235,10 @@ class Parser:
             elif self.at_kw("minus"):
                 self.next()
                 right = self.group_graph_pattern()
-                node = A.Minus(node, right)
+                # leading MINUS: Minus({unit}, P) keeps the unit solution
+                # (dom(mu0) is empty — disjoint domains remove nothing),
+                # so the following siblings join against it (ticket_bg1627b)
+                node = A.Minus(node if node is not None else _EMPTY, right)
             elif self.at_kw("bind"):
                 self.next()
                 self.eat_op("(")
@@ -1245,7 +1256,17 @@ class Parser:
                     continue
                 self._pending_term_dt = None
                 e_start = self.i
+                n_flags = len(self._exists_flags)
                 e = self.expr()
+                # expression-level EXISTS inside THIS BIND: its flag must
+                # bind BEFORE the Extend that consumes it (ticket_bg1267:
+                # BIND(EXISTS {...} AS ?hasB)); group-end wrapping would
+                # leave the flag unresolved at the Extend
+                for fv, neg, pat in self._exists_flags[n_flags:]:
+                    node = A.ExistsFlag(
+                        node if node is not None else _EMPTY, pat, fv, negate=neg
+                    )
+                del self._exists_flags[n_flags:]
                 term_dt = (
                     self._pending_term_dt
                     if self._pending_term_dt_span == (e_start, self.i)
@@ -2072,6 +2093,18 @@ def run_sparql(store, src: str):
         out = compiler.evaluate(store, parsed[1])
         if auto_dt:
             out = out.drop(*[c for c in out.columns if c.endswith("__dt")])
+        # SPARQL results are RDF terms: a boolean-valued projection (LET/
+        # BIND of sameTerm, comparisons, EXISTS flags) serializes as the
+        # xsd:boolean lexical "true"/"false", not a host-language boolean
+        # (ticket_blzg_1331: ?tmp2 := sameTerm(...) must read back "true")
+        for f in out.schema.fields:
+            if f.dataType.simpleString() == "boolean":
+                out = out.withColumn(
+                    f.name,
+                    F.when(F.col(f.name).isNull(), F.lit(None).cast("string"))
+                    .when(F.col(f.name), F.lit("true"))
+                    .otherwise(F.lit("false")),
+                )
         return out
     if parsed[0] == "ask":
         return compiler.ask(store, parsed[1])
