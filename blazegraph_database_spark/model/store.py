@@ -144,6 +144,12 @@ class TripleStore:
         else:
             out.dataset_default = None
             out.dataset_named = None
+        # the shallow copy would carry the UNRESTRICTED store's memoized
+        # full-text surfaces into the dataset view — drop them so they
+        # rebuild over the restricted dataset
+        for memo in ("_ft_literal_texts", "_ft_literal_index",
+                     "_ft_value_index", "_ft_subject_index"):
+            out.__dict__.pop(memo, None)
         return out
 
     def with_named_sets(self, sets: dict) -> "TripleStore":

@@ -757,7 +757,18 @@ def _pattern_df(sp: A.SP, store: TripleStore) -> DataFrame:
                         # them 'iri' matches the normalized object tag so
                         # subject-object joins on a shared var agree)
                         sel.append(F.lit("iri").alias(f"{pos.name}__dt"))
-    return df.select(*sel)
+    out = df.select(*sel)
+    if (
+        sp.g is None and "g" in df.columns and store.has_graphs
+        and getattr(store, "default_graph_distinct", True)
+    ):
+        # DEFAULT-graph pattern over a quad store: the default graph is the
+        # RDF MERGE of the graphs (the reference's default-graph access
+        # path filters to DISTINCT SPO; ref: accesspath — fixtures
+        # default-graphs-01j / default-graph-joins-01: a triple asserted in
+        # two graphs is ONE triple in the default graph, never two rows)
+        out = out.distinct()
+    return out
 
 
 def _estimate(sp: A.SP, store: TripleStore) -> float:
@@ -1299,6 +1310,17 @@ def _split_bds_magic(patterns):
     return magic, rest
 
 
+def _dataset_scoped_df(store: TripleStore) -> DataFrame:
+    """The store's statements restricted to its FROM dataset (if any) —
+    every full-text surface builds over THIS view so a search under
+    FROM <g> never sees other graphs' literals (search-named-graphs10)."""
+    df = store.df
+    dd = getattr(store, "dataset_default", None)
+    if dd is not None and "g" in df.columns:
+        df = df.filter(F.col("g").isin(list(dd)) if dd else F.lit(False))
+    return df
+
+
 def _store_literal_value_index(store: TripleStore) -> DataFrame:
     """Full-text index over DISTINCT string-literal VALUES: doc id = the
     literal lexical itself, so a hit binds the matched literal (the
@@ -1309,7 +1331,7 @@ def _store_literal_value_index(store: TripleStore) -> DataFrame:
     cached = getattr(store, "_ft_value_index", None)
     if cached is None:
         docs = (
-            store.df.filter(F.col("o_dt") == "string")
+            _dataset_scoped_df(store).filter(F.col("o_dt") == "string")
             .select(F.col("o_lex").alias("s"))
             .distinct()
             .select("s", F.col("s").alias("text"))
@@ -2564,7 +2586,10 @@ def _store_subject_index(store: TripleStore) -> DataFrame:
 
     cached = getattr(store, "_ft_subject_index", None)
     if cached is None:
-        docs = store.df.select("s").distinct().select("s", F.col("s").alias("text"))
+        docs = (
+            _dataset_scoped_df(store).select("s").distinct()
+            .select("s", F.col("s").alias("text"))
+        )
         cached = fulltext.inverted_index(docs, id_col="s", text_col="text").localCheckpoint()
         store._ft_subject_index = cached
     return cached
@@ -2578,7 +2603,7 @@ def _store_literal_texts(store: TripleStore) -> DataFrame:
     cached = getattr(store, "_ft_literal_texts", None)
     if cached is None:
         cached = (
-            store.df.filter(F.col("o_dt") == "string")
+            _dataset_scoped_df(store).filter(F.col("o_dt") == "string")
             .groupBy("s")
             .agg(F.concat_ws(" ", F.collect_list("o_lex")).alias("text"))
             .localCheckpoint()

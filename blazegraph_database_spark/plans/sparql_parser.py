@@ -245,6 +245,34 @@ def _typed_eq(a_name: str, b_name: str) -> Column:
     )
 
 
+def _typed_order(a_name: str, b_name: str, op: str) -> Column:
+    """Typed var-var ordering under dt tracking (see _typed_eq for the
+    equality analog; ref: CompareBOp's ordered comparisons): numeric tags
+    with valid lexicals compare by VALUE, timestamps as timestamps, plain
+    strings lexically — anything else (mixed types, resources, lang tags,
+    invalid lexicals) is a per-row type error → NULL → filter drops."""
+    a, b = F.col(a_name), F.col(b_name)
+    adt = F.coalesce(F.col(f"{a_name}__dt"), F.lit("string"))
+    bdt = F.coalesce(F.col(f"{b_name}__dt"), F.lit("string"))
+    an, bn = a.try_cast("double"), b.try_cast("double")
+    num = adt.isin("long", "double") & bdt.isin("long", "double")
+    cmp = {
+        "<": lambda x, y: x < y, "<=": lambda x, y: x <= y,
+        ">": lambda x, y: x > y, ">=": lambda x, y: x >= y,
+    }[op]
+    err = F.lit(None).cast("boolean")
+    return (
+        F.when(a.isNull() | b.isNull(), err)
+        .when(num & an.isNotNull() & bn.isNotNull(), cmp(an, bn))
+        .when(
+            (adt == "timestamp") & (bdt == "timestamp"),
+            cmp(a.try_cast("timestamp"), b.try_cast("timestamp")),
+        )
+        .when((adt == "string") & (bdt == "string"), cmp(a, b))
+        .otherwise(err)
+    )
+
+
 def _maybe_bound(node) -> set:
     """Variables a pattern tree can possibly bind (static, optimistic —
     used for the forward-BIND deferral check; a var in neither branch of
@@ -364,6 +392,13 @@ class Parser:
         self.dt_mode = dt_mode
         self.toks = tokenize(src)
         self.i = 0
+        # hint:Query hint:regexMatchNonString true (ref: QueryHints.java
+        # REGEX_MATCH_NON_STRING; its ticket_1200 fixtures): REGEX falls
+        # back to lexical matching over NON-string terms instead of the
+        # spec's type error — query-global, so sniffed once here
+        self.regex_non_string = bool(
+            re.search(r"regexMatchNonString\W+(\"true\"|true)", src)
+        )
         # Blazegraph auto-declares the well-known prefixes (ref:
         # sail/sparql/PrefixDeclProcessor.java defaultDecls) — a query may
         # use rdfs:/foaf:/... without declaring them. Explicit PREFIX decls
@@ -653,6 +688,15 @@ class Parser:
                 iu = _inline_uri_cmp(left, right)
                 if iu is not None:
                     left, right = iu
+                elif self.dt_mode:
+                    lv, rv = _bare_var(left), _bare_var(right)
+                    if lv and rv:
+                        # var-var ORDERING under dt tracking is typed:
+                        # numerics compare by value ("2" < "10" for the
+                        # reference's numeric extension types — fixture
+                        # compressed-timestamp-01d), timestamps as
+                        # timestamps, strings lexically; mixed = type error
+                        return _typed_order(lv, rv, op)
             left, right = _typed_cmp_sides(left, right)
             return {
                 "=": lambda a, b: a == b, "!=": lambda a, b: a != b,
@@ -943,7 +987,18 @@ class Parser:
                     self.next()
                     fl = self.term().lex
                 self.eat_op(")")
-                return fn.REGEX(x, pat, fl)
+                rex = fn.REGEX(x, pat, fl)
+                xv = _bare_var(x)
+                if self.dt_mode and xv and not self.regex_non_string:
+                    # REGEX takes a string literal: under dt tracking a
+                    # typed/resource operand is a per-row TYPE ERROR, not a
+                    # lexical match (ticket_1780: "10.x"^^xsd:IPv4Address
+                    # must not satisfy REGEX(?address, '^10.*'))
+                    xdt = F.coalesce(F.col(f"{xv}__dt"), F.lit("string"))
+                    rex = F.when(
+                        (xdt == "string") | xdt.startswith("lang:"), rex
+                    ).otherwise(F.lit(None).cast("boolean"))
+                return rex
             for table, arity in ((FUNCS_1, 1), (FUNCS_2, 2)):
                 if kw in table:
                     self.next()
@@ -1424,6 +1479,15 @@ class Parser:
             return sub
         return self.group_graph_pattern()
 
+    def _values_row_set(self, row: dict, v: str, t) -> None:
+        row[v] = t.lex if isinstance(t, Lit) else t
+        if self.dt_mode:
+            # term IDENTITY in dt mode: a VALUES entry like
+            # "a"^^<http://my.datatype> must join only its own typed term,
+            # never the plain "a" (ticket_bg1643f — VALUES inside NOT
+            # EXISTS distinguishes the three "a" spellings)
+            row[f"{v}__dt"] = t.dt if isinstance(t, Lit) else "iri"
+
     def _values_clause(self) -> A.Values:
         if self.peek().kind == "VAR":
             var = self.next().text[1:]
@@ -1431,7 +1495,9 @@ class Parser:
             rows = []
             while not self.at_op("}"):
                 t = self.term()
-                rows.append({var: t.lex if isinstance(t, Lit) else t})
+                row: dict = {}
+                self._values_row_set(row, var, t)
+                rows.append(row)
             self.eat_op("}")
             return A.Values(rows)
         self.eat_op("(")
@@ -1449,7 +1515,7 @@ class Parser:
                     self.next()
                     continue
                 t = self.term()
-                row[v] = t.lex if isinstance(t, Lit) else t
+                self._values_row_set(row, v, t)
             self.eat_op(")")
             rows.append(row)
         self.eat_op("}")
@@ -2083,6 +2149,15 @@ def run_sparql(store, src: str):
     # typed open-world value model (ref: internal/constraints/CompareBOp.java,
     # MathBOp.java) instead of the lexical-first default.
     dt_mode = bool(_DT_FUNC_RE.search(src)) or getattr(store, "track_dt", False)
+    if re.search(r"defaultGraphDistinctFilter\W+(\"false\"|false)", src):
+        # hint:Query hint:defaultGraphDistinctFilter "false" (ref:
+        # QueryHints.DEFAULT_GRAPH_DISTINCT_FILTER; fixture
+        # default-graphs-01k): expose the raw quad multiset instead of the
+        # default graph's RDF-merge distinct
+        import copy as _copy
+
+        store = _copy.copy(store)
+        store.default_graph_distinct = False
     auto_dt = False
     if dt_mode and not getattr(store, "track_dt", False):
         store = store.with_dt_tracking()

@@ -40,6 +40,10 @@ _XSD_DT = {
     "http://www.w3.org/2001/XMLSchema#boolean": "boolean",
     "http://www.w3.org/2001/XMLSchema#dateTime": "timestamp",
     "http://www.w3.org/2001/XMLSchema#string": "string",
+    # the reference registers its compressed-timestamp NUMERIC extension
+    # type unconditionally (internal/impl/extensions/
+    # CompressedTimestampExtension.java) — values compare by VALUE
+    "http://www.bigdata.com/rdf/datatype#compressedTimestamp": "long",
 }
 
 

@@ -155,6 +155,8 @@ def test_reference_manifest_fixture(spark, rq, data, srx, request):
     st = TripleStore(_load(spark, data))
     if jf in _DT_TRACKED_FILES or case in _DT_TRACKED_CASES:
         st = st.with_dt_tracking()
+    if case in _STORE_SETUP:
+        st = _STORE_SETUP[case](spark, st)
     got_df = run_sparql(st, query)
     if got_df is True or got_df is False:  # ASK
         want = "<boolean>true</boolean>" in open(f"{EVAL}/{srx}").read()
@@ -176,6 +178,10 @@ def test_reference_manifest_fixture(spark, rq, data, srx, request):
 # sibling harness's _TYPED_MODEL set.
 _DT_TRACKED_FILES = {
     "TestTicket1007",
+    # numeric extension type: compressed timestamps order by VALUE
+    "TestCompressedTimestampExtensionSPARQL",
+    # REGEX over a typed literal is a type error, not a lexical match
+    "TestTicket1200_1780",
 }
 _DT_TRACKED_CASES = {
     # MIN/MAX term ordering needs the datatype companions (IRI vs literal)
@@ -185,7 +191,30 @@ _DT_TRACKED_CASES = {
     "TestTickets:aggregate-min",
     "TestTickets:aggregate-min1",
     "TestTickets:aggregate-min2",
+    # VALUES term identity: "a" vs "a"^^<http://my.datatype> vs <http://p>
+    "TestTickets:ticket_bg1643f_analytic",
+    "TestTickets:ticket_bg1643f_nonanalytic",
 }
+
+def _setup_include_03a(spark, st):
+    # TestInclude.test_include_03a builds %solutionSet1 = {(x=:Mike,y=2),
+    # (x=:Bryan,y=4), (x=:DC,y=1)} through the solution-set manager before
+    # running the query — mirror it through with_named_sets
+    rows = spark.createDataFrame(
+        [
+            ("http://www.bigdata.com/Mike", "2"),
+            ("http://www.bigdata.com/Bryan", "4"),
+            ("http://www.bigdata.com/DC", "1"),
+        ],
+        "x string, y string",
+    ).coalesce(1)
+    return st.with_named_sets({"solutionSet1": rows})
+
+
+_STORE_SETUP = {
+    "TestInclude:include_03a": _setup_include_03a,
+}
+
 
 # Per-case documented divergences (filled by triage).
 _DIVERGENT: dict[str, str] = {
@@ -195,6 +224,19 @@ _DIVERGENT: dict[str, str] = {
     # one numeric tag (SURVEY §4) — BIND(10 AS ?o) keeps both rows here,
     # exactly one there.
     "TestTicket1007:ticket-1007-number1": "int/integer dtype-identity collapse",
+    # xsd:date with NEGATIVE (proleptic BC) years: the reference packs
+    # dates into signed numeric IVs; this engine compares date lexicals,
+    # which reverses order across the year sign. BC-era data only.
+    "TestTickets:ticket_bg1748a": "BC-year xsd:date value order",
+    "TestTickets:ticket_bg1748b": "BC-year xsd:date value order",
+    # DATATYPE() of an xsd:long cast reports xsd:integer here: the dtype
+    # tags deliberately collapse the integer family (SURVEY §4)
+    "TestCustomTypeCasts:type_cast_long": "int-family dtype-identity collapse",
+    "TestCustomTypeCasts:type_cast_unsigned_long": "int-family dtype-identity collapse",
+    # same class as the sibling harness's property-paths-2/7: the W3C
+    # zero-length-path semantics range over ALL graph terms; the
+    # reference's ALP op binds only path-predicate-adjacent nodes
+    "TestPropertyPaths:property-paths-6": "fixture omits spec-valid zero-length rows",
 }
 # Whole-file divergences.
 _DIVERGENT_FILES: dict[str, str] = {}
