@@ -22,6 +22,7 @@ without needing outside network access.
 from __future__ import annotations
 
 import json
+import re
 from collections.abc import Callable
 from urllib.parse import urlencode
 
@@ -252,6 +253,53 @@ def _geo_local(iri: str | None) -> str | None:
     return _ns_local(iri, GEO_NS, "geo:")
 
 
+GEO_OUT_LOCALS = (
+    "latValue", "lonValue", "timeValue", "locationValue",
+    "literalValue", "distanceValue", "locationAndTimeValue",
+    "coordSystemValue", "customFieldsValues",
+)
+
+
+def geo_param_vars(patterns) -> set[str]:
+    """Vars standing in geo:search PARAM positions (not output bindings) —
+    these need values from sibling solutions before the service can run
+    (ref: GeoSpatialServiceFactory resolves them per incoming binding set;
+    fixture ticket_bg1899: geo:spatialCircleCenter ?locationOfMunich)."""
+    from blazegraph_database_spark.model.terms import Var, const_lex, is_const
+
+    out: set[str] = set()
+    for sp in patterns:
+        pred = const_lex(sp.p) if (sp.p is not None and is_const(sp.p)) else None
+        local = _geo_local(pred)
+        if local is None or local == "search" or local in GEO_OUT_LOCALS:
+            continue
+        if isinstance(sp.o, Var):
+            out.add(sp.o.name)
+    return out
+
+
+_GEO_FIELD_NAMES = {"lat": "lat", "lon": "lon", "time": "t", "coord": "coord"}
+
+
+def _geo_layout(dtiri: str | None) -> list[str] | str:
+    """Component layout of a geospatial datatype's literals (ref:
+    GeoSpatialDatatypeConfiguration — deployments declare per-datatype
+    field lists; the bundled test datatypes NAME the field order in the
+    URI's local name, e.g. <.../time-lat-lon>, <.../x-y-z-lat-lon-time-
+    coord>). Returns "wkt" for WKT point literals, else the ordered field
+    column names (lat/lon/t/coord or custom names). Default: lat#lon[#t],
+    the GeoSpatialDefaultLiteralSerializer layout."""
+    if dtiri is None:
+        return ["lat", "lon", "t"]
+    if dtiri.endswith("wktLiteral"):
+        return "wkt"
+    local = dtiri.rstrip("/").rsplit("/", 1)[-1].rsplit("#", 1)[-1]
+    parts = local.split("-")
+    if len(parts) >= 2 and all(re.fullmatch(r"[A-Za-z][A-Za-z0-9_]*", x) for x in parts):
+        return [_GEO_FIELD_NAMES.get(x, x) for x in parts]
+    return ["lat", "lon", "t"]
+
+
 def geo_search_service(store, patterns) -> DataFrame:
     """SERVICE <geo:search> — the geospatial SERVICE (ref:
     service/geospatial/GeoSpatial.java magic-predicate vocabulary,
@@ -278,13 +326,9 @@ def geo_search_service(store, patterns) -> DataFrame:
     from blazegraph_database_spark.operators import geospatial
 
     subj = None
-    mode = "inRectangle"
+    mode = None
     args: dict = {}
     outs: dict[str, str] = {}
-    out_locals = (
-        "latValue", "lonValue", "timeValue", "locationValue",
-        "literalValue", "distanceValue",
-    )
     for sp in patterns:
         pred = const_lex(sp.p) if (sp.p is not None and is_const(sp.p)) else None
         local = _geo_local(pred)
@@ -292,9 +336,11 @@ def geo_search_service(store, patterns) -> DataFrame:
             continue
         if local == "search":
             subj, mode = sp.s, const_lex(sp.o)
-        elif local in out_locals and isinstance(sp.o, Var):
+        elif local in GEO_OUT_LOCALS and isinstance(sp.o, Var):
             outs[local] = sp.o.name
         else:
+            if subj is None and isinstance(sp.s, Var):
+                subj = sp.s  # mode-less search (pure time/coord filtering)
             args[local] = const_lex(sp.o)
     if subj is None or not isinstance(subj, Var) or "predicate" not in args:
         raise ValueError(
@@ -303,35 +349,116 @@ def geo_search_service(store, patterns) -> DataFrame:
     src = store.pattern_source(args["predicate"])
     if src is None:
         src = store.df.filter(F.col("p") == args["predicate"])
-    parts = F.split(F.col("o_lex"), "#")
-    df = src.select(
-        F.col("s"),
-        F.col("o_lex"),
-        parts.getItem(0).cast("double").alias("lat"),
-        parts.getItem(1).cast("double").alias("lon"),
-        parts.getItem(2).cast("long").alias("t"),
-    )
+    if "context" in args:
+        # geo:context <g>: scope the search to ONE named graph (ref:
+        # GeoSpatial.CONTEXT, quads-mode geospatial search)
+        src = src.filter(F.col("g") == args["context"])
+    dtiri = args.get("searchDatatype") or getattr(store, "geo_default_datatype", None)
+    layout = _geo_layout(dtiri)
+    if dtiri is not None and "o_dt" in src.columns:
+        # geo:searchDatatype scopes the search to ONE datatype's literals
+        # (ref: GeoSpatialConfig multi-datatype registration)
+        src = src.filter(F.col("o_dt") == f"dt:{dtiri}")
+    if layout == "wkt":
+        # WKT point serializer (ref: the custom GeoSpatialLiteralSerializer
+        # the WKT test registers): "Point(lat,lon)"
+        wkt = r"^Point\(\s*(-?[0-9.]+)\s*,\s*(-?[0-9.]+)\s*\)$"
+        cols = {
+            "lat": F.regexp_extract(F.col("o_lex"), wkt, 1).try_cast("double"),
+            "lon": F.regexp_extract(F.col("o_lex"), wkt, 2).try_cast("double"),
+        }
+    else:
+        parts = F.split(F.col("o_lex"), "#")
+        cols = {
+            name: parts.getItem(i).try_cast("long" if name in ("t", "coord") else "double")
+            for i, name in enumerate(layout)
+        }
+    sel_cols = [F.col("s"), F.col("o_lex")] + [
+        c.alias(f"__f_{n}") for n, c in cols.items()
+    ]
+    df = src.select(*sel_cols)
+    for n in cols:
+        df = df.withColumnRenamed(f"__f_{n}", n)
+    if "lat" not in cols:
+        df = df.withColumn("lat", F.lit(None).cast("double"))
+    if "lon" not in cols:
+        df = df.withColumn("lon", F.lit(None).cast("double"))
+    if "t" not in cols:
+        df = df.withColumn("t", F.lit(None).cast("long"))
+    def _pair(val: str) -> tuple[float, float]:
+        # corner/center constants accept both serializations: the default
+        # "lat#lon" and the WKT "Point(lat,lon)" (bounds may come from
+        # DATA via variable params — geo-wktliteral07)
+        m = re.match(r"^\s*Point\(\s*(-?[0-9.]+)\s*,\s*(-?[0-9.]+)\s*\)\s*$", val)
+        if m:
+            return float(m.group(1)), float(m.group(2))
+        a, b = val.split("#")[:2]
+        return float(a), float(b)
+
     if mode == "inRectangle":
-        lat0, lon0 = (float(x) for x in args["spatialRectangleSouthWest"].split("#"))
-        lat1, lon1 = (float(x) for x in args["spatialRectangleNorthEast"].split("#"))
+        lat0, lon0 = _pair(args["spatialRectangleSouthWest"])
+        lat1, lon1 = _pair(args["spatialRectangleNorthEast"])
         df = geospatial.in_rectangle(df, lat0, lat1, lon0, lon1)
     elif mode == "inCircle":
-        clat, clon = (float(x) for x in args["spatialCircleCenter"].split("#"))
+        clat, clon = _pair(args["spatialCircleCenter"])
         df = geospatial.in_circle(df, clat, clon, float(args["spatialCircleRadius"]))
-    else:
+    elif mode is not None:
         raise ValueError(f"unknown geo:search mode {mode!r}")
     if "timeStart" in args:
         df = df.filter(F.col("t") >= int(args["timeStart"]))
     if "timeEnd" in args:
         df = df.filter(F.col("t") <= int(args["timeEnd"]))
+    if "coordSystem" in args:
+        df = df.filter(F.col("coord") == int(args["coordSystem"]))
+    if "customFields" in args:
+        # geo:customFields "x#y#z" with positional lower/upper bounds (ref:
+        # GeoSpatial.CUSTOM_FIELDS — app-declared dimensions range-filter
+        # like any other; each bound is a plain pushable column predicate)
+        names = args["customFields"].split("#")
+        los = args.get("customFieldsLowerBounds", "").split("#")
+        his = args.get("customFieldsUpperBounds", "").split("#")
+        for i, n in enumerate(names):
+            if i < len(los) and los[i] != "":
+                df = df.filter(F.col(n) >= float(los[i]))
+            if i < len(his) and his[i] != "":
+                df = df.filter(F.col(n) <= float(his[i]))
+    # component extraction round-trips through the parsed doubles, exactly
+    # the reference's serializer output ("4#4" extracts as "4.0#4.0" —
+    # geo-quads-valueextr fixture)
+    if layout == "wkt":
+        # the WKT serializer renders extracted locations back in its own
+        # format (ref: the test's GeoSpatialLiteralSerializer.toLocation)
+        loc = F.concat(
+            F.lit("Point("), F.col("lat").cast("string"), F.lit(","),
+            F.col("lon").cast("string"), F.lit(")"),
+        )
+    else:
+        loc = F.concat(
+            F.col("lat").cast("string"), F.lit("#"), F.col("lon").cast("string")
+        )
+    loc_t = F.concat(loc, F.lit("#"), F.col("t").cast("string"))
+    custom_vals = (
+        F.concat_ws(
+            "#", *[F.col(n).cast("string") for n in args["customFields"].split("#")]
+        )
+        if "customFields" in args
+        else F.lit(None).cast("string")
+    )
     sel = [F.col("s").alias(subj.name)]
+    # the extracted literal ALSO round-trips through the serializer in the
+    # reference ("Point(1,1)" reads back "Point(1.0,1.0)") — for the
+    # default layout re-serialization is the identity, for WKT it is loc
+    lit_out = loc if layout == "wkt" else F.col("o_lex")
     for local, col in (
-        ("latValue", "lat"), ("lonValue", "lon"), ("timeValue", "t"),
-        ("locationValue", "o_lex"), ("literalValue", "o_lex"),
-        ("distanceValue", "distance_km"),
+        ("latValue", F.col("lat")), ("lonValue", F.col("lon")),
+        ("timeValue", F.col("t")), ("locationValue", loc),
+        ("literalValue", lit_out), ("distanceValue", F.col("distance_km")),
+        ("locationAndTimeValue", loc_t),
+        ("coordSystemValue", F.col("coord") if "coord" in cols else F.lit(None)),
+        ("customFieldsValues", custom_vals),
     ):
         if local in outs:
-            sel.append(F.col(col).alias(outs[local]))
+            sel.append(col.alias(outs[local]))
     return df.select(*sel)
 
 

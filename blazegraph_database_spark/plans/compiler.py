@@ -1430,12 +1430,39 @@ def _(node: A.Join, store: TripleStore) -> DataFrame:
     # sit ANYWHERE in the flattened conjunct list, not just the direct
     # sibling — compile everything else first, then resolve each
     # variable-endpoint service against the joined solutions.
+    from blazegraph_database_spark.operators import service
+
     conjuncts = _flatten_join(node)
     var_svcs = [
         c for c in conjuncts
         if isinstance(c, A.Service) and isinstance(c.iri, Var)
     ]
     lbl_svcs = [c for c in conjuncts if _is_label_service(c)]
+    geo_svcs = [
+        c for c in conjuncts
+        if isinstance(c, A.Service) and not isinstance(c.iri, Var)
+        and _compact_builtin_iri(c.iri) == "geo:search"
+        and service.geo_param_vars(_collect_sps(c.pattern))
+    ]
+    if geo_svcs:
+        # geo:search with VARIABLE params (e.g. spatialCircleCenter bound
+        # by a sibling pattern — ticket_bg1899): resolve like SERVICE ?var
+        # endpoints — evaluate the siblings, then run the service once per
+        # DISTINCT as-bound param row (ref: ServiceCallJoin's grouping of
+        # incoming solutions; bounded by the same endpoint guard)
+        skip = {id(c) for c in geo_svcs}
+        others = [c for c in conjuncts if id(c) not in skip]
+        if not others:
+            raise ValueError(
+                "SERVICE <geo:search>: a variable service parameter needs "
+                "a sibling pattern binding it"
+            )
+        from functools import reduce
+
+        ldf = _compile(reduce(A.Join, others), store)
+        for svc in geo_svcs:
+            ldf = _geo_param_join(store, ldf, svc)
+        return ldf
     if var_svcs or lbl_svcs:
         skip = {id(c) for c in var_svcs} | {id(c) for c in lbl_svcs}
         others = [c for c in conjuncts if id(c) not in skip]
@@ -1490,6 +1517,48 @@ def _(node: A.Join, store: TripleStore) -> DataFrame:
 # keeps a mis-bound variable (e.g. joined to a data column) from fanning
 # out into thousands of service calls
 SERVICE_VAR_MAX_ENDPOINTS = 64
+
+
+def _geo_param_join(store: TripleStore, ldf: DataFrame, svc: "A.Service") -> DataFrame:
+    """Run geo:search once per DISTINCT as-bound value row of its variable
+    params, substitute, union, and join back to the incoming solutions.
+    The distinct-param collect is bounded by SERVICE_VAR_MAX_ENDPOINTS —
+    param vars enumerate query-level configuration (a handful of centers/
+    regions), never data-sized sets."""
+    from blazegraph_database_spark.operators import service
+
+    sps = _collect_sps(svc.pattern)
+    pvars = sorted(service.geo_param_vars(sps))
+    missing = [v for v in pvars if v not in ldf.columns]
+    if missing:
+        raise ValueError(
+            f"SERVICE <geo:search>: param vars {missing} are bound by no sibling"
+        )
+    rows = ldf.select(*pvars).distinct().limit(SERVICE_VAR_MAX_ENDPOINTS + 1).collect()
+    if len(rows) > SERVICE_VAR_MAX_ENDPOINTS:
+        raise ValueError(
+            f"SERVICE <geo:search>: more than {SERVICE_VAR_MAX_ENDPOINTS} "
+            "distinct parameter bindings"
+        )
+    parts = []
+    for r in rows:
+        sub = []
+        for sp in sps:
+            if isinstance(sp.o, Var) and sp.o.name in pvars:
+                sub.append(A.SP(sp.s, sp.p, Lit(r[sp.o.name])))
+            else:
+                sub.append(sp)
+        out = service.geo_search_service(store, sub)
+        for v in pvars:
+            out = out.withColumn(v, F.lit(r[v]))
+        parts.append(out)
+    if not parts:
+        return ldf.limit(0)
+    res = parts[0]
+    for p_ in parts[1:]:
+        res = res.unionByName(p_)
+    shared = sorted(set(ldf.columns) & set(res.columns))
+    return ldf.join(res, on=shared) if shared else ldf.crossJoin(res)
 
 
 def _pattern_var_names(n) -> set[str]:

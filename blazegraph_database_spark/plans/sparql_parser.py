@@ -1001,6 +1001,7 @@ class Parser:
                 return rex
             for table, arity in ((FUNCS_1, 1), (FUNCS_2, 2)):
                 if kw in table:
+                    call_start = self.i
                     self.next()
                     self.eat_op("(")
                     args = [self.expr()]
@@ -1016,6 +1017,14 @@ class Parser:
                         else:
                             args.append(self.expr())
                     self.eat_op(")")
+                    if kw in ("IRI", "URI"):
+                        # the constructed term is a RESOURCE: its dt
+                        # companion must say iri or a downstream term join
+                        # (VALUES ?g { <...> } against BIND(URI(...) AS ?g))
+                        # mismatches in dt mode — same span contract as
+                        # STRLANG/STRDT (ticket-1007b)
+                        self._pending_term_dt = "iri"
+                        self._pending_term_dt_span = (call_start, self.i)
                     return table[kw](*args)
             if kw in FUNCS_N:
                 self.next()

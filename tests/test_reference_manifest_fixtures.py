@@ -59,6 +59,12 @@ def _manifest():
             if len(args) < 4:
                 continue
             _, rq, data, srx = args[0], args[1], args[2], args[3]
+            # 5th arg (when present): checkOrder — the reference's
+            # TestHelper compares solution MULTISETS by default and only
+            # enforces order when the Java call passes true (an ORDER BY
+            # with ties or a desc sort can legally reorder the .srx rows)
+            tail = body.rsplit(f'"{srx}"', 1)[-1]
+            ordered = bool(re.search(r"^\s*,\s*true\b", tail))
             data = tuple(datafiles) if data == "__ARR__" else (data,)
             if not data or not rq.endswith(".rq") or not srx.endswith(".srx"):
                 continue
@@ -80,7 +86,7 @@ def _manifest():
                 continue
             seen.add(key)
             case_id = f"{os.path.basename(jf)[:-5]}:{base}"
-            out.append(pytest.param(rq, data, srx, id=case_id))
+            out.append(pytest.param(rq, data, srx, ordered, id=case_id))
     return out
 
 
@@ -90,6 +96,8 @@ def _load(spark, datafiles):
         p = f"{EVAL}/{d}"
         if d.endswith(".trig"):
             dfs.append(rdf_formats.read_trig(spark, p))
+        elif d.endswith(".nq"):
+            dfs.append(ntriples.read_nquads(spark, p))
         elif d.endswith(".nt"):
             dfs.append(ntriples.read_ntriples(spark, p))
         else:  # .ttl / .n3 (turtle-compatible subset)
@@ -135,11 +143,15 @@ _CONFIG_BOUND_FILES = {
     "TestGeoSpatialDisableBuiltinDatatypes",
     "TestGeoSpatialExamplesFromDocumentation",
     "TestGeoSpatialSpecialCases",
+    # this one registers a CUSTOM Java literal serializer whose extracted
+    # values render in its own format ("Lat(3.0)", "Location(3.0-4.0)") —
+    # arbitrary app code, not reproducible from the fixture triple
+    "TestGeoSpatialCustomSerializer",
 }
 
 
-@pytest.mark.parametrize("rq,data,srx", _manifest())
-def test_reference_manifest_fixture(spark, rq, data, srx, request):
+@pytest.mark.parametrize("rq,data,srx,check_order", _manifest())
+def test_reference_manifest_fixture(spark, rq, data, srx, check_order, request):
     jf = request.node.callspec.id.split(":")[0]
     if jf in _CONFIG_BOUND_FILES:
         pytest.skip("Java test configures store-level geospatial datatypes")
@@ -157,6 +169,8 @@ def test_reference_manifest_fixture(spark, rq, data, srx, request):
         st = st.with_dt_tracking()
     if case in _STORE_SETUP:
         st = _STORE_SETUP[case](spark, st)
+    if jf in _FILE_SETUP:
+        st = _FILE_SETUP[jf](spark, st)
     got_df = run_sparql(st, query)
     if got_df is True or got_df is False:  # ASK
         want = "<boolean>true</boolean>" in open(f"{EVAL}/{srx}").read()
@@ -165,10 +179,9 @@ def test_reference_manifest_fixture(spark, rq, data, srx, request):
     varnames = [c for c in got_df.columns if not c.endswith("__dt")]
     got = [{v: r[v] for v in varnames} for r in got_df.collect()]
     assert len(got) == len(expected), (len(got), len(expected))
-    ordered = re.search(r"(?i)\bORDER\s+BY\b", query.rsplit("}", 1)[-1]) is not None
     g = ["|".join(_norm_cell(r.get(v)) for v in varnames) for r in got]
     e = ["|".join(_norm_cell(r.get(v)) for v in varnames) for r in expected]
-    if not ordered:
+    if not check_order:
         g, e = sorted(g), sorted(e)
     assert g == e, (g[:5], e[:5])
 
@@ -211,8 +224,18 @@ def _setup_include_03a(spark, st):
     return st.with_named_sets({"solutionSet1": rows})
 
 
+def _setup_wkt_default(spark, st):
+    # the WKT test makes its datatype the store DEFAULT
+    # (GEO_SPATIAL_DEFAULT_DATATYPE in its getProperties)
+    st.geo_default_datatype = "http://www.opengis.net/ont/geosparql#wktLiteral"
+    return st
+
+
 _STORE_SETUP = {
     "TestInclude:include_03a": _setup_include_03a,
+}
+_FILE_SETUP = {
+    "TestGeoSpatialCustomSerializerWKT": _setup_wkt_default,
 }
 
 
@@ -237,6 +260,19 @@ _DIVERGENT: dict[str, str] = {
     # zero-length-path semantics range over ALL graph terms; the
     # reference's ALP op binds only path-predicate-adjacent nodes
     "TestPropertyPaths:property-paths-6": "fixture omits spec-valid zero-length rows",
+    # the configured per-field MULTIPLIERS (lat x1e6, lon x1e5 in the Java
+    # test's GEO_SPATIAL_DATATYPE_CONFIG JSON) quantize bounds before
+    # comparison — "1.100000001111" rounds down to include 1.1; exact math
+    # excludes it. Store-config precision, not query semantics.
+    "TestGeoSpatialServiceConfigurationCustomDatatype:geo-custom-precisiontest":
+        "configured multiplier quantization of range bounds",
+    # the reference re-serializes REGISTERED geo literals at INGEST (the
+    # stored object becomes "Point(1.0,1.0)"); this engine preserves source
+    # lexicals outside the service (same class as its dateTime ingest
+    # canonicalization, which IS implemented — geo datatypes are store
+    # config). Only the raw-pattern projection differs.
+    "TestGeoSpatialCustomSerializerWKT:geo-wktliteral06":
+        "ingest re-serialization of registered geo literals",
 }
 # Whole-file divergences.
 _DIVERGENT_FILES: dict[str, str] = {}
