@@ -711,6 +711,17 @@ def _pattern_df(sp: A.SP, store: TripleStore) -> DataFrame:
             conds.append(F.col("g").isin(list(dn)) if dn else F.lit(False))
     for c in conds:
         df = df.filter(c)
+    if (
+        sp.g is None and "g" in df.columns and store.has_graphs
+        and getattr(store, "default_graph_distinct", True)
+    ):
+        # DEFAULT-graph pattern over a quad store: the default graph is the
+        # RDF MERGE of the graphs — dedup at the TRIPLE level (the
+        # reference's distinct-SPO access path; fixtures default-graphs-01j
+        # / default-graph-joins-01: a triple asserted in two graphs is ONE
+        # triple), never at the projected-binding level (two DIFFERENT
+        # triples binding the same var value stay two solutions)
+        df = df.dropDuplicates(["s", "p", "o_lex", "o_dt"])
     sel, seen = [], {}
     id_vars = getattr(store, "id_join_vars", frozenset())
     for col, pos in (("s", sp.s), ("p", sp.p), ("o_lex", sp.o), ("g", sp.g)):
@@ -757,18 +768,7 @@ def _pattern_df(sp: A.SP, store: TripleStore) -> DataFrame:
                         # them 'iri' matches the normalized object tag so
                         # subject-object joins on a shared var agree)
                         sel.append(F.lit("iri").alias(f"{pos.name}__dt"))
-    out = df.select(*sel)
-    if (
-        sp.g is None and "g" in df.columns and store.has_graphs
-        and getattr(store, "default_graph_distinct", True)
-    ):
-        # DEFAULT-graph pattern over a quad store: the default graph is the
-        # RDF MERGE of the graphs (the reference's default-graph access
-        # path filters to DISTINCT SPO; ref: accesspath — fixtures
-        # default-graphs-01j / default-graph-joins-01: a triple asserted in
-        # two graphs is ONE triple in the default graph, never two rows)
-        out = out.distinct()
-    return out
+    return df.select(*sel)
 
 
 def _estimate(sp: A.SP, store: TripleStore) -> float:

@@ -136,7 +136,6 @@ _CONFIG_BOUND_FILES = {
     "TestGeoSpatialCorrectRejection",
     "TestGeoSpatialCustomFields",
     "TestGeoSpatialQueryVaryOneDimension",
-    "TestGeoSpatialServiceEvaluation",
     "TestGeoSpatialServiceConfiguration",
     "TestGeoSpatialQueryIfGeospatialDisabled",
     "TestGeoSpatialDefaults",
@@ -234,8 +233,16 @@ def _setup_wkt_default(spark, st):
 _STORE_SETUP = {
     "TestInclude:include_03a": _setup_include_03a,
 }
+def _setup_geo_default(spark, st):
+    # the main geo eval file registers geoSpatialLiteral (lat,lon,time —
+    # this engine's default layout) and makes it the store default
+    st.geo_default_datatype = "http://www.bigdata.com/rdf/geospatial#geoSpatialLiteral"
+    return st
+
+
 _FILE_SETUP = {
     "TestGeoSpatialCustomSerializerWKT": _setup_wkt_default,
+    "TestGeoSpatialServiceEvaluation": _setup_geo_default,
 }
 
 

@@ -543,8 +543,9 @@ def test_exists_in_select_having_order(spark):
         spark.createDataFrame(rows, "s string, p string, o_lex string, o_dt string")
     )
     out = run_sparql(st, "SELECT ?s (EXISTS { ?s <knows> ?x } AS ?e) WHERE { ?s <age> ?a }")
+    # boolean projections serialize as xsd:boolean LEXICALS (r6)
     assert {(r["s"], r["e"]) for r in out.collect()} == {
-        ("a", True), ("b", True), ("c", False)
+        ("a", "true"), ("b", "true"), ("c", "false")
     }
     out = run_sparql(
         st,
@@ -740,9 +741,10 @@ def test_base_urn_scheme_suffix_append(spark):
 
 
 def test_graph_over_triples_only_store_is_empty(spark):
-    """SPARQL dataset semantics: a triples-only store has ZERO named
-    graphs, so GRAPH patterns (const or var) yield zero solutions — not an
-    error."""
+    """Triples-mode GRAPH semantics (r6, reference parity — its
+    triples-mode evaluation has no quad index to scope by; fixture
+    ticket_bg1760): GRAPH <const> still yields zero solutions, but
+    GRAPH ?var evaluates the plain pattern with ?var UNBOUND."""
     from blazegraph_database_spark.model.store import TripleStore
     from blazegraph_database_spark.plans.sparql_parser import run_sparql
 
@@ -754,10 +756,11 @@ def test_graph_over_triples_only_store_is_empty(spark):
     out = run_sparql(st, "SELECT ?s WHERE { GRAPH <g> { ?s <p> ?o } }")
     assert out.count() == 0
     out = run_sparql(st, "SELECT ?s ?g WHERE { GRAPH ?g { ?s <p> ?o } }")
-    assert out.columns == ["s", "g"] and out.count() == 0
+    assert out.columns == ["s", "g"]
+    assert [(r["s"], r["g"]) for r in out.collect()] == [("a", None)]
     # and the default-graph pattern still matches
     out = run_sparql(st, "SELECT ?s WHERE { { GRAPH ?g { ?s <p> ?o } } UNION { ?s <p> ?o } }")
-    assert out.count() == 1
+    assert out.count() == 2
 
 
 def test_describe_mode_query_hint(spark):
