@@ -14,74 +14,29 @@ _CATALOG_MODULES = [
     "blazegraph_database_spark.queries_stream",
 ]
 
-
 # Scored first under the driver's 50-query-per-round correctness budget.
-# Backlog-first discipline (round-6 fix per VERDICT r5 task 1): (a) the 6
-# queries never driver-scored through r5, (b) the 50 queries whose newest
-# green row is r3, stalest-first, (c) new round-6 additions APPEND here —
-# after the backlog, never before it, (d) r5-green queries last. The 50-slot
-# window this round covers (a) + 44 of (b); the remaining 6 of (b) plus (c)
-# lead next round's window.
+# Backlog-first discipline: (a) the 6 queries with no driver row through r5
+# (they led r6's window; kept at the head because no CORRECTNESS_r06 has
+# appeared to confirm the r6 scoring ran), (b) the r3-stale tail that fell
+# outside r6's 50-slot window, (c) round-6 additions never scored, (d) NEW
+# round-7 names APPEND after the backlog, (e) r5-green queries stalest-
+# green-first, (f) the r6-window re-scored block last.
 _SCORE_FIRST = [
-    # (a) never driver-scored through r5 (judge-verified local-green only).
+    # (a) never driver-scored through r5.
     "trig_roundtrip",
     "jsonld_roundtrip",
     "trix_roundtrip",
     "rdfxml_roundtrip",
     "stream_funnel",
     "text_interdoc_repetition",
-    # (b) newest green driver row is r3 — stalest first.
-    "bgp_join_agg",
-    "agg_suite",
-    "optional_count",
-    "union_filter",
-    "filter_funcs",
-    "minus_no_orders",
-    "exists_bigqty",
-    "values_inline",
-    "topk_customers",
-    "group_having",
-    "subquery_avg_orders",
-    "bind_datatype_funcs",
-    "path_two_hop",
-    "path_closure_ancestors",
-    "path_negated",
-    "graph_var_path",
-    "sparql_text_join_agg",
-    "sparql_text_filter_path",
-    "sparql_query_hints",
-    "sparql_named_subquery",
-    "sparql_update_text",
-    "dataset_from_named",
-    "rdr_provenance",
-    "dict_encoded_join",
-    "gas_bfs_tree",
-    "gas_sssp_tree",
-    "gas_cc_bipartite",
-    "gas_pagerank",
-    "gas_paths",
-    "gas_fuzzy_sssp",
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "ann_ivf",
-    "ann_ivf_kmeans",
-    "multimodal_frames",
-    "text_repetition",
-    "text_decontaminate",
-    "text_pii",
-    "geo_zorder",
-    "service_clause_text",
-    "owl_rules_extended",
-    "tm_delete_closure",
+    # (b) r3-stale tail outside r6's window.
     "update_graph_ops",
     "stream_window_agg",
     "stream_dedup",
     "stream_to_triples",
     "stream_interval_join",
     "stream_sessionize",
-    # (c) round-6 additions — append new names HERE (after the backlog).
+    # (c) round-6 additions, never scored.
     "fulltext_stemmed_search",
     "rdr_history_service",
     "typed_sum_semantics",
@@ -89,7 +44,8 @@ _SCORE_FIRST = [
     "inline_uri_ipv4_range",
     "url_canonical_dedup",
     "text_bigram_logprob",
-    # (d) green in CORRECTNESS_r05.
+    # (d) round-7 additions — append new names HERE (after the backlog).
+    # (e) green in CORRECTNESS_r05 (stalest confirmed green).
     "agg_distinct",
     "ann_radius",
     "custom_function",
@@ -140,6 +96,51 @@ _SCORE_FIRST = [
     "turtle_roundtrip",
     "turtle_writer_roundtrip",
     "virtual_graph_dataset",
+    # (f) the r6-window block (scored in r6 if that round ran).
+    "bgp_join_agg",
+    "agg_suite",
+    "optional_count",
+    "union_filter",
+    "filter_funcs",
+    "minus_no_orders",
+    "exists_bigqty",
+    "values_inline",
+    "topk_customers",
+    "group_having",
+    "subquery_avg_orders",
+    "bind_datatype_funcs",
+    "path_two_hop",
+    "path_closure_ancestors",
+    "path_negated",
+    "graph_var_path",
+    "sparql_text_join_agg",
+    "sparql_text_filter_path",
+    "sparql_query_hints",
+    "sparql_named_subquery",
+    "sparql_update_text",
+    "dataset_from_named",
+    "rdr_provenance",
+    "dict_encoded_join",
+    "gas_bfs_tree",
+    "gas_sssp_tree",
+    "gas_cc_bipartite",
+    "gas_pagerank",
+    "gas_paths",
+    "gas_fuzzy_sssp",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "ann_ivf",
+    "ann_ivf_kmeans",
+    "multimodal_frames",
+    "text_repetition",
+    "text_decontaminate",
+    "text_pii",
+    "geo_zorder",
+    "service_clause_text",
+    "owl_rules_extended",
+    "tm_delete_closure",
 ]
 
 
