@@ -763,3 +763,27 @@ def pq_ann_topk(
         .filter(F.col("_r") <= k)
         .select("q", "neighbor", "cos")
     )
+
+
+def matryoshka_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    d_prime: int,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Matryoshka-truncated retrieval (Kusupati et al. 2022, public): slice
+    every embedding to its FIRST ``d_prime`` dimensions and run exact cosine
+    top-k on the truncated space — the MRL serving pattern where a nested
+    prefix of the embedding carries most of the signal at a fraction of the
+    scan cost. Cosine over the slices renormalizes implicitly (dot over the
+    sliced norms), so no separate renormalization pass is needed.
+
+    At 100 TB this is a bandwidth lever: the truncated scan reads d'/d of
+    the vector bytes; pair it with pq/ivf candidates for the full two-stage
+    story. Returns (q, neighbor, cos) like brute_force_topk."""
+    t = lambda d: d.select(
+        F.col(id_col), F.slice(F.col(vec_col), 1, d_prime).alias(vec_col)
+    )
+    return brute_force_topk(t(corpus), t(queries), k=k, id_col=id_col, vec_col=vec_col)

@@ -819,3 +819,214 @@ def bigram_logprob(
             ).alias("neg_logprob"),
         )
     )
+
+
+def paragraph_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep_rx: str = r"\n{2,}",
+    joiner: str = "\n\n",
+) -> DataFrame:
+    """Corpus-wide exact PARAGRAPH dedup (round 7) — the CCNet move: split
+    each document into paragraphs, keep only the FIRST occurrence of each
+    normalized paragraph corpus-wide (first = lowest (doc, position)), and
+    rebuild every document from its surviving paragraphs. Boilerplate
+    paragraphs repeated across a crawl disappear everywhere but their
+    first sighting; documents reduced to nothing drop out.
+
+    Scale shape: first-occurrence selection is a MIN aggregation per
+    normalized paragraph (map-side partial agg — a paragraph repeated 10^9
+    times collapses to one row per map task, no sorted window over the hot
+    key), then one hash join back on the paragraph key (build side has ONE
+    row per key, so AQE's skew split covers the probe side), then one
+    groupBy(doc) to rebuild. Empty/whitespace paragraphs are dropped
+    before counting.
+
+    Returns (id_col, text_col, n_kept, n_dropped)."""
+    paras = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), sep_rx)).alias("p_idx", "para"),
+    ).filter(F.trim(F.col("para")) != "")
+    paras = paras.withColumn(
+        "norm", F.regexp_replace(F.lower(F.trim(F.col("para"))), r"\s+", " ")
+    )
+    # first-occurrence key: (doc, position) packed into one orderable long
+    # (positions are bounded far below the packing base by construction —
+    # a 10^6-paragraph document is not a document)
+    okey = F.col(id_col).cast("long") * F.lit(1_000_000) + F.col("p_idx")
+    firsts = (
+        paras.select("norm", okey.alias("okey"))
+        .groupBy("norm")
+        .agg(F.min("okey").alias("first_key"))
+    )
+    flagged = paras.join(firsts, "norm").withColumn("keep", okey == F.col("first_key"))
+    return (
+        flagged.groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(F.col("keep"), F.struct(F.col("p_idx"), F.col("para")))
+                        )
+                    ),
+                    lambda s: s["para"],
+                ),
+                joiner,
+            ).alias(text_col),
+            F.sum(F.when(F.col("keep"), 1).otherwise(0)).cast("long").alias("n_kept"),
+            F.sum(F.when(~F.col("keep"), 1).otherwise(0)).cast("long").alias("n_dropped"),
+        )
+        .filter(F.col("n_kept") > 0)
+        .select(id_col, text_col, "n_kept", "n_dropped")
+    )
+
+
+def dsir_scores(
+    raw: DataFrame,
+    target: DataFrame,
+    n_buckets: int = 4096,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling" — public): score every raw
+    document by how much more likely its hashed-unigram profile is under
+    the TARGET corpus' bucket distribution than under the raw corpus' own.
+    weight(d) = mean over tokens of [ln((tc+1)/(T+B)) - ln((rc+1)/(R+B))]
+    with tc/rc the token's hash-bucket count in target/raw, T/R the class
+    totals, B the bucket count (add-one smoothing over buckets).
+
+    Scale shape: the bucket-stat table is AT MOST ``n_buckets`` rows no
+    matter the corpus size — it broadcasts; token→bucket hashing and the
+    per-doc weighted mean are one partial-agg shuffle each. The hash is the
+    DuckDB-expressible rolling hash so the oracle replays bit-for-bit.
+
+    Returns (id_col, n_tokens, weight) for every raw doc with >=1 token;
+    higher weight = more target-like."""
+    def toks(d: DataFrame) -> DataFrame:
+        t = d.select(
+            F.col(id_col),
+            F.explode(F.transform(words(F.col(text_col)), F.lower)).alias("w"),
+        )
+        return t.select(id_col, (rolling_hash(F.col("w")) % F.lit(n_buckets)).alias("b"))
+
+    tok_r = toks(raw)
+    rcnt = tok_r.groupBy("b").agg(F.count("*").alias("rc"))
+    tcnt = toks(target).groupBy("b").agg(F.count("*").alias("tc"))
+    stats = rcnt.join(tcnt, "b", "left").fillna({"tc": 0})
+    totals = stats.agg(
+        F.sum("rc").alias("rtot"), F.sum("tc").alias("ttot")
+    )
+    bb = F.lit(float(n_buckets))
+    llr = F.log((F.col("tc") + 1) / (F.col("ttot") + bb)) - F.log(
+        (F.col("rc") + 1) / (F.col("rtot") + bb)
+    )
+    return (
+        tok_r.groupBy(id_col, "b")
+        .agg(F.count("*").alias("tf"))
+        .join(F.broadcast(stats), "b")
+        .crossJoin(F.broadcast(totals))
+        .groupBy(id_col)
+        .agg(
+            F.sum("tf").cast("long").alias("n_tokens"),
+            F.round(F.sum(F.col("tf") * llr) / F.sum("tf"), 6).alias("weight"),
+        )
+    )
+
+
+def dsir_select(
+    raw: DataFrame,
+    target: DataFrame,
+    n_keep: int,
+    n_buckets: int = 4096,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """DSIR selection: the ``n_keep`` most target-like raw documents by
+    importance weight (ties broken by id — deterministic under any
+    partitioning). Top-N over scores is a TakeOrdered, never a full global
+    sort."""
+    s = dsir_scores(raw, target, n_buckets, id_col, text_col)
+    return s.orderBy(F.col("weight").desc(), F.col(id_col).asc()).limit(n_keep)
+
+
+def nb_token_classifier(
+    df: DataFrame,
+    pos_col: str,
+    alpha: float = 1.0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Hashed-free naive-Bayes token classifier (round 7) — the fastText /
+    CCNet quality-classifier shape, trained ON the corpus itself from the
+    boolean ``pos_col`` label so the whole computation is deterministic and
+    SQL-replayable. Per token w: llr(w) = ln((cpos+a)/(Npos+aV)) -
+    ln((cneg+a)/(Nneg+aV)); the document score is the token-frequency-
+    weighted mean llr, and pred = score > 0.
+
+    Scale shape: the per-token class-count table is |V| rows — joined on
+    the token key (one row per key on the build side, skew-safe), never
+    broadcast; only the three scalar totals broadcast.
+
+    Returns (id_col, n_tokens, score, pred)."""
+    tok = df.select(
+        F.col(id_col),
+        F.col(pos_col).cast("boolean").alias("_pos"),
+        F.explode(F.transform(words(F.col(text_col)), F.lower)).alias("w"),
+    )
+    cc = tok.groupBy("w").agg(
+        F.sum(F.when(F.col("_pos"), 1).otherwise(0)).alias("cpos"),
+        F.sum(F.when(~F.col("_pos"), 1).otherwise(0)).alias("cneg"),
+    )
+    tots = cc.agg(
+        F.sum("cpos").alias("npos"),
+        F.sum("cneg").alias("nneg"),
+        F.count("*").cast("double").alias("v"),
+    )
+    a = F.lit(float(alpha))
+    llr = F.log((F.col("cpos") + a) / (F.col("npos") + a * F.col("v"))) - F.log(
+        (F.col("cneg") + a) / (F.col("nneg") + a * F.col("v"))
+    )
+    return (
+        tok.groupBy(id_col, "w")
+        .agg(F.count("*").alias("tf"))
+        .join(cc, "w")
+        .crossJoin(F.broadcast(tots))
+        .groupBy(id_col)
+        .agg(
+            F.sum("tf").cast("long").alias("n_tokens"),
+            F.round(F.sum(F.col("tf") * llr) / F.sum("tf"), 6).alias("score"),
+        )
+        .withColumn("pred", (F.col("score") > 0).cast("int"))
+    )
+
+
+def perplexity_buckets(
+    df: DataFrame,
+    n_buckets: int = 3,
+    by_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """CCNet head/middle/tail perplexity bucketing (round 7): score every
+    document with the corpus-trained unigram LM, then NTILE it into
+    ``n_buckets`` quality tiers WITHIN its language (CCNet buckets per
+    language so low-resource languages aren't judged by the dominant one).
+    Deterministic: ties on the rounded score break by id.
+
+    Scale: one window shuffle partitioned by language; the LM scoring
+    underneath is the unigram_logprob plan. Returns
+    (id_col, by_col, neg_logprob, ppl_bucket) with bucket 1 = most typical
+    (head) ... n = least (tail)."""
+    from pyspark.sql.window import Window
+
+    scored = unigram_logprob(df, id_col=id_col, text_col=text_col)
+    labeled = scored.join(df.select(id_col, by_col), id_col)
+    w = Window.partitionBy(by_col).orderBy(
+        F.col("neg_logprob").asc(), F.col(id_col).asc()
+    )
+    return labeled.select(
+        id_col, by_col, "neg_logprob", F.ntile(n_buckets).over(w).alias("ppl_bucket")
+    )

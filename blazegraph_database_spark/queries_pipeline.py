@@ -1625,3 +1625,200 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     LM table JOINS (never broadcasts — |V|² at corpus scale), only the
     scalar vocab size rides a broadcast (operators/text.bigram_logprob)."""
     return text.bigram_logprob(_docs(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# Round 7: paragraph dedup, DSIR resampling, NB quality classifier, CCNet
+# perplexity buckets, matryoshka-truncated retrieval.
+
+# The harness corpus is flat text (no newlines), so the paragraph-dedup
+# query composes a multi-paragraph view first: documents grouped by
+# doc_id % 40, each group's texts joined with a blank line in id order.
+# Exact-duplicate docs in the corpus then appear as duplicate paragraphs
+# ACROSS composites — exactly the cross-document boilerplate the operator
+# removes. Both engines build the identical view.
+_PARA_COMPOSE_CTE = """
+    WITH comp AS (
+        SELECT cid AS doc_id,
+               string_agg(text, chr(10) || chr(10) ORDER BY src_id) AS text
+        FROM (SELECT doc_id % 40 AS cid, doc_id AS src_id, text FROM documents)
+        GROUP BY cid
+    )
+"""
+
+
+@register(
+    "text_paragraph_dedup",
+    _PARA_COMPOSE_CTE + """
+    , parts AS (SELECT doc_id, string_split_regex(text, '\\n{2,}') AS ps FROM comp),
+    p AS (
+        SELECT doc_id,
+               unnest(list_transform(generate_series(1, len(ps)),
+                                     i -> struct_pack(p_idx := i, para := ps[i]))) AS u
+        FROM parts
+    ),
+    q AS (
+        SELECT doc_id, u.p_idx AS p_idx, u.para AS para,
+               regexp_replace(lower(trim(u.para)), '\\s+', ' ', 'g') AS norm
+        FROM p WHERE trim(u.para) != ''
+    ),
+    f AS (SELECT norm, MIN(doc_id * 1000000 + p_idx) AS first_key FROM q GROUP BY norm),
+    j AS (
+        SELECT q.*, (doc_id * 1000000 + p_idx = first_key) AS keep
+        FROM q JOIN f USING (norm)
+    )
+    SELECT doc_id,
+           string_agg(para, chr(10) || chr(10) ORDER BY p_idx) FILTER (WHERE keep) AS text,
+           CAST(COUNT(*) FILTER (WHERE keep) AS BIGINT) AS n_kept,
+           CAST(COUNT(*) FILTER (WHERE NOT keep) AS BIGINT) AS n_dropped
+    FROM j GROUP BY doc_id
+    HAVING COUNT(*) FILTER (WHERE keep) > 0
+    """,
+)
+def text_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide exact paragraph dedup (CCNet-style) over a composed
+    multi-paragraph view: first occurrence wins, documents are rebuilt from
+    surviving paragraphs (operators/text.paragraph_dedup)."""
+    docs = _docs(spark, sf_dir).select(
+        (F.col("doc_id") % 40).alias("cid"),
+        F.col("doc_id").alias("src_id"),
+        "text",
+    )
+    comp = (
+        docs.groupBy("cid")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct(F.col("src_id").alias("i"),
+                                                         F.col("text").alias("t")))),
+                    lambda s: s["t"],
+                ),
+                "\n\n",
+            ).alias("text")
+        )
+        .select(F.col("cid").alias("doc_id"), "text")
+    )
+    return text.paragraph_dedup(comp)
+
+
+@register(
+    "dataset_dsir_resample",
+    """
+    WITH w AS (
+        SELECT doc_id, unnest(list_transform(string_split_regex(trim(text), '\\s+'),
+                                             x -> lower(x))) AS w
+        FROM documents WHERE trim(text) != ''
+    ),
+    h AS (
+        SELECT doc_id,
+               list_reduce(list_prepend(CAST(0 AS BIGINT),
+                   list_transform(string_split_regex(w, ''), c -> CAST(ascii(c) AS BIGINT))),
+                   (h, c) -> (h * 31 + c) % 1000000007) % 4096 AS b
+        FROM w
+    ),
+    t AS (SELECT h.b FROM h JOIN documents d USING (doc_id) WHERE d.source = 'src18'),
+    rc AS (SELECT b, COUNT(*) AS rc FROM h GROUP BY b),
+    tcn AS (SELECT b, COUNT(*) AS tc FROM t GROUP BY b),
+    stats AS (SELECT rc.b, rc.rc, COALESCE(tcn.tc, 0) AS tc FROM rc LEFT JOIN tcn USING (b)),
+    tot AS (SELECT SUM(rc) AS rtot, SUM(tc) AS ttot FROM stats),
+    tf AS (SELECT doc_id, b, COUNT(*) AS tf FROM h GROUP BY 1, 2),
+    sc AS (
+        SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens,
+               ROUND(SUM(tf * (ln((tc + 1) * 1.0 / (ttot + 4096))
+                               - ln((rc + 1) * 1.0 / (rtot + 4096)))) / SUM(tf), 6) AS weight
+        FROM tf JOIN stats USING (b) CROSS JOIN tot GROUP BY doc_id
+    )
+    SELECT doc_id, n_tokens, weight FROM sc ORDER BY weight DESC, doc_id ASC LIMIT 100
+    """,
+)
+def dataset_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance resampling: the 100 raw documents most target-like
+    (target = source 'src18') under hashed-unigram bucket distributions
+    (operators/text.dsir_select)."""
+    docs = _docs(spark, sf_dir)
+    return text.dsir_select(docs, docs.filter(F.col("source") == "src18"), n_keep=100)
+
+
+@register(
+    "quality_nb_classifier",
+    """
+    WITH w AS (
+        SELECT doc_id, (lang = 'en') AS pos,
+               unnest(list_transform(string_split_regex(trim(text), '\\s+'),
+                                     x -> lower(x))) AS w
+        FROM documents WHERE trim(text) != ''
+    ),
+    cc AS (
+        SELECT w,
+               SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS cpos,
+               SUM(CASE WHEN NOT pos THEN 1 ELSE 0 END) AS cneg
+        FROM w GROUP BY w
+    ),
+    tot AS (SELECT SUM(cpos) AS npos, SUM(cneg) AS nneg, CAST(COUNT(*) AS DOUBLE) AS v FROM cc),
+    tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM w GROUP BY 1, 2),
+    sc AS (
+        SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens,
+               ROUND(SUM(tf * (ln((cpos + 1.0) / (npos + v)) - ln((cneg + 1.0) / (nneg + v))))
+                     / SUM(tf), 6) AS score
+        FROM tf JOIN cc USING (w) CROSS JOIN tot GROUP BY doc_id
+    )
+    SELECT doc_id, n_tokens, score, CAST(score > 0 AS INT) AS pred FROM sc
+    """,
+)
+def quality_nb_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-shaped naive-Bayes quality classifier trained in-corpus on
+    the lang='en' label (operators/text.nb_token_classifier)."""
+    docs = _docs(spark, sf_dir).withColumn("_is_en", F.col("lang") == "en")
+    return text.nb_token_classifier(docs, "_is_en")
+
+
+@register(
+    "text_ccnet_buckets",
+    """
+    WITH w AS (
+        SELECT doc_id,
+               unnest(list_transform(string_split_regex(trim(text), '\\s+'),
+                                     x -> lower(x))) AS w
+        FROM documents WHERE trim(text) != ''
+    ),
+    tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM w GROUP BY 1, 2),
+    vocab AS (SELECT w, COUNT(*) AS cnt FROM w GROUP BY 1),
+    tot AS (SELECT SUM(cnt) AS total FROM vocab),
+    sc AS (
+        SELECT doc_id, ROUND(SUM(tf * -ln(cnt * 1.0 / total)) / SUM(tf), 4) AS neg_logprob
+        FROM tf JOIN vocab USING (w) CROSS JOIN tot GROUP BY doc_id
+    )
+    SELECT doc_id, lang, neg_logprob,
+           CAST(ntile(3) OVER (PARTITION BY lang ORDER BY neg_logprob ASC, doc_id ASC) AS INT)
+               AS ppl_bucket
+    FROM sc JOIN documents USING (doc_id)
+    """,
+)
+def text_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail perplexity buckets per language
+    (operators/text.perplexity_buckets)."""
+    return text.perplexity_buckets(_docs(spark, sf_dir))
+
+
+@register(
+    "ann_matryoshka",
+    """
+    WITH q AS (SELECT vec_id AS q, CAST(embedding[1:16] AS DOUBLE[]) AS qv
+               FROM embeddings WHERE vec_id < 5),
+    c AS (SELECT vec_id AS neighbor, CAST(embedding[1:16] AS DOUBLE[]) AS cv FROM embeddings),
+    scored AS (
+        SELECT q, neighbor, ROUND(list_cosine_similarity(qv, cv), 4) AS cos
+        FROM q CROSS JOIN c WHERE q != neighbor
+    ),
+    rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY q ORDER BY cos DESC, neighbor ASC) AS r
+           FROM scored)
+    SELECT q, neighbor, cos FROM rk WHERE r <= 3
+    """,
+)
+def ann_matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-truncated cosine top-3 (first 16 dims) for query vectors
+    vec_id<5 (operators/similarity.matryoshka_topk)."""
+    embs = _embs(spark, sf_dir)
+    return similarity.matryoshka_topk(
+        embs, embs.filter(F.col("vec_id") < 5), d_prime=16, k=3
+    )

@@ -45,6 +45,11 @@ _SCORE_FIRST = [
     "url_canonical_dedup",
     "text_bigram_logprob",
     # (d) round-7 additions — append new names HERE (after the backlog).
+    "text_paragraph_dedup",
+    "dataset_dsir_resample",
+    "quality_nb_classifier",
+    "text_ccnet_buckets",
+    "ann_matryoshka",
     # (e) green in CORRECTNESS_r05 (stalest confirmed green).
     "agg_distinct",
     "ann_radius",

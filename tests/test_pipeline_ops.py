@@ -644,3 +644,89 @@ def test_bigram_logprob_orders_typicality(spark):
     assert 4 not in out
     assert out[1]["n_bigrams"] == 7
     assert out[1]["neg_logprob"] < out[3]["neg_logprob"]
+
+
+def test_paragraph_dedup_first_occurrence_wins(spark):
+    rows = [
+        (1, "alpha beta\n\nshared boilerplate text\n\ngamma delta"),
+        (2, "shared  BOILERPLATE   text\n\nunique second paragraph"),
+        (3, "SHARED boilerplate TEXT"),
+        (4, "   \n\n  "),  # only whitespace paragraphs -> drops out
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in text.paragraph_dedup(df).collect()}
+    # doc 1 keeps all three paragraphs (it holds the first occurrence)
+    assert out[1]["n_kept"] == 3 and out[1]["n_dropped"] == 0
+    assert out[1]["text"] == "alpha beta\n\nshared boilerplate text\n\ngamma delta"
+    # doc 2 loses the normalized duplicate, keeps its unique paragraph
+    assert out[2]["n_kept"] == 1 and out[2]["n_dropped"] == 1
+    assert out[2]["text"] == "unique second paragraph"
+    # doc 3 was ONLY the duplicate -> no output row
+    assert 3 not in out and 4 not in out
+
+
+def test_dsir_prefers_target_like_docs(spark):
+    raw = spark.createDataFrame(
+        [
+            (1, "physics quantum relativity electron photon"),
+            (2, "physics quantum field theory boson"),
+            (3, "recipe sugar flour butter oven bake"),
+            (4, "recipe salt pepper onion garlic stew"),
+        ],
+        "doc_id long, text string",
+    )
+    target = spark.createDataFrame(
+        [(100, "quantum physics electron boson relativity")],
+        "doc_id long, text string",
+    )
+    scores = {r["doc_id"]: r["weight"] for r in text.dsir_scores(raw, target).collect()}
+    assert scores[1] > scores[3] and scores[2] > scores[4]
+    top2 = [r["doc_id"] for r in text.dsir_select(raw, target, n_keep=2).collect()]
+    assert set(top2) == {1, 2}
+
+
+def test_nb_classifier_separates_classes(spark):
+    df = spark.createDataFrame(
+        [
+            (1, True, "good clean prose sentence here"),
+            (2, True, "another good clean sentence follows"),
+            (3, False, "spam junk click buy now"),
+            (4, False, "junk spam buy click offer"),
+            (5, True, "good prose with clean sentence"),
+        ],
+        "doc_id long, is_pos boolean, text string",
+    )
+    out = {r["doc_id"]: r for r in text.nb_token_classifier(df, "is_pos").collect()}
+    assert out[1]["pred"] == 1 and out[2]["pred"] == 1 and out[5]["pred"] == 1
+    assert out[3]["pred"] == 0 and out[4]["pred"] == 0
+    assert out[1]["score"] > 0 > out[3]["score"]
+
+
+def test_perplexity_buckets_per_language(spark):
+    rows = [(i, "en", "common words repeated " * 3) for i in range(1, 4)]
+    rows += [(4, "en", "zyzzyva qwerty xylophone unusual rare")]
+    rows += [(5, "fr", "le chat noir"), (6, "fr", "zut alors incroyable")]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    out = {r["doc_id"]: r for r in text.perplexity_buckets(df).collect()}
+    # the rare-word doc lands in the worst en bucket
+    assert out[4]["ppl_bucket"] == 3
+    assert out[1]["ppl_bucket"] == 1
+    # languages bucket independently: fr has its own tiers starting at 1
+    assert {out[5]["ppl_bucket"], out[6]["ppl_bucket"]} <= {1, 2, 3}
+    assert min(out[5]["ppl_bucket"], out[6]["ppl_bucket"]) == 1
+
+
+def test_matryoshka_truncation_changes_space(spark):
+    # 4-dim embeddings where full-space and first-2-dim nearest differ
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [1.0, 0.0, 5.0, 0.0]),   # full space: far from 0; truncated: identical
+        (2, [0.9, 0.1, 0.0, 0.0]),   # full space: nearest to 0
+        (3, [0.0, 1.0, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = df.filter(F.col("vec_id") == 0)
+    full = similarity.brute_force_topk(df, q, k=1).collect()[0]
+    trunc = similarity.matryoshka_topk(df, q, d_prime=2, k=1).collect()[0]
+    assert full["neighbor"] == 2
+    assert trunc["neighbor"] == 1 and trunc["cos"] == 1.0

@@ -535,3 +535,46 @@ def test_distributed_export_plans_one_shuffle_no_collect(spark):
     assert xml.count("Exchange") - xml.count("BroadcastExchange") == 1
     jld = plan_of(W.jsonld_nodes(df.drop("g")), "simple")
     assert jld.count("Exchange") - jld.count("BroadcastExchange") == 2
+
+
+def test_paragraph_dedup_min_agg_no_window_no_cartesian(spark):
+    """Paragraph dedup must pick first occurrences with a MIN aggregation
+    (map-side partial agg — hot boilerplate paragraphs collapse per task),
+    never a sorted window over the paragraph key, and join back with a hash
+    join (no cartesian)."""
+    from blazegraph_database_spark.operators import text as T
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    p = plan_of(T.paragraph_dedup(docs), mode="simple")
+    assert "BatchEvalPython" not in p
+    assert "CartesianProduct" not in p
+    assert "Window" not in p  # first-occurrence is an agg, not a rank
+    assert p.count("HashAggregate") >= 4  # partial+final for firsts and rebuild
+
+
+def test_dsir_stats_broadcast_partial_agg(spark):
+    """DSIR's bucket-stat table is bounded by n_buckets regardless of corpus
+    size — it must ride a broadcast; the token counts are partial-agged."""
+    from blazegraph_database_spark.operators import text as T
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    p = plan_of(T.dsir_scores(docs, docs.limit(5)), mode="simple")
+    assert "BatchEvalPython" not in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastExchange" in p  # <=n_buckets stats + single-row totals
+    assert p.count("HashAggregate") >= 4
+
+
+def test_nb_classifier_joins_vocab_on_key(spark):
+    """The NB classifier's |V|-row class-count table must join on the token
+    key (a corpus-scale vocabulary cannot broadcast); only the scalar totals
+    broadcast."""
+    from blazegraph_database_spark.operators import text as T
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").withColumn(
+        "pos", F.col("lang") == "en"
+    )
+    p = plan_of(T.nb_token_classifier(docs, "pos"), mode="simple")
+    assert "BatchEvalPython" not in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastExchange" in p  # the 3-scalar totals row
