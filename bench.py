@@ -92,7 +92,30 @@ def main() -> None:
         # plan/parse dominated at pc10 size (5007 triples), so this metric
         # tracks OPTIMIZER cost, not data throughput.
         out["bsbm_explore_total"] = bsbm
+    # round-7 curation/retrieval family wall clock (paragraph dedup, DSIR,
+    # NB classifier, CCNet buckets, matryoshka ANN) — a separate pinned
+    # metric so regressions on the LLM-pipeline operators stay visible
+    # without disturbing the headline floor comparison.
+    cur_q: dict[str, float] = {}
+    for name in _CURATION_SUITE:
+        if name not in catalog:
+            continue
+        t0 = time.time()
+        catalog[name]["fn"](spark, sf_dir).count()
+        cur_q[name] = round(time.time() - t0, 3)
+    if cur_q:
+        out["curation_suite_total"] = round(sum(cur_q.values()), 3)
+        out["curation_queries"] = cur_q
     print(json.dumps(out))
+
+
+_CURATION_SUITE = [
+    "text_paragraph_dedup",
+    "dataset_dsir_resample",
+    "quality_nb_classifier",
+    "text_ccnet_buckets",
+    "ann_matryoshka",
+]
 
 
 # BSBM Explore mix (ref: bigdata-rdf-test .../eval/bsbm/explore, the same 13

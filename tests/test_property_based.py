@@ -549,3 +549,48 @@ def test_gopher_word_features_match_python(spark, docs):
         text = " ".join(ws)
         sym = text.count("#") + len(__import__("re").findall(r"\.\.\.", text))
         assert r["symbol_ratio"] == round(sym / nz, 6)
+
+
+@given(
+    paras=st.lists(
+        st.lists(st.sampled_from(["aa bb", "cc", "dd ee ff", "AA  BB", " cc "]),
+                 min_size=0, max_size=4),
+        min_size=1,
+        max_size=6,
+    ),
+)
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+def test_paragraph_dedup_equals_python_reference(spark, paras):
+    """paragraph_dedup equals a plain-Python first-occurrence filter on
+    random corpora with case/whitespace variants of the same paragraphs."""
+    import re as _re
+
+    from blazegraph_database_spark.operators.text import paragraph_dedup
+
+    docs = [(i, "\n\n".join(ps)) for i, ps in enumerate(paras)]
+
+    def norm(p: str) -> str:
+        return _re.sub(r"\s+", " ", p.strip().lower())
+
+    seen: set[str] = set()
+    want: dict[int, tuple[str, int, int]] = {}
+    for i, ps in enumerate(paras):
+        kept, dropped = [], 0
+        for p in ps:
+            if not p.strip():
+                continue
+            n = norm(p)
+            if n in seen:
+                dropped += 1
+            else:
+                seen.add(n)
+                kept.append(p)
+        if kept:
+            want[i] = ("\n\n".join(kept), len(kept), dropped)
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["text"], r["n_kept"], r["n_dropped"])
+        for r in paragraph_dedup(df).collect()
+    }
+    assert got == want
