@@ -2180,3 +2180,64 @@ def inline_uri_ipv4_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         } ORDER BY ?c
         """,
     )
+
+
+@register(
+    "service_bd_values",
+    """
+    SELECT 'nation:' || n_nationkey AS n, n_name AS name
+    FROM nation WHERE n_name IN ('NATION_3', 'NATION_7', 'NATION_12')
+    """,
+)
+def service_bd_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SERVICE <bd:values> — the VALUES-as-service form (ref:
+    eval/ValuesServiceFactory.java:92): the block's bd:values.val params
+    become one binding each for the named var, joined against the sibling
+    pattern (a val with no match drops out)."""
+    from blazegraph_database_spark.plans.sparql_parser import run_sparql
+    from blazegraph_database_spark.sources.relational import cached_store
+
+    st = cached_store(spark, sf_dir)
+    q = """
+    PREFIX bd: <http://www.bigdata.com/rdf#>
+    SELECT ?n ?name WHERE {
+      SERVICE <http://www.bigdata.com/rdf#values> {
+        bd:serviceParam bd:values.var ?name .
+        bd:serviceParam bd:values.val "NATION_3" .
+        bd:serviceParam bd:values.val "NATION_7" .
+        bd:serviceParam bd:values.val "NATION_12" .
+        bd:serviceParam bd:values.val "NO_SUCH_NATION" .
+      }
+      ?n <nation#n_name> ?name .
+    }
+    """
+    return run_sparql(st, q)
+
+
+@register(
+    "service_stored_query",
+    """
+    SELECT c, CAST(c_acctbal AS DOUBLE) AS bal
+    FROM (SELECT 'customer:' || c_custkey AS c, c_acctbal FROM customer
+          WHERE c_acctbal > 9000)
+    ORDER BY c LIMIT 50
+    """,
+)
+def service_stored_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stored-query SERVICE (ref: service/storedquery/StoredQueryService.java
+    — applications register SPARQL text under a service IRI; invoking the
+    IRI as SERVICE runs it against the store). Registration is idempotent;
+    the stored text runs through the ordinary parser/compiler."""
+    from blazegraph_database_spark.operators import service
+    from blazegraph_database_spark.plans.sparql_parser import run_sparql
+    from blazegraph_database_spark.sources.relational import cached_store
+
+    service.register_stored_query(
+        "http://app/stored#bigbal",
+        "SELECT ?c (xsd:double(?b) AS ?bal) WHERE { ?c <customer#c_acctbal> ?b . "
+        "FILTER(xsd:double(?b) > 9000) } ORDER BY ?c LIMIT 50",
+    )
+    st = cached_store(spark, sf_dir)
+    return run_sparql(
+        st, "SELECT ?c ?bal WHERE { SERVICE <http://app/stored#bigbal> { } }"
+    )

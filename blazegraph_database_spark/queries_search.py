@@ -613,3 +613,39 @@ def fulltext_stemmed_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = fulltext.inverted_index(docs, analyzer="en")
     pats = fulltext.analyze_query("streaming tables", analyzer="en")
     return fulltext.search(idx, pats, match_all=True, max_rank=12)
+
+
+@register(
+    "fulltext_bm25",
+    """
+    WITH tok AS (
+        SELECT doc_id,
+               unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                  t -> t != '')) AS term
+        FROM documents
+    ),
+    idx AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+    dl AS (SELECT doc_id, SUM(tf) AS dl FROM idx GROUP BY doc_id),
+    stats AS (SELECT COUNT(*) AS n, SUM(dl) * 1.0 / COUNT(*) AS avgdl FROM dl),
+    m AS (SELECT * FROM idx WHERE term IN ('spark', 'merge')),
+    dfreq AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM m GROUP BY term),
+    sc AS (
+        SELECT doc_id,
+               ROUND(SUM(ln((n - df + 0.5) / (df + 0.5) + 1.0)
+                         * (tf * 2.2)
+                         / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))), 6) AS bm25
+        FROM m JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+        GROUP BY doc_id
+    )
+    SELECT doc_id, bm25 FROM sc ORDER BY bm25 DESC, doc_id ASC LIMIT 20
+    """,
+)
+def fulltext_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25-ranked keyword search over the inverted index (k1=1.2, b=0.75)
+    — the ranking option beyond the reference's tf/cosine relevance
+    (operators/fulltext.bm25_search); previously unit-only, now
+    oracle-matched term by term."""
+    idx = _docs_index(spark, sf_dir)
+    return fulltext.bm25_search(idx, ["spark", "merge"]).select(
+        F.col("id").alias("doc_id"), "bm25"
+    )

@@ -50,6 +50,9 @@ _SCORE_FIRST = [
     "quality_nb_classifier",
     "text_ccnet_buckets",
     "ann_matryoshka",
+    "fulltext_bm25",
+    "service_bd_values",
+    "service_stored_query",
     # (e) green in CORRECTNESS_r05 (stalest confirmed green).
     "agg_distinct",
     "ann_radius",
