@@ -649,3 +649,45 @@ def fulltext_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fulltext.bm25_search(idx, ["spark", "merge"]).select(
         F.col("id").alias("doc_id"), "bm25"
     )
+
+
+@register(
+    "geo_nd_datatype",
+    _GEO_CTE + """
+    SELECT event_id, lat, lon, v FROM (
+        SELECT pts.event_id, lat, lon, e.value AS v
+        FROM pts JOIN events e ON pts.event_id = e.event_id
+    ) WHERE lat >= 0 AND lat <= 45 AND v >= 10 AND v <= 60
+    """,
+)
+def geo_nd_datatype(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom N-dim geospatial datatype end-to-end (ref:
+    GeoSpatialConfig.java:52 — deployment-declared datatypes with custom
+    literal serializers): register a 3-dim lat/lon/value datatype,
+    serialize every point through its '#' literal form, parse the literals
+    back, and run a multi-dimensional range query over the decoded dims
+    (previously unit-only; the bounds compile to plain pushable column
+    predicates)."""
+    from blazegraph_database_spark.operators.geospatial import (
+        GeoDatatype, GeoDim, geo_literal, parse_geo_literal,
+        range_query_nd, register_geo_datatype,
+    )
+    from blazegraph_database_spark.sources.relational import read_parquet
+
+    dt = register_geo_datatype(
+        GeoDatatype(
+            "app:lat-lon-value",
+            (GeoDim("lat", -90.0, 90.0), GeoDim("lon", -180.0, 180.0),
+             GeoDim("v", -1e6, 1e6)),
+        )
+    )
+    ev = read_parquet(spark, f"{sf_dir}/events.parquet")
+    pts = _events_geo(spark, sf_dir).join(
+        ev.select("event_id", F.col("value").alias("v")), "event_id"
+    )
+    lits = pts.select(
+        "event_id",
+        geo_literal([F.col("lat"), F.col("lon"), F.col("v")]).alias("lit"),
+    )
+    decoded = lits.select("event_id", *parse_geo_literal(F.col("lit"), dt))
+    return range_query_nd(decoded, dt, {"lat": (0.0, 45.0), "v": (10.0, 60.0)})

@@ -231,3 +231,30 @@ def stream_trending_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("window_start", "event_type", F.col("n").cast("long").alias("n"),
                 F.col("rk").cast("int").alias("rk"))
     )
+
+
+@register(
+    "stream_to_store",
+    """
+    SELECT p, COUNT(*) AS n FROM (
+        SELECT 'events#event_type' AS p FROM events WHERE event_type IS NOT NULL
+        UNION ALL SELECT 'events#user_id' FROM events WHERE user_id IS NOT NULL
+        UNION ALL SELECT 'events#value' FROM events WHERE value IS NOT NULL
+        UNION ALL SELECT 'events#props' FROM events WHERE props IS NOT NULL
+    ) t GROUP BY p
+    """,
+)
+def stream_to_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingest → VERSIONED STORE (the streaming DataLoader,
+    previously unit-only): each micro-batch commits one MVCC version via
+    foreachBatch → insert_data; after the availableNow pass the final
+    version's per-predicate triple counts must equal the batch ingest."""
+    from blazegraph_database_spark.model.store import TripleStore
+    from blazegraph_database_spark.update.update import UpdatableStore
+
+    st = S.read_events_stream(spark, sf_dir)
+    triples = S.events_to_triples(st)
+    empty = spark.createDataFrame([], "s string, p string, o_lex string, o_dt string")
+    us = UpdatableStore.from_store(TripleStore(empty))
+    S.ingest_stream_to_store(triples, us).awaitTermination()
+    return us.current.df.groupBy("p").agg(F.count(F.lit(1)).alias("n"))

@@ -53,6 +53,8 @@ _SCORE_FIRST = [
     "fulltext_bm25",
     "service_bd_values",
     "service_stored_query",
+    "geo_nd_datatype",
+    "stream_to_store",
     # (e) green in CORRECTNESS_r05 (stalest confirmed green).
     "agg_distinct",
     "ann_radius",
