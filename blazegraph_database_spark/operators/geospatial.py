@@ -447,3 +447,74 @@ def knn(
         rows = band_top(need).collect()
     spark = df.sparkSession
     return spark.createDataFrame(rows, f"{id_col} long, distance_km double")
+
+
+# --------------------------------------------------------------------------
+# Registered datatype CONFIGS with per-field multipliers (round 7; ref:
+# GeoSpatialDatatypeConfiguration JSON — "fields": [{valueType, multiplier,
+# serviceMapping}, ...] — and GeoSpatialLiteralExtension: literals are packed
+# into quantized z-order IVs at LOAD, so every read reconstructs the lexical
+# from the quantized components and query bounds quantize the same way).
+
+
+@dataclass(frozen=True)
+class GeoFieldSpec:
+    """One field of a registered geo datatype config."""
+
+    value_type: str  # "DOUBLE" | "LONG"
+    multiplier: int = 1
+
+
+def quantize_bound(lex: str, mult: int) -> float:
+    """Quantize a query bound exactly the way the reference encodes it
+    (BigDecimal multiply + longValue = truncate toward zero), then map back
+    to the component domain. Decimal math keeps '1.2'*100000 exact."""
+    from decimal import Decimal
+
+    return int(Decimal(lex) * mult) / mult
+
+
+def _quantized_field(part: Column, spec: GeoFieldSpec) -> Column:
+    """Lexical component → quantized canonical lexical (NULL if unparseable):
+    DOUBLE renders Double.toString-style ('1.1', '4.0'); LONG as integer."""
+    if spec.value_type == "DOUBLE":
+        q = (part.try_cast("decimal(30,12)") * F.lit(spec.multiplier)).cast("long")
+        return (q.cast("double") / F.lit(float(spec.multiplier))).cast("string")
+    q = (part.try_cast("decimal(30,0)") * F.lit(spec.multiplier)).cast("long")
+    return F.floor(q / F.lit(spec.multiplier)).cast("long").cast("string")
+
+
+def requantize_geo_literals(df: DataFrame, configs: dict) -> DataFrame:
+    """Ingest re-serialization of registered geospatial datatype literals:
+    each component truncates to its multiplier's granularity and re-renders
+    canonically ('6.6666666' at x1e5 reads back '6.66666'; 'Point(1,1)'
+    reads back 'Point(1.0,1.0)'). ``configs`` maps datatype IRI → ordered
+    [GeoFieldSpec]; WKT-serializer datatypes (IRIs ending 'wktLiteral')
+    parse/render the Point(a,b) form. Unparseable literals keep their
+    written form (per-row discipline). One expression pass, no shuffle."""
+    out = df
+    for dtiri, fields in configs.items():
+        is_dt = F.col("o_dt") == f"dt:{dtiri}"
+        if dtiri.endswith("wktLiteral"):
+            rx = r"^Point\(\s*(-?[0-9.]+)\s*,\s*(-?[0-9.]+)\s*\)$"
+            comps = [F.regexp_extract(F.col("o_lex"), rx, i + 1) for i in range(2)]
+            qs = [_quantized_field(c, s) for c, s in zip(comps, fields[:2])]
+            new = F.concat(F.lit("Point("), qs[0], F.lit(","), qs[1], F.lit(")"))
+            ok = (comps[0] != "") & (comps[1] != "")
+        else:
+            parts = F.split(F.col("o_lex"), "#")
+            qs = [_quantized_field(parts.getItem(i), s) for i, s in enumerate(fields)]
+            new = F.concat_ws("#", *qs)
+            ok = F.size(parts) == len(fields)
+        for q in qs:
+            ok = ok & q.isNotNull()
+        out = out.withColumn(
+            "o_lex", F.when(is_dt & ok, new).otherwise(F.col("o_lex"))
+        )
+    # ingest-time step: pin the requantized relation. Without a plan
+    # barrier, CollapseProject inlines the per-field decimal rewrite into
+    # every downstream consumer of o_lex (each split/filter/projection
+    # duplicates the whole rewrite tree — measured codegen OOM on a
+    # 10-row store). At scale this sits where the store write already
+    # materializes, so the checkpoint costs nothing extra.
+    return out.localCheckpoint(eager=True)

@@ -398,6 +398,26 @@ def geo_search_service(store, patterns) -> DataFrame:
     if mode == "inRectangle":
         lat0, lon0 = _pair(args["spatialRectangleSouthWest"])
         lat1, lon1 = _pair(args["spatialRectangleNorthEast"])
+        # registered datatype CONFIG with per-field multipliers: query
+        # bounds quantize to the index granularity before comparison (ref:
+        # GeoSpatialLiteralExtension encodes bounds through the same
+        # BigDecimal-multiply-truncate as stored values; fixture
+        # geo-custom-precisiontest: "1.100000001111" at x1e5 bounds 1.1 in)
+        specs = (getattr(store, "geo_configs", None) or {}).get(dtiri)
+        if specs is not None and layout != "wkt":
+            by_name = dict(zip(layout, specs))
+            if "lat" in by_name:
+                m = by_name["lat"].multiplier
+                lat0, lat1 = (
+                    geospatial.quantize_bound(repr(lat0), m),
+                    geospatial.quantize_bound(repr(lat1), m),
+                )
+            if "lon" in by_name:
+                m = by_name["lon"].multiplier
+                lon0, lon1 = (
+                    geospatial.quantize_bound(repr(lon0), m),
+                    geospatial.quantize_bound(repr(lon1), m),
+                )
         df = geospatial.in_rectangle(df, lat0, lat1, lon0, lon1)
     elif mode == "inCircle":
         clat, clon = _pair(args["spatialCircleCenter"])

@@ -1239,13 +1239,18 @@ def _(node: A.BGP, store: TripleStore) -> DataFrame:
         out = None
         idv = getattr(store, "id_join_vars", frozenset())
         for var, pats in magic.items():
-            hits = _bds_inline_search(store, pats)
             # GRAPH-scoped search (the SPs carry g after _push_graph /
             # GRAPH <g>): a hit counts once per graph holding the matched
             # literal, binding/filtering the graph term and honoring the
             # FROM NAMED set — ref: the search service runs against the
-            # statements visible in the GRAPH scope.
+            # statements visible in the GRAPH scope. The index itself must
+            # build over the NAMED view then: under `FROM NAMED :g1` the
+            # default graph is empty but :g1's literals stay searchable
+            # (search-named-graphs2/4/5).
             gterm = next((sp.g for sp in pats if sp.g is not None), None)
+            hits = _bds_inline_search(
+                store, pats, named_scope=gterm is not None and store.has_graphs
+            )
             if gterm is not None and store.has_graphs:
                 pairs = (
                     store.df.filter(F.col("o_dt") == "string")
@@ -1310,38 +1315,53 @@ def _split_bds_magic(patterns):
     return magic, rest
 
 
-def _dataset_scoped_df(store: TripleStore) -> DataFrame:
+def _dataset_scoped_df(store: TripleStore, named_scope: bool = False) -> DataFrame:
     """The store's statements restricted to its FROM dataset (if any) —
     every full-text surface builds over THIS view so a search under
-    FROM <g> never sees other graphs' literals (search-named-graphs10)."""
+    FROM <g> never sees other graphs' literals (search-named-graphs10).
+
+    ``named_scope``: a search INSIDE a GRAPH pattern sees the dataset's
+    NAMED graphs, not the default graph — under `FROM NAMED :g1` the
+    default graph is EMPTY but `GRAPH ?g { ?lit bds:search ... }` must
+    still find :g1's literals (search-named-graphs2/4/5)."""
     df = store.df
+    if named_scope:
+        dn = getattr(store, "dataset_named", None)
+        if "g" in df.columns:
+            df = df.filter(F.col("g").isNotNull() & (F.col("g") != ""))
+            if dn is not None:
+                df = df.filter(F.col("g").isin(list(dn)) if dn else F.lit(False))
+        return df
     dd = getattr(store, "dataset_default", None)
     if dd is not None and "g" in df.columns:
         df = df.filter(F.col("g").isin(list(dd)) if dd else F.lit(False))
     return df
 
 
-def _store_literal_value_index(store: TripleStore) -> DataFrame:
+def _store_literal_value_index(store: TripleStore, named_scope: bool = False) -> DataFrame:
     """Full-text index over DISTINCT string-literal VALUES: doc id = the
     literal lexical itself, so a hit binds the matched literal (the
     reference's text index maps tokens to literal IVs; ref:
-    search/FullTextIndex.java). Memoized on the store instance."""
+    search/FullTextIndex.java). Memoized on the store instance, one memo
+    per dataset scope (default-graph vs GRAPH-pattern/NAMED view)."""
     from blazegraph_database_spark.operators import fulltext
 
-    cached = getattr(store, "_ft_value_index", None)
+    attr = "_ft_value_index_named" if named_scope else "_ft_value_index"
+    cached = getattr(store, attr, None)
     if cached is None:
         docs = (
-            _dataset_scoped_df(store).filter(F.col("o_dt") == "string")
+            _dataset_scoped_df(store, named_scope)
+            .filter(F.col("o_dt") == "string")
             .select(F.col("o_lex").alias("s"))
             .distinct()
             .select("s", F.col("s").alias("text"))
         )
         cached = fulltext.inverted_index(docs, id_col="s", text_col="text").localCheckpoint()
-        store._ft_value_index = cached
+        setattr(store, attr, cached)
     return cached
 
 
-def _bds_inline_search(store: TripleStore, pats) -> DataFrame:
+def _bds_inline_search(store: TripleStore, pats, named_scope: bool = False) -> DataFrame:
     """Evaluate one inline magic-predicate search group → DataFrame binding
     the search var to the matched literal plus any requested
     relevance/rank/rangeCount vars. Shares the option parser and filter
@@ -1380,7 +1400,7 @@ def _bds_inline_search(store: TripleStore, pats) -> DataFrame:
 
     sf = value_filter if (flags["match_exact"] or flags["match_regex"]) else None
     hits = fulltext.search(
-        _store_literal_value_index(store), patterns, scored_filter=sf,
+        _store_literal_value_index(store, named_scope), patterns, scored_filter=sf,
         count_col=count_var, scoring="cosine", **opts,
     )
     if count_var is not None:

@@ -206,6 +206,30 @@ def _inline_uri_cmp(left: Column, right: Column):
     return None
 
 
+_DATE_TAG = "dt:http://www.w3.org/2001/XMLSchema#date"
+_DATE_KEY_RX = r"^(-?\d+)-(\d{2})-(\d{2})$"
+_DATE_SHAPE_RX = re.compile(r"^-?\d{3,}-\d{2}-\d{2}$")
+
+
+def _date_key(c: Column) -> Column:
+    """Chronological key of a canonical xsd:date lexical: signed_year*10000
+    + month*100 + day — month/day stay positive so later-in-year means a
+    larger key on BOTH sides of the epoch (the reference packs dates into
+    signed numeric IVs; ticket bg1748 pins BC-era ordering). NULL (= type
+    error) when the lexical isn't a canonical date."""
+    y = F.regexp_extract(c, _DATE_KEY_RX, 1).try_cast("long")
+    m = F.regexp_extract(c, _DATE_KEY_RX, 2).try_cast("long")
+    d = F.regexp_extract(c, _DATE_KEY_RX, 3).try_cast("long")
+    return y * 10000 + m * 100 + d
+
+
+def _py_date_key(lex: str) -> int | None:
+    m = re.match(_DATE_KEY_RX, lex)
+    if not m:
+        return None
+    return int(m.group(1)) * 10000 + int(m.group(2)) * 100 + int(m.group(3))
+
+
 def _typed_eq(a_name: str, b_name: str) -> Column:
     """Open-world typed RDF-term equality between two bound vars, honoring
     the `<var>__dt` companion columns (dt-tracking mode only). Mirrors the
@@ -239,10 +263,43 @@ def _typed_eq(a_name: str, b_name: str) -> Column:
         .when(a_lang | b_lang, F.lit(False))  # lang vs non-lang: never equal
         .when((adt == "string") & (bdt == "string"), a == b)
         .when(a_num & b_num & an.isNotNull() & bn.isNotNull(), an == bn)
+        .when(
+            (adt == _DATE_TAG) & (bdt == _DATE_TAG)
+            & _date_key(a).isNotNull() & _date_key(b).isNotNull(),
+            _date_key(a) == _date_key(b),
+        )
         .when(adt.isin("boolean", "timestamp") & (adt == bdt), a == b)
         .when((adt == bdt) & (a == b), F.lit(True))  # same term, any dtype
         .otherwise(err)
     )
+
+
+def _date_const_order(left: Column, right: Column, op: str) -> Column | None:
+    """Ordered comparison of a var against an xsd:date CONSTANT under dt
+    tracking (ref: CompareBOp over date IVs; fixture ticket bg1748 compares
+    BC-era bounds where lexical order reverses): when the var's companion
+    tags it as xsd:date, both sides compare by chronological key; any
+    other companion keeps the lexical default, decided per row."""
+    cmp = {
+        "<": lambda x, y: x < y, "<=": lambda x, y: x <= y,
+        ">": lambda x, y: x > y, ">=": lambda x, y: x >= y,
+    }[op]
+    for var_side, const_side, flip in ((left, right, False), (right, left, True)):
+        v = _bare_var(var_side)
+        cm = _CONST_RX.match(str(const_side))
+        if not (v and cm and _DATE_SHAPE_RX.match(cm.group(1))):
+            continue
+        key = _py_date_key(cm.group(1))
+        if key is None:
+            continue
+        vdt = F.coalesce(F.col(f"{v}__dt"), F.lit("string"))
+        typed = (
+            cmp(F.lit(key), _date_key(F.col(v)))
+            if flip
+            else cmp(_date_key(F.col(v)), F.lit(key))
+        )
+        return F.when(vdt == _DATE_TAG, typed).otherwise(cmp(left, right))
+    return None
 
 
 def _typed_order(a_name: str, b_name: str, op: str) -> Column:
@@ -267,6 +324,10 @@ def _typed_order(a_name: str, b_name: str, op: str) -> Column:
         .when(
             (adt == "timestamp") & (bdt == "timestamp"),
             cmp(a.try_cast("timestamp"), b.try_cast("timestamp")),
+        )
+        .when(
+            (adt == _DATE_TAG) & (bdt == _DATE_TAG),
+            cmp(_date_key(a), _date_key(b)),  # NULL key = type error
         )
         .when((adt == "string") & (bdt == "string"), cmp(a, b))
         .otherwise(err)
@@ -516,6 +577,15 @@ class Parser:
                     )
 
                     lex = canonical_datetime_lex(lex)
+                elif dt_iri == "http://www.w3.org/2001/XMLSchema#date":
+                    # xsd:date constants canonicalize like the readers
+                    # (UTC day, signed >=4-digit year) so comparisons and
+                    # pattern matching line up with stored canonicals
+                    from blazegraph_database_spark.sources.ntriples import (
+                        canonical_date_lex,
+                    )
+
+                    lex = canonical_date_lex(lex)
                 return Lit(lex, tag)
             return Lit(lex)
         if t.kind == "NUM":
@@ -697,6 +767,9 @@ class Parser:
                         # compressed-timestamp-01d), timestamps as
                         # timestamps, strings lexically; mixed = type error
                         return _typed_order(lv, rv, op)
+                    dc = _date_const_order(left, right, op)
+                    if dc is not None:
+                        return dc
             left, right = _typed_cmp_sides(left, right)
             return {
                 "=": lambda a, b: a == b, "!=": lambda a, b: a != b,

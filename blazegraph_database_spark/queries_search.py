@@ -691,3 +691,58 @@ def geo_nd_datatype(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     decoded = lits.select("event_id", *parse_geo_literal(F.col("lit"), dt))
     return range_query_nd(decoded, dt, {"lat": (0.0, 45.0), "v": (10.0, 60.0)})
+
+
+@register(
+    "geo_quantized_rect",
+    _GEO_CTE + """
+    , lit AS (
+        SELECT event_id,
+               CAST(lat AS VARCHAR) AS lat_s, CAST(lon AS VARCHAR) AS lon_s
+        FROM pts
+    ),
+    q AS (
+        SELECT event_id,
+               CAST(trunc(CAST(lat_s AS DECIMAL(30,12)) * 10) AS BIGINT) / 10.0 AS lat_q,
+               CAST(trunc(CAST(lon_s AS DECIMAL(30,12)) * 10) AS BIGINT) / 10.0 AS lon_q
+        FROM lit
+    )
+    SELECT event_id, lat_q, lon_q FROM q
+    WHERE lat_q >= 0.1 AND lat_q <= 45.0 AND lon_q >= -10.3 AND lon_q <= 60.9
+    """,
+)
+def geo_quantized_rect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered-config quantized geosearch end-to-end (ref:
+    GeoSpatialLiteralExtension — BigDecimal-multiply-truncate at ingest AND
+    on query bounds): literals requantize at multiplier x10, bounds given
+    with excess precision ('0.15', '45.07', '-10.35', '60.99') truncate to
+    the same granularity, so the rectangle includes boundary points exact
+    math would exclude."""
+    from blazegraph_database_spark.operators.geospatial import (
+        GeoFieldSpec, quantize_bound, requantize_geo_literals,
+    )
+
+    dtiri = "app:geo-ll"
+    cfg = {dtiri: [GeoFieldSpec("DOUBLE", 10), GeoFieldSpec("DOUBLE", 10)]}
+    pts = _events_geo(spark, sf_dir)
+    lits = pts.select(
+        F.col("event_id").cast("string").alias("s"),
+        F.lit("geo#point").alias("p"),
+        F.concat_ws(
+            "#", F.col("lat").cast("string"), F.col("lon").cast("string")
+        ).alias("o_lex"),
+        F.lit(f"dt:{dtiri}").alias("o_dt"),
+    )
+    rq = requantize_geo_literals(lits, cfg)
+    parts = F.split(F.col("o_lex"), "#")
+    dec = rq.select(
+        F.col("s").cast("long").alias("event_id"),
+        parts.getItem(0).try_cast("double").alias("lat_q"),
+        parts.getItem(1).try_cast("double").alias("lon_q"),
+    )
+    lat0, lat1 = quantize_bound("0.15", 10), quantize_bound("45.07", 10)
+    lon0, lon1 = quantize_bound("-10.35", 10), quantize_bound("60.99", 10)
+    return dec.filter(
+        (F.col("lat_q") >= lat0) & (F.col("lat_q") <= lat1)
+        & (F.col("lon_q") >= lon0) & (F.col("lon_q") <= lon1)
+    )

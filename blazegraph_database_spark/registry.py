@@ -55,6 +55,7 @@ _SCORE_FIRST = [
     "service_stored_query",
     "geo_nd_datatype",
     "stream_to_store",
+    "geo_quantized_rect",
     # (e) green in CORRECTNESS_r05 (stalest confirmed green).
     "agg_distinct",
     "ann_radius",

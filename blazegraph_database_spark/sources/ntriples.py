@@ -73,6 +73,47 @@ def canonical_datetime_lex(lex: str) -> str:
     )
 
 
+XSD_DATE_IRI = "http://www.w3.org/2001/XMLSchema#date"
+DATE_TAG = f"dt:{XSD_DATE_IRI}"
+
+_DATE_RX = re.compile(r"^(-?)(\d+)-(\d{2})-(\d{2})(Z|[+-]\d{2}:\d{2})?$")
+
+
+def _days_in_month(y: int, m: int) -> int:
+    if m == 2:
+        leap = (y % 4 == 0 and y % 100 != 0) or y % 400 == 0
+        return 29 if leap else 28
+    return 31 if m in (1, 3, 5, 7, 8, 10, 12) else 30
+
+
+def canonical_date_lex(lex: str) -> str:
+    """Canonicalize an xsd:date lexical the way the reference's typed-IV
+    ingest does (ref: internal/impl/literal/XSDDateIV — dates parse through
+    a calendar and re-serialize in UTC): the date's starting instant is
+    local midnight, so a POSITIVE zone offset moves the UTC date one day
+    back ('-523-12-31+01:00' reads back as '-0523-12-30'); 'Z'/negative
+    offsets keep the day; years render sign + >=4 digits. Negative years
+    use the proleptic-Gregorian leap rule on the signed year (astronomical
+    numbering). Unparseable lexicals stay as written (per-row type-error
+    discipline, same as canonical_datetime_lex)."""
+    m = _DATE_RX.match(lex.strip())
+    if not m:
+        return lex
+    sign, ystr, mon, day, tz = m.groups()
+    y, mo, d = int(sign + ystr), int(mon), int(day)
+    if not (1 <= mo <= 12 and 1 <= d <= _days_in_month(y, mo)):
+        return lex
+    if tz and tz.startswith("+") and tz != "+00:00":
+        d -= 1
+        if d == 0:
+            mo -= 1
+            if mo == 0:
+                y, mo = y - 1, 12
+            d = _days_in_month(y, mo)
+    ys = f"{'-' if y < 0 else ''}{abs(y):04d}"
+    return f"{ys}-{mo:02d}-{d:02d}"
+
+
 def typed_lex(lex: str, dt_iri: str) -> tuple:
     """(o_lex, dt_tag) for a typed literal, canonicalizing dateTime
     lexicals the way the reference's IV ingest does. A datatype IRI
@@ -81,7 +122,11 @@ def typed_lex(lex: str, dt_iri: str) -> tuple:
     (the reference models unknown dtypes as fully-typed literals; eval
     fixture unsigned-01 counts them separately)."""
     tag = _XSD_DT.get(dt_iri) or (f"dt:{dt_iri}" if dt_iri else "string")
-    return (canonical_datetime_lex(lex) if tag == "timestamp" else lex), tag
+    if tag == "timestamp":
+        lex = canonical_datetime_lex(lex)
+    elif dt_iri == XSD_DATE_IRI:
+        lex = canonical_date_lex(lex)
+    return lex, tag
 
 
 def unescape_literal(lex: str) -> str:
@@ -151,7 +196,41 @@ def _term_cols(raw_obj):
     o_lex = F.when(
         (o_dt == "timestamp") & canon.isNotNull(), canon
     ).otherwise(o_lex)
+    # xsd:date canonicalization (see canonical_date_lex) — same rules as
+    # the Python readers, in expressions, so the distributed bulk path
+    # stores identical canonical lexicals
+    dcanon = _canon_date_col(o_lex)
+    o_lex = F.when(
+        (dtype_iri == F.lit(XSD_DATE_IRI)) & dcanon.isNotNull(), dcanon
+    ).otherwise(o_lex)
     return o_lex, o_dt
+
+
+# NO-SHIFT zones only: 'Z', '+00:00', or any NEGATIVE offset keep the local
+# day (the date's starting instant, local midnight, falls on the same UTC
+# day); a POSITIVE offset moves the UTC day back one, which needs calendar
+# rollover — the bulk NT scan leaves those lexicals as written (the format
+# readers and parser constants canonicalize them exactly through
+# canonical_date_lex). Kept deliberately TINY: this expression inlines into
+# every literal's codegen path, and a full calendar-rollover expression tree
+# multiplied the o_lex subtree ~100x and blew the codegen heap.
+_DATE_RX_SQL = r"^(-?)(\d+)(-\d{2}-\d{2})(Z|\+00:00|-\d{2}:\d{2})?$"
+
+
+def _canon_date_col(lex):
+    """Expression analog of canonical_date_lex for the shift-free cases:
+    canonical form (zone stripped, year sign + >=4 digits) when the lexical
+    is an xsd:date with no UTC day shift, NULL otherwise (callers keep the
+    written lexical; positive-offset dates canonicalize in the Python
+    readers)."""
+    sign = F.regexp_extract(lex, _DATE_RX_SQL, 1)
+    ystr = F.regexp_extract(lex, _DATE_RX_SQL, 2)
+    rest = F.regexp_extract(lex, _DATE_RX_SQL, 3)
+    ok = (ystr != "") & ~lex.rlike(r"\+(?!00:00)\d{2}:\d{2}$")
+    ys = F.when(F.length(ystr) >= 4, ystr).otherwise(F.lpad(ystr, 4, "0"))
+    return F.when(ok, F.concat(sign, ys, rest)).otherwise(
+        F.lit(None).cast("string")
+    )
 
 
 def _parse(lines: DataFrame, pattern: str, quads: bool) -> DataFrame:

@@ -206,6 +206,10 @@ _DT_TRACKED_CASES = {
     # VALUES term identity: "a" vs "a"^^<http://my.datatype> vs <http://p>
     "TestTickets:ticket_bg1643f_analytic",
     "TestTickets:ticket_bg1643f_nonanalytic",
+    # xsd:date VALUE comparison (BC years reverse lexical order) needs the
+    # date companions (r7: _date_const_order / _date_key)
+    "TestTickets:ticket_bg1748a",
+    "TestTickets:ticket_bg1748b",
 }
 
 def _setup_include_03a(spark, st):
@@ -230,8 +234,49 @@ def _setup_wkt_default(spark, st):
     return st
 
 
+def _setup_precision_quantize(spark, st):
+    # the Java test's GEO_SPATIAL_DATATYPE_CONFIG: lat DOUBLE x1e6,
+    # lon DOUBLE x1e5, time LONG x1 — literals requantize at ingest and
+    # query bounds truncate to the same granularity
+    from blazegraph_database_spark.operators.geospatial import (
+        GeoFieldSpec, requantize_geo_literals,
+    )
+
+    cfg = {
+        "http://my.custom.datatype/lat-lon-time": [
+            GeoFieldSpec("DOUBLE", 1_000_000),
+            GeoFieldSpec("DOUBLE", 100_000),
+            GeoFieldSpec("LONG", 1),
+        ]
+    }
+    st.df = requantize_geo_literals(st.df, cfg)
+    st.geo_configs = cfg
+    return st
+
+
+def _setup_wkt_quantize(spark, st):
+    # the WKT test's config: lat x1e6, lon x1e5 through the WKT serializer
+    # — 'Point(1,1)' reads back 'Point(1.0,1.0)' (ingest re-serialization)
+    from blazegraph_database_spark.operators.geospatial import (
+        GeoFieldSpec, requantize_geo_literals,
+    )
+
+    cfg = {
+        "http://www.opengis.net/ont/geosparql#wktLiteral": [
+            GeoFieldSpec("DOUBLE", 1_000_000),
+            GeoFieldSpec("DOUBLE", 100_000),
+        ]
+    }
+    st.df = requantize_geo_literals(st.df, cfg)
+    st.geo_configs = cfg
+    return st
+
+
 _STORE_SETUP = {
     "TestInclude:include_03a": _setup_include_03a,
+    "TestGeoSpatialServiceConfigurationCustomDatatype:geo-custom-precisiontest":
+        _setup_precision_quantize,
+    "TestGeoSpatialCustomSerializerWKT:geo-wktliteral06": _setup_wkt_quantize,
 }
 def _setup_geo_default(spark, st):
     # the main geo eval file registers geoSpatialLiteral (lat,lon,time —
@@ -254,11 +299,6 @@ _DIVERGENT: dict[str, str] = {
     # one numeric tag (SURVEY §4) — BIND(10 AS ?o) keeps both rows here,
     # exactly one there.
     "TestTicket1007:ticket-1007-number1": "int/integer dtype-identity collapse",
-    # xsd:date with NEGATIVE (proleptic BC) years: the reference packs
-    # dates into signed numeric IVs; this engine compares date lexicals,
-    # which reverses order across the year sign. BC-era data only.
-    "TestTickets:ticket_bg1748a": "BC-year xsd:date value order",
-    "TestTickets:ticket_bg1748b": "BC-year xsd:date value order",
     # DATATYPE() of an xsd:long cast reports xsd:integer here: the dtype
     # tags deliberately collapse the integer family (SURVEY §4)
     "TestCustomTypeCasts:type_cast_long": "int-family dtype-identity collapse",
@@ -267,19 +307,6 @@ _DIVERGENT: dict[str, str] = {
     # zero-length-path semantics range over ALL graph terms; the
     # reference's ALP op binds only path-predicate-adjacent nodes
     "TestPropertyPaths:property-paths-6": "fixture omits spec-valid zero-length rows",
-    # the configured per-field MULTIPLIERS (lat x1e6, lon x1e5 in the Java
-    # test's GEO_SPATIAL_DATATYPE_CONFIG JSON) quantize bounds before
-    # comparison — "1.100000001111" rounds down to include 1.1; exact math
-    # excludes it. Store-config precision, not query semantics.
-    "TestGeoSpatialServiceConfigurationCustomDatatype:geo-custom-precisiontest":
-        "configured multiplier quantization of range bounds",
-    # the reference re-serializes REGISTERED geo literals at INGEST (the
-    # stored object becomes "Point(1.0,1.0)"); this engine preserves source
-    # lexicals outside the service (same class as its dateTime ingest
-    # canonicalization, which IS implemented — geo datatypes are store
-    # config). Only the raw-pattern projection differs.
-    "TestGeoSpatialCustomSerializerWKT:geo-wktliteral06":
-        "ingest re-serialization of registered geo literals",
 }
 # Whole-file divergences.
 _DIVERGENT_FILES: dict[str, str] = {}

@@ -133,3 +133,42 @@ def test_bucketed_spo_join_has_no_exchange(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql("DROP TABLE IF EXISTS t_bl")
         spark.sql("DROP TABLE IF EXISTS t_br")
+
+
+def test_canonical_date_lex_rules():
+    from blazegraph_database_spark.sources.ntriples import canonical_date_lex as c
+
+    assert c("-523-12-31+01:00") == "-0523-12-30"  # the bg1748 ingest form
+    assert c("2024-03-05") == "2024-03-05"
+    assert c("2024-03-05Z") == "2024-03-05"
+    assert c("2024-03-05-05:00") == "2024-03-05"  # negative offset: same day
+    assert c("2024-03-01+11:00") == "2024-02-29"  # leap-year rollover
+    assert c("2023-03-01+01:00") == "2023-02-28"
+    assert c("2024-01-01+01:00") == "2023-12-31"  # year rollover
+    assert c("0044-01-01") == "0044-01-01"
+    assert c("12024-03-05") == "12024-03-05"  # >4-digit years keep width
+    assert c("not-a-date") == "not-a-date"
+    assert c("2024-13-05") == "2024-13-05"  # invalid month: lexical kept
+
+
+def test_canon_date_spark_matches_python(spark):
+    from pyspark.sql import functions as F
+
+    from blazegraph_database_spark.sources.ntriples import (
+        _canon_date_col, canonical_date_lex,
+    )
+
+    no_shift = [
+        "2024-03-05", "2024-03-05Z", "2024-03-05-05:00", "0044-01-01",
+        "12024-03-05", "-523-12-30", "2024-03-05+00:00",
+    ]
+    # POSITIVE offsets need calendar rollover — the tiny bulk-scan
+    # expression yields NULL (callers keep the lexical; Python readers
+    # canonicalize exactly)
+    shifted = ["-523-12-31+01:00", "2024-03-01+11:00", "2000-03-01+00:30"]
+    df = spark.createDataFrame([(x,) for x in no_shift + shifted], "lex string")
+    got = {r["lex"]: r["c"] for r in df.select("lex", _canon_date_col(F.col("lex")).alias("c")).collect()}
+    for x in no_shift:
+        assert got[x] == canonical_date_lex(x), x
+    for x in shifted:
+        assert got[x] is None, x

@@ -968,3 +968,36 @@ def test_conditional_bind_rebinding_in_scope_var(spark):
         ).collect()
     }
     assert out == {("ex:b", "fallback")}  # ex:a bound to "x" != "fallback" -> dropped
+
+
+def test_xsd_date_value_comparison_bc_years(spark):
+    """xsd:date comparisons under dt tracking are chronological, not
+    lexical — BC years reverse lexical order (ref CompareBOp over date IVs;
+    the bg1748 fixture family)."""
+    from blazegraph_database_spark.model.store import TripleStore
+    from blazegraph_database_spark.plans.sparql_parser import run_sparql
+
+    dtag = "dt:http://www.w3.org/2001/XMLSchema#date"
+    rows = [
+        ("e1", "d", "-0523-12-30", dtag),
+        ("e2", "d", "-0486-12-29", dtag),
+        ("e3", "d", "0044-03-15", dtag),
+    ]
+    st = TripleStore(
+        spark.createDataFrame(rows, "s string, p string, o_lex string, o_dt string")
+    ).with_dt_tracking()
+    got = {
+        r["s"]
+        for r in run_sparql(
+            st,
+            'SELECT ?s WHERE { ?s <d> ?x . FILTER(?x < "-0500-01-01"^^'
+            "<http://www.w3.org/2001/XMLSchema#date>) }",
+        ).collect()
+    }
+    assert got == {"e1"}  # -523 < -500 chronologically; lexical would flip it
+    # var-var ordering
+    got2 = run_sparql(
+        st,
+        "SELECT ?a WHERE { ?a <d> ?x . ?b <d> ?y . FILTER(?x < ?y && ?b = <e3>) }",
+    ).collect()
+    assert {r["a"] for r in got2} == {"e1", "e2"}
