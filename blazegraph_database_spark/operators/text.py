@@ -851,16 +851,19 @@ def paragraph_dedup(
     paras = paras.withColumn(
         "norm", F.regexp_replace(F.lower(F.trim(F.col("para"))), r"\s+", " ")
     )
-    # first-occurrence key: (doc, position) packed into one orderable long
-    # (positions are bounded far below the packing base by construction —
-    # a 10^6-paragraph document is not a document)
+    # first occurrence = MIN over (doc, position) packed base-1e6 into one
+    # long — monotonic in (id, idx) for ANY id sign while staying on the
+    # HashAggregate fast path (a struct-min falls to SortAggregate, which
+    # sorts every partition); requires idx < 1e6, i.e. <1M paragraphs/doc
     okey = F.col(id_col).cast("long") * F.lit(1_000_000) + F.col("p_idx")
     firsts = (
         paras.select("norm", okey.alias("okey"))
         .groupBy("norm")
         .agg(F.min("okey").alias("first_key"))
     )
-    flagged = paras.join(firsts, "norm").withColumn("keep", okey == F.col("first_key"))
+    flagged = paras.join(firsts, "norm").withColumn(
+        "keep", okey == F.col("first_key")
+    )
     return (
         flagged.groupBy(id_col)
         .agg(
