@@ -1387,7 +1387,10 @@ def _bds_inline_search(store: TripleStore, pats, named_scope: bool = False) -> D
             count_var = sp.o.name
         else:
             raise ValueError(f"unsupported inline search magic predicate {pred!r}")
-    patterns = [(t.rstrip("*"), t.endswith("*")) for t in query.split()]
+    patterns = [
+        (t.rstrip("*"), t.endswith("*") or flags.get("prefix_all", False))
+        for t in query.split()
+    ]
 
     def value_filter(scored):
         # matchExact/matchRegex run against the matched literal itself
@@ -2719,6 +2722,15 @@ def _parse_bds_common(sp, pred: str | None, opts: dict, flags: dict) -> bool:
         flags["match_exact"] = const_lex(sp.o) == "true"
     elif pred == "bds:matchRegex":
         flags["match_regex"] = const_lex(sp.o)
+    elif pred == "bds:prefixMatch":
+        # every query token matches as a prefix (ref: BDS.PREFIX_MATCH —
+        # equivalent to suffixing '*' on each token)
+        flags["prefix_all"] = const_lex(sp.o) == "true"
+    elif pred == "bds:searchTimeout":
+        # accepted, advisory (ref: BDS.SEARCH_TIMEOUT bounds the B+Tree
+        # scan): deadlines here are enforced per-query by the REST job
+        # groups (server/rest.py), not per-operator
+        pass
     else:
         return False
     return True
@@ -2864,7 +2876,10 @@ def _(node: A.Service, store: TripleStore) -> DataFrame:
                 'SERVICE <bds:searchInSearch> needs `?var bds:searchInSearch "query"`'
             )
         opts.setdefault("max_rank", None)
-        patterns = [(t.rstrip("*"), t.endswith("*")) for t in query.split()]
+        patterns = [
+            (t.rstrip("*"), t.endswith("*") or flags.get("prefix_all", False))
+            for t in query.split()
+        ]
         hits = fulltext.search(
             _store_literal_index(store),
             patterns,
@@ -2911,7 +2926,10 @@ def _(node: A.Service, store: TripleStore) -> DataFrame:
                 count_var = sp.o.name  # bind the total hit count
         if subj is None or not isinstance(subj, Var):
             raise ValueError("SERVICE <bds:search> needs `?var bds:search \"query\"`")
-        patterns = [(t.rstrip("*"), t.endswith("*")) for t in query.split()]
+        patterns = [
+            (t.rstrip("*"), t.endswith("*") or flags.get("prefix_all", False))
+            for t in query.split()
+        ]
         idx = _store_subject_index(store) if subject_search else _store_literal_index(store)
         hits = fulltext.search(
             idx,

@@ -258,3 +258,30 @@ def test_stemmed_search_end_to_end(spark):
     pats = fulltext.analyze_query("streaming merges", analyzer="en")
     got = {r["id"] for r in fulltext.search(idx, pats, match_all=True).collect()}
     assert got == {1, 2}
+
+
+def test_bds_prefix_match_and_search_timeout(spark):
+    """bds:prefixMatch "true" makes every query token a prefix (ref:
+    BDS.PREFIX_MATCH); bds:searchTimeout is accepted (advisory — deadlines
+    ride the REST job groups)."""
+    from blazegraph_database_spark.model.store import TripleStore
+    from blazegraph_database_spark.plans.sparql_parser import run_sparql
+
+    rows = [
+        ("d1", "p", "sparkling water fountain", "string"),
+        ("d2", "p", "spark plug", "string"),
+        ("d3", "p", "unrelated words here", "string"),
+    ]
+    st = TripleStore(
+        spark.createDataFrame(rows, "s string, p string, o_lex string, o_dt string")
+    )
+    q = """
+    PREFIX bds: <http://www.bigdata.com/rdf/search#>
+    SELECT ?lit WHERE {
+      ?lit bds:search "spark" .
+      ?lit bds:prefixMatch "true" .
+      ?lit bds:searchTimeout "1000" .
+    }
+    """
+    got = {r["lit"] for r in run_sparql(st, q).collect()}
+    assert got == {"sparkling water fountain", "spark plug"}

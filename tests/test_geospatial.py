@@ -233,3 +233,33 @@ def test_knn_equals_bruteforce_and_expands_bands(spark):
     assert [tuple(r) for r in got] == [tuple(r) for r in brute]
     # k larger than the dataset: returns everything, still ordered
     assert G.knn(df, 0.0, 0.0, k=100, band_deg=1.0).count() == 60
+
+
+def test_requantize_geo_literals_and_bounds(spark):
+    """Registered-config quantization (GeoSpatialLiteralExtension analog):
+    BigDecimal-multiply-truncate ingest re-serialization for '#' and WKT
+    serializers, and bound quantization matching it."""
+    from blazegraph_database_spark.operators.geospatial import (
+        GeoFieldSpec, quantize_bound, requantize_geo_literals,
+    )
+
+    rows = [
+        ("s1", "p", "6.6666666#1.2#7", "dt:app:ll"),      # lon 1.2: decimal-exact
+        ("s2", "p", "Point(1,1)", "dt:x:wktLiteral"),
+        ("s3", "p", "not#a#number", "dt:app:ll"),          # unparseable: kept
+        ("s4", "p", "plain literal", "string"),            # other dt: untouched
+    ]
+    df = spark.createDataFrame(rows, "s string, p string, o_lex string, o_dt string")
+    cfg = {
+        "app:ll": [GeoFieldSpec("DOUBLE", 100_000), GeoFieldSpec("DOUBLE", 10),
+                   GeoFieldSpec("LONG", 1)],
+        "x:wktLiteral": [GeoFieldSpec("DOUBLE", 1_000_000), GeoFieldSpec("DOUBLE", 100_000)],
+    }
+    got = {r["s"]: r["o_lex"] for r in requantize_geo_literals(df, cfg).collect()}
+    assert got["s1"] == "6.66666#1.2#7"   # truncate at 1e-5; 1.2 survives x10 exactly
+    assert got["s2"] == "Point(1.0,1.0)"  # WKT re-serialization
+    assert got["s3"] == "not#a#number"
+    assert got["s4"] == "plain literal"
+    assert quantize_bound("1.100000001111", 100_000) == 1.1
+    assert quantize_bound("1.2", 10) == 1.2   # decimal math: never 1.19
+    assert quantize_bound("-10.35", 10) == -10.3  # truncate toward zero
