@@ -37,6 +37,25 @@ def register_service(iri: str, fn: ServiceFn) -> None:
     _REGISTRY[iri] = fn
 
 
+_SERVICE_ALIASES: dict[str, str] = {}
+
+
+def register_service_alias(alias: str, target: str) -> None:
+    """Register ``alias`` to resolve to ``target`` at SERVICE dispatch
+    (ref: ServiceRegistry.addAlias — it is expressly permitted to alias a
+    URI with no registered factory; resolution happens at call time)."""
+    _SERVICE_ALIASES[alias] = target
+
+
+def resolve_service_alias(iri: str) -> str:
+    """Follow the alias chain (cycle-safe) to the effective service IRI."""
+    seen: set[str] = set()
+    while iri in _SERVICE_ALIASES and iri not in seen:
+        seen.add(iri)
+        iri = _SERVICE_ALIASES[iri]
+    return iri
+
+
 def lookup(iri: str) -> ServiceFn:
     if iri not in _REGISTRY:
         raise KeyError(f"no service registered for <{iri}>")

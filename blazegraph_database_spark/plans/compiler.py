@@ -2806,6 +2806,12 @@ def _(node: A.Service, store: TripleStore) -> DataFrame:
         return service.label_service_join(
             store, store.spark.range(1).drop("id"), collect_sps(node.pattern)
         )
+    if isinstance(node.iri, str):
+        # alias resolution (ref: ServiceRegistry.addAlias) — an alias URI
+        # dispatches exactly like its target, including remote endpoints
+        resolved = service.resolve_service_alias(node.iri)
+        if resolved != node.iri:
+            node = A.Service(resolved, node.pattern, node.raw, node.silent, node.prologue)
     svc_iri = _compact_builtin_iri(node.iri)
     if svc_iri == "bd:alp":
         # ref: ASTALPServiceOptimizer.java / BD.java ALP_SERVICE — the

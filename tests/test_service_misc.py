@@ -1287,3 +1287,32 @@ def test_bd_describe_service(spark):
     )))
     got2 = {(r["s"], r["p"], r["o"]) for r in run_sparql(st2, q).collect()}
     assert ("ex:a", "ex:r", "new") in got2
+
+
+def test_service_alias_resolution(spark):
+    """ServiceRegistry.addAlias parity: an alias URI dispatches exactly like
+    its target (here: a custom alias for <bd:sample>), and chains resolve."""
+    from blazegraph_database_spark.model.store import TripleStore
+    from blazegraph_database_spark.operators import service
+    from blazegraph_database_spark.plans.sparql_parser import run_sparql
+
+    rows = [(f"s{i:02d}", "p", f"o{i}", "iri") for i in range(10)]
+    st = TripleStore(
+        spark.createDataFrame(rows, "s string, p string, o_lex string, o_dt string")
+    )
+    service.register_service_alias(
+        "http://app/alias#sample", "http://www.bigdata.com/rdf#sample"
+    )
+    service.register_service_alias("http://app/alias#sample2", "http://app/alias#sample")
+    q = """
+    PREFIX bd: <http://www.bigdata.com/rdf#>
+    SELECT ?s WHERE {
+      SERVICE <http://app/alias#sample2> {
+        ?s <p> ?o .
+        bd:serviceParam bd:sample.limit "3" .
+        bd:serviceParam bd:sample.sampleType "DENSE" .
+      }
+    }
+    """
+    got = sorted(r["s"] for r in run_sparql(st, q).collect())
+    assert got == ["s00", "s01", "s02"]
