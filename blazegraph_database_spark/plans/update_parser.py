@@ -114,8 +114,23 @@ class UpdateParser(Parser):
                     self.next()
                     op = "create_solutions" if verb == "create" else "drop_solutions"
                     return {"op": op, "name": self._solutions_name(), "silent": silent}
+                # bigdata extension: CREATE|DROP ENTAILMENTS (grammar:
+                # sparql.jjt; ref: ast/CreateEntailments.java /
+                # DropEntailments.java — materialize / remove the inferred
+                # statements)
+                if verb in ("create", "drop") and self.at_kw("entailments"):
+                    self.next()
+                    return {"op": f"{verb}_entailments"}
                 self.eat_kw("graph")
                 return {"op": verb, "graph": self._graph_ref()}
+        # bigdata extension: DISABLE|ENABLE ENTAILMENTS (ref:
+        # ast/DisableEntailments.java / EnableEntailments.java — toggle
+        # truth maintenance for the following operations)
+        for verb in ("disable", "enable"):
+            if self.at_kw(verb):
+                self.next()
+                self.eat_kw("entailments")
+                return {"op": f"{verb}_entailments"}
         for verb in ("copy", "move", "add"):
             if self.at_kw(verb):
                 self.next()
@@ -355,7 +370,18 @@ def apply_update(store: UpdatableStore, src: str, spark: SparkSession | None = N
                 q[3] is not None for q in op["quads"]
             )
             data = _ground_triples_df(spark, op["quads"], with_graph=has_g)
-            store.insert_data(data) if kind == "insert_data" else store.delete_data(data)
+            if getattr(store, "tm_enabled", False) and not has_g:
+                # ENABLE ENTAILMENTS routes data ops through truth
+                # maintenance (ref: the reference's TM-configured SAIL
+                # connection; TM is triples-mode, like the reference's)
+                if kind == "insert_data":
+                    store.insert_with_closure(data)
+                else:
+                    store.delete_with_closure(data)
+            elif kind == "insert_data":
+                store.insert_data(data)
+            else:
+                store.delete_data(data)
         elif kind == "modify":
             where = op["where"]
             g = op.get("graph")
@@ -403,6 +429,14 @@ def apply_update(store: UpdatableStore, src: str, spark: SparkSession | None = N
             store.move_graph(op["src"], op["dst"])
         elif kind == "add":
             store.add_graph(op["src"], op["dst"])
+        elif kind == "create_entailments":
+            store.create_entailments()
+        elif kind == "drop_entailments":
+            store.drop_entailments()
+        elif kind == "disable_entailments":
+            store.tm_enabled = False
+        elif kind == "enable_entailments":
+            store.tm_enabled = True
         else:  # pragma: no cover
             raise ValueError(f"unknown op {kind}")
     return store

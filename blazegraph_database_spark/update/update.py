@@ -74,6 +74,16 @@ class UpdatableStore:
     # decrement-only deletes, right when deletes are frequent)
     tm_strategy: str = "dred"
     _counts: DataFrame | None = None
+    # ENABLE/DISABLE ENTAILMENTS verb state (ref: ast/EnableEntailments.java
+    # — setTruthMaintenance on the SAIL connection): when True, apply_update
+    # routes data ops through the *_with_closure truth-maintenance paths
+    tm_enabled: bool = False
+    # the INFERRED statement set (the reference marks each statement
+    # Explicit/Inferred — StatementEnum; removeAllEntailments removes the
+    # Inferred ones). Maintained by the closure paths; an explicit INSERT
+    # of an inferred triple DOWNGRADES it to explicit (survives the drop),
+    # mirroring the reference's statement-type upgrade on re-assertion.
+    _inferred: DataFrame | None = None
     # persisted named solution sets (ref: ssets/SolutionSetManager.java);
     # lazily created by solutions_manager(). Shared across clones/txs like
     # the reference's cache connection (solution sets live OUTSIDE tx
@@ -98,6 +108,8 @@ class UpdatableStore:
             _closed_valid=self._closed_valid,
             tm_strategy=self.tm_strategy,
             _counts=self._counts,
+            tm_enabled=self.tm_enabled,
+            _inferred=self._inferred,
             solutions=self.solutions,
         )
 
@@ -373,6 +385,13 @@ class UpdatableStore:
         """INSERT DATA: union new ground triples (set semantics)."""
         cur = self._upgraded_if_quads(triples)
         new = triples.select(*_key_cols(cur)) if set(triples.columns) >= set(_key_cols(cur)) else triples
+        if self._inferred is not None and "g" not in cur.columns:
+            # explicitly asserting an inferred triple upgrades it to
+            # Explicit (ref: StatementEnum.max on re-assertion) — it then
+            # survives DROP ENTAILMENTS
+            self._inferred = self._inferred.join(
+                new.select(*TRIPLE_COLS), on=TRIPLE_COLS, how="left_anti"
+            )
         return self._push(cur.unionByName(new, allowMissingColumns=True).distinct())
 
     def delete_data(self, triples: DataFrame) -> TripleStore:
@@ -560,10 +579,57 @@ class UpdatableStore:
         st = self._push(closed_df)
         self._explicit = explicit
         self._closed_valid = True
+        self._inferred = closed_df.join(
+            explicit.select(*TRIPLE_COLS), on=TRIPLE_COLS, how="left_anti"
+        ).localCheckpoint(eager=False)
         if new_counts is not None:
             # eager: the counts table is closure-sized and its lineage chains
             # across updates — truncate now or plans grow multiplicatively
             self._counts = new_counts.localCheckpoint(eager=True)
+        return st
+
+    def create_entailments(self) -> TripleStore:
+        """CREATE ENTAILMENTS (ref: ast/CreateEntailments.java;
+        AST2BOpUpdate.convertCreateEntailments computes the database
+        closure): materialize the RDFS+ closure of the explicit set as a
+        new commit point; later TM-maintained updates take the delta
+        paths."""
+        from blazegraph_database_spark.inference.rdfs import rdfs_closure
+
+        if "g" in self.current.df.columns:
+            raise ValueError(
+                "CREATE ENTAILMENTS needs a triples-mode store (the "
+                "reference's truth maintenance is triples-mode too)"
+            )
+        explicit = (
+            self._explicit if self._explicit is not None else self.current.df
+        ).select(*TRIPLE_COLS)
+        closed = rdfs_closure(TripleStore(explicit)).df
+        st = self._push(closed)
+        self._explicit = explicit
+        self._closed_valid = True
+        self._inferred = closed.join(
+            explicit, on=TRIPLE_COLS, how="left_anti"
+        ).localCheckpoint(eager=False)
+        return st
+
+    def drop_entailments(self) -> TripleStore:
+        """DROP ENTAILMENTS (ref: ast/DropEntailments.java;
+        removeAllEntailments): keep only the explicit (asserted)
+        statements — the inferred ones disappear as one commit point."""
+        if "g" in self.current.df.columns:
+            raise ValueError(
+                "DROP ENTAILMENTS needs a triples-mode store (the "
+                "reference's truth maintenance is triples-mode too)"
+            )
+        kept = self.current.df.select(*TRIPLE_COLS)
+        if self._inferred is not None:
+            kept = kept.join(self._inferred, on=TRIPLE_COLS, how="left_anti")
+        st = self._push(kept)
+        self._explicit = kept
+        self._inferred = None
+        self._closed_valid = False
+        self._counts = None
         return st
 
     def delete_with_closure(self, triples: DataFrame) -> TripleStore:
@@ -619,6 +685,9 @@ class UpdatableStore:
         st = self._push(closed_df)
         self._explicit = explicit
         self._closed_valid = True
+        self._inferred = closed_df.join(
+            explicit.select(*TRIPLE_COLS), on=TRIPLE_COLS, how="left_anti"
+        ).localCheckpoint(eager=False)
         if new_counts is not None:
             # eager: the counts table is closure-sized and its lineage chains
             # across updates — truncate now or plans grow multiplicatively

@@ -569,3 +569,47 @@ def test_changelog_quad_upgrade(spark):
     )
     log = [(r.commit, r.action, r.s, r.g) for r in us.changelog().collect()]
     assert log == [(1, "added", "b", "g1")]
+
+
+def test_entailments_update_verbs(spark):
+    """The reference's CREATE/DROP/DISABLE/ENABLE ENTAILMENTS UPDATE verbs
+    (ref: ast/CreateEntailments.java et al., AST2BOpUpdate:446): CREATE
+    materializes the closure, DROP keeps only asserted statements, ENABLE
+    routes data ops through truth maintenance, DISABLE stops maintaining."""
+    from blazegraph_database_spark.model.store import TripleStore
+    from blazegraph_database_spark.plans.update_parser import apply_update
+    from blazegraph_database_spark.update.update import UpdatableStore
+
+    rdfs_sub = "rdfs:subClassOf"
+    rdf_type = "rdf:type"
+    rows = [
+        ("c1", rdfs_sub, "c2", "iri"),
+        ("c2", rdfs_sub, "c3", "iri"),
+        ("x", rdf_type, "c1", "iri"),
+    ]
+    us = UpdatableStore.from_store(
+        TripleStore(spark.createDataFrame(rows, "s string, p string, o_lex string, o_dt string"))
+    )
+    n0 = us.current.df.count()
+    apply_update(us, "CREATE ENTAILMENTS", spark)
+    closed = us.current.df
+    types = {r["o_lex"] for r in closed.filter(F.col("s") == "x").collect()}
+    assert {"c1", "c2", "c3"} <= types  # subclass closure materialized
+    assert closed.count() > n0
+
+    # ENABLE: subsequent INSERT DATA maintains the closure incrementally
+    apply_update(us, 'ENABLE ENTAILMENTS ; INSERT DATA { <y> <rdf:type> <c2> }', spark)
+    types_y = {r["o_lex"] for r in us.current.df.filter(F.col("s") == "y").collect()}
+    assert {"c2", "c3"} <= types_y
+
+    # DISABLE: data ops stop maintaining
+    apply_update(us, 'DISABLE ENTAILMENTS ; INSERT DATA { <z> <rdf:type> <c1> }', spark)
+    types_z = {r["o_lex"] for r in us.current.df.filter(F.col("s") == "z").collect()}
+    assert types_z == {"c1"}
+
+    # DROP: only asserted statements survive
+    apply_update(us, "DROP ENTAILMENTS", spark)
+    types_x = {r["o_lex"] for r in us.current.df.filter(F.col("s") == "x").collect()}
+    assert types_x == {"c1"}
+    # the explicit inserts survive the drop
+    assert us.current.df.filter(F.col("s") == "z").count() == 1
