@@ -112,8 +112,22 @@ class UpdateParser(Parser):
                 # identical semantics for solution sets)
                 if self.at_kw("solutions"):
                     self.next()
+                    if verb != "create" and not self.peek().text.startswith("%"):
+                        # bare SOLUTIONS = every named solution set
+                        # (grammar: GraphRefAll <SOLUTIONS> setAllSolutions)
+                        return {"op": "clear_scope", "scope": "solutions",
+                                "silent": silent}
                     op = "create_solutions" if verb == "create" else "drop_solutions"
                     return {"op": op, "name": self._solutions_name(), "silent": silent}
+                # SPARQL 1.1 GraphRefAll targets (+ the bigdata GRAPHS
+                # extension: all graphs but not solution sets; ALL clears
+                # both — grammar: sparql.jjt GraphRefAll)
+                if verb in ("clear", "drop"):
+                    for tgt in ("default", "named", "all", "graphs"):
+                        if self.at_kw(tgt):
+                            self.next()
+                            return {"op": "clear_scope", "scope": tgt,
+                                    "silent": silent}
                 # bigdata extension: CREATE|DROP ENTAILMENTS (grammar:
                 # sparql.jjt; ref: ast/CreateEntailments.java /
                 # DropEntailments.java — materialize / remove the inferred
@@ -421,6 +435,8 @@ def apply_update(store: UpdatableStore, src: str, spark: SparkSession | None = N
                     raise
         elif kind in ("clear", "drop"):
             store.clear_graph(op["graph"])
+        elif kind == "clear_scope":
+            store.clear_scope(op["scope"])
         elif kind == "create":
             store.create_graph(op["graph"])
         elif kind == "copy":

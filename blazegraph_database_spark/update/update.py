@@ -693,3 +693,28 @@ class UpdatableStore:
             # across updates — truncate now or plans grow multiplicatively
             self._counts = new_counts.localCheckpoint(eager=True)
         return st
+
+
+def _clear_scope_impl(store: "UpdatableStore", scope: str) -> TripleStore:
+    """CLEAR/DROP over GraphRefAll targets (SPARQL 1.1 DEFAULT/NAMED/ALL +
+    the reference's GRAPHS/SOLUTIONS extensions — grammar sparql.jjt
+    GraphRefAll): DEFAULT empties the default graph, NAMED every named
+    graph, GRAPHS all graphs, SOLUTIONS every named solution set, ALL both
+    graphs and solution sets."""
+    df = store.current.df
+    if scope in ("all", "graphs", "solutions"):
+        if scope != "graphs" and store.solutions is not None:
+            for name in list(store.solutions.names()):
+                store.solutions.drop(name, silent=True)
+        if scope == "solutions":
+            return store.current
+        return store._push(df.limit(0))
+    if "g" not in df.columns:
+        # triples-mode: the whole store IS the default graph
+        return store._push(df.limit(0) if scope == "default" else df)
+    if scope == "default":
+        return store._push(df.filter(F.col("g").isNotNull() & (F.col("g") != "")))
+    return store._push(df.filter(F.col("g").isNull() | (F.col("g") == "")))
+
+
+UpdatableStore.clear_scope = _clear_scope_impl

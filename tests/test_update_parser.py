@@ -320,3 +320,54 @@ def test_rdr_history_events_and_service(spark):
         us.query_store, "SELECT ?s WHERE { ?s <blaze:history:removed> ?c }"
     ).collect()
     assert plain == []
+
+
+def test_clear_scope_targets(spark):
+    """SPARQL 1.1 CLEAR DEFAULT/NAMED/ALL + the reference's GRAPHS and bare
+    SOLUTIONS targets (grammar: sparql.jjt GraphRefAll)."""
+    from blazegraph_database_spark.model.store import TripleStore
+    from blazegraph_database_spark.plans.update_parser import apply_update
+    from blazegraph_database_spark.update.update import UpdatableStore
+
+    def mk():
+        rows = [
+            ("a", "p", "1", "string", None),
+            ("b", "p", "2", "string", "http://g1"),
+            ("c", "p", "3", "string", "http://g2"),
+        ]
+        return UpdatableStore.from_store(TripleStore(spark.createDataFrame(
+            rows, "s string, p string, o_lex string, o_dt string, g string")))
+
+    us = mk()
+    apply_update(us, "CLEAR DEFAULT", spark)
+    assert {r["s"] for r in us.current.df.collect()} == {"b", "c"}
+
+    us = mk()
+    apply_update(us, "CLEAR NAMED", spark)
+    assert {r["s"] for r in us.current.df.collect()} == {"a"}
+
+    us = mk()
+    apply_update(us, "DROP ALL", spark)
+    assert us.current.df.count() == 0
+
+    us = mk()
+    apply_update(us, "CLEAR GRAPHS", spark)
+    assert us.current.df.count() == 0
+
+    # triples-mode: DEFAULT clears everything, NAMED nothing
+    rows3 = [("a", "p", "1", "string")]
+    us3 = UpdatableStore.from_store(TripleStore(spark.createDataFrame(
+        rows3, "s string, p string, o_lex string, o_dt string")))
+    apply_update(us3, "CLEAR NAMED", spark)
+    assert us3.current.df.count() == 1
+    apply_update(us3, "CLEAR DEFAULT", spark)
+    assert us3.current.df.count() == 0
+
+    # bare SOLUTIONS drops every named solution set, keeps statements
+    us4 = mk()
+    df = spark.createDataFrame([("x", "1")], "a string, b string").coalesce(1)
+    us4.solutions_manager().create("s1")
+    us4.solutions_manager().put("s1", df)
+    apply_update(us4, "DROP SOLUTIONS", spark)
+    assert us4.solutions_manager().names() == []
+    assert us4.current.df.count() == 3
