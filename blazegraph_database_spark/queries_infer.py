@@ -487,3 +487,70 @@ def owl_property_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s", F.col("o_lex").alias("region"))
         .orderBy("s")
     )
+
+
+@register(
+    "update_entailments",
+    """
+    WITH RECURSIVE anc AS (
+        SELECT n_nationkey AS k, n_nationkey AS t FROM nation
+        UNION
+        SELECT k, t // 2 FROM anc WHERE t >= 2
+    ),
+    typed AS (
+        -- after CREATE ENTAILMENTS: every ancestor class is a type
+        SELECT 'nation:' || k AS s, 'Class:' || t AS cls FROM anc
+    ),
+    dropped AS (
+        -- after DROP ENTAILMENTS: only the asserted type + the upgraded
+        -- (explicitly re-asserted) inferred type for nation 3 survive
+        SELECT 'nation:' || n_nationkey AS s, 'Class:' || n_nationkey AS cls
+        FROM nation
+        UNION ALL SELECT 'nation:3', 'Class:1'
+    )
+    SELECT 'closed' AS phase, CAST(COUNT(*) AS BIGINT) AS n FROM typed
+    UNION ALL
+    SELECT 'dropped', CAST(COUNT(*) AS BIGINT) FROM dropped
+    """,
+)
+def update_entailments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CREATE/DROP ENTAILMENTS through UPDATE text (ref:
+    ast/CreateEntailments.java / DropEntailments.java; AST2BOpUpdate:446):
+    CREATE materializes the subclass closure, an explicit re-assertion of
+    one inferred triple upgrades it to Explicit, DROP then removes exactly
+    the remaining inferred set."""
+    from blazegraph_database_spark.plans.update_parser import apply_update
+
+    nat = read_parquet(spark, f"{sf_dir}/nation.parquet")
+    cls = F.concat(F.lit("Class:"), F.col("n_nationkey"))
+    instances = nat.select(
+        F.concat(F.lit("nation:"), F.col("n_nationkey")).alias("s"),
+        F.lit(rdfs.RDF_TYPE).alias("p"),
+        cls.alias("o_lex"),
+        F.lit("iri").alias("o_dt"),
+    )
+    schema = nat.filter(F.col("n_nationkey") >= 2).select(
+        cls.alias("s"),
+        F.lit(rdfs.RDFS_SUBCLASS).alias("p"),
+        F.concat(F.lit("Class:"), (F.col("n_nationkey") / 2).cast("long")).alias("o_lex"),
+        F.lit("iri").alias("o_dt"),
+    )
+    us = UpdatableStore.from_store(TripleStore(instances.unionByName(schema)))
+    apply_update(us, "CREATE ENTAILMENTS", spark)
+    closed_n = (
+        us.current.df.filter(F.col("p") == rdfs.RDF_TYPE)
+        .select("s", "o_lex").distinct().count()
+    )
+    # upgrade one inferred triple to explicit, then drop the entailments
+    apply_update(
+        us,
+        'INSERT DATA { <nation:3> <rdf:type> <Class:1> } ; DROP ENTAILMENTS',
+        spark,
+    )
+    dropped_n = (
+        us.current.df.filter(F.col("p") == rdfs.RDF_TYPE)
+        .select("s", "o_lex").distinct().count()
+    )
+    return spark.createDataFrame(
+        [("closed", closed_n), ("dropped", dropped_n)], "phase string, n long"
+    )

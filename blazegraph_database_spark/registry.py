@@ -56,6 +56,7 @@ _SCORE_FIRST = [
     "geo_nd_datatype",
     "stream_to_store",
     "geo_quantized_rect",
+    "update_entailments",
     # (e) green in CORRECTNESS_r05 (stalest confirmed green).
     "agg_distinct",
     "ann_radius",
