@@ -1033,3 +1033,62 @@ def perplexity_buckets(
     return labeled.select(
         id_col, by_col, "neg_logprob", F.ntile(n_buckets).over(w).alias("ppl_bucket")
     )
+
+
+INTERLEAVE_MAX_SOURCES = 100_000
+
+
+def interleave_sources(
+    df: DataFrame,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    seed: str = "il",
+) -> DataFrame:
+    """Deterministic SOURCE-INTERLEAVED training order (round 7): each
+    source's documents get a reproducible within-source shuffle rank, and
+    the global position strides sources round-robin —
+    pos = rank * n_sources + source_index — so every window of the
+    resulting order carries every domain (the curriculum-interleaving move
+    mixture schedules assume, without an RNG state file).
+
+    Scale: the within-source rank is a window partitioned by source (AQE
+    splits a mega-source's sort); the source catalog is collected once,
+    bounded by INTERLEAVE_MAX_SOURCES (domain catalogs are small by
+    construction — fails loud otherwise); no global sort — consumers read
+    ORDER BY pos, which a range-partitioned write materializes without a
+    single-machine sort. md5 keys keep it SQL-replayable.
+
+    Returns (id_col, source_col, pos) with pos dense per source stride."""
+    from pyspark.sql.window import Window
+
+    srcs = [
+        r[0]
+        for r in df.select(source_col).distinct()
+        .limit(INTERLEAVE_MAX_SOURCES + 1).collect()
+    ]
+    if len(srcs) > INTERLEAVE_MAX_SOURCES:
+        raise ValueError(
+            f"interleave_sources: more than {INTERLEAVE_MAX_SOURCES} distinct "
+            f"sources — is {source_col!r} really a domain catalog?"
+        )
+    srcs = sorted(srcs)
+    n = len(srcs)
+    catalog = df.sparkSession.createDataFrame(
+        [(s, i) for i, s in enumerate(srcs)], f"{source_col} string, __sidx int"
+    )
+    key = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(seed + ":"), F.col(id_col).cast("string"))), 1, 12
+        ),
+        16,
+        10,
+    ).cast("long")
+    w = Window.partitionBy(source_col).orderBy(key, id_col)
+    return (
+        df.join(F.broadcast(catalog), source_col)
+        .select(
+            id_col,
+            source_col,
+            ((F.row_number().over(w) - 1).cast("long") * n + F.col("__sidx")).alias("pos"),
+        )
+    )

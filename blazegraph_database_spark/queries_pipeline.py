@@ -1822,3 +1822,27 @@ def ann_matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.matryoshka_topk(
         embs, embs.filter(F.col("vec_id") < 5), d_prime=16, k=3
     )
+
+
+@register(
+    "dataset_interleave",
+    """
+    WITH s AS (SELECT source, ROW_NUMBER() OVER (ORDER BY source) - 1 AS sidx
+               FROM (SELECT DISTINCT source FROM documents)),
+    n AS (SELECT COUNT(*) AS ns FROM s),
+    k AS (
+        SELECT doc_id, source,
+               CAST(('0x' || substr(md5('il:' || CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT) AS key
+        FROM documents
+    )
+    SELECT doc_id, source,
+           CAST((ROW_NUMBER() OVER (PARTITION BY source ORDER BY key, doc_id) - 1) AS BIGINT)
+               * ns + sidx AS pos
+    FROM k JOIN s USING (source) CROSS JOIN n
+    """,
+)
+def dataset_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic source-interleaved training order: round-robin domain
+    striding over reproducible within-source shuffle ranks
+    (operators/text.interleave_sources)."""
+    return text.interleave_sources(_docs(spark, sf_dir))

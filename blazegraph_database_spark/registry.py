@@ -57,6 +57,7 @@ _SCORE_FIRST = [
     "stream_to_store",
     "geo_quantized_rect",
     "update_entailments",
+    "dataset_interleave",
     # (e) green in CORRECTNESS_r05 (stalest confirmed green).
     "agg_distinct",
     "ann_radius",

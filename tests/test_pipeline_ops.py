@@ -730,3 +730,17 @@ def test_matryoshka_truncation_changes_space(spark):
     trunc = similarity.matryoshka_topk(df, q, d_prime=2, k=1).collect()[0]
     assert full["neighbor"] == 2
     assert trunc["neighbor"] == 1 and trunc["cos"] == 1.0
+
+
+def test_interleave_sources_round_robin(spark):
+    rows = [(i, "a" if i % 2 == 0 else "b") for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = text.interleave_sources(df).collect()
+    by_pos = {r["pos"]: r["source"] for r in out}
+    assert len(by_pos) == 10  # positions are unique
+    # positions stride sources round-robin: even positions = source a
+    for p, s in by_pos.items():
+        assert s == ("a" if p % 2 == 0 else "b")
+    # deterministic across invocations
+    again = {r["pos"]: r["doc_id"] for r in text.interleave_sources(df).collect()}
+    assert again == {r["pos"]: r["doc_id"] for r in out}
