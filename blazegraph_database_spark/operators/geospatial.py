@@ -518,3 +518,72 @@ def requantize_geo_literals(df: DataFrame, configs: dict) -> DataFrame:
     # 10-row store). At scale this sits where the store write already
     # materializes, so the checkpoint costs nothing extra.
     return out.localCheckpoint(eager=True)
+
+
+# Unit factors to meters (ref: ICoordinate.UNITS + CoordinateUtility
+# unitsToMeters; the service default is Kilometers — GeoSpatial.java:125).
+UNITS_TO_METERS = {
+    "Meters": 1.0,
+    "Kilometers": 1000.0,
+    "Feet": 0.3048,
+    "Miles": 1609.344,
+    "NauticalMiles": 1852.0,
+}
+
+
+def ref_distance_m(center_lat: float, center_lon: float, lat: Column, lon: Column) -> Column:
+    """The reference's EXACT point distance (CoordinateUtility.
+    distanceInMeters): spherical law of cosines, scaled
+    degrees * 60 * 1.1515 * 1609.344 meters. Identical points
+    short-circuit to 0 (the reference's BLZG-1897 fix); acos of a
+    rounding-past-1 cosine yields NaN and the comparison drops the row,
+    exactly like Math.acos."""
+    cos_d = (
+        F.sin(F.radians(F.lit(center_lat))) * F.sin(F.radians(lat))
+        + F.cos(F.radians(F.lit(center_lat))) * F.cos(F.radians(lat))
+        * F.cos(F.radians(F.lit(center_lon) - lon))
+    )
+    d = F.degrees(F.acos(cos_d)) * F.lit(60.0 * 1.1515 * 1609.344)
+    return F.when((lat == center_lat) & (lon == center_lon), F.lit(0.0)).otherwise(d)
+
+
+def in_circle_ref(
+    df: DataFrame,
+    center_lat: float,
+    center_lon: float,
+    radius_m: float,
+    unit_factor: float = 1000.0,
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+) -> DataFrame:
+    """Reference-parity circle search for the geo SERVICE: bounding-box
+    prefilter (conservative +10% margin — the law-of-cosines and haversine
+    per-degree scales differ <0.01%), the reference's exact meters compare,
+    and a `distance` column in the REQUESTED unit rounded at 2 decimals
+    (GeoSpatialDefaultLiteralSerializer.serializeDistance:
+    Math.round(d*100)/100)."""
+    radius_km = radius_m / 1000.0
+    dlat = math.degrees(radius_km / EARTH_RADIUS_KM) * 1.1
+    dlon = dlat / max(math.cos(math.radians(center_lat)), 1e-9)
+    lat, lon = F.col(lat_col), F.col(lon_col)
+    # direct range predicates (pushable), lat band CLAMPED to the valid
+    # domain (a span-the-earth radius must not explode into an unbounded
+    # box), lon window WRAPPED at the antimeridian (ref: GeoSpatialQuery.
+    # normalize() splits a wrapped window into two ranges — grid180
+    # fixtures: a circle at lon 179 includes points at lon -179)
+    boxed = df.filter(
+        lat.between(max(center_lat - dlat, -90.0), min(center_lat + dlat, 90.0))
+    )
+    if dlon < 180.0:
+        lon_lo, lon_hi = center_lon - dlon, center_lon + dlon
+        if lon_lo < -180.0:
+            cond = (lon >= lon_lo + 360.0) | (lon <= lon_hi)
+        elif lon_hi > 180.0:
+            cond = (lon >= lon_lo) | (lon <= lon_hi - 360.0)
+        else:
+            cond = lon.between(lon_lo, lon_hi)
+        boxed = boxed.filter(cond)
+    dm = ref_distance_m(center_lat, center_lon, lat, lon)
+    return boxed.filter(dm <= F.lit(radius_m)).withColumn(
+        "distance", F.round(dm / F.lit(unit_factor), 2)
+    )

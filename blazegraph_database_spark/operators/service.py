@@ -414,9 +414,24 @@ def geo_search_service(store, patterns) -> DataFrame:
         a, b = val.split("#")[:2]
         return float(a), float(b)
 
+    def _unit_unbound() -> DataFrame:
+        # out-of-range coordinate input (|lat|>90 or |lon|>180): the
+        # reference's coordinate parse rejects the query and the SERVICE
+        # yields ONE solution with nothing bound (fixtures
+        # geo-rectangle-outofbounds1a/1b, geo-circle-outofbounds1a/1b)
+        row = [F.lit(None).cast("string").alias(subj.name)] + [
+            F.lit(None).cast("string").alias(v) for v in outs.values()
+        ]
+        return store.spark.range(1).select(*row)
+
+    def _coords_ok(*pairs) -> bool:
+        return all(-90.0 <= la <= 90.0 and -180.0 <= lo <= 180.0 for la, lo in pairs)
+
     if mode == "inRectangle":
         lat0, lon0 = _pair(args["spatialRectangleSouthWest"])
         lat1, lon1 = _pair(args["spatialRectangleNorthEast"])
+        if not _coords_ok((lat0, lon0), (lat1, lon1)):
+            return _unit_unbound()
         # registered datatype CONFIG with per-field multipliers: query
         # bounds quantize to the index granularity before comparison (ref:
         # GeoSpatialLiteralExtension encodes bounds through the same
@@ -437,10 +452,34 @@ def geo_search_service(store, patterns) -> DataFrame:
                     geospatial.quantize_bound(repr(lon0), m),
                     geospatial.quantize_bound(repr(lon1), m),
                 )
-        df = geospatial.in_rectangle(df, lat0, lat1, lon0, lon1)
+        if lon0 > lon1:
+            # antimeridian wraparound window (ref: GeoSpatialQuery.
+            # normalize() — "a search range from 160 to -160 is two
+            # ranges ]-180;-160] and [160;180]"; grid180-rectangle01)
+            df = df.filter(
+                F.col("lat").between(lat0, lat1)
+                & ((F.col("lon") >= lon0) | (F.col("lon") <= lon1))
+            )
+        else:
+            df = geospatial.in_rectangle(df, lat0, lat1, lon0, lon1)
     elif mode == "inCircle":
         clat, clon = _pair(args["spatialCircleCenter"])
-        df = geospatial.in_circle(df, clat, clon, float(args["spatialCircleRadius"]))
+        if not _coords_ok((clat, clon)):
+            return _unit_unbound()
+        # geo:spatialUnit (ref: GeoSpatial.SPATIAL_UNIT, default Kilometers
+        # — GeoSpatial.java:125): the radius converts through the unit and
+        # the distance binding reports in it, rounded at 2 like the
+        # reference's serializeDistance
+        unit = args.get("spatialUnit", "Kilometers")
+        if unit not in geospatial.UNITS_TO_METERS:
+            raise ValueError(
+                f"geo:spatialUnit {unit!r}: expected one of "
+                f"{sorted(geospatial.UNITS_TO_METERS)}"
+            )
+        fac = geospatial.UNITS_TO_METERS[unit]
+        df = geospatial.in_circle_ref(
+            df, clat, clon, float(args["spatialCircleRadius"]) * fac, unit_factor=fac
+        )
     elif mode is not None:
         raise ValueError(f"unknown geo:search mode {mode!r}")
     if "timeStart" in args:
@@ -491,7 +530,7 @@ def geo_search_service(store, patterns) -> DataFrame:
     for local, col in (
         ("latValue", F.col("lat")), ("lonValue", F.col("lon")),
         ("timeValue", F.col("t")), ("locationValue", loc),
-        ("literalValue", lit_out), ("distanceValue", F.col("distance_km")),
+        ("literalValue", lit_out), ("distanceValue", F.col("distance")),
         ("locationAndTimeValue", loc_t),
         ("coordSystemValue", F.col("coord") if "coord" in cols else F.lit(None)),
         ("customFieldsValues", custom_vals),

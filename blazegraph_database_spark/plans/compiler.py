@@ -1228,6 +1228,31 @@ def _(node: A.SP, store: TripleStore) -> DataFrame:
 @_compile.register
 def _(node: A.BGP, store: TripleStore) -> DataFrame:
     magic, rest = _split_bds_magic(node.patterns)
+    geo_magic, rest = _split_geo_magic(rest)
+    if geo_magic:
+        # Inline geospatial magic predicates, no SERVICE wrapper (ref:
+        # ASTGeoSpatialOptimizer lifts geo:search groups out of the BGP
+        # into GeoSpatialServiceFactory — the reference's own eval
+        # fixtures TestGeoSpatialServiceEvaluation use this form).
+        from blazegraph_database_spark.operators import service as _svc
+
+        out = None
+        idv = getattr(store, "id_join_vars", frozenset())
+        for _var, pats in geo_magic.items():
+            hits = _svc.geo_search_service(store, pats)
+            for c in list(hits.columns):
+                if c in idv:
+                    hits = hits.withColumn(f"{c}__id", term_id(F.col(c)))
+            out = hits if out is None else out.crossJoin(hits)
+        remainder = (
+            _compile(A.BGP(rest + sum(magic.values(), []), hints=node.hints), store)
+            if rest or magic
+            else None
+        )
+        if remainder is not None:
+            shared = sorted(set(remainder.columns) & set(out.columns))
+            out = remainder.join(out, on=shared) if shared else remainder.crossJoin(out)
+        return out
     if magic:
         # Inline magic-predicate full-text search, the form Blazegraph
         # queries actually use (`?lit bds:search "q" . ?lit bds:relevance
@@ -1280,6 +1305,39 @@ def _(node: A.BGP, store: TripleStore) -> DataFrame:
             out = rdf.join(out, on=shared) if shared else rdf.crossJoin(out)
         return out
     return _compile_bgp(node, store)
+
+
+def _split_geo_magic(patterns):
+    """Partition a BGP's patterns into inline geospatial magic groups
+    {search_var: [sps]} and the ordinary remainder (ref:
+    ASTGeoSpatialOptimizer — magic triples whose predicate lives in the
+    geo: namespace route to the geospatial service without a SERVICE
+    wrapper). A group triggers only when its subject var receives a
+    geo:search / geo:predicate param."""
+    from blazegraph_database_spark.operators.service import _geo_local
+
+    def geo_pred(sp) -> str | None:
+        if not (isinstance(sp, A.SP) and sp.p is not None and is_const(sp.p)):
+            return None
+        return _geo_local(const_lex(sp.p))
+
+    trigger_vars = {
+        sp.s.name
+        for sp in patterns
+        if geo_pred(sp) in ("search", "predicate") and isinstance(sp.s, Var)
+    }
+    geo: dict[str, list] = {}
+    rest = []
+    for sp in patterns:
+        if (
+            geo_pred(sp) is not None
+            and isinstance(sp.s, Var)
+            and sp.s.name in trigger_vars
+        ):
+            geo.setdefault(sp.s.name, []).append(sp)
+        else:
+            rest.append(sp)
+    return geo, rest
 
 
 def _split_bds_magic(patterns):

@@ -280,7 +280,23 @@ _STORE_SETUP = {
 }
 def _setup_geo_default(spark, st):
     # the main geo eval file registers geoSpatialLiteral (lat,lon,time —
-    # this engine's default layout) and makes it the store default
+    # this engine's default layout) and makes it the store default; the
+    # BUILTIN config (GeoSpatialConfigOptions: lat/lon DOUBLE x1e5, time
+    # LONG x1) requantizes literals at ingest, so raw-pattern projections
+    # see the reconstructed forms ("2#2#4" reads back "2.0#2.0#4")
+    from blazegraph_database_spark.operators.geospatial import (
+        GeoFieldSpec, requantize_geo_literals,
+    )
+
+    cfg = {
+        "http://www.bigdata.com/rdf/geospatial#geoSpatialLiteral": [
+            GeoFieldSpec("DOUBLE", 100_000),
+            GeoFieldSpec("DOUBLE", 100_000),
+            GeoFieldSpec("LONG", 1),
+        ]
+    }
+    st.df = requantize_geo_literals(st.df, cfg)
+    st.geo_configs = cfg
     st.geo_default_datatype = "http://www.bigdata.com/rdf/geospatial#geoSpatialLiteral"
     return st
 
