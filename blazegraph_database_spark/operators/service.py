@@ -373,7 +373,19 @@ def geo_search_service(store, patterns) -> DataFrame:
         # GeoSpatial.CONTEXT, quads-mode geospatial search)
         src = src.filter(F.col("g") == args["context"])
     dtiri = args.get("searchDatatype") or getattr(store, "geo_default_datatype", None)
-    layout = _geo_layout(dtiri)
+    # a store configured with GEO_SPATIAL_INCLUDE_BUILTIN_DATATYPES=false
+    # indexes ONLY its declared datatypes — searching anything else scans
+    # an index that was never built (zero hits, not an error)
+    whitelist = getattr(store, "geo_datatypes_whitelist", None)
+    if whitelist is not None and dtiri not in whitelist:
+        empty = [F.lit(None).cast("string").alias(subj.name)] + [
+            F.lit(None).cast("string").alias(v) for v in outs.values()
+        ]
+        return store.spark.range(1).select(*empty).limit(0)
+    # store-registered datatype configs declare the field layout explicitly
+    # (ref: GeoSpatialDatatypeConfiguration serviceMapping order); the
+    # URI-local-name derivation is the fallback for undeclared datatypes
+    layout = (getattr(store, "geo_layouts", None) or {}).get(dtiri) or _geo_layout(dtiri)
     if dtiri is not None and "o_dt" in src.columns:
         # geo:searchDatatype scopes the search to ONE datatype's literals
         # (ref: GeoSpatialConfig multi-datatype registration)
@@ -388,8 +400,19 @@ def geo_search_service(store, patterns) -> DataFrame:
         }
     else:
         parts = F.split(F.col("o_lex"), "#")
+        # per-field value types from the registered config when present
+        # (a LONG custom field like an epoch 'starttime' must extract as
+        # an integer, not a double's 1.37E9 rendering); heuristic
+        # fallback: t/coord are LONG, everything else DOUBLE
+        fspecs = (getattr(store, "geo_configs", None) or {}).get(dtiri)
+
+        def _ftype(i: int, name: str) -> str:
+            if fspecs is not None and i < len(fspecs):
+                return "long" if fspecs[i].value_type == "LONG" else "double"
+            return "long" if name in ("t", "coord") else "double"
+
         cols = {
-            name: parts.getItem(i).try_cast("long" if name in ("t", "coord") else "double")
+            name: parts.getItem(i).try_cast(_ftype(i, name))
             for i, name in enumerate(layout)
         }
     sel_cols = [F.col("s"), F.col("o_lex")] + [

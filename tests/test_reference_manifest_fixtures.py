@@ -131,19 +131,15 @@ def _norm_cell(v) -> str:
 # Families this harness cannot reproduce from the (rq, data, srx) triple
 # alone — each needs Java-side store configuration. Kept visible.
 _CONFIG_BOUND_FILES = {
-    # geospatial fixtures configure custom N-dim datatypes on the store
-    # (GeoSpatialConfig options in the Java test's properties)
+    # expects ERRORS for invalid queries (the Java asserts exceptions) —
+    # this harness compares solution sets, so the error contract stays
+    # covered by the engine's own unit tests instead
     "TestGeoSpatialCorrectRejection",
-    "TestGeoSpatialCustomFields",
-    "TestGeoSpatialQueryVaryOneDimension",
-    "TestGeoSpatialServiceConfiguration",
+    # expects failures when the geospatial index is DISABLED — a store
+    # mode this engine does not model (search is always available)
     "TestGeoSpatialQueryIfGeospatialDisabled",
-    "TestGeoSpatialDefaults",
-    "TestGeoSpatialDisableBuiltinDatatypes",
-    "TestGeoSpatialExamplesFromDocumentation",
-    "TestGeoSpatialSpecialCases",
-    # this one registers a CUSTOM Java literal serializer whose extracted
-    # values render in its own format ("Lat(3.0)", "Location(3.0-4.0)") —
+    # registers a CUSTOM Java literal serializer whose extracted values
+    # render in its own format ("Lat(3.0)", "Location(3.0-4.0)") —
     # arbitrary app code, not reproducible from the fixture triple
     "TestGeoSpatialCustomSerializer",
 }
@@ -227,6 +223,70 @@ def _setup_include_03a(spark, st):
     return st.with_named_sets({"solutionSet1": rows})
 
 
+
+# ---- generic Java-side geo-config mirror: parse GEO_SPATIAL_DATATYPE_CONFIG
+# JSON blocks (and the default-datatype property) straight out of the test
+# source, register them on the store (requantized literals + multiplier
+# configs + declared field layouts) — the engine-side machinery is
+# operators/geospatial.requantize_geo_literals + the service's
+# geo_configs/geo_layouts hooks.
+_GEOCFG_RX = re.compile(
+    r'GEO_SPATIAL_DATATYPE_CONFIG[^,]*,\s*((?:"(?:[^"\\]|\\.)*"\s*\+?\s*)+)\)', re.S
+)
+_GEO_DEFAULT_RX = re.compile(r'GEO_SPATIAL_DEFAULT_DATATYPE[^,]*,\s*\n?\s*"([^"]+)"')
+_SM_NAMES = {"LATITUDE": "lat", "LONGITUDE": "lon", "TIME": "t", "COORD_SYSTEM": "coord"}
+
+
+def _parse_java_geo_configs(java_path):
+    import json as _json
+
+    txt = open(java_path, errors="replace").read()
+    cfgs, layouts = {}, {}
+    for m in _GEOCFG_RX.finditer(txt):
+        parts = re.findall(r'"((?:[^"\\]|\\.)*)"', m.group(1))
+        js = "".join(p.replace('\\"', '"') for p in parts)
+        cfg = _json.loads(js)["config"]
+        from blazegraph_database_spark.operators.geospatial import GeoFieldSpec
+
+        fields = [
+            GeoFieldSpec(f["valueType"], int(f.get("multiplier", "1")))
+            for f in cfg["fields"]
+        ]
+        cfgs[cfg["uri"]] = fields
+        if "literalSerializer" not in cfg:
+            layouts[cfg["uri"]] = [
+                _SM_NAMES.get(f["serviceMapping"], f["serviceMapping"])
+                for f in cfg["fields"]
+            ]
+    dm = _GEO_DEFAULT_RX.search(txt)
+    no_builtin = bool(
+        re.search(r'GEO_SPATIAL_INCLUDE_BUILTIN_DATATYPES[^;]*"false"', txt)
+    )
+    return cfgs, layouts, (dm.group(1) if dm else None), no_builtin
+
+
+def _java_geo_setup(jf: str):
+    """FILE setup mirroring the Java test's geo store configuration."""
+    java_path = f"{EVAL}/service/{jf}.java"
+
+    def setup(spark, st):
+        from blazegraph_database_spark.operators.geospatial import (
+            requantize_geo_literals,
+        )
+
+        cfgs, layouts, default_dt, no_builtin = _parse_java_geo_configs(java_path)
+        if cfgs:
+            st.df = requantize_geo_literals(st.df, cfgs)
+            st.geo_configs = cfgs
+            st.geo_layouts = layouts
+        if default_dt:
+            st.geo_default_datatype = default_dt
+        if no_builtin:
+            st.geo_datatypes_whitelist = set(cfgs)
+        return st
+
+    return setup
+
 def _setup_wkt_default(spark, st):
     # the WKT test makes its datatype the store DEFAULT
     # (GEO_SPATIAL_DEFAULT_DATATYPE in its getProperties)
@@ -304,11 +364,34 @@ def _setup_geo_default(spark, st):
 _FILE_SETUP = {
     "TestGeoSpatialCustomSerializerWKT": _setup_wkt_default,
     "TestGeoSpatialServiceEvaluation": _setup_geo_default,
+    "TestGeoSpatialServiceEvaluationQuads": _setup_geo_default,
+    # r7: the remaining geo families mirror their Java-side
+    # GEO_SPATIAL_DATATYPE_CONFIG blocks straight from the test source
+    "TestGeoSpatialCustomFields": _java_geo_setup("TestGeoSpatialCustomFields"),
+    "TestGeoSpatialQueryVaryOneDimension":
+        _java_geo_setup("TestGeoSpatialQueryVaryOneDimension"),
+    "TestGeoSpatialDefaults": _java_geo_setup("TestGeoSpatialDefaults"),
+    "TestGeoSpatialServiceConfiguration":
+        _java_geo_setup("TestGeoSpatialServiceConfiguration"),
+    "TestGeoSpatialExamplesFromDocumentation":
+        _java_geo_setup("TestGeoSpatialExamplesFromDocumentation"),
+    "TestGeoSpatialDisableBuiltinDatatypes":
+        _java_geo_setup("TestGeoSpatialDisableBuiltinDatatypes"),
+    "TestGeoSpatialSpecialCases": _java_geo_setup("TestGeoSpatialSpecialCases"),
 }
 
 
 # Per-case documented divergences (filled by triage).
 _DIVERGENT: dict[str, str] = {
+    # the bundled geo-defaults.nt carries the "1#1" lat-lon literal on
+    # subject <http://ll.0#1> (a data typo), while every expected set —
+    # including defaults03's PLAIN `?s ?p ?o` scan — assumes subject
+    # <http://ll.1#1>: the expected files predate the data edit and no
+    # evaluation semantics can reproduce them from the bundled file
+    "TestGeoSpatialDefaults:geo-defaults01": "fixture data/expected mismatch",
+    "TestGeoSpatialDefaults:geo-defaults02": "fixture data/expected mismatch",
+    "TestGeoSpatialDefaults:geo-defaults03": "fixture data/expected mismatch",
+    "TestGeoSpatialDefaults:geo-defaults04": "fixture data/expected mismatch",
     # ConditionalBind equality is IV-identity in the reference:
     # "10"^^xsd:int and "10"^^xsd:integer are DIFFERENT terms there, while
     # this engine's dtype tags deliberately collapse the integer family to
