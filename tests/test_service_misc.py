@@ -1316,3 +1316,52 @@ def test_service_alias_resolution(spark):
     """
     got = sorted(r["s"] for r in run_sparql(st, q).collect())
     assert got == ["s00", "s01", "s02"]
+
+
+def test_geo_inline_magic_and_units_and_wrap(spark):
+    """Inline geo:search magic predicates (no SERVICE wrapper — the
+    reference's ASTGeoSpatialOptimizer lifts them), geo:spatialUnit radius
+    conversion, and antimeridian wraparound windows."""
+    from blazegraph_database_spark.model.store import TripleStore
+    from blazegraph_database_spark.plans.sparql_parser import run_sparql
+
+    rows = [
+        ("e1", "loc", "0#179.5#1", "geo"),
+        ("e2", "loc", "0#-179.5#1", "geo"),
+        ("e3", "loc", "0#0#1", "geo"),
+    ]
+    st = TripleStore(
+        spark.createDataFrame(rows, "s string, p string, o_lex string, o_dt string")
+    )
+    # inline form + circle crossing the antimeridian; 120 km ~ 1.08 deg lon
+    q = """
+    PREFIX geo: <http://www.bigdata.com/rdf/geospatial#>
+    SELECT ?res WHERE {
+      ?res geo:search "inCircle" .
+      ?res geo:predicate <loc> .
+      ?res geo:spatialCircleCenter "0#179.9" .
+      ?res geo:spatialCircleRadius "120" .
+    }
+    """
+    got = {r["res"] for r in run_sparql(st, q).collect()}
+    assert got == {"e1", "e2"}  # both sides of the antimeridian
+    # Miles: 40 miles ~ 64 km — only e1 (44.5km away) stays
+    q2 = q.replace('"120"', '"40" . ?res geo:spatialUnit "Miles"')
+    got2 = {r["res"] for r in run_sparql(st, q2).collect()}
+    assert got2 == {"e1"}
+    # wraparound rectangle [179,180] u [-180,-179]
+    q3 = """
+    PREFIX geo: <http://www.bigdata.com/rdf/geospatial#>
+    SELECT ?res WHERE {
+      ?res geo:search "inRectangle" .
+      ?res geo:predicate <loc> .
+      ?res geo:spatialRectangleSouthWest "-1#179" .
+      ?res geo:spatialRectangleNorthEast "1#-179" .
+    }
+    """
+    got3 = {r["res"] for r in run_sparql(st, q3).collect()}
+    assert got3 == {"e1", "e2"}
+    # out-of-range input: one solution, nothing bound
+    q4 = q.replace('"0#179.9"', '"95#0"')
+    rows4 = run_sparql(st, q4).collect()
+    assert len(rows4) == 1 and rows4[0]["res"] is None
