@@ -1027,8 +1027,11 @@ class Parser:
                 # dt_mode companion when the aggregate IS the whole bound
                 # expression (same span contract as STRLANG/STRDT): COUNT
                 # yields xsd:integer, SUM/AVG numeric (ref: the typed-IV
-                # aggregates produce typed results, AggregateBase)
-                if name in ("count", "sum", "avg"):
+                # aggregates produce typed results, AggregateBase).
+                # dt-tracking ONLY: an unconditional companion Extend broke
+                # the fast-range-count rewrite's Project(Extend(Group))
+                # shape for plain COUNT(*) queries (r6 regression)
+                if self.dt_mode and name in ("count", "sum", "avg"):
                     self._pending_term_dt = "long" if name == "count" else "double"
                     self._pending_term_dt_span = (start, self.i)
                 return F.col(alias)
