@@ -33,7 +33,10 @@ PINS = [
     ("explore/query10.txt", 0),
     ("explore/query11.txt", 10),
     ("explore/query12.txt", 8),
-    ("explore/query2.txt", 0),
+    # 19 = Product5's 19 bsbm:productFeature triples joined with its
+    # (producer, publisher, label...) chain — the bundled pc10 data holds
+    # exactly one of each; the old pin of 0 captured a pre-r6 prefix bug
+    ("explore/query2.txt", 19),
     ("explore/query3.txt", 0),
     ("explore/query4.txt", 0),
     ("explore/query5.txt", 0),
