@@ -88,9 +88,12 @@ def main() -> None:
         # optimizer regressions on complex query SHAPES (nested OPTIONALs,
         # unions, aggregate subqueries, DESCRIBE/CONSTRUCT) show up
         # round-over-round next to the data-heavy headline set.
-        # Floor (round 6, idle local[32]): ~11 s for the 12-query mix —
+        # Floor (round 7, idle local[32]): ~17-20 s for the 12-query mix —
         # plan/parse dominated at pc10 size (5007 triples), so this metric
-        # tracks OPTIMIZER cost, not data throughput.
+        # tracks OPTIMIZER cost, not data throughput. (The r6 ~11 s floor
+        # was measured while query2 short-circuited to zero rows through a
+        # since-fixed constant-subject join bug; it now runs its real
+        # 13-pattern join + 3 OPTIONALs.)
         out["bsbm_explore_total"] = bsbm
     # round-7 curation/retrieval family wall clock (paragraph dedup, DSIR,
     # NB classifier, CCNet buckets, matryoshka ANN) — a separate pinned
