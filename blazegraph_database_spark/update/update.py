@@ -335,6 +335,13 @@ class UpdatableStore:
         self._closed_valid = False
         self._explicit = None
         self._counts = None
+        # the Explicit/Inferred statement partition is only maintained by
+        # the closure paths and the plain DATA verbs (which re-set it after
+        # this reset); any OTHER verb (modify, graph ops, load) may turn an
+        # inferred row explicit without telling us — drop the partition so
+        # DROP ENTAILMENTS degrades to a safe no-op instead of deleting
+        # asserted data
+        self._inferred = None
         return st
 
     # ------------------------------------------------------- transactions --
@@ -385,14 +392,17 @@ class UpdatableStore:
         """INSERT DATA: union new ground triples (set semantics)."""
         cur = self._upgraded_if_quads(triples)
         new = triples.select(*_key_cols(cur)) if set(triples.columns) >= set(_key_cols(cur)) else triples
+        inf = None
         if self._inferred is not None and "g" not in cur.columns:
             # explicitly asserting an inferred triple upgrades it to
             # Explicit (ref: StatementEnum.max on re-assertion) — it then
             # survives DROP ENTAILMENTS
-            self._inferred = self._inferred.join(
+            inf = self._inferred.join(
                 new.select(*TRIPLE_COLS), on=TRIPLE_COLS, how="left_anti"
             )
-        return self._push(cur.unionByName(new, allowMissingColumns=True).distinct())
+        st = self._push(cur.unionByName(new, allowMissingColumns=True).distinct())
+        self._inferred = inf
+        return st
 
     def delete_data(self, triples: DataFrame) -> TripleStore:
         """DELETE DATA: anti-join the ground triple set (broadcast when small).
@@ -402,13 +412,22 @@ class UpdatableStore:
         cur = self._upgraded_if_quads(triples)
         keys = _key_cols(cur)
         doomed = F.broadcast(triples.select(*keys))
+        inf = None
+        if self._inferred is not None and "g" not in cur.columns:
+            # keep the Inferred partition a subset of the live store
+            inf = self._inferred.join(
+                triples.select(*TRIPLE_COLS), on=TRIPLE_COLS, how="left_anti"
+            )
         if "g" in keys:
             cond = None
             for k in keys:
                 c = cur[k].eqNullSafe(doomed[k])
                 cond = c if cond is None else cond & c
-            return self._push(cur.join(doomed, on=cond, how="left_anti"))
-        return self._push(cur.join(doomed, on=keys, how="left_anti"))
+            st = self._push(cur.join(doomed, on=cond, how="left_anti"))
+        else:
+            st = self._push(cur.join(doomed, on=keys, how="left_anti"))
+        self._inferred = inf
+        return st
 
     def delete_insert_where(
         self,

@@ -613,3 +613,38 @@ def test_entailments_update_verbs(spark):
     assert types_x == {"c1"}
     # the explicit inserts survive the drop
     assert us.current.df.filter(F.col("s") == "z").count() == 1
+
+
+def test_drop_entailments_safe_after_interleaved_modify(spark):
+    """A verb that doesn't maintain the Explicit/Inferred partition (e.g.
+    DELETE/INSERT WHERE) drops the partition, so a later DROP ENTAILMENTS
+    degrades to a safe no-op instead of deleting asserted rows; the DATA
+    verbs DO maintain it across pushes."""
+    from blazegraph_database_spark.model.store import TripleStore
+    from blazegraph_database_spark.plans.update_parser import apply_update
+    from blazegraph_database_spark.update.update import UpdatableStore
+
+    rows = [
+        ("c1", "rdfs:subClassOf", "c2", "iri"),
+        ("x", "rdf:type", "c1", "iri"),
+    ]
+    us = UpdatableStore.from_store(
+        TripleStore(spark.createDataFrame(rows, "s string, p string, o_lex string, o_dt string"))
+    )
+    apply_update(us, "CREATE ENTAILMENTS", spark)
+    # a modify verb rewrites rows without telling the partition tracker
+    apply_update(
+        us, 'INSERT { <y> <rdf:type> <c2> } WHERE { <x> <rdf:type> ?c }', spark
+    )
+    n_before = us.current.df.count()
+    apply_update(us, "DROP ENTAILMENTS", spark)
+    # partition was invalidated -> safe no-op, nothing deleted
+    assert us.current.df.count() == n_before
+    # once the partition is lost, a re-CREATE treats the surviving rows as
+    # asserted (closing an already-closed set infers nothing new), so a
+    # later DROP keeps them — and DELETE DATA maintains the partition
+    apply_update(us, "CREATE ENTAILMENTS ; DELETE DATA { <y> <rdf:type> <c2> }", spark)
+    apply_update(us, "DROP ENTAILMENTS", spark)
+    assert us.current.df.filter(F.col("s") == "y").count() == 0  # deleted
+    types_x = {r["o_lex"] for r in us.current.df.filter(F.col("s") == "x").collect()}
+    assert types_x == {"c1", "c2"}  # pre-loss inferences now count as asserted
