@@ -787,3 +787,34 @@ def matryoshka_topk(
         F.col(id_col), F.slice(F.col(vec_col), 1, d_prime).alias(vec_col)
     )
     return brute_force_topk(t(corpus), t(queries), k=k, id_col=id_col, vec_col=vec_col)
+
+
+def matryoshka_rerank_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    d_prime: int,
+    shortlist: int = 20,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Two-stage matryoshka retrieval (the MRL serving pattern end to end):
+    stage 1 shortlists per query on the FIRST ``d_prime`` dims (d'/d of the
+    scan bytes), stage 2 reranks only the shortlist with full-dimension
+    cosine. At 100 TB the full vectors are touched for q x shortlist rows
+    only — the same economics as PQ-ADC's rescore, with truncation instead
+    of codes. Returns (q, neighbor, cos) with full-precision scores."""
+    from pyspark.sql.window import Window
+
+    short = matryoshka_topk(
+        corpus, queries, d_prime=d_prime, k=shortlist, id_col=id_col, vec_col=vec_col
+    ).select("q", "neighbor")
+    c = corpus.select(F.col(id_col).alias("neighbor"), as_double(F.col(vec_col)).alias("cv"))
+    qv = queries.select(F.col(id_col).alias("q"), as_double(F.col(vec_col)).alias("qv"))
+    scored = (
+        short.join(c, "neighbor")
+        .join(F.broadcast(qv), "q")
+        .select("q", "neighbor", F.round(cosine(F.col("qv"), F.col("cv")), 4).alias("cos"))
+    )
+    w = Window.partitionBy("q").orderBy(F.col("cos").desc(), F.col("neighbor").asc())
+    return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k).drop("rk")

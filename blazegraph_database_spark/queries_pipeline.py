@@ -1846,3 +1846,40 @@ def dataset_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
     striding over reproducible within-source shuffle ranks
     (operators/text.interleave_sources)."""
     return text.interleave_sources(_docs(spark, sf_dir))
+
+
+@register(
+    "ann_matryoshka_rerank",
+    """
+    WITH q AS (SELECT vec_id AS q, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings
+               WHERE vec_id < 5),
+    qt AS (SELECT vec_id AS q, CAST(embedding[1:16] AS DOUBLE[]) AS qtv FROM embeddings
+           WHERE vec_id < 5),
+    ct AS (SELECT vec_id AS neighbor, CAST(embedding[1:16] AS DOUBLE[]) AS ctv FROM embeddings),
+    s1 AS (
+        SELECT q, neighbor,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q
+                   ORDER BY ROUND(list_cosine_similarity(qtv, ctv), 4) DESC, neighbor ASC
+               ) AS r
+        FROM qt CROSS JOIN ct WHERE q != neighbor
+    ),
+    short AS (SELECT q, neighbor FROM s1 WHERE r <= 20),
+    c AS (SELECT vec_id AS neighbor, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+    s2 AS (
+        SELECT short.q, short.neighbor,
+               ROUND(list_cosine_similarity(qv, cv), 4) AS cos
+        FROM short JOIN c USING (neighbor) JOIN q ON short.q = q.q
+    ),
+    rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY q ORDER BY cos DESC, neighbor ASC) AS r
+           FROM s2)
+    SELECT q, neighbor, cos FROM rk WHERE r <= 3
+    """,
+)
+def ann_matryoshka_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage matryoshka retrieval: 16-dim shortlist (20 candidates) →
+    full-dimension rerank to top-3 (operators/similarity.matryoshka_rerank_topk)."""
+    embs = _embs(spark, sf_dir)
+    return similarity.matryoshka_rerank_topk(
+        embs, embs.filter(F.col("vec_id") < 5), d_prime=16, shortlist=20, k=3
+    )

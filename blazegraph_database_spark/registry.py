@@ -58,6 +58,7 @@ _SCORE_FIRST = [
     "geo_quantized_rect",
     "update_entailments",
     "dataset_interleave",
+    "ann_matryoshka_rerank",
     # (e) green in CORRECTNESS_r05 (stalest confirmed green).
     "agg_distinct",
     "ann_radius",

@@ -744,3 +744,19 @@ def test_interleave_sources_round_robin(spark):
     # deterministic across invocations
     again = {r["pos"]: r["doc_id"] for r in text.interleave_sources(df).collect()}
     assert again == {r["pos"]: r["doc_id"] for r in out}
+
+
+def test_matryoshka_rerank_recovers_full_space_answer(spark):
+    """With a generous shortlist, the two-stage rerank equals full-space
+    brute force (the shortlist only bounds how much full-dim work runs)."""
+    import math
+
+    rows = [(i, [math.sin(i * 0.7 + j) for j in range(8)]) for i in range(30)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = df.filter(F.col("vec_id") < 3)
+    full = {(r["q"], r["neighbor"]) for r in similarity.brute_force_topk(df, q, k=3).collect()}
+    two = {
+        (r["q"], r["neighbor"])
+        for r in similarity.matryoshka_rerank_topk(df, q, d_prime=4, shortlist=29, k=3).collect()
+    }
+    assert two == full
