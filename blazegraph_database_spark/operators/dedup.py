@@ -464,3 +464,34 @@ def remove_duplicate_spans(
             F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
         )
     )
+
+
+def exact_dedup_best(
+    df: DataFrame,
+    order_col: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact dedup keeping the BEST copy per normalized text (round 7):
+    production pipelines keep the highest-quality duplicate, not the
+    lowest-id one — ties break by id so the cut is deterministic. Same
+    partial-agg discipline as exact_dedup: the winner per group is a
+    MAX over (order, -id) packed into a struct (map-side combinable),
+    never a sorted window over the duplicate-group key.
+
+    Returns (rep_id, n_copies, best_<order_col>)."""
+    norm = normalize_text(F.col(text_col))
+    # max over (order_col, -id): highest order wins, lowest id on ties
+    best = F.max(
+        F.struct(F.col(order_col).alias("o"), (-F.col(id_col)).alias("negid"))
+    ).alias("b")
+    return (
+        df.select(norm.alias("k"), F.col(id_col), F.col(order_col))
+        .groupBy("k")
+        .agg(best, F.count(F.lit(1)).cast("long").alias("n_copies"))
+        .select(
+            (-F.col("b.negid")).cast("long").alias("rep_id"),
+            "n_copies",
+            F.col("b.o").alias(f"best_{order_col}"),
+        )
+    )

@@ -1883,3 +1883,29 @@ def ann_matryoshka_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.matryoshka_rerank_topk(
         embs, embs.filter(F.col("vec_id") < 5), d_prime=16, shortlist=20, k=3
     )
+
+
+@register(
+    "dedup_exact_best",
+    """
+    WITH k AS (
+        SELECT doc_id, n_chars,
+               regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS k
+        FROM documents
+    ),
+    best AS (
+        SELECT k,
+               MAX(STRUCT_PACK(o := n_chars, negid := -doc_id)) AS b,
+               CAST(COUNT(*) AS BIGINT) AS n_copies
+        FROM k GROUP BY k
+    )
+    SELECT CAST(-b.negid AS BIGINT) AS rep_id, n_copies,
+           b.o AS best_n_chars
+    FROM best
+    """,
+)
+def dedup_exact_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware exact dedup: the longest copy (by n_chars) represents
+    each duplicate group, ties to the lowest id
+    (operators/dedup.exact_dedup_best)."""
+    return dedup.exact_dedup_best(_docs(spark, sf_dir), order_col="n_chars")

@@ -59,6 +59,7 @@ _SCORE_FIRST = [
     "update_entailments",
     "dataset_interleave",
     "ann_matryoshka_rerank",
+    "dedup_exact_best",
     # (e) green in CORRECTNESS_r05 (stalest confirmed green).
     "agg_distinct",
     "ann_radius",

@@ -760,3 +760,16 @@ def test_matryoshka_rerank_recovers_full_space_answer(spark):
         for r in similarity.matryoshka_rerank_topk(df, q, d_prime=4, shortlist=29, k=3).collect()
     }
     assert two == full
+
+
+def test_exact_dedup_best_keeps_highest_quality(spark):
+    rows = [
+        (1, "same text here", 10.0),
+        (2, "SAME  Text HERE", 50.0),   # normalized dup, higher quality
+        (3, "same text here", 50.0),    # ties with 2 -> lower id wins
+        (4, "unique doc", 7.0),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, quality double")
+    out = {r["rep_id"]: (r["n_copies"], r["best_quality"]) for r in
+           dedup.exact_dedup_best(df, order_col="quality").collect()}
+    assert out == {2: (3, 50.0), 4: (1, 7.0)}
