@@ -38,6 +38,32 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (l2norm(a) * l2norm(b))
 
 
+def two_phase_topk(scored: DataFrame, k: int, order: list, by: str = "q") -> DataFrame:
+    """Per-query top-k without ever sorting one query's full candidate set
+    in a single task: phase 1 ranks within (query, physical-partition) —
+    the shuffle key carries the upstream partition id, so one query's rows
+    spread across as many tasks as the input has partitions and each window
+    group is bounded by the partition size — and keeps k rows per group;
+    phase 2's per-query window then sees at most k * n_partitions rows per
+    query instead of the whole corpus. ``order`` must be a TOTAL order
+    (e.g. tiebreak on a unique id) so the result equals the global top-k."""
+    from pyspark.sql.window import Window
+
+    tagged = scored.withColumn("_tp_pid", F.spark_partition_id())
+    w_local = Window.partitionBy(by, "_tp_pid").orderBy(*order)
+    local = (
+        tagged.withColumn("_tp_rk", F.row_number().over(w_local))
+        .filter(F.col("_tp_rk") <= k)
+        .drop("_tp_rk", "_tp_pid")
+    )
+    w = Window.partitionBy(by).orderBy(*order)
+    return (
+        local.withColumn("_tp_rk", F.row_number().over(w))
+        .filter(F.col("_tp_rk") <= k)
+        .drop("_tp_rk")
+    )
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -46,9 +72,8 @@ def brute_force_topk(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Exact cosine top-k neighbors per query: (q, neighbor, cos), self
-    excluded, ties broken by neighbor id. Queries are broadcast."""
-    from pyspark.sql.window import Window
-
+    excluded, ties broken by neighbor id. Queries are broadcast; ranking is
+    two-phase (``two_phase_topk``) so no single task sorts the full corpus."""
     c = corpus.select(F.col(id_col).alias("neighbor"), as_double(F.col(vec_col)).alias("cv"))
     q = queries.select(F.col(id_col).alias("q"), as_double(F.col(vec_col)).alias("qv"))
     scored = (
@@ -56,8 +81,7 @@ def brute_force_topk(
         .filter(F.col("q") != F.col("neighbor"))
         .select("q", "neighbor", F.round(cosine(F.col("qv"), F.col("cv")), 4).alias("cos"))
     )
-    w = Window.partitionBy("q").orderBy(F.col("cos").desc(), F.col("neighbor").asc())
-    return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k).drop("rk")
+    return two_phase_topk(scored, k, [F.col("cos").desc(), F.col("neighbor").asc()])
 
 
 def radius_search(
@@ -747,8 +771,10 @@ def pq_ann_topk(
         # the join is total over codes — but the guard keeps the sum honest)
         .filter(F.col("_m") == m)
     )
-    wa = Window.partitionBy("q").orderBy(F.col("apx").asc(), F.col("neighbor").asc())
-    cand = apx.withColumn("_r", F.row_number().over(wa)).filter(F.col("_r") <= n_rescore)
+    # two-phase rank: the approx-distance table has one row per (q, corpus
+    # vector), so a single per-query window would sort the whole corpus in
+    # one task — same fix as brute_force_topk
+    cand = two_phase_topk(apx, n_rescore, [F.col("apx").asc(), F.col("neighbor").asc()])
     cv = corpus.select(F.col(id_col).alias("neighbor"), as_double(F.col(vec_col)).alias("nv"))
     qv = queries.select(F.col(id_col).alias("q"), as_double(F.col(vec_col)).alias("qvv"))
     rescored = (
