@@ -45,6 +45,10 @@ OWL_SYMMETRIC = "owl:SymmetricProperty"
 OWL_FUNCTIONAL = "owl:FunctionalProperty"
 OWL_EQCLASS = "owl:equivalentClass"
 OWL_EQPROP = "owl:equivalentProperty"
+OWL_RESTRICTION = "owl:Restriction"
+OWL_ONPROPERTY = "owl:onProperty"
+OWL_HASVALUE = "owl:hasValue"
+OWL_INVFUNCTIONAL = "owl:InverseFunctionalProperty"
 
 MAX_ITERS = 32
 
@@ -352,6 +356,67 @@ def functional_property_sameas(df: DataFrame) -> DataFrame:
         vals.join(canon, on=["s", "p"])
         .filter((F.col("n") > 1) & (F.col("o_lex") != F.col("canon")))
         .select(F.col("o_lex").alias("s"), F.lit(OWL_SAMEAS).alias("p"), F.col("canon").alias("o_lex"), F.lit("iri").alias("o_dt"))
+        .distinct()
+    )
+    return df.unionByName(pairs).distinct()
+
+
+def has_value_closure(df: DataFrame) -> DataFrame:
+    """owl:hasValue (ref: rules/RuleOwlHasValue.java:57): (x rdf:type a) +
+    (a rdf:type owl:Restriction) + (a owl:onProperty p) + (a owl:hasValue v)
+    => (x p v). The restriction spec (a, p, v) is schema-sized by
+    construction and broadcasts against the data's type triples — one scan,
+    no data shuffle. The value keeps its datatype tag through the head, so
+    a literal-valued restriction infers a literal triple."""
+    restr = df.filter((F.col("p") == RDF_TYPE) & (F.col("o_lex") == OWL_RESTRICTION)).select(
+        F.col("s").alias("a")
+    )
+    onp = df.filter(F.col("p") == OWL_ONPROPERTY).select(
+        F.col("s").alias("a"), F.col("o_lex").alias("hv_p")
+    )
+    hv = df.filter(F.col("p") == OWL_HASVALUE).select(
+        F.col("s").alias("a"), F.col("o_lex").alias("hv_o"), F.col("o_dt").alias("hv_dt")
+    )
+    spec = restr.join(onp, on="a").join(hv, on="a")
+    inferred = (
+        df.filter(F.col("p") == RDF_TYPE)
+        .join(F.broadcast(spec), F.col("o_lex") == F.col("a"))
+        .select(
+            "s", F.col("hv_p").alias("p"), F.col("hv_o").alias("o_lex"),
+            F.col("hv_dt").alias("o_dt"),
+        )
+    )
+    return df.unionByName(inferred).distinct()
+
+
+def inverse_functional_property_sameas(df: DataFrame) -> DataFrame:
+    """owl:InverseFunctionalProperty (ref: rules/
+    RuleOwlInverseFunctionalProperty.java:64): (p rdf:type owl:
+    InverseFunctionalProperty) + (b p a) + (c p a), b != c => (b sameAs c).
+    Same linearization as functional_property_sameas: the MIN subject per
+    shared (p, value) acts as canonical, so the output is linear — not
+    quadratic — in the clique size, and the sameAs CC kernel restores the
+    full equivalence. The shared value keys on (lexical, datatype): the
+    int-family identity collapse aside (SURVEY §4), "42"^^A and "42"^^B are
+    different terms and must not merge their subjects."""
+    preds = df.filter((F.col("p") == RDF_TYPE) & (F.col("o_lex") == OWL_INVFUNCTIONAL)).select(
+        F.col("s").alias("ifp")
+    )
+    vals = (
+        df.join(F.broadcast(preds), df["p"] == preds["ifp"])
+        .select("s", "p", "o_lex", "o_dt")
+        .distinct()
+    )
+    canon = vals.groupBy("p", "o_lex", "o_dt").agg(
+        F.min("s").alias("canon"), F.count(F.lit(1)).alias("n")
+    )
+    pairs = (
+        vals.join(canon, on=["p", "o_lex", "o_dt"])
+        .filter((F.col("n") > 1) & (F.col("s") != F.col("canon")))
+        .select(
+            "s", F.lit(OWL_SAMEAS).alias("p"), F.col("canon").alias("o_lex"),
+            F.lit("iri").alias("o_dt"),
+        )
         .distinct()
     )
     return df.unionByName(pairs).distinct()

@@ -251,6 +251,91 @@ def owl_rules_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "owl_hasvalue_ifp",
+    """
+    SELECT 'hasvalue_located' AS metric, CAST(COUNT(*) AS BIGINT) AS n FROM nation
+    UNION ALL
+    SELECT 'hasvalue_rated_long', CAST(COUNT(DISTINCT n_regionkey) AS BIGINT) FROM nation
+    UNION ALL
+    SELECT 'ifp_sameas', CAST(COUNT(DISTINCT n_nationkey) AS BIGINT) FROM nation
+    UNION ALL
+    SELECT 'ifp_merged_code', CAST(COUNT(DISTINCT n_nationkey) AS BIGINT) FROM nation
+    """,
+)
+def owl_hasvalue_ifp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """owl:hasValue + owl:InverseFunctionalProperty — the last two RuleOwl*
+    family members (ref: rules/RuleOwlHasValue.java:57,
+    rules/RuleOwlInverseFunctionalProperty.java:64). Every nation typed with
+    a Restriction earns its onProperty/hasValue triple (IRI- and
+    literal-valued restrictions both); two spellings of each nation sharing
+    an inverse-functional code derive sameAs, which the sameAs CC merge then
+    folds into one canonical subject per nation."""
+    nat = read_parquet(spark, f"{sf_dir}/nation.parquet")
+    nk = F.col("n_nationkey").cast("string")
+    data = (
+        # every nation is typed with the Located restriction node
+        nat.select(
+            F.concat(F.lit("nation:"), nk).alias("s"),
+            F.lit(rdfs.RDF_TYPE).alias("p"),
+            F.lit("Restr:Located").alias("o_lex"),
+            F.lit("iri").alias("o_dt"),
+        )
+        # every region is typed with the literal-valued Rated restriction
+        .unionByName(nat.select(
+            F.concat(F.lit("region:"), F.col("n_regionkey")).alias("s"),
+            F.lit(rdfs.RDF_TYPE).alias("p"),
+            F.lit("Restr:Rated").alias("o_lex"),
+            F.lit("iri").alias("o_dt"),
+        ).distinct())
+        # two spellings of each nation share an inverse-functional code
+        .unionByName(nat.select(
+            F.concat(F.lit("nA:"), nk).alias("s"),
+            F.lit("code").alias("p"),
+            F.concat(F.lit("code:"), nk).alias("o_lex"),
+            F.lit("iri").alias("o_dt"),
+        ))
+        .unionByName(nat.select(
+            F.concat(F.lit("nB:"), nk).alias("s"),
+            F.lit("code").alias("p"),
+            F.concat(F.lit("code:"), nk).alias("o_lex"),
+            F.lit("iri").alias("o_dt"),
+        ))
+    )
+    schema = spark.createDataFrame(
+        [
+            ("Restr:Located", rdfs.RDF_TYPE, rdfs.OWL_RESTRICTION, "iri"),
+            ("Restr:Located", rdfs.OWL_ONPROPERTY, "locatedIn", "iri"),
+            ("Restr:Located", rdfs.OWL_HASVALUE, "Earth", "iri"),
+            ("Restr:Rated", rdfs.RDF_TYPE, rdfs.OWL_RESTRICTION, "iri"),
+            ("Restr:Rated", rdfs.OWL_ONPROPERTY, "rating", "iri"),
+            ("Restr:Rated", rdfs.OWL_HASVALUE, "5", "long"),
+            ("code", rdfs.RDF_TYPE, rdfs.OWL_INVFUNCTIONAL, "iri"),
+        ],
+        "s string, p string, o_lex string, o_dt string",
+    )
+    df = rdfs.has_value_closure(data.unionByName(schema))
+    df = rdfs.inverse_functional_property_sameas(df)
+    merged = rdfs.apply_same_as(df)
+    return (
+        df.filter((F.col("p") == "locatedIn") & (F.col("o_lex") == "Earth"))
+        .agg(F.lit("hasvalue_located").alias("metric"), F.count(F.lit(1)).alias("n"))
+        .unionByName(
+            df.filter((F.col("p") == "rating") & (F.col("o_dt") == "long"))
+            .agg(F.lit("hasvalue_rated_long").alias("metric"), F.count(F.lit(1)).alias("n"))
+        )
+        .unionByName(
+            df.filter(F.col("p") == rdfs.OWL_SAMEAS)
+            .agg(F.lit("ifp_sameas").alias("metric"), F.count(F.lit(1)).alias("n"))
+        )
+        .unionByName(
+            merged.filter(F.col("p") == "code")
+            .select("s").distinct()
+            .agg(F.lit("ifp_merged_code").alias("metric"), F.count(F.lit(1)).alias("n"))
+        )
+    )
+
+
+@register(
     "tm_delete_closure",
     """
     SELECT 'type_Buyer' AS metric,

@@ -104,6 +104,64 @@ def test_same_as(spark):
     assert not any("superman" in (s, o) or "kal-el" in (s, o) for s, _, o in rows)
 
 
+def test_has_value(spark):
+    """RuleOwlHasValue: (x type a)+(a type Restriction)+(a onProperty p)+
+    (a hasValue v) => (x p v) — mirrors the reference rule's premise set."""
+    st = _store(
+        spark,
+        [
+            ("R", "rdf:type", "owl:Restriction", "iri"),
+            ("R", "owl:onProperty", "color", "iri"),
+            ("R", "owl:hasValue", "red", "string"),
+            ("thing1", "rdf:type", "R", "iri"),
+            ("thing2", "rdf:type", "R", "iri"),
+            # typed with a non-restriction class: no inference
+            ("thing3", "rdf:type", "C", "iri"),
+            # restriction missing its hasValue: no inference
+            ("R2", "rdf:type", "owl:Restriction", "iri"),
+            ("R2", "owl:onProperty", "shape", "iri"),
+            ("thing4", "rdf:type", "R2", "iri"),
+        ],
+    )
+    out = rdfs.has_value_closure(st.df)
+    rows = {(r["s"], r["p"], r["o_lex"], r["o_dt"]) for r in out.collect()}
+    assert ("thing1", "color", "red", "string") in rows  # literal dt kept
+    assert ("thing2", "color", "red", "string") in rows
+    assert not any(s == "thing3" and p == "color" for s, p, _, _ in rows)
+    assert not any(p == "shape" for _, p, _, _ in rows)
+
+
+def test_inverse_functional_property(spark):
+    """RuleOwlInverseFunctionalProperty: (p type IFP)+(b p a)+(c p a), b!=c
+    => (b sameAs c); sharing under a NON-IFP predicate must not merge, and
+    same-lexical values under different datatypes are different terms."""
+    st = _store(
+        spark,
+        [
+            ("email", "rdf:type", "owl:InverseFunctionalProperty", "iri"),
+            ("alice", "email", "a@x.org", "string"),
+            ("alice2", "email", "a@x.org", "string"),
+            ("alice3", "email", "a@x.org", "string"),
+            ("bob", "email", "b@x.org", "string"),
+            # same lexical, different datatype: not the same term
+            ("eve", "email", "42", "string"),
+            ("mallory", "email", "42", "long"),
+            # shared value under a non-IFP predicate: no inference
+            ("carol", "nick", "cc", "string"),
+            ("carol2", "nick", "cc", "string"),
+        ],
+    )
+    out = rdfs.inverse_functional_property_sameas(st.df)
+    same = {(r["s"], r["o_lex"]) for r in out.filter(F.col("p") == "owl:sameAs").collect()}
+    # linearized: min subject 'alice' is canonical for the 3-clique
+    assert same == {("alice2", "alice"), ("alice3", "alice")}
+    # ...and the sameAs CC merge restores the full equivalence
+    merged = rdfs.apply_same_as(out)
+    subs = {r["s"] for r in merged.filter(F.col("p") == "email").collect()}
+    assert "alice2" not in subs and "alice3" not in subs and "alice" in subs
+    assert {"bob", "eve", "mallory"} <= subs
+
+
 # ------------------------------------------------------------------ UPDATE --
 def test_insert_delete_data(spark):
     st = UpdatableStore.from_store(_store(spark, [("a", "p", "1", "long")]))
