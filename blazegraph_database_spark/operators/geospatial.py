@@ -476,11 +476,16 @@ def quantize_bound(lex: str, mult: int) -> float:
 
 def _quantized_field(part: Column, spec: GeoFieldSpec) -> Column:
     """Lexical component → quantized canonical lexical (NULL if unparseable):
-    DOUBLE renders Double.toString-style ('1.1', '4.0'); LONG as integer."""
+    DOUBLE renders Double.toString-style ('1.1', '4.0'); LONG as integer.
+    A LONG field accepts only integer-shaped lexicals — casting '1.5'
+    through decimal(30,0) would round half-up to 2 where the reference's
+    long parse REJECTS it, so a fractional lexical nulls out here and the
+    caller's keep-as-written discipline preserves the literal."""
     if spec.value_type == "DOUBLE":
         q = (part.try_cast("decimal(30,12)") * F.lit(spec.multiplier)).cast("long")
         return (q.cast("double") / F.lit(float(spec.multiplier))).cast("string")
-    q = (part.try_cast("decimal(30,0)") * F.lit(spec.multiplier)).cast("long")
+    as_int = F.when(part.rlike("^-?[0-9]+$"), part).otherwise(F.lit(None))
+    q = (as_int.try_cast("decimal(30,0)") * F.lit(spec.multiplier)).cast("long")
     return F.floor(q / F.lit(spec.multiplier)).cast("long").cast("string")
 
 

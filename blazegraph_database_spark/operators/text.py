@@ -854,8 +854,26 @@ def paragraph_dedup(
     # first occurrence = MIN over (doc, position) packed base-1e6 into one
     # long — monotonic in (id, idx) for ANY id sign while staying on the
     # HashAggregate fast path (a struct-min falls to SortAggregate, which
-    # sorts every partition); requires idx < 1e6, i.e. <1M paragraphs/doc
-    okey = F.col(id_col).cast("long") * F.lit(1_000_000) + F.col("p_idx")
+    # sorts every partition); requires idx < 1e6 (<1M paragraphs/doc) and
+    # |id| < 2^63/1e6, ENFORCED per row: an out-of-range row would silently
+    # overflow into a neighboring doc's key range, so it fails the query
+    # loudly instead (pure expression — no extra validation job)
+    in_bounds = (F.col("p_idx") < 1_000_000) & (
+        F.abs(F.col(id_col).cast("long")) < F.lit(9_223_372_036_853)
+    )
+    okey = F.when(
+        in_bounds, F.col(id_col).cast("long") * F.lit(1_000_000) + F.col("p_idx")
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("paragraph_dedup: packed (doc_id, p_idx) key out of range "
+                      "(need p_idx < 1e6 and |doc_id| < 9.2e12): doc_id="),
+                F.col(id_col).cast("string"),
+                F.lit(" p_idx="),
+                F.col("p_idx").cast("string"),
+            )
+        ).cast("long")
+    )
     firsts = (
         paras.select("norm", okey.alias("okey"))
         .groupBy("norm")

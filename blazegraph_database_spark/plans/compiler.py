@@ -279,6 +279,17 @@ def _id_join_vars(root) -> frozenset[str]:
                     occurrences[pos.name] += 1
                     if in_g:
                         needed.add(pos.name)
+            if n.p is not None and is_const(n.p) and isinstance(n.o, Var):
+                # geo:search magic PARAM positions consume the object var's
+                # VALUE (resolved per sibling binding — _geo_param_join);
+                # id-joining it would leave only the 64-bit companion bound
+                from blazegraph_database_spark.operators.service import (
+                    GEO_OUT_LOCALS, _geo_local,
+                )
+
+                loc = _geo_local(const_lex(n.p))
+                if loc is not None and loc != "search" and loc not in GEO_OUT_LOCALS:
+                    needed.add(n.o.name)
             return
         if isinstance(n, A.BGP):
             for sp in n.patterns:
@@ -1238,7 +1249,15 @@ def _(node: A.BGP, store: TripleStore) -> DataFrame:
 
         out = None
         idv = getattr(store, "id_join_vars", frozenset())
+        deferred = []
         for _var, pats in geo_magic.items():
+            if _svc.geo_param_vars(pats):
+                # VARIABLE service params (e.g. geo:spatialCircleCenter
+                # ?center bound by a sibling pattern — ticket_bg1899's
+                # inline form): resolve per distinct sibling binding, same
+                # machinery as SERVICE <geo:search>
+                deferred.append(pats)
+                continue
             hits = _svc.geo_search_service(store, pats)
             for c in list(hits.columns):
                 if c in idv:
@@ -1250,8 +1269,21 @@ def _(node: A.BGP, store: TripleStore) -> DataFrame:
             else None
         )
         if remainder is not None:
-            shared = sorted(set(remainder.columns) & set(out.columns))
-            out = remainder.join(out, on=shared) if shared else remainder.crossJoin(out)
+            if out is None:
+                out = remainder
+            else:
+                shared = sorted(set(remainder.columns) & set(out.columns))
+                out = remainder.join(out, on=shared) if shared else remainder.crossJoin(out)
+        for pats in deferred:
+            if out is None:
+                raise ValueError(
+                    "geo:search: a variable service parameter needs a "
+                    "sibling pattern in the same group binding it"
+                )
+            out = _geo_param_join(store, out, pats)
+            for c in list(out.columns):
+                if c in idv and not c.endswith("__id") and f"{c}__id" not in out.columns:
+                    out = out.withColumn(f"{c}__id", term_id(F.col(c)))
         return out
     if magic:
         # Inline magic-predicate full-text search, the form Blazegraph
@@ -1542,7 +1574,7 @@ def _(node: A.Join, store: TripleStore) -> DataFrame:
 
         ldf = _compile(reduce(A.Join, others), store)
         for svc in geo_svcs:
-            ldf = _geo_param_join(store, ldf, svc)
+            ldf = _geo_param_join(store, ldf, _collect_sps(svc.pattern))
         return ldf
     if var_svcs or lbl_svcs:
         skip = {id(c) for c in var_svcs} | {id(c) for c in lbl_svcs}
@@ -1600,15 +1632,15 @@ def _(node: A.Join, store: TripleStore) -> DataFrame:
 SERVICE_VAR_MAX_ENDPOINTS = 64
 
 
-def _geo_param_join(store: TripleStore, ldf: DataFrame, svc: "A.Service") -> DataFrame:
+def _geo_param_join(store: TripleStore, ldf: DataFrame, sps: list) -> DataFrame:
     """Run geo:search once per DISTINCT as-bound value row of its variable
     params, substitute, union, and join back to the incoming solutions.
     The distinct-param collect is bounded by SERVICE_VAR_MAX_ENDPOINTS —
     param vars enumerate query-level configuration (a handful of centers/
-    regions), never data-sized sets."""
+    regions), never data-sized sets. Serves both the SERVICE-wrapped form
+    and the inline magic-predicate form (same resolution either way)."""
     from blazegraph_database_spark.operators import service
 
-    sps = _collect_sps(svc.pattern)
     pvars = sorted(service.geo_param_vars(sps))
     missing = [v for v in pvars if v not in ldf.columns]
     if missing:

@@ -274,12 +274,20 @@ def _typed_eq(a_name: str, b_name: str) -> Column:
     )
 
 
-def _date_const_order(left: Column, right: Column, op: str) -> Column | None:
+def _date_const_order(
+    left: Column, right: Column, op: str, date_consts: set[str] | None = None
+) -> Column | None:
     """Ordered comparison of a var against an xsd:date CONSTANT under dt
     tracking (ref: CompareBOp over date IVs; fixture ticket bg1748 compares
     BC-era bounds where lexical order reverses): when the var's companion
     tags it as xsd:date, both sides compare by chronological key; any
-    other companion keeps the lexical default, decided per row."""
+    other companion keeps the lexical default, decided per row.
+
+    ``date_consts`` is the set of constant LEXICALS the parser saw with an
+    explicit ^^xsd:date datatype — the gate is the constant's declared
+    TYPE, not its shape (ADVICE r7: a plain string "-0500-01-01" against a
+    date var is the reference's date-vs-string comparison, not a
+    chronological one — it falls through to the lexical default)."""
     cmp = {
         "<": lambda x, y: x < y, "<=": lambda x, y: x <= y,
         ">": lambda x, y: x > y, ">=": lambda x, y: x >= y,
@@ -288,6 +296,8 @@ def _date_const_order(left: Column, right: Column, op: str) -> Column | None:
         v = _bare_var(var_side)
         cm = _CONST_RX.match(str(const_side))
         if not (v and cm and _DATE_SHAPE_RX.match(cm.group(1))):
+            continue
+        if date_consts is not None and cm.group(1) not in date_consts:
             continue
         key = _py_date_key(cm.group(1))
         if key is None:
@@ -481,6 +491,7 @@ class Parser:
         # expression (a sub-expression call doesn't type the result)
         self._pending_term_dt: str | None = None
         self._pending_term_dt_span: tuple[int, int] | None = None
+        self._date_typed_consts: set[str] = set()
 
     # ------------------------------------------------------- tok helpers --
     def peek(self, k: int = 0) -> Tok:
@@ -767,7 +778,7 @@ class Parser:
                         # compressed-timestamp-01d), timestamps as
                         # timestamps, strings lexically; mixed = type error
                         return _typed_order(lv, rv, op)
-                    dc = _date_const_order(left, right, op)
+                    dc = _date_const_order(left, right, op, self._date_typed_consts)
                     if dc is not None:
                         return dc
             left, right = _typed_cmp_sides(left, right)
@@ -873,6 +884,10 @@ class Parser:
                 return F.lit(int(term.lex))
             if term.dt == "double":
                 return F.lit(float(term.lex))
+            if term.dt == _DATE_TAG:
+                # remember the DECLARED xsd:date constants so comparisons
+                # gate chronological semantics on the type, not the shape
+                self._date_typed_consts.add(term.lex)
             return F.lit(term.lex)
         if t.kind in ("IRI", "PNAME") and self.peek(1).text == "(":
             # xsd cast-as-function call: xsd:integer(?x) / <...#double>(?x)

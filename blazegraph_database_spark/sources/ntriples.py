@@ -217,16 +217,30 @@ def _term_cols(raw_obj):
 _DATE_RX_SQL = r"^(-?)(\d+)(-\d{2}-\d{2})(Z|\+00:00|-\d{2}:\d{2})?$"
 
 
+# month/day validity in ONE regex over the "-MM-DD" tail: month-specific day
+# maxima, with February capped at 28 here — Feb 29 is validated numerically
+# against the proleptic leap rule below (the only part a regex can't say)
+_DATE_MD_OK_RX = (
+    r"^-(?:(?:0[13578]|1[02])-(?:0[1-9]|[12][0-9]|3[01])"
+    r"|(?:0[469]|11)-(?:0[1-9]|[12][0-9]|30)"
+    r"|02-(?:0[1-9]|1[0-9]|2[0-8]))$"
+)
+
+
 def _canon_date_col(lex):
     """Expression analog of canonical_date_lex for the shift-free cases:
     canonical form (zone stripped, year sign + >=4 digits) when the lexical
-    is an xsd:date with no UTC day shift, NULL otherwise (callers keep the
-    written lexical; positive-offset dates canonicalize in the Python
-    readers)."""
+    is an xsd:date with no UTC day shift AND a calendar-valid month/day,
+    NULL otherwise (callers keep the written lexical — '2024-13-05Z' must
+    stay as written here exactly like the Python readers keep it;
+    positive-offset dates canonicalize in the Python readers)."""
     sign = F.regexp_extract(lex, _DATE_RX_SQL, 1)
     ystr = F.regexp_extract(lex, _DATE_RX_SQL, 2)
     rest = F.regexp_extract(lex, _DATE_RX_SQL, 3)
-    ok = (ystr != "") & ~lex.rlike(r"\+(?!00:00)\d{2}:\d{2}$")
+    y = F.concat(sign, ystr).try_cast("long")
+    leap = (F.pmod(y, 4) == 0) & ((F.pmod(y, 100) != 0) | (F.pmod(y, 400) == 0))
+    md_ok = rest.rlike(_DATE_MD_OK_RX) | ((rest == "-02-29") & leap)
+    ok = (ystr != "") & md_ok & ~lex.rlike(r"\+(?!00:00)\d{2}:\d{2}$")
     ys = F.when(F.length(ystr) >= 4, ystr).otherwise(F.lpad(ystr, 4, "0"))
     return F.when(ok, F.concat(sign, ys, rest)).otherwise(
         F.lit(None).cast("string")

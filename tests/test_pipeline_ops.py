@@ -665,6 +665,19 @@ def test_paragraph_dedup_first_occurrence_wins(spark):
     assert 3 not in out and 4 not in out
 
 
+def test_paragraph_dedup_out_of_range_id_fails_loud(spark):
+    """A doc_id outside the packed-key domain must raise, not silently
+    overflow into a neighboring doc's key range (ADVICE r7)."""
+    import pytest
+
+    df = spark.createDataFrame(
+        [(9_223_372_036_854, "some paragraph"), (1, "other text")],
+        "doc_id long, text string",
+    )
+    with pytest.raises(Exception, match="paragraph_dedup"):
+        text.paragraph_dedup(df).collect()
+
+
 def test_dsir_prefers_target_like_docs(spark):
     raw = spark.createDataFrame(
         [

@@ -1365,3 +1365,34 @@ def test_geo_inline_magic_and_units_and_wrap(spark):
     q4 = q.replace('"0#179.9"', '"95#0"')
     rows4 = run_sparql(st, q4).collect()
     assert len(rows4) == 1 and rows4[0]["res"] is None
+
+
+def test_geo_inline_magic_variable_param(spark):
+    """Inline geo:search with a VARIABLE service param bound by a sibling
+    pattern (ticket_bg1899's shape without the SERVICE wrapper) resolves per
+    distinct binding — previously a bare TypeError (ADVICE r7)."""
+    from blazegraph_database_spark.model.store import TripleStore
+    from blazegraph_database_spark.plans.sparql_parser import run_sparql
+
+    rows = [
+        ("e1", "loc", "10.0#20.0", "geo"),
+        ("e2", "loc", "10.2#20.2", "geo"),
+        ("e3", "loc", "50.0#60.0", "geo"),
+        ("cityA", "center", "10#20", "string"),
+        ("cityB", "center", "50#60", "string"),
+    ]
+    st = TripleStore(
+        spark.createDataFrame(rows, "s string, p string, o_lex string, o_dt string")
+    )
+    q = """
+    PREFIX geo: <http://www.bigdata.com/rdf/geospatial#>
+    SELECT ?city ?res WHERE {
+      ?city <center> ?c .
+      ?res geo:search "inCircle" .
+      ?res geo:predicate <loc> .
+      ?res geo:spatialCircleCenter ?c .
+      ?res geo:spatialCircleRadius "50" .
+    }
+    """
+    got = {(r["city"], r["res"]) for r in run_sparql(st, q).collect()}
+    assert got == {("cityA", "e1"), ("cityA", "e2"), ("cityB", "e3")}

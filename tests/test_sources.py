@@ -166,9 +166,23 @@ def test_canon_date_spark_matches_python(spark):
     # expression yields NULL (callers keep the lexical; Python readers
     # canonicalize exactly)
     shifted = ["-523-12-31+01:00", "2024-03-01+11:00", "2000-03-01+00:30"]
-    df = spark.createDataFrame([(x,) for x in no_shift + shifted], "lex string")
+    # calendar-INVALID month/day: the expression must yield NULL (keep as
+    # written) exactly like the Python path, not strip the zone (ADVICE r7:
+    # '2024-13-05Z' stored differently depending on ingest path)
+    invalid = [
+        "2024-13-05Z", "2024-00-10", "2024-04-31", "2024-02-30",
+        "2023-02-29Z", "1900-02-29",  # century non-leap
+    ]
+    # valid leap/edge days must still canonicalize
+    leap_ok = ["2024-02-29Z", "2000-02-29", "-524-02-29Z", "2024-01-31Z"]
+    df = spark.createDataFrame(
+        [(x,) for x in no_shift + shifted + invalid + leap_ok], "lex string"
+    )
     got = {r["lex"]: r["c"] for r in df.select("lex", _canon_date_col(F.col("lex")).alias("c")).collect()}
-    for x in no_shift:
+    for x in no_shift + leap_ok:
         assert got[x] == canonical_date_lex(x), x
     for x in shifted:
         assert got[x] is None, x
+    for x in invalid:
+        # Python keeps invalid dates as written; expression must NULL out
+        assert canonical_date_lex(x) == x and got[x] is None, x

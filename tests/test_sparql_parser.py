@@ -1001,3 +1001,16 @@ def test_xsd_date_value_comparison_bc_years(spark):
         "SELECT ?a WHERE { ?a <d> ?x . ?b <d> ?y . FILTER(?x < ?y && ?b = <e3>) }",
     ).collect()
     assert {r["a"] for r in got2} == {"e1", "e2"}
+    # a PLAIN string constant shaped like a date must NOT get chronological
+    # semantics — only a declared ^^xsd:date constant does (ADVICE r7): the
+    # untyped form keeps the engine's lexical default, where "-0523-12-30"
+    # 's lexical order differs from the chronological one
+    got3 = {
+        r["s"]
+        for r in run_sparql(
+            st, 'SELECT ?s WHERE { ?s <d> ?x . FILTER(?x < "-0500-01-01") }'
+        ).collect()
+    }
+    # lexical: "-0486.." < "-0500.." ('4'<'5'), "-0523.." > "-0500..",
+    # "0044.." > "-0500.." ('0'>'-') — chronological would give {e1}
+    assert got3 == {"e2"}
