@@ -35,6 +35,55 @@ def lng(x) -> Column:  # xsd:integer/long view
     return _c(x).try_cast("long")
 
 
+# exact-arithmetic view + canonical rendering of xsd:decimal (round 8; ref:
+# internal/impl/literal/XSDDecimalIV.java — the reference computes decimal
+# math on BigDecimal, never double) ------------------------------------------
+DEC_T = "decimal(38,12)"  # 26 integer digits + 12 fractional: money-scale safe
+
+
+def dec(x) -> Column:  # exact xsd:decimal view of a binding
+    return _c(x).try_cast(DEC_T)
+
+
+# The sized-int family rides dt:<iri> IDENTITY tags (round 8; ref:
+# XSDNumericIV distinguishes byte/short/int/long + unsigned variants as
+# different IVs) but still behaves NUMERICALLY by value in comparisons,
+# ordering, and aggregation (CompareBOp/IVUtility.numericalCompare).
+_XSD_NUM_DT_RX = (
+    r"^dt:http://www\.w3\.org/2001/XMLSchema#"
+    r"(int|long|short|byte|unsignedLong|unsignedInt|unsignedShort|"
+    r"unsignedByte|nonNegativeInteger|positiveInteger|negativeInteger|"
+    r"nonPositiveInteger)$"
+)
+
+
+def NUM_TAG(dt) -> Column:
+    """True when the dtype tag denotes a NUMERIC literal family —
+    first-class numeric tags plus the XSD sized-int identity tags."""
+    d = _c(dt)
+    return d.isin("long", "double", "decimal") | d.rlike(_XSD_NUM_DT_RX)
+
+
+def EXACT_TAG(dt) -> Column:
+    """True for EXACT numeric families (integer/decimal/sized-int) — the
+    BigDecimal-arithmetic path applies; double is the only inexact tag."""
+    d = _c(dt)
+    return d.isin("long", "decimal") | d.rlike(_XSD_NUM_DT_RX)
+
+
+def DEC_LEX(c) -> Column:
+    """Canonical decimal lexical of a DECIMAL-typed column: trailing zeros
+    trimmed, bare integer when the fraction is zero (BigDecimal
+    stripTrailingZeros().toPlainString() analog — value-identical to the
+    reference's rendering, with trailing zeros of the computation scale
+    normalized away)."""
+    s = _c(c).cast("string")
+    return F.when(
+        s.contains("."),
+        F.regexp_replace(F.regexp_replace(s, r"0+$", ""), r"\.$", ""),
+    ).otherwise(s)
+
+
 def ts(x) -> Column:  # xsd:dateTime view
     return _c(x).try_cast("timestamp")
 
@@ -265,10 +314,15 @@ def DATATYPE(lex, dt) -> Column:
     matching SPARQL's type-error propagation)."""
     d = _c(dt)
     return (
-        F.when(d.startswith("lang:"), F.lit(_RDF_LANGSTRING))
+        # an UNBOUND term has no datatype (type error → unbound), even
+        # when a static companion rides the plan (type_cast_long's
+        # out-of-range casts come back fully unbound)
+        F.when(_c(lex).isNull(), F.lit(None).cast("string"))
+        .when(d.startswith("lang:"), F.lit(_RDF_LANGSTRING))
         .when(d == "string", F.lit(_XSD + "string"))
         .when(d == "long", F.lit(_XSD + "integer"))
         .when(d == "double", F.lit(_XSD + "double"))
+        .when(d == "decimal", F.lit(_XSD + "decimal"))
         .when(d == "boolean", F.lit(_XSD + "boolean"))
         .when(d == "timestamp", F.lit(_XSD + "dateTime"))
         # unknown datatype IRIs ride as dt:<iri> tags (term identity)
@@ -301,7 +355,7 @@ def STRDT_TAG(dt_iri: str) -> str:
     """dtype tag for STRDT(x, <dt_iri>) results."""
     return {
         _XSD + "integer": "long", _XSD + "long": "long", _XSD + "int": "long",
-        _XSD + "double": "double", _XSD + "decimal": "double",
+        _XSD + "double": "double", _XSD + "decimal": "decimal",
         _XSD + "boolean": "boolean", _XSD + "dateTime": "timestamp",
         _XSD + "string": "string",
     }.get(dt_iri, "string")

@@ -9,8 +9,10 @@ inside whole-stage codegen; the dictionary encoding lives in
 :mod:`blazegraph_database_spark.model.dictionary`.
 
 Datatype tags: ``iri``, ``bnode``, ``string``, ``long``, ``double``,
-``boolean``, ``timestamp`` (covers xsd:integer/long, xsd:double/decimal,
-xsd:boolean, xsd:dateTime; language-tagged literals carry ``lang:<tag>``).
+``decimal``, ``boolean``, ``timestamp`` (``long`` covers the xsd:integer
+family, ``double`` covers xsd:double/float, ``decimal`` is FIRST-CLASS so
+exact BigDecimal-scale arithmetic — ref: XSDDecimalIV.java — keys off it;
+language-tagged literals carry ``lang:<tag>``).
 """
 
 from __future__ import annotations
@@ -22,6 +24,7 @@ DT_BNODE = "bnode"
 DT_STRING = "string"
 DT_LONG = "long"
 DT_DOUBLE = "double"
+DT_DECIMAL = "decimal"
 DT_BOOLEAN = "boolean"
 DT_TIMESTAMP = "timestamp"
 

@@ -1619,6 +1619,10 @@ def _(node: A.Join, store: TripleStore) -> DataFrame:
         for v in shared:
             c = l[v].isNull() | F.col(f"__j_{v}").isNull() | (l[v] == F.col(f"__j_{v}"))
             cond = c if cond is None else (cond & c)
+        if isinstance(node.right, A.Values) and node.right.child is None:
+            # statically-known tiny side: BroadcastNestedLoop beats a
+            # CartesianProduct's n_left x n_right task explosion (r8)
+            r2 = F.broadcast(r2)
         out = l.join(r2, on=cond)
         for v in shared:
             out = out.withColumn(v, F.coalesce(l[v], F.col(f"__j_{v}")))
@@ -1986,11 +1990,27 @@ def _conditional_bind(child: DataFrame, var: str, expr) -> DataFrame:
         is_res = adt.isin("iri", "bnode", "sid")
         is_lang = adt.startswith("lang:")
         err = F.lit(None).cast("boolean")
-        if vt in ("int", "bigint", "smallint", "tinyint", "double", "float", "decimal"):
+        if vt in ("int", "bigint", "smallint", "tinyint"):
+            # INTEGER-class constant: ConditionalBind equality is IV
+            # ``equals`` — class-sensitive (ticket-1007-number1: BIND(10)
+            # keeps "10"^^xsd:integer but NOT "10"^^xsd:int or
+            # "10.0"^^xsd:double, which are different IV classes)
             an = existing.try_cast("double")
             eq = (
                 F.when(is_res | is_lang, F.lit(False))
-                .when(adt.isin("long", "double") & an.isNotNull(), an == expr.cast("double"))
+                .when(
+                    (adt == "long") & an.isNotNull(), an == expr.cast("double")
+                )
+                .otherwise(err)  # other class / plain / invalid: drop
+            )
+        elif vt in ("double", "float", "decimal") or vt.startswith("decimal"):
+            an = existing.try_cast("double")
+            eq = (
+                F.when(is_res | is_lang, F.lit(False))
+                .when(
+                    adt.isin("long", "double", "decimal") & an.isNotNull(),
+                    an == expr.cast("double"),
+                )
                 .otherwise(err)  # plain/unknown/invalid vs numeric: type error
             )
         elif vt == "boolean":
@@ -2172,7 +2192,16 @@ def _may_bind_unbound(node) -> bool:
 
     # Extend: BIND expressions can yield NULL (failed casts, IF branches);
     # Service: remote solutions may omit vars (review r5-2)
-    if isinstance(node, (A.LeftJoin, A.Union2, A.Values, A.Extend)):
+    if isinstance(node, A.Values):
+        # a VALUES block introduces UNBOUND only through UNDEF cells or a
+        # row omitting a var — the ubiquitous all-bound inline-bindings
+        # case (federation pushdown, driver VALUES) keeps the fast
+        # equi-join instead of the cartesian compatibility join (r8)
+        vs = {v for row in node.rows for v in row}
+        if any(row.get(v) is None for row in node.rows for v in vs):
+            return True
+        # fall through to the generic child walk below
+    elif isinstance(node, (A.LeftJoin, A.Union2, A.Extend)):
         return True
     if node.__class__.__name__ == "Service":
         return True
@@ -2350,7 +2379,12 @@ def _order_exprs(df: DataFrame, keys: tuple) -> list:
     for key, asc in keys:
         if isinstance(key, str) and f"{key}__dt" in df.columns:
             dt = F.col(f"{key}__dt")
-            is_num = dt.isin("long", "double", "integer", "decimal", "int", "float")
+            from blazegraph_database_spark.functions import sparql_funcs as _fn
+
+            is_num = (
+                dt.isin("long", "double", "integer", "decimal", "int", "float")
+                | dt.rlike(_fn._XSD_NUM_DT_RX)
+            )
             parts = [
                 F.when(F.col(key).isNull(), 0).when(dt == "iri", 1).otherwise(2),
                 F.when(is_num, F.col(key).cast("double")),

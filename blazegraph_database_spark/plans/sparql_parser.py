@@ -127,6 +127,18 @@ AGGS = {"COUNT": fn.COUNT, "SUM": fn.SUM, "AVG": fn.AVG, "MIN": fn.MIN, "MAX": f
 # XSD constructor-function casts (xsd:integer(?x) etc. — ref: the reference
 # evaluates these through its IV cast BOps); keyed by the type's local name
 # so both the compact `xsd:` form and the expanded IRI resolve.
+# sized-int casts: identity-tagged + range-validated (ref: XSDNumericIV)
+_SIZED_INT_RANGES = {
+    "long": (-(2 ** 63), 2 ** 63 - 1),
+    "int": (-(2 ** 31), 2 ** 31 - 1),
+    "short": (-(2 ** 15), 2 ** 15 - 1),
+    "byte": (-(2 ** 7), 2 ** 7 - 1),
+    "unsignedLong": (0, 2 ** 64 - 1),
+    "unsignedInt": (0, 2 ** 32 - 1),
+    "unsignedShort": (0, 2 ** 16 - 1),
+    "unsignedByte": (0, 2 ** 8 - 1),
+}
+
 _XSD_CAST_LOCAL = {
     "integer": "long", "int": "long", "long": "long", "short": "long",
     "byte": "long", "nonNegativeInteger": "long",
@@ -253,7 +265,7 @@ def _typed_eq(a_name: str, b_name: str) -> Column:
     bdt = F.coalesce(F.col(f"{b_name}__dt"), F.lit("string"))
     a_res, b_res = adt.isin("iri", "bnode", "sid"), bdt.isin("iri", "bnode", "sid")
     a_lang, b_lang = adt.startswith("lang:"), bdt.startswith("lang:")
-    a_num, b_num = adt.isin("long", "double"), bdt.isin("long", "double")
+    a_num, b_num = fn.NUM_TAG(adt), fn.NUM_TAG(bdt)
     an, bn = a.try_cast("double"), b.try_cast("double")
     err = F.lit(None).cast("boolean")
     return (
@@ -322,7 +334,7 @@ def _typed_order(a_name: str, b_name: str, op: str) -> Column:
     adt = F.coalesce(F.col(f"{a_name}__dt"), F.lit("string"))
     bdt = F.coalesce(F.col(f"{b_name}__dt"), F.lit("string"))
     an, bn = a.try_cast("double"), b.try_cast("double")
-    num = adt.isin("long", "double") & bdt.isin("long", "double")
+    num = fn.NUM_TAG(adt) & fn.NUM_TAG(bdt)
     cmp = {
         "<": lambda x, y: x < y, "<=": lambda x, y: x <= y,
         ">": lambda x, y: x > y, ">=": lambda x, y: x >= y,
@@ -489,8 +501,10 @@ class Parser:
         # expression consumer materializes it as a `<var>__dt` companion —
         # but only when the recorded token span covers the WHOLE bound
         # expression (a sub-expression call doesn't type the result)
-        self._pending_term_dt: str | None = None
+        self._pending_term_dt: str | Column | None = None
         self._pending_term_dt_span: tuple[int, int] | None = None
+        # per-group promoted datatype of the LAST typed SUM/AVG (round 8)
+        self._last_agg_dt: Column | None = None
         self._date_typed_consts: set[str] = set()
 
     # ------------------------------------------------------- tok helpers --
@@ -567,10 +581,10 @@ class Parser:
                 )
                 tag = {
                     "http://www.w3.org/2001/XMLSchema#integer": "long",
-                    "http://www.w3.org/2001/XMLSchema#int": "long",
-                    "http://www.w3.org/2001/XMLSchema#long": "long",
+                    # xsd:int/long keep dt:<iri> term identity (round 8;
+                    # matches the readers — see sources/ntriples._XSD_DT)
                     "http://www.w3.org/2001/XMLSchema#double": "double",
-                    "http://www.w3.org/2001/XMLSchema#decimal": "double",
+                    "http://www.w3.org/2001/XMLSchema#decimal": "decimal",
                     "http://www.w3.org/2001/XMLSchema#float": "double",
                     "http://www.w3.org/2001/XMLSchema#boolean": "boolean",
                     "http://www.w3.org/2001/XMLSchema#dateTime": "timestamp",
@@ -600,7 +614,12 @@ class Parser:
                 return Lit(lex, tag)
             return Lit(lex)
         if t.kind == "NUM":
-            return Lit(t.text, "double" if "." in t.text else "long")
+            # SPARQL grammar: exponent => xsd:double, bare decimal point =>
+            # xsd:decimal, else xsd:integer (term identity matches the
+            # readers so pattern constants hit stored tags exactly)
+            if "e" in t.text.lower():
+                return Lit(t.text, "double")
+            return Lit(t.text, "decimal" if "." in t.text else "long")
         if t.kind == "KW" and t.text.lower() == "true":
             return Lit("true", "boolean")
         if t.kind == "KW" and t.text.lower() == "false":
@@ -826,7 +845,12 @@ class Parser:
             if not self.at_op("+", "-"):
                 break
             op = self.next().text
-            left, right = _typed_arith_operand(left), _typed_arith_operand(self.expr_mul())
+            right = self.expr_mul()
+            ta = self._typed_arith(left, right, op)
+            if ta is not None:
+                left = ta
+                continue
+            left, right = _typed_arith_operand(left), _typed_arith_operand(right)
             left = left + right if op == "+" else left - right
         return left
 
@@ -834,9 +858,48 @@ class Parser:
         left = self.expr_unary()
         while self.at_op("*", "/"):
             op = self.next().text
-            left, right = _typed_arith_operand(left), _typed_arith_operand(self.expr_unary())
+            right = self.expr_unary()
+            ta = self._typed_arith(left, right, op)
+            if ta is not None:
+                left = ta
+                continue
+            left, right = _typed_arith_operand(left), _typed_arith_operand(right)
             left = left * right if op == "*" else left / right
         return left
+
+    def _typed_arith(self, left: Column, right: Column, op: str) -> Column | None:
+        """Per-row promoted arithmetic under dt tracking (round 8; ref:
+        internal/constraints/MathBOp.java's BigDecimal branch +
+        XSDDecimalIV.java scale semantics): var-op-var where BOTH operands
+        are EXACT types (xsd:integer family / xsd:decimal) computes in
+        Spark DECIMAL — money-scale add/sub/mul never picks up binary
+        double rounding ("0.1" + "0.2" is "0.3"). Any double operand keeps
+        the double path per the XPath promotion lattice, as does division
+        (op:numeric-divide precision is double-defined here). Returns None
+        when the operands aren't both bare vars — the general double path
+        applies."""
+        if not self.dt_mode or op == "/":
+            return None
+        lv, rv = _bare_var(left), _bare_var(right)
+        if not (lv and rv):
+            return None
+        a, b = F.col(lv), F.col(rv)
+        adt = F.coalesce(F.col(f"{lv}__dt"), F.lit("string"))
+        bdt = F.coalesce(F.col(f"{rv}__dt"), F.lit("string"))
+        exact = fn.EXACT_TAG(adt) & fn.EXACT_TAG(bdt)
+        ad, bd = a.try_cast(fn.DEC_T), b.try_cast(fn.DEC_T)
+        an, bn = a.try_cast("double"), b.try_cast("double")
+        f = {
+            "+": lambda x, y: x + y,
+            "-": lambda x, y: x - y,
+            "*": lambda x, y: x * y,
+        }[op]
+        # branch types string/double unify to STRING (the engine's lexical
+        # value model); downstream comparisons/arithmetic re-promote to
+        # double via Spark's string-numeric coercion
+        return F.when(
+            exact & ad.isNotNull() & bd.isNotNull(), fn.DEC_LEX(f(ad, bd))
+        ).otherwise(f(an, bn))
 
     def expr_unary(self) -> Column:
         if self.at_op("-"):
@@ -881,8 +944,16 @@ class Parser:
             # a literal term (maybe typed); compare by lexical form
             term = self.term()
             if term.dt == "long":
-                return F.lit(int(term.lex))
-            if term.dt == "double":
+                v = int(term.lex)
+                if -(2 ** 63) <= v <= 2 ** 63 - 1:
+                    return F.lit(v)
+                # xsd:integer is unbounded (BigInteger in the reference);
+                # beyond-long constants ride as DECIMAL literals (py4j
+                # cannot even ship the int)
+                from decimal import Decimal
+
+                return F.lit(Decimal(term.lex))
+            if term.dt in ("double", "decimal"):
                 return F.lit(float(term.lex))
             if term.dt == _DATE_TAG:
                 # remember the DECLARED xsd:date constants so comparisons
@@ -912,11 +983,54 @@ class Parser:
                 return impl(*args)
             # xsd cast-as-function by local name: xsd:integer(?x)
             local = name.rsplit("#", 1)[-1].rsplit(":", 1)[-1]
-            if local in _XSD_CAST_LOCAL:
+            if local in _XSD_CAST_LOCAL or local in _SIZED_INT_RANGES:
+                call_start = self.i
                 self.next()
                 self.eat_op("(")
                 e = self.expr()
                 self.eat_op(")")
+                # the cast CONSTRUCTS a typed literal: bind the result's
+                # datatype companion (same span contract as STRLANG/STRDT)
+                # for the numeric/string family; boolean/dateTime keep the
+                # previous untagged behavior. The sized-int family carries
+                # dt:<iri> IDENTITY tags (TestCustomTypeCasts: DATATYPE of
+                # xsd:long(...) is xsd:long, not xsd:integer).
+                if local in _SIZED_INT_RANGES:
+                    cast_tag = f"dt:http://www.w3.org/2001/XMLSchema#{local}"
+                else:
+                    cast_tag = {
+                        "integer": "long", "nonNegativeInteger": "long",
+                        "double": "double", "float": "double",
+                        "decimal": "decimal", "string": "string",
+                    }.get(local)
+                if self.dt_mode and cast_tag is not None:
+                    self._pending_term_dt = cast_tag
+                    self._pending_term_dt_span = (call_start, self.i)
+                if local == "decimal":
+                    # BigDecimal-scale cast (round 8; ref: XSDDecimalIV):
+                    # the value is computed in DECIMAL and rendered
+                    # canonically, never through a double
+                    return fn.DEC_LEX(e.try_cast(fn.DEC_T))
+                if local in _SIZED_INT_RANGES:
+                    # range-validated (ref: the XSDNumericIV casts REJECT
+                    # out-of-range lexicals — type_cast_long's 2^63 row
+                    # comes back UNBOUND): exact decimal arithmetic so
+                    # unsignedLong's full 2^64-1 domain round-trips
+                    lo, hi = _SIZED_INT_RANGES[local]
+                    es = e.cast("string")
+                    # integer-shaped lexicals only — decimal(38,0) would
+                    # ROUND "3.7" where the reference's parse rejects it.
+                    # Bounds go through string literals: unsignedLong's
+                    # 2^64-1 overflows a py4j long.
+                    d = F.when(
+                        es.rlike(r"^[+-]?[0-9]+$"), es.try_cast("decimal(38,0)")
+                    )
+                    lo_c = F.lit(str(lo)).cast("decimal(38,0)")
+                    hi_c = F.lit(str(hi)).cast("decimal(38,0)")
+                    return F.when(
+                        (d >= lo_c) & (d <= hi_c),
+                        d.cast("decimal(38,0)").cast("string"),
+                    ).otherwise(F.lit(None).cast("string"))
                 return e.try_cast(_XSD_CAST_LOCAL[local])
             raise SyntaxError(f"unknown function <{name}>")
         if t.kind == "IRI":
@@ -1047,7 +1161,17 @@ class Parser:
                 # the fast-range-count rewrite's Project(Extend(Group))
                 # shape for plain COUNT(*) queries (r6 regression)
                 if self.dt_mode and name in ("count", "sum", "avg"):
-                    self._pending_term_dt = "long" if name == "count" else "double"
+                    if self._last_agg_dt is not None:
+                        # typed SUM/AVG: the promoted datatype is a
+                        # PER-GROUP aggregate — hoist it beside the value
+                        # and bind the companion from its alias
+                        dt_alias = f"{alias}__dtc"
+                        self._pending_aggs.append((dt_alias, self._last_agg_dt))
+                        self._pending_term_dt = F.col(dt_alias)
+                    else:
+                        self._pending_term_dt = (
+                            "long" if name == "count" else "double"
+                        )
                     self._pending_term_dt_span = (start, self.i)
                 return F.col(alias)
             if kw in ("SUBSTR", "REPLACE"):
@@ -1137,6 +1261,9 @@ class Parser:
         return self.expr()
 
     def _agg_call(self) -> tuple[str, Column]:
+        # per-group promoted datatype companion (set by the typed SUM/AVG
+        # branch below; consumed by the AGGS call site in expr_primary)
+        self._last_agg_dt = None
         name = self.next().text.upper()
         self.eat_op("(")
         distinct = False
@@ -1209,15 +1336,45 @@ class Parser:
             # lexical form) is a TYPE ERROR -> the total is unbound for that
             # group, not a best-effort sum of the castable rows. Eval
             # fixtures sparql11-sum-03/04 pin this.
+            #
+            # Round 8, BigDecimal-scale arithmetic (ref: internal/impl/
+            # literal/XSDDecimalIV.java + MathBOp's BigDecimal branch): a
+            # group with NO double-typed member accumulates EXACTLY in
+            # Spark DECIMAL — SUM of money-scale xsd:decimal values never
+            # picks up double rounding ("0.1" x 3 sums to "0.3", not
+            # 0.30000000000000004). Only a double member demotes the whole
+            # group to double, exactly the XPath promotion lattice. The
+            # result column is the LEXICAL (string) with a per-GROUP
+            # datatype companion (integer/decimal/double promotion is a
+            # per-group fact, not a plan-time one).
             v = _bare_var(arg)
             x = F.col(v)
             xdt = F.coalesce(F.col(f"{v}__dt"), F.lit("string"))
-            valid = xdt.isin("long", "double") & x.try_cast("double").isNotNull()
+            valid = fn.NUM_TAG(xdt) & x.try_cast("double").isNotNull()
             any_bad = F.max(F.when(x.isNotNull() & ~valid, 1).otherwise(0))
-            agg = F.sum(x.try_cast("double")) if name == "SUM" else F.avg(
-                x.try_cast("double")
+            any_dbl = F.max(F.when(x.isNotNull() & (xdt == "double"), 1).otherwise(0))
+            any_dec = F.max(
+                F.when(x.isNotNull() & (xdt == "decimal"), 1).otherwise(0)
             )
-            col = F.when(any_bad == 1, F.lit(None).cast("double")).otherwise(agg)
+            xd = x.try_cast(fn.DEC_T)
+            if name == "SUM":
+                dbl, dec_ = F.sum(x.try_cast("double")), F.sum(xd)
+            else:
+                dbl, dec_ = F.avg(x.try_cast("double")), F.avg(xd)
+            col = (
+                F.when(any_bad == 1, F.lit(None).cast("string"))
+                .when(any_dbl == 1, dbl.cast("string"))
+                .otherwise(fn.DEC_LEX(dec_))
+            )
+            # per-group promoted datatype (AVG of integers is xsd:decimal
+            # per op:numeric-divide; SUM of integers stays integer)
+            int_tag = "decimal" if name == "AVG" else "long"
+            self._last_agg_dt = (
+                F.when(any_bad == 1, F.lit(None).cast("string"))
+                .when(any_dbl == 1, F.lit("double"))
+                .when(any_dec == 1, F.lit("decimal"))
+                .otherwise(F.lit(int_tag))
+            )
         else:
             # MIN/MAX/SAMPLE are distinct-insensitive per the spec
             col = AGGS[name](arg)
@@ -1456,7 +1613,11 @@ class Parser:
                     # see algebra.Extend.conditional
                     node = A.Extend(base, v, e, conditional=v in _maybe_bound(base))
                     if term_dt is not None:  # STRLANG/STRDT: bind the dtype tag
-                        node = A.Extend(node, f"{v}__dt", F.lit(term_dt))
+                        node = A.Extend(
+                            node,
+                            f"{v}__dt",
+                            F.lit(term_dt) if isinstance(term_dt, str) else term_dt,
+                        )
             elif self.at_kw("values"):
                 self.next()
                 node_vals = self._values_clause()
@@ -1551,7 +1712,11 @@ class Parser:
             v, e, term_dt, _refs = pend.pop(idx)
             out = A.Extend(out, v, e, conditional=v in placed)
             if term_dt is not None:
-                out = A.Extend(out, f"{v}__dt", F.lit(term_dt))
+                out = A.Extend(
+                    out,
+                    f"{v}__dt",
+                    F.lit(term_dt) if isinstance(term_dt, str) else term_dt,
+                )
             placed.add(v)
         for neg, pat in exists:
             out = A.Exists(out, pat, negate=neg)
@@ -1922,7 +2087,10 @@ class Parser:
                         hidden_aggs.extend(self._pending_aggs)
                         post_binds.append((v, e))
                         if term_dt is not None:  # aggregate result dtype
-                            post_binds.append((f"{v}__dt", F.lit(term_dt)))
+                            post_binds.append((
+                                f"{v}__dt",
+                                F.lit(term_dt) if isinstance(term_dt, str) else term_dt,
+                            ))
                     else:
                         binds.append((v, e))
                         if term_dt is not None:  # STRLANG/STRDT companion

@@ -2085,7 +2085,10 @@ def typed_sum_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
         st,
         "SELECT ?o (SUM(?q) AS ?total) WHERE { ?o <li#qty> ?q } GROUP BY ?o",
     )
-    return out.select("o", "total")
+    # the typed SUM yields the result LEXICAL with a per-group promoted
+    # datatype companion (round 8); this query's driver contract pins the
+    # double VALUE — decimal_exact_agg pins the lexical/decimal side
+    return out.select("o", F.col("total").cast("double").alias("total"))
 
 
 @register(
@@ -2241,3 +2244,60 @@ def service_stored_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_sparql(
         st, "SELECT ?c ?bal WHERE { SERVICE <http://app/stored#bigbal> { } }"
     )
+
+
+@register(
+    "decimal_exact_agg",
+    """
+    SELECT f,
+           CASE WHEN contains(total_s, '.')
+                THEN rtrim(rtrim(total_s, '0'), '.') ELSE total_s END AS total
+    FROM (
+      SELECT l_returnflag AS f,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS total_s
+      FROM lineitem GROUP BY l_returnflag
+    ) ORDER BY f
+    """,
+)
+def decimal_exact_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BigDecimal-scale aggregation (round 8; ref: internal/impl/literal/
+    XSDDecimalIV.java:40 + internal/constraints/MathBOp.java's BigDecimal
+    branch): xsd:decimal values accumulate EXACTLY — SUM over money-scale
+    decimals never picks up binary double rounding, and the result's
+    datatype stays xsd:decimal per the XPath promotion lattice. Every
+    lineitem price becomes a cents-scale xsd:decimal literal; the per-flag
+    totals must equal DuckDB's exact DECIMAL arithmetic digit for digit
+    (a double-summing engine diverges in the trailing digits at this
+    row count). The oracle renders through the same
+    strip-trailing-zeros canonical form as the engine's DEC_LEX."""
+    from blazegraph_database_spark.plans.sparql_parser import run_sparql
+
+    li = read_parquet(spark, f"{sf_dir}/lineitem.parquet")
+    # row identity = hash of the full row (harness lineitem has non-unique
+    # (orderkey, linenumber) but unique full rows — same rule as
+    # relational.subject_col)
+    rid = F.concat(
+        F.lit("li:"),
+        F.lower(F.hex(F.xxhash64(*[F.col(c).cast("string") for c in li.columns]))),
+    )
+    prices = li.select(
+        rid.alias("s"),
+        F.lit("li#price").alias("p"),
+        F.col("l_extendedprice").cast("decimal(18,2)").cast("string").alias("o_lex"),
+        F.lit("decimal").alias("o_dt"),
+    )
+    flags = li.select(
+        rid.alias("s"),
+        F.lit("li#flag").alias("p"),
+        F.col("l_returnflag").alias("o_lex"),
+        F.lit("string").alias("o_dt"),
+    )
+    st = TripleStore(prices.unionByName(flags).distinct()).with_dt_tracking()
+    from blazegraph_database_spark.plans.sparql_parser import run_sparql
+
+    out = run_sparql(
+        st,
+        "SELECT ?f (SUM(?p) AS ?total) WHERE "
+        "{ ?li <li#flag> ?f . ?li <li#price> ?p } GROUP BY ?f ORDER BY ?f",
+    )
+    return out.select("f", "total")

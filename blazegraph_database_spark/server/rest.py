@@ -145,7 +145,7 @@ def _select_tsv(df: DataFrame, cap: int | None = None) -> bytes:
             return s if s.startswith("_:") else f"<{s}>"
         if dt == "bnode":
             return s if s.startswith("_:") else f"_:{s}"
-        if dt in ("long", "double", "boolean"):
+        if dt in ("long", "double", "decimal", "boolean"):
             return s  # Turtle short forms are valid TSV terms
         quoted = (
             s.replace("\\", "\\\\").replace('"', '\\"')

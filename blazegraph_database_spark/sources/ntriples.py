@@ -32,10 +32,18 @@ NQ_LINE = rf"^\s*{_SUBJ}\s+{_PRED}\s+{_OBJ}\s+(<[^>]*>|_:\S+)\s*\.\s*$"
 
 _XSD_DT = {
     "http://www.w3.org/2001/XMLSchema#integer": "long",
-    "http://www.w3.org/2001/XMLSchema#int": "long",
-    "http://www.w3.org/2001/XMLSchema#long": "long",
+    # xsd:int / xsd:long (and the rest of the sized-int family, which was
+    # never in this map) keep TERM IDENTITY as dt:<iri> tags (round 8;
+    # ref: XSDNumericIV distinguishes byte/short/int/long — "42"^^xsd:int
+    # and "42"^^xsd:long are different IVs); the typed value model
+    # recognizes the XSD numeric dt: tags as numeric-by-value, so
+    # comparisons and aggregates still work on them.
     "http://www.w3.org/2001/XMLSchema#double": "double",
-    "http://www.w3.org/2001/XMLSchema#decimal": "double",
+    # xsd:decimal is a FIRST-CLASS tag (round 8; ref: internal/impl/literal/
+    # XSDDecimalIV.java — the reference keeps BigDecimal identity/scale,
+    # distinct from double): exact-arithmetic paths key off it. xsd:float
+    # stays collapsed into double (SURVEY §4).
+    "http://www.w3.org/2001/XMLSchema#decimal": "decimal",
     "http://www.w3.org/2001/XMLSchema#float": "double",
     "http://www.w3.org/2001/XMLSchema#boolean": "boolean",
     "http://www.w3.org/2001/XMLSchema#dateTime": "timestamp",
@@ -369,6 +377,7 @@ def read_nquads(spark: SparkSession, path: str) -> DataFrame:
 _TAG_XSD_W = {
     "long": "http://www.w3.org/2001/XMLSchema#integer",
     "double": "http://www.w3.org/2001/XMLSchema#double",
+    "decimal": "http://www.w3.org/2001/XMLSchema#decimal",
     "boolean": "http://www.w3.org/2001/XMLSchema#boolean",
     "timestamp": "http://www.w3.org/2001/XMLSchema#dateTime",
 }

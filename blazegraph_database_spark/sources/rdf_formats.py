@@ -416,8 +416,13 @@ class _TurtleParser:
                 return typed_lex(lex, dt_iri)
             return lex, "string"
         if kind == "NUM":
-            if "." in text or "e" in text.lower():
+            # Turtle grammar: an exponent makes a DOUBLE, a bare decimal
+            # point makes a DECIMAL, otherwise INTEGER (same split as the
+            # reference's rio parser → XSDDecimalIV vs XSDNumericIV)
+            if "e" in text.lower():
                 return text, "double"
+            if "." in text:
+                return text, "decimal"
             return text, "long"
         if kind == "KW" and text in ("true", "false"):
             return text, "boolean"

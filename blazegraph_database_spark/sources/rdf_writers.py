@@ -29,6 +29,7 @@ RDF_NS = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
 _TAG_XSD = {
     "long": "http://www.w3.org/2001/XMLSchema#integer",
     "double": "http://www.w3.org/2001/XMLSchema#double",
+    "decimal": "http://www.w3.org/2001/XMLSchema#decimal",
     "boolean": "http://www.w3.org/2001/XMLSchema#boolean",
     "timestamp": "http://www.w3.org/2001/XMLSchema#dateTime",
 }

@@ -27,6 +27,7 @@ _DT_FOR_SPARK = {
     T.ShortType: "long",
     T.DoubleType: "double",
     T.FloatType: "double",
+    T.DecimalType: "decimal",
     T.BooleanType: "boolean",
     T.TimestampType: "timestamp",
     T.DateType: "timestamp",

@@ -243,7 +243,9 @@ def test_read_turtle_full(spark, tmp_path):
     assert (EX + "bob", RDF + "type", FOAF + "Person", "iri") in rows
     assert (EX + "bob", FOAF + "name", "Bob", "string") in rows
     assert (EX + "bob", FOAF + "age", "23", "long") in rows
-    assert (EX + "bob", FOAF + "height", "1.82", "double") in rows
+    # bare decimal-point literal = xsd:decimal per the Turtle grammar
+    # (round 8: decimal is a first-class tag; exponent forms stay double)
+    assert (EX + "bob", FOAF + "height", "1.82", "decimal") in rows
     assert (EX + "bob", FOAF + "active", "true", "boolean") in rows
     assert (EX + "bob", FOAF + "nick", "Bobby", "lang:en") in rows
     assert (EX + "bob", FOAF + "id", "x9", "string") in rows
