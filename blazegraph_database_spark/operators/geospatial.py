@@ -465,6 +465,58 @@ class GeoFieldSpec:
     multiplier: int = 1
 
 
+@dataclass(frozen=True)
+class GeoLiteralSerializer:
+    """App-registerable literal serializer for a geospatial datatype (ref:
+    bigdata-core/bigdata-rdf/src/java/com/bigdata/service/geospatial/
+    IGeoSpatialLiteralSerializer.java:1 — ``toComponents``/``fromComponents``
+    define the stored lexical's wire format; the ``serialize_*`` hooks
+    define how EXTRACTED service output values render, the contract the
+    reference's GeoSpatialDummyLiteralSerializer/WKT test serializers
+    exercise). Every hook is a Column-expression function, so custom wire
+    formats stay JVM-side expressions — no UDFs:
+
+    - ``to_components(o_lex, n) -> [Column]``: lexical → n component strings
+    - ``from_components([Column]) -> Column``: components → lexical
+    - ``serialize_location(lat, lon)``, ``serialize_location_and_time(lat,
+      lon, t)``, ``serialize_time(t)``, ``serialize_latitude(lat)``,
+      ``serialize_longitude(lon)``, ``serialize_coord_system(c)``,
+      ``serialize_custom_fields(*fields)``, ``serialize_distance(d, unit)``
+      — all receive/return string Columns; ``None`` keeps the default
+      rendering (the identity pass-through of the default serializer).
+    """
+
+    to_components: object = None
+    from_components: object = None
+    serialize_location: object = None
+    serialize_location_and_time: object = None
+    serialize_time: object = None
+    serialize_latitude: object = None
+    serialize_longitude: object = None
+    serialize_coord_system: object = None
+    serialize_custom_fields: object = None
+    serialize_distance: object = None
+
+
+# datatype IRI -> GeoLiteralSerializer (GeoSpatialConfig's per-datatype
+# literalSerializer registration)
+_GEO_LITERAL_SERIALIZERS: dict[str, GeoLiteralSerializer] = {}
+
+
+def register_geo_literal_serializer(
+    dtiri: str, ser: GeoLiteralSerializer, replace: bool = True
+) -> None:
+    """Register a literal serializer for a geospatial datatype IRI (the
+    GEO_SPATIAL_DATATYPE_CONFIG ``literalSerializer`` analog)."""
+    if not replace and dtiri in _GEO_LITERAL_SERIALIZERS:
+        raise ValueError(f"geo literal serializer already registered: {dtiri}")
+    _GEO_LITERAL_SERIALIZERS[dtiri] = ser
+
+
+def geo_literal_serializer(dtiri: str | None) -> GeoLiteralSerializer | None:
+    return _GEO_LITERAL_SERIALIZERS.get(dtiri) if dtiri else None
+
+
 def quantize_bound(lex: str, mult: int) -> float:
     """Quantize a query bound exactly the way the reference encodes it
     (BigDecimal multiply + longValue = truncate toward zero), then map back
@@ -496,7 +548,23 @@ def requantize_geo_literals(df: DataFrame, configs: dict) -> DataFrame:
     reads back 'Point(1.0,1.0)'). ``configs`` maps datatype IRI → ordered
     [GeoFieldSpec]; WKT-serializer datatypes (IRIs ending 'wktLiteral')
     parse/render the Point(a,b) form. Unparseable literals keep their
-    written form (per-row discipline). One expression pass, no shuffle."""
+    written form (per-row discipline). One expression pass per config
+    CHUNK, no shuffle — multi-datatype registrations compile in chunks of
+    ``_REQUANTIZE_CHUNK`` configs so the generated per-row rewrite never
+    nests more than a bounded number of quantize trees (r8; a 5-config
+    store compiled one 5-level nested CASE whose generated code overflowed
+    the janino compile-thread stack under full-suite load — same lesson as
+    the date-canonicalization codegen OOM)."""
+    items = list(configs.items())
+    for i in range(0, len(items), _REQUANTIZE_CHUNK):
+        df = _requantize_chunk(df, dict(items[i : i + _REQUANTIZE_CHUNK]))
+    return df
+
+
+_REQUANTIZE_CHUNK = 2
+
+
+def _requantize_chunk(df: DataFrame, configs: dict) -> DataFrame:
     out = df
     for dtiri, fields in configs.items():
         is_dt = F.col("o_dt") == f"dt:{dtiri}"

@@ -399,7 +399,14 @@ def geo_search_service(store, patterns) -> DataFrame:
             "lon": F.regexp_extract(F.col("o_lex"), wkt, 2).try_cast("double"),
         }
     else:
-        parts = F.split(F.col("o_lex"), "#")
+        # registered literal serializer's wire format wins over the default
+        # '#'-separated form (ref: IGeoSpatialLiteralSerializer.toComponents)
+        ser = geospatial.geo_literal_serializer(dtiri)
+        if ser is not None and ser.to_components is not None:
+            comps = ser.to_components(F.col("o_lex"), len(layout))
+        else:
+            parts = F.split(F.col("o_lex"), "#")
+            comps = [parts.getItem(i) for i in range(len(layout))]
         # per-field value types from the registered config when present
         # (a LONG custom field like an epoch 'starttime' must extract as
         # an integer, not a double's 1.37E9 rendering); heuristic
@@ -412,7 +419,7 @@ def geo_search_service(store, patterns) -> DataFrame:
             return "long" if name in ("t", "coord") else "double"
 
         cols = {
-            name: parts.getItem(i).try_cast(_ftype(i, name))
+            name: comps[i].try_cast(_ftype(i, name))
             for i, name in enumerate(layout)
         }
     sel_cols = [F.col("s"), F.col("o_lex")] + [
@@ -526,36 +533,56 @@ def geo_search_service(store, patterns) -> DataFrame:
     # component extraction round-trips through the parsed doubles, exactly
     # the reference's serializer output ("4#4" extracts as "4.0#4.0" —
     # geo-quads-valueextr fixture)
+    ser = geospatial.geo_literal_serializer(dtiri)
+    lat_s, lon_s = F.col("lat").cast("string"), F.col("lon").cast("string")
+    t_s = F.col("t").cast("string")
     if layout == "wkt":
         # the WKT serializer renders extracted locations back in its own
         # format (ref: the test's GeoSpatialLiteralSerializer.toLocation)
-        loc = F.concat(
-            F.lit("Point("), F.col("lat").cast("string"), F.lit(","),
-            F.col("lon").cast("string"), F.lit(")"),
+        loc = F.concat(F.lit("Point("), lat_s, F.lit(","), lon_s, F.lit(")"))
+    elif ser is not None and ser.serialize_location is not None:
+        loc = ser.serialize_location(lat_s, lon_s)
+    else:
+        loc = F.concat(lat_s, F.lit("#"), lon_s)
+    if ser is not None and ser.serialize_location_and_time is not None:
+        loc_t = ser.serialize_location_and_time(lat_s, lon_s, t_s)
+    else:
+        loc_t = F.concat(loc, F.lit("#"), t_s)
+    if "customFields" in args:
+        cf_cols = [F.col(n).cast("string") for n in args["customFields"].split("#")]
+        if ser is not None and ser.serialize_custom_fields is not None:
+            custom_vals = ser.serialize_custom_fields(*cf_cols)
+        else:
+            custom_vals = F.concat_ws("#", *cf_cols)
+    else:
+        custom_vals = F.lit(None).cast("string")
+    # serialize_* hooks wrap the per-binding output values (ref:
+    # GeoSpatialDummyLiteralSerializer — "Lat(3.0)", "Time(5)", ...)
+    def _wrap(hook, col):
+        return hook(col.cast("string")) if (ser is not None and hook) else col
+
+    lat_out = _wrap(getattr(ser, "serialize_latitude", None), F.col("lat"))
+    lon_out = _wrap(getattr(ser, "serialize_longitude", None), F.col("lon"))
+    t_out = _wrap(getattr(ser, "serialize_time", None), F.col("t"))
+    coord_raw = F.col("coord") if "coord" in cols else F.lit(None)
+    coord_out = _wrap(getattr(ser, "serialize_coord_system", None), coord_raw)
+    if ser is not None and ser.serialize_distance is not None:
+        dist_out = ser.serialize_distance(
+            F.col("distance"), args.get("spatialUnit", "Kilometers")
         )
     else:
-        loc = F.concat(
-            F.col("lat").cast("string"), F.lit("#"), F.col("lon").cast("string")
-        )
-    loc_t = F.concat(loc, F.lit("#"), F.col("t").cast("string"))
-    custom_vals = (
-        F.concat_ws(
-            "#", *[F.col(n).cast("string") for n in args["customFields"].split("#")]
-        )
-        if "customFields" in args
-        else F.lit(None).cast("string")
-    )
+        dist_out = F.col("distance")
     sel = [F.col("s").alias(subj.name)]
     # the extracted literal ALSO round-trips through the serializer in the
     # reference ("Point(1,1)" reads back "Point(1.0,1.0)") — for the
     # default layout re-serialization is the identity, for WKT it is loc
     lit_out = loc if layout == "wkt" else F.col("o_lex")
     for local, col in (
-        ("latValue", F.col("lat")), ("lonValue", F.col("lon")),
-        ("timeValue", F.col("t")), ("locationValue", loc),
-        ("literalValue", lit_out), ("distanceValue", F.col("distance")),
+        ("latValue", lat_out), ("lonValue", lon_out),
+        ("timeValue", t_out), ("locationValue", loc),
+        ("literalValue", lit_out), ("distanceValue", dist_out),
         ("locationAndTimeValue", loc_t),
-        ("coordSystemValue", F.col("coord") if "coord" in cols else F.lit(None)),
+        ("coordSystemValue", coord_out),
         ("customFieldsValues", custom_vals),
     ):
         if local in outs:

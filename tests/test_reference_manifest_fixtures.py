@@ -138,10 +138,6 @@ _CONFIG_BOUND_FILES = {
     # expects failures when the geospatial index is DISABLED — a store
     # mode this engine does not model (search is always available)
     "TestGeoSpatialQueryIfGeospatialDisabled",
-    # registers a CUSTOM Java literal serializer whose extracted values
-    # render in its own format ("Lat(3.0)", "Location(3.0-4.0)") —
-    # arbitrary app code, not reproducible from the fixture triple
-    "TestGeoSpatialCustomSerializer",
 }
 
 
@@ -241,7 +237,7 @@ def _parse_java_geo_configs(java_path):
     import json as _json
 
     txt = open(java_path, errors="replace").read()
-    cfgs, layouts = {}, {}
+    cfgs, layouts, serializers = {}, {}, {}
     for m in _GEOCFG_RX.finditer(txt):
         parts = re.findall(r'"((?:[^"\\]|\\.)*)"', m.group(1))
         js = "".join(p.replace('\\"', '"') for p in parts)
@@ -253,7 +249,11 @@ def _parse_java_geo_configs(java_path):
             for f in cfg["fields"]
         ]
         cfgs[cfg["uri"]] = fields
-        if "literalSerializer" not in cfg:
+        serializers[cfg["uri"]] = cfg.get("literalSerializer", "")
+        # a WKT-class serializer means the Point(a,b) wire format (the
+        # engine's built-in "wkt" layout path); any other (or none) keeps
+        # the declared field layout with the default '#' wire format
+        if "WKT" not in cfg.get("literalSerializer", ""):
             layouts[cfg["uri"]] = [
                 _SM_NAMES.get(f["serviceMapping"], f["serviceMapping"])
                 for f in cfg["fields"]
@@ -262,7 +262,7 @@ def _parse_java_geo_configs(java_path):
     no_builtin = bool(
         re.search(r'GEO_SPATIAL_INCLUDE_BUILTIN_DATATYPES[^;]*"false"', txt)
     )
-    return cfgs, layouts, (dm.group(1) if dm else None), no_builtin
+    return cfgs, layouts, (dm.group(1) if dm else None), no_builtin, serializers
 
 
 def _java_geo_setup(jf: str):
@@ -274,7 +274,9 @@ def _java_geo_setup(jf: str):
             requantize_geo_literals,
         )
 
-        cfgs, layouts, default_dt, no_builtin = _parse_java_geo_configs(java_path)
+        cfgs, layouts, default_dt, no_builtin, serializers = _parse_java_geo_configs(
+            java_path
+        )
         if cfgs:
             st.df = requantize_geo_literals(st.df, cfgs)
             st.geo_configs = cfgs
@@ -283,9 +285,41 @@ def _java_geo_setup(jf: str):
             st.geo_default_datatype = default_dt
         if no_builtin:
             st.geo_datatypes_whitelist = set(cfgs)
+        for uri, cls in serializers.items():
+            if "DummyLiteralSerializer" in cls:
+                # mirror the Java test's registered app serializer through
+                # the engine's registry (GeoSpatialDummyLiteralSerializer:
+                # "Lat(3.0)", "Location(3.0-4.0)", '-'-joined args)
+                _register_dummy_geo_serializer(uri)
         return st
 
     return setup
+
+
+def _register_dummy_geo_serializer(uri: str) -> None:
+    from pyspark.sql import functions as F
+
+    from blazegraph_database_spark.operators.geospatial import (
+        GeoLiteralSerializer, register_geo_literal_serializer,
+    )
+
+    def wrap(tag):
+        return lambda *cs: F.concat(
+            F.lit(tag + "("), F.concat_ws("-", *cs), F.lit(")")
+        )
+
+    register_geo_literal_serializer(
+        uri,
+        GeoLiteralSerializer(
+            serialize_location=wrap("Location"),
+            serialize_location_and_time=wrap("LocationAndTime"),
+            serialize_time=wrap("Time"),
+            serialize_latitude=wrap("Lat"),
+            serialize_longitude=wrap("Lon"),
+            serialize_coord_system=wrap("CoordSystem"),
+            serialize_custom_fields=wrap("CustomFields"),
+        ),
+    )
 
 def _setup_wkt_default(spark, st):
     # the WKT test makes its datatype the store DEFAULT
@@ -378,6 +412,10 @@ _FILE_SETUP = {
     "TestGeoSpatialDisableBuiltinDatatypes":
         _java_geo_setup("TestGeoSpatialDisableBuiltinDatatypes"),
     "TestGeoSpatialSpecialCases": _java_geo_setup("TestGeoSpatialSpecialCases"),
+    # r8: app-registered literal serializer (IGeoSpatialLiteralSerializer
+    # analog) — the Dummy serializer's output hooks run as expressions
+    "TestGeoSpatialCustomSerializer":
+        _java_geo_setup("TestGeoSpatialCustomSerializer"),
 }
 
 
@@ -392,16 +430,6 @@ _DIVERGENT: dict[str, str] = {
     "TestGeoSpatialDefaults:geo-defaults02": "fixture data/expected mismatch",
     "TestGeoSpatialDefaults:geo-defaults03": "fixture data/expected mismatch",
     "TestGeoSpatialDefaults:geo-defaults04": "fixture data/expected mismatch",
-    # ConditionalBind equality is IV-identity in the reference:
-    # "10"^^xsd:int and "10"^^xsd:integer are DIFFERENT terms there, while
-    # this engine's dtype tags deliberately collapse the integer family to
-    # one numeric tag (SURVEY §4) — BIND(10 AS ?o) keeps both rows here,
-    # exactly one there.
-    "TestTicket1007:ticket-1007-number1": "int/integer dtype-identity collapse",
-    # DATATYPE() of an xsd:long cast reports xsd:integer here: the dtype
-    # tags deliberately collapse the integer family (SURVEY §4)
-    "TestCustomTypeCasts:type_cast_long": "int-family dtype-identity collapse",
-    "TestCustomTypeCasts:type_cast_unsigned_long": "int-family dtype-identity collapse",
     # same class as the sibling harness's property-paths-2/7: the W3C
     # zero-length-path semantics range over ALL graph terms; the
     # reference's ALP op binds only path-predicate-adjacent nodes
