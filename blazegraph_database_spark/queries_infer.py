@@ -639,3 +639,72 @@ def update_entailments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [("closed", closed_n), ("dropped", dropped_n)], "phase string, n long"
     )
+
+
+@register(
+    "entailments_rollback",
+    """
+    WITH RECURSIVE anc AS (
+        SELECT n_nationkey AS k, n_nationkey AS t FROM nation
+        UNION
+        SELECT k, t // 2 FROM anc WHERE t >= 2
+    )
+    SELECT 'closed' AS phase, CAST(COUNT(*) AS BIGINT) AS n FROM anc
+    UNION ALL
+    SELECT 'dropped', CAST(COUNT(*) AS BIGINT) FROM nation
+    """,
+)
+def entailments_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DROP ENTAILMENTS after a ROLLED-BACK transaction (round 8; ref: the
+    SAIL connection's abort discipline — a rolled-back connection must not
+    leak truth-maintenance state into the next commit). A transaction that
+    drops the entailments and inserts data ABORTS; the rollback must
+    restore the inferred-set bookkeeping so the subsequent DROP ENTAILMENTS
+    still removes exactly the closure delta — nothing more (asserted types
+    survive), nothing less (no inferred stragglers)."""
+    from blazegraph_database_spark.plans.update_parser import apply_update
+
+    nat = read_parquet(spark, f"{sf_dir}/nation.parquet")
+    cls = F.concat(F.lit("Class:"), F.col("n_nationkey"))
+    instances = nat.select(
+        F.concat(F.lit("nation:"), F.col("n_nationkey")).alias("s"),
+        F.lit(rdfs.RDF_TYPE).alias("p"),
+        cls.alias("o_lex"),
+        F.lit("iri").alias("o_dt"),
+    )
+    schema = nat.filter(F.col("n_nationkey") >= 2).select(
+        cls.alias("s"),
+        F.lit(rdfs.RDFS_SUBCLASS).alias("p"),
+        F.concat(F.lit("Class:"), (F.col("n_nationkey") / 2).cast("long")).alias("o_lex"),
+        F.lit("iri").alias("o_dt"),
+    )
+    us = UpdatableStore.from_store(TripleStore(instances.unionByName(schema)))
+    apply_update(us, "CREATE ENTAILMENTS", spark)
+    closed_n = (
+        us.current.df.filter(F.col("p") == rdfs.RDF_TYPE)
+        .select("s", "o_lex").distinct().count()
+    )
+
+    class _ClientAbort(Exception):
+        pass
+
+    try:
+        with us.transaction():
+            us.drop_entailments()  # clears the inferred bookkeeping in-tx
+            us.insert_data(
+                spark.createDataFrame(
+                    [("nation:0", "tag#tx", "aborted", "string")],
+                    "s string, p string, o_lex string, o_dt string",
+                )
+            )
+            raise _ClientAbort()
+    except _ClientAbort:
+        pass
+    apply_update(us, "DROP ENTAILMENTS", spark)
+    dropped_n = (
+        us.current.df.filter(F.col("p") == rdfs.RDF_TYPE)
+        .select("s", "o_lex").distinct().count()
+    )
+    return spark.createDataFrame(
+        [("closed", closed_n), ("dropped", dropped_n)], "phase string, n long"
+    )

@@ -1909,3 +1909,45 @@ def dedup_exact_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     each duplicate group, ties to the lowest id
     (operators/dedup.exact_dedup_best)."""
     return dedup.exact_dedup_best(_docs(spark, sf_dir), order_col="n_chars")
+
+
+@register(
+    "dataset_interleave_ragged",
+    """
+    WITH d AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 100 < 90 THEN 'big'
+                    WHEN doc_id % 100 < 99 THEN 'mid'
+                    ELSE 'tiny' END AS source
+        FROM documents
+    ),
+    s AS (SELECT source, ROW_NUMBER() OVER (ORDER BY source) - 1 AS sidx
+          FROM (SELECT DISTINCT source FROM d)),
+    n AS (SELECT COUNT(*) AS ns FROM s),
+    k AS (
+        SELECT doc_id, source,
+               CAST(('0x' || substr(md5('il:' || CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT) AS key
+        FROM d
+    )
+    SELECT doc_id, source,
+           CAST((ROW_NUMBER() OVER (PARTITION BY source ORDER BY key, doc_id) - 1) AS BIGINT)
+               * ns + sidx AS pos
+    FROM k JOIN s USING (source) CROSS JOIN n
+    """,
+)
+def dataset_interleave_ragged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-interleaved order over RAGGED sources (round 8): a 90/9/1
+    domain split makes the small sources exhaust orders of magnitude
+    before the big one — the round-robin stride then leaves gaps past each
+    exhaustion point instead of re-densifying, so a consumer reading
+    ORDER BY pos still sees every surviving domain at its original stride
+    (the deterministic-curriculum contract; the oracle replays every
+    position bit-for-bit on the same skewed catalog)."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.when(F.col("doc_id") % 100 < 90, F.lit("big"))
+        .when(F.col("doc_id") % 100 < 99, F.lit("mid"))
+        .otherwise(F.lit("tiny"))
+        .alias("source"),
+    )
+    return text.interleave_sources(d)

@@ -363,12 +363,22 @@ class UpdatableStore:
         @contextmanager
         def txn():
             base = len(self.versions)
-            saved = (self._explicit, self._closed_valid, self._updates, self._counts)
+            # _inferred is part of the TM bookkeeping: a rolled-back
+            # CREATE/DROP ENTAILMENTS must restore it too, or a later DROP
+            # anti-joins against a stale (or cleared) inferred set (r8;
+            # the entailments_rollback oracle pins this)
+            saved = (
+                self._explicit, self._closed_valid, self._updates,
+                self._counts, self._inferred,
+            )
             try:
                 yield self
             except Exception:
                 del self.versions[base:]
-                self._explicit, self._closed_valid, self._updates, self._counts = saved
+                (
+                    self._explicit, self._closed_valid, self._updates,
+                    self._counts, self._inferred,
+                ) = saved
                 raise
             else:
                 if len(self.versions) > base + 1:

@@ -12,6 +12,10 @@ def spark() -> SparkSession:
     s = (
         SparkSession.builder.master("local[*]")
         .appName("blazegraph-spark-tests")
+        # local[*] = 32 task threads here: the 1g driver-heap default is
+        # marginal for a long shared session (observed heap OOM in the
+        # RDR writer roundtrip mid-suite) — size like session.get_spark
+        .config("spark.driver.memory", "8g")
         .config("spark.sql.shuffle.partitions", "8")
         .config("spark.sql.ansi.enabled", "false")  # match session.get_spark
         .config("spark.sql.adaptive.enabled", "true")

@@ -706,3 +706,41 @@ def test_drop_entailments_safe_after_interleaved_modify(spark):
     assert us.current.df.filter(F.col("s") == "y").count() == 0  # deleted
     types_x = {r["o_lex"] for r in us.current.df.filter(F.col("s") == "x").collect()}
     assert types_x == {"c1", "c2"}  # pre-loss inferences now count as asserted
+
+
+def test_rollback_restores_entailment_bookkeeping(spark):
+    """A rolled-back transaction must not leak TM state (r8): an in-tx
+    DROP ENTAILMENTS clears the inferred-set bookkeeping; after the abort
+    the next DROP must still remove exactly the inferred rows."""
+    from blazegraph_database_spark.plans.update_parser import apply_update
+
+    rows = [
+        ("x", "rdf:type", "c1", "iri"),
+        ("c1", "rdfs:subClassOf", "c2", "iri"),
+    ]
+    us = UpdatableStore.from_store(
+        TripleStore(spark.createDataFrame(rows, "s string, p string, o_lex string, o_dt string"))
+    )
+    apply_update(us, "CREATE ENTAILMENTS", spark)
+    closed = us.current.df.count()
+    assert closed > len(rows)  # x rdf:type c2 inferred
+
+    class Abort(Exception):
+        pass
+
+    try:
+        with us.transaction():
+            us.drop_entailments()
+            us.insert_data(
+                spark.createDataFrame(
+                    [("x", "tag", "tx", "string")],
+                    "s string, p string, o_lex string, o_dt string",
+                )
+            )
+            raise Abort()
+    except Abort:
+        pass
+    assert us.current.df.count() == closed  # rollback kept the closure
+    apply_update(us, "DROP ENTAILMENTS", spark)
+    got = {(r["s"], r["p"], r["o_lex"]) for r in us.current.df.collect()}
+    assert got == {("x", "rdf:type", "c1"), ("c1", "rdfs:subClassOf", "c2")}
