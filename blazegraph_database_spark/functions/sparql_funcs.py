@@ -352,13 +352,17 @@ def STRLANG_DT(tag: str) -> str:
 
 
 def STRDT_TAG(dt_iri: str) -> str:
-    """dtype tag for STRDT(x, <dt_iri>) results."""
+    """dtype tag for STRDT(x, <dt_iri>) results. Unknown (and sized-int)
+    datatype IRIs keep dt:<iri> TERM IDENTITY, same as the readers — a
+    STRDT-constructed custom literal equals the stored one (r8; previously
+    unknown IRIs collapsed to the plain-string tag)."""
     return {
-        _XSD + "integer": "long", _XSD + "long": "long", _XSD + "int": "long",
-        _XSD + "double": "double", _XSD + "decimal": "decimal",
+        _XSD + "integer": "long",
+        _XSD + "double": "double", _XSD + "float": "double",
+        _XSD + "decimal": "decimal",
         _XSD + "boolean": "boolean", _XSD + "dateTime": "timestamp",
         _XSD + "string": "string",
-    }.get(dt_iri, "string")
+    }.get(dt_iri, f"dt:{dt_iri}")
 
 
 # RDF-star / RDR statement-term accessors (ref: SidIV.java; SPARQL-star

@@ -1951,3 +1951,38 @@ def dataset_interleave_ragged(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("source"),
     )
     return text.interleave_sources(d)
+
+
+@register(
+    "text_length_quantiles",
+    """
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           quantile_cont(n_chars, 0.25) AS p25,
+           quantile_cont(n_chars, 0.5)  AS p50,
+           quantile_cont(n_chars, 0.75) AS p75,
+           quantile_cont(n_chars, 0.95) AS p95
+    FROM documents GROUP BY lang ORDER BY lang
+    """,
+)
+def text_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language EXACT length-distribution quantiles (round 8): the
+    curation step every corpus report starts with — length bands per
+    language feed min/max quality cutoffs (Gopher's word-count bounds are
+    set from exactly these tables). Spark's exact `percentile` (linear
+    interpolation) equals DuckDB's quantile_cont digit-for-digit; the agg
+    is a per-group sort of ONE group's values (languages partition the
+    corpus), never a global sort, and at 100x the per-language groups
+    stay parallel across executors."""
+    docs = _docs(spark, sf_dir)
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.percentile(F.col("n_chars"), F.lit(0.25)).alias("p25"),
+            F.percentile(F.col("n_chars"), F.lit(0.5)).alias("p50"),
+            F.percentile(F.col("n_chars"), F.lit(0.75)).alias("p75"),
+            F.percentile(F.col("n_chars"), F.lit(0.95)).alias("p95"),
+        )
+        .orderBy("lang")
+    )

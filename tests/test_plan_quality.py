@@ -632,3 +632,31 @@ def test_nb_classifier_joins_vocab_on_key(spark):
     assert "BatchEvalPython" not in p
     assert "CartesianProduct" not in p
     assert "BroadcastExchange" in p  # the 3-scalar totals row
+
+
+def test_all_bound_values_join_is_equi_not_cartesian(spark):
+    """A VALUES block with every cell bound must join its siblings with a
+    plain equi-join (broadcast/shuffle hash): the r6 solution-compatibility
+    theta join degenerates to CartesianProduct — n_left x n_right tasks —
+    which at corpus scale is the single worst join shape. Only UNDEF rows
+    may take the compatibility join (r8)."""
+    from blazegraph_database_spark.model.store import TripleStore
+    from blazegraph_database_spark.plans.sparql_parser import run_sparql
+
+    st = TripleStore(
+        spark.createDataFrame(
+            [("a", "knows", "b", "iri"), ("b", "knows", "c", "iri")],
+            "s string, p string, o_lex string, o_dt string",
+        )
+    )
+    out = run_sparql(
+        st, 'SELECT ?x ?y WHERE { VALUES (?x) { ("a") ("b") } ?x <knows> ?y }'
+    )
+    p = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in p
+    assert {("a", "b"), ("b", "c")} == {(r["x"], r["y"]) for r in out.collect()}
+    # UNDEF keeps compatibility semantics (row matches anything)
+    out2 = run_sparql(
+        st, "SELECT ?x ?y WHERE { VALUES (?x) { (UNDEF) } ?x <knows> ?y }"
+    )
+    assert {(r["x"], r["y"]) for r in out2.collect()} == {("a", "b"), ("b", "c")}

@@ -405,6 +405,14 @@ def test_strlang_strdt(term_store):
         'SELECT (STRDT("5", <http://www.w3.org/2001/XMLSchema#integer>) AS ?five) WHERE { ?x <ex:name> "Alice" }',
     )
     assert got.collect()[0]["five"] == "5"
+    # unknown datatype IRIs keep dt:<iri> TERM IDENTITY through STRDT (r8):
+    # DATATYPE of the constructed literal reports the app IRI verbatim
+    got = run_sparql(
+        term_store,
+        'SELECT ?dt WHERE { ?x <ex:name> "Alice" '
+        'BIND(STRDT("v1", <http://app/type#T>) AS ?t) BIND(DATATYPE(?t) AS ?dt) }',
+    )
+    assert [r["dt"] for r in got.collect()] == ["http://app/type#T"]
 
 
 def test_zero_arg_functions(tiny_store):
