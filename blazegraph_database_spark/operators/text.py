@@ -1110,3 +1110,90 @@ def interleave_sources(
             ((F.row_number().over(w) - 1).cast("long") * n + F.col("__sidx")).alias("pos"),
         )
     )
+
+
+def line_dedup(
+    df: DataFrame,
+    min_docs: int = 2,
+    max_removed_frac: float = 0.3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """RefinedWeb/CCNet LINE-level boilerplate filter (round 8): a line
+    whose normalized form appears in >= ``min_docs`` DISTINCT documents is
+    boilerplate (nav bars, cookie banners, share buttons) and is removed
+    from EVERY document — unlike paragraph_dedup's first-occurrence-wins,
+    the repeated-line rule deletes all copies, which is what the
+    RefinedWeb pipeline does for its "lines duplicated across documents"
+    filter. A document that loses more than ``max_removed_frac`` of its
+    characters to the filter is dropped entirely (a page that is mostly
+    boilerplate carries no signal).
+
+    Scale shape: one posexplode -> distinct-doc count per normalized line
+    (partial-agg count_distinct via a two-level groupBy: (norm, doc)
+    dedup then count — map-side combinable both levels, no hot-key
+    window), one hash join back on the line key, one groupBy(doc) to
+    rebuild. Character accounting rides the same rebuild aggregation.
+
+    Returns (id_col, text_col, n_lines_kept, n_lines_removed,
+    removed_frac) for surviving documents."""
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), r"\n")).alias("l_idx", "line"),
+    )
+    lines = lines.withColumn(
+        "norm", F.regexp_replace(F.lower(F.trim(F.col("line"))), r"\s+", " ")
+    )
+    nonempty = lines.filter(F.col("norm") != "")
+    # distinct-doc frequency per line: (norm, doc) dedup then count —
+    # both stages map-side combinable, never count_distinct's OOM-prone
+    # exact mode over a skewed key
+    freq = (
+        nonempty.select("norm", id_col).distinct()
+        .groupBy("norm")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    boiler = freq.filter(F.col("n_docs") >= min_docs).select(
+        "norm", F.lit(True).alias("is_boiler")
+    )
+    flagged = lines.join(boiler, "norm", "left").withColumn(
+        "keep", F.col("is_boiler").isNull() | (F.col("norm") == "")
+    )
+    rebuilt = (
+        flagged.groupBy(id_col)
+        .agg(
+            F.concat_ws(
+                "\n",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("keep"),
+                                F.struct(F.col("l_idx"), F.col("line")),
+                            )
+                        )
+                    ),
+                    lambda s: s.line,
+                ),
+            ).alias(text_col),
+            F.sum(F.when(F.col("keep") & (F.col("norm") != ""), 1).otherwise(0)).alias(
+                "n_lines_kept"
+            ),
+            F.sum(F.when(~F.col("keep"), 1).otherwise(0)).alias("n_lines_removed"),
+            F.sum(F.when(~F.col("keep"), F.length("line")).otherwise(0)).alias(
+                "__rm_chars"
+            ),
+            F.sum(F.length("line")).alias("__all_chars"),
+        )
+    )
+    out = rebuilt.withColumn(
+        "removed_frac",
+        F.when(F.col("__all_chars") > 0, F.col("__rm_chars") / F.col("__all_chars"))
+        .otherwise(F.lit(0.0)),
+    )
+    return (
+        out.filter(
+            (F.col("removed_frac") <= max_removed_frac) & (F.col("n_lines_kept") > 0)
+        )
+        .select(id_col, text_col, "n_lines_kept", "n_lines_removed", "removed_frac")
+    )

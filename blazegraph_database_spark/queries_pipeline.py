@@ -1986,3 +1986,60 @@ def text_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@register(
+    "text_line_dedup",
+    """
+    WITH D AS (
+        SELECT doc_id,
+               'cookie banner: accept all' || chr(10) || text || chr(10) ||
+               'footer nav ' || CAST(doc_id % 5 AS VARCHAR) AS text
+        FROM documents
+    ),
+    L AS (
+        SELECT doc_id,
+               generate_subscripts(string_split(text, chr(10)), 1) AS l_idx,
+               unnest(string_split(text, chr(10))) AS line
+        FROM D
+    ),
+    N AS (SELECT *, regexp_replace(lower(trim(line)), '\\s+', ' ', 'g') AS norm
+          FROM L),
+    Fq AS (SELECT norm, COUNT(DISTINCT doc_id) AS n_docs FROM N
+           WHERE norm != '' GROUP BY norm),
+    FL AS (SELECT N.*, (N.norm = '' OR COALESCE(Fq.n_docs, 0) < 2) AS keep
+           FROM N LEFT JOIN Fq USING (norm)),
+    R AS (
+        SELECT doc_id,
+               string_agg(CASE WHEN keep THEN line END, chr(10) ORDER BY l_idx) AS text,
+               CAST(SUM(CASE WHEN keep AND norm != '' THEN 1 ELSE 0 END) AS BIGINT) AS n_lines_kept,
+               CAST(SUM(CASE WHEN NOT keep THEN 1 ELSE 0 END) AS BIGINT) AS n_lines_removed,
+               SUM(CASE WHEN NOT keep THEN length(line) ELSE 0 END) AS rm_chars,
+               SUM(length(line)) AS all_chars
+        FROM FL GROUP BY doc_id
+    )
+    SELECT doc_id, COALESCE(text, '') AS text, n_lines_kept, n_lines_removed,
+           CASE WHEN all_chars > 0 THEN rm_chars / CAST(all_chars AS DOUBLE)
+                ELSE 0.0 END AS removed_frac
+    FROM R WHERE removed_frac <= 0.3 AND n_lines_kept > 0
+    """,
+)
+def text_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RefinedWeb line-level boilerplate filter (round 8): every document
+    gets a synthetic cookie banner (shared by ALL docs) and one of five
+    footer variants — lines repeated across >=2 distinct documents are
+    removed from every copy, and documents losing >30% of their characters
+    drop out (exact-duplicate documents' body lines cross the threshold
+    too). The oracle replays split/normalize/count/rebuild bit-for-bit
+    (operators/text.line_dedup)."""
+    docs = _docs(spark, sf_dir)
+    d2 = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("cookie banner: accept all\n"),
+            F.col("text"),
+            F.lit("\nfooter nav "),
+            (F.col("doc_id") % 5).cast("string"),
+        ).alias("text"),
+    )
+    return text.line_dedup(d2, min_docs=2, max_removed_frac=0.3)

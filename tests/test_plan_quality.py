@@ -660,3 +660,18 @@ def test_all_bound_values_join_is_equi_not_cartesian(spark):
         st, "SELECT ?x ?y WHERE { VALUES (?x) { (UNDEF) } ?x <knows> ?y }"
     )
     assert {(r["x"], r["y"]) for r in out2.collect()} == {("a", "b"), ("b", "c")}
+
+
+def test_line_dedup_no_cartesian_no_window(spark):
+    """line_dedup's boilerplate detection must stay on partial-agg +
+    hash-join shapes: a boilerplate line repeated 10^9 times corpus-wide
+    must collapse map-side (two-level (norm, doc) count), never a
+    count_distinct or a sorted window over the hot line key."""
+    from blazegraph_database_spark.operators import text as T
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    p = plan_of(T.line_dedup(docs), mode="simple")
+    assert "BatchEvalPython" not in p
+    assert "CartesianProduct" not in p
+    assert "Window" not in p
+    assert "HashAggregate" in p
