@@ -1160,7 +1160,7 @@ class Parser:
                 # dt-tracking ONLY: an unconditional companion Extend broke
                 # the fast-range-count rewrite's Project(Extend(Group))
                 # shape for plain COUNT(*) queries (r6 regression)
-                if self.dt_mode and name in ("count", "sum", "avg"):
+                if self.dt_mode and name in ("count", "sum", "avg", "min", "max"):
                     if self._last_agg_dt is not None:
                         # typed SUM/AVG: the promoted datatype is a
                         # PER-GROUP aggregate — hoist it beside the value
@@ -1168,11 +1168,12 @@ class Parser:
                         dt_alias = f"{alias}__dtc"
                         self._pending_aggs.append((dt_alias, self._last_agg_dt))
                         self._pending_term_dt = F.col(dt_alias)
-                    else:
+                        self._pending_term_dt_span = (start, self.i)
+                    elif name in ("count", "sum", "avg"):
                         self._pending_term_dt = (
                             "long" if name == "count" else "double"
                         )
-                    self._pending_term_dt_span = (start, self.i)
+                        self._pending_term_dt_span = (start, self.i)
                 return F.col(alias)
             if kw in ("SUBSTR", "REPLACE"):
                 # variable arity: SUBSTR(x, start[, len]), REPLACE(x, pat, rep)
@@ -1326,6 +1327,12 @@ class Parser:
             )
             key = F.struct(rank, x.try_cast("double"), x)
             col = F.max_by(x, key) if name == "MAX" else F.min_by(x, key)
+            # the winner's DATATYPE rides as a companion (r8; the reference
+            # returns the winning IV itself, type included) — same key, so
+            # value and tag come from the same row (modulo exact-key ties)
+            self._last_agg_dt = (
+                F.max_by(xdt, key) if name == "MAX" else F.min_by(xdt, key)
+            )
         elif (
             self.dt_mode and name in ("SUM", "AVG") and _bare_var(arg) is not None
         ):
