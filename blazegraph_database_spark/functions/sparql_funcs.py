@@ -41,10 +41,6 @@ def lng(x) -> Column:  # xsd:integer/long view
 DEC_T = "decimal(38,12)"  # 26 integer digits + 12 fractional: money-scale safe
 
 
-def dec(x) -> Column:  # exact xsd:decimal view of a binding
-    return _c(x).try_cast(DEC_T)
-
-
 # The sized-int family rides dt:<iri> IDENTITY tags (round 8; ref:
 # XSDNumericIV distinguishes byte/short/int/long + unsigned variants as
 # different IVs) but still behaves NUMERICALLY by value in comparisons,
@@ -76,8 +72,16 @@ def DEC_LEX(c) -> Column:
     trimmed, bare integer when the fraction is zero (BigDecimal
     stripTrailingZeros().toPlainString() analog — value-identical to the
     reference's rendering, with trailing zeros of the computation scale
-    normalized away)."""
-    s = _c(c).cast("string")
+    normalized away). Spark's decimal-to-string renders |v| < 1e-7 in
+    E-notation (BigDecimal.toString); those expand through a fixed-point
+    format — safe, because a sub-1e-7 value at scale <=12 carries at most
+    6 significant digits, well inside double exactness."""
+    col = _c(c)
+    s = col.cast("string")
+    s = F.when(
+        s.contains("E") | s.contains("e"),
+        F.format_string("%.12f", col.cast("double")),
+    ).otherwise(s)
     return F.when(
         s.contains("."),
         F.regexp_replace(F.regexp_replace(s, r"0+$", ""), r"\.$", ""),

@@ -556,6 +556,10 @@ def requantize_geo_literals(df: DataFrame, configs: dict) -> DataFrame:
     the janino compile-thread stack under full-suite load — same lesson as
     the date-canonicalization codegen OOM)."""
     items = list(configs.items())
+    if not items:
+        # keep the pre-chunking contract: callers rely on the returned
+        # relation being plan-barriered even for an empty registration
+        return df.localCheckpoint(eager=True)
     for i in range(0, len(items), _REQUANTIZE_CHUNK):
         df = _requantize_chunk(df, dict(items[i : i + _REQUANTIZE_CHUNK]))
     return df

@@ -567,8 +567,10 @@ def geo_search_service(store, patterns) -> DataFrame:
     coord_raw = F.col("coord") if "coord" in cols else F.lit(None)
     coord_out = _wrap(getattr(ser, "serialize_coord_system", None), coord_raw)
     if ser is not None and ser.serialize_distance is not None:
+        # hook contract: string Columns in (value, unit), Column out
         dist_out = ser.serialize_distance(
-            F.col("distance"), args.get("spatialUnit", "Kilometers")
+            F.col("distance").cast("string"),
+            F.lit(args.get("spatialUnit", "Kilometers")),
         )
     else:
         dist_out = F.col("distance")

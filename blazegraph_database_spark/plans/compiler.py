@@ -1623,6 +1623,8 @@ def _(node: A.Join, store: TripleStore) -> DataFrame:
             # statically-known tiny side: BroadcastNestedLoop beats a
             # CartesianProduct's n_left x n_right task explosion (r8)
             r2 = F.broadcast(r2)
+        elif isinstance(node.left, A.Values) and node.left.child is None:
+            l = F.broadcast(l)
         out = l.join(r2, on=cond)
         for v in shared:
             out = out.withColumn(v, F.coalesce(l[v], F.col(f"__j_{v}")))
@@ -1990,7 +1992,23 @@ def _conditional_bind(child: DataFrame, var: str, expr) -> DataFrame:
         is_res = adt.isin("iri", "bnode", "sid")
         is_lang = adt.startswith("lang:")
         err = F.lit(None).cast("boolean")
-        if vt in ("int", "bigint", "smallint", "tinyint"):
+        from blazegraph_database_spark.plans.sparql_parser import (
+            ARITH_LEXICAL_EXPRS,
+        )
+
+        if vt == "string" and str(expr) in ARITH_LEXICAL_EXPRS:
+            # a typed-arithmetic expression is numeric-VALUED despite its
+            # string column type (r8): keep the pre-round numeric-value
+            # ConditionalBind semantics for re-binding an arith result
+            from blazegraph_database_spark.functions.sparql_funcs import NUM_TAG
+
+            an, en = existing.try_cast("double"), expr.try_cast("double")
+            eq = (
+                F.when(is_res | is_lang, F.lit(False))
+                .when(NUM_TAG(adt) & an.isNotNull() & en.isNotNull(), an == en)
+                .otherwise(err)
+            )
+        elif vt in ("int", "bigint", "smallint", "tinyint"):
             # INTEGER-class constant: ConditionalBind equality is IV
             # ``equals`` — class-sensitive (ticket-1007-number1: BIND(10)
             # keeps "10"^^xsd:integer but NOT "10"^^xsd:int or

@@ -218,6 +218,12 @@ def _inline_uri_cmp(left: Column, right: Column):
     return None
 
 
+# String-typed lexical results of typed ARITHMETIC (keyed by Column repr):
+# comparison sites and ConditionalBind recognize these as numeric-VALUED so
+# `FILTER(?a + ?b = ?c)` keeps value semantics even though the column's
+# Spark type is string (r8 review finding).
+ARITH_LEXICAL_EXPRS: set[str] = set()
+
 _DATE_TAG = "dt:http://www.w3.org/2001/XMLSchema#date"
 _DATE_KEY_RX = r"^(-?\d+)-(\d{2})-(\d{2})$"
 _DATE_SHAPE_RX = re.compile(r"^-?\d{3,}-\d{2}-\d{2}$")
@@ -267,6 +273,11 @@ def _typed_eq(a_name: str, b_name: str) -> Column:
     a_lang, b_lang = adt.startswith("lang:"), bdt.startswith("lang:")
     a_num, b_num = fn.NUM_TAG(adt), fn.NUM_TAG(bdt)
     an, bn = a.try_cast("double"), b.try_cast("double")
+    # EXACT numeric families compare in DECIMAL: two distinct
+    # xsd:unsignedLong values above 2^53 collapse to the same double
+    # (r8 review); any double member keeps the double path
+    a_ex, b_ex = fn.EXACT_TAG(adt), fn.EXACT_TAG(bdt)
+    ad, bd = a.try_cast(fn.DEC_T), b.try_cast(fn.DEC_T)
     err = F.lit(None).cast("boolean")
     return (
         F.when(a.isNull() | b.isNull(), err)  # unbound operand = type error
@@ -274,6 +285,7 @@ def _typed_eq(a_name: str, b_name: str) -> Column:
         .when(a_lang & b_lang, (F.lower(adt) == F.lower(bdt)) & (a == b))
         .when(a_lang | b_lang, F.lit(False))  # lang vs non-lang: never equal
         .when((adt == "string") & (bdt == "string"), a == b)
+        .when(a_ex & b_ex & ad.isNotNull() & bd.isNotNull(), ad == bd)
         .when(a_num & b_num & an.isNotNull() & bn.isNotNull(), an == bn)
         .when(
             (adt == _DATE_TAG) & (bdt == _DATE_TAG)
@@ -335,6 +347,8 @@ def _typed_order(a_name: str, b_name: str, op: str) -> Column:
     bdt = F.coalesce(F.col(f"{b_name}__dt"), F.lit("string"))
     an, bn = a.try_cast("double"), b.try_cast("double")
     num = fn.NUM_TAG(adt) & fn.NUM_TAG(bdt)
+    exact = fn.EXACT_TAG(adt) & fn.EXACT_TAG(bdt)
+    ad, bd = a.try_cast(fn.DEC_T), b.try_cast(fn.DEC_T)
     cmp = {
         "<": lambda x, y: x < y, "<=": lambda x, y: x <= y,
         ">": lambda x, y: x > y, ">=": lambda x, y: x >= y,
@@ -342,6 +356,8 @@ def _typed_order(a_name: str, b_name: str, op: str) -> Column:
     err = F.lit(None).cast("boolean")
     return (
         F.when(a.isNull() | b.isNull(), err)
+        # exact families order in DECIMAL (beyond-2^53 ints; r8 review)
+        .when(exact & ad.isNotNull() & bd.isNotNull(), cmp(ad, bd))
         .when(num & an.isNotNull() & bn.isNotNull(), cmp(an, bn))
         .when(
             (adt == "timestamp") & (bdt == "timestamp"),
@@ -771,6 +787,19 @@ class Parser:
         if self.at_op("=", "!=", "<", "<=", ">", ">="):
             op = self.next().text
             right = self.expr_add()
+            if self.dt_mode and (
+                str(left) in ARITH_LEXICAL_EXPRS
+                or str(right) in ARITH_LEXICAL_EXPRS
+            ):
+                # a typed-arithmetic result is numeric-VALUED even though
+                # its column type is string — compare by value; an
+                # uncastable side is a per-row type error (NULL drops)
+                ln, rn = left.try_cast("double"), right.try_cast("double")
+                return {
+                    "=": lambda a, b: a == b, "!=": lambda a, b: a != b,
+                    "<": lambda a, b: a < b, "<=": lambda a, b: a <= b,
+                    ">": lambda a, b: a > b, ">=": lambda a, b: a >= b,
+                }[op](ln, rn)
             if op in ("=", "!="):
                 # var-vs-var [in]equality under dt tracking is OPEN-WORLD
                 # typed term equality (see _typed_eq); only meaningful when
@@ -887,7 +916,12 @@ class Parser:
         adt = F.coalesce(F.col(f"{lv}__dt"), F.lit("string"))
         bdt = F.coalesce(F.col(f"{rv}__dt"), F.lit("string"))
         exact = fn.EXACT_TAG(adt) & fn.EXACT_TAG(bdt)
-        ad, bd = a.try_cast(fn.DEC_T), b.try_cast(fn.DEC_T)
+        # multiplication: (38,12)x(38,12) would floor the result scale to
+        # 6 under Spark's precision-loss rule (0.0001*0.0001 -> 0); the
+        # narrower (25,12) operands keep scale 11 — values beyond 10^13
+        # null the cast and gracefully demote to the double path
+        op_t = "decimal(25,12)" if op == "*" else fn.DEC_T
+        ad, bd = a.try_cast(op_t), b.try_cast(op_t)
         an, bn = a.try_cast("double"), b.try_cast("double")
         f = {
             "+": lambda x, y: x + y,
@@ -896,10 +930,14 @@ class Parser:
         }[op]
         # branch types string/double unify to STRING (the engine's lexical
         # value model); downstream comparisons/arithmetic re-promote to
-        # double via Spark's string-numeric coercion
-        return F.when(
+        # double via Spark's string-numeric coercion. Comparison sites and
+        # ConditionalBind look the result up in ARITH_LEXICAL_EXPRS to keep
+        # NUMERIC compare semantics for the string-typed column.
+        out = F.when(
             exact & ad.isNotNull() & bd.isNotNull(), fn.DEC_LEX(f(ad, bd))
         ).otherwise(f(an, bn))
+        ARITH_LEXICAL_EXPRS.add(str(out))
+        return out
 
     def expr_unary(self) -> Column:
         if self.at_op("-"):
@@ -1364,13 +1402,20 @@ class Parser:
                 F.when(x.isNotNull() & (xdt == "decimal"), 1).otherwise(0)
             )
             xd = x.try_cast(fn.DEC_T)
+            # a valid-numeric lexical the DECIMAL cast cannot hold (>26
+            # integer digits — xsd:integer is unbounded) must DEMOTE the
+            # group to the double path, not silently vanish from the exact
+            # sum (r8 review)
+            any_big = F.max(
+                F.when(valid & x.isNotNull() & xd.isNull(), 1).otherwise(0)
+            )
             if name == "SUM":
                 dbl, dec_ = F.sum(x.try_cast("double")), F.sum(xd)
             else:
                 dbl, dec_ = F.avg(x.try_cast("double")), F.avg(xd)
             col = (
                 F.when(any_bad == 1, F.lit(None).cast("string"))
-                .when(any_dbl == 1, dbl.cast("string"))
+                .when((any_dbl == 1) | (any_big == 1), dbl.cast("string"))
                 .otherwise(fn.DEC_LEX(dec_))
             )
             # per-group promoted datatype (AVG of integers is xsd:decimal
@@ -1378,7 +1423,7 @@ class Parser:
             int_tag = "decimal" if name == "AVG" else "long"
             self._last_agg_dt = (
                 F.when(any_bad == 1, F.lit(None).cast("string"))
-                .when(any_dbl == 1, F.lit("double"))
+                .when((any_dbl == 1) | (any_big == 1), F.lit("double"))
                 .when(any_dec == 1, F.lit("decimal"))
                 .otherwise(F.lit(int_tag))
             )

@@ -2293,8 +2293,6 @@ def decimal_exact_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("string").alias("o_dt"),
     )
     st = TripleStore(prices.unionByName(flags).distinct()).with_dt_tracking()
-    from blazegraph_database_spark.plans.sparql_parser import run_sparql
-
     out = run_sparql(
         st,
         "SELECT ?f (SUM(?p) AS ?total) WHERE "
