@@ -221,8 +221,24 @@ def _inline_uri_cmp(left: Column, right: Column):
 # String-typed lexical results of typed ARITHMETIC (keyed by Column repr):
 # comparison sites and ConditionalBind recognize these as numeric-VALUED so
 # `FILTER(?a + ?b = ?c)` keeps value semantics even though the column's
-# Spark type is string (r8 review finding).
+# Spark type is string (r8 review finding). Entries are only consulted
+# between a query's parse and its immediate compile, so the registry is
+# BOUNDED (FIFO eviction) — a long-lived REST server parsing millions of
+# distinct queries never grows it past _ARITH_EXPRS_CAP.
+from collections import deque as _deque
+
 ARITH_LEXICAL_EXPRS: set[str] = set()
+_ARITH_EXPRS_FIFO: "_deque[str]" = _deque()
+_ARITH_EXPRS_CAP = 4096
+
+
+def _note_arith_lexical(key: str) -> None:
+    if key in ARITH_LEXICAL_EXPRS:
+        return
+    ARITH_LEXICAL_EXPRS.add(key)
+    _ARITH_EXPRS_FIFO.append(key)
+    while len(_ARITH_EXPRS_FIFO) > _ARITH_EXPRS_CAP:
+        ARITH_LEXICAL_EXPRS.discard(_ARITH_EXPRS_FIFO.popleft())
 
 _DATE_TAG = "dt:http://www.w3.org/2001/XMLSchema#date"
 _DATE_KEY_RX = r"^(-?\d+)-(\d{2})-(\d{2})$"
@@ -936,7 +952,7 @@ class Parser:
         out = F.when(
             exact & ad.isNotNull() & bd.isNotNull(), fn.DEC_LEX(f(ad, bd))
         ).otherwise(f(an, bn))
-        ARITH_LEXICAL_EXPRS.add(str(out))
+        _note_arith_lexical(str(out))
         return out
 
     def expr_unary(self) -> Column:
