@@ -169,49 +169,75 @@ def _unescape_cols(lex):
     return F.regexp_replace(lex, _ESC_SENTINEL, r"\\")
 
 
-def _term_cols(raw_obj):
-    """(o_lex, o_dt) from a raw object token."""
-    is_iri = raw_obj.startswith("<")
-    is_bnode = raw_obj.startswith("_:")
-    lex = F.regexp_extract(raw_obj, r'^"((?:[^"\\]|\\.)*)"', 1)
-    lex = _unescape_cols(lex)
-    lang = F.regexp_extract(raw_obj, r'"@([A-Za-z0-9-]+)$', 1)
-    dtype_iri = F.regexp_extract(raw_obj, r'\^\^<([^>]*)>$', 1)
+def _term_stage(df: DataFrame, raw: str, out_lex: str, out_dt: str) -> DataFrame:
+    """Append (out_lex, out_dt) columns parsed from the raw object token
+    column ``raw``, via STAGED projections with named intermediates.
+
+    Why staged: PySpark Columns are expression TREES, not DAGs — every
+    Python-level reuse of a Column object copies its whole subtree into the
+    enclosing expression. The previous single-expression form duplicated
+    the unescape/canonicalization chain ~30x, and that inflated tree is
+    re-analyzed by Catalyst for EVERY query that references the loaded
+    store (caching truncates execution, not analysis) — the round-8
+    calendar-validation additions alone ~1.7x'd the BSBM plan-cost metric.
+    With named intermediates each reuse is a leaf AttributeReference;
+    CollapseProject keeps multi-use non-cheap aliases staged, so the
+    optimized plan (and codegen: each regex runs once per row, not ~15x)
+    stays linear too."""
+    r = F.col(raw)
+    t = f"__t{out_lex}_"  # temp prefix, unique per output column
+    qlex = F.regexp_extract(r, r'^"((?:[^"\\]|\\.)*)"', 1)
+    df = df.select(
+        "*",
+        _unescape_cols(qlex).alias(t + "lex"),
+        F.regexp_extract(r, r'"@([A-Za-z0-9-]+)$', 1).alias(t + "lang"),
+        F.regexp_extract(r, r'\^\^<([^>]*)>$', 1).alias(t + "dti"),
+    )
+    lex, lang, dti = F.col(t + "lex"), F.col(t + "lang"), F.col(t + "dti")
+    is_iri = r.startswith("<")
+    is_bnode = r.startswith("_:")
     # unknown datatype IRIs keep their identity (dt:<iri> tag — see
     # typed_lex); known xsd types map onto the engine tags
-    dt_mapped = F.concat(F.lit("dt:"), dtype_iri)
+    dt_mapped = F.concat(F.lit("dt:"), dti)
     for iri, tag in _XSD_DT.items():
-        dt_mapped = F.when(dtype_iri == iri, F.lit(tag)).otherwise(dt_mapped)
-    o_lex = (
-        F.when(is_iri, raw_obj.substr(F.lit(2), F.length(raw_obj) - 2))
-        .when(is_bnode, raw_obj)
+        dt_mapped = F.when(dti == iri, F.lit(tag)).otherwise(dt_mapped)
+    o_lex0 = (
+        F.when(is_iri, r.substr(F.lit(2), F.length(r) - 2))
+        .when(is_bnode, r)
         .otherwise(lex)
     )
     o_dt = (
         F.when(is_iri, F.lit("iri"))
         .when(is_bnode, F.lit("iri"))
         .when(lang != "", F.concat(F.lit("lang:"), lang))
-        .when(dtype_iri != "", dt_mapped)
+        .when(dti != "", dt_mapped)
         .otherwise(F.lit("string"))
     )
+    df = df.select("*", o_lex0.alias(t + "lex0"), o_dt.alias(out_dt))
     # dateTime canonicalization (see canonical_datetime_lex): session TZ is
     # UTC (session.get_spark), so date_format renders the instant in Z form;
     # to_timestamp handles bare dates and zone offsets, NULL on malformed
     # (ANSI off) — those keep their written lexical
-    canon = F.date_format(
-        F.to_timestamp(o_lex), "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'"
+    l0 = F.col(t + "lex0")
+    canon = F.date_format(F.to_timestamp(l0), "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'")
+    df = df.select(
+        "*",
+        F.when((F.col(out_dt) == "timestamp") & canon.isNotNull(), canon)
+        .otherwise(l0)
+        .alias(t + "lex1"),
     )
-    o_lex = F.when(
-        (o_dt == "timestamp") & canon.isNotNull(), canon
-    ).otherwise(o_lex)
     # xsd:date canonicalization (see canonical_date_lex) — same rules as
     # the Python readers, in expressions, so the distributed bulk path
-    # stores identical canonical lexicals
-    dcanon = _canon_date_col(o_lex)
-    o_lex = F.when(
-        (dtype_iri == F.lit(XSD_DATE_IRI)) & dcanon.isNotNull(), dcanon
-    ).otherwise(o_lex)
-    return o_lex, o_dt
+    # stores identical canonical lexicals; fed a LEAF column so
+    # _canon_date_col's internal reuse stays cheap
+    l1 = F.col(t + "lex1")
+    df = df.select("*", _canon_date_col(l1).alias(t + "dcanon"))
+    out = F.when(
+        (dti == F.lit(XSD_DATE_IRI)) & F.col(t + "dcanon").isNotNull(),
+        F.col(t + "dcanon"),
+    ).otherwise(l1)
+    df = df.select("*", out.alias(out_lex))
+    return df.drop(*(c for c in df.columns if c.startswith(t)))
 
 
 # NO-SHIFT zones only: 'Z', '+00:00', or any NEGATIVE offset keep the local
@@ -268,8 +294,8 @@ def _parse(lines: DataFrame, pattern: str, quads: bool) -> DataFrame:
         F.col("_raw_s").startswith("<"), F.expr("substring(_raw_s, 2, length(_raw_s) - 2)")
     ).otherwise(F.col("_raw_s"))
     p = F.expr("substring(_raw_p, 2, length(_raw_p) - 2)")
-    o_lex, o_dt = _term_cols(F.col("_raw_o"))
-    cols = [s.alias("s"), p.alias("p"), o_lex.alias("o_lex"), o_dt.alias("o_dt")]
+    df = _term_stage(df, "_raw_o", "o_lex", "o_dt")
+    cols = [s.alias("s"), p.alias("p"), F.col("o_lex"), F.col("o_dt")]
     if quads:
         g = F.when(
             F.col("_raw_g").startswith("<"), F.expr("substring(_raw_g, 2, length(_raw_g) - 2)")
@@ -308,52 +334,57 @@ def read_ntriples_star(spark: SparkSession, path: str) -> DataFrame:
         lines.filter(~v.rlike(NT_STAR_LINE) & ~v.rlike(NT_STAR_OBJ_LINE)), NT_LINE, quads=False
     )
 
-    def grp(i: int) -> F.Column:
-        return F.regexp_extract(v, NT_STAR_LINE, i)
-
+    star_g = star.select(
+        *(F.regexp_extract(v, NT_STAR_LINE, i).alias(f"_g{i}") for i in range(1, 6))
+    )
+    star_g = _term_stage(star_g, "_g3", "_io", "_iodt")
+    star_g = _term_stage(star_g, "_g5", "_mo", "_mdt")
+    g1 = F.col("_g1")
     inner_s = F.when(
-        grp(1).startswith("<"), grp(1).substr(F.lit(2), F.length(grp(1)) - 2)
-    ).otherwise(grp(1))
-    inner_p = grp(2).substr(F.lit(2), F.length(grp(2)) - 2)
-    meta_p = grp(4).substr(F.lit(2), F.length(grp(4)) - 2)
-    inner_o_lex, inner_o_dt = _term_cols(grp(3))
-    meta_o_lex, meta_o_dt = _term_cols(grp(5))
-    inner = star.select(
-        inner_s.alias("s"), inner_p.alias("p"), inner_o_lex.alias("o_lex"), inner_o_dt.alias("o_dt")
+        g1.startswith("<"), g1.substr(F.lit(2), F.length(g1) - 2)
+    ).otherwise(g1)
+    inner_p = F.col("_g2").substr(F.lit(2), F.length(F.col("_g2")) - 2)
+    meta_p = F.col("_g4").substr(F.lit(2), F.length(F.col("_g4")) - 2)
+    inner = star_g.select(
+        inner_s.alias("s"), inner_p.alias("p"),
+        F.col("_io").alias("o_lex"), F.col("_iodt").alias("o_dt"),
     )
     sid = F.concat(
         F.lit("<<"), F.col("s"), F.lit("|"), F.col("p"), F.lit("|"),
         F.col("o_lex"), F.lit("|"), F.col("o_dt"), F.lit(">>"),
     )
-    meta = star.select(
-        inner_s.alias("s"), inner_p.alias("p"), inner_o_lex.alias("o_lex"), inner_o_dt.alias("o_dt"),
-        meta_p.alias("_mp"), meta_o_lex.alias("_mo"), meta_o_dt.alias("_mdt"),
+    meta = star_g.select(
+        inner_s.alias("s"), inner_p.alias("p"),
+        F.col("_io").alias("o_lex"), F.col("_iodt").alias("o_dt"),
+        meta_p.alias("_mp"), F.col("_mo"), F.col("_mdt"),
     ).select(
         sid.alias("s"), F.col("_mp").alias("p"), F.col("_mo").alias("o_lex"), F.col("_mdt").alias("o_dt")
     )
 
     # object-position star lines: `s p <<s2 p2 o2>> .` — inner statement
     # asserted (RDR), outer row binds the sid as a 'sid'-typed object
-    def ogrp(i: int) -> F.Column:
-        return F.regexp_extract(v, NT_STAR_OBJ_LINE, i)
-
-    out_s = F.when(
-        ogrp(1).startswith("<"), ogrp(1).substr(F.lit(2), F.length(ogrp(1)) - 2)
-    ).otherwise(ogrp(1))
-    out_p = ogrp(2).substr(F.lit(2), F.length(ogrp(2)) - 2)
-    oin_s = F.when(
-        ogrp(3).startswith("<"), ogrp(3).substr(F.lit(2), F.length(ogrp(3)) - 2)
-    ).otherwise(ogrp(3))
-    oin_p = ogrp(4).substr(F.lit(2), F.length(ogrp(4)) - 2)
-    oin_o_lex, oin_o_dt = _term_cols(ogrp(5))
-    obj_inner = star_obj.select(
-        oin_s.alias("s"), oin_p.alias("p"), oin_o_lex.alias("o_lex"), oin_o_dt.alias("o_dt")
+    star_og = star_obj.select(
+        *(F.regexp_extract(v, NT_STAR_OBJ_LINE, i).alias(f"_h{i}") for i in range(1, 6))
     )
-    obj_meta = star_obj.select(
+    star_og = _term_stage(star_og, "_h5", "_oo", "_oodt")
+    h1, h3 = F.col("_h1"), F.col("_h3")
+    out_s = F.when(
+        h1.startswith("<"), h1.substr(F.lit(2), F.length(h1) - 2)
+    ).otherwise(h1)
+    out_p = F.col("_h2").substr(F.lit(2), F.length(F.col("_h2")) - 2)
+    oin_s = F.when(
+        h3.startswith("<"), h3.substr(F.lit(2), F.length(h3) - 2)
+    ).otherwise(h3)
+    oin_p = F.col("_h4").substr(F.lit(2), F.length(F.col("_h4")) - 2)
+    obj_inner = star_og.select(
+        oin_s.alias("s"), oin_p.alias("p"),
+        F.col("_oo").alias("o_lex"), F.col("_oodt").alias("o_dt"),
+    )
+    obj_meta = star_og.select(
         out_s.alias("s"), out_p.alias("p"),
         F.concat(
-            F.lit("<<"), oin_s, F.lit("|"), oin_p, F.lit("|"), oin_o_lex, F.lit("|"), oin_o_dt,
-            F.lit(">>"),
+            F.lit("<<"), oin_s, F.lit("|"), oin_p, F.lit("|"),
+            F.col("_oo"), F.lit("|"), F.col("_oodt"), F.lit(">>"),
         ).alias("o_lex"),
         F.lit("sid").alias("o_dt"),
     )
