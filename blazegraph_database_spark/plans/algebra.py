@@ -208,6 +208,11 @@ class Extend:
     var: str
     expr: Column
     conditional: bool = False
+    # the expr is a typed-arithmetic result: string-typed column, numeric
+    # VALUE — ConditionalBind compares it by value (set by the parser from
+    # its per-parse registry; carried on the node so the annotation never
+    # leaks across queries)
+    arith_lexical: bool = False
 
 
 @dataclass(frozen=True)

@@ -1955,7 +1955,10 @@ def _(node: A.Extend, store: TripleStore) -> DataFrame:
     child = _compile(node.child, store)
     try:
         if getattr(node, "conditional", False) and node.var in child.columns:
-            return _conditional_bind(child, node.var, node.expr)
+            return _conditional_bind(
+                child, node.var, node.expr,
+                arith_lexical=getattr(node, "arith_lexical", False),
+            )
         return child.withColumn(node.var, node.expr)
     except AnalysisException as e:
         # Bottom-up semantics: BIND over a never-in-scope variable sees it
@@ -1970,7 +1973,9 @@ def _(node: A.Extend, store: TripleStore) -> DataFrame:
         raise
 
 
-def _conditional_bind(child: DataFrame, var: str, expr) -> DataFrame:
+def _conditional_bind(
+    child: DataFrame, var: str, expr, arith_lexical: bool = False
+) -> DataFrame:
     """ConditionalBind (ref: internal/constraints/ConditionalBind.java:160 —
     `return (val.equals(existing)) ? val : null`, the null failing the
     solution through BindingConstraint): BIND onto an already-in-scope var
@@ -1992,14 +1997,13 @@ def _conditional_bind(child: DataFrame, var: str, expr) -> DataFrame:
         is_res = adt.isin("iri", "bnode", "sid")
         is_lang = adt.startswith("lang:")
         err = F.lit(None).cast("boolean")
-        from blazegraph_database_spark.plans.sparql_parser import (
-            ARITH_LEXICAL_EXPRS,
-        )
 
-        if vt == "string" and str(expr) in ARITH_LEXICAL_EXPRS:
+        if vt == "string" and arith_lexical:
             # a typed-arithmetic expression is numeric-VALUED despite its
             # string column type (r8): keep the pre-round numeric-value
             # ConditionalBind semantics for re-binding an arith result
+            # (flag carried on the Extend node — per-query, no global
+            # repr-keyed registry; r8 VERDICT)
             from blazegraph_database_spark.functions.sparql_funcs import NUM_TAG
 
             an, en = existing.try_cast("double"), expr.try_cast("double")

@@ -192,6 +192,16 @@ def _bare_var(c: Column) -> str | None:
     return m.group(1) if m and m.group(1) not in _NON_VAR_WORDS else None
 
 
+def _has_dt_companion(name: str) -> bool:
+    """Only PATTERN variables carry a `<var>__dt` companion column.
+    Internal aliases (`__agg0` hoisted aggregates, `__ex0` EXISTS flags,
+    `__anon*` bnodes...) all start with `__` and have no companion —
+    referencing one raised UNRESOLVED_COLUMN for e.g.
+    `SELECT (SUM(?a)+SUM(?b) AS ?t)` (ADVICE r8); those operands take the
+    general double path instead (the pre-r8 semantics for them)."""
+    return not name.startswith("__")
+
+
 # a string-literal Column renders with INNER quotes (Column<''urn:...''>)
 _CONST_RX = re.compile(r"^Column<''(\S+)''>$")
 
@@ -218,27 +228,15 @@ def _inline_uri_cmp(left: Column, right: Column):
     return None
 
 
-# String-typed lexical results of typed ARITHMETIC (keyed by Column repr):
-# comparison sites and ConditionalBind recognize these as numeric-VALUED so
-# `FILTER(?a + ?b = ?c)` keeps value semantics even though the column's
-# Spark type is string (r8 review finding). Entries are only consulted
-# between a query's parse and its immediate compile, so the registry is
-# BOUNDED (FIFO eviction) — a long-lived REST server parsing millions of
-# distinct queries never grows it past _ARITH_EXPRS_CAP.
-from collections import deque as _deque
-
-ARITH_LEXICAL_EXPRS: set[str] = set()
-_ARITH_EXPRS_FIFO: "_deque[str]" = _deque()
-_ARITH_EXPRS_CAP = 4096
-
-
-def _note_arith_lexical(key: str) -> None:
-    if key in ARITH_LEXICAL_EXPRS:
-        return
-    ARITH_LEXICAL_EXPRS.add(key)
-    _ARITH_EXPRS_FIFO.append(key)
-    while len(_ARITH_EXPRS_FIFO) > _ARITH_EXPRS_CAP:
-        ARITH_LEXICAL_EXPRS.discard(_ARITH_EXPRS_FIFO.popleft())
+# String-typed lexical results of typed ARITHMETIC are tracked PER PARSE
+# (Parser._arith_lexical, keyed by Column repr): comparison sites and
+# ConditionalBind recognize these as numeric-VALUED so `FILTER(?a + ?b =
+# ?c)` keeps value semantics even though the column's Spark type is string
+# (r8 review finding). Scoped to the Parser instance — a module-global
+# registry was a cross-query side channel: a later query whose string
+# expression repr collided with a registered arithmetic repr silently got
+# numeric semantics (r8 VERDICT). The annotation reaches the compiler on
+# the algebra node itself (A.Extend.arith_lexical).
 
 _DATE_TAG = "dt:http://www.w3.org/2001/XMLSchema#date"
 _DATE_KEY_RX = r"^(-?\d+)-(\d{2})-(\d{2})$"
@@ -538,6 +536,14 @@ class Parser:
         # per-group promoted datatype of the LAST typed SUM/AVG (round 8)
         self._last_agg_dt: Column | None = None
         self._date_typed_consts: set[str] = set()
+        # repr-keyed, PER-PARSE (see the ARITH note above _DATE_TAG):
+        # string-typed but numeric-VALUED arithmetic results, and numeric
+        # constants eligible for exact arithmetic (lexical, tag) — 'long'
+        # for integer-family, 'decimal' for bare/declared decimals (bare
+        # `0.1` IS xsd:decimal per the SPARQL grammar; only e-notation is
+        # xsd:double)
+        self._arith_lexical: set[str] = set()
+        self._num_consts: dict[str, tuple[str, str]] = {}
 
     # ------------------------------------------------------- tok helpers --
     def peek(self, k: int = 0) -> Tok:
@@ -804,8 +810,8 @@ class Parser:
             op = self.next().text
             right = self.expr_add()
             if self.dt_mode and (
-                str(left) in ARITH_LEXICAL_EXPRS
-                or str(right) in ARITH_LEXICAL_EXPRS
+                str(left) in self._arith_lexical
+                or str(right) in self._arith_lexical
             ):
                 # a typed-arithmetic result is numeric-VALUED even though
                 # its column type is string — compare by value; an
@@ -821,7 +827,10 @@ class Parser:
                 # typed term equality (see _typed_eq); only meaningful when
                 # the `__dt` companions ride the plan
                 lv, rv = _bare_var(left), _bare_var(right)
-                if self.dt_mode and lv and rv:
+                if (
+                    self.dt_mode and lv and rv
+                    and _has_dt_companion(lv) and _has_dt_companion(rv)
+                ):
                     eq = _typed_eq(lv, rv)
                     return eq if op == "=" else ~eq
             else:
@@ -835,7 +844,7 @@ class Parser:
                     left, right = iu
                 elif self.dt_mode:
                     lv, rv = _bare_var(left), _bare_var(right)
-                    if lv and rv:
+                    if lv and rv and _has_dt_companion(lv) and _has_dt_companion(rv):
                         # var-var ORDERING under dt tracking is typed:
                         # numerics compare by value ("2" < "10" for the
                         # reference's numeric extension types — fixture
@@ -925,12 +934,10 @@ class Parser:
         applies."""
         if not self.dt_mode or op == "/":
             return None
-        lv, rv = _bare_var(left), _bare_var(right)
-        if not (lv and rv):
+        ls, rs = self._arith_side(left), self._arith_side(right)
+        if ls is None or rs is None:
             return None
-        a, b = F.col(lv), F.col(rv)
-        adt = F.coalesce(F.col(f"{lv}__dt"), F.lit("string"))
-        bdt = F.coalesce(F.col(f"{rv}__dt"), F.lit("string"))
+        (a, adt), (b, bdt) = ls, rs
         exact = fn.EXACT_TAG(adt) & fn.EXACT_TAG(bdt)
         # multiplication: (38,12)x(38,12) would floor the result scale to
         # 6 under Spark's precision-loss rule (0.0001*0.0001 -> 0); the
@@ -947,13 +954,54 @@ class Parser:
         # branch types string/double unify to STRING (the engine's lexical
         # value model); downstream comparisons/arithmetic re-promote to
         # double via Spark's string-numeric coercion. Comparison sites and
-        # ConditionalBind look the result up in ARITH_LEXICAL_EXPRS to keep
-        # NUMERIC compare semantics for the string-typed column.
+        # ConditionalBind look the result up in _arith_lexical to keep
+        # NUMERIC compare semantics for the string-typed column. The exact
+        # branch also requires the RESULT be non-null: accumulated decimal
+        # overflow under non-ANSI yields NULL, which must DEMOTE to the
+        # double path, not render an unbound total (ADVICE r8).
+        res = f(ad, bd)
         out = F.when(
-            exact & ad.isNotNull() & bd.isNotNull(), fn.DEC_LEX(f(ad, bd))
+            exact & ad.isNotNull() & bd.isNotNull() & res.isNotNull(),
+            fn.DEC_LEX(res),
         ).otherwise(f(an, bn))
-        _note_arith_lexical(str(out))
+        self._arith_lexical.add(str(out))
         return out
+
+    def _order_key(self, e: Column) -> Column:
+        """A string-typed arith-lexical result used as an ORDER BY key
+        sorts by numeric VALUE, not lexical order ('10' before '9'): sort
+        keys demote to double (exactness past 2^53 doesn't survive a sort
+        key either way, matching the r8 numeric path)."""
+        return e.try_cast("double") if str(e) in self._arith_lexical else e
+
+    def _arith_side(self, col: Column):
+        """Resolve an arithmetic operand to (value, datatype-tag) columns,
+        or None when the operand can't ride the exact path:
+
+        - a pattern var -> its value + `__dt` companion;
+        - a hoisted typed aggregate (`__aggN` whose per-group `__aggN__dtc`
+          companion is pending) -> alias + companion, so
+          SELECT (SUM(?a)+SUM(?b) AS ?t) computes exactly instead of
+          raising UNRESOLVED_COLUMN `__agg0__dt` (ADVICE r8);
+        - a numeric constant the parse registered (bare decimal / typed
+          integer-family literal) -> its lexical + literal tag, so
+          `?p * 0.1` and `BIND(0.1 + 0.2 AS ?x)` stay BigDecimal-exact
+          (ADVICE r8; e-notation/xsd:double constants are deliberately NOT
+          registered — a double operand keeps the double path)."""
+        v = _bare_var(col)
+        if v is not None:
+            if _has_dt_companion(v):
+                return F.col(v), F.coalesce(F.col(f"{v}__dt"), F.lit("string"))
+            if v.startswith("__agg") and any(
+                a == f"{v}__dtc" for a, _ in self._pending_aggs
+            ):
+                return F.col(v), F.coalesce(F.col(f"{v}__dtc"), F.lit("string"))
+            return None
+        nc = self._num_consts.get(str(col))
+        if nc is not None:
+            lex, tag = nc
+            return F.lit(lex), F.lit(tag)
+        return None
 
     def expr_unary(self) -> Column:
         if self.at_op("-"):
@@ -993,22 +1041,39 @@ class Parser:
             return F.col(t.text[1:])
         if t.kind == "NUM":
             self.next()
-            return F.lit(float(t.text) if "." in t.text else int(t.text))
+            lit = F.lit(float(t.text) if "." in t.text else int(t.text))
+            if self.dt_mode and "e" not in t.text.lower():
+                # bare `0.1` is xsd:decimal, bare `2` xsd:integer per the
+                # SPARQL grammar (only e-notation is xsd:double): register
+                # for exact arithmetic (_arith_side); the Column itself
+                # stays the numeric lit every non-arith path expects
+                tag = "decimal" if "." in t.text else "long"
+                self._num_consts[str(lit)] = (t.text, tag)
+            return lit
         if t.kind == "STRING":
             # a literal term (maybe typed); compare by lexical form
             term = self.term()
             if term.dt == "long":
                 v = int(term.lex)
                 if -(2 ** 63) <= v <= 2 ** 63 - 1:
-                    return F.lit(v)
-                # xsd:integer is unbounded (BigInteger in the reference);
-                # beyond-long constants ride as DECIMAL literals (py4j
-                # cannot even ship the int)
-                from decimal import Decimal
+                    lit = F.lit(v)
+                else:
+                    # xsd:integer is unbounded (BigInteger in the
+                    # reference); beyond-long constants ride as DECIMAL
+                    # literals (py4j cannot even ship the int)
+                    from decimal import Decimal
 
-                return F.lit(Decimal(term.lex))
+                    lit = F.lit(Decimal(term.lex))
+                if self.dt_mode:
+                    self._num_consts[str(lit)] = (term.lex, "long")
+                return lit
             if term.dt in ("double", "decimal"):
-                return F.lit(float(term.lex))
+                lit = F.lit(float(term.lex))
+                if self.dt_mode and term.dt == "decimal":
+                    # declared ^^xsd:decimal constants ride the EXACT
+                    # arithmetic path (ADVICE r8); doubles stay double
+                    self._num_consts[str(lit)] = (term.lex, "decimal")
+                return lit
             if term.dt == _DATE_TAG:
                 # remember the DECLARED xsd:date constants so comparisons
                 # gate chronological semantics on the type, not the shape
@@ -1429,10 +1494,15 @@ class Parser:
                 dbl, dec_ = F.sum(x.try_cast("double")), F.sum(xd)
             else:
                 dbl, dec_ = F.avg(x.try_cast("double")), F.avg(xd)
+            # ACCUMULATED overflow of the exact sum (every member fits
+            # DECIMAL but the total doesn't) yields NULL under non-ANSI —
+            # that must DEMOTE the group to the double result, not render
+            # an unbound total (ADVICE r8); the any_big guard only covers
+            # per-ROW cast failures
             col = (
                 F.when(any_bad == 1, F.lit(None).cast("string"))
                 .when((any_dbl == 1) | (any_big == 1), dbl.cast("string"))
-                .otherwise(fn.DEC_LEX(dec_))
+                .otherwise(F.coalesce(fn.DEC_LEX(dec_), dbl.cast("string")))
             )
             # per-group promoted datatype (AVG of integers is xsd:decimal
             # per op:numeric-divide; SUM of integers stays integer)
@@ -1440,6 +1510,7 @@ class Parser:
             self._last_agg_dt = (
                 F.when(any_bad == 1, F.lit(None).cast("string"))
                 .when((any_dbl == 1) | (any_big == 1), F.lit("double"))
+                .when(dec_.isNull() & dbl.isNotNull(), F.lit("double"))
                 .when(any_dec == 1, F.lit("decimal"))
                 .otherwise(F.lit(int_tag))
             )
@@ -1679,7 +1750,11 @@ class Parser:
                     # the reference accepts it with ConditionalBind
                     # semantics (bind only where unbound, never filter) —
                     # see algebra.Extend.conditional
-                    node = A.Extend(base, v, e, conditional=v in _maybe_bound(base))
+                    node = A.Extend(
+                        base, v, e,
+                        conditional=v in _maybe_bound(base),
+                        arith_lexical=str(e) in self._arith_lexical,
+                    )
                     if term_dt is not None:  # STRLANG/STRDT: bind the dtype tag
                         node = A.Extend(
                             node,
@@ -1778,7 +1853,11 @@ class Parser:
                 (i for i, t in enumerate(pend) if not (set(t[3]) - placed)), 0
             )
             v, e, term_dt, _refs = pend.pop(idx)
-            out = A.Extend(out, v, e, conditional=v in placed)
+            out = A.Extend(
+                out, v, e,
+                conditional=v in placed,
+                arith_lexical=str(e) in self._arith_lexical,
+            )
             if term_dt is not None:
                 out = A.Extend(
                     out,
@@ -2253,7 +2332,7 @@ class Parser:
                         order_uses_aggs = True
                         self._pending_aggs = []
                     self.eat_op(")")
-                    order.append((e, asc))
+                    order.append((self._order_key(e), asc))
                 elif self.peek().kind == "VAR":
                     # STRING key (not a Column): lets the compiler apply the
                     # SPARQL operator-mapping order via the var's datatype
@@ -2280,7 +2359,7 @@ class Parser:
                         hidden_aggs.extend(self._pending_aggs)
                         order_uses_aggs = True
                         self._pending_aggs = []
-                    order.append((e, True))
+                    order.append((self._order_key(e), True))
                 else:
                     break
         having_flags += self._exists_flags  # EXISTS in ORDER BY exprs

@@ -145,7 +145,21 @@ def _select_tsv(df: DataFrame, cap: int | None = None) -> bytes:
             return s if s.startswith("_:") else f"<{s}>"
         if dt == "bnode":
             return s if s.startswith("_:") else f"_:{s}"
-        if dt in ("long", "double", "decimal", "boolean"):
+        if dt == "decimal":
+            # the bare Turtle short form reads back as xsd:decimal only
+            # when it carries a '.' — a canonical decimal with no
+            # fractional part ('5') would round-trip as xsd:integer, so it
+            # keeps the explicit datatype (ADVICE r8)
+            if "." in s:
+                return s
+            return f'"{s}"^^<http://www.w3.org/2001/XMLSchema#decimal>'
+        if dt == "double":
+            # Turtle's double short form requires an exponent; '7.0' bare
+            # would read back as xsd:decimal
+            if "e" in s or "E" in s:
+                return s
+            return f'"{s}"^^<http://www.w3.org/2001/XMLSchema#double>'
+        if dt in ("long", "boolean"):
             return s  # Turtle short forms are valid TSV terms
         quoted = (
             s.replace("\\", "\\\\").replace('"', '\\"')

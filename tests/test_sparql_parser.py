@@ -1022,3 +1022,116 @@ def test_xsd_date_value_comparison_bc_years(spark):
     # lexical: "-0486.." < "-0500.." ('4'<'5'), "-0523.." > "-0500..",
     # "0044.." > "-0500.." ('0'>'-') — chronological would give {e1}
     assert got3 == {"e2"}
+
+
+def _dt_store(spark, rows):
+    from blazegraph_database_spark.model.store import TripleStore
+
+    df = spark.createDataFrame(rows, "s string, p string, o_lex string, o_dt string")
+    return TripleStore(df).with_dt_tracking()
+
+
+def test_arith_over_aggregate_aliases(spark):
+    """SELECT (SUM(?a)+SUM(?b) AS ?t) under dt tracking: hoisted aggregate
+    aliases (__agg0) have a __dtc per-group companion, not __dt — the
+    typed-arith path must use it (exact result), never reference the
+    nonexistent __agg0__dt (ADVICE r8: AnalysisException UNRESOLVED_COLUMN)."""
+    from blazegraph_database_spark.plans.sparql_parser import run_sparql
+
+    st = _dt_store(spark, [
+        ("urn:x1", "urn:a", "3", "long"),
+        ("urn:x1", "urn:b", "4", "long"),
+        ("urn:x2", "urn:a", "0.1", "decimal"),
+        ("urn:x2", "urn:b", "0.2", "decimal"),
+    ])
+    q = """
+    SELECT ?s ((SUM(?a) + SUM(?b)) AS ?t) WHERE {
+      ?s <urn:a> ?a ; <urn:b> ?b .
+    } GROUP BY ?s ORDER BY ?s
+    """
+    got = {(r["s"], r["t"]) for r in run_sparql(st, q).collect()}
+    # integer groups stay integer-exact, decimal groups BigDecimal-exact
+    # (0.1 + 0.2 is 0.3, never 0.30000000000000004)
+    assert got == {("urn:x1", "7"), ("urn:x2", "0.3")}
+
+
+def test_arith_decimal_constants_exact(spark):
+    """Constant-involving arithmetic rides the exact path: bare `0.1` is
+    xsd:decimal per the SPARQL grammar, and ?v * 0.1 / BIND(0.1+0.2) must
+    not pick up binary double rounding (ADVICE r8)."""
+    from blazegraph_database_spark.plans.sparql_parser import run_sparql
+
+    st = _dt_store(spark, [("urn:x1", "urn:v", "0.3", "decimal")])
+    q = """
+    SELECT ?w ?c WHERE {
+      ?s <urn:v> ?v .
+      BIND((?v + 0.1) AS ?w)
+      BIND((0.1 + 0.2) AS ?c)
+    }
+    """
+    r = run_sparql(st, q).collect()[0]
+    assert (r["w"], r["c"]) == ("0.4", "0.3")
+    # declared xsd:double constants keep the double path
+    q2 = (
+        "PREFIX xsd: <http://www.w3.org/2001/XMLSchema#> "
+        'SELECT (("1.0"^^xsd:double + "2.0"^^xsd:double) AS ?d) '
+        "WHERE { ?s <urn:v> ?v }"
+    )
+    assert run_sparql(st, q2).collect()[0]["d"] == 3.0
+
+
+def test_arith_lexical_scoped_per_parse(spark):
+    """The numeric-valued-string annotation must not leak across queries:
+    a LATER query re-binding the same var names with a genuinely STRING
+    expression keeps string ConditionalBind semantics even if an earlier
+    query registered an arith expression (r8 VERDICT: the module-global
+    repr-keyed registry was a cross-query side channel)."""
+    from blazegraph_database_spark.plans.sparql_parser import (
+        Parser, parse_sparql_select,
+    )
+    import blazegraph_database_spark.plans.algebra as A
+
+    q1 = "SELECT ?t WHERE { ?s <urn:a> ?a ; <urn:b> ?b . BIND((?a + ?b) AS ?t) }"
+    p1 = Parser(q1, dt_mode=True)
+    p1.parse_select()
+    assert p1._arith_lexical  # the arith expr registered on THIS parser
+
+    # a second parse of a non-arith BIND: its Extend node must NOT carry
+    # the arith flag, whatever earlier parses registered
+    q2 = "SELECT ?t WHERE { ?s <urn:a> ?a ; <urn:b> ?b . BIND(CONCAT(?a, ?b) AS ?t) }"
+    node = parse_sparql_select(q2, dt_mode=True)
+    flags = []
+
+    def walk(n):
+        if isinstance(n, A.Extend):
+            flags.append(n.arith_lexical)
+        for attr in ("child", "left", "right"):
+            c = getattr(n, attr, None)
+            if c is not None and hasattr(c, "__class__") and not isinstance(c, (str, tuple)):
+                try:
+                    walk(c)
+                except RecursionError:
+                    pass
+
+    walk(node)
+    assert flags and not any(flags)
+    # and no module-global registry exists anymore
+    import blazegraph_database_spark.plans.sparql_parser as sp
+    assert not hasattr(sp, "ARITH_LEXICAL_EXPRS")
+
+
+def test_typed_sum_overflow_demotes_to_double(spark):
+    """A group whose members all fit DECIMAL(38,12) but whose TOTAL
+    overflows it must demote to the double result, not render an unbound
+    total (ADVICE r8: non-ANSI decimal sum overflow yields NULL)."""
+    from blazegraph_database_spark.plans.sparql_parser import run_sparql
+
+    big = str(10 ** 25)  # fits DEC_T (26 integer digits); 2 of them overflow
+    st = _dt_store(spark, [
+        ("urn:x1", "urn:v", big, "long"),
+        ("urn:x2", "urn:v", big, "long"),
+    ])
+    q = "SELECT (SUM(?v) AS ?t) WHERE { ?s <urn:v> ?v }"
+    r = run_sparql(st, q).collect()[0]
+    assert r["t"] is not None
+    assert abs(float(r["t"]) - 2e25) / 2e25 < 1e-9
