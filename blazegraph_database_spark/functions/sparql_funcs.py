@@ -45,26 +45,41 @@ DEC_T = "decimal(38,12)"  # 26 integer digits + 12 fractional: money-scale safe
 # XSDNumericIV distinguishes byte/short/int/long + unsigned variants as
 # different IVs) but still behaves NUMERICALLY by value in comparisons,
 # ordering, and aggregation (CompareBOp/IVUtility.numericalCompare).
-_XSD_NUM_DT_RX = (
+# xsd:float joins them in round 9 (the last deliberate §4 collapse:
+# XSDNumericIV keeps float distinct from double) — numeric-by-value but
+# NOT exact (it's a floating family, like double).
+_XSD_EXACT_DT_RX = (
     r"^dt:http://www\.w3\.org/2001/XMLSchema#"
     r"(int|long|short|byte|unsignedLong|unsignedInt|unsignedShort|"
     r"unsignedByte|nonNegativeInteger|positiveInteger|negativeInteger|"
     r"nonPositiveInteger)$"
 )
+_XSD_NUM_DT_RX = (
+    r"^dt:http://www\.w3\.org/2001/XMLSchema#"
+    r"(int|long|short|byte|unsignedLong|unsignedInt|unsignedShort|"
+    r"unsignedByte|nonNegativeInteger|positiveInteger|negativeInteger|"
+    r"nonPositiveInteger|float)$"
+)
+
+
+# the float identity tag (numeric-by-value, INEXACT — aggregation and
+# arithmetic treat it like double)
+XSD_FLOAT_DT = "dt:http://www.w3.org/2001/XMLSchema#float"
 
 
 def NUM_TAG(dt) -> Column:
     """True when the dtype tag denotes a NUMERIC literal family —
-    first-class numeric tags plus the XSD sized-int identity tags."""
+    first-class numeric tags plus the XSD sized-int + float identity tags."""
     d = _c(dt)
     return d.isin("long", "double", "decimal") | d.rlike(_XSD_NUM_DT_RX)
 
 
 def EXACT_TAG(dt) -> Column:
     """True for EXACT numeric families (integer/decimal/sized-int) — the
-    BigDecimal-arithmetic path applies; double is the only inexact tag."""
+    BigDecimal-arithmetic path applies; double and float are the inexact
+    tags."""
     d = _c(dt)
-    return d.isin("long", "decimal") | d.rlike(_XSD_NUM_DT_RX)
+    return d.isin("long", "decimal") | d.rlike(_XSD_EXACT_DT_RX)
 
 
 def DEC_LEX(c) -> Column:
@@ -362,7 +377,7 @@ def STRDT_TAG(dt_iri: str) -> str:
     unknown IRIs collapsed to the plain-string tag)."""
     return {
         _XSD + "integer": "long",
-        _XSD + "double": "double", _XSD + "float": "double",
+        _XSD + "double": "double",
         _XSD + "decimal": "decimal",
         _XSD + "boolean": "boolean", _XSD + "dateTime": "timestamp",
         _XSD + "string": "string",

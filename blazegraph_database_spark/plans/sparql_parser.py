@@ -619,11 +619,11 @@ class Parser:
                 )
                 tag = {
                     "http://www.w3.org/2001/XMLSchema#integer": "long",
-                    # xsd:int/long keep dt:<iri> term identity (round 8;
-                    # matches the readers — see sources/ntriples._XSD_DT)
+                    # xsd:int/long — and xsd:float since round 9 — keep
+                    # dt:<iri> term identity (matches the readers — see
+                    # sources/ntriples._XSD_DT)
                     "http://www.w3.org/2001/XMLSchema#double": "double",
                     "http://www.w3.org/2001/XMLSchema#decimal": "decimal",
-                    "http://www.w3.org/2001/XMLSchema#float": "double",
                     "http://www.w3.org/2001/XMLSchema#boolean": "boolean",
                     "http://www.w3.org/2001/XMLSchema#dateTime": "timestamp",
                     "http://www.w3.org/2001/XMLSchema#string": "string",
@@ -1114,12 +1114,15 @@ class Parser:
                 # previous untagged behavior. The sized-int family carries
                 # dt:<iri> IDENTITY tags (TestCustomTypeCasts: DATATYPE of
                 # xsd:long(...) is xsd:long, not xsd:integer).
-                if local in _SIZED_INT_RANGES:
+                if local in _SIZED_INT_RANGES or local == "float":
+                    # float joins the identity-tag constructors in r9
+                    # (XSDNumericIV float distinctness: DATATYPE of
+                    # xsd:float(...) is xsd:float, not xsd:double)
                     cast_tag = f"dt:http://www.w3.org/2001/XMLSchema#{local}"
                 else:
                     cast_tag = {
                         "integer": "long", "nonNegativeInteger": "long",
-                        "double": "double", "float": "double",
+                        "double": "double",
                         "decimal": "decimal", "string": "string",
                     }.get(local)
                 if self.dt_mode and cast_tag is not None:
@@ -1130,6 +1133,10 @@ class Parser:
                     # the value is computed in DECIMAL and rendered
                     # canonically, never through a double
                     return fn.DEC_LEX(e.try_cast(fn.DEC_T))
+                if local == "float":
+                    # 32-bit value semantics: round through FloatType and
+                    # render Float.toString-style (Spark's float-to-string)
+                    return e.try_cast("float").cast("string")
                 if local in _SIZED_INT_RANGES:
                     # range-validated (ref: the XSDNumericIV casts REJECT
                     # out-of-range lexicals — type_cast_long's 2^63 row
@@ -1478,7 +1485,14 @@ class Parser:
             xdt = F.coalesce(F.col(f"{v}__dt"), F.lit("string"))
             valid = fn.NUM_TAG(xdt) & x.try_cast("double").isNotNull()
             any_bad = F.max(F.when(x.isNotNull() & ~valid, 1).otherwise(0))
-            any_dbl = F.max(F.when(x.isNotNull() & (xdt == "double"), 1).otherwise(0))
+            # float members demote the group like double members do (r9:
+            # xsd:float is an identity tag but an INEXACT numeric family)
+            any_dbl = F.max(
+                F.when(
+                    x.isNotNull() & ((xdt == "double") | (xdt == fn.XSD_FLOAT_DT)),
+                    1,
+                ).otherwise(0)
+            )
             any_dec = F.max(
                 F.when(x.isNotNull() & (xdt == "decimal"), 1).otherwise(0)
             )

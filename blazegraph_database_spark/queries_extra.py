@@ -2299,3 +2299,50 @@ def decimal_exact_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "{ ?li <li#flag> ?f . ?li <li#price> ?p } GROUP BY ?f ORDER BY ?f",
     )
     return out.select("f", "total")
+
+
+@register(
+    "float_identity",
+    """
+    SELECT 'c:' || c_custkey AS c,
+           'http://www.w3.org/2001/XMLSchema#float' AS fdt,
+           CAST(c_acctbal AS DOUBLE) AS v
+    FROM customer
+    WHERE c_acctbal = CAST(c_acctbal AS DOUBLE)  -- always true; mirrors the typed filter
+    ORDER BY c
+    """,
+)
+def float_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """xsd:float first-class TERM IDENTITY (round 9; ref: internal/impl/
+    literal/XSDNumericIV.java — float is a distinct IV class, never folded
+    into double): every customer stores its balance twice, once
+    ^^xsd:float and once ^^xsd:double. DATATYPE(?f) must report xsd:float
+    (identity kept through load + query), while FILTER(?f = ?d) compares
+    by numeric VALUE across the two families (CompareBOp promotion) — all
+    rows survive, each tagged with the float datatype IRI."""
+    from blazegraph_database_spark.plans.sparql_parser import run_sparql
+
+    cust = read_parquet(spark, f"{sf_dir}/customer.parquet")
+    bal = F.col("c_acctbal").cast("string")
+    f_side = cust.select(
+        F.concat(F.lit("c:"), F.col("c_custkey")).alias("s"),
+        F.lit("c#balF").alias("p"),
+        bal.alias("o_lex"),
+        F.lit("dt:http://www.w3.org/2001/XMLSchema#float").alias("o_dt"),
+    )
+    d_side = cust.select(
+        F.concat(F.lit("c:"), F.col("c_custkey")).alias("s"),
+        F.lit("c#balD").alias("p"),
+        bal.alias("o_lex"),
+        F.lit("double").alias("o_dt"),
+    )
+    st = TripleStore(f_side.unionByName(d_side)).with_dt_tracking()
+    out = run_sparql(
+        st,
+        """
+        SELECT ?c (DATATYPE(?f) AS ?fdt) (?f + 0.0 AS ?v) WHERE {
+          ?c <c#balF> ?f . ?c <c#balD> ?d . FILTER(?f = ?d)
+        } ORDER BY ?c
+        """,
+    )
+    return out.select("c", "fdt", F.col("v").cast("double").alias("v"))

@@ -41,10 +41,10 @@ _XSD_DT = {
     "http://www.w3.org/2001/XMLSchema#double": "double",
     # xsd:decimal is a FIRST-CLASS tag (round 8; ref: internal/impl/literal/
     # XSDDecimalIV.java — the reference keeps BigDecimal identity/scale,
-    # distinct from double): exact-arithmetic paths key off it. xsd:float
-    # stays collapsed into double (SURVEY §4).
+    # distinct from double). xsd:float keeps dt:<iri> TERM IDENTITY like
+    # the sized-int family (round 9; XSDNumericIV float is a distinct IV)
+    # — the typed value model treats the float dt: tag as numeric-by-value.
     "http://www.w3.org/2001/XMLSchema#decimal": "decimal",
-    "http://www.w3.org/2001/XMLSchema#float": "double",
     "http://www.w3.org/2001/XMLSchema#boolean": "boolean",
     "http://www.w3.org/2001/XMLSchema#dateTime": "timestamp",
     "http://www.w3.org/2001/XMLSchema#string": "string",
@@ -525,7 +525,9 @@ def read_turtle_subset(spark: SparkSession, path: str) -> DataFrame:
                 elif ":" in dt_iri:
                     pfx, local = dt_iri.split(":", 1)
                     dt_iri = prefixes.get(pfx, pfx + ":") + local
-                return lex, _XSD_DT.get(dt_iri, "string")
+                # unknown (and identity-family: sized-int/float) datatype
+                # IRIs keep dt:<iri> term identity, same as typed_lex
+                return lex, _XSD_DT.get(dt_iri) or f"dt:{dt_iri}"
             return lex, "string"
         pfx, local = tok.split(":", 1)
         return prefixes.get(pfx, pfx + ":") + local, "iri"

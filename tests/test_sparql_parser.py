@@ -1135,3 +1135,51 @@ def test_typed_sum_overflow_demotes_to_double(spark):
     r = run_sparql(st, q).collect()[0]
     assert r["t"] is not None
     assert abs(float(r["t"]) - 2e25) / 2e25 < 1e-9
+
+
+def test_float_identity_tag(spark):
+    """xsd:float is a first-class IDENTITY tag (round 9; ref: XSDNumericIV
+    float distinctness): DATATYPE reports xsd:float, the cast constructor
+    tags its result, float-vs-double compares by VALUE, and a float member
+    demotes a typed SUM group to the double path (inexact family)."""
+    from blazegraph_database_spark.plans.sparql_parser import run_sparql
+
+    ftag = "dt:http://www.w3.org/2001/XMLSchema#float"
+    st = _dt_store(spark, [
+        ("urn:x1", "urn:f", "1.5", ftag),
+        ("urn:x1", "urn:d", "1.5", "double"),
+        ("urn:x1", "urn:v", "2.5", ftag),
+        ("urn:x1", "urn:v", "0.1", "decimal"),
+    ])
+    q = """
+    PREFIX xsd: <http://www.w3.org/2001/XMLSchema#>
+    SELECT (DATATYPE(?f) AS ?fdt) (xsd:float(?d) AS ?fc) (DATATYPE(?fc) AS ?cdt)
+    WHERE { ?s <urn:f> ?f ; <urn:d> ?d . FILTER(?f = ?d) }
+    """
+    r = run_sparql(st, q).collect()
+    assert len(r) == 1  # float = double compares numerically, not type-error
+    assert r[0]["fdt"] == "http://www.w3.org/2001/XMLSchema#float"
+    assert r[0]["fc"] == "1.5" and r[0]["cdt"] == "http://www.w3.org/2001/XMLSchema#float"
+    # a float member is INEXACT: the group demotes to double accumulation
+    # (no decimal-exact "2.6"; the double sum prints the binary artifact)
+    tot = run_sparql(
+        st, "SELECT (SUM(?v) AS ?t) WHERE { ?s <urn:v> ?v }"
+    ).collect()[0]["t"]
+    assert tot is not None and abs(float(tot) - 2.6) < 1e-9
+
+
+def test_float_roundtrips_ntriples(spark, tmp_path):
+    """A ^^xsd:float literal survives N-Triples write -> read with its
+    identity tag (previously collapsed to double on load)."""
+    from blazegraph_database_spark.sources import ntriples
+
+    p = str(tmp_path / "f.nt")
+    with open(p, "w") as fh:
+        fh.write(
+            '<urn:s> <urn:p> "1.5"^^<http://www.w3.org/2001/XMLSchema#float> .\n'
+        )
+    df = ntriples.read_ntriples(spark, p)
+    row = df.collect()[0]
+    assert (row["o_lex"], row["o_dt"]) == (
+        "1.5", "dt:http://www.w3.org/2001/XMLSchema#float"
+    )
