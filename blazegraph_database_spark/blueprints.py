@@ -46,6 +46,55 @@ def _edge_sid(out_v: str, label: str, in_v: str) -> str:
     return f"<<{out_v}|{EDGE_NS}{label}|{in_v}|iri>>"
 
 
+class GraphListener:
+    """Graph change-event listener (ref: bigdata-blueprints/src/main/java/
+    com/bigdata/blueprints/BigdataGraphListener.java:35 — graphEdited +
+    transaction lifecycle callbacks on BigdataGraphEmbedded). DataFrame-
+    valued here: ``graph_edited`` receives the EDIT SET of one commit as a
+    Δ-sized DataFrame ``(action, element, id, label, name, value)`` with
+    action in {'added','removed'} and element in {'vertex','edge',
+    'property'} — derived from the store's MVCC changelog, never a per-row
+    driver callback (the reference's notify() loop materializes each
+    record on the driver; a 100-TB commit delta stays distributed here)."""
+
+    def graph_edited(self, edits: DataFrame) -> None:  # pragma: no cover
+        pass
+
+    def transaction_begin(self) -> None:
+        pass
+
+    def transaction_committed(self, commit: int) -> None:
+        pass
+
+    def transaction_aborted(self) -> None:
+        pass
+
+
+class MutationListener(GraphListener):
+    """Counting listener (ref: bigdata-blueprints/.../MutationListener.java:7
+    — IChangeLog counters nInserted/nRemoved): tallies edit records per
+    action with ONE aggregation job per commit delta, no row collect."""
+
+    def __init__(self) -> None:
+        self.clear()
+
+    def clear(self) -> None:
+        self.n_inserted = 0
+        self.n_removed = 0
+        self.n_commits = 0
+
+    def graph_edited(self, edits: DataFrame) -> None:
+        counts = {
+            r["action"]: r["n"]
+            for r in edits.groupBy("action").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        self.n_inserted += counts.get("added", 0)
+        self.n_removed += counts.get("removed", 0)
+
+    def transaction_committed(self, commit: int) -> None:
+        self.n_commits += 1
+
+
 class PropertyGraph:
     """Blueprints-style facade: addVertex/addEdge/properties/traversals."""
 
@@ -53,6 +102,48 @@ class PropertyGraph:
         self.store = (
             store if isinstance(store, UpdatableStore) else UpdatableStore.from_store(store)
         )
+        self._listeners: list[GraphListener] = []
+
+    # ---------------------------------------------------------- listeners --
+    def add_listener(self, listener: GraphListener) -> None:
+        """Register a change-event listener (ref: BigdataGraphEmbedded
+        addListener; events fire on every facade mutation commit)."""
+        self._listeners.append(listener)
+
+    def remove_listener(self, listener: GraphListener) -> None:
+        self._listeners.remove(listener)
+
+    def _graph_edits(self, since: int) -> DataFrame:
+        """Triple-level changelog rows of commits after ``since`` →
+        property-graph edit records (ref: BigdataGraphEmbedded.toGraphAtom
+        — statement → vertex/edge/property atom)."""
+        log = self.store.changelog(since=since)
+        p = F.col("p")
+        element = (
+            F.when((p == RDF_TYPE) & (F.col("o_lex") == VERTEX_TYPE), "vertex")
+            .when(p.startswith(EDGE_NS), "edge")
+            .when(p.startswith(PROP_NS), "property")
+        )
+        return log.filter(element.isNotNull()).select(
+            "action",
+            element.alias("element"),
+            F.col("s").alias("id"),
+            F.when(p.startswith(EDGE_NS), F.expr(f"substring(p, {len(EDGE_NS) + 1})"))
+            .alias("label"),
+            F.when(p.startswith(PROP_NS), F.expr(f"substring(p, {len(PROP_NS) + 1})"))
+            .alias("name"),
+            F.when(~((p == RDF_TYPE) & (F.col("o_lex") == VERTEX_TYPE)), F.col("o_lex"))
+            .alias("value"),
+        )
+
+    def _notify(self, since: int) -> None:
+        if not self._listeners:
+            return
+        edits = self._graph_edits(since)
+        commit = len(self.store.versions) - 1
+        for lst in self._listeners:
+            lst.graph_edited(edits)
+            lst.transaction_committed(commit)
 
     @property
     def df(self) -> DataFrame:
@@ -63,9 +154,18 @@ class PropertyGraph:
         return self.store.current.spark
 
     def _insert(self, rows: list[tuple]) -> None:
+        before = len(self.store.versions) - 1
         self.store.insert_data(
             self.spark.createDataFrame(rows, ", ".join(f"{c} string" for c in TRIPLE_COLS))
         )
+        self._notify(before)
+
+    def insert_triples(self, triples: DataFrame) -> None:
+        """Bulk statement insert through the facade (listener-notified) —
+        the BigdataGraphBulkLoad commit path lands here."""
+        before = len(self.store.versions) - 1
+        self.store.insert_data(triples.select(*TRIPLE_COLS))
+        self._notify(before)
 
     # ------------------------------------------------------------- writes --
     def add_vertex(self, vid: str, **props) -> str:
@@ -87,7 +187,9 @@ class PropertyGraph:
             ((F.col("s") == out_v) & (F.col("p") == EDGE_NS + label) & (F.col("o_lex") == in_v))
             | (F.col("s") == sid)  # edge properties ride along
         )
+        before = len(self.store.versions) - 1
         self.store.delete_data(doomed.select(*TRIPLE_COLS))
+        self._notify(before)
 
     # -------------------------------------------------------------- reads --
     def vertices(self) -> DataFrame:
@@ -152,3 +254,105 @@ class PropertyGraph:
     def as_gas_edges(self, label: str | None = None) -> DataFrame:
         """(src, dst) edge list for operators/gas (BFS/SSSP/CC/PageRank)."""
         return self.edges(label).select(F.col("out").alias("src"), F.col("in").alias("dst"))
+
+
+class PropertyGraphBulkLoad:
+    """Bulk-load facade (ref: bigdata-blueprints/.../BigdataGraphBulkLoad.
+    java:55 — addVertex/addEdge/setProperty buffer into an unisolated
+    connection with incremental inference off; nothing is visible until
+    commit()). Spark-first twin: per-call additions buffer as LOCAL row
+    lists, DataFrame-native loads buffer as unevaluated plans, and
+    ``commit()`` lands EVERYTHING as ONE insert_data (one union, one
+    version, one listener notification) — the DataLoader-style path, not
+    one commit per element.
+
+    ``load_vertices`` / ``load_edges`` map RELATIONAL DataFrames onto the
+    property-graph triple encoding wholesale (column expressions only), so
+    a 100-TB vertex table never routes through driver-side buffers."""
+
+    def __init__(self, graph: PropertyGraph):
+        self.graph = graph
+        self._rows: list[tuple] = []
+        self._dfs: list[DataFrame] = []
+
+    # ------------------------------------------------- element buffering --
+    def add_vertex(self, vid: str, **props) -> str:
+        self._rows.append((vid, RDF_TYPE, VERTEX_TYPE, "iri"))
+        self._rows += [(vid, PROP_NS + k, *_lit(v)) for k, v in props.items()]
+        return vid
+
+    def add_edge(self, out_v: str, label: str, in_v: str, **props) -> str:
+        self._rows.append((out_v, EDGE_NS + label, in_v, "iri"))
+        sid = _edge_sid(out_v, label, in_v)
+        self._rows += [(sid, PROP_NS + k, *_lit(v)) for k, v in props.items()]
+        return sid
+
+    def set_property(self, element_id: str, name: str, value) -> None:
+        """Vertex or edge-sid property (ref: BigdataGraphBulkLoad.
+        setProperty:219 — note the reference's bulk path APPENDS without
+        cleaning old values; so does this, matching its semantics)."""
+        self._rows.append((element_id, PROP_NS + name, *_lit(value)))
+
+    # --------------------------------------------- DataFrame-native loads --
+    def load_vertices(
+        self, df: DataFrame, id_col: str, prop_cols: list[str] | None = None
+    ) -> None:
+        """Map a relational DataFrame to vertices + properties (expressions
+        only; the DataLoader analog for the property-graph encoding)."""
+        vid = F.col(id_col).cast("string")
+        parts = [
+            df.select(
+                vid.alias("s"), F.lit(RDF_TYPE).alias("p"),
+                F.lit(VERTEX_TYPE).alias("o_lex"), F.lit("iri").alias("o_dt"),
+            )
+        ]
+        for c in prop_cols or []:
+            dt = dict(df.dtypes)[c]
+            tag = (
+                "long" if dt in ("bigint", "int", "smallint", "tinyint")
+                else "double" if dt in ("double", "float")
+                else "boolean" if dt == "boolean" else "string"
+            )
+            parts.append(
+                df.filter(F.col(c).isNotNull()).select(
+                    vid.alias("s"), F.lit(PROP_NS + c).alias("p"),
+                    F.col(c).cast("string").alias("o_lex"), F.lit(tag).alias("o_dt"),
+                )
+            )
+        from functools import reduce
+
+        self._dfs.append(reduce(lambda a, b: a.unionByName(b), parts))
+
+    def load_edges(self, df: DataFrame, src_col: str, dst_col: str, label: str) -> None:
+        self._dfs.append(
+            df.select(
+                F.col(src_col).cast("string").alias("s"),
+                F.lit(EDGE_NS + label).alias("p"),
+                F.col(dst_col).cast("string").alias("o_lex"),
+                F.lit("iri").alias("o_dt"),
+            )
+        )
+
+    # --------------------------------------------------------------- txn --
+    def commit(self) -> None:
+        """Land every buffered element/load as ONE store commit (ref:
+        BigdataGraphBulkLoad.commit:78)."""
+        parts = list(self._dfs)
+        if self._rows:
+            parts.append(
+                self.graph.spark.createDataFrame(
+                    self._rows, ", ".join(f"{c} string" for c in TRIPLE_COLS)
+                )
+            )
+        if not parts:
+            return
+        from functools import reduce
+
+        self.graph.insert_triples(reduce(lambda a, b: a.unionByName(b), parts))
+        self._rows, self._dfs = [], []
+
+    def rollback(self) -> None:
+        """Discard the buffer (nothing reached the store before commit)."""
+        for lst in self.graph._listeners:
+            lst.transaction_aborted()
+        self._rows, self._dfs = [], []
