@@ -356,3 +356,144 @@ class PropertyGraphBulkLoad:
         for lst in self.graph._listeners:
             lst.transaction_aborted()
         self._rows, self._dfs = [], []
+
+
+class PropertyGraphClient:
+    """Remote property graph over a SPARQL REST endpoint (ref:
+    bigdata-blueprints/.../BigdataGraphClient.java:57 — a BigdataGraph
+    whose reads/writes go through BigdataSailRemoteRepository against a
+    NanoSparqlServer URL). Same facade surface as the embedded
+    PropertyGraph, but every read is a SPARQL SELECT over HTTP (results
+    parsed from SPARQL 1.1 JSON) and every write a SPARQL UPDATE — no
+    local SparkSession required on the client side; the server (this
+    repo's server/rest.py or any SPARQL 1.1 endpoint using the same
+    pg: encoding) does the distributed work. Reads return bounded
+    driver-side lists, exactly the reference client's materialization
+    contract (the endpoint caps oversized results)."""
+
+    def __init__(self, endpoint_url: str):
+        # endpoint_url: e.g. http://127.0.0.1:9999 (".../sparql" appended)
+        self.url = endpoint_url.rstrip("/")
+        if not self.url.endswith("/sparql"):
+            self.url += "/sparql"
+
+    # ---------------------------------------------------------- transport --
+    def _select(self, query: str) -> list[dict]:
+        import json
+        import urllib.parse
+        import urllib.request
+
+        req = urllib.request.Request(
+            f"{self.url}?query={urllib.parse.quote(query)}",
+            headers={"Accept": "application/sparql-results+json"},
+        )
+        with urllib.request.urlopen(req) as resp:
+            data = json.loads(resp.read())
+        out = []
+        for b in data["results"]["bindings"]:
+            out.append({k: v.get("value") for k, v in b.items()})
+        return out
+
+    def _update(self, text: str) -> None:
+        import urllib.parse
+        import urllib.request
+
+        body = urllib.parse.urlencode({"update": text}).encode()
+        req = urllib.request.Request(
+            self.url, data=body,
+            headers={"Content-Type": "application/x-www-form-urlencoded"},
+        )
+        urllib.request.urlopen(req).read()
+
+    @staticmethod
+    def _term(v) -> str:
+        """Render a Python value as a SPARQL literal matching the embedded
+        facade's _lit datatype tags (int→xsd:integer, bool→boolean,
+        float→explicit ^^xsd:double so it doesn't parse as xsd:decimal)."""
+        if isinstance(v, bool):
+            return "true" if v else "false"
+        if isinstance(v, int):
+            return str(v)
+        if isinstance(v, float):
+            return f'"{v}"^^<http://www.w3.org/2001/XMLSchema#double>'
+        s = str(v).replace("\\", "\\\\").replace('"', '\\"')
+        return f'"{s}"'
+
+    # ------------------------------------------------------------- writes --
+    def add_vertex(self, vid: str, **props) -> str:
+        lines = [f"<{vid}> <{RDF_TYPE}> <{VERTEX_TYPE}> ."]
+        lines += [
+            f"<{vid}> <{PROP_NS}{k}> {self._term(v)} ." for k, v in props.items()
+        ]
+        self._update("INSERT DATA { " + " ".join(lines) + " }")
+        return vid
+
+    def add_edge(self, out_v: str, label: str, in_v: str, **props) -> str:
+        edge = f"<{out_v}> <{EDGE_NS}{label}> <{in_v}>"
+        lines = [edge + " ."]
+        lines += [
+            f"<< {edge} >> <{PROP_NS}{k}> {self._term(v)} ."
+            for k, v in props.items()
+        ]
+        self._update("INSERT DATA { " + " ".join(lines) + " }")
+        return _edge_sid(out_v, label, in_v)
+
+    def remove_edge(self, out_v: str, label: str, in_v: str) -> None:
+        edge = f"<{out_v}> <{EDGE_NS}{label}> <{in_v}>"
+        # two requests: a joint pattern would require the edge to HAVE
+        # properties before the statement itself could match
+        self._update("DELETE WHERE { << " + edge + " >> ?p ?o }")
+        self._update("DELETE DATA { " + edge + " . }")
+
+    # -------------------------------------------------------------- reads --
+    def vertices(self) -> list[str]:
+        rows = self._select(
+            f"SELECT ?id WHERE {{ ?id <{RDF_TYPE}> <{VERTEX_TYPE}> }}"
+        )
+        return sorted(r["id"] for r in rows)
+
+    def vertex(self, vid: str) -> dict:
+        rows = self._select(
+            f'SELECT ?p ?o WHERE {{ <{vid}> ?p ?o . '
+            f'FILTER(STRSTARTS(STR(?p), "{PROP_NS}")) }}'
+        )
+        return {r["p"][len(PROP_NS):]: r["o"] for r in rows}
+
+    def edges(self, label: str | None = None) -> list[tuple]:
+        if label is not None:
+            rows = self._select(
+                f"SELECT ?out ?in WHERE {{ ?out <{EDGE_NS}{label}> ?in }}"
+            )
+            return sorted((r["out"], label, r["in"]) for r in rows)
+        rows = self._select(
+            f'SELECT ?out ?p ?in WHERE {{ ?out ?p ?in . '
+            f'FILTER(STRSTARTS(STR(?p), "{EDGE_NS}")) }}'
+        )
+        return sorted((r["out"], r["p"][len(EDGE_NS):], r["in"]) for r in rows)
+
+    def edge_properties(self, out_v: str, label: str, in_v: str) -> dict:
+        rows = self._select(
+            f"SELECT ?p ?o WHERE {{ << <{out_v}> <{EDGE_NS}{label}> <{in_v}> >> ?p ?o "
+            f'FILTER(STRSTARTS(STR(?p), "{PROP_NS}")) }}'
+        )
+        return {r["p"][len(PROP_NS):]: r["o"] for r in rows}
+
+    def out_neighbors(self, vid: str, label: str | None = None) -> list[str]:
+        if label is not None:
+            rows = self._select(f"SELECT ?id WHERE {{ <{vid}> <{EDGE_NS}{label}> ?id }}")
+        else:
+            rows = self._select(
+                f'SELECT ?id WHERE {{ <{vid}> ?p ?id . '
+                f'FILTER(STRSTARTS(STR(?p), "{EDGE_NS}")) }}'
+            )
+        return sorted(r["id"] for r in rows)
+
+    def in_neighbors(self, vid: str, label: str | None = None) -> list[str]:
+        if label is not None:
+            rows = self._select(f"SELECT ?id WHERE {{ ?id <{EDGE_NS}{label}> <{vid}> }}")
+        else:
+            rows = self._select(
+                f'SELECT ?id WHERE {{ ?id ?p <{vid}> . '
+                f'FILTER(STRSTARTS(STR(?p), "{EDGE_NS}")) }}'
+            )
+        return sorted(r["id"] for r in rows)

@@ -160,3 +160,46 @@ def test_bulk_load_rollback(spark):
     bl.rollback()
     bl.commit()
     assert g.vertices().count() == 0
+
+
+def test_property_graph_client_over_rest(spark):
+    """Remote graph client (ref: BigdataGraphClient.java:57 — the
+    blueprints facade over a SPARQL endpoint URL): writes are SPARQL
+    UPDATEs, reads SPARQL SELECTs over real HTTP; interoperates with the
+    embedded facade's pg: encoding (same store, same statement ids)."""
+    from blazegraph_database_spark.blueprints import PropertyGraphClient
+    from blazegraph_database_spark.server import SparqlEndpoint, start_background
+    from blazegraph_database_spark.update.update import UpdatableStore
+
+    store = UpdatableStore.from_store(_empty_store(spark))
+    ep = SparqlEndpoint(spark, store)
+    srv, port = start_background(ep)
+    try:
+        c = PropertyGraphClient(f"http://127.0.0.1:{port}")
+        c.add_vertex("v:a", name="Alice", age=30)
+        c.add_vertex("v:b", name="Bob")
+        sid = c.add_edge("v:a", "knows", "v:b", weight=1.5, since=2020)
+        assert sid == "<<v:a|pg:edge:knows|v:b|iri>>"
+
+        assert c.vertices() == ["v:a", "v:b"]
+        assert c.vertex("v:a") == {"name": "Alice", "age": "30"}
+        assert c.edges() == [("v:a", "knows", "v:b")]
+        assert c.edges("knows") == [("v:a", "knows", "v:b")]
+        assert c.edge_properties("v:a", "knows", "v:b") == {
+            "weight": "1.5", "since": "2020",
+        }
+        assert c.out_neighbors("v:a") == ["v:b"]
+        assert c.in_neighbors("v:b", "knows") == ["v:a"]
+
+        # the embedded facade sees the client's writes (same store/ids)
+        g = PropertyGraph(store)
+        assert g.edge_properties("v:a", "knows", "v:b") == {
+            "weight": "1.5", "since": "2020",
+        }
+
+        c.remove_edge("v:a", "knows", "v:b")
+        assert c.edges() == []
+        assert c.edge_properties("v:a", "knows", "v:b") == {}
+        assert c.vertices() == ["v:a", "v:b"]  # vertices untouched
+    finally:
+        srv.shutdown()
