@@ -675,3 +675,26 @@ def test_line_dedup_no_cartesian_no_window(spark):
     assert "CartesianProduct" not in p
     assert "Window" not in p
     assert "HashAggregate" in p
+
+
+def test_ntriples_parse_plan_stays_linear(spark, tmp_path):
+    """The NT object-term parse must remain STAGED (named intermediates,
+    each reused piece a leaf AttributeReference): the r8 single-expression
+    form duplicated the unescape chain ~30x and Catalyst re-analyzed that
+    tree for EVERY query over the loaded store, 1.7x-ing BSBM plan cost.
+    Pin linearity by counting unescape-chain sentinel regexes in the
+    analyzed plan: each must appear ONCE, not once per reuse site."""
+    from blazegraph_database_spark.sources import ntriples
+
+    p = str(tmp_path / "lin.nt")
+    with open(p, "w") as fh:
+        fh.write('<a> <p> "x" .\n')
+    df = ntriples.read_ntriples(spark, p)
+    plan = df._jdf.queryExecution().analyzed().toString()
+    # the quoted-literal extraction regex marks the head of the unescape
+    # chain; staged = exactly one occurrence
+    assert plan.count('[^\\"\\\\]') <= 1 or plan.count('[^"\\\\]') <= 1, (
+        "unescape chain duplicated in the analyzed NT parse plan"
+    )
+    # the calendar-validation regex likewise appears once
+    assert plan.count("0[13578]") == 1
