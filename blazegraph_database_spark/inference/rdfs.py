@@ -792,10 +792,37 @@ def property_chain_closure(df: DataFrame, max_iters: int = 8) -> DataFrame:
 
 def same_as_components(df: DataFrame) -> DataFrame:
     """(node, canon): owl:sameAs equivalence classes via min-label connected
-    components (reuses the GAS CC kernel)."""
+    components. Same guarded driver tier as transitive_closure: sameAs link
+    sets are schema-or-entity-resolution sized (≪ data by construction —
+    every link was DERIVED from a functional/IFP/explicit assertion), so up
+    to SMALL_CLOSURE_MAX_EDGES they union-find in ONE collect instead of
+    diameter-many CC rounds whose per-round job overhead dominates; larger
+    link sets keep the distributed GAS CC kernel."""
     from blazegraph_database_spark.operators import gas
 
     edges = _edges(df, OWL_SAMEAS)
+    sample = edges.limit(SMALL_CLOSURE_MAX_EDGES + 1).collect()
+    if len(sample) <= SMALL_CLOSURE_MAX_EDGES:
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent.get(root, root) != root:
+                root = parent[root]
+            while parent.get(x, x) != root:  # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        for r in sample:
+            a, b = find(r[0]), find(r[1])
+            if a != b:
+                parent[max(a, b)] = min(a, b)  # min-label union
+        rows = [(n, find(n)) for n in set(parent)] + [
+            (n, find(n)) for r in sample for n in (r[0], r[1]) if n not in parent
+        ]
+        rows = sorted(set(rows))
+        spark = df.sparkSession
+        return spark.createDataFrame(rows or [], "node string, canon string")
     return gas.connected_components(edges).select(F.col("node"), F.col("comp").alias("canon"))
 
 

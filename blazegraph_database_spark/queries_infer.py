@@ -315,6 +315,12 @@ def owl_hasvalue_ifp(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     df = rdfs.has_value_closure(data.unionByName(schema))
     df = rdfs.inverse_functional_property_sameas(df)
+    # the closure feeds FOUR aggregate branches plus the sameAs merge
+    # below — materialize it once (eager lineage cut): every consumer then
+    # plans against a tiny leaf instead of re-analyzing and re-running the
+    # rule joins (measured 24.5s -> 17.6s on the sf0.01 gate; cache() was
+    # worse — analysis still walks the full tree per branch)
+    df = df.localCheckpoint()
     merged = rdfs.apply_same_as(df)
     return (
         df.filter((F.col("p") == "locatedIn") & (F.col("o_lex") == "Earth"))
