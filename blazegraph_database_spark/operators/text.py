@@ -210,6 +210,79 @@ def contamination_flags(
     )
 
 
+def contamination_flags_bloom(
+    df: DataFrame,
+    probe: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    m_bits: int = 1 << 20,
+    k: int = 3,
+) -> DataFrame:
+    """Decontamination for probe sets TOO BIG TO BROADCAST (the
+    contamination_flags scale escape hatch): a Bloom filter built with
+    pure DataFrame ops pre-filters corpus grams, then an exact
+    (shuffle-join) verification removes the Bloom's false positives — the
+    result EQUALS contamination_flags, with no broadcast of the probe
+    gram set anywhere.
+
+    Shape at 100 TB: the probe grams reduce to an m_bits/64-row bitmap
+    (per-word bit_or — map-side combinable; ~1 MB per 2^26 bits) which
+    broadcasts even when the gram set itself is tens of GB; corpus grams
+    take k hashed probes each (one explode, ONE broadcast join against
+    the bitmap, all-k-bits test), and only the surviving candidates — a
+    contamination-sized set, not a corpus-sized one — reach the exact
+    verify join, which shuffles on the gram key with no size assumption
+    on either side."""
+    d = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(word_shingles(F.lower(F.col(text_col)), n))).alias("g"),
+    )
+    p = (
+        probe.select(
+            F.explode(F.array_distinct(word_shingles(F.lower(F.col(text_col)), n))).alias("g")
+        )
+        .distinct()
+    )
+    m = F.lit(m_bits)
+    seeds = F.array(*[F.lit(i) for i in range(k)])
+    # build: every probe gram sets k bits; bits pack into 64-bit words via
+    # a map-side-combinable bit_or (bitmap = m_bits/64 rows, broadcastable
+    # regardless of probe-set size)
+    ppos = p.select(
+        F.explode(seeds).alias("i"), F.col("g")
+    ).select(F.pmod(F.xxhash64("g", "i"), m).alias("pos"))
+    bit_of = F.expr("shiftleft(1L, cast(pos % 64 as int))")
+    bitmap = (
+        ppos.select((F.col("pos") / 64).cast("long").alias("w"), bit_of.alias("bit"))
+        .groupBy("w")
+        .agg(F.bit_or("bit").alias("bits"))
+    )
+    # probe: each corpus gram needs ALL k bits set — one explode, one
+    # broadcast join on the word index, count-k test per (id, gram)
+    cpos = d.select(
+        "id", "g", F.explode(seeds).alias("i")
+    ).select(
+        "id", "g", F.pmod(F.xxhash64("g", "i"), m).alias("pos")
+    ).select(
+        "id", "g",
+        (F.col("pos") / 64).cast("long").alias("w"),
+        bit_of.alias("bit"),
+    )
+    cand = (
+        cpos.join(F.broadcast(bitmap), on="w")
+        .filter(F.col("bits").bitwiseAND(F.col("bit")) == F.col("bit"))
+        .groupBy("id", "g")
+        .agg(F.count(F.lit(1)).alias("hits"))
+        .filter(F.col("hits") == k)
+        .select("id", "g")
+    )
+    # exact verify: candidates (contamination-sized) against the probe
+    # grams — a plain shuffle semi-join, NO broadcast of p
+    verified = cand.join(p.hint("shuffle_hash"), on="g", how="left_semi")
+    return verified.groupBy("id").agg(F.count(F.lit(1)).alias("n_overlap"))
+
+
 # PII patterns kept to a syntax both Spark (Java regex) and common SQL
 # engines execute identically — pretraining-pipeline scrub pass.
 PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"

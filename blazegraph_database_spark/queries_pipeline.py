@@ -600,6 +600,40 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_decontaminate_bloom",
+    """
+    WITH grams AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   generate_series(1, GREATEST(len(ws) - 7, 0)),
+                   i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' ||
+                        ws[i+4] || ' ' || ws[i+5] || ' ' || ws[i+6] || ' ' || ws[i+7])) AS gs
+        FROM (SELECT doc_id,
+                     list_transform(string_split_regex(trim(text), '\\s+'), w -> lower(w)) AS ws
+              FROM documents)
+    ),
+    probe AS (SELECT DISTINCT UNNEST(gs) AS g FROM grams WHERE doc_id < 5),
+    corpus AS (SELECT doc_id, UNNEST(gs) AS g FROM grams)
+    SELECT c.doc_id AS id, CAST(COUNT(*) AS BIGINT) AS n_overlap
+    FROM corpus c JOIN probe p ON c.g = p.g
+    GROUP BY 1
+    """,
+)
+def text_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered decontamination — the no-broadcast scale path for
+    probe sets beyond broadcast size (operators/text.
+    contamination_flags_bloom: probe grams → m/64-row bit_or bitmap; k
+    hashed probes per corpus gram; exact shuffle-join verify removes the
+    Bloom's false positives). Result is EXACTLY the n-gram overlap count,
+    so the oracle is the same cross-engine SQL as text_decontaminate."""
+    from blazegraph_database_spark.operators import text as T
+
+    docs = _docs(spark, sf_dir)
+    hits = T.contamination_flags_bloom(docs, docs.filter(F.col("doc_id") < 5), n=8)
+    return hits.select("id", F.col("n_overlap").cast("long").alias("n_overlap"))
+
+
+@register(
     "text_pii",
     """
     SELECT CAST(doc_id AS BIGINT) AS doc_id,

@@ -786,3 +786,47 @@ def test_exact_dedup_best_keeps_highest_quality(spark):
     out = {r["rep_id"]: (r["n_copies"], r["best_quality"]) for r in
            dedup.exact_dedup_best(df, order_col="quality").collect()}
     assert out == {2: (3, 50.0), 4: (1, 7.0)}
+
+
+def test_contamination_bloom_equals_exact(spark):
+    """contamination_flags_bloom == contamination_flags even under heavy
+    Bloom false positives: an 64-bit bitmap (m_bits=64) makes nearly every
+    gram a Bloom candidate, so only the exact verify join keeps the result
+    right."""
+    from blazegraph_database_spark.operators import text as T
+
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta epsilon zeta eta theta iota"),
+            (1, "alpha beta gamma delta epsilon zeta eta theta kappa"),
+            (2, "one two three four five six seven eight nine ten"),
+            (3, "cats dogs birds fish mice lions tigers bears wolves"),
+        ],
+        "doc_id long, text string",
+    )
+    probe = docs.filter(F.col("doc_id") == 0)
+    exact = {
+        (r["id"], r["n_overlap"])
+        for r in T.contamination_flags(docs, probe, n=8).collect()
+    }
+    bloom = {
+        (r["id"], r["n_overlap"])
+        for r in T.contamination_flags_bloom(docs, probe, n=8, m_bits=64, k=2).collect()
+    }
+    assert bloom == exact and (0, 2) in exact and (1, 1) in exact
+    assert not any(i in (2, 3) for i, _ in bloom)
+
+
+def test_contamination_bloom_plan_no_probe_broadcast(spark):
+    """The Bloom path must broadcast ONLY the m/64-row bitmap: the raw
+    probe gram set joins via shuffle (that's the point — probe sets beyond
+    broadcast size), and the bitmap build is a partial-aggregable bit_or."""
+    from blazegraph_database_spark.operators import text as T
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = T.contamination_flags_bloom(docs, docs.limit(5), n=8)
+    p = out._jdf.queryExecution().executedPlan().toString()
+    assert "bit_or" in p  # bitmap built with the map-side-combinable agg
+    assert "CartesianProduct" not in p
+    # exact-verify join side keeps the shuffle hint (no broadcast of grams)
+    assert "ShuffledHashJoin" in p or "SortMergeJoin" in p
