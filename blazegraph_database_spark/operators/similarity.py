@@ -316,18 +316,30 @@ def _int_dot(vq: Column, weights: list[int]) -> Column:
     )
 
 
-def _int_table_buckets(vq: Column, planes: list[list[list[int]]]) -> Column:
-    """array<struct<table, bucket>> from integer sign-LSH."""
-    out = []
+def _int_table_buckets(vq_name: str, planes: list[list[list[int]]]) -> Column:
+    """array<struct<table, bucket>> of integer sign-LSH buckets, reading
+    the quantized vector from the NAMED column ``vq_name`` (callers stage
+    it with .withColumn — a leaf reference, not a copied subtree).
+
+    Rendered as ONE SQL expression string: the previous Column-API form
+    issued a py4j roundtrip per plane WEIGHT (tables x bits x dim F.lit
+    calls — thousands per call site), putting >10s of pure driver chatter
+    into every LSH query's build. A single F.expr is built with Python
+    string ops and parsed once on the JVM, producing the identical
+    expression tree."""
+    tables = []
     for t, tbl in enumerate(planes):
-        bucket = F.lit(0).cast("long")
+        bits = []
         for b, weights in enumerate(tbl):
-            bit = F.when(_int_dot(vq, weights) > 0, F.lit(1).cast("long")).otherwise(
-                F.lit(0).cast("long")
+            arr = "array(" + ",".join(f"{w}L" for w in weights) + ")"
+            dot = (
+                f"aggregate(zip_with({vq_name}, {arr}, (x, y) -> x * y), "
+                "0L, (s, v) -> s + v)"
             )
-            bucket = bucket.bitwiseXOR(F.shiftleft(bit, b))  # disjoint bits
-        out.append(F.struct(F.lit(t).alias("table"), bucket.alias("bucket")))
-    return F.array(*out)
+            bits.append(f"shiftleft(cast(if({dot} > 0, 1, 0) as bigint), {b})")
+        bucket = " ^ ".join(bits) if bits else "0L"
+        tables.append(f"struct({t} as table, cast({bucket} as bigint) as bucket)")
+    return F.expr("array(" + ",".join(tables) + ")")
 
 
 def lsh_ann_topk_quantized(
@@ -345,13 +357,13 @@ def lsh_ann_topk_quantized(
     from pyspark.sql.window import Window
 
     c = corpus.select(F.col(id_col).alias("neighbor"), as_double(F.col(vec_col)).alias("cv"))
-    c = c.select(
-        "neighbor", "cv", F.explode(_int_table_buckets(quantize(F.col("cv")), planes)).alias("tb")
+    c = c.withColumn("__vq", quantize(F.col("cv"))).select(
+        "neighbor", "cv", F.explode(_int_table_buckets("__vq", planes)).alias("tb")
     )
     q = queries.select(F.col(id_col).alias("q"), as_double(F.col(vec_col)).alias("qv"))
     q = _maybe_broadcast(q, broadcast_queries)
-    q = q.select(
-        "q", "qv", F.explode(_int_table_buckets(quantize(F.col("qv")), planes)).alias("tb")
+    q = q.withColumn("__vq", quantize(F.col("qv"))).select(
+        "q", "qv", F.explode(_int_table_buckets("__vq", planes)).alias("tb")
     )
     cands = (
         c.join(q, on=["tb"])
@@ -585,8 +597,8 @@ def lsh_near_dup_pairs(
     scale path (bucket equi-join, no corpus×corpus cartesian). Output
     (a, b, cos >= min_cos) over pairs sharing >=1 bucket."""
     c = corpus.select(F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v"))
-    bucketed = c.select(
-        "id", "v", F.explode(_int_table_buckets(quantize(F.col("v")), planes)).alias("tb")
+    bucketed = c.withColumn("__vq", quantize(F.col("v"))).select(
+        "id", "v", F.explode(_int_table_buckets("__vq", planes)).alias("tb")
     )
     left = bucketed.select("tb", F.col("id").alias("a"), F.col("v").alias("va"))
     right = bucketed.select("tb", F.col("id").alias("b"), F.col("v").alias("vb"))
