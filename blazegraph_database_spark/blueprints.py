@@ -416,7 +416,13 @@ class PropertyGraphClient:
             return str(v)
         if isinstance(v, float):
             return f'"{v}"^^<http://www.w3.org/2001/XMLSchema#double>'
-        s = str(v).replace("\\", "\\\\").replace('"', '\\"')
+        s = (
+            str(v)
+            .replace("\\", "\\\\").replace('"', '\\"')
+            # raw control chars are illegal inside a '"' literal per the
+            # SPARQL grammar — escape them for conforming endpoints
+            .replace("\n", "\\n").replace("\r", "\\r").replace("\t", "\\t")
+        )
         return f'"{s}"'
 
     # ------------------------------------------------------------- writes --

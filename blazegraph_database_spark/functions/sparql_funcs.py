@@ -82,6 +82,19 @@ def EXACT_TAG(dt) -> Column:
     return d.isin("long", "decimal") | d.rlike(_XSD_EXACT_DT_RX)
 
 
+_DEC_FAITHFUL_RX = r"^[+-]?[0-9]+(\.[0-9]{1,12})?$"
+
+
+def DEC_OK(c) -> Column:
+    """The lexical is representable EXACTLY at DEC_T's scale (integer or
+    <= 12 fractional digits). try_cast to DECIMAL ROUNDS (half-up) on
+    deeper scales instead of nulling, which would silently merge distinct
+    terms ("…0001" = "…0002" past digit 12) — such lexicals keep the
+    double path (the pre-decimal behavior) at every exact-arithmetic
+    gate."""
+    return _c(c).rlike(_DEC_FAITHFUL_RX)
+
+
 def DEC_LEX(c) -> Column:
     """Canonical decimal lexical of a DECIMAL-typed column: trailing zeros
     trimmed, bare integer when the fraction is zero (BigDecimal

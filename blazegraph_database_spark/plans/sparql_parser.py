@@ -299,7 +299,11 @@ def _typed_eq(a_name: str, b_name: str) -> Column:
         .when(a_lang & b_lang, (F.lower(adt) == F.lower(bdt)) & (a == b))
         .when(a_lang | b_lang, F.lit(False))  # lang vs non-lang: never equal
         .when((adt == "string") & (bdt == "string"), a == b)
-        .when(a_ex & b_ex & ad.isNotNull() & bd.isNotNull(), ad == bd)
+        .when(
+            a_ex & b_ex & fn.DEC_OK(a) & fn.DEC_OK(b)
+            & ad.isNotNull() & bd.isNotNull(),
+            ad == bd,
+        )
         .when(a_num & b_num & an.isNotNull() & bn.isNotNull(), an == bn)
         .when(
             (adt == _DATE_TAG) & (bdt == _DATE_TAG)
@@ -371,7 +375,11 @@ def _typed_order(a_name: str, b_name: str, op: str) -> Column:
     return (
         F.when(a.isNull() | b.isNull(), err)
         # exact families order in DECIMAL (beyond-2^53 ints; r8 review)
-        .when(exact & ad.isNotNull() & bd.isNotNull(), cmp(ad, bd))
+        .when(
+            exact & fn.DEC_OK(a) & fn.DEC_OK(b)
+            & ad.isNotNull() & bd.isNotNull(),
+            cmp(ad, bd),
+        )
         .when(num & an.isNotNull() & bn.isNotNull(), cmp(an, bn))
         .when(
             (adt == "timestamp") & (bdt == "timestamp"),
@@ -544,6 +552,11 @@ class Parser:
         # xsd:double)
         self._arith_lexical: set[str] = set()
         self._num_consts: dict[str, tuple[str, str]] = {}
+        # hoisted aggregate aliases whose value column is a typed string
+        # LEXICAL with a __dtc companion (typed SUM/AVG/MIN/MAX): ORDER BY
+        # keys and comparisons over them go by numeric value, not string
+        # order (r9 review)
+        self._agg_dtc: set[str] = set()
 
     # ------------------------------------------------------- tok helpers --
     def peek(self, k: int = 0) -> Tok:
@@ -854,6 +867,15 @@ class Parser:
                     dc = _date_const_order(left, right, op, self._date_typed_consts)
                     if dc is not None:
                         return dc
+            if self.dt_mode:
+                # a typed-aggregate alias (string LEXICAL + __dtc
+                # companion) on either side compares by numeric VALUE:
+                # HAVING(SUM(?a) = SUM(?b)) / SUM(?x) > 100 would otherwise
+                # string-compare ("10" < "9"); exact families in DECIMAL,
+                # else double (r9 review)
+                ac = self._agg_cmp(left, right, op)
+                if ac is not None:
+                    return ac
             left, right = _typed_cmp_sides(left, right)
             return {
                 "=": lambda a, b: a == b, "!=": lambda a, b: a != b,
@@ -938,7 +960,10 @@ class Parser:
         if ls is None or rs is None:
             return None
         (a, adt), (b, bdt) = ls, rs
-        exact = fn.EXACT_TAG(adt) & fn.EXACT_TAG(bdt)
+        exact = (
+            fn.EXACT_TAG(adt) & fn.EXACT_TAG(bdt)
+            & fn.DEC_OK(a) & fn.DEC_OK(b)
+        )
         # multiplication: (38,12)x(38,12) would floor the result scale to
         # 6 under Spark's precision-loss rule (0.0001*0.0001 -> 0); the
         # narrower (25,12) operands keep scale 11 — values beyond 10^13
@@ -968,11 +993,57 @@ class Parser:
         return out
 
     def _order_key(self, e: Column) -> Column:
-        """A string-typed arith-lexical result used as an ORDER BY key
+        """A string-typed arith-lexical result — or a typed SUM/AVG/MIN/MAX
+        alias (string lexical + __dtc companion) — used as an ORDER BY key
         sorts by numeric VALUE, not lexical order ('10' before '9'): sort
         keys demote to double (exactness past 2^53 doesn't survive a sort
-        key either way, matching the r8 numeric path)."""
-        return e.try_cast("double") if str(e) in self._arith_lexical else e
+        key either way, matching the r8 numeric path). The non-numeric
+        fallback keeps lexical order for MIN/MAX winners that aren't
+        numbers."""
+        if str(e) in self._arith_lexical:
+            return e.try_cast("double")
+        v = _bare_var(e)
+        if v and v in self._agg_dtc:
+            # numeric winners by value, non-numeric (MIN/MAX over strings)
+            # by lexical tiebreak — one struct key, field-wise order
+            return F.struct(e.try_cast("double"), e)
+        return e
+
+    def _agg_cmp(self, left: Column, right: Column, op: str) -> Column | None:
+        """Typed comparison when at least one side is a typed-aggregate
+        alias (value = string lexical, datatype = per-group __dtc
+        companion) and both sides resolve through _arith_side: exact
+        numeric families compare in DECIMAL, any numeric pair by double
+        value, anything else is a per-row type error (NULL). Returns None
+        when the gate doesn't apply — every pre-existing comparison path
+        is untouched."""
+        lv, rv = _bare_var(left), _bare_var(right)
+        if not ((lv and lv in self._agg_dtc) or (rv and rv in self._agg_dtc)):
+            return None
+        ls, rs = self._arith_side(left), self._arith_side(right)
+        if ls is None or rs is None:
+            return None
+        (a, adt), (b, bdt) = ls, rs
+        exact = (
+            fn.EXACT_TAG(adt) & fn.EXACT_TAG(bdt)
+            & fn.DEC_OK(a) & fn.DEC_OK(b)
+        )
+        num = fn.NUM_TAG(adt) & fn.NUM_TAG(bdt)
+        ad, bd = a.try_cast(fn.DEC_T), b.try_cast(fn.DEC_T)
+        an, bn = a.try_cast("double"), b.try_cast("double")
+        cmpf = {
+            "=": lambda x, y: x == y, "!=": lambda x, y: x != y,
+            "<": lambda x, y: x < y, "<=": lambda x, y: x <= y,
+            ">": lambda x, y: x > y, ">=": lambda x, y: x >= y,
+        }[op]
+        err = F.lit(None).cast("boolean")
+        return (
+            F.when(a.isNull() | b.isNull(), err)
+            .when(exact & ad.isNotNull() & bd.isNotNull(), cmpf(ad, bd))
+            .when(num & an.isNotNull() & bn.isNotNull(), cmpf(an, bn))
+            .when((adt == "string") & (bdt == "string"), cmpf(a, b))
+            .otherwise(err)
+        )
 
     def _arith_side(self, col: Column):
         """Resolve an arithmetic operand to (value, datatype-tag) columns,
@@ -992,9 +1063,7 @@ class Parser:
         if v is not None:
             if _has_dt_companion(v):
                 return F.col(v), F.coalesce(F.col(f"{v}__dt"), F.lit("string"))
-            if v.startswith("__agg") and any(
-                a == f"{v}__dtc" for a, _ in self._pending_aggs
-            ):
+            if v in self._agg_dtc:
                 return F.col(v), F.coalesce(F.col(f"{v}__dtc"), F.lit("string"))
             return None
         nc = self._num_consts.get(str(col))
@@ -1041,7 +1110,19 @@ class Parser:
             return F.col(t.text[1:])
         if t.kind == "NUM":
             self.next()
-            lit = F.lit(float(t.text) if "." in t.text else int(t.text))
+            if "." in t.text:
+                lit = F.lit(float(t.text))
+            else:
+                v = int(t.text)
+                if -(2 ** 63) <= v <= 2 ** 63 - 1:
+                    lit = F.lit(v)
+                else:
+                    # beyond-long bare integers (the unsignedLong domain)
+                    # ride as DECIMAL literals — py4j cannot ship the int
+                    # (same fix as the typed-literal branch)
+                    from decimal import Decimal
+
+                    lit = F.lit(Decimal(t.text))
             if self.dt_mode and "e" not in t.text.lower():
                 # bare `0.1` is xsd:decimal, bare `2` xsd:integer per the
                 # SPARQL grammar (only e-notation is xsd:double): register
@@ -1293,6 +1374,7 @@ class Parser:
                         # and bind the companion from its alias
                         dt_alias = f"{alias}__dtc"
                         self._pending_aggs.append((dt_alias, self._last_agg_dt))
+                        self._agg_dtc.add(alias)
                         self._pending_term_dt = F.col(dt_alias)
                         self._pending_term_dt_span = (start, self.i)
                     elif name in ("count", "sum", "avg"):
@@ -1452,13 +1534,15 @@ class Parser:
                 .otherwise(F.lit(2))
             )
             key = F.struct(rank, x.try_cast("double"), x)
-            col = F.max_by(x, key) if name == "MAX" else F.min_by(x, key)
             # the winner's DATATYPE rides as a companion (r8; the reference
-            # returns the winning IV itself, type included) — same key, so
-            # value and tag come from the same row (modulo exact-key ties)
-            self._last_agg_dt = (
-                F.max_by(xdt, key) if name == "MAX" else F.min_by(xdt, key)
-            )
+            # returns the winning IV itself, type included). Value and tag
+            # are fields of ONE min_by/max_by struct so an exact-key tie
+            # can never pick the value from one row and the tag from
+            # another (r9 review — two independent min_bys could)
+            mm = F.struct(x.alias("v"), xdt.alias("t"))
+            win = F.max_by(mm, key) if name == "MAX" else F.min_by(mm, key)
+            col = win.getField("v")
+            self._last_agg_dt = win.getField("t")
         elif (
             self.dt_mode and name in ("SUM", "AVG") and _bare_var(arg) is not None
         ):
@@ -1501,8 +1585,12 @@ class Parser:
             # integer digits — xsd:integer is unbounded) must DEMOTE the
             # group to the double path, not silently vanish from the exact
             # sum (r8 review)
+            # ...or any lexical deeper than scale 12 (the DECIMAL cast
+            # would ROUND it instead of nulling — r9 review)
             any_big = F.max(
-                F.when(valid & x.isNotNull() & xd.isNull(), 1).otherwise(0)
+                F.when(
+                    valid & x.isNotNull() & (xd.isNull() | ~fn.DEC_OK(x)), 1
+                ).otherwise(0)
             )
             if name == "SUM":
                 dbl, dec_ = F.sum(x.try_cast("double")), F.sum(xd)

@@ -1183,3 +1183,85 @@ def test_float_roundtrips_ntriples(spark, tmp_path):
     assert (row["o_lex"], row["o_dt"]) == (
         "1.5", "dt:http://www.w3.org/2001/XMLSchema#float"
     )
+
+
+def test_agg_order_by_and_having_compare_numerically(spark):
+    """Typed SUM results are string lexicals — ORDER BY and HAVING over
+    them must still go by numeric VALUE ('9' < '10'), and SUM-vs-SUM
+    compares by value across int/decimal promotion (r9 review)."""
+    from blazegraph_database_spark.plans.sparql_parser import run_sparql
+
+    st = _dt_store(spark, [
+        ("urn:g1", "urn:v", "9", "long"),
+        ("urn:g2", "urn:v", "5", "long"),
+        ("urn:g2", "urn:v", "5", "decimal"),  # two terms, sum 10
+    ])
+    q = """
+    SELECT ?s (SUM(?v) AS ?t) WHERE { ?s <urn:v> ?v }
+    GROUP BY ?s ORDER BY DESC(SUM(?v))
+    """
+    rows = [(r["s"], r["t"]) for r in run_sparql(st, q).collect()]
+    assert rows == [("urn:g2", "10"), ("urn:g1", "9")]  # 10 above 9
+    q2 = """
+    SELECT ?s WHERE { ?s <urn:v> ?v } GROUP BY ?s HAVING (SUM(?v) > 9)
+    """
+    assert {r["s"] for r in run_sparql(st, q2).collect()} == {"urn:g2"}
+    # SUM = SUM across groups of different promoted types
+    st2 = _dt_store(spark, [
+        ("urn:x", "urn:a", "10", "long"),
+        ("urn:x", "urn:b", "10.0", "decimal"),
+    ])
+    q3 = "SELECT ?s WHERE { ?s <urn:a> ?a ; <urn:b> ?b } GROUP BY ?s HAVING (SUM(?a) = SUM(?b))"
+    assert {r["s"] for r in run_sparql(st2, q3).collect()} == {"urn:x"}
+
+
+def test_decimal_beyond_scale12_keeps_double_semantics(spark):
+    """Lexicals deeper than DEC_T's 12-digit scale must NOT round into the
+    exact path ('…0001' = '…0002' would merge distinct terms): they keep
+    the double path at eq/order/arith/SUM gates (r9 review)."""
+    from blazegraph_database_spark.plans.sparql_parser import run_sparql
+
+    st = _dt_store(spark, [
+        ("urn:e1", "urn:a", "0.0000000000001", "decimal"),
+        ("urn:e1", "urn:b", "0.0000000000002", "decimal"),
+    ])
+    q = "SELECT ?s WHERE { ?s <urn:a> ?a ; <urn:b> ?b . FILTER(?a = ?b) }"
+    assert run_sparql(st, q).count() == 0  # distinct at digit 13
+    q2 = "SELECT ?s WHERE { ?s <urn:a> ?a ; <urn:b> ?b . FILTER(?a < ?b) }"
+    assert run_sparql(st2 := st, q2).count() == 1
+    tot = run_sparql(
+        st, "SELECT (SUM(?x) AS ?t) WHERE { ?s ?p ?x }"
+    ).collect()[0]["t"]
+    assert tot is not None and abs(float(tot) - 3e-13) < 1e-25
+
+
+def test_bare_integer_literal_beyond_long(spark):
+    """A bare integer constant past 2^63-1 (unsignedLong domain) must
+    parse and compare by value, not crash py4j (r9 review)."""
+    from blazegraph_database_spark.plans.sparql_parser import run_sparql
+
+    big = str(2 ** 64 - 1)
+    st = _dt_store(spark, [
+        ("urn:u", "urn:v", big, "dt:http://www.w3.org/2001/XMLSchema#unsignedLong"),
+    ])
+    q = f"SELECT ?s WHERE {{ ?s <urn:v> ?v . FILTER(?v = {big}) }}"
+    assert {r["s"] for r in run_sparql(st, q).collect()} == {"urn:u"}
+
+
+def test_minmax_dt_companion_same_row(spark):
+    """MAX's value and DATATYPE come from the SAME winning row even on
+    exact-key ties (r9 review: two independent max_bys could split)."""
+    from blazegraph_database_spark.plans.sparql_parser import run_sparql
+
+    rows = [("urn:s", "urn:v", "42", "dt:http://www.w3.org/2001/XMLSchema#int"),
+            ("urn:s", "urn:v", "42", "dt:http://www.w3.org/2001/XMLSchema#long")]
+    st = _dt_store(spark, rows)
+    q = "SELECT (MAX(?v) AS ?m) WHERE { ?s <urn:v> ?v }"
+    df = run_sparql(st, q)
+    r = df.collect()[0]
+    assert r["m"] == "42"
+    if "m__dt" in df.columns:  # companion rides under dt tracking
+        assert r["m__dt"] in (
+            "dt:http://www.w3.org/2001/XMLSchema#int",
+            "dt:http://www.w3.org/2001/XMLSchema#long",
+        )
