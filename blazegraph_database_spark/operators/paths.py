@@ -108,13 +108,71 @@ def transitive_closure(
             return known
         base = known
         delta = known
+        deep = True
         for _ in range(max_iters):
             grown = _join_through(delta, base, keys)
             delta = grown.join(known, on=keys + ["s", "o"], how="left_anti").localCheckpoint()
             if delta.isEmpty():
+                deep = False
                 break
             known = known.unionByName(delta)
+        if deep and not delta.isEmpty():
+            # diameter > max_iters: finish with doubling (log-round
+            # completion) instead of silently truncating a deep chain
+            for _ in range(max_iters):
+                grown = _join_through(known, known, keys)
+                new = grown.join(known, on=keys + ["s", "o"], how="left_anti").localCheckpoint()
+                if new.isEmpty():
+                    break
+                known = known.unionByName(new)
         return known
+
+
+def seeded_closure(
+    base: DataFrame, seed: str, keys: list[str] | None = None,
+    max_iters: int = MAX_ITERS,
+) -> DataFrame:
+    """([g,] o): nodes reachable in >= 1 hops from a CONSTANT seed — the
+    reference's GEARING-anchored ALP evaluation (ref:
+    ArbitraryLengthPathNode + the gearing query hint, TestGearingQueryHint:
+    forward gearing expands from the bound subject; the caller flips the
+    base relation for reverse gearing from a bound object).
+
+    Scale shape: per-round frontier ⋈ base with Δ-sized state — never the
+    ALL-PAIRS transitive closure a var-var path needs. The base relation
+    stays LAZY (each round re-reads the predicate-pruned link scan) so
+    nothing graph-sized is ever materialized; only the frontier/known sets
+    (reachable-from-seed sized) checkpoint per round."""
+    keys = keys or []
+    hop = base.select(*keys, F.col("s").alias("__f"), F.col("o"))
+    frontier = (
+        base.filter(F.col("s") == seed).select(*keys, "o").distinct().localCheckpoint()
+    )
+    known = frontier
+    converged = False
+    for _ in range(max_iters):
+        grown = (
+            frontier.select(*keys, F.col("o").alias("__f"))
+            .join(hop, on=keys + ["__f"])
+            .select(*keys, "o")
+        )
+        frontier = grown.join(known, on=keys + ["o"], how="left_anti").distinct().localCheckpoint()
+        if frontier.isEmpty():
+            converged = True
+            break
+        known = known.unionByName(frontier)
+    if not converged:
+        # pathologically deep remainder (diameter > max_iters): jump the
+        # rest through the base's full closure in one composition — the
+        # frontier walk must never silently truncate a deep chain
+        rest = transitive_closure(base, keys=keys)
+        tail = (
+            frontier.select(*keys, F.col("o").alias("s"))
+            .join(rest, on=keys + ["s"])
+            .select(*keys, "o")
+        )
+        known = known.unionByName(tail).distinct()
+    return known
 
 
 def bounded_paths(

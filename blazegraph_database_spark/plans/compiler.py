@@ -3167,7 +3167,9 @@ def _(node: A.PathPattern, store: TripleStore) -> DataFrame:
             scoped = TripleStore(store.df.filter(cond))
             scoped.track_dt = store.track_dt
             store = scoped
-    pairs = compile_path(store, node.path, with_graph=with_graph)  # DF([g,] s, o)
+    pairs = _anchored_path_pairs(store, node, with_graph)
+    if pairs is None:
+        pairs = compile_path(store, node.path, with_graph=with_graph)  # DF([g,] s, o)
     if _path_nullable(node.path):
         # spec ALP: when the path language contains epsilon, a CONSTANT
         # endpoint zero-length-matches itself even when the term is absent
@@ -3196,6 +3198,47 @@ def _(node: A.PathPattern, store: TripleStore) -> DataFrame:
         else:
             sel.append(F.col(col).alias(pos.name))
     return df.select(*sel) if sel else df.select()
+
+
+def _anchored_path_pairs(store: TripleStore, node, with_graph: bool):
+    """GEARED evaluation for `+`/`*` paths with a CONSTANT endpoint (ref:
+    ArbitraryLengthPathNode + the gearing query hint, TestGearingQueryHint:
+    forward gearing expands the frontier from a bound subject, reverse
+    gearing from a bound object): a seeded Δ-expansion reads only the
+    reachable-from-seed region instead of materializing the graph's
+    ALL-PAIRS closure — at 100 TB the difference between a frontier-sized
+    walk and an O(|V|²)-state fixpoint. Returns the ([g,] s, o) pair
+    DataFrame, or None when the pattern isn't anchored (var-var paths keep
+    the full-closure path, which their semantics genuinely need)."""
+    from blazegraph_database_spark.operators.paths import (
+        compile_path, seeded_closure, _gcols,
+    )
+
+    if not isinstance(node.path, (A.Plus, A.Star)):
+        return None
+    s_const, o_const = is_const(node.s), is_const(node.o)
+    if not (s_const or o_const):
+        return None
+    k = _gcols(with_graph)
+    base = compile_path(store, node.path.path, with_graph=with_graph)
+    # schema-sized bases keep the full-closure path: its driver tier
+    # closes in ONE collect, beating diameter-many seeded rounds; the
+    # limit-bounded count never scans more than the threshold on big data
+    if base.limit(20_001).count() <= 20_000:
+        return None
+    forward = s_const  # prefer forward gearing when both ends are bound
+    if not forward:
+        base = base.select(*k, F.col("o").alias("s"), F.col("s").alias("o"))
+    seed = const_lex(node.s if forward else node.o)
+    reached = seeded_closure(base, seed, keys=k)  # ([g,] o), >= 1 hops
+    pairs = reached.select(*k, F.lit(seed).alias("s"), F.col("o"))
+    if not forward:
+        pairs = pairs.select(*k, F.col("o").alias("s"), F.col("s").alias("o"))
+    # Star's zero-length component for the CONSTANT endpoint is handled by
+    # the _path_nullable identity union in the caller; zero-length matches
+    # to OTHER nodes only arise for var-var patterns, which never take
+    # this path.
+    return pairs
 
 
 # ---------------------------------------------------------------- frontends --

@@ -1265,3 +1265,47 @@ def test_minmax_dt_companion_same_row(spark):
             "dt:http://www.w3.org/2001/XMLSchema#int",
             "dt:http://www.w3.org/2001/XMLSchema#long",
         )
+
+
+def test_anchored_path_seeded_expansion(spark):
+    """`<const> p+ ?o` over a data-sized base takes the GEARED seeded
+    expansion (reference: the gearing query hint / anchored ALP) instead
+    of the all-pairs closure, and matches the full-closure answer."""
+    from blazegraph_database_spark.model.store import TripleStore
+    from blazegraph_database_spark.plans import algebra as A
+    from blazegraph_database_spark.plans.compiler import _anchored_path_pairs
+    from blazegraph_database_spark.plans.sparql_parser import run_sparql
+    from blazegraph_database_spark.model.terms import Var
+    from pyspark.sql import functions as F
+
+    # 30k-edge graph: 600 disjoint chains of 50 hops each — only the
+    # seed's chain is reachable, and diameter stays inside the frontier cap
+    edges = spark.range(30000).select(
+        F.concat(F.lit("n"), (F.col("id") % 600), F.lit("_"), (F.col("id") / 600).cast("long")).alias("s"),
+        F.lit("urn:next").alias("p"),
+        F.concat(F.lit("n"), (F.col("id") % 600), F.lit("_"), ((F.col("id") / 600).cast("long") + 1)).alias("o_lex"),
+        F.lit("iri").alias("o_dt"),
+    )
+    st = TripleStore(edges)
+    node = A.PathPattern(s="n0_40", path=A.Plus("urn:next"), o=Var("o"), g=None)
+    pairs = _anchored_path_pairs(st, node, with_graph=False)
+    assert pairs is not None  # the seeded branch FIRED (base > 20k)
+    got = {r["o"] for r in pairs.collect()}
+    assert got == {f"n0_{i}" for i in range(41, 51)}  # 10 hops to chain end
+    # end-to-end through the text parser, reverse gearing (const object)
+    q = "SELECT ?s WHERE { ?s <urn:next>+ <n1_50> }"
+    back = {r["s"] for r in run_sparql(st, q).collect()}
+    assert back == {f"n1_{i}" for i in range(0, 50)}  # every chain-1 ancestor
+
+
+def test_seeded_closure_deep_chain_fallback(spark):
+    """A chain deeper than the frontier-round cap must NOT silently
+    truncate: the cap-hit fallback composes the remainder through the
+    base closure (tiny max_iters forces the fallback here)."""
+    from blazegraph_database_spark.operators.paths import seeded_closure
+
+    edges = spark.createDataFrame(
+        [(f"c{i}", f"c{i+1}") for i in range(30)], "s string, o string"
+    )
+    got = {r["o"] for r in seeded_closure(edges, "c0", max_iters=4).collect()}
+    assert got == {f"c{i}" for i in range(1, 31)}  # all 30 hops, not 4
