@@ -128,6 +128,13 @@ def transitive_closure(
         return known
 
 
+# Frontier walks past their soft round budget keep walking (per-round cost
+# is frontier-sized, so a deep chain costs O(reachable edges) total) up to
+# this hard cap before falling back to closure composition — all-pairs state
+# must be the last resort, not the first escape hatch (r9 advisor).
+ADAPTIVE_MAX_ITERS = 4096
+
+
 def seeded_closure(
     base: DataFrame, seed: str, keys: list[str] | None = None,
     max_iters: int = MAX_ITERS,
@@ -144,26 +151,68 @@ def seeded_closure(
     nothing graph-sized is ever materialized; only the frontier/known sets
     (reachable-from-seed sized) checkpoint per round."""
     keys = keys or []
-    hop = base.select(*keys, F.col("s").alias("__f"), F.col("o"))
     frontier = (
         base.filter(F.col("s") == seed).select(*keys, "o").distinct().localCheckpoint()
     )
+    return _frontier_walk(base, frontier, keys, max_iters)
+
+
+def seeded_closure_from(
+    base: DataFrame, seeds: DataFrame, keys: list[str] | None = None,
+    max_iters: int = MAX_ITERS,
+) -> DataFrame:
+    """([g,] o): nodes reachable in >= 1 hops of ``base`` from ANY node in
+    the ``seeds`` frontier ([g,] o) — the DataFrame-frontier variant of
+    :func:`seeded_closure`, what lets a constant anchor GEAR through a path
+    sequence (ref: anchored ALP evaluation, TestGearingQueryHint): each
+    `+`/`*` component of `<c> :a/:b+ ?x` expands from the previous
+    component's bounded output instead of closing its base globally."""
+    keys = keys or []
+    hop = base.select(*keys, F.col("s").alias("__f"), F.col("o"))
+    frontier = (
+        seeds.select(*keys, F.col("o").alias("__f"))
+        .join(hop, on=keys + ["__f"])
+        .select(*keys, "o")
+        .distinct()
+        .localCheckpoint()
+    )
+    return _frontier_walk(base, frontier, keys, max_iters)
+
+
+def _frontier_walk(
+    base: DataFrame, frontier: DataFrame, keys: list[str], max_iters: int
+) -> DataFrame:
+    """Semi-naive Δ-expansion from a materialized >=1-hop frontier.
+
+    Past ``max_iters`` rounds the walk RAISES ITS OWN BUDGET adaptively
+    (to ADAPTIVE_MAX_ITERS) instead of composing through the base's
+    all-pairs closure: on the deep-chain graphs where the soft cap is
+    reachable at all, per-round work is frontier-sized, so walking on is
+    O(reachable edges) total — the global closure there is the worst case,
+    not an escape hatch (r9 advisor finding). Only past the hard cap
+    (diameter > 4096: doubling closes that in ~12 barriers where the walk
+    would need thousands) does the closure-composition tail fire."""
+    hop = base.select(*keys, F.col("s").alias("__f"), F.col("o"))
     known = frontier
     converged = False
-    for _ in range(max_iters):
+    for i in range(max(max_iters, ADAPTIVE_MAX_ITERS)):
+        if frontier.isEmpty():
+            converged = True
+            break
         grown = (
             frontier.select(*keys, F.col("o").alias("__f"))
             .join(hop, on=keys + ["__f"])
             .select(*keys, "o")
         )
         frontier = grown.join(known, on=keys + ["o"], how="left_anti").distinct().localCheckpoint()
-        if frontier.isEmpty():
-            converged = True
-            break
         known = known.unionByName(frontier)
-    if not converged:
-        # pathologically deep remainder (diameter > max_iters): jump the
-        # rest through the base's full closure in one composition — the
+        if (i + 1) % 32 == 0:
+            # compact the union-plan lineage so a deep walk's anti-join
+            # doesn't re-analyze an ever-growing union tree each round
+            known = known.localCheckpoint()
+    if not converged and not frontier.isEmpty():
+        # diameter > ADAPTIVE_MAX_ITERS: jump the rest through the base's
+        # full closure in one composition (log-round doubling) — the
         # frontier walk must never silently truncate a deep chain
         rest = transitive_closure(base, keys=keys)
         tail = (
@@ -280,3 +329,97 @@ def compile_path(store: TripleStore, path, with_graph: bool = False) -> DataFram
             out = out.unionByName(_identity_all_terms(store, with_graph)).distinct()
         return out
     raise TypeError(f"unknown path expression: {path!r}")
+
+
+def _oriented(store: TripleStore, path, with_graph: bool, forward: bool) -> DataFrame:
+    """A component's (s, o) base relation, flipped for reverse gearing."""
+    base = compile_path(store, path, with_graph)
+    if not forward:
+        k = _gcols(with_graph)
+        base = base.select(*k, F.col("o").alias("s"), F.col("s").alias("o"))
+    return base
+
+
+def _hop_from(base: DataFrame, frontier: DataFrame, keys: list[str]) -> DataFrame:
+    """([g,] o): nodes exactly ONE ``base`` step from the frontier set."""
+    hop = base.select(*keys, F.col("s").alias("__f"), F.col("o"))
+    return (
+        frontier.select(*keys, F.col("o").alias("__f"))
+        .join(hop, on=keys + ["__f"])
+        .select(*keys, "o")
+        .distinct()
+    )
+
+
+def geared_reach(
+    store: TripleStore, path, frontier: DataFrame,
+    with_graph: bool = False, forward: bool = True,
+) -> DataFrame:
+    """([g,] o): nodes related by ``path`` to some node of the ``frontier``
+    set ([g,] o) — GEARED evaluation of a COMPOSITE anchored path (ref:
+    anchored ALP evaluation in ArbitraryLengthPathNode + the gearing query
+    hint, TestGearingQueryHint). The constant anchor's frontier flows
+    through the path structure — Seq components evaluate left-to-right
+    (right-to-left with each base flipped under reverse gearing,
+    ``forward=False``), and every `+`/`*`/`{m,}` component runs a
+    Δ-expansion seeded from the accumulated frontier instead of closing its
+    base relation globally. State everywhere is reachable-from-seed sized;
+    the all-pairs closure of any component never materializes."""
+    k = _gcols(with_graph)
+    if isinstance(path, str):
+        path = A.Link(path)
+    if isinstance(path, A.Inv):
+        return geared_reach(store, path.path, frontier, with_graph, not forward)
+    if isinstance(path, A.Seq):
+        first, second = (path.left, path.right) if forward else (path.right, path.left)
+        mid = geared_reach(store, first, frontier, with_graph, forward)
+        return geared_reach(store, second, mid, with_graph, forward)
+    if isinstance(path, A.Alt):
+        l = geared_reach(store, path.left, frontier, with_graph, forward)
+        r = geared_reach(store, path.right, frontier, with_graph, forward)
+        return l.unionByName(r).distinct()
+    if isinstance(path, (A.Plus, A.Star)):
+        base = _oriented(store, path.path, with_graph, forward)
+        out = seeded_closure_from(base, frontier, keys=k)
+        if isinstance(path, A.Star):
+            # zero-length component: every frontier node matches itself.
+            # Mid-sequence frontiers are graph terms by construction (they
+            # arrived over a real edge); a non-term constant SEED surviving
+            # here mirrors the caller's nullable identity union semantics.
+            out = out.unionByName(frontier.select(*k, "o")).distinct()
+        return out
+    if isinstance(path, A.ZeroOrOne):
+        base = _oriented(store, path.path, with_graph, forward)
+        return (
+            _hop_from(base, frontier, k)
+            .unionByName(frontier.select(*k, "o"))
+            .distinct()
+        )
+    if isinstance(path, A.Bounded):
+        base = _oriented(store, path.path, with_graph, forward)
+        lower, upper = path.lower, path.upper
+        if upper == 0:  # {0,0}: zero-length only
+            return frontier.select(*k, "o")
+        cur = frontier
+        if upper is None:  # {m,}: advance m-1 set-hops, then >=1 closure
+            for _ in range(max(lower - 1, 0)):
+                cur = _hop_from(base, cur, k).localCheckpoint()
+                if cur.isEmpty():
+                    return cur.select(*k, "o")
+            out = seeded_closure_from(base, cur, keys=k)
+            if lower == 0:
+                out = out.unionByName(frontier.select(*k, "o")).distinct()
+            return out
+        acc = frontier.select(*k, "o") if lower == 0 else None
+        for i in range(1, upper + 1):
+            cur = _hop_from(base, cur, k).localCheckpoint()
+            if cur.isEmpty():
+                break
+            if i >= lower:
+                acc = cur if acc is None else acc.unionByName(cur)
+        if acc is None:
+            return frontier.select(*k, "o").limit(0)
+        return acc.distinct()
+    # atomic components (Link / NegatedPropertySet): one set-hop
+    base = _oriented(store, path, with_graph, forward)
+    return _hop_from(base, frontier, k)

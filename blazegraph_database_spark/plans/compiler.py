@@ -3200,37 +3200,93 @@ def _(node: A.PathPattern, store: TripleStore) -> DataFrame:
     return df.select(*sel) if sel else df.select()
 
 
+_GEAR_MIN_BASE_PAIRS = 20_000
+
+
+def _closure_bases(path, acc=None) -> list:
+    """Base paths of every unbounded-closure component (`+`, `*`, `{m,}`)
+    reachable WITHOUT crossing into another closure's base — the components
+    whose global closure a constant anchor can avoid materializing."""
+    if acc is None:
+        acc = []
+    if isinstance(path, (A.Plus, A.Star)):
+        acc.append(path.path)
+    elif isinstance(path, A.Bounded):
+        if path.upper is None:
+            acc.append(path.path)
+    elif isinstance(path, (A.Inv, A.ZeroOrOne)):
+        _closure_bases(path.path, acc)
+    elif isinstance(path, (A.Seq, A.Alt)):
+        _closure_bases(path.left, acc)
+        _closure_bases(path.right, acc)
+    return acc
+
+
+def _base_pairs_hint(store: TripleStore, base_path, with_graph: bool) -> int:
+    """Size of a closure component's base relation, capped at the gearing
+    threshold + 1. Single-Link (possibly inverted) bases answer from the
+    store's cached per-predicate stats — NO per-pattern probe job (r9
+    verdict item 5; exactness doesn't matter for a strategy threshold).
+    Composite bases keep the limit-bounded probe, which never scans more
+    than threshold+1 rows."""
+    from blazegraph_database_spark.operators.paths import compile_path
+
+    p = base_path
+    while isinstance(p, A.Inv):
+        p = p.path
+    if isinstance(p, str):
+        p = A.Link(p)
+    if isinstance(p, A.Link):
+        st = store.stats().get(p.iri)
+        return st.count if st is not None else 0
+    df = compile_path(store, base_path, with_graph=with_graph)
+    return df.limit(_GEAR_MIN_BASE_PAIRS + 1).count()
+
+
 def _anchored_path_pairs(store: TripleStore, node, with_graph: bool):
-    """GEARED evaluation for `+`/`*` paths with a CONSTANT endpoint (ref:
+    """GEARED evaluation for paths with a CONSTANT endpoint (ref:
     ArbitraryLengthPathNode + the gearing query hint, TestGearingQueryHint:
     forward gearing expands the frontier from a bound subject, reverse
     gearing from a bound object): a seeded Δ-expansion reads only the
     reachable-from-seed region instead of materializing the graph's
     ALL-PAIRS closure — at 100 TB the difference between a frontier-sized
-    walk and an O(|V|²)-state fixpoint. Returns the ([g,] s, o) pair
-    DataFrame, or None when the pattern isn't anchored (var-var paths keep
-    the full-closure path, which their semantics genuinely need)."""
+    walk and an O(|V|²)-state fixpoint. Fires on top-level `+`/`*` AND on
+    composite paths (Seq/Alt/Inv/`{m,}` wrappers — `<c> :a/:b+ ?x`), where
+    the anchor's frontier flows through the components via geared_reach.
+    Returns the ([g,] s, o) pair DataFrame, or None when the pattern isn't
+    anchored (var-var paths keep the full-closure path, which their
+    semantics genuinely need), is fixed-length (Catalyst pushes the
+    constant filter through plain joins itself), or every closure base is
+    schema-sized (the full-closure driver tier closes those in ONE collect,
+    beating diameter-many seeded rounds)."""
     from blazegraph_database_spark.operators.paths import (
-        compile_path, seeded_closure, _gcols,
+        compile_path, geared_reach, seeded_closure, _gcols,
     )
 
-    if not isinstance(node.path, (A.Plus, A.Star)):
-        return None
     s_const, o_const = is_const(node.s), is_const(node.o)
     if not (s_const or o_const):
         return None
-    k = _gcols(with_graph)
-    base = compile_path(store, node.path.path, with_graph=with_graph)
-    # schema-sized bases keep the full-closure path: its driver tier
-    # closes in ONE collect, beating diameter-many seeded rounds; the
-    # limit-bounded count never scans more than the threshold on big data
-    if base.limit(20_001).count() <= 20_000:
+    bases = _closure_bases(node.path)
+    if not bases:
         return None
+    if all(
+        _base_pairs_hint(store, b, with_graph) <= _GEAR_MIN_BASE_PAIRS
+        for b in bases
+    ):
+        return None
+    k = _gcols(with_graph)
     forward = s_const  # prefer forward gearing when both ends are bound
-    if not forward:
-        base = base.select(*k, F.col("o").alias("s"), F.col("s").alias("o"))
     seed = const_lex(node.s if forward else node.o)
-    reached = seeded_closure(base, seed, keys=k)  # ([g,] o), >= 1 hops
+    if isinstance(node.path, (A.Plus, A.Star)):
+        base = compile_path(store, node.path.path, with_graph=with_graph)
+        if not forward:
+            base = base.select(*k, F.col("o").alias("s"), F.col("s").alias("o"))
+        reached = seeded_closure(base, seed, keys=k)  # ([g,] o), >= 1 hops
+    else:
+        frontier = store.spark.createDataFrame([(seed,)], "o string")
+        if with_graph:
+            frontier = store.df.select("g").distinct().crossJoin(frontier)
+        reached = geared_reach(store, node.path, frontier, with_graph, forward)
     pairs = reached.select(*k, F.lit(seed).alias("s"), F.col("o"))
     if not forward:
         pairs = pairs.select(*k, F.col("o").alias("s"), F.col("s").alias("o"))

@@ -1309,3 +1309,146 @@ def test_seeded_closure_deep_chain_fallback(spark):
     )
     got = {r["o"] for r in seeded_closure(edges, "c0", max_iters=4).collect()}
     assert got == {f"c{i}" for i in range(1, 31)}  # all 30 hops, not 4
+
+
+def _chain_store(spark, extra_rows=()):
+    """600 disjoint 50-hop <urn:next> chains (30k edges — data-sized, past
+    the gearing threshold) plus caller-supplied extra edges."""
+    from blazegraph_database_spark.model.store import TripleStore
+    from pyspark.sql import functions as F
+
+    edges = spark.range(30000).select(
+        F.concat(F.lit("n"), (F.col("id") % 600), F.lit("_"),
+                 (F.col("id") / 600).cast("long")).alias("s"),
+        F.lit("urn:next").alias("p"),
+        F.concat(F.lit("n"), (F.col("id") % 600), F.lit("_"),
+                 ((F.col("id") / 600).cast("long") + 1)).alias("o_lex"),
+        F.lit("iri").alias("o_dt"),
+    )
+    if extra_rows:
+        extra = spark.createDataFrame(
+            list(extra_rows), "s string, p string, o_lex string, o_dt string"
+        )
+        edges = edges.unionByName(extra)
+    return TripleStore(edges)
+
+
+def test_anchored_seq_path_geared(spark):
+    """`<const> :a/:b+ ?x` gears through the SEQUENCE (r9 verdict item 1):
+    the constant seed flows into the `+` component's Δ-expansion, and the
+    full all-pairs closure of :b is NEVER materialized (transitive_closure
+    is patched to raise)."""
+    import blazegraph_database_spark.operators.paths as P
+    from blazegraph_database_spark.model.terms import Var
+    from blazegraph_database_spark.plans import algebra as A
+    from blazegraph_database_spark.plans.compiler import _anchored_path_pairs
+    from blazegraph_database_spark.plans.sparql_parser import run_sparql
+
+    st = _chain_store(spark, [("root0", "urn:first", "n0_40", "iri")])
+    node = A.PathPattern(
+        s="root0", path=A.Seq(A.Link("urn:first"), A.Plus("urn:next")),
+        o=Var("x"), g=None,
+    )
+    orig = P.transitive_closure
+    P.transitive_closure = lambda *a, **k: (_ for _ in ()).throw(
+        AssertionError("all-pairs closure materialized in geared Seq")
+    )
+    try:
+        pairs = _anchored_path_pairs(st, node, with_graph=False)
+        assert pairs is not None  # the geared branch FIRED on a Seq
+        got = {r["o"] for r in pairs.collect()}
+    finally:
+        P.transitive_closure = orig
+    assert got == {f"n0_{i}" for i in range(41, 51)}
+    # end-to-end text parser, both gears
+    fwd = {r["x"] for r in run_sparql(
+        st, "SELECT ?x WHERE { <root0> <urn:first>/<urn:next>+ ?x }"
+    ).collect()}
+    assert fwd == got
+    back = {r["s"] for r in run_sparql(
+        st, "SELECT ?s WHERE { ?s <urn:next>+/<urn:next> <n1_50> }"
+    ).collect()}
+    assert back == {f"n1_{i}" for i in range(0, 49)}
+
+
+def test_geared_reach_parity_all_shapes(spark):
+    """geared_reach matches the full compile_path + endpoint filter for
+    every composite path shape over a small cyclic graph (seeded-vs-full
+    parity, the r9 gearing fixtures' model extended to sequences)."""
+    from blazegraph_database_spark.model.store import TripleStore
+    from blazegraph_database_spark.operators.paths import compile_path, geared_reach
+    from blazegraph_database_spark.plans import algebra as A
+    from pyspark.sql import functions as F
+
+    rows = []
+    # two interleaved rings + a tree on :b, so closures are nontrivial
+    for i in range(8):
+        rows.append((f"v{i}", "urn:a", f"v{(i + 1) % 8}", "iri"))
+    for i in range(6):
+        rows.append((f"v{i}", "urn:b", f"w{i}", "iri"))
+        rows.append((f"w{i}", "urn:b", f"w{(i + 2) % 6}", "iri"))
+    rows.append(("v0", "urn:c", "v3", "iri"))
+    st = TripleStore(spark.createDataFrame(
+        rows, "s string, p string, o_lex string, o_dt string"))
+
+    shapes = [
+        A.Seq(A.Link("urn:a"), A.Plus("urn:b")),
+        A.Seq(A.Plus("urn:a"), A.Link("urn:b")),
+        A.Seq(A.Star("urn:a"), A.Link("urn:b")),
+        A.Seq(A.Link("urn:c"), A.Star("urn:b")),
+        A.Alt(A.Plus("urn:a"), A.Seq(A.Link("urn:c"), A.Plus("urn:b"))),
+        A.Seq(A.Inv(A.Link("urn:a")), A.Plus("urn:b")),
+        A.Inv(A.Seq(A.Link("urn:b"), A.Plus("urn:b"))),
+        A.Seq(A.ZeroOrOne(A.Link("urn:a")), A.Plus("urn:b")),
+        A.Seq(A.Bounded(A.Link("urn:a"), 1, 3), A.Plus("urn:b")),
+        A.Seq(A.Bounded(A.Link("urn:a"), 2, None), A.Link("urn:b")),
+        A.Seq(A.Link("urn:a"), A.Bounded(A.Link("urn:b"), 0, 2)),
+    ]
+    for seed, forward in (("v0", True), ("w2", False)):
+        frontier = spark.createDataFrame([(seed,)], "o string")
+        for shape in shapes:
+            full = compile_path(st, shape, with_graph=False)
+            col = "s" if forward else "o"
+            want = {
+                r["o" if forward else "s"]
+                for r in full.filter(F.col(col) == seed).collect()
+            }
+            got = {
+                r["o"]
+                for r in geared_reach(st, shape, frontier, False, forward).collect()
+            }
+            assert got == want, (shape, seed, forward, got ^ want)
+
+
+def test_anchored_single_link_no_probe_job(spark):
+    """The gearing decision for a single-Link base comes from the store's
+    cached predicate stats — no limit-bounded probe job per anchored
+    pattern (r9 verdict item 5)."""
+    import blazegraph_database_spark.plans.compiler as C
+    from blazegraph_database_spark.model.terms import Var
+    from blazegraph_database_spark.plans import algebra as A
+
+    st = _chain_store(spark)
+    st.stats()  # warmed once per store, shared with join ordering
+    node = A.PathPattern(s="n0_40", path=A.Plus("urn:next"), o=Var("x"), g=None)
+    orig = C._base_pairs_hint
+
+    def hint_no_probe(store, base_path, with_graph):
+        from pyspark.sql import DataFrame
+
+        real_limit = DataFrame.limit
+        DataFrame.limit = lambda *a, **k: (_ for _ in ()).throw(
+            AssertionError("probe job ran for a single-Link base")
+        )
+        try:
+            return orig(store, base_path, with_graph)
+        finally:
+            DataFrame.limit = real_limit
+
+    C._base_pairs_hint = hint_no_probe
+    try:
+        pairs = C._anchored_path_pairs(st, node, with_graph=False)
+    finally:
+        C._base_pairs_hint = orig
+    assert pairs is not None
+    assert pairs.count() == 10
