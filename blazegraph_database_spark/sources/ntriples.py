@@ -480,9 +480,110 @@ def nt_line(df: DataFrame) -> F.Column:
     return F.concat(subj, F.lit(" <"), F.col("p"), F.lit("> "), obj, F.lit(" ."))
 
 
+def _nt_esc_stage(df: DataFrame, lex: str, out: str) -> DataFrame:
+    l = F.col(lex)
+    esc = F.regexp_replace(F.regexp_replace(l, r"\\", r"\\\\"), '"', '\\\\"')
+    esc = F.regexp_replace(esc, "\n", r"\\n")
+    esc = F.regexp_replace(esc, "\r", r"\\r")
+    esc = F.regexp_replace(esc, "\t", r"\\t")
+    return df.select("*", esc.alias(out))
+
+
+def _nt_obj_stage(df: DataFrame, lex: str, dt: str, out: str) -> DataFrame:
+    """Append ``out`` = N-Triples object syntax for (lex, dt), via STAGED
+    projections with named intermediates — same discipline as the reader's
+    _term_stage and the Turtle writer's _ttl_term_stage: the inline _nt_obj
+    expression copies its 5-regex escape chain into every datatype WHEN
+    branch, and fused into an upstream Generate (relational→RDF explode on
+    a bulk export) a single generated doConsume can outgrow janino's 64 KB
+    method limit, dropping the whole export stage to interpreted
+    evaluation."""
+    t = f"__nt_{out}_"
+    d = F.col(dt)
+    df = _nt_esc_stage(df, lex, t + "esc")
+    esc = F.col(t + "esc")
+    obj = F.concat(F.lit('"'), esc, F.lit('"'))
+    obj = F.when(
+        d.startswith("dt:"),
+        F.concat(F.lit('"'), esc, F.lit('"^^<'), F.substring(d, 4, 2_000_000), F.lit(">")),
+    ).otherwise(obj)
+    for tag, iri in _TAG_XSD_W.items():
+        obj = F.when(
+            d == tag, F.concat(F.lit('"'), esc, F.lit('"^^<'), F.lit(iri), F.lit(">"))
+        ).otherwise(obj)
+    l = F.col(lex)
+    rendered = (
+        F.when(d == "bnode", l)
+        .when(d == "iri", F.concat(F.lit("<"), l, F.lit(">")))
+        .when(
+            d.startswith("lang:"),
+            F.concat(F.lit('"'), esc, F.lit('"@'), F.substring(d, 6, 100)),
+        )
+        .otherwise(obj)
+    )
+    df = df.select("*", rendered.alias(out))
+    return df.drop(t + "esc")
+
+
+def _nt_sid_stage(df: DataFrame, col: str, out: str) -> DataFrame:
+    """Append ``out`` = RDR `<< s p o >>` syntax for a sid lexical column
+    (NULL for non-sid lexicals), staged like _nt_obj_stage."""
+    t = f"__nt_{out}_"
+    c = F.col(col)
+    inner = F.when(_is_sid_lex(c), c.substr(F.lit(3), F.length(c) - 4))
+    df = df.select("*", F.split(inner, r"\|").alias(t + "parts"))
+    parts = F.col(t + "parts")
+    df = df.select(
+        "*",
+        F.element_at(parts, 1).alias(t + "s"),
+        F.element_at(parts, 2).alias(t + "p"),
+        F.element_at(parts, -1).alias(t + "odt"),
+        F.array_join(
+            F.slice(parts, 3, F.greatest(F.size(parts) - 3, F.lit(1))), "|"
+        ).alias(t + "o"),
+    )
+    df = _nt_obj_stage(df, t + "o", t + "odt", t + "oterm")
+    i_s = F.col(t + "s")
+    subj = F.when(i_s.startswith("_:"), i_s).otherwise(
+        F.concat(F.lit("<"), i_s, F.lit(">"))
+    )
+    df = df.select(
+        "*",
+        F.concat(
+            F.lit("<< "), subj, F.lit(" <"), F.col(t + "p"), F.lit("> "),
+            F.col(t + "oterm"), F.lit(" >>"),
+        ).alias(out),
+    )
+    return df.drop(*(c2 for c2 in df.columns if c2.startswith(t)))
+
+
+def nt_lines(df: DataFrame) -> DataFrame:
+    """One-column ("value") DataFrame of N-Triples lines — the STAGED bulk
+    form of nt_line, used by write_ntriples so a distributed export fused
+    with an upstream relational→RDF explode still compiles under
+    whole-stage codegen. nt_line (single Column) remains for bounded
+    callers composing it into an existing projection."""
+    out = df.select("s", "p", "o_lex", "o_dt")
+    out = _nt_obj_stage(out, "o_lex", "o_dt", "__nt_oplain")
+    out = _nt_sid_stage(out, "o_lex", "__nt_osid")
+    out = _nt_sid_stage(out, "s", "__nt_ssid")
+    obj = F.when(F.col("o_dt") == "sid", F.col("__nt_osid")).otherwise(
+        F.col("__nt_oplain")
+    )
+    s = F.col("s")
+    subj = (
+        F.when(_is_sid_lex(s), F.col("__nt_ssid"))
+        .when(s.startswith("_:"), s)
+        .otherwise(F.concat(F.lit("<"), s, F.lit(">")))
+    )
+    return out.select(
+        F.concat(subj, F.lit(" <"), F.col("p"), F.lit("> "), obj, F.lit(" .")).alias("value")
+    )
+
+
 def write_ntriples(df: DataFrame, path: str) -> None:
     """Serialize (s,p,o_lex,o_dt) → N-Triples text files."""
-    df.select(nt_line(df).alias("value")).write.mode("overwrite").text(path)
+    nt_lines(df).write.mode("overwrite").text(path)
 
 
 def read_turtle_subset(spark: SparkSession, path: str) -> DataFrame:

@@ -71,79 +71,124 @@ def _pname_or_iri(col, prefixes: dict[str, str]):
     return F.when(col.startswith("_:"), col).otherwise(out)
 
 
-def _ttl_obj_expr(lex, dt, prefixes: dict[str, str]):
-    """Turtle object syntax from (lexical, dtype-tag) columns."""
-    esc = _ttl_escape(lex)
-    obj = F.concat(F.lit('"'), esc, F.lit('"'))
-    # unknown datatype IRIs ride as dt:<iri> tags (term identity preserved)
-    obj = F.when(
-        dt.startswith("dt:"),
-        F.concat(F.lit('"'), esc, F.lit('"^^<'), F.substring(dt, 4, 1 << 20), F.lit(">")),
-    ).otherwise(obj)
-    for tag, iri in _TAG_XSD.items():
-        obj = F.when(
-            dt == tag,
-            F.concat(F.lit('"'), esc, F.lit('"^^'), _pname_or_iri(F.lit(iri), prefixes)),
-        ).otherwise(obj)
-    return (
-        F.when(dt.isin("iri", "bnode"), _pname_or_iri(lex, prefixes))
-        .when(
-            dt.startswith("lang:"),
-            F.concat(F.lit('"'), esc, F.lit('"@'), F.substring(dt, 6, 100)),
-        )
-        .otherwise(obj)
-    )
-
-
-def _ttl_sid(col, prefixes: dict[str, str]):
-    """RDR `<< s p o >>` Turtle-star syntax for a sid lexical (the internal
-    `<<s|p|o_lex|o_dt>>` encoding; one nesting level)."""
-    inner = col.substr(F.lit(3), F.length(col) - 4)
-    parts = F.split(inner, r"\|")
-    i_s = F.element_at(parts, 1)
-    i_p = F.element_at(parts, 2)
-    i_odt = F.element_at(parts, -1)
-    i_o = F.array_join(F.slice(parts, 3, F.greatest(F.size(parts) - 3, F.lit(1))), "|")
-    return F.concat(
-        F.lit("<< "), _pname_or_iri(i_s, prefixes), F.lit(" "),
-        _pname_or_iri(i_p, prefixes), F.lit(" "),
-        _ttl_obj_expr(i_o, i_odt, prefixes), F.lit(" >>"),
-    )
-
-
 def _is_sid_lex(col):
     return col.startswith("<<") & col.endswith(">>") & col.contains("|")
 
 
-def _ttl_obj(prefixes: dict[str, str]):
-    """Object term in Turtle syntax from (o_lex, o_dt); sid objects render
-    as RDR embedded statements."""
-    return F.when(F.col("o_dt") == "sid", _ttl_sid(F.col("o_lex"), prefixes)).otherwise(
-        _ttl_obj_expr(F.col("o_lex"), F.col("o_dt"), prefixes)
+def _ttl_term_stage(df: DataFrame, lex: str, dt: str, out: str, prefixes) -> DataFrame:
+    """Append ``out`` = Turtle syntax for the (lex, dt) term columns, via
+    STAGED projections with named intermediates — the writer-side analog of
+    the readers' _term_stage discipline (docs/scale_notes.md "Plan-build
+    discipline"). PySpark Columns are expression TREES: the previous
+    single-expression form copied the 5-regex escape chain into every
+    datatype-tag WHEN branch, and fused into an upstream Generate (the
+    relational→RDF explode) the one generated doConsume grew past janino's
+    64 KB method limit — Spark then fell back to INTERPRETED evaluation for
+    the whole writer stage (ERROR CodeGenerator on every bulk export).
+    Staged, each subexpression is computed once into a leaf
+    AttributeReference and the fused stage compiles."""
+    t = f"__w_{out}_"
+    l, d = F.col(lex), F.col(dt)
+    df = df.select(
+        "*",
+        _ttl_escape(l).alias(t + "esc"),
+        _pname_or_iri(l, prefixes).alias(t + "pn"),
     )
+    esc = F.col(t + "esc")
+    obj = F.concat(F.lit('"'), esc, F.lit('"'))
+    # unknown datatype IRIs ride as dt:<iri> tags (term identity preserved)
+    obj = F.when(
+        d.startswith("dt:"),
+        F.concat(F.lit('"'), esc, F.lit('"^^<'), F.substring(d, 4, 1 << 20), F.lit(">")),
+    ).otherwise(obj)
+    for tag, iri in _TAG_XSD.items():
+        # _pname_or_iri over a literal constant-folds to one string
+        obj = F.when(
+            d == tag,
+            F.concat(F.lit('"'), esc, F.lit('"^^'), _pname_or_iri(F.lit(iri), prefixes)),
+        ).otherwise(obj)
+    rendered = (
+        F.when(d.isin("iri", "bnode"), F.col(t + "pn"))
+        .when(
+            d.startswith("lang:"),
+            F.concat(F.lit('"'), esc, F.lit('"@'), F.substring(d, 6, 100)),
+        )
+        .otherwise(obj)
+    )
+    df = df.select("*", rendered.alias(out))
+    return df.drop(t + "esc", t + "pn")
+
+
+def _ttl_sid_stage(df: DataFrame, col: str, out: str, prefixes) -> DataFrame:
+    """Append ``out`` = RDR `<< s p o >>` Turtle-star syntax for a sid
+    lexical column (the internal `<<s|p|o_lex|o_dt>>` encoding; one nesting
+    level), NULL for non-sid lexicals. Staged like _ttl_term_stage."""
+    t = f"__w_{out}_"
+    c = F.col(col)
+    inner = F.when(_is_sid_lex(c), c.substr(F.lit(3), F.length(c) - 4))
+    df = df.select("*", F.split(inner, r"\|").alias(t + "parts"))
+    parts = F.col(t + "parts")
+    df = df.select(
+        "*",
+        F.element_at(parts, 1).alias(t + "s"),
+        F.element_at(parts, 2).alias(t + "p"),
+        F.element_at(parts, -1).alias(t + "odt"),
+        F.array_join(
+            F.slice(parts, 3, F.greatest(F.size(parts) - 3, F.lit(1))), "|"
+        ).alias(t + "o"),
+    )
+    df = df.select(
+        "*",
+        _pname_or_iri(F.col(t + "s"), prefixes).alias(t + "spn"),
+        _pname_or_iri(F.col(t + "p"), prefixes).alias(t + "ppn"),
+    )
+    df = _ttl_term_stage(df, t + "o", t + "odt", t + "oterm", prefixes)
+    df = df.select(
+        "*",
+        F.concat(
+            F.lit("<< "), F.col(t + "spn"), F.lit(" "), F.col(t + "ppn"),
+            F.lit(" "), F.col(t + "oterm"), F.lit(" >>"),
+        ).alias(out),
+    )
+    return df.drop(*(c2 for c2 in df.columns if c2.startswith(t)))
 
 
 def _ttl_subject_blocks(df: DataFrame, prefixes: dict[str, str], extra_group=()):
     """One Turtle statement block per subject: `s p1 o1 ; p2 o2 .` —
-    grouping/sorting/joining all in JVM expressions."""
-    pairs = F.concat(
-        _pname_or_iri(F.col("p"), prefixes), F.lit(" "), _ttl_obj(prefixes)
+    grouping/sorting/joining all in JVM expressions, STAGED so the fused
+    pre-aggregation stage stays inside janino's method limit."""
+    rows = df.select(*extra_group, "s", "p", "o_lex", "o_dt")
+    rows = rows.select(
+        "*", _pname_or_iri(F.col("p"), prefixes).alias("__w_ppn")
+    )
+    rows = _ttl_term_stage(rows, "o_lex", "o_dt", "__w_oplain", prefixes)
+    rows = _ttl_sid_stage(rows, "o_lex", "__w_osid", prefixes)
+    po = F.concat(
+        F.col("__w_ppn"),
+        F.lit(" "),
+        F.when(F.col("o_dt") == "sid", F.col("__w_osid")).otherwise(
+            F.col("__w_oplain")
+        ),
     ).alias("po")
-    rows = df.select(*extra_group, F.col("s"), pairs)
-    return (
+    rows = rows.select(*extra_group, F.col("s"), po)
+    agg = (
         rows.groupBy(*extra_group, "s")
         .agg(F.array_sort(F.collect_list("po")).alias("pos"))
-        .select(
-            *extra_group,
-            F.concat(
-                F.when(
-                    _is_sid_lex(F.col("s")), _ttl_sid(F.col("s"), prefixes)
-                ).otherwise(_pname_or_iri(F.col("s"), prefixes)),
-                F.lit(" "),
-                F.array_join(F.col("pos"), " ;\n    "),
-                F.lit(" ."),
-            ).alias("block"),
-        )
+    )
+    agg = _ttl_sid_stage(agg, "s", "__w_ssid", prefixes)
+    agg = agg.select(
+        "*", _pname_or_iri(F.col("s"), prefixes).alias("__w_spn")
+    )
+    return agg.select(
+        *extra_group,
+        F.concat(
+            F.when(_is_sid_lex(F.col("s")), F.col("__w_ssid")).otherwise(
+                F.col("__w_spn")
+            ),
+            F.lit(" "),
+            F.array_join(F.col("pos"), " ;\n    "),
+            F.lit(" ."),
+        ).alias("block"),
     )
 
 
