@@ -21,8 +21,13 @@ hand off to operators/gas for the iterative cases.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+# characters the SPARQL IRIREF production forbids (plus all control chars)
+_IRI_BAD_RX = re.compile(r'[\x00-\x20<>"{}|^`\\]')
 
 from blazegraph_database_spark.model.store import TRIPLE_COLS, TripleStore
 from blazegraph_database_spark.update.update import UpdatableStore
@@ -378,15 +383,27 @@ class PropertyGraphClient:
             self.url += "/sparql"
 
     # ---------------------------------------------------------- transport --
+    # GET keeps small queries cacheable/log-friendly; past this size the
+    # query moves to a form-encoded POST body (the reference client POSTs —
+    # RemoteRepository — and generated queries can exceed common URL caps).
+    _GET_MAX_QUERY = 1024
+
     def _select(self, query: str) -> list[dict]:
         import json
         import urllib.parse
         import urllib.request
 
-        req = urllib.request.Request(
-            f"{self.url}?query={urllib.parse.quote(query)}",
-            headers={"Accept": "application/sparql-results+json"},
-        )
+        headers = {"Accept": "application/sparql-results+json"}
+        if len(query) <= self._GET_MAX_QUERY:
+            req = urllib.request.Request(
+                f"{self.url}?query={urllib.parse.quote(query)}", headers=headers,
+            )
+        else:
+            headers["Content-Type"] = "application/x-www-form-urlencoded"
+            req = urllib.request.Request(
+                self.url, data=urllib.parse.urlencode({"query": query}).encode(),
+                headers=headers,
+            )
         with urllib.request.urlopen(req) as resp:
             data = json.loads(resp.read())
         out = []
@@ -425,27 +442,42 @@ class PropertyGraphClient:
         )
         return f'"{s}"'
 
+    @staticmethod
+    def _iri(value: str) -> str:
+        """Validate + render an IRIREF operand. Vertex ids, edge labels and
+        property names interpolate into IRI positions of generated SPARQL
+        text; characters the IRIREF production forbids (space, <, >, ", {,
+        }, |, ^, `, \\, and controls) would yield malformed — or injectable
+        — query text, so reject them outright (r9 advisor; literal VALUES
+        are escaped separately via _term)."""
+        s = str(value)
+        if _IRI_BAD_RX.search(s):
+            raise ValueError(f"illegal IRI operand for remote graph: {s!r}")
+        return f"<{s}>"
+
     # ------------------------------------------------------------- writes --
     def add_vertex(self, vid: str, **props) -> str:
-        lines = [f"<{vid}> <{RDF_TYPE}> <{VERTEX_TYPE}> ."]
+        vid_i = self._iri(vid)
+        lines = [f"{vid_i} <{RDF_TYPE}> <{VERTEX_TYPE}> ."]
         lines += [
-            f"<{vid}> <{PROP_NS}{k}> {self._term(v)} ." for k, v in props.items()
+            f"{vid_i} {self._iri(PROP_NS + k)} {self._term(v)} ."
+            for k, v in props.items()
         ]
         self._update("INSERT DATA { " + " ".join(lines) + " }")
         return vid
 
     def add_edge(self, out_v: str, label: str, in_v: str, **props) -> str:
-        edge = f"<{out_v}> <{EDGE_NS}{label}> <{in_v}>"
+        edge = f"{self._iri(out_v)} {self._iri(EDGE_NS + label)} {self._iri(in_v)}"
         lines = [edge + " ."]
         lines += [
-            f"<< {edge} >> <{PROP_NS}{k}> {self._term(v)} ."
+            f"<< {edge} >> {self._iri(PROP_NS + k)} {self._term(v)} ."
             for k, v in props.items()
         ]
         self._update("INSERT DATA { " + " ".join(lines) + " }")
         return _edge_sid(out_v, label, in_v)
 
     def remove_edge(self, out_v: str, label: str, in_v: str) -> None:
-        edge = f"<{out_v}> <{EDGE_NS}{label}> <{in_v}>"
+        edge = f"{self._iri(out_v)} {self._iri(EDGE_NS + label)} {self._iri(in_v)}"
         # two requests: a joint pattern would require the edge to HAVE
         # properties before the statement itself could match
         self._update("DELETE WHERE { << " + edge + " >> ?p ?o }")
@@ -460,7 +492,7 @@ class PropertyGraphClient:
 
     def vertex(self, vid: str) -> dict:
         rows = self._select(
-            f'SELECT ?p ?o WHERE {{ <{vid}> ?p ?o . '
+            f'SELECT ?p ?o WHERE {{ {self._iri(vid)} ?p ?o . '
             f'FILTER(STRSTARTS(STR(?p), "{PROP_NS}")) }}'
         )
         return {r["p"][len(PROP_NS):]: r["o"] for r in rows}
@@ -468,7 +500,7 @@ class PropertyGraphClient:
     def edges(self, label: str | None = None) -> list[tuple]:
         if label is not None:
             rows = self._select(
-                f"SELECT ?out ?in WHERE {{ ?out <{EDGE_NS}{label}> ?in }}"
+                f"SELECT ?out ?in WHERE {{ ?out {self._iri(EDGE_NS + label)} ?in }}"
             )
             return sorted((r["out"], label, r["in"]) for r in rows)
         rows = self._select(
@@ -479,27 +511,32 @@ class PropertyGraphClient:
 
     def edge_properties(self, out_v: str, label: str, in_v: str) -> dict:
         rows = self._select(
-            f"SELECT ?p ?o WHERE {{ << <{out_v}> <{EDGE_NS}{label}> <{in_v}> >> ?p ?o "
+            f"SELECT ?p ?o WHERE {{ << {self._iri(out_v)} "
+            f"{self._iri(EDGE_NS + label)} {self._iri(in_v)} >> ?p ?o "
             f'FILTER(STRSTARTS(STR(?p), "{PROP_NS}")) }}'
         )
         return {r["p"][len(PROP_NS):]: r["o"] for r in rows}
 
     def out_neighbors(self, vid: str, label: str | None = None) -> list[str]:
         if label is not None:
-            rows = self._select(f"SELECT ?id WHERE {{ <{vid}> <{EDGE_NS}{label}> ?id }}")
+            rows = self._select(
+                f"SELECT ?id WHERE {{ {self._iri(vid)} {self._iri(EDGE_NS + label)} ?id }}"
+            )
         else:
             rows = self._select(
-                f'SELECT ?id WHERE {{ <{vid}> ?p ?id . '
+                f'SELECT ?id WHERE {{ {self._iri(vid)} ?p ?id . '
                 f'FILTER(STRSTARTS(STR(?p), "{EDGE_NS}")) }}'
             )
         return sorted(r["id"] for r in rows)
 
     def in_neighbors(self, vid: str, label: str | None = None) -> list[str]:
         if label is not None:
-            rows = self._select(f"SELECT ?id WHERE {{ ?id <{EDGE_NS}{label}> <{vid}> }}")
+            rows = self._select(
+                f"SELECT ?id WHERE {{ ?id {self._iri(EDGE_NS + label)} {self._iri(vid)} }}"
+            )
         else:
             rows = self._select(
-                f'SELECT ?id WHERE {{ ?id ?p <{vid}> . '
+                f'SELECT ?id WHERE {{ ?id ?p {self._iri(vid)} . '
                 f'FILTER(STRSTARTS(STR(?p), "{EDGE_NS}")) }}'
             )
         return sorted(r["id"] for r in rows)

@@ -551,6 +551,12 @@ class Parser:
         # `0.1` IS xsd:decimal per the SPARQL grammar; only e-notation is
         # xsd:double)
         self._arith_lexical: set[str] = set()
+        # per-row RESULT datatype of each typed-arith intermediate (keyed
+        # like _arith_lexical): 'decimal' exactly where the exact branch
+        # fired, 'double' otherwise — what keeps CHAINED arithmetic on the
+        # correct lattice path per operand row (ADVICE r9: ?a+?b+?c used
+        # to demote to double after the first operator unconditionally)
+        self._arith_dt: dict[str, "Column"] = {}
         self._num_consts: dict[str, tuple[str, str]] = {}
         # hoisted aggregate aliases whose value column is a typed string
         # LEXICAL with a __dtc companion (typed SUM/AVG/MIN/MAX): ORDER BY
@@ -985,11 +991,12 @@ class Parser:
         # overflow under non-ANSI yields NULL, which must DEMOTE to the
         # double path, not render an unbound total (ADVICE r8).
         res = f(ad, bd)
-        out = F.when(
-            exact & ad.isNotNull() & bd.isNotNull() & res.isNotNull(),
-            fn.DEC_LEX(res),
-        ).otherwise(f(an, bn))
+        rode_exact = exact & ad.isNotNull() & bd.isNotNull() & res.isNotNull()
+        out = F.when(rode_exact, fn.DEC_LEX(res)).otherwise(f(an, bn))
         self._arith_lexical.add(str(out))
+        self._arith_dt[str(out)] = F.when(
+            rode_exact, F.lit("decimal")
+        ).otherwise(F.lit("double"))
         return out
 
     def _order_key(self, e: Column) -> Column:
@@ -1058,7 +1065,14 @@ class Parser:
           integer-family literal) -> its lexical + literal tag, so
           `?p * 0.1` and `BIND(0.1 + 0.2 AS ?x)` stay BigDecimal-exact
           (ADVICE r8; e-notation/xsd:double constants are deliberately NOT
-          registered — a double operand keeps the double path)."""
+          registered — a double operand keeps the double path);
+        - a typed-arith INTERMEDIATE this parse produced (registered in
+          _arith_lexical) -> the expression + its recorded per-row result
+          tag ('decimal' exactly where the exact branch fired, 'double'
+          otherwise), so chained exact arithmetic stays on the DECIMAL
+          path end-to-end — `0.1 + 0.2 + 0.3` is exact, not exact-then-
+          double — while a chain through any double operand keeps XPath
+          double promotion for those rows (ADVICE r9)."""
         v = _bare_var(col)
         if v is not None:
             if _has_dt_companion(v):
@@ -1070,6 +1084,9 @@ class Parser:
         if nc is not None:
             lex, tag = nc
             return F.lit(lex), F.lit(tag)
+        adt = self._arith_dt.get(str(col))
+        if adt is not None:
+            return col, adt
         return None
 
     def expr_unary(self) -> Column:

@@ -203,3 +203,48 @@ def test_property_graph_client_over_rest(spark):
         assert c.vertices() == ["v:a", "v:b"]  # vertices untouched
     finally:
         srv.shutdown()
+
+
+def test_client_rejects_illegal_iri_operands():
+    """Vertex ids / edge labels / property names containing characters the
+    IRIREF production forbids must be rejected before interpolation into
+    generated SPARQL (r9 advisor: '>' or quotes in an id yields malformed
+    or injectable query text)."""
+    import pytest
+
+    from blazegraph_database_spark.blueprints import PropertyGraphClient
+
+    c = PropertyGraphClient("http://127.0.0.1:1")  # never contacted
+    for bad in ("v>x", 'v"x', "v x", "v{x", "v\\x", "v`x", "v\nx"):
+        with pytest.raises(ValueError):
+            c._iri(bad)
+        with pytest.raises(ValueError):
+            c.add_vertex(bad)  # raises before any HTTP I/O
+    with pytest.raises(ValueError):
+        c.add_edge("v:a", "knows> <urn:x> <urn:y> . <urn:z", "v:b")
+    with pytest.raises(ValueError):
+        c.add_vertex("v:a", **{"na me": 1})
+    assert c._iri("v:ok") == "<v:ok>"
+
+
+def test_client_posts_large_queries(spark):
+    """Queries past the URL-size threshold go as a form-encoded POST body
+    (the reference client POSTs; GETs hit URL-length caps)."""
+    from blazegraph_database_spark.blueprints import PropertyGraphClient
+    from blazegraph_database_spark.server import SparqlEndpoint, start_background
+    from blazegraph_database_spark.update.update import UpdatableStore
+
+    store = UpdatableStore.from_store(_empty_store(spark))
+    ep = SparqlEndpoint(spark, store)
+    srv, port = start_background(ep)
+    try:
+        c = PropertyGraphClient(f"http://127.0.0.1:{port}")
+        c.add_vertex("v:a", name="Alice")
+        pad = " ".join("# pad" for _ in range(400))  # > _GET_MAX_QUERY chars
+        rows = c._select(
+            "SELECT ?id WHERE { ?id <http://www.w3.org/1999/02/22-rdf-syntax-ns#type> "
+            "<pg:Vertex> }\n" + pad
+        )
+        assert [r["id"] for r in rows] == ["v:a"]
+    finally:
+        srv.shutdown()

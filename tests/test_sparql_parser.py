@@ -1452,3 +1452,28 @@ def test_anchored_single_link_no_probe_job(spark):
         C._base_pairs_hint = orig
     assert pairs is not None
     assert pairs.count() == 10
+
+
+def test_chained_exact_arithmetic(spark):
+    """Multi-operand exact chains stay on the DECIMAL path end-to-end
+    (r9 advisor: ?a + ?b + ?c used to demote to double after the first
+    operator — 0.1+0.2 exact but 0.1+0.2+0.3 not), while a chain through
+    a double operand keeps XPath double promotion per-row."""
+    from blazegraph_database_spark.plans.sparql_parser import run_sparql
+
+    st = _dt_store(spark, [
+        ("urn:s", "urn:a", "0.1", "decimal"),
+        ("urn:s", "urn:b", "0.2", "decimal"),
+        ("urn:s", "urn:c", "0.3", "decimal"),
+        ("urn:s", "urn:d", "0.5", "double"),
+    ])
+    def one(q):
+        return run_sparql(st, q).collect()[0]["t"]
+
+    pre = "?s <urn:a> ?a ; <urn:b> ?b ; <urn:c> ?c ; <urn:d> ?d ."
+    assert one(f"SELECT ?t WHERE {{ {pre} BIND(?a + ?b + ?c AS ?t) }}") == "0.6"
+    assert one(f"SELECT ?t WHERE {{ {pre} BIND(?a + ?b + ?c + ?a AS ?t) }}") == "0.7"
+    assert one(f"SELECT ?t WHERE {{ {pre} BIND(0.1 + 0.2 + 0.3 AS ?t) }}") == "0.6"
+    assert one(f"SELECT ?t WHERE {{ {pre} BIND(?a * ?b - ?c AS ?t) }}") == "-0.28"
+    # any double operand demotes THAT row's chain (XPath promotion lattice)
+    assert one(f"SELECT ?t WHERE {{ {pre} BIND(?a + ?d + ?c AS ?t) }}") == repr(0.1 + 0.5 + 0.3)
