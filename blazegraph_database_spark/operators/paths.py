@@ -397,29 +397,42 @@ def geared_reach(
         )
     if isinstance(path, A.Bounded):
         base = _oriented(store, path.path, with_graph, forward)
-        lower, upper = path.lower, path.upper
-        if upper == 0:  # {0,0}: zero-length only
-            return frontier.select(*k, "o")
-        cur = frontier
-        if upper is None:  # {m,}: advance m-1 set-hops, then >=1 closure
-            for _ in range(max(lower - 1, 0)):
-                cur = _hop_from(base, cur, k).localCheckpoint()
-                if cur.isEmpty():
-                    return cur.select(*k, "o")
-            out = seeded_closure_from(base, cur, keys=k)
-            if lower == 0:
-                out = out.unionByName(frontier.select(*k, "o")).distinct()
-            return out
-        acc = frontier.select(*k, "o") if lower == 0 else None
-        for i in range(1, upper + 1):
-            cur = _hop_from(base, cur, k).localCheckpoint()
-            if cur.isEmpty():
-                break
-            if i >= lower:
-                acc = cur if acc is None else acc.unionByName(cur)
-        if acc is None:
-            return frontier.select(*k, "o").limit(0)
-        return acc.distinct()
+        return bounded_reach(base, frontier, path.lower, path.upper, keys=k)
     # atomic components (Link / NegatedPropertySet): one set-hop
     base = _oriented(store, path, with_graph, forward)
     return _hop_from(base, frontier, k)
+
+
+def bounded_reach(
+    base: DataFrame, frontier: DataFrame, lower: int, upper: int | None,
+    keys: list[str] | None = None,
+) -> DataFrame:
+    """([g,] o): nodes reachable from the frontier set by a walk of length
+    in [lower, upper] hops of ``base`` (upper=None = unbounded) — the
+    frontier-seeded analog of :func:`bounded_paths`, shared by geared
+    `{m,n}` path components and the anchored bd:alp SERVICE. State per
+    round is frontier-sized; the base's all-pairs composition never
+    materializes."""
+    k = keys or []
+    if upper == 0:  # {0,0}: zero-length only
+        return frontier.select(*k, "o")
+    cur = frontier
+    if upper is None:  # {m,}: advance m-1 set-hops, then >=1 closure
+        for _ in range(max(lower - 1, 0)):
+            cur = _hop_from(base, cur, k).localCheckpoint()
+            if cur.isEmpty():
+                return cur.select(*k, "o")
+        out = seeded_closure_from(base, cur, keys=k)
+        if lower == 0:
+            out = out.unionByName(frontier.select(*k, "o")).distinct()
+        return out
+    acc = frontier.select(*k, "o") if lower == 0 else None
+    for i in range(1, upper + 1):
+        cur = _hop_from(base, cur, k).localCheckpoint()
+        if cur.isEmpty():
+            break
+        if i >= lower:
+            acc = cur if acc is None else acc.unionByName(cur)
+    if acc is None:
+        return frontier.select(*k, "o").limit(0)
+    return acc.distinct()

@@ -1224,7 +1224,7 @@ def alp_service(store, pattern) -> DataFrame:
     from pyspark.sql import functions as F
 
     from blazegraph_database_spark.model.terms import Var, const_lex, is_const
-    from blazegraph_database_spark.operators.paths import bounded_paths
+    from blazegraph_database_spark.operators.paths import bounded_paths, bounded_reach
     from blazegraph_database_spark.plans import algebra as A
 
     def bgps(n, acc):
@@ -1278,20 +1278,52 @@ def alp_service(store, pattern) -> DataFrame:
         edges = edges.unionByName(edges.select(F.col("o").alias("s"), F.col("s").alias("o")))
     lower = int(alp.get("lowerBound", 1))
     upper = int(alp["upperBound"]) if "upperBound" in alp else None
-    pairs = bounded_paths(edges, max(lower, 1), upper)
-    if lower <= 0:
-        # zero-length: the source reaches itself
-        nodes = store.df.select(F.col("s").alias("s")).unionByName(
-            store.df.filter(F.col("o_dt") == "iri").select(F.col("o_lex").alias("s"))
-        ).distinct().select("s", F.col("s").alias("o"))
-        pairs = pairs.unionByName(nodes).distinct()
+    s_const, o_const = is_const(path_sp.s), is_const(path_sp.o)
+    if (s_const or o_const) and (
+        upper is not None or edges.limit(20_001).count() > 20_000
+    ):
+        # GEARED: a constant endpoint seeds a frontier walk over the edge
+        # relation instead of composing its all-pairs closure (same
+        # anchored-ALP shape as _anchored_path_pairs; the schema-sized
+        # full path keeps the driver-tier closure, which wins there).
+        # Bounded uppers always walk seeded when anchored — bounded_paths
+        # composes the FULL relation per round, bounded_reach only the
+        # frontier.
+        forward = s_const
+        base = edges if forward else edges.select(
+            F.col("o").alias("s"), F.col("s").alias("o")
+        )
+        seed = const_lex(path_sp.s if forward else path_sp.o)
+        frontier = store.spark.createDataFrame([(seed,)], "o string")
+        reached = bounded_reach(base, frontier, max(lower, 1), upper)
+        pairs = reached.select(F.lit(seed).alias("s"), F.col("o"))
+        if not forward:
+            pairs = pairs.select(F.col("o").alias("s"), F.col("s").alias("o"))
+        if lower <= 0:
+            # zero-length: the seed reaches itself WHEN it is a store term
+            nodes = store.df.select(F.col("s").alias("s")).unionByName(
+                store.df.filter(F.col("o_dt") == "iri").select(F.col("o_lex").alias("s"))
+            )
+            ident = (
+                nodes.filter(F.col("s") == seed).distinct()
+                .select("s", F.col("s").alias("o"))
+            )
+            pairs = pairs.unionByName(ident).distinct()
+    else:
+        pairs = bounded_paths(edges, max(lower, 1), upper)
+        if lower <= 0:
+            # zero-length: the source reaches itself
+            nodes = store.df.select(F.col("s").alias("s")).unionByName(
+                store.df.filter(F.col("o_dt") == "iri").select(F.col("o_lex").alias("s"))
+            ).distinct().select("s", F.col("s").alias("o"))
+            pairs = pairs.unionByName(nodes).distinct()
 
     out_cols = []
-    if is_const(path_sp.s):
+    if s_const:
         pairs = pairs.filter(F.col("s") == const_lex(path_sp.s))
     else:
         out_cols.append(F.col("s").alias(path_sp.s.name))
-    if is_const(path_sp.o):
+    if o_const:
         pairs = pairs.filter(F.col("o") == const_lex(path_sp.o))
     else:
         out_cols.append(F.col("o").alias(path_sp.o.name))

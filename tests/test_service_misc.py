@@ -1396,3 +1396,59 @@ def test_geo_inline_magic_variable_param(spark):
     """
     got = {(r["city"], r["res"]) for r in run_sparql(st, q).collect()}
     assert got == {("cityA", "e1"), ("cityA", "e2"), ("cityB", "e3")}
+
+
+def test_alp_service_anchored_geared(spark):
+    """bd:alp with a CONSTANT endpoint walks a frontier-seeded expansion —
+    the all-pairs bounded_paths composition never runs (r9 verdict item 6:
+    anchored alp routed through full-closure composition)."""
+    import blazegraph_database_spark.operators.paths as P
+    from blazegraph_database_spark.model.store import TripleStore
+    from blazegraph_database_spark.plans.sparql_parser import run_sparql
+    from pyspark.sql import functions as F
+
+    # 600 disjoint chains x 50 hops (30k edges: data-sized)
+    edges = spark.range(30000).select(
+        F.concat(F.lit("n"), (F.col("id") % 600), F.lit("_"),
+                 (F.col("id") / 600).cast("long")).alias("s"),
+        F.lit("urn:next").alias("p"),
+        F.concat(F.lit("n"), (F.col("id") % 600), F.lit("_"),
+                 ((F.col("id") / 600).cast("long") + 1)).alias("o_lex"),
+        F.lit("iri").alias("o_dt"),
+    )
+    st = TripleStore(edges)
+    q = """
+    SELECT ?v WHERE {
+      SERVICE <http://www.bigdata.com/rdf#alp> {
+        <n0_45> ?edge ?v .
+        hint:Prior hint:alp.pathExpr "true" .
+      }
+    }
+    """
+    orig_bp, orig_tc = P.bounded_paths, P.transitive_closure
+    boom = lambda *a, **k: (_ for _ in ()).throw(
+        AssertionError("all-pairs composition ran for anchored bd:alp")
+    )
+    P.bounded_paths, P.transitive_closure = boom, orig_tc
+    import blazegraph_database_spark.operators.service as S
+    S.bounded_paths = boom
+    try:
+        got = {r["v"] for r in run_sparql(st, q).collect()}
+    finally:
+        P.bounded_paths = orig_bp
+        S.bounded_paths = orig_bp
+    assert got == {f"n0_{i}" for i in range(46, 51)}
+    # reverse gearing: constant object, finite bounds
+    q2 = """
+    SELECT ?v WHERE {
+      SERVICE <http://www.bigdata.com/rdf#alp> {
+        ?v ?edge <n1_50> .
+        hint:Prior hint:alp.pathExpr "true" .
+        hint:Group hint:alp.lowerBound 2 .
+        hint:Group hint:alp.upperBound 4 .
+      }
+    }
+    """
+    assert {r["v"] for r in run_sparql(st, q2).collect()} == {
+        f"n1_{i}" for i in range(46, 49)
+    }
