@@ -136,8 +136,7 @@ ADAPTIVE_MAX_ITERS = 4096
 
 
 def seeded_closure(
-    base: DataFrame, seed: str, keys: list[str] | None = None,
-    max_iters: int = MAX_ITERS,
+    base: DataFrame, seed: str, keys: list[str] | None = None
 ) -> DataFrame:
     """([g,] o): nodes reachable in >= 1 hops from a CONSTANT seed — the
     reference's GEARING-anchored ALP evaluation (ref:
@@ -154,12 +153,11 @@ def seeded_closure(
     frontier = (
         base.filter(F.col("s") == seed).select(*keys, "o").distinct().localCheckpoint()
     )
-    return _frontier_walk(base, frontier, keys, max_iters)
+    return _frontier_walk(base, frontier, keys)
 
 
 def seeded_closure_from(
-    base: DataFrame, seeds: DataFrame, keys: list[str] | None = None,
-    max_iters: int = MAX_ITERS,
+    base: DataFrame, seeds: DataFrame, keys: list[str] | None = None
 ) -> DataFrame:
     """([g,] o): nodes reachable in >= 1 hops of ``base`` from ANY node in
     the ``seeds`` frontier ([g,] o) — the DataFrame-frontier variant of
@@ -176,26 +174,26 @@ def seeded_closure_from(
         .distinct()
         .localCheckpoint()
     )
-    return _frontier_walk(base, frontier, keys, max_iters)
+    return _frontier_walk(base, frontier, keys)
 
 
 def _frontier_walk(
-    base: DataFrame, frontier: DataFrame, keys: list[str], max_iters: int
+    base: DataFrame, frontier: DataFrame, keys: list[str]
 ) -> DataFrame:
     """Semi-naive Δ-expansion from a materialized >=1-hop frontier.
 
-    Past ``max_iters`` rounds the walk RAISES ITS OWN BUDGET adaptively
-    (to ADAPTIVE_MAX_ITERS) instead of composing through the base's
-    all-pairs closure: on the deep-chain graphs where the soft cap is
-    reachable at all, per-round work is frontier-sized, so walking on is
-    O(reachable edges) total — the global closure there is the worst case,
-    not an escape hatch (r9 advisor finding). Only past the hard cap
-    (diameter > 4096: doubling closes that in ~12 barriers where the walk
-    would need thousands) does the closure-composition tail fire."""
+    The round budget is ADAPTIVE_MAX_ITERS, full stop — per-round work is
+    frontier-sized, so even a deep chain costs O(reachable edges) total,
+    and composing through the base's all-pairs closure must stay the LAST
+    resort, not an escape hatch (r9 advisor finding; the old per-caller
+    max_iters knob was dead weight below the adaptive cap and is gone).
+    Only past the hard cap (diameter > 4096: doubling closes that in ~12
+    barriers where the walk would need thousands) does the
+    closure-composition tail fire."""
     hop = base.select(*keys, F.col("s").alias("__f"), F.col("o"))
     known = frontier
     converged = False
-    for i in range(max(max_iters, ADAPTIVE_MAX_ITERS)):
+    for i in range(ADAPTIVE_MAX_ITERS):
         if frontier.isEmpty():
             converged = True
             break
@@ -379,8 +377,7 @@ def geared_reach(
         r = geared_reach(store, path.right, frontier, with_graph, forward)
         return l.unionByName(r).distinct()
     if isinstance(path, (A.Plus, A.Star)):
-        base = _oriented(store, path.path, with_graph, forward)
-        out = seeded_closure_from(base, frontier, keys=k)
+        out = _geared_closure(store, path.path, frontier, with_graph, forward)
         if isinstance(path, A.Star):
             # zero-length component: every frontier node matches itself.
             # Mid-sequence frontiers are graph terms by construction (they
@@ -389,18 +386,105 @@ def geared_reach(
             out = out.unionByName(frontier.select(*k, "o")).distinct()
         return out
     if isinstance(path, A.ZeroOrOne):
-        base = _oriented(store, path.path, with_graph, forward)
+        # recurse rather than compile: a closure-containing inner (`(:p+)?`)
+        # must not materialize its own all-pairs closure
         return (
-            _hop_from(base, frontier, k)
+            geared_reach(store, path.path, frontier, with_graph, forward)
             .unionByName(frontier.select(*k, "o"))
             .distinct()
         )
     if isinstance(path, A.Bounded):
+        if contains_closure(path.path):
+            # each application of the inner path is itself a geared step
+            return _bounded_steps(
+                lambda f: geared_reach(store, path.path, f, with_graph, forward),
+                lambda f: _geared_closure(store, path.path, f, with_graph, forward),
+                frontier, path.lower, path.upper, k,
+            )
         base = _oriented(store, path.path, with_graph, forward)
         return bounded_reach(base, frontier, path.lower, path.upper, keys=k)
     # atomic components (Link / NegatedPropertySet): one set-hop
     base = _oriented(store, path, with_graph, forward)
     return _hop_from(base, frontier, k)
+
+
+def contains_closure(path) -> bool:
+    """True when COMPILING the path would materialize a transitive closure
+    somewhere inside it (`+`, `*`, or an unbounded `{m,}`)."""
+    if isinstance(path, (A.Plus, A.Star)):
+        return True
+    if isinstance(path, A.Bounded):
+        return path.upper is None or contains_closure(path.path)
+    if isinstance(path, (A.Inv, A.ZeroOrOne)):
+        return contains_closure(path.path)
+    if isinstance(path, (A.Seq, A.Alt)):
+        return contains_closure(path.left) or contains_closure(path.right)
+    return False
+
+
+def _geared_closure(
+    store: TripleStore, inner, frontier: DataFrame,
+    with_graph: bool, forward: bool,
+) -> DataFrame:
+    """>= 1 applications of ``inner`` from a frontier set. A closure-FREE
+    inner walks seeded_closure_from over its compiled base (the base stays
+    lazy — one join per round); a closure-CONTAINING inner (`(:a/:p+)+`)
+    runs semi-naive with geared_reach itself as the step function, because
+    compiling that inner would eagerly materialize the nested closure —
+    the exact all-pairs state gearing exists to avoid."""
+    k = _gcols(with_graph)
+    if not contains_closure(inner):
+        base = _oriented(store, inner, with_graph, forward)
+        return seeded_closure_from(base, frontier, keys=k)
+    step = lambda f: geared_reach(store, inner, f, with_graph, forward)
+    known = step(frontier).distinct().localCheckpoint()
+    delta = known
+    for i in range(ADAPTIVE_MAX_ITERS):
+        if delta.isEmpty():
+            break
+        grown = step(delta)
+        delta = (
+            grown.join(known, on=k + ["o"], how="left_anti")
+            .distinct()
+            .localCheckpoint()
+        )
+        known = known.unionByName(delta)
+        if (i + 1) % 16 == 0:
+            known = known.localCheckpoint()
+    return known
+
+
+def _bounded_steps(
+    step, closure_fn, frontier: DataFrame, lower: int, upper: int | None,
+    k: list[str],
+) -> DataFrame:
+    """[lower, upper] applications of an arbitrary step function from a
+    frontier set — the engine behind bounded_reach, parameterized so geared
+    `{m,n}` components over closure-containing inners reuse it."""
+    if upper is not None and upper < lower:  # e.g. {2,1} / lower>=1 with upper 0
+        return frontier.select(*k, "o").limit(0)
+    if upper == 0:  # {0,0}: zero-length only
+        return frontier.select(*k, "o")
+    cur = frontier
+    if upper is None:  # {m,}: advance m-1 steps, then >=1 closure
+        for _ in range(max(lower - 1, 0)):
+            cur = step(cur).localCheckpoint()
+            if cur.isEmpty():
+                return cur.select(*k, "o")
+        out = closure_fn(cur)
+        if lower == 0:
+            out = out.unionByName(frontier.select(*k, "o")).distinct()
+        return out
+    acc = frontier.select(*k, "o") if lower == 0 else None
+    for i in range(1, upper + 1):
+        cur = step(cur).localCheckpoint()
+        if cur.isEmpty():
+            break
+        if i >= lower:
+            acc = cur if acc is None else acc.unionByName(cur)
+    if acc is None:
+        return frontier.select(*k, "o").limit(0)
+    return acc.distinct()
 
 
 def bounded_reach(
@@ -414,25 +498,10 @@ def bounded_reach(
     round is frontier-sized; the base's all-pairs composition never
     materializes."""
     k = keys or []
-    if upper == 0:  # {0,0}: zero-length only
-        return frontier.select(*k, "o")
-    cur = frontier
-    if upper is None:  # {m,}: advance m-1 set-hops, then >=1 closure
-        for _ in range(max(lower - 1, 0)):
-            cur = _hop_from(base, cur, k).localCheckpoint()
-            if cur.isEmpty():
-                return cur.select(*k, "o")
-        out = seeded_closure_from(base, cur, keys=k)
-        if lower == 0:
-            out = out.unionByName(frontier.select(*k, "o")).distinct()
-        return out
-    acc = frontier.select(*k, "o") if lower == 0 else None
-    for i in range(1, upper + 1):
-        cur = _hop_from(base, cur, k).localCheckpoint()
-        if cur.isEmpty():
-            break
-        if i >= lower:
-            acc = cur if acc is None else acc.unionByName(cur)
-    if acc is None:
-        return frontier.select(*k, "o").limit(0)
-    return acc.distinct()
+    return _bounded_steps(
+        lambda f: _hop_from(base, f, k),
+        lambda f: seeded_closure_from(base, f, keys=k),
+        frontier, lower, upper, k,
+    )
+
+

@@ -3129,10 +3129,16 @@ def _(node: A.Service, store: TripleStore) -> DataFrame:
 
 def _path_nullable(path) -> bool:
     """True iff the path expression's language contains the empty word
-    (matches zero-length) — Star/ZeroOrOne introduce epsilon, Inv preserves
-    it, Alt needs either arm, Seq needs both."""
+    (matches zero-length) — Star/ZeroOrOne/`{0,n}` introduce epsilon, Inv
+    preserves it, Alt needs either arm, Seq needs both."""
     if isinstance(path, (A.Star, A.ZeroOrOne)):
         return True
+    if isinstance(path, A.Bounded):
+        # `p{0,n}` matches zero-length exactly like `*` (ref ALP
+        # LOWER_BOUND=0); without this a CONSTANT endpoint absent from the
+        # graph zero-matched under the geared branch but not the
+        # full-closure one (r10 review)
+        return path.lower == 0
     if isinstance(path, A.Inv):
         return _path_nullable(path.path)
     if isinstance(path, A.Alt):
@@ -3224,19 +3230,29 @@ def _closure_bases(path, acc=None) -> list:
 
 def _base_pairs_hint(store: TripleStore, base_path, with_graph: bool) -> int:
     """Size of a closure component's base relation, capped at the gearing
-    threshold + 1. Single-Link (possibly inverted) bases answer from the
-    store's cached per-predicate stats — NO per-pattern probe job (r9
-    verdict item 5; exactness doesn't matter for a strategy threshold).
-    Composite bases keep the limit-bounded probe, which never scans more
-    than threshold+1 rows."""
-    from blazegraph_database_spark.operators.paths import compile_path
+    threshold + 1. Three tiers (r9 verdict item 5 + r10 review):
 
+    - a NESTED-closure base (`(:a/:p+)+`) reports large without any probe —
+      compiling it to count it would eagerly run the inner closure, the
+      exact state gearing avoids (the geared evaluator recurses instead);
+    - a single-Link (possibly inverted) base answers from per-predicate
+      stats when the store already has them (free; exactness doesn't
+      matter for a strategy threshold) — the main store computes stats
+      once for BGP join ordering, so this is the common case. A THROWAWAY
+      graph/dataset-scoped store without stats keeps the bounded probe:
+      stats() there is a full scan+shuffle that dies with the store;
+    - composite fixed-length bases keep the limit-bounded probe, which
+      never scans more than threshold+1 rows."""
+    from blazegraph_database_spark.operators.paths import compile_path, contains_closure
+
+    if contains_closure(base_path):
+        return _GEAR_MIN_BASE_PAIRS + 1
     p = base_path
     while isinstance(p, A.Inv):
         p = p.path
     if isinstance(p, str):
         p = A.Link(p)
-    if isinstance(p, A.Link):
+    if isinstance(p, A.Link) and store._stats is not None:
         st = store.stats().get(p.iri)
         return st.count if st is not None else 0
     df = compile_path(store, base_path, with_graph=with_graph)

@@ -156,6 +156,13 @@ _NON_VAR_WORDS = {"true", "false", "NULL"}
 _NUM_LIT_RX = re.compile(r"^Column<'-?\d+(\.\d+)?'>$")
 
 
+# Max consecutive typed-arith operators that stay on the exact path: each
+# level multiplies the expression tree (and its str() registry keys) ~10x,
+# so the cap bounds parse cost at ~10^4 nodes while covering real money
+# chains; deeper tails demote to double (r10 review).
+_ARITH_CHAIN_MAX = 4
+
+
 def _typed_arith_operand(c: Column) -> Column:
     """A bare var in ARITHMETIC position takes a double view: SPARQL
     arithmetic is defined only on numeric operands (a non-numeric binding
@@ -556,7 +563,11 @@ class Parser:
         # fired, 'double' otherwise — what keeps CHAINED arithmetic on the
         # correct lattice path per operand row (ADVICE r9: ?a+?b+?c used
         # to demote to double after the first operator unconditionally)
-        self._arith_dt: dict[str, "Column"] = {}
+        # keyed by id() of the EXACT Column object the chain threads back
+        # as the next operand (str() keys on multi-thousand-node trees are
+        # both costly and fragile): id -> (column ref — keeps the object
+        # alive so the id can't be reused —, per-row dt tag, chain depth)
+        self._arith_meta: dict[int, tuple["Column", "Column", int]] = {}
         self._num_consts: dict[str, tuple[str, str]] = {}
         # hoisted aggregate aliases whose value column is a typed string
         # LEXICAL with a __dtc companion (typed SUM/AVG/MIN/MAX): ORDER BY
@@ -959,8 +970,19 @@ class Parser:
         the double path per the XPath promotion lattice, as does division
         (op:numeric-divide precision is double-defined here). Returns None
         when the operands aren't both bare vars — the general double path
-        applies."""
+        applies.
+
+        Chain depth is CAPPED: each typed level embeds the previous result
+        expression ~5x (ad/an/res/rode_exact) plus its per-row dt tag, so
+        an uncapped chain's Column tree — and the str() keys registering
+        it — grows ~10x per operator (r10 review: an 8-operand chain
+        stringifies to hundreds of MB at parse time). Chains up to
+        _ARITH_CHAIN_MAX ride exact end-to-end; deeper tails demote to the
+        double path (the pre-r10 behavior from that point on)."""
         if not self.dt_mode or op == "/":
+            return None
+        depth = 1 + max(self._chain_depth(left), self._chain_depth(right))
+        if depth > _ARITH_CHAIN_MAX:
             return None
         ls, rs = self._arith_side(left), self._arith_side(right)
         if ls is None or rs is None:
@@ -994,10 +1016,13 @@ class Parser:
         rode_exact = exact & ad.isNotNull() & bd.isNotNull() & res.isNotNull()
         out = F.when(rode_exact, fn.DEC_LEX(res)).otherwise(f(an, bn))
         self._arith_lexical.add(str(out))
-        self._arith_dt[str(out)] = F.when(
-            rode_exact, F.lit("decimal")
-        ).otherwise(F.lit("double"))
+        dt_tag = F.when(rode_exact, F.lit("decimal")).otherwise(F.lit("double"))
+        self._arith_meta[id(out)] = (out, dt_tag, depth)
         return out
+
+    def _chain_depth(self, col: Column) -> int:
+        meta = self._arith_meta.get(id(col))
+        return meta[2] if meta is not None and meta[0] is col else 0
 
     def _order_key(self, e: Column) -> Column:
         """A string-typed arith-lexical result — or a typed SUM/AVG/MIN/MAX
@@ -1084,9 +1109,9 @@ class Parser:
         if nc is not None:
             lex, tag = nc
             return F.lit(lex), F.lit(tag)
-        adt = self._arith_dt.get(str(col))
-        if adt is not None:
-            return col, adt
+        meta = self._arith_meta.get(id(col))
+        if meta is not None and meta[0] is col:
+            return col, meta[1]
         return None
 
     def expr_unary(self) -> Column:

@@ -1298,17 +1298,17 @@ def test_anchored_path_seeded_expansion(spark):
     assert back == {f"n1_{i}" for i in range(0, 50)}  # every chain-1 ancestor
 
 
-def test_seeded_closure_deep_chain_fallback(spark):
-    """A chain deeper than the frontier-round cap must NOT silently
-    truncate: the cap-hit fallback composes the remainder through the
-    base closure (tiny max_iters forces the fallback here)."""
+def test_seeded_closure_deep_chain_no_truncation(spark):
+    """A deep chain must NOT silently truncate: the walk's round budget is
+    adaptive (r9 advisor replaced the old per-caller cap + all-pairs
+    fallback), so every hop of a chain resolves frontier-sized."""
     from blazegraph_database_spark.operators.paths import seeded_closure
 
     edges = spark.createDataFrame(
         [(f"c{i}", f"c{i+1}") for i in range(30)], "s string, o string"
     )
-    got = {r["o"] for r in seeded_closure(edges, "c0", max_iters=4).collect()}
-    assert got == {f"c{i}" for i in range(1, 31)}  # all 30 hops, not 4
+    got = {r["o"] for r in seeded_closure(edges, "c0").collect()}
+    assert got == {f"c{i}" for i in range(1, 31)}  # all 30 hops
 
 
 def _chain_store(spark, extra_rows=()):
@@ -1477,3 +1477,75 @@ def test_chained_exact_arithmetic(spark):
     assert one(f"SELECT ?t WHERE {{ {pre} BIND(?a * ?b - ?c AS ?t) }}") == "-0.28"
     # any double operand demotes THAT row's chain (XPath promotion lattice)
     assert one(f"SELECT ?t WHERE {{ {pre} BIND(?a + ?d + ?c AS ?t) }}") == repr(0.1 + 0.5 + 0.3)
+
+
+def test_geared_nested_closure_no_allpairs(spark):
+    """`<c> (:p+)? ?x` and `<c> (:next/:next)+ ?x` over a data-sized base:
+    the geared evaluator recurses through nested closures — neither the
+    probe nor the evaluation may materialize an all-pairs closure
+    (r10 review: ZeroOrOne/Bounded compiled their inner atomically, and
+    _base_pairs_hint's probe eagerly RAN the nested closure)."""
+    import blazegraph_database_spark.operators.paths as P
+    from blazegraph_database_spark.model.terms import Var
+    from blazegraph_database_spark.plans import algebra as A
+    from blazegraph_database_spark.plans.compiler import _anchored_path_pairs
+
+    st = _chain_store(spark)
+    orig = P.transitive_closure
+    P.transitive_closure = lambda *a, **k: (_ for _ in ()).throw(
+        AssertionError("all-pairs closure materialized under nested gearing")
+    )
+    try:
+        node = A.PathPattern(
+            s="n0_48", path=A.ZeroOrOne(A.Plus("urn:next")), o=Var("x"), g=None
+        )
+        pairs = _anchored_path_pairs(st, node, with_graph=False)
+        assert pairs is not None
+        got = {r["o"] for r in pairs.collect()}
+        assert got == {f"n0_{i}" for i in range(48, 51)}  # self + 2 hops
+        node2 = A.PathPattern(
+            s="n0_44", path=A.Plus(A.Seq(A.Link("urn:next"), A.Link("urn:next"))),
+            o=Var("x"), g=None,
+        )
+        pairs2 = _anchored_path_pairs(st, node2, with_graph=False)
+        assert pairs2 is not None
+        got2 = {r["o"] for r in pairs2.collect()}
+        assert got2 == {"n0_46", "n0_48", "n0_50"}  # even hops only
+        # {1,} over a closure-containing inner recurses too
+        node3 = A.PathPattern(
+            s="n0_47", path=A.Bounded(A.Plus("urn:next"), 1, None),
+            o=Var("x"), g=None,
+        )
+        pairs3 = _anchored_path_pairs(st, node3, with_graph=False)
+        assert pairs3 is not None
+        assert {r["o"] for r in pairs3.collect()} == {f"n0_{i}" for i in range(48, 51)}
+    finally:
+        P.transitive_closure = orig
+
+
+def test_bounded_zero_lower_const_endpoint_parity(spark):
+    """`<c> :p{0,2} ?x` zero-matches the constant itself on BOTH the geared
+    and the full-closure path (r10 review: _path_nullable missed
+    Bounded(lower=0), so the answer flipped with predicate cardinality)."""
+    from blazegraph_database_spark.model.store import TripleStore
+    from blazegraph_database_spark.plans.sparql_parser import run_sparql
+
+    # small store: full-closure path; constant ABSENT from the graph
+    st_small = TripleStore(spark.createDataFrame(
+        [("a", "urn:next", "b", "iri")],
+        "s string, p string, o_lex string, o_dt string",
+    ))
+    got_small = {r["x"] for r in run_sparql(
+        st_small, "SELECT ?x WHERE { <ghost> <urn:next>{0,2} ?x }"
+    ).collect()}
+    assert got_small == {"ghost"}
+    # data-sized store: geared path; same shape must agree
+    st_big = _chain_store(spark)
+    got_big = {r["x"] for r in run_sparql(
+        st_big, "SELECT ?x WHERE { <ghost> <urn:next>{0,2} ?x }"
+    ).collect()}
+    assert got_big == {"ghost"}
+    got_real = {r["x"] for r in run_sparql(
+        st_big, "SELECT ?x WHERE { <n0_48> <urn:next>{0,2} ?x }"
+    ).collect()}
+    assert got_real == {"n0_48", "n0_49", "n0_50"}
