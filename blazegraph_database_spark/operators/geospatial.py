@@ -35,17 +35,39 @@ def quantize(value: Column, lo: float, hi: float, bits: int) -> Column:
     return F.least(F.greatest(F.round(frac * steps).cast("long"), F.lit(0)), F.lit(steps))
 
 
+def _spread2(x: Column) -> Column:
+    """Insert one zero bit between each of the low 16 bits (classic Morton
+    magic-mask spreading): 4 shift/or/mask steps instead of a per-bit loop.
+    Besides being ~bits× fewer row operations, the COMPACT expression tree
+    is what keeps z-key filters compilable — the per-bit form inlined into
+    a 16-range disjunction grew one generated method past janino's 64 KB
+    limit (docs/scale_notes.md "Codegen method limits")."""
+    x = x.bitwiseOR(F.shiftleft(x, 8)).bitwiseAND(F.lit(0x00FF00FF00FF00FF))
+    x = x.bitwiseOR(F.shiftleft(x, 4)).bitwiseAND(F.lit(0x0F0F0F0F0F0F0F0F))
+    x = x.bitwiseOR(F.shiftleft(x, 2)).bitwiseAND(F.lit(0x3333333333333333))
+    x = x.bitwiseOR(F.shiftleft(x, 1)).bitwiseAND(F.lit(0x5555555555555555))
+    return x
+
+
+def _spread3(x: Column) -> Column:
+    """Insert two zero bits between each of the low 21 bits (3-D Morton
+    magic masks, libmorton's constants)."""
+    x = x.bitwiseOR(F.shiftleft(x, 32)).bitwiseAND(F.lit(0x001F00000000FFFF))
+    x = x.bitwiseOR(F.shiftleft(x, 16)).bitwiseAND(F.lit(0x001F0000FF0000FF))
+    x = x.bitwiseOR(F.shiftleft(x, 8)).bitwiseAND(F.lit(0x100F00F00F00F00F))
+    x = x.bitwiseOR(F.shiftleft(x, 4)).bitwiseAND(F.lit(0x10C30C30C30C30C3))
+    x = x.bitwiseOR(F.shiftleft(x, 2)).bitwiseAND(F.lit(0x1249249249249249))
+    return x
+
+
 def zorder_key(lat: Column, lon: Column, bits: int = 16) -> Column:
-    """Morton interleave of quantized lat/lon (lat bits even, lon odd)."""
+    """Morton interleave of quantized lat/lon (lat bits even, lon odd).
+    Magic-mask spreading (supports bits <= 16), bit-identical to the
+    per-bit interleave zorder_nd computes for the generic N-dim case."""
+    if bits > 16:
+        raise ValueError("zorder_key supports at most 16 bits per dimension")
     qlat, qlon = quantize(lat, -90.0, 90.0, bits), quantize(lon, -180.0, 180.0, bits)
-    key = F.lit(0).cast("long")
-    for i in range(bits):
-        lat_bit = F.shiftright(qlat, i).bitwiseAND(F.lit(1))
-        lon_bit = F.shiftright(qlon, i).bitwiseAND(F.lit(1))
-        key = key.bitwiseXOR(F.shiftleft(lat_bit, 2 * i)).bitwiseXOR(
-            F.shiftleft(lon_bit, 2 * i + 1)
-        )
-    return key
+    return _spread2(qlat).bitwiseOR(F.shiftleft(_spread2(qlon), 1))
 
 
 def grid_cell(lat: Column, lon: Column, cell_deg: float = 10.0) -> Column:
@@ -105,17 +127,16 @@ def zorder3_key(
     lat stripes 3i, lon 3i+1, time 3i+2 — a write-time sort on this key
     gives parquet row groups min/max locality in all three dimensions.
     """
+    if bits > 21:
+        raise ValueError("zorder3_key supports at most 21 bits per dimension")
     qlat = quantize(lat, -90.0, 90.0, bits)
     qlon = quantize(lon, -180.0, 180.0, bits)
     qt = quantize(ts_epoch.cast("double"), float(t_lo), float(t_hi), bits)
-    key = F.lit(0).cast("long")
-    for i in range(bits):
-        key = (
-            key.bitwiseXOR(F.shiftleft(F.shiftright(qlat, i).bitwiseAND(F.lit(1)), 3 * i))
-            .bitwiseXOR(F.shiftleft(F.shiftright(qlon, i).bitwiseAND(F.lit(1)), 3 * i + 1))
-            .bitwiseXOR(F.shiftleft(F.shiftright(qt, i).bitwiseAND(F.lit(1)), 3 * i + 2))
-        )
-    return key
+    return (
+        _spread3(qlat)
+        .bitwiseOR(F.shiftleft(_spread3(qlon), 1))
+        .bitwiseOR(F.shiftleft(_spread3(qt), 2))
+    )
 
 
 def in_rectangle_time(
@@ -267,9 +288,43 @@ def in_rectangle_zorder(
     range list prunes (pure-key scan — on a store carrying a persisted
     `zkey` column this is the only pruning predicate and it pushes to
     parquet), then the exact rectangle compare refines boundary cells.
-    Results are identical to `in_rectangle`."""
+    Results are identical to `in_rectangle`.
+
+    The computed key is STAGED as a named column before the range
+    disjunction: each of up to ``max_ranges`` ranges references the key
+    twice, and with the Morton interleave inlined per reference the single
+    filter expression (~64 copies of a 2·bits-level bit-twiddle tree) grew
+    one generated processNext() past janino's 64 KB method limit — Spark
+    then fell back to interpreted evaluation for the whole scan stage (see
+    docs/scale_notes.md "Codegen method limits"). On a store with a
+    persisted ``zkey_col`` the filter hits the leaf column directly and
+    pushes to parquet, exactly as before."""
     lat, lon = F.col(lat_col), F.col(lon_col)
-    zkey = F.col(zkey_col) if zkey_col else zorder_key(lat, lon, bits)
+    exact = (lat >= lat0) & (lat <= lat1) & (lon >= lon0) & (lon <= lon1)
+    tmp = None
+    if zkey_col:
+        zkey = F.col(zkey_col)
+    else:
+        # COMPUTED key: stage it as a named column and pin the range filter
+        # ABOVE the projection — predicate pushdown substitutes aliases
+        # into the pushed condition, which re-inlines the key expression
+        # into every range disjunct (~2 refs x max_ranges copies) and grew
+        # the fused stage past janino's 64 KB method limit. A
+        # nondeterministic always-true term in the condition is the
+        # barrier (nondeterministic predicates never push; an unused guard
+        # COLUMN would just get column-pruned away). The exact rectangle
+        # filter goes FIRST so it still reaches the scan; with a computed
+        # key the range list has no pruning power anyway (that's what the
+        # persisted zkey_col path is for).
+        df = df.filter(exact)
+        tmp = "__zorder_scan_key"
+        guard = "__zorder_pushdown_guard"
+        df = df.select(
+            "*",
+            zorder_key(lat, lon, bits).alias(tmp),
+            F.monotonically_increasing_id().alias(guard),
+        )
+        zkey = F.col(tmp)
     rngs = zorder_ranges(lat0, lat1, lon0, lon1, bits=bits, max_ranges=max_ranges)
     cond = None
     for lo, hi in rngs:
@@ -277,9 +332,15 @@ def in_rectangle_zorder(
         cond = piece if cond is None else (cond | piece)
     if cond is None:
         cond = F.lit(False)
-    return df.filter(cond).filter(
-        (lat >= lat0) & (lat <= lat1) & (lon >= lon0) & (lon <= lon1)
-    )
+    if tmp:
+        # Project-pushdown fires when EVERY project field is deterministic,
+        # so the nondeterministic guard COLUMN is the barrier; referencing
+        # it in the condition keeps column pruning from deleting it (an
+        # unreferenced guard gets pruned, the projection turns all-
+        # deterministic, and the pushed condition re-inlines the key).
+        barrier = F.col(guard) >= F.lit(0)  # always true
+        return df.filter(barrier & cond).drop(tmp, guard)
+    return df.filter(cond).filter(exact)
 
 
 # ------------------------------------------------- custom datatype registry --

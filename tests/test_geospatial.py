@@ -263,3 +263,68 @@ def test_requantize_geo_literals_and_bounds(spark):
     assert quantize_bound("1.100000001111", 100_000) == 1.1
     assert quantize_bound("1.2", 10) == 1.2   # decimal math: never 1.19
     assert quantize_bound("-10.35", 10) == -10.3  # truncate toward zero
+
+
+def test_zorder_scan_codegen_unit_compile_sized(spark):
+    """The computed-zkey range scan must keep its fused codegen unit
+    compile-sized (r10: predicate pushdown re-inlined the Morton key into
+    every range disjunct — 122k generated lines, janino 64 KB failure,
+    silent interpreted fallback). Magic-mask spreading + the pushdown
+    barrier hold the unit under 8k lines."""
+    import contextlib
+    import io
+
+    from blazegraph_database_spark.operators import geospatial as G
+    from pyspark.sql import functions as F
+
+    pts = spark.range(5000).select(
+        ((F.col("id") * 37 % 18000) / 100.0 - 90.0).alias("lat"),
+        ((F.col("id") * 73 % 36000) / 100.0 - 180.0).alias("lon"),
+    )
+    df = G.in_rectangle_zorder(pts, -20.0, 42.0, -60.0, 75.0, bits=8, max_ranges=16)
+    old = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain(mode="codegen")
+        units = buf.getvalue().split("== Subtree")[1:]
+        assert units, "no whole-stage codegen unit"
+        for i, u in enumerate(units):
+            assert u.count("\n") < 8000, f"unit {i}: {u.count(chr(10))} lines"
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", old)
+
+
+def test_zorder_magic_spread_matches_generic_interleave(spark):
+    """Magic-mask zorder_key/zorder3_key are bit-identical to the generic
+    per-bit zorder_nd interleave (checked dimension-by-dimension to keep
+    the parity expression itself codegen-sized)."""
+    from blazegraph_database_spark.operators import geospatial as G
+    from pyspark.sql import functions as F
+
+    df = spark.range(3000).select(
+        ((F.col("id") * 37 % 18000) / 100.0 - 90.0).alias("lat"),
+        ((F.col("id") * 73 % 36000) / 100.0 - 180.0).alias("lon"),
+        (F.col("id") % 2678400 + 1704067200).cast("double").alias("te"),
+    )
+    dt2 = G.GeoDatatype(
+        "urn:t2", (G.GeoDim("lat", -90.0, 90.0), G.GeoDim("lon", -180.0, 180.0)),
+        bits=16,
+    )
+    dt3 = G.GeoDatatype(
+        "urn:t3",
+        (G.GeoDim("lat", -90.0, 90.0), G.GeoDim("lon", -180.0, 180.0),
+         G.GeoDim("t", 1704067200.0, 1706745600.0)),
+        bits=8,
+    )
+    # stage each side as a column first so the comparison is leaf-vs-leaf
+    keyed = df.select(
+        G.zorder_key(F.col("lat"), F.col("lon"), 16).alias("m2"),
+        G.zorder_nd([F.col("lat"), F.col("lon")], dt2).alias("g2"),
+        G.zorder3_key(F.col("lat"), F.col("lon"), F.col("te"),
+                      1704067200, 1706745600, 8).alias("m3"),
+        G.zorder_nd([F.col("lat"), F.col("lon"), F.col("te")], dt3).alias("g3"),
+    ).localCheckpoint()
+    bad = keyed.filter((F.col("m2") != F.col("g2")) | (F.col("m3") != F.col("g3")))
+    assert bad.count() == 0
