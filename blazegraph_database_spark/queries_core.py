@@ -387,6 +387,75 @@ def path_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
     return evaluate(tree, plan)
 
 
+def _parent_tree(spark: SparkSession, sf_dir: str) -> TripleStore:
+    """Binary ancestor tree over the DENSE customer keys (the same synthetic
+    hierarchy path_closure_ancestors closes over): customer:k hasParent
+    customer:k//2 for k >= 2. No window/global sort — the construction is
+    one narrow projection, 100 TB-clean."""
+    st = cached_store(spark, sf_dir)
+    base = A.Filter(lng("ck") >= 2, A.SP(V("c"), "customer#c_custkey", V("ck")))
+    with_parent = A.Extend(
+        base, "par",
+        F.concat(F.lit("customer:"), (lng("ck") / 2).cast("long").cast("string")),
+    )
+    return TripleStore(construct(st, with_parent, [(V("c"), "hasParent", V("par"))]))
+
+
+@register(
+    "path_anchored_seq",
+    """
+    WITH RECURSIVE anc(a, d) AS (
+        SELECT 100 // 2, 1
+        UNION ALL
+        SELECT a // 2, d + 1 FROM anc WHERE a >= 2
+    )
+    SELECT CAST(a AS BIGINT) AS anc_id FROM anc WHERE d >= 2
+    """,
+)
+def path_anchored_seq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONSTANT-anchored path SEQUENCE `<customer:100> hasParent/hasParent+
+    ?anc` through the SPARQL text parser — the r10 geared-Seq shape (ref:
+    anchored ALP evaluation + the gearing query hint, TestGearingQueryHint):
+    the constant seed flows forward through the sequence, so the `+`
+    component expands a frontier from the seed's parent instead of closing
+    the whole edge relation (plans/compiler._anchored_path_pairs +
+    operators/paths.geared_reach; on schema-sized bases like this one the
+    driver-tier full closure evaluates the same semantics). Oracle: the
+    seed's ancestor chain at depth >= 2."""
+    from blazegraph_database_spark.plans.sparql_parser import run_sparql
+
+    tree = _parent_tree(spark, sf_dir)
+    out = run_sparql(
+        tree, "SELECT ?anc WHERE { <customer:100> <hasParent>/<hasParent>+ ?anc }"
+    )
+    return out.select(
+        F.substring(F.col("anc"), 10, 30).cast("long").alias("anc_id")
+    )
+
+
+@register(
+    "path_anchored_seq_rev",
+    """
+    SELECT CAST(c_custkey AS BIGINT) AS desc_id FROM customer WHERE c_custkey >= 4
+    """,
+)
+def path_anchored_seq_rev(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REVERSE-geared anchored sequence `?desc hasParent+/hasParent
+    <customer:1>`: the constant OBJECT seeds the walk right-to-left with
+    each component's base flipped (r10 geared-Seq, reverse gear).
+    Descendants reaching the root in >= 2 hops are exactly the custkeys
+    >= 4 in the binary tree — a data-sized, SF-sensitive result."""
+    from blazegraph_database_spark.plans.sparql_parser import run_sparql
+
+    tree = _parent_tree(spark, sf_dir)
+    out = run_sparql(
+        tree, "SELECT ?desc WHERE { ?desc <hasParent>+/<hasParent> <customer:1> }"
+    )
+    return out.select(
+        F.substring(F.col("desc"), 10, 30).cast("long").alias("desc_id")
+    )
+
+
 @register(
     "bind_datatype_funcs",
     """
