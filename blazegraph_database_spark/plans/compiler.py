@@ -3276,7 +3276,7 @@ def _anchored_path_pairs(store: TripleStore, node, with_graph: bool):
     schema-sized (the full-closure driver tier closes those in ONE collect,
     beating diameter-many seeded rounds)."""
     from blazegraph_database_spark.operators.paths import (
-        compile_path, geared_reach, seeded_closure, _gcols,
+        compile_path, contains_closure, geared_reach, seeded_closure, _gcols,
     )
 
     s_const, o_const = is_const(node.s), is_const(node.o)
@@ -3293,7 +3293,12 @@ def _anchored_path_pairs(store: TripleStore, node, with_graph: bool):
     k = _gcols(with_graph)
     forward = s_const  # prefer forward gearing when both ends are bound
     seed = const_lex(node.s if forward else node.o)
-    if isinstance(node.path, (A.Plus, A.Star)):
+    if isinstance(node.path, (A.Plus, A.Star)) and not contains_closure(
+        node.path.path
+    ):
+        # closure-free inner: the single-seed walk over the (lazy) compiled
+        # base; a closure-CONTAINING inner ((:a/:p+)+) falls through to
+        # geared_reach, which recurses instead of materializing it
         base = compile_path(store, node.path.path, with_graph=with_graph)
         if not forward:
             base = base.select(*k, F.col("o").alias("s"), F.col("s").alias("o"))

@@ -1519,6 +1519,15 @@ def test_geared_nested_closure_no_allpairs(spark):
         pairs3 = _anchored_path_pairs(st, node3, with_graph=False)
         assert pairs3 is not None
         assert {r["o"] for r in pairs3.collect()} == {f"n0_{i}" for i in range(48, 51)}
+        # TOP-LEVEL closure over a closure-containing inner recurses too
+        node4 = A.PathPattern(
+            s="n0_46", path=A.Plus(A.Seq(A.Link("urn:next"), A.Plus("urn:next"))),
+            o=Var("x"), g=None,
+        )
+        pairs4 = _anchored_path_pairs(st, node4, with_graph=False)
+        assert pairs4 is not None
+        # (next/next+)+ from n0_46 = everything >= 2 hops down the chain
+        assert {r["o"] for r in pairs4.collect()} == {"n0_48", "n0_49", "n0_50"}
     finally:
         P.transitive_closure = orig
 
