@@ -134,6 +134,12 @@ def transitive_closure(
 # must be the last resort, not the first escape hatch (r9 advisor).
 ADAPTIVE_MAX_ITERS = 4096
 
+# Base-pair count above which an anchored path GEARS (seeded frontier walk)
+# instead of taking the full-closure driver tier — the strategy cutoff
+# shared by plans.compiler._anchored_path_pairs and the anchored bd:alp
+# SERVICE so the two anchored-path paths never disagree on when to gear.
+GEAR_MIN_BASE_PAIRS = 20_000
+
 
 def seeded_closure(
     base: DataFrame, seed: str, keys: list[str] | None = None
@@ -439,8 +445,10 @@ def _geared_closure(
     step = lambda f: geared_reach(store, inner, f, with_graph, forward)
     known = step(frontier).distinct().localCheckpoint()
     delta = known
+    converged = False
     for i in range(ADAPTIVE_MAX_ITERS):
         if delta.isEmpty():
+            converged = True
             break
         grown = step(delta)
         delta = (
@@ -451,6 +459,18 @@ def _geared_closure(
         known = known.unionByName(delta)
         if (i + 1) % 16 == 0:
             known = known.localCheckpoint()
+    if not converged and not delta.isEmpty():
+        # outer-application diameter > the adaptive budget: same
+        # never-silently-truncate invariant as _frontier_walk — finish by
+        # composing the remainder through the inner's full closure (the
+        # last resort, reachable only on pathologically deep nestings)
+        rest = transitive_closure(_oriented(store, inner, with_graph, forward), keys=k)
+        tail = (
+            delta.select(*k, F.col("o").alias("s"))
+            .join(rest, on=k + ["s"])
+            .select(*k, "o")
+        )
+        known = known.unionByName(tail).distinct()
     return known
 
 

@@ -1224,7 +1224,9 @@ def alp_service(store, pattern) -> DataFrame:
     from pyspark.sql import functions as F
 
     from blazegraph_database_spark.model.terms import Var, const_lex, is_const
-    from blazegraph_database_spark.operators.paths import bounded_paths, bounded_reach
+    from blazegraph_database_spark.operators.paths import (
+        GEAR_MIN_BASE_PAIRS, bounded_paths, bounded_reach,
+    )
     from blazegraph_database_spark.plans import algebra as A
 
     def bgps(n, acc):
@@ -1280,7 +1282,8 @@ def alp_service(store, pattern) -> DataFrame:
     upper = int(alp["upperBound"]) if "upperBound" in alp else None
     s_const, o_const = is_const(path_sp.s), is_const(path_sp.o)
     if (s_const or o_const) and (
-        upper is not None or edges.limit(20_001).count() > 20_000
+        upper is not None
+        or edges.limit(GEAR_MIN_BASE_PAIRS + 1).count() > GEAR_MIN_BASE_PAIRS
     ):
         # GEARED: a constant endpoint seeds a frontier walk over the edge
         # relation instead of composing its all-pairs closure (same

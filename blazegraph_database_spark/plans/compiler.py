@@ -3135,10 +3135,13 @@ def _path_nullable(path) -> bool:
         return True
     if isinstance(path, A.Bounded):
         # `p{0,n}` matches zero-length exactly like `*` (ref ALP
-        # LOWER_BOUND=0); without this a CONSTANT endpoint absent from the
+        # LOWER_BOUND=0), and m applications of a nullable inner contain
+        # epsilon too; without this a CONSTANT endpoint absent from the
         # graph zero-matched under the geared branch but not the
-        # full-closure one (r10 review)
-        return path.lower == 0
+        # full-closure one (r10 review x2)
+        return path.lower == 0 or _path_nullable(path.path)
+    if isinstance(path, A.Plus):
+        return _path_nullable(path.path)  # (p*)+ contains epsilon
     if isinstance(path, A.Inv):
         return _path_nullable(path.path)
     if isinstance(path, A.Alt):
@@ -3206,7 +3209,10 @@ def _(node: A.PathPattern, store: TripleStore) -> DataFrame:
     return df.select(*sel) if sel else df.select()
 
 
-_GEAR_MIN_BASE_PAIRS = 20_000
+# strategy cutoff shared with the anchored bd:alp SERVICE (operators/paths)
+from blazegraph_database_spark.operators.paths import (  # noqa: E402
+    GEAR_MIN_BASE_PAIRS as _GEAR_MIN_BASE_PAIRS,
+)
 
 
 def _closure_bases(path, acc=None) -> list:
@@ -3220,6 +3226,8 @@ def _closure_bases(path, acc=None) -> list:
     elif isinstance(path, A.Bounded):
         if path.upper is None:
             acc.append(path.path)
+        else:  # (:p+){1,3}: the nested closure still warrants gearing
+            _closure_bases(path.path, acc)
     elif isinstance(path, (A.Inv, A.ZeroOrOne)):
         _closure_bases(path.path, acc)
     elif isinstance(path, (A.Seq, A.Alt)):

@@ -1105,13 +1105,15 @@ class Parser:
             if v in self._agg_dtc:
                 return F.col(v), F.coalesce(F.col(f"{v}__dtc"), F.lit("string"))
             return None
+        # id-keyed intermediate lookup FIRST: the _num_consts str() key
+        # would stringify a chained intermediate's whole tree just to miss
+        meta = self._arith_meta.get(id(col))
+        if meta is not None and meta[0] is col:
+            return col, meta[1]
         nc = self._num_consts.get(str(col))
         if nc is not None:
             lex, tag = nc
             return F.lit(lex), F.lit(tag)
-        meta = self._arith_meta.get(id(col))
-        if meta is not None and meta[0] is col:
-            return col, meta[1]
         return None
 
     def expr_unary(self) -> Column:

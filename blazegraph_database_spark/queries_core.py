@@ -320,6 +320,20 @@ def path_two_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
     return evaluate(st, plan)
 
 
+def _parent_tree(spark: SparkSession, sf_dir: str) -> TripleStore:
+    """Binary ancestor tree over the DENSE customer keys (the same synthetic
+    hierarchy path_closure_ancestors closes over): customer:k hasParent
+    customer:k//2 for k >= 2. No window/global sort — the construction is
+    one narrow projection, 100 TB-clean."""
+    st = cached_store(spark, sf_dir)
+    base = A.Filter(lng("ck") >= 2, A.SP(V("c"), "customer#c_custkey", V("ck")))
+    with_parent = A.Extend(
+        base, "par",
+        F.concat(F.lit("customer:"), (lng("ck") / 2).cast("long").cast("string")),
+    )
+    return TripleStore(construct(st, with_parent, [(V("c"), "hasParent", V("par"))]))
+
+
 @register(
     "path_closure_ancestors",
     """
@@ -334,11 +348,7 @@ def path_two_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
 def path_closure_ancestors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arbitrary-length path `hasParent+`: CONSTRUCT a binary-tree parent edge
     from custkeys, then transitive closure (ref: ArbitraryLengthPathNode)."""
-    st = cached_store(spark, sf_dir)
-    base = A.Filter(lng("ck") >= 2, A.SP(V("c"), "customer#c_custkey", V("ck")))
-    with_parent = A.Extend(base, "par", F.concat(F.lit("customer:"), (lng("ck") / 2).cast("long").cast("string")))
-    edges = construct(st, with_parent, [(V("c"), "hasParent", V("par"))])
-    tree = TripleStore(edges)
+    tree = _parent_tree(spark, sf_dir)
     plan = A.Group(
         A.PathPattern(V("child"), A.Plus("hasParent"), V("anc")),
         keys=("child",),
@@ -369,13 +379,7 @@ def path_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
     per round, <= upper barriers, result from round lower — never an
     unbounded closure. Oracle: depth-tracked recursive CTE with the same
     [2,3] band."""
-    st = cached_store(spark, sf_dir)
-    base = A.Filter(lng("ck") >= 2, A.SP(V("c"), "customer#c_custkey", V("ck")))
-    with_parent = A.Extend(
-        base, "par", F.concat(F.lit("customer:"), (lng("ck") / 2).cast("long").cast("string"))
-    )
-    edges = construct(st, with_parent, [(V("c"), "hasParent", V("par"))])
-    tree = TripleStore(edges)
+    tree = _parent_tree(spark, sf_dir)
     plan = A.Group(
         A.PathPattern(V("child"), A.Bounded("hasParent", 2, 3), V("anc")),
         keys=("child",),
@@ -385,20 +389,6 @@ def path_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
         A.Extend(plan, "child_id", lng(fn.STRAFTER("child", ":"))), ["child_id", "n_anc"]
     )
     return evaluate(tree, plan)
-
-
-def _parent_tree(spark: SparkSession, sf_dir: str) -> TripleStore:
-    """Binary ancestor tree over the DENSE customer keys (the same synthetic
-    hierarchy path_closure_ancestors closes over): customer:k hasParent
-    customer:k//2 for k >= 2. No window/global sort — the construction is
-    one narrow projection, 100 TB-clean."""
-    st = cached_store(spark, sf_dir)
-    base = A.Filter(lng("ck") >= 2, A.SP(V("c"), "customer#c_custkey", V("ck")))
-    with_parent = A.Extend(
-        base, "par",
-        F.concat(F.lit("customer:"), (lng("ck") / 2).cast("long").cast("string")),
-    )
-    return TripleStore(construct(st, with_parent, [(V("c"), "hasParent", V("par"))]))
 
 
 @register(

@@ -1528,6 +1528,16 @@ def test_geared_nested_closure_no_allpairs(spark):
         assert pairs4 is not None
         # (next/next+)+ from n0_46 = everything >= 2 hops down the chain
         assert {r["o"] for r in pairs4.collect()} == {"n0_48", "n0_49", "n0_50"}
+        # FINITE-bounded over a nested closure gears too (r10 review:
+        # _closure_bases skipped finite-Bounded inners, so (:p+){1,2}
+        # never geared and closed :p globally)
+        node5 = A.PathPattern(
+            s="n0_47", path=A.Bounded(A.Plus("urn:next"), 1, 2),
+            o=Var("x"), g=None,
+        )
+        pairs5 = _anchored_path_pairs(st, node5, with_graph=False)
+        assert pairs5 is not None
+        assert {r["o"] for r in pairs5.collect()} == {f"n0_{i}" for i in range(48, 51)}
     finally:
         P.transitive_closure = orig
 
@@ -1558,3 +1568,12 @@ def test_bounded_zero_lower_const_endpoint_parity(spark):
         st_big, "SELECT ?x WHERE { <n0_48> <urn:next>{0,2} ?x }"
     ).collect()}
     assert got_real == {"n0_48", "n0_49", "n0_50"}
+    # epsilon through nullable INNERS too: (p*)+ and (p?){2,2} contain the
+    # empty word, so the absent constant zero-matches itself on BOTH paths
+    # (r10 review x2: _path_nullable fell through to False for these)
+    for q in (
+        "SELECT ?x WHERE { <ghost> (<urn:next>*)+ ?x }",
+        "SELECT ?x WHERE { <ghost> (<urn:next>?){2,2} ?x }",
+    ):
+        assert {r["x"] for r in run_sparql(st_small, q).collect()} == {"ghost"}, q
+        assert {r["x"] for r in run_sparql(st_big, q).collect()} == {"ghost"}, q
