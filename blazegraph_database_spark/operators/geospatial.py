@@ -290,41 +290,27 @@ def in_rectangle_zorder(
     parquet), then the exact rectangle compare refines boundary cells.
     Results are identical to `in_rectangle`.
 
-    The computed key is STAGED as a named column before the range
-    disjunction: each of up to ``max_ranges`` ranges references the key
-    twice, and with the Morton interleave inlined per reference the single
-    filter expression (~64 copies of a 2·bits-level bit-twiddle tree) grew
-    one generated processNext() past janino's 64 KB method limit — Spark
-    then fell back to interpreted evaluation for the whole scan stage (see
-    docs/scale_notes.md "Codegen method limits"). On a store with a
-    persisted ``zkey_col`` the filter hits the leaf column directly and
-    pushes to parquet, exactly as before."""
+    Without a persisted key the z-ranges have no pruning power (quantize is
+    monotone, so rectangle membership implies z-range membership) and the
+    computed-key path short-circuits to the exact filter — re-deriving the
+    key per row only re-created the janino 64 KB codegen blowup fixed in
+    r10 (see docs/scale_notes.md "Codegen method limits"). With a persisted
+    ``zkey_col`` the range disjunction hits the leaf column directly and
+    pushes to parquet — that is the scan-pruning tier."""
     lat, lon = F.col(lat_col), F.col(lon_col)
     exact = (lat >= lat0) & (lat <= lat1) & (lon >= lon0) & (lon <= lon1)
-    tmp = None
-    if zkey_col:
-        zkey = F.col(zkey_col)
-    else:
-        # COMPUTED key: stage it as a named column and pin the range filter
-        # ABOVE the projection — predicate pushdown substitutes aliases
-        # into the pushed condition, which re-inlines the key expression
-        # into every range disjunct (~2 refs x max_ranges copies) and grew
-        # the fused stage past janino's 64 KB method limit. A
-        # nondeterministic always-true term in the condition is the
-        # barrier (nondeterministic predicates never push; an unused guard
-        # COLUMN would just get column-pruned away). The exact rectangle
-        # filter goes FIRST so it still reaches the scan; with a computed
-        # key the range list has no pruning power anyway (that's what the
-        # persisted zkey_col path is for).
-        df = df.filter(exact)
-        tmp = "__zorder_scan_key"
-        guard = "__zorder_pushdown_guard"
-        df = df.select(
-            "*",
-            zorder_key(lat, lon, bits).alias(tmp),
-            F.monotonically_increasing_id().alias(guard),
-        )
-        zkey = F.col(tmp)
+    if not zkey_col:
+        # COMPUTED key: the exact rectangle filter pushes to the scan, and
+        # because quantization is monotone every row inside the rectangle
+        # necessarily lands inside the z-range disjunction — the range list
+        # has zero pruning power here (that's what the persisted zkey_col
+        # path is for). Evaluating up to max_ranges BETWEEN disjuncts per
+        # surviving row is dead work, and inlining the Morton interleave
+        # into each disjunct is what blew janino's 64 KB method limit in
+        # r10 — so short-circuit to the exact filter alone. Result-
+        # identical by the monotonicity argument (parity-tested).
+        return df.filter(exact)
+    zkey = F.col(zkey_col)
     rngs = zorder_ranges(lat0, lat1, lon0, lon1, bits=bits, max_ranges=max_ranges)
     cond = None
     for lo, hi in rngs:
@@ -332,14 +318,6 @@ def in_rectangle_zorder(
         cond = piece if cond is None else (cond | piece)
     if cond is None:
         cond = F.lit(False)
-    if tmp:
-        # Project-pushdown fires when EVERY project field is deterministic,
-        # so the nondeterministic guard COLUMN is the barrier; referencing
-        # it in the condition keeps column pruning from deleting it (an
-        # unreferenced guard gets pruned, the projection turns all-
-        # deterministic, and the pushed condition re-inlines the key).
-        barrier = F.col(guard) >= F.lit(0)  # always true
-        return df.filter(barrier & cond).drop(tmp, guard)
     return df.filter(cond).filter(exact)
 
 

@@ -3138,7 +3138,12 @@ def _path_nullable(path) -> bool:
         # LOWER_BOUND=0), and m applications of a nullable inner contain
         # epsilon too; without this a CONSTANT endpoint absent from the
         # graph zero-matched under the geared branch but not the
-        # full-closure one (r10 review x2)
+        # full-closure one (r10 review x2). An inverted range `{m,n}` with
+        # n<m is the EMPTY language — no epsilon even for a nullable inner
+        # (compile_path yields no pairs, so a constant endpoint must not
+        # gain a spurious identity row here).
+        if path.upper is not None and path.upper < path.lower:
+            return False
         return path.lower == 0 or _path_nullable(path.path)
     if isinstance(path, A.Plus):
         return _path_nullable(path.path)  # (p*)+ contains epsilon

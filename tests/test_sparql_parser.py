@@ -1577,3 +1577,18 @@ def test_bounded_zero_lower_const_endpoint_parity(spark):
     ):
         assert {r["x"] for r in run_sparql(st_small, q).collect()} == {"ghost"}, q
         assert {r["x"] for r in run_sparql(st_big, q).collect()} == {"ghost"}, q
+    # an INVERTED range {m,n} with n<m is the EMPTY language: no epsilon
+    # even with a nullable inner, so a present constant endpoint must NOT
+    # gain a zero-length identity row (r11 advice: _path_nullable reported
+    # epsilon for (p?){2,1}). The text grammar rejects n<m, so build the
+    # algebra node directly — compile_path yields no pairs and the nullable
+    # identity union must not re-add one.
+    from blazegraph_database_spark.plans import algebra as A
+    from blazegraph_database_spark.plans.compiler import _compile, _path_nullable
+    from blazegraph_database_spark.model.terms import Var
+
+    empty_path = A.Bounded(A.ZeroOrOne(A.Link("urn:next")), 2, 1)
+    assert not _path_nullable(empty_path)
+    for st in (st_small, st_big):
+        node = A.PathPattern(s="a", path=empty_path, o=Var("x"), g=None)
+        assert _compile(node, st).count() == 0
