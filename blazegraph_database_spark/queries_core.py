@@ -446,6 +446,75 @@ def path_anchored_seq_rev(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _lineitem_chain_store(spark: SparkSession, sf_dir: str) -> TripleStore:
+    """Dense `next` edge graph derived from lineitem: a root node 0 fans
+    out to every order's entry node, and each lineitem row chains
+    K*10+i -> K*10+i+1 (linenumber <= 7, so node ids never collide).
+    ~75k edges at sf0.01 — ABOVE the 20k gearing threshold, unlike the
+    customer parent tree (~1.5k at sf0.01), so anchored paths over this
+    store take the geared frontier walk under the driver gate."""
+    from blazegraph_database_spark.sources.relational import read_parquet
+
+    li = read_parquet(spark, f"{sf_dir}/lineitem.parquet")
+    node = (F.col("l_orderkey") * 10 + F.col("l_linenumber")).cast("long")
+    chain = li.select(
+        F.concat(F.lit("n:"), node).alias("s"),
+        F.lit("next").alias("p"),
+        F.concat(F.lit("n:"), node + 1).alias("o_lex"),
+        F.lit("iri").alias("o_dt"),
+    )
+    roots = (
+        li.select((F.col("l_orderkey") * 10 + 1).cast("long").alias("entry"))
+        .distinct()
+        .select(
+            F.lit("n:0").alias("s"),
+            F.lit("next").alias("p"),
+            F.concat(F.lit("n:"), F.col("entry")).alias("o_lex"),
+            F.lit("iri").alias("o_dt"),
+        )
+    )
+    return TripleStore(chain.unionByName(roots))
+
+
+@register(
+    "path_anchored_dense",
+    """
+    WITH RECURSIVE edges AS (
+        SELECT l_orderkey * 10 + l_linenumber AS s,
+               l_orderkey * 10 + l_linenumber + 1 AS o
+        FROM lineitem
+        UNION ALL
+        SELECT 0, l_orderkey * 10 + 1
+        FROM (SELECT DISTINCT l_orderkey FROM lineitem)
+    ),
+    reach(o, d) AS (
+        SELECT o, 1 FROM edges WHERE s = 0
+        UNION ALL
+        SELECT e.o, r.d + 1 FROM reach r JOIN edges e ON e.s = r.o
+    )
+    SELECT DISTINCT CAST(o AS BIGINT) AS node_id FROM reach WHERE d >= 2
+    """,
+)
+def path_anchored_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONSTANT-anchored sequence `<n:0> next/next+ ?x` over a DENSE base
+    (~75k `next` edges at sf0.01, above GEAR_MIN_BASE_PAIRS) — the r10
+    geared-Seq shape where the GEARED branch itself runs at driver scale
+    (ref: anchored ALP evaluation + the gearing query hint,
+    TestGearingQueryHint; r10 verdict: the anchored-seq oracles ride the
+    full-closure driver tier because the parent tree is schema-sized, so
+    no oracle row ever executed geared_reach). The constant root's
+    frontier flows through the Seq: one bounded hop to the entry layer,
+    then a Δ-sized frontier walk down the per-order chains — never the
+    edge set's all-pairs closure (a companion unit test patches
+    transitive_closure to raise on this exact store/query combo). Oracle:
+    depth-tracked recursive CTE over the identically-derived edges."""
+    from blazegraph_database_spark.plans.sparql_parser import run_sparql
+
+    st = _lineitem_chain_store(spark, sf_dir)
+    out = run_sparql(st, "SELECT ?x WHERE { <n:0> <next>/<next>+ ?x }")
+    return out.select(F.substring(F.col("x"), 3, 30).cast("long").alias("node_id"))
+
+
 @register(
     "bind_datatype_funcs",
     """

@@ -1371,6 +1371,27 @@ def test_anchored_seq_path_geared(spark):
     assert back == {f"n1_{i}" for i in range(0, 49)}
 
 
+def test_path_anchored_dense_runs_geared_branch(spark):
+    """The driver-scorable `path_anchored_dense` oracle (r10 verdict item
+    4) really executes the GEARED branch at gate scale: its lineitem-chain
+    base (~75k edges at sf0.01) exceeds GEAR_MIN_BASE_PAIRS, so the same
+    store/query combo the correctness gate runs must never materialize the
+    edge set's all-pairs closure (transitive_closure patched to raise)."""
+    import blazegraph_database_spark.operators.paths as P
+    from blazegraph_database_spark.queries_core import path_anchored_dense
+
+    orig = P.transitive_closure
+    P.transitive_closure = lambda *a, **k: (_ for _ in ()).throw(
+        AssertionError("all-pairs closure materialized in path_anchored_dense")
+    )
+    try:
+        out = path_anchored_dense(spark, "/root/testdata/sf0.01")
+        n = out.count()
+    finally:
+        P.transitive_closure = orig
+    assert n > 10_000  # data-sized: depth>=2 reachable layer at sf0.01
+
+
 def test_geared_reach_parity_all_shapes(spark):
     """geared_reach matches the full compile_path + endpoint filter for
     every composite path shape over a small cyclic graph (seeded-vs-full
