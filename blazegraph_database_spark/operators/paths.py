@@ -134,6 +134,12 @@ def transitive_closure(
 # must be the last resort, not the first escape hatch (r9 advisor).
 ADAPTIVE_MAX_ITERS = 4096
 
+# Frontier-walk emptiness checks batch at this stride (r10 verdict item 6):
+# one isEmpty job per k rounds instead of per round halves the driver syncs
+# on deep walks, at the cost of <= k-1 empty-frontier no-op rounds after
+# convergence.
+EMPTY_CHECK_EVERY = 8
+
 # Base-pair count above which an anchored path GEARS (seeded frontier walk)
 # instead of taking the full-closure driver tier — the strategy cutoff
 # shared by plans.compiler._anchored_path_pairs and the anchored bd:alp
@@ -200,7 +206,15 @@ def _frontier_walk(
     known = frontier
     converged = False
     for i in range(ADAPTIVE_MAX_ITERS):
-        if frontier.isEmpty():
+        # Emptiness is checked every EMPTY_CHECK_EVERY rounds, not every
+        # round: the per-round checkpoint is already one driver sync, and a
+        # second isEmpty job per round doubled the sync count on deep walks
+        # where sync latency, not data volume, dominates (r10 verdict). Up
+        # to EMPTY_CHECK_EVERY-1 post-convergence rounds run on an EMPTY
+        # checkpointed frontier — empty-partition jobs, scheduling cost
+        # only, no shuffle — which is far cheaper than diameter-many extra
+        # isEmpty jobs on walks that actually go deep.
+        if i % EMPTY_CHECK_EVERY == 0 and frontier.isEmpty():
             converged = True
             break
         grown = (

@@ -1311,6 +1311,38 @@ def test_seeded_closure_deep_chain_no_truncation(spark):
     assert got == {f"c{i}" for i in range(1, 31)}  # all 30 hops
 
 
+def test_frontier_walk_batches_empty_checks(spark):
+    """Driver-sync budget on deep walks (r10 verdict item 6): the walk
+    fires an isEmpty emptiness probe only every EMPTY_CHECK_EVERY rounds —
+    a 30-hop chain must run ~rounds/k probes, not one per round (the old
+    regime's 31)."""
+    from pyspark.sql import DataFrame
+
+    from blazegraph_database_spark.operators.paths import (
+        EMPTY_CHECK_EVERY, seeded_closure,
+    )
+
+    edges = spark.createDataFrame(
+        [(f"c{i}", f"c{i+1}") for i in range(30)], "s string, o string"
+    )
+    calls = {"n": 0}
+    orig = DataFrame.isEmpty
+
+    def counting(self):
+        calls["n"] += 1
+        return orig(self)
+
+    DataFrame.isEmpty = counting
+    try:
+        got = {r["o"] for r in seeded_closure(edges, "c0").collect()}
+    finally:
+        DataFrame.isEmpty = orig
+    assert got == {f"c{i}" for i in range(1, 31)}
+    # 30 grow rounds + <= k no-op tail rounds => ceil(rounds/k) in-loop
+    # probes plus the final post-loop check; old regime burned 31+.
+    assert calls["n"] <= (30 + EMPTY_CHECK_EVERY) // EMPTY_CHECK_EVERY + 2, calls
+
+
 def _chain_store(spark, extra_rows=()):
     """600 disjoint 50-hop <urn:next> chains (30k edges — data-sized, past
     the gearing threshold) plus caller-supplied extra edges."""
