@@ -83,7 +83,7 @@ class TripleStore:
         # object-position variables so CONSTRUCT/UPDATE preserve term type
         # (ref keeps IV type through construct; see ADVICE round 1).
         self.track_dt = False
-        # Vars the compiler binds as 64-bit term ids (`<var>__id`) instead of
+        # Vars the compiler binds as 128-bit term ids (`<var>__id`) instead of
         # lexical strings — set per-query by plans/compiler.evaluate (the
         # TERM2ID join discipline; ref: lexicon/LexiconRelation.java).
         self.id_join_vars: frozenset = frozenset()

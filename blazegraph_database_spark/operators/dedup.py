@@ -2,8 +2,9 @@
 exact, MinHash+LSH, SimHash, and brute-force n-gram Jaccard.
 
 Scale design (100 TB corpus):
-- Exact dedup is one hash-groupBy shuffle on a 64-bit key (xxhash64 of the
-  normalized text) — minimal shuffle width, map-side partial agg.
+- Exact dedup is one hash-groupBy shuffle on a 128-bit key (salted xxhash64
+  pair over the normalized text — collision-safe past 10^10 docs, r10
+  verdict) — minimal shuffle width, map-side partial agg.
 - MinHash: shingling + per-permutation min is one explode + one groupBy;
   signatures are NUM_PERM longs per doc (fixed small state). LSH banding
   turns the quadratic all-pairs problem into equi-joins on (band, key) —
@@ -49,13 +50,30 @@ def normalize_text(text: Column) -> Column:
     return F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
 
 
+def text_key128(text: Column) -> Column:
+    """128-bit normalized-text identity key: two independently-salted
+    xxhash64 longs in a struct. A single 64-bit key is only sound below
+    ~10^8 distinct texts; a 100 TB corpus is 10^10+ documents, where the
+    birthday bound expects real 64-bit colliding pairs — each silently
+    merging two unrelated documents (r10 verdict). The pair's collision
+    expectation at 10^12 docs is ~10^-15, and the 16-byte key still
+    shuffles orders of magnitude narrower than document text. Codegen
+    CSEs the shared normalize subtree, so the second hash costs one extra
+    hash pass, not a second regex pass."""
+    norm = normalize_text(text)
+    return F.struct(
+        F.xxhash64(norm).alias("h1"), F.xxhash64(norm, F.lit(0x1D)).alias("h2")
+    )
+
+
 def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Group by normalized-text hash; keep min-id representative per group.
 
-    Returns (rep_id, n_copies). At scale the groupBy key is the 64-bit
-    xxhash64, not the text itself — narrow shuffle rows.
+    Returns (rep_id, n_copies). At scale the groupBy key is the 128-bit
+    :func:`text_key128`, not the text itself — narrow shuffle rows without
+    the 64-bit birthday bound.
     """
-    key = F.xxhash64(normalize_text(F.col(text_col)))
+    key = text_key128(F.col(text_col))
     return (
         df.groupBy(key.alias("k"))
         .agg(F.min(id_col).alias("rep_id"), F.count(F.lit(1)).alias("n_copies"))
@@ -318,11 +336,12 @@ def dedup_against_prior(
     normalized text already exists in a PRIOR corpus — the continuous-crawl
     step that keeps re-crawled pages out of the next training snapshot.
 
-    One anti-join on 64-bit normalized-text hashes: the prior side reduces
-    to its distinct hash set (narrow 8-byte rows — at 100 TB this is the
-    only state that must persist between snapshots, not the prior text),
-    and AQE broadcasts it when small. Returns the surviving new docs."""
-    key = F.xxhash64(normalize_text(F.col(text_col)))
+    One anti-join on 128-bit normalized-text keys (:func:`text_key128`):
+    the prior side reduces to its distinct key set (narrow 16-byte rows —
+    at 100 TB this is the only state that must persist between snapshots,
+    not the prior text, and it stays collision-safe at 10^10+ docs), and
+    AQE broadcasts it when small. Returns the surviving new docs."""
+    key = text_key128(F.col(text_col))
     prior_keys = prior_docs.select(key.alias("k")).distinct()
     return (
         new_docs.withColumn("k", key)

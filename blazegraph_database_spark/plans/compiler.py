@@ -8,7 +8,7 @@ inputs, and hand the rest to Catalyst/AQE.
 
 Scale notes (100 TB): every pattern compiles to scan→filter(p=const)→project,
 which parquet partition-pruning turns into a single-predicate read; pure join
-variables ride the shuffles as 64-bit term ids (``_id_join_vars`` — the
+variables ride the shuffles as 128-bit term ids (``_id_join_vars`` — the
 lexicon/TERM2ID analog; ref: LexiconRelation.java — the reference never joins
 on lexical strings), value-bearing variables carry their lexical form inline
 (the inline-IV analog), and broadcast thresholds keep dimension-like
@@ -35,11 +35,12 @@ BROADCAST_MAX_ROWS = 3_000_000  # est rows under which a pattern side is broadca
 def evaluate(store: TripleStore, node) -> DataFrame:
     """Compile an algebra node over a store to a DataFrame of bindings.
 
-    Before compiling, classify which variables can ride joins as 64-bit
+    Before compiling, classify which variables can ride joins as compact
     term ids instead of lexical strings (see :func:`_id_join_vars`); the
-    pattern compiler then emits ``<var>__id = xxhash64(lex)`` columns for
-    those, so every BGP/OPTIONAL/MINUS/EXISTS join on them shuffles 8-byte
-    longs, not IRIs — the reference's dictionary-encoded join discipline
+    pattern compiler then emits ``<var>__id`` columns (a 128-bit two-long
+    xxhash64 struct, :func:`term_id`) for those, so every
+    BGP/OPTIONAL/MINUS/EXISTS join on them shuffles 16-byte ids,
+    not IRIs — the reference's dictionary-encoded join discipline
     (ref: lexicon/LexiconRelation.java TERM2ID), with decode-at-projection
     implicit: output variables always keep their lexical column.
     """
@@ -192,15 +193,26 @@ def _fast_scan_rewrite(store: TripleStore, node):
 
 # ------------------------------------------------------- id-join planning --
 def term_id(col: Column) -> Column:
-    """64-bit term id: xxhash64 of the lexical form (TERM2ID analog).
+    """128-bit term id: a two-long struct of independently-salted xxhash64
+    over the lexical form (TERM2ID analog).
 
     Hashing only the lexical form makes id-equality coincide exactly with
     the value path's string-join semantics (two bindings join iff their
     lexical forms are equal), so flipping a var between id and value mode
-    can never change results — modulo the ~2^-64/pair collision odds
-    documented in model/dictionary.py.
+    can never change results. The id is TWO longs, not one, because the
+    stated design point is 100 TB ≈ 10^10–10^12 distinct terms per joined
+    domain: at 10^11 terms a single 64-bit hash expects n²/2^65 ≈ hundreds
+    of colliding pairs — each a silently wrong join row — while the
+    128-bit pair's expectation is ~10^-15 (r10 verdict; the reference's
+    TERM2ID assigns ids rather than hashing, LexiconRelation.java, so it
+    never has this failure mode). 16-byte keys still shuffle 2-5x narrower
+    than lexical IRIs. Null lexicals keep the value path's semantics
+    unchanged: xxhash64 maps null to its seed on both components exactly
+    as the old single hash did.
     """
-    return F.xxhash64(col)
+    return F.struct(
+        F.xxhash64(col).alias("h1"), F.xxhash64(col, F.lit(0x1D)).alias("h2")
+    )
 
 
 def _all_sp_vars(n) -> set[str]:

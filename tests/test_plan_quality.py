@@ -103,9 +103,10 @@ def test_exact_dedup_partial_aggregation(spark):
 
 
 def test_bgp_joins_on_long_term_ids(spark):
-    """Pure join vars must ride joins as 64-bit term ids (the TERM2ID
-    discipline): the flagship star/chain BGP's join keys are `<var>__id`
-    longs computed at the scan, and no lexical IRI column crosses a join."""
+    """Pure join vars must ride joins as compact term ids (the TERM2ID
+    discipline; 128-bit two-long structs since r11): the flagship
+    star/chain BGP's join keys are `<var>__id` columns computed at the
+    scan, and no lexical IRI column crosses a join."""
     from blazegraph_database_spark import queries_core
 
     df = queries_core.bgp_join_agg(spark, SF_DIR)
