@@ -499,13 +499,15 @@ def exact_dedup_best(
     never a sorted window over the duplicate-group key.
 
     Returns (rep_id, n_copies, best_<order_col>)."""
-    norm = normalize_text(F.col(text_col))
     # max over (order_col, -id): highest order wins, lowest id on ties
     best = F.max(
         F.struct(F.col(order_col).alias("o"), (-F.col(id_col)).alias("negid"))
     ).alias("b")
     return (
-        df.select(norm.alias("k"), F.col(id_col), F.col(order_col))
+        # group on the 16-byte key, never the normalized text itself —
+        # grouping by the full text shipped whole documents as shuffle KEYS
+        # (r11; same collision bound as exact_dedup)
+        df.select(text_key128(F.col(text_col)).alias("k"), F.col(id_col), F.col(order_col))
         .groupBy("k")
         .agg(best, F.count(F.lit(1)).cast("long").alias("n_copies"))
         .select(

@@ -921,8 +921,15 @@ def paragraph_dedup(
         F.col(id_col),
         F.posexplode(F.split(F.col(text_col), sep_rx)).alias("p_idx", "para"),
     ).filter(F.trim(F.col("para")) != "")
+    # the dedup key is the 128-bit hash PAIR of the normalized paragraph,
+    # never the paragraph text itself: keying the MIN-agg and the join on
+    # the normalized string shipped every paragraph twice through the
+    # shuffles (r11); two salted longs are collision-safe past 10^10
+    # distinct paragraphs (same bound as operators/dedup.text_key128)
+    norm = F.regexp_replace(F.lower(F.trim(F.col("para"))), r"\s+", " ")
     paras = paras.withColumn(
-        "norm", F.regexp_replace(F.lower(F.trim(F.col("para"))), r"\s+", " ")
+        "pkey",
+        F.struct(F.xxhash64(norm).alias("h1"), F.xxhash64(norm, F.lit(0x1D)).alias("h2")),
     )
     # first occurrence = MIN over (doc, position) packed base-1e6 into one
     # long — monotonic in (id, idx) for ANY id sign while staying on the
@@ -948,11 +955,11 @@ def paragraph_dedup(
         ).cast("long")
     )
     firsts = (
-        paras.select("norm", okey.alias("okey"))
-        .groupBy("norm")
+        paras.select("pkey", okey.alias("okey"))
+        .groupBy("pkey")
         .agg(F.min("okey").alias("first_key"))
     )
-    flagged = paras.join(firsts, "norm").withColumn(
+    flagged = paras.join(firsts, "pkey").withColumn(
         "keep", okey == F.col("first_key")
     )
     return (
@@ -1214,23 +1221,30 @@ def line_dedup(
         F.col(id_col),
         F.posexplode(F.split(F.col(text_col), r"\n")).alias("l_idx", "line"),
     )
-    lines = lines.withColumn(
-        "norm", F.regexp_replace(F.lower(F.trim(F.col("line"))), r"\s+", " ")
+    # key the frequency agg and the join on the 128-bit hash pair of the
+    # normalized line, never the line text (r11: the (norm, doc) distinct
+    # and the boilerplate join shipped every line's text as a shuffle key;
+    # two salted longs stay collision-safe past 10^10 distinct lines); the
+    # normalized form itself never materializes — only an emptiness flag
+    norm = F.regexp_replace(F.lower(F.trim(F.col("line"))), r"\s+", " ")
+    lines = lines.withColumn("empty", norm == "").withColumn(
+        "lkey",
+        F.struct(F.xxhash64(norm).alias("h1"), F.xxhash64(norm, F.lit(0x1D)).alias("h2")),
     )
-    nonempty = lines.filter(F.col("norm") != "")
-    # distinct-doc frequency per line: (norm, doc) dedup then count —
+    nonempty = lines.filter(~F.col("empty"))
+    # distinct-doc frequency per line: (key, doc) dedup then count —
     # both stages map-side combinable, never count_distinct's OOM-prone
     # exact mode over a skewed key
     freq = (
-        nonempty.select("norm", id_col).distinct()
-        .groupBy("norm")
+        nonempty.select("lkey", id_col).distinct()
+        .groupBy("lkey")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
     boiler = freq.filter(F.col("n_docs") >= min_docs).select(
-        "norm", F.lit(True).alias("is_boiler")
+        "lkey", F.lit(True).alias("is_boiler")
     )
-    flagged = lines.join(boiler, "norm", "left").withColumn(
-        "keep", F.col("is_boiler").isNull() | (F.col("norm") == "")
+    flagged = lines.join(boiler, "lkey", "left").withColumn(
+        "keep", F.col("is_boiler").isNull() | F.col("empty")
     )
     rebuilt = (
         flagged.groupBy(id_col)
@@ -1249,7 +1263,7 @@ def line_dedup(
                     lambda s: s.line,
                 ),
             ).alias(text_col),
-            F.sum(F.when(F.col("keep") & (F.col("norm") != ""), 1).otherwise(0)).alias(
+            F.sum(F.when(F.col("keep") & ~F.col("empty"), 1).otherwise(0)).alias(
                 "n_lines_kept"
             ),
             F.sum(F.when(~F.col("keep"), 1).otherwise(0)).alias("n_lines_removed"),

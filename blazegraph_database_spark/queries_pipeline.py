@@ -810,7 +810,7 @@ def pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _docs(spark, sf_dir)
     kept = T.quality_score(docs).filter((F.col("quality") >= 0.45) & (F.col("lang") == "en"))
-    reps = kept.groupBy(dedup.normalize_text(F.col("text")).alias("k")).agg(
+    reps = kept.groupBy(dedup.text_key128(F.col("text")).alias("k")).agg(
         F.min("doc_id").alias("doc_id")
     )
     surv = T.dataset_split(reps.select("doc_id"))
@@ -1562,9 +1562,9 @@ def pipeline_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     capped = text.domain_cap(text.quality_score(survived), domain_col="source", cap=15)
     from pyspark.sql.window import Window
 
-    from blazegraph_database_spark.operators.dedup import normalize_text
+    from blazegraph_database_spark.operators.dedup import text_key128
 
-    w = Window.partitionBy(F.xxhash64(normalize_text(F.col("text"))))
+    w = Window.partitionBy(text_key128(F.col("text")))
     deduped = (
         capped.withColumn("rep", F.min("doc_id").over(w))
         .filter(F.col("doc_id") == F.col("rep"))

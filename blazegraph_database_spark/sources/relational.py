@@ -51,8 +51,16 @@ def subject_col(table: str, df: DataFrame, key: str | None) -> F.Column:
         # No declared key (harness lineitem has non-unique (orderkey,linenumber)
         # but unique full rows): deterministic row-identity = hash of all
         # columns. Stateless, distributed, reproducible across store rebuilds.
+        # 128 bits (two salted xxhash64 halves), not 64: at the 100 TB design
+        # point a fact table is 10^11+ rows, where a 64-bit row identity
+        # expects real collisions — two distinct rows silently merging into
+        # one subject (same bound as the r11 term-id widening).
         cols = [F.col(c).cast("string") for c in df.columns]
-        return F.concat(F.lit(table + ":"), F.lower(F.hex(F.xxhash64(*cols))))
+        return F.concat(
+            F.lit(table + ":"),
+            F.lower(F.hex(F.xxhash64(*cols))),
+            F.lower(F.hex(F.xxhash64(*cols, F.lit(0x1D)))),
+        )
     return F.concat(F.lit(table + ":"), F.col(key).cast("string"))
 
 
