@@ -153,7 +153,11 @@ def _scale_main(factor: int) -> None:
 def main() -> None:
     args = sys.argv[1:]
     if "--scale" in args:
-        _scale_main(int(args[args.index("--scale") + 1]))
+        try:
+            factor = int(args[args.index("--scale") + 1])
+        except (IndexError, ValueError):
+            sys.exit("usage: bench.py --scale N  (N = integer replication factor)")
+        _scale_main(factor)
         return
     double = "--double" in args
     reorder = "--reorder" in args
@@ -199,8 +203,11 @@ def main() -> None:
         # item 5). Floor pinned in BASELINE.md.
         try:
             out.update(_scale_pass(spark, catalog, 10))
-        except Exception:
-            pass  # scale derivative unavailable: headline metrics only
+        except Exception as e:  # surface, never mask: a crashing scale
+            # suite must be distinguishable from "scale data unavailable"
+            # or the 53.2s floor contract silently stops being checked
+            out["scale_error"] = f"{type(e).__name__}: {e}"[:300]
+            print(f"bench: scale pass failed: {e!r}", file=sys.stderr)
     print(json.dumps(out))
 
 

@@ -38,16 +38,19 @@ from pyspark.sql import functions as F
 
 from blazegraph_database_spark.model.store import TripleStore
 
-# Salt distinguishing the second hash of the 128-bit pair (any constant works;
-# it only has to make the two component messages differ).
-_WIDE_SALT = 0x1D
+# Salt distinguishing the second hash of every 128-bit id/key pair in the
+# engine (any constant works; it only has to make the two component messages
+# differ). Single definition — the compiler's term_id, the relational
+# row-identity subject, and the dedup text keys all import it so the pair
+# can never silently de-synchronize across modules (r11 review).
+WIDE_SALT = 0x1D
 
 
 def _tid(kind_col, lex_col, wide: bool = False):
     if wide:
         return F.struct(
             F.xxhash64(kind_col, lex_col).alias("h1"),
-            F.xxhash64(kind_col, lex_col, F.lit(_WIDE_SALT)).alias("h2"),
+            F.xxhash64(kind_col, lex_col, F.lit(WIDE_SALT)).alias("h2"),
         )
     return F.xxhash64(kind_col, lex_col)
 
@@ -91,14 +94,15 @@ def decode(enc: EncodedStore) -> TripleStore:
 
 
 def colliding_ids(enc: EncodedStore) -> DataFrame:
-    """(id, n_terms) for every id mapped to by >1 distinct (dt, lex) — the
-    TERM2ID soundness check as one partial-agg pass over the dictionary
-    (the dictionary is already distinct on (dt, lex), so a plain count per
-    id IS the distinct-term count). Empty ⇔ id-equality coincides exactly
-    with term equality for this store."""
+    """(id, n_terms) for every id mapped to by >1 DISTINCT (dt, lex) — the
+    TERM2ID soundness check as one partial-agg pass over the dictionary.
+    Counted distinct, not per-row: a hand-assembled dictionary (e.g. the
+    union of two snapshots' dictionaries) may carry duplicate identical
+    term rows, which are harmless and must not read as collisions (r11
+    review). Empty ⇔ id-equality coincides exactly with term equality."""
     return (
         enc.dictionary.groupBy("id")
-        .agg(F.count(F.lit(1)).alias("n_terms"))
+        .agg(F.count_distinct(F.struct("dt", "lex")).alias("n_terms"))
         .filter(F.col("n_terms") > 1)
     )
 
@@ -120,16 +124,28 @@ def save_encoded(
     ValueError naming sample colliding ids if any id maps to two terms.
     One bounded aggregation over the dictionary — after it passes, every
     later id join over this store is exact, not probabilistic."""
+    d = enc.dictionary
     if verify:
-        bad = colliding_ids(enc).limit(5).collect()
-        if bad:
-            raise ValueError(
-                "term-id collision(s) in encoded store "
-                f"(sample ids: {[r['id'] for r in bad]}); re-encode with "
-                "encode(store, wide=True) for 128-bit ids"
-            )
+        # persist around the two consumers: the dictionary is a 3-way
+        # union + distinct over every term in the store, and without the
+        # cache the verify aggregation and the write would each compute
+        # that full lineage from scratch (r11 review)
+        d = d.persist()
+        try:
+            bad = colliding_ids(EncodedStore(enc.triples, d)).limit(5).collect()
+            if bad:
+                raise ValueError(
+                    "term-id collision(s) in encoded store "
+                    f"(sample ids: {[r['id'] for r in bad]}); re-encode with "
+                    "encode(store, wide=True) for 128-bit ids"
+                )
+            enc.triples.write.mode(mode).parquet(f"{path}/triples")
+            d.repartition(id_buckets, "id").write.mode(mode).parquet(f"{path}/dict")
+        finally:
+            d.unpersist()
+        return
     enc.triples.write.mode(mode).parquet(f"{path}/triples")
-    enc.dictionary.repartition(id_buckets, "id").write.mode(mode).parquet(f"{path}/dict")
+    d.repartition(id_buckets, "id").write.mode(mode).parquet(f"{path}/dict")
 
 
 def load_encoded(spark, path: str) -> EncodedStore:

@@ -60,9 +60,11 @@ def text_key128(text: Column) -> Column:
     shuffles orders of magnitude narrower than document text. Codegen
     CSEs the shared normalize subtree, so the second hash costs one extra
     hash pass, not a second regex pass."""
+    from blazegraph_database_spark.model.dictionary import WIDE_SALT
+
     norm = normalize_text(text)
     return F.struct(
-        F.xxhash64(norm).alias("h1"), F.xxhash64(norm, F.lit(0x1D)).alias("h2")
+        F.xxhash64(norm).alias("h1"), F.xxhash64(norm, F.lit(WIDE_SALT)).alias("h2")
     )
 
 

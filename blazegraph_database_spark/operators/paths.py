@@ -134,10 +134,11 @@ def transitive_closure(
 # must be the last resort, not the first escape hatch (r9 advisor).
 ADAPTIVE_MAX_ITERS = 4096
 
-# Frontier-walk emptiness checks batch at this stride (r10 verdict item 6):
-# one isEmpty job per k rounds instead of per round halves the driver syncs
-# on deep walks, at the cost of <= k-1 empty-frontier no-op rounds after
-# convergence.
+# Frontier-walk emptiness checks batch at this stride once a walk has run
+# this many rounds (r10 verdict item 6): one isEmpty job per k rounds
+# instead of per round halves the driver syncs on deep walks, at the cost
+# of <= k-1 empty-frontier no-op rounds after convergence; walks shallower
+# than the stride keep per-round probes and pay neither.
 EMPTY_CHECK_EVERY = 8
 
 # Base-pair count above which an anchored path GEARS (seeded frontier walk)
@@ -206,15 +207,16 @@ def _frontier_walk(
     known = frontier
     converged = False
     for i in range(ADAPTIVE_MAX_ITERS):
-        # Emptiness is checked every EMPTY_CHECK_EVERY rounds, not every
-        # round: the per-round checkpoint is already one driver sync, and a
-        # second isEmpty job per round doubled the sync count on deep walks
-        # where sync latency, not data volume, dominates (r10 verdict). Up
-        # to EMPTY_CHECK_EVERY-1 post-convergence rounds run on an EMPTY
-        # checkpointed frontier — empty-partition jobs, scheduling cost
-        # only, no shuffle — which is far cheaper than diameter-many extra
-        # isEmpty jobs on walks that actually go deep.
-        if i % EMPTY_CHECK_EVERY == 0 and frontier.isEmpty():
+        # Emptiness probes are per-round for the first EMPTY_CHECK_EVERY
+        # rounds (shallow walks — the common anchored-Seq case — detect
+        # convergence immediately, paying zero no-op rounds), then batch to
+        # one probe per EMPTY_CHECK_EVERY rounds: on deep walks the
+        # per-round checkpoint is already one driver sync, and a second
+        # isEmpty job per round doubled the sync count where sync latency,
+        # not data volume, dominates (r10 verdict; stride-only probing was
+        # worse for shallow walks — r11 review — because each post-
+        # convergence no-op round still runs a real job over the base).
+        if (i < EMPTY_CHECK_EVERY or i % EMPTY_CHECK_EVERY == 0) and frontier.isEmpty():
             converged = True
             break
         grown = (

@@ -921,16 +921,15 @@ def paragraph_dedup(
         F.col(id_col),
         F.posexplode(F.split(F.col(text_col), sep_rx)).alias("p_idx", "para"),
     ).filter(F.trim(F.col("para")) != "")
-    # the dedup key is the 128-bit hash PAIR of the normalized paragraph,
-    # never the paragraph text itself: keying the MIN-agg and the join on
-    # the normalized string shipped every paragraph twice through the
-    # shuffles (r11); two salted longs are collision-safe past 10^10
-    # distinct paragraphs (same bound as operators/dedup.text_key128)
-    norm = F.regexp_replace(F.lower(F.trim(F.col("para"))), r"\s+", " ")
-    paras = paras.withColumn(
-        "pkey",
-        F.struct(F.xxhash64(norm).alias("h1"), F.xxhash64(norm, F.lit(0x1D)).alias("h2")),
-    )
+    # the dedup key is the 128-bit hash PAIR of the normalized paragraph
+    # (dedup.text_key128 — the one definition shared with document-level
+    # dedup), never the paragraph text itself: keying the MIN-agg and the
+    # join on the normalized string shipped every paragraph twice through
+    # the shuffles (r11); two salted longs are collision-safe past 10^10
+    # distinct paragraphs
+    from blazegraph_database_spark.operators.dedup import text_key128
+
+    paras = paras.withColumn("pkey", text_key128(F.col("para")))
     # first occurrence = MIN over (doc, position) packed base-1e6 into one
     # long — monotonic in (id, idx) for ANY id sign while staying on the
     # HashAggregate fast path (a struct-min falls to SortAggregate, which
@@ -1222,15 +1221,16 @@ def line_dedup(
         F.posexplode(F.split(F.col(text_col), r"\n")).alias("l_idx", "line"),
     )
     # key the frequency agg and the join on the 128-bit hash pair of the
-    # normalized line, never the line text (r11: the (norm, doc) distinct
-    # and the boilerplate join shipped every line's text as a shuffle key;
-    # two salted longs stay collision-safe past 10^10 distinct lines); the
-    # normalized form itself never materializes — only an emptiness flag
-    norm = F.regexp_replace(F.lower(F.trim(F.col("line"))), r"\s+", " ")
-    lines = lines.withColumn("empty", norm == "").withColumn(
-        "lkey",
-        F.struct(F.xxhash64(norm).alias("h1"), F.xxhash64(norm, F.lit(0x1D)).alias("h2")),
-    )
+    # normalized line (dedup.text_key128, the shared definition), never the
+    # line text (r11: the (norm, doc) distinct and the boilerplate join
+    # shipped every line's text as a shuffle key; two salted longs stay
+    # collision-safe past 10^10 distinct lines); the normalized form itself
+    # never materializes — only an emptiness flag
+    from blazegraph_database_spark.operators.dedup import normalize_text, text_key128
+
+    lines = lines.withColumn(
+        "empty", normalize_text(F.col("line")) == ""
+    ).withColumn("lkey", text_key128(F.col("line")))
     nonempty = lines.filter(~F.col("empty"))
     # distinct-doc frequency per line: (key, doc) dedup then count —
     # both stages map-side combinable, never count_distinct's OOM-prone

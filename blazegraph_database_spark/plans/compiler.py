@@ -210,8 +210,10 @@ def term_id(col: Column) -> Column:
     unchanged: xxhash64 maps null to its seed on both components exactly
     as the old single hash did.
     """
+    from blazegraph_database_spark.model.dictionary import WIDE_SALT
+
     return F.struct(
-        F.xxhash64(col).alias("h1"), F.xxhash64(col, F.lit(0x1D)).alias("h2")
+        F.xxhash64(col).alias("h1"), F.xxhash64(col, F.lit(WIDE_SALT)).alias("h2")
     )
 
 

@@ -211,20 +211,27 @@ def geo_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     to the parquet reader and skip row groups outside every range — and the
     exact compare refines boundary cells. The oracle is the plain
     rectangle — proving range-pruning loses nothing."""
+    # stable per-sf_dir cache path (NOT a fresh mkdtemp per process, which
+    # leaked one z-sorted copy of events per run — r11 review): Spark's
+    # _SUCCESS marker gates reuse across processes; testdata is immutable
+    import hashlib
+    import os
+    import tempfile
+
     store = _zstore_memo.get(sf_dir)
     if store is None:
-        import tempfile
-
-        path = tempfile.mkdtemp(prefix="zstore_")
-        (
-            _events_geo(spark, sf_dir)
-            .withColumn(
-                "zkey", geospatial.zorder_key(F.col("lat"), F.col("lon"), bits=8)
+        tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+        path = os.path.join(tempfile.gettempdir(), f"bgspark_zstore_{tag}")
+        if not os.path.exists(os.path.join(path, "_SUCCESS")):
+            (
+                _events_geo(spark, sf_dir)
+                .withColumn(
+                    "zkey", geospatial.zorder_key(F.col("lat"), F.col("lon"), bits=8)
+                )
+                .sort("zkey")
+                .write.mode("overwrite")
+                .parquet(path)
             )
-            .sort("zkey")
-            .write.mode("overwrite")
-            .parquet(path)
-        )
         _zstore_memo[sf_dir] = store = path
     return geospatial.in_rectangle_zorder(
         spark.read.parquet(store),

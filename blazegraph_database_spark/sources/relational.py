@@ -55,11 +55,13 @@ def subject_col(table: str, df: DataFrame, key: str | None) -> F.Column:
         # point a fact table is 10^11+ rows, where a 64-bit row identity
         # expects real collisions — two distinct rows silently merging into
         # one subject (same bound as the r11 term-id widening).
+        from blazegraph_database_spark.model.dictionary import WIDE_SALT
+
         cols = [F.col(c).cast("string") for c in df.columns]
         return F.concat(
             F.lit(table + ":"),
             F.lower(F.hex(F.xxhash64(*cols))),
-            F.lower(F.hex(F.xxhash64(*cols, F.lit(0x1D)))),
+            F.lower(F.hex(F.xxhash64(*cols, F.lit(WIDE_SALT)))),
         )
     return F.concat(F.lit(table + ":"), F.col(key).cast("string"))
 

@@ -1312,35 +1312,43 @@ def test_seeded_closure_deep_chain_no_truncation(spark):
 
 
 def test_frontier_walk_batches_empty_checks(spark):
-    """Driver-sync budget on deep walks (r10 verdict item 6): the walk
-    fires an isEmpty emptiness probe only every EMPTY_CHECK_EVERY rounds —
-    a 30-hop chain must run ~rounds/k probes, not one per round (the old
-    regime's 31)."""
+    """Driver-sync budget (r10 verdict item 6 + r11 review): a DEEP walk
+    fires an isEmpty probe every round only for the first
+    EMPTY_CHECK_EVERY rounds, then once per stride — a 30-hop chain runs
+    ~k + rounds/k probes, not one per round (the old regime's 31). A
+    SHALLOW walk keeps per-round probes and pays zero no-op tail rounds."""
     from pyspark.sql import DataFrame
 
     from blazegraph_database_spark.operators.paths import (
         EMPTY_CHECK_EVERY, seeded_closure,
     )
 
-    edges = spark.createDataFrame(
-        [(f"c{i}", f"c{i+1}") for i in range(30)], "s string, o string"
-    )
-    calls = {"n": 0}
     orig = DataFrame.isEmpty
 
-    def counting(self):
-        calls["n"] += 1
-        return orig(self)
+    def walk_probes(depth):
+        edges = spark.createDataFrame(
+            [(f"c{i}", f"c{i+1}") for i in range(depth)], "s string, o string"
+        )
+        calls = {"n": 0}
 
-    DataFrame.isEmpty = counting
-    try:
-        got = {r["o"] for r in seeded_closure(edges, "c0").collect()}
-    finally:
-        DataFrame.isEmpty = orig
-    assert got == {f"c{i}" for i in range(1, 31)}
-    # 30 grow rounds + <= k no-op tail rounds => ceil(rounds/k) in-loop
-    # probes plus the final post-loop check; old regime burned 31+.
-    assert calls["n"] <= (30 + EMPTY_CHECK_EVERY) // EMPTY_CHECK_EVERY + 2, calls
+        def counting(self):
+            calls["n"] += 1
+            return orig(self)
+
+        DataFrame.isEmpty = counting
+        try:
+            got = {r["o"] for r in seeded_closure(edges, "c0").collect()}
+        finally:
+            DataFrame.isEmpty = orig
+        assert got == {f"c{i}" for i in range(1, depth + 1)}
+        return calls["n"]
+
+    # deep: k per-round probes + ceil(rounds/k) stride probes + final check
+    k = EMPTY_CHECK_EVERY
+    assert walk_probes(30) <= k + (30 + k) // k + 3
+    # shallow (depth < stride): per-round probes, immediate detection — the
+    # stride must not make a 3-hop walk run 8 rounds
+    assert walk_probes(3) <= 3 + 3
 
 
 def _chain_store(spark, extra_rows=()):
