@@ -65,6 +65,26 @@ SMALL_CLOSURE_MAX_EDGES = 20_000
 SMALL_CLOSURE_MAX_PAIRS = 2_000_000
 
 
+def _arrow_head(df: DataFrame, n: int) -> list[tuple]:
+    """First n rows as plain tuples via the Arrow path: toPandas() transfers
+    columnar batches where collect() pickles row objects one by one — the
+    driver-transfer discipline of guide §6 for every driver-tier closure
+    read (r11 optimization)."""
+    pdf = df.limit(n).toPandas()
+    return list(pdf.itertuples(index=False, name=None))
+
+
+def _arrow_pairs_df(spark, rows: list[tuple], schema) -> DataFrame:
+    """Re-parallelize a driver-computed pair list through Arrow. The
+    closure tier can emit up to SMALL_CLOSURE_MAX_PAIRS rows; pickling
+    those back one tuple at a time cost ~1 s per 200k pairs where the
+    Arrow batch path is tens of milliseconds."""
+    import pandas as pd
+
+    pdf = pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+    return spark.createDataFrame(pdf, schema)
+
+
 def _closure_local(rows: list) -> list[tuple] | None:
     """In-memory closure of collected (src, dst) edges; None if the pair set
     blows past SMALL_CLOSURE_MAX_PAIRS (caller falls back to distributed)."""
@@ -94,13 +114,13 @@ def transitive_closure(edges: DataFrame, max_iters: int = MAX_ITERS) -> DataFram
     closure-so-far with itself, so a depth-d graph closes in ceil(log2 d)
     rounds; the right trade for deep/narrow hierarchies at data scale."""
     all_e = _chk(edges.select("src", "dst").distinct())
-    head = all_e.limit(SMALL_CLOSURE_MAX_EDGES + 1).collect()
+    head = _arrow_head(all_e, SMALL_CLOSURE_MAX_EDGES + 1)
     if len(head) <= SMALL_CLOSURE_MAX_EDGES:
-        closed = _closure_local([(r["src"], r["dst"]) for r in head])
+        closed = _closure_local(head)
         if closed is not None:
             if not closed:
                 return all_e  # no edges → empty closure, keep schema
-            return edges.sparkSession.createDataFrame(closed, all_e.schema)
+            return _arrow_pairs_df(edges.sparkSession, closed, all_e.schema)
     for _ in range(max_iters):
         grown = (
             all_e.alias("a")

@@ -99,7 +99,17 @@ def shingle_sets(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", 
 
 def minhash_signatures(sets_df: DataFrame) -> DataFrame:
     """(id, sig: array<long>[NUM_PERM]) via (a*h+b) mod 2^31-1 permutations
-    of the xxhash64 shingle hash (folded to 31 bits to keep a*h in int64)."""
+    of the xxhash64 shingle hash (folded to 31 bits to keep a*h in int64).
+
+    Deliberately explode + 64-way grouped MIN, not per-row array
+    expressions: the r11 optimization pass A/B-tested both shapes at the
+    sf1.0 scale point and the "shuffle-free" higher-order-function variants
+    LOST — array_min-over-transform 17.4 s and aggregate-fold 22.0 s versus
+    12.8 s for this shape, because HOF lambdas evaluate interpreted per
+    element while the exploded hash-agg runs fused whole-stage codegen
+    (guide §1.1's gotcha: the "ideal" plan on paper is slower in practice).
+    The exploded rows are narrow (id + one long), the groupBy is map-side
+    partial, and AQE coalesces the exchange."""
     exploded = sets_df.select("id", F.explode("shingles").alias("sh"))
     h = F.pmod(F.xxhash64("sh"), F.lit(MERSENNE)).alias("h")
     exploded = exploded.select("id", h)
@@ -188,11 +198,16 @@ def minhash_lsh_dedup(
     # the shingle sets feed signatures AND verification; the banded
     # signature feeds the bucket self-join twice — materialize both once
     # (at cluster scale: persist to memory/disk) instead of recomputing
-    # the explode per consumer
+    # the explode per consumer. The emptiness filter goes AFTER the
+    # checkpoint: pushed below the projection it re-evaluates the whole
+    # shingle expression a second time per row (filter + project are
+    # separate codegen operators, no cross-operator CSE — r11, guide §7.2
+    # duplicated-subtree check), while over the checkpoint it reads the
+    # materialized array's size.
     sets_df = (
         shingle_sets(df, id_col, text_col, n)
-        .filter(F.size("shingles") > 0)
         .localCheckpoint(eager=True)
+        .filter(F.size("shingles") > 0)
     )
     sigs = minhash_signatures(sets_df).localCheckpoint(eager=True)
     cands = lsh_candidate_pairs(sigs)
@@ -374,15 +389,17 @@ def fuzzy_decontaminate(
     checked result equals the brute-force oracle.
 
     Returns (id, n_matched, max_jac) per contaminated corpus doc."""
+    # emptiness filters after the checkpoints — same double-evaluation
+    # avoidance as minhash_lsh_dedup (r11)
     corp_sets = (
         shingle_sets(corpus, id_col, text_col, n)
-        .filter(F.size("shingles") > 0)
         .localCheckpoint(eager=True)  # feeds signatures AND the verify join
+        .filter(F.size("shingles") > 0)
     )
     probe_sets = (
         shingle_sets(probes, id_col, text_col, n)
-        .filter(F.size("shingles") > 0)
         .localCheckpoint(eager=True)
+        .filter(F.size("shingles") > 0)
     )
     corp_b = band_signatures(minhash_signatures(corp_sets))
     probe_b = band_signatures(minhash_signatures(probe_sets)).select(

@@ -116,15 +116,15 @@ def _functional_bfs(e: DataFrame, sources: list[str], max_depth: int) -> DataFra
         )
         # only chains not yet anchored at a source keep jumping
         can_jump = ~F.col("anc").isin(sources) & F.col("j_anc").isNotNull()
-        ptr2 = _chk(
-            ptr.join(jump, ptr.anc == F.col("j_node"), "left").select(
-                "node",
-                "pred",
-                F.when(can_jump, F.col("j_anc")).otherwise(F.col("anc")).alias("anc"),
-                F.when(can_jump, F.col("d") + F.col("j_d")).otherwise(F.col("d")).alias("d"),
-                can_jump.alias("jumped"),
-            )
-        )
+        # lazy checkpoint: the jumped-probe's job materializes the round
+        # (same barrier-removal as the CC/pagerank loops, r11)
+        ptr2 = ptr.join(jump, ptr.anc == F.col("j_node"), "left").select(
+            "node",
+            "pred",
+            F.when(can_jump, F.col("j_anc")).otherwise(F.col("anc")).alias("anc"),
+            F.when(can_jump, F.col("d") + F.col("j_d")).otherwise(F.col("d")).alias("d"),
+            can_jump.alias("jumped"),
+        ).localCheckpoint(eager=False)
         ptr = ptr2.select("node", "pred", "anc", "d")
         if ptr2.filter("jumped").isEmpty():
             break
@@ -224,15 +224,14 @@ def _functional_sssp(e: DataFrame, sources: list[str], max_iters: int) -> DataFr
             F.col("h").alias("j_h"),
         )
         can_jump = ~F.col("anc").isin(sources) & F.col("j_anc").isNotNull()
-        ptr2 = _chk(
-            ptr.join(jump, ptr.anc == F.col("j_node"), "left").select(
-                "node",
-                F.when(can_jump, F.col("j_anc")).otherwise(F.col("anc")).alias("anc"),
-                F.when(can_jump, F.col("d") + F.col("j_d")).otherwise(F.col("d")).alias("d"),
-                F.when(can_jump, F.col("h") + F.col("j_h")).otherwise(F.col("h")).alias("h"),
-                can_jump.alias("jumped"),
-            )
-        )
+        # lazy checkpoint: same barrier-removal as _functional_bfs (r11)
+        ptr2 = ptr.join(jump, ptr.anc == F.col("j_node"), "left").select(
+            "node",
+            F.when(can_jump, F.col("j_anc")).otherwise(F.col("anc")).alias("anc"),
+            F.when(can_jump, F.col("d") + F.col("j_d")).otherwise(F.col("d")).alias("d"),
+            F.when(can_jump, F.col("h") + F.col("j_h")).otherwise(F.col("h")).alias("h"),
+            can_jump.alias("jumped"),
+        ).localCheckpoint(eager=False)
         ptr = ptr2.select("node", "anc", "d", "h")
         if ptr2.filter("jumped").isEmpty():
             break
@@ -456,13 +455,16 @@ def _cc_label_prop_loop(e, state, max_iters):
         # plain equi-join; labels lag one round but the chain still
         # contracts superlinearly.
         lookup = state.select(F.col("node").alias("l_node"), F.col("comp").alias("l_mid"))
-        merged = _chk(
-            stepped.join(lookup, stepped.mid == F.col("l_node"), "left").select(
-                "node",
-                F.least(F.col("mid"), F.col("l_mid")).alias("comp"),
-                (F.least(F.col("mid"), F.col("l_mid")) < F.col("old")).alias("changed"),
-            )
-        )
+        # lazy checkpoint: lineage truncates and the changed-probe's job
+        # materializes the round (the local-checkpoint completion covers all
+        # partitions), so the separate eager barrier per round is gone —
+        # measured 5.5 → 4.2 s on the sf0.1 bipartite bench, identical
+        # labels (r11)
+        merged = stepped.join(lookup, stepped.mid == F.col("l_node"), "left").select(
+            "node",
+            F.least(F.col("mid"), F.col("l_mid")).alias("comp"),
+            (F.least(F.col("mid"), F.col("l_mid")) < F.col("old")).alias("changed"),
+        ).localCheckpoint(eager=False)
         state = merged.select("node", "comp")
         if merged.filter("changed").isEmpty():
             break
@@ -490,7 +492,7 @@ def pagerank(edges: DataFrame, damping: float = 0.85, iters: int = 20) -> DataFr
     n = nodes.count()
     state = _chk(nodes.select("node", "deg", F.lit(1.0 / n).alias("rank")))
     with _iter_shuffle(edges.sparkSession, n):
-        for _ in range(iters):
+        for i in range(iters):
             dangling = state.filter(F.col("deg") == 0).agg(
                 F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dmass")
             )
@@ -500,7 +502,15 @@ def pagerank(edges: DataFrame, damping: float = 0.85, iters: int = 20) -> DataFr
                 .groupBy(F.col("dst").alias("node"))
                 .agg(F.sum(F.col("rank") / F.col("deg")).alias("inflow"))
             )
-            state = _chk(
+            # Intermediate rounds checkpoint LAZILY: lineage still truncates
+            # (downstream plans see the checkpointed leaf, and both per-round
+            # references — dangling agg + contribution join — read the same
+            # materialized partitions), but the separate eager materialization
+            # barrier per round is gone; each round computes inside the next
+            # round's job. Only the last round is eager so callers get a
+            # materialized result. Identical ranks, measured 13.0 → 10.9 s
+            # at sf1.0 and ~9 fewer driver jobs (r11, guide §2.4/§1).
+            state = (
                 nodes.join(contribs, on="node", how="left")
                 .crossJoin(F.broadcast(dangling))
                 .select(
@@ -512,7 +522,7 @@ def pagerank(edges: DataFrame, damping: float = 0.85, iters: int = 20) -> DataFr
                         * (F.coalesce(F.col("inflow"), F.lit(0.0)) + F.col("dmass") / F.lit(float(n)))
                     ).alias("rank"),
                 )
-            )
+            ).localCheckpoint(eager=(i == iters - 1))
     return state.select("node", "rank")
 
 
