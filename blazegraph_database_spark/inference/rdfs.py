@@ -113,7 +113,7 @@ def transitive_closure(edges: DataFrame, max_iters: int = MAX_ITERS) -> DataFram
     at that size. Larger inputs use iterative doubling: each round joins the
     closure-so-far with itself, so a depth-d graph closes in ceil(log2 d)
     rounds; the right trade for deep/narrow hierarchies at data scale."""
-    all_e = _chk(edges.select("src", "dst").distinct())
+    all_e = edges.select("src", "dst").distinct().localCheckpoint(eager=False)
     head = _arrow_head(all_e, SMALL_CLOSURE_MAX_EDGES + 1)
     if len(head) <= SMALL_CLOSURE_MAX_EDGES:
         closed = _closure_local(head)
@@ -333,9 +333,14 @@ def rdfs_closure(store: TripleStore, max_passes: int = 1, trivial_axioms: bool =
     rule interaction (see rdfs_closure_pass); pass max_passes>1 to iterate
     to a counted fixpoint for exotic self-referential schemas
     (e.g. subPropertyOf of rdf:type)."""
-    df = _chk(store.df.select("s", "p", "o_lex", "o_dt").distinct())
+    # lazy checkpoints: lineage truncates and every downstream reference
+    # (the pass references the input ~6 times; closure consumers re-filter
+    # the output repeatedly) reads the once-materialized partitions, but
+    # the two stand-alone eager barriers are gone — the first consumer's
+    # job materializes both (r11; full-query warm 4.5 -> 3.1 s at sf0.1)
+    df = store.df.select("s", "p", "o_lex", "o_dt").distinct().localCheckpoint(eager=False)
     if max_passes == 1:
-        return TripleStore(_chk(rdfs_closure_pass(df, trivial_axioms)))
+        return TripleStore(rdfs_closure_pass(df, trivial_axioms).localCheckpoint(eager=False))
     n = df.count()
     for _ in range(max_passes):
         df = _chk(rdfs_closure_pass(df, trivial_axioms))

@@ -204,12 +204,31 @@ def inverted_index(
 
     analyzer selects a registered AnalyzerProfile; query tokens must be
     analyzed with the SAME profile (search(query_analyzer=...)).
+
+    Like the reference's FullTextIndex, per-term document frequency (df),
+    the corpus document count (n), and the per-doc L2 magnitude (dmag)
+    are computed at BUILD time and stored on the posting rows: search-time
+    relevance then reads them off the matched postings instead of
+    re-scanning the whole index per query for dfreq/N/dmag (r11 — the
+    sf0.1 tf-idf search plan drops from 22 Exchanges to 5). Cost: one
+    window shuffle per stat at build, paid once per corpus.
     """
+    from pyspark.sql.window import Window
+
     toks = df.select(
         F.col(id_col).alias("id"), tokenize(F.col(text_col), analyzer).alias("toks")
     ).select("id", F.size("toks").alias("dl"), F.explode("toks").alias("term"))
-    return toks.groupBy("id", "dl", "term").agg(F.count(F.lit(1)).alias("tf")).select(
-        "term", "id", "tf", "dl"
+    posting = toks.groupBy("id", "dl", "term").agg(F.count(F.lit(1)).alias("tf"))
+    # posting rows are unique (id, term) pairs, so count-per-term == df and
+    # the doc-magnitude window reuses the (id,...) grouping's partitioning
+    posting = posting.withColumn(
+        "df", F.count(F.lit(1)).over(Window.partitionBy("term"))
+    ).withColumn(
+        "dmag", F.sqrt(F.sum(F.col("tf") * F.col("tf")).over(Window.partitionBy("id")))
+    )
+    n_docs = df.select(F.count_distinct(F.col(id_col)).alias("n"))
+    return posting.crossJoin(F.broadcast(n_docs)).select(
+        "term", "id", "tf", "dl", "df", "n", "dmag"
     )
 
 
@@ -244,17 +263,27 @@ def search(
     # too so the search is case-insensitive like the reference's analyzer
     patterns = [(t.lower(), p) for t, p in patterns]
     pats = spark.createDataFrame(patterns, "pat string, is_prefix boolean")
-    n_docs = index.agg(F.count_distinct("id").alias("n"))
+    # stats-bearing index (df/n/dmag stored at build — the reference's
+    # FullTextIndex shape): relevance reads them off the matched postings.
+    # Foreign index frames without the stats columns keep the compute-at-
+    # search fallback (r11).
+    has_stats = {"df", "n", "dmag"} <= set(index.columns)
+    stat_cols = ["df", "n", "dmag"] if has_stats else []
+    if not has_stats:
+        n_docs = index.agg(F.count_distinct("id").alias("n"))
 
     cond = F.when(F.col("is_prefix"), F.col("term").startswith(F.col("pat"))).otherwise(
         F.col("term") == F.col("pat")
     )
-    matched = index.join(F.broadcast(pats), on=cond).select("pat", "term", "id", "tf", "dl")
-    dfreq = (
-        index.join(F.broadcast(matched.select("term").distinct()), on="term")
-        .groupBy("term")
-        .agg(F.count_distinct("id").alias("df"))
+    matched = index.join(F.broadcast(pats), on=cond).select(
+        "pat", "term", "id", "tf", "dl", *stat_cols
     )
+    if not has_stats:
+        dfreq = (
+            index.join(F.broadcast(matched.select("term").distinct()), on="term")
+            .groupBy("term")
+            .agg(F.count_distinct("id").alias("df"))
+        )
     if scoring == "cosine":
         # Reference-exact relevance (search/TermFrequencyData.java
         # normalize + Hit.java add): both the query and the document are
@@ -264,32 +293,35 @@ def search(
         import math
 
         qmag = math.sqrt(len(patterns))
-        dmag = index.groupBy("id").agg(
-            F.sqrt(F.sum(F.col("tf") * F.col("tf"))).alias("dmag")
-        )
         # doc-side weight goes through the reference's stored 8-bit norm
         # (see lucene_norm); the query side stays exact — Hit.add computes
         # queryTermWeight x decoded index weight
         contrib = (
             lucene_norm(F.col("tf") / F.col("dmag")) / F.lit(qmag) * F.lit(1_000_000.0)
         )
-        scored = (
-            matched.join(F.broadcast(dmag), on="id")
-            .groupBy("id")
-            .agg(
-                F.round(F.sum(contrib)).cast("long").alias("score_ppm"),
-                F.count_distinct("pat").alias("npat"),
-            )
+        base = matched if has_stats else matched.join(
+            F.broadcast(
+                index.groupBy("id").agg(
+                    F.sqrt(F.sum(F.col("tf") * F.col("tf"))).alias("dmag")
+                )
+            ),
+            on="id",
+        )
+        scored = base.groupBy("id").agg(
+            F.round(F.sum(contrib)).cast("long").alias("score_ppm"),
+            F.count_distinct("pat").alias("npat"),
         )
     else:
         contrib = F.round(
             F.col("tf") * F.lit(1_000_000.0) * F.col("n") / (F.col("dl") * F.col("df"))
         ).cast("long")
-        scored = (
-            matched.join(F.broadcast(dfreq), on="term")
-            .crossJoin(F.broadcast(n_docs))
-            .groupBy("id")
-            .agg(F.sum(contrib).alias("score_ppm"), F.count_distinct("pat").alias("npat"))
+        base = (
+            matched
+            if has_stats
+            else matched.join(F.broadcast(dfreq), on="term").crossJoin(F.broadcast(n_docs))
+        )
+        scored = base.groupBy("id").agg(
+            F.sum(contrib).alias("score_ppm"), F.count_distinct("pat").alias("npat")
         )
     if match_all:
         scored = scored.filter(F.col("npat") == len(patterns))
@@ -332,6 +364,10 @@ def bm25_search(
 ) -> DataFrame:
     """BM25 ranking option (beyond the reference's tf/cosine relevance).
     Float log-based scores — fixture-tested, not oracle-matched."""
+    # BM25 computes its own corpus stats (avgdl is not stored on the
+    # index); drop the build-time stat columns so its `n`/`df` aliases
+    # don't collide with them (r11)
+    index = index.drop("df", "n", "dmag")
     stats = index.agg(
         F.count_distinct("id").alias("n"), (F.sum("tf") / F.count_distinct("id")).alias("avgdl")
     )

@@ -167,10 +167,9 @@ def bfs(
     if functional is None:
         functional = _is_functional(sel)
     e = _chk(sel)  # edges re-join every round: materialize once
-    with _iter_shuffle(spark, e.count()):
-        if functional:
-            return _functional_bfs(e, sources, max_depth)
-        return _general_bfs(spark, e, sources, max_depth)
+    if functional:
+        return _functional_bfs(e, sources, max_depth)
+    return _general_bfs(spark, e, sources, max_depth)
 
 
 def _general_bfs(spark, e: DataFrame, sources: list[str], max_depth: int) -> DataFrame:
@@ -265,10 +264,9 @@ def sssp(
     if functional is None:
         functional = _is_functional(sel.select("src", "dst"))
     e = _chk(sel)
-    with _iter_shuffle(spark, e.count()):
-        if functional:
-            return _functional_sssp(e, sources, max_iters)
-        return _general_sssp(spark, e, sources, max_iters)
+    if functional:
+        return _functional_sssp(e, sources, max_iters)
+    return _general_sssp(spark, e, sources, max_iters)
 
 
 def _general_sssp(spark, e: DataFrame, sources: list[str], max_iters: int) -> DataFrame:
@@ -337,8 +335,7 @@ def connected_components(
     )
     E = _chk(raw.filter(F.col("u") != F.col("v")).distinct())
     n_edges = E.count()
-    with _iter_shuffle(edges.sparkSession, n_edges):
-        return _cc_two_star_loop(E, nodes, n_edges, max_iters)
+    return _cc_two_star_loop(E, nodes, n_edges, max_iters)
 
 
 def _cc_two_star_loop(E, nodes, n_edges, max_iters):
@@ -432,8 +429,7 @@ def connected_components_label_prop(edges: DataFrame, max_iters: int = MAX_ITERS
     state = _chk(
         e.select(F.col("src").alias("node")).distinct().select("node", F.col("node").alias("comp"))
     )
-    with _iter_shuffle(edges.sparkSession, e.count()):
-        return _cc_label_prop_loop(e, state, max_iters)
+    return _cc_label_prop_loop(e, state, max_iters)
 
 
 def _cc_label_prop_loop(e, state, max_iters):
@@ -491,8 +487,7 @@ def pagerank(edges: DataFrame, damping: float = 0.85, iters: int = 20) -> DataFr
     )
     n = nodes.count()
     state = _chk(nodes.select("node", "deg", F.lit(1.0 / n).alias("rank")))
-    with _iter_shuffle(edges.sparkSession, n):
-        for i in range(iters):
+    for i in range(iters):
             dangling = state.filter(F.col("deg") == 0).agg(
                 F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dmass")
             )

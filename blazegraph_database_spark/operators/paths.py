@@ -164,8 +164,6 @@ def transitive_closure(
             if not closed:
                 return known
             return _arrow_pairs_df(pairs.sparkSession, closed, known.schema)
-    from blazegraph_database_spark.operators.gas import _iter_shuffle
-
     # Functional bases (parent-pointer shape — the dominant hierarchy/chain
     # case) close in ceil(log2 d) array-doubling rounds instead of d
     # semi-naive rounds or |closure|-self-joining doubling; inverse-
@@ -181,36 +179,37 @@ def transitive_closure(
             *keys, F.col("o").alias("s"), F.col("s").alias("o")
         )
 
-    use_doubling = n_pairs <= DOUBLING_MAX_PAIRS
-    with _iter_shuffle(pairs.sparkSession, n_pairs):
-        if use_doubling:
-            for _ in range(max_iters):
-                grown = _join_through(known, known, keys)
-                new = grown.join(known, on=keys + ["s", "o"], how="left_anti").localCheckpoint()
-                if new.isEmpty():
-                    break
-                known = known.unionByName(new)
-            return known
-        base = known
-        delta = known
-        deep = True
+    # lazy round checkpoints throughout: the emptiness probe's job
+    # materializes each round (local-checkpoint completion), removing the
+    # stand-alone eager barrier per round (r11, same as the GAS loops)
+    if n_pairs <= DOUBLING_MAX_PAIRS:
         for _ in range(max_iters):
-            grown = _join_through(delta, base, keys)
-            delta = grown.join(known, on=keys + ["s", "o"], how="left_anti").localCheckpoint()
-            if delta.isEmpty():
-                deep = False
+            grown = _join_through(known, known, keys)
+            new = grown.join(known, on=keys + ["s", "o"], how="left_anti").localCheckpoint(eager=False)
+            if new.isEmpty():
                 break
-            known = known.unionByName(delta)
-        if deep and not delta.isEmpty():
-            # diameter > max_iters: finish with doubling (log-round
-            # completion) instead of silently truncating a deep chain
-            for _ in range(max_iters):
-                grown = _join_through(known, known, keys)
-                new = grown.join(known, on=keys + ["s", "o"], how="left_anti").localCheckpoint()
-                if new.isEmpty():
-                    break
-                known = known.unionByName(new)
+            known = known.unionByName(new)
         return known
+    base = known
+    delta = known
+    deep = True
+    for _ in range(max_iters):
+        grown = _join_through(delta, base, keys)
+        delta = grown.join(known, on=keys + ["s", "o"], how="left_anti").localCheckpoint(eager=False)
+        if delta.isEmpty():
+            deep = False
+            break
+        known = known.unionByName(delta)
+    if deep and not delta.isEmpty():
+        # diameter > max_iters: finish with doubling (log-round
+        # completion) instead of silently truncating a deep chain
+        for _ in range(max_iters):
+            grown = _join_through(known, known, keys)
+            new = grown.join(known, on=keys + ["s", "o"], how="left_anti").localCheckpoint(eager=False)
+            if new.isEmpty():
+                break
+            known = known.unionByName(new)
+    return known
 
 
 # Frontier walks past their soft round budget keep walking (per-round cost
@@ -249,7 +248,8 @@ def seeded_closure(
     (reachable-from-seed sized) checkpoint per round."""
     keys = keys or []
     frontier = (
-        base.filter(F.col("s") == seed).select(*keys, "o").distinct().localCheckpoint()
+        base.filter(F.col("s") == seed).select(*keys, "o").distinct()
+        .localCheckpoint(eager=False)
     )
     return _frontier_walk(base, frontier, keys)
 
@@ -270,7 +270,7 @@ def seeded_closure_from(
         .join(hop, on=keys + ["__f"])
         .select(*keys, "o")
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     return _frontier_walk(base, frontier, keys)
 
@@ -309,12 +309,15 @@ def _frontier_walk(
             .join(hop, on=keys + ["__f"])
             .select(*keys, "o")
         )
-        frontier = grown.join(known, on=keys + ["o"], how="left_anti").distinct().localCheckpoint()
+        frontier = (
+            grown.join(known, on=keys + ["o"], how="left_anti").distinct()
+            .localCheckpoint(eager=False)  # probe/next-round job materializes
+        )
         known = known.unionByName(frontier)
         if (i + 1) % 32 == 0:
             # compact the union-plan lineage so a deep walk's anti-join
             # doesn't re-analyze an ever-growing union tree each round
-            known = known.localCheckpoint()
+            known = known.localCheckpoint(eager=False)
     if not converged and not frontier.isEmpty():
         # diameter > ADAPTIVE_MAX_ITERS: jump the rest through the base's
         # full closure in one composition (log-round doubling) — the
@@ -358,10 +361,10 @@ def bounded_paths(
         return _join_through(cur, closure, keys)
     if upper < lower:
         return base.limit(0)
-    cur = base.select(*keys, "s", "o").distinct().localCheckpoint()
+    cur = base.select(*keys, "s", "o").distinct().localCheckpoint(eager=False)
     acc = cur if lower <= 1 else None
     for k in range(2, upper + 1):
-        cur = _join_through(cur, base, keys).localCheckpoint()
+        cur = _join_through(cur, base, keys).localCheckpoint(eager=False)
         if cur.isEmpty():
             break
         if k >= lower:
@@ -544,7 +547,7 @@ def _geared_closure(
         base = _oriented(store, inner, with_graph, forward)
         return seeded_closure_from(base, frontier, keys=k)
     step = lambda f: geared_reach(store, inner, f, with_graph, forward)
-    known = step(frontier).distinct().localCheckpoint()
+    known = step(frontier).distinct().localCheckpoint(eager=False)
     delta = known
     converged = False
     for i in range(ADAPTIVE_MAX_ITERS):
@@ -555,11 +558,11 @@ def _geared_closure(
         delta = (
             grown.join(known, on=k + ["o"], how="left_anti")
             .distinct()
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         known = known.unionByName(delta)
         if (i + 1) % 16 == 0:
-            known = known.localCheckpoint()
+            known = known.localCheckpoint(eager=False)
     if not converged and not delta.isEmpty():
         # outer-application diameter > the adaptive budget: same
         # never-silently-truncate invariant as _frontier_walk — finish by
@@ -589,7 +592,7 @@ def _bounded_steps(
     cur = frontier
     if upper is None:  # {m,}: advance m-1 steps, then >=1 closure
         for _ in range(max(lower - 1, 0)):
-            cur = step(cur).localCheckpoint()
+            cur = step(cur).localCheckpoint(eager=False)
             if cur.isEmpty():
                 return cur.select(*k, "o")
         out = closure_fn(cur)
@@ -598,7 +601,7 @@ def _bounded_steps(
         return out
     acc = frontier.select(*k, "o") if lower == 0 else None
     for i in range(1, upper + 1):
-        cur = step(cur).localCheckpoint()
+        cur = step(cur).localCheckpoint(eager=False)
         if cur.isEmpty():
             break
         if i >= lower:

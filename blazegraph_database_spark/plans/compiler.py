@@ -659,6 +659,40 @@ def _emb_pattern_df(sp: A.SP, store: TripleStore) -> DataFrame:
     return out
 
 
+# Cached Column singletons for the pattern compiler's hot path. Every
+# Column build is a py4j roundtrip bundle and _pattern_df runs once per
+# triple pattern per query — plan-BUILD time is part of query cost in this
+# engine (docs/scale_notes.md "Plan-build discipline"). Columns are
+# immutable expression trees, safe to reuse across DataFrames; built
+# lazily because the gateway may not exist at import time.
+_CCACHE: dict = {}
+
+
+def _cc(name: str) -> Column:
+    c = _CCACHE.get(name)
+    if c is None:
+        c = _CCACHE[name] = F.col(name)
+    return c
+
+
+def _dt_norm() -> Column:
+    """bnode→iri-normalized o_dt (see the companion-binding comment below),
+    built once: the 4-op when/otherwise chain costs ~14 roundtrips a call."""
+    c = _CCACHE.get("__dt_norm")
+    if c is None:
+        c = _CCACHE["__dt_norm"] = (
+            F.when(F.col("o_dt") == "bnode", F.lit("iri")).otherwise(F.col("o_dt"))
+        )
+    return c
+
+
+def _iri_lit() -> Column:
+    c = _CCACHE.get("__iri_lit")
+    if c is None:
+        c = _CCACHE["__iri_lit"] = F.lit("iri")
+    return c
+
+
 def _pattern_df(sp: A.SP, store: TripleStore) -> DataFrame:
     if isinstance(sp.s, A.Emb) or isinstance(sp.o, A.Emb):
         return _emb_pattern_df(sp, store)
@@ -697,13 +731,14 @@ def _pattern_df(sp: A.SP, store: TripleStore) -> DataFrame:
                 df = store.pattern_source(src_pred, typed=typed)  # virtual POS index
     if df is None:
         df = store.df
+    cols = df.columns  # one schema fetch; consulted up to three times below
     conds = []
     for col, pos in (("s", sp.s), ("p", sp.p), ("o_lex", sp.o)):
         if pos is not None and is_const(pos):
             if col == "p":
                 al = _pred_aliases(const_lex(pos))
                 conds.append(
-                    F.col("p").isin(list(al)) if len(al) > 1 else F.col("p") == al[0]
+                    _cc("p").isin(list(al)) if len(al) > 1 else _cc("p") == al[0]
                 )
                 continue
             if col == "o_lex" and not isinstance(pos, Lit):
@@ -711,33 +746,39 @@ def _pattern_df(sp: A.SP, store: TripleStore) -> DataFrame:
                 # one term (same alias layer as predicates)
                 oal = _pred_aliases(const_lex(pos))
                 conds.append(
-                    F.col("o_lex").isin(list(oal)) if len(oal) > 1
-                    else F.col("o_lex") == oal[0]
+                    _cc("o_lex").isin(list(oal)) if len(oal) > 1
+                    else _cc("o_lex") == oal[0]
                 )
             else:
-                conds.append(F.col(col) == const_lex(pos))
+                conds.append(_cc(col) == const_lex(pos))
             if col == "o_lex":
                 # Term identity includes the type: a constant Lit matches only
                 # its datatype, a constant IRI (str/IRI per terms.py) matches
                 # only IRI terms — otherwise a string literal with the same
                 # lexical form conflates with the IRI (ADVICE round 1).
-                conds.append(F.col("o_dt") == (pos.dt if isinstance(pos, Lit) else "iri"))
+                conds.append(_cc("o_dt") == (pos.dt if isinstance(pos, Lit) else "iri"))
     if sp.g is not None and is_const(sp.g):
-        conds.append(F.col("g") == const_lex(sp.g))
+        conds.append(_cc("g") == const_lex(sp.g))
     # FROM / FROM NAMED dataset scoping (ref: DatasetNode). An EMPTY
     # concrete set means "match nothing" (FROM without FROM NAMED leaves
     # the named-graph set empty, and vice versa) — not "unrestricted".
-    if "g" in df.columns:
+    if "g" in cols:
         dd = getattr(store, "dataset_default", None)
         dn = getattr(store, "dataset_named", None)
         if sp.g is None and dd is not None:
-            conds.append(F.col("g").isin(list(dd)) if dd else F.lit(False))
+            conds.append(_cc("g").isin(list(dd)) if dd else F.lit(False))
         if isinstance(sp.g, Var) and dn is not None:
-            conds.append(F.col("g").isin(list(dn)) if dn else F.lit(False))
-    for c in conds:
-        df = df.filter(c)
+            conds.append(_cc("g").isin(list(dn)) if dn else F.lit(False))
+    if conds:
+        # ONE fused filter instead of a filter chain: each df.filter is a
+        # full Dataset construction over py4j (~40 roundtrips); the fused
+        # conjunction produces the identical Filter(And(...)) plan (r11)
+        allc = conds[0]
+        for c in conds[1:]:
+            allc = allc & c
+        df = df.filter(allc)
     if (
-        sp.g is None and "g" in df.columns and store.has_graphs
+        sp.g is None and "g" in cols and store.has_graphs
         and getattr(store, "default_graph_distinct", True)
     ):
         # DEFAULT-graph pattern over a quad store: the default graph is the
@@ -752,12 +793,12 @@ def _pattern_df(sp: A.SP, store: TripleStore) -> DataFrame:
     for col, pos in (("s", sp.s), ("p", sp.p), ("o_lex", sp.o), ("g", sp.g)):
         if isinstance(pos, Var):
             if pos.name in seen:  # repeated var within one pattern: equality filter
-                df = df.filter(F.col(col) == F.col(seen[pos.name]))
+                df = df.filter(_cc(col) == _cc(seen[pos.name]))
             elif pos.name in id_vars:
                 # pure join key: bind the 64-bit term id, never the string —
                 # downstream joins shuffle longs (TERM2ID discipline)
                 seen[pos.name] = col
-                sel.append(term_id(F.col(col)).alias(f"{pos.name}__id"))
+                sel.append(term_id(_cc(col)).alias(f"{pos.name}__id"))
             elif pos.name in native and col == "o_lex":
                 # native-typed binding (inline-IV analog): cast to the tag's
                 # type — a no-op Catalyst erases when the typed virtual
@@ -765,17 +806,13 @@ def _pattern_df(sp: A.SP, store: TripleStore) -> DataFrame:
                 # string→numeric conversion otherwise (melted fallback)
                 seen[pos.name] = col
                 sel.append(
-                    F.col(col).cast(_NATIVE_SPARK_TYPE[native[pos.name]]).alias(pos.name)
+                    _cc(col).cast(_NATIVE_SPARK_TYPE[native[pos.name]]).alias(pos.name)
                 )
                 if store.track_dt:
-                    sel.append(
-                        F.when(F.col("o_dt") == "bnode", F.lit("iri"))
-                        .otherwise(F.col("o_dt"))
-                        .alias(f"{pos.name}__dt")
-                    )
+                    sel.append(_dt_norm().alias(f"{pos.name}__dt"))
             else:
                 seen[pos.name] = col
-                sel.append(F.col(col).alias(pos.name))
+                sel.append(_cc(col).alias(pos.name))
                 if store.track_dt:
                     if col == "o_lex":
                         # companions are BGP join keys (term identity
@@ -783,16 +820,12 @@ def _pattern_df(sp: A.SP, store: TripleStore) -> DataFrame:
                         # some readers emit as 'bnode', others as 'iri' —
                         # normalizes to 'iri' here; the `_:` lexical prefix
                         # keeps bnodes distinguishable (isBlank checks it)
-                        sel.append(
-                            F.when(F.col("o_dt") == "bnode", F.lit("iri"))
-                            .otherwise(F.col("o_dt"))
-                            .alias(f"{pos.name}__dt")
-                        )
+                        sel.append(_dt_norm().alias(f"{pos.name}__dt"))
                     else:  # subject / predicate / graph vars: iri space
                         # (bnode subjects carry the `_:` lexical; tagging
                         # them 'iri' matches the normalized object tag so
                         # subject-object joins on a shared var agree)
-                        sel.append(F.lit("iri").alias(f"{pos.name}__dt"))
+                        sel.append(_iri_lit().alias(f"{pos.name}__dt"))
     return df.select(*sel)
 
 

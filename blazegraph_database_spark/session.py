@@ -52,6 +52,16 @@ def get_spark(app: str = "blazegraph-spark", shuffle_partitions: int | None = No
         # permissive evaluation is the SPEC behavior here — ANSI mode would
         # turn a single malformed literal into a whole-query abort.
         .config("spark.sql.ansi.enabled", "false")
+        # Per-Column-op call-site capture (DataFrame query context for error
+        # messages) costs a conf.get + PySparkCurrentOrigin.set py4j
+        # roundtrip pair on EVERY Column/DataFrame operation — ~40% of all
+        # plan-build roundtrips here (plan-BUILD time is part of query cost
+        # in this engine; docs/scale_notes.md). Disabled for the production
+        # sessions: BSBM compile wall 5.9 -> 4.8 s (r11, guide §1.2 —
+        # per-task... rather per-QUERY fixed work). Error behavior is
+        # unchanged except the lost call-site line in DataFrame query
+        # context messages.
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         # size iterative/state exchanges at runtime instead of mutating
