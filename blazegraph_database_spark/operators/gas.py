@@ -186,7 +186,8 @@ def _general_bfs(spark, e: DataFrame, sources: list[str], max_depth: int) -> Dat
             .agg(F.min("src").alias("pred"))
         )
         new = msgs.join(visited, on="node", how="left_anti")
-        new = _chk(new.select("node", F.lit(d).alias("depth"), "pred"))
+        # lazy: the emptiness probe's job materializes the round (r11)
+        new = new.select("node", F.lit(d).alias("depth"), "pred").localCheckpoint(eager=False)
         if new.isEmpty():
             break
         parts.append(new)
@@ -278,13 +279,11 @@ def _general_sssp(spark, e: DataFrame, sources: list[str], max_iters: int) -> Da
             .groupBy(F.col("dst").alias("node"))
             .agg(F.min(F.col("dist") + F.col("weight")).alias("cand"))
         )
-        merged = _chk(
-            state.join(msgs, on="node", how="full").select(
-                "node",
-                F.least(F.col("dist"), F.col("cand")).alias("dist"),
-                (F.col("dist").isNull() | (F.col("cand") < F.col("dist"))).alias("improved"),
-            )
-        )
+        merged = state.join(msgs, on="node", how="full").select(
+            "node",
+            F.least(F.col("dist"), F.col("cand")).alias("dist"),
+            (F.col("dist").isNull() | (F.col("cand") < F.col("dist"))).alias("improved"),
+        ).localCheckpoint(eager=False)  # the improved-probe materializes (r11)
         frontier = merged.filter("improved").select("node", "dist")
         if frontier.isEmpty():
             break
@@ -360,7 +359,7 @@ def _cc_two_star_loop(E, nodes, n_edges, max_iters):
             .filter(F.col("u") != F.col("v"))
             .distinct()
         )
-        new_E = _chk(small)
+        new_E = small.localCheckpoint(eager=False)  # count() materializes (r11)
         n_new = new_E.count()
         if n_new == n_edges and new_E.join(E, on=["u", "v"], how="left_anti").isEmpty():
             E = new_E
@@ -540,7 +539,7 @@ def paths(edges: DataFrame, source: str, target: str, max_length: int = 8) -> Da
             .filter(~F.array_contains(F.col("nodes"), F.col("dst")))
             .select(F.col("dst").alias("head"), F.concat(F.col("nodes"), F.array(F.col("dst"))).alias("nodes"))
         )
-        grown = _chk(grown)
+        grown = grown.localCheckpoint(eager=False)  # probe materializes (r11)
         hits = grown.filter(F.col("head") == target).select(
             F.array_join(F.col("nodes"), "->").alias("path"), F.lit(depth).alias("hops")
         )
@@ -566,7 +565,11 @@ def bfs_from_df(edges: DataFrame, seeds: DataFrame, max_depth: int = MAX_ITERS) 
     frontier = visited
     for d in range(1, max_depth + 1):
         msgs = frontier.join(e, frontier.node == e.src).select(F.col("dst").alias("node")).distinct()
-        new = _chk(msgs.join(visited, on="node", how="left_anti").select("node", F.lit(d).alias("depth")))
+        new = (
+            msgs.join(visited, on="node", how="left_anti")
+            .select("node", F.lit(d).alias("depth"))
+            .localCheckpoint(eager=False)  # probe materializes (r11)
+        )
         if new.isEmpty():
             break
         parts.append(new)
