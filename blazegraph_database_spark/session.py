@@ -34,6 +34,12 @@ def ensure_session_confs(spark: SparkSession) -> SparkSession:
         # get_spark builder configures (review r5-9)
         spark.conf.set("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
         spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
+        # best-effort for foreign sessions (driver harness, embedding apps):
+        # per-Column-op call-site capture costs a py4j roundtrip pair on
+        # every plan-build operation (see get_spark below). PySpark caches
+        # the flag at its first Column op, so this only takes effect when
+        # set before that — harmless otherwise.
+        spark.conf.set("spark.python.sql.dataFrameDebugging.enabled", "false")
     except Exception:
         pass  # conf locked down (never seen in practice) — reads of nano-ts tables will raise
     return spark
