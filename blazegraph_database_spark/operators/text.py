@@ -749,8 +749,16 @@ def unigram_logprob(df: DataFrame, id_col: str = "doc_id", text_col: str = "text
     tok = df.select(
         F.col(id_col), F.explode(F.transform(words(F.col(text_col)), F.lower)).alias("w")
     )
-    tf = tok.groupBy(id_col, "w").agg(F.count("*").alias("tf"))
-    vocab = tok.groupBy("w").agg(F.count("*").alias("cnt"))
+    # ONE tokenize scan: vocab counts derive from the per-doc tf table
+    # (sum of per-doc counts == global count), which checkpoints lazily at
+    # the fan-out — the old second tok consumer re-ran the whole
+    # explode+shuffle for vocabulary (r11; guide §2.3 aggregate first,
+    # scale_notes fan-out rule)
+    tf = (
+        tok.groupBy(id_col, "w").agg(F.count("*").alias("tf"))
+        .localCheckpoint(eager=False)
+    )
+    vocab = tf.groupBy("w").agg(F.sum("tf").alias("cnt"))
     total = vocab.agg(F.sum("cnt").alias("total"))
     return (
         tf.join(vocab, "w")
@@ -870,9 +878,17 @@ def bigram_logprob(
             )
         ).alias("bg"),
     ).select(id_col, "bg.w1", "bg.w2")
-    bf = big.groupBy(id_col, "w1", "w2").agg(F.count("*").alias("bf"))
-    pair_cnt = big.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
-    ctx_cnt = big.groupBy("w1").agg(F.count("*").alias("c1"))
+    # ONE bigram scan (r11): pair and context counts derive from the
+    # per-doc bigram frequencies (identical sums) — the old three `big`
+    # consumers re-ran the tokenize+zip+explode pass each; vsize keeps its
+    # own scan because the vocabulary includes final/lone words that never
+    # appear as bigram members
+    bf = (
+        big.groupBy(id_col, "w1", "w2").agg(F.count("*").alias("bf"))
+        .localCheckpoint(eager=False)
+    )
+    pair_cnt = bf.groupBy("w1", "w2").agg(F.sum("bf").alias("c12"))
+    ctx_cnt = bf.groupBy("w1").agg(F.sum("bf").alias("c1"))
     vsize = (
         df.select(F.explode(F.transform(words(F.col(text_col)), F.lower)).alias("w"))
         .agg(F.count_distinct("w").alias("v"))
@@ -1015,8 +1031,14 @@ def dsir_scores(
         )
         return t.select(id_col, (rolling_hash(F.col("w")) % F.lit(n_buckets)).alias("b"))
 
-    tok_r = toks(raw)
-    rcnt = tok_r.groupBy("b").agg(F.count("*").alias("rc"))
+    # ONE raw-corpus tokenize scan (r11): the raw bucket histogram derives
+    # from the per-doc bucket frequencies (identical sums); the target side
+    # has a single consumer and keeps its direct aggregation
+    tf_r = (
+        toks(raw).groupBy(id_col, "b").agg(F.count("*").alias("tf"))
+        .localCheckpoint(eager=False)
+    )
+    rcnt = tf_r.groupBy("b").agg(F.sum("tf").alias("rc"))
     tcnt = toks(target).groupBy("b").agg(F.count("*").alias("tc"))
     stats = rcnt.join(tcnt, "b", "left").fillna({"tc": 0})
     totals = stats.agg(
@@ -1027,9 +1049,7 @@ def dsir_scores(
         (F.col("rc") + 1) / (F.col("rtot") + bb)
     )
     return (
-        tok_r.groupBy(id_col, "b")
-        .agg(F.count("*").alias("tf"))
-        .join(F.broadcast(stats), "b")
+        tf_r.join(F.broadcast(stats), "b")
         .crossJoin(F.broadcast(totals))
         .groupBy(id_col)
         .agg(
@@ -1079,9 +1099,17 @@ def nb_token_classifier(
         F.col(pos_col).cast("boolean").alias("_pos"),
         F.explode(F.transform(words(F.col(text_col)), F.lower)).alias("w"),
     )
-    cc = tok.groupBy("w").agg(
-        F.sum(F.when(F.col("_pos"), 1).otherwise(0)).alias("cpos"),
-        F.sum(F.when(~F.col("_pos"), 1).otherwise(0)).alias("cneg"),
+    # ONE tokenize scan (r11): per-doc term frequencies carry the label
+    # (_pos is functionally dependent on the id), and the per-class token
+    # counts derive from them — identical sums, one corpus pass and a
+    # (w)-shuffle of the far smaller tf table instead of raw tokens
+    tf0 = (
+        tok.groupBy(id_col, "_pos", "w").agg(F.count("*").alias("tf"))
+        .localCheckpoint(eager=False)
+    )
+    cc = tf0.groupBy("w").agg(
+        F.sum(F.when(F.col("_pos"), F.col("tf")).otherwise(0)).alias("cpos"),
+        F.sum(F.when(~F.col("_pos"), F.col("tf")).otherwise(0)).alias("cneg"),
     )
     tots = cc.agg(
         F.sum("cpos").alias("npos"),
@@ -1093,8 +1121,7 @@ def nb_token_classifier(
         (F.col("cneg") + a) / (F.col("nneg") + a * F.col("v"))
     )
     return (
-        tok.groupBy(id_col, "w")
-        .agg(F.count("*").alias("tf"))
+        tf0.select(id_col, "w", "tf")
         .join(cc, "w")
         .crossJoin(F.broadcast(tots))
         .groupBy(id_col)
