@@ -20,10 +20,24 @@ longs (dictionary-encoded) — the algorithms are agnostic.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 MAX_ITERS = 64
+
+# Edge sets at most this size run the whole traversal on the driver in one
+# Arrow collect (the tier pattern of inference/rdfs.py SMALL_CLOSURE_MAX_EDGES
+# and paths.transitive_closure): at driver-sized inputs the per-round fixed
+# cost of the distributed loop — a Catalyst compile plus ~6 AQE stage jobs per
+# localCheckpoint round — dwarfs the data work (measured r12: label-prop CC on
+# the 11k-edge sf0.1 bipartite graph spends 8 rounds x ~0.36 s of fixed
+# overhead where a driver union-find needs ~0.05 s). Env-parameterized so a
+# cluster deployment can shrink or grow the tier; every distributed loop below
+# is unchanged and takes over past the threshold, so the 100 TB path never
+# routes through the driver.
+GAS_DRIVER_TIER_MAX_EDGES = int(os.environ.get("SPARK_GRAFT_GAS_DRIVER_TIER", "500000"))
 
 
 # Iterative loops re-shuffle a state table whose size is known up front; the
@@ -51,6 +65,158 @@ def _iter_shuffle(spark, n_rows: int):
 
 def _chk(df: DataFrame) -> DataFrame:
     return df.localCheckpoint(eager=True)
+
+
+def _driver_edges(e: DataFrame):
+    """Materialized edge frame -> pandas via the Arrow path (guide §6), or
+    None when the rows carry nulls (the python tiers compare/um keys directly,
+    so null ids fall back to the distributed loops, which treat them as
+    ordinary join keys)."""
+    pdf = e.toPandas()
+    if pdf.isnull().values.any():
+        return None
+    return pdf
+
+
+def _rows_df(spark, rows: list[tuple], schema) -> DataFrame:
+    """Re-parallelize driver-computed rows through one Arrow batch (the
+    inverse transfer; pickling tuples one by one costs ~1 s per 200k rows)."""
+    import pandas as pd
+
+    names = [f.name for f in schema.fields] if hasattr(schema, "fields") else None
+    pdf = pd.DataFrame(rows, columns=names)
+    return spark.createDataFrame(pdf, schema)
+
+
+def _bfs_driver(e: DataFrame, sources: list[str], max_depth: int) -> DataFrame | None:
+    """Driver-tier BFS: same level-by-level expansion as _general_bfs (pred =
+    min src among the frontier parents that discover a node), one job to
+    collect the edges and one Arrow batch back."""
+    pdf = _driver_edges(e)
+    if pdf is None:
+        return None
+    adj: dict = {}
+    for s, d in zip(pdf["src"].values, pdf["dst"].values):
+        adj.setdefault(s, []).append(d)
+    depth = {s: 0 for s in sources}
+    reached: list[tuple] = []
+    frontier = list(depth)
+    for dcur in range(1, max_depth + 1):
+        if not frontier:
+            break
+        nxt: dict = {}
+        for u in frontier:
+            for v in adj.get(u, ()):
+                if v in depth:
+                    continue
+                p = nxt.get(v)
+                if p is None or u < p:
+                    nxt[v] = u
+        for v, p in nxt.items():
+            depth[v] = dcur
+            reached.append((v, dcur, p))
+        frontier = list(nxt)
+    rows = [(s, 0, None) for s in sources] + reached
+    return _rows_df(e.sparkSession, rows, "node string, depth int, pred string")
+
+
+def _sssp_driver(e: DataFrame, sources: list[str], max_iters: int) -> DataFrame | None:
+    """Driver-tier SSSP: the same frontier relaxation as _general_sssp (per
+    round, min over frontier of dist+weight; a node re-enters the frontier
+    only when its distance improves) on plain floats — identical IEEE
+    arithmetic, identical per-round minima."""
+    pdf = _driver_edges(e)
+    if pdf is None:
+        return None
+    adj: dict = {}
+    for s, d, w in zip(pdf["src"].values, pdf["dst"].values, pdf["weight"].values):
+        adj.setdefault(s, []).append((d, float(w)))
+    dist = {s: 0.0 for s in sources}
+    frontier = list(dist)
+    for _ in range(max_iters):
+        cand: dict = {}
+        for u in frontier:
+            du = dist[u]
+            for v, w in adj.get(u, ()):
+                nd = du + w
+                if v not in cand or nd < cand[v]:
+                    cand[v] = nd
+        improved = [(v, nd) for v, nd in cand.items() if v not in dist or nd < dist[v]]
+        if not improved:
+            break
+        dist.update(improved)
+        frontier = [v for v, _ in improved]
+    return _rows_df(e.sparkSession, list(dist.items()), "node string, dist double")
+
+
+def _pagerank_driver(e: DataFrame, damping: float, iters: int) -> DataFrame | None:
+    """Driver-tier PageRank: the same per-round recurrence as the distributed
+    loop (dangling mass redistributed uniformly, identical double arithmetic
+    per term) vectorized over numpy float64 arrays. Summation order inside
+    the inflow/dangling sums differs from the distributed hash aggregation —
+    as the distributed order already differs from any other engine's — which
+    is ~1e-15 relative and vanishes at the integer-ppb comparison surface
+    (queries_gas._pagerank_oracle documents the same argument vs DuckDB;
+    verified ppb-exact against the oracle at sf0.001/sf0.01, r12)."""
+    import numpy as np
+    import pandas as pd
+
+    pdf = _driver_edges(e)
+    if pdf is None:
+        return None
+    uniq = pd.unique(pd.concat([pdf["src"], pdf["dst"]], ignore_index=True))
+    n = len(uniq)
+    if n == 0:
+        return _rows_df(e.sparkSession, [], "node string, rank double")
+    pos = pd.Series(np.arange(n), index=uniq)
+    s = pos[pdf["src"]].values
+    d = pos[pdf["dst"]].values
+    deg = np.bincount(s, minlength=n).astype(np.float64)
+    rank = np.full(n, 1.0 / n)
+    dangling = deg == 0.0
+    base = (1.0 - damping) / n
+    for _ in range(iters):
+        dmass = float(rank[dangling].sum())
+        inflow = np.zeros(n)
+        np.add.at(inflow, d, rank[s] / deg[s])
+        rank = base + damping * (inflow + dmass / n)
+    out = pd.DataFrame({"node": uniq, "rank": rank})
+    return e.sparkSession.createDataFrame(out, "node string, rank double")
+
+
+def _cc_driver(e: DataFrame) -> DataFrame | None:
+    """Driver-tier connected components: union-find with union-by-min and
+    path compression over the (already undirected) edge list. Labels are the
+    component minimum — exactly label_prop's fixpoint — because the root of
+    every union is the smaller id."""
+    pdf = _driver_edges(e)
+    if pdf is None:
+        return None
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != x:
+            parent[x], x = r, parent[x]
+        return r
+
+    srcs = pdf["src"].values
+    dsts = pdf["dst"].values
+    for s, d in zip(srcs, dsts):
+        rs, rd = find(s), find(d)
+        if rs != rd:
+            if rs < rd:
+                parent[rd] = rs
+            else:
+                parent[rs] = rd
+    # every endpoint (roots and self-loop-only nodes included) gets a label —
+    # the same node set label_prop seeds with on the undirected edge set
+    nodes = set(srcs)
+    nodes.update(dsts)
+    schema = e.select(F.col("src").alias("node"), F.col("src").alias("comp")).schema
+    return _rows_df(e.sparkSession, [(x, find(x)) for x in nodes], schema)
 
 
 def undirect(edges: DataFrame) -> DataFrame:
@@ -164,9 +330,13 @@ def bfs(
     """
     spark = edges.sparkSession
     sel = edges.select("src", "dst")
+    e = _chk(sel)  # edges re-join every round: materialize once
+    if e.count() <= GAS_DRIVER_TIER_MAX_EDGES:
+        out = _bfs_driver(e, sources, max_depth)
+        if out is not None:
+            return out
     if functional is None:
         functional = _is_functional(sel)
-    e = _chk(sel)  # edges re-join every round: materialize once
     if functional:
         return _functional_bfs(e, sources, max_depth)
     return _general_bfs(spark, e, sources, max_depth)
@@ -262,9 +432,13 @@ def sssp(
     """
     spark = edges.sparkSession
     sel = edges.select("src", "dst", F.col("weight").cast("double").alias("weight"))
+    e = _chk(sel)
+    if e.count() <= GAS_DRIVER_TIER_MAX_EDGES:
+        out = _sssp_driver(e, sources, max_iters)
+        if out is not None:
+            return out
     if functional is None:
         functional = _is_functional(sel.select("src", "dst"))
-    e = _chk(sel)
     if functional:
         return _functional_sssp(e, sources, max_iters)
     return _general_sssp(spark, e, sources, max_iters)
@@ -388,6 +562,14 @@ def connected_components_bipartite(edges: DataFrame, max_iters: int = MAX_ITERS)
     3.8s vs 5.4s for label_prop on the sf0.1 part↔supplier bench graph.
     """
     e = _chk(edges.select("src", "dst").distinct())
+    # driver-sized bipartite graphs skip the contraction AND the attach
+    # joins: union-find over the raw edge list labels every endpoint with
+    # the component minimum directly (left ids sort below right ids, but
+    # union-by-min doesn't even need that)
+    if e.count() <= GAS_DRIVER_TIER_MAX_EDGES:
+        out = _cc_driver(e)
+        if out is not None:
+            return out
     star_min = e.groupBy("dst").agg(F.min("src").alias("m"))
     left_graph = (
         e.join(star_min, on="dst")
@@ -425,6 +607,10 @@ def connected_components_label_prop(edges: DataFrame, max_iters: int = MAX_ITERS
     distance to the component minimum shrinks superlinearly.
     """
     e = _chk(undirect(edges))
+    if e.count() <= GAS_DRIVER_TIER_MAX_EDGES:
+        out = _cc_driver(e)
+        if out is not None:
+            return out
     state = _chk(
         e.select(F.col("src").alias("node")).distinct().select("node", F.col("node").alias("comp"))
     )
@@ -476,6 +662,10 @@ def pagerank(edges: DataFrame, damping: float = 0.85, iters: int = 20) -> DataFr
     folded in as a one-row crossJoin instead of a driver-side collect.
     """
     e = _chk(edges.select("src", "dst"))
+    if e.count() <= GAS_DRIVER_TIER_MAX_EDGES:
+        out = _pagerank_driver(e, damping, iters)
+        if out is not None:
+            return out
     deg = e.groupBy(F.col("src").alias("node")).agg(F.count(F.lit(1)).alias("deg"))
     nodes = _chk(
         e.select(F.col("src").alias("node"))
