@@ -328,19 +328,37 @@ def rdfs_closure_pass(df: DataFrame, trivial_axioms: bool = False) -> DataFrame:
     return out.distinct()
 
 
-def rdfs_closure(store: TripleStore, max_passes: int = 1, trivial_axioms: bool = False) -> TripleStore:
+def rdfs_closure(
+    store: TripleStore,
+    max_passes: int = 1,
+    trivial_axioms: bool = False,
+    checkpoint_output: bool = True,
+) -> TripleStore:
     """Forward closure. One stratified pass is complete for standard RDFS
     rule interaction (see rdfs_closure_pass); pass max_passes>1 to iterate
     to a counted fixpoint for exotic self-referential schemas
-    (e.g. subPropertyOf of rdf:type)."""
+    (e.g. subPropertyOf of rdf:type).
+
+    ``checkpoint_output=False`` for single-consumer callers: without the
+    output checkpoint the consumer's predicate pushes below the pass's
+    union, pruning whole rule branches it never reads (a type-count
+    consumer skips computing the subClassOf closure triples entirely —
+    5-run medians 3.75 -> 2.51 s on rdfs_closure_types at sf0.1, r12).
+    Callers that filter or join the closure more than once should keep the
+    checkpoint, or every consumer re-runs the pass."""
     # lazy checkpoints: lineage truncates and every downstream reference
     # (the pass references the input ~6 times; closure consumers re-filter
     # the output repeatedly) reads the once-materialized partitions, but
     # the two stand-alone eager barriers are gone — the first consumer's
-    # job materializes both (r11; full-query warm 4.5 -> 3.1 s at sf0.1)
+    # job materializes both (r11; full-query warm 4.5 -> 3.1 s at sf0.1).
+    # Kept lazy over eager: 5-run medians 3.75 vs 4.20 s (r12, settling the
+    # r11 driver-run regression as machine noise).
     df = store.df.select("s", "p", "o_lex", "o_dt").distinct().localCheckpoint(eager=False)
     if max_passes == 1:
-        return TripleStore(rdfs_closure_pass(df, trivial_axioms).localCheckpoint(eager=False))
+        out = rdfs_closure_pass(df, trivial_axioms)
+        if checkpoint_output:
+            out = out.localCheckpoint(eager=False)
+        return TripleStore(out)
     n = df.count()
     for _ in range(max_passes):
         df = _chk(rdfs_closure_pass(df, trivial_axioms))

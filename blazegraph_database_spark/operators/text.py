@@ -13,8 +13,37 @@ identical arithmetic (list_reduce), giving the driver an exact SQL oracle.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+# Materializing the per-doc frequency table at the LM/classifier fan-out
+# trades one checkpoint write+read cycle for the re-tokenize scans the extra
+# consumers would otherwise run. The trade is corpus-sized: at the ~7 MB
+# (compressed) sf1.0 corpus the saved scans are worth ~3 s, at the ~0.6 MB
+# sf0.1 corpus the materialization costs ~0.6-0.9 s MORE than the rescans it
+# saves (r11 addendum; r12 floor fix). Gated on the source plan's estimated
+# size — free to read, no job — with the threshold between those two
+# measured points; env-tunable for other storage/CPU profiles.
+TF_CHECKPOINT_MIN_BYTES = int(
+    os.environ.get("SPARK_GRAFT_TF_CHECKPOINT_MIN_BYTES", "2000000")
+)
+
+
+def _fanout_checkpoint(tf: DataFrame, source: DataFrame) -> DataFrame:
+    """Lazily checkpoint a per-doc frequency table that fans out to several
+    consumers — unless the source corpus is small enough that re-running the
+    tokenize scan per consumer is cheaper than materializing (see
+    TF_CHECKPOINT_MIN_BYTES). Perf-only: both shapes compute identical
+    frequencies."""
+    try:
+        size = int(source._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:
+        size = TF_CHECKPOINT_MIN_BYTES  # unknown size: keep the checkpoint
+    if size >= TF_CHECKPOINT_MIN_BYTES:
+        return tf.localCheckpoint(eager=False)
+    return tf
 
 # BPE-ish tokenization: letter runs, digit runs, single punctuation marks.
 TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
@@ -754,9 +783,8 @@ def unigram_logprob(df: DataFrame, id_col: str = "doc_id", text_col: str = "text
     # the fan-out — the old second tok consumer re-ran the whole
     # explode+shuffle for vocabulary (r11; guide §2.3 aggregate first,
     # scale_notes fan-out rule)
-    tf = (
-        tok.groupBy(id_col, "w").agg(F.count("*").alias("tf"))
-        .localCheckpoint(eager=False)
+    tf = _fanout_checkpoint(
+        tok.groupBy(id_col, "w").agg(F.count("*").alias("tf")), df
     )
     vocab = tf.groupBy("w").agg(F.sum("tf").alias("cnt"))
     total = vocab.agg(F.sum("cnt").alias("total"))
@@ -883,9 +911,8 @@ def bigram_logprob(
     # consumers re-ran the tokenize+zip+explode pass each; vsize keeps its
     # own scan because the vocabulary includes final/lone words that never
     # appear as bigram members
-    bf = (
-        big.groupBy(id_col, "w1", "w2").agg(F.count("*").alias("bf"))
-        .localCheckpoint(eager=False)
+    bf = _fanout_checkpoint(
+        big.groupBy(id_col, "w1", "w2").agg(F.count("*").alias("bf")), df
     )
     pair_cnt = bf.groupBy("w1", "w2").agg(F.sum("bf").alias("c12"))
     ctx_cnt = bf.groupBy("w1").agg(F.sum("bf").alias("c1"))
@@ -1034,9 +1061,8 @@ def dsir_scores(
     # ONE raw-corpus tokenize scan (r11): the raw bucket histogram derives
     # from the per-doc bucket frequencies (identical sums); the target side
     # has a single consumer and keeps its direct aggregation
-    tf_r = (
-        toks(raw).groupBy(id_col, "b").agg(F.count("*").alias("tf"))
-        .localCheckpoint(eager=False)
+    tf_r = _fanout_checkpoint(
+        toks(raw).groupBy(id_col, "b").agg(F.count("*").alias("tf")), raw
     )
     rcnt = tf_r.groupBy("b").agg(F.sum("tf").alias("rc"))
     tcnt = toks(target).groupBy("b").agg(F.count("*").alias("tc"))
@@ -1103,9 +1129,8 @@ def nb_token_classifier(
     # (_pos is functionally dependent on the id), and the per-class token
     # counts derive from them — identical sums, one corpus pass and a
     # (w)-shuffle of the far smaller tf table instead of raw tokens
-    tf0 = (
-        tok.groupBy(id_col, "_pos", "w").agg(F.count("*").alias("tf"))
-        .localCheckpoint(eager=False)
+    tf0 = _fanout_checkpoint(
+        tok.groupBy(id_col, "_pos", "w").agg(F.count("*").alias("tf")), df
     )
     cc = tf0.groupBy("w").agg(
         F.sum(F.when(F.col("_pos"), F.col("tf")).otherwise(0)).alias("cpos"),

@@ -54,7 +54,12 @@ def rdfs_closure_types(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("Class:"), (F.col("c_custkey") / 2).cast("long")).alias("o_lex"),
         F.lit("iri").alias("o_dt"),
     )
-    closed = rdfs.rdfs_closure(TripleStore(instances.unionByName(schema)))
+    # single consumer (one filter+agg): skip the output checkpoint so the
+    # p=rdf:type predicate pushes below the pass's union and prunes the
+    # subClassOf-closure branch this query never reads (r12)
+    closed = rdfs.rdfs_closure(
+        TripleStore(instances.unionByName(schema)), checkpoint_output=False
+    )
     return (
         closed.df.filter(F.col("p") == rdfs.RDF_TYPE)
         .groupBy("s")
