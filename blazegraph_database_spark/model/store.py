@@ -233,7 +233,16 @@ class TripleStore:
         return sum(s.count for s in self.stats().values())
 
     def cache(self) -> "TripleStore":
-        self.df = self.df.cache()
+        # localCheckpoint, not persist(): both pin the triples in memory
+        # (MEMORY_AND_DISK, spills fine), but the checkpoint also TRUNCATES
+        # the logical plan to a materialized leaf. With persist() the
+        # analyzer/optimizer re-walks the full source parse subtree for
+        # EVERY pattern of every query — a 13-pattern BSBM query re-analyzes
+        # the ntriples regex-parse plan 13 times; the warm explore mix reads
+        # 6.5-8.4 s persisted vs 5.0 s checkpointed, compile and execute
+        # both dropping (r12; guide §3.3 "materialise to truncate plans").
+        # Materialization is eager — cache() is a load-time/setup call.
+        self.df = self.df.localCheckpoint(eager=True)
         return self
 
     def union(self, other: "TripleStore") -> "TripleStore":

