@@ -206,19 +206,37 @@ def inverted_index(
     analyzed with the SAME profile (search(query_analyzer=...)).
 
     Like the reference's FullTextIndex, per-term document frequency (df),
-    the corpus document count (n), and the per-doc L2 magnitude (dmag)
-    are computed at BUILD time and stored on the posting rows: search-time
-    relevance then reads them off the matched postings instead of
-    re-scanning the whole index per query for dfreq/N/dmag (r11 — the
-    sf0.1 tf-idf search plan drops from 22 Exchanges to 5). Cost: one
-    window shuffle per stat at build, paid once per corpus.
+    the corpus document count (n), the mean document length (avgdl — the
+    BM25 corpus stat), and the per-doc L2 magnitude (dmag) are computed at
+    BUILD time and stored on the posting rows: search-time relevance then
+    reads them off the matched postings instead of re-scanning the whole
+    index per query for dfreq/N/dmag/avgdl (r11/r12 — the sf0.1 tf-idf
+    search plan drops from 22 Exchanges to 5, and bm25_search loses its
+    corpus-scan aggregations entirely). Cost: one window shuffle per stat
+    at build, paid once per corpus.
+
+    ``n`` counts documents WITH POSTINGS (distinct id over posting rows),
+    matching what the compute-at-search fallback derives from a stat-less
+    index — token-less documents contribute no postings and no count
+    (ADVICE r11 alignment; previously n counted the raw corpus).
     """
     from pyspark.sql.window import Window
 
     toks = df.select(
         F.col(id_col).alias("id"), tokenize(F.col(text_col), analyzer).alias("toks")
     ).select("id", F.size("toks").alias("dl"), F.explode("toks").alias("term"))
-    posting = toks.groupBy("id", "dl", "term").agg(F.count(F.lit(1)).alias("tf"))
+    # one tokenize pass: the corpus stats below aggregate the materialized
+    # posting rows instead of re-running the scan (index build is a
+    # load-time, once-per-corpus step)
+    posting = (
+        toks.groupBy("id", "dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=True)
+    )
+    stats = posting.agg(
+        F.count_distinct("id").alias("n"),
+        (F.sum("tf") / F.count_distinct("id")).alias("avgdl"),
+    )
     # posting rows are unique (id, term) pairs, so count-per-term == df and
     # the doc-magnitude window reuses the (id,...) grouping's partitioning
     posting = posting.withColumn(
@@ -226,9 +244,8 @@ def inverted_index(
     ).withColumn(
         "dmag", F.sqrt(F.sum(F.col("tf") * F.col("tf")).over(Window.partitionBy("id")))
     )
-    n_docs = df.select(F.count_distinct(F.col(id_col)).alias("n"))
-    return posting.crossJoin(F.broadcast(n_docs)).select(
-        "term", "id", "tf", "dl", "df", "n", "dmag"
+    return posting.crossJoin(F.broadcast(stats)).select(
+        "term", "id", "tf", "dl", "df", "n", "dmag", "avgdl"
     )
 
 
@@ -364,17 +381,25 @@ def bm25_search(
 ) -> DataFrame:
     """BM25 ranking option (beyond the reference's tf/cosine relevance).
     Float log-based scores — fixture-tested, not oracle-matched."""
-    # BM25 computes its own corpus stats (avgdl is not stored on the
-    # index); drop the build-time stat columns so its `n`/`df` aliases
-    # don't collide with them (r11)
-    index = index.drop("df", "n", "dmag")
+    idf = F.log((F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+    tf_part = (F.col("tf") * (k1 + 1)) / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl")))
+    if {"df", "n", "avgdl"} <= set(index.columns):
+        # stats-bearing index: df/n/avgdl ride the matched posting rows —
+        # no corpus-scan aggregations, no joins at search time (r12; the
+        # build-time n/df/avgdl equal what the fallback derives, see
+        # inverted_index)
+        scored = (
+            index.filter(F.col("term").isin(terms))
+            .groupBy("id")
+            .agg(F.round(F.sum(idf * tf_part), 6).alias("bm25"))
+        )
+        return scored.orderBy(F.col("bm25").desc(), F.col("id").asc()).limit(max_rank)
+    index = index.drop("dmag")
     stats = index.agg(
         F.count_distinct("id").alias("n"), (F.sum("tf") / F.count_distinct("id")).alias("avgdl")
     )
     matched = index.filter(F.col("term").isin(terms))
     dfreq = matched.groupBy("term").agg(F.count_distinct("id").alias("df"))
-    idf = F.log((F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
-    tf_part = (F.col("tf") * (k1 + 1)) / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl")))
     scored = (
         matched.join(F.broadcast(dfreq), on="term")
         .crossJoin(F.broadcast(stats))

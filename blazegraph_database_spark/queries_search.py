@@ -211,27 +211,29 @@ def geo_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     to the parquet reader and skip row groups outside every range — and the
     exact compare refines boundary cells. The oracle is the plain
     rectangle — proving range-pruning loses nothing."""
-    # stable per-sf_dir cache path (NOT a fresh mkdtemp per process, which
-    # leaked one z-sorted copy of events per run — r11 review): Spark's
-    # _SUCCESS marker gates reuse across processes; testdata is immutable
+    # PER-PROCESS store (r12, verdict item 7): the z-sorted copy is built
+    # fresh by every process and removed at exit — no cross-run /tmp reuse
+    # keyed on the test data (the previous stable-path _SUCCESS gate was
+    # result-shaped precomputation even though only the correctness window
+    # reads it). In-process reuse stays: the persisted z-ordered index IS
+    # the feature under test, built once per (process, corpus) like the
+    # full-text index.
     import hashlib
     import os
-    import tempfile
 
     store = _zstore_memo.get(sf_dir)
     if store is None:
         tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
-        path = os.path.join(tempfile.gettempdir(), f"bgspark_zstore_{tag}")
-        if not os.path.exists(os.path.join(path, "_SUCCESS")):
-            (
-                _events_geo(spark, sf_dir)
-                .withColumn(
-                    "zkey", geospatial.zorder_key(F.col("lat"), F.col("lon"), bits=8)
-                )
-                .sort("zkey")
-                .write.mode("overwrite")
-                .parquet(path)
+        path = os.path.join(_zstore_root(), tag)
+        (
+            _events_geo(spark, sf_dir)
+            .withColumn(
+                "zkey", geospatial.zorder_key(F.col("lat"), F.col("lon"), bits=8)
             )
+            .sort("zkey")
+            .write.mode("overwrite")
+            .parquet(path)
+        )
         _zstore_memo[sf_dir] = store = path
     return geospatial.in_rectangle_zorder(
         spark.read.parquet(store),
@@ -246,6 +248,20 @@ def geo_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _zstore_memo: dict[str, str] = {}
+_zstore_tmp: list[str] = []
+
+
+def _zstore_root() -> str:
+    """Process-scoped scratch dir for z-sorted stores, removed at exit."""
+    if not _zstore_tmp:
+        import atexit
+        import shutil
+        import tempfile
+
+        root = tempfile.mkdtemp(prefix="bgspark_zstore_")
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+        _zstore_tmp.append(root)
+    return _zstore_tmp[0]
 
 
 @register(
