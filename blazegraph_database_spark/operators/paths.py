@@ -14,6 +14,8 @@ same machinery evaluates paths inside GRAPH ?var — closure joins then include
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -28,6 +30,21 @@ MAX_ITERS = 64  # diameter guard; 100 TB graphs rarely exceed ~30 rounds
 # delta ⋈ base bounds per-round work on big fan-out data graphs — the
 # reference's ALP operator is semi-naive for the same reason.
 DOUBLING_MAX_PAIRS = 100_000
+
+# Functional (parent-pointer) bases at most this size close on the driver in
+# one Arrow collect + numpy level walk (the GAS-driver-tier discipline,
+# operators/gas.py): a few MB of pairs against log2(d) distributed rounds of
+# ~6 AQE stage jobs each. Acyclic only — the cycle pre-check bails to the
+# distributed chain tier. Env-tunable; past the threshold the r11 chain tier
+# is unchanged (sf1.0 ancestor closure: 6.1 s chain tier vs 2.8 s here,
+# identical 2.29M pairs).
+DRIVER_FUNCTIONAL_MAX_PAIRS = int(
+    os.environ.get("SPARK_GRAFT_PATHS_DRIVER_TIER", "500000")
+)
+# Emitted-pair bail-out for the driver walk (a 500k-node chain would emit
+# ~125G pairs — no tier can hold that; the distributed fallbacks at least
+# spill). Walks past this emit count abandon the driver tier.
+DRIVER_FUNCTIONAL_MAX_OUT = 50_000_000
 
 
 def _gcols(with_graph: bool) -> list[str]:
@@ -65,6 +82,61 @@ def _join_through(l: DataFrame, r: DataFrame, keys: list[str]) -> DataFrame:
     l2 = l.select(*keys, "s", F.col("o").alias("__mid"))
     r2 = r.select(*keys, F.col("s").alias("__mid"), "o")
     return l2.join(r2, on=keys + ["__mid"]).select(*keys, "s", "o").distinct()
+
+
+def _functional_closure_driver(pdf) -> "object | None":
+    """Closure of a driver-collected FUNCTIONAL ACYCLIC pair set by a numpy
+    level walk: factorize ids, follow the parent array one hop per level,
+    emit (node, ancestor-at-depth-d) — each pair exactly once, so the result
+    IS the distinct closure. Returns a pandas frame, or None when the base
+    is not functional in either direction, has a cycle (pre-checked with a
+    linear color walk), or the walk would emit past DRIVER_FUNCTIONAL_MAX_OUT
+    — all of which fall back to the distributed tiers."""
+    import numpy as np
+    import pandas as pd
+
+    flip = False
+    if not pdf["s"].is_unique:
+        if not pdf["o"].is_unique:
+            return None
+        pdf, flip = pdf.rename(columns={"s": "o", "o": "s"}), True
+    uniq = pd.unique(pd.concat([pdf["s"], pdf["o"]], ignore_index=True))
+    n = len(uniq)
+    pos = pd.Series(np.arange(n), index=uniq)
+    parent = np.full(n, -1, dtype=np.int64)
+    parent[pos[pdf["s"]].values] = pos[pdf["o"]].values
+    color = np.zeros(n, dtype=np.int8)  # 0 new / 1 on stack / 2 done
+    for start in range(n):
+        if color[start]:
+            continue
+        path = []
+        x = start
+        while x >= 0 and color[x] == 0:
+            color[x] = 1
+            path.append(x)
+            x = parent[x]
+        if x >= 0 and color[x] == 1:
+            return None  # cycle: the chain tier's array_distinct handles it
+        for y in path:
+            color[y] = 2
+    nodes_parts, ancs_parts = [], []
+    idx = np.arange(n)
+    cur = parent.copy()
+    active = cur >= 0
+    emitted = 0
+    while active.any():
+        emitted += int(active.sum())
+        if emitted > DRIVER_FUNCTIONAL_MAX_OUT:
+            return None
+        nodes_parts.append(idx[active])
+        ancs_parts.append(cur[active])
+        cur = np.where(active, parent[np.where(active, cur, 0)], -1)
+        active = cur >= 0
+    nodes = np.concatenate(nodes_parts) if nodes_parts else np.array([], dtype=np.int64)
+    ancs = np.concatenate(ancs_parts) if ancs_parts else np.array([], dtype=np.int64)
+    if flip:
+        nodes, ancs = ancs, nodes
+    return pd.DataFrame({"s": uniq[nodes], "o": uniq[ancs]})
 
 
 def _functional_direction(known: DataFrame, keys: list[str]) -> str | None:
@@ -147,23 +219,29 @@ def transitive_closure(
     keys = keys or []
     known = pairs.select(*keys, "s", "o").distinct().localCheckpoint()
     n_pairs = known.count()
-    if not keys and n_pairs <= 20_000:
-        # schema-sized input: close on the driver in one collect (same
-        # size-tiered strategy as inference.rdfs.transitive_closure); falls
-        # through to distributed if the closure itself explodes. Both driver
-        # transfers ride Arrow (guide §6): row-pickling collect/parallelize
-        # cost ~1 s per 200k pairs on this tier (r11 optimization).
-        from blazegraph_database_spark.inference.rdfs import (
-            _arrow_head,
-            _arrow_pairs_df,
-            _closure_local,
-        )
+    if not keys and n_pairs <= DRIVER_FUNCTIONAL_MAX_PAIRS:
+        # driver tier: one Arrow collect. Functional acyclic bases (the
+        # dominant hierarchy/chain shape) close with the numpy level walk
+        # regardless of size within the tier; anything else up to the
+        # schema-sized 20k bound keeps the r11 python closure. Both fall
+        # through to the distributed tiers on cycles / explosion / nulls.
+        pdf = known.toPandas()
+        if not pdf.isnull().values.any():
+            if n_pairs <= 20_000:
+                from blazegraph_database_spark.inference.rdfs import (
+                    _arrow_pairs_df,
+                    _closure_local,
+                )
 
-        closed = _closure_local(_arrow_head(known, n_pairs))
-        if closed is not None:
-            if not closed:
-                return known
-            return _arrow_pairs_df(pairs.sparkSession, closed, known.schema)
+                closed = _closure_local(list(pdf.itertuples(index=False, name=None)))
+                if closed is not None:
+                    if not closed:
+                        return known
+                    return _arrow_pairs_df(pairs.sparkSession, closed, known.schema)
+            else:
+                closed_pdf = _functional_closure_driver(pdf)
+                if closed_pdf is not None:
+                    return pairs.sparkSession.createDataFrame(closed_pdf, known.schema)
     # Functional bases (parent-pointer shape — the dominant hierarchy/chain
     # case) close in ceil(log2 d) array-doubling rounds instead of d
     # semi-naive rounds or |closure|-self-joining doubling; inverse-

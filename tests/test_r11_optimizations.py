@@ -65,6 +65,9 @@ class TestChainClosureTier:
             return real(known, keys)
 
         monkeypatch.setattr(paths, "_chain_closure", spy)
+        # force past the r12 numpy driver tier so the distributed chain
+        # tier (the >500k-pair path) is what answers
+        monkeypatch.setattr(paths, "DRIVER_FUNCTIONAL_MAX_PAIRS", 0)
         out = paths.transitive_closure(base)
         assert called.get("hit"), "functional base did not gear into the chain tier"
         # spot-check: ancestors of 12 are 6, 3, 1

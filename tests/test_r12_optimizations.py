@@ -163,6 +163,55 @@ class TestPagerankDriverTier:
         assert tier == dist
 
 
+class TestFunctionalClosureDriverTier:
+    def _pairs(self, df):
+        return sorted(tuple(r) for r in df.collect())
+
+    def test_matches_chain_tier_above_schema_bound(self, spark, monkeypatch):
+        from blazegraph_database_spark.operators import paths
+        import pandas as pd
+
+        n = 25_000
+        pdf = pd.DataFrame(
+            {"s": [str(k) for k in range(2, n)], "o": [str(k // 2) for k in range(2, n)]}
+        )
+        base = spark.createDataFrame(pdf)
+        tier = self._pairs(paths.transitive_closure(base))
+        monkeypatch.setattr(paths, "DRIVER_FUNCTIONAL_MAX_PAIRS", 0)
+        dist = self._pairs(paths.transitive_closure(base))
+        assert tier == dist
+
+    def test_reverse_functional_and_cycle_fallback(self, spark):
+        from blazegraph_database_spark.operators import paths
+
+        # fan-out graph: functional only in the o->s direction
+        edges = [("r", f"c{i}") for i in range(40)] + [(f"c{i}", f"g{i}") for i in range(40)]
+        df = spark.createDataFrame(edges, "s string, o string")
+        got = self._pairs(paths.transitive_closure(df))
+        assert ("r", "g7") in got and ("c3", "g3") in got and len(got) == 120
+        # cycle: the driver walk must bail; result still exact via fallback
+        cyc = spark.createDataFrame(
+            [("a", "b"), ("b", "c"), ("c", "a")], "s string, o string"
+        )
+        got = self._pairs(paths.transitive_closure(cyc))
+        assert len(got) == 9  # every node reaches every node incl. itself
+
+    def test_driver_walk_direct(self):
+        import pandas as pd
+
+        from blazegraph_database_spark.operators.paths import _functional_closure_driver
+
+        pdf = pd.DataFrame({"s": ["b", "c", "d"], "o": ["a", "b", "c"]})
+        out = _functional_closure_driver(pdf)
+        got = sorted(map(tuple, out.values))
+        assert got == [
+            ("b", "a"), ("c", "a"), ("c", "b"), ("d", "a"), ("d", "b"), ("d", "c"),
+        ]
+        # non-functional both ways -> None
+        bad = pd.DataFrame({"s": ["a", "a", "b", "c"], "o": ["x", "y", "x", "y"]})
+        assert _functional_closure_driver(bad) is None
+
+
 class TestDriverTierFallbacks:
     def test_null_ids_fall_back_to_distributed(self, spark):
         df = spark.createDataFrame(
