@@ -184,6 +184,35 @@ def _pagerank_driver(e: DataFrame, damping: float, iters: int) -> DataFrame | No
     return e.sparkSession.createDataFrame(out, "node string, rank double")
 
 
+def _paths_driver(
+    e: DataFrame, source: str, target: str, max_length: int
+) -> DataFrame | None:
+    """Driver-tier bounded path enumeration: the same level-by-level
+    expansion as the distributed loop (grow every partial path one hop,
+    drop revisits, bank paths that hit the target, stop extending them)."""
+    pdf = _driver_edges(e)
+    if pdf is None:
+        return None
+    adj: dict = {}
+    for s, d in zip(pdf["src"].values, pdf["dst"].values):
+        adj.setdefault(s, []).append(d)
+    found: list[tuple] = []
+    active = [(source, (source,))]
+    for depth in range(1, max_length + 1):
+        grown = []
+        for head, nodes in active:
+            for nxt in adj.get(head, ()):
+                if nxt not in nodes:
+                    grown.append((nxt, nodes + (nxt,)))
+        found.extend(
+            ("->".join(nodes), depth) for head, nodes in grown if head == target
+        )
+        active = [(head, nodes) for head, nodes in grown if head != target]
+        if not active:
+            break
+    return _rows_df(e.sparkSession, found, "path string, hops int")
+
+
 def _cc_driver(e: DataFrame) -> DataFrame | None:
     """Driver-tier connected components: union-find with union-by-min and
     path compression over the (already undirected) edge list. Labels are the
@@ -719,6 +748,10 @@ def paths(edges: DataFrame, source: str, target: str, max_length: int = 8) -> Da
     """
     spark = edges.sparkSession
     e = _chk(edges.select("src", "dst"))
+    if e.count() <= GAS_DRIVER_TIER_MAX_EDGES:
+        out = _paths_driver(e, source, target, max_length)
+        if out is not None:
+            return out
     active = _chk(
         spark.createDataFrame([(source, [source])], "head string, nodes array<string>")
     )

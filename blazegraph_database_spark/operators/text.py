@@ -148,7 +148,14 @@ def word_shingles(text: Column, n: int = 3) -> Column:
     the concat lambda through the INTERPRETED higher-order-function path —
     the r11 A/B at the sf1.0 scale point read 1.24 s (transform) vs 0.75 s
     (regex) for the same 2.6M shingles, and HOF interpretation scales with
-    corpus bytes (guide §1.1/§2: fix per-task work the codegen way)."""
+    corpus bytes (guide §1.1/§2: fix per-task work the codegen way).
+
+    Known asymmetry (ADVICE r11, kept for output stability): n == 1 routes
+    through words(), whose trim strips only spaces — text padded with tabs
+    or newlines yields an empty leading token at n == 1 that the
+    whitespace-normalized n >= 2 path would not produce. For n >= 2 the
+    regex form matches the old slice/zip form on space-separated text;
+    exotic whitespace may differ at the edges."""
     if n == 1:
         return words(text)
     norm = F.regexp_replace(F.trim(text), r"\s+", " ")

@@ -668,28 +668,45 @@ def _emb_pattern_df(sp: A.SP, store: TripleStore) -> DataFrame:
 _CCACHE: dict = {}
 
 
+def _ccache() -> dict:
+    """The Column cache, invalidated when the active SparkContext changes:
+    cached Columns hold py4j refs into a specific gateway, and a JVM
+    restart in the same process would leave them pointing at a dead one
+    (ADVICE r11). The identity check is pure-python, no roundtrip."""
+    from pyspark import SparkContext
+
+    tag = id(SparkContext._active_spark_context)
+    if _CCACHE.get("__ctx") != tag:
+        _CCACHE.clear()
+        _CCACHE["__ctx"] = tag
+    return _CCACHE
+
+
 def _cc(name: str) -> Column:
-    c = _CCACHE.get(name)
+    cache = _ccache()
+    c = cache.get(name)
     if c is None:
-        c = _CCACHE[name] = F.col(name)
+        c = cache[name] = F.col(name)
     return c
 
 
 def _dt_norm() -> Column:
     """bnode→iri-normalized o_dt (see the companion-binding comment below),
     built once: the 4-op when/otherwise chain costs ~14 roundtrips a call."""
-    c = _CCACHE.get("__dt_norm")
+    cache = _ccache()
+    c = cache.get("__dt_norm")
     if c is None:
-        c = _CCACHE["__dt_norm"] = (
+        c = cache["__dt_norm"] = (
             F.when(F.col("o_dt") == "bnode", F.lit("iri")).otherwise(F.col("o_dt"))
         )
     return c
 
 
 def _iri_lit() -> Column:
-    c = _CCACHE.get("__iri_lit")
+    cache = _ccache()
+    c = cache.get("__iri_lit")
     if c is None:
-        c = _CCACHE["__iri_lit"] = F.lit("iri")
+        c = cache["__iri_lit"] = F.lit("iri")
     return c
 
 
