@@ -184,6 +184,34 @@ def _pagerank_driver(e: DataFrame, damping: float, iters: int) -> DataFrame | No
     return e.sparkSession.createDataFrame(out, "node string, rank double")
 
 
+def _bfs_from_df_driver(e: DataFrame, seeds: DataFrame, max_depth: int) -> DataFrame | None:
+    """Driver-tier multi-source BFS (bfs_from_df): min depth per node from
+    the seed set. The seed frame is traversal-state-sized (path nodes /
+    probe sets), collected with the edges in the same tier."""
+    pdf = _driver_edges(e)
+    if pdf is None:
+        return None
+    seed_pdf = seeds.select("node").distinct().toPandas()
+    if seed_pdf.isnull().values.any():
+        return None
+    adj: dict = {}
+    for s, d in zip(pdf["src"].values, pdf["dst"].values):
+        adj.setdefault(s, []).append(d)
+    depth = {s: 0 for s in seed_pdf["node"].values}
+    frontier = list(depth)
+    for dcur in range(1, max_depth + 1):
+        if not frontier:
+            break
+        nxt = []
+        for u in frontier:
+            for v in adj.get(u, ()):
+                if v not in depth:
+                    depth[v] = dcur
+                    nxt.append(v)
+        frontier = nxt
+    return _rows_df(e.sparkSession, list(depth.items()), "node string, depth int")
+
+
 def _paths_driver(
     e: DataFrame, source: str, target: str, max_length: int
 ) -> DataFrame | None:
@@ -782,6 +810,10 @@ def bfs_from_df(edges: DataFrame, seeds: DataFrame, max_depth: int = MAX_ITERS) 
     """BFS seeded from a DataFrame of (node) rows — multi-source frontier
     expansion giving each node its MIN depth from the seed set."""
     e = _chk(edges.select("src", "dst"))
+    if e.count() <= GAS_DRIVER_TIER_MAX_EDGES:
+        out = _bfs_from_df_driver(e, seeds, max_depth)
+        if out is not None:
+            return out
     seed = _chk(seeds.select("node").distinct().select("node", F.lit(0).alias("depth")))
     parts = [seed]
     visited = seed.select("node")

@@ -137,14 +137,20 @@ def test_cc_bipartite_matches_label_prop(spark):
         assert got == want, edges
 
 
-def test_concurrent_iterative_queries_no_lock(spark):
+def test_concurrent_iterative_queries_no_lock(spark, monkeypatch):
     """VERDICT r4 items 8/9: with the _iter_shuffle conf lock gone,
     concurrent iterative queries (two path closures, as two REST clients
     would issue) run in parallel and both return correct closures.
     Concurrent wall must beat the sequential sum — the lock used to
-    serialize them completely."""
+    serialize them completely. The r12 driver tier is forced OFF: this
+    test is about the DISTRIBUTED loop not serializing (the driver tier
+    is single-threaded python by design)."""
     import threading
     import time
+
+    from blazegraph_database_spark.operators import paths as _paths
+
+    monkeypatch.setattr(_paths, "DRIVER_FUNCTIONAL_MAX_PAIRS", 0)
 
     from blazegraph_database_spark.model.store import TripleStore
     from blazegraph_database_spark.plans import algebra as A
