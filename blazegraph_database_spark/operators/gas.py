@@ -181,7 +181,13 @@ def _pagerank_driver(e: DataFrame, damping: float, iters: int) -> DataFrame | No
         np.add.at(inflow, d, rank[s] / deg[s])
         rank = base + damping * (inflow + dmass / n)
     out = pd.DataFrame({"node": uniq, "rank": rank})
-    return e.sparkSession.createDataFrame(out, "node string, rank double")
+    # node keeps the input id type (string lexicals or dictionary longs)
+    schema = (
+        e.select(F.col("src").alias("node"))
+        .withColumn("rank", F.lit(0.0))
+        .schema
+    )
+    return e.sparkSession.createDataFrame(out, schema)
 
 
 def _bfs_from_df_driver(e: DataFrame, seeds: DataFrame, max_depth: int) -> DataFrame | None:
