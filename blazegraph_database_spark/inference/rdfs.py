@@ -116,6 +116,24 @@ def transitive_closure(edges: DataFrame, max_iters: int = MAX_ITERS) -> DataFram
     all_e = edges.select("src", "dst").distinct().localCheckpoint(eager=False)
     head = _arrow_head(all_e, SMALL_CLOSURE_MAX_EDGES + 1)
     if len(head) <= SMALL_CLOSURE_MAX_EDGES:
+        if head:
+            # functional (parent-pointer) fast path: the numpy level walk
+            # (operators/paths, r12) beats the per-node python DFS on the
+            # dominant hierarchy shape; cycles/non-functional fall through
+            import pandas as pd
+
+            from blazegraph_database_spark.operators.paths import (
+                _functional_closure_driver,
+            )
+
+            pdf = pd.DataFrame(head, columns=["s", "o"])
+            if not pdf.isnull().values.any():
+                fn_pdf = _functional_closure_driver(pdf)
+                if fn_pdf is not None:
+                    return edges.sparkSession.createDataFrame(
+                        fn_pdf.rename(columns={"s": "src", "o": "dst"}),
+                        all_e.schema,
+                    )
         closed = _closure_local(head)
         if closed is not None:
             if not closed:
