@@ -222,7 +222,14 @@ def transitive_closure(
         # through to the distributed tiers on cycles / explosion / nulls.
         pdf = known.toPandas()
         if not pdf.isnull().values.any():
+            if len(pdf):
+                # functional fast path first at every size in the tier
+                # (the dominant hierarchy shape; ~5x over the python DFS)
+                closed_pdf = _functional_closure_driver(pdf)
+                if closed_pdf is not None:
+                    return pairs.sparkSession.createDataFrame(closed_pdf, known.schema)
             if n_pairs <= 20_000:
+                # small cyclic / non-functional graphs: python DFS closure
                 from blazegraph_database_spark.inference.rdfs import (
                     _arrow_pairs_df,
                     _closure_local,
@@ -233,10 +240,6 @@ def transitive_closure(
                     if not closed:
                         return known
                     return _arrow_pairs_df(pairs.sparkSession, closed, known.schema)
-            else:
-                closed_pdf = _functional_closure_driver(pdf)
-                if closed_pdf is not None:
-                    return pairs.sparkSession.createDataFrame(closed_pdf, known.schema)
     # Functional bases (parent-pointer shape — the dominant hierarchy/chain
     # case) close in ceil(log2 d) array-doubling rounds instead of d
     # semi-naive rounds or |closure|-self-joining doubling; inverse-
