@@ -31,19 +31,22 @@ TF_CHECKPOINT_MIN_BYTES = int(
 )
 
 
-def _fanout_checkpoint(tf: DataFrame, source: DataFrame) -> DataFrame:
-    """Lazily checkpoint a per-doc frequency table that fans out to several
-    consumers — unless the source corpus is small enough that re-running the
-    tokenize scan per consumer is cheaper than materializing (see
-    TF_CHECKPOINT_MIN_BYTES). Perf-only: both shapes compute identical
-    frequencies."""
+def _fanout_materialize(tf: DataFrame, source: DataFrame) -> DataFrame | None:
+    """The lazily-checkpointed per-doc frequency table when the corpus is
+    big enough that deriving the global count tables from one materialized
+    scan beats re-tokenizing per consumer; None when the caller should use
+    direct per-table aggregations instead (at toy scale the direct
+    aggregations are cheaper than BOTH the checkpoint and re-evaluating an
+    unmaterialized tf subtree per consumer). Perf-only: the derived and
+    direct shapes compute identical counts (sum of per-doc frequencies ==
+    the global frequency)."""
     try:
         size = int(source._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
     except Exception:
         size = TF_CHECKPOINT_MIN_BYTES  # unknown size: keep the checkpoint
     if size >= TF_CHECKPOINT_MIN_BYTES:
         return tf.localCheckpoint(eager=False)
-    return tf
+    return None
 
 # BPE-ish tokenization: letter runs, digit runs, single punctuation marks.
 TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
@@ -790,10 +793,13 @@ def unigram_logprob(df: DataFrame, id_col: str = "doc_id", text_col: str = "text
     # the fan-out — the old second tok consumer re-ran the whole
     # explode+shuffle for vocabulary (r11; guide §2.3 aggregate first,
     # scale_notes fan-out rule)
-    tf = _fanout_checkpoint(
-        tok.groupBy(id_col, "w").agg(F.count("*").alias("tf")), df
-    )
-    vocab = tf.groupBy("w").agg(F.sum("tf").alias("cnt"))
+    tf = tok.groupBy(id_col, "w").agg(F.count("*").alias("tf"))
+    mat = _fanout_materialize(tf, df)
+    if mat is not None:
+        tf = mat
+        vocab = tf.groupBy("w").agg(F.sum("tf").alias("cnt"))
+    else:  # toy scale: aggregate the tokens directly (identical counts)
+        vocab = tok.groupBy("w").agg(F.count("*").alias("cnt"))
     total = vocab.agg(F.sum("cnt").alias("total"))
     return (
         tf.join(vocab, "w")
@@ -918,11 +924,15 @@ def bigram_logprob(
     # consumers re-ran the tokenize+zip+explode pass each; vsize keeps its
     # own scan because the vocabulary includes final/lone words that never
     # appear as bigram members
-    bf = _fanout_checkpoint(
-        big.groupBy(id_col, "w1", "w2").agg(F.count("*").alias("bf")), df
-    )
-    pair_cnt = bf.groupBy("w1", "w2").agg(F.sum("bf").alias("c12"))
-    ctx_cnt = bf.groupBy("w1").agg(F.sum("bf").alias("c1"))
+    bf = big.groupBy(id_col, "w1", "w2").agg(F.count("*").alias("bf"))
+    mat = _fanout_materialize(bf, df)
+    if mat is not None:
+        bf = mat
+        pair_cnt = bf.groupBy("w1", "w2").agg(F.sum("bf").alias("c12"))
+        ctx_cnt = bf.groupBy("w1").agg(F.sum("bf").alias("c1"))
+    else:  # toy scale: aggregate the bigrams directly (identical counts)
+        pair_cnt = big.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+        ctx_cnt = big.groupBy("w1").agg(F.count("*").alias("c1"))
     vsize = (
         df.select(F.explode(F.transform(words(F.col(text_col)), F.lower)).alias("w"))
         .agg(F.count_distinct("w").alias("v"))
@@ -1068,10 +1078,14 @@ def dsir_scores(
     # ONE raw-corpus tokenize scan (r11): the raw bucket histogram derives
     # from the per-doc bucket frequencies (identical sums); the target side
     # has a single consumer and keeps its direct aggregation
-    tf_r = _fanout_checkpoint(
-        toks(raw).groupBy(id_col, "b").agg(F.count("*").alias("tf")), raw
-    )
-    rcnt = tf_r.groupBy("b").agg(F.sum("tf").alias("rc"))
+    tok_r = toks(raw)
+    tf_r = tok_r.groupBy(id_col, "b").agg(F.count("*").alias("tf"))
+    mat = _fanout_materialize(tf_r, raw)
+    if mat is not None:
+        tf_r = mat
+        rcnt = tf_r.groupBy("b").agg(F.sum("tf").alias("rc"))
+    else:  # toy scale: aggregate the bucketed tokens directly
+        rcnt = tok_r.groupBy("b").agg(F.count("*").alias("rc"))
     tcnt = toks(target).groupBy("b").agg(F.count("*").alias("tc"))
     stats = rcnt.join(tcnt, "b", "left").fillna({"tc": 0})
     totals = stats.agg(
@@ -1136,13 +1150,19 @@ def nb_token_classifier(
     # (_pos is functionally dependent on the id), and the per-class token
     # counts derive from them — identical sums, one corpus pass and a
     # (w)-shuffle of the far smaller tf table instead of raw tokens
-    tf0 = _fanout_checkpoint(
-        tok.groupBy(id_col, "_pos", "w").agg(F.count("*").alias("tf")), df
-    )
-    cc = tf0.groupBy("w").agg(
-        F.sum(F.when(F.col("_pos"), F.col("tf")).otherwise(0)).alias("cpos"),
-        F.sum(F.when(~F.col("_pos"), F.col("tf")).otherwise(0)).alias("cneg"),
-    )
+    tf0 = tok.groupBy(id_col, "_pos", "w").agg(F.count("*").alias("tf"))
+    mat = _fanout_materialize(tf0, df)
+    if mat is not None:
+        tf0 = mat
+        cc = tf0.groupBy("w").agg(
+            F.sum(F.when(F.col("_pos"), F.col("tf")).otherwise(0)).alias("cpos"),
+            F.sum(F.when(~F.col("_pos"), F.col("tf")).otherwise(0)).alias("cneg"),
+        )
+    else:  # toy scale: aggregate the labeled tokens directly
+        cc = tok.groupBy("w").agg(
+            F.sum(F.when(F.col("_pos"), 1).otherwise(0)).alias("cpos"),
+            F.sum(F.when(~F.col("_pos"), 1).otherwise(0)).alias("cneg"),
+        )
     tots = cc.agg(
         F.sum("cpos").alias("npos"),
         F.sum("cneg").alias("nneg"),
