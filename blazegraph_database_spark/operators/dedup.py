@@ -126,20 +126,16 @@ def band_signatures(sigs: DataFrame, bands: int = LSH_BANDS) -> DataFrame:
     surface shared by self-join dedup and two-sided (corpus vs probe)
     contamination checks."""
     rows = NUM_PERM // bands
-    return sigs.select(
-        "id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(bi).alias("band"),
-                        F.xxhash64(*[F.element_at("sig", bi * rows + j + 1) for j in range(rows)]).alias("key"),
-                    )
-                    for bi in range(bands)
-                ]
-            )
-        ).alias("bk"),
-    ).select("id", "bk.band", "bk.key")
+    # posexplode of a plain key array: the position IS the band id, so no
+    # per-band struct gets allocated per row (r12: 1.27 -> 1.11 s for the
+    # 1.6M-row sf1.0 banded surface, identical rows)
+    keys = F.array(
+        *[
+            F.xxhash64(*[F.element_at("sig", bi * rows + j + 1) for j in range(rows)])
+            for bi in range(bands)
+        ]
+    )
+    return sigs.select("id", F.posexplode(keys).alias("band", "key"))
 
 
 def lsh_candidate_pairs(sigs: DataFrame, bands: int = LSH_BANDS, max_bucket: int = 10_000) -> DataFrame:
